@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.StructType
+
+import scala.util.{Failure, Success, Try}
+
+/** Table access over the harness parquet layout (`TESTDATA.md`):
+  * one parquet directory/file per table under `sfDir`.
+  *
+  * Scale notes: at 100 TB each `table()` call is a partitioned columnar
+  * scan — predicate pushdown and column pruning happen because callers
+  * compose `select`/`filter` on the returned lazy DataFrame (never
+  * `.cache()` here). Reference equivalents: the CSV/DuckDB loaders at
+  * `src/gtfs.py:22`, `src/delays.py:23`, `src/vehicles.py:10`,
+  * `src/weather.py:136` in jakublaba/idh-etl-demo.
+  */
+object Sources {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet columns stored as TIMESTAMP(NANOS) — Spark has no ns-precision
+    * timestamp type, so these are read as raw ns longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to µs here,
+    * exactly matching DuckDB's ns→µs truncation on read. */
+  private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** Lazy parquet scan for one table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) &&
+          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's exact
+        // integer range, so float division would corrupt the microseconds
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
+
+  /** CSV scan with explicit schema (S1) — explicit StructType rather than
+    * inference: inference costs an extra pass over 100 TB and is a
+    * correctness hazard (reference defensively re-casts inferred dtypes,
+    * `src/queries.py:80-81`). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** Multi-file scan + implicit union (S2): a directory/glob of hourly
+    * files is one distributed scan, not a driver-side concat loop
+    * (reference: `src/delays.py:11-24`, `src/weather.py:124-142`). */
+  def csvGlob(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(glob)
+
+  /** Register every harness table as a temp view (the Spark analog of the
+    * reference's shard-merge into one DuckDB catalog,
+    * `dags/idh_etl.py:139-164` — one SparkSession = one catalog, S6). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      Try(table(spark, dir, n)) match {
+        case Success(df) => df.createOrReplaceTempView(n)
+        case Failure(e)  => // missing-shard tolerance (G3): warn + continue
+          System.err.println(s"[sources] skip $n: ${e.getMessage}")
+      }
+    }
+
+  /** Catalog smoke verification (S10): `limit 1` probe per registered table
+    * (reference `dags/idh_etl.py:166-178`). Returns tables that failed. */
+  def smokeVerify(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().toSeq.map(_.name).filter { t =>
+      Try(spark.table(t).limit(1).collect()).isFailure
+    }
+}

@@ -1,0 +1,582 @@
+package graft.queries
+
+import graft.functions.ScalarFunctions._
+import graft.io.Sources
+import graft.operators.{ModeAgg, Upsert}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator demos over the harness TPC-H-ish tables — one query
+  * per SURVEY §2 operator row, each paired with DuckDB oracle SQL.
+  *
+  * Conventions for oracle-exact determinism (SURVEY §5):
+  *   - every query ends in a total ORDER BY (both engines);
+  *   - every computed column is aliased identically on both sides;
+  *   - integer aggregates are BIGINT on both sides (DuckDB sums to
+  *     HUGEINT, so oracles wrap in CAST(... AS BIGINT));
+  *   - Spark `round` == DuckDB `round` (both half-away-from-zero on
+  *     DOUBLE — verified empirically).
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- q01: scan + projection + cast + arithmetic (P1/P6, S1) ---------
+  def q01ScanProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice,
+       l_extendedprice * (1 - l_discount) AS net_price
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  // --- q02: null / blank / regex predicates (P3/P4/P5) ----------------
+  def q02FilterPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_acctbal").isNotNull &&
+        trim(col("c_mktsegment")) =!= "" &&
+        col("c_name").rlike("^Customer#[0-9]+$") &&
+        col("c_acctbal") > 0)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val q02Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_acctbal IS NOT NULL AND trim(c_mktsegment) != ''
+         AND regexp_matches(c_name, '^Customer#[0-9]+$') AND c_acctbal > 0
+       ORDER BY c_custkey"""
+
+  // --- q03: multi-key hash aggregate (A1) — TPC-H Q1 shape ------------
+  def q03AggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_discount").as("avg_disc"),
+        max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q03Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       avg(l_quantity) AS avg_qty,
+       avg(l_discount) AS avg_disc,
+       max(l_quantity) AS max_qty,
+       min(l_extendedprice) AS min_price,
+       CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // --- q04: count(*) per group (A2/A5) ---------------------------------
+  def q04CountPerGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // --- q05: exact count(distinct) per group (A3) -----------------------
+  def q05CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"))
+      .orderBy("l_returnflag")
+
+  val q05Sql: String =
+    """SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // --- q06: tie-broken mode per group (A4/W1/O3 — reference signature) -
+  def q06Mode(s: SparkSession, dir: String): DataFrame =
+    ModeAgg.modeOf(
+        t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity")
+      .withColumnRenamed("l_quantity", "mode_quantity")
+      .orderBy("l_returnflag")
+
+  val q06Sql: String =
+    """WITH c AS (
+         SELECT l_returnflag, l_quantity, count(*) AS freq
+         FROM lineitem GROUP BY 1, 2),
+       r AS (
+         SELECT l_returnflag, l_quantity,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY freq DESC, l_quantity DESC) AS rn
+         FROM c)
+       SELECT l_returnflag, l_quantity AS mode_quantity FROM r
+       WHERE rn = 1 ORDER BY l_returnflag"""
+
+  // --- q07: left join + grouped max / count(distinct) (J1, A1, A3) -----
+  // the reference's trip_lengths / stops_per_trip shape
+  // (`src/queries.py:13-21,36-44`): orders≈trips, lineitem≈stop_times.
+  def q07LeftJoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_custkey", "o_orderkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_custkey", "o_orderkey")
+      .agg(
+        max("l_quantity").as("trip_len"),
+        countDistinct("l_partkey").as("stops_per_trip"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  val q07Sql: String =
+    """SELECT o.o_custkey, o.o_orderkey,
+       max(l.l_quantity) AS trip_len,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS stops_per_trip
+       FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_custkey, o.o_orderkey
+       ORDER BY o.o_custkey, o.o_orderkey"""
+
+  // --- q08: left-join chain over small dims (J2) — broadcast both ------
+  def q08JoinChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_name"), lit("unknown")).as("nation"),
+        coalesce(col("r_name"), lit("unknown")).as("region"))
+      .orderBy("c_custkey")
+
+  val q08Sql: String =
+    """SELECT c_custkey, c_name,
+       coalesce(n_name, 'unknown') AS nation,
+       coalesce(r_name, 'unknown') AS region
+       FROM customer
+       LEFT JOIN nation ON c_nationkey = n_nationkey
+       LEFT JOIN region ON n_regionkey = r_regionkey
+       ORDER BY c_custkey"""
+
+  // --- q09: 5-way star join + aggregate (J3) — broadcast-hash dims -----
+  def q09StarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "p_brand")
+
+  val q09Sql: String =
+    """SELECT r_name, p_brand,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       JOIN part     ON l_partkey = p_partkey
+       GROUP BY r_name, p_brand ORDER BY r_name, p_brand"""
+
+  // --- q10: join on computed expression key (J4/J5) --------------------
+  // the reference's weather join: `w.id = '12375-' || strftime(ts, ...)`
+  // (`src/queries.py:145`).
+  def q10ExprKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev
+      .groupBy(concat(lit("12375-"), hourKey(col("ts"))).as("w_id"))
+      .agg(avg("value").as("hourly_avg"))
+    ev.join(broadcast(dim),
+        concat(lit("12375-"), hourKey(col("ts"))) === col("w_id"))
+      .select(col("event_id"), col("w_id"), col("hourly_avg"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val q10Sql: String =
+    """WITH dim AS (
+         SELECT '12375-' || strftime(date_trunc('hour', ts), '%Y-%m-%d-%H')
+                  AS w_id,
+                avg(value) AS hourly_avg
+         FROM events GROUP BY 1)
+       SELECT e.event_id, d.w_id, d.hourly_avg, e.value
+       FROM events e
+       JOIN dim d ON '12375-' ||
+         strftime(date_trunc('hour', e.ts), '%Y-%m-%d-%H') = d.w_id
+       ORDER BY e.event_id"""
+
+  // --- q11: anti join (J7 — the MERGE WHEN NOT MATCHED semantics) ------
+  def q11AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Upsert.newRowsOnly(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"))
+      .orderBy("c_custkey")
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey"""
+
+  // --- q12: semi join (EXISTS) -----------------------------------------
+  def q12SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select("c_custkey", "c_name")
+      .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .orderBy("c_custkey")
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey"""
+
+  // --- q13: global sort + limit, deterministic tie-break (O1/O2) -------
+  def q13TopKOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+
+  // --- q14: union all + deterministic keep-first dedup (U1/U2) ---------
+  def q14UnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), lit(1).as("src"))
+    val b = o.select(col("o_orderkey"), lit(2).as("src"))
+    Upsert.dedupKeepFirst(a.unionByName(b), Seq("o_orderkey"), Seq("src"))
+      .orderBy("o_orderkey")
+  }
+
+  val q14Sql: String =
+    """WITH u AS (
+         SELECT o_orderkey, 1 AS src FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_orderkey, 2 AS src FROM orders),
+       r AS (
+         SELECT o_orderkey, src,
+                row_number() OVER (PARTITION BY o_orderkey ORDER BY src ASC)
+                  AS rn
+         FROM u)
+       SELECT o_orderkey, src FROM r WHERE rn = 1 ORDER BY o_orderkey"""
+
+  // --- q15: CASE bucketing — season / time-of-day / threshold class ----
+  // (F9/F10/F12 over events.ts and events.value)
+  def q15Buckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        season(col("ts")).as("season"),
+        timeOfDay(hour(col("ts"))).as("time_of_day"),
+        fallType(col("value")).as("fall_type"),
+        col("value"))
+      .groupBy("season", "time_of_day", "fall_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .orderBy("season", "time_of_day", "fall_type")
+
+  val q15Sql: String =
+    """SELECT
+         CASE WHEN month(ts) IN (12, 1, 2) THEN 'winter'
+              WHEN month(ts) IN (3, 4, 5) THEN 'spring'
+              WHEN month(ts) IN (6, 7, 8) THEN 'summer'
+              ELSE 'autumn' END AS season,
+         CASE WHEN hour(ts) BETWEEN 6 AND 9 THEN 'morning'
+              WHEN hour(ts) BETWEEN 10 AND 13 THEN 'midday'
+              WHEN hour(ts) BETWEEN 14 AND 17 THEN 'afternoon'
+              WHEN hour(ts) BETWEEN 18 AND 22 THEN 'evening'
+              ELSE 'night' END AS time_of_day,
+         CASE WHEN value < 2.0 THEN 'snow' ELSE 'rain' END AS fall_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(value) AS sum_value
+       FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // --- q16: delay-string parse round-trip (F3/F14) ---------------------
+  // Renders "N min" / "N min przed czasem" strings from lineitem rows,
+  // then parses them back with the codegen'd expression.
+  def q16DelayParse(s: SparkSession, dir: String): DataFrame = {
+    val rendered = t(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      when(col("l_linenumber") % 3 === 0,
+        concat(col("l_linenumber").cast("string"), lit(" min przed czasem")))
+        .otherwise(concat(col("l_linenumber").cast("string"), lit(" min")))
+        .as("delay_str"))
+    rendered
+      .select(col("l_returnflag"),
+        parseDelayMinutes(col("delay_str")).as("delay_mins"))
+      .groupBy("l_returnflag")
+      .agg(sum("delay_mins").cast("long").as("total_delay"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q16Sql: String =
+    """WITH rendered AS (
+         SELECT l_returnflag,
+           CASE WHEN l_linenumber % 3 = 0
+                THEN l_linenumber || ' min przed czasem'
+                ELSE l_linenumber || ' min' END AS delay_str
+         FROM lineitem),
+       parsed AS (
+         SELECT l_returnflag,
+           (CASE WHEN delay_str LIKE '%przed czasem%' THEN -1 ELSE 1 END) *
+             CAST(regexp_extract(delay_str, '^([0-9]+)', 1) AS INTEGER)
+             AS delay_mins
+         FROM rendered)
+       SELECT l_returnflag, CAST(sum(delay_mins) AS BIGINT) AS total_delay,
+              CAST(count(*) AS BIGINT) AS n
+       FROM parsed GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // --- q17: full time dimension (F4-F10, T2) ----------------------------
+  // the reference's TimeDim build (`dags/idh_etl.py:74-99`) over the
+  // distinct event hours.
+  def q17TimeDim(s: SparkSession, dir: String): DataFrame = {
+    val hours = t(s, dir, "events")
+      .select(hourFloor(col("ts")).as("full_timestamp")).distinct()
+    hours.select(
+        dateIntKey(col("full_timestamp")).as("id"),
+        col("full_timestamp"),
+        hour(col("full_timestamp")).cast("long").as("hour_"),
+        weekdayName(col("full_timestamp")).as("weekday"),
+        isoWeekday(col("full_timestamp")).cast("long").as("weekday_num"),
+        monthName(col("full_timestamp")).as("month_"),
+        month(col("full_timestamp")).cast("long").as("month_num"),
+        season(col("full_timestamp")).as("season"),
+        year(col("full_timestamp")).cast("long").as("year_"),
+        timeOfDay(hour(col("full_timestamp"))).as("time_of_day"),
+        isBusinessDay(col("full_timestamp")).as("is_business_day"))
+      .orderBy("full_timestamp")
+  }
+
+  val q17Sql: String =
+    """WITH hours AS (
+         SELECT DISTINCT date_trunc('hour', ts) AS full_timestamp FROM events)
+       SELECT
+         CAST(strftime(full_timestamp, '%Y%m%d') AS BIGINT) AS id,
+         full_timestamp,
+         CAST(hour(full_timestamp) AS BIGINT) AS hour_,
+         dayname(full_timestamp) AS weekday,
+         CAST(isodow(full_timestamp) AS BIGINT) AS weekday_num,
+         monthname(full_timestamp) AS month_,
+         CAST(month(full_timestamp) AS BIGINT) AS month_num,
+         CASE WHEN month(full_timestamp) IN (12, 1, 2) THEN 'winter'
+              WHEN month(full_timestamp) IN (3, 4, 5) THEN 'spring'
+              WHEN month(full_timestamp) IN (6, 7, 8) THEN 'summer'
+              ELSE 'autumn' END AS season,
+         CAST(year(full_timestamp) AS BIGINT) AS year_,
+         CASE WHEN hour(full_timestamp) BETWEEN 6 AND 9 THEN 'morning'
+              WHEN hour(full_timestamp) BETWEEN 10 AND 13 THEN 'midday'
+              WHEN hour(full_timestamp) BETWEEN 14 AND 17 THEN 'afternoon'
+              WHEN hour(full_timestamp) BETWEEN 18 AND 22 THEN 'evening'
+              ELSE 'night' END AS time_of_day,
+         isodow(full_timestamp) <= 5 AS is_business_day
+       FROM hours ORDER BY full_timestamp"""
+
+  // --- q18: surrogate-key build (F1/F2) ---------------------------------
+  def q18SurrogateKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(weatherKey(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd"), hour(col("ts"))).as("sk"))
+      .distinct()
+      .orderBy("sk")
+
+  val q18Sql: String =
+    """SELECT DISTINCT user_id || '-' || strftime(ts, '%Y-%m-%d') || '-' ||
+         lpad(CAST(hour(ts) AS VARCHAR), 2, '0') AS sk
+       FROM events ORDER BY sk"""
+
+  // --- q19: null defaults + round + integer cast (P7/P8/F15) ------------
+  def q19RoundDefaults(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        // simulate a nullable gauge: null when quantity > 45
+        when(col("l_quantity") > 45, lit(null).cast("double"))
+          .otherwise(col("l_discount") * 100).as("gauge"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(coalesce(col("gauge"), lit(0.0))).cast("long").as("fall_mm"),
+        coalesce(when(col("gauge") > 900, col("gauge")), lit(1013.0))
+          .as("pressure_hpa"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q19Sql: String =
+    """WITH g AS (
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CASE WHEN l_quantity > 45 THEN NULL
+                ELSE l_discount * 100 END AS gauge
+         FROM lineitem)
+       SELECT l_orderkey, l_linenumber,
+         CAST(round(coalesce(gauge, 0.0)) AS BIGINT) AS fall_mm,
+         coalesce(CASE WHEN gauge > 900 THEN gauge END, 1013.0)
+           AS pressure_hpa
+       FROM g ORDER BY l_orderkey, l_linenumber"""
+
+  // --- q20: window rank, top-k per group (W1/O3) ------------------------
+  def q20WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q20Sql: String =
+    """WITH r AS (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+         FROM orders)
+       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  // --- q21: analytic window functions (lag/lead/frames — extension) ----
+  def q21WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("next_value", lead("value", 1).over(w))
+      .withColumn("moving3", sum("value").over(w.rowsBetween(-2, 0)))
+      .drop("ts")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value,
+         sum(value) OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       ORDER BY user_id, event_id"""
+
+  // --- q22: insert-only upsert semantics (S8/T3) ------------------------
+  def q22Upsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("existing").as("src"))
+    val incoming = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("new").as("src"))
+    val delta = Upsert.newRowsOnly(incoming, existing, Seq("o_orderkey"))
+    existing.unionByName(delta).orderBy("o_orderkey")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_totalprice, 'existing' AS src FROM orders
+       WHERE o_orderkey % 3 = 0
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, 'new' AS src FROM orders
+       WHERE o_orderstatus = 'O' AND o_orderkey % 3 != 0
+       ORDER BY o_orderkey"""
+
+  // --- q23: JSON extraction (extension over events.props) ---------------
+  def q23Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val q23Sql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY k ORDER BY k"""
+
+  // --- q24: hourly tumbling aggregation (T1/T2 batch form) ---------------
+  def q24HourlyAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(hourFloor(col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .orderBy("hour_ts")
+
+  val q24Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_ts,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(value) AS sum_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  val all: Map[String, Q] = Map(
+    "q01_scan_project" -> q01ScanProject _,
+    "q02_filter_predicates" -> q02FilterPredicates _,
+    "q03_agg_pricing" -> q03AggPricing _,
+    "q04_count_per_group" -> q04CountPerGroup _,
+    "q05_count_distinct" -> q05CountDistinct _,
+    "q06_mode_tiebreak" -> q06Mode _,
+    "q07_left_join_agg" -> q07LeftJoinAgg _,
+    "q08_join_chain" -> q08JoinChain _,
+    "q09_star_join" -> q09StarJoin _,
+    "q10_expr_key_join" -> q10ExprKeyJoin _,
+    "q11_anti_join" -> q11AntiJoin _,
+    "q12_semi_join" -> q12SemiJoin _,
+    "q13_topk_orders" -> q13TopKOrders _,
+    "q14_union_dedup" -> q14UnionDedup _,
+    "q15_buckets" -> q15Buckets _,
+    "q16_delay_parse" -> q16DelayParse _,
+    "q17_time_dim" -> q17TimeDim _,
+    "q18_surrogate_key" -> q18SurrogateKey _,
+    "q19_round_defaults" -> q19RoundDefaults _,
+    "q20_window_rank" -> q20WindowRank _,
+    "q21_window_analytics" -> q21WindowAnalytics _,
+    "q22_upsert" -> q22Upsert _,
+    "q23_json" -> q23Json _,
+    "q24_hourly_agg" -> q24HourlyAgg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" -> q01Sql,
+    "q02_filter_predicates" -> q02Sql,
+    "q03_agg_pricing" -> q03Sql,
+    "q04_count_per_group" -> q04Sql,
+    "q05_count_distinct" -> q05Sql,
+    "q06_mode_tiebreak" -> q06Sql,
+    "q07_left_join_agg" -> q07Sql,
+    "q08_join_chain" -> q08Sql,
+    "q09_star_join" -> q09Sql,
+    "q10_expr_key_join" -> q10Sql,
+    "q11_anti_join" -> q11Sql,
+    "q12_semi_join" -> q12Sql,
+    "q13_topk_orders" -> q13Sql,
+    "q14_union_dedup" -> q14Sql,
+    "q15_buckets" -> q15Sql,
+    "q16_delay_parse" -> q16Sql,
+    "q17_time_dim" -> q17Sql,
+    "q18_surrogate_key" -> q18Sql,
+    "q19_round_defaults" -> q19Sql,
+    "q20_window_rank" -> q20Sql,
+    "q21_window_analytics" -> q21Sql,
+    "q22_upsert" -> q22Sql,
+    "q23_json" -> q23Sql,
+    "q24_hourly_agg" -> q24Sql,
+  )
+}
