@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.q09StarJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all
+    CoreQueries.all ++ PipelineQueries.all
 
-  def oracleSql: Map[String, String] = CoreQueries.oracles
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ PipelineQueries.oracles
 }

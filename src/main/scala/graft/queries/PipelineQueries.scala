@@ -1,0 +1,381 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.io.Sources
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * harness tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), embedding similarity search (brute-force + hyperplane LSH),
+  * text analysis (language ID, quality, tokens, fingerprints), and
+  * binary-column metadata. Each query has a DuckDB oracle mirroring the
+  * exact expression tree (md5-derived hashes, integer-quantized vector
+  * math) so results hash-match across engines.
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ perturbed copies (first token dropped, doc_id + 1000000):
+    * guarantees the near-dup detectors have true positives to find at any
+    * scale factor, with the same construction mirrored in the oracle. */
+  private def nearDupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substr(text, instr(text, ' ') + 1)").as("text")))
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id,
+              substr(text, instr(text, ' ') + 1) AS text FROM documents"""
+
+  private val shingleSql =
+    s"""toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       sh AS (
+         SELECT DISTINCT doc_id AS sid,
+                unnest([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, len(tk) - 1)]) AS sh
+         FROM toks WHERE len(tk) >= 3)"""
+
+  // --- q25: exact dedup via content digest -----------------------------
+  def q25DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(nearDupCorpus(t(s, dir, "documents")), "doc_id", "text")
+      .orderBy("text_hash")
+
+  val q25Sql: String =
+    s"""WITH corpus AS ($corpusSql)
+       SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keep_id
+       FROM corpus GROUP BY 1 ORDER BY text_hash"""
+
+  // --- q26: n-gram Jaccard near-dup pairs ------------------------------
+  def q26DedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val q26Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       $shingleSql,
+       sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS n_common
+         FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT id_a, id_b,
+                CAST(n_common AS DOUBLE) /
+                  CAST(a.n_sh + b.n_sh - n_common AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sizes a ON a.sid = id_a
+         JOIN sizes b ON b.sid = id_b)
+       SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  // --- q27: MinHash + LSH candidate pairs ------------------------------
+  def q27DedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, numPerm = 16, rowsPerBand = 4)
+      .orderBy("id_a", "id_b")
+
+  val q27Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       $shingleSql,
+       perms AS (SELECT unnest(range(0, 16)) AS perm),
+       sig AS (
+         SELECT sid, perm, min(md5(perm || '|' || sh)) AS sig
+         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END) || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END) || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END) || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)) AS band_key
+         FROM sig GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM band x
+         JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+                    AND x.sid < y.sid)
+       SELECT id_a, id_b,
+              CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                AS DOUBLE) / 16 AS est_jaccard
+       FROM cand
+       JOIN sig sa ON sa.sid = id_a
+       JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
+       GROUP BY 1, 2 ORDER BY id_a, id_b"""
+
+  // --- q28: SimHash fingerprints ---------------------------------------
+  def q28DedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("sid", "doc_id")
+      .orderBy("doc_id")
+
+  val q28Sql: String =
+    """WITH tc AS (
+         SELECT doc_id AS sid, tok, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       bits AS (SELECT unnest(range(0, 16)) AS bit),
+       votes AS (
+         SELECT sid, bit,
+                sum(cnt * ((CAST(floor(
+                  (instr('0123456789abcdef',
+                         substr(md5(tok), (bit // 4) + 1, 1)) - 1)
+                  / pow(2, bit % 4)) AS BIGINT) % 2) * 2 - 1)) AS votes
+         FROM tc CROSS JOIN bits GROUP BY 1, 2)
+       SELECT sid AS doc_id,
+              CAST(sum(CASE WHEN votes > 0 THEN CAST(pow(2, bit) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS simhash
+       FROM votes GROUP BY 1 ORDER BY doc_id"""
+
+  // --- q29: brute-force cosine top-k -----------------------------------
+  def q29CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val q29Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       p AS (
+         SELECT q.vec_id AS qid, d.vec_id AS did,
+                list_sum([q.e[i] * d.e[i]
+                          for i in generate_series(1, len(q.e))]) AS dot,
+                q.nn AS qq, d.nn AS dd
+         FROM n q CROSS JOIN n d WHERE q.vec_id < 10),
+       sc AS (
+         SELECT qid, did,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(dd AS DOUBLE)))
+                  AS cosine
+         FROM p),
+       r AS (
+         SELECT qid, did, cosine,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+         FROM sc)
+       SELECT * FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
+  // --- q30: ANN via hyperplane LSH buckets -----------------------------
+  def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        numPlanes = 6, k = 3)
+      .select("qid", "did", "cosine", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val q30Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS e
+         FROM embeddings),
+       proj AS (
+         SELECT v.vec_id, pl.p,
+                list_sum([v.e[i] *
+                  (2 * instr('0123456789abcdef',
+                     substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                  for i in generate_series(1, len(v.e))]) AS proj
+         FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+       buck AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       sc AS (
+         SELECT q.vec_id AS qid, d.vec_id AS did,
+                CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(dn.nn AS DOUBLE)))
+                  AS cosine
+         FROM buck q
+         JOIN buck d ON q.bucket = d.bucket
+         JOIN n qn ON qn.vec_id = q.vec_id
+         JOIN n dn ON dn.vec_id = d.vec_id
+         WHERE q.vec_id < 10),
+       r AS (
+         SELECT qid, did, cosine,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+         FROM sc)
+       SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+
+  // --- q31: language ID (marker-word heuristic) ------------------------
+  def q31LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val q31Sql: String =
+    """WITH s AS (
+         SELECT doc_id, lang,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n,
+           len(regexp_extract_all(lower(text),
+             '\b(the|and|of|is|to|in|that|it)\b')) AS s_en,
+           len(regexp_extract_all(lower(text),
+             '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+           len(regexp_extract_all(lower(text),
+             '\b(le|la|les|et|est|une|que|dans)\b')) AS s_fr,
+           len(regexp_extract_all(lower(text),
+             '\b(el|los|las|y|es|una|que|en)\b')) AS s_es
+         FROM documents),
+       g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS gmax FROM s)
+       SELECT doc_id, lang,
+         CASE WHEN zh_n > 0 THEN 'zh'
+              WHEN gmax = 0 THEN 'unknown'
+              WHEN s_en = gmax THEN 'en'
+              WHEN s_de = gmax THEN 'de'
+              WHEN s_fr = gmax THEN 'fr'
+              WHEN s_es = gmax THEN 'es'
+              ELSE 'unknown' END AS pred_lang
+       FROM g ORDER BY doc_id"""
+
+  // --- q32: quality scoring --------------------------------------------
+  def q32TextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        typeTokenRatio(col("text")).as("type_token_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        qualityScore(col("text")).cast("long").as("quality_score"),
+        qualityLabel(qualityScore(col("text"))).as("quality_label"))
+      .orderBy("doc_id")
+
+  val q32Sql: String =
+    """WITH f AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio,
+           CAST(len(regexp_extract_all(lower(text),
+             '\b(the|a|and|of|is|der|die|und|le|la|et|el|los|y)\b'))
+             AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) /
+             CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+         FROM documents),
+       sc AS (
+         SELECT *,
+           (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 2
+                 WHEN n_tokens BETWEEN 5 AND 19 THEN 1 ELSE -1 END) +
+           (CASE WHEN type_token_ratio >= 0.4 THEN 2
+                 WHEN type_token_ratio >= 0.2 THEN 1 ELSE 0 END) +
+           (CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END) +
+           (CASE WHEN punct_ratio > 0.2 THEN -2
+                 WHEN punct_ratio > 0.1 THEN -1 ELSE 0 END)
+             AS quality_score
+         FROM f)
+       SELECT doc_id, n_tokens, type_token_ratio, stopword_ratio,
+              punct_ratio, avg_token_len,
+              CAST(quality_score AS BIGINT) AS quality_score,
+              CASE WHEN quality_score >= 4 THEN 'high'
+                   WHEN quality_score >= 2 THEN 'medium'
+                   WHEN quality_score >= 0 THEN 'low'
+                   ELSE 'garbage' END AS quality_label
+       FROM sc ORDER BY doc_id"""
+
+  // --- q33: token counting ---------------------------------------------
+  def q33TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        regexTokenCount(col("text")).cast("long").as("re_tokens"),
+        estBpeTokens(col("text")).as("est_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val q33Sql: String =
+    """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS BIGINT)
+           AS re_tokens,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  // --- q34: document fingerprints --------------------------------------
+  def q34Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        sortedFingerprint(col("text")).as("fp_sorted"))
+      .orderBy("doc_id")
+
+  val q34Sql: String =
+    """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         md5(array_to_string(list_sort(list_distinct(string_split(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))),
+           ' ')) AS fp_sorted
+       FROM documents ORDER BY doc_id"""
+
+  // --- q35: binary-column (multimodal) metadata ------------------------
+  /** Multimodal plumbing surface: opaque binary payload + typed metadata.
+    * The decode step is a deterministic fake (real image/audio libs are
+    * not in this environment — see graft.multimodal); the Spark-side
+    * schema/expression plumbing is real. */
+  def q35BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"))
+      .select(col("doc_id"), col("n_bytes"), col("content_hash"),
+        (col("n_bytes") % 640).as("fake_width"),
+        (col("n_bytes") % 480).as("fake_height"),
+        expr("n_bytes div 100").as("fake_n_frames"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    """WITH b AS (
+         SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash
+         FROM documents)
+       SELECT doc_id, n_bytes, content_hash,
+              n_bytes % 640 AS fake_width,
+              n_bytes % 480 AS fake_height,
+              n_bytes // 100 AS fake_n_frames
+       FROM b ORDER BY doc_id"""
+
+  val all: Map[String, Q] = Map(
+    "q25_dedup_exact" -> q25DedupExact _,
+    "q26_dedup_jaccard" -> q26DedupJaccard _,
+    "q27_dedup_minhash" -> q27DedupMinHash _,
+    "q28_dedup_simhash" -> q28DedupSimHash _,
+    "q29_cosine_topk" -> q29CosineTopK _,
+    "q30_ann_lsh" -> q30AnnLsh _,
+    "q31_lang_id" -> q31LangId _,
+    "q32_text_quality" -> q32TextQuality _,
+    "q33_token_count" -> q33TokenCount _,
+    "q34_fingerprint" -> q34Fingerprint _,
+    "q35_binary_meta" -> q35BinaryMeta _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_dedup_exact" -> q25Sql,
+    "q26_dedup_jaccard" -> q26Sql,
+    "q27_dedup_minhash" -> q27Sql,
+    "q28_dedup_simhash" -> q28Sql,
+    "q29_cosine_topk" -> q29Sql,
+    "q30_ann_lsh" -> q30Sql,
+    "q31_lang_id" -> q31Sql,
+    "q32_text_quality" -> q32Sql,
+    "q33_token_count" -> q33Sql,
+    "q34_fingerprint" -> q34Sql,
+    "q35_binary_meta" -> q35Sql,
+  )
+}
