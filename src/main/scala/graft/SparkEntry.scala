@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, PipelineQueries, StarSchema}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,8 +16,8 @@ object SparkEntry {
     CoreQueries.q09StarJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ StarSchema.all
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles ++ StarSchema.oracles
 }
