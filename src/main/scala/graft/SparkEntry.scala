@@ -16,8 +16,10 @@ object SparkEntry {
     CoreQueries.q09StarJoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ PipelineQueries.all ++ StarSchema.all
+    CoreQueries.all ++ PipelineQueries.all ++ StarSchema.all ++
+      graft.streaming.StreamingHourly.all
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PipelineQueries.oracles ++ StarSchema.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles ++ StarSchema.oracles ++
+      graft.streaming.StreamingHourly.oracles
 }

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque bytes + typed metadata. At 100 TB the payload
+  * column stays opaque `binary` in parquet (never parsed by Catalyst);
+  * only the decode stage touches the bytes, partition-local. */
+case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
+
+/** Decoded per-object features. */
+case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
+                         content_hash: String, width: Int, height: Int,
+                         duration_s: Double)
+
+/** Multimodal-column plumbing for a training-data pipeline: treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extraction as a partition-local batch stage.
+  *
+  * The real decode is STUBBED — image/audio codecs are not present in
+  * this environment (see [[Multimodal.realDecode]]); [[fakeDecode]] is a
+  * deterministic stand-in so the pipeline is testable end-to-end. The
+  * Spark-side shape is real and is what matters at scale:
+  *
+  *   - schema: `binary` payload + string mime + typed feature columns;
+  *   - execution: `Dataset[MediaRecord].mapPartitions` — the Scala
+  *     analog of PySpark's `mapInPandas` batch UDF: one iterator per
+  *     partition, so a decoder can amortize model/codec init across the
+  *     whole batch instead of paying it per row;
+  *   - partitioning: payloads never shuffle — features are derived in
+  *     the same stage that scans the parquet, and only the (small)
+  *     feature rows flow downstream.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as binary media records (the harness has no real
+    * image table; utf-8 bytes stand in for an encoded payload). */
+  def toBinary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Deterministic fake decode: pseudo-metadata from the byte length.
+    * Stands in for [[realDecode]] so tests exercise the full path. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
+    val n = payload.length
+    (n % 640, n % 480, (n % 3000) / 10.0)
+  }
+
+  /** The production decode hook. Deliberately unimplemented here: this
+    * container ships no image/audio/video codecs. A real deployment
+    * plugs javax.imageio / ffmpeg / a JNI codec in, keeping the same
+    * signature — everything around it (schema, partitioning, batching)
+    * is unchanged. */
+  def realDecode(mime: String, payload: Array[Byte]): (Int, Int, Double) =
+    ??? // no codecs in this environment — use fakeDecode
+
+  /** Partition-local feature extraction over the media records. The
+    * decoder is a parameter so tests inject [[fakeDecode]] and a real
+    * deployment injects [[realDecode]]. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decode: Array[Byte] => (Int, Int, Double)
+                        = fakeDecode): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init happens here (codec/model load, once per batch)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (w, h, d) = decode(r.payload)
+        digest.reset()
+        val hash = digest.digest(r.payload)
+          .map(b => f"${b & 0xff}%02x").mkString
+        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, hash,
+          w, h, d)
+      }
+    }
+  }
+
+  /** Frame sampling plan for video payloads: one row per sampled frame
+    * offset — pure expression (no decode), demonstrating how a sampling
+    * stage fans out before per-frame decode. */
+  def frameSamplePlan(media: DataFrame, everyNBytes: Int): DataFrame =
+    media.filter(col("mime") === "video/mp4")
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          (octet_length(col("payload")) / everyNBytes).cast("int")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * everyNBytes).as("byte_offset"))
+}

@@ -351,6 +351,34 @@ object PipelineQueries {
               n_bytes // 100 AS fake_n_frames
        FROM b ORDER BY doc_id"""
 
+  // --- q47: multimodal decode pipeline (Dataset mapPartitions path) ----
+  /** Binary payloads → per-object features through the partition-local
+    * decode stage (deterministic fake decoder — see graft.multimodal). */
+  def q47MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal
+      .toBinary(t(s, dir, "documents"))
+      .as[graft.multimodal.MediaRecord]
+    graft.multimodal.Multimodal.extractFeatures(media)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val q47Sql: String =
+    """WITH b AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_hash
+         FROM documents)
+       SELECT doc_id, mime, n_bytes, content_hash,
+              CAST(n_bytes % 640 AS INTEGER) AS width,
+              CAST(n_bytes % 480 AS INTEGER) AS height,
+              CAST(n_bytes % 3000 AS DOUBLE) / 10.0 AS duration_s
+       FROM b ORDER BY doc_id"""
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -363,6 +391,7 @@ object PipelineQueries {
     "q33_token_count" -> q33TokenCount _,
     "q34_fingerprint" -> q34Fingerprint _,
     "q35_binary_meta" -> q35BinaryMeta _,
+    "q47_multimodal_features" -> q47MultimodalFeatures _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +406,6 @@ object PipelineQueries {
     "q33_token_count" -> q33Sql,
     "q34_fingerprint" -> q34Sql,
     "q35_binary_meta" -> q35Sql,
+    "q47_multimodal_features" -> q47Sql,
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.multimodal.{MediaRecord, Multimodal}
+import org.apache.spark.sql.functions._
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: binary wrap + partition-local decode produce typed " +
+    "features with correct hash and byte count") {
+    val docs = Seq((0L, "hello world"), (1L, "tiny"), (2L, "video bytes"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.toBinary(docs).as[MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+      .sortBy(_.doc_id)
+    assert(feats.map(_.mime).toSeq ==
+      Seq("image/png", "audio/wav", "video/mp4"))
+    assert(feats(0).n_bytes == 11L)
+    // md5("hello world")
+    assert(feats(0).content_hash == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(feats(0).width == 11 % 640 && feats(0).height == 11 % 480)
+  }
+
+  test("multimodal: frame sample plan fans out only video rows") {
+    val docs = Seq((0L, "x" * 250), (2L, "y" * 250)).toDF("doc_id", "text")
+    val media = Multimodal.toBinary(docs) // 0 → image, 2 → video
+    val plan = Multimodal.frameSamplePlan(media, 100).collect()
+    assert(plan.forall(_.getLong(0) == 2L))
+    // 250 bytes / 100 → frames at offsets 0, 100, 200
+    assert(plan.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("streaming hourly agg equals the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingHourly
+      .hourlyAgg(spark, dir).collect()
+    val batch = graft.queries.CoreQueries.q24HourlyAgg(spark, dir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("hour_ts") ==
+        b.getAs[java.sql.Timestamp]("hour_ts"))
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      assert(math.abs(s.getAs[Double]("sum_value") -
+        b.getAs[Double]("sum_value")) < 1e-9)
+    }
+  }
+}

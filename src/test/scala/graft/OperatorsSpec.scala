@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Dedup, ModeAgg, Similarity, Upsert}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ModeAgg picks most frequent value; ties broken by value desc") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 2),            // a: 1 wins on freq
+      ("b", 3), ("b", 4),                      // b: tie → 4 (larger) wins
+      ("c", 9)).toDF("g", "v")
+    val got = ModeAgg.modeOf(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 1, "b" -> 4, "c" -> 9))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("g", 5), ("g", 9), ("g", 7), ("h", 1)).toDF("g", "v")
+    val got = ModeAgg.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == Seq(("g", 7), ("g", 9), ("h", 1)))
+  }
+
+  test("dedupKeepFirst is deterministic: keeps smallest order col") {
+    val df = Seq((1, "z"), (1, "a"), (2, "m")).toDF("k", "v")
+    val got = Upsert.dedupKeepFirst(df, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "a"), (2, "m")))
+  }
+
+  test("upsertParquet is idempotent: second identical run appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val path = s"$dir/sink"
+    val batch = Seq((1, "x"), (2, "y"), (2, "y2")).toDF("k", "v")
+    val n1 = Upsert.upsertParquet(spark, batch, Seq("k"), Seq("v"), path)
+    assert(n1 == 2) // deduped on k
+    val n2 = Upsert.upsertParquet(spark, batch, Seq("k"), Seq("v"), path)
+    assert(n2 == 0)
+    assert(spark.read.parquet(path).count() == 2)
+    // new key appends exactly one row
+    val n3 = Upsert.upsertParquet(spark,
+      Seq((3, "z"), (1, "ignored")).toDF("k", "v"), Seq("k"), Seq("v"), path)
+    assert(n3 == 1)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("upsertParquet guards: missing key col and empty input") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
+    val noKey = Seq(("x", 1)).toDF("other", "v")
+    assert(Upsert.upsertParquet(spark, noKey, Seq("k"), Seq("v"),
+      s"$dir/s1") == -1)
+    val empty = Seq.empty[(Int, String)].toDF("k", "v")
+    assert(Upsert.upsertParquet(spark, empty, Seq("k"), Seq("v"),
+      s"$dir/s2") == 0)
+  }
+
+  test("shingles: 3-grams of a 5-token text; short text → empty") {
+    val got = Seq("a b c d e", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exact dedup counts copies and keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L))) // (keep_id, n_copies)
+  }
+
+  test("jaccardPairs finds a near-duplicate pair, not unrelated docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox jumps over the lazy dog"), // first token dropped
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minHashCandidates: identical docs estimated at jaccard 1.0") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashCandidates(df, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simHash16: identical docs get identical fingerprints in [0, 65536)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val got = Dedup.simHash16(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("cosineQ: identical vectors → 1.0; orthogonal → 0.0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosineQ(Similarity.quantize(col("a")),
+        Similarity.quantize(col("b"))).as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 1.0 && got(1) == 0.0)
+  }
+
+  test("bruteForceTopK: self is rank 1 with cosine 1.0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("did") == 0L &&
+      got(0).getAs[Double]("cosine") == 1.0)
+    assert(got(1).getAs[Long]("did") == 1L)
+  }
+
+  test("lshTopK: self-match survives bucketing") {
+    val vecs = (0L to 20L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs.filter(col("vec_id") < 3), vecs, 4, 3)
+    val selfRows = got.filter(col("qid") === col("did")).collect()
+    assert(selfRows.length == 3)
+    // sqrt(n)*sqrt(n) != n exactly in IEEE doubles, so self-cosine is
+    // 1.0 ± 1ulp — deterministic, but not literally 1.0
+    assert(selfRows.forall(r =>
+      math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12))
+  }
+}
