@@ -78,41 +78,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: `numPerm` rows per document,
-    * (sid, perm, sig = min over shingles of md5(perm ++ "|" ++ shingle)).
-    * The signature is constant-size per document regardless of length —
-    * the property that makes near-dup detection sub-quadratic at scale. */
+  /** MinHash signatures, wide form: ONE row per document with a
+    * `numPerm`-element array column `sig`, sig(p) = min over shingles of
+    * md5(p ++ "|" ++ shingle). The md5 work happens map-side over the
+    * shingle rows; the shuffle carries only (doc, numPerm hashes) — the
+    * constant-size-per-document property that makes near-dup detection
+    * sub-quadratic at corpus scale. (A row-per-perm formulation would
+    * shuffle |shingles| × numPerm rows instead.) */
   def minHashSignatures(docSh: DataFrame, numPerm: Int): DataFrame = {
-    val perms = docSh.sparkSession.range(numPerm).toDF("perm")
-    docSh.crossJoin(perms)
-      .groupBy(col("sid"), col("perm"))
-      .agg(min(md5(concat(col("perm").cast("string"), lit("|"), col("sh"))))
-        .as("sig"))
+    val mins = (0 until numPerm).map(p =>
+      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"__s$p"))
+    docSh.groupBy(col("sid"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("sid"),
+        array((0 until numPerm).map(p => col(s"__s$p")): _*).as("sig"))
   }
 
-  /** LSH band keys: `numPerm / rowsPerBand` rows per document,
-    * (sid, band, band_key = md5 of the band's signature slice). Documents
-    * agreeing on any full band become candidate pairs. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
-    val r = rowsPerBand
-    val slots = (0 until r).map(j =>
-      min(when(pmod(col("perm"), lit(r)) === j, col("sig"))).as(s"s$j"))
-    sigs
-      .groupBy(col("sid"), (col("perm") / r).cast("long").as("band"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col("sid"), col("band"),
-        md5(concat_ws("|", (0 until r).map(j => col(s"s$j")): _*))
-          .as("band_key"))
+  /** LSH band keys from a wide signature: `numPerm / rowsPerBand` rows per
+    * document, (sid, band, band_key = md5 of the band's signature slice).
+    * Documents agreeing on any full band become candidate pairs. */
+  def lshBands(sigs: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numPerm / rowsPerBand
+    val bandKeys = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(j =>
+          col("sig").getItem(b * rowsPerBand + j)): _*))
+    }
+    sigs.select(col("sid"), posexplode(array(bandKeys: _*))
+      .as(Seq("band", "band_key")))
   }
 
   /** Candidate near-dup pairs from banded MinHash, with the signature-
-    * estimated Jaccard (fraction of agreeing permutations).
-    * Output: (id_a, id_b, est_jaccard), id_a < id_b, distinct. */
+    * estimated Jaccard (fraction of agreeing permutations, compared
+    * directly between the two signature arrays — no joins back into the
+    * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
       .cache()
-    val bands = lshBands(sigs, rowsPerBand)
+    val bands = lshBands(sigs, numPerm, rowsPerBand)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -121,13 +125,16 @@ object Dedup {
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()
     cand
-      .join(sigs.select(col("sid").as("id_a"), col("perm"),
-        col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("sid").as("id_b"), col("perm"),
-        col("sig").as("sig_b")), Seq("id_b", "perm"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0))
-        .cast("double") / numPerm).as("est_jaccard"))
+      .join(sigs.select(col("sid").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sigs.select(col("sid").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerm)
+          .as("est_jaccard"))
   }
 
   /** 16-bit SimHash from unigram token counts. Bit i is derived from hex
