@@ -117,4 +117,43 @@ object Similarity {
           .orderBy(col("cosine").desc, col("did").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `numCentroids`
+    * cells by nearest centroid, then probe only the query's `nProbe`
+    * nearest cells. Probe cost drops from |D| to nProbe × |D|/centroids.
+    *
+    * Centroids here are the first `numCentroids` corpus vectors by id —
+    * deterministic and engine-portable; a production deployment would
+    * k-means-train them, leaving every downstream step unchanged. The
+    * centroid set is tiny and broadcast; cell assignment is one pass over
+    * the corpus (the shape that scales: at 100 TB the corpus×centroid
+    * score is a map-side broadcast join, and the probe join shuffles only
+    * cell-assigned ids, re-partitioned by cell). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, numCentroids: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cents = corpus.orderBy("vec_id").limit(numCentroids)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("ce"))
+    def assign(vecs: DataFrame, idC: String, vecC: String,
+               keep: Int): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .select(col(idC), col(vecC), col("cid"),
+          cosineQ(col(vecC), col("ce")).as("ccos"))
+        .withColumn("crank", row_number().over(
+          w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
+        .filter(col("crank") <= keep)
+        .drop("ccos", "crank")
+    val cells = assign(corpus.select(col("vec_id").as("did"),
+      quantize(col("embedding")).as("de")), "did", "de", 1)
+    val probes = assign(queries.select(col("vec_id").as("qid"),
+      quantize(col("embedding")).as("qe")), "qid", "qe", nProbe)
+    probes.join(cells, "cid")
+      .select(col("qid"), col("did"),
+        cosineQ(col("qe"), col("de")).as("cosine"))
+      .groupBy("qid", "did") // a (q,d) pair can meet via several probes
+      .agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(col("cosine").desc, col("did").asc)))
+      .filter(col("rank") <= k)
+  }
 }

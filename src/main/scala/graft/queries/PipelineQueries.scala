@@ -379,6 +379,107 @@ object PipelineQueries {
               CAST(n_bytes % 3000 AS DOUBLE) / 10.0 AS duration_s
        FROM b ORDER BY doc_id"""
 
+  // --- q48: IVF approximate nearest neighbors --------------------------
+  def q48IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+        numCentroids = 16, nProbe = 2, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val q48Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       cents AS (
+         SELECT vec_id AS cid, e AS ce, nn AS cn FROM n
+         ORDER BY vec_id LIMIT 16),
+       corpus_assign AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n d CROSS JOIN cents c)
+         WHERE crank <= 1),
+       probe_assign AS (
+         SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (CAST(list_sum([q.e[i] * c.ce[i]
+                       for i in generate_series(1, len(q.e))]) AS DOUBLE) /
+                     (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+         WHERE crank <= 2),
+       scored AS (
+         SELECT p.qid, a.did,
+                CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(dn.nn AS DOUBLE)))
+                  AS cosine
+         FROM probe_assign p
+         JOIN corpus_assign a ON p.cid = a.cid
+         JOIN n qn ON qn.vec_id = p.qid
+         JOIN n dn ON dn.vec_id = a.did),
+       agg AS (SELECT qid, did, max(cosine) AS cosine FROM scored
+               GROUP BY 1, 2),
+       r AS (SELECT qid, did, cosine,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+             FROM agg)
+       SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+
+  // --- q49: session windows (30-min gap) over events -------------------
+  /** Spark's `session_window`; the oracle reproduces it as the classic
+    * gap-and-islands rewrite (new session when the gap ≥ 30 min). */
+  def q49SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val q49Sql: String =
+    """WITH m AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       g AS (
+         SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+         FROM m)
+       SELECT user_id,
+              min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              sum(value) AS sum_value
+       FROM g GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
+  // --- q50: HLL approximate distinct (no oracle: HLL sketches are not
+  // portable across engines → driver records a rows-only check) ---------
+  def q50ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts")).as("rel_error"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -392,6 +493,9 @@ object PipelineQueries {
     "q34_fingerprint" -> q34Fingerprint _,
     "q35_binary_meta" -> q35BinaryMeta _,
     "q47_multimodal_features" -> q47MultimodalFeatures _,
+    "q48_ivf_topk" -> q48IvfTopK _,
+    "q49_session_window" -> q49SessionWindow _,
+    "q50_approx_distinct" -> q50ApproxDistinct _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,5 +511,8 @@ object PipelineQueries {
     "q34_fingerprint" -> q34Sql,
     "q35_binary_meta" -> q35Sql,
     "q47_multimodal_features" -> q47Sql,
+    "q48_ivf_topk" -> q48Sql,
+    "q49_session_window" -> q49Sql,
+    // q50 deliberately has no oracle: HLL sketches differ across engines.
   )
 }
