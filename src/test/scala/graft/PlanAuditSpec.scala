@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+  SortMergeJoinExec}
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted
+  * so a refactor can't silently regress them. These run the real planner
+  * (AQE final plans where materialized) over the sf0.001 data.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Full traversal including AQE wrappers: AdaptiveSparkPlanExec holds
+    * its tree in `executedPlan`, QueryStageExec in `plan` — neither
+    * exposes it via `children`. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: collectAll(a.executedPlan)
+    case q: QueryStageExec => p +: collectAll(q.plan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(collectAll)
+  }
+
+  test("q02 predicates reach the parquet scan (PushedFilters)") {
+    val plan = executed(graft.queries.CoreQueries
+      .q02FilterPredicates(spark, dir))
+    val scans = collectAll(plan).filter(_.nodeName.contains("Scan"))
+    assert(scans.nonEmpty)
+    val s = scans.map(_.toString).mkString
+    assert(s.contains("PushedFilters: [") &&
+      s.contains("IsNotNull(c_acctbal)") &&
+      s.contains("GreaterThan(c_acctbal,0.0)"), s.take(500))
+  }
+
+  test("q01 projection prunes the parquet read schema") {
+    val plan = executed(graft.queries.CoreQueries
+      .q01ScanProject(spark, dir))
+    val scan = collectAll(plan).filter(_.nodeName.contains("Scan"))
+      .map(_.toString).mkString
+    // lineitem has 16 columns; the scan must read only the 4 used
+    assert(scan.contains("ReadSchema"), scan.take(300))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_comment"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q09 star join: every dimension joins as broadcast-hash") {
+    val plan = executed(graft.queries.CoreQueries.q09StarJoin(spark, dir))
+    val all = collectAll(plan)
+    val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val smj = all.count(_.isInstanceOf[SortMergeJoinExec])
+    // 5 dims broadcast; the lineitem⋈orders join may be SMJ or (via AQE)
+    // broadcast — but no more than one non-broadcast join may remain
+    assert(bhj >= 5, s"expected >=5 broadcast joins, got $bhj")
+    assert(smj <= 1, s"expected <=1 sort-merge join, got $smj")
+  }
+
+  test("q44 fact table: no shuffle before the dimension joins") {
+    val plan = executed(graft.queries.StarSchema.q44DelayFact(spark, dir))
+    val all = collectAll(plan)
+    val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj == 5, s"expected 5 broadcast-hash joins, got $bhj")
+    // the only shuffles allowed: dim-side aggregations (weather/time
+    // build) and the final global sort — none on the joined fact stream
+    val smj = all.count(_.isInstanceOf[SortMergeJoinExec])
+    assert(smj == 0, s"fact joins must not sort-merge, got $smj")
+  }
+
+  test("q03 aggregation is partial (map-side) before the exchange") {
+    val plan = executed(graft.queries.CoreQueries.q03AggPricing(spark, dir))
+    val all = collectAll(plan)
+    val aggs = all.filter(_.nodeName.contains("HashAggregate"))
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    // partial + final pairs around each exchange
+    assert(aggs.size >= 2, s"expected partial+final aggregates: $aggs")
+    assert(shuffles >= 1)
+    val planStr = plan.toString
+    assert(planStr.contains("partial_sum") ||
+      aggs.exists(_.toString.contains("partial")), "no partial aggregation")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline (q15 buckets)") {
+    val plan = executed(graft.queries.CoreQueries.q15Buckets(spark, dir))
+    val s = collectAll(plan).map(_.nodeName).mkString(",")
+    assert(s.contains("WholeStageCodegen"), s)
+  }
+}
