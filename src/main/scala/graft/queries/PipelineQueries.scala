@@ -480,6 +480,91 @@ object PipelineQueries {
           col("exact_parts")).as("rel_error"))
       .orderBy("l_returnflag")
 
+  // --- q51: native codegen'd delay parser (custom Catalyst Expression) -
+  /** Same semantics and oracle as q16, but parsing runs through
+    * graft.plans.ParseDelayMinutes — a custom Expression with doGenCode
+    * (single byte scan, no regex) registered in the function registry. */
+  def q51DelayParseNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DelayParse.register(s)
+    val rendered = t(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      when(col("l_linenumber") % 3 === 0,
+        concat(col("l_linenumber").cast("string"), lit(" min przed czasem")))
+        .otherwise(concat(col("l_linenumber").cast("string"), lit(" min")))
+        .as("delay_str"))
+    rendered
+      .select(col("l_returnflag"),
+        expr("parse_delay_minutes(delay_str)").as("delay_mins"))
+      .groupBy("l_returnflag")
+      .agg(sum("delay_mins").cast("long").as("total_delay"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- q52: single-pass mode via typed Aggregator (UDAF surface) -------
+  /** Same semantics and oracle as q06, but one hash aggregation instead
+    * of aggregate + window + second shuffle. */
+  def q52ModeSinglePass(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(graft.operators.ModeAggregator.modeUdaf(col("l_quantity"))
+        .as("mode_quantity"))
+      .orderBy("l_returnflag")
+
+  // --- q53: end-to-end corpus preparation pipeline ---------------------
+  /** The training-data path in one plan: exact-dedup (keep min doc_id) →
+    * quality gate → per-language corpus stats. */
+  def q53CorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, "doc_id")
+      .filter(qualityScore(col("text")) >= 2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("text")).cast("long")).cast("long")
+          .as("total_tokens"),
+        avg(qualityScore(col("text"))).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  val q53Sql: String =
+    """WITH keep AS (
+         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       scored AS (
+         SELECT d.lang,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           (CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+                   THEN 2
+                 WHEN len(string_split(d.text, ' ')) BETWEEN 5 AND 19
+                   THEN 1 ELSE -1 END) +
+           (CASE WHEN CAST(len(list_distinct(string_split(d.text, ' ')))
+                     AS DOUBLE) /
+                   CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 0.4
+                   THEN 2
+                 WHEN CAST(len(list_distinct(string_split(d.text, ' ')))
+                     AS DOUBLE) /
+                   CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 0.2
+                   THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(len(regexp_extract_all(lower(d.text),
+                   '\b(the|a|and|of|is|der|die|und|le|la|et|el|los|y)\b'))
+                     AS DOUBLE) /
+                   CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 0.05
+                   THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(len(regexp_extract_all(d.text, '[^\w\s]'))
+                     AS DOUBLE) / CAST(length(d.text) AS DOUBLE) > 0.2
+                   THEN -2
+                 WHEN CAST(len(regexp_extract_all(d.text, '[^\w\s]'))
+                     AS DOUBLE) / CAST(length(d.text) AS DOUBLE) > 0.1
+                   THEN -1 ELSE 0 END) AS quality_score
+         FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              avg(quality_score) AS avg_quality
+       FROM scored WHERE quality_score >= 2
+       GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -496,6 +581,9 @@ object PipelineQueries {
     "q48_ivf_topk" -> q48IvfTopK _,
     "q49_session_window" -> q49SessionWindow _,
     "q50_approx_distinct" -> q50ApproxDistinct _,
+    "q51_delay_parse_native" -> q51DelayParseNative _,
+    "q52_mode_single_pass" -> q52ModeSinglePass _,
+    "q53_corpus_prep" -> q53CorpusPrep _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,5 +602,8 @@ object PipelineQueries {
     "q48_ivf_topk" -> q48Sql,
     "q49_session_window" -> q49Sql,
     // q50 deliberately has no oracle: HLL sketches differ across engines.
+    "q51_delay_parse_native" -> CoreQueries.q16Sql, // same semantics as q16
+    "q52_mode_single_pass" -> CoreQueries.q06Sql,   // same semantics as q06
+    "q53_corpus_prep" -> q53Sql,
   )
 }
