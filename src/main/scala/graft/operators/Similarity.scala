@@ -118,6 +118,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a, id_b, cosine)
+    * with cosine ≥ `threshold`, id_a < id_b. Candidates come from the
+    * hyperplane-LSH bucket equi-join (near-identical vectors agree on
+    * every projection sign with high probability), then the exact
+    * quantized cosine filters them — so the pair set never materializes
+    * the |D|² cross product. At corpus scale the bucket join shuffles
+    * only (bucket, id, vec) rows and each bucket's pair generation is
+    * local to one task; recall/occupancy trades by `numPlanes`. */
+  def cosineNearDupPairs(corpus: DataFrame, numPlanes: Int,
+                         threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val d = corpus.select(col("vec_id").as("did"),
+      quantize(col("embedding")).as("qvec"))
+    val planes = planeWeights(spark, numPlanes, dims = 64)
+    val withBuckets = d.join(lshBuckets(d, planes, "did"), "did")
+    withBuckets.as("x")
+      .join(withBuckets.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.did") < col("y.did"))
+      .select(col("x.did").as("id_a"), col("y.did").as("id_b"),
+        cosineQ(col("x.qvec"), col("y.qvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `numCentroids`
     * cells by nearest centroid, then probe only the query's `nProbe`
     * nearest cells. Probe cost drops from |D| to nProbe × |D|/centroids.

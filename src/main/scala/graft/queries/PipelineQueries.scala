@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.io.Sources
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{AsofJoin, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -565,6 +565,103 @@ object PipelineQueries {
        FROM scored WHERE quality_score >= 2
        GROUP BY lang ORDER BY lang"""
 
+  // --- q54: backward as-of join (purchase ← latest prior click) --------
+  /** Union-and-window as-of join (`operators/AsofJoin`): one shuffle on
+    * the key, no range-join explosion. Oracle: DuckDB's native ASOF LEFT
+    * JOIN — proves the operator matches the industry semantics. */
+  def q54AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    // one click per (user, ts): the determinism contract both engines share
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "click_ts").orderBy(col("click_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    AsofJoin.asofBackward(purchases, clicks, "user_id",
+        leftTs = "purchase_ts", rightTs = "click_ts",
+        valueCols = Seq("click_id", "click_ts", "click_value"))
+      .orderBy("event_id")
+  }
+
+  val q54Sql: String =
+    """WITH p AS (SELECT event_id, user_id, ts AS purchase_ts,
+                value AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts AS click_ts, event_id AS click_id,
+                value AS click_value
+           FROM events WHERE event_type = 'click'
+           QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             ORDER BY event_id DESC) = 1)
+       SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+              c.click_id, c.click_ts, c.click_value
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+       ORDER BY p.event_id"""
+
+  // --- q55: embedding-cosine near-dup pairs (LSH candidates) -----------
+  /** Near-dup corpus: embeddings ∪ exact copies (+1e6) ∪ one-component
+    * sign-flips (+2e6, exact in IEEE — no float-rounding drift between
+    * engines). Pairs come from `Similarity.cosineNearDupPairs`. */
+  def q55CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 63, -x).otherwise(x)).as("embedding")))
+    Similarity.cosineNearDupPairs(corpus, numPlanes = 6, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q55Sql: String =
+    """WITH corpus AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id, embedding
+         FROM embeddings WHERE vec_id < 40
+         UNION ALL
+         SELECT vec_id + 2000000 AS vec_id,
+                [CASE WHEN i = 64 THEN -embedding[i] ELSE embedding[i] END
+                 for i in generate_series(1, len(embedding))] AS embedding
+         FROM embeddings WHERE vec_id < 40),
+       v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM corpus),
+       proj AS (
+         SELECT v.vec_id, pl.p,
+                list_sum([v.e[i] *
+                  (2 * instr('0123456789abcdef',
+                     substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                  for i in generate_series(1, len(v.e))]) AS proj
+         FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+       buck AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       sc AS (
+         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                CAST(list_sum([xn.e[i] * yn.e[i]
+                       for i in generate_series(1, len(xn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(xn.nn AS DOUBLE)) * sqrt(CAST(yn.nn AS DOUBLE)))
+                  AS cosine
+         FROM buck x JOIN buck y ON x.bucket = y.bucket
+           AND x.vec_id < y.vec_id
+         JOIN n xn ON xn.vec_id = x.vec_id
+         JOIN n yn ON yn.vec_id = y.vec_id)
+       SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.9
+       ORDER BY id_a, id_b"""
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -584,6 +681,8 @@ object PipelineQueries {
     "q51_delay_parse_native" -> q51DelayParseNative _,
     "q52_mode_single_pass" -> q52ModeSinglePass _,
     "q53_corpus_prep" -> q53CorpusPrep _,
+    "q54_asof_join" -> q54AsofJoin _,
+    "q55_cosine_near_dup" -> q55CosineNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +704,7 @@ object PipelineQueries {
     "q51_delay_parse_native" -> CoreQueries.q16Sql, // same semantics as q16
     "q52_mode_single_pass" -> CoreQueries.q06Sql,   // same semantics as q06
     "q53_corpus_prep" -> q53Sql,
+    "q54_asof_join" -> q54Sql,
+    "q55_cosine_near_dup" -> q55Sql,
   )
 }

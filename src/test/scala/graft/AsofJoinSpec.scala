@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{AsofJoin, Similarity}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join semantics (operators/AsofJoin) and embedding-
+  * cosine near-dup pairs (Similarity.cosineNearDupPairs). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofBackward picks the latest right row at or before each left " +
+    "ts; unmatched left rows keep nulls") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // after two quotes → q2
+      (2L, "k1", ts("2024-01-01 08:30:00")), // between q1 and q2 → q1
+      (3L, "k1", ts("2024-01-01 07:00:00")), // before any quote → null
+      (4L, "k2", ts("2024-01-01 10:00:00")), // exact tie with q3 → q3
+      (5L, "k3", ts("2024-01-01 10:00:00"))  // key with no quotes → null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 08:00:00"), 100.0), // q1
+      ("k1", ts("2024-01-01 09:00:00"), 200.0), // q2
+      ("k2", ts("2024-01-01 10:00:00"), 300.0)  // q3
+    ).toDF("key", "qt", "price")
+    val out = AsofJoin.asofBackward(left, right, "key", "t", "qt",
+        Seq("price", "qt"))
+      .orderBy("id")
+      .select("id", "price")
+      .as[(Long, Option[Double])].collect()
+    assert(out === Seq(1L -> Some(200.0), 2L -> Some(100.0), 3L -> None,
+      4L -> Some(300.0), 5L -> None))
+  }
+
+  test("asofBackward preserves a null field inside the matched row " +
+    "(does not carry an older non-null value past a newer null)") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"))).toDF("id", "key", "t")
+    val right = Seq(
+      ("k", ts("2024-01-01 08:00:00"), Some(100.0)),
+      ("k", ts("2024-01-01 09:00:00"), None: Option[Double])
+    ).toDF("key", "qt", "price")
+    val out = AsofJoin.asofBackward(left, right, "key", "t", "qt",
+      Seq("price")).select("price").as[Option[Double]].collect()
+    assert(out === Seq(None), "matched row's own null must win")
+  }
+
+  test("cosineNearDupPairs finds planted duplicates and only ordered " +
+    "pairs") {
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat))
+    }
+    val corpus = (base ++ base.take(5).map { case (i, v) => (i + 100, v) })
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(corpus, numPlanes = 6,
+        threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 5L).map(i => (i, i + 100)).toSet
+    assert(planted.subsetOf(pairs),
+      s"exact copies must all be found; got $pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}
