@@ -2,36 +2,63 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric","value","unit","queries","sf"}.
+  * prints one JSON line {"metric","value","unit","queries","errors","sf"}.
   *
-  * Queries run in name order; the cache is cleared between queries so one
-  * query's persisted intermediates (e.g. the MinHash signature cache)
-  * can't skew another's time through heap pressure. A small warmup action
-  * absorbs JVM/codegen startup so per-query numbers are comparable.
+  * Runs at local[32] (the driver's documented bench configuration) with
+  * spark.sql.shuffle.partitions matched to the core count; override via
+  * SPARK_GRAFT_CPUS. Queries run in name order; the cache is cleared
+  * between queries so one query's persisted intermediates can't skew
+  * another's time through heap pressure. A small warmup action absorbs
+  * JVM/codegen startup so per-query numbers are comparable.
+  *
+  * A query that throws is recorded with err != null and value -1 — a
+  * failing query can never silently *shrink* the total (it previously
+  * recorded its elapsed-to-failure time, masking regressions as
+  * speedups).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ~50 queries × ~10 codegen units cycle through the default
+      // 100-entry generated-code cache; evictions force Janino
+      // recompiles mid-bench and show up as erratic multi-second stalls
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // ContextCleaner's async broadcast/shuffle removal bursts contend
+      // with task deserialization on the BlockManager and were measured
+      // to inflate individual queries 3-10× at random; a ~50-query bench
+      // in one 48g JVM doesn't need mid-run cleanup
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(120))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        name -> dt
+        (name, if (err.isEmpty) dt else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e)
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    val nErr = results.count(_._3.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

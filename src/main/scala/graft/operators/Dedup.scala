@@ -12,31 +12,61 @@ import org.apache.spark.sql.functions._
   *   - exact: hash-groupBy on a content digest — one shuffle of (digest,
   *     doc_id) pairs, never of the documents themselves;
   *   - n-gram Jaccard: shingle → inverted-index self-join → intersection
-  *     count. Shuffle volume is bounded by shingle postings, and rare
-  *     shingles keep the candidate pair set near-linear;
-  *   - MinHash + LSH: constant-size signature per document (k hashes),
-  *     banded so only probable near-dups ever meet in a join — the
-  *     standard sub-quadratic near-dup path at corpus scale;
+  *     count, with a document-frequency cap so a boilerplate shingle can
+  *     never produce a quadratic candidate bucket;
+  *   - MinHash + LSH: constant-size signature per document (k permutation
+  *     hashes), banded so only probable near-dups ever meet in a join —
+  *     the standard sub-quadratic near-dup path at corpus scale;
   *   - SimHash: one 16-bit fingerprint per document; near-dups share
   *     fingerprints (or low hamming distance), so bucketing is a groupBy.
   *
-  * Everything is pure Catalyst expressions (md5 / transform / zip_with /
-  * explode) — whole-stage codegen, no UDFs, no driver-side loops.
-  * Determinism note: hash components are md5 hex strings; lexicographic
-  * `min` over fixed-width hex = numeric min over the 128-bit value, and is
-  * identical across engines, which is what makes these oracle-checkable.
+  * Everything is pure Catalyst expressions — whole-stage codegen, no UDFs,
+  * no driver-side loops.
+  *
+  * Hashing strategy (engine-portable AND aggregation-friendly): a shingle
+  * is reduced once to a 60-bit long via the first 15 hex chars of its md5
+  * (`conv(substr(md5(s),1,15),16,10)` ≡ DuckDB
+  * `('0x' || substr(md5(s),1,15))::BIGINT`). All downstream work — the
+  * inverted-index join, the MinHash permutations `(aₚ·h + bₚ) mod P`
+  * (P = 2³¹−1, classic universal-hash family) — is 64-bit integer
+  * arithmetic: exact, identical across engines, and min-aggregatable in
+  * Spark's `HashAggregateExec` (a `min` over *strings* has no fixed-width
+  * buffer and silently falls back to sort-based aggregation — the one-md5-
+  * per-perm formulation this replaces was 16 string mins and paid exactly
+  * that cost).
   */
 object Dedup {
 
-  /** Word n-gram shingles of a single-space-tokenized text column.
-    * Returns an array column (empty when the text has < n tokens). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Modulus of the MinHash permutation family: the Mersenne prime 2³¹−1.
+    * (aₚ·(h mod P) + bₚ) stays far below 2⁶³ — no overflow anywhere. */
+  val MinHashP = 2147483647L
+
+  /** Word n-gram shingles over an ALREADY-SPLIT token-array column.
+    * Returns an array column (empty when there are < n tokens).
+    *
+    * Taking the token array (not the text) is deliberate: higher-order
+    * lambdas re-evaluate every subtree they reference per element, so a
+    * `split(text)` inside the lambda body would re-tokenize the document
+    * once per shingle index — O(tokens²) splits per document. Callers
+    * project `split(text, " ")` once, below the explode, and the lambda
+    * then slices the bound array. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles of a single-space-tokenized text column.
+    * Convenience form for single-pass uses; see [[shinglesOfTokens]] for
+    * why hot paths must pre-project the token array instead. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(split(text, " "), n)
+
+  /** 60-bit content hash of a string: first 15 hex chars of md5, as long.
+    * Always non-negative; identical in DuckDB as
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Exact dedup by content digest: one row per distinct text, with the
     * number of copies and the smallest doc_id kept. */
@@ -44,25 +74,44 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input shared by the
-    * Jaccard join and MinHash. */
+  /** Distinct (id, shingle-hash) pairs — the inverted-index input shared
+    * by the Jaccard join and MinHash. Hashing to long *before* the
+    * distinct means the shuffle carries (long, long) rows, not shingle
+    * strings — ~4× less shuffle volume at corpus scale. */
   def docShingles(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
-        explode(shingles(col(textCol), n)).as("sh"))
+    // tokenize ONCE per document in the projection below the Generate —
+    // the shingle lambda then slices the bound array (see shinglesOfTokens)
+    df.select(col(idCol).as("sid"), split(col(textCol), " ").as("__tk"))
+      .select(col("sid"),
+        explode(transform(shinglesOfTokens(col("__tk"), n),
+          s => hash60(s))).as("h"))
       .distinct()
 
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, via inverted-index
     * self-join. Output: (id_a, id_b, jaccard), id_a < id_b.
-    * Scale: candidate pairs are generated per shared shingle, so the join
-    * cost tracks Σ postings² per shingle — near-linear when shingles are
-    * discriminative (use n ≥ 3); hot shingles can be dropped by a
-    * frequency cap upstream. */
+    *
+    * `maxDocFreq` is the scale guard: shingles occurring in more than that
+    * many documents (boilerplate headers, license blurbs) are dropped from
+    * the *universe* — both the candidate join and the per-doc sizes — so
+    * jaccard is computed consistently over discriminative shingles only.
+    * Without it one hot shingle contributes postings² candidate pairs in
+    * a single task; with it the per-shingle join work is ≤ cap². The
+    * candidate-join cost tracks Σ postings² per surviving shingle. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val ds = docShingles(df, idCol, textCol, n).cache()
+                   n: Int, threshold: Double,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // cache the BASE index: it feeds the frequency count, the cap join
+    // and (via ds) the self-join + sizes — without the cache the shingle
+    // scan would run once per consumer
+    val all = docShingles(df, idCol, textCol, n).cache()
+    val ds = (if (maxDocFreq == Long.MaxValue) all else {
+      val freq = all.groupBy("h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq).select("h")
+      all.join(freq, "h") // exchange on h is reused by the self-join below
+    }).cache()
     val sizes = ds.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val inter = ds.as("x").join(ds.as("y"), col("x.sh") === col("y.sh"))
+    val inter = ds.as("x").join(ds.as("y"), col("x.h") === col("y.h"))
       .filter(col("x.sid") < col("y.sid"))
       .groupBy(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -79,15 +128,18 @@ object Dedup {
   }
 
   /** MinHash signatures, wide form: ONE row per document with a
-    * `numPerm`-element array column `sig`, sig(p) = min over shingles of
-    * md5(p ++ "|" ++ shingle). The md5 work happens map-side over the
-    * shingle rows; the shuffle carries only (doc, numPerm hashes) — the
-    * constant-size-per-document property that makes near-dup detection
-    * sub-quadratic at corpus scale. (A row-per-perm formulation would
-    * shuffle |shingles| × numPerm rows instead.) */
+    * `numPerm`-element array column `sig`,
+    * sig(p) = min over shingles of ((2p+1)·(h mod P) + 7919p + 13) mod P.
+    * One md5 per shingle row (inside [[docShingles]]); the per-perm hashes
+    * are integer multiply-adds, all `numPerm` mins run in a single
+    * codegen'd HashAggregate, and the shuffle carries only (doc, numPerm
+    * longs) — the constant-size-per-document property that makes near-dup
+    * detection sub-quadratic at corpus scale. */
   def minHashSignatures(docSh: DataFrame, numPerm: Int): DataFrame = {
+    val hP = pmod(col("h"), lit(MinHashP))
     val mins = (0 until numPerm).map(p =>
-      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"__s$p"))
+      min((lit(2L * p + 1L) * hP + lit(7919L * p + 13L)) % MinHashP)
+        .as(s"__s$p"))
     docSh.groupBy(col("sid"))
       .agg(mins.head, mins.tail: _*)
       .select(col("sid"),
@@ -102,7 +154,7 @@ object Dedup {
     val bandKeys = (0 until nBands).map { b =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(j =>
-          col("sig").getItem(b * rowsPerBand + j)): _*))
+          col("sig").getItem(b * rowsPerBand + j).cast("string")): _*))
     }
     sigs.select(col("sid"), posexplode(array(bandKeys: _*))
       .as(Seq("band", "band_key")))

@@ -6,19 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Tie-broken mode-per-group — the reference's signature operator (A4/W1,
   * used twice to pick the most-frequent trip length / stop count per route,
-  * `src/queries.py:22-35` and `:45-58`): count per (group, value), then
-  * `row_number() OVER (PARTITION BY group ORDER BY count DESC, value DESC)`
-  * and keep rank 1.
+  * `src/queries.py:22-35` and `:45-58`). The reference SQL formulates it
+  * as count per (group, value) + `row_number() OVER (ORDER BY count DESC,
+  * value DESC)`; the *semantics* — "most frequent value, ties broken by
+  * largest value" — are exactly `max` over the pair (freq, value) under
+  * lexicographic struct ordering, so the Spark plan needs no window, no
+  * sort and no rank filter at all.
   *
-  * Scale shape: two hash aggregations + one window.
+  * Scale shape: two hash aggregations, zero sorts.
   *   1. `groupBy(group, value).count()` — partial (map-side) + final
   *      aggregate, shuffles only the distinct (group,value) pairs, which is
   *      usually orders of magnitude smaller than the input;
-  *   2. the window re-shuffles only that aggregated frame by `group`.
+  *   2. `groupBy(group).agg(max(struct(freq, value)))` over that already
+  *      aggregated frame — another partial+final pair on a tiny input.
   * At 100 TB the expensive exchange is step 1's, and Spark's partial
-  * aggregation keeps it proportional to distinct pairs, not rows. Spark's
-  * built-in `mode()` (3.4+) lacks the deterministic value-desc tie-break,
-  * so the window formulation is kept for oracle-exact results.
+  * aggregation keeps it proportional to distinct pairs, not rows; step 2
+  * reduces per group to ONE struct, where the window formulation would
+  * sort each group's value list. Spark's built-in `mode()` (3.4+) lacks
+  * the deterministic value-desc tie-break, hence the explicit max-struct.
   */
 object ModeAgg {
 
@@ -27,12 +32,11 @@ object ModeAgg {
   def modeOf(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val counted = df.groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__freq"))
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__freq").desc, col(valueCol).desc)
     counted
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__freq", "__rn")
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(struct(col("__freq"), col(valueCol))).as("__m"))
+      .select((groupCols.map(col) :+
+        col(s"__m.$valueCol").as(valueCol)): _*)
   }
 
   /** Same, but keeps the winning frequency too. */

@@ -15,17 +15,27 @@ import org.apache.spark.sql.functions._
   * makes brute-force and LSH results oracle-checkable and makes re-runs
   * deterministic under any parallelism.
   *
+  * Cost shape (the two rules every operator here follows):
+  *   - *norms are computed once per side*, in the projection below the
+  *     join — never re-derived per candidate pair. Each pair then costs
+  *     exactly ONE dot product (the oracle CTEs mirror this with their
+  *     `n AS (SELECT …, list_sum([y*y …]) AS nn)` shape).
+  *   - *bucket/partition assignment is map-side*. The hyperplane matrix is
+  *     tiny and deterministic (md5-derived), so it is inlined as literal
+  *     arrays and every projection is evaluated in-row — no explode, no
+  *     join against a plane table, zero shuffles between the corpus scan
+  *     and the bucket equi-join.
+  *
   * Scale shape:
-  *   - brute-force top-k: |Q| × |D| zip_with/aggregate dot products inside
-  *     whole-stage codegen, then a per-query window top-k. Right answer,
-  *     linear scan — the baseline.
+  *   - brute-force top-k: |Q| × |D| dot products inside the cross join,
+  *     then a per-query window top-k. Right answer, linear scan — the
+  *     baseline.
   *   - hyperplane LSH: each vector is reduced to a small bucket id by the
   *     signs of `numPlanes` pseudo-random projections; candidates meet in
   *     an equi-join on the bucket. Probe cost drops from |D| to the bucket
   *     occupancy (|D| / 2^planes expected); recall is tunable by planes /
-  *     multi-probe. The plane matrix is derived from md5 so both engines
-  *     (and every executor) materialize identical planes with no shared
-  *     state.
+  *     multi-probe. For a real corpus size numPlanes so that |D|/2^planes
+  *     stays small — occupancy is the quadratic term within a bucket.
   */
 object Similarity {
 
@@ -34,28 +44,49 @@ object Similarity {
     transform(vec, x => round(x * lit(1000000.0)).cast("long"))
 
   /** Exact integer dot product of two quantized vectors (left fold —
-    * deterministic, and exact for |x| ≤ ~1e3 at 64 dims). */
+    * deterministic; with round(x·1e6) quantization the sum stays below
+    * Long.MaxValue for |x| ≤ ~3.8e2 at 64 dims: 64·(3.8e8)² ≈ 9.2e18). */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine similarity from quantized vectors, as one IEEE double
-    * expression: dot / (sqrt(|a|²) * sqrt(|b|²)). */
+    * expression: dot / (sqrt(|a|²) * sqrt(|b|²)). Expands to THREE dot
+    * products — use only where each vector is seen once; hot paths carry
+    * precomputed norms and use [[cosineFrom]]. */
   def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast("double") /
-      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+    cosineFrom(dotQ(a, b), dotQ(a, a), dotQ(b, b))
+
+  /** Cosine from a precomputed dot product and per-side squared norms. */
+  def cosineFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** (id, quantized vec, squared norm) — the per-side projection every
+    * join-based operator starts from. Evaluated once per input row,
+    * below the join. */
+  private def prep(df: DataFrame, idName: String, vecName: String,
+                   normName: String): DataFrame =
+    df.select(col("vec_id").as(idName),
+        quantize(col("embedding")).as(vecName))
+      .select(col(idName), col(vecName),
+        dotQ(col(vecName), col(vecName)).as(normName))
+
+  /** Vector dimensionality probed from the data (first row) — embeddings
+    * of any width work; nothing is hardcoded to 64 dims. */
+  private def dimsOf(df: DataFrame): Int =
+    df.select(size(col("embedding")).as("d")).head().getInt(0)
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (including itself when present). Deterministic
     * tie-break by corpus id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
   : DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      quantize(col("embedding")).as("qe"))
-    val d = corpus.select(col("vec_id").as("did"),
-      quantize(col("embedding")).as("de"))
+    val q = prep(queries, "qid", "qe", "qn")
+    val d = prep(corpus, "did", "de", "dn")
     q.crossJoin(d)
       .select(col("qid"), col("did"),
-        cosineQ(col("qe"), col("de")).as("cosine"))
+        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
+          .as("cosine"))
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("qid")
@@ -64,54 +95,51 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: weight(plane p, dim j) =
-    * 2 * instr("0123456789abcdef", md5("p-j")[0]) − 17 — odd integers in
-    * [−15, 15], derived identically everywhere from md5. One small frame
-    * (numPlanes × dims), broadcast to every executor. */
-  def planeWeights(spark: org.apache.spark.sql.SparkSession,
-                   numPlanes: Int, dims: Int): DataFrame = {
-    val planes = spark.range(numPlanes).toDF("plane")
-    val ds = spark.range(dims).toDF("dim")
-    planes.crossJoin(ds)
-      .select(col("plane"), col("dim"),
-        (instr(lit("0123456789abcdef"),
-          substring(md5(concat(col("plane").cast("string"), lit("-"),
-            col("dim").cast("string"))), 1, 1)) * 2 - 17).as("w"))
+    * 2 * (1 + hexIndex(md5("p-j")[0])) − 17 — odd integers in [−15, 15],
+    * derived identically everywhere from md5 (the oracle computes the
+    * same weights in SQL). Materialized on the driver as literal arrays:
+    * numPlanes × dims longs, inlined into the row-level bucket
+    * expression. */
+  def planeWeightsLocal(numPlanes: Int, dims: Int): Array[Array[Long]] = {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Array.tabulate(numPlanes, dims) { (p, j) =>
+      2L * ("0123456789abcdef".indexOf(md5Hex(s"$p-$j").charAt(0)) + 1) - 17L
+    }
   }
 
-  /** LSH bucket id per vector: bit p of the bucket is the sign of the
-    * projection onto plane p. Input must carry (id, qvec: array<long>). */
-  def lshBuckets(vecs: DataFrame, planes: DataFrame, idCol: String)
-  : DataFrame =
-    vecs.select(col(idCol), posexplode(col("qvec")).as(Seq("dim", "v")))
-      .join(broadcast(planes), "dim")
-      .groupBy(col(idCol), col("plane"))
-      .agg(sum(col("v") * col("w")).as("proj"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("proj") > 0,
-        pow(lit(2), col("plane")).cast("long")).otherwise(0L))
-        .as("bucket"))
+  /** LSH bucket id, computed entirely in-row: bit p of the bucket is the
+    * sign of the projection onto literal plane p. Map-side — no explode,
+    * no plane-table join, no shuffle. */
+  def bucketOf(qvec: Column, weights: Array[Array[Long]]): Column =
+    weights.zipWithIndex.map { case (ws, p) =>
+      val proj = aggregate(
+        zip_with(qvec, array(ws.map(lit): _*), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def prepBucketed(df: DataFrame, idName: String, vecName: String,
+                           normName: String, numPlanes: Int, dims: Int)
+  : DataFrame = {
+    val w = planeWeightsLocal(numPlanes, dims)
+    prep(df, idName, vecName, normName)
+      .withColumn("bucket", bucketOf(col(vecName), w))
+  }
 
   /** ANN top-k via hyperplane LSH: exact cosine, but only within the
     * query's bucket. Trades recall for a |D|/2^planes probe cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, numPlanes: Int,
               k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val dims = 64
-    val planes = planeWeights(spark, numPlanes, dims)
-    val q = queries.select(col("vec_id").as("qid"),
-      quantize(col("embedding")).as("qvec"))
-    val d = corpus.select(col("vec_id").as("did"),
-      quantize(col("embedding")).as("qvec"))
-    val qb = lshBuckets(q, planes, "qid").withColumnRenamed("qid", "id")
-    val db = lshBuckets(d, planes, "did").withColumnRenamed("did", "id")
-    val qq = q.join(qb.withColumnRenamed("id", "qid"), "qid")
-      .withColumnRenamed("qvec", "qe")
-    val dd = d.join(db.withColumnRenamed("id", "did"), "did")
-      .withColumnRenamed("qvec", "de")
-    val scored = qq.join(dd, "bucket")
+    val dims = dimsOf(corpus)
+    val q = prepBucketed(queries, "qid", "qe", "qn", numPlanes, dims)
+    val d = prepBucketed(corpus, "did", "de", "dn", numPlanes, dims)
+    q.join(d, "bucket")
       .select(col("qid"), col("did"),
-        cosineQ(col("qe"), col("de")).as("cosine"))
-    scored.withColumn("rank",
+        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
+          .as("cosine"))
+      .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("qid")
           .orderBy(col("cosine").desc, col("did").asc)))
@@ -124,20 +152,18 @@ object Similarity {
     * every projection sign with high probability), then the exact
     * quantized cosine filters them — so the pair set never materializes
     * the |D|² cross product. At corpus scale the bucket join shuffles
-    * only (bucket, id, vec) rows and each bucket's pair generation is
-    * local to one task; recall/occupancy trades by `numPlanes`. */
+    * only (bucket, id, vec, norm) rows and each bucket's pair generation
+    * is local to one task; recall/occupancy trades by `numPlanes`. */
   def cosineNearDupPairs(corpus: DataFrame, numPlanes: Int,
                          threshold: Double): DataFrame = {
-    val spark = corpus.sparkSession
-    val d = corpus.select(col("vec_id").as("did"),
-      quantize(col("embedding")).as("qvec"))
-    val planes = planeWeights(spark, numPlanes, dims = 64)
-    val withBuckets = d.join(lshBuckets(d, planes, "did"), "did")
-    withBuckets.as("x")
-      .join(withBuckets.as("y"),
+    val dims = dimsOf(corpus)
+    val d = prepBucketed(corpus, "did", "e", "n", numPlanes, dims)
+    d.as("x")
+      .join(d.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.did") < col("y.did"))
       .select(col("x.did").as("id_a"), col("y.did").as("id_b"),
-        cosineQ(col("x.qvec"), col("y.qvec")).as("cosine"))
+        cosineFrom(dotQ(col("x.e"), col("y.e")), col("x.n"), col("y.n"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -157,22 +183,24 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
     val cents = corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("ce"))
-    def assign(vecs: DataFrame, idC: String, vecC: String,
+      .select(col("cid"), col("ce"), dotQ(col("ce"), col("ce")).as("cn"))
+    def assign(vecs: DataFrame, idC: String, vecC: String, normC: String,
                keep: Int): DataFrame =
       vecs.crossJoin(broadcast(cents))
-        .select(col(idC), col(vecC), col("cid"),
-          cosineQ(col(vecC), col("ce")).as("ccos"))
+        .select(col(idC), col(vecC), col(normC), col("cid"),
+          cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn"))
+            .as("ccos"))
         .withColumn("crank", row_number().over(
           w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
         .filter(col("crank") <= keep)
         .drop("ccos", "crank")
-    val cells = assign(corpus.select(col("vec_id").as("did"),
-      quantize(col("embedding")).as("de")), "did", "de", 1)
-    val probes = assign(queries.select(col("vec_id").as("qid"),
-      quantize(col("embedding")).as("qe")), "qid", "qe", nProbe)
+    val cells = assign(prep(corpus, "did", "de", "dn"), "did", "de", "dn", 1)
+    val probes = assign(prep(queries, "qid", "qe", "qn"), "qid", "qe", "qn",
+      nProbe)
     probes.join(cells, "cid")
       .select(col("qid"), col("did"),
-        cosineQ(col("qe"), col("de")).as("cosine"))
+        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
+          .as("cosine"))
       .groupBy("qid", "did") // a (q,d) pair can meet via several probes
       .agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(

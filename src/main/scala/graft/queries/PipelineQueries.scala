@@ -34,13 +34,18 @@ object PipelineQueries {
        SELECT doc_id + 1000000 AS doc_id,
               substr(text, instr(text, ' ') + 1) AS text FROM documents"""
 
+  /** Shingle CTE: 3-gram shingles hashed to 60-bit longs *inside* the
+    * comprehension — mirrors `Dedup.hash60` so both engines shuffle/join
+    * (long, long) pairs instead of shingle strings. */
   private val shingleSql =
     s"""toks AS (
          SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
        sh AS (
          SELECT DISTINCT doc_id AS sid,
-                unnest([array_to_string(tk[i:i+2], ' ')
-                        for i in range(1, len(tk) - 1)]) AS sh
+                unnest([('0x' ||
+                         substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                        )::BIGINT
+                        for i in range(1, len(tk) - 1)]) AS h
          FROM toks WHERE len(tk) >= 3)"""
 
   // --- q25: exact dedup via content digest -----------------------------
@@ -55,18 +60,23 @@ object PipelineQueries {
        FROM corpus GROUP BY 1 ORDER BY text_hash"""
 
   // --- q26: n-gram Jaccard near-dup pairs ------------------------------
+  /** maxDocFreq=1000: shingles in >1000 of the ~10k docs are boilerplate
+    * and would each contribute postings² candidate pairs — the cap bounds
+    * per-shingle join work at corpus scale (mirrored in the oracle). */
   def q26DedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(nearDupCorpus(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, threshold = 0.5)
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000L)
       .orderBy("id_a", "id_b")
 
   val q26Sql: String =
     s"""WITH corpus AS ($corpusSql),
        $shingleSql,
-       sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY 1),
+       keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 1000),
+       shc AS (SELECT sh.sid, sh.h FROM sh JOIN keep USING (h)),
+       sizes AS (SELECT sid, count(*) AS n_sh FROM shc GROUP BY 1),
        inter AS (
          SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS n_common
-         FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
+         FROM shc x JOIN shc y ON x.h = y.h AND x.sid < y.sid
          GROUP BY 1, 2),
        scored AS (
          SELECT id_a, id_b,
@@ -88,14 +98,20 @@ object PipelineQueries {
        $shingleSql,
        perms AS (SELECT unnest(range(0, 16)) AS perm),
        sig AS (
-         SELECT sid, perm, min(md5(perm || '|' || sh)) AS sig
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
          FROM sh CROSS JOIN perms GROUP BY 1, 2),
        band AS (
          SELECT sid, perm // 4 AS band,
-                md5(min(CASE WHEN perm % 4 = 0 THEN sig END) || '|' ||
-                    min(CASE WHEN perm % 4 = 1 THEN sig END) || '|' ||
-                    min(CASE WHEN perm % 4 = 2 THEN sig END) || '|' ||
-                    min(CASE WHEN perm % 4 = 3 THEN sig END)) AS band_key
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
          FROM sig GROUP BY 1, 2),
        cand AS (
          SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
@@ -519,13 +535,22 @@ object PipelineQueries {
     val keep = docs.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    docs.join(keep, "doc_id")
-      .filter(qualityScore(col("text")) >= 2)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(wsTokenCount(col("text")).cast("long")).cast("long")
-          .as("total_tokens"),
-        avg(qualityScore(col("text"))).as("avg_quality"))
+    // The quality gate as *conditional aggregation*, not filter-then-agg:
+    // a Filter(score >= 2) below the agg would re-evaluate the regex-heavy
+    // score per row (Catalyst substitutes the alias when pushing the
+    // predicate through the projection), so the score is projected once
+    // and every aggregate conditions on the materialized column.
+    val scored = docs.join(keep, "doc_id")
+      .select(col("lang"),
+        qualityScore(col("text")).as("__score"),
+        wsTokenCount(col("text")).cast("long").as("__toks"))
+    val ok = col("__score") >= 2
+    scored.groupBy("lang")
+      .agg(sum(when(ok, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(ok, col("__toks"))).cast("long").as("total_tokens"),
+        (sum(when(ok, col("__score"))).cast("double") /
+          sum(when(ok, 1L).otherwise(0L))).as("avg_quality"))
+      .filter(col("n_docs") > 0)
       .orderBy("lang")
   }
 

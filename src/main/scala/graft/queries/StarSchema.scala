@@ -226,11 +226,13 @@ object StarSchema {
   def q40LineDim(s: SparkSession, dir: String): DataFrame = {
     val tr = trips(s, dir)
     val st = stopTimes(s, dir)
+    // no cache(): the rollup feeds both mode branches, and the duplicated
+    // subtree shares its shuffle via ReuseExchange — an InMemoryRelation
+    // here costs more (batch build + block churn) than the re-aggregation
     val tripRollup = tr.join(st, Seq("trip_id"), "left")
       .groupBy("route_id", "trip_id")
       .agg(max("shape_dist_traveled").as("trip_len"),
         countDistinct("stop_id").as("stops_per_trip"))
-      .cache()
     val routeLen = ModeAgg.modeOf(
       tripRollup.select("route_id", "trip_len"), Seq("route_id"), "trip_len")
       .withColumnRenamed("trip_len", "route_length_km")
@@ -252,8 +254,12 @@ object StarSchema {
         lineType(col("route_type")).as("line_type"),
         coalesce(col("route_length_km"), lit(0.0)).as("route_length_km"),
         coalesce(col("stops_amount"), lit(0L)).as("stops_amount"))
-      .orderBy("id", "operator", "line_type", "route_length_km",
-        "stops_amount")
+      // operator is nullable (left-joined): Spark's asc default is NULLS
+      // FIRST but DuckDB's is NULLS LAST — align explicitly so the
+      // positional compare can't diverge on null operators
+      .orderBy(col("id").asc, col("operator").asc_nulls_last,
+        col("line_type").asc, col("route_length_km").asc,
+        col("stops_amount").asc)
   }
 
   val q40Sql: String =
