@@ -42,6 +42,15 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    valueCols: Seq[String]): DataFrame = {
+    // the internal working columns are reserved: a left/right column with
+    // one of these names would be silently overwritten by withColumn and
+    // carried into the output as garbage — fail loudly instead (same
+    // defensive contract as the documented valueCols-collision rule)
+    val reserved = Set("__ts", "__side", "__r", "__m")
+    val collisions = (left.columns ++ right.columns).filter(reserved).distinct
+    require(collisions.isEmpty,
+      s"asofBackward: input columns ${collisions.mkString(", ")} collide " +
+        "with reserved internal names __ts/__side/__r/__m — rename them")
     val leftCols = left.columns.toSeq
     val r = right
       .select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.Try
-
 /** Insert-only upsert sink (S8/S9/T3): the Spark re-expression of the
   * reference's staging-table + `MERGE … WHEN NOT MATCHED BY TARGET THEN
   * INSERT` idempotent publish (`dags/idh_etl.py:214-259`). Existing rows
@@ -51,10 +49,15 @@ object Upsert {
     // G1: skip empty batches
     if (incoming.isEmpty) return 0L
     val deduped = dedupKeepFirst(incoming, keys, orderCols)
-    val delta = Try(spark.read.parquet(path)).toOption match {
-      case Some(existing) => newRowsOnly(deduped, existing, keys)
-      case None           => deduped // first write: sink doesn't exist yet
-    }
+    // first-write detection by explicit existence check, NOT by read
+    // failure: a transient listing/permission/corruption error on an
+    // existing sink must propagate, not silently degrade into a
+    // duplicate-appending "first write"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta =
+      if (fs.exists(hPath)) newRowsOnly(deduped, spark.read.parquet(path), keys)
+      else deduped // first write: sink doesn't exist yet
     // count once via an accumulator-free two-phase: persist the tiny delta
     val materialized = delta.cache()
     val n = materialized.count()

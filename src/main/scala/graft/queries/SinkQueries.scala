@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.operators.Publish
+import graft.transform.CsvLoaders
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side and loader-side end-to-end queries:
+  *
+  *   - q56: the reference's six-table keyed publish run twice — the
+  *     MERGE-idempotence proof (`dags/idh_etl.py:182-272`);
+  *   - q57: the weather CSV loader pipeline over real scrape-shaped CSV
+  *     files (`src/weather.py:51-142`);
+  *   - q58: the delays CSV loader incl. the NaN vehicle-number edge
+  *     (`src/delays.py:11-54`).
+  *
+  * q57/q58 read REAL csv files (written deterministically from embedded
+  * literal rows — the "scrape") through the distributed glob scan; their
+  * oracles replay the identical rows as VALUES, so the compare verifies
+  * the whole transform chain AND that the CSV scan parsed
+  * headers/nulls/types correctly.
+  */
+object SinkQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def demoDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_csv_demo"
+
+  // --- q56: six-table publish, twice — second run must add 0 rows ------
+  def q56PublishIdempotent(s: SparkSession, dir: String): DataFrame =
+    Publish.publishTwiceSummary(s, dir)
+
+  val q56Sql: String = {
+    def cntDistinctId(sql: String) =
+      s"(SELECT CAST(count(DISTINCT id) AS BIGINT) FROM ($sql))"
+    val delayKeys = s"""(SELECT CAST(count(*) AS BIGINT) FROM (
+      SELECT DISTINCT time_id, weather_id, vehicle_id, line_id, stop_id
+      FROM (${StarSchema.q44Sql})))"""
+    s"""SELECT * FROM (
+       SELECT 'DelayFact' AS table_name, $delayKeys AS rows_first,
+              CAST(0 AS BIGINT) AS rows_second
+       UNION ALL SELECT 'LineDim', ${cntDistinctId(StarSchema.q40Sql)},
+              CAST(0 AS BIGINT)
+       UNION ALL SELECT 'StopDim', ${cntDistinctId(StarSchema.q41Sql)},
+              CAST(0 AS BIGINT)
+       UNION ALL SELECT 'TimeDim', ${cntDistinctId(CoreQueries.q17Sql)},
+              CAST(0 AS BIGINT)
+       UNION ALL SELECT 'VehicleDim', ${cntDistinctId(StarSchema.q42Sql)},
+              CAST(0 AS BIGINT)
+       UNION ALL SELECT 'WeatherDim', ${cntDistinctId(StarSchema.q43Sql)},
+              CAST(0 AS BIGINT)
+       ) ORDER BY table_name"""
+  }
+
+  // --- q57: weather CSV loader end-to-end ------------------------------
+  def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
+    CsvLoaders.weatherFromDemoCsv(s, demoDir).orderBy("id")
+
+  /** The same embedded scrape rows as VALUES (see
+    * CsvLoaders.writeDemoCsvs), through the same transform chain. */
+  val q57Sql: String =
+    """WITH raw(id_stacji, data_pomiaru, godzina_pomiaru, temperatura,
+                suma_opadu, predkosc_wiatru, kierunek_wiatru,
+                wilgotnosc_wzgledna, cisnienie) AS (VALUES
+         (12375, '2024-12-25', 0, 1.4, 0.0, 3.2, 180, 65.0, 1013.2),
+         (12375, '2024-12-25', 1, 2.1, 1.2, 6.8, 190, 75.0, 1011.8),
+         (12500, '2024-12-25', 1, -0.3, 4.2, 12.1, 200, 92.0, NULL),
+         (12375, '2024-12-25', 2, NULL, 0.0, 4.0, 170, 60.0, 1014.0),
+         (12375, '2024-12-25', 3, 11.2, 0.0, 2.1, 160, 55.0, 1016.3),
+         (12375, '2024-12-25', 3, 11.4, 0.0, 2.2, 165, 54.0, 1016.1),
+         (12375, '2024-12-25', 4, 25.4, 0.0, 1.2, 150, 45.0, NULL),
+         (12375, '2024-12-25', 5, 36.2, 7.4, 16.2, 140, 30.0, 1008.4)),
+       keyed AS (
+         SELECT CAST(id_stacji AS VARCHAR) || '-' || data_pomiaru || '-' ||
+                  lpad(CAST(godzina_pomiaru AS VARCHAR), 2, '0') AS id,
+                id_stacji AS station_id, godzina_pomiaru AS hour,
+                CAST(temperatura AS DOUBLE) AS temperature,
+                CAST(suma_opadu AS DOUBLE) AS precipitation_mm,
+                CAST(predkosc_wiatru AS DOUBLE) AS wind_speed_raw,
+                CAST(kierunek_wiatru AS BIGINT) AS wind_direction_deg,
+                CAST(wilgotnosc_wzgledna AS DOUBLE) AS humidity_percent,
+                CAST(cisnienie AS DOUBLE) AS pressure_raw
+         FROM raw
+         WHERE temperatura IS NOT NULL AND predkosc_wiatru IS NOT NULL),
+       dd AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY station_id, hour
+             ORDER BY temperature ASC, pressure_raw ASC NULLS LAST) AS rn
+           FROM keyed) WHERE rn = 1),
+       drv AS (
+         SELECT id, temperature,
+                CAST(round(coalesce(precipitation_mm, 0)) AS BIGINT)
+                  AS fall_mm,
+                CASE WHEN temperature < 2.0 THEN 'snow' ELSE 'rain' END
+                  AS fall_type,
+                CAST(round(coalesce(wind_speed_raw, 0)) AS BIGINT)
+                  AS wind_speed_mps,
+                wind_direction_deg, humidity_percent,
+                CAST(round(coalesce(pressure_raw, 1013)) AS BIGINT)
+                  AS pressure_hpa
+         FROM dd),
+       scored AS (
+         SELECT *,
+                (CASE WHEN temperature BETWEEN 10.0 AND 25.0 THEN 2
+                      WHEN temperature >= 2.0 AND temperature < 10.0 THEN 1
+                      WHEN temperature < 2.0 OR temperature > 35.0 THEN -1
+                      ELSE 0 END) +
+                (CASE WHEN wind_speed_mps < 5.0 THEN 2
+                      WHEN wind_speed_mps < 10.0 THEN 1
+                      WHEN wind_speed_mps > 15.0 THEN -1 ELSE 0 END) +
+                (CASE WHEN humidity_percent < 70.0 THEN 1
+                      WHEN humidity_percent > 90.0 THEN -1 ELSE 0 END) +
+                (CASE WHEN fall_mm = 0.0 THEN 2
+                      WHEN fall_mm > 5.0 THEN -1 ELSE 0 END) AS score
+         FROM drv)
+       SELECT id, temperature, fall_mm, fall_type, wind_speed_mps,
+              wind_direction_deg, humidity_percent, pressure_hpa,
+              CASE WHEN score >= 6 THEN 'ludicrously-divine'
+                   WHEN score >= 4 THEN 'titanically-passable'
+                   WHEN score >= 2 THEN 'nobly-sufficient'
+                   WHEN score >= 0 THEN 'courageously-subpar'
+                   ELSE 'opera-level-atrocious' END AS general_circumstances
+       FROM scored ORDER BY id"""
+
+  // --- q58: delays CSV loader end-to-end (NaN vehicle edge) ------------
+  def q58DelaysCsv(s: SparkSession, dir: String): DataFrame =
+    CsvLoaders.delaysFromDemoCsv(s, demoDir)
+      .orderBy("route", "timestamp", "stop_name")
+
+  val q58Sql: String =
+    """WITH raw(route, vehicle_no, stop_name, delay, ts) AS (VALUES
+         ('R10', '1001', 'stop-alpha', '5 min', '2024-12-25T08:27:43'),
+         ('R10', NULL, 'stop-beta', '3 min przed czasem',
+          '2024-12-25T08:41:02'),
+         ('R22', '1002', 'stop-gamma', '0 min', '2024-12-25T09:05:10'),
+         ('R22', '1003', 'stop-delta', '12 min', '2024-12-25T09:59:59'),
+         ('R7', '1001', 'stop-alpha', '7 min przed czasem',
+          '2024-12-25T23:30:00'))
+       SELECT route, vehicle_no, stop_name,
+              (CASE WHEN delay LIKE '%min przed czasem%' THEN -1 ELSE 1 END) *
+                CAST(regexp_extract(delay, '^([0-9]+)', 1) AS INTEGER)
+                AS delay_mins,
+              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS timestamp
+       FROM raw ORDER BY route, timestamp, stop_name"""
+
+  val all: Map[String, Q] = Map(
+    "q56_publish_idempotent" -> q56PublishIdempotent _,
+    "q57_weather_csv" -> q57WeatherCsv _,
+    "q58_delays_csv" -> q58DelaysCsv _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q56_publish_idempotent" -> q56Sql,
+    "q57_weather_csv" -> q57Sql,
+    "q58_delays_csv" -> q58Sql,
+  )
+}

@@ -129,6 +129,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("did") == 1L)
   }
 
+  test("jaccardPairs maxDocFreq: a planted hot shingle stops generating " +
+      "candidate pairs") {
+    // 12 docs share ONLY the boilerplate shingle "hot stamp mark":
+    // uncapped, every one of the C(12,2)=66 pairs has jaccard 1/3 ≥ 0.3;
+    // with the cap, the boilerplate shingle (df=12 > 5) is dropped and
+    // none of them pair. The genuine near-dup pair (100, 101) shares
+    // discriminative shingles (df=2 ≤ 5) and must survive the cap.
+    val boiler = (1L to 12L).map(i => (i, s"hot stamp mark filler$i"))
+    val nearDup = Seq(
+      (100L, "one two three four five"),
+      (101L, "one two three four five six"))
+    val df = (boiler ++ nearDup).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 66 + 1, s"expected 67 pairs, got ${uncapped.size}")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3,
+        maxDocFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+  }
+
   test("lshTopK: self-match survives bucketing") {
     val vecs = (0L to 20L).map(i =>
       (i, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)))

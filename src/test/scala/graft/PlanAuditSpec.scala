@@ -73,6 +73,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj == 0, s"fact joins must not sort-merge, got $smj")
   }
 
+  test("LSH bucketing is map-side: no shuffle, explode or aggregation " +
+      "between the corpus scan and the bucket join") {
+    val emb = graft.io.Sources.table(spark, dir, "embeddings")
+    val plan = executed(graft.operators.Similarity
+      .cosineNearDupPairs(emb, numPlanes = 6, threshold = 0.9))
+    val all = collectAll(plan)
+    // the old formulation posexploded each vector into 64 (dim, value)
+    // rows and ran two grouped aggregations before the join — assert the
+    // rewrite keeps bucket assignment entirely in-row
+    assert(!all.exists(_.nodeName.contains("Generate")),
+      "bucket assignment must not explode vectors")
+    assert(!all.exists(_.nodeName.contains("Aggregate")),
+      "bucket assignment must not aggregate")
+    // the only shuffles allowed are the bucket join's own two sides (and
+    // AQE may even broadcast one away)
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"expected <=2 shuffles (join sides), got $shuffles")
+  }
+
   test("q03 aggregation is partial (map-side) before the exchange") {
     val plan = executed(graft.queries.CoreQueries.q03AggPricing(spark, dir))
     val all = collectAll(plan)

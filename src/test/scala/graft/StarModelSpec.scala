@@ -1,0 +1,46 @@
+package graft
+
+import graft.model.StarModel
+import graft.operators.Publish
+
+/** Declared-schema conformance (the reference's `schemas.py` REQUIRED/
+  * NULLABLE contract) and the keyed six-table publish. */
+class StarModelSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("all six builders conform to their declared StructType") {
+    Publish.builders(spark, dir).foreach { case (m, df) =>
+      val conformed = StarModel.conform(df, m.schema)
+      assert(StarModel.structurallyEqual(conformed.schema, m.schema),
+        s"${m.name}: ${conformed.schema.treeString} != ${m.schema.treeString}")
+    }
+  }
+
+  test("REQUIRED columns carry no nulls in any builder output") {
+    Publish.builders(spark, dir).foreach { case (m, df) =>
+      val nulls = StarModel
+        .requiredNullCounts(StarModel.conform(df, m.schema), m.schema)
+        .filter(_._2 > 0)
+      assert(nulls.isEmpty, s"${m.name}: nulls in REQUIRED columns $nulls")
+    }
+  }
+
+  test("conform fails fast on a frame missing a declared column") {
+    import spark.implicits._
+    val bad = Seq(("x", 1.0)).toDF("id", "lat") // StopDim needs name/lon too
+    intercept[org.apache.spark.sql.AnalysisException] {
+      StarModel.conform(bad, StarModel.stopDim.schema)
+    }
+  }
+
+  test("six-table publish is idempotent: second run appends 0 rows " +
+      "to every sink") {
+    val summary = Publish.publishTwiceSummary(spark, dir).collect()
+    assert(summary.length == 6)
+    summary.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: first run wrote 0 rows")
+      assert(r.getLong(2) == 0,
+        s"${r.getString(0)}: second run appended ${r.getLong(2)} rows")
+    }
+  }
+}
