@@ -29,4 +29,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] needs real heap: 32 concurrent tasks × shuffle/broadcast
   // buffers thrash GC at 8g and make timings erratic (host has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -43,15 +43,33 @@ object Publish {
   /** One publish run: conform + upsert every table into
     * `sinkRoot/<TableName>`. Returns (table, rowsAppended) in table
     * order. Deterministic keep-first: rows are deduped on the key with
-    * the non-key columns as the tie-break order. */
+    * the non-key columns as the tie-break order.
+    *
+    * The six tables publish CONCURRENTLY (Scala Futures over independent
+    * sinks) — the Spark scheduler interleaves their jobs exactly as the
+    * reference's Airflow `expand(table=list(Table))` fan-out ran six
+    * mapped tasks (T5, `dags/idh_etl.py:272`). With six independent
+    * one-action upserts the loop's cost is the slowest table, not the
+    * sum of per-job scheduling latencies. */
   def publishAll(s: SparkSession, dir: String, sinkRoot: String)
-  : Seq[(String, Long)] =
-    builders(s, dir).map { case (m, df) =>
-      val conformed = StarModel.conform(df, m.schema)
-      val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
-      m.name -> Upsert.upsertParquet(s, conformed, m.keys,
-        if (orderCols.nonEmpty) orderCols else m.keys, s"$sinkRoot/${m.name}")
+  : Seq[(String, Long)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = builders(s, dir).map { case (m, df) =>
+      Future {
+        val conformed = StarModel.conform(df, m.schema)
+        val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+        // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
+        // nearly-unique composite key) dedup as one hash aggregation
+        // instead of a window sort over every key partition
+        m.name -> Upsert.upsertParquet(s, conformed, m.keys,
+          if (orderCols.nonEmpty) orderCols else m.keys,
+          s"$sinkRoot/${m.name}", aggDedup = true)
+      }
     }
+    futs.map(Await.result(_, Duration.Inf))
+  }
 
   /** Publish twice into a fresh sink and report (table, rows_first,
     * rows_second): the idempotence proof the reference gets from MERGE.

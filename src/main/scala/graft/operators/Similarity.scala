@@ -39,15 +39,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantize array<float> → array<long> of round(x * 1e6). */
-  def quantize(vec: Column): Column =
-    transform(vec, x => round(x * lit(1000000.0)).cast("long"))
+  /** Quantize array<float> → array<long> of round(x * 1e6). Native
+    * codegen'd kernel ([[graft.plans.QuantizeVec]]); semantics identical
+    * to `transform(vec, x => round(x * 1e6).cast("long"))`. */
+  def quantize(vec: Column): Column = graft.plans.VectorExprs.quantize(vec)
 
-  /** Exact integer dot product of two quantized vectors (left fold —
-    * deterministic; with round(x·1e6) quantization the sum stays below
-    * Long.MaxValue for |x| ≤ ~3.8e2 at 64 dims: 64·(3.8e8)² ≈ 9.2e18). */
+  /** Exact integer dot product of two quantized vectors (deterministic;
+    * with round(x·1e6) quantization the sum stays below Long.MaxValue
+    * for |x| ≤ ~3.8e2 at 64 dims: 64·(3.8e8)² ≈ 9.2e18). Native
+    * codegen'd kernel ([[graft.plans.DotProductQ]]) — one primitive loop
+    * per pair instead of the interpreted zip_with/aggregate HOF pair. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorExprs.dotQ(a, b)
 
   /** Cosine similarity from quantized vectors, as one IEEE double
     * expression: dot / (sqrt(|a|²) * sqrt(|b|²)). Expands to THREE dot

@@ -30,39 +30,70 @@ object Upsert {
       .drop("__rn")
   }
 
+  /** Dedup-on-keys as a single hash aggregation: keeps the row that is
+    * lexicographically smallest by (orderCols, remaining cols) per key —
+    * `min(struct(...))` under struct ordering, so no window, no sort.
+    *
+    * Same "deterministic keep-first by orderCols" contract as
+    * [[dedupKeepFirst]] (and strictly MORE deterministic: ties on
+    * orderCols resolve by the remaining columns instead of arbitrarily).
+    * Preferred for publish-scale inputs whose keys are nearly unique —
+    * the window formulation shuffles AND sorts every partition, while
+    * this is a partial+final HashAggregate pair. */
+  def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
+                        orderCols: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(c =>
+      keys.contains(c) || orderCols.contains(c)).toSeq
+    val payload = (orderCols ++ rest).map(col)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(payload: _*)).as("__row"))
+      .select((keys.map(col) ++
+        (orderCols ++ rest).map(c => col(s"__row.$c").as(c))): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*) // original column order
+  }
+
   /** Rows of `incoming` whose key is absent from `existing` (J7). */
   def newRowsOnly(incoming: DataFrame, existing: DataFrame,
                   keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
   /** Guards G1/G2 then idempotent append to a parquet path.
-    * Returns number of rows appended (−1 when skipped by a guard). */
+    * Returns number of rows appended (−1 when skipped by a guard).
+    *
+    * Runs as ONE Spark action: the delta is appended with an observed
+    * row count (`Dataset.observe`), so there is no separate
+    * isEmpty/count/cache pass — at publish scale the dominant cost of a
+    * multi-table loop is sequential job latency, not bytes. G1 (never
+    * create/keep an empty sink from an empty batch) holds because a
+    * 0-row append writes no data files, and a 0-row *first* write
+    * removes the freshly created empty sink directory. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame,
                     keys: Seq[String], orderCols: Seq[String],
-                    path: String): Long = {
+                    path: String, aggDedup: Boolean = false): Long = {
     // G2: refuse write when key columns are missing from the frame
     val missing = keys.filterNot(incoming.columns.contains)
     if (missing.nonEmpty) {
       System.err.println(s"[upsert] missing key columns $missing — skip")
       return -1L
     }
-    // G1: skip empty batches
-    if (incoming.isEmpty) return 0L
-    val deduped = dedupKeepFirst(incoming, keys, orderCols)
+    val deduped =
+      if (aggDedup) dedupKeepFirstAgg(incoming, keys, orderCols)
+      else dedupKeepFirst(incoming, keys, orderCols)
     // first-write detection by explicit existence check, NOT by read
     // failure: a transient listing/permission/corruption error on an
     // existing sink must propagate, not silently degrade into a
     // duplicate-appending "first write"
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(hPath)
     val delta =
-      if (fs.exists(hPath)) newRowsOnly(deduped, spark.read.parquet(path), keys)
+      if (existed) newRowsOnly(deduped, spark.read.parquet(path), keys)
       else deduped // first write: sink doesn't exist yet
-    // count once via an accumulator-free two-phase: persist the tiny delta
-    val materialized = delta.cache()
-    val n = materialized.count()
-    if (n > 0) materialized.write.mode("append").parquet(path)
-    materialized.unpersist()
+    val obs = new org.apache.spark.sql.Observation()
+    delta.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(path)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n
   }
 }
