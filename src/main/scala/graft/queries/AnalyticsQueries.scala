@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.functions.ScalarFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Beyond-reference analytics surfaces a warehouse user expects on top of
+  * the star schema, plus the sampling/streaming operations a 100 TB
+  * training-data pipeline needs:
+  *
+  *   - q59: CUBE over the delay star (all grouping-set margins in one
+  *     pass — the reference's DuckDB layer never used grouping sets);
+  *   - q60: deterministic stratified sampling by content hash — at
+  *     corpus scale reproducible sampling must not depend on RNG state,
+  *     partitioning or row order, so the sample membership is a pure
+  *     function of the key (hash-mod), mirrored exactly by the oracle;
+  *   - q61: stream-static join — the streaming side enriches against a
+  *     broadcast static dimension, the standard serving-pipeline shape
+  *     (static side re-resolved per micro-batch on a real cluster).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Sources.table(s, dir, name)
+
+  // --- q59: CUBE over the delay star -----------------------------------
+  def q59CubeDelays(s: SparkSession, dir: String): DataFrame = {
+    val d = StarSchema.delays(s, dir)
+    val r = StarSchema.routes(s, dir)
+    val proj = d.join(broadcast(r), col("route_id") === col("route"))
+      .select(lineType(col("route_type")).as("line_type"),
+        timeOfDay(hour(col("timestamp"))).as("time_of_day"),
+        col("delay_mins"))
+    // CUBE through the SQL surface: Dataset.cube re-exposes the grouping
+    // attributes through its Expand and trips DetectAmbiguousSelfJoin
+    // when the frame is join-derived; the SQL path plans the identical
+    // Expand + Aggregate without dataset-id metadata. NULLS LAST aligns
+    // the cube's margin rows with DuckDB's default ordering.
+    val view = s"cube_delays_${cubeRun.incrementAndGet()}"
+    proj.createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT line_type, time_of_day,
+            CAST(count(*) AS BIGINT) AS n_delays,
+            CAST(sum(delay_mins) AS BIGINT) AS total_delay_mins
+          FROM $view
+          GROUP BY CUBE(line_type, time_of_day)
+          ORDER BY line_type ASC NULLS LAST, time_of_day ASC NULLS LAST""")
+  }
+
+  private val cubeRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val q59Sql: String = {
+    // reuse the staging CTE text from StarSchema via the same SQL shapes
+    s"""WITH ${StarSchema.delaysSql}, ${StarSchema.routesSql}
+       SELECT CASE r.route_type WHEN 0 THEN 'tram' WHEN 2 THEN 'rail'
+                   WHEN 3 THEN 'bus' ELSE 'unknown' END AS line_type,
+              CASE WHEN hour(d.timestamp) BETWEEN 6 AND 9 THEN 'morning'
+                   WHEN hour(d.timestamp) BETWEEN 10 AND 13 THEN 'midday'
+                   WHEN hour(d.timestamp) BETWEEN 14 AND 17 THEN 'afternoon'
+                   WHEN hour(d.timestamp) BETWEEN 18 AND 22 THEN 'evening'
+                   ELSE 'night' END AS time_of_day,
+              CAST(count(*) AS BIGINT) AS n_delays,
+              CAST(sum(d.delay_mins) AS BIGINT) AS total_delay_mins
+       FROM delays d JOIN routes r ON r.route_id = d.route
+       GROUP BY CUBE(1, 2)
+       ORDER BY line_type NULLS LAST, time_of_day NULLS LAST"""
+  }
+
+  // --- q60: deterministic stratified hash sampling ---------------------
+  /** Keep-rate per stratum: 50% of English documents, 10% of the rest.
+    * Membership = (60-bit md5 hash of the doc id) mod 100 < rate — a
+    * pure function of the key: identical on every re-run, engine,
+    * partitioning and row order (what `sampleBy`'s RNG is not). */
+  def q60HashSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rate = when(col("lang") === "en", 50L).otherwise(10L)
+    docs
+      .filter(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L))
+        < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  val q60Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+              CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+       FROM documents
+       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+       GROUP BY lang ORDER BY lang"""
+
+  // --- q61: stream-static enrichment join ------------------------------
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming events enriched against the static vehicles dimension
+    * (broadcast per micro-batch), aggregated by carrier; AvailableNow
+    * bounds the run. Must agree with the equivalent batch join. */
+  def q61StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_static_${streamRun.incrementAndGet()}"
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("vehicle_no",
+        (col("user_id") % 100 + 1).cast("string"))
+    val vehicles = StarSchema.vehicles(s, dir)
+      .select(col("vehicle_number"), col("carrier"))
+    val q = events
+      .join(broadcast(vehicles), col("vehicle_number") === col("vehicle_no"))
+      .groupBy("carrier")
+      // value is summed as integer millis: double accumulation order
+      // differs between engines (and between runs at scale), so exact
+      // cross-engine totals need integer arithmetic
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).cast("long")
+          .as("total_value_milli"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("carrier")
+  }
+
+  val q61Sql: String =
+    s"""WITH ${StarSchema.vehiclesSql}
+       SELECT v.carrier, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(e.value * 1000) AS BIGINT)) AS BIGINT)
+                AS total_value_milli
+       FROM events e
+       JOIN vehicles v
+         ON v.vehicle_number = CAST(e.user_id % 100 + 1 AS VARCHAR)
+       GROUP BY v.carrier ORDER BY v.carrier"""
+
+  val all: Map[String, Q] = Map(
+    "q59_cube_delays" -> q59CubeDelays _,
+    "q60_hash_sample" -> q60HashSample _,
+    "q61_stream_static_join" -> q61StreamStaticJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q59_cube_delays" -> q59Sql,
+    "q60_hash_sample" -> q60Sql,
+    "q61_stream_static_join" -> q61Sql,
+  )
+}

@@ -129,7 +129,7 @@ object StarSchema {
 
   // ---- staging analogs (DuckDB oracle CTEs) ---------------------------
 
-  private val delaysSql =
+  private[queries] val delaysSql =
     """delays AS (
          SELECT 'R' || CAST(user_id % 100 AS VARCHAR) AS route,
                 CAST(user_id % 100 + 1 AS VARCHAR) AS vehicle_no,
@@ -139,7 +139,7 @@ object StarSchema {
                   CAST(round(abs(value) * 10) AS INTEGER) AS delay_mins
          FROM events)"""
 
-  private val routesSql =
+  private[queries] val routesSql =
     """routes AS (
          SELECT DISTINCT 'R' || CAST(o_custkey % 100 AS VARCHAR) AS route_id,
                 CAST((o_custkey % 100) % 4 AS INTEGER) AS route_type
@@ -166,7 +166,7 @@ object StarSchema {
                 CAST(c_custkey AS DOUBLE) / 100.0 AS stop_lon
          FROM customer WHERE c_custkey <= 500)"""
 
-  private val vehiclesSql =
+  private[queries] val vehiclesSql =
     """vehicles AS (
          SELECT CAST(s_suppkey AS VARCHAR) AS vehicle_number,
                 'mfg-' || CAST(s_suppkey % 7 AS VARCHAR) AS manufacturer,
