@@ -28,11 +28,6 @@ object Bench {
       // 100-entry generated-code cache; evictions force Janino
       // recompiles mid-bench and show up as erratic multi-second stalls
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // ContextCleaner's async broadcast/shuffle removal bursts contend
-      // with task deserialization on the BlockManager and were measured
-      // to inflate individual queries 3-10× at random; a ~50-query bench
-      // in one 48g JVM doesn't need mid-run cleanup
-      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
@@ -46,6 +41,13 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // force the ContextCleaner's GC-driven broadcast/shuffle cleanup
+        // into the gap BETWEEN queries: with a 48g heap GC fires rarely,
+        // dead blocks from a heavy query pile up in the block manager and
+        // their eventual mid-query eviction/cleanup burst was measured to
+        // inflate whichever query it lands on by 3-10×
+        System.gc()
+        Thread.sleep(200)
         (name, if (err.isEmpty) dt else -1.0, err)
     }
     def jstr(s: String): String =
