@@ -149,6 +149,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each query also probes
+    * every bucket at Hamming distance 1 from its own (one projection
+    * sign flipped) — the standard recall boost that avoids raising the
+    * bucket count. Probe cost grows to (numPlanes+1) × occupancy, still
+    * ≪ |D|; the probe fan-out is a small in-row explode of numPlanes+1
+    * bucket ids on the QUERY side only (corpus rows are never
+    * replicated, so the big side's shuffle volume is unchanged). */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+                        numPlanes: Int, k: Int): DataFrame = {
+    val dims = dimsOf(corpus)
+    val q = prepBucketed(queries, "qid", "qe", "qn", numPlanes, dims)
+      .withColumn("bucket", explode(array(
+        (Seq(col("bucket")) ++ (0 until numPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+    val d = prepBucketed(corpus, "did", "de", "dn", numPlanes, dims)
+    q.join(d, "bucket")
+      .select(col("qid"), col("did"),
+        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
+          .as("cosine"))
+      // a pair can meet via several probed buckets: all meetings score
+      // identically, so dedup the scalar rows (same shape as ivfTopK)
+      .groupBy("qid", "did")
+      .agg(max("cosine").as("cosine"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("cosine").desc, col("did").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a, id_b, cosine)
     * with cosine ≥ `threshold`, id_a < id_b. Candidates come from the
     * hyperplane-LSH bucket equi-join (near-identical vectors agree on

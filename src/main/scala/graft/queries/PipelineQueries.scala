@@ -228,6 +228,60 @@ object PipelineQueries {
          FROM sc)
        SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
 
+  // --- q62: multi-probe LSH ANN ----------------------------------------
+  /** Same bucketing as q30, but each query also probes the numPlanes
+    * buckets at Hamming distance 1 — recall up without more buckets. */
+  def q62AnnMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb,
+        numPlanes = 6, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val q62Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       proj AS (
+         SELECT v.vec_id, pl.p,
+                list_sum([v.e[i] *
+                  (2 * instr('0123456789abcdef',
+                     substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                  for i in generate_series(1, len(v.e))]) AS proj
+         FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+       buck AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       probes AS (
+         SELECT vec_id AS qid,
+                unnest([bucket] ||
+                       [xor(bucket, CAST(pow(2, p) AS BIGINT))
+                        for p in range(0, 6)]) AS bucket
+         FROM buck WHERE vec_id < 10),
+       cand AS (
+         SELECT DISTINCT p.qid, d.vec_id AS did
+         FROM probes p JOIN buck d ON p.bucket = d.bucket),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       sc AS (
+         SELECT c.qid, c.did,
+                CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(dn.nn AS DOUBLE)))
+                  AS cosine
+         FROM cand c
+         JOIN n qn ON qn.vec_id = c.qid
+         JOIN n dn ON dn.vec_id = c.did),
+       r AS (
+         SELECT qid, did, cosine,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+         FROM sc)
+       SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+
   // --- q31: language ID (marker-word heuristic) ------------------------
   def q31LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -694,6 +748,7 @@ object PipelineQueries {
     "q28_dedup_simhash" -> q28DedupSimHash _,
     "q29_cosine_topk" -> q29CosineTopK _,
     "q30_ann_lsh" -> q30AnnLsh _,
+    "q62_ann_multiprobe" -> q62AnnMultiProbe _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -717,6 +772,7 @@ object PipelineQueries {
     "q28_dedup_simhash" -> q28Sql,
     "q29_cosine_topk" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
+    "q62_ann_multiprobe" -> q62Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
