@@ -189,6 +189,61 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * id in its component. The standard way to turn near-dup PAIRS into
+    * dedup CLUSTERS (keep one representative per component).
+    *
+    * Scale shape: each iteration is one join + one aggregation, both
+    * shuffling only (id, label) pairs — never documents. Iterations
+    * needed = component diameter; near-dup clusters are tiny and dense
+    * (diameter ≤ ~3), so the loop converges in a handful of rounds.
+    * (A graph with long chains would want pointer-jumping/GraphX; that
+    * is not the near-dup shape.) Convergence is detected by counting
+    * changed labels — one extra cheap job per round.
+    *
+    * Output: (id, cluster_rep = min id of the component). */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than cache: an iterative DataFrame
+    // loop otherwise grows its logical plan by one join per round, and
+    // re-analysis/planning of the deepening tree quickly dominates the
+    // actual label propagation
+    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id"))
+      .withColumn("cluster_rep", col("id")).localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_rep").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+    // labels only ever decrease, so the label sum is strictly monotone:
+    // an unchanged sum == a fixpoint — one cheap aggregate per round
+    // instead of a change-detection join
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "__nid"),
+          col("b") === col("__nid"))
+        .groupBy(col("a")).agg(min("cluster_rep").as("__nmin"))
+      labels = labels
+        .join(neighborMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"),
+            coalesce(col("__nmin"), col("cluster_rep"))).as("cluster_rep"))
+        .localCheckpoint(true)
+      val newSum = labelSum(labels)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      iter += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from unigram token counts. Bit i is derived from hex
     * nibble i/4 of md5(token); the document bit is the sign of the
     * count-weighted ±1 vote. One integer per document — near-dup buckets

@@ -126,6 +126,66 @@ object PipelineQueries {
        JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
        GROUP BY 1, 2 ORDER BY id_a, id_b"""
 
+  // --- q63: near-dup clusters (pairs → connected components) -----------
+  /** The end of the dedup pipeline: MinHash candidate pairs at
+    * est_jaccard ≥ 0.5 become duplicate CLUSTERS via connected
+    * components, and every document maps to its cluster representative
+    * (min doc_id) — the row a dedup job would keep. Oracle: recursive
+    * min-reachability CTE over the same pair list. */
+  def q63DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(t(s, dir, "documents"))
+    val pairs = Dedup.minHashCandidates(corpus, "doc_id", "text",
+        n = 3, numPerm = 16, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.5)
+    Dedup.connectedComponents(corpus.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusSql),
+       $shingleSql,
+       perms AS (SELECT unnest(range(0, 16)) AS perm),
+       sig AS (
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
+         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
+         FROM sig GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM band x
+         JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+                    AND x.sid < y.sid),
+       est AS (
+         SELECT id_a, id_b,
+                CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.sid = id_a
+         JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
+         GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+       reach(src, dst) AS (
+         SELECT doc_id, doc_id FROM corpus
+         UNION
+         SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst)
+       SELECT src AS doc_id, min(dst) AS cluster_rep
+       FROM reach GROUP BY 1 ORDER BY 1"""
+
   // --- q28: SimHash fingerprints ---------------------------------------
   def q28DedupSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash16(t(s, dir, "documents"), "doc_id", "text")
@@ -749,6 +809,7 @@ object PipelineQueries {
     "q29_cosine_topk" -> q29CosineTopK _,
     "q30_ann_lsh" -> q30AnnLsh _,
     "q62_ann_multiprobe" -> q62AnnMultiProbe _,
+    "q63_dup_clusters" -> q63DupClusters _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -773,6 +834,7 @@ object PipelineQueries {
     "q29_cosine_topk" -> q29Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
+    "q63_dup_clusters" -> q63Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
