@@ -29,7 +29,11 @@ object Sources {
 
   /** Lazy parquet scan for one table. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-if-needed: an unconditional set on every call churns the
+    // session conf (and anything keyed on its version) once per scan
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+        "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) &&
@@ -54,6 +58,31 @@ object Sources {
     * (reference: `src/delays.py:11-24`, `src/weather.py:124-142`). */
   def csvGlob(spark: SparkSession, glob: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(glob)
+
+  /** Write a frame hive-partitioned by calendar columns derived from a
+    * timestamp — the Spark-native form of the reference's
+    * `data/<src>/YYYY/MM/DD/` object layout (`src/blob_storage.py:23-44`,
+    * `src/gtfs.py:21`). Readers that filter on year/month/day/hour then
+    * list only matching directories (S3 partition pruning). */
+  def writeTimePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .withColumn("month", org.apache.spark.sql.functions.month(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .withColumn("day", org.apache.spark.sql.functions.dayofmonth(
+        org.apache.spark.sql.functions.col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("year", "month", "day").parquet(path)
+
+  /** Read a time-partitioned layout written by [[writeTimePartitioned]]
+    * (or any hive-style `year=/month=/day=` tree). Compose `.filter` on
+    * the partition columns — pruning shows up as `PartitionFilters` on
+    * the scan, and non-matching days are never listed or read. This is
+    * the production S3 path; the reference's driver-side prefix listing
+    * + chronological iteration (`blob_storage.py:23-44`) collapses into
+    * the catalog's partition discovery. */
+  def timePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Register every harness table as a temp view (the Spark analog of the
     * reference's shard-merge into one DuckDB catalog,

@@ -29,15 +29,20 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
-  test("S3: hive-partitioned layout prunes partitions at the scan") {
+  test("S3: time-partitioned write/read round-trips and prunes " +
+      "partitions at the scan") {
     val dir = Files.createTempDirectory("part").toString
     import spark.implicits._
-    (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "day")
-      .write.partitionBy("day").parquet(s"$dir/t")
-    val pruned = spark.read.parquet(s"$dir/t").filter(col("day") === 2)
-    assert(pruned.count() == 25)
+    val df = (0 until 96).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-12-${25 + i % 4}%02d ${i % 24}%02d:15:00")))
+      .toDF("id", "ts")
+    Sources.writeTimePartitioned(df, "ts", s"$dir/t")
+    val pruned = Sources.timePartitioned(spark, s"$dir/t")
+      .filter(col("day") === 26)
+    assert(pruned.count() == 24)
     // partition pruning is visible in the scan's partition filters:
-    // only day=2 directories are listed
+    // only day=26 directories are listed
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head
     val s = scan.toString
     assert(s.contains("PartitionFilters") && s.contains("day"), s)
