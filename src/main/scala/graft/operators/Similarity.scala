@@ -200,6 +200,60 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Lloyd's k-means over quantized embeddings — the centroid-training
+    * step a production IVF deployment runs before [[ivfTopK]].
+    * Deterministic end to end: first-k-by-id init, cosine assignment
+    * with (similarity desc, cid asc) tie-break, element-wise mean
+    * re-quantized with HALF_UP rounding, and a FIXED iteration count —
+    * so the trained centroids are bit-identical across engines and
+    * re-runs (a convergence-threshold loop would not be portable).
+    *
+    * Scale shape per iteration: assignment is a broadcast of k tiny
+    * centroids against the corpus (map-side), and the update shuffles
+    * (cid, dim, value) triples — k·dims cells after partial aggregation,
+    * never the vectors themselves. Returns (cid, ce, cn): quantized
+    * centroid + squared norm, ready for [[ivfTopK]]-style probing. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val d = prep(corpus, "did", "de", "dn")
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("ce"))
+      .select(col("cid"), col("ce"), dotQ(col("ce"), col("ce")).as("cn"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignNearest(d, cents)
+      cents = assigned
+        .select(col("cid"), posexplode(col("de")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => round(s.getField("m")).cast("long")).as("ce"))
+        .select(col("cid"), col("ce"), dotQ(col("ce"), col("ce")).as("cn"))
+    }
+    cents
+  }
+
+  /** Nearest centroid per corpus row: broadcast k centroids, rank by
+    * (cosine desc, cid asc), keep rank 1. d: (did, de, dn). */
+  private def assignNearest(d: DataFrame, cents: DataFrame): DataFrame =
+    d.crossJoin(broadcast(cents))
+      .select(col("did"), col("de"), col("dn"), col("cid"),
+        cosineFrom(dotQ(col("de"), col("ce")), col("dn"), col("cn"))
+          .as("ccos"))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("did").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crank") === 1)
+      .drop("ccos", "crank")
+
+  /** Cluster occupancy after k-means: (cid, n_members) — the compact,
+    * deterministic summary of a trained index's balance. */
+  def kmeansClusterSizes(corpus: DataFrame, k: Int, iters: Int)
+  : DataFrame = {
+    val d = prep(corpus, "did", "de", "dn")
+    assignNearest(d, kmeansCentroids(corpus, k, iters))
+      .groupBy("cid").agg(count(lit(1)).as("n_members"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `numCentroids`
     * cells by nearest centroid, then probe only the query's `nProbe`
     * nearest cells. Probe cost drops from |D| to nProbe × |D|/centroids.

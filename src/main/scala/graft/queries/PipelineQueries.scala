@@ -565,6 +565,72 @@ object PipelineQueries {
              FROM agg)
        SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
 
+  // --- q64: k-means centroid training for IVF --------------------------
+  /** Two Lloyd iterations from first-8-by-id seeds, then the cluster
+    * occupancy of the trained index — the production centroid-training
+    * step in front of q48's IVF probing. Deterministic/portable: fixed
+    * iterations, integer-quantized centroids, (cosine desc, cid asc)
+    * assignment tie-break. */
+  def q64KmeansIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansClusterSizes(t(s, dir, "embeddings"),
+        k = 8, iters = 2)
+      .orderBy("cid")
+
+  val q64Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       c0 AS (SELECT vec_id AS cid, e AS ce, nn AS cn FROM n
+              ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM n d CROSS JOIN c0 c) WHERE r = 1),
+       m1 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a1, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c1 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m1 GROUP BY cid)),
+       a2 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM n d CROSS JOIN c1 c) WHERE r = 1),
+       m2 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a2, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c2 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m2 GROUP BY cid)),
+       afin AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM n d CROSS JOIN c2 c) WHERE r = 1)
+       SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+       FROM afin GROUP BY cid ORDER BY cid"""
+
   // --- q49: session windows (30-min gap) over events -------------------
   /** Spark's `session_window`; the oracle reproduces it as the classic
     * gap-and-islands rewrite (new session when the gap ≥ 30 min). */
@@ -810,6 +876,7 @@ object PipelineQueries {
     "q30_ann_lsh" -> q30AnnLsh _,
     "q62_ann_multiprobe" -> q62AnnMultiProbe _,
     "q63_dup_clusters" -> q63DupClusters _,
+    "q64_kmeans_ivf" -> q64KmeansIvf _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -835,6 +902,7 @@ object PipelineQueries {
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,
+    "q64_kmeans_ivf" -> q64Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
