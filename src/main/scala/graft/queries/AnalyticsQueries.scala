@@ -137,15 +137,48 @@ object AnalyticsQueries {
          ON v.vehicle_number = CAST(e.user_id % 100 + 1 AS VARCHAR)
        GROUP BY v.carrier ORDER BY v.carrier"""
 
+  // --- q65: salted skew join -------------------------------------------
+  /** The events table is user-skewed by construction of real workloads;
+    * the salted join spreads each hot key over 8 sub-partitions while
+    * producing EXACTLY the plain equi-join's rows — which is what the
+    * oracle checks: it runs the unsalted join. */
+  def q65SkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("value"), col("event_type"))
+    val segs = t(s, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    graft.operators.SkewJoin.saltedJoin(ev, segs, Seq("user_id"),
+        buckets = 8)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).cast("long")
+          .as("total_value_milli"))
+      .orderBy("segment")
+  }
+
+  val q65Sql: String =
+    """SELECT c.c_mktsegment AS segment,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(e.value * 1000) AS BIGINT)) AS BIGINT)
+                AS total_value_milli
+       FROM events e
+       JOIN customer c ON c.c_custkey = e.user_id
+       WHERE c.c_custkey <= 1000
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
     "q61_stream_static_join" -> q61StreamStaticJoin _,
+    "q65_skew_salted_join" -> q65SkewSaltedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
     "q59_cube_delays" -> q59Sql,
     "q60_hash_sample" -> q60Sql,
     "q61_stream_static_join" -> q61Sql,
+    "q65_skew_salted_join" -> q65Sql,
   )
 }
