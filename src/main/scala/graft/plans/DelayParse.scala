@@ -97,14 +97,26 @@ object DelayParse {
 
 /** SparkSessionExtensions injector: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
-  * the supported way to ship custom expressions with a library. */
+  * the supported way to ship custom expressions with a library. Exposes
+  * every graft expression to SQL: `parse_delay_minutes`, `quantize_vec`,
+  * `dot_q`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
   => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions)
-  : Unit =
+  : Unit = {
     ext.injectFunction((
       FunctionIdentifier("parse_delay_minutes"),
       new ExpressionInfo(classOf[ParseDelayMinutes].getName,
         "parse_delay_minutes"),
       (children: Seq[Expression]) => ParseDelayMinutes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
+      (children: Seq[Expression]) => QuantizeVec(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "dot_q"),
+      (children: Seq[Expression]) =>
+        DotProductQ(children.head, children(1))))
+  }
 }

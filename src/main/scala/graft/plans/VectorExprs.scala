@@ -59,6 +59,23 @@ object VectorExprs {
     acc
   }
 
+  /** Register `quantize_vec` / `dot_q` in a session's function registry
+    * (idempotent), so `expr("dot_q(a, b)")` resolves — same surface as
+    * [[DelayParse.register]]; `GraftExtensions` injects them for
+    * extension-configured sessions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("quantize_vec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
+      (children: Seq[Expression]) => QuantizeVec(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "dot_q"),
+      (children: Seq[Expression]) => DotProductQ(children.head, children(1)))
+  }
+
   def quantizeLoop(v: ArrayData, isFloat: Boolean): Any = {
     val n = v.numElements()
     val out = new Array[Long](n)

@@ -52,6 +52,23 @@ class VectorExprsSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(0)))
   }
 
+  test("SQL surface: quantize_vec/dot_q resolve after register and run " +
+      "inside whole-stage codegen") {
+    VectorExprs.register(spark)
+    // range-derived input so ConvertToLocalRelation can't constant-fold
+    // the whole pipeline away before it reaches codegen
+    val df = spark.range(4)
+      .selectExpr("array(cast(id AS FLOAT), 2.0f) AS x")
+      .selectExpr("dot_q(quantize_vec(x), quantize_vec(x)) AS d")
+    // Σ id²·1e12 + 4·1e12 per row; check the total
+    val got = df.agg(sum("d")).collect().head.getLong(0)
+    val want = (0 until 4).map(i => i.toLong * i * 1000000000000L +
+      4000000000000L).sum
+    assert(got == want)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dot_q") && plan.contains("*(1)"), plan)
+  }
+
   test("kernels agree between codegen and interpreted execution") {
     val df = Seq((Array(0.25f, -0.75f, 2f), Array(1.5f, 0.5f, -1f)))
       .toDF("x", "y")
