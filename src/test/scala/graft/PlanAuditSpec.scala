@@ -92,6 +92,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 shuffles (join sides), got $shuffles")
   }
 
+  test("IVF centroid assignment reduces map-side: WindowGroupLimit " +
+      "precedes the exchange, so the shuffle carries top-k per vector, " +
+      "not the k× candidate fan-out") {
+    val emb = graft.io.Sources.table(spark, dir, "embeddings")
+    val plan = executed(graft.operators.Similarity
+      .ivfTopK(emb.limit(5), emb, numCentroids = 4, nProbe = 2, k = 3))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: $nodes")
+  }
+
   test("q03 aggregation is partial (map-side) before the exchange") {
     val plan = executed(graft.queries.CoreQueries.q03AggPricing(spark, dir))
     val all = collectAll(plan)
