@@ -168,11 +168,57 @@ object AnalyticsQueries {
        WHERE c.c_custkey <= 1000
        GROUP BY 1 ORDER BY 1"""
 
+  // --- q66: discrete (rank-based) percentiles --------------------------
+  /** p50/p95 as the value at rank ceil(p·n) — DISCRETE percentiles pick
+    * an actual data value, so they are exact and engine-portable where
+    * interpolated (`percentile`/quantile_cont: different interpolation
+    * expression order per engine) and sketch-based (`percentile_approx`:
+    * not portable at all) forms are not.
+    *
+    * Scale note: rank-based exactness needs a per-group sort; with very
+    * few groups those partitions are huge, so at 100 TB the play is
+    * `percentile_approx` (t-digest, mergeable map-side) for monitoring
+    * and this exact form only on sampled/partitioned slices. */
+  def q66PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val ranked = li.withColumn("rn", row_number().over(Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+          col("l_extendedprice"))).as("p50_disc"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"),
+          col("l_extendedprice"))).as("p95_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val q66Sql: String =
+    """WITH ranked AS (
+         SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice) AS rn
+         FROM lineitem),
+       counts AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1)
+       SELECT r.l_returnflag,
+              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN l_extendedprice END) AS p50_disc,
+              max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                       THEN l_extendedprice END) AS p95_disc
+       FROM ranked r JOIN counts USING (l_returnflag)
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
     "q61_stream_static_join" -> q61StreamStaticJoin _,
     "q65_skew_salted_join" -> q65SkewSaltedJoin _,
+    "q66_percentile_disc" -> q66PercentileDisc _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +226,6 @@ object AnalyticsQueries {
     "q60_hash_sample" -> q60Sql,
     "q61_stream_static_join" -> q61Sql,
     "q65_skew_salted_join" -> q65Sql,
+    "q66_percentile_disc" -> q66Sql,
   )
 }
