@@ -215,10 +215,12 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("id"))
       .withColumn("cluster_rep", col("id")).localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_rep").cast(
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster_rep").cast(
         org.apache.spark.sql.types.DecimalType(38, 0))))
         .head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty node set
+    }
     // labels only ever decrease, so the label sum is strictly monotone:
     // an unchanged sum == a fixpoint — one cheap aggregate per round
     // instead of a change-detection join

@@ -80,12 +80,21 @@ object Publish {
       .createTempDirectory(java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_publish_")
       .toString
-    val first = publishAll(s, dir, root)
-    val second = publishAll(s, dir, root)
-    import s.implicits._
-    first.zip(second)
-      .map { case ((name, n1), (_, n2)) => (name, n1, n2) }
-      .toDF("table_name", "rows_first", "rows_second")
-      .orderBy("table_name")
+    try {
+      val first = publishAll(s, dir, root)
+      val second = publishAll(s, dir, root)
+      import s.implicits._
+      first.zip(second)
+        .map { case ((name, n1), (_, n2)) => (name, n1, n2) }
+        .toDF("table_name", "rows_first", "rows_second")
+        .orderBy("table_name")
+    } finally {
+      // the summary is driver-side counts — the sinks are scratch and
+      // would otherwise accumulate ~2× the star schema per invocation
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

@@ -75,9 +75,11 @@ object Similarity {
         dotQ(col(vecName), col(vecName)).as(normName))
 
   /** Vector dimensionality probed from the data (first row) — embeddings
-    * of any width work; nothing is hardcoded to 64 dims. */
+    * of any width work; nothing is hardcoded to 64 dims. An empty corpus
+    * probes to 0 dims, and every downstream join over it is empty. */
   private def dimsOf(df: DataFrame): Int =
-    df.select(size(col("embedding")).as("d")).head().getInt(0)
+    df.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (including itself when present). Deterministic
@@ -117,9 +119,9 @@ object Similarity {
     * no plane-table join, no shuffle. */
   def bucketOf(qvec: Column, weights: Array[Array[Long]]): Column =
     weights.zipWithIndex.map { case (ws, p) =>
-      val proj = aggregate(
-        zip_with(qvec, array(ws.map(lit): _*), (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
+      // native dot kernel, not zip_with/aggregate: HOFs are interpreted
+      // CodegenFallback and this runs per corpus row on the scan
+      val proj = graft.plans.VectorExprs.dotQ(qvec, array(ws.map(lit): _*))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -42,13 +42,18 @@ object Upsert {
     * this is a partial+final HashAggregate pair. */
   def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
                         orderCols: Seq[String]): DataFrame = {
+    // key columns are constant within a group — drop them from the
+    // payload (an orderCol that IS a key would otherwise come back as a
+    // second column of the same name and make the final select ambiguous)
+    val ord = orderCols.filterNot(keys.contains)
     val rest = df.columns.filterNot(c =>
-      keys.contains(c) || orderCols.contains(c)).toSeq
-    val payload = (orderCols ++ rest).map(col)
+      keys.contains(c) || ord.contains(c)).toSeq
+    val payload = ord ++ rest
+    if (payload.isEmpty) return df.select(keys.map(col): _*).distinct()
     df.groupBy(keys.map(col): _*)
-      .agg(min(struct(payload: _*)).as("__row"))
+      .agg(min(struct(payload.map(col): _*)).as("__row"))
       .select((keys.map(col) ++
-        (orderCols ++ rest).map(c => col(s"__row.$c").as(c))): _*)
+        payload.map(c => col(s"__row.$c").as(c))): _*)
       .select(df.columns.toIndexedSeq.map(col): _*) // original column order
   }
 

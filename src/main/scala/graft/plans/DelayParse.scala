@@ -112,11 +112,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     ext.injectFunction((
       FunctionIdentifier("quantize_vec"),
       new ExpressionInfo(classOf[QuantizeVec].getName, "quantize_vec"),
-      (children: Seq[Expression]) => QuantizeVec(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"quantize_vec expects 1 argument, got ${children.length}")
+        QuantizeVec(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotProductQ].getName, "dot_q"),
-      (children: Seq[Expression]) =>
-        DotProductQ(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_q expects 2 arguments, got ${children.length}")
+        DotProductQ(children.head, children(1))
+      }))
   }
 }

@@ -57,10 +57,22 @@ object SinkQueries {
   def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
     CsvLoaders.weatherFromDemoCsv(s, demoDir).orderBy("id")
 
+  /** Banker's (HALF_EVEN) rounding in DuckDB SQL — the weather loader
+    * uses `bround` to match pandas `.round()` (`weather.py:94-97`), and
+    * DuckDB's `round` is half-away-from-zero, so ties must be emulated:
+    * at frac 0.5, round toward the even neighbor. The demo data plants
+    * 2.5 (→2) and 6.5 (→6) ties to keep this path exercised. */
+  private def broundSql(e: String): String =
+    s"""(CASE WHEN ($e) - floor($e) = 0.5
+          THEN CAST(floor($e) AS BIGINT) +
+               (CASE WHEN CAST(floor($e) AS BIGINT) % 2 = 0
+                     THEN 0 ELSE 1 END)
+          ELSE CAST(round($e) AS BIGINT) END)"""
+
   /** The same embedded scrape rows as VALUES (see
     * CsvLoaders.writeDemoCsvs), through the same transform chain. */
   val q57Sql: String =
-    """WITH raw(id_stacji, data_pomiaru, godzina_pomiaru, temperatura,
+    s"""WITH raw(id_stacji, data_pomiaru, godzina_pomiaru, temperatura,
                 suma_opadu, predkosc_wiatru, kierunek_wiatru,
                 wilgotnosc_wzgledna, cisnienie) AS (VALUES
          (12375, '2024-12-25', 0, 1.4, 0.0, 3.2, 180, 65.0, 1013.2),
@@ -69,8 +81,8 @@ object SinkQueries {
          (12375, '2024-12-25', 2, NULL, 0.0, 4.0, 170, 60.0, 1014.0),
          (12375, '2024-12-25', 3, 11.2, 0.0, 2.1, 160, 55.0, 1016.3),
          (12375, '2024-12-25', 3, 11.4, 0.0, 2.2, 165, 54.0, 1016.1),
-         (12375, '2024-12-25', 4, 25.4, 0.0, 1.2, 150, 45.0, NULL),
-         (12375, '2024-12-25', 5, 36.2, 7.4, 16.2, 140, 30.0, 1008.4)),
+         (12375, '2024-12-25', 4, 25.4, 0.0, 2.5, 150, 45.0, NULL),
+         (12375, '2024-12-25', 5, 36.2, 6.5, 16.2, 140, 30.0, 1008.4)),
        keyed AS (
          SELECT CAST(id_stacji AS VARCHAR) || '-' || data_pomiaru || '-' ||
                   lpad(CAST(godzina_pomiaru AS VARCHAR), 2, '0') AS id,
@@ -90,15 +102,13 @@ object SinkQueries {
            FROM keyed) WHERE rn = 1),
        drv AS (
          SELECT id, temperature,
-                CAST(round(coalesce(precipitation_mm, 0)) AS BIGINT)
-                  AS fall_mm,
+                ${broundSql("coalesce(precipitation_mm, 0)")} AS fall_mm,
                 CASE WHEN temperature < 2.0 THEN 'snow' ELSE 'rain' END
                   AS fall_type,
-                CAST(round(coalesce(wind_speed_raw, 0)) AS BIGINT)
+                ${broundSql("coalesce(wind_speed_raw, 0)")}
                   AS wind_speed_mps,
                 wind_direction_deg, humidity_percent,
-                CAST(round(coalesce(pressure_raw, 1013)) AS BIGINT)
-                  AS pressure_hpa
+                ${broundSql("coalesce(pressure_raw, 1013)")} AS pressure_hpa
          FROM dd),
        scored AS (
          SELECT *,

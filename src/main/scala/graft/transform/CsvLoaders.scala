@@ -156,8 +156,8 @@ object CsvLoaders {
       "12375,2024-12-25,3,11.2,0.0,2.1,160,55.0,1016.3").mkString("\n"))
     Files.writeString(wDir.resolve("weather_12.csv"), Seq(wHeader,
       "12375,2024-12-25,3,11.4,0.0,2.2,165,54.0,1016.1",
-      "12375,2024-12-25,4,25.4,0.0,1.2,150,45.0,",
-      "12375,2024-12-25,5,36.2,7.4,16.2,140,30.0,1008.4").mkString("\n"))
+      "12375,2024-12-25,4,25.4,0.0,2.5,150,45.0,",
+      "12375,2024-12-25,5,36.2,6.5,16.2,140,30.0,1008.4").mkString("\n"))
     val dHeader = "Route,Vehicle No,Stop Name,Delay,Timestamp"
     Files.writeString(dDir.resolve("delays_08.csv"), Seq(dHeader,
       "R10,1001,stop-alpha,5 min,2024-12-25T08:27:43",
