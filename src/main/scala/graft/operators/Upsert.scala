@@ -62,19 +62,63 @@ object Upsert {
                   keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** The sink-side key scan a re-run anti-joins against. When the sink is
+    * hive-partitioned on `partitionCol`, the scan is PRUNED to the
+    * incoming batch's own partition values (collected driver-side — a
+    * publish batch spans few partitions, e.g. the hours/days it covers),
+    * so an hourly publish into a year-deep sink lists and reads only the
+    * batch's partitions instead of the whole table. This is what the
+    * reference's warehouse MERGE got from BigQuery partition pruning;
+    * here it shows up as `PartitionFilters: [id IN (...)]` on the scan
+    * (pinned by PlanAuditSpec). */
+  def sinkKeys(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
+               path: String, partitionCol: Option[String]): DataFrame = {
+    val sink = spark.read.parquet(path)
+    val pruned = partitionCol match {
+      case Some(p) =>
+        val vals = incoming.select(col(p)).distinct().collect()
+          .map(_.get(0)).toSeq
+        // partition-directory values round-trip as a narrower inferred
+        // type (e.g. long 20240101 → int); compare through the sink's
+        // own column type so the filter stays a pure partition predicate
+        sink.filter(col(p).isin(vals.map(v => lit(v).cast(
+          sink.schema(p).dataType)): _*))
+      case None => sink
+    }
+    pruned.select(keys.map(col): _*)
+  }
+
   /** Guards G1/G2 then idempotent append to a parquet path.
     * Returns number of rows appended (−1 when skipped by a guard).
     *
-    * Runs as ONE Spark action: the delta is appended with an observed
-    * row count (`Dataset.observe`), so there is no separate
-    * isEmpty/count/cache pass — at publish scale the dominant cost of a
-    * multi-table loop is sequential job latency, not bytes. G1 (never
-    * create/keep an empty sink from an empty batch) holds because a
-    * 0-row append writes no data files, and a 0-row *first* write
-    * removes the freshly created empty sink directory. */
+    * The delta is computed and appended in ONE action — there is no
+    * separate isEmpty/count/cache pass over the incoming data; at publish
+    * scale the dominant cost of a multi-table loop is sequential job
+    * latency, not bytes. The appended-row count comes from parquet
+    * footer statistics (a `count()` on a parquet path is a metadata-only
+    * job) before and after the append. An earlier `Dataset.observe`
+    * formulation was abandoned: when a re-run's anti-join comes up empty
+    * at RUNTIME, AQE propagates the empty relation through the write
+    * plan and the CollectMetrics node never fires — the metadata diff is
+    * immune to plan rewrites. G1 (never create/keep an empty sink from
+    * an empty batch) holds because a 0-row append writes no data files,
+    * and a 0-row *first* write removes the freshly created empty sink
+    * directory.
+    *
+    * `partitionCol`: hive-partition the sink by this column; re-runs then
+    * prune their anti-join to the batch's own partitions ([[sinkKeys]]).
+    * The delta is repartitioned by the column before the write so each
+    * partition directory gets one file per batch, not one per task.
+    *
+    * `preDeduped`: skip the keyed dedup when the incoming frame is
+    * already unique per key — the staging-load pattern, where the
+    * staging write deduped once and every publish run from it would
+    * otherwise pay the aggregation again. */
   def upsertParquet(spark: SparkSession, incoming: DataFrame,
                     keys: Seq[String], orderCols: Seq[String],
-                    path: String, aggDedup: Boolean = false): Long = {
+                    path: String, aggDedup: Boolean = false,
+                    partitionCol: Option[String] = None,
+                    preDeduped: Boolean = false): Long = {
     // G2: refuse write when key columns are missing from the frame
     val missing = keys.filterNot(incoming.columns.contains)
     if (missing.nonEmpty) {
@@ -82,7 +126,8 @@ object Upsert {
       return -1L
     }
     val deduped =
-      if (aggDedup) dedupKeepFirstAgg(incoming, keys, orderCols)
+      if (preDeduped) incoming
+      else if (aggDedup) dedupKeepFirstAgg(incoming, keys, orderCols)
       else dedupKeepFirst(incoming, keys, orderCols)
     // first-write detection by explicit existence check, NOT by read
     // failure: a transient listing/permission/corruption error on an
@@ -92,12 +137,22 @@ object Upsert {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = fs.exists(hPath)
     val delta =
-      if (existed) newRowsOnly(deduped, spark.read.parquet(path), keys)
+      if (existed)
+        newRowsOnly(deduped, sinkKeys(spark, deduped, keys, path,
+          partitionCol), keys)
       else deduped // first write: sink doesn't exist yet
-    val obs = new org.apache.spark.sql.Observation()
-    delta.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").parquet(path)
-    val n = obs.get("n").asInstanceOf[Long]
+    val before = if (existed) spark.read.parquet(path).count() else 0L
+    partitionCol match {
+      case Some(p) => delta.repartition(col(p))
+        .write.mode("append").partitionBy(p).parquet(path)
+      case None => delta.write.mode("append").parquet(path)
+    }
+    // an all-empty FIRST write leaves a directory with no data files —
+    // unreadable as parquet, and deleted by G1 below
+    val after = try spark.read.parquet(path).count() catch {
+      case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+    }
+    val n = after - before
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n
   }

@@ -357,7 +357,11 @@ object CoreQueries {
   // --- q17: full time dimension (F4-F10, T2) ----------------------------
   // the reference's TimeDim build (`dags/idh_etl.py:74-99`) over the
   // distinct event hours.
-  def q17TimeDim(s: SparkSession, dir: String): DataFrame = {
+  def q17TimeDim(s: SparkSession, dir: String): DataFrame =
+    timeDimFrame(s, dir).orderBy("full_timestamp")
+
+  /** [[q17TimeDim]] without the oracle ordering — the publish input. */
+  def timeDimFrame(s: SparkSession, dir: String): DataFrame = {
     val hours = t(s, dir, "events")
       .select(hourFloor(col("ts")).as("full_timestamp")).distinct()
     hours.select(
@@ -372,7 +376,6 @@ object CoreQueries {
         year(col("full_timestamp")).cast("long").as("year_"),
         timeOfDay(hour(col("full_timestamp"))).as("time_of_day"),
         isBusinessDay(col("full_timestamp")).as("is_business_day"))
-      .orderBy("full_timestamp")
   }
 
   val q17Sql: String =

@@ -223,7 +223,19 @@ object StarSchema {
   /** LineDim (`src/queries.py:12-75`): two tie-broken modes over the
     * trips ⟕ stop_times rollup, joined onto routes ⟕ delays ⟕ vehicles
     * (reproducing the reference's per-delay row fan-out). */
-  def q40LineDim(s: SparkSession, dir: String): DataFrame = {
+  def q40LineDim(s: SparkSession, dir: String): DataFrame =
+    // operator is nullable (left-joined): Spark's asc default is NULLS
+    // FIRST but DuckDB's is NULLS LAST — align explicitly so the
+    // positional compare can't diverge on null operators
+    lineDimFrame(s, dir)
+      .orderBy(col("id").asc, col("operator").asc_nulls_last,
+        col("line_type").asc, col("route_length_km").asc,
+        col("stops_amount").asc)
+
+  /** [[q40LineDim]] without the oracle ordering — the publish input (row
+    * order is irrelevant to a keyed MERGE, so the global sort would be
+    * pure cost there). */
+  def lineDimFrame(s: SparkSession, dir: String): DataFrame = {
     val tr = trips(s, dir)
     val st = stopTimes(s, dir)
     // no cache(): the rollup feeds both mode branches, and the duplicated
@@ -254,12 +266,6 @@ object StarSchema {
         lineType(col("route_type")).as("line_type"),
         coalesce(col("route_length_km"), lit(0.0)).as("route_length_km"),
         coalesce(col("stops_amount"), lit(0L)).as("stops_amount"))
-      // operator is nullable (left-joined): Spark's asc default is NULLS
-      // FIRST but DuckDB's is NULLS LAST — align explicitly so the
-      // positional compare can't diverge on null operators
-      .orderBy(col("id").asc, col("operator").asc_nulls_last,
-        col("line_type").asc, col("route_length_km").asc,
-        col("stops_amount").asc)
   }
 
   val q40Sql: String =
@@ -302,11 +308,13 @@ object StarSchema {
 
   /** StopDim (`src/queries.py:77-84`). */
   def q41StopDim(s: SparkSession, dir: String): DataFrame =
+    stopDimFrame(s, dir).orderBy("id")
+
+  def stopDimFrame(s: SparkSession, dir: String): DataFrame =
     stops(s, dir).select(
-        col("stop_id").as("id"), col("stop_name").as("name"),
-        col("stop_lat").cast("double").as("lat"),
-        col("stop_lon").cast("double").as("lon"))
-      .orderBy("id")
+      col("stop_id").as("id"), col("stop_name").as("name"),
+      col("stop_lat").cast("double").as("lat"),
+      col("stop_lon").cast("double").as("lon"))
 
   val q41Sql: String =
     s"""WITH $stopsSql
@@ -317,6 +325,9 @@ object StarSchema {
   /** VehicleDim (`src/queries.py:86-103`): null/blank/regex guards P3-P5,
     * string-ordered output O1. */
   def q42VehicleDim(s: SparkSession, dir: String): DataFrame =
+    vehicleDimFrame(s, dir).orderBy("id")
+
+  def vehicleDimFrame(s: SparkSession, dir: String): DataFrame =
     vehicles(s, dir)
       .filter(col("vehicle_number").isNotNull &&
         trim(col("vehicle_number")) =!= "" &&
@@ -328,7 +339,6 @@ object StarSchema {
         col("manufacturer").as("brand"),
         col("vtype").as("v_model"),
         col("production_year").cast("long").as("year_produced"))
-      .orderBy("id")
 
   val q42Sql: String =
     s"""WITH $vehiclesSql
@@ -358,7 +368,15 @@ object StarSchema {
     * hour-truncated timestamp (J5), computed weather key (J4), vehicle and
     * route ids, and the fan-out stop_name join (J6). Every dimension is
     * broadcast; the fact table never shuffles. */
-  def q44DelayFact(s: SparkSession, dir: String): DataFrame = {
+  def q44DelayFact(s: SparkSession, dir: String): DataFrame =
+    delayFactFrame(s, dir)
+      .orderBy("time_id", "weather_id", "vehicle_id", "line_id", "stop_id",
+        "delay_mins")
+
+  /** [[q44DelayFact]] without the oracle ordering — the publish input. A
+    * global 6-column sort of the ~1 M-row fact is a full range-partition
+    * shuffle that a keyed MERGE never needs. */
+  def delayFactFrame(s: SparkSession, dir: String): DataFrame = {
     val d = delays(s, dir)
     val tDim = timeDim(s, dir).select(col("id").as("time_id"),
       col("full_timestamp"))
@@ -379,8 +397,6 @@ object StarSchema {
         col("vehicle_number").as("vehicle_id"),
         col("route_id").as("line_id"),
         col("stop_id"))
-      .orderBy("time_id", "weather_id", "vehicle_id", "line_id", "stop_id",
-        "delay_mins")
   }
 
   val q44Sql: String =

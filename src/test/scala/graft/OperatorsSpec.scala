@@ -46,6 +46,31 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("upsertParquet with partitionCol: hive layout, idempotent, " +
+      "preDeduped fast path") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertp").toString
+    val path = s"$dir/sink"
+    val batch = Seq((20240101L, "a", 1.0), (20240101L, "b", 2.0),
+      (20240102L, "c", 3.0)).toDF("time_id", "k", "v")
+    val n1 = Upsert.upsertParquet(spark, batch, Seq("time_id", "k"),
+      Seq("v"), path, partitionCol = Some("time_id"), preDeduped = true)
+    assert(n1 == 3)
+    // hive-partitioned directory layout
+    val dirs = new java.io.File(path).listFiles().map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("time_id=20240101")) &&
+      dirs.exists(_.startsWith("time_id=20240102")), dirs.mkString(","))
+    // identical re-run appends nothing
+    val n2 = Upsert.upsertParquet(spark, batch, Seq("time_id", "k"),
+      Seq("v"), path, partitionCol = Some("time_id"), preDeduped = true)
+    assert(n2 == 0)
+    // a new-day batch appends only its own rows
+    val b2 = Seq((20240103L, "d", 4.0)).toDF("time_id", "k", "v")
+    val n3 = Upsert.upsertParquet(spark, b2, Seq("time_id", "k"),
+      Seq("v"), path, partitionCol = Some("time_id"), preDeduped = true)
+    assert(n3 == 1)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("upsertParquet guards: missing key col and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
     val noKey = Seq(("x", 1)).toDF("other", "v")

@@ -103,6 +103,29 @@ class PlanAuditSpec extends SparkSpec {
       s"rank-filter pushdown missing: $nodes")
   }
 
+  test("publish re-run prunes the sink scan to the incoming batch's " +
+      "partitions (PartitionFilters on the anti-join's sink side)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    val path = s"$root/sink"
+    val day1 = Seq((20240101L, "a", 1.0), (20240102L, "b", 2.0))
+      .toDF("time_id", "k", "v")
+    graft.operators.Upsert.upsertParquet(spark, day1, Seq("time_id", "k"),
+      Seq("v"), path, partitionCol = Some("time_id"), preDeduped = true)
+    // an incremental batch touching ONE of the two sink partitions
+    val batch = Seq((20240102L, "c", 3.0)).toDF("time_id", "k", "v")
+    val sk = graft.operators.Upsert.sinkKeys(spark, batch,
+      Seq("time_id", "k"), path, Some("time_id"))
+    val s = collectAll(executed(sk)).filter(_.nodeName.contains("Scan"))
+      .map(_.toString).mkString
+    assert(s.contains("PartitionFilters"), s.take(500))
+    assert(s.contains("20240102"), "batch partition not in filter: " +
+      s.take(500))
+    assert(!s.contains("20240101"),
+      "scan not pruned to the batch's partitions: " + s.take(500))
+  }
+
   test("q03 aggregation is partial (map-side) before the exchange") {
     val plan = executed(graft.queries.CoreQueries.q03AggPricing(spark, dir))
     val all = collectAll(plan)
