@@ -60,7 +60,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
     val nErr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver records the bench from stdout,
+    // and a truncated tail once cost a round its total (BENCH_r02)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

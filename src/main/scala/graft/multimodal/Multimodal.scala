@@ -49,13 +49,32 @@ object Multimodal {
     (n % 640, n % 480, (n % 3000) / 10.0)
   }
 
-  /** The production decode hook. Deliberately unimplemented here: this
-    * container ships no image/audio/video codecs. A real deployment
-    * plugs javax.imageio / ffmpeg / a JNI codec in, keeping the same
-    * signature — everything around it (schema, partitioning, batching)
-    * is unchanged. */
+  /** The production decode hook. Images decode through the JVM's own
+    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK — no external
+    * codecs needed): (width, height, duration=0). Audio/video need a
+    * codec this container does not ship (ffmpeg/JNI in a real
+    * deployment, same signature, everything around it — schema,
+    * partitioning, batching — unchanged); until then they fail loudly
+    * rather than fake a duration. */
   def realDecode(mime: String, payload: Array[Byte]): (Int, Int, Double) =
-    ??? // no codecs in this environment — use fakeDecode
+    mime match {
+      case m if m.startsWith("image/") =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"undecodable $mime payload (${payload.length} bytes)")
+        (img.getWidth, img.getHeight, 0.0)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"no $other codec in this environment — audio/video decode " +
+            "needs ffmpeg/JNI; images decode via javax.imageio")
+    }
+
+  /** [[realDecode]] as the payload-only function [[extractFeatures]]
+    * takes, for an image-only media frame. */
+  def realImageDecode(payload: Array[Byte]): (Int, Int, Double) =
+    realDecode("image/png", payload)
 
   /** Partition-local feature extraction over the media records. The
     * decoder is a parameter so tests inject [[fakeDecode]] and a real

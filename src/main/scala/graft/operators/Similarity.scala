@@ -74,12 +74,28 @@ object Similarity {
       .select(col(idName), col(vecName),
         dotQ(col(vecName), col(vecName)).as(normName))
 
-  /** Vector dimensionality probed from the data (first row) — embeddings
-    * of any width work; nothing is hardcoded to 64 dims. An empty corpus
-    * probes to 0 dims, and every downstream join over it is empty. */
+  /** Vector dimensionality probed from the data (first row with a
+    * non-empty vector — null/empty embeddings can't NPE the probe) —
+    * embeddings of any width work; nothing is hardcoded to 64 dims. An
+    * empty (or all-null) corpus probes to 0 dims, and every downstream
+    * join over it is empty. Width is assumed uniform within a frame (a
+    * full-scan check would cost a pass over the corpus); cross-frame
+    * mismatches are caught by [[requireSameDims]]. */
   private def dimsOf(df: DataFrame): Int =
-    df.select(size(col("embedding")).as("d")).limit(1).collect()
+    df.select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Probe both sides once and fail LOUDLY on width mismatch: a
+    * mismatched query vector would otherwise score null cosine against
+    * every candidate and silently vanish from its own top-k. */
+  private def requireSameDims(queries: DataFrame, corpus: DataFrame): Int = {
+    val dq = dimsOf(queries)
+    val dc = dimsOf(corpus)
+    require(dq == 0 || dc == 0 || dq == dc,
+      s"query embedding dims ($dq) != corpus embedding dims ($dc)")
+    dc
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (including itself when present). Deterministic
@@ -137,7 +153,7 @@ object Similarity {
     * query's bucket. Trades recall for a |D|/2^planes probe cost. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, numPlanes: Int,
               k: Int): DataFrame = {
-    val dims = dimsOf(corpus)
+    val dims = requireSameDims(queries, corpus)
     val q = prepBucketed(queries, "qid", "qe", "qn", numPlanes, dims)
     val d = prepBucketed(corpus, "did", "de", "dn", numPlanes, dims)
     q.join(d, "bucket")
@@ -160,7 +176,7 @@ object Similarity {
     * replicated, so the big side's shuffle volume is unchanged). */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
                         numPlanes: Int, k: Int): DataFrame = {
-    val dims = dimsOf(corpus)
+    val dims = requireSameDims(queries, corpus)
     val q = prepBucketed(queries, "qid", "qe", "qn", numPlanes, dims)
       .withColumn("bucket", explode(array(
         (Seq(col("bucket")) ++ (0 until numPlanes).map(p =>

@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   * where brute-force/ANN scoring spends its time at corpus scale
   * (|Q|×|D| pairs, 64+ dims each).
   *
-  * Semantics match the HOF formulation exactly (same integer math, same
-  * null behavior): mismatched lengths or a null element → null, so the
-  * swap is oracle-invisible.
+  * Semantics match the HOF formulation for every composed use (same
+  * integer math; a null element or mismatched lengths null out the
+  * final dot product either way). One visible difference on the
+  * standalone `quantize_vec` SQL surface: a vector containing a null
+  * element quantizes to NULL as a whole, where
+  * `transform(v, x -> round(x*1e6))` would yield an array with a null
+  * element. Composed with `dot_q` the results agree (the null element
+  * nulls the dot product); only a user projecting `quantize_vec`
+  * directly over null-element vectors sees the difference.
   */
 object VectorExprs {
 

@@ -42,13 +42,18 @@ object AnalyticsQueries {
     // the cube's margin rows with DuckDB's default ordering.
     val view = s"cube_delays_${cubeRun.incrementAndGet()}"
     proj.createOrReplaceTempView(view)
-    s.sql(
+    try s.sql(
       s"""SELECT line_type, time_of_day,
             CAST(count(*) AS BIGINT) AS n_delays,
             CAST(sum(delay_mins) AS BIGINT) AS total_delay_mins
           FROM $view
           GROUP BY CUBE(line_type, time_of_day)
           ORDER BY line_type ASC NULLS LAST, time_of_day ASC NULLS LAST""")
+    finally
+      // Dataset analysis is eager, so the resolved plan no longer needs
+      // the view — drop it immediately instead of accumulating
+      // cube_delays_N entries in the session catalog per call
+      s.catalog.dropTempView(view)
   }
 
   private val cubeRun = new java.util.concurrent.atomic.AtomicInteger(0)

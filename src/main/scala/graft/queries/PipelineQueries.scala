@@ -381,8 +381,13 @@ object PipelineQueries {
         stopwordRatio(col("text")).as("stopword_ratio"),
         punctRatio(col("text")).as("punct_ratio"),
         avgTokenLen(col("text")).as("avg_token_len"),
-        qualityScore(col("text")).cast("long").as("quality_score"),
-        qualityLabel(qualityScore(col("text"))).as("quality_label"))
+        // score projected ONCE; the label derives from the column so the
+        // regex battery inside qualityScore runs once per row
+        qualityScore(col("text")).as("__score"))
+      .select(col("doc_id"), col("n_tokens"), col("type_token_ratio"),
+        col("stopword_ratio"), col("punct_ratio"), col("avg_token_len"),
+        col("__score").cast("long").as("quality_score"),
+        qualityLabel(col("__score")).as("quality_label"))
       .orderBy("doc_id")
 
   val q32Sql: String =
@@ -663,18 +668,31 @@ object PipelineQueries {
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, session_start"""
 
-  // --- q50: HLL approximate distinct (no oracle: HLL sketches are not
-  // portable across engines → driver records a rows-only check) ---------
+  // --- q50: HLL approximate distinct -----------------------------------
+  /** HLL sketch VALUES are not portable across engines, but the sketch's
+    * accuracy CLAIM is: the output carries the exact distinct count plus
+    * a boolean asserting the HLL estimate landed within 5% of it (the
+    * default rsd of `approx_count_distinct`). The DuckDB oracle computes
+    * the same exact counts and asserts the same booleans as literal
+    * `true` — so a Spark-side sketch drifting out of its error bound
+    * flips the hash compare red. */
   def q50ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+      .select(col("l_returnflag"), col("exact_parts").cast("long")
+          .as("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")).cast("double") /
-          col("exact_parts")).as("rel_error"))
+          col("exact_parts") <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag")
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              true AS within_5pct
+       FROM lineitem GROUP BY 1 ORDER BY 1"""
 
   // --- q51: native codegen'd delay parser (custom Catalyst Expression) -
   /** Same semantics and oracle as q16, but parsing runs through
@@ -911,7 +929,7 @@ object PipelineQueries {
     "q47_multimodal_features" -> q47Sql,
     "q48_ivf_topk" -> q48Sql,
     "q49_session_window" -> q49Sql,
-    // q50 deliberately has no oracle: HLL sketches differ across engines.
+    "q50_approx_distinct" -> q50Sql,
     "q51_delay_parse_native" -> CoreQueries.q16Sql, // same semantics as q16
     "q52_mode_single_pass" -> CoreQueries.q06Sql,   // same semantics as q06
     "q53_corpus_prep" -> q53Sql,

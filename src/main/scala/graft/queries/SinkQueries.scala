@@ -86,7 +86,8 @@ object SinkQueries {
        keyed AS (
          SELECT CAST(id_stacji AS VARCHAR) || '-' || data_pomiaru || '-' ||
                   lpad(CAST(godzina_pomiaru AS VARCHAR), 2, '0') AS id,
-                id_stacji AS station_id, godzina_pomiaru AS hour,
+                id_stacji AS station_id, data_pomiaru AS measurement_date,
+                godzina_pomiaru AS hour,
                 CAST(temperatura AS DOUBLE) AS temperature,
                 CAST(suma_opadu AS DOUBLE) AS precipitation_mm,
                 CAST(predkosc_wiatru AS DOUBLE) AS wind_speed_raw,
@@ -97,7 +98,8 @@ object SinkQueries {
          WHERE temperatura IS NOT NULL AND predkosc_wiatru IS NOT NULL),
        dd AS (
          SELECT * FROM (
-           SELECT *, row_number() OVER (PARTITION BY station_id, hour
+           SELECT *, row_number() OVER (
+             PARTITION BY station_id, measurement_date, hour
              ORDER BY temperature ASC, pressure_raw ASC NULLS LAST) AS rn
            FROM keyed) WHERE rn = 1),
        drv AS (

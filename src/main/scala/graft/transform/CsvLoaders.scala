@@ -77,7 +77,7 @@ object CsvLoaders {
       concat_ws("-", col("station_id").cast("string"),
         col("measurement_date"),
         lpad(col("hour").cast("string"), 2, "0")).as("id"),
-      col("station_id"), col("hour"),
+      col("station_id"), col("measurement_date"), col("hour"),
       col("temperature").cast("double").as("temperature"),
       col("precipitation_mm").cast("double").as("precipitation_mm"),
       col("wind_speed_mps").cast("double").as("wind_speed_raw"),
@@ -85,8 +85,12 @@ object CsvLoaders {
       col("humidity_percent").cast("double").as("humidity_percent"),
       col("pressure_hpa").cast("double").as("pressure_raw"))
       .filter(col("temperature").isNotNull && col("wind_speed_raw").isNotNull)
-    // station-hour dedup (weather.py:88), deterministic keep-first
-    val w = Window.partitionBy("station_id", "hour")
+    // station-hour dedup (weather.py:88), deterministic keep-first.
+    // measurement_date joins the partition key: the reference dedups a
+    // single-day merged frame, but this pipeline is one glob scan over
+    // arbitrarily many days — without the date, distinct days' rows for
+    // the same station-hour (each a distinct id) would silently collapse
+    val w = Window.partitionBy("station_id", "measurement_date", "hour")
       .orderBy(col("temperature").asc, col("pressure_raw").asc_nulls_last)
     val deduped = keyed
       .withColumn("__rn", row_number().over(w))

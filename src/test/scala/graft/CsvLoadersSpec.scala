@@ -27,6 +27,25 @@ class CsvLoadersSpec extends SparkSpec {
     assert(nines.length == 2)
   }
 
+  test("weather dedup is per station-DATE-hour: a multi-day glob keeps " +
+      "the same station-hour on different days") {
+    import spark.implicits._
+    val raw = Seq(
+      // same station, same hour, two DAYS — both must survive
+      (12375L, "2024-12-25", 7L, 1.0, 0.0, 3.0, 180L, 50.0, 1010.0),
+      (12375L, "2024-12-26", 7L, 2.0, 0.0, 3.0, 180L, 50.0, 1010.0),
+      // true duplicate (same station, same day, same hour) — one survives
+      (12375L, "2024-12-26", 8L, 5.0, 0.0, 3.0, 180L, 50.0, 1010.0),
+      (12375L, "2024-12-26", 8L, 6.0, 0.0, 3.0, 180L, 50.0, 1010.0))
+      .toDF("id_stacji", "data_pomiaru", "godzina_pomiaru", "temperatura",
+        "suma_opadu", "predkosc_wiatru", "kierunek_wiatru",
+        "wilgotnosc_wzgledna", "cisnienie")
+    val ids = CsvLoaders.weatherPipeline(raw).select("id")
+      .as[String].collect().sorted
+    assert(ids.toSeq == Seq("12375-2024-12-25-07", "12375-2024-12-26-07",
+      "12375-2024-12-26-08"), ids.mkString(","))
+  }
+
   test("weather loader: null-temp row filtered, station-hour dedup " +
       "keeps one deterministic row, null pressure → 1013 " +
       "(weather.py:85-97)") {

@@ -21,6 +21,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats(0).width == 11 % 640 && feats(0).height == 11 % 480)
   }
 
+  test("multimodal: realDecode decodes a real PNG via javax.imageio, " +
+    "end-to-end through the partition-local batch stage") {
+    // paint a 7x5 RGB image and encode it with the JDK's own PNG writer
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(x => (0 until 5).foreach(y =>
+      img.setRGB(x, y, (x * 40) << 16 | (y * 50) << 8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // direct decode
+    assert(Multimodal.realDecode("image/png", png) == (7, 5, 0.0))
+    // through the Dataset mapPartitions stage with the real decoder
+    val media = Seq(MediaRecord(42L, "image/png", png)).toDS()
+    val f = Multimodal.extractFeatures(media, Multimodal.realImageDecode)
+      .collect().head
+    assert(f.width == 7 && f.height == 5 && f.n_bytes == png.length)
+    // no audio codec ships with the JVM: fail loudly, don't fake
+    intercept[UnsupportedOperationException](
+      Multimodal.realDecode("audio/wav", png))
+    intercept[IllegalArgumentException](
+      Multimodal.realDecode("image/png", Array[Byte](1, 2, 3)))
+  }
+
   test("multimodal: frame sample plan fans out only video rows") {
     val docs = Seq((0L, "x" * 250), (2L, "y" * 250)).toDF("doc_id", "text")
     val media = Multimodal.toBinary(docs) // 0 → image, 2 → video
