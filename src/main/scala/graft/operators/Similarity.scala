@@ -230,7 +230,7 @@ object Similarity {
     * centroids against the corpus (map-side), and the update shuffles
     * (cid, dim, value) triples — k·dims cells after partial aggregation,
     * never the vectors themselves. Returns (cid, ce, cn): quantized
-    * centroid + squared norm, ready for [[ivfTopK]]-style probing. */
+    * centroid + squared norm, served directly by [[ivfTopKWith]]. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val d = prep(corpus, "did", "de", "dn")
     var cents = corpus.orderBy("vec_id").limit(k)
@@ -284,11 +284,28 @@ object Similarity {
     * score is a map-side broadcast join, and the probe join shuffles only
     * cell-assigned ids, re-partitioned by cell). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, numCentroids: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val cents = corpus.orderBy("vec_id").limit(numCentroids)
+              nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(queries, corpus,
+      firstNCentroids(corpus, numCentroids), nProbe, k)
+
+  /** First-N-by-id seed centroids as a (cid, ce, cn) frame — the
+    * deterministic baseline index; [[kmeansCentroids]] produces the
+    * trained replacement with the identical schema. */
+  def firstNCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+    corpus.orderBy("vec_id").limit(numCentroids)
       .select(col("vec_id").as("cid"), quantize(col("embedding")).as("ce"))
       .select(col("cid"), col("ce"), dotQ(col("ce"), col("ce")).as("cn"))
+
+  /** IVF probing over an EXPLICIT centroid index (cid, ce, cn) — the
+    * serving half of the production ANN story: train once with
+    * [[kmeansCentroids]], then every query probes the trained cells.
+    * With nProbe = number of centroids this degrades gracefully to
+    * brute force (every cell probed → every pair scored), which is the
+    * recall upper bound the SkewAndStateSpec pins. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cents = centroids
     def assign(vecs: DataFrame, idC: String, vecC: String, normC: String,
                keep: Int): DataFrame =
       vecs.crossJoin(broadcast(cents))

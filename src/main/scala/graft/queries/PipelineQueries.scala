@@ -636,6 +636,100 @@ object PipelineQueries {
        SELECT cid, CAST(count(*) AS BIGINT) AS n_members
        FROM afin GROUP BY cid ORDER BY cid"""
 
+  // --- q67: IVF serving over TRAINED centroids -------------------------
+  /** The two halves of the production ANN story composed: q64's k-means
+    * training (2 Lloyd iterations, k=8) produces the centroid index, and
+    * q48's IVF probing serves queries from those trained cells. Oracle:
+    * q64's centroid CTEs (through c2) feeding q48's probe CTEs. */
+  def q67IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb, trained,
+        nProbe = 2, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val q67Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       c0 AS (SELECT vec_id AS cid, e AS ce, nn AS cn FROM n
+              ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM n d CROSS JOIN c0 c) WHERE r = 1),
+       m1 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a1, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c1 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m1 GROUP BY cid)),
+       a2 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM n d CROSS JOIN c1 c) WHERE r = 1),
+       m2 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a2, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c2 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m2 GROUP BY cid)),
+       corpus_assign AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n d CROSS JOIN c2 c)
+         WHERE crank <= 1),
+       probe_assign AS (
+         SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (CAST(list_sum([q.e[i] * c.ce[i]
+                       for i in generate_series(1, len(q.e))]) AS DOUBLE) /
+                     (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
+         WHERE crank <= 2),
+       scored AS (
+         SELECT p.qid, a.did,
+                CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(dn.nn AS DOUBLE)))
+                  AS cosine
+         FROM probe_assign p
+         JOIN corpus_assign a ON p.cid = a.cid
+         JOIN n qn ON qn.vec_id = p.qid
+         JOIN n dn ON dn.vec_id = a.did),
+       agg AS (SELECT qid, did, max(cosine) AS cosine FROM scored
+               GROUP BY 1, 2),
+       r AS (SELECT qid, did, cosine,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+             FROM agg)
+       SELECT * FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+
   // --- q49: session windows (30-min gap) over events -------------------
   /** Spark's `session_window`; the oracle reproduces it as the classic
     * gap-and-islands rewrite (new session when the gap ≥ 30 min). */
@@ -895,6 +989,7 @@ object PipelineQueries {
     "q62_ann_multiprobe" -> q62AnnMultiProbe _,
     "q63_dup_clusters" -> q63DupClusters _,
     "q64_kmeans_ivf" -> q64KmeansIvf _,
+    "q67_ivf_trained" -> q67IvfTrained _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -921,6 +1016,7 @@ object PipelineQueries {
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,
     "q64_kmeans_ivf" -> q64Sql,
+    "q67_ivf_trained" -> q67Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

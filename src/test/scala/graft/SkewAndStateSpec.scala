@@ -44,6 +44,21 @@ class SkewAndStateSpec extends SparkSpec {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("ivfTopKWith over TRAINED centroids: nProbe=all cells reproduces " +
+      "brute-force top-k (the recall upper bound of the trained index)") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(64)(j => (((i * 17 + j * 3) % 23).toFloat - 11) / 11f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val trained = Similarity.kmeansCentroids(vecs, k = 4, iters = 2)
+    assert(trained.count() == 4)
+    val ivf = Similarity.ivfTopKWith(q, vecs, trained, nProbe = 4, k = 3)
+      .select("qid", "did", "rank").orderBy("qid", "rank").collect()
+    val bf = Similarity.bruteForceTopK(q, vecs, 3)
+      .select("qid", "did", "rank").orderBy("qid", "rank").collect()
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
   test("mapGroupsWithState: custom per-key streaming state counts events " +
     "per user (AvailableNow)") {
     // stream the sf0.001 events through a custom stateful aggregation
