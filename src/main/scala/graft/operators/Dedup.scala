@@ -108,14 +108,20 @@ object Dedup {
     // invoke this repeatedly should `spark.catalog.clearCache()` (or
     // unpersist) between calls.
     val all = docShingles(df, idCol, textCol, n).cache()
-    val ds = if (maxDocFreq == Long.MaxValue) all else {
-      val freq = all.groupBy("h").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDocFreq).select("h")
-      all.join(freq, "h") // exchange on h is reused by the self-join below
-        .cache()
-    }
+    // ds (with each shingle's document frequency): the jaccard UNIVERSE —
+    // every shingle with df ≤ cap counts toward per-doc sizes
+    val freq = all.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+    val ds = all.join(freq, "h") // exchange on h is reused below
+      .cache()
     val sizes = ds.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val inter = ds.as("x").join(ds.as("y"), col("x.h") === col("y.h"))
+    // the candidate self-join reads only shingles shared by ≥2 docs: a
+    // df=1 shingle can never produce a pair, and with word n-grams MOST
+    // shingles are unique — shipping them through the self-join shuffle
+    // was the bulk of its input. Pure plan optimization: the pair set
+    // and the sizes (computed over the full ≤cap universe) are unchanged.
+    val dsj = ds.filter(col("__df") >= 2L)
+    val inter = dsj.as("x").join(dsj.as("y"), col("x.h") === col("y.h"))
       .filter(col("x.sid") < col("y.sid"))
       .groupBy(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .agg(count(lit(1)).as("n_common"))

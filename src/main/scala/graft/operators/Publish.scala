@@ -39,7 +39,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unsorted builder frames (`StarSchema.delayFactFrame` etc.); stage
   * once, publish twice from the staging scan; dedup once at stage time
   * (`preDeduped` upserts). `dedupKeepFirstAgg` vs the window form on the
-  * nearly-unique-key DelayFact: 2.0 s vs 7.1 s — the hash aggregation
+  * nearly-unique-key DelayFact: 2.0 s vs 7.1 s — the aggregation form
   * stays. A localCheckpoint of the six conformed frames was measured at
   * 62 s (block-manager materialization of six concurrent lineages) —
   * scratch parquet staging is an order of magnitude cheaper.
@@ -84,8 +84,8 @@ object Publish {
         val conformed = StarModel.conform(df, m.schema)
         val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
         // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
-        // nearly-unique composite key) dedup as one hash aggregation
-        // instead of a window sort over every key partition
+        // nearly-unique composite key) dedup as one partial+final
+        // aggregation instead of a window sort over every key partition
         Upsert.dedupKeepFirstAgg(conformed, m.keys,
             if (orderCols.nonEmpty) orderCols else m.keys)
           .write.mode("overwrite").parquet(s"$stagingRoot/${m.name}")

@@ -37,9 +37,13 @@ object Upsert {
     * Same "deterministic keep-first by orderCols" contract as
     * [[dedupKeepFirst]] (and strictly MORE deterministic: ties on
     * orderCols resolve by the remaining columns instead of arbitrarily).
-    * Preferred for publish-scale inputs whose keys are nearly unique —
-    * the window formulation shuffles AND sorts every partition, while
-    * this is a partial+final HashAggregate pair. */
+    * Preferred for publish-scale inputs whose keys are nearly unique:
+    * the window formulation sorts every key partition AND runs
+    * row_number over it, while this plans as a partial+final aggregate
+    * pair (SortAggregate — a struct min buffer is not fixed-width, so
+    * hash aggregation cannot apply — but with map-side partial
+    * aggregation and no window; measured ~3.5× faster on the ~1 M-row
+    * nearly-unique-key DelayFact). */
   def dedupKeepFirstAgg(df: DataFrame, keys: Seq[String],
                         orderCols: Seq[String]): DataFrame = {
     // key columns are constant within a group — drop them from the

