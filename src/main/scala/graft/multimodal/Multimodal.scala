@@ -17,10 +17,11 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   * image/audio/video as opaque `binary` columns with typed metadata, and
   * run decode / feature-extraction as a partition-local batch stage.
   *
-  * The real decode is STUBBED — image/audio codecs are not present in
-  * this environment (see [[Multimodal.realDecode]]); [[fakeDecode]] is a
-  * deterministic stand-in so the pipeline is testable end-to-end. The
-  * Spark-side shape is real and is what matters at scale:
+  * Decoding: images decode for real through the JDK's `javax.imageio`
+  * ([[realDecode]]); audio/video codecs are not present in this
+  * environment, so [[fakeDecode]] is the deterministic stand-in that
+  * keeps the full pipeline testable for them. The Spark-side shape is
+  * identical either way and is what matters at scale:
   *
   *   - schema: `binary` payload + string mime + typed feature columns;
   *   - execution: `Dataset[MediaRecord].mapPartitions` — the Scala

@@ -70,51 +70,61 @@ object Publish {
     case _           => None
   }
 
-  /** The reference's staging load: conform + keyed dedup each builder
-    * output ONCE, written to `stagingRoot/<TableName>` parquet. Returns
-    * the models in table order. Runs concurrently (six independent
-    * lineages, T5). */
-  def stageAll(s: SparkSession, dir: String, stagingRoot: String)
-  : Seq[TableModel] = {
+  /** Run one task per table concurrently (the six independent lineages
+    * of the reference's Airflow fan-out, T5) and wait for ALL of them —
+    * even when one fails — before rethrowing the first failure. A
+    * fail-fast await would leave sibling futures still writing while the
+    * caller's cleanup (e.g. publishTwiceSummary's scratch delete) races
+    * them. */
+  private def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val futs = builders(s, dir).map { case (m, df) =>
-      Future {
-        val conformed = StarModel.conform(df, m.schema)
-        val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
-        // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
-        // nearly-unique composite key) dedup as one partial+final
-        // aggregation instead of a window sort over every key partition
-        Upsert.dedupKeepFirstAgg(conformed, m.keys,
-            if (orderCols.nonEmpty) orderCols else m.keys)
-          .write.mode("overwrite").parquet(s"$stagingRoot/${m.name}")
-        m
-      }
-    }
-    futs.map(Await.result(_, Duration.Inf))
+    val done = xs.map(x => Future(f(x)))
+      .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
+    done.collectFirst { case scala.util.Failure(e) => throw e }
+    done.map(_.get)
   }
+
+  /** The reference's staging load: conform + keyed dedup each builder
+    * output ONCE, written to `stagingRoot/<TableName>` parquet. Returns
+    * the models in table order. Runs concurrently (T5). */
+  def stageAll(s: SparkSession, dir: String, stagingRoot: String)
+  : Seq[TableModel] =
+    concurrently(builders(s, dir)) { case (m, df) =>
+      val conformed = StarModel.conform(df, m.schema)
+      val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
+      // nearly-unique composite key) dedup as one partial+final
+      // aggregation instead of a window sort over every key partition
+      Upsert.dedupKeepFirstAgg(conformed, m.keys,
+          if (orderCols.nonEmpty) orderCols else m.keys)
+        .write.mode("overwrite").parquet(s"$stagingRoot/${m.name}")
+      m
+    }
 
   /** One publish run from a staged batch: left-anti + append every table
     * into `sinkRoot/<TableName>`. Returns (table, rowsAppended) in table
-    * order. The staging scan is already unique per key (`preDeduped`),
-    * so a run costs one anti-join + append per table. */
+    * order. The staging scan is already unique per key (`preDeduped`)
+    * and cheap to re-evaluate, so re-runs prune both the sink scan and
+    * the footer counts to the batch's partitions (`pruneRerun`). */
   def publishStaged(s: SparkSession, models: Seq[TableModel],
                     stagingRoot: String, sinkRoot: String)
-  : Seq[(String, Long)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futs = models.map { m =>
-      Future {
-        val staged = s.read.parquet(s"$stagingRoot/${m.name}")
-        m.name -> Upsert.upsertParquet(s, staged, m.keys, m.keys,
-          s"$sinkRoot/${m.name}", partitionCol = partitionColOf(m),
-          preDeduped = true)
-      }
+  : Seq[(String, Long)] =
+    concurrently(models) { m =>
+      val staged = s.read.parquet(s"$stagingRoot/${m.name}")
+      m.name -> Upsert.upsertParquet(s, staged, m.keys, m.keys,
+        s"$sinkRoot/${m.name}", partitionCol = partitionColOf(m),
+        preDeduped = true)
     }
-    futs.map(Await.result(_, Duration.Inf))
-  }
+
+  /** Read a published sink back under its DECLARED schema. Partitioned
+    * sinks re-infer partition-column types from directory names (long
+    * 20240101 comes back int) and order partition columns last —
+    * [[StarModel.conform]] restores the declared column order and
+    * types, so consumers see exactly the `schemas.py` contract. */
+  def readSink(s: SparkSession, sinkRoot: String, m: TableModel): DataFrame =
+    StarModel.conform(s.read.parquet(s"$sinkRoot/${m.name}"), m.schema)
 
   /** One publish run: conform + dedup + upsert every table into
     * `sinkRoot/<TableName>`, straight from the builder DAGs (no staging
@@ -129,22 +139,19 @@ object Publish {
     * one-action upserts the loop's cost is the slowest table, not the
     * sum of per-job scheduling latencies. */
   def publishAll(s: SparkSession, dir: String, sinkRoot: String)
-  : Seq[(String, Long)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futs = builders(s, dir).map { case (m, df) =>
-      Future {
-        val conformed = StarModel.conform(df, m.schema)
-        val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
-        m.name -> Upsert.upsertParquet(s, conformed, m.keys,
-          if (orderCols.nonEmpty) orderCols else m.keys,
-          s"$sinkRoot/${m.name}", aggDedup = true,
-          partitionCol = partitionColOf(m))
-      }
+  : Seq[(String, Long)] =
+    concurrently(builders(s, dir)) { case (m, df) =>
+      val conformed = StarModel.conform(df, m.schema)
+      val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      // pruneRerun = false: collecting the batch's partition values
+      // would re-run the whole builder DAG — against an expensive
+      // incoming plan, a full keys-only sink scan is the cheaper re-run
+      // anti-join side (the staged path gets pruning instead)
+      m.name -> Upsert.upsertParquet(s, conformed, m.keys,
+        if (orderCols.nonEmpty) orderCols else m.keys,
+        s"$sinkRoot/${m.name}", aggDedup = true,
+        partitionCol = partitionColOf(m), pruneRerun = false)
     }
-    futs.map(Await.result(_, Duration.Inf))
-  }
 
   /** Publish the same staged batch twice into a fresh sink and report
     * (table, rows_first, rows_second): the idempotence proof the

@@ -102,6 +102,7 @@ object Similarity {
     * tie-break by corpus id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
   : DataFrame = {
+    requireSameDims(queries, corpus)
     val q = prep(queries, "qid", "qe", "qn")
     val d = prep(corpus, "did", "de", "dn")
     q.crossJoin(d)
@@ -233,9 +234,7 @@ object Similarity {
     * centroid + squared norm, served directly by [[ivfTopKWith]]. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val d = prep(corpus, "did", "de", "dn")
-    var cents = corpus.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("ce"))
-      .select(col("cid"), col("ce"), dotQ(col("ce"), col("ce")).as("cn"))
+    var cents = firstNCentroids(corpus, k)
     (0 until iters).foreach { _ =>
       val assigned = assignNearest(d, cents)
       cents = assigned
@@ -304,14 +303,24 @@ object Similarity {
     * recall upper bound the SkewAndStateSpec pins. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    requireSameDims(queries, corpus)
     val w = org.apache.spark.sql.expressions.Window
     val cents = centroids
+    // centroid width is guarded IN-ROW (raise_error), not by probing the
+    // centroid frame: a lazy training plan would pay a full extra
+    // evaluation for a one-row width probe, and a silent mismatch would
+    // otherwise null every cosine and assign arbitrary cells
+    def guardedCos(vecC: String, normC: String) =
+      when(size(col(vecC)) === size(col("ce")),
+        cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn")))
+        .otherwise(raise_error(concat(
+          lit("centroid dims "), size(col("ce")).cast("string"),
+          lit(" != vector dims "), size(col(vecC)).cast("string"))))
     def assign(vecs: DataFrame, idC: String, vecC: String, normC: String,
                keep: Int): DataFrame =
       vecs.crossJoin(broadcast(cents))
         .select(col(idC), col(vecC), col(normC), col("cid"),
-          cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn"))
-            .as("ccos"))
+          guardedCos(vecC, normC).as("ccos"))
         .withColumn("crank", row_number().over(
           w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
         .filter(col("crank") <= keep)

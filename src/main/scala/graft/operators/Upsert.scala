@@ -66,27 +66,40 @@ object Upsert {
                   keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** The incoming batch's distinct partition values, collected
+    * driver-side — a publish batch spans few partitions (the hours/days
+    * it covers). Only sound to collect when `incoming` is cheap to
+    * evaluate (a staging scan); see `pruneRerun` on [[upsertParquet]]. */
+  private def partitionValuesOf(incoming: DataFrame, p: String): Seq[Any] =
+    incoming.select(col(p)).distinct().collect().map(_.get(0)).toSeq
+
+  /** A sink scan pruned to the given partition values.
+    * Partition-directory values round-trip as a narrower inferred type
+    * (e.g. long 20240101 → int), so values are compared through the
+    * sink's own column type — the filter stays a pure partition
+    * predicate (`PartitionFilters: [p IN (...)]`, pinned by
+    * PlanAuditSpec). */
+  private def prunedSink(sink: DataFrame, p: String,
+                         vals: Seq[Any]): DataFrame =
+    sink.filter(col(p).isin(vals.map(v => lit(v).cast(
+      sink.schema(p).dataType)): _*))
+
   /** The sink-side key scan a re-run anti-joins against. When the sink is
     * hive-partitioned on `partitionCol`, the scan is PRUNED to the
-    * incoming batch's own partition values (collected driver-side — a
-    * publish batch spans few partitions, e.g. the hours/days it covers),
-    * so an hourly publish into a year-deep sink lists and reads only the
-    * batch's partitions instead of the whole table. This is what the
-    * reference's warehouse MERGE got from BigQuery partition pruning;
-    * here it shows up as `PartitionFilters: [id IN (...)]` on the scan
-    * (pinned by PlanAuditSpec). */
+    * incoming batch's own partition values, so an hourly publish into a
+    * year-deep sink lists and reads only the batch's partitions instead
+    * of the whole table — what the reference's warehouse MERGE got from
+    * BigQuery partition pruning.
+    *
+    * Correctness invariant: `partitionCol` MUST be one of the key
+    * columns. Pruning by a non-key column would hide existing keys that
+    * live in other partitions from the anti-join and re-runs would
+    * duplicate them (enforced in [[upsertParquet]]). */
   def sinkKeys(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
                path: String, partitionCol: Option[String]): DataFrame = {
     val sink = spark.read.parquet(path)
     val pruned = partitionCol match {
-      case Some(p) =>
-        val vals = incoming.select(col(p)).distinct().collect()
-          .map(_.get(0)).toSeq
-        // partition-directory values round-trip as a narrower inferred
-        // type (e.g. long 20240101 → int); compare through the sink's
-        // own column type so the filter stays a pure partition predicate
-        sink.filter(col(p).isin(vals.map(v => lit(v).cast(
-          sink.schema(p).dataType)): _*))
+      case Some(p) => prunedSink(sink, p, partitionValuesOf(incoming, p))
       case None => sink
     }
     pruned.select(keys.map(col): _*)
@@ -109,10 +122,23 @@ object Upsert {
     * and a 0-row *first* write removes the freshly created empty sink
     * directory.
     *
-    * `partitionCol`: hive-partition the sink by this column; re-runs then
-    * prune their anti-join to the batch's own partitions ([[sinkKeys]]).
-    * The delta is repartitioned by the column before the write so each
+    * `partitionCol`: hive-partition the sink by this column (MUST be a
+    * key column — pruning by a non-key column would hide existing keys
+    * in other partitions from the anti-join and duplicate them). The
+    * delta is repartitioned by the column before the write so each
     * partition directory gets one file per batch, not one per task.
+    * Note partition-column type narrowing on read-back: directory
+    * values are re-inferred (long 20240101 → int), so consumers of a
+    * partitioned sink should conform to the declared schema on load
+    * (see `Publish.readSink`).
+    *
+    * `pruneRerun` (only meaningful with `partitionCol`): prune the
+    * re-run's sink scan AND the before/after footer counts to the
+    * batch's own partition values. Collecting those values costs one
+    * extra evaluation of the incoming plan, so enable it when incoming
+    * is a cheap scan (the staged path) and leave it off when incoming
+    * is an expensive builder DAG (a full-sink keys-only scan is cheaper
+    * than re-running the builder).
     *
     * `preDeduped`: skip the keyed dedup when the incoming frame is
     * already unique per key — the staging-load pattern, where the
@@ -122,7 +148,11 @@ object Upsert {
                     keys: Seq[String], orderCols: Seq[String],
                     path: String, aggDedup: Boolean = false,
                     partitionCol: Option[String] = None,
-                    preDeduped: Boolean = false): Long = {
+                    preDeduped: Boolean = false,
+                    pruneRerun: Boolean = true): Long = {
+    partitionCol.foreach(p => require(keys.contains(p),
+      s"partitionCol $p must be a key column (keys=$keys): pruning by a " +
+        "non-key column would duplicate keys living in other partitions"))
     // G2: refuse write when key columns are missing from the frame
     val missing = keys.filterNot(incoming.columns.contains)
     if (missing.nonEmpty) {
@@ -140,12 +170,33 @@ object Upsert {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = fs.exists(hPath)
+    // batch partition values, collected ONCE and shared by the pruned
+    // anti-join scan and the pruned before/after counts
+    val pvals = partitionCol match {
+      case Some(p) if existed && pruneRerun =>
+        Some(p -> partitionValuesOf(deduped, p))
+      case _ => None
+    }
     val delta =
-      if (existed)
-        newRowsOnly(deduped, sinkKeys(spark, deduped, keys, path,
-          partitionCol), keys)
-      else deduped // first write: sink doesn't exist yet
-    val before = if (existed) spark.read.parquet(path).count() else 0L
+      if (existed) {
+        val sink = spark.read.parquet(path)
+        val scan = pvals match {
+          case Some((p, vs)) => prunedSink(sink, p, vs)
+          case None => sink
+        }
+        newRowsOnly(deduped, scan.select(keys.map(col): _*), keys)
+      } else deduped // first write: sink doesn't exist yet
+    // the append only writes into the batch's own partitions, so the
+    // footer-statistics counts prune to them too — a year-deep sink is
+    // never fully listed per publish
+    def sinkCount(): Long = {
+      val sink = spark.read.parquet(path)
+      (pvals match {
+        case Some((p, vs)) => prunedSink(sink, p, vs)
+        case None => sink
+      }).count()
+    }
+    val before = if (existed) sinkCount() else 0L
     partitionCol match {
       case Some(p) => delta.repartition(col(p))
         .write.mode("append").partitionBy(p).parquet(path)
@@ -153,7 +204,7 @@ object Upsert {
     }
     // an all-empty FIRST write leaves a directory with no data files —
     // unreadable as parquet, and deleted by G1 below
-    val after = try spark.read.parquet(path).count() catch {
+    val after = try sinkCount() catch {
       case _: org.apache.spark.sql.AnalysisException if !existed => 0L
     }
     val n = after - before
