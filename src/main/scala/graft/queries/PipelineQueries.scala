@@ -636,6 +636,57 @@ object PipelineQueries {
        SELECT cid, CAST(count(*) AS BIGINT) AS n_members
        FROM afin GROUP BY cid ORDER BY cid"""
 
+  // --- q69: n-gram repetition quality signals (Gopher-style) -----------
+  /** The repetition rules large-corpus filters apply (Rae et al. 2021,
+    * "Gopher", §A1.1): fraction of duplicated 2-grams / 3-grams per
+    * document, and the pass/fail gate at the paper's thresholds. All
+    * expression-level (shingle arrays + array_distinct) — zero shuffle,
+    * whole-stage codegen, one pass over the corpus. */
+  def q69Repetition(s: SparkSession, dir: String): DataFrame = {
+    def rep(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") /
+          size(g).cast("double"))
+        .otherwise(lit(0.0))
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      .select(col("doc_id"),
+        Dedup.shinglesOfTokens(col("__tk"), 2).as("__g2"),
+        Dedup.shinglesOfTokens(col("__tk"), 3).as("__g3"))
+      .select(col("doc_id"),
+        rep(col("__g2")).as("dup_2gram_frac"),
+        rep(col("__g3")).as("dup_3gram_frac"))
+      .withColumn("repetition_pass",
+        col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18)
+      .orderBy("doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (
+         SELECT doc_id,
+           CASE WHEN len(t) >= 2 THEN
+             [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+           ELSE [] END AS g2,
+           CASE WHEN len(t) >= 3 THEN
+             [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+           ELSE [] END AS g3
+         FROM tk),
+       f AS (
+         SELECT doc_id,
+           CASE WHEN len(g2) > 0 THEN
+             1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) /
+                   CAST(len(g2) AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0 THEN
+             1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) /
+                   CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac
+         FROM g)
+       SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
+              (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18)
+                AS repetition_pass
+       FROM f ORDER BY doc_id"""
+
   // --- q67: IVF serving over TRAINED centroids -------------------------
   /** The two halves of the production ANN story composed: q64's k-means
     * training (2 Lloyd iterations, k=8) produces the centroid index, and
@@ -990,6 +1041,7 @@ object PipelineQueries {
     "q63_dup_clusters" -> q63DupClusters _,
     "q64_kmeans_ivf" -> q64KmeansIvf _,
     "q67_ivf_trained" -> q67IvfTrained _,
+    "q69_repetition" -> q69Repetition _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1017,6 +1069,7 @@ object PipelineQueries {
     "q63_dup_clusters" -> q63Sql,
     "q64_kmeans_ivf" -> q64Sql,
     "q67_ivf_trained" -> q67Sql,
+    "q69_repetition" -> q69Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

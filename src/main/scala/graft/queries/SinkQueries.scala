@@ -53,6 +53,61 @@ object SinkQueries {
        ) ORDER BY table_name"""
   }
 
+  // --- q68: incremental partitioned publish ----------------------------
+  /** The hourly-publish scale story end-to-end, oracle-gated: the
+    * DelayFact batch is staged once, split by day parity, and published
+    * incrementally into a `time_id`-partitioned sink — batch 1 creates
+    * the sink, batch 2 appends only its own days (its re-run anti-join
+    * and footer counts PRUNE to batch-2 partitions, PlanAuditSpec), and
+    * re-publishing batch 2 appends nothing. Output: one row per phase
+    * with the appended-row count. */
+  def q68PublishIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_incr_")
+      .toString
+    try {
+      val m = graft.model.StarModel.delayFact
+      val conformed = graft.model.StarModel.conform(
+        StarSchema.delayFactFrame(s, dir), m.schema)
+      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
+        .write.mode("overwrite").parquet(s"$root/_staging")
+      val staged = s.read.parquet(s"$root/_staging")
+      val sink = s"$root/DelayFact"
+      def publish(batch: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.Upsert.upsertParquet(s, batch, m.keys, m.keys,
+          sink, partitionCol = Some("time_id"), preDeduped = true)
+      val n1 = publish(staged.filter(col("time_id") % 2 === 0))
+      val n2 = publish(staged.filter(col("time_id") % 2 === 1))
+      val n3 = publish(staged.filter(col("time_id") % 2 === 1))
+      import s.implicits._
+      Seq(("p1_even_days", n1), ("p2_odd_days", n2), ("p3_odd_rerun", n3))
+        .toDF("phase", "rows_appended").orderBy("phase")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  val q68Sql: String =
+    s"""WITH dfkeys AS (
+         SELECT DISTINCT time_id, weather_id, vehicle_id, line_id, stop_id
+         FROM (${StarSchema.q44Sql}))
+       SELECT * FROM (
+         SELECT 'p1_even_days' AS phase,
+                (SELECT CAST(count(*) AS BIGINT) FROM dfkeys
+                 WHERE time_id % 2 = 0) AS rows_appended
+         UNION ALL
+         SELECT 'p2_odd_days',
+                (SELECT CAST(count(*) AS BIGINT) FROM dfkeys
+                 WHERE time_id % 2 = 1)
+         UNION ALL
+         SELECT 'p3_odd_rerun', CAST(0 AS BIGINT)
+       ) ORDER BY phase"""
+
   // --- q57: weather CSV loader end-to-end ------------------------------
   def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
     CsvLoaders.weatherFromDemoCsv(s, demoDir).orderBy("id")
@@ -160,11 +215,13 @@ object SinkQueries {
     "q56_publish_idempotent" -> q56PublishIdempotent _,
     "q57_weather_csv" -> q57WeatherCsv _,
     "q58_delays_csv" -> q58DelaysCsv _,
+    "q68_publish_incremental" -> q68PublishIncremental _,
   )
 
   val oracles: Map[String, String] = Map(
     "q56_publish_idempotent" -> q56Sql,
     "q57_weather_csv" -> q57Sql,
     "q58_delays_csv" -> q58Sql,
+    "q68_publish_incremental" -> q68Sql,
   )
 }
