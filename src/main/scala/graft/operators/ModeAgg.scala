@@ -13,17 +13,21 @@ import org.apache.spark.sql.functions._
   * lexicographic struct ordering, so the Spark plan needs no window, no
   * sort and no rank filter at all.
   *
-  * Scale shape: two hash aggregations, zero sorts.
-  *   1. `groupBy(group, value).count()` — partial (map-side) + final
-  *      aggregate, shuffles only the distinct (group,value) pairs, which is
+  * Scale shape: two partial+final aggregation pairs, no window.
+  *   1. `groupBy(group, value).count()` — a true HashAggregate (long
+  *      buffer), shuffles only the distinct (group,value) pairs, which is
   *      usually orders of magnitude smaller than the input;
   *   2. `groupBy(group).agg(max(struct(freq, value)))` over that already
-  *      aggregated frame — another partial+final pair on a tiny input.
+  *      aggregated frame — plans as a SortAggregate pair (a struct
+  *      buffer is not fixed-width, so hash aggregation cannot apply),
+  *      but on the tiny distinct-pair frame, sorted only by group key
+  *      within partitions.
   * At 100 TB the expensive exchange is step 1's, and Spark's partial
   * aggregation keeps it proportional to distinct pairs, not rows; step 2
   * reduces per group to ONE struct, where the window formulation would
-  * sort each group's value list. Spark's built-in `mode()` (3.4+) lacks
-  * the deterministic value-desc tie-break, hence the explicit max-struct.
+  * range-sort every raw (group, value) row. Spark's built-in `mode()`
+  * (3.4+) lacks the deterministic value-desc tie-break, hence the
+  * explicit max-struct.
   */
 object ModeAgg {
 

@@ -163,6 +163,20 @@ class PlanAuditSpec extends SparkSpec {
       aggs.exists(_.toString.contains("partial")), "no partial aggregation")
   }
 
+  test("q69 repetition signals are one expression pass: no aggregation, " +
+      "no explode, no shuffle besides the output sort") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q69Repetition(spark, dir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.nodeName.contains("Aggregate")),
+      "per-doc n-gram stats must not aggregate")
+    assert(!all.exists(_.nodeName.contains("Generate")),
+      "n-gram arrays must stay in-row, not explode")
+    assert(!all.exists(_.nodeName.contains("Window")))
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected only the output sort, got $shuffles")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q15 buckets)") {
     val plan = executed(graft.queries.CoreQueries.q15Buckets(spark, dir))
     val s = collectAll(plan).map(_.nodeName).mkString(",")
