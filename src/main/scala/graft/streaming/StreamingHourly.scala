@@ -54,6 +54,43 @@ object StreamingHourly {
       .orderBy("hour_ts")
   }
 
+  /** Stream-stream inner self-join with watermarks on BOTH sides: pairs
+    * of same-user events in the same hour (a_id < b_id). The join
+    * carries an event-time range condition (implied by the same-hour
+    * equality, so it does not narrow the semantics) — that is what lets
+    * the state store evict rows once the watermark passes, which is the
+    * property that makes a stream-stream join runnable unbounded at
+    * scale. AvailableNow bounds this run; the spec pins
+    * streaming ≡ batch self-join. */
+  def streamStreamPairs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_pairs_${runId.incrementAndGet()}"
+    def src(): DataFrame = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val a = src()
+      .select(col("user_id"), col("event_id").as("a_id"),
+        date_trunc("hour", col("ts")).as("hour"), col("ts").as("a_ts"))
+      .filter(col("user_id") < 5)
+      .withWatermark("a_ts", "1 hour")
+    val b = src()
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        date_trunc("hour", col("ts")).as("b_hour"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") && col("hour") === col("b_hour") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("hour"), col("a_id"), col("b_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "hour", "a_id", "b_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_streaming_hourly" -> (hourlyAgg _))
 

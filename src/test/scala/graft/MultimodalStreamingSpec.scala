@@ -54,6 +54,25 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(plan.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("stream-stream watermarked self-join equals the batch self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingHourly
+      .streamStreamPairs(spark, dir).collect()
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val batch = ev.filter(col("user_id") < 5).as("a")
+      .join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.hour") === col("b.hour") &&
+          col("a.event_id") < col("b.event_id"))
+      .select(col("a.user_id"), col("a.hour"),
+        col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+      .orderBy("user_id", "hour", "a_id", "b_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming hourly agg equals the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingHourly
