@@ -43,4 +43,31 @@ class StarModelSpec extends SparkSpec {
         s"${r.getString(0)}: second run appended ${r.getLong(2)} rows")
     }
   }
+
+  test("publishAll (unstaged single-run API, pruneRerun=false path) is " +
+      "idempotent and its sinks read back under the declared schema") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_puball_").toString
+    try {
+      val first = Publish.publishAll(spark, dir, root)
+      val second = Publish.publishAll(spark, dir, root)
+      first.foreach { case (name, n) => assert(n > 0, s"$name wrote 0") }
+      second.foreach { case (name, n) =>
+        assert(n == 0, s"$name re-run appended $n") }
+      // partitioned sinks narrow partition-col types on read; readSink
+      // must restore the declared contract
+      StarModel.all.foreach { m =>
+        val back = Publish.readSink(spark, root, m)
+        assert(StarModel.structurallyEqual(back.schema, m.schema),
+          s"${m.name}: ${back.schema.treeString}")
+        assert(back.count() ==
+          first.collectFirst { case (n, c) if n == m.name => c }.get)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
