@@ -102,4 +102,14 @@ object Sources {
     spark.catalog.listTables().collect().toSeq.map(_.name).filter { t =>
       Try(spark.table(t).limit(1).collect()).isFailure
     }
+
+  /** Recursive local-path delete for scratch staging/sink directories
+    * (deepest-first, tolerant of already-missing entries). */
+  def deleteRecursively(root: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
 }

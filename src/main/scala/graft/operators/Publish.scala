@@ -80,10 +80,9 @@ object Publish {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val done = xs.map(x => Future(f(x)))
+    xs.map(x => Future(f(x)))
       .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
-    done.collectFirst { case scala.util.Failure(e) => throw e }
-    done.map(_.get)
+      .map(_.get) // rethrows the FIRST failure, after all have finished
   }
 
   /** The reference's staging load: conform + keyed dedup each builder
@@ -178,10 +177,7 @@ object Publish {
     } finally {
       // the summary is driver-side counts — the sinks are scratch and
       // would otherwise accumulate ~2× the star schema per invocation
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
-        .asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.io.Sources.deleteRecursively(root)
     }
   }
 }

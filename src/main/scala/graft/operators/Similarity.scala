@@ -309,13 +309,18 @@ object Similarity {
     // centroid width is guarded IN-ROW (raise_error), not by probing the
     // centroid frame: a lazy training plan would pay a full extra
     // evaluation for a one-row width probe, and a silent mismatch would
-    // otherwise null every cosine and assign arbitrary cells
+    // otherwise null every cosine and assign arbitrary cells. The guard
+    // fires ONLY on a genuine width conflict (both sides non-empty,
+    // different lengths) — null/empty embeddings keep their documented
+    // tolerance: null cosine, row drops out of ranking
     def guardedCos(vecC: String, normC: String) =
-      when(size(col(vecC)) === size(col("ce")),
-        cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn")))
-        .otherwise(raise_error(concat(
+      when(size(col(vecC)) > 0 && size(col("ce")) > 0 &&
+          size(col(vecC)) =!= size(col("ce")),
+        raise_error(concat(
           lit("centroid dims "), size(col("ce")).cast("string"),
           lit(" != vector dims "), size(col(vecC)).cast("string"))))
+        .otherwise(
+          cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn")))
     def assign(vecs: DataFrame, idC: String, vecC: String, normC: String,
                keep: Int): DataFrame =
       vecs.crossJoin(broadcast(cents))

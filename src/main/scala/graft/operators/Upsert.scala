@@ -78,11 +78,17 @@ object Upsert {
     * (e.g. long 20240101 → int), so values are compared through the
     * sink's own column type — the filter stays a pure partition
     * predicate (`PartitionFilters: [p IN (...)]`, pinned by
-    * PlanAuditSpec). */
+    * PlanAuditSpec). A null batch value selects the
+    * `__HIVE_DEFAULT_PARTITION__` directory explicitly (`isin` over a
+    * null matches nothing in SQL) so null-partition rows stay visible
+    * to re-run counts. */
   private def prunedSink(sink: DataFrame, p: String,
-                         vals: Seq[Any]): DataFrame =
-    sink.filter(col(p).isin(vals.map(v => lit(v).cast(
-      sink.schema(p).dataType)): _*))
+                         vals: Seq[Any]): DataFrame = {
+    val (nullVals, defined) = vals.partition(_ == null)
+    val inSet = col(p).isin(defined.map(v => lit(v).cast(
+      sink.schema(p).dataType)): _*)
+    sink.filter(if (nullVals.nonEmpty) inSet || col(p).isNull else inSet)
+  }
 
   /** The sink-side key scan a re-run anti-joins against. When the sink is
     * hive-partitioned on `partitionCol`, the scan is PRUNED to the
@@ -96,13 +102,20 @@ object Upsert {
     * live in other partitions from the anti-join and re-runs would
     * duplicate them (enforced in [[upsertParquet]]). */
   def sinkKeys(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
-               path: String, partitionCol: Option[String]): DataFrame = {
+               path: String, partitionCol: Option[String]): DataFrame =
+    sinkKeysPruned(spark, keys, path,
+      partitionCol.map(p => p -> partitionValuesOf(incoming, p)))
+
+  /** [[sinkKeys]] over PRE-collected partition values — the form
+    * [[upsertParquet]] executes, so the partition values are collected
+    * once and shared with the footer counts. */
+  def sinkKeysPruned(spark: SparkSession, keys: Seq[String], path: String,
+                     pvals: Option[(String, Seq[Any])]): DataFrame = {
     val sink = spark.read.parquet(path)
-    val pruned = partitionCol match {
-      case Some(p) => prunedSink(sink, p, partitionValuesOf(incoming, p))
+    (pvals match {
+      case Some((p, vs)) => prunedSink(sink, p, vs)
       case None => sink
-    }
-    pruned.select(keys.map(col): _*)
+    }).select(keys.map(col): _*)
   }
 
   /** Guards G1/G2 then idempotent append to a parquet path.
@@ -143,7 +156,14 @@ object Upsert {
     * `preDeduped`: skip the keyed dedup when the incoming frame is
     * already unique per key — the staging-load pattern, where the
     * staging write deduped once and every publish run from it would
-    * otherwise pay the aggregation again. */
+    * otherwise pay the aggregation again.
+    *
+    * Null KEY values follow SQL MERGE semantics, like the reference's
+    * BigQuery `MERGE ON k = k`: NULL never equi-matches, so a null-key
+    * row is re-appended by every run. Publish enforces REQUIRED
+    * non-null keys upstream ([[graft.model.StarModel]]); the appended
+    * counts stay correct either way (the pruned scans include the null
+    * partition explicitly). */
   def upsertParquet(spark: SparkSession, incoming: DataFrame,
                     keys: Seq[String], orderCols: Seq[String],
                     path: String, aggDedup: Boolean = false,
@@ -178,14 +198,9 @@ object Upsert {
       case _ => None
     }
     val delta =
-      if (existed) {
-        val sink = spark.read.parquet(path)
-        val scan = pvals match {
-          case Some((p, vs)) => prunedSink(sink, p, vs)
-          case None => sink
-        }
-        newRowsOnly(deduped, scan.select(keys.map(col): _*), keys)
-      } else deduped // first write: sink doesn't exist yet
+      if (existed)
+        newRowsOnly(deduped, sinkKeysPruned(spark, keys, path, pvals), keys)
+      else deduped // first write: sink doesn't exist yet
     // the append only writes into the batch's own partitions, so the
     // footer-statistics counts prune to them too — a year-deep sink is
     // never fully listed per publish

@@ -85,10 +85,7 @@ object SinkQueries {
       Seq(("p1_even_days", n1), ("p2_odd_days", n2), ("p3_odd_rerun", n3))
         .toDF("phase", "rows_appended").orderBy("phase")
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
-        .asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.io.Sources.deleteRecursively(root)
     }
   }
 

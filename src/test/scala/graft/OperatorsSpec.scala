@@ -75,6 +75,17 @@ class OperatorsSpec extends SparkSpec {
     assert(Upsert.upsertParquet(spark, empty, Seq("time_id", "k"),
       Seq("v"), p2, partitionCol = Some("time_id"), preDeduped = true) == 0)
     assert(!new java.io.File(p2).exists())
+    // null partition-key rows: SQL MERGE semantics (NULL never
+    // equi-matches, so the row re-appends per run) — but the appended
+    // COUNT must report it, i.e. the pruned footer counts must include
+    // the __HIVE_DEFAULT_PARTITION__ directory
+    val nb = Seq((Option.empty[Long], "z", 9.0))
+      .toDF("time_id", "k", "v")
+    assert(Upsert.upsertParquet(spark, nb, Seq("time_id", "k"), Seq("v"),
+      path, partitionCol = Some("time_id"), preDeduped = true) == 1)
+    assert(Upsert.upsertParquet(spark, nb, Seq("time_id", "k"), Seq("v"),
+      path, partitionCol = Some("time_id"), preDeduped = true) == 1)
+    assert(spark.read.parquet(path).count() == 6)
   }
 
   test("upsertParquet guards: missing key col and empty input") {

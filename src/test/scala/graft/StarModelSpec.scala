@@ -64,10 +64,7 @@ class StarModelSpec extends SparkSpec {
           first.collectFirst { case (n, c) if n == m.name => c }.get)
       }
     } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
-        .asScala.toSeq.reverseIterator
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.io.Sources.deleteRecursively(root)
     }
   }
 }
