@@ -218,12 +218,68 @@ object AnalyticsQueries {
        FROM ranked r JOIN counts USING (l_returnflag)
        GROUP BY 1 ORDER BY 1"""
 
+  // --- q70: approx percentiles with an oracle-checkable error bound ----
+  /** `percentile_approx` (Greenwald-Khanna) values aren't portable across
+    * engines — same treatment as q50's HLL: emit the EXACT discrete
+    * percentiles plus booleans asserting the sketch landed within 1% of
+    * them. accuracy=10000 bounds rank error at n/10000; on sf0.1's
+    * ~600k-row lineitem that is ~60 ranks of a dense price column —
+    * far inside 1% of value. The oracle recomputes the exact side and
+    * asserts the booleans as literal true. At 100 TB this sketch is the
+    * production path (mergeable map-side, one pass); the exact window
+    * form (q66) is the audit tool. */
+  def q70ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+    val ranked = li.withColumn("rn", row_number().over(Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val exact = ranked.join(broadcast(counts), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+          col("l_extendedprice"))).as("p50_disc"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"),
+          col("l_extendedprice"))).as("p95_disc"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_disc"), col("p95_disc"),
+        (abs(col("ap").getItem(0) - col("p50_disc")) / col("p50_disc")
+          <= 0.01).as("p50_within_1pct"),
+        (abs(col("ap").getItem(1) - col("p95_disc")) / col("p95_disc")
+          <= 0.01).as("p95_within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
+  val q70Sql: String =
+    """WITH ranked AS (
+         SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice) AS rn
+         FROM lineitem),
+       counts AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1)
+       SELECT r.l_returnflag,
+              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                       THEN l_extendedprice END) AS p50_disc,
+              max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                       THEN l_extendedprice END) AS p95_disc,
+              true AS p50_within_1pct,
+              true AS p95_within_1pct
+       FROM ranked r JOIN counts USING (l_returnflag)
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
     "q61_stream_static_join" -> q61StreamStaticJoin _,
     "q65_skew_salted_join" -> q65SkewSaltedJoin _,
     "q66_percentile_disc" -> q66PercentileDisc _,
+    "q70_approx_percentile" -> q70ApproxPercentile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +288,6 @@ object AnalyticsQueries {
     "q61_stream_static_join" -> q61Sql,
     "q65_skew_salted_join" -> q65Sql,
     "q66_percentile_disc" -> q66Sql,
+    "q70_approx_percentile" -> q70Sql,
   )
 }
