@@ -125,6 +125,32 @@ object Publish {
   def readSink(s: SparkSession, sinkRoot: String, m: TableModel): DataFrame =
     StarModel.conform(s.read.parquet(s"$sinkRoot/${m.name}"), m.schema)
 
+  /** T4: the Airflow task-retry analog (`retries=3` on the reference's
+    * publish task, `dags/idh_etl.py`). Airflow retries re-run the WHOLE
+    * task instance, and that is safe in the reference only because the
+    * MERGE is idempotent — exactly the property [[Upsert.upsertParquet]]
+    * carries here (T3), so a retry after a mid-publish failure re-runs
+    * the keyed upsert and can never double-append. Spark's own
+    * `spark.task.maxFailures` covers TASK-attempt retries below this;
+    * this wrapper is the batch-instance level above it. */
+  def withRetries[A](maxAttempts: Int, delayMs: Long = 0L)(f: () => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      try return f()
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          last = e
+          System.err.println(
+            s"[publish] attempt $attempt/$maxAttempts failed: " +
+              s"${e.getMessage}")
+          if (delayMs > 0 && attempt < maxAttempts) Thread.sleep(delayMs)
+      }
+    }
+    throw last
+  }
+
   /** One publish run: conform + dedup + upsert every table into
     * `sinkRoot/<TableName>`, straight from the builder DAGs (no staging
     * copy — the single-run form). Returns (table, rowsAppended) in table

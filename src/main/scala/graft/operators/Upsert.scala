@@ -66,6 +66,27 @@ object Upsert {
                   keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Keep the FIRST occurrence of each duplicated column name (P9 — the
+    * reference's `df.loc[:, ~df.columns.duplicated()]`,
+    * `dags/idh_etl.py:204`). In Spark duplicate names are join
+    * artifacts (`a.join(b, a("k") === b("k"))` keeps both k's) and make
+    * every by-name reference ambiguous, so the dedup selects by
+    * POSITION through a uniquified rename. Name matching is exact
+    * (case-sensitive), like pandas. No-op on clean frames. */
+  def dropDuplicateColumns(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.distinct.length == cols.length) df
+    else {
+      val tmp = cols.indices.map(i => s"__c$i")
+      val seen = scala.collection.mutable.Set.empty[String]
+      val keep = cols.zipWithIndex.collect {
+        case (c, i) if seen.add(c) => (c, i)
+      }
+      df.toDF(tmp: _*)
+        .select(keep.map { case (c, i) => col(s"__c$i").as(c) }: _*)
+    }
+  }
+
   /** The incoming batch's distinct partition values, collected
     * driver-side — a publish batch spans few partitions (the hours/days
     * it covers). Only sound to collect when `incoming` is cheap to
@@ -173,16 +194,19 @@ object Upsert {
     partitionCol.foreach(p => require(keys.contains(p),
       s"partitionCol $p must be a key column (keys=$keys): pruning by a " +
         "non-key column would duplicate keys living in other partitions"))
+    // P9 (dags/idh_etl.py:204): join-artifact duplicate column names are
+    // dropped keep-first before anything references columns by name
+    val cleaned = dropDuplicateColumns(incoming)
     // G2: refuse write when key columns are missing from the frame
-    val missing = keys.filterNot(incoming.columns.contains)
+    val missing = keys.filterNot(cleaned.columns.contains)
     if (missing.nonEmpty) {
       System.err.println(s"[upsert] missing key columns $missing — skip")
       return -1L
     }
     val deduped =
-      if (preDeduped) incoming
-      else if (aggDedup) dedupKeepFirstAgg(incoming, keys, orderCols)
-      else dedupKeepFirst(incoming, keys, orderCols)
+      if (preDeduped) cleaned
+      else if (aggDedup) dedupKeepFirstAgg(cleaned, keys, orderCols)
+      else dedupKeepFirst(cleaned, keys, orderCols)
     // first-write detection by explicit existence check, NOT by read
     // failure: a transient listing/permission/corruption error on an
     // existing sink must propagate, not silently degrade into a

@@ -88,6 +88,47 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 6)
   }
 
+  test("dropDuplicateColumns keeps the first occurrence (P9) and " +
+      "upsertParquet cleans join-artifact duplicate names") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((1, "y")).toDF("k", "w")
+    // join on expression keeps BOTH k columns — the reference's
+    // post-merge duplicated-name situation (idh_etl.py:204)
+    val joined = a.join(b, a("k") === b("k"))
+    assert(joined.columns.count(_ == "k") == 2)
+    val cleaned = Upsert.dropDuplicateColumns(joined)
+    assert(cleaned.columns.toSeq == Seq("k", "v", "w"))
+    assert(cleaned.collect().head.getInt(0) == 1)
+    // end-to-end: the dup-named frame publishes without ambiguity
+    val dir = java.nio.file.Files.createTempDirectory("upsertdup").toString
+    assert(Upsert.upsertParquet(spark, joined, Seq("k"), Seq("v"),
+      s"$dir/s") == 1)
+    assert(spark.read.parquet(s"$dir/s").columns.toSeq ==
+      Seq("k", "v", "w"))
+  }
+
+  test("withRetries re-runs a failed publish; the keyed upsert keeps it " +
+      "exactly-once (T4 over T3)") {
+    val dir = java.nio.file.Files.createTempDirectory("retry").toString
+    val batch = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    var calls = 0
+    val n = graft.operators.Publish.withRetries(3) { () =>
+      calls += 1
+      val appended = Upsert.upsertParquet(spark, batch, Seq("k"), Seq("v"),
+        s"$dir/s")
+      // simulate the reference's transient post-write failure (network,
+      // warehouse hiccup) on the first task instance
+      if (calls == 1) sys.error("transient failure after write")
+      appended
+    }
+    assert(calls == 2)
+    assert(n == 0) // retry's upsert appended nothing — MERGE idempotence
+    assert(spark.read.parquet(s"$dir/s").count() == 2) // no duplicates
+    // exhausted retries rethrow the last failure
+    intercept[RuntimeException](
+      graft.operators.Publish.withRetries(2)(() => sys.error("always")))
+  }
+
   test("upsertParquet guards: missing key col and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
     val noKey = Seq(("x", 1)).toDF("other", "v")
