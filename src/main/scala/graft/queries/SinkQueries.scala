@@ -60,7 +60,14 @@ object SinkQueries {
     * the sink, batch 2 appends only its own days (its re-run anti-join
     * and footer counts PRUNE to batch-2 partitions, PlanAuditSpec), and
     * re-publishing batch 2 appends nothing. Output: one row per phase
-    * with the appended-row count. */
+    * with the appended-row count.
+    *
+    * Cost shape (bench ~8 s at sf0.1): ~12 intentionally SEQUENTIAL
+    * Spark actions — stage (build + dedup + write), then per phase a
+    * partition-value collect, pruned before-count, anti-join + append,
+    * and pruned after-count. The phases model successive hourly runs,
+    * so they cannot overlap; per-action driver latency, not data
+    * volume, dominates at this SF. */
   def q68PublishIncremental(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(
