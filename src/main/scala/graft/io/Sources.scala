@@ -104,12 +104,23 @@ object Sources {
     }
 
   /** Recursive local-path delete for scratch staging/sink directories
-    * (deepest-first, tolerant of already-missing entries). */
-  def deleteRecursively(root: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+    * (deepest-first, tolerant of already-missing entries). Runs inside
+    * `finally` blocks, so it must never mask the primary exception: any
+    * IO failure is logged and swallowed, and the walk stream is closed
+    * deterministically (not left to GC). A failed cleanup only leaks
+    * scratch space under java.io.tmpdir. */
+  def deleteRecursively(root: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[sources] cleanup of $root failed: $e")
+    }
 }

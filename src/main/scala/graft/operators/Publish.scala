@@ -134,12 +134,15 @@ object Publish {
     * `spark.task.maxFailures` covers TASK-attempt retries below this;
     * this wrapper is the batch-instance level above it. */
   def withRetries[A](maxAttempts: Int, delayMs: Long = 0L)(f: () => A): A = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var attempt = 0
     var last: Throwable = null
     while (attempt < maxAttempts) {
       try return f()
       catch {
-        case e: Throwable =>
+        // NonFatal only: fatal VM errors, interrupts and control-flow
+        // throwables must abort immediately, not re-run a publish
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           last = e
           System.err.println(

@@ -326,6 +326,12 @@ object Similarity {
       vecs.crossJoin(broadcast(cents))
         .select(col(idC), col(vecC), col(normC), col("cid"),
           guardedCos(vecC, normC).as("ccos"))
+        // enforce the documented drop-out: a null/empty-embedding row
+        // scores null against EVERY centroid, and without this filter
+        // the (desc, cid asc) tie-break would hand it crank=1 in the
+        // lowest-cid cell — exactly the arbitrary assignment the guard
+        // exists to prevent
+        .filter(col("ccos").isNotNull)
         .withColumn("crank", row_number().over(
           w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
         .filter(col("crank") <= keep)

@@ -71,16 +71,22 @@ object Upsert {
     * `dags/idh_etl.py:204`). In Spark duplicate names are join
     * artifacts (`a.join(b, a("k") === b("k"))` keeps both k's) and make
     * every by-name reference ambiguous, so the dedup selects by
-    * POSITION through a uniquified rename. Name matching is exact
-    * (case-sensitive), like pandas. No-op on clean frames. */
+    * POSITION through a uniquified rename. Name matching follows the
+    * session's resolution semantics (`spark.sql.caseSensitive`, default
+    * false — "K" and "k" are the same ambiguous name to the analyzer,
+    * so they must dedup together). No-op on clean frames. */
   def dropDuplicateColumns(df: DataFrame): DataFrame = {
+    val caseSensitive = df.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def keyOf(c: String): String =
+      if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)
     val cols = df.columns
-    if (cols.distinct.length == cols.length) df
+    if (cols.map(keyOf).distinct.length == cols.length) df
     else {
       val tmp = cols.indices.map(i => s"__c$i")
       val seen = scala.collection.mutable.Set.empty[String]
       val keep = cols.zipWithIndex.collect {
-        case (c, i) if seen.add(c) => (c, i)
+        case (c, i) if seen.add(keyOf(c)) => (c, i)
       }
       df.toDF(tmp: _*)
         .select(keep.map { case (c, i) => col(s"__c$i").as(c) }: _*)

@@ -232,13 +232,17 @@ object AnalyticsQueries {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
+    // one aggregation computes BOTH the sketch and the group sizes —
+    // a separate counts groupBy would scan lineitem a third time
     val approx = li.groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
+        array(lit(0.5), lit(0.95)), lit(10000)).as("ap"),
+        count(lit(1)).as("n"))
     val ranked = li.withColumn("rn", row_number().over(Window
       .partitionBy("l_returnflag").orderBy("l_extendedprice")))
-    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    val exact = ranked.join(broadcast(counts), "l_returnflag")
+    val exact = ranked
+      .join(broadcast(approx.select(col("l_returnflag"), col("n"))),
+        "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
         max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
