@@ -59,6 +59,31 @@ class SkewAndStateSpec extends SparkSpec {
     assert(ivf.toSeq == bf.toSeq)
   }
 
+  test("ivfTopKWith: null/empty-embedding rows drop out of cells and " +
+      "top-k instead of landing in the lowest-cid cell") {
+    val clean = (0L until 40L).map(i =>
+      (i, Array.tabulate(64)(j => (((i * 17 + j * 3) % 23).toFloat - 11) / 11f)))
+      .toDF("vec_id", "embedding")
+    val dirty = clean.unionByName(Seq(
+        (98L, null.asInstanceOf[Array[Float]]),
+        (99L, Array.empty[Float]))
+      .toDF("vec_id", "embedding"))
+    val trained = Similarity.kmeansCentroids(clean, k = 4, iters = 1)
+    val res = Similarity.ivfTopKWith(
+      dirty.filter(col("vec_id") < 3 || col("vec_id") >= 98L),
+      dirty, trained, nProbe = 4, k = 3).collect()
+    // the degenerate rows appear as neither query nor candidate
+    assert(!res.exists(r => r.getLong(0) >= 98L || r.getLong(1) >= 98L))
+    // and the clean queries still get their full exact top-k
+    val bf = Similarity.bruteForceTopK(
+      clean.filter(col("vec_id") < 3), clean, 3)
+      .select("qid", "did", "rank").orderBy("qid", "rank").collect()
+    val got = res.sortBy(r => (r.getLong(0), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == bf.map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+  }
+
   test("mapGroupsWithState: custom per-key streaming state counts events " +
     "per user (AvailableNow)") {
     // stream the sf0.001 events through a custom stateful aggregation
