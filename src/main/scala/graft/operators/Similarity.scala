@@ -231,7 +231,11 @@ object Similarity {
     * centroids against the corpus (map-side), and the update shuffles
     * (cid, dim, value) triples — k·dims cells after partial aggregation,
     * never the vectors themselves. Returns (cid, ce, cn): quantized
-    * centroid + squared norm, served directly by [[ivfTopKWith]]. */
+    * centroid + squared norm, served directly by [[ivfTopKWith]].
+    * A cell that loses all members drops its centroid for the next
+    * iteration (the update groupBy emits no row for it) — deliberate:
+    * the oracle's SQL formulation has the identical semantics, and a
+    * keep-stale-centroid policy would diverge between engines. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val d = prep(corpus, "did", "de", "dn")
     var cents = firstNCentroids(corpus, k)
