@@ -129,6 +129,40 @@ class OperatorsSpec extends SparkSpec {
       graft.operators.Publish.withRetries(2)(() => sys.error("always")))
   }
 
+  test("compactSink rewrites a many-file partitioned sink to one file " +
+      "per partition, preserving rows and the hive layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/sink"
+    // three publishes → ≥3 files per touched partition
+    (1 to 3).foreach { b =>
+      val batch = Seq((20240101L, s"a$b", b * 1.0), (20240102L, s"b$b", b * 2.0))
+        .toDF("day", "k", "v")
+      Upsert.upsertParquet(spark, batch, Seq("day", "k"), Seq("v"), path,
+        partitionCol = Some("day"), preDeduped = true)
+    }
+    val rowsBefore = spark.read.parquet(path)
+      .orderBy("day", "k").collect().toSeq
+    val (nBefore, nAfter) = graft.operators.Compact.compactSink(spark,
+      path, partitionCol = Some("day"), targetBytes = 128L * 1024 * 1024)
+    assert(nBefore >= 6, s"expected >=6 small files, got $nBefore")
+    assert(nAfter == 2, s"expected 1 file per partition, got $nAfter")
+    // rows and layout unchanged
+    assert(spark.read.parquet(path).orderBy("day", "k").collect().toSeq
+      == rowsBefore)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("day=20240101")) &&
+      dirs.exists(_.startsWith("day=20240102")))
+    // a compacted sink is a no-op for a second compaction
+    val (b2, a2) = graft.operators.Compact.compactSink(spark, path,
+      partitionCol = Some("day"))
+    assert(b2 == 2 && a2 == 2)
+    // and the upsert path still treats it as the same sink (idempotence
+    // survives compaction)
+    val again = Seq((20240101L, "a1", 1.0)).toDF("day", "k", "v")
+    assert(Upsert.upsertParquet(spark, again, Seq("day", "k"), Seq("v"),
+      path, partitionCol = Some("day"), preDeduped = true) == 0)
+  }
+
   test("upsertParquet guards: missing key col and empty input") {
     val dir = java.nio.file.Files.createTempDirectory("upsert2").toString
     val noKey = Seq(("x", 1)).toDF("other", "v")
