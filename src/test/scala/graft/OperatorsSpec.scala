@@ -152,10 +152,20 @@ class OperatorsSpec extends SparkSpec {
     val dirs = new java.io.File(path).listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("day=20240101")) &&
       dirs.exists(_.startsWith("day=20240102")))
-    // a compacted sink is a no-op for a second compaction
+    // a compacted sink is a genuine no-op for a second compaction: same
+    // files, untouched (not merely the same count after a rewrite)
+    def fileState() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+        .asScala.filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString ->
+          java.nio.file.Files.getLastModifiedTime(f)).toMap
+    }
+    val stateBefore = fileState()
     val (b2, a2) = graft.operators.Compact.compactSink(spark, path,
       partitionCol = Some("day"))
     assert(b2 == 2 && a2 == 2)
+    assert(fileState() == stateBefore, "no-op must not rewrite files")
     // and the upsert path still treats it as the same sink (idempotence
     // survives compaction)
     val again = Seq((20240101L, "a1", 1.0)).toDF("day", "k", "v")
