@@ -105,39 +105,59 @@ object Dedup {
     * cost tracks Σ postings² per surviving shingle — inherent to exact
     * Jaccard; [[minHashCandidates]] is the sub-quadratic alternative.
     *
-    * Runs EAGERLY: the (small) result is materialized on call and the
-    * operator's internal cache is released before returning, so repeated
-    * per-shard invocations leave no block-manager residue behind. */
+    * `eager = true` (default): the result is materialized to the DRIVER
+    * on call and the operator's internal cache is released before
+    * returning — repeated per-shard invocations leave ZERO executor
+    * residue (no cache, no checkpoint blocks). Near-dup outputs are
+    * small by construction (pairs above a similarity threshold); for a
+    * corpus whose pair output may be large, or to compose further
+    * distributed transforms into the plan before execution, pass
+    * `eager = false` to get the lazy, uncached plan instead. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                   maxDocFreq: Long = Long.MaxValue,
+                   eager: Boolean = true): DataFrame = {
     // ONE wide shuffle builds the postings universe: group raw shingle
-    // rows by h, collect_set absorbing per-(sid,h) duplicates that an
+    // rows by h, the set agg absorbing per-(sid,h) duplicates that an
     // explicit distinct would have paid a second full shuffle for. The
     // df cap (and the df>=2 can-ever-pair filter below) become free
     // size(ids) predicates instead of a frequency join — measured at
     // sf0.1 this replaced distinct + freq-join + self-join (three wide
-    // exchanges plus their sorts) with this single aggregation.
-    val grouped = docShingles(df, idCol, textCol, n)
-      .groupBy("h").agg(sort_array(collect_set("sid")).as("ids"))
+    // exchanges plus their sorts) with this single aggregation. With a
+    // finite cap the set agg itself is CAPPED at cap+1 elements per key
+    // ([[graft.plans.CollectSetSortedCapped]]), so a boilerplate shingle
+    // in millions of documents can never build a multi-million-element
+    // aggregation buffer — ≤cap groups are exact, >cap groups stop
+    // accumulating the moment they are provably over the cap.
+    val postings =
+      if (maxDocFreq < Int.MaxValue)
+        graft.plans.CollectSetSortedCapped(col("sid"), maxDocFreq.toInt + 1)
+      else sort_array(collect_set("sid"))
+    val grouped0 = docShingles(df, idCol, textCol, n)
+      .groupBy("h").agg(postings.as("ids"))
       .filter(size(col("ids")) <= maxDocFreq)
       .select("ids")
-      .cache() // two consumers: sizes and pair generation
+    // two consumers (sizes and pair generation); lazy mode leaves the
+    // plan uncached — Catalyst's ReuseExchange still shares the shuffle
+    val grouped = if (eager) grouped0.cache() else grouped0
     val sizes = grouped.select(explode(col("ids")).as("sid"))
       .groupBy("sid").agg(count(lit(1)).as("n_sh"))
     // candidate pairs are generated MAP-SIDE from each posting array
     // (ids are sorted+distinct, so i<j enumerates exactly the id_a<id_b
     // pairs); per-shingle work is bounded by maxDocFreq² — the cap is
     // the scale guard that keeps one boilerplate shingle from emitting
-    // postings² rows in a single task.
+    // postings² rows in a single task. Two STREAMING Generates (posexplode
+    // then explode of the tail slice) instead of one nested
+    // flatten(transform(transform(struct))): the nested form materialized
+    // the full ≤cap²/2 struct array per hot shingle inside one row — a
+    // per-row allocation spike that at bench scale was measured as pure
+    // task-side GC (the generated rows are identical either way).
     val inter = grouped.filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(
-          slice(col("ids"), i + 2, size(col("ids")) - i - 1),
-          b => struct(element_at(col("ids"), i + 1).as("id_a"),
-            b.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2,
+          size(col("ids")) - col("i") - 1)).as("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
     val out = inter
       .join(sizes.withColumnRenamed("sid", "id_a")
@@ -149,21 +169,29 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    selfClean(out, grouped)
+    if (eager) selfClean(out, grouped) else out
   }
 
-  /** Eagerly materialize an operator's (small) output, then drop the
-    * operator's internal cache before returning — the operator cleans up
-    * after itself instead of documenting a "caller must clearCache()"
-    * footgun. Near-dup outputs are tiny by construction (pairs above a
-    * similarity threshold), so the localCheckpoint is KBs; the caches it
-    * releases are the full shingle/signature universes, whose
+  /** Eagerly materialize an operator's (small) output on the DRIVER, then
+    * drop the operator's internal cache before returning — the operator
+    * cleans up after itself instead of documenting a "caller must
+    * clearCache()" footgun. Near-dup outputs are tiny by construction
+    * (pairs above a similarity threshold), so the collect is KBs and the
+    * returned frame is a LocalRelation: unlike the localCheckpoint form
+    * this replaces, it leaves NO block-manager blocks behind at all (the
+    * checkpoint's own blocks were invisible to clearCache and lived until
+    * a driver GC), and it cannot be lost to executor failure. The caches
+    * it releases are the full shingle/signature universes, whose
     * accumulation was measured to slow a second same-session invocation
-    * 2.5× through block-manager pressure and task-side GC. */
+    * 2.5× through block-manager pressure and task-side GC. Callers with
+    * outputs too large to collect use the operators' `eager = false`
+    * path, which never calls this. */
   private def selfClean(out: DataFrame, caches: DataFrame*): DataFrame = {
-    val materialized = out.localCheckpoint(true)
+    val spark = out.sparkSession
+    val schema = out.schema
+    val rows = out.collect()
     caches.foreach(_.unpersist(blocking = false))
-    materialized
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** MinHash signatures, wide form: ONE row per document with a
@@ -206,14 +234,16 @@ object Dedup {
     * directly between the two signature arrays — no joins back into the
     * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b.
     *
-    * Runs EAGERLY like [[jaccardPairs]]: the candidate list is
-    * materialized on call and the signature cache (three consumers:
-    * bands, both sides of the estimate join) is released before
-    * returning. */
+    * Eager/lazy contract as in [[jaccardPairs]]: by default the candidate
+    * list is materialized to the driver on call and the signature cache
+    * (three consumers: bands, both sides of the estimate join) is
+    * released before returning; `eager = false` returns the lazy,
+    * uncached plan for large outputs or further composition. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numPerm: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
-      .cache()
+                        n: Int, numPerm: Int, rowsPerBand: Int,
+                        eager: Boolean = true): DataFrame = {
+    val sigs0 = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
+    val sigs = if (eager) sigs0.cache() else sigs0
     val bands = lshBands(sigs, numPerm, rowsPerBand)
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -233,7 +263,7 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numPerm)
           .as("est_jaccard"))
-    selfClean(out, sigs)
+    if (eager) selfClean(out, sigs) else out
   }
 
   /** Connected components over an undirected pair list by iterative

@@ -277,6 +277,58 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)), s"got $capped")
   }
 
+  test("self-clean contract: dedup operators leave no persistent RDDs " +
+      "and no cached plans behind") {
+    val docs = (1L to 400L).map(i =>
+      (i, (0 until 24).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 100L)
+      .count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"jaccardPairs left persistent RDDs: " +
+        s"${spark.sparkContext.getPersistentRDDs.keys}")
+    Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 4).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"minHashCandidates left persistent RDDs: " +
+        s"${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("self-clean contract: back-to-back invocations do not degrade " +
+      "(second run within 1.3x of the first)") {
+    val docs = (1L to 1500L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 13 + j * 5) % 80}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 200L)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t1 = once()
+    val t2 = once()
+    // session-residue regressions (the bug class this guards against)
+    // showed 2-2.5x degradation; 1.3x leaves JIT/GC noise headroom while
+    // still tripping on any real residue
+    assert(t2 <= t1 * 1.3,
+      f"second invocation degraded: $t1%.2f s -> $t2%.2f s")
+  }
+
+  test("jaccardPairs eager=false returns a lazy plan (caller-composable, " +
+      "same rows)") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val lazyPairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+      eager = false)
+    // lazy mode: nothing cached at build time, plan still composable
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val got = lazyPairs.filter(col("id_a") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
   test("lshTopK: self-match survives bucketing") {
     val vecs = (0L to 20L).map(i =>
       (i, Array.tabulate(64)(j => ((i * 31 + j * 7) % 13).toFloat / 13f)))
