@@ -45,9 +45,13 @@ object Bench {
         // into the gap BETWEEN queries: with a 48g heap GC fires rarely,
         // dead blocks from a heavy query pile up in the block manager and
         // their eventual mid-query eviction/cleanup burst was measured to
-        // inflate whichever query it lands on by 3-10×
+        // inflate whichever query it lands on by 3-10× (q56 back-to-back
+        // without this hygiene: 14 -> 17-28 s; with it: stable ~12 s).
+        // The sleep gives the cleaner thread room to DRAIN the reference
+        // queue the gc just filled — its removeBroadcast/removeShuffle
+        // RPCs otherwise land inside the next query's window
         System.gc()
-        Thread.sleep(200)
+        Thread.sleep(500)
         (name, if (err.isEmpty) dt else -1.0, err)
     }
     def jstr(s: String): String =

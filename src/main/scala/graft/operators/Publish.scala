@@ -75,14 +75,25 @@ object Publish {
     * even when one fails — before rethrowing the first failure. A
     * fail-fast await would leave sibling futures still writing while the
     * caller's cleanup (e.g. publishTwiceSummary's scratch delete) races
-    * them. */
-  private def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    * them.
+    *
+    * The pool is a dedicated fixed pool sized to the task count, torn
+    * down on exit: `ExecutionContext.global` sizes itself to the
+    * driver's cores, so on a small driver six blocking publish lineages
+    * would SERIALIZE (global's thread count, not the cluster, became
+    * the fan-out width) — and its threads linger after the publish. */
+  private[graft] def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.isEmpty) return Seq.empty
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    xs.map(x => Future(f(x)))
-      .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
-      .map(_.get) // rethrows the FIRST failure, after all have finished
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.length)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      xs.map(x => Future(f(x)))
+        .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
+        .map(_.get) // rethrows the FIRST failure, after all have finished
+    } finally pool.shutdown()
   }
 
   /** The reference's staging load: conform + keyed dedup each builder

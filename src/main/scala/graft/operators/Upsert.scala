@@ -145,22 +145,100 @@ object Upsert {
     }).select(keys.map(col): _*)
   }
 
+  /** Observe the committed row count of the next parquet write to `path`
+    * on this session, from the write command's OWN driver-side metrics
+    * (`BasicWriteJobStatsTracker` aggregates committed tasks only — task
+    * retries and speculative duplicates never double-count, and an
+    * AQE-collapsed empty write still reports 0). Replaces the
+    * before/after parquet-footer counts, which each re-listed the sink —
+    * on a year-deep partitioned sink two full listings per publish.
+    *
+    * Usage: `val w = watchWrite(spark, path); <write>; w.rows()`.
+    * Query-execution events arrive asynchronously on the listener bus,
+    * so `rows()` awaits the event (bounded); concurrent writes to OTHER
+    * paths on the same session are ignored by the path match. */
+  private[graft] class WriteWatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      qualified: org.apache.hadoop.fs.Path) {
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    private val n = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        // The physical write node is DataWritingCommandExec for trivial
+        // inputs, but once AQE wraps the write of a real child plan it
+        // hides inside AdaptiveSparkPlanExec -> ResultQueryStageExec,
+        // which TreeNode traversal does NOT descend into (stages are
+        // leaf nodes) — walk those wrappers explicitly. Only the
+        // EXECUTED command instance's metric objects are updated by the
+        // write's BasicWriteJobStatsTracker; the logical command on
+        // qe.optimizedPlan is a different copy whose metrics stay 0.
+        private def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          p +: kids.flatMap(deep)
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          deep(qe.executedPlan).foreach {
+            case d: org.apache.spark.sql.execution.command
+                .DataWritingCommandExec => d.cmd match {
+              case c: org.apache.spark.sql.execution.datasources
+                  .InsertIntoHadoopFsRelationCommand
+                // qualify the command's path through the SAME FileSystem
+                // before comparing: raw string compare trips on Hadoop's
+                // null-vs-empty authority ("file:/x" vs "file:///x")
+                if fs.makeQualified(c.outputPath) == qualified =>
+                  c.metrics.get("numOutputRows").foreach { m =>
+                    n.set(m.value); latch.countDown()
+                  }
+              case _ => ()
+            }
+            case _ => ()
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+    /** Committed rows of the watched write, or -1 if the event did not
+      * arrive in time (caller falls back to a footer count). */
+    def rows(timeoutSec: Long = 30L): Long = {
+      try latch.await(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      finally spark.listenerManager.unregister(listener)
+      n.get()
+    }
+  }
+
+  private[graft] def watchWrite(spark: SparkSession, path: String)
+  : WriteWatch = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new WriteWatch(spark, fs, fs.makeQualified(hPath))
+  }
+
   /** Guards G1/G2 then idempotent append to a parquet path.
     * Returns number of rows appended (−1 when skipped by a guard).
     *
     * The delta is computed and appended in ONE action — there is no
     * separate isEmpty/count/cache pass over the incoming data; at publish
     * scale the dominant cost of a multi-table loop is sequential job
-    * latency, not bytes. The appended-row count comes from parquet
-    * footer statistics (a `count()` on a parquet path is a metadata-only
-    * job) before and after the append. An earlier `Dataset.observe`
-    * formulation was abandoned: when a re-run's anti-join comes up empty
-    * at RUNTIME, AQE propagates the empty relation through the write
-    * plan and the CollectMetrics node never fires — the metadata diff is
-    * immune to plan rewrites. G1 (never create/keep an empty sink from
-    * an empty batch) holds because a 0-row append writes no data files,
-    * and a 0-row *first* write removes the freshly created empty sink
-    * directory.
+    * latency, not bytes. The appended-row count comes from the write
+    * command's own committed-task metrics ([[watchWrite]]) — no extra
+    * jobs, exact under task retries, and immune to the AQE
+    * empty-relation rewrite that silently dropped an earlier
+    * `Dataset.observe` formulation's CollectMetrics node. A parquet
+    * footer-count diff (metadata-only jobs) remains as the fallback if
+    * the listener event does not arrive. G1 (never create/keep an empty
+    * sink from an empty batch) holds because a 0-row append writes no
+    * data files, and a 0-row *first* write removes the freshly created
+    * empty sink directory.
     *
     * `partitionCol`: hive-partition the sink by this column (MUST be a
     * key column — pruning by a non-key column would hide existing keys
@@ -227,32 +305,52 @@ object Upsert {
         Some(p -> partitionValuesOf(deduped, p))
       case _ => None
     }
-    val delta =
-      if (existed)
-        newRowsOnly(deduped, sinkKeysPruned(spark, keys, path, pvals), keys)
-      else deduped // first write: sink doesn't exist yet
-    // the append only writes into the batch's own partitions, so the
-    // footer-statistics counts prune to them too — a year-deep sink is
-    // never fully listed per publish
-    def sinkCount(): Long = {
-      val sink = spark.read.parquet(path)
-      (pvals match {
-        case Some((p, vs)) => prunedSink(sink, p, vs)
-        case None => sink
-      }).count()
+    // ONE sink read when the sink exists: its (possibly pruned) file
+    // index is shared by the anti-join keys scan and — because an
+    // InMemoryFileIndex is frozen at read time, so it keeps seeing only
+    // the PRE-append files even after the append — by the fallback
+    // before-count. The old shape re-listed the sink three times per
+    // publish (keys scan, before count, after count); on a year-deep
+    // partitioned sink each listing is its own driver latency.
+    val existedSink: Option[DataFrame] =
+      if (existed) {
+        val s = spark.read.parquet(path)
+        Some(pvals match {
+          case Some((p, vs)) => prunedSink(s, p, vs)
+          case None => s
+        })
+      } else None
+    val delta = existedSink match {
+      case Some(s) => newRowsOnly(deduped, s.select(keys.map(col): _*), keys)
+      case None => deduped // first write: sink doesn't exist yet
     }
-    val before = if (existed) sinkCount() else 0L
+    // appended-row count from the write command's own committed-task
+    // metrics — zero extra jobs; the footer-count pair this replaces is
+    // kept as the fallback should the listener event not arrive
+    val watch = watchWrite(spark, path)
     partitionCol match {
       case Some(p) => delta.repartition(col(p))
         .write.mode("append").partitionBy(p).parquet(path)
       case None => delta.write.mode("append").parquet(path)
     }
-    // an all-empty FIRST write leaves a directory with no data files —
-    // unreadable as parquet, and deleted by G1 below
-    val after = try sinkCount() catch {
-      case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+    var n = watch.rows()
+    if (n < 0) {
+      System.err.println(s"[upsert] write metrics for $path did not " +
+        "arrive — falling back to parquet footer counts")
+      val before = existedSink.map(_.count()).getOrElse(0L) // frozen index
+      val after = try {
+        val sink = spark.read.parquet(path)
+        (pvals match {
+          case Some((p, vs)) => prunedSink(sink, p, vs)
+          case None => sink
+        }).count()
+      } catch {
+        // an all-empty FIRST write leaves a directory with no data
+        // files — unreadable as parquet, and deleted by G1 below
+        case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+      }
+      n = after - before
     }
-    val n = after - before
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n
   }

@@ -44,6 +44,32 @@ class StarModelSpec extends SparkSpec {
     }
   }
 
+  test("concurrently starts every task at once (pool sized to the task " +
+      "count, not the driver's cores)") {
+    // all six parties must be inside f simultaneously for the barrier to
+    // release; a pool narrower than the task count deadlocks -> timeout
+    val barrier = new java.util.concurrent.CyclicBarrier(6)
+    val got = Publish.concurrently(1 to 6) { i =>
+      barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      i * 2
+    }
+    assert(got == (1 to 6).map(_ * 2))
+  }
+
+  test("publishTwiceSummary back-to-back: second invocation within 1.3x " +
+      "of the first (no session residue)") {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Publish.publishTwiceSummary(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // discard the cold run (plan compilation dominates it)
+    val t1 = once()
+    val t2 = once()
+    assert(t2 <= t1 * 1.3,
+      f"publish degraded across invocations: $t1%.2f s -> $t2%.2f s")
+  }
+
   test("publishAll (unstaged single-run API, pruneRerun=false path) is " +
       "idempotent and its sinks read back under the declared schema") {
     val root = java.nio.file.Files
