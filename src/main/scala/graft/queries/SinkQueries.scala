@@ -112,6 +112,73 @@ object SinkQueries {
          SELECT 'p3_odd_rerun', CAST(0 AS BIGINT)
        ) ORDER BY phase"""
 
+  // --- q71: small-file compaction end-to-end ---------------------------
+  /** The maintenance flow an hourly partitioned publish eventually
+    * needs, oracle-gated: three batches append into a `time_id`-
+    * partitioned DelayFact sink (one file per touched partition per
+    * batch — the reference's hourly-append small-file generator,
+    * `dags/idh_etl.py:236-259`), [[graft.operators.Compact.compactSink]]
+    * rewrites it to one file per partition, and a full re-publish after
+    * the rewrite appends nothing — compaction preserved every row.
+    *
+    * Output (one row): files_before = Σ per batch of touched partitions,
+    * files_after = partition count, rows_total = distinct keys in the
+    * window, rerun_appended = 0. All four are exactly computable by the
+    * DuckDB oracle: a batch writes exactly one file into each partition
+    * it has rows for (`repartition(col(p))` routes a partition value to
+    * one task; the writer opens one file per directory), and the
+    * compaction target for tiny partitions is one file per directory.
+    * The three batches split the staged (unique-key) rows on
+    * `abs(delay_mins) % 3` — engine-identical arithmetic, disjoint by
+    * construction. */
+  def q71CompactSink(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_compact_")
+      .toString
+    try {
+      val m = graft.model.StarModel.delayFact
+      val conformed = graft.model.StarModel.conform(
+        StarSchema.delayFactFrame(s, dir), m.schema)
+        .filter(col("time_id") < 2024010400L) // days 1-3: 72 partitions
+      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
+        .write.mode("overwrite").parquet(s"$root/_staging")
+      val staged = s.read.parquet(s"$root/_staging")
+      val sink = s"$root/DelayFact"
+      def publish(batch: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.Upsert.upsertParquet(s, batch, m.keys, m.keys,
+          sink, partitionCol = Some("time_id"), preDeduped = true)
+      (0 to 2).foreach(i =>
+        publish(staged.filter(abs(col("delay_mins")) % 3 === i)))
+      val (filesBefore, filesAfter) = graft.operators.Compact.compactSink(
+        s, sink, partitionCol = Some("time_id"))
+      val rerun = publish(staged) // compaction lost nothing -> 0 appended
+      val rowsTotal = staged.count()
+      import s.implicits._
+      Seq((filesBefore, filesAfter, rowsTotal, rerun))
+        .toDF("files_before", "files_after", "rows_total", "rerun_appended")
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q71Sql: String =
+    s"""WITH dfkeys AS (
+         SELECT time_id, weather_id, vehicle_id, line_id, stop_id,
+                min(delay_mins) AS delay_mins
+         FROM (${StarSchema.q44Sql})
+         WHERE time_id < 2024010400
+         GROUP BY 1, 2, 3, 4, 5)
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT DISTINCT time_id, abs(delay_mins) % 3 FROM dfkeys))
+           AS files_before,
+         (SELECT CAST(count(DISTINCT time_id) AS BIGINT) FROM dfkeys)
+           AS files_after,
+         (SELECT CAST(count(*) AS BIGINT) FROM dfkeys) AS rows_total,
+         CAST(0 AS BIGINT) AS rerun_appended"""
+
   // --- q57: weather CSV loader end-to-end ------------------------------
   def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
     CsvLoaders.weatherFromDemoCsv(s, demoDir).orderBy("id")
@@ -220,6 +287,7 @@ object SinkQueries {
     "q57_weather_csv" -> q57WeatherCsv _,
     "q58_delays_csv" -> q58DelaysCsv _,
     "q68_publish_incremental" -> q68PublishIncremental _,
+    "q71_compact_sink" -> q71CompactSink _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +295,6 @@ object SinkQueries {
     "q57_weather_csv" -> q57Sql,
     "q58_delays_csv" -> q58Sql,
     "q68_publish_incremental" -> q68Sql,
+    "q71_compact_sink" -> q71Sql,
   )
 }
