@@ -50,13 +50,18 @@ object Multimodal {
     (n % 640, n % 480, (n % 3000) / 10.0)
   }
 
-  /** The production decode hook. Images decode through the JVM's own
-    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK — no external
-    * codecs needed): (width, height, duration=0). Audio/video need a
-    * codec this container does not ship (ffmpeg/JNI in a real
-    * deployment, same signature, everything around it — schema,
-    * partitioning, batching — unchanged); until then they fail loudly
-    * rather than fake a duration. */
+  /** The production decode hook, all pure-JVM codecs:
+    *
+    *   - images via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
+    *     JDK): (width, height, duration = 0);
+    *   - audio via `javax.sound.sampled` (WAV/RIFF, AIFF, AU ship with
+    *     the JDK): (channels, sample_rate_hz, duration_s) — the two int
+    *     feature slots carry channel count and sample rate, documented
+    *     on [[MediaFeatures]]'s producers;
+    *   - video needs a codec this container does not ship (ffmpeg/JNI
+    *     in a real deployment, same signature, everything around it —
+    *     schema, partitioning, batching — unchanged); until then it
+    *     fails loudly rather than fake a duration. */
   def realDecode(mime: String, payload: Array[Byte]): (Int, Int, Double) =
     mime match {
       case m if m.startsWith("image/") =>
@@ -66,10 +71,23 @@ object Multimodal {
           throw new IllegalArgumentException(
             s"undecodable $mime payload (${payload.length} bytes)")
         (img.getWidth, img.getHeight, 0.0)
+      case m if m.startsWith("audio/") =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val dur =
+            if (fmt.getFrameRate > 0 && frames >= 0)
+              frames / fmt.getFrameRate.toDouble
+            else 0.0
+          (fmt.getChannels, fmt.getSampleRate.toInt, dur)
+        } finally in.close()
       case other =>
         throw new UnsupportedOperationException(
-          s"no $other codec in this environment — audio/video decode " +
-            "needs ffmpeg/JNI; images decode via javax.imageio")
+          s"no $other codec in this environment — video decode needs " +
+            "ffmpeg/JNI; images decode via javax.imageio, audio via " +
+            "javax.sound.sampled")
     }
 
   /** [[realDecode]] as the payload-only function [[extractFeatures]]

@@ -38,11 +38,44 @@ class MultimodalStreamingSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, Multimodal.realImageDecode)
       .collect().head
     assert(f.width == 7 && f.height == 5 && f.n_bytes == png.length)
-    // no audio codec ships with the JVM: fail loudly, don't fake
+    // no video codec ships with the JVM: fail loudly, don't fake
     intercept[UnsupportedOperationException](
-      Multimodal.realDecode("audio/wav", png))
+      Multimodal.realDecode("video/mp4", png))
     intercept[IllegalArgumentException](
       Multimodal.realDecode("image/png", Array[Byte](1, 2, 3)))
+  }
+
+  test("multimodal: realDecode parses a real WAV via javax.sound.sampled " +
+    "(channels, sample rate, duration), end-to-end through the batch stage") {
+    // synthesize 0.25 s of mono 16-bit PCM at 8 kHz and wrap it in a
+    // RIFF/WAVE container with the JDK's own writer
+    val rate = 8000f
+    val frames = 2000 // 2000 frames / 8000 Hz = 0.25 s
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      val s = (math.sin(i * 0.1) * 3000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // direct decode: (channels, sample rate, duration)
+    assert(Multimodal.realDecode("audio/wav", wav) == (1, 8000, 0.25))
+    // through the Dataset mapPartitions stage with the real decoder
+    val media = Seq(MediaRecord(7L, "audio/wav", wav)).toDS()
+    val f = Multimodal.extractFeatures(media,
+        p => Multimodal.realDecode("audio/wav", p))
+      .collect().head
+    assert(f.width == 1 && f.height == 8000 && f.duration_s == 0.25 &&
+      f.n_bytes == wav.length)
+    // garbage bytes are not silently accepted as audio
+    intercept[Exception](
+      Multimodal.realDecode("audio/wav", Array[Byte](1, 2, 3, 4)))
   }
 
   test("multimodal: frame sample plan fans out only video rows") {
