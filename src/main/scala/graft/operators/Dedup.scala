@@ -83,7 +83,11 @@ object Dedup {
     * (sid, h) rows inside their own single aggregation (`collect_set` in
     * [[jaccardPairs]]; `min` in [[minHashSignatures]], which is
     * duplicate-insensitive), so a separate distinct would add a full
-    * extra shuffle of every shingle occurrence for nothing. */
+    * extra shuffle of every shingle occurrence for nothing. Measured
+    * cost of the trade (sf0.1): the MinHash path pays ~0.5 s of extra
+    * map-side multiply-adds re-hashing duplicate occurrences (q27
+    * 2.3 → 2.8 s) — at corpus scale the saved shuffle wins, since
+    * shuffle volume, not per-row CPU, is the 100 TB bottleneck. */
   def docShingles(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
     // tokenize ONCE per document in the projection below the Generate —

