@@ -223,6 +223,52 @@ object Upsert {
     new WriteWatch(spark, fs, fs.makeQualified(hPath))
   }
 
+  /** Partition-REPLACING upsert — the `MERGE … WHEN MATCHED THEN UPDATE`
+    * analog at partition granularity, the half of MERGE the reference's
+    * insert-only publish never needed. The incoming batch (deduped on
+    * the keys) dynamically overwrites ONLY the partitions it has rows
+    * for; every other partition is untouched. This is how a re-statement
+    * (late data, corrected upstream feed) lands on an append-only
+    * parquet warehouse without read-modify-write of the whole table:
+    * at 100 TB the rewrite cost is the touched partitions, not the sink.
+    *
+    * The dynamic mode is set as a per-write OPTION, so the session
+    * default (`static`, which would truncate the whole table) is never
+    * changed globally. Returns rows written, from the same committed-
+    * task metrics as [[upsertParquet]]. `partitionCol` need not be a key
+    * here — replacement is by partition, not by key — but the batch
+    * must carry COMPLETE partitions (everything a touched partition
+    * should contain afterwards), which is the contract re-statement
+    * feeds naturally satisfy. */
+  def replacePartitionsParquet(spark: SparkSession, incoming: DataFrame,
+                               keys: Seq[String], orderCols: Seq[String],
+                               path: String, partitionCol: String,
+                               preDeduped: Boolean = false): Long = {
+    val cleaned = dropDuplicateColumns(incoming)
+    val missing = (keys :+ partitionCol).distinct
+      .filterNot(cleaned.columns.contains)
+    if (missing.nonEmpty) {
+      System.err.println(s"[replace] missing columns $missing — skip")
+      return -1L
+    }
+    val deduped =
+      if (preDeduped) cleaned
+      else dedupKeepFirstAgg(cleaned, keys, orderCols)
+    val watch = watchWrite(spark, path)
+    deduped.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    val n = watch.rows()
+    if (n < 0) {
+      System.err.println(s"[replace] write metrics for $path did not " +
+        "arrive — returning deduped batch count")
+      return deduped.count()
+    }
+    n
+  }
+
   /** Guards G1/G2 then idempotent append to a parquet path.
     * Returns number of rows appended (−1 when skipped by a guard).
     *

@@ -140,7 +140,9 @@ object SinkQueries {
       val m = graft.model.StarModel.delayFact
       val conformed = graft.model.StarModel.conform(
         StarSchema.delayFactFrame(s, dir), m.schema)
-        .filter(col("time_id") < 2024010400L) // days 1-3: 72 partitions
+        // time_id is the DAY-granular yyyyMMdd key (F6); ten days of the
+        // window → ten sink partitions, 30 files before, 10 after
+        .filter(col("time_id") < 20240111L)
       val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
       graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
         .write.mode("overwrite").parquet(s"$root/_staging")
@@ -168,7 +170,7 @@ object SinkQueries {
          SELECT time_id, weather_id, vehicle_id, line_id, stop_id,
                 min(delay_mins) AS delay_mins
          FROM (${StarSchema.q44Sql})
-         WHERE time_id < 2024010400
+         WHERE time_id < 20240111
          GROUP BY 1, 2, 3, 4, 5)
        SELECT
          (SELECT CAST(count(*) AS BIGINT) FROM
@@ -178,6 +180,74 @@ object SinkQueries {
            AS files_after,
          (SELECT CAST(count(*) AS BIGINT) FROM dfkeys) AS rows_total,
          CAST(0 AS BIGINT) AS rerun_appended"""
+
+  // --- q72: partition-replacing upsert (MERGE UPDATE analog) -----------
+  /** The re-statement flow the insert-only reference cannot express:
+    * publish days 1-3 of the DelayFact window, then re-state days 2-4
+    * with corrected values (delay_mins + 100) via
+    * [[graft.operators.Upsert.replacePartitionsParquet]] — dynamic
+    * partition overwrite replaces ONLY the partitions the batch
+    * carries. Day 1 keeps v1 values, days 2-4 carry v2; nothing else is
+    * touched. Output: per-day row count and delay sum of the final
+    * sink — exactly predictable by the oracle. */
+  def q72ReplacePartitions(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_replace_")
+      .toString
+    try {
+      val m = graft.model.StarModel.delayFact
+      val conformed = graft.model.StarModel.conform(
+        StarSchema.delayFactFrame(s, dir), m.schema)
+        // time_id is already the DAY-granular yyyyMMdd key (F6) — it IS
+        // the partition column; days 1-4 of the window
+        .filter(col("time_id") < 20240105L)
+      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
+      graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
+        .write.mode("overwrite").parquet(s"$root/_staging")
+      val staged = s.read.parquet(s"$root/_staging")
+      val sink = s"$root/DelayFact"
+      // v1: days 1-3
+      graft.operators.Upsert.upsertParquet(s,
+        staged.filter(col("time_id") < 20240104L),
+        m.keys, m.keys, sink, partitionCol = Some("time_id"),
+        preDeduped = true)
+      // v2 re-statement: days 2-4, corrected values — complete
+      // partitions, so the replace contract holds
+      graft.operators.Upsert.replacePartitionsParquet(s,
+        staged.filter(col("time_id") >= 20240102L)
+          .withColumn("delay_mins", col("delay_mins") + 100L),
+        m.keys, m.keys, sink, partitionCol = "time_id",
+        preDeduped = true)
+      // materialize BEFORE the finally deletes the scratch sink — a lazy
+      // plan over the temp files would read them after deletion
+      val out = s.read.parquet(sink)
+        .groupBy(col("time_id").cast("long").as("time_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("delay_mins")).as("delay_sum"))
+        .orderBy("time_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q72Sql: String =
+    s"""WITH dfkeys AS (
+         SELECT time_id, weather_id, vehicle_id, line_id, stop_id,
+                min(delay_mins) AS delay_mins
+         FROM (${StarSchema.q44Sql})
+         WHERE time_id < 20240105
+         GROUP BY 1, 2, 3, 4, 5),
+       final AS (
+         SELECT time_id,
+                CASE WHEN time_id >= 20240102 THEN delay_mins + 100
+                     ELSE delay_mins END AS delay_mins
+         FROM dfkeys)
+       SELECT time_id, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(delay_mins) AS BIGINT) AS delay_sum
+       FROM final GROUP BY time_id ORDER BY time_id"""
 
   // --- q57: weather CSV loader end-to-end ------------------------------
   def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
@@ -288,6 +358,7 @@ object SinkQueries {
     "q58_delays_csv" -> q58DelaysCsv _,
     "q68_publish_incremental" -> q68PublishIncremental _,
     "q71_compact_sink" -> q71CompactSink _,
+    "q72_replace_partitions" -> q72ReplacePartitions _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +367,6 @@ object SinkQueries {
     "q58_delays_csv" -> q58Sql,
     "q68_publish_incremental" -> q68Sql,
     "q71_compact_sink" -> q71Sql,
+    "q72_replace_partitions" -> q72Sql,
   )
 }
