@@ -17,6 +17,42 @@ import org.apache.spark.sql.SparkSession
   * speedups).
   */
 object Bench {
+  /** JVM/JIT warmup beyond the arithmetic-only range probe: exercise the
+    * parquet WRITE pipeline (InternalParquetRecordWriter, snappy,
+    * dynamic-partition sort writer), the broadcast anti-join and the
+    * struct-min aggregation on a tiny synthetic frame, then discard it.
+    *
+    * Why: the write machinery is touched by only a handful of queries
+    * (q22/q56/q68/q71/q72) and each runs ONCE in the bench, so the first
+    * of them always paid the interpreter/C1 cost of the whole write
+    * stack — profiled on q56 as 69 s of cold task time vs 15 s warm for
+    * the identical 217 tasks. Scans, shuffles and codegen'd expressions
+    * are warmed by the early read-only queries; writes never were. */
+  def warmupWrites(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bench_warm_")
+    val root = dir.toString
+    try {
+      val df = spark.range(100000).select(
+        col("id"),
+        (col("id") % 24).as("p"),
+        concat(lit("w"), (col("id") % 997).cast("string")).as("s"),
+        (col("id") * 7 % 1000).cast("double").as("v"))
+      df.repartition(col("p")).write.mode("overwrite")
+        .partitionBy("p").parquet(s"$root/part")
+      df.write.mode("overwrite").parquet(s"$root/flat")
+      val back = spark.read.parquet(s"$root/flat")
+      // struct-min keyed dedup + broadcast left-anti + append: the
+      // publish path's exact operator mix, on throwaway data
+      val deduped = graft.operators.Upsert.dedupKeepFirstAgg(
+        back, Seq("s"), Seq("id"))
+      deduped.join(spark.read.parquet(s"$root/part").select("s"),
+          Seq("s"), "left_anti")
+        .write.mode("append").parquet(s"$root/flat")
+      spark.catalog.clearCache()
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,6 +67,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    warmupWrites(spark) // write-pipeline warmup (see scaladoc)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -97,20 +97,47 @@ object Publish {
   }
 
   /** The reference's staging load: conform + keyed dedup each builder
-    * output ONCE, written to `stagingRoot/<TableName>` parquet. Returns
-    * the models in table order. Runs concurrently (T5). */
+    * output ONCE, written to `stagingRoot/<TableName>` parquet **in the
+    * sink's exact layout** — the time-keyed tables are staged
+    * hive-partitioned on their sink partition column. Returns the
+    * models in table order. Runs concurrently (T5).
+    *
+    * Staging in sink layout is what makes [[publishStaged]]'s promotion
+    * fast path possible: a first publish into a nonexistent sink then
+    * COPIES the staged files instead of re-reading, re-shuffling and
+    * re-encoding the whole batch — at warehouse scale that is the
+    * difference between a metadata-style commit of already-encoded
+    * files and rewriting the batch's full byte volume a second time. */
+  /** A staged batch: its table model plus the row count the staging
+    * write itself reported (committed-task metrics — no extra job). */
+  final case class StagedBatch(model: TableModel, rows: Long)
+
   def stageAll(s: SparkSession, dir: String, stagingRoot: String)
-  : Seq[TableModel] =
+  : Seq[StagedBatch] =
     concurrently(builders(s, dir)) { case (m, df) =>
       val conformed = StarModel.conform(df, m.schema)
       val orderCols = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
       // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
       // nearly-unique composite key) dedup as one partial+final
       // aggregation instead of a window sort over every key partition
-      Upsert.dedupKeepFirstAgg(conformed, m.keys,
-          if (orderCols.nonEmpty) orderCols else m.keys)
-        .write.mode("overwrite").parquet(s"$stagingRoot/${m.name}")
-      m
+      val deduped = Upsert.dedupKeepFirstAgg(conformed, m.keys,
+        if (orderCols.nonEmpty) orderCols else m.keys)
+      val path = s"$stagingRoot/${m.name}"
+      val watch = Upsert.watchWrite(s, path)
+      partitionColOf(m) match {
+        case Some(p) =>
+          // repartition on the partition column first: one file per
+          // partition directory, not one per task per directory
+          import org.apache.spark.sql.functions.col
+          deduped.repartition(col(p))
+            .write.mode("overwrite").partitionBy(p).parquet(path)
+        case None =>
+          deduped.write.mode("overwrite").parquet(path)
+      }
+      val n = watch.rows()
+      // metrics event missed (never observed in practice): fall back to
+      // one footer count rather than report an unknown batch size
+      StagedBatch(m, if (n >= 0) n else s.read.parquet(path).count())
     }
 
   /** One publish run from a staged batch: left-anti + append every table
@@ -118,14 +145,42 @@ object Publish {
     * order. The staging scan is already unique per key (`preDeduped`)
     * and cheap to re-evaluate, so re-runs prune both the sink scan and
     * the footer counts to the batch's partitions (`pruneRerun`). */
-  def publishStaged(s: SparkSession, models: Seq[TableModel],
+  def publishStaged(s: SparkSession, staged: Seq[StagedBatch],
                     stagingRoot: String, sinkRoot: String)
   : Seq[(String, Long)] =
-    concurrently(models) { m =>
-      val staged = s.read.parquet(s"$stagingRoot/${m.name}")
-      m.name -> Upsert.upsertParquet(s, staged, m.keys, m.keys,
-        s"$sinkRoot/${m.name}", partitionCol = partitionColOf(m),
-        preDeduped = true)
+    concurrently(staged) { sb =>
+      val m = sb.model
+      val stagingPath = s"$stagingRoot/${m.name}"
+      val sinkPath = s"$sinkRoot/${m.name}"
+      val hSink = new org.apache.hadoop.fs.Path(sinkPath)
+      val fs = hSink.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hSink)) {
+        // promotion fast path: the sink does not exist, and stageAll
+        // wrote the staged batch deduped, conformed and in the sink's
+        // exact partition layout — so the first publish is a file
+        // PROMOTION (copy of already-encoded parquet), not a re-read +
+        // re-shuffle + re-encode of the batch. The upsert result is
+        // byte-identical: against an empty sink the anti-join passes
+        // everything through. The row count is the staging write's own
+        // committed metric — zero extra jobs; an all-empty batch never
+        // creates an empty sink (G1).
+        if (sb.rows == 0L) m.name -> 0L
+        else {
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(stagingPath), fs, hSink,
+            false, false, s.sparkContext.hadoopConfiguration)
+          m.name -> sb.rows
+        }
+      } else {
+        // re-run / incremental path: conform restores the declared
+        // partition-column type (directory values re-infer narrower)
+        // before the keyed anti-join against the existing sink
+        val batch = StarModel.conform(
+          s.read.parquet(stagingPath), m.schema)
+        m.name -> Upsert.upsertParquet(s, batch, m.keys, m.keys,
+          sinkPath, partitionCol = partitionColOf(m),
+          preDeduped = true)
+      }
     }
 
   /** Read a published sink back under its DECLARED schema. Partitioned

@@ -687,6 +687,92 @@ object PipelineQueries {
                 AS repetition_pass
        FROM f ORDER BY doc_id"""
 
+  // --- q73: train/benchmark decontamination ----------------------------
+  /** Benchmark decontamination — the n-gram-collision filter every
+    * serious training corpus runs before training (the 13-gram overlap
+    * rule of Brown et al. 2020 "GPT-3" §C / Raffel et al. 2020 "C4";
+    * 5-grams here, sized to the synthetic docs): documents from one
+    * held-out source (`src0`) play the benchmark set, and every OTHER
+    * document is flagged with the number of distinct token 5-grams it
+    * shares with any benchmark document.
+    *
+    * Scale shape: a benchmark suite is tiny next to a 100 TB training
+    * corpus, so its distinct gram set BROADCASTS — the training side
+    * streams through one broadcast hash join and aggregates per doc; no
+    * shuffle of the corpus's gram stream, no all-pairs comparison. */
+  def q73Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("__tk"))
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shinglesOfTokens(col("__tk"), 5)).as("g"))
+    val bench = grams.filter(col("source") === "src0")
+      .select("g").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH tk AS (
+         SELECT doc_id, source, string_split(text, ' ') AS t
+         FROM documents),
+       grams AS (
+         SELECT doc_id, source, g
+         FROM (SELECT doc_id, source,
+                 CASE WHEN len(t) >= 5 THEN
+                   [array_to_string(t[i:i+4], ' ')
+                    for i in range(1, len(t) - 3)]
+                 ELSE [] END AS gs
+               FROM tk), unnest(gs) AS u(g)),
+       bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+       SELECT gr.doc_id,
+              CAST(count(DISTINCT gr.g) AS BIGINT) AS n_shared_grams
+       FROM grams gr JOIN bench b USING (g)
+       WHERE gr.source <> 'src0'
+       GROUP BY gr.doc_id ORDER BY gr.doc_id"""
+
+  // --- q74: per-source quota sampling ----------------------------------
+  /** Domain-contribution capping — no single source may contribute more
+    * than K documents (the per-domain quota rule corpus mixers apply so
+    * one crawl domain cannot dominate the training mix). Selection is
+    * deterministic: rank docs within each source by a 60-bit content
+    * hash of their id ([[Dedup.hash60]] — engine-identical, re-run
+    * stable) and keep the first K.
+    *
+    * Scale shape: `row_number <= K` over a partitioned window compiles
+    * to WindowGroupLimit in Spark 4 — each map task keeps only its own
+    * top-K per source BEFORE the exchange, so the shuffle carries
+    * O(sources × K) rows, not the corpus. */
+  def q74QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(Dedup.hash60(col("doc_id").cast("string")).asc,
+        col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val q74Sql: String =
+    """WITH ranked AS (
+         SELECT source, n_chars, row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT, doc_id) AS rk
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       FROM ranked WHERE rk <= 20
+       GROUP BY source ORDER BY source"""
+
   // --- q67: IVF serving over TRAINED centroids -------------------------
   /** The two halves of the production ANN story composed: q64's k-means
     * training (2 Lloyd iterations, k=8) produces the centroid index, and
@@ -1042,6 +1128,8 @@ object PipelineQueries {
     "q64_kmeans_ivf" -> q64KmeansIvf _,
     "q67_ivf_trained" -> q67IvfTrained _,
     "q69_repetition" -> q69Repetition _,
+    "q73_decontaminate" -> q73Decontaminate _,
+    "q74_quota_sample" -> q74QuotaSample _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1070,6 +1158,8 @@ object PipelineQueries {
     "q64_kmeans_ivf" -> q64Sql,
     "q67_ivf_trained" -> q67Sql,
     "q69_repetition" -> q69Sql,
+    "q73_decontaminate" -> q73Sql,
+    "q74_quota_sample" -> q74Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

@@ -116,6 +116,7 @@ object Profile {
     }
 
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+    if (bench) graft.Bench.warmupWrites(spark) // match the bench env
     val run = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted
               else names
     run.foreach { name =>

@@ -66,7 +66,7 @@ object ProfilePublish {
       Publish.publishStaged(spark, models, s"$root/_staging", s"$root/sink"))
     println(s"[pp] rows1=${r1.map(_._2).sum} rows2=${r2.map(_._2).sum}")
     val r3 = time("publishStaged run3 (SEQUENTIAL)") {
-      models.map { m =>
+      models.map(_.model).map { m =>
         val staged = spark.read.parquet(s"$root/_staging/${m.name}")
         m.name -> Upsert.upsertParquet(spark, staged, m.keys, m.keys,
           s"$root/sink/${m.name}",

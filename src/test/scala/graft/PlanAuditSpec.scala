@@ -103,6 +103,28 @@ class PlanAuditSpec extends SparkSpec {
       s"rank-filter pushdown missing: $nodes")
   }
 
+  test("q74 quota sampling reduces map-side: row_number <= K compiles " +
+      "to WindowGroupLimit before the exchange, so the shuffle carries " +
+      "O(sources × K) rows, not the corpus") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q74QuotaSample(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: $nodes")
+  }
+
+  test("q73 decontamination broadcasts the benchmark gram set: the " +
+      "corpus gram stream joins as the streamed side of a broadcast " +
+      "hash join — no shuffle of the training side's grams") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q73Decontaminate(spark, dir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"expected BroadcastHashJoin: ${all.map(_.nodeName)}")
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "benchmark join degraded to SortMergeJoin")
+  }
+
   test("publish re-run prunes the sink scan to the incoming batch's " +
       "partitions (PartitionFilters on the anti-join's sink side)") {
     import spark.implicits._
