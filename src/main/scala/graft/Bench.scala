@@ -68,6 +68,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
     warmupWrites(spark) // write-pipeline warmup (see scaladoc)
+    // JMH-style shape warmup: run EVERY query once at the smallest SF,
+    // untimed, so each query's generated classes are loaded and
+    // JIT-compiled before anything is measured. Without this, whichever
+    // query first exercises a codegen shape is billed its one-time
+    // interpreter/C1/C2 cost — profiled on q26 as 196 s of task time on
+    // the first in-session invocation vs 43 s on the second (identical
+    // 262 tasks), and the async C2 queue from one query then bleeds
+    // 2-6× noise into its successors (q27 measured 2.6 s or 10.9 s in
+    // back-to-back bench runs of identical code). At 100 TB the JIT
+    // tax amortizes to zero; a bench that bills it to single queries
+    // measures JVM startup, not the operators.
+    val warmDir =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () } // a warmup failure is the timed
+        // run's problem to report, not the warmup's
+      }
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(3000) // let the C2 compile queue + ContextCleaner drain
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
