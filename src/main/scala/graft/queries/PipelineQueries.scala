@@ -773,6 +773,281 @@ object PipelineQueries {
        FROM ranked WHERE rk <= 20
        GROUP BY source ORDER BY source"""
 
+  // --- q75: PII detection + redaction ----------------------------------
+  /** PII scrubbing — the redaction pass privacy-conscious corpus builders
+    * run before training (emails and IPv4 addresses here; the same shape
+    * extends to phone numbers, SSNs, keys). The harness documents are
+    * synthetic word soup with no real PII, so each document plants one
+    * deterministic email and one IPv4 derived from its own doc_id
+    * (mirrored exactly in the oracle) — the detector then has true
+    * positives to find, and the md5 of the redacted text proves both
+    * engines rewrote the same spans the same way.
+    *
+    * Scale shape: a pure expression pass (regexp_extract_all /
+    * regexp_replace inside whole-stage codegen) — zero shuffle beyond the
+    * output sort. Cross-engine note: Spark compiles the patterns with
+    * java.util.regex, DuckDB with RE2, so the patterns stay inside the
+    * common-semantics subset (character classes, bounded repetition,
+    * \b anchors — no backreferences, no lookaround). */
+  def q75PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val planted = concat(col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."),
+      (col("doc_id") % 250).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 250).cast("string"), lit(".42"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("__p"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("__p"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("__p"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(col("__p"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    """WITH planted AS (
+         SELECT doc_id,
+                text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                '@mail.example.com from 10.' ||
+                CAST(doc_id % 250 AS VARCHAR) || '.' ||
+                CAST((doc_id * 7) % 250 AS VARCHAR) || '.42' AS p
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(p,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(p,
+                '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+              md5(regexp_replace(regexp_replace(p,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'))
+                AS redacted_hash
+       FROM planted ORDER BY doc_id"""
+
+  // --- q76: BM25 keyword retrieval -------------------------------------
+  /** BM25-ranked keyword retrieval over the corpus (Robertson et al.,
+    * TREC-3 "Okapi at TREC-3", 1994): tf saturation (k1 = 1.2) and
+    * document-length normalization (b = 0.75) exactly as published; the
+    * idf factor uses the unlogged Robertson–Sparck-Jones odds ratio
+    * (N − df + 0.5)/(df + 0.5) rather than its logarithm, because ln is
+    * the one non-correctly-rounded IEEE operation in the formula — two
+    * engines' libm may differ in the last ulp, and a differential test
+    * on raw doubles must stay bit-exact. Rare-term weighting, tf
+    * saturation and length normalization — the parts of BM25 that do the
+    * ranking work — are preserved; every arithmetic op (+, ×, ÷) is
+    * IEEE-correctly-rounded and evaluated in the same written order in
+    * both engines.
+    *
+    * Scale shape: term frequencies come from expression-level
+    * `filter(tokens)` counts — no explode of the corpus, no per-term
+    * shuffle. The corpus-wide stats (N, avgdl, per-term df) reduce to ONE
+    * broadcast row, scoring is map-side, and the final top-k compiles to
+    * TakeOrderedAndProject — each task keeps its own top 10, the driver
+    * merges 32×10 rows, the corpus is never globally sorted. */
+  def q76Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "hash")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      .select(col("doc_id") +:
+        size(col("__tk")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(col("__tk"), x => x === lit(tm)))
+            .cast("double").as(s"tf$i") }: _*)
+    val statAggs =
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      statAggs: _*)
+    val perTerm = terms.indices.map { i =>
+      ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+        (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), perTerm.reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q76Sql: String =
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       f AS (
+         SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf2
+         FROM d),
+       st AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+         FROM f),
+       sc AS (
+         SELECT doc_id,
+                (n - df0 + 0.5) / (df0 + 0.5) * (tf0 * 2.2) /
+                  (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                (n - df1 + 0.5) / (df1 + 0.5) * (tf1 * 2.2) /
+                  (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                (n - df2 + 0.5) / (df2 + 0.5) * (tf2 * 2.2) /
+                  (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+         FROM f CROSS JOIN st)
+       SELECT doc_id, score FROM sc WHERE score > 0
+       ORDER BY score DESC, doc_id LIMIT 10"""
+
+  // --- q77: int8 scalar quantization of embeddings ---------------------
+  /** Int8 scalar quantization of the embedding column — the 4× index
+    * compression every large ANN deployment applies before serving
+    * (per-vector min/max scaling to 256 codes, as in FAISS
+    * ScalarQuantizer.QT_8bit). Emits per-vector quantization quality:
+    * the code-space occupancy and the worst absolute reconstruction
+    * error in quantized (×10⁶) units.
+    *
+    * Scale shape: per-row array expressions end-to-end (transform /
+    * zip_with / array_min / array_max) — zero shuffle beyond the output
+    * sort, and the natural pre-pass to [[Similarity]]'s IVF serving path
+    * at a memory budget. Determinism: inputs are the same ×10⁶-quantized
+    * longs the whole vector family uses; every downstream op is integer
+    * arithmetic or a single correctly-rounded double division, so the
+    * doubles hash-match across engines bit-exactly. */
+  def q77QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = col("__e")
+    val span = (col("mx") - col("mn")).cast("double")
+    val codes = transform(e, x =>
+      round((x - col("mn")).cast("double") * 255.0 / span).cast("long"))
+    val maxErr = array_max(zip_with(e, col("__q"), (x, q) =>
+      abs(col("mn") + (q * (col("mx") - col("mn"))).cast("double") / 255.0
+        - x.cast("double"))))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("__e"))
+      .select(col("vec_id"), e,
+        array_min(e).as("mn"), array_max(e).as("mx"))
+      .select(col("vec_id"), e, col("mn"), col("mx"),
+        when(col("mx") === col("mn"), array(lit(0L)))
+          .otherwise(codes).as("__q"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        size(array_distinct(col("__q"))).cast("long").as("n_codes"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round(maxErr).cast("long")).as("max_err_q"))
+      .orderBy("vec_id")
+  }
+
+  val q77Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       mm AS (
+         SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v),
+       q AS (
+         SELECT vec_id, e, mn, mx,
+                CASE WHEN mx = mn THEN [CAST(0 AS BIGINT)] ELSE
+                  [CAST(round(CAST(x - mn AS DOUBLE) * 255.0 /
+                     CAST(mx - mn AS DOUBLE)) AS BIGINT) for x in e]
+                END AS qs
+         FROM mm)
+       SELECT vec_id, mn, mx,
+              CAST(len(list_distinct(qs)) AS BIGINT) AS n_codes,
+              CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE
+                CAST(round(list_max(
+                  [abs(mn + CAST(qs[i] * (mx - mn) AS DOUBLE) / 255.0 -
+                       CAST(e[i] AS DOUBLE))
+                   for i in generate_series(1, len(e))])) AS BIGINT)
+              END AS max_err_q
+       FROM q ORDER BY vec_id"""
+
+  // --- q78: sentence-level (chunk) dedup with document reassembly ------
+  /** C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup
+    * three-sentence spans; Lee et al. 2021 "Deduplicating Training Data"
+    * removes exact substrings): every 8-token chunk that occurs anywhere
+    * earlier in the corpus (first occurrence = smallest (doc_id, pos)) is
+    * deleted, and each document is REASSEMBLED from its surviving chunks
+    * in order — the whole-document dedup family (q25-q28) can only drop
+    * documents; this rewrites them. True positives are planted: a copy of
+    * each ≥24-token document carrying its first three chunks verbatim
+    * plus a fresh tail, mirrored in the oracle. Chunk-boundary alignment
+    * means a SHIFTED duplicate span is invisible here — that is inherent
+    * to fixed chunking (C4 has the same blind spot) and is what the
+    * shingle-based detectors (q26/q27) exist for.
+    *
+    * Scale shape: two narrow shuffles. Keep-first is `row_number() = 1`
+    * over (chunk-hash → (doc_id, pos)) — Spark 4 compiles the rank
+    * filter to WindowGroupLimit, so each map task forwards ONE candidate
+    * per chunk-hash and the exchange carries (hash, id, pos) triples,
+    * never text. Reassembly shuffles surviving chunk text once, grouped
+    * by doc_id — rewriting documents cannot shuffle less than the
+    * surviving content itself. */
+  def q78SentenceDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(size(split(col("text"), " ")) >= 24)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(concat_ws(" ", slice(split(col("text"), " "), 1, 24)),
+            lit(" zz yy xx")).as("text")))
+    val chunks = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L),
+            ceil(size(col("__tk")).cast("double") / 8.0).cast("long") - 1),
+          i => concat_ws(" ",
+            slice(col("__tk"), (i * 8 + 1).cast("int"), lit(8)))))
+          .as(Seq("pos", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id", "pos")
+    chunks.withColumn("h", Dedup.hash60(col("chunk")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val q78Sql: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id,
+                array_to_string(string_split(text, ' ')[1:24], ' ') ||
+                ' zz yy xx' AS text
+         FROM documents WHERE len(string_split(text, ' ')) >= 24),
+       tk AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+         WHERE len(string_split(text, ' ')) > 0),
+       ch AS (
+         SELECT doc_id, u.i AS pos,
+                array_to_string(t[(u.i*8+1):(u.i*8+8)], ' ') AS chunk
+         FROM tk, unnest(generate_series(0,
+                CAST(ceil(CAST(len(t) AS DOUBLE) / 8.0) AS BIGINT) - 1))
+              AS u(i)),
+       keep AS (
+         SELECT doc_id, pos, chunk FROM (
+           SELECT doc_id, pos, chunk, row_number() OVER (
+             PARTITION BY ('0x' || substr(md5(chunk), 1, 15))::BIGINT
+             ORDER BY doc_id, pos) AS rn
+           FROM ch) WHERE rn = 1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(array_to_string(list(chunk ORDER BY pos), ' '))
+                AS clean_hash
+       FROM keep GROUP BY doc_id ORDER BY doc_id"""
+
   // --- q67: IVF serving over TRAINED centroids -------------------------
   /** The two halves of the production ANN story composed: q64's k-means
     * training (2 Lloyd iterations, k=8) produces the centroid index, and
@@ -1130,6 +1405,10 @@ object PipelineQueries {
     "q69_repetition" -> q69Repetition _,
     "q73_decontaminate" -> q73Decontaminate _,
     "q74_quota_sample" -> q74QuotaSample _,
+    "q75_pii_redact" -> q75PiiRedact _,
+    "q76_bm25" -> q76Bm25 _,
+    "q77_quantize_int8" -> q77QuantizeInt8 _,
+    "q78_sentence_dedup" -> q78SentenceDedup _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1160,6 +1439,10 @@ object PipelineQueries {
     "q69_repetition" -> q69Sql,
     "q73_decontaminate" -> q73Sql,
     "q74_quota_sample" -> q74Sql,
+    "q75_pii_redact" -> q75Sql,
+    "q76_bm25" -> q76Sql,
+    "q77_quantize_int8" -> q77Sql,
+    "q78_sentence_dedup" -> q78Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

@@ -185,6 +185,60 @@ class PlanAuditSpec extends SparkSpec {
       aggs.exists(_.toString.contains("partial")), "no partial aggregation")
   }
 
+  test("q75 PII redaction is one expression pass: regex count + rewrite " +
+      "in-row, no aggregation, no shuffle besides the output sort") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q75PiiRedact(spark, dir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.nodeName.contains("Aggregate")),
+      "per-doc PII counts must not aggregate")
+    assert(!all.exists(_.nodeName.contains("Generate")),
+      "regex match lists must stay in-row, not explode")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected only the output sort, got $shuffles")
+  }
+
+  test("q76 BM25: corpus stats broadcast to the scoring pass and the " +
+      "top-k is a TakeOrderedAndProject merge, never a global sort") {
+    val plan = executed(graft.queries.PipelineQueries.q76Bm25(spark, dir))
+    val all = collectAll(plan)
+    assert(all.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      s"1-row stats must broadcast: ${all.map(_.nodeName)}")
+    assert(all.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"top-k must be a per-task heap + driver merge: " +
+        s"${all.map(_.nodeName)}")
+    val globalSorts = all.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "BM25 top-k planned a global sort")
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "stats join degraded to SortMergeJoin")
+  }
+
+  test("q77 int8 quantization is one expression pass: per-vector " +
+      "min/max/codes/error all in-row, no shuffle besides the output " +
+      "sort") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q77QuantizeInt8(spark, dir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.nodeName.contains("Aggregate")),
+      "per-vector quantization must not aggregate")
+    assert(!all.exists(_.nodeName.contains("Generate")),
+      "code arrays must stay in-row, not explode")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected only the output sort, got $shuffles")
+  }
+
+  test("q78 sentence dedup: keep-first compiles to WindowGroupLimit, so " +
+      "each map task forwards one candidate per chunk-hash before the " +
+      "exchange") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q78SentenceDedup(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: $nodes")
+  }
+
   test("q69 repetition signals are one expression pass: no aggregation, " +
       "no explode, no shuffle besides the output sort") {
     val plan = executed(graft.queries.PipelineQueries
