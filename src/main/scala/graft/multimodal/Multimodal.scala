@@ -17,11 +17,13 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   * image/audio/video as opaque `binary` columns with typed metadata, and
   * run decode / feature-extraction as a partition-local batch stage.
   *
-  * Decoding: images decode for real through the JDK's `javax.imageio`
-  * ([[realDecode]]); audio/video codecs are not present in this
-  * environment, so [[fakeDecode]] is the deterministic stand-in that
-  * keeps the full pipeline testable for them. The Spark-side shape is
-  * identical either way and is what matters at scale:
+  * Decoding: all three modalities extract real metadata pure-JVM —
+  * images through `javax.imageio`, audio through `javax.sound.sampled`,
+  * video through the ISO-BMFF container parse ([[realDecode]] /
+  * [[parseMp4Meta]]). [[fakeDecode]] remains only for the harness
+  * corpus, whose payloads are utf-8 text bytes, not real media. The
+  * Spark-side shape is identical either way and is what matters at
+  * scale:
   *
   *   - schema: `binary` payload + string mime + typed feature columns;
   *   - execution: `Dataset[MediaRecord].mapPartitions` — the Scala
@@ -50,7 +52,7 @@ object Multimodal {
     (n % 640, n % 480, (n % 3000) / 10.0)
   }
 
-  /** The production decode hook, all pure-JVM codecs:
+  /** The production decode hook, all pure-JVM:
     *
     *   - images via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
     *     JDK): (width, height, duration = 0);
@@ -58,10 +60,14 @@ object Multimodal {
     *     the JDK): (channels, sample_rate_hz, duration_s) — the two int
     *     feature slots carry channel count and sample rate, documented
     *     on [[MediaFeatures]]'s producers;
-    *   - video needs a codec this container does not ship (ffmpeg/JNI
-    *     in a real deployment, same signature, everything around it —
-    *     schema, partitioning, batching — unchanged); until then it
-    *     fails loudly rather than fake a duration. */
+    *   - video via [[parseMp4Meta]]: the MP4/ISO-BMFF CONTAINER carries
+    *     presentation width/height and duration as plain big-endian
+    *     fields (`moov/mvhd`, `moov/trak/tkhd`) — the same fields
+    *     ffprobe reports, no codec required. Decoding FRAMES would need
+    *     a codec this environment does not ship (ffmpeg/JNI in a real
+    *     deployment, same mapPartitions shape); metadata does not.
+    *
+    * Anything undecodable fails loudly rather than fake a value. */
   def realDecode(mime: String, payload: Array[Byte]): (Int, Int, Double) =
     mime match {
       case m if m.startsWith("image/") =>
@@ -83,12 +89,79 @@ object Multimodal {
             else 0.0
           (fmt.getChannels, fmt.getSampleRate.toInt, dur)
         } finally in.close()
+      case m if m.startsWith("video/") => parseMp4Meta(payload)
       case other =>
         throw new UnsupportedOperationException(
-          s"no $other codec in this environment — video decode needs " +
-            "ffmpeg/JNI; images decode via javax.imageio, audio via " +
-            "javax.sound.sampled")
+          s"no $other decoder: images decode via javax.imageio, audio " +
+            "via javax.sound.sampled, video metadata via the ISO-BMFF " +
+            "container parse")
     }
+
+  /** Minimal ISO BMFF (MP4/QuickTime/MOV) metadata parse — container
+    * structure only, no codec. The format is a sequence of boxes, each
+    * `[uint32 size][4-char type][payload]` big-endian (size 1 = 64-bit
+    * size follows; size 0 = box runs to end of enclosure). Movie
+    * duration lives in `moov/mvhd` (duration/timescale seconds) and the
+    * presentation size in `moov/trak/tkhd` as 16.16 fixed-point —
+    * plain integer fields, which is why ffprobe can report them without
+    * touching a single coded frame, and why this engine can too.
+    * Returns (width, height, duration_s); an MP4 with no visual track
+    * (e.g. .m4a audio) yields width = height = 0. Garbage bytes fail
+    * loudly (no `moov`), matching the image/audio decoders. */
+  def parseMp4Meta(payload: Array[Byte]): (Int, Int, Double) = {
+    val bb = java.nio.ByteBuffer.wrap(payload) // big-endian by default
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    // first box of type `typ` in [from, to) → (contentStart, boxEnd)
+    def find(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val size0 = u32(off)
+        val (hdr, size) =
+          if (size0 == 1L) (16, bb.getLong(off + 8))
+          else if (size0 == 0L) (8, (to - off).toLong)
+          else (8, size0)
+        if (size < hdr || off + size > to)
+          throw new IllegalArgumentException(
+            s"corrupt mp4: box at offset $off overruns its enclosure")
+        if (fourcc(off + 4) == typ) return Some((off + hdr, (off + size).toInt))
+        off += size.toInt
+      }
+      None
+    }
+    val (moovC, moovEnd) = find(0, payload.length, "moov").getOrElse(
+      throw new IllegalArgumentException(
+        s"undecodable video payload (${payload.length} bytes): no moov box"))
+    val (mvhdC, _) = find(moovC, moovEnd, "mvhd").getOrElse(
+      throw new IllegalArgumentException("corrupt mp4: moov without mvhd"))
+    // mvhd: version(1) flags(3), then v0: creation(4) modification(4)
+    // timescale(4) duration(4); v1 widens the times to 8 bytes
+    val (timescale, duration) =
+      if ((payload(mvhdC) & 0xff) == 1)
+        (u32(mvhdC + 4 + 16), bb.getLong(mvhdC + 4 + 20).toDouble)
+      else (u32(mvhdC + 4 + 8), u32(mvhdC + 4 + 12).toDouble)
+    val durS = if (timescale > 0) duration / timescale.toDouble else 0.0
+    // first trak whose tkhd has a nonzero width = the visual track
+    // (audio/hint tracks carry 0×0); tkhd after version+flags: v0 has
+    // 20 bytes of times/ids, v1 32, then 52 bytes (reserved, layer,
+    // volume, matrix) precede the 16.16 fixed-point width and height
+    var (w, h) = (0, 0)
+    var from = moovC
+    while (w == 0 && from < moovEnd) {
+      find(from, moovEnd, "trak") match {
+        case None => from = moovEnd
+        case Some((trakC, trakEnd)) =>
+          find(trakC, trakEnd, "tkhd").foreach { case (tk, _) =>
+            val whOff = tk + 4 + (if ((payload(tk) & 0xff) == 1) 32 else 20) + 52
+            val tw = (u32(whOff) >> 16).toInt
+            val th = (u32(whOff + 4) >> 16).toInt
+            if (tw > 0) { w = tw; h = th }
+          }
+          from = trakEnd
+      }
+    }
+    (w, h, durS)
+  }
 
   /** [[realDecode]] as the payload-only function [[extractFeatures]]
     * takes, for an image-only media frame. */

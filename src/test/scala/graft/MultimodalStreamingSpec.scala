@@ -38,11 +38,57 @@ class MultimodalStreamingSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, Multimodal.realImageDecode)
       .collect().head
     assert(f.width == 7 && f.height == 5 && f.n_bytes == png.length)
-    // no video codec ships with the JVM: fail loudly, don't fake
-    intercept[UnsupportedOperationException](
+    // PNG bytes are not silently accepted as an MP4 container
+    intercept[IllegalArgumentException](
       Multimodal.realDecode("video/mp4", png))
     intercept[IllegalArgumentException](
       Multimodal.realDecode("image/png", Array[Byte](1, 2, 3)))
+  }
+
+  test("multimodal: realDecode reads MP4 container metadata (width, " +
+    "height, duration) from synthesized moov/mvhd/tkhd boxes, " +
+    "end-to-end through the batch stage") {
+    // build a minimal ISO-BMFF file with the JDK alone: ftyp, then
+    // moov(mvhd v0 + trak(tkhd v0)) — 640x360 at 16.16 fixed point,
+    // duration 2500 ticks on a 1000-tick/s timescale = 2.5 s
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length)
+      bb.put(typ.getBytes("US-ASCII")).put(content)
+      bb.array()
+    }
+    val mvhd = {
+      val c = java.nio.ByteBuffer.allocate(100) // v0 mvhd content
+      c.position(4 + 8) // version+flags, creation, modification
+      c.putInt(1000)    // timescale
+      c.putInt(2500)    // duration
+      box("mvhd", c.array())
+    }
+    val tkhd = {
+      val c = java.nio.ByteBuffer.allocate(84) // v0 tkhd content
+      c.position(4 + 20 + 52) // version+flags, times/ids, layer..matrix
+      c.putInt(640 << 16)     // width, 16.16 fixed point
+      c.putInt(360 << 16)     // height
+      box("tkhd", c.array())
+    }
+    val mp4 = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    // direct parse
+    assert(Multimodal.realDecode("video/mp4", mp4) == (640, 360, 2.5))
+    // through the Dataset mapPartitions stage with the real decoder
+    val media = Seq(MediaRecord(9L, "video/mp4", mp4)).toDS()
+    val f = Multimodal.extractFeatures(media,
+        p => Multimodal.realDecode("video/mp4", p))
+      .collect().head
+    assert(f.width == 640 && f.height == 360 && f.duration_s == 2.5 &&
+      f.n_bytes == mp4.length)
+    // an audio-only container (no visual trak) reports 0x0 + duration
+    val m4a = box("ftyp", "M4A isom".getBytes("US-ASCII")) ++
+      box("moov", mvhd)
+    assert(Multimodal.realDecode("video/mp4", m4a) == (0, 0, 2.5))
+    // truncated/corrupt boxes fail loudly
+    intercept[IllegalArgumentException](
+      Multimodal.realDecode("video/mp4", mp4.take(mp4.length - 4)))
   }
 
   test("multimodal: realDecode parses a real WAV via javax.sound.sampled " +
