@@ -1174,6 +1174,112 @@ object PipelineQueries {
        FROM g GROUP BY user_id, sid
        ORDER BY user_id, session_start"""
 
+  // --- q79: SCD2 history derivation ------------------------------------
+  /** Type-2 slowly-changing-dimension history from an event stream
+    * (Kimball & Ross, The Data Warehouse Toolkit, ch. 5): per user,
+    * consecutive events with the SAME state collapse, and each state
+    * CHANGE opens a history row with `valid_from` = its timestamp and
+    * `valid_to` = the next change's timestamp (null = current row). The
+    * reference's star model is insert-only snapshots; this is the
+    * standard versioned-dimension derivation it cannot express.
+    *
+    * Scale shape: one shuffle on the entity key; both window passes
+    * (change detection via lag, interval close via lead) share the same
+    * (user_id → ts, event_id) sort order, so Catalyst plans ONE exchange
+    * + sort and the second Window rides the first's ordering. The
+    * change-collapse filter runs BEFORE the lead pass, so the second
+    * window sees only transition rows. */
+  def q79Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val q79Sql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+         FROM events),
+       changes AS (
+         SELECT user_id, ts, event_id, event_type FROM marked
+         WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id, event_type, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS valid_to,
+              (lead(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) IS NULL) AS is_current
+       FROM changes ORDER BY user_id, valid_from"""
+
+  // --- q80: funnel conversion ------------------------------------------
+  /** Event-funnel analysis: of the users who ever signed up, how many
+    * later purchased, and how long did conversion take. First-touch
+    * attribution: the earliest signup is the anchor, the first purchase
+    * at-or-after it the conversion. The product-analytics staple over
+    * exactly this event-log shape.
+    *
+    * Scale shape: anchor and conversion both come from ONE window pass
+    * over the same (user_id → ts, event_id) order — signup anchor as a
+    * running conditional min, conversion via the change-collapse-free
+    * min over qualifying purchases in a second aggregation on the same
+    * exchange. The final rollup reduces per-user rows to one summary
+    * row; the event log is never shuffled twice. */
+  def q80Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // running first-signup anchor, available at every later event
+      .withColumn("__signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts")))
+          .as("signup_ts"),
+        min(when(col("event_type") === "purchase" &&
+            col("__signup").isNotNull && col("ts") >= col("__signup"),
+          col("ts"))).as("conv_ts"))
+      .filter(col("signup_ts").isNotNull)
+    perUser.agg(
+      count(lit(1)).as("n_signup_users"),
+      sum(when(col("conv_ts").isNotNull, 1L).otherwise(0L))
+        .as("n_converted"),
+      sum(when(col("conv_ts").isNotNull,
+          unix_timestamp(col("conv_ts")) - unix_timestamp(col("signup_ts")))
+        .otherwise(0L)).as("conv_seconds_total"))
+  }
+
+  val q80Sql: String =
+    """WITH anchored AS (
+         SELECT user_id, ts, event_type,
+                min(CASE WHEN event_type = 'signup' THEN ts END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS anchor
+         FROM events),
+       per_user AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END)
+                  AS signup_ts,
+                min(CASE WHEN event_type = 'purchase'
+                         AND anchor IS NOT NULL AND ts >= anchor
+                         THEN ts END) AS conv_ts
+         FROM anchored GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+              CAST(sum(CASE WHEN conv_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+              CAST(sum(CASE WHEN conv_ts IS NOT NULL THEN
+                  date_diff('second', signup_ts, conv_ts) ELSE 0 END)
+                AS BIGINT) AS conv_seconds_total
+       FROM per_user WHERE signup_ts IS NOT NULL"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -1409,6 +1515,8 @@ object PipelineQueries {
     "q76_bm25" -> q76Bm25 _,
     "q77_quantize_int8" -> q77QuantizeInt8 _,
     "q78_sentence_dedup" -> q78SentenceDedup _,
+    "q79_scd2_history" -> q79Scd2History _,
+    "q80_funnel" -> q80Funnel _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1443,6 +1551,8 @@ object PipelineQueries {
     "q76_bm25" -> q76Sql,
     "q77_quantize_int8" -> q77Sql,
     "q78_sentence_dedup" -> q78Sql,
+    "q79_scd2_history" -> q79Sql,
+    "q80_funnel" -> q80Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

@@ -239,6 +239,31 @@ class PlanAuditSpec extends SparkSpec {
       s"rank-filter pushdown missing: $nodes")
   }
 
+  test("q79 SCD2 history: both window passes share one exchange + sort " +
+      "on the entity key (lag change-detect and lead interval-close " +
+      "never re-shuffle)") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q79Scd2History(spark, dir))
+    val all = collectAll(plan)
+    assert(all.count(_.nodeName.contains("Window")) >= 2,
+      s"expected two window passes: ${all.map(_.nodeName)}")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    // one hash exchange for the windows + the output sort's range
+    // exchange — a third would mean the lead pass re-partitioned
+    assert(shuffles <= 2,
+      s"windows must share one exchange, got $shuffles shuffles")
+  }
+
+  test("q80 funnel: anchor window, per-user aggregation and rollup ride " +
+      "one entity-key exchange (plus the single-partition rollup)") {
+    val plan = executed(graft.queries.PipelineQueries.q80Funnel(spark, dir))
+    val all = collectAll(plan)
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    // hash by user_id (window + groupBy reuse it) + the 1-row rollup
+    assert(shuffles <= 2,
+      s"funnel must not re-shuffle the event log, got $shuffles shuffles")
+  }
+
   test("q69 repetition signals are one expression pass: no aggregation, " +
       "no explode, no shuffle besides the output sort") {
     val plan = executed(graft.queries.PipelineQueries
