@@ -1280,6 +1280,189 @@ object PipelineQueries {
                 AS BIGINT) AS conv_seconds_total
        FROM per_user WHERE signup_ts IS NOT NULL"""
 
+  // --- q81: training-sequence packing ----------------------------------
+  /** Sequence packing — the step that turns a filtered corpus into
+    * fixed-length training contexts (GPT-style pretraining concatenates
+    * documents and splits at the context boundary; packing efficiency
+    * drives tokens-per-step). Documents are packed per SOURCE shard in
+    * deterministic doc_id order: a running token cumsum assigns each
+    * document the context bin where it STARTS (straddling the boundary,
+    * as concatenation does), bin = (cumsum − n_tok) div 512. Emits per
+    * (source, bin): documents started and their token mass.
+    *
+    * Scale shape: packing is a prefix-scan, which is sequential per
+    * packing unit — so the unit is the shard (source here; (source,
+    * shard) at corpus scale), making the scan embarrassingly parallel
+    * across shards: ONE exchange on source, the window cumsum runs
+    * inside each shard, and the per-bin rollup partial-aggregates before
+    * its (tiny) exchange. All arithmetic is integer-exact; `div` is
+    * integer division in both engines. */
+  def q81PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .select(col("source"), col("n_tok"),
+        expr("(__cum - n_tok) div 512").as("bin_id"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+      .orderBy("source", "bin_id")
+  }
+
+  val q81Sql: String =
+    """WITH d AS (
+         SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM d)
+       SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS tokens_sum
+       FROM c GROUP BY source, bin_id ORDER BY source, bin_id"""
+
+  // --- q82: incremental dedup against a persisted signature index ------
+  /** The daily-increment dedup flow: the corpus's MinHash signatures are
+    * built ONCE, persisted as a parquet index, and each incoming batch
+    * probes that index — never re-shingling the corpus. The batch here
+    * is a perturbed copy of the `src0` documents (first token dropped,
+    * doc_id + 1000000), so every batch doc has a true near-dup to find;
+    * the oracle rebuilds both sides from the raw table, proving the
+    * persisted index is lossless. Output per batch doc: candidate count
+    * and the best signature-estimated Jaccard.
+    *
+    * Scale shape: the whole point of the index. Probing shuffles only
+    * (sid, band, band_key) triples from the index side plus the batch's
+    * own bands — O(index + batch) narrow rows, not O(corpus text); the
+    * signature fetch for the estimate joins only the candidates'
+    * signature rows. At 100 TB the index is bucketed by band_key so the
+    * probe co-locates without any index-side shuffle at all. */
+  def q82IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_mhidx_")
+      .toString
+    try {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashSignatures(
+          Dedup.docShingles(docs, "doc_id", "text", 3), 16)
+        .write.mode("overwrite").parquet(s"$root/minhash_index")
+      val index = s.read.parquet(s"$root/minhash_index")
+      val inc = docs.filter(col("source") === "src0")
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, instr(text, ' ') + 1)").as("text"))
+      val incSigs = Dedup.minHashSignatures(
+        Dedup.docShingles(inc, "doc_id", "text", 3), 16)
+      val cand = Dedup.lshBands(incSigs, 16, 4).as("x")
+        .join(Dedup.lshBands(index, 16, 4).as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key"))
+        .select(col("x.sid").as("new_id"), col("y.sid").as("idx_id"))
+        .distinct()
+      val out = cand
+        .join(incSigs.select(col("sid").as("new_id"),
+          col("sig").as("sig_n")), "new_id")
+        .join(index.select(col("sid").as("idx_id"),
+          col("sig").as("sig_i")), "idx_id")
+        .select(col("new_id"),
+          (aggregate(
+            zip_with(col("sig_n"), col("sig_i"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / 16)
+            .as("est_jaccard"))
+        .groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(col("est_jaccard")).as("best_est"))
+        .orderBy("doc_id")
+      // materialize BEFORE the finally deletes the index files the lazy
+      // plan would otherwise read after they are gone; the per-batch
+      // summary is tiny (one row per batch doc) by construction
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
+        out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q82Sql: String =
+    """WITH idx_tk AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       idx_sh AS (
+         SELECT DISTINCT doc_id AS sid,
+                unnest([('0x' ||
+                         substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                        )::BIGINT
+                        for i in range(1, len(tk) - 1)]) AS h
+         FROM idx_tk WHERE len(tk) >= 3),
+       perms AS (SELECT unnest(range(0, 16)) AS perm),
+       idx_sig AS (
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
+         FROM idx_sh CROSS JOIN perms GROUP BY 1, 2),
+       idx_band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
+         FROM idx_sig GROUP BY 1, 2),
+       inc AS (
+         SELECT doc_id + 1000000 AS doc_id,
+                substr(text, instr(text, ' ') + 1) AS text
+         FROM documents WHERE source = 'src0'),
+       inc_tk AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM inc),
+       inc_sh AS (
+         SELECT DISTINCT doc_id AS sid,
+                unnest([('0x' ||
+                         substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                        )::BIGINT
+                        for i in range(1, len(tk) - 1)]) AS h
+         FROM inc_tk WHERE len(tk) >= 3),
+       inc_sig AS (
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
+         FROM inc_sh CROSS JOIN perms GROUP BY 1, 2),
+       inc_band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
+         FROM inc_sig GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.sid AS new_id, y.sid AS idx_id
+         FROM inc_band x
+         JOIN idx_band y ON x.band = y.band AND x.band_key = y.band_key),
+       est AS (
+         SELECT new_id, idx_id,
+                CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 AS est_jaccard
+         FROM cand
+         JOIN inc_sig sa ON sa.sid = new_id
+         JOIN idx_sig sb ON sb.sid = idx_id AND sb.perm = sa.perm
+         GROUP BY 1, 2)
+       SELECT new_id AS doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+              max(est_jaccard) AS best_est
+       FROM est GROUP BY 1 ORDER BY doc_id"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -1517,6 +1700,8 @@ object PipelineQueries {
     "q78_sentence_dedup" -> q78SentenceDedup _,
     "q79_scd2_history" -> q79Scd2History _,
     "q80_funnel" -> q80Funnel _,
+    "q81_pack_sequences" -> q81PackSequences _,
+    "q82_incremental_dedup" -> q82IncrementalDedup _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1553,6 +1738,8 @@ object PipelineQueries {
     "q78_sentence_dedup" -> q78Sql,
     "q79_scd2_history" -> q79Sql,
     "q80_funnel" -> q80Sql,
+    "q81_pack_sequences" -> q81Sql,
+    "q82_incremental_dedup" -> q82Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

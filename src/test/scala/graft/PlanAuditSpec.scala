@@ -264,6 +264,19 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel must not re-shuffle the event log, got $shuffles shuffles")
   }
 
+  test("q81 sequence packing: the per-shard prefix scan and the per-bin " +
+      "rollup ride one shard-key exchange (hash(source) satisfies the " +
+      "(source, bin) grouping) plus the output sort") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q81PackSequences(spark, dir))
+    val all = collectAll(plan)
+    assert(all.exists(_.nodeName.contains("Window")),
+      s"expected the cumsum window: ${all.map(_.nodeName)}")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2,
+      s"packing must not re-shuffle between scan and rollup, got $shuffles")
+  }
+
   test("q69 repetition signals are one expression pass: no aggregation, " +
       "no explode, no shuffle besides the output sort") {
     val plan = executed(graft.queries.PipelineQueries
