@@ -1463,6 +1463,115 @@ object PipelineQueries {
               max(est_jaccard) AS best_est
        FROM est GROUP BY 1 ORDER BY doc_id"""
 
+  // --- q83: corpus report card -----------------------------------------
+  /** The corpus composition dashboard every pipeline run publishes: ONE
+    * scan computes every per-document signal this library ships —
+    * quality score (q32), language-ID agreement (q31), Gopher repetition
+    * gate (q69), token mass — and rolls them up per (source, lang).
+    * Composability is the point: the signals are library functions, so
+    * the report is a projection + one groupBy, not a fleet of separate
+    * jobs re-reading 100 TB once per metric.
+    *
+    * Determinism discipline: only INTEGER counts are aggregated (count,
+    * token sum, boolean gates) — averaging per-doc doubles would make
+    * the result depend on partial-sum order across partitions. The one
+    * ratio column is a single division of two exact longs, correctly
+    * rounded, identical in both engines. */
+  def q83CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    def rep(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") /
+          size(g).cast("double"))
+        .otherwise(lit(0.0))
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("text"),
+        split(col("text"), " ").as("__tk"))
+      .select(col("source"), col("lang"),
+        wsTokenCount(col("text")).cast("long").as("n_tok"),
+        (qualityScore(col("text")) >= 2).as("q_ok"),
+        (langId(col("text")) === col("lang")).as("l_ok"),
+        (rep(Dedup.shinglesOfTokens(col("__tk"), 2)) <= 0.2 &&
+          rep(Dedup.shinglesOfTokens(col("__tk"), 3)) <= 0.18).as("r_ok"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens_total"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("l_ok"), 1L).otherwise(0L)).as("n_lang_match"),
+        sum(when(col("r_ok"), 1L).otherwise(0L)).as("n_repetition_pass"))
+      .withColumn("quality_rate",
+        col("n_quality_ok").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source", "lang")
+  }
+
+  val q83Sql: String =
+    """WITH base AS (
+         SELECT source, lang, text, string_split(text, ' ') AS t,
+                lower(text) AS lt
+         FROM documents),
+       per AS (
+         SELECT source, lang,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           (CASE WHEN len(t) BETWEEN 20 AND 2000 THEN 2
+                 WHEN len(t) BETWEEN 5 AND 19 THEN 1 ELSE -1 END) +
+           (CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) /
+                        CAST(len(t) AS DOUBLE) >= 0.4 THEN 2
+                 WHEN CAST(len(list_distinct(t)) AS DOUBLE) /
+                        CAST(len(t) AS DOUBLE) >= 0.2 THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(len(regexp_extract_all(lt,
+                  '\b(the|a|and|of|is|der|die|und|le|la|et|el|los|y)\b'))
+                  AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.05
+                 THEN 1 ELSE 0 END) +
+           (CASE WHEN CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.2 THEN -2
+                 WHEN CAST(len(regexp_extract_all(text, '[^\w\s]'))
+                  AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.1 THEN -1
+                 ELSE 0 END) AS score,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n,
+           len(regexp_extract_all(lt,
+             '\b(the|and|of|is|to|in|that|it)\b')) AS s_en,
+           len(regexp_extract_all(lt,
+             '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+           len(regexp_extract_all(lt,
+             '\b(le|la|les|et|est|une|que|dans)\b')) AS s_fr,
+           len(regexp_extract_all(lt,
+             '\b(el|los|las|y|es|una|que|en)\b')) AS s_es,
+           CASE WHEN len(t) >= 2 THEN
+             [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+           ELSE [] END AS g2,
+           CASE WHEN len(t) >= 3 THEN
+             [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+           ELSE [] END AS g3
+         FROM base),
+       flags AS (
+         SELECT source, lang, n_tok,
+           (score >= 2) AS q_ok,
+           ((CASE WHEN zh_n > 0 THEN 'zh'
+                  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                  ELSE 'unknown' END) = lang) AS l_ok,
+           ((CASE WHEN len(g2) > 0 THEN
+               1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) /
+                     CAST(len(g2) AS DOUBLE) ELSE 0.0 END) <= 0.2
+            AND
+            (CASE WHEN len(g3) > 0 THEN
+               1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) /
+                     CAST(len(g3) AS DOUBLE) ELSE 0.0 END) <= 0.18) AS r_ok
+         FROM per)
+       SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+              CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_quality_ok,
+              CAST(sum(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lang_match,
+              CAST(sum(CASE WHEN r_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_repetition_pass,
+              CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE) AS quality_rate
+       FROM flags GROUP BY source, lang ORDER BY source, lang"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -1702,6 +1811,7 @@ object PipelineQueries {
     "q80_funnel" -> q80Funnel _,
     "q81_pack_sequences" -> q81PackSequences _,
     "q82_incremental_dedup" -> q82IncrementalDedup _,
+    "q83_corpus_report" -> q83CorpusReport _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1740,6 +1850,7 @@ object PipelineQueries {
     "q80_funnel" -> q80Sql,
     "q81_pack_sequences" -> q81Sql,
     "q82_incremental_dedup" -> q82Sql,
+    "q83_corpus_report" -> q83Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
