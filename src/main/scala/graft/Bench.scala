@@ -84,8 +84,10 @@ object Bench {
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
-        catch { case _: Throwable => () } // a warmup failure is the timed
-        // run's problem to report, not the warmup's
+        // NonFatal only: an OOM/interrupt during warmup must abort the
+        // bench, not leave it timing queries in a corrupted JVM; a plain
+        // query failure is the timed run's problem to report
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
       System.gc()

@@ -92,6 +92,16 @@ object TextFunctions {
     when(score >= 4, "high").when(score >= 2, "medium")
       .when(score >= 0, "low").otherwise("garbage")
 
+  /** Fraction of duplicated n-gram occurrences in a gram-array column —
+    * the Gopher §A1.1 repetition signal (Rae et al. 2021). Shared by the
+    * per-doc signal query (q69) and the corpus report card (q83) so the
+    * gate formula cannot silently diverge between them. */
+  def dupGramFrac(grams: Column): Column =
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+
   // --- token counting --------------------------------------------------
   /** BPE-ish pre-tokenizer count: runs of word chars or runs of
     * non-word-non-space chars (the usual GPT-2-style pre-split shape). */

@@ -117,6 +117,9 @@ object Multimodal {
       var off = from
       while (off + 8 <= to) {
         val size0 = u32(off)
+        if (size0 == 1L && off + 16 > to)
+          throw new IllegalArgumentException(
+            s"corrupt mp4: truncated 64-bit box header at offset $off")
         val (hdr, size) =
           if (size0 == 1L) (16, bb.getLong(off + 8))
           else if (size0 == 0L) (8, (to - off).toLong)
@@ -129,15 +132,25 @@ object Multimodal {
       }
       None
     }
+    // every fixed-offset field read below is bounds-checked against its
+    // OWN box first — a short mvhd/tkhd must fail loudly, not silently
+    // read the next sibling box's bytes as timescale or width
+    def requireContent(c: Int, end: Int, need: Int, box: String): Unit =
+      if (end - c < need)
+        throw new IllegalArgumentException(
+          s"corrupt mp4: $box content ${end - c} bytes, need $need")
     val (moovC, moovEnd) = find(0, payload.length, "moov").getOrElse(
       throw new IllegalArgumentException(
         s"undecodable video payload (${payload.length} bytes): no moov box"))
-    val (mvhdC, _) = find(moovC, moovEnd, "mvhd").getOrElse(
+    val (mvhdC, mvhdEnd) = find(moovC, moovEnd, "mvhd").getOrElse(
       throw new IllegalArgumentException("corrupt mp4: moov without mvhd"))
     // mvhd: version(1) flags(3), then v0: creation(4) modification(4)
     // timescale(4) duration(4); v1 widens the times to 8 bytes
+    requireContent(mvhdC, mvhdEnd, 1, "mvhd")
+    val mvhdV1 = (payload(mvhdC) & 0xff) == 1
+    requireContent(mvhdC, mvhdEnd, if (mvhdV1) 32 else 20, "mvhd")
     val (timescale, duration) =
-      if ((payload(mvhdC) & 0xff) == 1)
+      if (mvhdV1)
         (u32(mvhdC + 4 + 16), bb.getLong(mvhdC + 4 + 20).toDouble)
       else (u32(mvhdC + 4 + 8), u32(mvhdC + 4 + 12).toDouble)
     val durS = if (timescale > 0) duration / timescale.toDouble else 0.0
@@ -151,8 +164,11 @@ object Multimodal {
       find(from, moovEnd, "trak") match {
         case None => from = moovEnd
         case Some((trakC, trakEnd)) =>
-          find(trakC, trakEnd, "tkhd").foreach { case (tk, _) =>
-            val whOff = tk + 4 + (if ((payload(tk) & 0xff) == 1) 32 else 20) + 52
+          find(trakC, trakEnd, "tkhd").foreach { case (tk, tkEnd) =>
+            requireContent(tk, tkEnd, 1, "tkhd")
+            val v1 = (payload(tk) & 0xff) == 1
+            requireContent(tk, tkEnd, if (v1) 96 else 84, "tkhd")
+            val whOff = tk + 4 + (if (v1) 32 else 20) + 52
             val tw = (u32(whOff) >> 16).toInt
             val th = (u32(whOff + 4) >> 16).toInt
             if (tw > 0) { w = tw; h = th }

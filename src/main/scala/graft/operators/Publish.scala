@@ -166,9 +166,21 @@ object Publish {
         // creates an empty sink (G1).
         if (sb.rows == 0L) m.name -> 0L
         else {
+          // crash-safe promotion: copy into a hidden temp sibling, then
+          // ONE rename publishes the sink. A crash mid-copy leaves only
+          // the temp dir and no sink, so a T4 retry re-enters this path
+          // and re-promotes from scratch — a torn copy can never become
+          // half a visible sink (which would wedge every later publish
+          // on an unreadable parquet footer)
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$sinkRoot/.${m.name}__promote_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
           org.apache.hadoop.fs.FileUtil.copy(fs,
-            new org.apache.hadoop.fs.Path(stagingPath), fs, hSink,
+            new org.apache.hadoop.fs.Path(stagingPath), fs, tmp,
             false, false, s.sparkContext.hadoopConfiguration)
+          if (!fs.rename(tmp, hSink))
+            throw new java.io.IOException(
+              s"promotion commit failed: rename $tmp -> $hSink")
           m.name -> sb.rows
         }
       } else {

@@ -643,19 +643,14 @@ object PipelineQueries {
     * expression-level (shingle arrays + array_distinct) — zero shuffle,
     * whole-stage codegen, one pass over the corpus. */
   def q69Repetition(s: SparkSession, dir: String): DataFrame = {
-    def rep(g: org.apache.spark.sql.Column) =
-      when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") /
-          size(g).cast("double"))
-        .otherwise(lit(0.0))
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("__tk"))
       .select(col("doc_id"),
         Dedup.shinglesOfTokens(col("__tk"), 2).as("__g2"),
         Dedup.shinglesOfTokens(col("__tk"), 3).as("__g3"))
       .select(col("doc_id"),
-        rep(col("__g2")).as("dup_2gram_frac"),
-        rep(col("__g3")).as("dup_3gram_frac"))
+        dupGramFrac(col("__g2")).as("dup_2gram_frac"),
+        dupGramFrac(col("__g3")).as("dup_3gram_frac"))
       .withColumn("repetition_pass",
         col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18)
       .orderBy("doc_id")
@@ -1197,10 +1192,15 @@ object PipelineQueries {
       .withColumn("__prev", lag(col("event_type"), 1).over(w))
       .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      // change_event_id doubles as provenance AND the deterministic sort
+      // tie-break: two changes can share a (µs-truncated) valid_from,
+      // and a non-unique ORDER BY would let the two engines emit tied
+      // rows in different orders
       .select(col("user_id"), col("event_type"),
         col("ts").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from")
+        col("valid_to").isNull.as("is_current"),
+        col("event_id").as("change_event_id"))
+      .orderBy("user_id", "valid_from", "change_event_id")
   }
 
   val q79Sql: String =
@@ -1216,8 +1216,9 @@ object PipelineQueries {
               lead(ts) OVER (PARTITION BY user_id
                 ORDER BY ts, event_id) AS valid_to,
               (lead(ts) OVER (PARTITION BY user_id
-                ORDER BY ts, event_id) IS NULL) AS is_current
-       FROM changes ORDER BY user_id, valid_from"""
+                ORDER BY ts, event_id) IS NULL) AS is_current,
+              event_id AS change_event_id
+       FROM changes ORDER BY user_id, valid_from, change_event_id"""
 
   // --- q80: funnel conversion ------------------------------------------
   /** Event-funnel analysis: of the users who ever signed up, how many
@@ -1478,11 +1479,6 @@ object PipelineQueries {
     * ratio column is a single division of two exact longs, correctly
     * rounded, identical in both engines. */
   def q83CorpusReport(s: SparkSession, dir: String): DataFrame = {
-    def rep(g: org.apache.spark.sql.Column) =
-      when(size(g) > 0,
-        lit(1.0) - size(array_distinct(g)).cast("double") /
-          size(g).cast("double"))
-        .otherwise(lit(0.0))
     t(s, dir, "documents")
       .select(col("source"), col("lang"), col("text"),
         split(col("text"), " ").as("__tk"))
@@ -1490,8 +1486,9 @@ object PipelineQueries {
         wsTokenCount(col("text")).cast("long").as("n_tok"),
         (qualityScore(col("text")) >= 2).as("q_ok"),
         (langId(col("text")) === col("lang")).as("l_ok"),
-        (rep(Dedup.shinglesOfTokens(col("__tk"), 2)) <= 0.2 &&
-          rep(Dedup.shinglesOfTokens(col("__tk"), 3)) <= 0.18).as("r_ok"))
+        (dupGramFrac(Dedup.shinglesOfTokens(col("__tk"), 2)) <= 0.2 &&
+          dupGramFrac(Dedup.shinglesOfTokens(col("__tk"), 3)) <= 0.18)
+          .as("r_ok"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("tokens_total"),

@@ -89,6 +89,12 @@ class MultimodalStreamingSpec extends SparkSpec {
     // truncated/corrupt boxes fail loudly
     intercept[IllegalArgumentException](
       Multimodal.realDecode("video/mp4", mp4.take(mp4.length - 4)))
+    // a header-only mvhd must fail loudly, not read the next sibling
+    // box's bytes as timescale/duration
+    val shortMvhd = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", Array.emptyByteArray) ++ box("trak", tkhd))
+    intercept[IllegalArgumentException](
+      Multimodal.realDecode("video/mp4", shortMvhd))
   }
 
   test("multimodal: realDecode parses a real WAV via javax.sound.sampled " +
