@@ -81,6 +81,34 @@ class StarModelSpec extends SparkSpec {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  test("staged promotion recovers from a torn earlier copy: a stale " +
+      "temp dir with garbage content is discarded, the sink publishes " +
+      "clean (the crash-mid-copy retry path)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_promo_crash_").toString
+    try {
+      val models = Publish.stageAll(spark, dir, s"$root/_staging")
+      // simulate a promotion killed mid-copy: the hidden temp sibling
+      // exists with a torn (garbage) file, the sink does not
+      val m = models.head.model
+      val tornDir = new java.io.File(s"$root/sink/.${m.name}__promote_tmp")
+      assert(tornDir.mkdirs())
+      java.nio.file.Files.write(
+        tornDir.toPath.resolve("part-00000.snappy.parquet"),
+        Array[Byte](1, 2, 3))
+      val first = Publish.publishStaged(
+        spark, models, s"$root/_staging", s"$root/sink")
+      first.foreach { case (name, n) => assert(n > 0, s"$name promoted 0") }
+      // the retry replaced the torn temp and committed a readable sink
+      assert(!tornDir.exists(), "stale promote tmp survived the retry")
+      val staged = StarModel.conform(
+        spark.read.parquet(s"$root/_staging/${m.name}"), m.schema)
+      val sink = Publish.readSink(spark, s"$root/sink", m)
+      assert(sink.exceptAll(staged).isEmpty && staged.exceptAll(sink).isEmpty,
+        s"${m.name}: recovered sink differs from staged batch")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("concurrently starts every task at once (pool sized to the task " +
       "count, not the driver's cores)") {
     // all six parties must be inside f simultaneously for the barrier to
