@@ -277,6 +277,59 @@ object AnalyticsQueries {
        FROM ranked r JOIN counts USING (l_returnflag)
        GROUP BY 1 ORDER BY 1"""
 
+  // --- q84: Z-order (Morton) layout clustering -------------------------
+  /** Z-order layout — the multi-dimensional clustering warehouses apply
+    * before writing (Delta/Iceberg `OPTIMIZE ZORDER BY`; Morton 1966) so
+    * min/max file statistics prune on EVERY clustered column, not just a
+    * sort prefix. The z-value interleaves the bits of two key columns;
+    * sorting by it tiles the key space into near-square rectangles.
+    * Emitted per 1024-value z-range (a stand-in for "one output file"):
+    * row count and the min/max of both dimensions — the bounding boxes a
+    * scan planner would prune against. With 8-bit dims a bucket's box
+    * spans ≤ 32×32 of the 256×256 key space; a single-column sort would
+    * leave the second dimension spanning all 256 values in every file,
+    * unprunable.
+    *
+    * Determinism/scale: the z-value is 32 integer bit-operations per
+    * row, codegen'd, exact in both engines; the rollup is one partial
+    * aggregation. At corpus scale the same expression feeds
+    * `repartitionByRange(zvalue)` + sortWithinPartitions before the
+    * write — this query verifies the math and the locality property the
+    * layout buys. */
+  def q84ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    def interleave(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+    t(s, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("a"),
+        (col("l_suppkey") % 256).as("b"))
+      .select(col("a"), col("b"),
+        (interleave(col("a"), col("b")) / 1024).cast("long").as("zbucket"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+      .orderBy("zbucket")
+  }
+
+  val q84Sql: String =
+    """WITH keys AS (
+         SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+       z AS (
+         SELECT a, b,
+                CAST(list_sum([(((a >> i) & 1) << (2*i)) +
+                               (((b >> i) & 1) << (2*i + 1))
+                               for i in range(0, 16)]) AS BIGINT) // 1024
+                  AS zbucket
+         FROM keys)
+       SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+              min(a) AS min_a, max(a) AS max_a,
+              min(b) AS min_b, max(b) AS max_b
+       FROM z GROUP BY zbucket ORDER BY zbucket"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -284,6 +337,7 @@ object AnalyticsQueries {
     "q65_skew_salted_join" -> q65SkewSaltedJoin _,
     "q66_percentile_disc" -> q66PercentileDisc _,
     "q70_approx_percentile" -> q70ApproxPercentile _,
+    "q84_zorder_layout" -> q84ZorderLayout _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,5 +347,6 @@ object AnalyticsQueries {
     "q65_skew_salted_join" -> q65Sql,
     "q66_percentile_disc" -> q66Sql,
     "q70_approx_percentile" -> q70Sql,
+    "q84_zorder_layout" -> q84Sql,
   )
 }
