@@ -1569,6 +1569,46 @@ object PipelineQueries {
                 CAST(count(*) AS DOUBLE) AS quality_rate
        FROM flags GROUP BY source, lang ORDER BY source, lang"""
 
+  // --- q85: rolling time-interval window -------------------------------
+  /** Trailing-hour rolling aggregates per entity — the RANGE-frame
+    * (value-bounded) window family, distinct from q21's ROWS frames: the
+    * frame is "every event within the last hour", however many rows
+    * that is. Rate limiting, velocity features and anomaly baselines are
+    * this exact shape.
+    *
+    * Determinism: the frame is bounded by VALUES (epoch µs offsets), so
+    * same-timestamp peers are all in-frame regardless of tie order, and
+    * the summed quantity is integer cents — no float-order dependence.
+    * Scale shape: one entity-key exchange; the range frame evaluates
+    * with a sliding two-pointer pass over each partition's sort, not a
+    * per-row rescan. */
+  def q85RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("__us"))
+      .rangeBetween(-3600000000L, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("__us"),
+        round(col("value") * 100).cast("long").as("__cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("__cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("n_1h"), col("cents_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events)
+       SELECT user_id, event_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_1h,
+              CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -1809,6 +1849,7 @@ object PipelineQueries {
     "q81_pack_sequences" -> q81PackSequences _,
     "q82_incremental_dedup" -> q82IncrementalDedup _,
     "q83_corpus_report" -> q83CorpusReport _,
+    "q85_rolling_window" -> q85RollingWindow _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1848,6 +1889,7 @@ object PipelineQueries {
     "q81_pack_sequences" -> q81Sql,
     "q82_incremental_dedup" -> q82Sql,
     "q83_corpus_report" -> q83Sql,
+    "q85_rolling_window" -> q85Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
