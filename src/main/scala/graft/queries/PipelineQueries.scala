@@ -1609,6 +1609,169 @@ object PipelineQueries {
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
        ORDER BY user_id, event_id"""
 
+  // --- q86: PMI collocation mining -------------------------------------
+  /** Collocation mining — the corpus-linguistics PMI lift that surfaces
+    * multiword units (Church & Hanks 1990): for adjacent token pairs,
+    * lift = p(w1,w2) / (p(w1)·p(w2)) = c12·Nu² / (Nb·c1·c2), reported
+    * for pairs seen ≥ 5 times, top 20. The log is deliberately NOT
+    * applied (log-PMI ranks identically — log is monotone — and ln is
+    * the one non-correctly-rounded op that would break cross-engine
+    * bit-exactness; same policy as q76's idf).
+    *
+    * Scale shape: two count aggregations over (token) and (token-pair)
+    * keys — narrow rows, map-side partial combine — then the pair table
+    * joins the unigram counts twice; at corpus scale the unigram table
+    * is vocabulary-sized and BROADCASTS. Numerators stay inside Long:
+    * c12·Nu² with a 100 TB corpus exceeds 2⁶³, so the real deployment
+    * promotes to DecimalType(38) — here the exact-long form doubles as
+    * the oracle contract. Top-20 compiles to TakeOrderedAndProject. */
+  def q86Collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("__tk"))
+    val uni = toks.select(explode(col("__tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = toks.filter(size(col("__tk")) >= 2)
+      .select(col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - 1)).as("i"))
+      .select(element_at(col("__tk"), col("i")).as("w1"),
+        element_at(col("__tk"), col("i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val nu = uni.agg(sum("c").as("nu"))
+    val nb = pairs.agg(sum("c12").as("nb"))
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12") * col("nu") * col("nu")).cast("double") /
+          (col("nb") * col("c1") * col("c2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q86Sql: String =
+    """WITH tk AS (
+         SELECT string_split(text, ' ') AS t FROM documents),
+       uni AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS c
+         FROM tk, unnest(t) AS u(w) GROUP BY w),
+       pairs AS (
+         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+           SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+           FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2)
+         GROUP BY w1, w2 HAVING count(*) >= 5),
+       nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+       nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs)
+       SELECT p.w1, p.w2, p.c12,
+              CAST(p.c12 * nu.nu * nu.nu AS DOUBLE) /
+                CAST(nb.nb * u1.c * u2.c AS DOUBLE) AS lift
+       FROM pairs p
+       JOIN uni u1 ON u1.w = p.w1
+       JOIN uni u2 ON u2.w = p.w2
+       CROSS JOIN nu CROSS JOIN nb
+       ORDER BY lift DESC, p.w1, p.w2 LIMIT 20"""
+
+  // --- q87: PageRank (link-graph quality prior) ------------------------
+  /** PageRank (Page et al. 1999) over the bipartite part↔supplier graph
+    * — the link-analysis prior web-corpus pipelines use as a document
+    * quality weight (a page's rank feeds its sampling weight). Three
+    * damped iterations (d = 0.85), all INTEGER arithmetic: ranks are
+    * ×10⁹-quantized longs, contributions are `rank div outdeg`, damping
+    * is `(85·insum) div 100` — floor division in both engines, so every
+    * iteration is bit-exact cross-engine (same discipline as the
+    * k-means oracle's per-iteration re-quantization; floats would
+    * diverge through summation order).
+    *
+    * Scale shape: the iterative-graph pattern of
+    * [[graft.operators.Dedup.connectedComponents]] — each iteration
+    * shuffles (node, long) pairs only: contributions aggregate map-side
+    * per dst, the rank join is key-partitioned, and the edge list is
+    * cached once. The top-k exit compiles to TakeOrderedAndProject. */
+  def q87PageRank(s: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000L
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("sp").as("dst"))
+      .unionByName(li.select(col("sp").as("src"), col("p").as("dst")))
+      .cache()
+    try {
+      val degs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val nNodes = nodes.count()
+      val base = (15L * Scale) / (100L * nNodes)
+      var ranks = nodes.withColumn("rq", lit(Scale / nNodes))
+      for (_ <- 1 to 3) {
+        val insum = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(degs, "src")
+          .select(col("dst"), expr("rq div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("insum"))
+        ranks = nodes
+          .join(insum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(insum, 0)) div 100"))
+              .as("rq"))
+      }
+      val out = ranks.orderBy(col("rq").desc, col("node")).limit(20)
+        .select(col("node"), col("rq").as("rank_q"))
+      // materialize: the tiny top-20 must not lazily re-run three
+      // iterations after the edge cache below is released
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
+        out.schema)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  val q87Sql: String =
+    """WITH li AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS sp
+         FROM lineitem),
+       edges AS (
+         SELECT p AS src, sp AS dst FROM li
+         UNION ALL SELECT sp AS src, p AS dst FROM li),
+       degs AS (
+         SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         FROM edges GROUP BY src),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       r0 AS (
+         SELECT node, (SELECT 1000000000 // n FROM nn) AS rq FROM nodes),
+       i1 AS (
+         SELECT e.dst AS node, CAST(sum(r.rq // d.outdeg) AS BIGINT) AS m
+         FROM edges e
+         JOIN r0 r ON r.node = e.src JOIN degs d ON d.src = e.src
+         GROUP BY e.dst),
+       r1 AS (
+         SELECT n.node,
+                (SELECT 15000000000 // (100 * nn.n) FROM nn) +
+                  (85 * COALESCE(i.m, 0)) // 100 AS rq
+         FROM nodes n LEFT JOIN i1 i ON i.node = n.node),
+       i2 AS (
+         SELECT e.dst AS node, CAST(sum(r.rq // d.outdeg) AS BIGINT) AS m
+         FROM edges e
+         JOIN r1 r ON r.node = e.src JOIN degs d ON d.src = e.src
+         GROUP BY e.dst),
+       r2 AS (
+         SELECT n.node,
+                (SELECT 15000000000 // (100 * nn.n) FROM nn) +
+                  (85 * COALESCE(i.m, 0)) // 100 AS rq
+         FROM nodes n LEFT JOIN i2 i ON i.node = n.node),
+       i3 AS (
+         SELECT e.dst AS node, CAST(sum(r.rq // d.outdeg) AS BIGINT) AS m
+         FROM edges e
+         JOIN r2 r ON r.node = e.src JOIN degs d ON d.src = e.src
+         GROUP BY e.dst),
+       r3 AS (
+         SELECT n.node,
+                (SELECT 15000000000 // (100 * nn.n) FROM nn) +
+                  (85 * COALESCE(i.m, 0)) // 100 AS rq
+         FROM nodes n LEFT JOIN i3 i ON i.node = n.node)
+       SELECT node, CAST(rq AS BIGINT) AS rank_q FROM r3
+       ORDER BY rq DESC, node LIMIT 20"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -1850,6 +2013,8 @@ object PipelineQueries {
     "q82_incremental_dedup" -> q82IncrementalDedup _,
     "q83_corpus_report" -> q83CorpusReport _,
     "q85_rolling_window" -> q85RollingWindow _,
+    "q86_collocations" -> q86Collocations _,
+    "q87_pagerank" -> q87PageRank _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -1890,6 +2055,8 @@ object PipelineQueries {
     "q82_incremental_dedup" -> q82Sql,
     "q83_corpus_report" -> q83Sql,
     "q85_rolling_window" -> q85Sql,
+    "q86_collocations" -> q86Sql,
+    "q87_pagerank" -> q87Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
