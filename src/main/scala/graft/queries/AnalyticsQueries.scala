@@ -330,6 +330,91 @@ object AnalyticsQueries {
               min(b) AS min_b, max(b) AS max_b
        FROM z GROUP BY zbucket ORDER BY zbucket"""
 
+  // --- q88: pivot (crosstab) -------------------------------------------
+  /** PIVOT — the crosstab reshape (delay counts as line_type rows ×
+    * time-of-day columns). `RelationalGroupedDataset.pivot` with an
+    * EXPLICIT value list: without one Spark runs a distinct-values job
+    * first AND the output column set would depend on the data — the
+    * explicit list keeps the schema static and the plan single-pass
+    * (one partial+final aggregation; each pivot cell is a conditional
+    * count, exactly the CASE-sum form the oracle states). Absent cells
+    * are filled 0 to match the oracle's CASE sums. */
+  def q88PivotDelays(s: SparkSession, dir: String): DataFrame = {
+    val d = StarSchema.delays(s, dir)
+    val r = StarSchema.routes(s, dir)
+    d.join(broadcast(r), col("route_id") === col("route"))
+      .select(lineType(col("route_type")).as("line_type"),
+        timeOfDay(hour(col("timestamp"))).as("time_of_day"))
+      .groupBy("line_type")
+      .pivot("time_of_day",
+        Seq("morning", "midday", "afternoon", "evening", "night"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("line_type")
+  }
+
+  val q88Sql: String =
+    s"""WITH ${StarSchema.delaysSql}, ${StarSchema.routesSql},
+       f AS (
+         SELECT CASE r.route_type WHEN 0 THEN 'tram' WHEN 2 THEN 'rail'
+                     WHEN 3 THEN 'bus' ELSE 'unknown' END AS line_type,
+                CASE WHEN hour(d.timestamp) BETWEEN 6 AND 9 THEN 'morning'
+                     WHEN hour(d.timestamp) BETWEEN 10 AND 13 THEN 'midday'
+                     WHEN hour(d.timestamp) BETWEEN 14 AND 17
+                       THEN 'afternoon'
+                     WHEN hour(d.timestamp) BETWEEN 18 AND 22 THEN 'evening'
+                     ELSE 'night' END AS tod
+         FROM delays d JOIN routes r ON r.route_id = d.route)
+       SELECT line_type,
+              CAST(sum(CASE WHEN tod = 'morning' THEN 1 ELSE 0 END)
+                AS BIGINT) AS morning,
+              CAST(sum(CASE WHEN tod = 'midday' THEN 1 ELSE 0 END)
+                AS BIGINT) AS midday,
+              CAST(sum(CASE WHEN tod = 'afternoon' THEN 1 ELSE 0 END)
+                AS BIGINT) AS afternoon,
+              CAST(sum(CASE WHEN tod = 'evening' THEN 1 ELSE 0 END)
+                AS BIGINT) AS evening,
+              CAST(sum(CASE WHEN tod = 'night' THEN 1 ELSE 0 END)
+                AS BIGINT) AS night
+       FROM f GROUP BY line_type ORDER BY line_type"""
+
+  // --- q89: set operations (INTERSECT / EXCEPT / UNION) ----------------
+  /** The distinct set-operator family as one cohort-overlap query:
+    * customers ordering in 1994Q1 vs 1994Q2 — retained (INTERSECT),
+    * churned (EXCEPT), reached (UNION DISTINCT). Spark's
+    * intersect/except carry exactly SQL's distinct-set semantics, and
+    * each branch plans as an aggregation-free hash semi/anti form over
+    * the two key sets; the three 1-row counts cross-join broadcast. */
+  def q89SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def cohort(lo: String, hi: String) =
+      o.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select("o_custkey")
+    val a = cohort("1994-01-01", "1994-04-01")
+    val b = cohort("1994-04-01", "1994-07-01")
+    a.intersect(b).agg(count(lit(1)).as("n_retained"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_churned")))
+      .crossJoin(a.union(b).distinct()
+        .agg(count(lit(1)).as("n_reached")))
+  }
+
+  val q89Sql: String =
+    """WITH a AS (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= DATE '1994-01-01'
+           AND o_orderdate < DATE '1994-04-01'),
+       b AS (
+         SELECT o_custkey FROM orders
+         WHERE o_orderdate >= DATE '1994-04-01'
+           AND o_orderdate < DATE '1994-07-01')
+       SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_retained,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_churned,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+           (SELECT * FROM a UNION SELECT * FROM b)) AS n_reached"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -338,6 +423,8 @@ object AnalyticsQueries {
     "q66_percentile_disc" -> q66PercentileDisc _,
     "q70_approx_percentile" -> q70ApproxPercentile _,
     "q84_zorder_layout" -> q84ZorderLayout _,
+    "q88_pivot_delays" -> q88PivotDelays _,
+    "q89_set_ops" -> q89SetOps _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +435,7 @@ object AnalyticsQueries {
     "q66_percentile_disc" -> q66Sql,
     "q70_approx_percentile" -> q70Sql,
     "q84_zorder_layout" -> q84Sql,
+    "q88_pivot_delays" -> q88Sql,
+    "q89_set_ops" -> q89Sql,
   )
 }
