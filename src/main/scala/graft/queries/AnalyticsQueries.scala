@@ -415,6 +415,39 @@ object AnalyticsQueries {
          (SELECT CAST(count(*) AS BIGINT) FROM
            (SELECT * FROM a UNION SELECT * FROM b)) AS n_reached"""
 
+  // --- q90: unpivot (melt) ---------------------------------------------
+  /** UNPIVOT — the wide→long reshape inverse of q88 (`Dataset.unpivot`,
+    * Spark 3.4+; the melt every metrics pipeline runs before a generic
+    * per-metric rollup). Three numeric lineitem columns melt to
+    * (metric, value) rows and aggregate per metric; sums are ×100
+    * integer cents so the result is partial-sum-order independent.
+    * Scale shape: unpivot is a row-local Expand (3× row fan-out, zero
+    * shuffle), followed by one 3-group aggregation — map-side partials
+    * do almost all the work. */
+  def q90Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * 100).cast("long")).as("cents_sum"))
+      .orderBy("metric")
+
+  val q90Sql: String =
+    """WITH m AS (
+         SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', l_discount FROM lineitem)
+       SELECT metric, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                AS cents_sum
+       FROM m GROUP BY metric ORDER BY metric"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -425,6 +458,7 @@ object AnalyticsQueries {
     "q84_zorder_layout" -> q84ZorderLayout _,
     "q88_pivot_delays" -> q88PivotDelays _,
     "q89_set_ops" -> q89SetOps _,
+    "q90_unpivot" -> q90Unpivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,5 +471,6 @@ object AnalyticsQueries {
     "q84_zorder_layout" -> q84Sql,
     "q88_pivot_delays" -> q88Sql,
     "q89_set_ops" -> q89Sql,
+    "q90_unpivot" -> q90Sql,
   )
 }
