@@ -1694,34 +1694,58 @@ object PipelineQueries {
     val li = t(s, dir, "lineitem")
       .select(col("l_partkey").as("p"),
         (col("l_suppkey") + 10000000L).as("sp"))
-      .distinct()
+    // outdeg rides the edge list from the start via a same-key window —
+    // no degs join at all: union → ONE distinct → ONE src-partitioned
+    // count, and the cache holds the loop's entire static side
     val edges = li.select(col("p").as("src"), col("sp").as("dst"))
       .unionByName(li.select(col("sp").as("src"), col("p").as("dst")))
+      .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .cache()
+    // iterative-loop resource discipline (the connectedComponents
+    // pattern): each round's ranks are EAGERLY localCheckpointed and the
+    // previous round's blocks dropped — without this, broadcast(ranks)
+    // at round k re-executes rounds 1..k-1 from scratch (measured: 100 s
+    // of task time for a 1M-edge graph; 634 tasks), and the final
+    // collect re-runs the whole history once more
+    def dropCp(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     try {
-      val degs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val nodes = edges.select(col("src").as("node")).distinct()
       val nNodes = nodes.count()
       val base = (15L * Scale) / (100L * nNodes)
       var ranks = nodes.withColumn("rq", lit(Scale / nNodes))
+        .localCheckpoint(true)
       for (_ <- 1 to 3) {
+        // ranks is node-count-sized (longs) — broadcast it into the
+        // edge scan so each iteration is one map-side join + one
+        // aggregation shuffle of (dst, long) partials
         val insum = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(degs, "src")
+          .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
           .select(col("dst"), expr("rq div outdeg").as("contrib"))
           .groupBy("dst").agg(sum("contrib").as("insum"))
-        ranks = nodes
+        val next = nodes
           .join(insum.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr("(85 * coalesce(insum, 0)) div 100"))
               .as("rq"))
+          .localCheckpoint(true)
+        dropCp(ranks)
+        ranks = next
       }
       val out = ranks.orderBy(col("rq").desc, col("node")).limit(20)
         .select(col("node"), col("rq").as("rank_q"))
-      // materialize: the tiny top-20 must not lazily re-run three
-      // iterations after the edge cache below is released
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*),
-        out.schema)
+      // materialize: the tiny top-20 must not lazily read checkpoint
+      // blocks released below
+      val res = s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      dropCp(ranks)
+      res
     } finally edges.unpersist(blocking = false)
   }
 
