@@ -42,6 +42,19 @@ object Dedup {
     * (aₚ·(h mod P) + bₚ) stays far below 2⁶³ — no overflow anywhere. */
   val MinHashP = 2147483647L
 
+  /** Drop the localCheckpoint blocks behind an eagerly-checkpointed
+    * frame. Iterative loops ([[connectedComponents]], PageRank) must
+    * release each superseded round's blocks explicitly: ContextCleaner
+    * only frees them on a driver GC, which a large heap may not run for
+    * a long session — measured: rounds slowed ~7× once accumulated
+    * blocks filled the block manager. */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Word n-gram shingles over an ALREADY-SPLIT token-array column.
     * Returns an array column (empty when there are < n tokens).
     *
@@ -294,21 +307,13 @@ object Dedup {
     //     re-analysis/planning of the deepening tree quickly dominates
     //     the label propagation;
     //   - the PREVIOUS round's checkpoint blocks are unpersisted
-    //     explicitly the moment the new round is materialized.
-    //     ContextCleaner only frees them on a driver GC, which a large
-    //     heap may not run for a long session — measured: rounds slowed
-    //     ~7× once accumulated blocks filled the block manager;
+    //     explicitly the moment the new round is materialized (see
+    //     [[unpersistCheckpoint]]);
     //   - frames coalesce to one partition per ~2M rows (counted once —
     //     labels never grow): near-dup label/pair frames are tiny, and
     //     a round over 32-partition frames schedules 32× the tasks the
     //     data needs. At real corpus scale the same formula keeps
     //     thousands of partitions.
-    def unpersistCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
     def partsFor(n: Long): Int =
       math.min(math.max(1L, n / 2000000L), 10000L).toInt
     // checkpoint, count (cheap: reads the fresh blocks), re-checkpoint

@@ -299,7 +299,7 @@ object AnalyticsQueries {
   def q84ZorderLayout(s: SparkSession, dir: String): DataFrame = {
     def interleave(a: org.apache.spark.sql.Column,
                    b: org.apache.spark.sql.Column) =
-      (0 until 16).map { i =>
+      (0 until 8).map { i =>
         shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
           shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)
       }.reduce(_ + _)
@@ -322,7 +322,7 @@ object AnalyticsQueries {
          SELECT a, b,
                 CAST(list_sum([(((a >> i) & 1) << (2*i)) +
                                (((b >> i) & 1) << (2*i + 1))
-                               for i in range(0, 16)]) AS BIGINT) // 1024
+                               for i in range(0, 8)]) AS BIGINT) // 1024
                   AS zbucket
          FROM keys)
        SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
@@ -380,7 +380,7 @@ object AnalyticsQueries {
 
   // --- q89: set operations (INTERSECT / EXCEPT / UNION) ----------------
   /** The distinct set-operator family as one cohort-overlap query:
-    * customers ordering in 1994Q1 vs 1994Q2 — retained (INTERSECT),
+    * customers ordering in 1995Q1 vs 1995Q2 — retained (INTERSECT),
     * churned (EXCEPT), reached (UNION DISTINCT). Spark's
     * intersect/except carry exactly SQL's distinct-set semantics, and
     * each branch plans as an aggregation-free hash semi/anti form over
@@ -390,8 +390,8 @@ object AnalyticsQueries {
     def cohort(lo: String, hi: String) =
       o.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
         .select("o_custkey")
-    val a = cohort("1994-01-01", "1994-04-01")
-    val b = cohort("1994-04-01", "1994-07-01")
+    val a = cohort("1995-01-01", "1995-04-01")
+    val b = cohort("1995-04-01", "1995-07-01")
     a.intersect(b).agg(count(lit(1)).as("n_retained"))
       .crossJoin(a.except(b).agg(count(lit(1)).as("n_churned")))
       .crossJoin(a.union(b).distinct()
@@ -401,12 +401,12 @@ object AnalyticsQueries {
   val q89Sql: String =
     """WITH a AS (
          SELECT o_custkey FROM orders
-         WHERE o_orderdate >= DATE '1994-01-01'
-           AND o_orderdate < DATE '1994-04-01'),
+         WHERE o_orderdate >= DATE '1995-01-01'
+           AND o_orderdate < DATE '1995-04-01'),
        b AS (
          SELECT o_custkey FROM orders
-         WHERE o_orderdate >= DATE '1994-04-01'
-           AND o_orderdate < DATE '1994-07-01')
+         WHERE o_orderdate >= DATE '1995-04-01'
+           AND o_orderdate < DATE '1995-07-01')
        SELECT
          (SELECT CAST(count(*) AS BIGINT) FROM
            (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_retained,
@@ -428,7 +428,7 @@ object AnalyticsQueries {
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
-      .unpivot(Array(col("l_orderkey")),
+      .unpivot(Array.empty,
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "v")
       .groupBy("metric")

@@ -1630,15 +1630,18 @@ object PipelineQueries {
       .select(split(col("text"), " ").as("__tk"))
     val uni = toks.select(explode(col("__tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val pairs = toks.filter(size(col("__tk")) >= 2)
+    val pairsAll = toks.filter(size(col("__tk")) >= 2)
       .select(col("__tk"),
         explode(sequence(lit(1), size(col("__tk")) - 1)).as("i"))
       .select(element_at(col("__tk"), col("i")).as("w1"),
         element_at(col("__tk"), col("i") + 1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= 5)
+    val pairs = pairsAll.filter(col("c12") >= 5)
     val nu = uni.agg(sum("c").as("nu"))
-    val nb = pairs.agg(sum("c12").as("nb"))
+    // Nb is the TOTAL bigram count, summed before the c12 >= 5 report
+    // filter — p(w1,w2) = c12/Nb only holds against the full event
+    // space, and a filtered Nb would inflate every lift by a constant
+    val nb = pairsAll.agg(sum("c12").as("nb"))
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
@@ -1656,14 +1659,15 @@ object PipelineQueries {
        uni AS (
          SELECT w, CAST(count(*) AS BIGINT) AS c
          FROM tk, unnest(t) AS u(w) GROUP BY w),
-       pairs AS (
+       pairs_all AS (
          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
            SELECT t[u.i] AS w1, t[u.i + 1] AS w2
            FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
            WHERE len(t) >= 2)
-         GROUP BY w1, w2 HAVING count(*) >= 5),
+         GROUP BY w1, w2),
+       pairs AS (SELECT * FROM pairs_all WHERE c12 >= 5),
        nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
-       nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs)
+       nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs_all)
        SELECT p.w1, p.w2, p.c12,
               CAST(p.c12 * nu.nu * nu.nu AS DOUBLE) /
                 CAST(nb.nb * u1.c * u2.c AS DOUBLE) AS lift
@@ -1704,17 +1708,11 @@ object PipelineQueries {
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .cache()
     // iterative-loop resource discipline (the connectedComponents
-    // pattern): each round's ranks are EAGERLY localCheckpointed and the
-    // previous round's blocks dropped — without this, broadcast(ranks)
-    // at round k re-executes rounds 1..k-1 from scratch (measured: 100 s
-    // of task time for a 1M-edge graph; 634 tasks), and the final
-    // collect re-runs the whole history once more
-    def dropCp(df: DataFrame): Unit =
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+    // pattern, sharing its Dedup.unpersistCheckpoint): each round's
+    // ranks are EAGERLY localCheckpointed and the previous round's
+    // blocks dropped — without this, broadcast(ranks) at round k
+    // re-plans rounds 1..k-1 from scratch, and the final collect
+    // re-runs the whole history once more
     try {
       val nodes = edges.select(col("src").as("node")).distinct()
       val nNodes = nodes.count()
@@ -1735,7 +1733,7 @@ object PipelineQueries {
             (lit(base) + expr("(85 * coalesce(insum, 0)) div 100"))
               .as("rq"))
           .localCheckpoint(true)
-        dropCp(ranks)
+        Dedup.unpersistCheckpoint(ranks)
         ranks = next
       }
       val out = ranks.orderBy(col("rq").desc, col("node")).limit(20)
@@ -1744,7 +1742,7 @@ object PipelineQueries {
       // blocks released below
       val res = s.createDataFrame(
         java.util.Arrays.asList(out.collect(): _*), out.schema)
-      dropCp(ranks)
+      Dedup.unpersistCheckpoint(ranks)
       res
     } finally edges.unpersist(blocking = false)
   }
