@@ -1794,6 +1794,52 @@ object PipelineQueries {
        SELECT node, CAST(rq AS BIGINT) AS rank_q FROM r3
        ORDER BY rq DESC, node LIMIT 20"""
 
+  // --- q91: interval (range) join --------------------------------------
+  /** Point-in-interval join with NO equi key: purchases that happened
+    * during any outage window (each error event opens a 30-minute
+    * window). The naive plan is a cross join × inequality filter —
+    * O(|points|·|windows|), a scale-killer. This implements the
+    * standard bucketing decomposition every engine's range-join
+    * optimizer applies internally: time is tiled into window-sized
+    * buckets, each window explodes to the ≤2 buckets it covers, each
+    * point maps to exactly one bucket, and the join becomes an
+    * EQUI-join on bucket + a residual range filter. A point meets a
+    * given window in exactly one bucket (the point's own), so no
+    * dedup is needed and multiplicities are exact.
+    *
+    * All µs-integer arithmetic (floor division for buckets) — exact in
+    * both engines; the oracle runs the naive inequality join, proving
+    * the decomposition emits exactly the same pair multiset. */
+  def q91IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val bucket = 1800000000L // 30 min in µs = the window length
+    val ev = t(s, dir, "events")
+    val outages = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("ws"))
+      .withColumn("we", col("ws") + bucket)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("ps"))
+    val wb = outages.select(col("ws"), col("we"),
+      explode(sequence(expr(s"ws div $bucket"),
+        expr(s"(we - 1) div $bucket"))).as("b"))
+    val pb = purchases.withColumn("b", expr(s"ps div $bucket"))
+    pb.join(wb, "b")
+      .filter(col("ps") >= col("ws") && col("ps") < col("we"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_purchases_hit"))
+  }
+
+  val q91Sql: String =
+    """WITH o AS (
+         SELECT epoch_us(ts) AS ws, epoch_us(ts) + 1800000000 AS we
+         FROM events WHERE event_type = 'error'),
+       p AS (
+         SELECT event_id, epoch_us(ts) AS ps
+         FROM events WHERE event_type = 'purchase')
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT p.event_id) AS BIGINT)
+                AS n_purchases_hit
+       FROM p JOIN o ON p.ps >= o.ws AND p.ps < o.we"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2037,6 +2083,7 @@ object PipelineQueries {
     "q85_rolling_window" -> q85RollingWindow _,
     "q86_collocations" -> q86Collocations _,
     "q87_pagerank" -> q87PageRank _,
+    "q91_interval_join" -> q91IntervalJoin _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2079,6 +2126,7 @@ object PipelineQueries {
     "q85_rolling_window" -> q85Sql,
     "q86_collocations" -> q86Sql,
     "q87_pagerank" -> q87Sql,
+    "q91_interval_join" -> q91Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

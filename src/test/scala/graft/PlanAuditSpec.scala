@@ -277,6 +277,17 @@ class PlanAuditSpec extends SparkSpec {
       s"packing must not re-shuffle between scan and rollup, got $shuffles")
   }
 
+  test("q91 interval join decomposes to an equi-join on the time bucket: " +
+      "no cartesian product, no nested-loop join anywhere in the plan") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q91IntervalJoin(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      s"range join degraded to a cartesian product: $nodes")
+    assert(!nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"range join degraded to a nested-loop join: $nodes")
+  }
+
   test("q69 repetition signals are one expression pass: no aggregation, " +
       "no explode, no shuffle besides the output sort") {
     val plan = executed(graft.queries.PipelineQueries
