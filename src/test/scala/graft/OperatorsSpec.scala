@@ -293,6 +293,17 @@ class OperatorsSpec extends SparkSpec {
         s"${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("self-clean contract: the PageRank iterative loop leaves no " +
+      "persistent RDDs behind (edge cache and every round's checkpoint " +
+      "blocks are released)") {
+    val out = graft.queries.PipelineQueries
+      .q87PageRank(spark, "/root/testdata/sf0.001")
+    assert(out.count() == 20)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"q87 left persistent RDDs: " +
+        s"${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("self-clean contract: back-to-back invocations do not degrade " +
       "(second run within 1.3x of the first)") {
     val docs = (1L to 1500L).map(i =>
