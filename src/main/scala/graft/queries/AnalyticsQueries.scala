@@ -426,8 +426,7 @@ object AnalyticsQueries {
     * do almost all the work. */
   def q90Unpivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"))
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       .unpivot(Array.empty,
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "v")

@@ -1638,10 +1638,12 @@ object PipelineQueries {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val pairs = pairsAll.filter(col("c12") >= 5)
     val nu = uni.agg(sum("c").as("nu"))
-    // Nb is the TOTAL bigram count, summed before the c12 >= 5 report
-    // filter — p(w1,w2) = c12/Nb only holds against the full event
-    // space, and a filtered Nb would inflate every lift by a constant
-    val nb = pairsAll.agg(sum("c12").as("nb"))
+    // Nb is the TOTAL bigram count — p(w1,w2) = c12/Nb only holds
+    // against the full event space, and a filtered Nb would inflate
+    // every lift by a constant. By construction it equals the per-doc
+    // sum of (tokens − 1), which costs one scan and NO pair shuffle
+    val nb = toks.filter(size(col("__tk")) >= 2)
+      .agg(sum(size(col("__tk")).cast("long") - 1).as("nb"))
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
@@ -1667,7 +1669,8 @@ object PipelineQueries {
          GROUP BY w1, w2),
        pairs AS (SELECT * FROM pairs_all WHERE c12 >= 5),
        nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
-       nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs_all)
+       nb AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS nb FROM tk
+              WHERE len(t) >= 2)
        SELECT p.w1, p.w2, p.c12,
               CAST(p.c12 * nu.nu * nu.nu AS DOUBLE) /
                 CAST(nb.nb * u1.c * u2.c AS DOUBLE) AS lift
