@@ -78,9 +78,13 @@ object Dedup {
 
   /** 60-bit content hash of a string: first 15 hex chars of md5, as long.
     * Always non-negative; identical in DuckDB as
-    * `('0x' || substr(md5(s),1,15))::BIGINT`. */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    * `('0x' || substr(md5(s),1,15))::BIGINT`. Computed by the native
+    * [[graft.plans.Hash60]] expression — one digest, no hex-string
+    * round-trip (the `conv(substring(md5(s),1,15),16,10)` formulation it
+    * replaces rendered and re-parsed 15 hex chars per shingle row, the
+    * innermost allocation of the whole dedup family at corpus scale);
+    * a property spec pins value equality against the composed form. */
+  def hash60(s: Column): Column = graft.plans.Hash60Expr.hash60(s)
 
   /** Exact dedup by content digest: one row per distinct text, with the
     * number of copies and the smallest doc_id kept. */
