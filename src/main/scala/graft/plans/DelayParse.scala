@@ -99,7 +99,7 @@ object DelayParse {
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
   * the supported way to ship custom expressions with a library. Exposes
   * every graft expression to SQL: `parse_delay_minutes`, `quantize_vec`,
-  * `dot_q`. */
+  * `dot_q`, `hash60`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
   => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions)
@@ -124,6 +124,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
         require(children.length == 2,
           s"dot_q expects 2 arguments, got ${children.length}")
         DotProductQ(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"hash60 expects 1 argument, got ${children.length}")
+        Hash60(children.head)
       }))
   }
 }

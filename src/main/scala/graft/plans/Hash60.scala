@@ -38,6 +38,21 @@ object Hash60Expr {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Register `hash60` in a session's function registry (idempotent) so
+    * `expr("hash60(c)")` resolves — same surface as
+    * [[DelayParse.register]]; `GraftExtensions` injects it for
+    * extension-configured sessions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Hash60].getName, "hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"hash60 expects 1 argument, got ${children.length}")
+        Hash60(children.head)
+      })
+
   /** First 60 bits of md5(s) as a non-negative long. */
   def hash(s: UTF8String): Long = {
     val d = mdPool.get()

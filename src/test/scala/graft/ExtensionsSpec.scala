@@ -47,6 +47,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.agg(sum("m")).collect()(0).getLong(0) == (0 until 100).sum)
   }
 
+  test("hash60 SQL surface resolves after register and runs inside " +
+    "whole-stage codegen, matching the composed md5 formulation") {
+    graft.plans.Hash60Expr.register(spark)
+    val df = spark.range(200)
+      .selectExpr("concat('doc-', cast(id as string)) as s")
+      .selectExpr("hash60(s) as h",
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) as ref")
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [hash60"), plan)
+  }
+
   test("ModeAggregator equals the window-based mode incl. tie-break") {
     val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
       ("b", 3.0), ("b", 4.0), ("c", 9.0)).toDF("g", "v")
