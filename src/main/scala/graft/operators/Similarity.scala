@@ -275,6 +275,48 @@ object Similarity {
       .groupBy("cid").agg(count(lit(1)).as("n_members"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus into `numCentroids` cells by
+    * nearest centroid, then score ONLY intra-cell pairs — the quadratic
+    * term drops from |D|² to Σ|cell|², which is the whole trick; k tunes
+    * the cell size (k ≈ |D|/√B keeps cells near √B vectors). Keep
+    * policy: within a cell a vector is a duplicate iff some LOWER-id
+    * cell-mate has cosine ≥ `threshold` (one-shot greedy keep-lowest-id
+    * — deterministic and oracle-expressible; the paper's
+    * keep-farthest-from-centroid variant changes only the ordering the
+    * greedy rule ranks by). Returns one row per corpus vector:
+    * (did, cid, is_dup), so callers filter `!is_dup` for the kept set.
+    *
+    * Scale shape: cell assignment is a map-side broadcast cross join
+    * (the k centroids broadcast); pair generation is one shuffle of
+    * (cid, id, vec, norm) rows and each cell's self-join is local to
+    * its partition. The assignment frame feeds both pair sides and the
+    * final flag join — at corpus scale persist it (or reuse a
+    * [[kmeansCentroids]]-trained assignment) rather than recomputing;
+    * here it is three broadcast passes over the scan, kept lazy so
+    * Catalyst can prune each branch independently. Null/empty
+    * embeddings cannot be assigned a cell (null cosine against every
+    * centroid) and are dropped up front — same tolerance as the IVF
+    * path. */
+  def semanticDedup(corpus: DataFrame, numCentroids: Int,
+                    threshold: Double): DataFrame = {
+    val live = corpus.filter(size(col("embedding")) > 0)
+    val cells = assignNearest(prep(live, "did", "de", "dn"),
+      firstNCentroids(live, numCentroids))
+    val dups = cells.select(col("cid"), col("did").as("id_a"),
+        col("de").as("ea"), col("dn").as("na"))
+      .join(cells.select(col("cid"), col("did").as("id_b"),
+        col("de").as("eb"), col("dn").as("nb")), Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineFrom(dotQ(col("ea"), col("eb")), col("na"), col("nb"))
+          >= threshold)
+      .select(col("id_b").as("did")).distinct()
+    cells.select(col("did"), col("cid"))
+      .join(dups.withColumn("dup", lit(true)), Seq("did"), "left")
+      .select(col("did"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `numCentroids`
     * cells by nearest centroid, then probe only the query's `nProbe`
     * nearest cells. Probe cost drops from |D| to nProbe × |D|/centroids.

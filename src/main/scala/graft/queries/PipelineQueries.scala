@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.io.Sources
-import graft.operators.{AsofJoin, Dedup, Similarity}
+import graft.operators.{AsofJoin, Dedup, FuzzyJoin, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1843,6 +1843,129 @@ object PipelineQueries {
                 AS n_purchases_hit
        FROM p JOIN o ON p.ps >= o.ws AND p.ps < o.we"""
 
+  // --- q92: SemDeDup semantic dedup (cluster-bounded cosine) -----------
+  /** Embedding-level semantic dedup over the harness corpus ∪ exact
+    * copies (vec_id + 1e6, every 7th vector) — the planted true
+    * positives every near-dup query here uses. The operator
+    * ([[Similarity.semanticDedup]]) clusters into 8 cells and scores
+    * only intra-cell pairs, so the oracle's job is to prove the
+    * cluster-bounded greedy flag equals the same rule evaluated from
+    * scratch in SQL. Copies land in their original's cell (identical
+    * vector → identical centroid cosines → same (desc, cid asc)
+    * choice), so every planted copy must come back is_dup = true. */
+  def q92SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    Similarity.semanticDedup(corpus, numCentroids = 8, threshold = 0.95)
+      .orderBy("did")
+  }
+
+  val q92Sql: String =
+    """WITH corpus AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id, embedding
+         FROM embeddings WHERE vec_id % 7 = 0),
+       v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM corpus WHERE len(embedding) > 0),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       cents AS (
+         SELECT vec_id AS cid, e AS ce, nn AS cn FROM n
+         ORDER BY vec_id LIMIT 8),
+       cells AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n d CROSS JOIN cents c)
+         WHERE crank = 1),
+       cellv AS (
+         SELECT ce.did, ce.cid, nn.e, nn.nn
+         FROM cells ce JOIN n nn ON nn.vec_id = ce.did),
+       dups AS (
+         SELECT DISTINCT b.did FROM cellv a
+         JOIN cellv b ON a.cid = b.cid AND a.did < b.did
+         WHERE CAST(list_sum([a.e[i] * b.e[i]
+                 for i in generate_series(1, len(a.e))]) AS DOUBLE) /
+               (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+               >= 0.95)
+       SELECT ce.did, ce.cid, (d.did IS NOT NULL) AS is_dup
+       FROM cells ce LEFT JOIN dups d ON d.did = ce.did
+       ORDER BY ce.did"""
+
+  // --- q93: fuzzy best-match join (prefix filter + Levenshtein) --------
+  /** Entity resolution over the part catalog: every 11th part's name is
+    * corrupted (2nd character of the 2nd word deleted — a token OUTSIDE
+    * the catalog vocabulary) and matched back against the full catalog
+    * via [[FuzzyJoin.bestEditMatch]]. The oracle replays the whole
+    * filter-and-verify decomposition — df ranking, k=2 prefixes,
+    * candidate equi-join, Levenshtein top-1 — so the compare proves the
+    * blocked plan equals the same rule in SQL, junk candidates and
+    * tie-breaks included. */
+  def q93FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val clean = part.select(col("p_partkey").as("rid"),
+      col("p_name").as("rname"))
+    val dirty = part.filter(col("p_partkey") % 11 === 0)
+      .select(col("p_partkey").as("lid"),
+        expr("""concat(element_at(split(p_name, ' '), 1), ' ',
+                substring(element_at(split(p_name, ' '), 2), 1, 1),
+                substring(element_at(split(p_name, ' '), 2), 3, 1000))""")
+          .as("lname"))
+    FuzzyJoin.bestEditMatch(dirty, "lid", "lname", clean, "rid", "rname")
+      .orderBy("lid")
+  }
+
+  val q93Sql: String =
+    """WITH clean AS (
+         SELECT p_partkey AS rid, p_name AS rname FROM part),
+       dirty AS (
+         SELECT p_partkey AS lid,
+                tk[1] || ' ' || substr(tk[2], 1, 1) || substr(tk[2], 3)
+                  AS lname
+         FROM (SELECT p_partkey, string_split(p_name, ' ') AS tk
+               FROM part)
+         WHERE p_partkey % 11 = 0),
+       rtok AS (
+         SELECT DISTINCT rid, unnest(string_split(rname, ' ')) AS tok
+         FROM clean),
+       dfreq AS (
+         SELECT tok, CAST(count(*) AS BIGINT) AS df FROM rtok GROUP BY 1),
+       rpre AS (
+         SELECT tok, rid FROM (
+           SELECT r.tok, r.rid, row_number() OVER (PARTITION BY r.rid
+             ORDER BY d.df ASC, r.tok ASC) AS rk
+           FROM rtok r JOIN dfreq d USING (tok)) WHERE rk <= 2),
+       ltok AS (
+         SELECT DISTINCT lid, unnest(string_split(lname, ' ')) AS tok
+         FROM dirty),
+       lpre AS (
+         SELECT tok, lid FROM (
+           SELECT l.tok, l.lid, row_number() OVER (PARTITION BY l.lid
+             ORDER BY coalesce(d.df, 0) ASC, l.tok ASC) AS rk
+           FROM ltok l LEFT JOIN dfreq d USING (tok)) WHERE rk <= 2),
+       cand AS (
+         SELECT DISTINCT lp.lid, rp.rid
+         FROM lpre lp JOIN rpre rp USING (tok)),
+       scored AS (
+         SELECT c.lid, c.rid,
+                CAST(levenshtein(dd.lname, cc.rname) AS INTEGER) AS dist
+         FROM cand c
+         JOIN dirty dd ON dd.lid = c.lid
+         JOIN clean cc ON cc.rid = c.rid)
+       SELECT lid, rid, dist FROM (
+         SELECT lid, rid, dist, row_number() OVER (PARTITION BY lid
+           ORDER BY dist ASC, rid ASC) AS rk FROM scored)
+       WHERE rk = 1 ORDER BY lid"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2087,6 +2210,8 @@ object PipelineQueries {
     "q86_collocations" -> q86Collocations _,
     "q87_pagerank" -> q87PageRank _,
     "q91_interval_join" -> q91IntervalJoin _,
+    "q92_semantic_dedup" -> q92SemanticDedup _,
+    "q93_fuzzy_match" -> q93FuzzyMatch _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2130,6 +2255,8 @@ object PipelineQueries {
     "q86_collocations" -> q86Sql,
     "q87_pagerank" -> q87Sql,
     "q91_interval_join" -> q91Sql,
+    "q92_semantic_dedup" -> q92Sql,
+    "q93_fuzzy_match" -> q93Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

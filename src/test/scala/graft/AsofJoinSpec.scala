@@ -61,4 +61,38 @@ class AsofJoinSpec extends SparkSpec {
       s"exact copies must all be found; got $pairs")
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("semanticDedup flags planted copies (keep-lowest-id), keeps " +
+    "originals, and drops null/empty embeddings from the output") {
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j + 1).toFloat))
+    }
+    val corpus = (base ++ base.take(5).map { case (i, v) => (i + 100, v) })
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((900L, Array.empty[Float]))
+        .toDF("vec_id", "embedding"))
+    val out = Similarity.semanticDedup(corpus, numCentroids = 4,
+        threshold = 0.99)
+      .select("did", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 25, "empty-embedding row must be dropped")
+    (100L until 105L).foreach(i => assert(out(i),
+      s"planted copy $i must be flagged"))
+    (0L until 5L).foreach(i => assert(!out(i),
+      s"original $i is the kept (lowest-id) member"))
+  }
+
+  test("semanticDedup copies land in their original's cell") {
+    val base = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 8 + j + 1).toFloat))
+    }
+    val corpus = (base ++ base.map { case (i, v) => (i + 100, v) })
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.semanticDedup(corpus, numCentroids = 3,
+        threshold = 0.99)
+      .select("did", "cid").as[(Long, Long)].collect().toMap
+    base.foreach { case (i, _) =>
+      assert(cells(i) == cells(i + 100),
+        s"copy of $i assigned cell ${cells(i + 100)} != ${cells(i)}")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, ModeAgg, Similarity, Upsert}
+import graft.operators.{Dedup, FuzzyJoin, ModeAgg, Similarity, Upsert}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -346,6 +346,24 @@ class OperatorsSpec extends SparkSpec {
     val got = lazyPairs.filter(col("id_a") === 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("bestEditMatch recovers corrupted records through an out-of-" +
+    "vocabulary token, breaks distance ties by rid, and omits left " +
+    "rows with no candidates") {
+    val catalog = Seq(
+      (1, "red widget"), (2, "red widget"), (3, "blue widget"),
+      (4, "green gear"), (5, "small bolt")).toDF("id", "name")
+    val dirty = Seq(
+      (10, "red wdget"),   // corrupted token OOV; 'red' surfaces cands
+      (11, "green gear"),  // exact copy → dist 0
+      (12, "xyzzy plugh")  // nothing shared with the catalog
+    ).toDF("id", "name")
+    val got = FuzzyJoin.bestEditMatch(dirty, "id", "name",
+        catalog, "id", "name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    // 10: dist 1 to BOTH id 1 and id 2 ("red widget") → rid asc → 1
+    assert(got == Set((10, 1, 1), (11, 4, 0)), s"got $got")
   }
 
   test("lshTopK: self-match survives bucketing") {
