@@ -447,6 +447,95 @@ object AnalyticsQueries {
                 AS cents_sum
        FROM m GROUP BY metric ORDER BY metric"""
 
+  // --- q95: per-group z-score outliers (exact integer moments) ---------
+  /** Top-5 outliers per l_returnflag group by z-score over l_quantity —
+    * the feature-normalization pattern done ORDER-INDEPENDENTLY: a
+    * naive avg/stddev_pop is a float sum whose value depends on
+    * partial-aggregation order, so instead the group moments (n, Σq,
+    * Σq²) are EXACT integer aggregates and the z-score is one IEEE
+    * double expression from them: z = (n·q − Σq)/√(n·Σq² − (Σq)²) —
+    * algebraically (q−μ)/σ_pop, bit-identical across engines, runs and
+    * partitionings. The tiny per-group stats row broadcasts back onto
+    * the rows; the top-5 window compiles to WindowGroupLimit.
+    *
+    * Overflow bound: with values ≤ V, n·Σq² ≤ n²V² must stay below
+    * 2⁶³ — for V = 50 that holds to n ≈ 6·10⁷ rows per group; larger
+    * groups switch the moments to DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) with the same expression shape. */
+  def q95ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+    val stats = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("ss"))
+    li.join(broadcast(stats), "l_returnflag")
+      .withColumn("z",
+        (col("n") * col("q") - col("s")).cast("double") /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+      .withColumn("rk", row_number().over(Window.partitionBy("l_returnflag")
+        .orderBy(col("z").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("z"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  val q95Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag, l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS q
+         FROM lineitem),
+       stats AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(q) AS BIGINT) AS s,
+                CAST(sum(q * q) AS BIGINT) AS ss
+         FROM li GROUP BY 1),
+       z AS (
+         SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+                CAST(st.n * li.q - st.s AS DOUBLE) /
+                  sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) AS z
+         FROM li JOIN stats st USING (l_returnflag))
+       SELECT l_returnflag, rk, l_orderkey, l_linenumber, z FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY z DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER)
+           AS rk FROM z)
+       WHERE rk <= 5 ORDER BY l_returnflag, rk"""
+
+  // --- q96: rank-function family (percent_rank / cume_dist / ntile) ----
+  /** The remaining SQL:2003 rank functions over the event log, per
+    * user: percent_rank, cume_dist and ntile(4) under a TOTAL ordering
+    * (value, event_id) — with a unique ordering each function is a pure
+    * ratio/bucket of integer ranks, so the doubles are deterministic
+    * and the engines agree bit-for-bit (both define percent_rank = 0
+    * for a single-row partition). One exchange on user_id serves all
+    * three functions plus row_number. */
+  def q96RankFunctions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("value").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .drop("value")
+      .orderBy("user_id", "rn")
+  }
+
+  val q96Sql: String =
+    """SELECT user_id, event_id,
+              CAST(row_number() OVER w AS INTEGER) AS rn,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cume,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+       ORDER BY user_id, rn"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -458,6 +547,8 @@ object AnalyticsQueries {
     "q88_pivot_delays" -> q88PivotDelays _,
     "q89_set_ops" -> q89SetOps _,
     "q90_unpivot" -> q90Unpivot _,
+    "q95_zscore_outliers" -> q95ZscoreOutliers _,
+    "q96_rank_functions" -> q96RankFunctions _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +562,7 @@ object AnalyticsQueries {
     "q88_pivot_delays" -> q88Sql,
     "q89_set_ops" -> q89Sql,
     "q90_unpivot" -> q90Sql,
+    "q95_zscore_outliers" -> q95Sql,
+    "q96_rank_functions" -> q96Sql,
   )
 }

@@ -1966,6 +1966,52 @@ object PipelineQueries {
            ORDER BY dist ASC, rid ASC) AS rk FROM scored)
        WHERE rk = 1 ORDER BY lid"""
 
+  // --- q94: n-gram frequency profile (rare/boilerplate signal) ---------
+  /** Per-document bigram frequency profile against the corpus: for each
+    * document, the document frequency of its RAREST and its MOST COMMON
+    * distinct bigram plus the distinct-bigram count — the
+    * unusual-n-gram / boilerplate-n-gram quality signals (CCNet-style
+    * frequency filtering), integer end to end so partial-aggregation
+    * order can't perturb the result. Complements q69 (within-doc
+    * repetition) and q86 (corpus-level PMI): this is doc-vs-corpus.
+    *
+    * Scale shape: bigrams are hashed to 60-bit longs AT THE SOURCE
+    * (`Dedup.hash60`), so the distinct, the df aggregation and the
+    * df join all move (long, long) pairs, never bigram text; the df
+    * table is vocabulary²-bounded. Documents with < 2 tokens have no
+    * bigrams and are absent — both engines agree. */
+  def q94NgramProfile(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(Dedup.shinglesOfTokens(split(col("text"), " "), 2))
+          .as("g"))
+      .select(col("doc_id"), Dedup.hash60(col("g")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        min("df").as("min_df"), max("df").as("max_df"))
+      .orderBy("doc_id")
+  }
+
+  val q94Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest([('0x' ||
+                         substr(md5(array_to_string(tk[i:i+1], ' ')), 1, 15)
+                        )::BIGINT
+                        for i in range(1, len(tk))]) AS h
+         FROM toks WHERE len(tk) >= 2),
+       dfreq AS (
+         SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              min(df) AS min_df, max(df) AS max_df
+       FROM sh JOIN dfreq USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2212,6 +2258,7 @@ object PipelineQueries {
     "q91_interval_join" -> q91IntervalJoin _,
     "q92_semantic_dedup" -> q92SemanticDedup _,
     "q93_fuzzy_match" -> q93FuzzyMatch _,
+    "q94_ngram_profile" -> q94NgramProfile _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2257,6 +2304,7 @@ object PipelineQueries {
     "q91_interval_join" -> q91Sql,
     "q92_semantic_dedup" -> q92Sql,
     "q93_fuzzy_match" -> q93Sql,
+    "q94_ngram_profile" -> q94Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
