@@ -1904,16 +1904,20 @@ object PipelineQueries {
   // --- q93: fuzzy best-match join (prefix filter + Levenshtein) --------
   /** Entity resolution over the part catalog: every 11th part's name is
     * corrupted (2nd character of the 2nd word deleted — a token OUTSIDE
-    * the catalog vocabulary) and matched back against the full catalog
-    * via [[FuzzyJoin.bestEditMatch]]. The oracle replays the whole
-    * filter-and-verify decomposition — df ranking, k=2 prefixes,
-    * candidate equi-join, Levenshtein top-1 — so the compare proves the
-    * blocked plan equals the same rule in SQL, junk candidates and
-    * tie-breaks included. */
+    * the catalog vocabulary) and matched back against the CANONICAL
+    * catalog — distinct names, each carrying its smallest part key —
+    * via [[FuzzyJoin.bestEditMatch]]. Resolving against the deduped
+    * reference is the production shape twice over: the reference side
+    * shrinks to its true entity count before any pair is scored, and
+    * the df ranking counts entities rather than their copies. The
+    * oracle replays the whole filter-and-verify decomposition — name
+    * dedup, df ranking, k=2 prefixes, candidate equi-join, Levenshtein
+    * top-1 — so the compare proves the blocked plan equals the same
+    * rule in SQL, junk candidates and tie-breaks included. */
   def q93FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part")
-    val clean = part.select(col("p_partkey").as("rid"),
-      col("p_name").as("rname"))
+    val clean = part.groupBy(col("p_name").as("rname"))
+      .agg(min(col("p_partkey")).as("rid"))
     val dirty = part.filter(col("p_partkey") % 11 === 0)
       .select(col("p_partkey").as("lid"),
         expr("""concat(element_at(split(p_name, ' '), 1), ' ',
@@ -1926,7 +1930,8 @@ object PipelineQueries {
 
   val q93Sql: String =
     """WITH clean AS (
-         SELECT p_partkey AS rid, p_name AS rname FROM part),
+         SELECT min(p_partkey) AS rid, p_name AS rname
+         FROM part GROUP BY p_name),
        dirty AS (
          SELECT p_partkey AS lid,
                 tk[1] || ' ' || substr(tk[2], 1, 1) || substr(tk[2], 3)
@@ -1981,11 +1986,8 @@ object PipelineQueries {
     * table is vocabulary²-bounded. Documents with < 2 tokens have no
     * bigrams and are absent — both engines agree. */
   def q94NgramProfile(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(Dedup.shinglesOfTokens(split(col("text"), " "), 2))
-          .as("g"))
-      .select(col("doc_id"), Dedup.hash60(col("g")).as("h"))
+    val sh = Dedup.docShingles(t(s, dir, "documents"), "doc_id", "text", 2)
+      .select(col("sid").as("doc_id"), col("h"))
       .distinct()
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "h")
