@@ -302,6 +302,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected only the output sort, got $shuffles")
   }
 
+  test("q93 fuzzy match: no cartesian product anywhere — candidates " +
+      "come from the prefix-token equi-join, and the df table joins " +
+      "as broadcast") {
+    val plan = executed(graft.queries.PipelineQueries
+      .q93FuzzyMatch(spark, dir))
+    val all = collectAll(plan)
+    val nodes = all.map(_.nodeName)
+    assert(!nodes.exists(_.contains("CartesianProduct")),
+      s"fuzzy match degraded to all-pairs: $nodes")
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"df table should broadcast: $nodes")
+  }
+
+  test("q95 z-score: group stats broadcast back onto the rows and the " +
+      "top-5 rank filter compiles to WindowGroupLimit") {
+    val plan = executed(graft.queries.AnalyticsQueries
+      .q95ZscoreOutliers(spark, dir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"stats join should broadcast: ${all.map(_.nodeName)}")
+    assert(all.map(_.nodeName).count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: ${all.map(_.nodeName)}")
+  }
+
+  test("q96 rank functions: percent_rank, cume_dist, ntile and " +
+      "row_number all ride ONE user_id exchange") {
+    val plan = executed(graft.queries.AnalyticsQueries
+      .q96RankFunctions(spark, dir))
+    val all = collectAll(plan)
+    val windows = all.count(_.nodeName.contains("Window"))
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(windows >= 1, s"window nodes: ${all.map(_.nodeName)}")
+    // one exchange for the window partition, one for the output sort
+    assert(shuffles <= 2,
+      s"rank family re-shuffled: $shuffles exchanges")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q15 buckets)") {
     val plan = executed(graft.queries.CoreQueries.q15Buckets(spark, dir))
     val s = collectAll(plan).map(_.nodeName).mkString(",")
