@@ -536,6 +536,57 @@ object AnalyticsQueries {
        WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
        ORDER BY user_id, rn"""
 
+  // --- q97: triangle census (degree-ordered wedge join) ----------------
+  /** Triangle count + global clustering coefficient of the part
+    * co-occurrence graph (parts sharing an order, high-quantity lines
+    * only — the filter keeps Σdeg² at a benchmarkable density). The
+    * operator runs the degree-ORDERED algorithm
+    * ([[graft.operators.Graphs.triangleStats]]); the oracle counts the
+    * same triangles with the naive three-way self-join — two
+    * independent formulations, one answer, which is the point: the
+    * orientation trick must not change the census. */
+  def q97TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // co-occurrence pairs map-side from the per-order part set (two
+    // streaming Generates over the sorted array — the q26 pair shape)
+    // instead of a lineitem self-join: one groupBy exchange replaces
+    // the join's two plus its 1.4M-row join output
+    val edges = li.groupBy("o").agg(array_sort(collect_set("p")).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .distinct()
+    graft.operators.Graphs.triangleStats(edges)
+  }
+
+  val q97Sql: String =
+    """WITH li AS (
+         SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+         WHERE l_quantity >= 30),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       deg AS (
+         SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+           SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+         GROUP BY 1),
+       tri AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM e ab JOIN e bc ON ab.v = bc.u
+         JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+       agg AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         FROM deg),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       SELECT agg.n_vertices, ne.n_edges, agg.n_wedges, tri.n_triangles,
+              CASE WHEN agg.n_wedges > 0 THEN
+                CAST(3 * tri.n_triangles AS DOUBLE) /
+                  CAST(agg.n_wedges AS DOUBLE)
+              ELSE 0.0 END AS transitivity
+       FROM agg, ne, tri"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -549,6 +600,7 @@ object AnalyticsQueries {
     "q90_unpivot" -> q90Unpivot _,
     "q95_zscore_outliers" -> q95ZscoreOutliers _,
     "q96_rank_functions" -> q96RankFunctions _,
+    "q97_triangle_count" -> q97TriangleCount _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +616,6 @@ object AnalyticsQueries {
     "q90_unpivot" -> q90Sql,
     "q95_zscore_outliers" -> q95Sql,
     "q96_rank_functions" -> q96Sql,
+    "q97_triangle_count" -> q97Sql,
   )
 }

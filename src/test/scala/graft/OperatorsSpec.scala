@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, FuzzyJoin, ModeAgg, Similarity, Upsert}
+import graft.operators.{Dedup, FuzzyJoin, Graphs, ModeAgg, Similarity,
+  Upsert}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -364,6 +365,32 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     // 10: dist 1 to BOTH id 1 and id 2 ("red widget") → rid asc → 1
     assert(got == Set((10, 1, 1), (11, 4, 0)), s"got $got")
+  }
+
+  test("triangleStats: K4 + pendant path has the textbook census and " +
+    "leaves no persistent RDDs behind") {
+    // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
+    // (12 wedges); pendant edge 4-5 adds vertex 5 (deg 1) and lifts
+    // deg(4) to 4 → wedges 3+3+3+6+0 = 15; path edge contributes no
+    // triangle. transitivity = 3·4/15 = 0.8.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = Graphs.triangleStats(edges).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 7L, 15L, 4L)), r.toString)
+    assert(r.getDouble(4) == 0.8)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "edge/degree caches must be released")
+  }
+
+  test("triangleStats: triangle-free graph reports transitivity 0.0 " +
+    "without dividing by zero") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = Graphs.triangleStats(star).collect()(0)
+    assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0, r.toString)
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    val r2 = Graphs.triangleStats(empty).collect()(0)
+    assert(r2.getLong(0) == 0L && r2.getDouble(4) == 0.0, r2.toString)
   }
 
   test("lshTopK: self-match survives bucketing") {
