@@ -587,6 +587,97 @@ object AnalyticsQueries {
               ELSE 0.0 END AS transitivity
        FROM agg, ne, tri"""
 
+  // --- q98: GROUPING SETS + grouping() margins --------------------------
+  /** Explicit GROUPING SETS — the arbitrary-margin form completing the
+    * CUBE (q59) / ROLLUP (q45) family: (flag, status), (flag) and the
+    * grand total in ONE pass (a single Expand + partial+final
+    * aggregation, never three scans), with the margin id composed from
+    * `grouping()` bits identically in both engines (DuckDB has no
+    * grouping_id, so the bit arithmetic is spelled out). Cents sums
+    * keep the aggregate integer → partial-order independent. */
+  def q98GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("cents"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
+  val q98Sql: String =
+    """SELECT CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+                AS INTEGER) AS gid,
+              l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())
+       ORDER BY gid, l_returnflag ASC NULLS LAST,
+                l_linestatus ASC NULLS LAST"""
+
+  // --- q99: exact-moment correlation / covariance -----------------------
+  /** Pearson correlation and population covariance of (quantity,
+    * discount%) per return flag — the q95 exact-moment discipline
+    * applied to the BIVARIATE statistics: built-in corr/covar_pop
+    * accumulate float sums whose value depends on partial-aggregation
+    * order, so instead the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact integer aggregates and corr = (nΣxy − ΣxΣy) /
+    * (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)), covar = (nΣxy − ΣxΣy)/n² — each
+    * one IEEE expression, bit-identical across engines and runs.
+    * Overflow: x ≤ 50, y ≤ 10 keep n·Σ terms under 2⁶³ to n ≈ 7·10⁶
+    * rows per group; larger groups move the moments to DECIMAL(38,0) /
+    * HUGEINT with the same shape. */
+  def q99ExactCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("corr_qd"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("covar_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  val q99Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_discount * 100) AS BIGINT) AS y
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM li GROUP BY 1)
+       SELECT l_returnflag, n,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qd,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * n AS DOUBLE) AS covar_qd
+       FROM m ORDER BY l_returnflag"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -601,6 +692,8 @@ object AnalyticsQueries {
     "q95_zscore_outliers" -> q95ZscoreOutliers _,
     "q96_rank_functions" -> q96RankFunctions _,
     "q97_triangle_count" -> q97TriangleCount _,
+    "q98_grouping_sets" -> q98GroupingSets _,
+    "q99_exact_corr" -> q99ExactCorr _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -617,5 +710,7 @@ object AnalyticsQueries {
     "q95_zscore_outliers" -> q95Sql,
     "q96_rank_functions" -> q96Sql,
     "q97_triangle_count" -> q97Sql,
+    "q98_grouping_sets" -> q98Sql,
+    "q99_exact_corr" -> q99Sql,
   )
 }

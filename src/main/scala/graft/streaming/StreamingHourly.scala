@@ -91,14 +91,53 @@ object StreamingHourly {
     spark.table(name).orderBy("user_id", "hour", "a_id", "b_id")
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_streaming_hourly" -> (hourlyAgg _))
+  /** STREAMING session windows: the q49 batch semantics (30-minute gap
+    * per user) executed as a stateful streaming aggregation —
+    * `session_window` merges a key's open sessions in the state store
+    * as events arrive, the watermark closes sessions whose gap window
+    * the stream has passed, AvailableNow bounds the run. Same result
+    * set as batch q49, and the oracle IS q49's gap-and-islands SQL —
+    * the strongest statement of batch/streaming parity the harness can
+    * make. At scale the state store holds one row per OPEN session per
+    * user (closed ones evicted by the watermark), which is what makes
+    * per-entity sessionization runnable on an unbounded stream. */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"stream_sessions_${runId.incrementAndGet()}"
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
 
-  /** Oracle: identical to the batch q24 — streaming and batch must agree. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_streaming_hourly" -> (hourlyAgg _),
+    "q100_stream_sessions" -> (sessionAgg _))
+
+  /** Oracles: identical to the batch forms (q24 / q49) — streaming and
+    * batch must agree. */
   val oracles: Map[String, String] = Map(
     "q46_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts,
            CAST(count(*) AS BIGINT) AS n_events,
            sum(value) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1""")
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q100_stream_sessions" -> graft.queries.PipelineQueries.q49Sql)
 }
