@@ -70,8 +70,10 @@ object Graphs {
     // second pass over the edges
     val result = deg
       .agg(count(lit(1)).as("n_vertices"),
-        expr("sum(d) div 2").as("n_edges"),
-        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        // coalesce: sum over an empty degree table is NULL, but the
+        // contract is non-null longs even for an edgeless graph
+        coalesce(expr("sum(d) div 2"), lit(0L)).as("n_edges"),
+        coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
       .crossJoin(tri)
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

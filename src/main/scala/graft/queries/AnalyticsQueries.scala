@@ -514,7 +514,7 @@ object AnalyticsQueries {
     * three functions plus row_number. */
   def q96RankFunctions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val w = Window.partitionBy("user_id")
       .orderBy(col("value").asc, col("event_id").asc)
     t(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("value"))

@@ -22,22 +22,27 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingHourly {
   private val runId = new AtomicInteger(0)
 
+  /** Events file-stream source, shared by every streaming query here:
+    * ts is TIMESTAMP(NANOS) parquet, so it streams as ns longs and
+    * truncates to µs — the same conversion `graft.io.Sources.table`
+    * applies on the batch path. The directory is streamed with a glob
+    * filter because the file-stream source needs a directory base and
+    * `$dir/events.parquet` is a single file. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Hourly tumbling count/sum over the events table, executed as a
     * Structured Streaming query with AvailableNow, returned as the
     * materialized result. Matches the batch q24 semantics exactly. */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    // ts is TIMESTAMP(NANOS) parquet: stream it as ns longs and truncate
-    // to µs, same as graft.io.Sources.table does for batch.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_hourly_${runId.incrementAndGet()}"
-    // Stream the directory with a glob filter (the file-stream source
-    // needs a directory base; `$dir/events.parquet` is a single file).
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
@@ -63,13 +68,8 @@ object StreamingHourly {
     * scale. AvailableNow bounds this run; the spec pins
     * streaming ≡ batch self-join. */
   def streamStreamPairs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_pairs_${runId.incrementAndGet()}"
-    def src(): DataFrame = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src(): DataFrame = eventsStream(spark, dir)
     val a = src()
       .select(col("user_id"), col("event_id").as("a_id"),
         date_trunc("hour", col("ts")).as("hour"), col("ts").as("a_ts"))
@@ -94,22 +94,24 @@ object StreamingHourly {
   /** STREAMING session windows: the q49 batch semantics (30-minute gap
     * per user) executed as a stateful streaming aggregation —
     * `session_window` merges a key's open sessions in the state store
-    * as events arrive, the watermark closes sessions whose gap window
-    * the stream has passed, AvailableNow bounds the run. Same result
-    * set as batch q49, and the oracle IS q49's gap-and-islands SQL —
-    * the strongest statement of batch/streaming parity the harness can
-    * make. At scale the state store holds one row per OPEN session per
-    * user (closed ones evicted by the watermark), which is what makes
-    * per-entity sessionization runnable on an unbounded stream. */
+    * as events arrive; AvailableNow bounds the run. Same result set as
+    * batch q49, and the oracle IS q49's gap-and-islands SQL — the
+    * strongest statement of batch/streaming parity the harness can
+    * make.
+    *
+    * Output-mode tradeoff, explicit: this harness run uses COMPLETE
+    * mode, where Spark retains every session's state for the life of
+    * the query and the watermark evicts nothing — required here
+    * because append mode only emits sessions the final watermark has
+    * passed, and a bounded replay's last hour of sessions would be
+    * withheld, breaking the q49 parity check. An UNBOUNDED deployment
+    * must instead run append mode, where the watermark both emits and
+    * EVICTS closed sessions and state holds only each user's open
+    * sessions — same plan, one `.outputMode` change, and the sink then
+    * receives each session exactly once on close. */
   def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val name = s"stream_sessions_${runId.incrementAndGet()}"
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = events
+    val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))

@@ -1,13 +1,13 @@
 package graft.tools
 
-import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import graft.{SparkEntry, Verify}
 
 /** Dev tool: the Verify dump restricted to the named queries — writes
   * `<outDir>/<name>` parquet + a filtered `oracle_sql.json`, so
   * `tools/local_verify.py` checks just those entries. Turns the
-  * add-one-query loop from a full 87-query dump into seconds.
+  * add-one-query loop from a full all-queries dump into seconds.
+  * Unlike Verify it does NOT catch per-query failures — a dev loop
+  * wants the stack trace, not a log line.
   *
   * Usage: runMain graft.tools.VerifyOne <sfDir> <outDir> <name>...
   */
@@ -17,14 +17,7 @@ object VerifyOne {
     require(names.nonEmpty, "give at least one query name")
     val unknown = names -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown queries: $unknown")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Verify.session(defaultCpus = "8")
     new java.io.File(outDir).mkdirs()
     names.toSeq.sorted.foreach { name =>
       val t0 = System.nanoTime()
@@ -33,18 +26,7 @@ object VerifyOne {
       println(f"[verify-one] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.writeOracleJson(outDir, names)
     spark.stop()
   }
 }

@@ -390,7 +390,8 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(3) == 0L && r.getDouble(4) == 0.0, r.toString)
     val empty = Seq.empty[(Long, Long)].toDF("u", "v")
     val r2 = Graphs.triangleStats(empty).collect()(0)
-    assert(r2.getLong(0) == 0L && r2.getDouble(4) == 0.0, r2.toString)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getDouble(4)) == ((0L, 0L, 0L, 0L, 0.0)), r2.toString)
   }
 
   test("lshTopK: self-match survives bucketing") {

@@ -305,14 +305,18 @@ class PlanAuditSpec extends SparkSpec {
   test("q93 fuzzy match: no cartesian product anywhere — candidates " +
       "come from the prefix-token equi-join, and the df table joins " +
       "as broadcast") {
-    val plan = executed(graft.queries.PipelineQueries
-      .q93FuzzyMatch(spark, dir))
-    val all = collectAll(plan)
-    val nodes = all.map(_.nodeName)
+    val df = graft.queries.PipelineQueries.q93FuzzyMatch(spark, dir)
+    // the broadcast(dfreq) HINTS must be in the plan — any
+    // BroadcastHashJoin appearing at test scale would green-light a
+    // hint regression, since AQE broadcasts everything this small
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size >= 2,
+      s"both prefix passes must hint the df-table broadcast: $hints")
+    val nodes = collectAll(executed(df)).map(_.nodeName)
     assert(!nodes.exists(_.contains("CartesianProduct")),
       s"fuzzy match degraded to all-pairs: $nodes")
-    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
-      s"df table should broadcast: $nodes")
   }
 
   test("q95 z-score: group stats broadcast back onto the rows and the " +
