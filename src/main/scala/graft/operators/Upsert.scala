@@ -400,4 +400,34 @@ object Upsert {
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n
   }
+
+  /** Apply a CDC feed (insert/update/delete ops) to derive final table
+    * state — the deletes-capable MERGE this module's insert-only upsert
+    * deliberately lacks. Each row carries a per-key monotone sequence
+    * (`seqCol`, the LSN/commit-ts of a real CDC source; MUST be unique
+    * per key or "latest" is ill-defined) and an op marker (`opCol`):
+    * the key's highest-sequence row wins, and wins of op "D" delete the
+    * key. All other op values (I/U or anything else) survive with that
+    * row's payload — upstream semantics like partial-update images are
+    * the feed producer's concern, not the apply's.
+    *
+    * Spark shape: ONE hash aggregation — max(struct(seq, op,
+    * payload…)) per key — so the feed is shuffled once by key and
+    * reduced map-side; no window, no sort, no join against the prior
+    * state (full-feed compaction). For incremental application against
+    * an existing sink, compose: applyCdc(feed) → [[upsertParquet]] on
+    * the surviving keys after deleting the feed's keys from the sink
+    * partition (the read-modify-write a deletes-capable sink needs). */
+  def applyCdc(feed: DataFrame, keyCols: Seq[String], seqCol: String,
+               opCol: String): DataFrame = {
+    val payload = feed.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol || c == opCol)
+      .toSeq
+    feed.groupBy(keyCols.map(col): _*)
+      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*))
+        .as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"__last.$p").as(p)): _*)
+  }
 }

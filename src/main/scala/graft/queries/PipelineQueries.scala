@@ -2014,6 +2014,132 @@ object PipelineQueries {
        FROM sh JOIN dfreq USING (h)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- q101: data-quality constraint report ----------------------------
+  /** Deequ-style constraint suite over the star's source tables, in ONE
+    * aggregation pass per table plus one anti-join per foreign key:
+    * completeness (null counts), uniqueness (rows − distinct keys),
+    * referential integrity (orphan FK rows), and a business range rule
+    * (planted to FAIL — o_totalprice ≥ 5000 doesn't hold — so the
+    * report provably distinguishes pass from fail). Per-table checks
+    * compute as columns of a single agg and unpivot to rows, so adding
+    * a constraint never adds a scan; integer violation counts make the
+    * report partial-order independent. */
+  def q101DqReport(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    def unpiv(agg: DataFrame, table: String): DataFrame =
+      agg.unpivot(Array.empty, "check_name", "violations")
+        .select(lit(table).as("table_name"), col("check_name"),
+          col("violations"))
+    val oChecks = unpiv(o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+        .as("complete:o_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("unique:o_orderkey"),
+      sum(when(col("o_totalprice") < 5000, 1L).otherwise(0L))
+        .as("range:o_totalprice>=5000")), "orders")
+    val cChecks = unpiv(c.agg(
+      sum(when(col("c_name").isNull, 1L).otherwise(0L))
+        .as("complete:c_name"),
+      (count(lit(1)) - countDistinct(col("c_custkey")))
+        .as("unique:c_custkey")), "customer")
+    val liChecks = unpiv(li.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("range:l_quantity in [1,50]")), "lineitem")
+    val fkO = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders").as("table_name"),
+        lit("fk:o_custkey->customer").as("check_name"), col("violations"))
+    val fkLi = li.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem").as("table_name"),
+        lit("fk:l_orderkey->orders").as("check_name"), col("violations"))
+    oChecks.unionByName(cChecks).unionByName(liChecks)
+      .unionByName(fkO).unionByName(fkLi)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("table_name", "check_name")
+  }
+
+  val q101Sql: String =
+    """WITH checks AS (
+         SELECT 'orders' AS table_name,
+                'complete:o_custkey' AS check_name,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS violations
+         FROM orders
+         UNION ALL
+         SELECT 'orders', 'unique:o_orderkey',
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orders', 'range:o_totalprice>=5000',
+                CAST(sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'customer', 'complete:c_name',
+                CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         FROM customer
+         UNION ALL
+         SELECT 'customer', 'unique:c_custkey',
+                CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+         FROM customer
+         UNION ALL
+         SELECT 'lineitem', 'range:l_quantity in [1,50]',
+                CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders', 'fk:o_custkey->customer',
+                CAST(count(*) AS BIGINT)
+         FROM orders WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+         UNION ALL
+         SELECT 'lineitem', 'fk:l_orderkey->orders',
+                CAST(count(*) AS BIGINT)
+         FROM lineitem WHERE l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+       SELECT table_name, check_name, violations,
+              violations = 0 AS pass
+       FROM checks
+       ORDER BY table_name, check_name"""
+
+  // --- q102: CDC apply (insert/update/delete compaction) ---------------
+  /** A synthetic-but-deterministic CDC feed over orders — every key
+    * inserted (seq 1), every 3rd updated (+100 cents, seq 2), every 5th
+    * deleted (seq 3) — compacted to final state by
+    * [[graft.operators.Upsert.applyCdc]]: one hash aggregation, the
+    * key's highest-sequence op wins, delete-wins keys drop. The oracle
+    * is the CLOSED FORM of the same feed (survivors = keys not ≡0 mod
+    * 5, cents bumped iff ≡0 mod 3) — an independent formulation, so the
+    * compare proves the max(struct)-compaction implements exactly the
+    * last-writer-wins-with-deletes contract. */
+  def q102CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("key"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val feed = o
+      .select(col("key"), lit(1L).as("seq"), lit("I").as("op"),
+        col("cents"))
+      .unionByName(o.filter(col("key") % 3 === 0)
+        .select(col("key"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("cents") + 100).as("cents")))
+      .unionByName(o.filter(col("key") % 5 === 0)
+        .select(col("key"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(0L).as("cents")))
+    graft.operators.Upsert.applyCdc(feed, Seq("key"), "seq", "op")
+      .orderBy("key")
+  }
+
+  val q102Sql: String =
+    """SELECT o_orderkey AS key,
+              CAST(round(o_totalprice * 100) AS BIGINT) +
+                CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS cents
+       FROM orders
+       WHERE o_orderkey % 5 <> 0
+       ORDER BY key"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2261,6 +2387,8 @@ object PipelineQueries {
     "q92_semantic_dedup" -> q92SemanticDedup _,
     "q93_fuzzy_match" -> q93FuzzyMatch _,
     "q94_ngram_profile" -> q94NgramProfile _,
+    "q101_dq_report" -> q101DqReport _,
+    "q102_cdc_apply" -> q102CdcApply _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2307,6 +2435,8 @@ object PipelineQueries {
     "q92_semantic_dedup" -> q92Sql,
     "q93_fuzzy_match" -> q93Sql,
     "q94_ngram_profile" -> q94Sql,
+    "q101_dq_report" -> q101Sql,
+    "q102_cdc_apply" -> q102Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

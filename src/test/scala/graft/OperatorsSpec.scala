@@ -367,6 +367,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((10, 1, 1), (11, 4, 0)), s"got $got")
   }
 
+  test("applyCdc: last op per key wins regardless of arrival order; " +
+    "delete wins, delete-then-reinsert survives, multi-column payload " +
+    "carried intact") {
+    // feed rows deliberately OUT of sequence order
+    val feed = Seq(
+      (1L, 2L, "U", 20L, "b"),  // k1: I(1) then U(2) → survives as v2
+      (1L, 1L, "I", 10L, "a"),
+      (2L, 2L, "D", 0L, ""),    // k2: I then D → deleted
+      (2L, 1L, "I", 30L, "c"),
+      (3L, 3L, "I", 50L, "e"),  // k3: I, D, I → reinserted, survives
+      (3L, 1L, "I", 40L, "d"),
+      (3L, 2L, "D", 0L, ""),
+      (4L, 1L, "I", 60L, "f")   // k4: plain insert
+    ).toDF("k", "seq", "op", "v", "tag")
+    val got = Upsert.applyCdc(feed, Seq("k"), "seq", "op")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq ==
+      Seq((1L, 20L, "b"), (3L, 50L, "e"), (4L, 60L, "f")))
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
