@@ -2140,6 +2140,134 @@ object PipelineQueries {
        WHERE o_orderkey % 5 <> 0
        ORDER BY key"""
 
+  // --- q103: ANN recall@k evaluation harness ---------------------------
+  /** Recall@5 of the hyperplane-LSH index against the brute-force
+    * ground truth, per query — the evaluation loop every ANN deployment
+    * runs before trading recall for probe cost. Both retrievers are
+    * deterministic (integer-quantized cosine, (desc, did) tie-break),
+    * so recall itself is oracle-checkable: hits are an integer
+    * pair-set intersection and recall is one integer-ratio double.
+    * Queries whose LSH bucket misses every true neighbor appear with
+    * hits = 0 (the left join), not silently absent — at a real corpus
+    * scale this per-query histogram, not the mean, is what tells you
+    * whether to add probes or planes. */
+  def q103AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select(col("qid"), col("did"))
+    val lsh = Similarity.lshTopK(qs, emb, numPlanes = 6, k = 5)
+      .select(col("qid"), col("did"))
+    val hits = bf.join(lsh, Seq("qid", "did"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qs.select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0))
+          .as("recall_at_5"))
+      .orderBy("qid")
+  }
+
+  val q103Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       bf AS (
+         SELECT qid, did FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS did,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (CAST(list_sum([q.e[i] * d.e[i]
+                       for i in generate_series(1, len(q.e))]) AS DOUBLE) /
+                     (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(d.nn AS DOUBLE))))
+                    DESC, d.vec_id ASC) AS rank
+           FROM n q CROSS JOIN n d WHERE q.vec_id < 10)
+         WHERE rank <= 5),
+       proj AS (
+         SELECT v.vec_id, pl.p,
+                list_sum([v.e[i] *
+                  (2 * instr('0123456789abcdef',
+                     substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                  for i in generate_series(1, len(v.e))]) AS proj
+         FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+       buck AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, p) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       lsh AS (
+         SELECT qid, did FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS did,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                     (sqrt(CAST(qn.nn AS DOUBLE)) *
+                      sqrt(CAST(dn.nn AS DOUBLE))))
+                    DESC, d.vec_id ASC) AS rank
+           FROM buck q
+           JOIN buck d ON q.bucket = d.bucket
+           JOIN n qn ON qn.vec_id = q.vec_id
+           JOIN n dn ON dn.vec_id = d.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5),
+       hits AS (
+         SELECT bf.qid, CAST(count(*) AS BIGINT) AS hits
+         FROM bf JOIN lsh ON bf.qid = lsh.qid AND bf.did = lsh.did
+         GROUP BY 1)
+       SELECT q.vec_id AS qid,
+              coalesce(h.hits, 0) AS hits,
+              CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+       LEFT JOIN hits h ON h.qid = q.vec_id
+       ORDER BY qid"""
+
+  // --- q104: incremental aggregate maintenance (summing merge) ---------
+  /** Materialized-rollup maintenance for additive measures: the hourly
+    * (count, cents) rollup is built from batch 1 (even days), persisted
+    * to a parquet sink, and batch 2 (odd days) is folded in by merging
+    * its OWN rollup with the sink — a union + re-aggregate over
+    * AGGREGATE STATE, never a rescan of batch 1's events. That is the
+    * incremental-view-maintenance contract for additive aggregates:
+    * update cost tracks |delta| + |touched aggregate rows|, not the
+    * sink's event history; at warehouse scale the merge is
+    * partition-scoped by the delta's hours (the q72 partition-replace
+    * shape). The oracle recomputes the rollup from ALL events in one
+    * pass — incremental must equal recompute, exactly. */
+  def q104IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      date_trunc("hour", col("ts")).as("hour_ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+      dayofmonth(col("ts")).as("dom"))
+    def rollup(batch: DataFrame): DataFrame = batch
+      .groupBy("hour_ts")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_iagg_")
+      .toString
+    try {
+      rollup(ev.filter(col("dom") % 2 === 0).drop("dom"))
+        .write.mode("overwrite").parquet(s"$root/rollup")
+      val sink = s.read.parquet(s"$root/rollup")
+      val merged = sink
+        .unionByName(rollup(ev.filter(col("dom") % 2 === 1).drop("dom")))
+        .groupBy("hour_ts")
+        .agg(sum("n_events").as("n_events"), sum("cents").as("cents"))
+      // materialize before the temp sink is deleted
+      val rows = merged.orderBy("hour_ts").collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q104Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_ts,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2389,6 +2517,8 @@ object PipelineQueries {
     "q94_ngram_profile" -> q94NgramProfile _,
     "q101_dq_report" -> q101DqReport _,
     "q102_cdc_apply" -> q102CdcApply _,
+    "q103_ann_recall" -> q103AnnRecall _,
+    "q104_incremental_agg" -> q104IncrementalAgg _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2437,6 +2567,8 @@ object PipelineQueries {
     "q94_ngram_profile" -> q94Sql,
     "q101_dq_report" -> q101Sql,
     "q102_cdc_apply" -> q102Sql,
+    "q103_ann_recall" -> q103Sql,
+    "q104_incremental_agg" -> q104Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
