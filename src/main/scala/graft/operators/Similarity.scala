@@ -275,6 +275,80 @@ object Similarity {
       .groupBy("cid").agg(count(lit(1)).as("n_members"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011 —
+    * FAISS's PQ): each vector splits into `subspaces` subvectors, each
+    * subspace trains a tiny `codebookSize`-centroid codebook (one Lloyd
+    * iteration over first-K seeds, the q64 integer k-means discipline
+    * but with SQUARED-L2 assignment — PQ's metric), and a vector is
+    * stored as `subspaces` small codes. Queries score by Asymmetric
+    * Distance Computation: one (query × centroid) distance table per
+    * subspace, approx distance = Σ over subspaces of table[code] —
+    * |Q|·k·M table entries instead of |Q|·|D| exact distances, and the
+    * corpus is reduced to codes (the 4-byte-per-vector memory story
+    * that, composed with [[ivfTopKWith]] cell pruning, is IVF-PQ).
+    *
+    * Everything is INTEGER: quantized components make the squared L2
+    * (sn + cn − 2·dot) an exact long, so codebooks, codes, and the
+    * returned approx_dist are bit-identical across engines and runs —
+    * no float ranking anywhere. Returns (qid, did, approx_dist, rank ≤
+    * topK), ties broken by did.
+    *
+    * Scale shape: codebooks are M·k rows and BROADCAST everywhere;
+    * training/encoding shuffle (id, m) slice rows once for the
+    * recenter aggregation; ADC joins the broadcast distance tables to
+    * the (did, m, code) rows and reduces per (qid, did) — the shuffle
+    * carries integer partial distances, never vectors. A centroid
+    * whose cell empties drops from the codebook (groupBy emits no
+    * row), matching [[kmeansCentroids]] and the oracle. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
+             codebookSize: Int, topK: Int): DataFrame = {
+    val dims = requireSameDims(queries, corpus)
+    require(dims % subspaces == 0,
+      s"dims $dims not divisible into $subspaces subspaces")
+    val w = dims / subspaces
+    val win = org.apache.spark.sql.expressions.Window
+    def slices(df: DataFrame, idName: String): DataFrame =
+      prep(df, idName, "__e", "__n")
+        .select(col(idName), explode(array((0 until subspaces).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("__e"), m * w + 1, w).as("se"))): _*)).as("s"))
+        .select(col(idName), col("s.m").as("m"), col("s.se").as("se"))
+        .withColumn("sn", dotQ(col("se"), col("se")))
+    val d = slices(corpus, "did")
+    val cb0 = slices(corpus.orderBy("vec_id").limit(codebookSize), "cid")
+      .select(col("m"), col("cid"), col("se").as("ce"), col("sn").as("cn"))
+    def assign(cb: DataFrame): DataFrame =
+      d.join(broadcast(cb), "m")
+        .withColumn("__l2",
+          col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
+        .withColumn("__r", row_number().over(
+          win.partitionBy("did", "m")
+            .orderBy(col("__l2").asc, col("cid").asc)))
+        .filter(col("__r") === 1)
+        .select(col("did"), col("m"), col("se"), col("cid"))
+    val cb1 = assign(cb0)
+      .select(col("m"), col("cid"), posexplode(col("se")).as(Seq("dim", "v")))
+      .groupBy("m", "cid", "dim").agg(avg("v").as("mean"))
+      .groupBy("m", "cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => round(s.getField("mean")).cast("long")).as("ce"))
+      .select(col("m"), col("cid"), col("ce"),
+        dotQ(col("ce"), col("ce")).as("cn"))
+    val codes = assign(cb1).select(col("did"), col("m"),
+      col("cid").as("code"))
+    val qdist = slices(queries, "qid")
+      .join(broadcast(cb1), "m")
+      .select(col("qid"), col("m"), col("cid").as("code"),
+        (col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
+          .as("dist"))
+    qdist.join(codes, Seq("m", "code"))
+      .groupBy("qid", "did").agg(sum("dist").as("approx_dist"))
+      .withColumn("rank", row_number().over(win.partitionBy("qid")
+        .orderBy(col("approx_dist").asc, col("did").asc)))
+      .filter(col("rank") <= topK)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into `numCentroids` cells by
     * nearest centroid, then score ONLY intra-cell pairs — the quadratic

@@ -2268,6 +2268,82 @@ object PipelineQueries {
                 AS cents
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  // --- q105: product-quantization ANN (PQ + ADC) -----------------------
+  /** PQ retrieval over the harness embeddings: 2 subspaces × 4-centroid
+    * codebooks trained in-query, corpus reduced to codes, queries
+    * served by ADC distance tables ([[Similarity.pqTopK]]). The oracle
+    * unrolls the ENTIRE pipeline — subspace slicing, seed codebooks,
+    * squared-L2 assignment, the Lloyd recenter, encoding, distance
+    * tables, the ADC sum — in SQL; every quantity is an exact integer,
+    * so the compare is hash-exact including approx_dist itself. */
+  def q105PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+        subspaces = 2, codebookSize = 4, topK = 5)
+      .select(col("qid"), col("rank"), col("did"), col("approx_dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q105Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       sl AS (
+         SELECT vec_id, t.m,
+                e[t.m * (len(e) // 2) + 1 : (t.m + 1) * (len(e) // 2)]
+                  AS se
+         FROM v, unnest([0, 1]) AS t(m)),
+       sn AS (
+         SELECT vec_id, m, se, list_sum([y * y for y in se]) AS sn
+         FROM sl),
+       cb0 AS (
+         SELECT m, vec_id AS cid, se AS ce, sn AS cn FROM sn
+         WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 4)),
+       a1 AS (
+         SELECT did, m, se, cid FROM (
+           SELECT s.vec_id AS did, s.m, s.se, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM sn s JOIN cb0 c ON c.m = s.m) WHERE r = 1),
+       mean1 AS (
+         SELECT m, cid, t.i AS dim, avg(se[t.i]) AS mean
+         FROM a1, unnest(generate_series(1, len(se))) AS t(i)
+         GROUP BY 1, 2, 3),
+       cb1 AS (
+         SELECT m, cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT m, cid, list(CAST(round(mean) AS BIGINT) ORDER BY dim)
+                    AS ce
+           FROM mean1 GROUP BY m, cid)),
+       codes AS (
+         SELECT did, m, cid AS code FROM (
+           SELECT s.vec_id AS did, s.m, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM sn s JOIN cb1 c ON c.m = s.m) WHERE r = 1),
+       qdist AS (
+         SELECT s.vec_id AS qid, s.m, c.cid AS code,
+                (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                   for i in generate_series(1, len(s.se))])) AS dist
+         FROM sn s JOIN cb1 c ON c.m = s.m
+         WHERE s.vec_id < 10),
+       adc AS (
+         SELECT q.qid, cd.did, CAST(sum(q.dist) AS BIGINT) AS approx_dist
+         FROM qdist q JOIN codes cd ON cd.m = q.m AND cd.code = q.code
+         GROUP BY 1, 2)
+       SELECT qid, rank, did, approx_dist FROM (
+         SELECT qid, did, approx_dist,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY approx_dist ASC, did ASC) AS INTEGER) AS rank
+         FROM adc)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2519,6 +2595,7 @@ object PipelineQueries {
     "q102_cdc_apply" -> q102CdcApply _,
     "q103_ann_recall" -> q103AnnRecall _,
     "q104_incremental_agg" -> q104IncrementalAgg _,
+    "q105_pq_topk" -> q105PqTopK _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2569,6 +2646,7 @@ object PipelineQueries {
     "q102_cdc_apply" -> q102Sql,
     "q103_ann_recall" -> q103Sql,
     "q104_incremental_agg" -> q104Sql,
+    "q105_pq_topk" -> q105Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

@@ -81,6 +81,47 @@ class AsofJoinSpec extends SparkSpec {
       s"original $i is the kept (lowest-id) member"))
   }
 
+  test("pqTopK degenerates to exact L2 ranking when every vector is " +
+    "its own centroid (1 subspace, codebookSize = |corpus|)") {
+    val vecs = (0L until 10L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(corpus.filter(col("vec_id") < 3), corpus,
+        subspaces = 1, codebookSize = 10, topK = 3)
+      .select("qid", "rank", "did").as[(Long, Int, Long)]
+      .collect().toSet
+    // expected: exact integer squared-L2 ranking, ties by did
+    def q(x: Float) = math.round(x.toDouble * 1e6)
+    val qv = vecs.map { case (i, v) => i -> v.map(q) }.toMap
+    def l2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (0L until 3L).flatMap { qi =>
+      (0L until 10L).map(di => (di, l2(qv(qi), qv(di))))
+        .sortBy { case (di, d) => (d, di) }.take(3).zipWithIndex
+        .map { case ((di, _), r) => (qi, r + 1, di) }
+    }.toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("pqTopK: an exact copy shares its original's codes, so both " +
+    "score the same ADC distance against any query") {
+    val base = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => math.cos(i * 8 + j + 1).toFloat))
+    }
+    val corpus = (base ++ Seq((100L, base(3)._2))) // copy of vec 3
+      .toDF("vec_id", "embedding")
+    val dists = Similarity.pqTopK(corpus.filter(col("vec_id") < 2),
+        corpus, subspaces = 2, codebookSize = 3, topK = 13)
+      .select("qid", "did", "approx_dist").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    dists.foreach { case (qid, rows) =>
+      val byDid = rows.map(r => r._2 -> r._3).toMap
+      assert(byDid(3L) == byDid(100L),
+        s"query $qid: copy scored ${byDid(100L)} != original ${byDid(3L)}")
+    }
+  }
+
   test("semanticDedup copies land in their original's cell") {
     val base = (0L until 12L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 8 + j + 1).toFloat))
