@@ -302,6 +302,52 @@ object Similarity {
     * row), matching [[kmeansCentroids]] and the oracle. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
              codebookSize: Int, topK: Int): DataFrame = {
+    val (codes, qdist) = pqModel(queries, corpus, subspaces, codebookSize)
+    adcRank(qdist.join(codes, Seq("m", "code")), topK)
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ composition, non-residual variant): a
+    * coarse quantizer — `coarseCentroids` full-width centroids, squared-
+    * L2 assignment like the fine stage, one cell per corpus vector —
+    * prunes the ADC scoring to the `nProbe` cells nearest each query,
+    * so serving cost is (probed corpus fraction)·M code lookups instead
+    * of |D|·M, on top of PQ's memory reduction. Codebooks train on the
+    * raw vectors (FAISS `by_residual=false`); the residual variant
+    * changes only what the fine stage encodes. Same all-integer
+    * discipline end to end — coarse cells, codes and approx_dist are
+    * hash-exact cross-engine. Recall degrades gracefully: nProbe =
+    * coarseCentroids probes every cell and equals [[pqTopK]] exactly
+    * (pinned by spec). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                coarseCentroids: Int, nProbe: Int, subspaces: Int,
+                codebookSize: Int, topK: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val coarse = corpus.orderBy("vec_id").limit(coarseCentroids)
+      .select(col("vec_id").as("ccid"), quantize(col("embedding")).as("ke"))
+      .select(col("ccid"), col("ke"), dotQ(col("ke"), col("ke")).as("kn"))
+    def cellAssign(vecs: DataFrame, idName: String, keep: Int): DataFrame =
+      prep(vecs, idName, "__e", "__n")
+        .crossJoin(broadcast(coarse))
+        .withColumn("__l2",
+          col("__n") + col("kn") - lit(2) * dotQ(col("__e"), col("ke")))
+        .withColumn("__r", row_number().over(win.partitionBy(idName)
+          .orderBy(col("__l2").asc, col("ccid").asc)))
+        .filter(col("__r") <= keep)
+        .select(col(idName), col("ccid"))
+    val candidates = cellAssign(queries, "qid", nProbe)
+      .join(cellAssign(corpus, "did", 1), "ccid")
+      .select("qid", "did")
+    val (codes, qdist) = pqModel(queries, corpus, subspaces, codebookSize)
+    adcRank(candidates.join(codes, "did")
+      .join(qdist, Seq("qid", "m", "code")), topK)
+  }
+
+  /** PQ train + encode, shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * returns (codes: (did, m, code), qdist: (qid, m, code, dist)) —
+    * the encoded corpus and the per-query ADC distance tables. */
+  private def pqModel(queries: DataFrame, corpus: DataFrame,
+                      subspaces: Int, codebookSize: Int)
+  : (DataFrame, DataFrame) = {
     val dims = requireSameDims(queries, corpus)
     require(dims % subspaces == 0,
       s"dims $dims not divisible into $subspaces subspaces")
@@ -342,12 +388,17 @@ object Similarity {
       .select(col("qid"), col("m"), col("cid").as("code"),
         (col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
           .as("dist"))
-    qdist.join(codes, Seq("m", "code"))
-      .groupBy("qid", "did").agg(sum("dist").as("approx_dist"))
-      .withColumn("rank", row_number().over(win.partitionBy("qid")
-        .orderBy(col("approx_dist").asc, col("did").asc)))
-      .filter(col("rank") <= topK)
+    (codes, qdist)
   }
+
+  /** Sum partial ADC distances per (qid, did) and keep the top-k per
+    * query, ties by did — the serving tail both PQ variants share. */
+  private def adcRank(pairs: DataFrame, topK: Int): DataFrame =
+    pairs.groupBy("qid", "did").agg(sum("dist").as("approx_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("approx_dist").asc, col("did").asc)))
+      .filter(col("rank") <= topK)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into `numCentroids` cells by

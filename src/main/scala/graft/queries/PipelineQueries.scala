@@ -2344,6 +2344,109 @@ object PipelineQueries {
          FROM adc)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  // --- q106: IVF-PQ (coarse cells pruning the ADC scan) ----------------
+  /** The full FAISS-style serving composition: q105's PQ codes scored
+    * only inside the nProbe=2 of 8 coarse L2 cells nearest each query
+    * ([[Similarity.ivfPqTopK]]) — ADC cost drops by the unprobed corpus
+    * fraction on top of PQ's memory reduction. The oracle extends
+    * q105's unrolled pipeline with the coarse assignment and candidate
+    * restriction; all-integer, hash-exact. */
+  def q106IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        coarseCentroids = 8, nProbe = 2, subspaces = 2,
+        codebookSize = 4, topK = 5)
+      .select(col("qid"), col("rank"), col("did"), col("approx_dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q106Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       coarse AS (
+         SELECT vec_id AS ccid, e AS ke, nn AS kn FROM n
+         WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 8)),
+       cells AS (
+         SELECT did, ccid FROM (
+           SELECT d.vec_id AS did, k.ccid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (d.nn + k.kn - 2 * list_sum([d.e[i] * k.ke[i]
+                       for i in generate_series(1, len(d.e))])) ASC,
+                    k.ccid ASC) AS r
+           FROM n d CROSS JOIN coarse k) WHERE r = 1),
+       probes AS (
+         SELECT qid, ccid FROM (
+           SELECT q.vec_id AS qid, k.ccid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (q.nn + k.kn - 2 * list_sum([q.e[i] * k.ke[i]
+                       for i in generate_series(1, len(q.e))])) ASC,
+                    k.ccid ASC) AS r
+           FROM n q CROSS JOIN coarse k WHERE q.vec_id < 10)
+         WHERE r <= 2),
+       cand AS (
+         SELECT p.qid, c.did FROM probes p JOIN cells c USING (ccid)),
+       sl AS (
+         SELECT vec_id, t.m,
+                e[t.m * (len(e) // 2) + 1 : (t.m + 1) * (len(e) // 2)]
+                  AS se
+         FROM v, unnest([0, 1]) AS t(m)),
+       sn AS (
+         SELECT vec_id, m, se, list_sum([y * y for y in se]) AS sn
+         FROM sl),
+       cb0 AS (
+         SELECT m, vec_id AS cid, se AS ce, sn AS cn FROM sn
+         WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          ORDER BY vec_id LIMIT 4)),
+       a1 AS (
+         SELECT did, m, se, cid FROM (
+           SELECT s.vec_id AS did, s.m, s.se, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM sn s JOIN cb0 c ON c.m = s.m) WHERE r = 1),
+       mean1 AS (
+         SELECT m, cid, t.i AS dim, avg(se[t.i]) AS mean
+         FROM a1, unnest(generate_series(1, len(se))) AS t(i)
+         GROUP BY 1, 2, 3),
+       cb1 AS (
+         SELECT m, cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT m, cid, list(CAST(round(mean) AS BIGINT) ORDER BY dim)
+                    AS ce
+           FROM mean1 GROUP BY m, cid)),
+       codes AS (
+         SELECT did, m, cid AS code FROM (
+           SELECT s.vec_id AS did, s.m, c.cid,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM sn s JOIN cb1 c ON c.m = s.m) WHERE r = 1),
+       qdist AS (
+         SELECT s.vec_id AS qid, s.m, c.cid AS code,
+                (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                   for i in generate_series(1, len(s.se))])) AS dist
+         FROM sn s JOIN cb1 c ON c.m = s.m
+         WHERE s.vec_id < 10),
+       adc AS (
+         SELECT q.qid, cd.did, CAST(sum(q.dist) AS BIGINT) AS approx_dist
+         FROM cand
+         JOIN codes cd ON cd.did = cand.did
+         JOIN qdist q ON q.qid = cand.qid AND q.m = cd.m
+           AND q.code = cd.code
+         GROUP BY 1, 2)
+       SELECT qid, rank, did, approx_dist FROM (
+         SELECT qid, did, approx_dist,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY approx_dist ASC, did ASC) AS INTEGER) AS rank
+         FROM adc)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2596,6 +2699,7 @@ object PipelineQueries {
     "q103_ann_recall" -> q103AnnRecall _,
     "q104_incremental_agg" -> q104IncrementalAgg _,
     "q105_pq_topk" -> q105PqTopK _,
+    "q106_ivf_pq" -> q106IvfPq _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2647,6 +2751,7 @@ object PipelineQueries {
     "q103_ann_recall" -> q103Sql,
     "q104_incremental_agg" -> q104Sql,
     "q105_pq_topk" -> q105Sql,
+    "q106_ivf_pq" -> q106Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,

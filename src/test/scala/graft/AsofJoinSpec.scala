@@ -122,6 +122,22 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with every cell probed equals pqTopK exactly " +
+    "(recall upper bound of the coarse pruning)") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "did", "approx_dist")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val full = rows(Similarity.pqTopK(qs, vecs, subspaces = 2,
+      codebookSize = 3, topK = 4))
+    val ivf = rows(Similarity.ivfPqTopK(qs, vecs, coarseCentroids = 5,
+      nProbe = 5, subspaces = 2, codebookSize = 3, topK = 4))
+    assert(ivf == full, s"ivf=$ivf full=$full")
+  }
+
   test("semanticDedup copies land in their original's cell") {
     val base = (0L until 12L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 8 + j + 1).toFloat))
