@@ -294,16 +294,21 @@ object Similarity {
     * topK), ties broken by did.
     *
     * Scale shape: codebooks are M·k rows and BROADCAST everywhere;
-    * training/encoding shuffle (id, m) slice rows once for the
-    * recenter aggregation; ADC joins the broadcast distance tables to
-    * the (did, m, code) rows and reduces per (qid, did) — the shuffle
-    * carries integer partial distances, never vectors. A centroid
-    * whose cell empties drops from the codebook (groupBy emits no
-    * row), matching [[kmeansCentroids]] and the oracle. */
+    * the corpus slice projection is cached across the two assignment
+    * passes (train, encode); ADC joins the broadcast distance tables
+    * to the (did, m, code) rows and reduces per (qid, did) — the
+    * shuffle carries integer partial distances, never vectors. A
+    * centroid whose cell empties drops from the codebook (groupBy
+    * emits no row), matching [[kmeansCentroids]] and the oracle.
+    * Null/empty embeddings drop out (the ivfTopKWith contract). The
+    * top-k result is EAGER (collected to a LocalRelation) so the
+    * internal caches release before returning — the q26/q63
+    * self-clean contract. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, subspaces: Int,
              codebookSize: Int, topK: Int): DataFrame = {
-    val (codes, qdist) = pqModel(queries, corpus, subspaces, codebookSize)
-    adcRank(qdist.join(codes, Seq("m", "code")), topK)
+    val (codes, qdist, caches) =
+      pqModel(queries, corpus, subspaces, codebookSize)
+    finishEager(adcRank(qdist.join(codes, Seq("m", "code")), topK), caches)
   }
 
   /** IVF-PQ (the FAISS IVFPQ composition, non-residual variant): a
@@ -322,11 +327,15 @@ object Similarity {
                 coarseCentroids: Int, nProbe: Int, subspaces: Int,
                 codebookSize: Int, topK: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
-    val coarse = corpus.orderBy("vec_id").limit(coarseCentroids)
-      .select(col("vec_id").as("ccid"), quantize(col("embedding")).as("ke"))
-      .select(col("ccid"), col("ke"), dotQ(col("ke"), col("ke")).as("kn"))
+    val coarse = firstNCentroids(
+        corpus.filter(size(col("embedding")) > 0), coarseCentroids)
+      .select(col("cid").as("ccid"), col("ce").as("ke"), col("cn").as("kn"))
     def cellAssign(vecs: DataFrame, idName: String, keep: Int): DataFrame =
-      prep(vecs, idName, "__e", "__n")
+      // size guard: a null embedding scores NULL __l2 (NULLS FIRST
+      // would hand it rank 1 — a silent arbitrary cell) and an empty
+      // one scores a real-looking distance to every centroid; both
+      // drop, the ivfTopKWith/semanticDedup contract
+      prep(vecs.filter(size(col("embedding")) > 0), idName, "__e", "__n")
         .crossJoin(broadcast(coarse))
         .withColumn("__l2",
           col("__n") + col("kn") - lit(2) * dotQ(col("__e"), col("ke")))
@@ -337,17 +346,25 @@ object Similarity {
     val candidates = cellAssign(queries, "qid", nProbe)
       .join(cellAssign(corpus, "did", 1), "ccid")
       .select("qid", "did")
-    val (codes, qdist) = pqModel(queries, corpus, subspaces, codebookSize)
-    adcRank(candidates.join(codes, "did")
-      .join(qdist, Seq("qid", "m", "code")), topK)
+    val (codes, qdist, caches) =
+      pqModel(queries, corpus, subspaces, codebookSize)
+    finishEager(adcRank(candidates.join(codes, "did")
+      .join(qdist, Seq("qid", "m", "code")), topK), caches)
   }
 
   /** PQ train + encode, shared by [[pqTopK]] and [[ivfPqTopK]]:
-    * returns (codes: (did, m, code), qdist: (qid, m, code, dist)) —
-    * the encoded corpus and the per-query ADC distance tables. */
+    * returns (codes: (did, m, code), qdist: (qid, m, code, dist),
+    * caches) — the encoded corpus, the per-query ADC distance tables,
+    * and the persisted frames the caller must release via
+    * [[finishEager]]. The corpus slice projection feeds BOTH
+    * assignment passes (training and encoding), so it is cached rather
+    * than re-scanned/re-quantized per pass. Null/empty embeddings
+    * slice to null subvectors (null sn) and are dropped — the
+    * ivfTopKWith drop-out contract; without the filter, NULLS FIRST in
+    * the argmin window would hand them code 0 silently. */
   private def pqModel(queries: DataFrame, corpus: DataFrame,
                       subspaces: Int, codebookSize: Int)
-  : (DataFrame, DataFrame) = {
+  : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val dims = requireSameDims(queries, corpus)
     require(dims % subspaces == 0,
       s"dims $dims not divisible into $subspaces subspaces")
@@ -360,8 +377,14 @@ object Similarity {
             slice(col("__e"), m * w + 1, w).as("se"))): _*)).as("s"))
         .select(col(idName), col("s.m").as("m"), col("s.se").as("se"))
         .withColumn("sn", dotQ(col("se"), col("se")))
-    val d = slices(corpus, "did")
-    val cb0 = slices(corpus.orderBy("vec_id").limit(codebookSize), "cid")
+    // size filter up front: a null embedding slices to null (null sn)
+    // but an EMPTY one slices to empty with sn = 0 — both must drop,
+    // and only the input-side size guard catches both (the
+    // semanticDedup contract). Applies to the codebook SEEDS too — a
+    // degenerate row among the first K must not become a centroid.
+    val liveC = corpus.filter(size(col("embedding")) > 0)
+    val d = slices(liveC, "did").persist()
+    val cb0 = slices(liveC.orderBy("vec_id").limit(codebookSize), "cid")
       .select(col("m"), col("cid"), col("se").as("ce"), col("sn").as("cn"))
     def assign(cb: DataFrame): DataFrame =
       d.join(broadcast(cb), "m")
@@ -383,12 +406,12 @@ object Similarity {
         dotQ(col("ce"), col("ce")).as("cn"))
     val codes = assign(cb1).select(col("did"), col("m"),
       col("cid").as("code"))
-    val qdist = slices(queries, "qid")
+    val qdist = slices(queries.filter(size(col("embedding")) > 0), "qid")
       .join(broadcast(cb1), "m")
       .select(col("qid"), col("m"), col("cid").as("code"),
         (col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
           .as("dist"))
-    (codes, qdist)
+    (codes, qdist, Seq(d))
   }
 
   /** Sum partial ADC distances per (qid, did) and keep the top-k per
@@ -399,6 +422,18 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("approx_dist").asc, col("did").asc)))
       .filter(col("rank") <= topK)
+
+  /** Materialize a small (top-k-sized) result to a LocalRelation and
+    * release the internal caches — the q26/q63 self-clean contract:
+    * callers get a frame with no lineage into the released blocks and
+    * no executor residue survives the call. */
+  private def finishEager(out: DataFrame, caches: Seq[DataFrame])
+  : DataFrame = {
+    val rows = out.collect()
+    caches.foreach(_.unpersist(blocking = false))
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus into `numCentroids` cells by

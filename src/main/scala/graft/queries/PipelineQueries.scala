@@ -2046,12 +2046,17 @@ object PipelineQueries {
     val liChecks = unpiv(li.agg(
       sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
         .otherwise(0L)).as("range:l_quantity in [1,50]")), "lineitem")
-    val fkO = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+    // standard SQL FK semantics: a NULL foreign key is NOT an RI
+    // violation (the completeness check reports it); without the
+    // isNotNull filter the anti-join would count null-key rows as
+    // orphans and diverge from the oracle's NOT IN formulation
+    val fkO = o.filter(col("o_custkey").isNotNull)
+      .join(c, col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("orders").as("table_name"),
         lit("fk:o_custkey->customer").as("check_name"), col("violations"))
-    val fkLi = li.join(o, col("l_orderkey") === col("o_orderkey"),
-        "left_anti")
+    val fkLi = li.filter(col("l_orderkey").isNotNull)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("lineitem").as("table_name"),
         lit("fk:l_orderkey->orders").as("check_name"), col("violations"))
@@ -2289,7 +2294,7 @@ object PipelineQueries {
          SELECT vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
                  for x in embedding] AS e
-         FROM embeddings),
+         FROM embeddings WHERE len(embedding) > 0),
        sl AS (
          SELECT vec_id, t.m,
                 e[t.m * (len(e) // 2) + 1 : (t.m + 1) * (len(e) // 2)]
@@ -2301,6 +2306,7 @@ object PipelineQueries {
        cb0 AS (
          SELECT m, vec_id AS cid, se AS ce, sn AS cn FROM sn
          WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          WHERE len(embedding) > 0
                           ORDER BY vec_id LIMIT 4)),
        a1 AS (
          SELECT did, m, se, cid FROM (
@@ -2365,11 +2371,12 @@ object PipelineQueries {
          SELECT vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
                  for x in embedding] AS e
-         FROM embeddings),
+         FROM embeddings WHERE len(embedding) > 0),
        n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
        coarse AS (
          SELECT vec_id AS ccid, e AS ke, nn AS kn FROM n
          WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          WHERE len(embedding) > 0
                           ORDER BY vec_id LIMIT 8)),
        cells AS (
          SELECT did, ccid FROM (
@@ -2401,6 +2408,7 @@ object PipelineQueries {
        cb0 AS (
          SELECT m, vec_id AS cid, se AS ce, sn AS cn FROM sn
          WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          WHERE len(embedding) > 0
                           ORDER BY vec_id LIMIT 4)),
        a1 AS (
          SELECT did, m, se, cid FROM (

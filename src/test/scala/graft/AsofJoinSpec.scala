@@ -138,6 +138,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(ivf == full, s"ivf=$ivf full=$full")
   }
 
+  test("pqTopK and ivfPqTopK drop null/empty embeddings instead of " +
+    "assigning them arbitrary codes, and leave no persistent RDDs") {
+    val good = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat))
+    }
+    val corpus = (good :+ ((900L, Array.empty[Float])))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((901L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val qs = corpus.filter(col("vec_id") < 2 || col("vec_id") >= 900)
+    def dids(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.select("qid", "did").as[(Long, Long)].collect()
+      (rows.map(_._1).toSet, rows.map(_._2).toSet)
+    }
+    Seq(
+      Similarity.pqTopK(qs, corpus, 2, 3, 10),
+      Similarity.ivfPqTopK(qs, corpus, 3, 3, 2, 3, 10)
+    ).foreach { out =>
+      val (qids, ds) = dids(out)
+      assert(qids == Set(0L, 1L), s"null queries must drop: $qids")
+      assert(!ds.contains(900L) && !ds.contains(901L),
+        s"null corpus rows must never be retrieved: $ds")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "pq slice caches must be released")
+  }
+
   test("semanticDedup copies land in their original's cell") {
     val base = (0L until 12L).map { i =>
       (i, Array.tabulate(8)(j => math.cos(i * 8 + j + 1).toFloat))
