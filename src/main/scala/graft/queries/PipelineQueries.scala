@@ -2455,6 +2455,69 @@ object PipelineQueries {
          FROM adc)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  // --- q107: time-series gap fill + forward fill -----------------------
+  /** Dense hourly series per event type from a sparse event log: a
+    * scaffold of EVERY hour in each type's [min, max] span (~6% of
+    * hours have no events in the harness data) left-joins the real
+    * hourly rollup; counts fill with 0 (an empty hour truly has zero
+    * events) while the cents gauge FORWARD-fills via
+    * last(ignoreNulls) — the standard scaffold + last-observation
+    * pattern time-series features need before windowing/diffing.
+    *
+    * Scale shape: the scaffold explodes from one (type, min, max) row
+    * per key — never a driver-side calendar; the join and the
+    * forward-fill window share the event_type hash exchange, and the
+    * fill is integer so the result is order-independent. */
+  def q107GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour_ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hourly = ev.groupBy("event_type", "hour_ts")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val scaffold = ev.groupBy("event_type")
+      .agg(min("hour_ts").as("mn"), max("hour_ts").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last("cents", ignoreNulls = true).over(w).as("cents_ffill"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  val q107Sql: String =
+    """WITH ev AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       hourly AS (
+         SELECT event_type, hour_ts,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM ev GROUP BY 1, 2),
+       scaffold AS (
+         SELECT event_type,
+                unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                  AS hour_ts
+         FROM (SELECT event_type, min(hour_ts) AS mn, max(hour_ts) AS mx
+               FROM ev GROUP BY 1)),
+       j AS (
+         SELECT s.event_type, s.hour_ts,
+                CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+                h.cents
+         FROM scaffold s LEFT JOIN hourly h
+           ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts)
+       SELECT event_type, hour_ts, n_events,
+              last_value(cents IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY hour_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cents_ffill
+       FROM j ORDER BY event_type, hour_ts"""
+
   // --- q50: HLL approximate distinct -----------------------------------
   /** HLL sketch VALUES are not portable across engines, but the sketch's
     * accuracy CLAIM is: the output carries the exact distinct count plus
@@ -2708,6 +2771,7 @@ object PipelineQueries {
     "q104_incremental_agg" -> q104IncrementalAgg _,
     "q105_pq_topk" -> q105PqTopK _,
     "q106_ivf_pq" -> q106IvfPq _,
+    "q107_gap_fill" -> q107GapFill _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2760,6 +2824,7 @@ object PipelineQueries {
     "q104_incremental_agg" -> q104Sql,
     "q105_pq_topk" -> q105Sql,
     "q106_ivf_pq" -> q106Sql,
+    "q107_gap_fill" -> q107Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
