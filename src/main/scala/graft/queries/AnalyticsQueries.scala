@@ -678,6 +678,217 @@ object AnalyticsQueries {
                 CAST(n * n AS DOUBLE) AS covar_qd
        FROM m ORDER BY l_returnflag"""
 
+  // --- q108: full-outer reconciliation report ---------------------------
+  /** Two-source reconciliation — the missing join type (FULL OUTER)
+    * exercised on a real shape: the customer master (credit-worthy
+    * accounts only) against order-derived spend. Rows classify as
+    * `both`, `no_orders` (in the master, never ordered) or
+    * `debtor_active` (ordering but filtered out of the master) — the
+    * classic "which side is missing what" audit between two systems.
+    * Money stays integer cents so every aggregate is order-independent.
+    *
+    * Scale: a full outer join cannot broadcast (both sides must surface
+    * unmatched rows), so this is one co-partitioned shuffle on the key
+    * with AQE skew splitting — the right side is pre-aggregated to one
+    * row per key BEFORE the join, which is what keeps the shuffle
+    * proportional to |keys| rather than |orders| at 100 TB. */
+  def q108FullOuterRecon(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey").as("custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("spend_cents"))
+    cust.join(ord, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        when(col("acctbal_cents").isNotNull && col("n_orders").isNotNull,
+          "both")
+          .when(col("n_orders").isNull, "no_orders")
+          .otherwise("debtor_active").as("status"),
+        coalesce(col("acctbal_cents"), lit(0L)).as("acctbal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+      .orderBy("custkey")
+  }
+
+  val q108Sql: String =
+    """WITH cust AS (
+         SELECT c_custkey AS custkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+         FROM customer WHERE c_acctbal >= 0),
+       ord AS (
+         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+         FROM orders GROUP BY 1)
+       SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+              CASE WHEN c.custkey IS NOT NULL AND o.custkey IS NOT NULL
+                     THEN 'both'
+                   WHEN o.custkey IS NULL THEN 'no_orders'
+                   ELSE 'debtor_active' END AS status,
+              CAST(COALESCE(c.acctbal_cents, 0) AS BIGINT) AS acctbal_cents,
+              CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+              CAST(COALESCE(o.spend_cents, 0) AS BIGINT) AS spend_cents
+       FROM cust c FULL OUTER JOIN ord o ON c.custkey = o.custkey
+       ORDER BY custkey"""
+
+  // --- q109: equi-width histogram (numeric profiling) -------------------
+  /** Fixed-bound equi-width histogram of l_extendedprice (22 × 5000
+    * buckets) — the profiling primitive behind data-quality dashboards
+    * and binned features. The bucket id is `floor(x / width)` with a
+    * CONSTANT width: both engines evaluate one IEEE double division +
+    * floor, so assignment is bit-deterministic (a data-derived
+    * min/max width would make every bucket boundary depend on two
+    * floats computed engine-side — the classic nondeterminism trap;
+    * `width_bucket` built-ins are avoided for the same reason: their
+    * internal rounding shape is not specified identically). Everything
+    * after assignment is integer. One partial+final hash aggregate, no
+    * sort until the 22-row result. */
+  def q109Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / 5000.0).cast("int")
+        .as("bucket"), col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(min(l_extendedprice) * 100) AS BIGINT)")
+          .as("min_cents"),
+        expr("CAST(round(max(l_extendedprice) * 100) AS BIGINT)")
+          .as("max_cents"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      .select(col("bucket"), (col("bucket") * 5000L).cast("long")
+        .as("bucket_lo"), col("n"), col("min_cents"), col("max_cents"),
+        col("cents"))
+      .orderBy("bucket")
+
+  val q109Sql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) AS bucket,
+              CAST(CAST(floor(l_extendedprice / 5000.0) AS INTEGER) * 5000
+                AS BIGINT) AS bucket_lo,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_cents,
+              CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_cents,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM lineitem GROUP BY 1 ORDER BY bucket"""
+
+  // --- q110: Markov transition matrix over user journeys ----------------
+  /** First-order transition counts + probabilities between event types,
+    * per-user sequences ordered by (ts, event_id) — the session-flow /
+    * next-action model behind funnel and churn analytics. `lead` under
+    * a TOTAL order makes the step pairs unique; counts are integers and
+    * each probability is ONE double division n/tot, so the matrix is
+    * bit-deterministic. One window exchange on user_id (millions of
+    * small partitions at scale — healthy), one hash aggregate on the
+    * (from, to) pairs (|event_types|² rows at most), and the per-row
+    * totals join broadcasts the tiny marginal table. */
+  def q110Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q110Sql: String =
+    """WITH steps AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC) AS to_type
+         FROM events),
+       c AS (
+         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (
+         SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+       SELECT c.from_type, c.to_type, c.n,
+              CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+       FROM c JOIN tot t USING (from_type)
+       ORDER BY from_type, to_type"""
+
+  // --- q111: MAD-based robust outliers ----------------------------------
+  /** Median-absolute-deviation outlier flagging per event type — the
+    * robust companion to q95's z-score: a handful of extreme values
+    * shifts mean±3σ but leaves median±3·MAD untouched, which is why
+    * corpus-quality gates prefer it. Both medians are DISCRETE
+    * (value at rank ⌈n/2⌉, the q66 convention), so every statistic is
+    * an actual data value picked by integer rank — no interpolation,
+    * no float accumulation; |x−med| and the 3·MAD threshold are single
+    * IEEE expressions. Two rank passes (value, then deviation) shuffle
+    * on event_type; the per-group stats broadcast back. At 100 TB the
+    * few-groups sort is the bottleneck, so the scale path swaps exact
+    * ranks for `percentile_approx` with this exact form as the audit. */
+  def q111MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+
+    def groupMedian(df: DataFrame, out: String): DataFrame = {
+      val ranked = df.withColumn("rn", row_number().over(Window
+        .partitionBy("event_type").orderBy(col("value").asc)))
+      val counts = df.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+          col("value"))).as(out))
+    }
+
+    val med = groupMedian(ev, "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("value") - col("med")).as("value"))
+    val mad = groupMedian(dev, "mad")
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3.0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q111Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+       n1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY 1),
+       r1 AS (SELECT event_type, value,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY value ASC) AS BIGINT) AS rn
+              FROM ev),
+       med AS (SELECT r1.event_type,
+                 max(CASE WHEN r1.rn = CAST(ceil(n1.n * 0.5) AS BIGINT)
+                       THEN r1.value END) AS med
+               FROM r1 JOIN n1 USING (event_type) GROUP BY 1),
+       dev AS (SELECT ev.event_type, abs(ev.value - med.med) AS adev
+               FROM ev JOIN med USING (event_type)),
+       r2 AS (SELECT event_type, adev,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY adev ASC) AS BIGINT) AS rn
+              FROM dev),
+       mad AS (SELECT r2.event_type,
+                 max(CASE WHEN r2.rn = CAST(ceil(n1.n * 0.5) AS BIGINT)
+                       THEN r2.adev END) AS mad
+               FROM r2 JOIN n1 USING (event_type) GROUP BY 1)
+       SELECT ev.event_type, n1.n, med.med, mad.mad,
+              CAST(sum(CASE WHEN abs(ev.value - med.med) > mad.mad * 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+         JOIN n1 USING (event_type)
+       GROUP BY ev.event_type, n1.n, med.med, mad.mad
+       ORDER BY event_type"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -694,6 +905,10 @@ object AnalyticsQueries {
     "q97_triangle_count" -> q97TriangleCount _,
     "q98_grouping_sets" -> q98GroupingSets _,
     "q99_exact_corr" -> q99ExactCorr _,
+    "q108_full_outer_recon" -> q108FullOuterRecon _,
+    "q109_histogram" -> q109Histogram _,
+    "q110_transitions" -> q110Transitions _,
+    "q111_mad_outliers" -> q111MadOutliers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,5 +927,9 @@ object AnalyticsQueries {
     "q97_triangle_count" -> q97Sql,
     "q98_grouping_sets" -> q98Sql,
     "q99_exact_corr" -> q99Sql,
+    "q108_full_outer_recon" -> q108Sql,
+    "q109_histogram" -> q109Sql,
+    "q110_transitions" -> q110Sql,
+    "q111_mad_outliers" -> q111Sql,
   )
 }
