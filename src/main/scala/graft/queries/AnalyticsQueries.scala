@@ -889,6 +889,100 @@ object AnalyticsQueries {
        GROUP BY ev.event_type, n1.n, med.med, mad.mad
        ORDER BY event_type"""
 
+  // --- q114: running distinct users (first-touch rewrite) ---------------
+  /** Cumulative distinct users per day — the DAU→cumulative-reach curve.
+    * A windowed `count(DISTINCT)` needs per-frame distinct state (and
+    * Spark refuses it outright); the scalable rewrite counts each
+    * user's FIRST day once and cumulative-sums those first-appearances:
+    * one user-key aggregate + a |days|-row running sum. The oracle runs
+    * DuckDB's native windowed count(DISTINCT) — two independent
+    * formulations agreeing is the test. Days with no new users still
+    * appear (day domain left-joins the first-appearance counts). The
+    * final window is a global ORDER BY over |days| rows — constant-size
+    * regardless of event volume, so it never becomes the bottleneck. */
+  def q114RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+    val newPerDay = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    ev.select("day").distinct()
+      .join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L))
+        .as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val q114Sql: String =
+    """WITH d AS (
+         SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+         FROM events),
+       c AS (
+         SELECT day, CAST(count(DISTINCT user_id) OVER (ORDER BY day
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+         FROM d),
+       byday AS (SELECT DISTINCT day, cum_users FROM c)
+       SELECT day,
+              CAST(cum_users - COALESCE(lag(cum_users) OVER (ORDER BY day),
+                0) AS BIGINT) AS new_users,
+              cum_users
+       FROM byday ORDER BY day"""
+
+  // --- q115: chi-square crosstab (lang × source independence) -----------
+  /** Per-cell chi-square decomposition of the lang × source
+    * contingency table — the data-drift / independence diagnostic:
+    * observed count, expected = row·col/total, and the cell's χ²
+    * contribution (o−e)²/e. All inputs are exact integer counts;
+    * expected and contribution are each a fixed IEEE expression
+    * ((rt·ct)/n computed in integers until ONE division; (o−e)·(o−e)/e
+    * spelled identically in both engines — no pow()), so every cell is
+    * bit-deterministic. The total χ² is deliberately NOT summed: a
+    * float sum's value depends on addition order; consumers fold the
+    * cells in whatever order they fix. Marginals broadcast (|langs| and
+    * |sources| rows); overflow bound rt·ct < 2⁶³ holds to n ≈ 3·10⁹
+    * rows, beyond which the marginals move to DECIMAL(38,0). */
+  def q115ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("lang", "source")
+    val obs = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rowT = obs.groupBy("lang").agg(sum("n").as("rt"))
+    val colT = obs.groupBy("source").agg(sum("n").as("ct"))
+    val tot = obs.agg(sum("n").as("tot"))
+    obs.join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        (col("rt") * col("ct")).cast("double") / col("tot").cast("double"))
+      .withColumn("chi2_contrib",
+        (col("n").cast("double") - col("expected")) *
+          (col("n").cast("double") - col("expected")) / col("expected"))
+      .select(col("lang"), col("source"), col("n"), col("expected"),
+        col("chi2_contrib"))
+      .orderBy("lang", "source")
+  }
+
+  val q115Sql: String =
+    """WITH obs AS (
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2),
+       rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS rt FROM obs GROUP BY 1),
+       ct AS (SELECT source, CAST(sum(n) AS BIGINT) AS ct
+              FROM obs GROUP BY 1),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM obs),
+       e AS (
+         SELECT o.lang, o.source, o.n,
+                CAST(rt.rt * ct.ct AS DOUBLE) / CAST(tot.tot AS DOUBLE)
+                  AS expected
+         FROM obs o JOIN rt USING (lang) JOIN ct USING (source)
+         CROSS JOIN tot)
+       SELECT lang, source, n, expected,
+              (CAST(n AS DOUBLE) - expected) *
+                (CAST(n AS DOUBLE) - expected) / expected AS chi2_contrib
+       FROM e ORDER BY lang, source"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -909,6 +1003,8 @@ object AnalyticsQueries {
     "q109_histogram" -> q109Histogram _,
     "q110_transitions" -> q110Transitions _,
     "q111_mad_outliers" -> q111MadOutliers _,
+    "q114_running_distinct" -> q114RunningDistinct _,
+    "q115_chi_square" -> q115ChiSquare _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -931,5 +1027,7 @@ object AnalyticsQueries {
     "q109_histogram" -> q109Sql,
     "q110_transitions" -> q110Sql,
     "q111_mad_outliers" -> q111Sql,
+    "q114_running_distinct" -> q114Sql,
+    "q115_chi_square" -> q115Sql,
   )
 }

@@ -2735,6 +2735,74 @@ object PipelineQueries {
        SELECT id_a, id_b, cosine FROM sc WHERE cosine >= 0.9
        ORDER BY id_a, id_b"""
 
+  // --- q112: vocabulary build (StringIndexer / tokenizer-vocab analog) --
+  /** Frequency-ranked token vocabulary with dense integer ids — the
+    * id-assignment step every tokenizer / categorical encoder needs:
+    * vocab_id = row_number over (count DESC, token ASC), a TOTAL order
+    * so ids are stable across runs, engines and partitionings. The
+    * corpus reduces to a (token, cnt, df) table before any ranking, so
+    * the global window sorts |vocab| rows, never |tokens|; the top-200
+    * truncation keeps the contract explicit. At 100 TB vocab ids over
+    * the FULL vocabulary come from the same rank expression executed as
+    * a range-partitioned sort (or zipWithIndex over a sorted frame) —
+    * the (cnt DESC, token ASC) total order is the portable part. */
+  def q112VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+    vocab
+      .withColumn("vocab_id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc))
+        .cast("long"))
+      .filter(col("vocab_id") <= 200)
+      .select(col("vocab_id"), col("token"), col("cnt"), col("df"))
+      .orderBy("vocab_id")
+  }
+
+  val q112Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, u.token
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)),
+       v AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM toks GROUP BY 1)
+       SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                AS BIGINT) AS vocab_id,
+              token, cnt, df
+       FROM v QUALIFY vocab_id <= 200 ORDER BY vocab_id"""
+
+  // --- q113: feature hashing (the hashing trick) ------------------------
+  /** Fixed-width sparse featurization without a vocabulary: token →
+    * bucket = hash60(token) mod 1024, per-doc bucket counts — the
+    * Weinberger et al. 2009 hashing trick that makes encoding stateless
+    * (no vocab build, no broadcast dictionary, new tokens never change
+    * the schema). Entirely in-row until ONE (doc, bucket) hash
+    * aggregate; every value is an integer so the sparse matrix is
+    * hash-exact cross-engine. The doc_id < 50 slice bounds the output
+    * contract, not the technique. */
+  def q113FeatureHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        pmod(Dedup.hash60(col("token")), lit(1024L)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
+  val q113Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, u.token
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         WHERE doc_id < 50)
+       SELECT doc_id,
+              ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -2772,6 +2840,8 @@ object PipelineQueries {
     "q105_pq_topk" -> q105PqTopK _,
     "q106_ivf_pq" -> q106IvfPq _,
     "q107_gap_fill" -> q107GapFill _,
+    "q112_vocab_build" -> q112VocabBuild _,
+    "q113_feature_hash" -> q113FeatureHash _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2825,6 +2895,8 @@ object PipelineQueries {
     "q105_pq_topk" -> q105Sql,
     "q106_ivf_pq" -> q106Sql,
     "q107_gap_fill" -> q107Sql,
+    "q112_vocab_build" -> q112Sql,
+    "q113_feature_hash" -> q113Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
