@@ -983,6 +983,155 @@ object AnalyticsQueries {
                 (CAST(n AS DOUBLE) - expected) / expected AS chi2_contrib
        FROM e ORDER BY lang, source"""
 
+  // --- q116: schema-evolution union (unionByName allowMissing) ---------
+  /** Heterogeneous-batch union — the schema-evolution reality of any
+    * long-lived sink: batch v1 carries `cents` (no priority), batch v2
+    * added `priority` and dropped the money column. `unionByName` with
+    * `allowMissingColumns` aligns by NAME and null-fills what a batch
+    * lacks — positional `union` would silently mis-bind columns, the
+    * classic corruption. The oracle is DuckDB's native
+    * `UNION ALL BY NAME` — the same alignment rule implemented
+    * independently. Pure narrow op: no shuffle until the final sort. */
+  def q116SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderdate") < "1994-01-01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        lit("v1").as("batch"))
+    val v2 = o.filter(col("o_orderdate") >= "1994-01-01")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("priority"), lit("v2").as("batch"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val q116Sql: String =
+    """SELECT * FROM (
+         SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                'v1' AS batch
+         FROM orders WHERE o_orderdate < '1994-01-01'
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_custkey, o_orderpriority AS priority,
+                'v2' AS batch
+         FROM orders WHERE o_orderdate >= '1994-01-01')
+       ORDER BY o_orderkey"""
+
+  // --- q117: winsorized + trimmed robust means --------------------------
+  /** Winsorized (clamp to [p05, p95]) and trimmed (drop outside) means
+    * per event type — the robust-mean pair that completes q111's MAD:
+    * values go to integer cents FIRST, the percentile bounds are
+    * DISCRETE rank picks (q66 convention) on those integers, the clamp
+    * and the trim filter are integer comparisons, and each mean is one
+    * Σ(int)/n division — so a statistic famous for float fuzz is
+    * bit-deterministic. One rank pass + broadcast bounds. */
+  def q117WinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val ranked = ev.withColumn("rn", row_number().over(Window
+      .partitionBy("event_type").orderBy(col("cents").asc)))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val bounds = ranked.join(broadcast(counts), "event_type")
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.05).cast("long"),
+        col("cents"))).as("p05_cents"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"),
+          col("cents"))).as("p95_cents"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("p05_cents").as("p05_cents"), max("p95_cents").as("p95_cents"),
+        (sum(greatest(least(col("cents"), col("p95_cents")),
+          col("p05_cents"))).cast("double") /
+          count(lit(1)).cast("double")).as("winsor_mean_cents"),
+        sum(when(col("cents").between(col("p05_cents"), col("p95_cents")),
+          1L).otherwise(0L)).as("n_trimmed"),
+        (sum(when(col("cents").between(col("p05_cents"), col("p95_cents")),
+          col("cents"))).cast("double") /
+          sum(when(col("cents").between(col("p05_cents"), col("p95_cents")),
+            1L).otherwise(0L)).cast("double")).as("trim_mean_cents"))
+      .orderBy("event_type")
+  }
+
+  val q117Sql: String =
+    """WITH ev AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       n1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY 1),
+       r AS (SELECT event_type, cents,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents ASC) AS BIGINT) AS rn
+             FROM ev),
+       b AS (SELECT r.event_type,
+               max(CASE WHEN r.rn = CAST(ceil(n1.n * 0.05) AS BIGINT)
+                     THEN r.cents END) AS p05_cents,
+               max(CASE WHEN r.rn = CAST(ceil(n1.n * 0.95) AS BIGINT)
+                     THEN r.cents END) AS p95_cents
+             FROM r JOIN n1 USING (event_type) GROUP BY 1)
+       SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+              max(b.p05_cents) AS p05_cents, max(b.p95_cents) AS p95_cents,
+              CAST(sum(greatest(least(ev.cents, b.p95_cents), b.p05_cents))
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS winsor_mean_cents,
+              CAST(sum(CASE WHEN ev.cents BETWEEN b.p05_cents
+                    AND b.p95_cents THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_trimmed,
+              CAST(sum(CASE WHEN ev.cents BETWEEN b.p05_cents
+                    AND b.p95_cents THEN ev.cents END) AS DOUBLE) /
+                CAST(sum(CASE WHEN ev.cents BETWEEN b.p05_cents
+                    AND b.p95_cents THEN 1 ELSE 0 END) AS DOUBLE)
+                AS trim_mean_cents
+       FROM ev JOIN b USING (event_type)
+       GROUP BY ev.event_type ORDER BY event_type"""
+
+  // --- q118: join-key skew profile --------------------------------------
+  /** The "why is my join slow" diagnostic: per-key frequency of the
+    * lineitem→part join key, top-5 heavy keys with their share of rows
+    * and skew factor (multiples of the mean key load). At 1000
+    * executors one 10×-mean key IS the straggler; this report is what
+    * decides between AQE skew splitting and salting (`SkewJoin`).
+    * Counts are exact integers; share and skew are one division each.
+    * The top-5 rank compiles to WindowGroupLimit so map tasks keep five
+    * rows each — the profile never shuffles the key distribution. */
+  def q118SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val glob = perKey.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("total_rows"))
+    perKey
+      .withColumn("rk", row_number().over(Window
+        .orderBy(col("cnt").desc, col("l_partkey").asc)))
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(glob))
+      .select(col("rk"), col("l_partkey"), col("cnt"),
+        (col("cnt").cast("double") / col("total_rows").cast("double"))
+          .as("share"),
+        ((col("cnt") * col("n_keys")).cast("double") /
+          col("total_rows").cast("double")).as("skew_x_mean"),
+        col("n_keys"), col("total_rows"))
+      .orderBy("rk")
+  }
+
+  val q118Sql: String =
+    """WITH pk AS (
+         SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(sum(cnt) AS BIGINT) AS total_rows FROM pk),
+       r AS (SELECT l_partkey, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey ASC)
+                 AS INTEGER) AS rk
+             FROM pk)
+       SELECT r.rk, r.l_partkey, r.cnt,
+              CAST(r.cnt AS DOUBLE) / CAST(g.total_rows AS DOUBLE) AS share,
+              CAST(r.cnt * g.n_keys AS DOUBLE) /
+                CAST(g.total_rows AS DOUBLE) AS skew_x_mean,
+              g.n_keys, g.total_rows
+       FROM r CROSS JOIN g WHERE r.rk <= 5 ORDER BY r.rk"""
+
   val all: Map[String, Q] = Map(
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -1005,6 +1154,9 @@ object AnalyticsQueries {
     "q111_mad_outliers" -> q111MadOutliers _,
     "q114_running_distinct" -> q114RunningDistinct _,
     "q115_chi_square" -> q115ChiSquare _,
+    "q116_schema_evolution" -> q116SchemaEvolution _,
+    "q117_winsorized_mean" -> q117WinsorizedMean _,
+    "q118_skew_profile" -> q118SkewProfile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1029,5 +1181,8 @@ object AnalyticsQueries {
     "q111_mad_outliers" -> q111Sql,
     "q114_running_distinct" -> q114Sql,
     "q115_chi_square" -> q115Sql,
+    "q116_schema_evolution" -> q116Sql,
+    "q117_winsorized_mean" -> q117Sql,
+    "q118_skew_profile" -> q118Sql,
   )
 }

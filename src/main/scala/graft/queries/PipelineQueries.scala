@@ -2803,6 +2803,58 @@ object PipelineQueries {
               CAST(count(*) AS BIGINT) AS cnt
        FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket"""
 
+  // --- q119: trigram continuation table (count-based LM prep) -----------
+  /** Top-3 next-token continuations per bigram context — the n-gram
+    * language-model table (and the data behind repetition/boilerplate
+    * mining): trigrams stream map-side from each doc's token array via
+    * posexplode (no self-join, the q86/q97 pair shape), one hash
+    * aggregate counts them, contexts seen ≥ 5 times keep their top-3
+    * continuations by (cnt DESC, w3 ASC). The per-context rank compiles
+    * to WindowGroupLimit so map tasks emit at most 3 rows per context
+    * before the exchange. At 100 TB the tokens would be hash60'd so the
+    * shuffle moves (long,long,long) triples, never strings — kept as
+    * text here so the table is human-readable. */
+  def q119TrigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val tri = tk
+      .select(posexplode(col("t")).as(Seq("i", "w1")), col("t"))
+      .filter(col("i") <= size(col("t")) - 3)
+      .select(col("w1"), expr("t[i + 1]").as("w2"),
+        expr("t[i + 2]").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    val ctx = tri.groupBy("w1", "w2").agg(sum("cnt").as("ctx_cnt"))
+      .filter(col("ctx_cnt") >= 5)
+    tri.join(ctx, Seq("w1", "w2"))
+      .withColumn("rk", row_number().over(Window.partitionBy("w1", "w2")
+        .orderBy(col("cnt").desc, col("w3").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("w1"), col("w2"), col("rk"), col("w3"), col("cnt"),
+        col("ctx_cnt"))
+      .orderBy("w1", "w2", "rk")
+  }
+
+  val q119Sql: String =
+    """WITH tk AS (
+         SELECT string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       tri AS (
+         SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT t[u.i] AS w1, t[u.i + 1] AS w2, t[u.i + 2] AS w3
+           FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i))
+         GROUP BY 1, 2, 3),
+       ctx AS (
+         SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+         FROM tri GROUP BY 1, 2 HAVING sum(cnt) >= 5)
+       SELECT tri.w1, tri.w2,
+              CAST(row_number() OVER (PARTITION BY tri.w1, tri.w2
+                ORDER BY tri.cnt DESC, tri.w3 ASC) AS INTEGER) AS rk,
+              tri.w3, tri.cnt, ctx.ctx_cnt
+       FROM tri JOIN ctx USING (w1, w2)
+       QUALIFY rk <= 3 ORDER BY w1, w2, rk"""
+
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -2842,6 +2894,7 @@ object PipelineQueries {
     "q107_gap_fill" -> q107GapFill _,
     "q112_vocab_build" -> q112VocabBuild _,
     "q113_feature_hash" -> q113FeatureHash _,
+    "q119_trigram_lm" -> q119TrigramLm _,
     "q31_lang_id" -> q31LangId _,
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
@@ -2897,6 +2950,7 @@ object PipelineQueries {
     "q107_gap_fill" -> q107Sql,
     "q112_vocab_build" -> q112Sql,
     "q113_feature_hash" -> q113Sql,
+    "q119_trigram_lm" -> q119Sql,
     "q31_lang_id" -> q31Sql,
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
