@@ -122,22 +122,31 @@ object Dedup {
     * the *universe* — both the pair generation and the per-doc sizes — so
     * jaccard is computed consistently over discriminative shingles only.
     * Without it one hot shingle emits postings² candidate pairs in a
-    * single task; with it per-shingle work is ≤ cap². Total pair-count
-    * cost tracks Σ postings² per surviving shingle — inherent to exact
-    * Jaccard; [[minHashCandidates]] is the sub-quadratic alternative.
+    * single task; with it per-shingle work is ≤ cap². The guard is ON by
+    * default (10k: a single shingle can cost at most ~50M pairs and a
+    * 10k-element buffer — survivable on any executor; a boilerplate
+    * shingle in millions of documents would otherwise be a task-killer),
+    * because "exact Jaccard over everything" is exactly the call that
+    * must not be the API's path of least resistance at corpus scale.
+    * Pass `Long.MaxValue` explicitly to disable the cap for a corpus
+    * known to be boilerplate-free. Total pair-count cost tracks
+    * Σ postings² per surviving shingle — inherent to exact Jaccard;
+    * [[minHashCandidates]] is the sub-quadratic alternative.
     *
-    * `eager = true` (default): the result is materialized to the DRIVER
-    * on call and the operator's internal cache is released before
-    * returning — repeated per-shard invocations leave ZERO executor
-    * residue (no cache, no checkpoint blocks). Near-dup outputs are
-    * small by construction (pairs above a similarity threshold); for a
-    * corpus whose pair output may be large, or to compose further
-    * distributed transforms into the plan before execution, pass
-    * `eager = false` to get the lazy, uncached plan instead. */
+    * `eager = false` (default): the result is the lazy, uncached plan —
+    * composable with further filters/sampling like any DataFrame, and
+    * the two postings consumers share their shuffle via ReuseExchange.
+    * `eager = true`: the result is materialized to the DRIVER on call
+    * and the operator's internal cache is released before returning —
+    * repeated per-shard invocations leave ZERO executor residue (no
+    * cache, no checkpoint blocks). Use it for loop-style call sites
+    * whose outputs are small (pairs above a similarity threshold are
+    * tiny by construction) and where session residue, not plan
+    * composition, is the concern — the bench queries do. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   maxDocFreq: Long = Long.MaxValue,
-                   eager: Boolean = true): DataFrame = {
+                   maxDocFreq: Long = 10_000L,
+                   eager: Boolean = false): DataFrame = {
     // ONE wide shuffle builds the postings universe: group raw shingle
     // rows by h, the set agg absorbing per-(sid,h) duplicates that an
     // explicit distinct would have paid a second full shuffle for. The
@@ -255,14 +264,15 @@ object Dedup {
     * directly between the two signature arrays — no joins back into the
     * signature table). Output: (id_a, id_b, est_jaccard), id_a < id_b.
     *
-    * Eager/lazy contract as in [[jaccardPairs]]: by default the candidate
-    * list is materialized to the driver on call and the signature cache
-    * (three consumers: bands, both sides of the estimate join) is
-    * released before returning; `eager = false` returns the lazy,
-    * uncached plan for large outputs or further composition. */
+    * Eager/lazy contract as in [[jaccardPairs]]: the default is the
+    * lazy, uncached plan (composable, normal DataFrame semantics);
+    * `eager = true` materializes the candidate list to the driver on
+    * call and releases the signature cache (three consumers: bands,
+    * both sides of the estimate join) before returning — for loop-style
+    * call sites where session residue is the concern. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int, numPerm: Int, rowsPerBand: Int,
-                        eager: Boolean = true): DataFrame = {
+                        eager: Boolean = false): DataFrame = {
     val sigs0 = minHashSignatures(docShingles(df, idCol, textCol, n), numPerm)
     val sigs = if (eager) sigs0.cache() else sigs0
     val bands = lshBands(sigs, numPerm, rowsPerBand)

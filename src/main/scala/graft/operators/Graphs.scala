@@ -26,33 +26,39 @@ object Graphs {
     * of degree d contributes d² wedges naively but only √m² = m
     * after orientation, spread across its neighbors' tasks.
     *
-    * Scale shape: the degree table is |V|-sized and BROADCASTS into
-    * the orientation pass; the wedge join shuffles oriented (src, dst)
-    * pairs by src; the closing-edge join is an equi-join on the (x, y)
-    * pair — the planner broadcasts the edge side when it fits (the
-    * wedge side is the big one by construction, never broadcast it).
-    * The input feeds five passes (degrees, orientation, both wedge
-    * sides, the closing join), so `edges` and the degree table are
-    * cached for the computation and released before returning — the
-    * one-row result comes back as a LocalRelation, leaving no
-    * executor-side residue (the q26/q63 self-clean contract). */
-  def triangleStats(edges: DataFrame): DataFrame = {
+    * Scale shape: the degree table is |V|-sized and joins into the
+    * orientation pass — broadcast-HINTED only while |V| ≤
+    * `broadcastDegreeMaxRows` (the hint overrides
+    * autoBroadcastJoinThreshold, so an unconditional hint would
+    * collect a multi-GB table onto the driver for a web-scale graph);
+    * above the cutoff the join is left unhinted and the planner/AQE
+    * pick a shuffled join keyed on the vertex id, which is the right
+    * plan there. |V| is read off the persisted degree table with one
+    * count — a value the final aggregate needs anyway. The wedge join
+    * shuffles oriented (src, dst) pairs by src; the closing-edge join
+    * is an equi-join on the (x, y) pair — the planner broadcasts the
+    * edge side when it fits (the wedge side is the big one by
+    * construction, never broadcast it). The input feeds five passes
+    * (degrees, orientation, both wedge sides, the closing join), so
+    * `edges` and the degree table are cached for the computation and
+    * released before returning — the one-row result comes back as a
+    * LocalRelation, leaving no executor-side residue (the q26/q63
+    * self-clean contract).
+    *
+    * @param broadcastDegreeMaxRows largest |V| for which the degree
+    *   table is broadcast-hinted into the orientation join. The
+    *   default (4M rows of two longs ≈ tens of MB serialized) keeps
+    *   the driver safe by orders of magnitude; raise it only with a
+    *   driver sized for the collect. */
+  def triangleStats(edges: DataFrame,
+      broadcastDegreeMaxRows: Long = 4_000_000L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("u"), col("v")).persist()
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d")).persist()
-    val o = e
-      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
-      .select(
-        when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("src"), col("v").as("dst"),
-            col("dv").as("dd")))
-          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
-            col("du").as("dd"))).as("oe"))
-      .select(col("oe.src").as("src"), col("oe.dst").as("dst"),
-        col("oe.dd").as("dd"))
+    // materializes the cached degree table; doubles as the broadcast guard
+    val nVertices = deg.count()
+    val o = orientEdges(e, deg, hintBroadcast = nVertices <= broadcastDegreeMaxRows)
       .persist() // feeds both wedge sides and the closing join
     val wedges = o.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
       .join(o.select(col("src"), col("dst").as("y"), col("dd").as("dy")),
@@ -84,5 +90,29 @@ object Graphs {
     val rows = result.collect()
     Seq(e, deg, o).foreach(_.unpersist(blocking = false))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
+  /** Orientation pass: joins the degree table onto both endpoints and
+    * emits each edge as (src, dst, dd) directed from the (degree, id)-
+    * smaller endpoint, with dd = the destination's degree (the wedge
+    * tie-break key). `hintBroadcast` gates the explicit broadcast hint
+    * on the |V|-sized degree side — see [[triangleStats]]'s scale
+    * note; package-private so the spec can pin the guarded plan. */
+  private[graft] def orientEdges(e: DataFrame, deg: DataFrame,
+      hintBroadcast: Boolean): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
+    e
+      .join(hinted(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(hinted(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("dd"))).as("oe"))
+      .select(col("oe.src").as("src"), col("oe.dst").as("dst"),
+        col("oe.dd").as("dd"))
   }
 }

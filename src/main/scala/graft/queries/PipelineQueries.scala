@@ -65,7 +65,8 @@ object PipelineQueries {
     * per-shingle join work at corpus scale (mirrored in the oracle). */
   def q26DedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(nearDupCorpus(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000L)
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 1000L,
+        eager = true)
       .orderBy("id_a", "id_b")
 
   val q26Sql: String =
@@ -90,7 +91,8 @@ object PipelineQueries {
   // --- q27: MinHash + LSH candidate pairs ------------------------------
   def q27DedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidates(nearDupCorpus(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, numPerm = 16, rowsPerBand = 4)
+        "doc_id", "text", n = 3, numPerm = 16, rowsPerBand = 4,
+        eager = true)
       .orderBy("id_a", "id_b")
 
   val q27Sql: String =
@@ -135,7 +137,7 @@ object PipelineQueries {
   def q63DupClusters(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(t(s, dir, "documents"))
     val pairs = Dedup.minHashCandidates(corpus, "doc_id", "text",
-        n = 3, numPerm = 16, rowsPerBand = 4)
+        n = 3, numPerm = 16, rowsPerBand = 4, eager = true)
       .filter(col("est_jaccard") >= 0.5)
     Dedup.connectedComponents(corpus.select("doc_id"), "doc_id",
         pairs, "id_a", "id_b")

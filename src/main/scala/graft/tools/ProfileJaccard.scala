@@ -160,7 +160,8 @@ object ProfileJaccard {
       docs.select((col("doc_id") + 1000000).as("doc_id"),
         expr("substr(text, instr(text, ' ') + 1)").as("text")))
     def run(v: String): DataFrame = v match {
-      case "r3" => Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, 1000L)
+      case "r3" => Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, 1000L,
+        eager = true)
       case "r2" => jaccardR2(corpus, "doc_id", "text", 3, 0.5, 1000L)
       case "grouped" => jaccardGrouped(corpus, "doc_id", "text", 3, 0.5, 1000L)
       case "fused" => jaccardFused(corpus, "doc_id", "text", 3, 0.5, 1000L)

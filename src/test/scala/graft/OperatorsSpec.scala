@@ -269,6 +269,8 @@ class OperatorsSpec extends SparkSpec {
       (100L, "one two three four five"),
       (101L, "one two three four five six"))
     val df = (boiler ++ nearDup).toDF("doc_id", "text")
+    // the default cap (10k) is far above df=12, so this is the
+    // effectively-uncapped behavior at this scale
     val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.size == 66 + 1, s"expected 67 pairs, got ${uncapped.size}")
@@ -283,12 +285,14 @@ class OperatorsSpec extends SparkSpec {
     val docs = (1L to 400L).map(i =>
       (i, (0 until 24).map(j => s"w${(i * 7 + j * 3) % 40}").mkString(" ")))
       .toDF("doc_id", "text")
-    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 100L)
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 100L,
+        eager = true)
       .count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"jaccardPairs left persistent RDDs: " +
         s"${spark.sparkContext.getPersistentRDDs.keys}")
-    Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 4).count()
+    Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 4, eager = true)
+      .count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"minHashCandidates left persistent RDDs: " +
         s"${spark.sparkContext.getPersistentRDDs.keys}")
@@ -312,7 +316,8 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     def once(): Double = {
       val t0 = System.nanoTime()
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 200L)
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 200L,
+          eager = true)
         .count()
       (System.nanoTime() - t0) / 1e9
     }
@@ -333,20 +338,34 @@ class OperatorsSpec extends SparkSpec {
       f"second invocation degraded: $t1%.2f s -> $t2f%.2f s")
   }
 
-  test("jaccardPairs eager=false returns a lazy plan (caller-composable, " +
-      "same rows)") {
+  test("jaccardPairs is lazy BY DEFAULT (caller-composable, nothing " +
+      "cached at build time) and its default maxDocFreq compiles the " +
+      "capped aggregation buffer into the plan") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "quick brown fox jumps over the lazy dog"),
       (3L, "completely different words entirely here now"))
       .toDF("doc_id", "text")
-    val lazyPairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
-      eager = false)
-    // lazy mode: nothing cached at build time, plan still composable
+    val lazyPairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+    // default mode: nothing cached at build time, plan still composable
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // the default 10k doc-frequency cap must route the postings
+    // aggregation through CollectSetSortedCapped — the buffer-bounding
+    // guard is ON unless the caller explicitly disables it
+    assert(lazyPairs.queryExecution.optimizedPlan.toString
+        .contains("collect_set_sorted_capped"),
+      "default maxDocFreq must engage the capped set aggregate")
+    val unguarded = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+      maxDocFreq = Long.MaxValue)
+    assert(!unguarded.queryExecution.optimizedPlan.toString
+        .contains("collect_set_sorted_capped"),
+      "explicit Long.MaxValue is the documented opt-out")
     val got = lazyPairs.filter(col("id_a") === 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L)))
+    // minHashCandidates shares the lazy-by-default contract
+    Dedup.minHashCandidates(df, "doc_id", "text", 3, 16, 4)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("bestEditMatch recovers corrupted records through an out-of-" +
@@ -413,6 +432,37 @@ class OperatorsSpec extends SparkSpec {
     val r2 = Graphs.triangleStats(empty).collect()(0)
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
       r2.getDouble(4)) == ((0L, 0L, 0L, 0L, 0.0)), r2.toString)
+  }
+
+  test("triangleStats: the |V|-sized degree broadcast is guarded — " +
+    "large-|V| path plans the orientation join without a broadcast " +
+    "hint, small-|V| path keeps it") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // assert on the ANALYZED plan's ResolvedHints, not the physical
+    // join choice: at test scale AQE broadcasts everything anyway —
+    // the hint (which overrides autoBroadcastJoinThreshold at any
+    // scale) is exactly what must be absent on the large-|V| path
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val guarded = Graphs.orientEdges(edges, deg, hintBroadcast = false)
+    assert(hints(guarded) == 0,
+      "web-scale degree table must not be broadcast-hinted")
+    val hintedPlan = Graphs.orientEdges(edges, deg, hintBroadcast = true)
+    assert(hints(hintedPlan) == 2,
+      "small degree table should hint both endpoint joins")
+    // both paths orient identically — the guard changes the plan only
+    val a = guarded.orderBy("src", "dst").collect().toSeq
+    val b = hintedPlan.orderBy("src", "dst").collect().toSeq
+    assert(a == b)
+    // end-to-end: census is unchanged when the guard forces the
+    // shuffled-join path for every |V|
+    val r = Graphs.triangleStats(edges, broadcastDegreeMaxRows = 0L)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(3)) == ((3L, 1L)), r.toString)
   }
 
   test("lshTopK: self-match survives bucketing") {
