@@ -33,7 +33,19 @@ object FuzzyJoin {
   /** Best right-side match per left row: (lid, rid, dist) with dist =
     * levenshtein(left string, right string), ties broken by rid
     * ascending. Left rows none of whose prefix tokens appear in any
-    * right prefix are absent from the output (no candidates). */
+    * right prefix are absent from the output (no candidates).
+    *
+    * Recall limit under MULTIPLE corruptions: the k=`prefixLen` prefix
+    * covers one corrupted/dropped word. A left record whose k rarest
+    * tokens are ALL out-of-vocabulary (e.g. two typos in a two-word
+    * name) generates no candidates — its df-0 tokens join nothing —
+    * and the row is silently ABSENT from the output rather than
+    * matched at low confidence. Entity resolution over dirtier data
+    * should (a) raise `prefixLen` so a clean token survives into the
+    * prefix (cost grows with Σ df(token) per extra slot), and (b)
+    * anti-join the output against `left` to surface the unmatched
+    * remainder for a fallback pass (q93 resolves against a deduped
+    * canonical catalog for the same reason). */
   def bestEditMatch(left: DataFrame, leftId: String, leftStr: String,
                     right: DataFrame, rightId: String, rightStr: String,
                     prefixLen: Int = 2): DataFrame = {

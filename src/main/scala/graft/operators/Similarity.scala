@@ -395,12 +395,20 @@ object Similarity {
             .orderBy(col("__l2").asc, col("cid").asc)))
         .filter(col("__r") === 1)
         .select(col("did"), col("m"), col("se"), col("cid"))
+    // recentering mean = sum(long)/count: the component sum stays exact
+    // integer arithmetic in ANY partial-aggregation order (avg would
+    // accumulate doubles, whose rounding could depend on partition
+    // order once per-cell sums pass 2^53), then ONE IEEE division +
+    // round — the q95/q99 exact-moment discipline applied to k-means
     val cb1 = assign(cb0)
       .select(col("m"), col("cid"), posexplode(col("se")).as(Seq("dim", "v")))
-      .groupBy("m", "cid", "dim").agg(avg("v").as("mean"))
+      .groupBy("m", "cid", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
       .groupBy("m", "cid")
       .agg(transform(
-        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("c").cast("double"))
+            .as("mean")))),
         s => round(s.getField("mean")).cast("long")).as("ce"))
       .select(col("m"), col("cid"), col("ce"),
         dotQ(col("ce"), col("ce")).as("cn"))

@@ -411,6 +411,16 @@ object Upsert {
     * row's payload — upstream semantics like partial-update images are
     * the feed producer's concern, not the apply's.
     *
+    * A feed that VIOLATES the unique-seq contract is not an error by
+    * default; it resolves deterministically but by an ordering no CDC
+    * producer intends: max(struct(seq, op, payload…)) breaks the seq
+    * tie lexicographically on op then payload, so a same-seq "U" beats
+    * "D" (alphabetical) and quietly resurrects a deleted key. Feed
+    * producers who cannot rule out duplicate LSNs should pass
+    * `assertUniqueSeq = true`: one extra aggregation over the feed
+    * (count per (key, seq), shuffled by the same key) that fails fast
+    * with the first offending key instead of silently mis-merging.
+    *
     * Spark shape: ONE hash aggregation — max(struct(seq, op,
     * payload…)) per key — so the feed is shuffled once by key and
     * reduced map-side; no window, no sort, no join against the prior
@@ -419,7 +429,14 @@ object Upsert {
     * the surviving keys after deleting the feed's keys from the sink
     * partition (the read-modify-write a deletes-capable sink needs). */
   def applyCdc(feed: DataFrame, keyCols: Seq[String], seqCol: String,
-               opCol: String): DataFrame = {
+               opCol: String, assertUniqueSeq: Boolean = false): DataFrame = {
+    if (assertUniqueSeq) {
+      val dup = feed.groupBy((keyCols :+ seqCol).map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).take(1)
+      require(dup.isEmpty,
+        s"applyCdc: $seqCol is not unique per key — first offender: " +
+          dup.headOption.fold("")(_.toString))
+    }
     val payload = feed.columns
       .filterNot(c => keyCols.contains(c) || c == seqCol || c == opCol)
       .toSeq

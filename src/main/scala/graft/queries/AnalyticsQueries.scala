@@ -461,7 +461,14 @@ object AnalyticsQueries {
     * Overflow bound: with values ≤ V, n·Σq² ≤ n²V² must stay below
     * 2⁶³ — for V = 50 that holds to n ≈ 6·10⁷ rows per group; larger
     * groups switch the moments to DECIMAL(38,0) (Spark) / HUGEINT
-    * (DuckDB) with the same expression shape. */
+    * (DuckDB) with the same expression shape.
+    *
+    * A zero-variance group (n·Σq² = (Σq)²) has no defined z-score, and
+    * the engines disagree on bare x/0: Spark's non-ANSI double division
+    * yields NULL, DuckDB's IEEE default yields ±Inf/NaN. Both sides
+    * guard the division explicitly (when / CASE → NULL) and order with
+    * explicit NULLS LAST, so degenerate groups agree by construction
+    * rather than by fixture luck. */
   def q95ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = t(s, dir, "lineitem")
@@ -472,10 +479,12 @@ object AnalyticsQueries {
         sum(col("q") * col("q")).as("ss"))
     li.join(broadcast(stats), "l_returnflag")
       .withColumn("z",
-        (col("n") * col("q") - col("s")).cast("double") /
-          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double")))
+        when(col("n") * col("ss") - col("s") * col("s") > 0,
+          (col("n") * col("q") - col("s")).cast("double") /
+            sqrt((col("n") * col("ss") - col("s") * col("s"))
+              .cast("double"))))
       .withColumn("rk", row_number().over(Window.partitionBy("l_returnflag")
-        .orderBy(col("z").desc, col("l_orderkey").asc,
+        .orderBy(col("z").desc_nulls_last, col("l_orderkey").asc,
           col("l_linenumber").asc)))
       .filter(col("rk") <= 5)
       .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
@@ -495,13 +504,15 @@ object AnalyticsQueries {
          FROM li GROUP BY 1),
        z AS (
          SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
-                CAST(st.n * li.q - st.s AS DOUBLE) /
-                  sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)) AS z
+                CASE WHEN st.n * st.ss - st.s * st.s > 0 THEN
+                  CAST(st.n * li.q - st.s AS DOUBLE) /
+                    sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE))
+                END AS z
          FROM li JOIN stats st USING (l_returnflag))
        SELECT l_returnflag, rk, l_orderkey, l_linenumber, z FROM (
          SELECT *, CAST(row_number() OVER (PARTITION BY l_returnflag
-           ORDER BY z DESC, l_orderkey ASC, l_linenumber ASC) AS INTEGER)
-           AS rk FROM z)
+           ORDER BY z DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC)
+           AS INTEGER) AS rk FROM z)
        WHERE rk <= 5 ORDER BY l_returnflag, rk"""
 
   // --- q96: rank-function family (percent_rank / cume_dist / ntile) ----
@@ -636,7 +647,11 @@ object AnalyticsQueries {
     * one IEEE expression, bit-identical across engines and runs.
     * Overflow: x ≤ 50, y ≤ 10 keep n·Σ terms under 2⁶³ to n ≈ 7·10⁶
     * rows per group; larger groups move the moments to DECIMAL(38,0) /
-    * HUGEINT with the same shape. */
+    * HUGEINT with the same shape. corr is undefined when either margin
+    * has zero variance, and the engines disagree on bare x/0 (Spark
+    * non-ANSI → NULL, DuckDB IEEE → Inf/NaN), so both sides guard the
+    * division explicitly (when / CASE → NULL) — the same degenerate-
+    * group discipline as q95. */
   def q99ExactCorr(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_returnflag"),
       col("l_quantity").cast("long").as("x"),
@@ -647,11 +662,13 @@ object AnalyticsQueries {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("double")) *
-           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-             .cast("double")))).as("corr_qd"),
+        when((col("n") * col("sxx") - col("sx") * col("sx") > 0) &&
+            (col("n") * col("syy") - col("sy") * col("sy") > 0),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("corr_qd"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n") * col("n")).cast("double")).as("covar_qd"))
       .orderBy("l_returnflag")
@@ -671,9 +688,11 @@ object AnalyticsQueries {
                 CAST(sum(y * y) AS BIGINT) AS syy
          FROM li GROUP BY 1)
        SELECT l_returnflag, n,
-              CAST(n * sxy - sx * sy AS DOUBLE) /
-                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qd,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+              END AS corr_qd,
               CAST(n * sxy - sx * sy AS DOUBLE) /
                 CAST(n * n AS DOUBLE) AS covar_qd
        FROM m ORDER BY l_returnflag"""

@@ -407,6 +407,32 @@ class OperatorsSpec extends SparkSpec {
       Seq((1L, 20L, "b"), (3L, 50L, "e"), (4L, 60L, "f")))
   }
 
+  test("applyCdc duplicate-seq contract: assertUniqueSeq fails fast on " +
+    "a violating feed; the default resolves by the documented op/payload " +
+    "tie-break (same-seq U resurrects a deleted key)") {
+    val dupFeed = Seq(
+      (1L, 5L, "D", 0L),
+      (1L, 5L, "U", 99L)) // same LSN — producer bug
+      .toDF("k", "seq", "op", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.applyCdc(dupFeed, Seq("k"), "seq", "op",
+        assertUniqueSeq = true)
+    }
+    assert(ex.getMessage.contains("not unique"))
+    // default path: documented lexicographic tie-break — "U" > "D", so
+    // the update wins and the key survives with the U payload
+    val got = Upsert.applyCdc(dupFeed, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 99L)))
+    // a clean feed passes the assertion unchanged
+    val clean = Seq((1L, 1L, "I", 7L), (1L, 2L, "U", 8L))
+      .toDF("k", "seq", "op", "v")
+    val ok = Upsert.applyCdc(clean, Seq("k"), "seq", "op",
+        assertUniqueSeq = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.toSeq == Seq((1L, 8L)))
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
