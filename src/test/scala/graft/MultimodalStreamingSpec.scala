@@ -158,6 +158,65 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("append-mode session windows: each session is emitted exactly " +
+      "once when the watermark passes its close, never re-emitted, and " +
+      "closed sessions leave the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = src.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"),
+        col("n_events"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("append_sessions").outputMode("append").start()
+    def emitted(): Seq[(Long, String, String, Long)] =
+      spark.table("append_sessions")
+        .orderBy("user_id", "s")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    try {
+      // two user-1 events, 10 min apart → one session [10:00, 10:40)
+      src.addData((1L, ts("2026-01-01 10:00:00")),
+        (1L, ts("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+      // watermark = 10:10 − 10 min = 10:00 < session end → withheld
+      assert(emitted().isEmpty,
+        "append mode must not emit a session the watermark hasn't closed")
+      // a later event advances the watermark to 11:50 > 10:40 → the
+      // user-1 session must now be emitted, exactly once
+      src.addData((2L, ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(emitted() ==
+        Seq((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L)))
+      // advance again: user-2's session closes and emits, user-1's is
+      // NOT re-emitted (exactly-once), user-3's stays open in state
+      src.addData((3L, ts("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      assert(emitted() == Seq(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L),
+        (2L, "2026-01-01 12:00:00.0", "2026-01-01 12:30:00.0", 1L)))
+      // eviction: the state store holds only the OPEN session (user 3),
+      // not every session ever seen — the property that bounds state on
+      // an unbounded deployment (q100's documented COMPLETE-mode
+      // tradeoff, now spec'd on the append path)
+      val stateRows = q.recentProgress.reverse
+        .flatMap(p => p.stateOperators.headOption)
+        .headOption.map(_.numRowsTotal)
+      assert(stateRows.contains(1L),
+        s"state should hold exactly the one open session, got $stateRows")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("append_sessions")
+    }
+  }
+
   test("streaming hourly agg equals the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingHourly
