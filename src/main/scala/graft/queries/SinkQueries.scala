@@ -249,6 +249,64 @@ object SinkQueries {
               CAST(sum(delay_mins) AS BIGINT) AS delay_sum
        FROM final GROUP BY time_id ORDER BY time_id"""
 
+  // --- q36: row-granular MERGE (WHEN MATCHED UPDATE) -------------------
+  /** The MERGE variant q72's partition-replace and q102's feed
+    * compaction still lacked: an in-place row-level update of ONLY the
+    * sink files containing matched keys ([[graft.operators.Merge
+    * .mergeParquet]]). Sink = the customer ledger in 8 files; batch =
+    * every 10th customer with a corrected balance (+$1000) plus five
+    * brand-new accounts. Matched rows take the batch payload, unmatched
+    * rows in touched files are preserved verbatim, untouched files are
+    * never rewritten (spec-pinned byte-identity), inserts append.
+    * Output: per-segment count + balance sum of the final ledger —
+    * every preserved, updated and inserted cent is pinned. */
+  def q36MergeUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_merge_")
+      .toString
+    try {
+      val cust = graft.io.Sources.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"),
+          col("c_mktsegment"))
+      val sink = s"$root/ledger"
+      cust.repartition(8).write.parquet(sink)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 100000L)
+        .unionByName(s.range(1, 6)
+          .select((col("id") + 90000000L).as("c_custkey"),
+            lit(4200L).as("bal_cents"), lit("NEWACCT").as("c_mktsegment")))
+      graft.operators.Merge.mergeParquet(s, updates, Seq("c_custkey"), sink)
+      // materialize BEFORE the finally deletes the scratch sink
+      val out = s.read.parquet(sink)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"))
+        .orderBy("c_mktsegment")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q36Sql: String =
+    """WITH base AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                END AS bal_cents,
+                c_mktsegment
+         FROM customer
+         UNION ALL
+         SELECT 90000000 + i AS c_custkey, 4200 AS bal_cents,
+                'NEWACCT' AS c_mktsegment
+         FROM unnest(generate_series(1, 5)) AS t(i))
+       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+       FROM base GROUP BY 1 ORDER BY 1"""
+
   // --- q57: weather CSV loader end-to-end ------------------------------
   def q57WeatherCsv(s: SparkSession, dir: String): DataFrame =
     CsvLoaders.weatherFromDemoCsv(s, demoDir).orderBy("id")
@@ -353,6 +411,7 @@ object SinkQueries {
        FROM raw ORDER BY route, timestamp, stop_name"""
 
   val all: Map[String, Q] = Map(
+    "q36_merge_update" -> q36MergeUpdate _,
     "q56_publish_idempotent" -> q56PublishIdempotent _,
     "q57_weather_csv" -> q57WeatherCsv _,
     "q58_delays_csv" -> q58DelaysCsv _,
@@ -362,6 +421,7 @@ object SinkQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_merge_update" -> q36Sql,
     "q56_publish_idempotent" -> q56Sql,
     "q57_weather_csv" -> q57Sql,
     "q58_delays_csv" -> q58Sql,

@@ -433,6 +433,60 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toSeq == Seq((1L, 8L)))
   }
 
+  test("mergeParquet: matched rows updated, unmatched preserved, inserts " +
+    "appended — and ONLY the files containing matched keys are " +
+    "rewritten (untouched files byte-identical)") {
+    val root = java.nio.file.Files.createTempDirectory("merge_spec").toString
+    val sink = s"$root/t"
+    // 4 single-row files with known keys → file↔key mapping is exact
+    // (one coalesced append per row: hash repartition could co-locate
+    // keys or write empty partitions, breaking the 4-file premise)
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .foreach { r =>
+        Seq(r).toDF("k", "tag", "v").coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+    def files(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(sink)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    // which files hold keys 1 and 3?
+    val touchedExpected = spark.read.parquet(sink)
+      .select(col("_metadata.file_path").as("f"), col("k"))
+      .filter(col("k").isin(1L, 3L))
+      .select("f").distinct().collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath)
+        .getName).toSet
+    val stats = graft.operators.Merge.mergeParquet(spark,
+      Seq((1L, "A", 11L), (3L, "C", 33L), (9L, "i", 90L))
+        .toDF("k", "tag", "v"),
+      Seq("k"), sink)
+    assert(stats.filesBefore == 4L)
+    assert(stats.filesTouched == touchedExpected.size.toLong)
+    assert(stats.rowsUpdated == 2L && stats.rowsInserted == 1L)
+    val after = files()
+    // untouched files survive byte-identical (same name, size, mtime)
+    before.filterNot { case (n, _) => touchedExpected.contains(n) }
+      .foreach { case (n, meta) =>
+        assert(after.get(n).contains(meta), s"untouched file $n changed")
+      }
+    // touched files are gone, replaced by fresh part-files
+    touchedExpected.foreach(n => assert(!after.contains(n)))
+    val got = spark.read.parquet(sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "A", 11L), (2L, "b", 20L),
+      (3L, "C", 33L), (4L, "d", 40L), (9L, "i", 90L)))
+    // empty batch: zero stats, sink untouched
+    val s2 = graft.operators.Merge.mergeParquet(spark,
+      Seq.empty[(Long, String, Long)].toDF("k", "tag", "v"), Seq("k"), sink)
+    assert(s2.rowsUpdated == 0L && s2.rowsInserted == 0L &&
+      s2.filesTouched == 0L)
+    assert(files() == after)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
