@@ -352,6 +352,102 @@ object Similarity {
       .join(qdist, Seq("qid", "m", "code")), topK), caches)
   }
 
+  /** IVF-PQ, residual-encoded — the FAISS IVFPQ DEFAULT
+    * (`by_residual=true`; [[ivfPqTopK]] is the non-residual variant):
+    * the fine PQ stage encodes v − centroid(cell(v)) instead of v, so
+    * one shared codebook spends its 2^bits on the WITHIN-cell
+    * distribution rather than re-describing the coarse structure —
+    * the standard accuracy win at equal code size. ADC changes shape:
+    * a query's distance table is per PROBED CELL ((qid, ccid, m, code)
+    * — the query residual differs per cell), so serving cost gains a
+    * ×nProbe factor on the table build while the corpus-side scan
+    * stays (probed fraction)·M lookups.
+    *
+    * All-integer discipline end to end: residuals are exact long
+    * subtraction of quantized vectors, codebook recentering is the
+    * exact sum/count mean, distances are integer dot products — codes
+    * and approx_dist hash-exact cross-engine. Degenerate anchor
+    * (spec-pinned): one vector per cell (coarseCentroids = |corpus|,
+    * nProbe = all) makes every residual zero and approx_dist the EXACT
+    * squared L2 — the property the non-residual variant cannot have.
+    * Null/empty embeddings drop (ivfTopKWith contract); eager result,
+    * caches released ([[finishEager]]). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame,
+                        coarseCentroids: Int, nProbe: Int, subspaces: Int,
+                        codebookSize: Int, topK: Int): DataFrame = {
+    val dims = requireSameDims(queries, corpus)
+    require(dims % subspaces == 0,
+      s"dims $dims not divisible into $subspaces subspaces")
+    val w = dims / subspaces
+    val win = org.apache.spark.sql.expressions.Window
+    val liveC = corpus.filter(size(col("embedding")) > 0)
+    val liveQ = queries.filter(size(col("embedding")) > 0)
+    val coarse = firstNCentroids(liveC, coarseCentroids)
+      .select(col("cid").as("ccid"), col("ce").as("ke"), col("cn").as("kn"))
+    // argmin cell assignment + integer residual in one pass; `keep`
+    // is 1 for the corpus (its cell) and nProbe for queries (one
+    // residual per probed cell)
+    def resid(vecs: DataFrame, idName: String, keep: Int): DataFrame =
+      prep(vecs, idName, "__e", "__n")
+        .crossJoin(broadcast(coarse))
+        .withColumn("__l2",
+          col("__n") + col("kn") - lit(2) * dotQ(col("__e"), col("ke")))
+        .withColumn("__r", row_number().over(win.partitionBy(idName)
+          .orderBy(col("__l2").asc, col("ccid").asc)))
+        .filter(col("__r") <= keep)
+        .select(col(idName), col("ccid"),
+          zip_with(col("__e"), col("ke"), (x, y) => x - y).as("__re"))
+    def slices(df: DataFrame, idName: String): DataFrame =
+      df.select(col(idName), col("ccid"),
+          explode(array((0 until subspaces).map(m =>
+            struct(lit(m).as("m"),
+              slice(col("__re"), m * w + 1, w).as("se"))): _*)).as("s"))
+        .select(col(idName), col("ccid"), col("s.m").as("m"),
+          col("s.se").as("se"))
+        .withColumn("sn", dotQ(col("se"), col("se")))
+    // corpus residual slices feed codebook training, encoding and the
+    // cell map — cached, released via finishEager
+    val d = slices(resid(liveC, "did", 1), "did").persist()
+    // one SHARED codebook across cells (FAISS IVFPQ): seeds are the
+    // residual slices of the first K corpus ids, one recentering pass
+    val cb0 = slices(resid(liveC.orderBy("vec_id").limit(codebookSize),
+        "cid", 1), "cid")
+      .select(col("m"), col("cid"), col("se").as("ce"), col("sn").as("cn"))
+    def assign(cb: DataFrame): DataFrame =
+      d.join(broadcast(cb), "m")
+        .withColumn("__l2",
+          col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
+        .withColumn("__r", row_number().over(win.partitionBy("did", "m")
+          .orderBy(col("__l2").asc, col("cid").asc)))
+        .filter(col("__r") === 1)
+        .select(col("did"), col("m"), col("se"), col("cid"))
+    // exact sum/count recentering — the pqModel discipline
+    val cb1 = assign(cb0)
+      .select(col("m"), col("cid"), posexplode(col("se")).as(Seq("dim", "v")))
+      .groupBy("m", "cid", "dim")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .groupBy("m", "cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("c").cast("double"))
+            .as("mean")))),
+        s => round(s.getField("mean")).cast("long")).as("ce"))
+      .select(col("m"), col("cid"), col("ce"),
+        dotQ(col("ce"), col("ce")).as("cn"))
+    val codes = assign(cb1).select(col("did"), col("m"),
+      col("cid").as("code"))
+    val cells = d.select("did", "ccid").distinct()
+    val qres = resid(liveQ, "qid", nProbe)
+    val qdist = slices(qres, "qid").join(broadcast(cb1), "m")
+      .select(col("qid"), col("ccid"), col("m"), col("cid").as("code"),
+        (col("sn") + col("cn") - lit(2) * dotQ(col("se"), col("ce")))
+          .as("dist"))
+    val cand = qres.select(col("qid"), col("ccid")).join(cells, "ccid")
+      .select("qid", "ccid", "did")
+    finishEager(adcRank(cand.join(codes, "did")
+      .join(qdist, Seq("qid", "ccid", "m", "code")), topK), Seq(d))
+  }
+
   /** PQ train + encode, shared by [[pqTopK]] and [[ivfPqTopK]]:
     * returns (codes: (did, m, code), qdist: (qid, m, code, dist),
     * caches) — the encoded corpus, the per-query ADC distance tables,

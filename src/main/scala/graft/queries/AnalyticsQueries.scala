@@ -1151,7 +1151,54 @@ object AnalyticsQueries {
               g.n_keys, g.total_rows
        FROM r CROSS JOIN g WHERE r.rk <= 5 ORDER BY r.rk"""
 
+  // --- q39: catalog cardinality profile (PK-uniqueness audit) ----------
+  /** The ingest-side scale report: per table, exact row count and
+    * distinct primary-key count — n_rows = n_keys certifies every PK
+    * across the catalog in one sweep (the first DQ gate a 100 TB load
+    * runs, and the statistics a cost-based planner starts from; q101's
+    * constraint report goes deep on ONE table, this goes wide across
+    * all ten). Scale shape: one pass per table; the exact distinct is
+    * a two-level hash aggregate on the key — partial maps collapse
+    * near-unique keys to ~1 row per input row shuffled ONCE on the
+    * key, and tables with composite keys (lineitem) shuffle the
+    * composite. No driver-side anything; ten independent jobs that a
+    * scheduler can overlap. */
+  def q39TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val keys: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "events" -> Seq("event_id"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+      "nation" -> Seq("n_nationkey"),
+      "orders" -> Seq("o_orderkey"),
+      "part" -> Seq("p_partkey"),
+      "region" -> Seq("r_regionkey"),
+      "supplier" -> Seq("s_suppkey"))
+    keys.map { case (name, ks) =>
+      t(s, dir, name).agg(count(lit(1)).as("n_rows"),
+          count_distinct(col(ks.head), ks.tail.map(col): _*).as("n_keys"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+          (col("n_rows") === col("n_keys")).as("pk_unique"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  val q39Sql: String = Seq(
+    ("customer", "c_custkey"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"), ("events", "event_id"),
+    ("lineitem", "(l_orderkey, l_linenumber)"), ("nation", "n_nationkey"),
+    ("orders", "o_orderkey"), ("part", "p_partkey"),
+    ("region", "r_regionkey"), ("supplier", "s_suppkey"))
+    .map { case (name, key) =>
+      s"""SELECT '$name' AS table_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT $key) AS BIGINT) AS n_keys,
+            count(*) = count(DISTINCT $key) AS pk_unique
+          FROM $name"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
   val all: Map[String, Q] = Map(
+    "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
     "q61_stream_static_join" -> q61StreamStaticJoin _,
@@ -1179,6 +1226,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_table_profile" -> q39Sql,
     "q59_cube_delays" -> q59Sql,
     "q60_hash_sample" -> q60Sql,
     "q61_stream_static_join" -> q61Sql,

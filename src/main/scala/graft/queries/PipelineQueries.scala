@@ -2457,6 +2457,128 @@ object PipelineQueries {
          FROM adc)
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  // --- q37: residual-encoded IVF-PQ (FAISS by_residual default) --------
+  /** q106's serving composition with the fine stage encoding
+    * RESIDUALS v − centroid(cell(v)) ([[Similarity.ivfPqResidualTopK]])
+    * — the FAISS IVFPQ default, where the shared codebook describes
+    * the within-cell distribution instead of re-describing the coarse
+    * structure. Same parameters as q106 so the two variants'
+    * candidate sets coincide and only the encoding differs; the
+    * oracle unrolls the full residual pipeline (per-probe query
+    * residuals keyed (qid, ccid)) in SQL. */
+  def q37IvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb,
+        coarseCentroids = 8, nProbe = 2, subspaces = 2,
+        codebookSize = 4, topK = 5)
+      .select(col("qid"), col("rank"), col("did"), col("approx_dist"))
+      .orderBy("qid", "rank")
+  }
+
+  val q37Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings WHERE len(embedding) > 0),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       coarse AS (
+         SELECT vec_id AS ccid, e AS ke, nn AS kn FROM n
+         WHERE vec_id IN (SELECT vec_id FROM embeddings
+                          WHERE len(embedding) > 0
+                          ORDER BY vec_id LIMIT 8)),
+       cres AS (
+         SELECT did, ccid, re FROM (
+           SELECT d.vec_id AS did, k.ccid,
+                  [d.e[i] - k.ke[i]
+                   for i in generate_series(1, len(d.e))] AS re,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (d.nn + k.kn - 2 * list_sum([d.e[i] * k.ke[i]
+                       for i in generate_series(1, len(d.e))])) ASC,
+                    k.ccid ASC) AS r
+           FROM n d CROSS JOIN coarse k) WHERE r = 1),
+       qres AS (
+         SELECT qid, ccid, re FROM (
+           SELECT q.vec_id AS qid, k.ccid,
+                  [q.e[i] - k.ke[i]
+                   for i in generate_series(1, len(q.e))] AS re,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (q.nn + k.kn - 2 * list_sum([q.e[i] * k.ke[i]
+                       for i in generate_series(1, len(q.e))])) ASC,
+                    k.ccid ASC) AS r
+           FROM n q CROSS JOIN coarse k WHERE q.vec_id < 10)
+         WHERE r <= 2),
+       snc AS (
+         SELECT did, ccid, t.m,
+                re[t.m * (len(re) // 2) + 1 : (t.m + 1) * (len(re) // 2)]
+                  AS se,
+                list_sum([y * y for y in
+                  re[t.m * (len(re) // 2) + 1 :
+                     (t.m + 1) * (len(re) // 2)]]) AS sn
+         FROM cres, unnest([0, 1]) AS t(m)),
+       snq AS (
+         SELECT qid, ccid, t.m,
+                re[t.m * (len(re) // 2) + 1 : (t.m + 1) * (len(re) // 2)]
+                  AS se,
+                list_sum([y * y for y in
+                  re[t.m * (len(re) // 2) + 1 :
+                     (t.m + 1) * (len(re) // 2)]]) AS sn
+         FROM qres, unnest([0, 1]) AS t(m)),
+       cb0 AS (
+         SELECT m, did AS cid, se AS ce, sn AS cn FROM snc
+         WHERE did IN (SELECT vec_id FROM embeddings
+                       WHERE len(embedding) > 0
+                       ORDER BY vec_id LIMIT 4)),
+       a1 AS (
+         SELECT did, m, se, cid FROM (
+           SELECT s.did, s.m, s.se, c.cid,
+                  row_number() OVER (PARTITION BY s.did, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM snc s JOIN cb0 c ON c.m = s.m) WHERE r = 1),
+       mean1 AS (
+         SELECT m, cid, t.i AS dim, avg(se[t.i]) AS mean
+         FROM a1, unnest(generate_series(1, len(se))) AS t(i)
+         GROUP BY 1, 2, 3),
+       cb1 AS (
+         SELECT m, cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT m, cid, list(CAST(round(mean) AS BIGINT) ORDER BY dim)
+                    AS ce
+           FROM mean1 GROUP BY m, cid)),
+       codes AS (
+         SELECT did, m, cid AS code FROM (
+           SELECT s.did, s.m, c.cid,
+                  row_number() OVER (PARTITION BY s.did, s.m ORDER BY
+                    (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                       for i in generate_series(1, len(s.se))])) ASC,
+                    c.cid ASC) AS r
+           FROM snc s JOIN cb1 c ON c.m = s.m) WHERE r = 1),
+       qdist AS (
+         SELECT s.qid, s.ccid, s.m, c.cid AS code,
+                (s.sn + c.cn - 2 * list_sum([s.se[i] * c.ce[i]
+                   for i in generate_series(1, len(s.se))])) AS dist
+         FROM snq s JOIN cb1 c ON c.m = s.m),
+       cells AS (SELECT DISTINCT did, ccid FROM cres),
+       cand AS (
+         SELECT p.qid, p.ccid, c.did
+         FROM (SELECT DISTINCT qid, ccid FROM qres) p
+         JOIN cells c USING (ccid)),
+       adc AS (
+         SELECT cand.qid, cd.did, CAST(sum(q.dist) AS BIGINT)
+                  AS approx_dist
+         FROM cand
+         JOIN codes cd ON cd.did = cand.did
+         JOIN qdist q ON q.qid = cand.qid AND q.ccid = cand.ccid
+           AND q.m = cd.m AND q.code = cd.code
+         GROUP BY 1, 2)
+       SELECT qid, rank, did, approx_dist FROM (
+         SELECT qid, did, approx_dist,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY approx_dist ASC, did ASC) AS INTEGER) AS rank
+         FROM adc)
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   // --- q107: time-series gap fill + forward fill -----------------------
   /** Dense hourly series per event type from a sparse event log: a
     * scaffold of EVERY hour in each type's [min, max] span (~6% of
@@ -2893,6 +3015,7 @@ object PipelineQueries {
     "q104_incremental_agg" -> q104IncrementalAgg _,
     "q105_pq_topk" -> q105PqTopK _,
     "q106_ivf_pq" -> q106IvfPq _,
+    "q37_ivfpq_residual" -> q37IvfPqResidual _,
     "q107_gap_fill" -> q107GapFill _,
     "q112_vocab_build" -> q112VocabBuild _,
     "q113_feature_hash" -> q113FeatureHash _,
@@ -2949,6 +3072,7 @@ object PipelineQueries {
     "q104_incremental_agg" -> q104Sql,
     "q105_pq_topk" -> q105Sql,
     "q106_ivf_pq" -> q106Sql,
+    "q37_ivfpq_residual" -> q37Sql,
     "q107_gap_fill" -> q107Sql,
     "q112_vocab_build" -> q112Sql,
     "q113_feature_hash" -> q113Sql,

@@ -129,9 +129,42 @@ object StreamingHourly {
       .orderBy("user_id", "session_start")
   }
 
+  /** q100's APPEND-MODE twin — the unbounded-deployment configuration
+    * run against the same bounded replay: the watermark both EMITS and
+    * EVICTS closed sessions, so the sink receives exactly the sessions
+    * the final watermark (max event time, ms floor, − 1 h) has passed,
+    * and the state store ends holding only the still-open tail. The
+    * withheld tail is not a bug but the mode's contract — the oracle
+    * is q49's gap-and-islands SQL RESTRICTED to watermark-closed
+    * sessions, which makes the emission boundary itself the thing the
+    * hash compare pins (q100 pins the session CONTENTS via COMPLETE
+    * mode; together the two cover both halves of the tradeoff its
+    * scaladoc documents). Exactly-once emission and state eviction on
+    * this path are spec'd batch-by-batch in MultimodalStreamingSpec. */
+  def sessionAggAppend(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sessions_append_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_streaming_hourly" -> (hourlyAgg _),
-    "q100_stream_sessions" -> (sessionAgg _))
+    "q100_stream_sessions" -> (sessionAgg _),
+    "q38_stream_sessions_append" -> (sessionAggAppend _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -141,5 +174,36 @@ object StreamingHourly {
            CAST(count(*) AS BIGINT) AS n_events,
            sum(value) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
-    "q100_stream_sessions" -> graft.queries.PipelineQueries.q49Sql)
+    "q100_stream_sessions" -> graft.queries.PipelineQueries.q49Sql,
+    // q38: q49's sessions RESTRICTED to those the final watermark
+    // closed — watermark = ms-floor(max event time) − 1 h (Spark
+    // tracks event-time stats in whole milliseconds), and append mode
+    // emits a session once the watermark passes its end
+    "q38_stream_sessions_append" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         wm AS (
+           SELECT make_timestamp(
+                    (epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000) * 1000)
+                  - INTERVAL 1 HOUR AS w
+           FROM events)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM (
+           SELECT user_id,
+                  min(ts) AS session_start,
+                  max(ts) + INTERVAL 30 MINUTE AS session_end,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  sum(value) AS sum_value
+           FROM g GROUP BY user_id, sid), wm
+         WHERE session_end <= wm.w
+         ORDER BY user_id, session_start""")
 }

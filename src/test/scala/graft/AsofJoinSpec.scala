@@ -138,6 +138,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(ivf == full, s"ivf=$ivf full=$full")
   }
 
+  test("ivfPqResidualTopK with one vector per cell and every cell " +
+    "probed yields EXACT squared-L2 distances regardless of codebook " +
+    "size — the residual property the non-residual variant lacks") {
+    // |corpus| coarse centroids → every residual is the zero vector →
+    // the codebook collapses to zero and ADC dist(q in cell c) =
+    // ||q − centroid_c||² = exact L2 to the cell's one vector
+    val vecs = (0L until 10L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqResidualTopK(
+        corpus.filter(col("vec_id") < 3), corpus,
+        coarseCentroids = 10, nProbe = 10, subspaces = 2,
+        codebookSize = 3, topK = 3)
+      .select("qid", "rank", "did", "approx_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    def q(x: Float) = math.round(x.toDouble * 1e6)
+    val qv = vecs.map { case (i, v) => i -> v.map(q) }.toMap
+    def l2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (0L until 3L).flatMap { qi =>
+      (0L until 10L).map(di => (di, l2(qv(qi), qv(di))))
+        .sortBy { case (di, d) => (d, di) }.take(3).zipWithIndex
+        .map { case ((di, d), r) => (qi, r + 1, di, d) }
+    }.toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("pqTopK and ivfPqTopK drop null/empty embeddings instead of " +
     "assigning them arbitrary codes, and leave no persistent RDDs") {
     val good = (0L until 8L).map { i =>
