@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, PipelineQueries, SinkQueries, StarSchema}
+import graft.queries.{AnalyticsQueries, CoreQueries, MaintenanceQueries, PipelineQueries, SinkQueries, StarSchema}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ PipelineQueries.all ++ StarSchema.all ++
-      graft.streaming.StreamingHourly.all ++ SinkQueries.all ++ AnalyticsQueries.all
+      graft.streaming.StreamingHourly.all ++ SinkQueries.all ++
+      AnalyticsQueries.all ++ MaintenanceQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++ StarSchema.oracles ++
-      graft.streaming.StreamingHourly.oracles ++ SinkQueries.oracles ++ AnalyticsQueries.oracles
+      graft.streaming.StreamingHourly.oracles ++ SinkQueries.oracles ++
+      AnalyticsQueries.oracles ++ MaintenanceQueries.oracles
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.operators.{BloomJoin, SnapshotDiff}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators a 100 TB deployment runs daily,
+  * oracle-gated end-to-end:
+  *
+  *   - q120: CDC-feed generation by snapshot diff
+  *     ([[graft.operators.SnapshotDiff]]) — the producer side of the
+  *     q102 `applyCdc` consumer;
+  *   - q121: incremental maintenance of a materialized JOIN view — the
+  *     row-level complement of q104's aggregate-state maintenance:
+  *     only the delta is ever joined, the base view's files are never
+  *     rewritten;
+  *   - q122: Bloom-filter semi-join reduction
+  *     ([[graft.operators.BloomJoin]]) — the probe side shrinks at the
+  *     scan, before its shuffle; exactness restored by the join.
+  *
+  * The snapshots/deltas are deterministic key-arithmetic splits of the
+  * driver tables, mirrored verbatim in the oracles, so each query's
+  * hash compare proves the MAINTENANCE path equals the one-shot
+  * recompute the oracle performs. */
+object MaintenanceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Sources.table(s, dir, name)
+
+  // --- q120: snapshot-diff CDC feed ------------------------------------
+  /** Two deterministic images of `orders` (old: every key not ≡0 mod 7;
+    * new: every key not ≡0 mod 11, with keys ≡0 mod 5 repriced by
+    * +10.0) diffed into an I/U/D feed. The mod arithmetic makes every
+    * op class non-empty — keys ≡0 mod 7 only → I, ≡0 mod 11 only → D,
+    * in both and ≡0 mod 5 → U — and the repricing (+10.0, one IEEE add)
+    * is bit-identical across engines. Unchanged keys (the majority)
+    * emit nothing, which is the point: the feed is |changes|-sized. */
+  def q120SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val newSnap = orders.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+    SnapshotDiff.changeFeed(oldSnap, newSnap, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("old_o_totalprice").as("price_old"),
+        col("new_o_totalprice").as("price_new"))
+      .orderBy("o_orderkey")
+  }
+
+  val q120Sql: String =
+    """WITH oldsnap AS (
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 7 <> 0),
+       newsnap AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 11 <> 0)
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                   WHEN n.o_orderkey IS NULL THEN 'D'
+                   ELSE 'U' END AS op,
+              o.o_totalprice AS price_old,
+              n.o_totalprice AS price_new
+       FROM oldsnap o FULL OUTER JOIN newsnap n
+         ON o.o_orderkey = n.o_orderkey
+       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                  AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+       ORDER BY o_orderkey"""
+
+  // --- q121: materialized-join-view incremental maintenance ------------
+  /** A materialized `orders ⋈ customer ⋈ nation` enrichment view is
+    * built from the base batch (keys not ≡0 mod 4), persisted, then
+    * maintained by joining ONLY the delta (keys ≡0 mod 4) and
+    * appending — base view files are never read back during
+    * maintenance, so update cost tracks |Δ| × dim, not the fact
+    * history. Valid for append-only deltas on the fact side of a
+    * N:1 join (new orders can't change an existing order's enrichment);
+    * updating dims is q72's partition-replace / q36's row MERGE
+    * territory. The report aggregates the maintained view per nation;
+    * the oracle recomputes from scratch — incremental must equal
+    * recompute exactly (counts + exact cents, no float-sum order
+    * dependence).
+    *
+    * Join shape: nation (25 rows, bounded by geography) is explicitly
+    * broadcast; customer is left UNHINTED — dimension size is data-
+    * dependent, so AQE decides (the [[graft.operators.Graphs]] guard
+    * discipline). */
+  def q121DeltaViewMaintain(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def enrich(batch: DataFrame): DataFrame = batch
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "n_name")
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_dview_")
+      .toString
+    try {
+      enrich(orders.filter(col("o_orderkey") % 4 =!= 0))
+        .write.mode("overwrite").parquet(s"$root/view")
+      // maintenance: Δ alone is joined; the view is append-only storage
+      enrich(orders.filter(col("o_orderkey") % 4 === 0))
+        .write.mode("append").parquet(s"$root/view")
+      val report = s.read.parquet(s"$root/view")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .orderBy("n_name")
+      // materialize before the temp view dir is deleted (q104 pattern)
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q121Sql: String =
+    """SELECT n_name,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  // --- q122: Bloom-prefiltered selective join --------------------------
+  /** `lineitem ⋈ urgent orders` with the lineitem side pre-shrunk by a
+    * Bloom filter of the urgent order keys: ~20% of orders are
+    * '1-URGENT', so ~80% of lineitem rows die at the scan instead of
+    * crossing the join's exchange. The exact equi-join downstream
+    * discards the filter's false positives, so the result is exactly
+    * the plain join — which is what the oracle computes, with no bloom
+    * anywhere: the hash compare proves the reduction is lossless.
+    *
+    * The build side is scanned twice here (count to size the filter,
+    * then the treeAggregate build) plus once by the join — the count
+    * is the honest stand-in for the catalog/footer cardinality
+    * estimate a warehouse would use (MaintenanceSpec pins the
+    * prune-rate and equivalence). */
+  def q122BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bloom = BloomJoin.keyFilter(urgent, "o_orderkey",
+      expectedKeys = urgent.count(), fpp = 0.01)
+    val items = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    BloomJoin.prefilter(items, "l_orderkey", bloom)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val q122Sql: String =
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val all: Map[String, Q] = Map(
+    "q120_snapshot_diff" -> q120SnapshotDiff _,
+    "q121_delta_view" -> q121DeltaViewMaintain _,
+    "q122_bloom_join" -> q122BloomJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q120_snapshot_diff" -> q120Sql,
+    "q121_delta_view" -> q121Sql,
+    "q122_bloom_join" -> q122Sql,
+  )
+}
