@@ -1622,8 +1622,15 @@ object PipelineQueries {
     *
     * Scale shape: two count aggregations over (token) and (token-pair)
     * keys — narrow rows, map-side partial combine — then the pair table
-    * joins the unigram counts twice; at corpus scale the unigram table
-    * is vocabulary-sized and BROADCASTS. Numerators stay inside Long:
+    * joins the unigram counts twice. The unigram table is computed
+    * ONCE and persisted (it feeds both join sides and the Nu total —
+    * unpersisted-and-recomputed that is three corpus scans), and its
+    * count — needed for nothing else — doubles as the broadcast guard:
+    * vocabulary is corpus-dependent (Heaps' law puts a web corpus's at
+    * 10⁸+), so the join hint applies only under the same 4M-row cutoff
+    * as [[graft.operators.Graphs.triangleStats]]; beyond it both joins
+    * shuffle on the token, which is the right plan there. Numerators
+    * stay inside Long:
     * c12·Nu² with a 100 TB corpus exceeds 2⁶³, so the real deployment
     * promotes to DecimalType(38) — here the exact-long form doubles as
     * the oracle contract. Top-20 compiles to TakeOrderedAndProject. */
@@ -1631,30 +1638,43 @@ object PipelineQueries {
     val toks = t(s, dir, "documents")
       .select(split(col("text"), " ").as("__tk"))
     val uni = toks.select(explode(col("__tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val pairsAll = toks.filter(size(col("__tk")) >= 2)
-      .select(col("__tk"),
-        explode(sequence(lit(1), size(col("__tk")) - 1)).as("i"))
-      .select(element_at(col("__tk"), col("i")).as("w1"),
-        element_at(col("__tk"), col("i") + 1).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val pairs = pairsAll.filter(col("c12") >= 5)
-    val nu = uni.agg(sum("c").as("nu"))
-    // Nb is the TOTAL bigram count — p(w1,w2) = c12/Nb only holds
-    // against the full event space, and a filtered Nb would inflate
-    // every lift by a constant. By construction it equals the per-doc
-    // sum of (tokens − 1), which costs one scan and NO pair shuffle
-    val nb = toks.filter(size(col("__tk")) >= 2)
-      .agg(sum(size(col("__tk")).cast("long") - 1).as("nb"))
-    pairs
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .select(col("w1"), col("w2"), col("c12"),
-        ((col("c12") * col("nu") * col("nu")).cast("double") /
-          (col("nb") * col("c1") * col("c2")).cast("double")).as("lift"))
-      .orderBy(col("lift").desc, col("w1"), col("w2"))
-      .limit(20)
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    // materializes the cache; doubles as the vocabulary-size guard
+    val nVocab = uni.count()
+    try {
+      val hint = nVocab <= 4_000_000L
+      def uniAs(w: String, c: String) = {
+        val side = uni.select(col("w").as(w), col("c").as(c))
+        if (hint) broadcast(side) else side
+      }
+      val pairsAll = toks.filter(size(col("__tk")) >= 2)
+        .select(col("__tk"),
+          explode(sequence(lit(1), size(col("__tk")) - 1)).as("i"))
+        .select(element_at(col("__tk"), col("i")).as("w1"),
+          element_at(col("__tk"), col("i") + 1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val pairs = pairsAll.filter(col("c12") >= 5)
+      val nu = uni.agg(sum("c").as("nu"))
+      // Nb is the TOTAL bigram count — p(w1,w2) = c12/Nb only holds
+      // against the full event space, and a filtered Nb would inflate
+      // every lift by a constant. By construction it equals the per-doc
+      // sum of (tokens − 1), which costs one scan and NO pair shuffle
+      val nb = toks.filter(size(col("__tk")) >= 2)
+        .agg(sum(size(col("__tk")).cast("long") - 1).as("nb"))
+      val out = pairs
+        .join(uniAs("w1", "c1"), "w1")
+        .join(uniAs("w2", "c2"), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"),
+          ((col("c12") * col("nu") * col("nu")).cast("double") /
+            (col("nb") * col("c1") * col("c2")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+      // materialize: the top-20 must not lazily read the cache
+      // released below (the q87 pattern)
+      s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally uni.unpersist(blocking = false)
   }
 
   val q86Sql: String =
@@ -1697,7 +1717,16 @@ object PipelineQueries {
     * [[graft.operators.Dedup.connectedComponents]] — each iteration
     * shuffles (node, long) pairs only: contributions aggregate map-side
     * per dst, the rank join is key-partitioned, and the edge list is
-    * cached once. The top-k exit compiles to TakeOrderedAndProject. */
+    * cached once. The top-k exit compiles to TakeOrderedAndProject.
+    *
+    * The rank table is |V|-sized, so its per-iteration join into the
+    * edge scan is broadcast-HINTED only while |V| stays under the same
+    * 4M-row cutoff as [[graft.operators.Graphs.triangleStats]]'s degree
+    * table (an unconditional hint would collect a web-graph's ranks
+    * onto the driver three times per run); past the cutoff the join is
+    * left unhinted and the planner keys both sides on the vertex id —
+    * nNodes is already counted for the teleport term, so the guard is
+    * free. */
   def q87PageRank(s: SparkSession, dir: String): DataFrame = {
     val Scale = 1000000000L
     val li = t(s, dir, "lineitem")
@@ -1724,12 +1753,13 @@ object PipelineQueries {
       val base = (15L * Scale) / (100L * nNodes)
       var ranks = nodes.withColumn("rq", lit(Scale / nNodes))
         .localCheckpoint(true)
+      val hintBroadcast = nNodes <= 4_000_000L
       for (_ <- 1 to 3) {
-        // ranks is node-count-sized (longs) — broadcast it into the
-        // edge scan so each iteration is one map-side join + one
-        // aggregation shuffle of (dst, long) partials
+        // node-count-sized rank side: map-side join while it fits the
+        // guard, shuffled vertex-keyed join beyond it
+        val rankSrc = ranks.withColumnRenamed("node", "src")
         val insum = edges
-          .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+          .join(if (hintBroadcast) broadcast(rankSrc) else rankSrc, "src")
           .select(col("dst"), expr("rq div outdeg").as("contrib"))
           .groupBy("dst").agg(sum("contrib").as("insum"))
         val next = nodes
