@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{BloomJoin, SnapshotDiff}
+import graft.operators.{BloomJoin, FrequentItems, ManifestSkip, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *     rewritten;
   *   - q122: Bloom-filter semi-join reduction
   *     ([[graft.operators.BloomJoin]]) — the probe side shrinks at the
-  *     scan, before its shuffle; exactness restored by the join.
+  *     scan, before its shuffle; exactness restored by the join;
+  *   - q123: file-level data skipping from a min/max manifest
+  *     ([[graft.operators.ManifestSkip]]) over a range-clustered sink
+  *     — prune files before the scan is planned, filter exactly after;
+  *   - q124: exact heavy hitters by two-pass Misra-Gries
+  *     ([[graft.operators.FrequentItems]]) — only candidate keys ever
+  *     shuffle, never the key universe.
   *
   * The snapshots/deltas are deterministic key-arithmetic splits of the
   * driver tables, mirrored verbatim in the oracles, so each query's
@@ -174,15 +180,86 @@ object MaintenanceQueries {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- q123: manifest-pruned range scan --------------------------------
+  /** `lineitem` is published range-clustered on `l_shipdate` (16 range
+    * partitions → near-disjoint per-file date ranges), a min/max
+    * manifest is built once, and a quarter-window query reads only the
+    * files the manifest admits — the exact BETWEEN still applies to
+    * the survivors. The oracle is the plain full-scan filter: the hash
+    * compare proves pruning is lossless; MaintenanceSpec pins that it
+    * actually PRUNES (and that a hash-scattered layout degrades to
+    * read-everything without breaking). */
+  def q123ManifestSkip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_manifest_")
+      .toString
+    try {
+      t(s, dir, "lineitem")
+        .select("l_shipdate", "l_returnflag", "l_extendedprice")
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$root/sink")
+      val manifest =
+        ManifestSkip.buildManifest(s, s"$root/sink", "l_shipdate")
+      val (rows, _, _) = ManifestSkip.prunedRead(s, s"$root/sink",
+        manifest, "l_shipdate",
+        lit("1996-01-01").cast("timestamp"),
+        lit("1996-03-31").cast("timestamp"))
+      val report = rows.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .orderBy("l_returnflag")
+      // materialize before the temp sink is deleted (q104 pattern)
+      val out = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(out: _*), report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q123Sql: String =
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM lineitem
+       WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1996-03-31'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // --- q124: exact heavy hitters (two-pass Misra-Gries) ----------------
+  /** Every token above 2% of the corpus token stream (k = 50), exact
+    * counts — via [[FrequentItems.exactFrequent]], so the full
+    * vocabulary never shuffles; the oracle does the plain GROUP BY +
+    * HAVING the operator provably equals. */
+  def q124FrequentTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    FrequentItems.exactFrequent(toks, "token", k = 50)
+  }
+
+  val q124Sql: String =
+    """WITH toks AS (
+         SELECT u.token
+         FROM documents, unnest(string_split(text, ' ')) AS u(token))
+       SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY token
+       HAVING CAST(count(*) AS BIGINT) * 50 >
+              (SELECT CAST(count(*) AS BIGINT) FROM toks)
+       ORDER BY cnt DESC, token"""
+
   val all: Map[String, Q] = Map(
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
     "q122_bloom_join" -> q122BloomJoin _,
+    "q123_manifest_skip" -> q123ManifestSkip _,
+    "q124_frequent_tokens" -> q124FrequentTokens _,
   )
 
   val oracles: Map[String, String] = Map(
     "q120_snapshot_diff" -> q120Sql,
     "q121_delta_view" -> q121Sql,
     "q122_bloom_join" -> q122Sql,
+    "q123_manifest_skip" -> q123Sql,
+    "q124_frequent_tokens" -> q124Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{BloomJoin, SnapshotDiff, Upsert}
+import graft.operators.{BloomJoin, FrequentItems, ManifestSkip,
+  SnapshotDiff, Upsert}
 import org.apache.spark.sql.functions._
 
 class MaintenanceSpec extends SparkSpec {
@@ -69,6 +70,58 @@ class MaintenanceSpec extends SparkSpec {
     val kept = BloomJoin.prefilter(probe, "k", bloom)
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L))
+  }
+
+  test("manifest prune: range layout skips files, scattered layout reads all") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 13).as("v"))
+    // range-clustered: 4 files with disjoint k ranges
+    df.repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(s"$dir/ranged")
+    val mRanged = ManifestSkip.buildManifest(spark, s"$dir/ranged", "k")
+    val (rows, nRead, nTotal) = ManifestSkip.prunedRead(spark,
+      s"$dir/ranged", mRanged, "k", lit(100L), lit(199L))
+    assert(nTotal == 4 && nRead < nTotal,
+      s"range layout should prune: read $nRead of $nTotal")
+    assert(rows.count() == 100)
+    // hash-scattered: every file spans the domain -> no prune, still exact
+    df.repartition(4, col("v"))
+      .write.mode("overwrite").parquet(s"$dir/scattered")
+    val mScat = ManifestSkip.buildManifest(spark, s"$dir/scattered", "k")
+    val (rows2, nRead2, nTotal2) = ManifestSkip.prunedRead(spark,
+      s"$dir/scattered", mScat, "k", lit(100L), lit(199L))
+    assert(nRead2 == nTotal2, "scattered layout intersects everywhere")
+    assert(rows2.count() == 100)
+    // empty selection: schema survives, zero rows
+    val (rows3, nRead3, _) = ManifestSkip.prunedRead(spark,
+      s"$dir/ranged", mRanged, "k", lit(5000L), lit(6000L))
+    assert(nRead3 == 0 && rows3.count() == 0)
+    assert(rows3.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("exactFrequent equals plain group-count thresholding") {
+    // skewed stream: token t0 40%, t1 20%, 40 rare tokens share the rest
+    val toks = spark.range(10000).select(
+      when(col("id") % 10 < 4, "t0")
+        .when(col("id") % 10 < 6, "t1")
+        .otherwise(concat(lit("rare"), col("id") % 40)).as("token"))
+      .repartition(8) // several partitions so the MG pass is genuinely partial
+    val got = FrequentItems.exactFrequent(toks, "token", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 8 > 10000)
+      .orderBy(col("cnt").desc, col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("exactFrequent: no hitters above threshold returns empty") {
+    val toks = spark.range(1000)
+      .select(concat(lit("u"), col("id") % 100).as("token"))
+    // uniform 1% each; threshold at k=50 is 2% -> nothing qualifies
+    val got = FrequentItems.exactFrequent(toks, "token", k = 50)
+    assert(got.count() == 0)
   }
 
   test("changeFeed composes with applyCdc: generated feed applies clean") {
