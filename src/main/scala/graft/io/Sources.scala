@@ -27,22 +27,42 @@ object Sources {
     * exactly matching DuckDB's ns→µs truncation on read. */
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  /** Lazy parquet scan for one table. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // set-if-needed: an unconditional set on every call churns the
-    // session conf (and anything keyed on its version) once per scan
+  /** Session confs for reading harness parquet, set-if-needed (an
+    * unconditional set on every call churns the session conf, and
+    * anything keyed on its version, once per scan):
+    *   - `nanosAsLong`: TIMESTAMP(NANOS) columns (which Spark cannot
+    *     represent) surface as raw ns longs for [[normalizeNsTs]];
+    *   - NTZ inference OFF: harness generations that store naive
+    *     (isAdjustedToUTC=false) µs timestamps must read as
+    *     TimestampType — the engine's timestamp surface, and the type
+    *     that matches the DuckDB oracle's naive TIMESTAMP bit-for-bit
+    *     under a UTC session — not TIMESTAMP_NTZ. */
+  def harnessReadConf(spark: SparkSession): Unit = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
         "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled",
+        "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Normalize a possibly-TIMESTAMP(NANOS) column: when the harness
+    * generation stored ns (read as raw longs under `nanosAsLong`), the
+    * value is truncated to µs exactly as DuckDB truncates on read;
+    * µs-timestamp generations pass through untouched. */
+  def normalizeNsTs(df: DataFrame, c: String): DataFrame =
+    if (df.schema.fieldNames.contains(c) &&
+        df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's exact
+      // integer range, so float division would corrupt the microseconds
+      df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+    else df
+
+  /** Lazy parquet scan for one table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    harnessReadConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c) &&
-          d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        // integer `div`, not `/`: ns epochs (~1.7e18) exceed double's exact
-        // integer range, so float division would corrupt the microseconds
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
-    }
+    nanosColumns.getOrElse(name, Nil).foldLeft(df)(normalizeNsTs)
   }
 
   /** CSV scan with explicit schema (S1) — explicit StructType rather than

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics and physical-layout operators whose POINT is the
+  * 100 TB plan shape, oracle-gated like everything else:
+  *
+  *   - q125: per-group OLS regression from exact integer moments — the
+  *     q99 exact-moment discipline extended to slope/intercept/R², with
+  *     the moment products carried in DECIMAL(38,0)/HUGEINT because
+  *     n·Σy² exceeds int64 long before a group is "big" (≈2·10⁵ rows of
+  *     10⁵-scale y already overflows — the bound q99's scaladoc
+  *     documents is hit here, so the DECIMAL escape hatch it prescribes
+  *     is exercised for real);
+  *   - q126: corpus drift between two document slices as total-variation
+  *     distance — TVD = Σ|cₐ·t_b − c_b·tₐ| / (2·tₐ·t_b) stays in EXACT
+  *     integer arithmetic until one final division, so no log/float-sum
+  *     cross-engine hazard exists (the reason TVD is chosen over KL:
+  *     ln() is not bit-identical across engines, integer ratios are);
+  *   - q127: degree assortativity of the part co-occurrence graph —
+  *     Pearson correlation of endpoint degrees over directed edge
+  *     instances, again exact integer moments; degrees are integers, so
+  *     the whole computation shares q99's bit-identity argument;
+  *   - q128: bucketed co-located join — both sides written
+  *     `bucketBy(16, key)` with one file per bucket, joined and then
+  *     aggregated ON THE BUCKET KEY: scan → join → partial agg with ZERO
+  *     shuffle exchanges (ScaleFeaturesSpec pins the exchange-free plan).
+  *     This is THE canonical 100 TB technique the surface still lacked:
+  *     a fact-fact join that never moves either table.
+  */
+object ScaleQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Sources.table(s, dir, name)
+
+  private val dec = "decimal(38,0)"
+
+  // --- q125: per-group OLS regression (exact moments) -------------------
+  /** OLS of price (whole dollars) on quantity per return flag. The six
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) are accumulated as
+    * DECIMAL(38,0) — exact at any scale, order-independent — and each
+    * derived statistic is ONE deterministic IEEE expression over
+    * doubles cast from exact integers:
+    *   slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (Σy−slope·Σx)/n,
+    *   R² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)).
+    * Zero-variance groups are guarded to NULL on BOTH sides (Spark
+    * non-ANSI x/0 → NULL but DuckDB → Inf/NaN, the q95/q99 degenerate-
+    * group discipline). The oracle mirrors every cast and
+    * parenthesization so both engines evaluate the identical IEEE
+    * expression tree. */
+  def q125OlsRegression(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").cast(dec).as("x"),
+      expr(s"CAST(CAST(round(l_extendedprice) AS BIGINT) AS $dec)")
+        .as("y"))
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val d = m.select(col("l_returnflag"),
+      col("n").cast("long").as("n"),
+      col("sx").cast("double").as("sx_d"),
+      col("sy").cast("double").as("sy_d"),
+      col("n").cast("double").as("n_d"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        .as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        .as("dxx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        .as("dyy"))
+    d.select(col("l_returnflag"), col("n"),
+        when(col("dxx") > 0, col("num") / col("dxx")).as("slope"),
+        when(col("dxx") > 0,
+          (col("sy_d") - col("num") / col("dxx") * col("sx_d")) /
+            col("n_d")).as("intercept"),
+        when(col("dxx") > 0 && col("dyy") > 0,
+          col("num") * col("num") / (col("dxx") * col("dyy"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val q125Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag,
+                CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+                CAST(CAST(round(l_extendedprice) AS BIGINT) AS HUGEINT)
+                  AS y
+         FROM lineitem),
+       m AS (
+         SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                sum(x * x) AS sxx, sum(y * y) AS syy
+         FROM li GROUP BY 1),
+       d AS (
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+                CAST(n AS DOUBLE) AS n_d,
+                CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+                CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+         FROM m)
+       SELECT l_returnflag, n,
+              CASE WHEN dxx > 0 THEN num / dxx END AS slope,
+              CASE WHEN dxx > 0 THEN
+                (sy_d - num / dxx * sx_d) / n_d END AS intercept,
+              CASE WHEN dxx > 0 AND dyy > 0 THEN
+                num * num / (dxx * dyy) END AS r2
+       FROM d ORDER BY l_returnflag"""
+
+  // --- q126: corpus drift report (total-variation distance) -------------
+  /** Language-distribution drift between two disjoint document slices
+    * (doc_id parity — the deterministic stand-in for "yesterday's crawl
+    * vs today's"). Per language the share gap is |cₐ·t_b − c_b·tₐ| —
+    * an EXACT integer — and TVD halves the normalized sum, so the
+    * whole statistic admits exactly two float operations (one cast,
+    * one division), both deterministic. The report is one row: slice
+    * sizes, language count, TVD, and the worst-drifting language
+    * (ties broken by language ascending via a single min(struct)
+    * aggregate — no second pass over the counts). Shape at 100 TB:
+    * |languages| rows after the first aggregate; everything downstream
+    * is constant-size. */
+  def q126CorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), (col("doc_id") % 2).as("h"))
+    val counts = docs.groupBy("lang").agg(
+      sum(when(col("h") === 0, 1L).otherwise(0L)).cast(dec).as("ca"),
+      sum(when(col("h") === 1, 1L).otherwise(0L)).cast(dec).as("cb"))
+    val totals = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val gaps = counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("ca"), col("cb"), col("ta"), col("tb"),
+        abs(col("ca") * col("tb") - col("cb") * col("ta")).as("gap"))
+    gaps.agg(
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        count(lit(1)).as("n_langs"), sum(col("gap")).as("sgap"),
+        min(struct((col("gap") * -1).as("ng"), col("lang"))).as("top"))
+      .select(col("ta").cast("long").as("n_a"),
+        col("tb").cast("long").as("n_b"), col("n_langs"),
+        (col("sgap").cast("double") /
+          (col("ta") * col("tb") * 2).cast("double")).as("tvd"),
+        col("top.lang").as("top_lang"),
+        ((col("top.ng") * -1).cast("double") /
+          (col("ta") * col("tb")).cast("double")).as("top_gap"))
+  }
+
+  val q126Sql: String =
+    """WITH docs AS (
+         SELECT lang, doc_id % 2 AS h FROM documents),
+       counts AS (
+         SELECT lang,
+                CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS ca,
+                CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS cb
+         FROM docs GROUP BY lang),
+       totals AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
+       gaps AS (
+         SELECT lang, abs(ca * tb - cb * ta) AS gap, ta, tb
+         FROM counts CROSS JOIN totals),
+       top AS (
+         SELECT lang AS top_lang, gap AS top_g, ta AS tta, tb AS ttb
+         FROM gaps ORDER BY gap DESC, lang ASC LIMIT 1)
+       SELECT CAST(tta AS BIGINT) AS n_a, CAST(ttb AS BIGINT) AS n_b,
+              (SELECT CAST(count(*) AS BIGINT) FROM counts) AS n_langs,
+              CAST((SELECT sum(gap) FROM gaps) AS DOUBLE) /
+                CAST(tta * ttb * 2 AS DOUBLE) AS tvd,
+              top_lang,
+              CAST(top_g AS DOUBLE) / CAST(tta * ttb AS DOUBLE) AS top_gap
+       FROM top"""
+
+  // --- q127: degree assortativity (exact moments) -----------------------
+  /** Degree assortativity of the q97 part co-occurrence graph: Pearson
+    * correlation of (deg(u), deg(v)) over DIRECTED edge instances (each
+    * undirected edge contributes both orientations, the standard Newman
+    * formulation — Σx = Σy by construction). Degrees are integers, so
+    * the five moments are exact DECIMAL(38,0)/HUGEINT aggregates and
+    * the correlation is one guarded IEEE expression — bit-identical
+    * across engines, partial-agg orders and runs.
+    *
+    * Scale shape: the degree table is |V|-sized and data-dependent, so
+    * the two degree joins are left UNHINTED — the planner/AQE broadcast
+    * it while it fits and fall back to a vertex-keyed shuffle join
+    * beyond ([[graft.operators.Graphs.triangleStats]]'s guard
+    * discipline, applied by omission). The oracle recomputes degrees
+    * and moments from scratch in SQL. */
+  def q127Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.groupBy("o").agg(array_sort(collect_set("p")).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .distinct()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast(dec).as("d"))
+    val dirEdges = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val xy = dirEdges
+      .join(deg.select(col("node").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("y")), "b")
+    val m = xy.agg(count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(
+        deg.agg(count(lit(1)).as("n_vertices"))))
+    m.select(col("n_vertices"),
+      (col("n") / 2).cast("long").as("n_edges"),
+      when((col("n") * col("sxx") - col("sx") * col("sx") > 0) &&
+          (col("n") * col("syy") - col("sy") * col("sy") > 0),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("assortativity"))
+  }
+
+  val q127Sql: String =
+    """WITH li AS (
+         SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+         WHERE l_quantity >= 30),
+       e AS (
+         SELECT DISTINCT a.p AS u, b.p AS v
+         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       deg AS (
+         SELECT node, CAST(count(*) AS HUGEINT) AS d FROM (
+           SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         GROUP BY 1),
+       dirs AS (
+         SELECT u AS a, v AS b FROM e
+         UNION ALL SELECT v AS a, u AS b FROM e),
+       xy AS (
+         SELECT da.d AS x, db.d AS y
+         FROM dirs JOIN deg da ON dirs.a = da.node
+                   JOIN deg db ON dirs.b = db.node),
+       m AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+                sum(y * y) AS syy
+         FROM xy)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+              CAST(n / 2 AS BIGINT) AS n_edges,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+              END AS assortativity
+       FROM m"""
+
+  // --- q128: bucketed co-located join (zero exchanges) ------------------
+  /** `lineitem ⋈ orders` per-order revenue with BOTH sides bucketed by
+    * the join key: each table is `repartition(16, key)` +
+    * `bucketBy(16, key).sortBy(key)` — repartition and bucketing use
+    * the same Murmur3 hash, so every writer task holds exactly one
+    * bucket and emits ONE file — and the join + the per-key aggregate
+    * then plan with ZERO shuffle exchanges: the scans report the
+    * bucketed hash distribution, the sort-merge join consumes it, and
+    * the groupBy on the bucket key reuses it (ExtensionsSpec pins
+    * exchange-count = 0 with broadcast disabled). At 100 TB this is
+    * the fact-fact join answer: pay one layout write at ingest, then
+    * every keyed join/agg against the table moves NOTHING. The filter
+    * (o_orderkey % 100 = 0) rides down to both bucketed scans. The
+    * oracle is the plain join — the hash compare proves layout changed
+    * the plan, not the answer. */
+  /** Write both join sides bucketed by the join key into `root`,
+    * registering them as `liTab`/`ordTab` — the one-time layout cost a
+    * warehouse pays at ingest. `repartition(16, key)` + `bucketBy(16,
+    * key)` use the same Murmur3 hash, so each writer task holds exactly
+    * one bucket and emits ONE file per bucket (the q71 small-file
+    * discipline applied at write time, not by a later compaction). */
+  def writeBucketedLayout(s: SparkSession, dir: String, root: String,
+      liTab: String, ordTab: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $liTab")
+    s.sql(s"DROP TABLE IF EXISTS $ordTab")
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(16, col("l_orderkey"))
+      .write.format("parquet").bucketBy(16, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$root/li")
+      .saveAsTable(liTab)
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .repartition(16, col("o_orderkey"))
+      .write.format("parquet").bucketBy(16, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$root/ord")
+      .saveAsTable(ordTab)
+  }
+
+  /** The exchange-free core: bucketed scan → sort-merge join → agg ON
+    * THE BUCKET KEY, all consuming the storage-provided hash
+    * distribution (ScaleFeaturesSpec pins exchange-count = 0 on exactly
+    * this plan with broadcast disabled). */
+  def bucketedRevenue(s: SparkSession, liTab: String,
+      ordTab: String): DataFrame =
+    s.table(liTab)
+      .join(s.table(ordTab), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+            "AS BIGINT)")).as("rev_cents"))
+
+  def q128BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_bucket_")
+      .toString
+    val liTab = "graft_q128_li"
+    val ordTab = "graft_q128_ord"
+    try {
+      writeBucketedLayout(s, dir, root, liTab, ordTab)
+      // the orderBy exists only to make the driver's hash compare
+      // deterministic; it adds the plan's sole exchange (a range
+      // partition of the ~|orders|/100 result rows)
+      val report = bucketedRevenue(s, liTab, ordTab).orderBy("o_orderkey")
+      // materialize before the tables + files are dropped (q104 pattern)
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $liTab")
+      s.sql(s"DROP TABLE IF EXISTS $ordTab")
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q128Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderkey % 100 = 0
+       GROUP BY o_orderkey, o_orderpriority
+       ORDER BY o_orderkey"""
+
+  val all: Map[String, Q] = Map(
+    "q125_ols_regression" -> q125OlsRegression _,
+    "q126_corpus_drift" -> q126CorpusDrift _,
+    "q127_assortativity" -> q127Assortativity _,
+    "q128_bucketed_join" -> q128BucketedJoin _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q125_ols_regression" -> q125Sql,
+    "q126_corpus_drift" -> q126Sql,
+    "q127_assortativity" -> q127Sql,
+    "q128_bucketed_join" -> q128Sql,
+  )
+}

@@ -22,19 +22,23 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingHourly {
   private val runId = new AtomicInteger(0)
 
-  /** Events file-stream source, shared by every streaming query here:
-    * ts is TIMESTAMP(NANOS) parquet, so it streams as ns longs and
-    * truncates to µs — the same conversion `graft.io.Sources.table`
-    * applies on the batch path. The directory is streamed with a glob
-    * filter because the file-stream source needs a directory base and
-    * `$dir/events.parquet` is a single file. */
+  /** Events file-stream source, shared by every streaming query here.
+    * Harness generations have stored `ts` either as TIMESTAMP(NANOS)
+    * (streams as ns longs, truncated to µs here) or as naive µs
+    * timestamps (NTZ inference disabled so they stream as
+    * TimestampType) — the same normalization `graft.io.Sources.table`
+    * applies on the batch path, keyed off the inferred schema. The
+    * directory is streamed with a glob filter because the file-stream
+    * source needs a directory base and `$dir/events.parquet` is a
+    * single file. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.io.Sources.harnessReadConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.io.Sources.normalizeNsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      "ts")
   }
 
   /** Hourly tumbling count/sum over the events table, executed as a

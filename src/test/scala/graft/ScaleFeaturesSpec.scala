@@ -44,14 +44,45 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("q128 core plan: bucketed scan -> join -> agg on the bucket key " +
+    "runs with zero exchanges and one file per bucket") {
+    val root = java.nio.file.Files.createTempDirectory("q128_spec_")
+      .toString
+    val (liTab, ordTab) = ("spec_q128_li", "spec_q128_ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.queries.ScaleQueries.writeBucketedLayout(
+        spark, "/root/testdata/sf0.001", root, liTab, ordTab)
+      // one file per bucket: repartition(16, key) aligns writer tasks
+      // with buckets, so the layout has no small-file debris
+      val liFiles = new java.io.File(s"$root/li").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(liFiles == 16, s"expected 16 bucket files, got $liFiles")
+      // force a non-broadcast join so co-location is what avoids shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val report =
+        graft.queries.ScaleQueries.bucketedRevenue(spark, liTab, ordTab)
+      assert(report.count() > 0)
+      val shuffles = collectAll(report.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 0,
+        s"join+agg on the bucket key should not shuffle, found $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $liTab")
+      spark.sql(s"DROP TABLE IF EXISTS $ordTab")
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
   test("streaming dropDuplicatesWithinWatermark removes re-delivered " +
     "events (idempotent stream, T3)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.io.Sources.harnessReadConf(spark)
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.io.Sources.normalizeNsTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
       // simulate at-least-once delivery: every event arrives twice
       .withColumn("dup", explode(array(lit(1), lit(2))))
       .drop("dup")

@@ -87,12 +87,12 @@ class SkewAndStateSpec extends SparkSpec {
   test("mapGroupsWithState: custom per-key streaming state counts events " +
     "per user (AvailableNow)") {
     // stream the sf0.001 events through a custom stateful aggregation
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.io.Sources.harnessReadConf(spark)
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.io.Sources.normalizeNsTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
       .select("user_id", "ts", "value").as[Ev]
     val counted = stream.groupByKey(_.user_id)
       .mapGroupsWithState[Sess, Sess](GroupStateTimeout.NoTimeout()) {

@@ -14,16 +14,16 @@ class StreamingUpsertSpec extends SparkSpec {
 
   test("foreachBatch + upsertParquet: re-delivered batches add nothing " +
       "(exactly-once-per-key)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.io.Sources.harnessReadConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val base = java.nio.file.Files.createTempDirectory("stream_upsert")
       .toString
     val sink = s"$base/sink"
 
     def runOnce(tag: String): Unit = {
-      val ev = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = graft.io.Sources.normalizeNsTs(
+          spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir), "ts")
         .select(col("user_id"),
           date_trunc("hour", col("ts")).as("h"), col("event_id"))
       val q = ev.writeStream
@@ -41,9 +41,8 @@ class StreamingUpsertSpec extends SparkSpec {
     }
 
     runOnce("first")
-    val expected = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"),
-        date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("h"))
+    val expected = graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .distinct().count()
     assert(spark.read.parquet(sink).count() == expected)
 
