@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
   *     aggregated ON THE BUCKET KEY: scan → join → partial agg with ZERO
   *     shuffle exchanges (ScaleFeaturesSpec pins the exchange-free plan).
   *     This is THE canonical 100 TB technique the surface still lacked:
-  *     a fact-fact join that never moves either table.
+  *     a fact-fact join that never moves either table;
+  *   - q129: inverted-index build with capped postings buffers (hot
+  *     tokens keep exact df but never materialize corpus-sized arrays);
+  *   - q130: deterministic hash-stratified train/val/test split (no
+  *     document migrates between splits across rebuilds);
+  *   - q131: TF-IDF-style characteristic terms per language with the
+  *     logarithm replaced by an exact rational score (cross-engine
+  *     bit-determinism) and WindowGroupLimit top-k;
+  *   - q132: exact weighted median from integer cumulative weights.
   */
 object ScaleQueries {
 
@@ -337,11 +345,213 @@ object ScaleQueries {
        GROUP BY o_orderkey, o_orderpriority
        ORDER BY o_orderkey"""
 
+  // --- q129: capped inverted index (postings build) ---------------------
+  /** Token → (document frequency, postings) index over `documents`,
+    * with the [[graft.plans.CollectSetSortedCapped]] cap discipline:
+    * postings are materialized ONLY for tokens with df ≤ 20 — rarer
+    * than the cap, the useful retrieval case — while hot tokens
+    * (stop-words, boilerplate) keep their exact df but a NULL postings
+    * list, and crucially their aggregation buffers never grow past
+    * cap+1 elements (a plain collect_set would build a |corpus|-sized
+    * array for "the" before any filter could drop it — the q26 postings
+    * lesson applied to index construction). Postings are emitted as a
+    * comma-joined sorted string so the oracle compare stays scalar. */
+  def q129InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    pairs.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        graft.plans.CollectSetSortedCapped(col("doc_id"), cap + 1)
+          .as("ids"))
+      .filter(col("df") >= 5)
+      .select(col("token"), col("df"),
+        when(size(col("ids")) <= cap,
+          concat_ws(",", col("ids").cast("array<string>")))
+          .as("postings"))
+      .orderBy("token")
+  }
+
+  val q129Sql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT doc_id, u.token
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         WHERE len(u.token) > 0),
+       agg AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS df,
+                CASE WHEN count(*) <= 20 THEN
+                  array_to_string(list_sort(list(doc_id)), ',')
+                END AS postings
+         FROM pairs GROUP BY token)
+       SELECT token, df, postings FROM agg
+       WHERE df >= 5 ORDER BY token"""
+
+  // --- q130: stratified train/val/test split ----------------------------
+  /** Deterministic 80/10/10 corpus split: membership = hash60(doc_id)
+    * mod 10 → {0-7: train, 8: val, 9: test}, a pure function of the key
+    * (the q60 discipline) — re-runs, engines, partitionings and row
+    * orders all agree, which is what a training pipeline needs so that
+    * no document ever migrates between train and test across rebuilds.
+    * Report: per (lang, split) document count and char volume — the
+    * table a data curator eyeballs to confirm the split is stratified
+    * in expectation without materializing three corpus copies. */
+  def q130StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.operators.Dedup.hash60(
+      col("doc_id").cast("string")), lit(10L))
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        when(bucket <= 7, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars_total"))
+      .orderBy("lang", "split")
+  }
+
+  val q130Sql: String =
+    """WITH tagged AS (
+         SELECT lang, n_chars,
+                CASE WHEN b <= 7 THEN 'train'
+                     WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         FROM (
+           SELECT lang, n_chars,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % 10 AS b
+           FROM documents))
+       SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+       FROM tagged GROUP BY lang, split ORDER BY lang, split"""
+
+  // --- q131: characteristic terms per language (TF-IDF-style) -----------
+  /** Top-5 most characteristic tokens per language, scored by
+    * tf_lang · N / df — the TF-IDF shape with the logarithm REPLACED by
+    * an exact rational: ln() is not bit-identical across engines, while
+    * tf·N and df are exact integers and their single division is one
+    * deterministic IEEE op (the q99 argument applied to ranking).
+    * df needs no second aggregation or join: it is a window sum of the
+    * per-language counts over the token partition. Ranking ties break
+    * by token ascending, so the top-5 is total-order deterministic.
+    * Plan shape: one exchange for the (lang, token) aggregate; the
+    * window and the rank filter ride WindowGroupLimit (map tasks emit
+    * ≤5 rows per lang before the final exchange). */
+  def q131TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val pairs = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val tfl = pairs.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val withDf = tfl.withColumn("df",
+      sum("tf").over(Window.partitionBy("token")))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val scored = withDf.crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_total")).cast("double") /
+          col("df").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("lang", "rank")
+  }
+
+  val q131Sql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT doc_id, lang, u.token
+         FROM documents, unnest(string_split(text, ' ')) AS u(token)
+         WHERE len(u.token) > 0),
+       tfl AS (
+         SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+         FROM pairs GROUP BY lang, token),
+       withdf AS (
+         SELECT lang, token, tf,
+                CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS df
+         FROM tfl),
+       scored AS (
+         SELECT lang, token, tf, df,
+                CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE) /
+                  CAST(df AS DOUBLE) AS score
+         FROM withdf),
+       ranked AS (
+         SELECT lang, token, tf, df, score,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+         FROM scored)
+       SELECT lang, rank, token, tf, df, score
+       FROM ranked WHERE rank <= 5 ORDER BY lang, rank"""
+
+  // --- q132: weighted median (exact, integer weights) -------------------
+  /** Per-return-flag weighted median of quantity, weighted by revenue
+    * cents: the smallest quantity q where 2·Σ_{x≤q} w ≥ Σw. Weights and
+    * cumulative sums are exact integers, so — unlike a percentile over
+    * float weights — the pick is bit-deterministic on both engines.
+    * Complements q66 (unweighted percentile_disc) and q70 (approximate
+    * percentile sketch). Shape: the corpus reduces to |flag × quantity|
+    * rows in one exchange before any window runs — the window walks
+    * ≤ 50 rows per flag, never the fact table. */
+  def q132WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"),
+      expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+        "AS BIGINT)").as("w"))
+    val grouped = li.groupBy("l_returnflag", "q")
+      .agg(sum("w").as("wsum"))
+    val win = Window.partitionBy("l_returnflag").orderBy("q")
+    val total = Window.partitionBy("l_returnflag")
+    val cum = grouped
+      .withColumn("cw", sum("wsum").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("wsum").over(total))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("weighted_median_qty"),
+        col("tw").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val q132Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                  AS BIGINT) AS w
+         FROM lineitem),
+       grouped AS (
+         SELECT l_returnflag, q, CAST(sum(w) AS BIGINT) AS wsum
+         FROM li GROUP BY l_returnflag, q),
+       cum AS (
+         SELECT l_returnflag, q, wsum,
+                CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY q
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                CAST(sum(wsum) OVER (PARTITION BY l_returnflag)
+                  AS BIGINT) AS tw
+         FROM grouped),
+       picked AS (
+         SELECT l_returnflag, q, tw,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY q)
+                  AS rn
+         FROM cum WHERE cw * 2 >= tw)
+       SELECT l_returnflag, q AS weighted_median_qty,
+              tw AS total_weight
+       FROM picked WHERE rn = 1 ORDER BY l_returnflag"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
     "q127_assortativity" -> q127Assortativity _,
     "q128_bucketed_join" -> q128BucketedJoin _,
+    "q129_inverted_index" -> q129InvertedIndex _,
+    "q130_stratified_split" -> q130StratifiedSplit _,
+    "q131_tfidf_terms" -> q131TfidfTerms _,
+    "q132_weighted_median" -> q132WeightedMedian _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +559,9 @@ object ScaleQueries {
     "q126_corpus_drift" -> q126Sql,
     "q127_assortativity" -> q127Sql,
     "q128_bucketed_join" -> q128Sql,
+    "q129_inverted_index" -> q129Sql,
+    "q130_stratified_split" -> q130Sql,
+    "q131_tfidf_terms" -> q131Sql,
+    "q132_weighted_median" -> q132Sql,
   )
 }
