@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   *   - q131: TF-IDF-style characteristic terms per language with the
   *     logarithm replaced by an exact rational score (cross-engine
   *     bit-determinism) and WindowGroupLimit top-k;
-  *   - q132: exact weighted median from integer cumulative weights.
+  *   - q132: exact weighted median from integer cumulative weights;
+  *   - q133: cohort retention table from DISTINCT (user, day) counting;
+  *   - q134: price-date Pareto frontier as a running strict min over a
+  *     calendar-bounded daily reduction (never an O(n²) dominance join);
+  *   - q135: lag-1 autocorrelation of the hourly series via exact
+  *     integer moments.
   */
 object ScaleQueries {
 
@@ -543,6 +548,138 @@ object ScaleQueries {
               tw AS total_weight
        FROM picked WHERE rn = 1 ORDER BY l_returnflag"""
 
+  // --- q133: cohort retention ------------------------------------------
+  /** Classic warehouse cohort table: users grouped by first-active day,
+    * retention = active users at day offsets 0-6. Everything is
+    * integer counting over (user, day) DISTINCT pairs, so the table is
+    * bit-deterministic. Shape at scale: the event stream reduces to
+    * |users| + |user-days| rows before the join; the join key is
+    * user_id, the natural co-partition for both sides (and the day
+    * strings are emitted as formatted text so the cross-engine compare
+    * never sees engine-specific date objects). */
+  def q133CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = ev.groupBy("user_id").agg(min("d").as("f"))
+    val act = ev.distinct()
+    act.join(firstDay, "user_id")
+      .select(col("f"), datediff(col("d"), col("f")).as("offset"))
+      .filter(col("offset") <= 6)
+      .groupBy("f", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("f"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset"), col("n_active"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  val q133Sql: String =
+    """WITH ev AS (
+         SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       f AS (SELECT user_id, min(d) AS fd FROM ev GROUP BY user_id),
+       act AS (SELECT DISTINCT user_id, d FROM ev)
+       SELECT strftime(fd, '%Y-%m-%d') AS cohort_day,
+              CAST(date_diff('day', fd, d) AS INTEGER) AS "offset",
+              CAST(count(*) AS BIGINT) AS n_active
+       FROM act JOIN f ON act.user_id = f.user_id
+       WHERE date_diff('day', fd, d) <= 6
+       GROUP BY fd, date_diff('day', fd, d)
+       ORDER BY cohort_day, "offset""""
+
+  // --- q134: price-date Pareto frontier (skyline) -----------------------
+  /** Skyline of the order stream at day granularity: the days whose
+    * cheapest order undercuts EVERY later day's cheapest — the 2-D
+    * Pareto frontier (recent, cheap) computed as a running strict min
+    * over the day-descending order, not an O(n²) dominance join. The
+    * corpus reduces to |days| rows in one exchange first; the
+    * single-partition window then walks only those (|days| is bounded
+    * by the calendar — thousands of rows at any corpus scale, which is
+    * why the global window is safe here and would not be on the raw
+    * stream). Prices compare as exact cents. */
+  def q134ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("day").agg(min("c").as("min_cents"))
+    val later = Window.orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily.withColumn("m", min("min_cents").over(later))
+      .filter(col("m").isNull || col("min_cents") < col("m"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("min_cents"))
+      .orderBy("day")
+  }
+
+  val q134Sql: String =
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS min_cents
+         FROM orders GROUP BY 1),
+       run AS (
+         SELECT day, min_cents,
+                min(min_cents) OVER (ORDER BY day DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+         FROM daily)
+       SELECT strftime(day, '%Y-%m-%d') AS day, min_cents
+       FROM run WHERE m IS NULL OR min_cents < m
+       ORDER BY day"""
+
+  // --- q135: lag-1 autocorrelation of the hourly event series -----------
+  /** First-order autocorrelation of hourly event counts — the
+    * seasonality probe a pipeline runs before choosing a backfill
+    * grain. The series is the OBSERVED hourly counts (empty hours are
+    * absent, not zero-filled; the oracle mirrors that semantics);
+    * counts are integers, so the (xₜ, xₜ₊₁) moments follow the q99
+    * exact-moment discipline and acf₁ is one guarded IEEE expression.
+    * Shape: the stream reduces to |hours| rows (calendar-bounded, like
+    * q134) before the single-partition lead() window runs. */
+  def q135HourlyAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+    val pairs = hourly
+      .withColumn("cn", lead("c", 1).over(Window.orderBy("h")))
+      .filter(col("cn").isNotNull)
+      .select(col("c").as("x"), col("cn").as("y"))
+    val m = pairs.agg(count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(hourly.agg(count(lit(1)).as("n_hours"))))
+    m.select(col("n_hours"), col("n").cast("long").as("n_pairs"),
+      when((col("n") * col("sxx") - col("sx") * col("sx") > 0) &&
+          (col("n") * col("syy") - col("sy") * col("sy") > 0),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("acf1"))
+  }
+
+  val q135Sql: String =
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS h,
+                CAST(count(*) AS HUGEINT) AS c
+         FROM events GROUP BY 1),
+       pairs AS (
+         SELECT c AS x, lead(c, 1) OVER (ORDER BY h) AS y FROM hourly),
+       m AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+                sum(y * y) AS syy
+         FROM pairs WHERE y IS NOT NULL)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM hourly) AS n_hours,
+              CAST(n AS BIGINT) AS n_pairs,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                   sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+              END AS acf1
+       FROM m"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -552,6 +689,9 @@ object ScaleQueries {
     "q130_stratified_split" -> q130StratifiedSplit _,
     "q131_tfidf_terms" -> q131TfidfTerms _,
     "q132_weighted_median" -> q132WeightedMedian _,
+    "q133_cohort_retention" -> q133CohortRetention _,
+    "q134_pareto_frontier" -> q134ParetoFrontier _,
+    "q135_hourly_autocorr" -> q135HourlyAutocorr _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -563,5 +703,8 @@ object ScaleQueries {
     "q130_stratified_split" -> q130Sql,
     "q131_tfidf_terms" -> q131Sql,
     "q132_weighted_median" -> q132Sql,
+    "q133_cohort_retention" -> q133Sql,
+    "q134_pareto_frontier" -> q134Sql,
+    "q135_hourly_autocorr" -> q135Sql,
   )
 }
