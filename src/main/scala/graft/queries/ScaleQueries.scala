@@ -40,7 +40,11 @@ import org.apache.spark.sql.functions._
   *   - q134: price-date Pareto frontier as a running strict min over a
   *     calendar-bounded daily reduction (never an O(n²) dominance join);
   *   - q135: lag-1 autocorrelation of the hourly series via exact
-  *     integer moments.
+  *     integer moments;
+  *   - q136: ORC sink round-trip (the second columnar format, with
+  *     directory partition values and pruning);
+  *   - q137: INTERVAL range frames + last_value IGNORE NULLS on one
+  *     exchange.
   */
 object ScaleQueries {
 
@@ -680,6 +684,94 @@ object ScaleQueries {
               END AS acf1
        FROM m"""
 
+  // --- q136: ORC sink round-trip ----------------------------------------
+  /** The S-family format matrix extended to ORC: a lineitem projection
+    * is published partitioned-by-flag as ORC, read back with a
+    * partition-pruning filter, and aggregated — proving the engine's
+    * second columnar format round-trips byte-exact revenue (the oracle
+    * computes straight from the parquet source, so any encode/decode
+    * drift in the ORC path would break the hash). Partition values ride
+    * the directory names, exactly as the parquet sinks lay out. */
+  def q136OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_orc_")
+      .toString
+    try {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+        .repartition(col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .orc(s"$root/sink")
+      val report = s.read.orc(s"$root/sink")
+        .filter(col("l_returnflag") =!= "N") // dies at partition pruning
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("cents_sum"))
+        .orderBy("l_returnflag", "l_linestatus")
+      // materialize before the temp sink is deleted (q104 pattern)
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q136Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum
+       FROM lineitem WHERE l_returnflag <> 'N'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // --- q137: advanced window frames -------------------------------------
+  /** The window-frame surface beyond q85's rolling rows-frame: a
+    * time-based RANGE frame (trailing one hour, integer milli sum —
+    * frame membership is defined by the ORDER BY value, so timestamp
+    * ties are all-in and the sum is order-independent) and
+    * last_value ... IGNORE NULLS (most recent purchase value carried
+    * forward over non-purchase events). Both ride ONE user_id exchange;
+    * all arithmetic is integer. Expressed through the SQL surface:
+    * the DataFrame API's rangeBetween takes only numeric offsets, while
+    * the SQL window grammar plans INTERVAL range frames directly. */
+  def q137WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_q137_events")
+    s.sql(
+      """WITH ev AS (
+           SELECT user_id, event_id, ts,
+                  CAST(round(value * 1000) AS BIGINT) AS vmilli,
+                  CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 1000) AS BIGINT) END AS pv
+           FROM graft_q137_events)
+         SELECT user_id, event_id,
+                CAST(sum(vmilli) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS trailing_hour_milli,
+                last_value(pv) IGNORE NULLS OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_milli
+         FROM ev ORDER BY user_id, event_id""")
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, ts,
+                CAST(round(value * 1000) AS BIGINT) AS vmilli,
+                CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1000) AS BIGINT) END AS pv
+         FROM events)
+       SELECT user_id, event_id,
+              CAST(sum(vmilli) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_hour_milli,
+              last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS last_purchase_milli
+       FROM ev ORDER BY user_id, event_id"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -692,6 +784,8 @@ object ScaleQueries {
     "q133_cohort_retention" -> q133CohortRetention _,
     "q134_pareto_frontier" -> q134ParetoFrontier _,
     "q135_hourly_autocorr" -> q135HourlyAutocorr _,
+    "q136_orc_roundtrip" -> q136OrcRoundtrip _,
+    "q137_window_frames" -> q137WindowFrames _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -706,5 +800,7 @@ object ScaleQueries {
     "q133_cohort_retention" -> q133Sql,
     "q134_pareto_frontier" -> q134Sql,
     "q135_hourly_autocorr" -> q135Sql,
+    "q136_orc_roundtrip" -> q136Sql,
+    "q137_window_frames" -> q137Sql,
   )
 }

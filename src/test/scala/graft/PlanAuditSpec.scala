@@ -343,6 +343,59 @@ class PlanAuditSpec extends SparkSpec {
       s"rank family re-shuffled: $shuffles exchanges")
   }
 
+  test("q129 inverted index aggregates postings through the CAPPED " +
+      "collect (bounded buffers), never a plain collect_set") {
+    val plan = executed(graft.queries.ScaleQueries
+      .q129InvertedIndex(spark, dir))
+    val s = collectAll(plan).map(_.toString).mkString
+    assert(s.contains("collect_set_sorted_capped"),
+      "capped aggregate missing from the postings build")
+    assert(!s.contains("collect_set("),
+      "unbounded collect_set found in the postings build")
+  }
+
+  test("q131 TF-IDF top-k reduces map-side: rank <= 5 compiles to " +
+      "WindowGroupLimit before the final exchange") {
+    val plan = executed(graft.queries.ScaleQueries
+      .q131TfidfTerms(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: $nodes")
+  }
+
+  test("q132 weighted median reduces the fact table to |group x value| " +
+      "rows with a partial aggregate BEFORE any window walks it") {
+    val plan = executed(graft.queries.ScaleQueries
+      .q132WeightedMedian(spark, dir))
+    val all = collectAll(plan)
+    val aggs = all.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.exists(_.toString.contains("partial_sum")),
+      "no map-side partial aggregation before the exchange")
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
+    // one for the (flag, q) aggregate, one for the flag window
+    // partition, one for the output sort
+    assert(shuffles <= 3, s"weighted median over-shuffled: $shuffles")
+  }
+
+  test("q125 OLS moments aggregate partially map-side and the plan " +
+      "carries six decimal sums, not per-row state") {
+    val plan = executed(graft.queries.ScaleQueries
+      .q125OlsRegression(spark, dir))
+    val s = collectAll(plan).filter(_.nodeName.contains("HashAggregate"))
+      .map(_.toString).mkString
+    assert(s.contains("partial_"),
+      "moment sums must combine map-side before the exchange")
+  }
+
+  test("q126 corpus drift joins only broadcast one-row totals: no " +
+      "sort-merge join anywhere") {
+    val plan = executed(graft.queries.ScaleQueries
+      .q126CorpusDrift(spark, dir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "drift report should never sort-merge: totals are one broadcast row")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (q15 buckets)") {
     val plan = executed(graft.queries.CoreQueries.q15Buckets(spark, dir))
     val s = collectAll(plan).map(_.nodeName).mkString(",")
