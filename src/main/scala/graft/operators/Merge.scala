@@ -123,4 +123,77 @@ object Merge {
     batch.unpersist(blocking = false)
     MergeStats(filesBefore, touched.length.toLong, nUpdated, nInserted)
   }
+
+  /** Erasure outcome: files in the sink before, files rewritten, rows
+    * deleted. */
+  final case class EraseStats(filesBefore: Long, filesTouched: Long,
+                              rowsDeleted: Long)
+
+  /** WHEN MATCHED DELETE at file granularity — the erasure MERGE a
+    * training-data corpus needs for right-to-be-forgotten requests:
+    * every sink row whose key appears in `keys` is removed, and ONLY
+    * the files containing such a key are rewritten; the rest of the
+    * corpus stays byte-identical (never read past its key columns,
+    * never written). Same add-then-delete swap as [[mergeParquet]]: a
+    * crash mid-swap leaves the matched rows still present (erasure
+    * simply re-runs), never a hole in the corpus.
+    *
+    * Scale shape mirrors [[mergeParquet]]: one key-projected sink scan
+    * semi-joined against the erasure keys (unhinted — AQE broadcasts a
+    * request-sized key list, shuffles a backfill-sized one) yields the
+    * touched-file list; only those files are re-read in full. Cost is
+    * proportional to the files the keys TOUCH — which is why erasure-
+    * heavy corpora cluster their layout by the erasure key (q84/q123's
+    * layout discipline) so a deletion request touches few files. */
+  def eraseParquet(spark: SparkSession, keys: DataFrame,
+                   keyCols: Seq[String], path: String): EraseStats = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"erase target $path does not exist")
+    val sinkSchema = spark.read.parquet(path).schema
+    require(keyCols.forall(keys.columns.contains),
+      s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
+    val batch = keys.select(keyCols.map(col): _*).distinct().cache()
+
+    val sinkKeys = spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("__f") +:
+        keyCols.map(col): _*)
+    val touched = sinkKeys
+      .join(batch, keyCols, "left_semi")
+      .select("__f").distinct()
+      .collect().map(_.getString(0)).sorted
+    val filesBefore = {
+      val it = fs.listFiles(hPath, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    var deleted = 0L
+    if (touched.nonEmpty) {
+      val touchedRows = spark.read.schema(sinkSchema).parquet(touched: _*)
+      val kept = touchedRows.join(batch, keyCols, "left_anti")
+      deleted = touchedRows.count() - kept.count()
+      val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
+        hPath.getName + "__erase_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      kept.write.parquet(tmp.toString)
+      val it = fs.listFiles(tmp, false)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          if (!fs.rename(f, new org.apache.hadoop.fs.Path(hPath, f.getName)))
+            throw new java.io.IOException(
+              s"erase: could not move $f into $hPath")
+        }
+      }
+      touched.foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      }
+      fs.delete(tmp, true)
+    }
+    batch.unpersist(blocking = false)
+    EraseStats(filesBefore, touched.length.toLong, deleted)
+  }
 }

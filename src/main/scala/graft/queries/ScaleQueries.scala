@@ -772,6 +772,90 @@ object ScaleQueries {
                 AS last_purchase_milli
        FROM ev ORDER BY user_id, event_id"""
 
+  // --- q138: hierarchy rollup without recursive CTEs --------------------
+  /** Subtree rollup over an implicit binary hierarchy (parent(k) =
+    * k >> 1, the heap encoding): for every ancestor node ≤ 15 (the top
+    * four levels), the count and total value of ALL its descendants.
+    * Spark has no recursive CTE, and none is needed: each node's
+    * ancestor chain is enumerated IN-ROW as `shiftright(k, j)` for
+    * j = 0..30 — a ≤31-element array per row, so the rollup is one
+    * Generate + one aggregation, no iteration, no driver loop, and the
+    * shuffle carries (ancestor, value) pairs only. The oracle walks the
+    * SAME hierarchy with DuckDB's WITH RECURSIVE — two entirely
+    * different formulations (closed-form bit arithmetic vs recursive
+    * fixpoint) that must produce identical rollups, which is the
+    * differential-test point. */
+  def q138HierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").filter(col("p_partkey") >= 1)
+      .select(col("p_partkey").as("k"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      .select(col("cents"), explode(expr(
+        "filter(transform(sequence(0, 30), j -> shiftright(k, j))," +
+          " a -> a >= 1 AND a <= 15)")).as("anchor"))
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("n_desc"), sum("cents").as("cents_sum"))
+      .orderBy("anchor")
+  }
+
+  val q138Sql: String =
+    """WITH RECURSIVE anc AS (
+         SELECT p_partkey AS node, p_partkey AS anchor,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+         FROM part WHERE p_partkey >= 1
+         UNION ALL
+         SELECT node, anchor >> 1, cents FROM anc WHERE anchor > 1)
+       SELECT anchor, CAST(count(*) AS BIGINT) AS n_desc,
+              CAST(sum(cents) AS BIGINT) AS cents_sum
+       FROM anc WHERE anchor <= 15
+       GROUP BY anchor ORDER BY anchor"""
+
+  // --- q139: gaps and islands --------------------------------------------
+  /** Consecutive-activity runs per user (the gaps-and-islands classic):
+    * distinct active days, islanded by the day-minus-row_number trick
+    * (consecutive days share `day − rn`), reported as islands count,
+    * longest run and total active days per user. All integer/date
+    * arithmetic — bit-deterministic. The oracle formulates islands
+    * differently (lag + new-island flag + running sum), so the compare
+    * pins the semantics, not the trick. Shape: the stream reduces to
+    * |user-days| rows before any window; both windows ride the user_id
+    * exchange. */
+  def q139GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val islands = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("island", date_sub(col("d"), col("rn")))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"), max("len").as("longest_run"),
+        sum("len").cast("long").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
+  val q139Sql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+       flagged AS (
+         SELECT user_id, d,
+                CASE WHEN lag(d) OVER w IS NULL
+                       OR date_diff('day', lag(d) OVER w, d) > 1
+                     THEN 1 ELSE 0 END AS new_island
+         FROM days WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+       grouped AS (
+         SELECT user_id, d,
+                sum(new_island) OVER (PARTITION BY user_id ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS island
+         FROM flagged),
+       islands AS (
+         SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+         FROM grouped GROUP BY user_id, island)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(max(len) AS BIGINT) AS longest_run,
+              CAST(sum(len) AS BIGINT) AS n_active_days
+       FROM islands GROUP BY user_id ORDER BY user_id"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -786,6 +870,8 @@ object ScaleQueries {
     "q135_hourly_autocorr" -> q135HourlyAutocorr _,
     "q136_orc_roundtrip" -> q136OrcRoundtrip _,
     "q137_window_frames" -> q137WindowFrames _,
+    "q138_hierarchy_rollup" -> q138HierarchyRollup _,
+    "q139_gaps_islands" -> q139GapsIslands _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -802,5 +888,7 @@ object ScaleQueries {
     "q135_hourly_autocorr" -> q135Sql,
     "q136_orc_roundtrip" -> q136Sql,
     "q137_window_frames" -> q137Sql,
+    "q138_hierarchy_rollup" -> q138Sql,
+    "q139_gaps_islands" -> q139Sql,
   )
 }

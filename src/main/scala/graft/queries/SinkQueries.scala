@@ -431,8 +431,51 @@ object SinkQueries {
               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS timestamp
        FROM raw ORDER BY route, timestamp, stop_name"""
 
+  // --- q140: right-to-be-forgotten corpus erasure ----------------------
+  /** The MERGE matrix's last branch (WHEN MATCHED DELETE), framed as
+    * the operation a training corpus actually runs it for: a deletion
+    * request (every doc_id ≡ 0 mod 7) erased from a published corpus
+    * via [[graft.operators.Merge.eraseParquet]] — only the files
+    * containing a requested key are rewritten, the rest of the corpus
+    * stays byte-identical (MaintenanceSpec pins both the untouched-file
+    * bytes and the touched-file count). Output: per-language census of
+    * the surviving corpus, hash-equal to the oracle's direct
+    * anti-filter — proving the file-granular rewrite deleted exactly
+    * the requested keys, nothing else. */
+  def q140CorpusErasure(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_erase_")
+      .toString
+    try {
+      val docs = graft.io.Sources.table(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      val sink = s"$root/corpus"
+      docs.repartition(8).write.parquet(sink)
+      val request = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      graft.operators.Merge.eraseParquet(s, request, Seq("doc_id"), sink)
+      val out = s.read.parquet(sink)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("chars_total"))
+        .orderBy("lang")
+      // materialize BEFORE the finally deletes the scratch sink
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q140Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars_total
+       FROM documents WHERE doc_id % 7 <> 0
+       GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
     "q36_merge_update" -> q36MergeUpdate _,
+    "q140_corpus_erasure" -> q140CorpusErasure _,
     "q56_publish_idempotent" -> q56PublishIdempotent _,
     "q57_weather_csv" -> q57WeatherCsv _,
     "q58_delays_csv" -> q58DelaysCsv _,
@@ -443,6 +486,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_merge_update" -> q36Sql,
+    "q140_corpus_erasure" -> q140Sql,
     "q56_publish_idempotent" -> q56Sql,
     "q57_weather_csv" -> q57Sql,
     "q58_delays_csv" -> q58Sql,

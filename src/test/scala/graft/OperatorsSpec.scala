@@ -487,6 +487,49 @@ class OperatorsSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("eraseParquet: requested keys deleted, ONLY files containing them " +
+    "rewritten (untouched files byte-identical), re-run is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("erase_spec").toString
+    val sink = s"$root/t"
+    // 4 single-row files with known keys → file↔key mapping is exact
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).foreach { r =>
+      Seq(r).toDF("k", "tag").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    def files(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(sink)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    val touchedExpected = spark.read.parquet(sink)
+      .select(col("_metadata.file_path").as("f"), col("k"))
+      .filter(col("k").isin(2L, 4L))
+      .select("f").distinct().collect()
+      .map(r => new java.io.File(new java.net.URI(r.getString(0)).getPath)
+        .getName).toSet
+    val stats = graft.operators.Merge.eraseParquet(spark,
+      Seq(2L, 4L, 99L).toDF("k"), Seq("k"), sink) // 99 matches nothing
+    assert(stats.filesBefore == 4L)
+    assert(stats.filesTouched == touchedExpected.size.toLong)
+    assert(stats.rowsDeleted == 2L)
+    val after = files()
+    before.filterNot { case (n, _) => touchedExpected.contains(n) }
+      .foreach { case (n, meta) =>
+        assert(after.get(n).contains(meta), s"untouched file $n changed")
+      }
+    touchedExpected.foreach(n => assert(!after.contains(n)))
+    val got = spark.read.parquet(sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (3L, "c")))
+    // idempotence: erasing the same keys again touches nothing
+    val s2 = graft.operators.Merge.eraseParquet(spark,
+      Seq(2L, 4L).toDF("k"), Seq("k"), sink)
+    assert(s2.rowsDeleted == 0L && s2.filesTouched == 0L)
+    assert(files() == after)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
