@@ -856,6 +856,63 @@ object ScaleQueries {
               CAST(sum(len) AS BIGINT) AS n_active_days
        FROM islands GROUP BY user_id ORDER BY user_id"""
 
+  // --- q141: null-safe equi-join ----------------------------------------
+  /** The `<=>` (IS NOT DISTINCT FROM) join semantics the P8
+    * coalesce-join-nulls row only approximates: a nullable grouping key
+    * (priorities with '3-MEDIUM' nulled out) joined null-SAFELY against
+    * its own aggregate, so the NULL group matches the NULL dim row
+    * instead of silently dropping — the standard trap when a dimension
+    * key is optional. Output ordering pins NULLS LAST on both engines
+    * (Spark's asc default is NULLS FIRST, DuckDB's is NULLS LAST).
+    * Shape: one aggregate + one |groups|-row broadcast join. */
+  def q141NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val dim = orders.groupBy(col("p").as("dp"))
+      .agg(count(lit(1)).as("grp_n"))
+    orders.join(broadcast(dim), col("p") <=> col("dp"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents_sum"),
+        max("grp_n").as("dim_n"))
+      .orderBy(col("p").asc_nulls_last)
+  }
+
+  val q141Sql: String =
+    """WITH o AS (
+         SELECT nullif(o_orderpriority, '3-MEDIUM') AS p,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       dim AS (
+         SELECT p AS dp, CAST(count(*) AS BIGINT) AS grp_n
+         FROM o GROUP BY 1)
+       SELECT p, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS cents_sum,
+              CAST(max(grp_n) AS BIGINT) AS dim_n
+       FROM o JOIN dim ON o.p IS NOT DISTINCT FROM dim.dp
+       GROUP BY p ORDER BY p NULLS LAST"""
+
+  // --- q142: join fan-out audit -----------------------------------------
+  /** [[graft.operators.JoinGuard.fanoutReport]] pointed at the classic
+    * explosion scenario — a part-key self-join of lineitem (the shape
+    * every naive pair-dedup starts from): the 5 hottest keys by output
+    * pairs, with per-side multiplicities. The audit costs two counts
+    * and a |keys|-row join; the join it warns about would cost
+    * Σ n² pairs. OperatorsSpec pins `requireFanoutBelow`'s fail-fast
+    * with the offending key in the error. */
+  def q142FanoutAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_partkey")
+    graft.operators.JoinGuard.fanoutReport(li, li, Seq("l_partkey"), 5)
+  }
+
+  val q142Sql: String =
+    """WITH c AS (
+         SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1)
+       SELECT l_partkey, n AS n_left, n AS n_right,
+              CAST(n * n AS BIGINT) AS n_pairs
+       FROM c ORDER BY n_pairs DESC, l_partkey ASC LIMIT 5"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -872,6 +929,8 @@ object ScaleQueries {
     "q137_window_frames" -> q137WindowFrames _,
     "q138_hierarchy_rollup" -> q138HierarchyRollup _,
     "q139_gaps_islands" -> q139GapsIslands _,
+    "q141_null_safe_join" -> q141NullSafeJoin _,
+    "q142_fanout_audit" -> q142FanoutAudit _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -890,5 +949,7 @@ object ScaleQueries {
     "q137_window_frames" -> q137Sql,
     "q138_hierarchy_rollup" -> q138Sql,
     "q139_gaps_islands" -> q139Sql,
+    "q141_null_safe_join" -> q141Sql,
+    "q142_fanout_audit" -> q142Sql,
   )
 }

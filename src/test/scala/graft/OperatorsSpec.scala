@@ -530,6 +530,27 @@ class OperatorsSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("JoinGuard: fanoutReport ranks hot keys; requireFanoutBelow " +
+    "passes a safe join and fails an explosive one naming the offender") {
+    val left = (Seq.fill(100)(7L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val right = (Seq.fill(50)(7L) ++ Seq(1L, 2L, 9L)).toDF("k")
+    val top = graft.operators.JoinGuard
+      .fanoutReport(left, right, Seq("k"), 2).collect()
+    // key 7 dominates: 100 x 50 = 5000 pairs; keys 1,2 yield 1 each;
+    // 3 and 9 are one-sided and must not appear
+    assert(top.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((7L, 5000L), (1L, 1L)))
+    val total = graft.operators.JoinGuard
+      .requireFanoutBelow(left, right, Seq("k"), maxPairs = 10000L)
+    assert(total == 5002L)
+    val ex = intercept[IllegalStateException] {
+      graft.operators.JoinGuard
+        .requireFanoutBelow(left, right, Seq("k"), maxPairs = 100L)
+    }
+    assert(ex.getMessage.contains("5002") && ex.getMessage.contains("k=7"),
+      ex.getMessage)
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
