@@ -913,6 +913,114 @@ object ScaleQueries {
               CAST(n * n AS BIGINT) AS n_pairs
        FROM c ORDER BY n_pairs DESC, l_partkey ASC LIMIT 5"""
 
+  // --- q143: period-over-period revenue report --------------------------
+  /** Month-over-month revenue: monthly cents (exact), absolute delta
+    * (exact integer subtraction via lag) and percent change (ONE double
+    * division of two exact integers — the only float op, deterministic
+    * on both engines). The corpus reduces to |months| rows before the
+    * single-partition lag window (calendar-bounded, the q134/q135
+    * argument). First month's deltas are NULL, ordering is total. */
+  def q143MomRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    monthly
+      .withColumn("prev", lag("cents", 1).over(Window.orderBy("month")))
+      .select(col("month"), col("cents"),
+        (col("cents") - col("prev")).as("delta_cents"),
+        ((col("cents") - col("prev")).cast("double") /
+          col("prev").cast("double") * 100.0).as("pct_change"))
+      .orderBy("month")
+  }
+
+  val q143Sql: String =
+    """WITH monthly AS (
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       lagged AS (
+         SELECT month, cents,
+                lag(cents, 1) OVER (ORDER BY month) AS prev
+         FROM monthly)
+       SELECT month, cents,
+              CAST(cents - prev AS BIGINT) AS delta_cents,
+              CAST(cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100.0
+                AS pct_change
+       FROM lagged ORDER BY month"""
+
+  // --- q144: generated calendar dimension -------------------------------
+  /** A dimension built from NO input table: one year of days generated
+    * in-plan (`sequence` + explode — the S-family's generator source,
+    * the pattern that seeds date spines, retry schedules and synthetic
+    * fixtures without driver-side loops). Calendar attributes use only
+    * engine-agnostic integer arithmetic: day-of-week is computed from
+    * an epoch-anchored datediff mod 7 (1 = Monday) because the built-in
+    * dow numbering DISAGREES across engines (Spark 1=Sunday, DuckDB
+    * 0=Sunday) — the cross-engine lesson of F7 made explicit. */
+  def q144CalendarDim(s: SparkSession, dir: String): DataFrame = {
+    s.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1995-12-31')")).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        month(col("d")).as("month"), quarter(col("d")).as("quarter"),
+        // 1995-01-02 is a Monday: anchor-mod-7 is engine-agnostic
+        (pmod(datediff(col("d"), to_date(lit("1995-01-02"))), lit(7)) + 1)
+          .cast("int").as("dow"),
+        (pmod(datediff(col("d"), to_date(lit("1995-01-02"))), lit(7)) >= 5)
+          .as("is_weekend"),
+        (col("d") === last_day(col("d"))).as("is_month_end"))
+      .orderBy("day")
+  }
+
+  val q144Sql: String =
+    """SELECT strftime(d, '%Y-%m-%d') AS day,
+              CAST(month(d) AS INTEGER) AS month,
+              CAST(quarter(d) AS INTEGER) AS quarter,
+              CAST(((date_diff('day', DATE '1995-01-02', d) % 7 + 7) % 7)
+                + 1 AS INTEGER) AS dow,
+              ((date_diff('day', DATE '1995-01-02', d) % 7 + 7) % 7) >= 5
+                AS is_weekend,
+              d = last_day(d) AS is_month_end
+       FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+               DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d)
+       ORDER BY day"""
+
+  // --- q145: k-anonymity audit ------------------------------------------
+  /** The privacy DQ check that pairs with q140's erasure: group the
+    * customer table by its quasi-identifiers (segment × nation) and
+    * report the anonymity floor — smallest group, group count, and how
+    * many groups/rows sit below k = 10 (re-identifiable under linkage).
+    * One aggregation pass to |quasi-groups| rows, one scalar reduce;
+    * all integers. */
+  def q145KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"))
+    groups.agg(
+      min("n").as("k_min"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") < 10, 1L).otherwise(0L)).cast("long")
+        .as("groups_below_k"),
+      sum(when(col("n") < 10, col("n")).otherwise(0L)).cast("long")
+        .as("rows_at_risk"))
+  }
+
+  val q145Sql: String =
+    """WITH groups AS (
+         SELECT c_mktsegment, c_nationkey,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY 1, 2)
+       SELECT CAST(min(n) AS BIGINT) AS k_min,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS groups_below_k,
+              CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+                AS rows_at_risk
+       FROM groups"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -931,6 +1039,9 @@ object ScaleQueries {
     "q139_gaps_islands" -> q139GapsIslands _,
     "q141_null_safe_join" -> q141NullSafeJoin _,
     "q142_fanout_audit" -> q142FanoutAudit _,
+    "q143_mom_revenue" -> q143MomRevenue _,
+    "q144_calendar_dim" -> q144CalendarDim _,
+    "q145_k_anonymity" -> q145KAnonymity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -951,5 +1062,8 @@ object ScaleQueries {
     "q139_gaps_islands" -> q139Sql,
     "q141_null_safe_join" -> q141Sql,
     "q142_fanout_audit" -> q142Sql,
+    "q143_mom_revenue" -> q143Sql,
+    "q144_calendar_dim" -> q144Sql,
+    "q145_k_anonymity" -> q145Sql,
   )
 }
