@@ -1021,6 +1021,142 @@ object ScaleQueries {
                 AS rows_at_risk
        FROM groups"""
 
+  // --- q146: last-touch attribution -------------------------------------
+  /** Marketing-style attribution: each purchase is credited to the same
+    * user's most recent click within the preceding hour (purchases with
+    * no qualifying click stay unattributed). One window pass — the
+    * click timestamp carries forward via last_value IGNORE NULLS over
+    * the (ts, event_id) total order, then a single interval predicate
+    * decides attribution — instead of the naive purchase×click
+    * interval self-join (which is q91's decomposition problem all over
+    * again; the window form never builds candidate pairs at all).
+    * Report: per-user-bucket purchase counts, attributed counts, and
+    * exact-integer attributed value. */
+  def q146Attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"),
+      expr("CAST(round(value * 1000) AS BIGINT)").as("vmilli"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_ts").isNotNull &&
+          col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR"))
+    tagged.groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).cast("long")
+          .as("n_attributed"),
+        sum(when(col("attributed"), col("vmilli")).otherwise(0L))
+          .cast("long").as("attributed_milli"))
+      .orderBy("user_bucket")
+  }
+
+  val q146Sql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id, event_type,
+                CAST(round(value * 1000) AS BIGINT) AS vmilli
+         FROM events),
+       tagged AS (
+         SELECT user_id, ts, event_type, vmilli,
+                last_value(CASE WHEN event_type = 'click' THEN ts END
+                  IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_click_ts
+         FROM ev),
+       purchases AS (
+         SELECT user_id, vmilli,
+                (last_click_ts IS NOT NULL AND
+                 last_click_ts >= ts - INTERVAL 1 HOUR) AS attributed
+         FROM tagged WHERE event_type = 'purchase')
+       SELECT user_id % 10 AS user_bucket,
+              CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_attributed,
+              CAST(sum(CASE WHEN attributed THEN vmilli ELSE 0 END)
+                AS BIGINT) AS attributed_milli
+       FROM purchases GROUP BY 1 ORDER BY 1"""
+
+  // --- q147: clamped running balance (stateful recurrence, windowed) ----
+  /** The running total that CLAMPS at zero — rₜ = max(0, rₜ₋₁ + xₜ),
+    * the inventory/credit-balance recurrence that looks like it needs
+    * per-row state (mapGroupsWithState or a UDAF) — expressed in TWO
+    * plain windows via the identity
+    *   rₜ = cumsumₜ − min(0, min_{s≤t} cumsumₛ):
+    * the clamp only ever "absorbs" the most negative prefix, so
+    * subtracting the running minimum of the prefix sums (floored at 0)
+    * replays every reset exactly. Both windows share one user_id
+    * exchange; all arithmetic is integer. The oracle computes the SAME
+    * identity (DuckDB also has no native clamped cumsum) — and the
+    * OperatorsSpec pins the identity against a literal per-row fold on
+    * a fixture, so the algebra itself is tested, not just cross-engine
+    * agreement. Signed deltas: purchases add value, errors subtract. */
+  def q147ClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 1000) AS BIGINT)"))
+          .otherwise(expr("-CAST(round(value * 1000) AS BIGINT)"))
+          .as("delta"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val balances = ev
+      .withColumn("csum", sum("delta").over(w))
+      .withColumn("balance",
+        col("csum") - least(lit(0L), min("csum").over(w)))
+    balances.groupBy("user_id")
+      .agg(max("balance").as("peak_balance"),
+        // final balance = balance at the last (ts, event_id) row
+        max(struct(col("ts"), col("event_id"), col("balance")))("balance")
+          .as("final_balance"),
+        count(lit(1)).as("n_moves"))
+      .orderBy("user_id")
+  }
+
+  val q147Sql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 1000) AS BIGINT)
+                  ELSE -CAST(round(value * 1000) AS BIGINT) END AS delta
+         FROM events WHERE event_type IN ('purchase', 'error')),
+       c AS (
+         SELECT user_id, ts, event_id,
+                sum(delta) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS csum
+         FROM ev),
+       b AS (
+         SELECT user_id, ts, event_id,
+                csum - least(0, min(csum) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  AS balance
+         FROM c),
+       ranked AS (
+         SELECT user_id, balance,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+         FROM b)
+       SELECT g.user_id,
+              CAST(g.peak_balance AS BIGINT) AS peak_balance,
+              CAST(f.balance AS BIGINT) AS final_balance,
+              g.n_moves
+       FROM (SELECT user_id, max(balance) AS peak_balance,
+                    CAST(count(*) AS BIGINT) AS n_moves
+             FROM b GROUP BY user_id) g
+       JOIN (SELECT user_id, balance FROM ranked WHERE rn = 1) f
+         ON g.user_id = f.user_id
+       ORDER BY g.user_id"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -1042,6 +1178,8 @@ object ScaleQueries {
     "q143_mom_revenue" -> q143MomRevenue _,
     "q144_calendar_dim" -> q144CalendarDim _,
     "q145_k_anonymity" -> q145KAnonymity _,
+    "q146_attribution" -> q146Attribution _,
+    "q147_clamped_balance" -> q147ClampedBalance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1065,5 +1203,7 @@ object ScaleQueries {
     "q143_mom_revenue" -> q143Sql,
     "q144_calendar_dim" -> q144Sql,
     "q145_k_anonymity" -> q145Sql,
+    "q146_attribution" -> q146Sql,
+    "q147_clamped_balance" -> q147Sql,
   )
 }

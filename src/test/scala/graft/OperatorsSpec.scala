@@ -551,6 +551,23 @@ class OperatorsSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("clamped-balance identity: cumsum minus floored running min " +
+    "equals the literal per-row fold max(0, prev + x)") {
+    // deltas chosen to clamp twice, recover, and end positive
+    val deltas = Seq(5L, -10L, 3L, -1L, -7L, 12L, -2L)
+    val expected = deltas.scanLeft(0L)((r, x) => math.max(0L, r + x)).tail
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = deltas.zipWithIndex.map { case (d, i) => (i, d) }
+      .toDF("i", "delta")
+      .withColumn("csum", sum("delta").over(w))
+      .withColumn("balance",
+        col("csum") - least(lit(0L), min("csum").over(w)))
+      .orderBy("i").select("balance").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"identity broke: $got vs $expected")
+  }
+
   test("triangleStats: K4 + pendant path has the textbook census and " +
     "leaves no persistent RDDs behind") {
     // K4 on {1,2,3,4}: 4 triangles, 6 edges, every vertex degree 3
