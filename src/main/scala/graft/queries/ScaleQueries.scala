@@ -1157,6 +1157,110 @@ object ScaleQueries {
          ON g.user_id = f.user_id
        ORDER BY g.user_id"""
 
+  // --- q148: decile lift table (model-eval family) ----------------------
+  /** The ranking-quality report an eval pipeline runs on every scored
+    * corpus: rows ranked by a score (here the embedding's first
+    * component — a deterministic stand-in for a model score), cut into
+    * deciles, each decile's positive rate compared against the base
+    * rate as lift. Positives = label 0 (10-class fixture → ~10% base).
+    * Counts are integers; rate and lift are computed from exact
+    * integers with the lift as cross-multiplied integers over one
+    * division (pos·n_total / (n_dec·total_pos)) so no intermediate
+    * float rate propagates. Decile boundaries are ntile over the total
+    * (score, vec_id) order — tie-broken, engine-identical. */
+  def q148DecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("score"),
+        when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+    val ranked = e.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("vec_id"))))
+    val per = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val tot = per.agg(sum("n").as("n_total"), sum("n_pos").as("total_pos"))
+    per.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        ((col("n_pos") * col("n_total")).cast("double") /
+          (col("n") * col("total_pos")).cast("double")).as("lift"))
+      .orderBy("decile")
+  }
+
+  val q148Sql: String =
+    """WITH e AS (
+         SELECT vec_id, embedding[1] AS score,
+                CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+         FROM embeddings),
+       ranked AS (
+         SELECT pos, ntile(10) OVER (ORDER BY score DESC, vec_id)
+                  AS decile
+         FROM e),
+       per AS (
+         SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(pos) AS BIGINT) AS n_pos
+         FROM ranked GROUP BY decile),
+       tot AS (
+         SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                CAST(sum(n_pos) AS BIGINT) AS total_pos
+         FROM per)
+       SELECT decile, n, n_pos,
+              CAST(n_pos * n_total AS DOUBLE) /
+                CAST(n * total_pos AS DOUBLE) AS lift
+       FROM per CROSS JOIN tot ORDER BY decile"""
+
+  // --- q149: confusion matrix + precision/recall/F1 ---------------------
+  /** Binary-classifier evaluation from exact integer confusion counts:
+    * a deterministic rule (first embedding component > 0) scored
+    * against a deterministic truth (even label), reduced to
+    * (tp, fp, fn, tn) in ONE aggregation pass, then precision, recall,
+    * accuracy and F1 each as a SINGLE division of exact integers —
+    * F1 deliberately in its 2tp/(2tp+fp+fn) form so no intermediate
+    * precision/recall float ever feeds another division (the q99
+    * one-IEEE-op-per-statistic discipline applied to model eval). */
+  def q149ConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(
+      (element_at(col("embedding"), 1) > 0).as("pred"),
+      (col("label") % 2 === 0).as("truth"))
+    val m = e.agg(
+      sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")).as("precision"),
+      (col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double")).as("recall"),
+      ((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+        .as("accuracy"),
+      ((col("tp") * 2).cast("double") /
+        (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
+  }
+
+  val q149Sql: String =
+    """WITH e AS (
+         SELECT embedding[1] > 0 AS pred, label % 2 = 0 AS truth
+         FROM embeddings),
+       m AS (
+         SELECT
+           CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+         FROM e)
+       SELECT tp, fp, fn, tn,
+              CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+              CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+              CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+                AS accuracy,
+              CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+                AS f1
+       FROM m"""
+
   val all: Map[String, Q] = Map(
     "q125_ols_regression" -> q125OlsRegression _,
     "q126_corpus_drift" -> q126CorpusDrift _,
@@ -1180,6 +1284,8 @@ object ScaleQueries {
     "q145_k_anonymity" -> q145KAnonymity _,
     "q146_attribution" -> q146Attribution _,
     "q147_clamped_balance" -> q147ClampedBalance _,
+    "q148_decile_lift" -> q148DecileLift _,
+    "q149_confusion_matrix" -> q149ConfusionMatrix _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1205,5 +1311,7 @@ object ScaleQueries {
     "q145_k_anonymity" -> q145Sql,
     "q146_attribution" -> q146Sql,
     "q147_clamped_balance" -> q147Sql,
+    "q148_decile_lift" -> q148Sql,
+    "q149_confusion_matrix" -> q149Sql,
   )
 }
