@@ -44,7 +44,18 @@ import org.apache.spark.sql.functions._
   *   - q136: ORC sink round-trip (the second columnar format, with
   *     directory partition values and pruning);
   *   - q137: INTERVAL range frames + last_value IGNORE NULLS on one
-  *     exchange.
+  *     exchange;
+  *   - q138: hierarchy rollup without recursive CTEs (in-row bit-shift
+  *     ancestor enumeration vs a WITH RECURSIVE oracle);
+  *   - q139: gaps-and-islands (two formulations, one answer);
+  *   - q141: null-safe (IS NOT DISTINCT FROM) equi-join;
+  *   - q142: join fan-out guardrail ([[graft.operators.JoinGuard]]);
+  *   - q143/q144: period-over-period report, generated calendar dim;
+  *   - q145: k-anonymity audit (pairs with q140's erasure);
+  *   - q146/q147: last-touch attribution, clamped running balance (a
+  *     per-row recurrence in two plain windows);
+  *   - q148/q149: model-eval family — decile lift, confusion matrix
+  *     with single-division precision/recall/F1.
   */
 object ScaleQueries {
 

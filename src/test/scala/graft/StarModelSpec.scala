@@ -123,18 +123,27 @@ class StarModelSpec extends SparkSpec {
 
   test("publishTwiceSummary back-to-back: second invocation within 1.3x " +
       "of the first (no session residue)") {
+    // the suite shares one JVM with every other spec: collect the
+    // garbage they left before timing anything, or their heap pressure
+    // lands in OUR measurement as GC pauses
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
     def once(): Double = {
       val t0 = System.nanoTime()
       Publish.publishTwiceSummary(spark, dir).collect()
       (System.nanoTime() - t0) / 1e9
     }
     once() // discard the cold run (plan compilation dominates it)
+    settle()
     val t1 = once()
     val t2 = once()
-    // real session residue degrades every subsequent run; a stray GC
-    // pause from earlier suites in the shared JVM does not — retry once
-    // and take the min so only persistent degradation trips the gate
-    val t2f = if (t2 <= t1 * 1.3) t2 else math.min(t2, once())
+    // real session residue degrades EVERY subsequent run; a stray GC
+    // pause from the shared JVM does not — on a miss, settle and retry
+    // (up to twice), taking the min, so only persistent degradation trips
+    var t2f = t2
+    var retries = 2
+    while (t2f > t1 * 1.3 && retries > 0) {
+      settle(); t2f = math.min(t2f, once()); retries -= 1
+    }
     assert(t2f <= t1 * 1.3,
       f"publish degraded across invocations: $t1%.2f s -> $t2f%.2f s")
   }
