@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generation-manifest commit protocol for plain-parquet sinks — the
+  * table-format `_commit` pointer that makes the rewrite family
+  * ([[Merge.mergeParquet]], [[Merge.eraseParquet]],
+  * [[Compact.compactSink]], [[Upsert.replacePartitionsParquet]])
+  * crash-atomic. The reference never needed this because its MERGE is
+  * executed by a transactional warehouse (`dags/idh_etl.py:247-256`);
+  * a file-granular rewrite over raw parquet does: between "new files
+  * added" and "replaced originals deleted" a directory listing shows
+  * BOTH copies of every rewritten row.
+  *
+  * Protocol (single writer, as in the reference's one-DAG publish):
+  *   - `<sink>/_graft_log/<gen>.manifest` lists the LIVE data files of
+  *     generation `gen`, one sink-relative path per line. Spark and
+  *     DuckDB both ignore underscore-prefixed directories, so the log
+  *     is invisible to plain directory readers.
+  *   - A writer first [[ensureLogged]]s the sink: bootstrap gen 0 from
+  *     the directory listing (no log yet — by induction the listing is
+  *     clean, since every logged writer deletes only AFTER committing),
+  *     or vacuum any orphans a torn previous swap left behind.
+  *   - The swap becomes add → COMMIT → delete: new files land under
+  *     fresh unique names, then ONE atomic rename of the next
+  *     generation's manifest (written to a dot-prefixed temp name
+  *     first) is the commit point, then the replaced originals are
+  *     deleted as garbage collection. A crash before the commit leaves
+  *     uncommitted orphans the old generation never references; a
+  *     crash after it leaves garbage the new generation never
+  *     references. A manifest-resolving reader sees exactly-once rows
+  *     at EVERY intermediate point, and a re-run first vacuums the
+  *     debris (CommitProtocolSpec kills the swap at both points and
+  *     proves both properties).
+  *   - [[read]] resolves the latest manifest (explicit file list +
+  *     `basePath`, so hive-partition columns still materialize) and
+  *     falls back to a plain directory read for never-logged sinks —
+  *     existing append-only sinks keep working unchanged.
+  *
+  * Durability notes for real deployments: the commit rename is atomic
+  * on HDFS and POSIX filesystems; an object store without atomic
+  * rename (S3) needs a conditional-PUT variant of [[commit]], which is
+  * exactly what production table formats do. Manifests are
+  * file-count-sized (the same driver-side bound as
+  * [[ManifestSkip]]'s stats table and [[Upsert]]'s partition-value
+  * pruning); at 10⁶ files a manifest is one ~100 MB sequential read,
+  * vs the 10⁶ LIST round-trips it replaces.
+  */
+object CommitLog {
+
+  val LogDirName = "_graft_log"
+
+  private def logDir(sink: Path) = new Path(sink, LogDirName)
+
+  private def manifestName(gen: Long): String = f"$gen%020d.manifest"
+
+  /** Sink-relative form of an absolute data-file path (a listing entry
+    * or a `_metadata.file_path` value). Normalized through URI paths so
+    * `file:/x`, `file:///x` and plain `/x` spellings all relativize
+    * identically. */
+  private[graft] def relativize(fs: FileSystem, sink: Path,
+                                file: String): String = {
+    val sinkPath = fs.makeQualified(sink).toUri.getPath
+    val filePath = new Path(file).toUri.getPath
+    require(filePath.startsWith(sinkPath + "/"),
+      s"$file is not under sink $sink")
+    filePath.substring(sinkPath.length + 1)
+  }
+
+  /** Data files currently ON DISK under `sink`, sink-relative, sorted.
+    * Hidden (`.`/`_`-prefixed) names are skipped at every path level —
+    * the log itself, in-progress part files, and scratch debris are
+    * never data. */
+  private[graft] def listDataFiles(fs: FileSystem, sink: Path)
+  : Seq[String] = {
+    if (!fs.exists(sink)) return Nil
+    val buf = Seq.newBuilder[String]
+    val it = fs.listFiles(sink, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = relativize(fs, sink, f.toString)
+        if (!rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))) buf += rel
+      }
+    }
+    buf.result().sorted
+  }
+
+  /** Latest committed (generation, live files), or None when the sink
+    * has never been logged. */
+  def committed(fs: FileSystem, sink: Path): Option[(Long, Seq[String])] = {
+    val dir = logDir(sink)
+    if (!fs.exists(dir)) return None
+    val gens = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(n => n.stripSuffix(".manifest").toLong)
+    if (gens.isEmpty) return None
+    val gen = gens.max
+    val in = fs.open(new Path(dir, manifestName(gen)))
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Some(gen -> body.split('\n').iterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq)
+  }
+
+  /** Atomically commit `files` (sink-relative) as the next generation.
+    * Write-to-temp + one rename — the rename IS the commit point.
+    * Returns the committed generation. */
+  def commit(fs: FileSystem, sink: Path, files: Seq[String]): Long = {
+    val dir = logDir(sink)
+    fs.mkdirs(dir)
+    val gen = committed(fs, sink).map(_._1 + 1).getOrElse(0L)
+    val tmp = new Path(dir, "." + manifestName(gen) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(dir, manifestName(gen))
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"commit of generation $gen failed: " +
+        s"rename $tmp -> $fin (concurrent writer?)")
+    gen
+  }
+
+  /** Delete data files on disk that the latest manifest does not
+    * reference — the garbage a torn swap leaves. No-op (0) for
+    * never-logged sinks. Single-writer only: under a concurrent writer
+    * this would delete its in-flight uncommitted files. */
+  def vacuum(fs: FileSystem, sink: Path): Long = committed(fs, sink) match {
+    case None => 0L
+    case Some((_, live)) =>
+      val orphans = listDataFiles(fs, sink).diff(live)
+      orphans.foreach(r => fs.delete(new Path(sink, r), false))
+      orphans.length.toLong
+  }
+
+  /** Bring the sink under log control and return its live set:
+    * bootstrap generation 0 from the directory listing when no log
+    * exists, else vacuum torn-swap orphans so the listing and the
+    * manifest agree. Every logged writer calls this FIRST — which is
+    * what makes the bootstrap listing trustworthy by induction. */
+  def ensureLogged(fs: FileSystem, sink: Path): Seq[String] =
+    committed(fs, sink) match {
+      case None =>
+        val files = listDataFiles(fs, sink)
+        commit(fs, sink, files)
+        files
+      case Some((_, live)) =>
+        vacuum(fs, sink)
+        live
+    }
+
+  /** The sink's rows, exactly-once: resolved through the latest
+    * manifest when one exists (explicit live-file list + `basePath`,
+    * so partition columns still materialize from directory names),
+    * plain directory read otherwise. This is THE reader the protocol's
+    * guarantee is stated for — a plain `spark.read.parquet(sink)` is
+    * only equivalent once [[vacuum]] has run. */
+  def read(spark: SparkSession, sink: String): DataFrame = {
+    val hPath = new Path(sink)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committed(fs, hPath) match {
+      case None => spark.read.parquet(sink)
+      case Some((_, live)) if live.isEmpty => spark.emptyDataFrame
+      case Some((_, live)) =>
+        spark.read.option("basePath", sink)
+          .parquet(live.map(r => new Path(hPath, r).toString): _*)
+    }
+  }
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -23,20 +24,23 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     unchanged names exactly as before;
   *   - already-compacted sinks no-op: the target file count for a
   *     partitioned sink is at least one file per partition value;
-  *   - the swap is NOT atomic, but it is never copyless: the sequence
-  *     is write tmp → rename sink aside → rename tmp into place →
-  *     delete aside. A crash at any point leaves at least one complete
-  *     copy on disk (under `<path>__compact_tmp` or `<path>__compact_old`),
-  *     and a later run refuses to start while an aside copy exists.
-  *     Real deployments get true atomicity from a table-format commit
-  *     (Delta/Iceberg) or a catalog pointer flip; this operator is the
-  *     rewrite underneath that commit.
+  *   - the swap is crash-atomic under the [[CommitLog]] protocol:
+  *     compacted files are written to a scratch dir, moved into the
+  *     sink under fresh unique names (partition directories
+  *     preserved), ONE manifest rename commits the new generation,
+  *     and only then are the old files deleted as garbage. A
+  *     manifest-resolving reader ([[CommitLog.read]]) sees every row
+  *     exactly once at every intermediate point; a crash leaves
+  *     debris the next logged writer vacuums (CommitProtocolSpec
+  *     kills the swap at both points and proves it). This replaces
+  *     the previous rename-aside swap, whose add-then-delete window
+  *     could double rows for directory readers.
   */
 object Compact {
 
   /** Parquet data files under `path`, recursively; Nil when the path
     * does not exist (a guard-skipped or G1-deleted sink). */
-  private def dataFiles(spark: SparkSession, path: org.apache.hadoop.fs.Path)
+  private def dataFiles(spark: SparkSession, path: Path)
   : Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return Nil
@@ -44,7 +48,10 @@ object Compact {
     val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) buf += f
+      if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getName.startsWith(".") &&
+          f.getPath.getParent.getName != CommitLog.LogDirName)
+        buf += f
     }
     buf.result()
   }
@@ -52,23 +59,24 @@ object Compact {
   /** Compact the sink at `path` to ~`targetBytes` output files
     * (at least one per partition value when `partitionCol` is set).
     * Returns (filesBefore, filesAfter); equal counts with no rewrite
-    * when the sink is missing, empty, or already at the target. */
+    * when the sink is missing, empty, or already at the target.
+    * `failpoint` is the crash-injection hook for the swap spec
+    * (`"added"` / `"committed"`, see [[Merge.mergeParquet]]). */
   def compactSink(spark: SparkSession, path: String,
                   partitionCol: Option[String] = None,
-                  targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  failpoint: String => Unit = _ => ()): (Long, Long) = {
     // normalize through Path so a trailing slash can't nest the scratch
-    // dirs INSIDE the sink (where the swap would destroy them)
-    val hPath = new org.apache.hadoop.fs.Path(path)
+    // dir INSIDE the sink (where the swap would destroy it)
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
-      hPath.getName + "__compact_tmp")
-    val aside = new org.apache.hadoop.fs.Path(hPath.getParent,
-      hPath.getName + "__compact_old")
-    require(!fs.exists(aside),
-      s"$aside exists — a previous compaction swap did not complete; " +
-        "recover (rename it back or delete it after verifying the sink) " +
-        "before compacting again")
+    val tmp = new Path(hPath.getParent, hPath.getName + "__compact_tmp")
+    if (!fs.exists(hPath)) return (0L, 0L)
 
+    // bootstrap gen 0 / vacuum a torn previous swap, then measure the
+    // exactly-once live set (post-vacuum, the listing IS the live set
+    // and carries the sizes the target calculation needs)
+    CommitLog.ensureLogged(fs, hPath)
     val before = dataFiles(spark, hPath)
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
@@ -79,6 +87,8 @@ object Compact {
     val targetFiles = math.max(nPartitionDirs.toLong,
       (totalBytes + targetBytes - 1) / targetBytes)
     if (before.size <= targetFiles) return (before.size, before.size)
+    val beforeRel = before
+      .map(f => CommitLog.relativize(fs, hPath, f.getPath.toString))
 
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from a failed WRITE
     partitionCol match {
@@ -99,17 +109,31 @@ object Compact {
         spark.read.parquet(hPath.toString)
           .repartition(targetFiles.toInt).write.parquet(tmp.toString)
     }
-    // copyless-window-free swap: both renames are metadata operations,
-    // and at least one complete copy exists at every step
-    if (!fs.rename(hPath, aside))
-      throw new java.io.IOException(s"compaction: could not move $hPath " +
-        s"aside to $aside (sink untouched; compacted copy at $tmp)")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(aside, hPath) // roll back
-      throw new java.io.IOException(s"compaction: could not move $tmp " +
-        s"into place — original sink restored at $hPath")
+    // add → COMMIT → delete: move the compacted files in (partition
+    // directories preserved, names are fresh write UUIDs), commit the
+    // new generation, then GC every pre-compaction file
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"compaction: could not move $f into $dest")
+        added += rel
+      }
     }
-    fs.delete(aside, true)
+    failpoint("added")
+    CommitLog.commit(fs, hPath, added.result())
+    failpoint("committed")
+    beforeRel.foreach { r => // GC of unreferenced files, best-effort
+      try fs.delete(new Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
     (before.size, dataFiles(spark, hPath).size)
   }
 }

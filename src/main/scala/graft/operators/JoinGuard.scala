@@ -14,34 +14,53 @@ import org.apache.spark.sql.functions._
   */
 object JoinGuard {
 
+  /** Un-sorted per-key pair counts — the shared core of the report and
+    * the guard. `n_pairs_dec` is decimal(38,0): the guard exists
+    * precisely for explosive joins, where a LongType nₗ·nᵣ (a single
+    * key with ~3·10⁹ rows per side) or the Σ over keys would wrap
+    * silently in non-ANSI mode and make the guard PASS the join it
+    * must reject. Decimal multiply/sum cannot wrap below 10³⁸. */
+  private def fanoutCounts(left: DataFrame, right: DataFrame,
+                           keys: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val l = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_right"))
+    l.join(r, keys)
+      .withColumn("n_pairs_dec",
+        col("n_left").cast(dec) * col("n_right").cast(dec))
+  }
+
   /** Per-key fan-out report of `left ⋈ right` on `keys`: the `topK`
     * hottest keys by output-pair count, with each side's multiplicity.
     * Only keys present on BOTH sides appear (others produce no inner-
     * join output). Shape: two partial-aggregated counts shuffled by the
-    * join key, one |keys|-row join, TakeOrdered for the top-k. */
+    * join key, one |keys|-row join, TakeOrdered for the top-k. The
+    * RANKING is decimal-exact; the displayed `n_pairs` column is BIGINT
+    * for oracle/schema stability (a key whose own pair count exceeds
+    * 2⁶³ wraps only in display, never in the ordering). */
   def fanoutReport(left: DataFrame, right: DataFrame,
-                   keys: Seq[String], topK: Int): DataFrame = {
-    val l = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_left"))
-    val r = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_right"))
-    l.join(r, keys)
-      .withColumn("n_pairs", col("n_left") * col("n_right"))
-      .orderBy(col("n_pairs").desc +: keys.map(col(_).asc): _*)
+                   keys: Seq[String], topK: Int): DataFrame =
+    fanoutCounts(left, right, keys)
+      .orderBy(col("n_pairs_dec").desc +: keys.map(col(_).asc): _*)
       .limit(topK)
-  }
+      .withColumn("n_pairs", col("n_pairs_dec").cast("long"))
+      .drop("n_pairs_dec")
 
   /** Fail fast when the join's total output would exceed `maxPairs`:
-    * one aggregation pass computes Σ nₗ·nᵣ and the single worst key;
-    * the thrown message carries both so the operator points at the
-    * offender instead of reporting a bare number. */
+    * one aggregation pass computes Σ nₗ·nᵣ and the single worst key —
+    * no sort (the report's TakeOrdered is skipped; the agg consumes the
+    * un-sorted counts directly). All comparisons are decimal(38,0), so
+    * neither a hot key nor the total can wrap past the budget check.
+    * Returns the exact total (≤ maxPairs ≤ Long.MaxValue on success). */
   def requireFanoutBelow(left: DataFrame, right: DataFrame,
                          keys: Seq[String], maxPairs: Long): Long = {
-    val report = fanoutReport(left, right, keys, Int.MaxValue)
-    val row = report
-      .agg(sum("n_pairs").cast("long").as("total"),
-        max(struct(col("n_pairs") +: keys.map(col): _*)).as("worst"))
+    val row = fanoutCounts(left, right, keys)
+      .agg(sum("n_pairs_dec").as("total"),
+        max(struct(col("n_pairs_dec") +: keys.map(col): _*)).as("worst"))
       .collect()(0)
-    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-    if (total > maxPairs) {
+    val total: java.math.BigDecimal =
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    if (total.compareTo(java.math.BigDecimal.valueOf(maxPairs)) > 0) {
       val worst = row.getStruct(1)
       throw new IllegalStateException(
         s"join fan-out $total pairs exceeds budget $maxPairs; " +
@@ -49,6 +68,6 @@ object JoinGuard {
           s"${(1 until worst.size).map(worst.get).mkString(",")} " +
           s"alone yields ${worst.get(0)} pairs")
     }
-    total
+    total.longValueExact()
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,45 +15,68 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the cost is proportional to the files the update
   * batch TOUCHES, not the sink —
-  *   1. one key-projected scan of the sink tags each key with its file
+  *   1. ONE key-projected scan of the sink tags each key with its file
   *      (`_metadata.file_path`, a generated column — no extra I/O) and
   *      a semi-join against the batch keys reduces to the distinct
   *      touched-file list (bounded by |sink files|, collected);
-  *   2. only those files are re-read IN FULL; their unmatched rows
-  *      union the matched update payloads and rewrite;
-  *   3. not-matched batch rows append as new files.
+  *   2. only those files are re-read; because a batch key that matches
+  *      ANY sink row matches it in a touched file, the matched/insert
+  *      split of the batch derives from this touched-file read too —
+  *      no second or third full-sink key pass (the round-6 demand);
+  *   3. unmatched touched rows union the matched payloads and the
+  *      inserts, and rewrite.
   * The batch-key side of the semi-join is left UNHINTED: a small batch
   * broadcasts by AQE's own estimate, a reconciliation-sized batch
   * shuffles — the same guard discipline as
   * [[Graphs.triangleStats]]'s degree table.
   *
-  * The swap is add-then-delete: rewritten + inserted files land in the
-  * sink directory under fresh unique names FIRST, then the replaced
-  * originals are deleted. A crash between the two steps leaves
-  * duplicated matched rows (re-runnable, detectable by key count) —
-  * never lost rows, which delete-then-add would risk. True atomicity
-  * belongs to a table-format commit (Delta/Iceberg); this operator is
-  * the rewrite underneath that commit, like [[Compact.compactSink]].
+  * The swap is add → COMMIT → delete under the [[CommitLog]]
+  * generation-manifest protocol: rewritten + inserted files land in
+  * the sink under fresh unique names, ONE atomic manifest rename
+  * commits the new generation, and only then are the replaced
+  * originals deleted (pure garbage collection — the committed
+  * generation never references them). A crash at ANY point leaves a
+  * manifest-resolving reader ([[CommitLog.read]]) seeing exactly-once
+  * rows — before the commit the old generation, after it the new —
+  * and the next logged writer vacuums the debris. This closes the
+  * duplicated-rows crash window a bare add-then-delete swap had vs
+  * the reference's transactional warehouse MERGE
+  * (`dags/idh_etl.py:247-256`); CommitProtocolSpec kills the swap at
+  * both points and proves it.
   *
-  * `updates` must carry the sink's exact schema (keys + payload).
-  * Duplicate keys WITHIN the batch are the producer's bug (which row
-  * should win is undefined); pass the batch through
-  * [[Upsert.dedupKeepFirstAgg]] first, as the publish path does. */
+  * Sinks must be non-hive-partitioned (the rewrite writes flat data
+  * files; partition-replacement lives in
+  * [[Upsert.replacePartitionsParquet]]). `updates` must carry the
+  * sink's exact schema (keys + payload). Duplicate keys WITHIN the
+  * batch are the producer's bug (which row should win is undefined);
+  * pass the batch through [[Upsert.dedupKeepFirstAgg]] first, as the
+  * publish path does. */
 object Merge {
 
-  /** Merge outcome: files in the sink before, files rewritten (=
+  /** Merge outcome: live files in the sink before, files rewritten (=
     * files that contained ≥1 matched key), rows whose payload was
     * replaced, rows inserted. */
   final case class MergeStats(filesBefore: Long, filesTouched: Long,
                               rowsUpdated: Long, rowsInserted: Long)
 
+  /** `failpoint` is the crash-injection hook for the swap spec: called
+    * with `"added"` after the new files are in place but before the
+    * manifest commit, and `"committed"` after the commit but before
+    * the replaced originals are deleted. Production callers leave the
+    * default no-op. */
   def mergeParquet(spark: SparkSession, updates: DataFrame,
-                   keyCols: Seq[String], path: String): MergeStats = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
+                   keyCols: Seq[String], path: String,
+                   failpoint: String => Unit = _ => ()): MergeStats = {
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"merge target $path does not exist — " +
       "first write goes through the publish path, not MERGE")
-    val sinkSchema = spark.read.parquet(path).schema
+    // bootstrap gen 0 / vacuum a torn previous swap; `live` is the
+    // exactly-once file set everything below reads
+    val live = CommitLog.ensureLogged(fs, hPath)
+    val liveAbs = live.map(r => new Path(hPath, r).toString)
+    val sinkDF = spark.read.parquet(liveAbs: _*)
+    val sinkSchema = sinkDF.schema
     require(sinkSchema.fieldNames.sorted.sameElements(
         updates.columns.sorted),
       s"updates schema ${updates.columns.sorted.mkString(",")} must match " +
@@ -60,41 +84,42 @@ object Merge {
     val keyed = updates.select(updates.columns.map(col): _*)
 
     // small frame, three consumers (touched files, matched rewrite,
-    // insert anti-join) — cache and release before returning
+    // insert anti-join) — cache, released in the finally (a crash —
+    // real or failpoint-injected — must not leak the blocks)
     val batch = keyed.cache()
+    try {
 
-    // 1. touched files: key-projected sink scan + semi-join; the file
-    // path is parquet metadata, so the scan reads ONLY the key columns
-    val sinkKeys = spark.read.parquet(path)
+    // 1. touched files: THE one full-sink key scan (key columns only —
+    // the file path is parquet metadata, no extra I/O)
+    val sinkKeys = sinkDF
       .select(col("_metadata.file_path").as("__f") +:
         keyCols.map(col): _*)
     val touched = sinkKeys
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select("__f").distinct()
-      .collect().map(_.getString(0)).sorted
-    val filesBefore = {
-      val it = fs.listFiles(hPath, true)
-      var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
+      .collect().map(_.getString(0)).sorted.toSeq
+    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
 
-    val matched = batch.join(
-      spark.read.parquet(path).select(keyCols.map(col): _*),
-      keyCols, "left_semi")
-    val inserts = batch.join(
-      spark.read.parquet(path).select(keyCols.map(col): _*),
-      keyCols, "left_anti")
+    // 2. matched/inserts split of the batch, derived from the touched
+    // files alone: a batch key matching ANY sink row matches it in a
+    // touched file, so the full sink is never key-scanned again
+    val touchedKeys =
+      if (touched.isEmpty) null
+      else spark.read.schema(sinkSchema).parquet(touched: _*)
+        .select(keyCols.map(col): _*)
+    val matched =
+      if (touched.isEmpty) batch.filter(lit(false))
+      else batch.join(touchedKeys, keyCols, "left_semi")
+    val inserts =
+      if (touched.isEmpty) batch
+      else batch.join(touchedKeys, keyCols, "left_anti")
     val nUpdated = matched.count()
     val nInserted = inserts.count()
 
-    // 2.+3. rewrite = touched files' unmatched rows + matched payloads;
+    // 3. rewrite = touched files' unmatched rows + matched payloads;
     // inserts ride the same write. Written to a scratch dir first so a
     // failed job can't leave partial part-files inside the sink.
-    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
-      hPath.getName + "__merge_tmp")
+    val tmp = new Path(hPath.getParent, hPath.getName + "__merge_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val rewritten =
       if (touched.isEmpty) inserts
@@ -104,28 +129,37 @@ object Merge {
         .unionByName(inserts)
     if (nUpdated + nInserted > 0) {
       rewritten.write.parquet(tmp.toString)
-      // add-then-delete swap: move the new part-files in under their
-      // (unique) names, then drop the replaced originals
+      // add → COMMIT → delete: move the new part-files in under their
+      // (unique) names, commit the next generation, then GC the
+      // replaced originals
+      val added = Seq.newBuilder[String]
       val it = fs.listFiles(tmp, false)
       while (it.hasNext) {
         val f = it.next().getPath
         if (f.getName.endsWith(".parquet")) {
-          if (!fs.rename(f, new org.apache.hadoop.fs.Path(hPath, f.getName)))
+          if (!fs.rename(f, new Path(hPath, f.getName)))
             throw new java.io.IOException(
               s"merge: could not move $f into $hPath")
+          added += f.getName
         }
       }
-      touched.foreach { f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      failpoint("added")
+      CommitLog.commit(fs, hPath,
+        live.diff(touchedRel) ++ added.result())
+      failpoint("committed")
+      touchedRel.foreach { r => // GC of unreferenced files, best-effort
+        try fs.delete(new Path(hPath, r), false)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       fs.delete(tmp, true)
     }
-    batch.unpersist(blocking = false)
-    MergeStats(filesBefore, touched.length.toLong, nUpdated, nInserted)
+    MergeStats(live.length.toLong, touched.length.toLong,
+      nUpdated, nInserted)
+    } finally batch.unpersist(blocking = false)
   }
 
-  /** Erasure outcome: files in the sink before, files rewritten, rows
-    * deleted. */
+  /** Erasure outcome: live files in the sink before, files rewritten,
+    * rows deleted. */
   final case class EraseStats(filesBefore: Long, filesTouched: Long,
                               rowsDeleted: Long)
 
@@ -134,9 +168,13 @@ object Merge {
     * every sink row whose key appears in `keys` is removed, and ONLY
     * the files containing such a key are rewritten; the rest of the
     * corpus stays byte-identical (never read past its key columns,
-    * never written). Same add-then-delete swap as [[mergeParquet]]: a
-    * crash mid-swap leaves the matched rows still present (erasure
-    * simply re-runs), never a hole in the corpus.
+    * never written). Same [[CommitLog]] add → COMMIT → delete swap as
+    * [[mergeParquet]]: a crash before the commit leaves the old
+    * generation intact (erasure simply re-runs — the privacy
+    * guarantee is the re-run's), a crash after it leaves a
+    * manifest-resolved corpus that ALREADY reads exactly-once with no
+    * surviving-row duplicates — the window where a re-run could
+    * re-delete keys but never dedupe duplicated survivors is gone.
     *
     * Scale shape mirrors [[mergeParquet]]: one key-projected sink scan
     * semi-joined against the erasure keys (unhinted — AQE broadcasts a
@@ -146,54 +184,58 @@ object Merge {
     * heavy corpora cluster their layout by the erasure key (q84/q123's
     * layout discipline) so a deletion request touches few files. */
   def eraseParquet(spark: SparkSession, keys: DataFrame,
-                   keyCols: Seq[String], path: String): EraseStats = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
+                   keyCols: Seq[String], path: String,
+                   failpoint: String => Unit = _ => ()): EraseStats = {
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"erase target $path does not exist")
-    val sinkSchema = spark.read.parquet(path).schema
     require(keyCols.forall(keys.columns.contains),
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
+    val live = CommitLog.ensureLogged(fs, hPath)
+    val liveAbs = live.map(r => new Path(hPath, r).toString)
+    val sinkDF = spark.read.parquet(liveAbs: _*)
+    val sinkSchema = sinkDF.schema
     val batch = keys.select(keyCols.map(col): _*).distinct().cache()
+    try {
 
-    val sinkKeys = spark.read.parquet(path)
+    val sinkKeys = sinkDF
       .select(col("_metadata.file_path").as("__f") +:
         keyCols.map(col): _*)
     val touched = sinkKeys
       .join(batch, keyCols, "left_semi")
       .select("__f").distinct()
-      .collect().map(_.getString(0)).sorted
-    val filesBefore = {
-      val it = fs.listFiles(hPath, true)
-      var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
-    }
+      .collect().map(_.getString(0)).sorted.toSeq
+    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
     var deleted = 0L
     if (touched.nonEmpty) {
       val touchedRows = spark.read.schema(sinkSchema).parquet(touched: _*)
       val kept = touchedRows.join(batch, keyCols, "left_anti")
       deleted = touchedRows.count() - kept.count()
-      val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
-        hPath.getName + "__erase_tmp")
+      val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       kept.write.parquet(tmp.toString)
+      val added = Seq.newBuilder[String]
       val it = fs.listFiles(tmp, false)
       while (it.hasNext) {
         val f = it.next().getPath
         if (f.getName.endsWith(".parquet")) {
-          if (!fs.rename(f, new org.apache.hadoop.fs.Path(hPath, f.getName)))
+          if (!fs.rename(f, new Path(hPath, f.getName)))
             throw new java.io.IOException(
               s"erase: could not move $f into $hPath")
+          added += f.getName
         }
       }
-      touched.foreach { f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      failpoint("added")
+      CommitLog.commit(fs, hPath,
+        live.diff(touchedRel) ++ added.result())
+      failpoint("committed")
+      touchedRel.foreach { r =>
+        try fs.delete(new Path(hPath, r), false)
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       fs.delete(tmp, true)
     }
-    batch.unpersist(blocking = false)
-    EraseStats(filesBefore, touched.length.toLong, deleted)
+    EraseStats(live.length.toLong, touched.length.toLong, deleted)
+    } finally batch.unpersist(blocking = false)
   }
 }

@@ -210,7 +210,11 @@ object Publish {
     * [[StarModel.conform]] restores the declared column order and
     * types, so consumers see exactly the `schemas.py` contract. */
   def readSink(s: SparkSession, sinkRoot: String, m: TableModel): DataFrame =
-    StarModel.conform(s.read.parquet(s"$sinkRoot/${m.name}"), m.schema)
+    StarModel.conform(
+      // exactly-once even mid-rewrite: resolve through the CommitLog
+      // manifest when a rewrite op has logged this sink (plain
+      // directory read otherwise — identical for append-only sinks)
+      CommitLog.read(s, s"$sinkRoot/${m.name}"), m.schema)
 
   /** T4: the Airflow task-retry analog (`retries=3` on the reference's
     * publish task, `dags/idh_etl.py`). Airflow retries re-run the WHOLE

@@ -232,18 +232,34 @@ object Upsert {
     * parquet warehouse without read-modify-write of the whole table:
     * at 100 TB the rewrite cost is the touched partitions, not the sink.
     *
-    * The dynamic mode is set as a per-write OPTION, so the session
-    * default (`static`, which would truncate the whole table) is never
-    * changed globally. Returns rows written, from the same committed-
-    * task metrics as [[upsertParquet]]. `partitionCol` need not be a key
-    * here — replacement is by partition, not by key — but the batch
-    * must carry COMPLETE partitions (everything a touched partition
-    * should contain afterwards), which is the contract re-statement
-    * feeds naturally satisfy. */
+    * Returns rows written, from the same committed-task metrics as
+    * [[upsertParquet]]. `partitionCol` need not be a key here —
+    * replacement is by partition, not by key — but the batch must
+    * carry COMPLETE partitions (everything a touched partition should
+    * contain afterwards), which is the contract re-statement feeds
+    * naturally satisfy. Touched partitions are matched by partition
+    * DIRECTORY name, so the batch's partition column must carry the
+    * sink's declared type (the [[graft.model.StarModel.conform]]
+    * discipline) — a long 20240102 and an int 20240102 render the
+    * same directory, a string would not.
+    *
+    * The swap is crash-atomic under the [[CommitLog]] protocol (the
+    * same add → COMMIT → delete as [[Merge.mergeParquet]]), replacing
+    * Spark's dynamic partition overwrite whose commit deletes the old
+    * partition contents before the staged renames land — a crash
+    * there loses rows, and a crash in a bare add-then-delete swap
+    * doubles them. Here the batch is staged to a scratch dir in the
+    * sink's layout, moved in under fresh unique names, ONE manifest
+    * rename commits, and only then are the replaced partitions' old
+    * files deleted as garbage ([[CommitLog.read]] sees exactly-once
+    * rows at every point; CommitProtocolSpec kills the swap at both
+    * points). `failpoint`: crash-injection hook (`"added"` /
+    * `"committed"`). */
   def replacePartitionsParquet(spark: SparkSession, incoming: DataFrame,
                                keys: Seq[String], orderCols: Seq[String],
                                path: String, partitionCol: String,
-                               preDeduped: Boolean = false): Long = {
+                               preDeduped: Boolean = false,
+                               failpoint: String => Unit = _ => ()): Long = {
     val cleaned = dropDuplicateColumns(incoming)
     val missing = (keys :+ partitionCol).distinct
       .filterNot(cleaned.columns.contains)
@@ -254,18 +270,62 @@ object Upsert {
     val deduped =
       if (preDeduped) cleaned
       else dedupKeepFirstAgg(cleaned, keys, orderCols)
-    val watch = watchWrite(spark, path)
-    deduped.repartition(col(partitionCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
-    val n = watch.rows()
-    if (n < 0) {
-      System.err.println(s"[replace] write metrics for $path did not " +
-        "arrive — returning deduped batch count")
-      return deduped.count()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      // first write: nothing to replace — plain partitioned write,
+      // then bring the new sink under log control
+      val watch = watchWrite(spark, path)
+      deduped.repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).parquet(path)
+      val n = watch.rows()
+      CommitLog.ensureLogged(fs, hPath)
+      return if (n < 0) deduped.count() else n
     }
+    val live = CommitLog.ensureLogged(fs, hPath)
+    // stage the batch in the sink's exact layout
+    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
+      hPath.getName + "__replace_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val watch = watchWrite(spark, tmp.toString)
+    deduped.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(tmp.toString)
+    var n = watch.rows()
+    if (n < 0) {
+      System.err.println(s"[replace] write metrics for $tmp did not " +
+        "arrive — falling back to the deduped batch count")
+      n = deduped.count()
+    }
+    // add → COMMIT → delete
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new org.apache.hadoop.fs.Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"replace: could not move $f into $dest")
+        added += rel
+      }
+    }
+    val newFiles = added.result()
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val touchedDirs = newFiles.map(dirOf).toSet
+    val replaced = live.filter(r => touchedDirs.contains(dirOf(r)))
+    failpoint("added")
+    CommitLog.commit(fs, hPath, live.diff(replaced) ++ newFiles)
+    failpoint("committed")
+    replaced.foreach { r => // GC of unreferenced files, best-effort
+      try fs.delete(new org.apache.hadoop.fs.Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
     n
   }
 
@@ -344,6 +404,16 @@ object Upsert {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = fs.exists(hPath)
+    // a sink some rewrite op has brought under CommitLog control keeps
+    // its manifest CURRENT through appends too: vacuum torn-swap debris
+    // first (so the plain reads below see exactly the live set), and
+    // extend the manifest with the appended files afterwards — without
+    // this, a manifest-resolving reader would never see rows appended
+    // after a compaction. Never-logged sinks skip both (zero cost).
+    val liveBefore: Option[Seq[String]] =
+      if (existed && CommitLog.committed(fs, hPath).isDefined)
+        Some(CommitLog.ensureLogged(fs, hPath))
+      else None
     // batch partition values, collected ONCE and shared by the pruned
     // anti-join scan and the pruned before/after counts
     val pvals = partitionCol match {
@@ -396,6 +466,10 @@ object Upsert {
         case _: org.apache.spark.sql.AnalysisException if !existed => 0L
       }
       n = after - before
+    }
+    liveBefore.foreach { lv =>
+      val newFiles = CommitLog.listDataFiles(fs, hPath).diff(lv)
+      if (newFiles.nonEmpty) CommitLog.commit(fs, hPath, lv ++ newFiles)
     }
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n

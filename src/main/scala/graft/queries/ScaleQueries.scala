@@ -337,8 +337,13 @@ object ScaleQueries {
       java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_bucket_")
       .toString
-    val liTab = "graft_q128_li"
-    val ordTab = "graft_q128_ord"
+    // per-invocation catalog names (suffix = the temp dir's unique
+    // tail): concurrent q128 runs in one shared session must not drop
+    // each other's tables mid-query
+    val suffix = root.substring(root.lastIndexOf("graft_bucket_") +
+      "graft_bucket_".length)
+    val liTab = s"graft_q128_li_$suffix"
+    val ordTab = s"graft_q128_ord_$suffix"
     try {
       writeBucketedLayout(s, dir, root, liTab, ordTab)
       // the orderBy exists only to make the driver's hash compare
@@ -1189,10 +1194,14 @@ object ScaleQueries {
     val per = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
     val tot = per.agg(sum("n").as("n_total"), sum("n_pos").as("total_pos"))
+    // degenerate fixture (zero positives) → NULL lift on BOTH engines:
+    // unguarded, Spark non-ANSI x/0 is NULL but DuckDB doubles give
+    // Inf/NaN — the q125/q127 cross-engine divergence discipline
     per.crossJoin(broadcast(tot))
       .select(col("decile"), col("n"), col("n_pos"),
-        ((col("n_pos") * col("n_total")).cast("double") /
-          (col("n") * col("total_pos")).cast("double")).as("lift"))
+        when(col("n") * col("total_pos") > 0,
+          (col("n_pos") * col("n_total")).cast("double") /
+            (col("n") * col("total_pos")).cast("double")).as("lift"))
       .orderBy("decile")
   }
 
@@ -1214,8 +1223,9 @@ object ScaleQueries {
                 CAST(sum(n_pos) AS BIGINT) AS total_pos
          FROM per)
        SELECT decile, n, n_pos,
-              CAST(n_pos * n_total AS DOUBLE) /
-                CAST(n * total_pos AS DOUBLE) AS lift
+              CASE WHEN n * total_pos > 0
+                THEN CAST(n_pos * n_total AS DOUBLE) /
+                     CAST(n * total_pos AS DOUBLE) END AS lift
        FROM per CROSS JOIN tot ORDER BY decile"""
 
   // --- q149: confusion matrix + precision/recall/F1 ---------------------
@@ -1236,16 +1246,21 @@ object ScaleQueries {
       sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
       sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
       sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+    // each ratio guarded: a degenerate fixture (no predicted/actual
+    // positives, or an empty table) yields NULL identically on both
+    // engines instead of Spark-NULL-vs-DuckDB-Inf/NaN divergence
     m.select(col("tp"), col("fp"), col("fn"), col("tn"),
-      (col("tp").cast("double") /
+      when(col("tp") + col("fp") > 0, col("tp").cast("double") /
         (col("tp") + col("fp")).cast("double")).as("precision"),
-      (col("tp").cast("double") /
+      when(col("tp") + col("fn") > 0, col("tp").cast("double") /
         (col("tp") + col("fn")).cast("double")).as("recall"),
-      ((col("tp") + col("tn")).cast("double") /
-        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+      when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+        (col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
         .as("accuracy"),
-      ((col("tp") * 2).cast("double") /
-        (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        (col("tp") * 2).cast("double") /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
 
   val q149Sql: String =
@@ -1264,12 +1279,17 @@ object ScaleQueries {
              AS BIGINT) AS tn
          FROM e)
        SELECT tp, fp, fn, tn,
-              CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-              CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
-              CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
-                AS accuracy,
-              CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
-                AS f1
+              CASE WHEN tp + fp > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                AS precision,
+              CASE WHEN tp + fn > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+              CASE WHEN tp + fp + fn + tn > 0 THEN
+                CAST(tp + tn AS DOUBLE) /
+                  CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy,
+              CASE WHEN tp * 2 + fp + fn > 0 THEN
+                CAST(tp * 2 AS DOUBLE) /
+                  CAST(tp * 2 + fp + fn AS DOUBLE) END AS f1
        FROM m"""
 
   val all: Map[String, Q] = Map(

@@ -241,8 +241,9 @@ object SinkQueries {
         m.keys, m.keys, sink, partitionCol = "time_id",
         preDeduped = true)
       // materialize BEFORE the finally deletes the scratch sink — a lazy
-      // plan over the temp files would read them after deletion
-      val out = s.read.parquet(sink)
+      // plan over the temp files would read them after deletion; the
+      // read resolves through the CommitLog manifest the replace committed
+      val out = graft.operators.CommitLog.read(s, sink)
         .groupBy(col("time_id").cast("long").as("time_id"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("delay_mins")).as("delay_sum"))
@@ -299,8 +300,9 @@ object SinkQueries {
           .select((col("id") + 90000000L).as("c_custkey"),
             lit(4200L).as("bal_cents"), lit("NEWACCT").as("c_mktsegment")))
       graft.operators.Merge.mergeParquet(s, updates, Seq("c_custkey"), sink)
-      // materialize BEFORE the finally deletes the scratch sink
-      val out = s.read.parquet(sink)
+      // materialize BEFORE the finally deletes the scratch sink; the
+      // read resolves through the CommitLog manifest the merge committed
+      val out = graft.operators.CommitLog.read(s, sink)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"))
         .orderBy("c_mktsegment")
@@ -454,7 +456,7 @@ object SinkQueries {
       docs.repartition(8).write.parquet(sink)
       val request = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
       graft.operators.Merge.eraseParquet(s, request, Seq("doc_id"), sink)
-      val out = s.read.parquet(sink)
+      val out = graft.operators.CommitLog.read(s, sink)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("chars_total"))

@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.{CommitLog, Compact, Merge, Upsert}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The crash-atomicity contract of the file-swap family
+  * ([[Merge.mergeParquet]]/[[Merge.eraseParquet]]/
+  * [[Compact.compactSink]]/[[Upsert.replacePartitionsParquet]]):
+  * every operator's swap is add → COMMIT → delete under
+  * [[CommitLog]]'s generation manifest, so a job killed BETWEEN the
+  * steps (injected through the operators' `failpoint` hook — for
+  * filesystem state, an exception at the hook is indistinguishable
+  * from the process dying there) leaves a manifest-resolving reader
+  * seeing every row EXACTLY ONCE: the old generation before the
+  * commit rename, the new generation after it. A subsequent run first
+  * vacuums the debris, so the sink also converges back to
+  * listing-clean. This is the property the reference gets for free
+  * from its transactional warehouse MERGE (`dags/idh_etl.py:247-256`)
+  * and raw parquet lacks. */
+class CommitProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Killed(at: String) extends RuntimeException(at)
+  private def killAt(point: String): String => Unit =
+    p => if (p == point) throw Killed(point)
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** On-disk parquet data-file count (what a naive directory reader
+    * sees), vs the manifest-resolved view. */
+  private def diskFiles(sink: String): Int =
+    new java.io.File(sink).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+
+  private def ledger(sink: String): Seq[(Long, Long)] =
+    CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def mkSink(root: String): String = {
+    val sink = s"$root/t"
+    // 4 single-row files → exact file↔key mapping
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).foreach { r =>
+      Seq(r).toDF("k", "v").coalesce(1).write.mode("append").parquet(sink)
+    }
+    sink
+  }
+
+  test("merge killed between add and commit: reader sees the OLD " +
+    "generation exactly-once; the re-run vacuums the debris and lands " +
+    "the update exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("cps_m1").toString
+    val sink = mkSink(root)
+    val v0 = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val updates = Seq((1L, 11L), (9L, 90L)).toDF("k", "v")
+    intercept[Killed] {
+      Merge.mergeParquet(spark, updates, Seq("k"), sink, killAt("added"))
+    }
+    // duplicates exist ON DISK (the rewritten copy of file k=1 plus the
+    // original) — but the manifest still points at the old generation
+    assert(diskFiles(sink) > 4, "crash must leave uncommitted new files")
+    assert(ledger(sink) == v0, "pre-commit crash: reader must see the " +
+      "old generation exactly-once")
+    // re-run: vacuums the orphans, then merges cleanly
+    val stats = Merge.mergeParquet(spark, updates, Seq("k"), sink)
+    assert(stats.rowsUpdated == 1L && stats.rowsInserted == 1L)
+    assert(ledger(sink) ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L), (9L, 90L)))
+    // converged: disk listing and manifest agree again
+    assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
+      CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("merge killed between commit and delete: reader sees the NEW " +
+    "generation exactly-once despite the replaced originals still on " +
+    "disk; vacuum reconverges the listing") {
+    val root = java.nio.file.Files.createTempDirectory("cps_m2").toString
+    val sink = mkSink(root)
+    val updates = Seq((1L, 11L), (9L, 90L)).toDF("k", "v")
+    intercept[Killed] {
+      Merge.mergeParquet(spark, updates, Seq("k"), sink, killAt("committed"))
+    }
+    val want = Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L), (9L, 90L))
+    // the replaced original is still on disk — a plain directory read
+    // double-counts k=1; the manifest-resolving reader must not
+    assert(spark.read.parquet(sink).count() == 6L,
+      "crash must leave the replaced original on disk")
+    assert(ledger(sink) == want, "post-commit crash: reader must see " +
+      "the new generation exactly-once")
+    assert(CommitLog.vacuum(fsOf(sink), new Path(sink)) == 1L)
+    assert(spark.read.parquet(sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want,
+      "after vacuum the plain directory read agrees")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("erase killed between commit and delete: survivors readable " +
+    "exactly-once (no duplicated-survivor window)") {
+    val root = java.nio.file.Files.createTempDirectory("cps_e").toString
+    val sink = mkSink(root)
+    intercept[Killed] {
+      Merge.eraseParquet(spark, Seq(2L).toDF("k"), Seq("k"), sink,
+        killAt("committed"))
+    }
+    // the touched file held k=2 only → its rewrite is empty; the
+    // original is still on disk, but the manifest excludes it
+    assert(ledger(sink) == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    // idempotent re-run (vacuums first): nothing left to erase
+    val s2 = Merge.eraseParquet(spark, Seq(2L).toDF("k"), Seq("k"), sink)
+    assert(s2.rowsDeleted == 0L && s2.filesTouched == 0L)
+    assert(ledger(sink) == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("compaction killed at either point preserves the row multiset " +
+    "for the manifest reader; the next compaction run heals the sink") {
+    val root = java.nio.file.Files.createTempDirectory("cps_c").toString
+    val sink = s"$root/t"
+    (1 to 3).foreach { b =>
+      Seq((20240101L, s"a$b", b.toLong), (20240102L, s"b$b", b.toLong))
+        .toDF("day", "k", "v").repartition(col("day"))
+        .write.mode("append").partitionBy("day").parquet(sink)
+    }
+    val want = CommitLog.read(spark, sink)
+      .orderBy("day", "k").collect().toSeq
+    intercept[Killed] {
+      Compact.compactSink(spark, sink, partitionCol = Some("day"),
+        failpoint = killAt("added"))
+    }
+    assert(CommitLog.read(spark, sink).orderBy("day", "k")
+      .collect().toSeq == want, "pre-commit crash: old generation")
+    intercept[Killed] {
+      Compact.compactSink(spark, sink, partitionCol = Some("day"),
+        failpoint = killAt("committed"))
+    }
+    assert(CommitLog.read(spark, sink).orderBy("day", "k")
+      .collect().toSeq == want, "post-commit crash: new generation, " +
+      "same rows")
+    // a later run vacuums and completes: one file per partition
+    val (_, after) = Compact.compactSink(spark, sink,
+      partitionCol = Some("day"))
+    assert(after == 2L)
+    assert(CommitLog.read(spark, sink).orderBy("day", "k")
+      .collect().toSeq == want)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("replacePartitions killed between commit and delete: the " +
+    "re-stated partition reads exactly-once; untouched partitions keep " +
+    "their files") {
+    val root = java.nio.file.Files.createTempDirectory("cps_r").toString
+    val sink = s"$root/t"
+    val v1 = Seq((20240101L, 1L, 10L), (20240102L, 2L, 20L),
+      (20240102L, 3L, 30L)).toDF("day", "k", "v")
+    assert(Upsert.replacePartitionsParquet(spark, v1, Seq("day", "k"),
+      Seq("v"), sink, "day", preDeduped = true) == 3L)
+    // re-state day 2 with corrected values, crash before the GC
+    val v2 = Seq((20240102L, 2L, 200L), (20240102L, 3L, 300L))
+      .toDF("day", "k", "v")
+    intercept[Killed] {
+      Upsert.replacePartitionsParquet(spark, v2, Seq("day", "k"),
+        Seq("v"), sink, "day", preDeduped = true,
+        failpoint = killAt("committed"))
+    }
+    val got = CommitLog.read(spark, sink)
+      .select(col("day").cast("long"), col("k"), col("v"))
+      .orderBy("day", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((20240101L, 1L, 10L), (20240102L, 2L, 200L),
+      (20240102L, 3L, 300L)),
+      "post-commit crash: day 2 exactly-once with v2 values")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("append after compaction extends the manifest: the " +
+    "manifest-resolving reader sees appended rows") {
+    val root = java.nio.file.Files.createTempDirectory("cps_a").toString
+    val sink = s"$root/t"
+    (1 to 3).foreach { b =>
+      Seq((20240101L, s"a$b", b.toLong)).toDF("day", "k", "v")
+        .repartition(col("day"))
+        .write.mode("append").partitionBy("day").parquet(sink)
+    }
+    Compact.compactSink(spark, sink, partitionCol = Some("day"))
+    assert(CommitLog.committed(fsOf(sink), new Path(sink)).isDefined)
+    val n = Upsert.upsertParquet(spark,
+      Seq((20240103L, "c1", 9L)).toDF("day", "k", "v"),
+      Seq("day", "k"), Seq("v"), sink,
+      partitionCol = Some("day"), preDeduped = true)
+    assert(n == 1L)
+    assert(CommitLog.read(spark, sink).count() == 4L,
+      "manifest must include post-compaction appends")
+    // and the manifest is exactly the disk listing (no drift)
+    assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
+      CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
+    graft.io.Sources.deleteRecursively(root)
+  }
+}

@@ -121,31 +121,49 @@ class StarModelSpec extends SparkSpec {
     assert(got == (1 to 6).map(_ * 2))
   }
 
-  test("publishTwiceSummary back-to-back: second invocation within 1.3x " +
-      "of the first (no session residue)") {
-    // the suite shares one JVM with every other spec: collect the
-    // garbage they left before timing anything, or their heap pressure
-    // lands in OUR measurement as GC pauses
-    def settle(): Unit = { System.gc(); Thread.sleep(200) }
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      Publish.publishTwiceSummary(spark, dir).collect()
-      (System.nanoTime() - t0) / 1e9
+  test("publish self-clean contract: back-to-back invocations leave no " +
+      "session residue — no persistent RDDs, no catalog entries, no " +
+      "stuck listeners (mechanism assertions, not wall-clock ratios)") {
+    // This used to be a ≤1.3× back-to-back timing assertion, which
+    // flaked twice under shared-JVM GC pressure. The regression it
+    // guards — publish runs leaving state that degrades every later
+    // run — is asserted by its MECHANISMS instead: each residue class
+    // below is exactly what an injected leak (a cache() without
+    // unpersist, a temp view left registered, a WriteWatch that
+    // registers its QueryExecutionListener without unregistering)
+    // would increment, and none is susceptible to GC noise.
+    def listenerCount(): Int = {
+      // LiveListenerBus.listeners is private[spark] (public in
+      // bytecode): the listener bus carries one entry per registered
+      // SparkListener + ExecutionListenerBus — a leaked WriteWatch
+      // shows up here as monotone growth per publish invocation
+      val lb = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      lb.getClass.getMethods.filter(_.getName == "listeners")
+        .head.invoke(lb)
+        .asInstanceOf[java.util.Collection[_]].size
     }
-    once() // discard the cold run (plan compilation dominates it)
-    settle()
-    val t1 = once()
-    val t2 = once()
-    // real session residue degrades EVERY subsequent run; a stray GC
-    // pause from the shared JVM does not — on a miss, settle and retry
-    // (up to twice), taking the min, so only persistent degradation trips
-    var t2f = t2
-    var retries = 2
-    while (t2f > t1 * 1.3 && retries > 0) {
-      settle(); t2f = math.min(t2f, once()); retries -= 1
+    def residue(): (Set[Int], Set[String], Int) = (
+      spark.sparkContext.getPersistentRDDs.keySet.toSet,
+      spark.catalog.listTables().collect().map(_.name).toSet,
+      listenerCount())
+    // warm-up run: Spark registers some internal listeners lazily on
+    // first use of a code path — snapshot only after they exist
+    Publish.publishTwiceSummary(spark, dir).collect()
+    val before = residue()
+    val run1 = Publish.publishTwiceSummary(spark, dir).collect()
+    val mid = residue()
+    val run2 = Publish.publishTwiceSummary(spark, dir).collect()
+    val after = residue()
+    // the committed-task metrics themselves stay exact across runs
+    run1.zip(run2).foreach { case (a, b) =>
+      assert(a == b, s"publish summary drifted across invocations: $a vs $b")
+      assert(a.getLong(2) == 0L, s"rows_second nonzero: $a")
     }
-    assert(t2f <= t1 * 1.3,
-      f"publish degraded across invocations: $t1%.2f s -> $t2f%.2f s")
+    assert(mid == before,
+      s"publish left session residue after one invocation: $before -> $mid")
+    assert(after == before,
+      s"residue grows with invocations: $before -> $after")
   }
 
   test("publishAll (unstaged single-run API, pruneRerun=false path) is " +
