@@ -49,8 +49,46 @@ object Bench {
       deduped.join(spark.read.parquet(s"$root/part").select("s"),
           Seq("s"), "left_anti")
         .write.mode("append").parquet(s"$root/flat")
+      // rewrite-path warmup: the merge/compact file swap (touched-file
+      // semi-join on _metadata.file_path, CommitLog manifest commit,
+      // rename/delete churn) runs in only q36/q71/q140 and was paying
+      // its whole cold tax inside whichever ran first
+      val sink = s"$root/ledger"
+      spark.range(50000).select(col("id"), (col("id") * 3).as("v"))
+        .repartition(4).write.parquet(sink)
+      graft.operators.Merge.mergeParquet(spark,
+        spark.range(1000).select(col("id"), (col("id") + 1).as("v")),
+        Seq("id"), sink)
+      graft.operators.Compact.compactSink(spark, sink)
       spark.catalog.clearCache()
     } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  /** Iterative-shape warmup: the localCheckpoint → broadcast-loop →
+    * release cycle that q63/q82 (connected components), q87 (PageRank)
+    * and q64/q67 (k-means/IVF) run per iteration. The sf0.001 all-query
+    * warmup below does execute those queries, but at 60 k rows the
+    * block-manager store/serve loops, TorrentBroadcast chunking and the
+    * checkpoint block writer never run hot enough to JIT — profiled as
+    * the 3-4× cold-VM inflation on exactly those queries in the round-6
+    * recorded bench (BENCH_r06 vs the back-to-back rerun). Two rounds
+    * over a few-million-row synthetic frame compile those loops before
+    * anything is timed. */
+  def warmupIterative(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    var cur = spark.range(2000000)
+      .select(col("id").as("node"), (col("id") % 997).as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val mins = cur.groupBy("lbl").agg(min("node").as("m"))
+      val next = cur.join(org.apache.spark.sql.functions.broadcast(mins),
+          Seq("lbl"))
+        .select(col("node"), ((col("lbl") + col("m")) % 997).as("lbl"))
+        .localCheckpoint(true)
+      graft.operators.Dedup.unpersistCheckpoint(cur)
+      cur = next
+    }
+    graft.operators.Dedup.unpersistCheckpoint(cur)
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,6 +106,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
     warmupWrites(spark) // write-pipeline warmup (see scaladoc)
+    warmupIterative(spark) // checkpoint/broadcast-loop warmup (see scaladoc)
     // JMH-style shape warmup: run EVERY query once at the smallest SF,
     // untimed, so each query's generated classes are loaded and
     // JIT-compiled before anything is measured. Without this, whichever

@@ -565,8 +565,26 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, numCentroids: Int,
                     threshold: Double): DataFrame = {
     val live = corpus.filter(size(col("embedding")) > 0)
-    val cells = assignNearest(prep(live, "did", "de", "dn"),
-      firstNCentroids(live, numCentroids))
+    semanticDedupWith(corpus,
+      firstNCentroids(live, numCentroids), threshold)
+  }
+
+  /** The corpus's per-cell index rows under an EXPLICIT centroid frame:
+    * (did, de, dn, cid) — quantized vector, integer norm², assigned
+    * cell. This is the PERSISTABLE state of the SemDeDup flow (write it
+    * as parquet next to the centroid frame): yesterday's corpus never
+    * needs re-scoring, because every pair decision involving it can be
+    * replayed from these rows. Null/empty embeddings are dropped (the
+    * documented assignment tolerance). */
+  def semanticCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignNearest(prep(corpus.filter(size(col("embedding")) > 0),
+      "did", "de", "dn"), centroids)
+
+  /** [[semanticDedup]] over an explicit centroid frame — the form both
+    * the one-shot and the incremental path share. */
+  def semanticDedupWith(corpus: DataFrame, centroids: DataFrame,
+                        threshold: Double): DataFrame = {
+    val cells = semanticCells(corpus, centroids)
     val dups = cells.select(col("cid"), col("did").as("id_a"),
         col("de").as("ea"), col("dn").as("na"))
       .join(cells.select(col("cid"), col("did").as("id_b"),
@@ -576,6 +594,46 @@ object Similarity {
           >= threshold)
       .select(col("id_b").as("did")).distinct()
     cells.select(col("did"), col("cid"))
+      .join(dups.withColumn("dup", lit(true)), Seq("did"), "left")
+      .select(col("did"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Incremental SemDeDup — the daily-increment flow ([[Dedup]]'s q82
+    * pattern applied to the semantic index): dedup a NEW batch against
+    * a PERSISTED index (frozen centroids + [[semanticCells]] rows of
+    * the already-processed corpus) without re-scoring a single
+    * base×base pair. Returns (did, cid, is_dup) for BATCH rows only;
+    * unioned with the index's own flags it equals exactly what a full
+    * [[semanticDedup]] over base ∪ batch would return, PROVIDED batch
+    * ids sort after every base id (the append-only corpus contract —
+    * it makes the keep-lowest-id rule's "lower-id cell-mate" sets
+    * identical in both computations) and the centroid frame is the
+    * frozen base one (q150's oracle proves the equivalence
+    * end-to-end).
+    *
+    * The comparison set per batch vector is ALL lower-id cell-mates —
+    * kept AND duplicate — because the one-shot greedy rule scores
+    * against every earlier vector, not only survivors; an index of
+    * keepers alone would silently re-admit near-duplicates of evicted
+    * rows' neighborhoods. Probe cost: Σ_cell |batch∩cell| ×
+    * (|index∩cell| + |batch∩cell|) — proportional to the batch, never
+    * to |index|². */
+  def semanticDedupIncremental(batch: DataFrame, centroids: DataFrame,
+                               indexCells: DataFrame,
+                               threshold: Double): DataFrame = {
+    val cellsNew = semanticCells(batch, centroids)
+    val priors = indexCells.unionByName(cellsNew)
+      .select(col("cid"), col("did").as("id_a"),
+        col("de").as("ea"), col("dn").as("na"))
+    val dups = cellsNew.select(col("cid"), col("did").as("id_b"),
+        col("de").as("eb"), col("dn").as("nb"))
+      .join(priors, Seq("cid"))
+      .filter(col("id_a") < col("id_b") &&
+        cosineFrom(dotQ(col("ea"), col("eb")), col("na"), col("nb"))
+          >= threshold)
+      .select(col("id_b").as("did")).distinct()
+    cellsNew.select(col("did"), col("cid"))
       .join(dups.withColumn("dup", lit(true)), Seq("did"), "left")
       .select(col("did"), col("cid"),
         coalesce(col("dup"), lit(false)).as("is_dup"))

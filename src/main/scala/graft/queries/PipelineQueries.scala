@@ -1751,8 +1751,13 @@ object PipelineQueries {
       val nodes = edges.select(col("src").as("node")).distinct()
       val nNodes = nodes.count()
       val base = (15L * Scale) / (100L * nNodes)
+      // rank₀ is NOT checkpointed: it is a constant column over the
+      // already-cached edge list, so round 1 derives it in-plan — one
+      // fewer eager barrier per run (each barrier serializes the plan,
+      // so a single GC pause lands wholly in wall time; sf1 showed
+      // 11-40 s rep spread from exactly this)
       var ranks = nodes.withColumn("rq", lit(Scale / nNodes))
-        .localCheckpoint(true)
+      var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
       val hintBroadcast = nNodes <= 4_000_000L
       for (_ <- 1 to 3) {
         // node-count-sized rank side: map-side join while it fits the
@@ -1768,7 +1773,8 @@ object PipelineQueries {
             (lit(base) + expr("(85 * coalesce(insum, 0)) div 100"))
               .as("rq"))
           .localCheckpoint(true)
-        Dedup.unpersistCheckpoint(ranks)
+        prevCkpt.foreach(Dedup.unpersistCheckpoint)
+        prevCkpt = Some(next)
         ranks = next
       }
       val out = ranks.orderBy(col("rq").desc, col("node")).limit(20)
@@ -1900,6 +1906,102 @@ object PipelineQueries {
          UNION ALL
          SELECT vec_id + 1000000 AS vec_id, embedding
          FROM embeddings WHERE vec_id % 7 = 0),
+       v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM corpus WHERE len(embedding) > 0),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       cents AS (
+         SELECT vec_id AS cid, e AS ce, nn AS cn FROM n
+         ORDER BY vec_id LIMIT 8),
+       cells AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n d CROSS JOIN cents c)
+         WHERE crank = 1),
+       cellv AS (
+         SELECT ce.did, ce.cid, nn.e, nn.nn
+         FROM cells ce JOIN n nn ON nn.vec_id = ce.did),
+       dups AS (
+         SELECT DISTINCT b.did FROM cellv a
+         JOIN cellv b ON a.cid = b.cid AND a.did < b.did
+         WHERE CAST(list_sum([a.e[i] * b.e[i]
+                 for i in generate_series(1, len(a.e))]) AS DOUBLE) /
+               (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+               >= 0.95)
+       SELECT ce.did, ce.cid, (d.did IS NOT NULL) AS is_dup
+       FROM cells ce LEFT JOIN dups d ON d.did = ce.did
+       ORDER BY ce.did"""
+
+  // --- q150: incremental SemDeDup against a persisted index ------------
+  /** The daily-increment flow for semantic dedup (q82's persisted-index
+    * pattern applied to q92's SemDeDup): the base corpus is indexed
+    * ONCE — frozen centroids + per-cell [[graft.operators.Similarity
+    * .semanticCells]] rows + its own dup flags, all written to parquet —
+    * and a new batch (planted exact duplicates of every 5th base vector
+    * at +1 M ids, plus NEGATED copies of every 5th+1 vector at +2 M ids
+    * as guaranteed non-dups of the base) is deduplicated by probing the
+    * PERSISTED index only: assign to frozen cells, score against
+    * lower-id cell-mates. No base×base pair is ever re-scored — probe
+    * cost ∝ batch — yet the output (index flags ∪ batch flags) is
+    * proven IDENTICAL to a full SemDeDup recompute over base ∪ batch:
+    * the oracle executes exactly that full recompute in SQL, so the
+    * hash compare is the incremental ≡ full equivalence proof. */
+  def q150SemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_semidx_")
+      .toString
+    try {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      // yesterday: build + persist the index (centroids, cells, flags)
+      val cents0 = Similarity.firstNCentroids(
+        emb.filter(size(col("embedding")) > 0), 8)
+      cents0.write.parquet(s"$root/centroids")
+      Similarity.semanticCells(emb, cents0)
+        .write.parquet(s"$root/cells")
+      Similarity.semanticDedupWith(emb, cents0, 0.95)
+        .write.parquet(s"$root/flags")
+      // today: the batch probes the PERSISTED index only — the base
+      // corpus parquet is never touched again
+      val inc = Similarity.semanticDedupIncremental(batch,
+        s.read.parquet(s"$root/centroids"),
+        s.read.parquet(s"$root/cells"), 0.95)
+      val out = s.read.parquet(s"$root/flags").unionByName(inc)
+        .orderBy("did")
+      // materialize BEFORE the finally deletes the scratch index
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  /** q92's full-recompute SQL over base ∪ batch — deliberately NOT an
+    * incremental computation: its equality with the Spark side's
+    * index-probe path IS the theorem being checked. */
+  val q150Sql: String =
+    """WITH corpus AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id, embedding
+         FROM embeddings WHERE vec_id % 5 = 0
+         UNION ALL
+         SELECT vec_id + 2000000 AS vec_id,
+                [-x for x in embedding] AS embedding
+         FROM embeddings WHERE vec_id % 5 = 1),
        v AS (
          SELECT vec_id,
                 [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -3037,6 +3139,7 @@ object PipelineQueries {
     "q87_pagerank" -> q87PageRank _,
     "q91_interval_join" -> q91IntervalJoin _,
     "q92_semantic_dedup" -> q92SemanticDedup _,
+    "q150_semantic_incremental" -> q150SemanticIncremental _,
     "q93_fuzzy_match" -> q93FuzzyMatch _,
     "q94_ngram_profile" -> q94NgramProfile _,
     "q101_dq_report" -> q101DqReport _,
@@ -3094,6 +3197,7 @@ object PipelineQueries {
     "q87_pagerank" -> q87Sql,
     "q91_interval_join" -> q91Sql,
     "q92_semantic_dedup" -> q92Sql,
+    "q150_semantic_incremental" -> q150Sql,
     "q93_fuzzy_match" -> q93Sql,
     "q94_ngram_profile" -> q94Sql,
     "q101_dq_report" -> q101Sql,

@@ -638,4 +638,36 @@ class OperatorsSpec extends SparkSpec {
     assert(selfRows.forall(r =>
       math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12))
   }
+
+  test("semanticDedupIncremental against a frozen index equals the full " +
+      "SemDeDup recompute over base ∪ batch, and flags only true " +
+      "near-dups") {
+    // two well-separated 4-d clusters; base ids 1-6, batch ids 10-12
+    def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+    val base = Seq(
+      (1L, v(1f, 0.01f, 0f, 0f)), (2L, v(0f, 0f, 1f, 0.01f)),
+      (3L, v(0.99f, 0.02f, 0f, 0f)), (4L, v(0f, 0.01f, 0.98f, 0f)),
+      (5L, v(1f, 0f, 0.01f, 0f)), (6L, v(0.01f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(1f, 0.01f, 0f, 0f)),   // exact copy of 1 → dup
+      (11L, v(0f, 1f, 0f, 0.99f)),   // orthogonal-ish → kept
+      (12L, v(1f, 0.011f, 0f, 0f)))  // near 1 AND near 10 → dup
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.firstNCentroids(base, 2)
+    val baseFlags = Similarity.semanticDedupWith(base, cents, 0.98)
+    val inc = Similarity.semanticDedupIncremental(batch, cents,
+      Similarity.semanticCells(base, cents), 0.98)
+    val got = inc.orderBy("did").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(got == Seq((10L, true), (11L, false), (12L, true)), got)
+    // the theorem: index flags ∪ incremental flags == one-shot flags
+    // over the whole union (same frozen centroids)
+    val full = Similarity.semanticDedupWith(
+      base.unionByName(batch), cents, 0.98)
+    val incremental = baseFlags.unionByName(inc)
+    assert(full.exceptAll(incremental).isEmpty &&
+      incremental.exceptAll(full).isEmpty,
+      "incremental path diverged from the full recompute")
+  }
 }
