@@ -88,23 +88,41 @@ object CommitLog {
     buf.result().sorted
   }
 
-  /** Latest committed (generation, live files), or None when the sink
+  /** All committed generation numbers, ascending; empty when the sink
     * has never been logged. */
-  def committed(fs: FileSystem, sink: Path): Option[(Long, Seq[String])] = {
+  def generations(fs: FileSystem, sink: Path): Seq[Long] = {
     val dir = logDir(sink)
-    if (!fs.exists(dir)) return None
-    val gens = fs.listStatus(dir).map(_.getPath.getName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .map(n => n.stripSuffix(".manifest").toLong)
-    if (gens.isEmpty) return None
-    val gen = gens.max
-    val in = fs.open(new Path(dir, manifestName(gen)))
+      .sorted.toSeq
+  }
+
+  private def readManifest(fs: FileSystem, sink: Path,
+                           gen: Long): Seq[String] = {
+    val in = fs.open(new Path(logDir(sink), manifestName(gen)))
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    Some(gen -> body.split('\n').iterator.map(_.trim)
-      .filter(_.nonEmpty).toSeq)
+    body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** Latest committed (generation, live files), or None when the sink
+    * has never been logged. */
+  def committed(fs: FileSystem, sink: Path): Option[(Long, Seq[String])] = {
+    val gens = generations(fs, sink)
+    if (gens.isEmpty) None
+    else Some(gens.last -> readManifest(fs, sink, gens.last))
+  }
+
+  /** Every data file referenced by ANY retained generation — the set
+    * [[vacuum]] must never touch: a file outside it is debris from a
+    * torn swap (never committed) or from an expired generation, a file
+    * inside it is either live or time-travel history. */
+  private[graft] def referencedFiles(fs: FileSystem, sink: Path)
+  : Set[String] =
+    generations(fs, sink).flatMap(readManifest(fs, sink, _)).toSet
 
   /** Atomically commit `files` (sink-relative) as the next generation.
     * Write-to-temp + one rename — the rename IS the commit point.
@@ -124,16 +142,58 @@ object CommitLog {
     gen
   }
 
-  /** Delete data files on disk that the latest manifest does not
-    * reference — the garbage a torn swap leaves. No-op (0) for
-    * never-logged sinks. Single-writer only: under a concurrent writer
-    * this would delete its in-flight uncommitted files. */
-  def vacuum(fs: FileSystem, sink: Path): Long = committed(fs, sink) match {
-    case None => 0L
-    case Some((_, live)) =>
-      val orphans = listDataFiles(fs, sink).diff(live)
-      orphans.foreach(r => fs.delete(new Path(sink, r), false))
-      orphans.length.toLong
+  /** Delete data files on disk that NO retained generation references
+    * — debris from torn swaps and from generations removed by
+    * [[expireGenerations]]. Files referenced only by OLDER generations
+    * are kept: they are snapshot history ([[readAt]]); expire first to
+    * reclaim them. No-op (0) for never-logged sinks. Single-writer
+    * only: under a concurrent writer this would delete its in-flight
+    * uncommitted files. */
+  def vacuum(fs: FileSystem, sink: Path): Long = {
+    if (generations(fs, sink).isEmpty) return 0L
+    val keep = referencedFiles(fs, sink)
+    val orphans = listDataFiles(fs, sink).filterNot(keep)
+    orphans.foreach(r => fs.delete(new Path(sink, r), false))
+    orphans.length.toLong
+  }
+
+  /** Drop every generation except the newest `keepLast` (≥ 1), then
+    * [[vacuum]] the files only those dropped generations referenced —
+    * the retention step that bounds time-travel history, exactly a
+    * table format's VACUUM-with-retention. Returns generations
+    * removed. Erasure sinks should run this with `keepLast = 1` after
+    * [[Merge.eraseParquet]]: the erased rows' bytes are already gone
+    * (erase GCs immediately), but expiring also removes the stale
+    * manifests that would otherwise make [[readAt]] report the
+    * pre-erasure file list. */
+  def expireGenerations(fs: FileSystem, sink: Path, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val gens = generations(fs, sink)
+    val drop = gens.dropRight(keepLast)
+    drop.foreach(g =>
+      fs.delete(new Path(logDir(sink), manifestName(g)), false))
+    vacuum(fs, sink)
+    drop.length
+  }
+
+  /** The sink AS OF a committed generation — snapshot time travel over
+    * the retained manifests. Fails loudly when `gen` is expired or its
+    * files were reclaimed (a rewrite run with default GC deletes
+    * replaced files immediately; pass `keepReplaced = true` to the
+    * rewrite to retain snapshot history, and [[expireGenerations]] to
+    * bound it). */
+  def readAt(spark: SparkSession, sink: String, gen: Long): DataFrame = {
+    val hPath = new Path(sink)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generations(fs, hPath).contains(gen),
+      s"generation $gen is not committed (or expired) at $sink")
+    val files = readManifest(fs, hPath, gen)
+    if (files.isEmpty) return spark.emptyDataFrame
+    val missing = files.filterNot(r => fs.exists(new Path(hPath, r)))
+    require(missing.isEmpty,
+      s"generation $gen files were reclaimed (vacuumed): $missing")
+    spark.read.option("basePath", sink)
+      .parquet(files.map(r => new Path(hPath, r).toString): _*)
   }
 
   /** Bring the sink under log control and return its live set:

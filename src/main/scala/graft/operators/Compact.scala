@@ -38,24 +38,6 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Compact {
 
-  /** Parquet data files under `path`, recursively; Nil when the path
-    * does not exist (a guard-skipped or G1-deleted sink). */
-  private def dataFiles(spark: SparkSession, path: Path)
-  : Seq[org.apache.hadoop.fs.FileStatus] = {
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return Nil
-    val it = fs.listFiles(path, true)
-    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet") &&
-          !f.getPath.getName.startsWith(".") &&
-          f.getPath.getParent.getName != CommitLog.LogDirName)
-        buf += f
-    }
-    buf.result()
-  }
-
   /** Compact the sink at `path` to ~`targetBytes` output files
     * (at least one per partition value when `partitionCol` is set).
     * Returns (filesBefore, filesAfter); equal counts with no rewrite
@@ -73,11 +55,13 @@ object Compact {
     val tmp = new Path(hPath.getParent, hPath.getName + "__compact_tmp")
     if (!fs.exists(hPath)) return (0L, 0L)
 
-    // bootstrap gen 0 / vacuum a torn previous swap, then measure the
-    // exactly-once live set (post-vacuum, the listing IS the live set
-    // and carries the sizes the target calculation needs)
-    CommitLog.ensureLogged(fs, hPath)
-    val before = dataFiles(spark, hPath)
+    // bootstrap gen 0 / vacuum a torn previous swap. Everything below
+    // works on the LIVE set, never the directory listing: a sink with
+    // retained time-travel history (keepReplaced rewrites) has
+    // old-generation files on disk that a directory read would
+    // double-count into the compacted output
+    val live = CommitLog.ensureLogged(fs, hPath)
+    val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
     val nPartitionDirs = partitionCol match {
@@ -87,8 +71,7 @@ object Compact {
     val targetFiles = math.max(nPartitionDirs.toLong,
       (totalBytes + targetBytes - 1) / targetBytes)
     if (before.size <= targetFiles) return (before.size, before.size)
-    val beforeRel = before
-      .map(f => CommitLog.relativize(fs, hPath, f.getPath.toString))
+    val liveAbs = live.map(r => new Path(hPath, r).toString)
 
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from a failed WRITE
     partitionCol match {
@@ -99,14 +82,15 @@ object Compact {
           .parquet(before.head.getPath.toString).schema
         val readSchema = StructType(
           dataSchema.fields :+ StructField(p, StringType))
-        spark.read.schema(readSchema).parquet(hPath.toString)
+        spark.read.schema(readSchema).option("basePath", hPath.toString)
+          .parquet(liveAbs: _*)
           // one task per partition value → one file per partition (a
           // partition larger than targetBytes stays one file here; a
           // finer split would hash-salt within the partition)
           .repartition(col(p))
           .write.partitionBy(p).parquet(tmp.toString)
       case None =>
-        spark.read.parquet(hPath.toString)
+        spark.read.parquet(liveAbs: _*)
           .repartition(targetFiles.toInt).write.parquet(tmp.toString)
     }
     // add → COMMIT → delete: move the compacted files in (partition
@@ -127,13 +111,14 @@ object Compact {
       }
     }
     failpoint("added")
-    CommitLog.commit(fs, hPath, added.result())
+    val newFiles = added.result()
+    CommitLog.commit(fs, hPath, newFiles)
     failpoint("committed")
-    beforeRel.foreach { r => // GC of unreferenced files, best-effort
+    live.foreach { r => // GC of the replaced live files, best-effort
       try fs.delete(new Path(hPath, r), false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     fs.delete(tmp, true)
-    (before.size, dataFiles(spark, hPath).size)
+    (before.size, newFiles.size)
   }
 }

@@ -63,10 +63,20 @@ object Merge {
     * with `"added"` after the new files are in place but before the
     * manifest commit, and `"committed"` after the commit but before
     * the replaced originals are deleted. Production callers leave the
-    * default no-op. */
+    * default no-op.
+    *
+    * `keepReplaced = true` skips the post-commit GC: the replaced
+    * files stay on disk, referenced only by OLDER generations, which
+    * keeps every prior generation readable via [[CommitLog.readAt]] —
+    * snapshot time travel, bounded by
+    * [[CommitLog.expireGenerations]]. The default (false) reclaims
+    * space immediately and forfeits history, which is also why
+    * [[eraseParquet]] has no such switch: a right-to-be-forgotten
+    * erasure must not retain the erased bytes in any generation. */
   def mergeParquet(spark: SparkSession, updates: DataFrame,
                    keyCols: Seq[String], path: String,
-                   failpoint: String => Unit = _ => ()): MergeStats = {
+                   failpoint: String => Unit = _ => (),
+                   keepReplaced: Boolean = false): MergeStats = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"merge target $path does not exist — " +
@@ -147,7 +157,7 @@ object Merge {
       CommitLog.commit(fs, hPath,
         live.diff(touchedRel) ++ added.result())
       failpoint("committed")
-      touchedRel.foreach { r => // GC of unreferenced files, best-effort
+      if (!keepReplaced) touchedRel.foreach { r => // GC, best-effort
         try fs.delete(new Path(hPath, r), false)
         catch { case scala.util.control.NonFatal(_) => () }
       }

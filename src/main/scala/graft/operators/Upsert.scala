@@ -468,7 +468,12 @@ object Upsert {
       n = after - before
     }
     liveBefore.foreach { lv =>
-      val newFiles = CommitLog.listDataFiles(fs, hPath).diff(lv)
+      // diff against EVERY retained generation, not just the live set:
+      // a time-travel sink keeps replaced old-generation files on disk,
+      // and treating those as "new" would resurrect them into the
+      // manifest as duplicates
+      val seen = CommitLog.referencedFiles(fs, hPath)
+      val newFiles = CommitLog.listDataFiles(fs, hPath).filterNot(seen)
       if (newFiles.nonEmpty) CommitLog.commit(fs, hPath, lv ++ newFiles)
     }
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink

@@ -475,6 +475,73 @@ object SinkQueries {
        FROM documents WHERE doc_id % 7 <> 0
        GROUP BY lang ORDER BY lang"""
 
+  // --- q151: snapshot time travel over the commit log ------------------
+  /** Table-format time travel on plain parquet: two `keepReplaced`
+    * MERGEs advance the ledger through three commit-log generations,
+    * and [[graft.operators.CommitLog.readAt]] reads EVERY generation
+    * back — the pre-update snapshots — from the retained manifests +
+    * replaced files, with zero data copied (history = the files a
+    * default-GC rewrite would have deleted). Output: per-generation
+    * row count and balance total, each exactly predictable from the
+    * base table, so the oracle pins that every snapshot reads as the
+    * ledger state at its commit point — not a mix, not the final
+    * state. The reference's warehouse offers this only as BigQuery
+    * time travel; here it falls out of the crash-atomicity manifests. */
+  def q151TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_tt_")
+      .toString
+    try {
+      val cust = graft.io.Sources.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val sink = s"$root/ledger"
+      cust.repartition(8).write.parquet(sink)
+      // gen 0 = bootstrap (initial ledger), gen 1 = bonus for the
+      // 0-mod-10 accounts, gen 2 = correction for the 5-mod-10 accounts
+      graft.operators.Merge.mergeParquet(s,
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("bal_cents", col("bal_cents") + 100000L),
+        Seq("c_custkey"), sink, keepReplaced = true)
+      graft.operators.Merge.mergeParquet(s,
+        cust.filter(col("c_custkey") % 10 === 5)
+          .withColumn("bal_cents", col("bal_cents") + 200000L),
+        Seq("c_custkey"), sink, keepReplaced = true)
+      val out = (0L to 2L).map { g =>
+        graft.operators.CommitLog.readAt(s, sink, g)
+          .agg(count(lit(1)).as("n_rows"),
+            sum("bal_cents").as("bal_sum"))
+          .select(lit(g).as("generation"), col("n_rows"), col("bal_sum"))
+      }.reduce(_ unionByName _).orderBy("generation")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q151Sql: String =
+    """WITH c AS (
+         SELECT c_custkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer)
+       SELECT * FROM (
+         SELECT CAST(0 AS BIGINT) AS generation,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(bal) AS BIGINT) AS bal_sum FROM c
+         UNION ALL
+         SELECT 1, CAST(count(*) AS BIGINT),
+                CAST(sum(bal + CASE WHEN c_custkey % 10 = 0
+                  THEN 100000 ELSE 0 END) AS BIGINT) FROM c
+         UNION ALL
+         SELECT 2, CAST(count(*) AS BIGINT),
+                CAST(sum(bal
+                  + CASE WHEN c_custkey % 10 = 0 THEN 100000 ELSE 0 END
+                  + CASE WHEN c_custkey % 10 = 5 THEN 200000 ELSE 0 END)
+                  AS BIGINT) FROM c
+       ) ORDER BY generation"""
+
   val all: Map[String, Q] = Map(
     "q36_merge_update" -> q36MergeUpdate _,
     "q140_corpus_erasure" -> q140CorpusErasure _,
@@ -484,6 +551,7 @@ object SinkQueries {
     "q68_publish_incremental" -> q68PublishIncremental _,
     "q71_compact_sink" -> q71CompactSink _,
     "q72_replace_partitions" -> q72ReplacePartitions _,
+    "q151_time_travel" -> q151TimeTravel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +563,6 @@ object SinkQueries {
     "q68_publish_incremental" -> q68Sql,
     "q71_compact_sink" -> q71Sql,
     "q72_replace_partitions" -> q72Sql,
+    "q151_time_travel" -> q151Sql,
   )
 }

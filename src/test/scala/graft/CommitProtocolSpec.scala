@@ -89,10 +89,53 @@ class CommitProtocolSpec extends SparkSpec {
       "crash must leave the replaced original on disk")
     assert(ledger(sink) == want, "post-commit crash: reader must see " +
       "the new generation exactly-once")
-    assert(CommitLog.vacuum(fsOf(sink), new Path(sink)) == 1L)
+    // the replaced original is still referenced by generation 0, so it
+    // is time-travel HISTORY, not garbage: vacuum must keep it...
+    assert(CommitLog.vacuum(fsOf(sink), new Path(sink)) == 0L)
+    assert(CommitLog.readAt(spark, sink, 0L).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      "generation 0 must remain readable while retained")
+    // ...and expiring history to the newest generation reclaims it
+    assert(CommitLog.expireGenerations(fsOf(sink), new Path(sink), 1) == 1)
     assert(spark.read.parquet(sink).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == want,
-      "after vacuum the plain directory read agrees")
+      "after expiry + vacuum the plain directory read agrees")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("keepReplaced merge retains snapshot history: every generation " +
+    "stays readable via readAt, compaction of the sink reads only the " +
+    "live set, and expiry bounds the history") {
+    val root = java.nio.file.Files.createTempDirectory("cps_tt").toString
+    val sink = mkSink(root)
+    val g0 = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    Merge.mergeParquet(spark, Seq((2L, 21L)).toDF("k", "v"), Seq("k"),
+      sink, keepReplaced = true)
+    Merge.mergeParquet(spark, Seq((4L, 42L), (5L, 50L)).toDF("k", "v"),
+      Seq("k"), sink, keepReplaced = true)
+    val fs = fsOf(sink); val p = new Path(sink)
+    assert(CommitLog.generations(fs, p) == Seq(0L, 1L, 2L))
+    def at(g: Long) = CommitLog.readAt(spark, sink, g).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at(0L) == g0)
+    assert(at(1L) == Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L)))
+    assert(at(2L) ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 42L), (5L, 50L)))
+    // compaction on a history-carrying sink must compact the LIVE set
+    // only (a directory read would double-count history rows)
+    Compact.compactSink(spark, sink)
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 42L), (5L, 50L)))
+    // expire everything but the newest: old generations unreadable,
+    // their exclusive files reclaimed, the live rows untouched
+    assert(CommitLog.expireGenerations(fs, p, 1) == 3)
+    intercept[IllegalArgumentException](CommitLog.readAt(spark, sink, 0L))
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 42L), (5L, 50L)))
+    assert(CommitLog.listDataFiles(fs, p).toSet ==
+      CommitLog.committed(fs, p).get._2.toSet,
+      "expiry must reclaim every non-live file")
     graft.io.Sources.deleteRecursively(root)
   }
 
