@@ -57,6 +57,10 @@ class CommitProtocolSpec extends SparkSpec {
     intercept[Killed] {
       Merge.mergeParquet(spark, updates, Seq("k"), sink, killAt("added"))
     }
+    // the crash path must still release the batch cache (try/finally) —
+    // a leaked block would degrade every later operation
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "crashed merge leaked cached blocks")
     // duplicates exist ON DISK (the rewritten copy of file k=1 plus the
     // original) — but the manifest still points at the old generation
     assert(diskFiles(sink) > 4, "crash must leave uncommitted new files")

@@ -401,4 +401,35 @@ class PlanAuditSpec extends SparkSpec {
     val s = collectAll(plan).map(_.nodeName).mkString(",")
     assert(s.contains("WholeStageCodegen"), s)
   }
+
+  test("incremental SemDeDup probes ONLY the persisted index: the " +
+      "batch-dedup plan scans the index parquet, never the base corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("plan_semidx").toString
+    try {
+      val base = (1L to 200L).map(i =>
+        (i, Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat / 13f)))
+        .toDF("vec_id", "embedding")
+      base.write.parquet(s"$root/base")
+      val basePq = spark.read.parquet(s"$root/base")
+      val cents = graft.operators.Similarity.firstNCentroids(basePq, 4)
+      cents.write.parquet(s"$root/centroids")
+      graft.operators.Similarity.semanticCells(basePq, cents)
+        .write.parquet(s"$root/cells")
+      val batch = (1001L to 1020L).map(i =>
+        (i, Array.tabulate(8)(j => ((i * 5 + j) % 13).toFloat / 13f)))
+        .toDF("vec_id", "embedding")
+      val inc = graft.operators.Similarity.semanticDedupIncremental(
+        batch,
+        spark.read.parquet(s"$root/centroids"),
+        spark.read.parquet(s"$root/cells"), 0.95)
+      val scans = collectAll(executed(inc)).map(_.toString)
+        .filter(_.contains("FileScan"))
+      assert(scans.nonEmpty)
+      assert(!scans.exists(_.contains("/base")),
+        "the incremental path must never rescan the base corpus — " +
+          "its cost contract is probe ∝ batch")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
 }
