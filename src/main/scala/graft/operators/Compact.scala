@@ -43,11 +43,17 @@ object Compact {
     * Returns (filesBefore, filesAfter); equal counts with no rewrite
     * when the sink is missing, empty, or already at the target.
     * `failpoint` is the crash-injection hook for the swap spec
-    * (`"added"` / `"committed"`, see [[Merge.mergeParquet]]). */
+    * (`"added"` / `"committed"`, see [[Merge.mergeParquet]]).
+    * `keepReplaced = true` skips the post-commit GC so every prior
+    * generation stays readable via [[CommitLog.readAt]] — compaction
+    * becomes a pure layout optimization on a time-travel sink
+    * (bounded later by [[CommitLog.expireGenerations]]); the default
+    * reclaims the old files immediately. */
   def compactSink(spark: SparkSession, path: String,
                   partitionCol: Option[String] = None,
                   targetBytes: Long = 128L * 1024 * 1024,
-                  failpoint: String => Unit = _ => ()): (Long, Long) = {
+                  failpoint: String => Unit = _ => (),
+                  keepReplaced: Boolean = false): (Long, Long) = {
     // normalize through Path so a trailing slash can't nest the scratch
     // dir INSIDE the sink (where the swap would destroy it)
     val hPath = new Path(path)
@@ -114,7 +120,7 @@ object Compact {
     val newFiles = added.result()
     CommitLog.commit(fs, hPath, newFiles)
     failpoint("committed")
-    live.foreach { r => // GC of the replaced live files, best-effort
+    if (!keepReplaced) live.foreach { r => // GC, best-effort
       try fs.delete(new Path(hPath, r), false)
       catch { case scala.util.control.NonFatal(_) => () }
     }

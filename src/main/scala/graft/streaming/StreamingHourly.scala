@@ -165,10 +165,66 @@ object StreamingHourly {
       .orderBy("user_id", "session_start")
   }
 
+  /** Streaming dedup of an at-least-once feed via
+    * `dropDuplicatesWithinWatermark` — the stateful-dedup half of the
+    * exactly-once story (the sink half is the q56/T3 keyed upsert; this
+    * removes duplicates IN-STREAM so they never reach the sink at all).
+    * The feed is the events table with every third event re-delivered
+    * (a second copy appended as separate files — the at-least-once
+    * source shape); the stream keys dedup state by `event_id` under a
+    * 1-hour watermark, which is what BOUNDS the state at scale: a
+    * duplicate arriving within the watermark of its original is
+    * dropped, and state for event-times older than the watermark is
+    * evicted instead of accumulating one entry per event forever
+    * (unbounded `dropDuplicates` would OOM an unbounded stream). The
+    * hourly rollup of the deduped stream must equal the batch rollup
+    * of the original table — the oracle is exactly q46's. */
+  def dedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dedup_${runId.incrementAndGet()}"
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_feed_")
+      .toString
+    try {
+      val ev = graft.io.Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+      ev.write.parquet(s"$root/feed")
+      ev.filter(col("event_id") % 3 === 0)
+        .write.mode("append").parquet(s"$root/feed")
+      val schema = spark.read.parquet(s"$root/feed").schema
+      val deduped = spark.readStream.schema(schema)
+        .parquet(s"$root/feed")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // cents-exact sum (the q125 discipline): a double sum would
+      // depend on accumulation order, which the memory-sink batch does
+      // not share with the oracle's scan order
+      val out = spark.table(name)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("hour_ts")
+      // materialize BEFORE the finally deletes the scratch feed
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_streaming_hourly" -> (hourlyAgg _),
     "q100_stream_sessions" -> (sessionAgg _),
-    "q38_stream_sessions_append" -> (sessionAggAppend _))
+    "q38_stream_sessions_append" -> (sessionAggAppend _),
+    "q152_stream_dedup" -> (dedupWithinWatermark _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -177,6 +233,14 @@ object StreamingHourly {
       """SELECT date_trunc('hour', ts) AS hour_ts,
            CAST(count(*) AS BIGINT) AS n_events,
            sum(value) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q152: the deduped at-least-once feed must roll up exactly like
+    // the original table — the planted re-deliveries vanish in-stream
+    "q152_stream_dedup" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
          FROM events GROUP BY 1 ORDER BY 1""",
     "q100_stream_sessions" -> graft.queries.PipelineQueries.q49Sql,
     // q38: q49's sessions RESTRICTED to those the final watermark

@@ -127,10 +127,13 @@ class CommitProtocolSpec extends SparkSpec {
     assert(at(2L) ==
       Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 42L), (5L, 50L)))
     // compaction on a history-carrying sink must compact the LIVE set
-    // only (a directory read would double-count history rows)
-    Compact.compactSink(spark, sink)
+    // only (a directory read would double-count history rows), and
+    // with keepReplaced the pre-compaction generations stay readable
+    Compact.compactSink(spark, sink, keepReplaced = true)
     assert(ledger(sink) ==
       Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 42L), (5L, 50L)))
+    assert(at(0L) == g0,
+      "keepReplaced compaction must preserve snapshot history")
     // expire everything but the newest: old generations unreadable,
     // their exclusive files reclaimed, the live rows untouched
     assert(CommitLog.expireGenerations(fs, p, 1) == 3)
