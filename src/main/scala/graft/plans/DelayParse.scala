@@ -133,5 +133,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
           s"hash60 expects 1 argument, got ${children.length}")
         Hash60(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"normalize_text expects 1 argument, got ${children.length}")
+        NormalizeText(children.head)
+      }))
   }
 }

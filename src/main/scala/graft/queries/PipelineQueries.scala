@@ -460,6 +460,47 @@ object PipelineQueries {
            ' ')) AS fp_sorted
        FROM documents ORDER BY doc_id"""
 
+  // --- q153: Unicode canonicalization (native codegen'd expression) ----
+  /** The canonicalization pass corpus prep runs before any hash-based
+    * dedup: NFC composition + root-locale lowercase + ASCII-whitespace
+    * collapse + trim, as ONE native Catalyst expression
+    * ([[graft.plans.NormalizeText]], whole-stage-codegen'd via
+    * defineCodeGen — no UDF boxing, no per-rule regex re-scans). Every
+    * document is decorated with a deliberately messy marker (DECOMPOSED
+    * é and ï, tab/CR/LF, padding runs) so the oracle — which replays
+    * the same pipeline as DuckDB's `nfc_normalize` → `lower` →
+    * `regexp_replace('\s+')` → `trim` — only hash-matches if both
+    * engines compose the combining marks to the identical codepoints
+    * and collapse the identical separator set. Composed-vs-decomposed
+    * inputs fingerprinting identically is exactly the property that
+    * makes q34's md5 dedup sound on real-world text. */
+  def q153TextNormalize(s: SparkSession, dir: String): DataFrame = {
+    // DECOMPOSED combining marks (e + U+0301, I + U+0308), mirrored
+    // codepoint-for-codepoint by the oracle's chr() concatenation --
+    // both engines must COMPOSE them to hash-match
+    val marker = "  Cafe\u0301 \t NAI\u0308VE\r\n"
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.TextNormalize.normalizeText(
+          concat(col("text"), lit(marker))).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars"),
+        md5(col("norm")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val q153Sql: String =
+    """WITH n AS (
+         SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(
+                  text || '  Cafe' || chr(769) || ' ' || chr(9) ||
+                  ' NAI' || chr(776) || 'VE' || chr(13) || chr(10))),
+                  '\s+', ' ', 'g')) AS norm
+         FROM documents)
+       SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+              md5(norm) AS fp
+       FROM n ORDER BY doc_id"""
+
   // --- q35: binary-column (multimodal) metadata ------------------------
   /** Multimodal plumbing surface: opaque binary payload + typed metadata.
     * The decode step is a deterministic fake (real image/audio libs are
@@ -3157,6 +3198,7 @@ object PipelineQueries {
     "q32_text_quality" -> q32TextQuality _,
     "q33_token_count" -> q33TokenCount _,
     "q34_fingerprint" -> q34Fingerprint _,
+    "q153_text_normalize" -> q153TextNormalize _,
     "q35_binary_meta" -> q35BinaryMeta _,
     "q47_multimodal_features" -> q47MultimodalFeatures _,
     "q48_ivf_topk" -> q48IvfTopK _,
@@ -3215,6 +3257,7 @@ object PipelineQueries {
     "q32_text_quality" -> q32Sql,
     "q33_token_count" -> q33Sql,
     "q34_fingerprint" -> q34Sql,
+    "q153_text_normalize" -> q153Sql,
     "q35_binary_meta" -> q35Sql,
     "q47_multimodal_features" -> q47Sql,
     "q48_ivf_topk" -> q48Sql,

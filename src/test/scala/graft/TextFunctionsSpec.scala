@@ -47,6 +47,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getString(3) == r.getString(4)) // bag-of-words equal
   }
 
+  test("normalizeText: composed and decomposed forms canonicalize " +
+      "identically, whitespace runs collapse, nulls propagate, and the " +
+      "ASCII fast path is byte-stable") {
+    import graft.plans.TextNormalize.normalizeText
+    val rows = Seq(
+      ("café test", "composed"),          // é as one codepoint
+      ("café test", "decomposed"),       // e + combining acute
+      ("  CAFÉ\t\r\n test  ", "messy"),
+      ("plain ascii  here", "ascii"),
+      (null.asInstanceOf[String], "null"))
+      .toDF("t", "tag")
+      .select(col("tag"), normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows("composed") == "café test")
+    assert(rows("decomposed") == "café test",
+      "NFC must compose the combining mark before hashing-equality holds")
+    assert(rows("messy") == "café test")
+    assert(rows("ascii") == "plain ascii here")
+    assert(rows("null") == null)
+    // SQL surface + whole-stage codegen: the expression registers via
+    // GraftExtensions/register and stays inside the codegen'd Project
+    graft.plans.TextNormalize.register(spark)
+    val df = Seq("A\u030A b").toDF("s") // A + combining ring
+    val got = df.selectExpr("normalize_text(s) AS n").collect()(0).getString(0)
+    assert(got == "å b", got)
+  }
+
   test("qualityScore: long diverse prose scores higher than repeated garbage") {
     val prose = "the quiet morning light spread across the valley and " +
       "the river carried small boats toward the distant harbor where " +
