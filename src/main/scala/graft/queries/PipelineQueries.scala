@@ -501,6 +501,76 @@ object PipelineQueries {
               md5(norm) AS fp
        FROM n ORDER BY doc_id"""
 
+  // --- q154: exact repeated-span detection (substring-level dedup) -----
+  /** Exact-substring deduplication at SPAN granularity (Lee et al.
+    * 2022, arXiv:2107.06499 — "Deduplicating Training Data Makes
+    * Language Models Better"): any 8-token window occurring ≥2 times in
+    * the corpus (across documents OR repeated within one) marks every
+    * token it covers, and training pipelines drop or down-weight the
+    * marked spans. This is the member of the dedup family the others
+    * miss: q25 needs whole-doc equality, q26/q27 flag whole near-dup
+    * docs, q78 needs sentence boundaries — boilerplate licenses,
+    * navigation chrome and copied paragraphs INSIDE otherwise-unique
+    * docs only fall to span-level exact matching.
+    *
+    * Spark shape (suffix arrays are the single-node tool; shingle
+    * aggregation is the distributed one): windows enumerate MAP-SIDE
+    * from each doc's token array (explode of a transform over
+    * sequence — no self-join), one count-only hash aggregation keyed
+    * on the window string finds repeats (partial map-side combine; a
+    * count is skew-proof where q26's postings needed capping), one
+    * semi-join back tags repeated occurrences, and coverage is an
+    * explode of ≤8×|repeated occurrences| positions reduced per doc.
+    * At 100 TB the exchange would key on a 128-bit digest of the
+    * window instead of its text (collision-free in practice, ~3×
+    * smaller shuffle); the oracle keys on the text so the compare
+    * stays engine-exact. Output per doc: total tokens, tokens covered
+    * by some repeated span — the corpus's span-duplication census. */
+  def q154SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val t0 = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val sh = t0.filter(size(col("arr")) >= K)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(arr) - ${K - 1}),
+            i -> struct(i AS start,
+                        concat_ws(' ', slice(arr, i, $K)) AS s))"""))
+        .as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.s").as("s"))
+    val dup = sh.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("s")
+    val cov = sh.join(dup, Seq("s"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${K - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    t0.select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .orderBy("doc_id")
+  }
+
+  val q154Sql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       sh AS (
+         SELECT doc_id, i AS start,
+                array_to_string(arr[i:i+7], ' ') AS s
+         FROM t, unnest(generate_series(1, len(arr) - 7)) AS u(i)
+         WHERE len(arr) >= 8),
+       dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+       cov AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked FROM (
+           SELECT DISTINCT sh.doc_id, g.p
+           FROM sh JOIN dup USING (s),
+                unnest(generate_series(sh.start, sh.start + 7)) AS g(p))
+         GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
+              CAST(coalesce(cov.n_masked, 0) AS BIGINT) AS n_masked
+       FROM t LEFT JOIN cov USING (doc_id)
+       ORDER BY t.doc_id"""
+
   // --- q35: binary-column (multimodal) metadata ------------------------
   /** Multimodal plumbing surface: opaque binary payload + typed metadata.
     * The decode step is a deterministic fake (real image/audio libs are
@@ -3199,6 +3269,7 @@ object PipelineQueries {
     "q33_token_count" -> q33TokenCount _,
     "q34_fingerprint" -> q34Fingerprint _,
     "q153_text_normalize" -> q153TextNormalize _,
+    "q154_span_dedup" -> q154SpanDedup _,
     "q35_binary_meta" -> q35BinaryMeta _,
     "q47_multimodal_features" -> q47MultimodalFeatures _,
     "q48_ivf_topk" -> q48IvfTopK _,
@@ -3258,6 +3329,7 @@ object PipelineQueries {
     "q33_token_count" -> q33Sql,
     "q34_fingerprint" -> q34Sql,
     "q153_text_normalize" -> q153Sql,
+    "q154_span_dedup" -> q154Sql,
     "q35_binary_meta" -> q35Sql,
     "q47_multimodal_features" -> q47Sql,
     "q48_ivf_topk" -> q48Sql,
