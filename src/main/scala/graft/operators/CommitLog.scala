@@ -46,6 +46,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[ManifestSkip]]'s stats table and [[Upsert]]'s partition-value
   * pruning); at 10⁶ files a manifest is one ~100 MB sequential read,
   * vs the 10⁶ LIST round-trips it replaces.
+  *
+  * Concurrency: on HDFS, rename fails when the destination exists, so
+  * two writers racing to the same generation resolve as optimistic
+  * concurrency — one commit wins, the loser's [[commit]] throws and
+  * its operation retries against the new latest. Local POSIX rename
+  * REPLACES an existing destination, so this module is single-writer
+  * there (the reference's one-DAG publish shape; matches the test
+  * environment). Readers need no coordination in either case: a
+  * manifest-resolved read pins its file list at plan time, so a
+  * concurrent rewrite cannot change the rows mid-query — genuine
+  * snapshot isolation when history is retained (`keepReplaced`), and
+  * the ordinary read-vs-delete race of any raw-parquet table when the
+  * default GC reclaims files.
   */
 object CommitLog {
 

@@ -100,6 +100,77 @@ object AnalyticsQueries {
              % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
        GROUP BY lang ORDER BY lang"""
 
+  // --- q155: corpus mixture rebalancing to target proportions ----------
+  /** The mixture-weighting step of training-corpus assembly: given
+    * RELATIVE target weights per language (en:5, de:2, fr:2, rest:1)
+    * and a total budget of half the corpus, derive each language's
+    * char budget FROM THE DATA (one aggregation), turn it into a
+    * deterministic per-language acceptance rate, and apply it with the
+    * q60 hash-Bernoulli so membership is a pure function of the key —
+    * re-runs, backfills and the oracle all select the identical docs.
+    * Extends q60 (fixed literal rates) and q74 (count quotas) with the
+    * data-dependent rate computation real mixture rebalancing needs:
+    * over-represented sources are thinned toward target, sources under
+    * their target keep everything (rate clamps at 1).
+    *
+    * Exactness discipline: budgets are integer-divided in a pinned
+    * order ((total div 2) · wt div Σwt), the rate is never
+    * materialized as a float — the keep predicate cross-multiplies
+    * ((hash mod 10⁴) · cur_chars < target · 10⁴), longs throughout
+    * (at 100 TB char-counts the cross-product needs decimal(38,0) —
+    * the q142 guard discipline). Output per language: target budget,
+    * kept chars, kept docs — exactly reproducible by the oracle. */
+  def q155MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wt = when(col("lang") === "en", 5L)
+      .when(col("lang") === "de", 2L)
+      .when(col("lang") === "fr", 2L).otherwise(1L)
+    val cur = docs.groupBy("lang")
+      .agg(sum("n_chars").cast("long").as("cur_chars"))
+      .withColumn("wt", wt)
+    val tot = cur.agg(sum("cur_chars").as("total"), sum("wt").as("sumw"))
+    val tgt = cur.crossJoin(broadcast(tot))
+      .select(col("lang"), col("cur_chars"),
+        expr("((total div 2) * wt) div sumw").as("target_chars"))
+    val kept = docs.join(broadcast(tgt), Seq("lang"))
+      .filter(pmod(graft.operators.Dedup.hash60(
+          col("doc_id").cast("string")), lit(10000L)) * col("cur_chars")
+        < col("target_chars") * lit(10000L))
+      .groupBy("lang")
+      .agg(sum("n_chars").cast("long").as("chars_kept"),
+        count(lit(1)).as("n_kept"))
+    tgt.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("target_chars"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q155Sql: String =
+    """WITH cur AS (
+         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cur_chars,
+                CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                          WHEN 'fr' THEN 2 ELSE 1 END AS wt
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(cur_chars) AS BIGINT) AS total,
+                      CAST(sum(wt) AS BIGINT) AS sumw FROM cur),
+       tgt AS (
+         SELECT lang, cur_chars,
+                ((tot.total // 2) * wt) // tot.sumw AS target_chars
+         FROM cur CROSS JOIN tot),
+       kept AS (
+         SELECT d.lang, sum(d.n_chars) AS chars, count(*) AS n
+         FROM documents d JOIN tgt ON tgt.lang = d.lang
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT % 10000 * tgt.cur_chars
+               < tgt.target_chars * 10000
+         GROUP BY d.lang)
+       SELECT t.lang, CAST(t.target_chars AS BIGINT) AS target_chars,
+              CAST(coalesce(k.chars, 0) AS BIGINT) AS chars_kept,
+              CAST(coalesce(k.n, 0) AS BIGINT) AS n_kept
+       FROM tgt t LEFT JOIN kept k ON k.lang = t.lang
+       ORDER BY t.lang"""
+
   // --- q61: stream-static enrichment join ------------------------------
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -1201,6 +1272,7 @@ object AnalyticsQueries {
     "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
+    "q155_mixture_rebalance" -> q155MixtureRebalance _,
     "q61_stream_static_join" -> q61StreamStaticJoin _,
     "q65_skew_salted_join" -> q65SkewSaltedJoin _,
     "q66_percentile_disc" -> q66PercentileDisc _,
@@ -1229,6 +1301,7 @@ object AnalyticsQueries {
     "q39_table_profile" -> q39Sql,
     "q59_cube_delays" -> q59Sql,
     "q60_hash_sample" -> q60Sql,
+    "q155_mixture_rebalance" -> q155Sql,
     "q61_stream_static_join" -> q61Sql,
     "q65_skew_salted_join" -> q65Sql,
     "q66_percentile_disc" -> q66Sql,

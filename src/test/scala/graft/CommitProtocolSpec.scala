@@ -224,6 +224,31 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("manifest-resolved reads are snapshot-isolated: a frame planned " +
+    "before a keepReplaced rewrite still returns the pre-rewrite rows " +
+    "after the rewrite commits") {
+    val root = java.nio.file.Files.createTempDirectory("cps_si").toString
+    val sink = mkSink(root)
+    // bring the sink under log control (gen 0 + a first update → gen 1)
+    Merge.mergeParquet(spark, Seq((1L, 11L)).toDF("k", "v"), Seq("k"),
+      sink, keepReplaced = true)
+    val v1 = Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L))
+    // plan (do NOT collect) a manifest-resolved read of generation 1
+    val snapshot = CommitLog.read(spark, sink)
+    // concurrent rewrite: update lands as generation 2
+    Merge.mergeParquet(spark, Seq((2L, 22L), (9L, 90L)).toDF("k", "v"),
+      Seq("k"), sink, keepReplaced = true)
+    // the pre-planned frame still reads generation 1 — its file list
+    // was pinned at plan time and keepReplaced retained the files
+    assert(snapshot.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == v1,
+      "snapshot read must not see the concurrent rewrite")
+    assert(ledger(sink) ==
+      Seq((1L, 11L), (2L, 22L), (3L, 30L), (4L, 40L), (9L, 90L)),
+      "a fresh read resolves the new generation")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("append after compaction extends the manifest: the " +
     "manifest-resolving reader sees appended rows") {
     val root = java.nio.file.Files.createTempDirectory("cps_a").toString
