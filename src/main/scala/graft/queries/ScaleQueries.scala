@@ -732,6 +732,59 @@ object ScaleQueries {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  // --- q156: JSONL corpus scan (schema-on-read + malformed tolerance) --
+  /** The web-corpus source format the reference's CSV loaders never
+    * met: newline-delimited JSON, read with an EXPLICIT schema (never
+    * inference — at 10⁶ shard files inference is a full extra pass and
+    * a drifting contract) and PERMISSIVE malformed-line tolerance: a
+    * truncated or non-JSON line lands in the corrupt-record column
+    * with every data field null instead of killing the scan — the G4
+    * per-shard tolerance discipline applied at ROW granularity, which
+    * is what real crawl dumps need (one torn line must not fail a
+    * 100 GB shard). The census splits valid rows per language and
+    * counts the two planted malformed lines under `__corrupt__`;
+    * the oracle reproduces the valid half from the parquet table and
+    * pins the corrupt count exactly. */
+  def q156JsonlScan(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_jsonl_")
+      .toString
+    try {
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .write.json(s"$root/feed")
+      // two planted torn lines, as their own .json shard
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/feed/zz_torn.json"),
+        "{\"doc_id\": 1, \"lang\": \"en\"\nnot json at all\n"
+          .getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(s"$root/feed")
+      val out = parsed
+        .groupBy(when(col("_corrupt").isNotNull, lit("__corrupt__"))
+          .otherwise(col("lang")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_total"))
+        .orderBy("lang")
+      // materialize before the temp feed is deleted (q104 pattern)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q156Sql: String =
+    """SELECT * FROM (
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars_total
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT '__corrupt__', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+       ) ORDER BY lang"""
+
   val q136Sql: String =
     """SELECT l_returnflag, l_linestatus,
               CAST(count(*) AS BIGINT) AS n_items,
@@ -1305,6 +1358,7 @@ object ScaleQueries {
     "q134_pareto_frontier" -> q134ParetoFrontier _,
     "q135_hourly_autocorr" -> q135HourlyAutocorr _,
     "q136_orc_roundtrip" -> q136OrcRoundtrip _,
+    "q156_jsonl_scan" -> q156JsonlScan _,
     "q137_window_frames" -> q137WindowFrames _,
     "q138_hierarchy_rollup" -> q138HierarchyRollup _,
     "q139_gaps_islands" -> q139GapsIslands _,
@@ -1332,6 +1386,7 @@ object ScaleQueries {
     "q134_pareto_frontier" -> q134Sql,
     "q135_hourly_autocorr" -> q135Sql,
     "q136_orc_roundtrip" -> q136Sql,
+    "q156_jsonl_scan" -> q156Sql,
     "q137_window_frames" -> q137Sql,
     "q138_hierarchy_rollup" -> q138Sql,
     "q139_gaps_islands" -> q139Sql,
