@@ -329,6 +329,62 @@ object Upsert {
     n
   }
 
+  /** TTL retention at partition granularity — drop whole partitions of
+    * a hive-partitioned sink, chosen from their DIRECTORY VALUES, with
+    * zero data read: a day-partitioned 100 TB corpus retires its
+    * oldest days at the cost of listing + deleting the dropped
+    * partitions' files, never scanning a byte (erasure by KEY is
+    * [[Merge.eraseParquet]]'s job; this is the calendar-lifecycle
+    * sibling). `choose` receives every live partition VALUE (directory
+    * spelling, e.g. "20240101") and returns the set to drop — a data-
+    * dependent policy like "everything older than the newest N days"
+    * stays metadata-only because the values themselves carry the
+    * calendar. The swap is the [[CommitLog]] protocol's delete half:
+    * commit the shrunk manifest FIRST, then GC the dropped files, so a
+    * crash leaves a manifest-resolving reader on one side or the other
+    * of the drop, never astride it. Returns (partitions dropped,
+    * files dropped). */
+  def dropPartitionsParquet(spark: SparkSession, path: String,
+                            partitionCol: String,
+                            choose: Seq[String] => Set[String],
+                            failpoint: String => Unit = _ => ())
+  : (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"retention target $path does not exist")
+    val live = CommitLog.ensureLogged(fs, hPath)
+    val prefix = partitionCol + "="
+    def valueOf(rel: String): Option[String] = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) None
+      else {
+        val d = rel.substring(0, i)
+        if (d.startsWith(prefix)) Some(d.substring(prefix.length))
+        else None
+      }
+    }
+    val values = live.flatMap(valueOf).distinct
+    val drop = choose(values)
+    require(drop.subsetOf(values.toSet),
+      s"choose returned unknown partition values: ${drop.diff(values.toSet)}")
+    val dropped = live.filter(r => valueOf(r).exists(drop))
+    if (dropped.isEmpty) return (0L, 0L)
+    failpoint("resolved")
+    CommitLog.commit(fs, hPath, live.diff(dropped))
+    failpoint("committed")
+    dropped.foreach { r => // GC, best-effort
+      try fs.delete(new org.apache.hadoop.fs.Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    drop.foreach { v => // remove now-empty partition dirs, best-effort
+      val d = new org.apache.hadoop.fs.Path(hPath, prefix + v)
+      try { if (fs.exists(d) && fs.listStatus(d).isEmpty)
+        fs.delete(d, false) }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    (drop.size.toLong, dropped.size.toLong)
+  }
+
   /** Guards G1/G2 then idempotent append to a parquet path.
     * Returns number of rows appended (−1 when skipped by a guard).
     *

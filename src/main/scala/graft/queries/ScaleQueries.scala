@@ -785,6 +785,53 @@ object ScaleQueries {
          SELECT '__corrupt__', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
        ) ORDER BY lang"""
 
+  // --- q157: schema evolution across shard generations -----------------
+  /** Schema drift, the long-lived-corpus certainty the reference's
+    * fixed BigQuery schemas never face: an early shard generation has
+    * no `quality` column, a later generation adds it. `mergeSchema`
+    * unions the per-file schemas at read time, old rows surface the
+    * new column as NULL, and the census must separate them — the
+    * additive-evolution contract (rename/retype is a rewrite, not a
+    * read trick). The read declares the MERGED schema explicitly
+    * after one mergeSchema listing probe in production; here the probe
+    * itself is exercised. Oracle: both generations rebuilt from the
+    * parquet truth with the same parity split. */
+  def q157SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_evo_")
+      .toString
+    try {
+      val docs = t(s, dir, "documents")
+      // generation 1: even doc_ids, v1 schema (no quality column)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.parquet(s"$root/corpus")
+      // generation 2: odd doc_ids, schema grew a quality column
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 5).cast("long").as("quality"))
+        .write.mode("append").parquet(s"$root/corpus")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/corpus")
+      val out = merged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          sum(coalesce(col("quality"), lit(0L))).as("quality_sum"))
+        .orderBy("lang")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q157Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scored,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 5
+                            ELSE 0 END) AS BIGINT) AS quality_sum
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val q136Sql: String =
     """SELECT l_returnflag, l_linestatus,
               CAST(count(*) AS BIGINT) AS n_items,
@@ -1359,6 +1406,7 @@ object ScaleQueries {
     "q135_hourly_autocorr" -> q135HourlyAutocorr _,
     "q136_orc_roundtrip" -> q136OrcRoundtrip _,
     "q156_jsonl_scan" -> q156JsonlScan _,
+    "q157_schema_evolution" -> q157SchemaEvolution _,
     "q137_window_frames" -> q137WindowFrames _,
     "q138_hierarchy_rollup" -> q138HierarchyRollup _,
     "q139_gaps_islands" -> q139GapsIslands _,
@@ -1387,6 +1435,7 @@ object ScaleQueries {
     "q135_hourly_autocorr" -> q135Sql,
     "q136_orc_roundtrip" -> q136Sql,
     "q156_jsonl_scan" -> q156Sql,
+    "q157_schema_evolution" -> q157Sql,
     "q137_window_frames" -> q137Sql,
     "q138_hierarchy_rollup" -> q138Sql,
     "q139_gaps_islands" -> q139Sql,

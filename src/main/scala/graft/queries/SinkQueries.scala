@@ -542,6 +542,57 @@ object SinkQueries {
                   AS BIGINT) FROM c
        ) ORDER BY generation"""
 
+  // --- q158: calendar TTL retention (metadata-only partition drop) -----
+  /** The lifecycle step between compaction and erasure: retire a
+    * day-partitioned corpus's oldest days by DIRECTORY VALUE —
+    * [[graft.operators.Upsert.dropPartitionsParquet]] reads zero data
+    * (the calendar lives in the partition names), commits the shrunk
+    * manifest, then GCs the dropped files. The policy here is
+    * data-dependent ("drop the two oldest days present") yet still
+    * metadata-only; the census of the surviving sink is exactly
+    * reproducible by the oracle's day-filtered aggregate. */
+  def q158TtlRetention(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_ttl_")
+      .toString
+    try {
+      val ev = graft.io.Sources.table(s, dir, "events")
+        .select(col("event_id"),
+          expr("CAST(date_format(ts, 'yyyyMMdd') AS LONG)").as("day_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val sink = s"$root/events_by_day"
+      ev.repartition(col("day_id"))
+        .write.partitionBy("day_id").parquet(sink)
+      graft.operators.Upsert.dropPartitionsParquet(s, sink, "day_id",
+        values => {
+          val days = values.map(_.toLong).sorted
+          days.take(2).map(_.toString).toSet // the two oldest days
+        })
+      val out = graft.operators.CommitLog.read(s, sink)
+        .groupBy(col("day_id").cast("long").as("day_id"))
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("cents_sum"))
+        .orderBy("day_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q158Sql: String =
+    """WITH ev AS (
+         SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day_id,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       oldest AS (
+         SELECT day_id FROM (SELECT DISTINCT day_id FROM ev)
+         ORDER BY day_id LIMIT 2)
+       SELECT day_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(cents) AS BIGINT) AS cents_sum
+       FROM ev WHERE day_id NOT IN (SELECT day_id FROM oldest)
+       GROUP BY day_id ORDER BY day_id"""
+
   val all: Map[String, Q] = Map(
     "q36_merge_update" -> q36MergeUpdate _,
     "q140_corpus_erasure" -> q140CorpusErasure _,
@@ -552,6 +603,7 @@ object SinkQueries {
     "q71_compact_sink" -> q71CompactSink _,
     "q72_replace_partitions" -> q72ReplacePartitions _,
     "q151_time_travel" -> q151TimeTravel _,
+    "q158_ttl_retention" -> q158TtlRetention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +616,6 @@ object SinkQueries {
     "q71_compact_sink" -> q71Sql,
     "q72_replace_partitions" -> q72Sql,
     "q151_time_travel" -> q151Sql,
+    "q158_ttl_retention" -> q158Sql,
   )
 }

@@ -249,6 +249,38 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("partition drop killed between commit and delete: the retired " +
+    "partitions are gone for the manifest reader even though their " +
+    "files are still on disk; re-running the policy is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("cps_ttl").toString
+    val sink = s"$root/t"
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("day", "k", "v").repartition(col("day"))
+      .write.partitionBy("day").parquet(sink)
+    intercept[Killed] {
+      Upsert.dropPartitionsParquet(spark, sink, "day",
+        vs => Set(vs.map(_.toLong).min.toString),
+        failpoint = killAt("committed"))
+    }
+    val got = CommitLog.read(spark, sink)
+      .select(col("day").cast("long"), col("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 20L), (3L, 30L)),
+      "post-commit crash: the dropped day must be invisible")
+    // re-run: vacuums the crash debris; the oldest REMAINING day is 2,
+    // and a policy that now names it drops it cleanly
+    val (p, _) = Upsert.dropPartitionsParquet(spark, sink, "day",
+      vs => vs.filter(_.toLong < 2L).toSet)
+    assert(p == 0L, "nothing older than day 2 should remain to drop")
+    // the dropped day's files are generation-0 HISTORY (referenced by
+    // the bootstrap manifest), so only expiry reclaims them
+    CommitLog.expireGenerations(fsOf(sink), new Path(sink), 1)
+    assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
+      CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet,
+      "expiry must reclaim the retired partition's files")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("append after compaction extends the manifest: the " +
     "manifest-resolving reader sees appended rows") {
     val root = java.nio.file.Files.createTempDirectory("cps_a").toString
