@@ -91,7 +91,7 @@ object Merge {
         updates.columns.sorted),
       s"updates schema ${updates.columns.sorted.mkString(",")} must match " +
         s"sink schema ${sinkSchema.fieldNames.sorted.mkString(",")}")
-    val keyed = updates.select(updates.columns.map(col): _*)
+    val keyed = updates.select(updates.columns.toIndexedSeq.map(col): _*)
 
     // small frame, three consumers (touched files, matched rewrite,
     // insert anti-join) — cache, released in the finally (a crash —

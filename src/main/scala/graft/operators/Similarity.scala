@@ -138,7 +138,7 @@ object Similarity {
     weights.zipWithIndex.map { case (ws, p) =>
       // native dot kernel, not zip_with/aggregate: HOFs are interpreted
       // CodegenFallback and this runs per corpus row on the scan
-      val proj = graft.plans.VectorExprs.dotQ(qvec, array(ws.map(lit): _*))
+      val proj = graft.plans.VectorExprs.dotQ(qvec, array(ws.toIndexedSeq.map(lit): _*))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

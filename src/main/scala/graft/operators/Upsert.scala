@@ -89,7 +89,7 @@ object Upsert {
         case (c, i) if seen.add(keyOf(c)) => (c, i)
       }
       df.toDF(tmp: _*)
-        .select(keep.map { case (c, i) => col(s"__c$i").as(c) }: _*)
+        .select(keep.toIndexedSeq.map { case (c, i) => col(s"__c$i").as(c) }: _*)
     }
   }
 

@@ -52,7 +52,7 @@ object ScaleUp {
     def rep(name: String): DataFrame = t(name).crossJoin(reps)
     def keyStride(name: String, keys: String*): Map[String, Long] =
       keys.map(c => c ->
-        (t(name).agg(max(col(c))).head.getLong(0) + 1L)).toMap
+        (t(name).agg(max(col(c))).head().getLong(0) + 1L)).toMap
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scale-up] $name -> " +
@@ -73,7 +73,7 @@ object ScaleUp {
 
     val vecStride = keyStride("embeddings", "vec_id")("vec_id")
     val dim = t("embeddings").select(size(col("embedding")))
-      .head.getInt(0)
+      .head().getInt(0)
     write(rep("embeddings").select(
       (col("vec_id") + col("k") * vecStride).as("vec_id"),
       expr(s"""transform(
