@@ -132,7 +132,17 @@ object CommitLog {
   /** Every data file referenced by ANY retained generation — the set
     * [[vacuum]] must never touch: a file outside it is debris from a
     * torn swap (never committed) or from an expired generation, a file
-    * inside it is either live or time-travel history. */
+    * inside it is either live or time-travel history.
+    *
+    * Cost note: this reads every retained manifest, and [[vacuum]] (so
+    * every logged WRITE, via ensureLogged) calls it — a long-lived
+    * sink that never expires accumulates one manifest read per past
+    * write per new write. The retention discipline is the fix, not an
+    * optimization: run [[expireGenerations]] on whatever cadence the
+    * time-travel window needs (production table formats bound their
+    * log identically, via checkpoint + retention). Readers are
+    * unaffected either way — [[read]]/[[readAt]] open exactly one
+    * manifest. */
   private[graft] def referencedFiles(fs: FileSystem, sink: Path)
   : Set[String] =
     generations(fs, sink).flatMap(readManifest(fs, sink, _)).toSet
