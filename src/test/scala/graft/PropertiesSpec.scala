@@ -36,6 +36,31 @@ class PropertiesSpec extends SparkSpec {
     assert(tods == Set("morning", "midday", "afternoon", "evening", "night"))
   }
 
+  test("normalizeText is a canonicalization: idempotent over a messy " +
+      "unicode domain, and the output never carries a whitespace run, " +
+      "edge whitespace, or a decomposable sequence") {
+    import graft.plans.TextNormalize.normalizeText
+    // deterministic messy domain: combining marks, case, every ASCII
+    // whitespace, padding — crossed combinatorially
+    val parts = Seq("Café", "CAFÉ", "naïve", "x", "",
+      " ", "\t", "\r\n", "  ", "Ångström")
+    val texts = for (a <- parts; b <- parts; c <- parts)
+      yield s"$a$b$c"
+    val df = texts.toDF("t")
+      .select(col("t"), normalizeText(col("t")).as("n1"))
+      .select(col("n1"), normalizeText(col("n1")).as("n2"))
+    df.collect().foreach { r =>
+      val n1 = r.getString(0); val n2 = r.getString(1)
+      assert(n1 == n2, s"not idempotent: '$n1' -> '$n2'")
+      assert(!n1.contains("  ") && !n1.contains("\t") &&
+        !n1.contains("\n") && !n1.contains("\r"),
+        s"whitespace run survived: '$n1'")
+      assert(n1 == n1.trim, s"edge whitespace survived: '$n1'")
+      assert(java.text.Normalizer.isNormalized(n1,
+        java.text.Normalizer.Form.NFC), s"not NFC: '$n1'")
+    }
+  }
+
   test("upsert idempotence: apply(apply(s, x), x) == apply(s, x)") {
     import graft.operators.Upsert
     val dir = java.nio.file.Files.createTempDirectory("prop").toString
