@@ -205,6 +205,83 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 16×16 grayscale PNG whose pixel bytes are the MD5
+    * chain of `seed` — the synthesis side of the q163 perceptual-hash
+    * fixture: same seed → byte-identical image, distinct seeds →
+    * noise-independent pixel fields (so [[dHash]] values are 64
+    * effectively-independent bits and cross-content collisions are
+    * birthday-negligible). Real corpora skip this step — their bytes
+    * arrive in the binary column; everything downstream of the PNG
+    * bytes (decode, resample, hash) is the production path. */
+  def synthImage(seed: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](256)
+    var cur = seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < 256) {
+      cur = md.digest(cur)
+      System.arraycopy(cur, 0, px, i, math.min(16, 256 - i))
+      i += 16
+    }
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 16, 16, px)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Difference hash (dHash) of an encoded image: decode via
+    * javax.imageio (the [[realDecode]] path — any ImageIO-readable
+    * format), area-average the luminance (Rec. 601 weights) onto a
+    * 9×8 grid, emit one bit per horizontally-adjacent cell pair
+    * (left < right) → a 64-bit fingerprint. The standard
+    * perceptual-dedup primitive (Krawetz's dHash): byte-identical
+    * images hash identically REGARDLESS of encoding (PNG vs BMP of
+    * the same pixels collide by construction — that's the point:
+    * content-hash dedup like q25's md5 misses re-encodes, dHash
+    * doesn't), and near-duplicates land within small Hamming distance
+    * so banding the 64 bits LSH-style scales pairing the q27 way.
+    * Undecodable bytes fail loudly, matching [[realDecode]]. */
+  def dHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${payload.length} bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Double](72) // 9 cols × 8 rows
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        sum(gy * 9 + gx) += lum
+        cnt(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val l = sum(gy * 9 + gx) / cnt(gy * 9 + gx)
+        val r = sum(gy * 9 + gx + 1) / cnt(gy * 9 + gx + 1)
+        if (l < r) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   /** Frame sampling plan for video payloads: one row per sampled frame
     * offset — pure expression (no decode), demonstrating how a sampling
     * stage fans out before per-frame decode. */

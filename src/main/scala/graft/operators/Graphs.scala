@@ -115,4 +115,80 @@ object Graphs {
       .select(col("oe.src").as("src"), col("oe.dst").as("dst"),
         col("oe.dd").as("dd"))
   }
+
+  /** Multi-source BFS: minimum hop distance from ANY source to every
+    * node reachable within `maxHops`, as (node, dist BIGINT) rows —
+    * the reachability/radius measurement next to
+    * [[Dedup.connectedComponents]] (which answers *whether* connected;
+    * this answers *how far*). Single-source shortest path is the
+    * one-row-source special case.
+    *
+    * Input: directed (src, dst) edge rows (feed both orientations for
+    * an undirected graph) and a (node) frame of sources.
+    *
+    * Algorithm: level-synchronous frontier expansion — the textbook
+    * distributed BFS (Pregel's canonical example; Malewicz et al.,
+    * SIGMOD 2010). Round h joins the CURRENT FRONTIER ONLY against the
+    * edge list and anti-joins the visited set, so each round's shuffle
+    * carries |frontier ∪ neighbors| (node, dist) longs — never the
+    * full vertex set, never paths. Every vertex enters the frontier at
+    * most once (the anti-join), so total work across rounds is
+    * O(|E| + |V|) regardless of `maxHops`, unlike the recursive-CTE
+    * form whose working table re-derives (node, dist) pairs per level
+    * — that asymmetry is why the oracle caps at small depth while this
+    * scales to graph diameter.
+    *
+    * Loop discipline = the [[Dedup.connectedComponents]] /
+    * q87-PageRank contract: each round's frontier and visited set are
+    * EAGERLY localCheckpointed (truncating lineage so round k does not
+    * re-plan rounds 1..k-1) and the previous round's blocks dropped;
+    * the early exit on an empty frontier costs one count per round —
+    * frontier-sized, the value the loop needs anyway. The edge list is
+    * cached for the loop and released before returning. The result is
+    * the FINAL checkpoint, returned distributed (|V|-sized — never
+    * collected to the driver); after materializing, the caller
+    * releases its blocks via [[Dedup.unpersistCheckpoint]] — the
+    * [[Dedup.connectedComponents]] return contract. */
+  def multiSourceBfs(edges: DataFrame, sources: DataFrame,
+                     maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).persist()
+    try {
+      var visited = sources.select(col("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(true)
+      var frontier = visited
+      var prevVisited: Option[DataFrame] = None
+      var prevFrontier: Option[DataFrame] = None
+      var h = 0L
+      var frontierSize = frontier.count()
+      while (h < maxHops && frontierSize > 0) {
+        h += 1
+        val next = frontier
+          .join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint(true)
+        val nextVisited = visited.unionByName(next).localCheckpoint(true)
+        prevFrontier.foreach(Dedup.unpersistCheckpoint)
+        prevVisited.foreach(Dedup.unpersistCheckpoint)
+        prevFrontier = Some(frontier)
+        prevVisited = Some(visited)
+        frontier = next
+        visited = nextVisited
+        frontierSize = frontier.count()
+      }
+      // superseded rounds' blocks are dropped; the RESULT stays
+      // distributed (|V|-sized — never collected) as the final
+      // checkpoint, the [[Dedup.connectedComponents]] return contract:
+      // the caller materializes/aggregates it, then
+      // [[Dedup.unpersistCheckpoint]] releases the last blocks
+      prevFrontier.foreach(Dedup.unpersistCheckpoint)
+      prevVisited.foreach(Dedup.unpersistCheckpoint)
+      if (frontier ne visited) Dedup.unpersistCheckpoint(frontier)
+      visited
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -64,4 +64,58 @@ object ManifestSkip {
     (df.filter(col(keyCol).between(lo, hi)),
       files.length.toLong, stats.length.toLong)
   }
+
+  /** One row per data file: (file, bloom, n_rows), with `bloom` a
+    * serialized Bloom filter of the file's `keyCol` values — the
+    * POINT-LOOKUP complement to [[buildManifest]]'s min/max rows.
+    * Min/max pruning needs the layout's cooperation (range-clustered
+    * files → narrow ranges); a hash-scattered layout makes every file
+    * span the full key range and min/max prunes NOTHING. The Bloom
+    * index prunes point lookups on ANY layout: a key is in few files
+    * regardless of how rows were scattered, and the filter knows which.
+    *
+    * Built in ONE pass over the key column via [[graft.plans
+    * .BloomFilterAgg]] grouped by `_metadata.file_path` — partial
+    * filters build map-side, the exchange carries filters, not rows.
+    * `expectedKeysPerFile` sizes each filter (use the write path's
+    * rows-per-file bound); over-cap files degrade to a higher
+    * false-positive rate, never to false negatives. */
+  def buildBloomIndex(spark: SparkSession, path: String, keyCol: String,
+                      expectedKeysPerFile: Long,
+                      fpp: Double = 0.01): DataFrame =
+    spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("file"))
+      .groupBy("file")
+      .agg(graft.plans.BloomFilterAgg(col(keyCol), expectedKeysPerFile, fpp)
+          .as("bloom"),
+        count(lit(1)).as("n_rows"))
+
+  /** The sink rows whose `keyCol` is IN `keys`, reading ONLY files
+    * whose Bloom filter admits at least one probe key. False positives
+    * cost reads that the exact IN-filter then discards; false
+    * negatives are impossible, so the result is exactly the full-scan
+    * filter's (q162's oracle). Returns (dataframe, filesRead,
+    * filesTotal).
+    *
+    * The index transits the driver (same file-count-sized collect, and
+    * same justification, as [[prunedRead]]): probing |keys|·|files|
+    * membership tests locally costs microseconds against the scan
+    * it spares, and a real deployment feeds these filters to the
+    * catalog/scan planner the same way. */
+  def bloomPrunedRead(spark: SparkSession, path: String, index: DataFrame,
+                      keyCol: String, keys: Seq[Long])
+      : (DataFrame, Long, Long) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val idx = index.select(col("file"), col("bloom")).collect()
+    val files = idx.filter { r =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      keys.exists(bf.mightContainLong)
+    }.map(_.getString(0))
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (df.filter(col(keyCol).isin(keys: _*)),
+      files.length.toLong, idx.length.toLong)
+  }
 }

@@ -669,6 +669,62 @@ object AnalyticsQueries {
               ELSE 0.0 END AS transitivity
        FROM agg, ne, tri"""
 
+  // --- q160: multi-source BFS hop distances -----------------------------
+  /** Minimum hop distance from a deterministic source set over the
+    * part↔supplier bipartite graph (the q87 edge construction),
+    * summarized per level as (dist, n_nodes, node_sum) — an exact
+    * checksum of WHICH nodes sit at each distance, not just how many.
+    *
+    * The operator ([[graft.operators.Graphs.multiSourceBfs]]) is
+    * level-synchronous frontier BFS: O(|E|+|V|) total across rounds,
+    * shuffling only frontier-sized (node, dist) longs per round. The
+    * oracle is the recursive-CTE formulation — per-level re-derivation
+    * whose working set grows with path multiplicity, fine at oracle
+    * scale and exactly the shape the distributed form avoids. Two
+    * independent formulations, one answer. `maxHops = 4` bounds both
+    * (and on this dense bipartite graph already reaches every node in
+    * the sources' components). */
+  def q160BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("sp").as("dst"))
+      .unionByName(li.select(col("sp").as("src"), col("p").as("dst")))
+    // symmetric edge list → src alone enumerates every node
+    val sources = edges.select(col("src").as("node"))
+      .filter(col("node") % 97 === 0).distinct()
+    val dists = graft.operators.Graphs.multiSourceBfs(edges, sources, 4)
+    val out = dists.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+      .orderBy("dist")
+    // materialize the ≤(maxHops+1)-row summary, then release the BFS
+    // result's checkpoint blocks (the connectedComponents contract)
+    val rows = out.collect()
+    graft.operators.Dedup.unpersistCheckpoint(dists)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val q160Sql: String =
+    """WITH RECURSIVE li AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS sp
+         FROM lineitem),
+       edges AS (
+         SELECT p AS src, sp AS dst FROM li
+         UNION ALL SELECT sp AS src, p AS dst FROM li),
+       bfs AS (
+         SELECT DISTINCT src AS node, 0 AS dist
+         FROM edges WHERE src % 97 = 0
+         UNION
+         SELECT e.dst AS node, b.dist + 1 AS dist
+         FROM bfs b JOIN edges e ON e.src = b.node
+         WHERE b.dist < 4),
+       md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+       SELECT CAST(dist AS BIGINT) AS dist,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(node) AS BIGINT) AS node_sum
+       FROM md GROUP BY dist ORDER BY dist"""
+
   // --- q98: GROUPING SETS + grouping() margins --------------------------
   /** Explicit GROUPING SETS — the arbitrary-margin form completing the
     * CUBE (q59) / ROLLUP (q45) family: (flag, status), (flag) and the
@@ -1284,6 +1340,7 @@ object AnalyticsQueries {
     "q95_zscore_outliers" -> q95ZscoreOutliers _,
     "q96_rank_functions" -> q96RankFunctions _,
     "q97_triangle_count" -> q97TriangleCount _,
+    "q160_bfs_hops" -> q160BfsHops _,
     "q98_grouping_sets" -> q98GroupingSets _,
     "q99_exact_corr" -> q99ExactCorr _,
     "q108_full_outer_recon" -> q108FullOuterRecon _,
@@ -1313,6 +1370,7 @@ object AnalyticsQueries {
     "q95_zscore_outliers" -> q95Sql,
     "q96_rank_functions" -> q96Sql,
     "q97_triangle_count" -> q97Sql,
+    "q160_bfs_hops" -> q160Sql,
     "q98_grouping_sets" -> q98Sql,
     "q99_exact_corr" -> q99Sql,
     "q108_full_outer_recon" -> q108Sql,

@@ -247,12 +247,132 @@ object MaintenanceQueries {
               (SELECT CAST(count(*) AS BIGINT) FROM toks)
        ORDER BY cnt DESC, token"""
 
+  // --- q162: per-file Bloom index point lookup -------------------------
+  /** Needle-in-haystack point lookups against a HASH-SCATTERED sink —
+    * the layout where q123's min/max manifest is provably useless
+    * (every file spans the full key range; MaintenanceSpec pins that
+    * degradation) — pruned instead by a per-file BLOOM index
+    * ([[ManifestSkip.buildBloomIndex]], one
+    * [[graft.plans.BloomFilterAgg]] pass): each probed order key lives
+    * in exactly one of the 16 hash files, so the lookup reads ~|keys
+    * ∪ false positives| files instead of the sink. At 100 TB this is
+    * the difference between a point query costing one file and costing
+    * a full scan — the secondary-index role Bloom stats play in
+    * Delta/Iceberg metadata, as a freestanding operator.
+    *
+    * The probe set (order keys ≡0 mod 5003 — a dozen keys at sf0.01)
+    * is derived by a key-projected scan and collected: request-sized
+    * by construction, the same bounded-collect class as the file list.
+    * The oracle is the plain full-scan IN-filter: the hash compare
+    * proves bloom pruning is lossless (no false negatives); the spec
+    * pins that it actually PRUNES. */
+  def q162BloomIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_bloomidx_")
+      .toString
+    try {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // hash-scatter on the NON-lookup key: the adversarial layout for
+      // min/max stats, the representative one for a sink clustered for
+      // some other workload
+      orders.repartition(16, col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$root/sink")
+      val nRows = orders.count()
+      val index = ManifestSkip.buildBloomIndex(s, s"$root/sink",
+        "o_orderkey", expectedKeysPerFile = math.max(nRows / 16, 1L))
+      val probeKeys = orders.filter(col("o_orderkey") % 5003 === 0)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+      val (rows, _, _) = ManifestSkip.bloomPrunedRead(s, s"$root/sink",
+        index, "o_orderkey", probeKeys)
+      val report = rows
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .orderBy("o_orderkey")
+      // materialize before the temp sink is deleted (q104 pattern)
+      val out = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(out: _*), report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q162Sql: String =
+    """SELECT o_orderkey, o_custkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders WHERE o_orderkey % 5003 = 0
+       ORDER BY o_orderkey"""
+
+  // --- q161: mergeable HLL sketch maintenance --------------------------
+  /** Distinct-customer counts maintained as PERSISTED HyperLogLog
+    * sketches — the mergeable-summary pattern that replaces "rescan
+    * all history per report" with "merge fixed-size sketch state" at
+    * 100 TB: the monthly job sketches ONLY its month
+    * (`hll_sketch_agg`, Spark's DataSketches-backed aggregate; one
+    * append-only sketch row per month), and every report — quarterly
+    * here, yearly or corpus-total identically — derives by sketch
+    * UNION (`hll_union_agg`) over that metadata-sized table, never
+    * re-reading raw orders. Late data re-sketches one month; a new
+    * month appends one row. COUNT(DISTINCT) does not decompose this
+    * way (distinct sets don't add), which is exactly what the sketch's
+    * merge semilattice buys.
+    *
+    * Correctness gate: HLL is approximate, so the oracle pins (a) the
+    * EXACT per-quarter distinct count, recomputed here from raw orders
+    * alongside the merged estimate, and (b) `est_ok` — the estimate
+    * landing within ±10% of exact (lgK = 12 → ~1.6% RSE; 10% is >6σ,
+    * and the sketch is deterministic for fixed input, so the flag is
+    * stable, not flaky). Production keeps only the sketch path; the
+    * exact pass exists to prove the estimate's error bound through
+    * the cross-engine hash compare. */
+  def q161HllIncremental(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderdate", "o_custkey")
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_hll_")
+      .toString
+    try {
+      // the monthly job: one fixed-size sketch row per month
+      orders
+        .groupBy((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).cast("int").as("ym"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .write.parquet(s"$root/sketches")
+      // the report: merge month sketches into quarters — reads ONLY
+      // the sketch table (months-count rows of ~KB binaries)
+      val est = s.read.parquet(s"$root/sketches")
+        .groupBy((expr("ym div 100") * 10 +
+          expr("(ym % 100 - 1) div 3") + 1).cast("int").as("quarter"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = orders
+        .groupBy((year(col("o_orderdate")) * 10 +
+          quarter(col("o_orderdate"))).cast("int").as("quarter"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val report = exact.join(est, "quarter")
+        .select(col("quarter"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.1).as("est_ok"))
+        .orderBy("quarter")
+      // materialize before the temp sketch dir is deleted (q104 pattern)
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q161Sql: String =
+    """SELECT CAST(year(o_orderdate) * 10 + quarter(o_orderdate)
+                AS INTEGER) AS quarter,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+              TRUE AS est_ok
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
     "q122_bloom_join" -> q122BloomJoin _,
     "q123_manifest_skip" -> q123ManifestSkip _,
     "q124_frequent_tokens" -> q124FrequentTokens _,
+    "q161_hll_incremental" -> q161HllIncremental _,
+    "q162_bloom_index" -> q162BloomIndex _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +381,7 @@ object MaintenanceQueries {
     "q122_bloom_join" -> q122Sql,
     "q123_manifest_skip" -> q123Sql,
     "q124_frequent_tokens" -> q124Sql,
+    "q161_hll_incremental" -> q161Sql,
+    "q162_bloom_index" -> q162Sql,
   )
 }

@@ -612,6 +612,60 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // --- q163: image perceptual-hash dedup (real decode path) ------------
+  /** Re-encode-robust image dedup: every document is materialized as a
+    * REAL PNG (deterministic synthesis —
+    * [[graft.multimodal.Multimodal.synthImage]] — with duplicates
+    * planted by content key: docs ≡0 mod 7 carry their predecessor
+    * id's pixels), decoded through javax.imageio, perceptually hashed
+    * ([[graft.multimodal.Multimodal.dHash]]: area-resample to 9×8,
+    * 64-bit gradient-sign fingerprint), and grouped by hash. Same
+    * mapPartitions batch-decode stage as q47 (binary codecs are the
+    * sanctioned mapPartitions case); the grouping afterwards is one
+    * hash-agg on a LONG — at corpus scale the heavy part is the
+    * embarrassingly-parallel decode, the exchange carries only
+    * (doc_id, phash).
+    *
+    * The oracle can't decode pixels, and doesn't need to: duplicate
+    * topology is a pure function of doc_id (the planted content key),
+    * so it groups by that key directly. The hash compare then proves
+    * the DECODED-PIXEL path recovered exactly the planted duplicate
+    * structure — equal-content images collide, distinct-content images
+    * don't (64 noise-independent bits make cross-content collisions
+    * birthday-negligible, and the check is deterministic at fixed
+    * data). */
+  def q163ImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")).as("seed"))
+    val hashed = seeds.as[(Long, String)]
+      .mapPartitions(_.map { case (id, seed) =>
+        (id, graft.multimodal.Multimodal.dHash(
+          graft.multimodal.Multimodal.synthImage(seed)))
+      })
+      .toDF("doc_id", "phash")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+      .select(col("doc_id"), col("group_size"),
+        (col("group_size") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val q163Sql: String =
+    """WITH c AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN doc_id - 1
+                     ELSE doc_id END AS canon
+         FROM documents)
+       SELECT doc_id,
+              CAST(count(*) OVER (PARTITION BY canon) AS BIGINT)
+                AS group_size,
+              count(*) OVER (PARTITION BY canon) > 1 AS is_dup
+       FROM c ORDER BY doc_id"""
+
   val q47Sql: String =
     """WITH b AS (
          SELECT doc_id,
@@ -3272,6 +3326,7 @@ object PipelineQueries {
     "q154_span_dedup" -> q154SpanDedup _,
     "q35_binary_meta" -> q35BinaryMeta _,
     "q47_multimodal_features" -> q47MultimodalFeatures _,
+    "q163_image_phash" -> q163ImagePhash _,
     "q48_ivf_topk" -> q48IvfTopK _,
     "q49_session_window" -> q49SessionWindow _,
     "q50_approx_distinct" -> q50ApproxDistinct _,
@@ -3332,6 +3387,7 @@ object PipelineQueries {
     "q154_span_dedup" -> q154Sql,
     "q35_binary_meta" -> q35Sql,
     "q47_multimodal_features" -> q47Sql,
+    "q163_image_phash" -> q163Sql,
     "q48_ivf_topk" -> q48Sql,
     "q49_session_window" -> q49Sql,
     "q50_approx_distinct" -> q50Sql,

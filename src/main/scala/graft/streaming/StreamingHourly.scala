@@ -224,7 +224,8 @@ object StreamingHourly {
     "q46_streaming_hourly" -> (hourlyAgg _),
     "q100_stream_sessions" -> (sessionAgg _),
     "q38_stream_sessions_append" -> (sessionAggAppend _),
-    "q152_stream_dedup" -> (dedupWithinWatermark _))
+    "q152_stream_dedup" -> (dedupWithinWatermark _),
+    "q159_stream_pairs" -> (streamStreamPairs _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -243,6 +244,20 @@ object StreamingHourly {
              AS sum_cents
          FROM events GROUP BY 1 ORDER BY 1""",
     "q100_stream_sessions" -> graft.queries.PipelineQueries.q49Sql,
+    // q159: the stream-stream join's output must equal the batch
+    // self-join — inner-join results are emitted as matched (the
+    // watermark's only role is state EVICTION), so a bounded
+    // AvailableNow replay yields exactly the batch pair set
+    "q159_stream_pairs" ->
+      """SELECT a.user_id AS user_id,
+                date_trunc('hour', a.ts) AS hour,
+                a.event_id AS a_id, b.event_id AS b_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+          AND a.event_id < b.event_id
+         WHERE a.user_id < 5
+         ORDER BY user_id, hour, a_id, b_id""",
     // q38: q49's sessions RESTRICTED to those the final watermark
     // closed — watermark = ms-floor(max event time) − 1 h (Spark
     // tracks event-time stats in whole milliseconds), and append mode

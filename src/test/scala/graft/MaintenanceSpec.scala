@@ -100,6 +100,63 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows3.columns.toSeq == Seq("k", "v"))
   }
 
+  test("bloom index prunes point lookups on the hash-scattered layout " +
+      "where min/max prunes nothing, with zero false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    val df = spark.range(1000).select(col("id").as("k"),
+      (col("id") % 13).as("v"))
+    // the min/max-adversarial layout: every file spans the full k range
+    // (hashing k scatters consecutive keys across all 8 files, and
+    // every partition is non-empty at 1000 keys / 8 buckets)
+    df.repartition(8, col("k"))
+      .write.mode("overwrite").parquet(s"$dir/scattered")
+    val keys = Seq(7L, 311L, 642L, 999L)
+    // min/max reads everything for a point range on this layout...
+    val mm = ManifestSkip.buildManifest(spark, s"$dir/scattered", "k")
+    val (_, mmRead, mmTotal) = ManifestSkip.prunedRead(spark,
+      s"$dir/scattered", mm, "k", lit(311L), lit(311L))
+    assert(mmRead == mmTotal, "min/max should be useless here")
+    // ...the bloom index does not
+    val idx = ManifestSkip.buildBloomIndex(spark, s"$dir/scattered", "k",
+      expectedKeysPerFile = 200L)
+    assert(idx.count() == 8 && idx.schema("bloom").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val (rows, nRead, nTotal) = ManifestSkip.bloomPrunedRead(spark,
+      s"$dir/scattered", idx, "k", keys)
+    assert(nTotal == 8 && nRead < nTotal,
+      s"bloom should prune: read $nRead of $nTotal")
+    // losslessness: exactly the full-scan IN-filter's rows
+    val expected = df.filter(col("k").isin(keys: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == expected)
+    // absent probe keys: no false negatives by definition, and the
+    // result is empty but schema-correct
+    val (none, _, _) = ManifestSkip.bloomPrunedRead(spark,
+      s"$dir/scattered", idx, "k", Seq(123456L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("hll sketch union is a merge semilattice: partitioned build + " +
+      "union estimates like the direct build, within the error bound, " +
+      "deterministically") {
+    val df = spark.range(5000).select((col("id") % 700).as("k"),
+      (col("id") % 12).as("m"))
+    def est(c: org.apache.spark.sql.Column): Long =
+      df.groupBy("m").agg(hll_sketch_agg(col("k")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .collect()(0).getLong(0)
+    val direct = df.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("k"))).as("e"))
+      .collect()(0).getLong(0)
+    val merged = est(col("sk"))
+    // both within the lgK=12 bound of the true 700 (generous 5%)
+    assert(math.abs(direct - 700L) <= 35, s"direct=$direct")
+    assert(math.abs(merged - 700L) <= 35, s"merged=$merged")
+    // determinism: same input → same estimate, run-to-run
+    assert(est(col("sk")) == merged)
+  }
+
   test("exactFrequent equals plain group-count thresholding") {
     // skewed stream: token t0 40%, t1 20%, 40 rare tokens share the rest
     val toks = spark.range(10000).select(

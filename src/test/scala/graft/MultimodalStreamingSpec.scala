@@ -130,6 +130,38 @@ class MultimodalStreamingSpec extends SparkSpec {
       Multimodal.realDecode("audio/wav", Array[Byte](1, 2, 3, 4)))
   }
 
+  test("multimodal: dHash is an encoding-invariant perceptual hash — " +
+      "same pixels hash equal across PNG/BMP, a local perturbation " +
+      "moves few bits, distinct noise images differ") {
+    import javax.imageio.ImageIO
+    val png = Multimodal.synthImage("seed-a")
+    // identical call → identical bytes → identical hash (determinism)
+    assert(Multimodal.synthImage("seed-a").toSeq == png.toSeq)
+    val h = Multimodal.dHash(png)
+    // re-encode the SAME pixels as BMP: content hash (md5) changes,
+    // perceptual hash doesn't — the property q25-style byte dedup lacks
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "bmp", bmpOut))
+    val bmp = bmpOut.toByteArray
+    assert(bmp.toSeq != png.toSeq)
+    assert(Multimodal.dHash(bmp) == h)
+    // a small local perturbation (one brightened cell) flips few of
+    // the 64 gradient-sign bits — near-dups stay Hamming-close
+    val pert = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    pert.setRGB(3, 3, 0xffffff)
+    val pertOut = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(pert, "png", pertOut))
+    val hp = Multimodal.dHash(pertOut.toByteArray)
+    val hamming = java.lang.Long.bitCount(h ^ hp)
+    assert(hamming <= 8, s"perturbation moved $hamming of 64 bits")
+    // distinct seeds → noise-independent pixels → different hashes
+    assert(Multimodal.dHash(Multimodal.synthImage("seed-b")) != h)
+    // garbage bytes fail loudly, matching realDecode
+    intercept[IllegalArgumentException](
+      Multimodal.dHash(Array[Byte](9, 9, 9)))
+  }
+
   test("multimodal: frame sample plan fans out only video rows") {
     val docs = Seq((0L, "x" * 250), (2L, "y" * 250)).toDF("doc_id", "text")
     val media = Multimodal.toBinary(docs) // 0 → image, 2 → video
