@@ -282,6 +282,78 @@ object Multimodal {
     bits
   }
 
+  /** Deterministic 16-bit PCM mono WAV (8 kHz, 2080 samples) whose
+    * sample words are the MD5 chain of `seed` — the audio sibling of
+    * [[synthImage]]: same seed → byte-identical WAV, distinct seeds →
+    * independent sample fields, so [[audioFingerprint]] bits are
+    * effectively independent across contents. Real corpora skip this —
+    * their bytes arrive in the binary column; decode → window →
+    * fingerprint is the production path. */
+  def synthWav(seed: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nSamples = 2080
+    val pcm = new Array[Byte](nSamples * 2)
+    var cur = seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < pcm.length) {
+      cur = md.digest(cur)
+      System.arraycopy(cur, 0, pcm, i, math.min(16, pcm.length - i))
+      i += 16
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Energy-contour fingerprint of an encoded audio payload — the
+    * audio analog of [[dHash]]: decode via javax.sound.sampled (any
+    * AudioSystem-readable container: WAV, AIFF, AU), area-map the
+    * sample stream onto 65 windows, take per-window RMS energy, emit
+    * one bit per adjacent window pair (rms(j) < rms(j+1)) → a 64-bit
+    * fingerprint. Byte-level container changes (WAV vs AIFF of the
+    * same PCM, header metadata) do not move the fingerprint — which is
+    * exactly what md5-of-bytes dedup misses — and near-duplicate audio
+    * lands within small Hamming distance, so q27-style banding scales
+    * the pairing. Window mapping is index-proportional (`j*n/65`), so
+    * the fingerprint is length-robust the way dHash's 9×8 grid is
+    * resolution-robust. Undecodable bytes fail loudly. */
+  def audioFingerprint(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16,
+      s"fingerprint expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+    val bytes = ais.readAllBytes()
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    val sumSq = new Array[Double](65)
+    val cnt = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+      val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+      val s = ((hi << 8) | lo).toShort.toDouble
+      val w = i * 65 / n
+      sumSq(w) += s * s
+      cnt(w) += 1
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      val l = math.sqrt(sumSq(j) / math.max(cnt(j), 1L))
+      val r = math.sqrt(sumSq(j + 1) / math.max(cnt(j + 1), 1L))
+      if (l < r) bits |= 1L << j
+      j += 1
+    }
+    bits
+  }
+
   /** Frame sampling plan for video payloads: one row per sampled frame
     * offset — pure expression (no decode), demonstrating how a sampling
     * stage fans out before per-frame decode. */

@@ -1324,6 +1324,133 @@ object AnalyticsQueries {
           FROM $name"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
 
+  // --- q164: token-balanced shard export -------------------------------
+  /** Assign the corpus to K export shards so per-shard char budgets
+    * balance — the fan-out step before handing a corpus to K
+    * data-parallel trainers, where the slowest shard sets the epoch
+    * time. Greedy snake assignment over the size-sorted corpus: rank
+    * docs by (n_chars DESC, doc_id), walk ranks in boustrophedon order
+    * (0..K-1, K-1..0, …) so each K-row band contributes once to every
+    * shard and alternating direction cancels the within-band size
+    * drift. The ranking is [[graft.operators.Ranking.globalRowNumber]]
+    * — range-partitioned, offset-joined, windowed per range — NOT a
+    * plain unpartitioned `row_number` window, which would plan a
+    * single-partition Exchange and sort the whole corpus on one task
+    * (the scalable form q112's scaladoc promises is this operator).
+    * Output is the per-shard census (docs, chars, membership checksum);
+    * balance itself is pinned by spec (max/min char spread), membership
+    * by the oracle's plain-window re-derivation. */
+  def q164BalancedShards(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      docs, Seq(col("n_chars").desc, col("doc_id").asc), "rn")
+    val k0 = col("rn") - 1L
+    val band = (k0 / K).cast("long")
+    val pos = (k0 % K).cast("long")
+    ranked
+      .withColumn("shard",
+        when(band % 2 === 0, pos).otherwise(lit(K - 1) - pos))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        sum("doc_id").as("doc_id_sum"))
+      .orderBy("shard")
+  }
+
+  val q164Sql: String =
+    """WITH ranked AS (
+         SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                  - 1 AS k0
+         FROM documents)
+       SELECT CASE WHEN (k0 // 8) % 2 = 0 THEN k0 % 8
+                   ELSE 7 - (k0 % 8) END AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       FROM ranked GROUP BY 1 ORDER BY 1"""
+
+  // --- q165: association rules (market-basket) --------------------------
+  /** Support / confidence / lift over order baskets (Agrawal-Srikant
+    * association mining, the pairwise tier): which part pairs co-occur
+    * beyond chance. The scale discipline is Apriori's antimonotonicity
+    * — a pair can only be frequent if BOTH items are — so items below
+    * `minSup` are dropped BEFORE any pair is enumerated, and the
+    * remaining enumeration is the self-join per basket, cost
+    * Σ_b k_b² over surviving basket sizes, never the item×item matrix.
+    * The per-basket cap (≤ `maxBasket` frequent items, an explicit
+    * SQL-expressible guard rather than a silent truncation) bounds the
+    * worst basket's k²; at this SF nothing is dropped. Metrics are one
+    * division of exact BIGINT cross-products each (confidence =
+    * n_ab/n_a, lift = n_ab·N / (n_a·n_b)), so both engines compute
+    * bit-identical doubles; ordering ties break on the pair key. */
+  def q165AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val minSup = 25L
+    val minPairSup = 3L
+    val maxBasket = 50L
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nBaskets = li.select("ok").distinct().count()
+    val items = li.groupBy("item").agg(count(lit(1)).as("n_i"))
+      .filter(col("n_i") >= minSup)
+    val fli = li.join(items.select("item"), "item")
+    val okSizes = fli.groupBy("ok").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket).select("ok")
+    val capped = fli.join(okSizes, "ok")
+    val a = capped.select(col("ok"), col("item").as("part_a"))
+    val b = capped.select(col("ok").as("ok_b"), col("item").as("part_b"))
+    val pairs = a.join(b, col("ok") === col("ok_b") &&
+        col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairSup)
+    pairs
+      .join(items.select(col("item").as("part_a"), col("n_i").as("n_a")),
+        "part_a")
+      .join(items.select(col("item").as("part_b"), col("n_i").as("n_b")),
+        "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab") * nBaskets).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q165Sql: String =
+    """WITH li AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+         FROM lineitem),
+       n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+             FROM li),
+       items AS (
+         SELECT item, CAST(count(*) AS BIGINT) AS n_i
+         FROM li GROUP BY 1 HAVING count(*) >= 25),
+       fli AS (SELECT li.ok, li.item
+               FROM li JOIN items ON items.item = li.item),
+       ok_sizes AS (SELECT ok FROM fli GROUP BY ok
+                    HAVING count(*) <= 50),
+       capped AS (SELECT fli.ok, fli.item
+                  FROM fli JOIN ok_sizes USING (ok)),
+       pairs AS (
+         SELECT a.item AS part_a, b.item AS part_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+         FROM capped a JOIN capped b
+           ON a.ok = b.ok AND a.item < b.item
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+       SELECT part_a, part_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+              CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE)
+                AS confidence,
+              CAST(n_ab * n_baskets AS DOUBLE)
+                / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+       FROM pairs
+       JOIN items ia ON ia.item = part_a
+       JOIN items ib ON ib.item = part_b
+       CROSS JOIN n
+       ORDER BY lift DESC, part_a, part_b LIMIT 20"""
+
   val all: Map[String, Q] = Map(
     "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
@@ -1352,6 +1479,8 @@ object AnalyticsQueries {
     "q116_schema_evolution" -> q116SchemaEvolution _,
     "q117_winsorized_mean" -> q117WinsorizedMean _,
     "q118_skew_profile" -> q118SkewProfile _,
+    "q164_balanced_shards" -> q164BalancedShards _,
+    "q165_association_rules" -> q165AssociationRules _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1382,5 +1511,7 @@ object AnalyticsQueries {
     "q116_schema_evolution" -> q116Sql,
     "q117_winsorized_mean" -> q117Sql,
     "q118_skew_profile" -> q118Sql,
+    "q164_balanced_shards" -> q164Sql,
+    "q165_association_rules" -> q165Sql,
   )
 }

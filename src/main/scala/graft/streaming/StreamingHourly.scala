@@ -220,7 +220,91 @@ object StreamingHourly {
     }
   }
 
+  /** Per-user running state carried across micro-batches: event count,
+    * cents total, and how many batches touched this key (the proof the
+    * state actually survived a batch boundary). */
+  final case class RunState(n: Long, cents: Long, updates: Int)
+  final case class RunOut(user_id: Long, n_events: Long, cents: Long,
+                          n_updates: Int)
+
+  /** CUSTOM arbitrary state via `flatMapGroupsWithState` — the
+    * Structured Streaming API tier below windowed aggregation and
+    * `dropDuplicates*`: user code owns the per-key state cell. Here the
+    * state is a per-user running (count, cents) total maintained across
+    * micro-batches; the input is forced through FOUR time-ranged files
+    * with `maxFilesPerTrigger = 1`, so AvailableNow replays it as four
+    * batches and the state must genuinely persist and accumulate across
+    * batch boundaries (`n_updates` records how many batches touched
+    * each key; the spec pins it > 1). Update output mode emits the
+    * running value per touched key per batch — the final row per key
+    * (max `n_events`, strictly increasing) must equal the plain batch
+    * aggregate, which is the oracle.
+    *
+    * Scale shape: state is one fixed-size row per key in the state
+    * store, partitioned by the grouping key; each micro-batch shuffles
+    * only its own rows. The fold is commutative (count/sum), so file
+    * replay order cannot change the result. Cents arithmetic keeps the
+    * cross-engine compare exact (q125 discipline); `coalesce(…, 0)`
+    * mirrors SQL sum's null-skipping inside the typed fold. */
+  def customStateRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val name = s"stream_state_${runId.incrementAndGet()}"
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_state_")
+      .toString
+    try {
+      val ev = graft.io.Sources.table(spark, dir, "events")
+        .select(col("user_id"), col("ts"),
+          expr("CAST(coalesce(round(value * 100), 0) AS BIGINT)")
+            .as("cents"))
+      ev.repartitionByRange(4, col("ts")).write.parquet(s"$root/in")
+      val schema = spark.read.parquet(s"$root/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+        .select(col("user_id"), col("cents"))
+        .as[(Long, Long)]
+      val out = stream.groupByKey(_._1)
+        .flatMapGroupsWithState[RunState, RunOut](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: org.apache.spark.sql.streaming.GroupState[RunState]) =>
+            val prev = state.getOption.getOrElse(RunState(0L, 0L, 0))
+            var n = prev.n; var cents = prev.cents
+            rows.foreach { r => n += 1; cents += r._2 }
+            val next = RunState(n, cents, prev.updates + 1)
+            state.update(next)
+            Iterator(RunOut(user, next.n, next.cents, next.updates))
+        }
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // final state per key = the emitted row with max n_events
+      // (strictly increasing per update, so the max is unique)
+      val fin = spark.table(name)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("cents"), col("n_updates")))
+          .as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.cents").as("cents"), col("m.n_updates").as("n_updates"))
+        .orderBy("user_id")
+      val rows = fin.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  /** q166 driver entry: the oracle-comparable projection (the
+    * multi-batch proof column `n_updates` is spec territory — the
+    * oracle can't know micro-batch boundaries). */
+  def customStateRunningQuery(spark: SparkSession,
+                              dir: String): DataFrame =
+    customStateRunning(spark, dir)
+      .select("user_id", "n_events", "cents")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_stream_custom_state" -> (customStateRunningQuery _),
     "q46_streaming_hourly" -> (hourlyAgg _),
     "q100_stream_sessions" -> (sessionAgg _),
     "q38_stream_sessions_append" -> (sessionAggAppend _),
@@ -230,6 +314,15 @@ object StreamingHourly {
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
   val oracles: Map[String, String] = Map(
+    // q166: the custom state's final per-key value must equal the plain
+    // batch aggregate — state persisted and accumulated correctly
+    // across the four forced micro-batches
+    "q166_stream_custom_state" ->
+      """SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(coalesce(round(value * 100), 0) AS BIGINT))
+             AS BIGINT) AS cents
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q46_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts,
            CAST(count(*) AS BIGINT) AS n_events,

@@ -263,4 +263,30 @@ class MultimodalStreamingSpec extends SparkSpec {
         b.getAs[Double]("sum_value")) < 1e-9)
     }
   }
+
+  test("flatMapGroupsWithState running aggregate: state persists across " +
+      "micro-batch boundaries and the final value equals the batch agg") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingHourly
+      .customStateRunning(spark, dir).collect()
+    // the four time-ranged input files replay as four micro-batches;
+    // an always-active user's key must have been updated more than
+    // once — otherwise the "custom state" never crossed a batch
+    // boundary and the test proves nothing
+    val maxUpdates = got.map(_.getAs[Int]("n_updates")).max
+    assert(maxUpdates > 1,
+      s"no key was updated in more than one micro-batch ($maxUpdates)")
+    val batch = graft.io.Sources.table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(coalesce(round(value * 100), 0) AS BIGINT)"))
+          .as("cents"))
+      .orderBy("user_id").collect()
+    assert(got.length == batch.length)
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+      assert(g.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      assert(g.getAs[Long]("cents") == b.getAs[Long]("cents"))
+    }
+  }
 }

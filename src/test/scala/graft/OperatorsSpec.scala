@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, FuzzyJoin, Graphs, ModeAgg, Similarity,
-  Upsert}
+import graft.operators.{Dedup, FuzzyJoin, Graphs, ModeAgg, Ranking,
+  Similarity, Upsert}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -720,5 +720,38 @@ class OperatorsSpec extends SparkSpec {
     assert(full.exceptAll(incremental).isEmpty &&
       incremental.exceptAll(full).isEmpty,
       "incremental path diverged from the full recompute")
+  }
+
+  test("globalRowNumber equals the single-partition window form on a " +
+      "total sort key, across range counts") {
+    import org.apache.spark.sql.expressions.Window
+    // values chosen so range boundaries land mid-tie on `v` but the
+    // (v, id) composite is total
+    val df = Seq(7, 7, 7, 3, 3, 9, 1, 5, 5, 5).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      .repartition(4)
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc))
+          .cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    for (ranges <- Seq(1, 3, 8)) {
+      val got = Ranking.globalRowNumber(df,
+          Seq(col("v").desc, col("id").asc), "rn", numRanges = ranges)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"numRanges=$ranges diverged")
+    }
+  }
+
+  test("q164 snake sharding balances char budgets across shards") {
+    val out = graft.queries.AnalyticsQueries
+      .q164BalancedShards(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 8)
+    val chars = out.map(_.getAs[Long]("total_chars"))
+    // snake assignment over the size-sorted corpus: worst shard within
+    // a few percent of the best (round-robin alone can't promise this
+    // when sizes are skewed; sorted-snake can)
+    assert(chars.max.toDouble / chars.min <= 1.05,
+      s"shard char spread ${chars.mkString(",")}")
   }
 }

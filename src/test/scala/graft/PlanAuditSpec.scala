@@ -432,4 +432,16 @@ class PlanAuditSpec extends SparkSpec {
           "its cost contract is probe ∝ batch")
     } finally graft.io.Sources.deleteRecursively(root)
   }
+
+  test("q164 global ranking plans no single-partition exchange: the " +
+      "window runs per range, not over the whole corpus on one task") {
+    val plan = executed(graft.queries.AnalyticsQueries
+      .q164BalancedShards(spark, dir))
+    val singles = collectAll(plan)
+      .filter(_.isInstanceOf[ShuffleExchangeExec])
+      .map(_.toString)
+      .filter(_.contains("SinglePartition"))
+    assert(singles.isEmpty,
+      s"found SinglePartition exchange:\n${singles.mkString("\n")}")
+  }
 }
