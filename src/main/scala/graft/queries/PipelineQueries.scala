@@ -666,6 +666,107 @@ object PipelineQueries {
               count(*) OVER (PARTITION BY canon) > 1 AS is_dup
        FROM c ORDER BY doc_id"""
 
+  // --- q167: sorted-neighborhood near-dup pairs ------------------------
+  /** The sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
+    * as a dedup blocking tier: sort the corpus by a blocking key (here
+    * the 40-char text prefix, tie-broken by doc_id into a total
+    * order), then verify ONLY each record against its w−1 successors
+    * in sort order — candidate count is (w−1)·|D|, never |D|², and the
+    * expensive edit-distance verification runs on 120-char probes.
+    * Complements the existing blocking tiers (q26 shingle inverted
+    * index, q27 MinHash bands, q93 prefix-filtered token join): SNM is
+    * the method of choice when near-dups share long PREFIXES (crawl
+    * re-scrapes, versioned boilerplate), and a production pipeline
+    * multi-passes it with different keys.
+    *
+    * Scale shape: the global sort rank is
+    * [[graft.operators.Ranking.globalRowNumber]] — range-partitioned,
+    * no single-partition window — and the neighbor pairing is ONE
+    * equi-join on the rank (the left side explodes each row to its
+    * w−1 successor ranks), so the whole operator is two rank shuffles
+    * plus a verification pass; no range-condition nested loop. */
+  def q167SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val w = 4        // compare each record to its 3 successors
+    val maxDist = 24 // ≤20% of the 120-char probe
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(col("text"), 1, 40).as("bkey"),
+        substring(col("text"), 1, 120).as("probe"))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+        docs, Seq(col("bkey").asc, col("doc_id").asc), "rn")
+      .select(col("doc_id"), col("probe"), col("rn"))
+    val probes = ranked
+      .select(col("doc_id").as("doc_a"), col("probe").as("probe_a"),
+        explode(array((1 until w).map(d => col("rn") + d): _*))
+          .as("rn_b"))
+    probes
+      .join(ranked.select(col("rn").as("rn_b"),
+          col("doc_id").as("doc_b"), col("probe").as("probe_b")),
+        "rn_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("probe_a"), col("probe_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q167Sql: String =
+    """WITH r AS (
+         SELECT doc_id, substr(text, 1, 120) AS probe,
+                row_number() OVER (ORDER BY substr(text, 1, 40), doc_id)
+                  AS rn
+         FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS dist
+       FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+       WHERE levenshtein(a.probe, b.probe) <= 24
+       ORDER BY doc_a, doc_b"""
+
+  // --- q168: audio fingerprint dedup (real decode path) ----------------
+  /** Re-encode-robust AUDIO dedup — the q163 flow with the audio
+    * codec stack: every document materializes as a real WAV
+    * ([[graft.multimodal.Multimodal.synthWav]], duplicates planted by
+    * content key: docs ≡0 mod 11 carry their predecessor's PCM),
+    * decodes through javax.sound.sampled, and fingerprints by RMS
+    * energy contour ([[graft.multimodal.Multimodal.audioFingerprint]]:
+    * 65 windows, 64 adjacent-pair bits). The mapPartitions batch
+    * decode is the sanctioned binary-codec stage; the exchange carries
+    * only (doc_id, fingerprint) longs. The oracle derives the planted
+    * duplicate topology from the content key — the hash compare proves
+    * the decoded-PCM path recovered it exactly (container-level byte
+    * differences cannot split a group, distinct contents do not
+    * collide in 64 noise-independent bits). */
+  def q168AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")).as("seed"))
+    val hashed = seeds.as[(Long, String)]
+      .mapPartitions(_.map { case (id, seed) =>
+        (id, graft.multimodal.Multimodal.audioFingerprint(
+          graft.multimodal.Multimodal.synthWav(seed)))
+      })
+      .toDF("doc_id", "afp")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("afp")))
+      .select(col("doc_id"), col("group_size"),
+        (col("group_size") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val q168Sql: String =
+    """WITH c AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN doc_id - 1
+                     ELSE doc_id END AS canon
+         FROM documents)
+       SELECT doc_id,
+              CAST(count(*) OVER (PARTITION BY canon) AS BIGINT)
+                AS group_size,
+              count(*) OVER (PARTITION BY canon) > 1 AS is_dup
+       FROM c ORDER BY doc_id"""
+
   val q47Sql: String =
     """WITH b AS (
          SELECT doc_id,
@@ -3327,6 +3428,8 @@ object PipelineQueries {
     "q35_binary_meta" -> q35BinaryMeta _,
     "q47_multimodal_features" -> q47MultimodalFeatures _,
     "q163_image_phash" -> q163ImagePhash _,
+    "q167_sorted_neighborhood" -> q167SortedNeighborhood _,
+    "q168_audio_fingerprint" -> q168AudioFingerprint _,
     "q48_ivf_topk" -> q48IvfTopK _,
     "q49_session_window" -> q49SessionWindow _,
     "q50_approx_distinct" -> q50ApproxDistinct _,
@@ -3388,6 +3491,8 @@ object PipelineQueries {
     "q35_binary_meta" -> q35Sql,
     "q47_multimodal_features" -> q47Sql,
     "q163_image_phash" -> q163Sql,
+    "q167_sorted_neighborhood" -> q167Sql,
+    "q168_audio_fingerprint" -> q168Sql,
     "q48_ivf_topk" -> q48Sql,
     "q49_session_window" -> q49Sql,
     "q50_approx_distinct" -> q50Sql,

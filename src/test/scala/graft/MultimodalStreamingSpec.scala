@@ -162,6 +162,38 @@ class MultimodalStreamingSpec extends SparkSpec {
       Multimodal.dHash(Array[Byte](9, 9, 9)))
   }
 
+  test("multimodal: audioFingerprint is a container-invariant energy " +
+      "hash — same PCM fingerprints equal across WAV/AIFF, a local " +
+      "perturbation moves few bits, distinct noise differs") {
+    import javax.sound.sampled.{AudioFileFormat, AudioSystem}
+    val wav = Multimodal.synthWav("seed-a")
+    // determinism: same seed → byte-identical WAV
+    assert(Multimodal.synthWav("seed-a").toSeq == wav.toSeq)
+    val h = Multimodal.audioFingerprint(wav)
+    // re-encode the SAME PCM as AIFF (big-endian container): byte hash
+    // changes, energy fingerprint doesn't
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val aiffOut = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, aiffOut)
+    val aiff = aiffOut.toByteArray
+    assert(aiff.toSeq != wav.toSeq)
+    assert(Multimodal.audioFingerprint(aiff) == h,
+      "container re-encode moved the fingerprint")
+    // zero one window's worth of samples in the PCM body: a local
+    // edit flips few of the 64 contour bits (near-dups Hamming-close).
+    // WAV data chunk starts at byte 44 for this canonical header.
+    val pert = wav.clone()
+    java.util.Arrays.fill(pert, 100, 164, 0.toByte)
+    val hp = Multimodal.audioFingerprint(pert)
+    val hamming = java.lang.Long.bitCount(h ^ hp)
+    assert(hamming >= 1 && hamming <= 8,
+      s"local perturbation moved $hamming of 64 bits")
+    // distinct seeds → independent PCM → different fingerprints
+    assert(Multimodal.audioFingerprint(Multimodal.synthWav("seed-b"))
+      != h)
+  }
+
   test("multimodal: frame sample plan fans out only video rows") {
     val docs = Seq((0L, "x" * 250), (2L, "y" * 250)).toDF("doc_id", "text")
     val media = Multimodal.toBinary(docs) // 0 → image, 2 → video
