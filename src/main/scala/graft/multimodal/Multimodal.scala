@@ -36,6 +36,13 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every encode/decode through a
+  // TEMP FILE — at corpus scale that is one disk round-trip per image
+  // on the hot path (measured: q163's 50k-image pass superlinear at
+  // sf1 until disabled). In-memory cache is strictly better for the
+  // byte-array payloads this module handles. JVM-wide, set once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Wrap a text corpus as binary media records (the harness has no real
     * image table; utf-8 bytes stand in for an encoded payload). */
   def toBinary(docs: DataFrame): DataFrame =
@@ -282,6 +289,27 @@ object Multimodal {
     bits
   }
 
+  /** Deterministic single-pixel perturbation of an encoded image — the
+    * near-duplicate synthesis for the q169 banded-Hamming fixture:
+    * decode, nudge one pixel's gray level by +24 (clamped), re-encode.
+    * A one-pixel edit moves one 9×8 grid cell's mean a few levels, so
+    * [[dHash]] flips only the comparisons whose margin it crosses —
+    * the planted pair lands within small, deterministic Hamming
+    * distance of its source instead of colliding exactly (which is the
+    * case [[q163]]-style equality grouping already covers). */
+  def perturbImage(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (x, y) = (img.getWidth / 3, img.getHeight / 3)
+    val gray0 = img.getRGB(x, y) & 0xff
+    val g = math.min(gray0 + 24, 255)
+    img.setRGB(x, y, (0xff << 24) | (g << 16) | (g << 8) | g)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Deterministic 16-bit PCM mono WAV (8 kHz, 2080 samples) whose
     * sample words are the MD5 chain of `seed` — the audio sibling of
     * [[synthImage]]: same seed → byte-identical WAV, distinct seeds →
@@ -300,14 +328,23 @@ object Multimodal {
       System.arraycopy(cur, 0, pcm, i, math.min(16, pcm.length - i))
       i += 16
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
-      true /* signed */, false /* little-endian */)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // Canonical 44-byte RIFF/WAVE header written directly —
+    // AudioSystem.write consults the provider REGISTRY per call, which
+    // serializes under executor-thread contention (measured: the q168
+    // 50k-clip pass got SLOWER when fanned out to 32 threads until the
+    // registry left the hot path). javax.sound remains the decode
+    // fallback for non-WAV containers and the spec's AIFF re-encode.
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1 /* PCM */).putShort(1 /* mono */)
+      .putInt(8000).putInt(8000 * 2 /* byte rate */)
+      .putShort(2 /* block align */).putShort(16 /* bits */)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
   }
 
   /** Energy-contour fingerprint of an encoded audio payload — the
@@ -323,13 +360,39 @@ object Multimodal {
     * the fingerprint is length-robust the way dHash's 9×8 grid is
     * resolution-robust. Undecodable bytes fail loudly. */
   def audioFingerprint(payload: Array[Byte]): Long = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16,
-      s"fingerprint expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
-    val bytes = ais.readAllBytes()
-    val big = fmt.isBigEndian
+    // hot path: direct RIFF/WAVE parse (registry-free, see synthWav);
+    // anything else (AIFF, AU) goes through AudioSystem
+    val (bytes, big) =
+      if (payload.length > 44 &&
+          payload(0) == 'R' && payload(1) == 'I' &&
+          payload(2) == 'F' && payload(3) == 'F' &&
+          payload(8) == 'W' && payload(9) == 'A' &&
+          payload(10) == 'V' && payload(11) == 'E') {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var data: Array[Byte] = null
+        var bits = -1
+        while (data == null && pos + 8 <= payload.length) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val len = bb.getInt(pos + 4)
+          if (id == "fmt ") bits = bb.getShort(pos + 22).toInt
+          else if (id == "data")
+            data = java.util.Arrays.copyOfRange(payload, pos + 8,
+              math.min(pos + 8 + len, payload.length))
+          pos += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        require(data != null, "WAV payload has no data chunk")
+        require(bits == 16, s"fingerprint expects 16-bit PCM, got $bits")
+        (data, false)
+      } else {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"fingerprint expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        (ais.readAllBytes(), fmt.isBigEndian)
+      }
     val n = bytes.length / 2
     val sumSq = new Array[Double](65)
     val cnt = new Array[Long](65)

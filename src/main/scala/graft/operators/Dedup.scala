@@ -393,6 +393,69 @@ object Dedup {
     labels
   }
 
+  /** All pairs within Hamming distance `maxDist` over a 64-bit
+    * fingerprint column (SimHash, image dHash, audio energy contour),
+    * WITHOUT the all-pairs compare: split the 64 bits into `bands`
+    * contiguous chunks with `bands > maxDist` — by pigeonhole, two
+    * fingerprints within `maxDist` agree EXACTLY on at least one chunk
+    * (≤ maxDist chunks can differ) — so candidates are an equi-join on
+    * (chunk index, chunk value) and the exact `bit_count(a ^ b)`
+    * verification runs per candidate. Recall is 1.0 by construction
+    * (unlike probabilistic MinHash banding); the cost trade is chunk
+    * width: more bands → guaranteed recall at higher maxDist but
+    * shorter chunks → more accidental bucket collisions (expected
+    * Σ_buckets n² / 2^width). Default 8 bands of 8 bits covers
+    * maxDist ≤ 7 with 1/256 random-collision rate per band.
+    *
+    * Scale shape: the exchange carries (id, fp, chunk) rows — bands·|D|
+    * longs, never documents; candidate pairs are generated AND verified
+    * inside the join stage (bit_count is codegen'd), so only true
+    * near-pairs reach the final dedup exchange. Per-bucket candidate
+    * cost is Σ n² — with fixed chunk width the mean bucket occupancy
+    * grows as |D|/2^width, so the guaranteed-recall envelope of a
+    * 64-bit fingerprint ends around |D| ≈ 10⁶-10⁷: beyond that, use a
+    * wider fingerprint (128/256 bits → more chunks of the same width,
+    * same pigeonhole) or accept MinHash-style probabilistic recall.
+    * Degenerate fingerprints (all-zero band from blank media) make hot
+    * buckets — cap or drop them the [[jaccardPairs]] maxDocFreq way;
+    * callers with blank-heavy corpora should filter those upstream.
+    * Output: (id_a, id_b, hamming), id_a < id_b, each pair once. */
+  def hammingNearPairs(df: DataFrame, idCol: String, fpCol: String,
+                       maxDist: Int, bands: Int = 8): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole needs bands ($bands) > maxDist ($maxDist)")
+    require(bands >= 2 && bands <= 64, "bands must be in [2, 64]")
+    val width = 64 / bands
+    val chunks = (0 until bands).map { i =>
+      val lo = i * width
+      val w = if (i == bands - 1) 64 - lo else width
+      struct(lit(i).as("bi"),
+        (shiftrightunsigned(col(fpCol), lo)
+          .bitwiseAND(lit((1L << w) - 1))).as("bv"))
+    }
+    val banded = df
+      .select(col(idCol).as("hid"), col(fpCol).as("hfp"),
+        explode(array(chunks: _*)).as("b"))
+      .select(col("hid"), col("hfp"), col("b.bi").as("bi"),
+        col("b.bv").as("bv"))
+    val left = banded
+    val right = banded.select(col("bi"), col("bv"),
+      col("hid").as("hid_b"), col("hfp").as("hfp_b"))
+    // verify BEFORE distinct: the bit_count filter is codegen'd and
+    // consumes candidate pairs inside the join's own stage, so the
+    // Σ-bucket-n² candidate stream never reaches an exchange — only
+    // true near-pairs (duplicated once per agreeing chunk) flow into
+    // the dedup. With distinct-first, the full candidate volume
+    // shuffles (measured 21× at 10× data on the q169 fixture; this
+    // order restores ~linear growth until buckets saturate).
+    left.join(right, Seq("bi", "bv"))
+      .filter(col("hid") < col("hid_b"))
+      .select(col("hid").as("id_a"), col("hid_b").as("id_b"),
+        bit_count(col("hfp").bitwiseXOR(col("hfp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // pairs agreeing on several chunks meet several times
+  }
+
   /** 16-bit SimHash from unigram token counts. Bit i is derived from hex
     * nibble i/4 of md5(token); the document bit is the sign of the
     * count-weighted ±1 vote. One integer per document — near-dup buckets

@@ -1451,6 +1451,104 @@ object AnalyticsQueries {
        CROSS JOIN n
        ORDER BY lift DESC, part_a, part_b LIMIT 20"""
 
+  // --- q171: time-series gap fill (densification) -----------------------
+  /** Hourly per-user series DENSIFIED over each user's own active span:
+    * missing hours appear as explicit zero rows with a `gap` flag — the
+    * resample-to-grid step every downstream window/forecast consumer
+    * needs (q85's rolling windows silently skip empty hours; a model
+    * must see them). The grid generates from one per-user min/max
+    * aggregation (`sequence` + explode — grid rows ∝ Σ span hours, no
+    * cross join against a global calendar), then ONE left equi-join on
+    * (user, hour) brings in the observed aggregates. A user with a
+    * years-long span fans out to years×24 grid rows — data-shaped, and
+    * the reason the grid derives from each user's span rather than the
+    * corpus min/max. Restricted to user_id < 10 to keep the oracle
+    * output bounded. */
+  def q171GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val hourly = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_obs"), sum("c").as("c_sum"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_ts"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        coalesce(col("c_sum"), lit(0L)).as("cents"),
+        col("n_obs").isNull.as("gap"))
+      .orderBy("user_id", "hour_ts")
+  }
+
+  val q171Sql: String =
+    """WITH ev AS (
+         SELECT user_id, date_trunc('hour', ts) AS h,
+                CAST(round(value * 100) AS BIGINT) AS c
+         FROM events WHERE user_id < 10),
+       hourly AS (
+         SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_obs,
+                CAST(sum(c) AS BIGINT) AS c_sum
+         FROM ev GROUP BY 1, 2),
+       grid AS (
+         SELECT user_id,
+                unnest(generate_series(min(h), max(h),
+                  INTERVAL 1 HOUR)) AS h
+         FROM ev GROUP BY user_id)
+       SELECT g.user_id, g.h AS hour_ts,
+              coalesce(n_obs, 0) AS n_events,
+              coalesce(c_sum, 0) AS cents,
+              n_obs IS NULL AS gap
+       FROM grid g LEFT JOIN hourly USING (user_id, h)
+       ORDER BY user_id, hour_ts"""
+
+  // --- q172: observed metrics (zero-extra-pass pipeline DQ) -------------
+  /** `Dataset.observe` + `Observation`: exact DQ metrics collected ON
+    * the pipeline's own pass — the CollectMetrics node rides the scan
+    * as accumulator updates, so row counts / null counts / sums cost
+    * ZERO additional jobs at 100 TB, where a separate metrics scan
+    * doubles the I/O bill (the q101 report re-reads its inputs; this
+    * is the form that doesn't). The observed frame is driven by a
+    * `noop`-sink write (the stand-in for the pipeline's real write
+    * action), the metrics surface as a one-row frame, and the oracle
+    * recomputes them relationally — proving accumulator-path ≡
+    * aggregation-path. Caveat pinned elsewhere
+    * ([[graft.operators.Upsert]] scaladoc): AQE's empty-relation
+    * rewrite can drop CollectMetrics on EMPTY inputs, which is why the
+    * sink family counts by committed-task metrics instead; on non-empty
+    * analytics passes observe is the right tool. */
+  def q172ObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_dq_${obsRun.incrementAndGet()}")
+    t(s, dir, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(col("props")).as("n_props_nonnull"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_props_nonnull").asInstanceOf[Long],
+      m("cents").asInstanceOf[Long],
+      m("n_purchase").asInstanceOf[Long]))
+      .toDF("n_rows", "n_props_nonnull", "cents", "n_purchase")
+  }
+
+  private val obsRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val q172Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(props) AS BIGINT) AS n_props_nonnull,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS n_purchase
+       FROM events"""
+
   val all: Map[String, Q] = Map(
     "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
@@ -1481,6 +1579,8 @@ object AnalyticsQueries {
     "q118_skew_profile" -> q118SkewProfile _,
     "q164_balanced_shards" -> q164BalancedShards _,
     "q165_association_rules" -> q165AssociationRules _,
+    "q171_gap_fill" -> q171GapFill _,
+    "q172_observe_metrics" -> q172ObserveMetrics _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1513,5 +1613,7 @@ object AnalyticsQueries {
     "q118_skew_profile" -> q118Sql,
     "q164_balanced_shards" -> q164Sql,
     "q165_association_rules" -> q165Sql,
+    "q171_gap_fill" -> q171Sql,
+    "q172_observe_metrics" -> q172Sql,
   )
 }

@@ -636,10 +636,14 @@ object PipelineQueries {
     * data). */
   def q163ImagePhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // decode cost >> scan cost and the corpus may sit in few files:
+    // fan the synth+decode stage out explicitly — one narrow exchange
+    // of (id, seed) buys full-core parallelism for the expensive stage
     val seeds = t(s, dir, "documents")
       .select(col("doc_id"),
         md5(when(col("doc_id") % 7 === 0, col("doc_id") - 1)
           .otherwise(col("doc_id")).cast("string")).as("seed"))
+      .repartition(s.sparkContext.defaultParallelism)
     val hashed = seeds.as[(Long, String)]
       .mapPartitions(_.map { case (id, seed) =>
         (id, graft.multimodal.Multimodal.dHash(
@@ -741,6 +745,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         md5(when(col("doc_id") % 11 === 0, col("doc_id") - 1)
           .otherwise(col("doc_id")).cast("string")).as("seed"))
+      .repartition(s.sparkContext.defaultParallelism) // q163 fan-out note
     val hashed = seeds.as[(Long, String)]
       .mapPartitions(_.map { case (id, seed) =>
         (id, graft.multimodal.Multimodal.audioFingerprint(
@@ -766,6 +771,50 @@ object PipelineQueries {
                 AS group_size,
               count(*) OVER (PARTITION BY canon) > 1 AS is_dup
        FROM c ORDER BY doc_id"""
+
+  // --- q169: banded Hamming near-dup join over perceptual hashes -------
+  /** NEAR-duplicate pairing over 64-bit perceptual hashes — the tier
+    * q163's exact-equality grouping cannot reach: docs ≡0 mod 13 carry
+    * a PERTURBED re-encode of their predecessor's image
+    * ([[graft.multimodal.Multimodal.perturbImage]]: one pixel nudged),
+    * so their dHash is near but NOT equal. Pairing is
+    * [[graft.operators.Dedup.hammingNearPairs]] — 8 contiguous 8-bit
+    * chunks, pigeonhole-exact recall for Hamming ≤ 7, equi-join on
+    * (chunk, value), bit_count verify per candidate — never the
+    * &#124;D&#124;² compare. The oracle derives the planted pair
+    * topology from the content key: the hash compare proves the
+    * decode → perturb → dHash → banded-join path recovered exactly the
+    * planted near-pairs (cross-content accidental pairs need Hamming
+    * ≤ 7 between independent 64-bit noise — probability ~3·10⁻¹¹ per
+    * pair, and the check is deterministic at fixed data). */
+  def q169PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")).as("seed"),
+        (col("doc_id") % 13 === 0).as("pert"))
+      .repartition(s.sparkContext.defaultParallelism) // q163 fan-out note
+    val hashed = seeds.as[(Long, String, Boolean)]
+      .mapPartitions(_.map { case (id, seed, pert) =>
+        val png = graft.multimodal.Multimodal.synthImage(seed)
+        val bytes =
+          if (pert) graft.multimodal.Multimodal.perturbImage(png)
+          else png
+        (id, graft.multimodal.Multimodal.dHash(bytes))
+      })
+      .toDF("doc_id", "phash")
+    graft.operators.Dedup
+      .hammingNearPairs(hashed, "doc_id", "phash", maxDist = 7)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q169Sql: String =
+    """SELECT doc_id - 1 AS id_a, doc_id AS id_b
+       FROM documents
+       WHERE doc_id % 13 = 0 AND doc_id > 0
+       ORDER BY id_a, id_b"""
 
   val q47Sql: String =
     """WITH b AS (
@@ -3430,6 +3479,7 @@ object PipelineQueries {
     "q163_image_phash" -> q163ImagePhash _,
     "q167_sorted_neighborhood" -> q167SortedNeighborhood _,
     "q168_audio_fingerprint" -> q168AudioFingerprint _,
+    "q169_phash_near_dup" -> q169PhashNearDup _,
     "q48_ivf_topk" -> q48IvfTopK _,
     "q49_session_window" -> q49SessionWindow _,
     "q50_approx_distinct" -> q50ApproxDistinct _,
@@ -3493,6 +3543,7 @@ object PipelineQueries {
     "q163_image_phash" -> q163Sql,
     "q167_sorted_neighborhood" -> q167Sql,
     "q168_audio_fingerprint" -> q168Sql,
+    "q169_phash_near_dup" -> q169Sql,
     "q48_ivf_topk" -> q48Sql,
     "q49_session_window" -> q49Sql,
     "q50_approx_distinct" -> q50Sql,

@@ -34,11 +34,21 @@ object StreamingHourly {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.io.Sources.harnessReadConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.io.Sources.normalizeNsTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir),
-      "ts")
+    // `$dir/events.parquet` is a single FILE in driver testdata but a
+    // part-file DIRECTORY in ScaleUp-synthesized dirs; the file-stream
+    // source needs a directory base either way, so pick it (and the
+    // glob) by what's on disk — with the flat-file glob, a directory's
+    // part files would silently stream ZERO rows
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.getFileStatus(p).isDirectory)
+        spark.readStream.schema(schema).parquet(p.toString)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    graft.io.Sources.normalizeNsTs(src, "ts")
   }
 
   /** Hourly tumbling count/sum over the events table, executed as a
@@ -220,6 +230,30 @@ object StreamingHourly {
     }
   }
 
+  /** SLIDING windows (1 h length, 15 min slide): every event lands in
+    * exactly four overlapping windows — the moving-average shape
+    * monitoring dashboards want, which tumbling (q46) cannot express.
+    * State cost is windows-per-event × open keys (4× q46's here),
+    * bounded by the same watermark eviction; the oracle re-derives the
+    * 4-window fan-out relationally (epoch-aligned 15-min bucket minus
+    * j slides), so streaming ≡ batch pins the window assignment
+    * arithmetic exactly — including the [start, end) boundary
+    * convention both engines must share. */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sliding_${runId.incrementAndGet()}"
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("w.start").as("w_start"), col("n_events"), col("cents"))
+      .orderBy("w_start")
+  }
+
   /** Per-user running state carried across micro-batches: event count,
     * cents total, and how many batches touched this key (the proof the
     * state actually survived a batch boundary). */
@@ -305,6 +339,7 @@ object StreamingHourly {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_stream_custom_state" -> (customStateRunningQuery _),
+    "q170_stream_sliding" -> (slidingHourly _),
     "q46_streaming_hourly" -> (hourlyAgg _),
     "q100_stream_sessions" -> (sessionAgg _),
     "q38_stream_sessions_append" -> (sessionAggAppend _),
@@ -323,6 +358,22 @@ object StreamingHourly {
            CAST(sum(CAST(coalesce(round(value * 100), 0) AS BIGINT))
              AS BIGINT) AS cents
          FROM events GROUP BY 1 ORDER BY 1""",
+    // q170: each event belongs to exactly 4 of the epoch-aligned
+    // 1h/15min sliding windows — w_start ∈ {bucket₁₅(ts) − j·15 min,
+    // j = 0..3}; [start, end) containment holds for all four since
+    // ts < bucket₁₅(ts) + 15 min
+    "q170_stream_sliding" ->
+      """WITH e AS (
+           SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents,
+                  time_bucket(INTERVAL 15 MINUTE, ts) AS tb
+           FROM events),
+         w AS (
+           SELECT cents, tb - j * (INTERVAL 15 MINUTE) AS w_start
+           FROM e CROSS JOIN
+             (SELECT unnest(generate_series(0, 3)) AS j) js)
+         SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM w GROUP BY 1 ORDER BY 1""",
     "q46_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts,
            CAST(count(*) AS BIGINT) AS n_events,

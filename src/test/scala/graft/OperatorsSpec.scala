@@ -742,6 +742,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearPairs finds exactly the brute-force pair set " +
+      "(pigeonhole recall is 1.0, verify rejects band accidents)") {
+    // deterministic pseudo-random 64-bit fingerprints plus planted
+    // near-pairs at distances 0, 3, 7 (in) and 8, 20 (out)
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    def flip(fp: Long, k: Int): Long = { // flip k distinct bit positions
+      var v = fp
+      (0 until k).foreach(j => v ^= 1L << ((j * 11 + 3) % 64))
+      v
+    }
+    val planted = Seq(
+      (100L, base(0)._2),           // d=0 from id 0
+      (101L, flip(base(1)._2, 3)),  // d=3 from id 1
+      (102L, flip(base(2)._2, 7)),  // d=7 from id 2
+      (103L, flip(base(3)._2, 8)),  // d=8 — OUT at maxDist 7
+      (104L, flip(base(4)._2, 20))) // far out
+    val all = base ++ planted
+    val df = all.toDF("fid", "fp")
+    val got = Dedup.hammingNearPairs(df, "fid", "fp", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val brute = (for {
+      (a, fa) <- all; (b, fb) <- all if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got == brute,
+      s"banded=${got.toSeq.sorted} brute=${brute.toSeq.sorted}")
+    assert(brute.contains((0L, 100L, 0)) && brute.contains((1L, 101L, 3))
+      && brute.contains((2L, 102L, 7)))
+    assert(!brute.exists(p => p._2 == 103L || p._2 == 104L))
+  }
+
   test("q164 snake sharding balances char budgets across shards") {
     val out = graft.queries.AnalyticsQueries
       .q164BalancedShards(spark, "/root/testdata/sf0.001")
