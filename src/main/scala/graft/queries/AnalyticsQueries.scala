@@ -1549,7 +1549,42 @@ object AnalyticsQueries {
                 END) AS BIGINT) AS n_purchase
        FROM events"""
 
+  // --- q173: connected components by star contraction -------------------
+  /** Component census over a CHAIN-SHAPED graph — the adversarial case
+    * for q63's label propagation (rounds ∝ diameter) and the home turf
+    * of [[graft.operators.Dedup.connectedComponentsStar]] (rounds ∝
+    * log): each customer's orders form one path (consecutive orders
+    * linked), so components ≡ customers by construction and the oracle
+    * derives the full census — representative (min order key), size,
+    * key checksum — with ONE aggregation, no transitive closure. The
+    * operator must rediscover exactly that structure from the bare
+    * edge list. Diameter here is the per-customer order count; on a
+    * crawl-graph or citation chain it is thousands, which is the case
+    * the log-round bound exists for. */
+  def q173StarComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    val edges = o
+      .withColumn("prev", lag("o_orderkey", 1).over(
+        Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("o_orderkey").as("dst"))
+    val nodes = o.select(col("o_orderkey").as("id"))
+    val labels = graft.operators.Dedup
+      .connectedComponentsStar(nodes, "id", edges, "src", "dst")
+    labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_nodes"), sum("id").as("node_sum"))
+      .orderBy("cluster_rep")
+  }
+
+  val q173Sql: String =
+    """SELECT min(o_orderkey) AS cluster_rep,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(o_orderkey) AS BIGINT) AS node_sum
+       FROM orders GROUP BY o_custkey ORDER BY cluster_rep"""
+
   val all: Map[String, Q] = Map(
+    "q173_star_components" -> q173StarComponents _,
     "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
     "q60_hash_sample" -> q60HashSample _,
@@ -1615,5 +1650,6 @@ object AnalyticsQueries {
     "q165_association_rules" -> q165Sql,
     "q171_gap_fill" -> q171Sql,
     "q172_observe_metrics" -> q172Sql,
+    "q173_star_components" -> q173Sql,
   )
 }

@@ -742,6 +742,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar: log-round contraction solves the " +
+      "high-diameter chain label propagation cannot, and matches " +
+      "union-find on a random graph") {
+    // a 300-node path: diameter 299 — propagation at maxIter 20 would
+    // not converge; star contraction must (O(log^2 n) rounds << 30)
+    val pathN = 300
+    val pathNodes = (0L until pathN.toLong).toDF("id")
+    val pathEdges = (0L until (pathN - 1).toLong)
+      .map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponentsStar(
+        pathNodes, "id", pathEdges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == pathN)
+    assert(got.forall(_._2 == 0L),
+      s"chain not fully contracted: ${got.filter(_._2 != 0L).take(5).toSeq}")
+
+    // random sparse graph vs a local union-find
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val es = (0 until 90).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong ->
+      (0 until n).filter(j => find(j) == find(i)).min.toLong).toMap
+    val nodes2 = (0L until n.toLong).toDF("id")
+    val got2 = Dedup.connectedComponentsStar(
+        nodes2, "id", es.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+
+    // drop-in equivalence with the propagation form where both converge
+    val prop = Dedup.connectedComponents(
+        nodes2, "id", es.toDF("src", "dst"), "src", "dst", maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == got2)
+  }
+
   test("hammingNearPairs finds exactly the brute-force pair set " +
       "(pigeonhole recall is 1.0, verify rejects band accidents)") {
     // deterministic pseudo-random 64-bit fingerprints plus planted
