@@ -230,6 +230,44 @@ object StreamingHourly {
     }
   }
 
+  /** Stream-stream LEFT OUTER join with watermarks on both sides — the
+    * tier above [[streamStreamPairs]]'s inner join: purchases (left)
+    * pair with same-user same-hour clicks; a purchase with NO click
+    * emits with a NULL click id once the watermark EXPIRES its state
+    * (the only moment "no match" becomes knowable on an unbounded
+    * stream). Matched rows emit immediately, inner-style. The oracle
+    * re-derives both halves: the matched set relationally, and the
+    * unmatched set gated by the final watermark (ms-floor(max ts) −
+    * 1 h, the q38 discipline) against the row's join-window upper
+    * bound — purchases still inside the window at end-of-input are
+    * correctly ABSENT. */
+  def streamOuterPairs(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_outer_${runId.incrementAndGet()}"
+    def src(): DataFrame = eventsStream(spark, dir)
+    val a = src()
+      .filter(col("event_type") === "purchase" && col("user_id") < 5)
+      .select(col("user_id"), col("event_id").as("a_id"),
+        date_trunc("hour", col("ts")).as("hour"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = src()
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        date_trunc("hour", col("ts")).as("b_hour"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") && col("hour") === col("b_hour") &&
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("hour"), col("a_id"), col("b_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("user_id"), col("hour"), col("a_id"),
+        col("b_id").asc_nulls_last)
+  }
+
   /** SLIDING windows (1 h length, 15 min slide): every event lands in
     * exactly four overlapping windows — the moving-average shape
     * monitoring dashboards want, which tumbling (q46) cannot express.
@@ -340,6 +378,7 @@ object StreamingHourly {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_stream_custom_state" -> (customStateRunningQuery _),
     "q170_stream_sliding" -> (slidingHourly _),
+    "q174_stream_outer_join" -> (streamOuterPairs _),
     "q46_streaming_hourly" -> (hourlyAgg _),
     "q100_stream_sessions" -> (sessionAgg _),
     "q38_stream_sessions_append" -> (sessionAggAppend _),
@@ -358,6 +397,50 @@ object StreamingHourly {
            CAST(sum(CAST(coalesce(round(value * 100), 0) AS BIGINT))
              AS BIGINT) AS cents
          FROM events GROUP BY 1 ORDER BY 1""",
+    // q174: matched purchase-click pairs emit inner-style; unmatched
+    // purchases emit with NULL click only once the final watermark has
+    // passed their join-window upper bound (a_ts + 1 h < wm, strict —
+    // verified against the boundary event) — purchases still in state
+    // at end-of-input are correctly absent. The watermark itself is
+    // min over BOTH sides' ms-floored max event time − 1 h (the q38
+    // discipline), with one Catalyst subtlety the boundary event
+    // exposed: the optimizer INFERS user_id < 5 on the click side from
+    // the equi-join constraint and pushes it below the right
+    // EventTimeWatermark node, so the click side's max is over users
+    // < 5 only — the oracle mirrors exactly that
+    "q174_stream_outer_join" ->
+      """WITH p AS (
+           SELECT user_id, event_id AS a_id,
+                  date_trunc('hour', ts) AS hour, ts AS a_ts
+           FROM events
+           WHERE event_type = 'purchase' AND user_id < 5),
+         c AS (
+           SELECT user_id AS b_user, event_id AS b_id,
+                  date_trunc('hour', ts) AS b_hour, ts AS b_ts
+           FROM events WHERE event_type = 'click'),
+         wm AS (
+           SELECT make_timestamp(
+                    (epoch_us(CAST(least(
+                      (SELECT max(a_ts) FROM p),
+                      (SELECT max(b_ts) FROM c WHERE b_user < 5))
+                      AS TIMESTAMP))
+                     // 1000) * 1000)
+                  - INTERVAL 1 HOUR AS w),
+         m AS (
+           SELECT p.user_id, p.hour, p.a_id, c.b_id
+           FROM p JOIN c
+             ON p.user_id = c.b_user AND p.hour = c.b_hour),
+         u AS (
+           SELECT p.user_id, p.hour, p.a_id, CAST(NULL AS BIGINT) AS b_id
+           FROM p, wm
+           WHERE NOT EXISTS (SELECT 1 FROM c
+                             WHERE c.b_user = p.user_id
+                               AND c.b_hour = p.hour)
+             AND p.a_ts + INTERVAL 1 HOUR < wm.w)
+         SELECT user_id, hour, a_id, b_id FROM m
+         UNION ALL
+         SELECT user_id, hour, a_id, b_id FROM u
+         ORDER BY user_id, hour, a_id, b_id NULLS LAST""",
     // q170: each event belongs to exactly 4 of the epoch-aligned
     // 1h/15min sliding windows — w_start ∈ {bucket₁₅(ts) − j·15 min,
     // j = 0..3}; [start, end) containment holds for all four since
