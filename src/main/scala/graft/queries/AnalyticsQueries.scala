@@ -1583,7 +1583,69 @@ object AnalyticsQueries {
               CAST(sum(o_orderkey) AS BIGINT) AS node_sum
        FROM orders GROUP BY o_custkey ORDER BY cluster_rep"""
 
+  // --- q175: multi-touch attribution (linear credit) --------------------
+  /** Linear multi-touch attribution: every click within the hour before
+    * a purchase shares the purchase's value equally — the model tier
+    * above q146's last-touch, and the one that genuinely NEEDS the
+    * purchase×click candidate pairs (that is its semantics, not an
+    * implementation accident). The interval join decomposes the q91
+    * way: clicks bucket by hour, purchases explode to their TWO
+    * covering buckets (an hour window spans at most two hour buckets),
+    * the join is equi on (user, bucket) with the exact time range as a
+    * residual predicate — never a per-user cross join beyond the
+    * bucket's span, skew bounded by events-per-user-per-hour. Credit
+    * is ONE division per output row (cents/n_touches, both exact
+    * BIGINTs → bit-identical doubles cross-engine); no double is ever
+    * summed (the q125 accumulation-order discipline). */
+  def q175MultiTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"),
+        date_trunc("hour", col("ts")).as("cbucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bucket", explode(array(
+        date_trunc("hour", col("p_ts")),
+        date_trunc("hour", col("p_ts") - expr("INTERVAL 1 HOUR")))))
+    purchases
+      .join(clicks,
+        col("user_id") === col("cu") && col("bucket") === col("cbucket")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"))
+      .groupBy("p_id", "user_id", "cents")
+      .agg(count(lit(1)).as("n_touches"),
+        min("c_id").as("first_click"), max("c_id").as("last_click"))
+      .select(col("p_id"), col("user_id"), col("n_touches"),
+        col("first_click"), col("last_click"),
+        (col("cents").cast("double") / col("n_touches").cast("double"))
+          .as("credit_per_touch"))
+      .orderBy("p_id")
+  }
+
+  val q175Sql: String =
+    """WITH p AS (
+         SELECT user_id, event_id AS p_id, ts AS p_ts,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+         FROM events WHERE event_type = 'click')
+       SELECT p_id, user_id, CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(min(c_id) AS BIGINT) AS first_click,
+              CAST(max(c_id) AS BIGINT) AS last_click,
+              CAST(any_value(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS credit_per_touch
+       FROM p JOIN c
+         ON cu = user_id
+        AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+       GROUP BY p_id, user_id
+       ORDER BY p_id"""
+
   val all: Map[String, Q] = Map(
+    "q175_multi_touch" -> q175MultiTouch _,
     "q173_star_components" -> q173StarComponents _,
     "q39_table_profile" -> q39TableProfile _,
     "q59_cube_delays" -> q59CubeDelays _,
@@ -1651,5 +1713,6 @@ object AnalyticsQueries {
     "q171_gap_fill" -> q171Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
+    "q175_multi_touch" -> q175Sql,
   )
 }
