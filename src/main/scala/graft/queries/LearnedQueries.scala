@@ -1,0 +1,676 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-adjacent corpus operators — the "learned" tier of a training-data
+  * pipeline, oracle-gated like everything else:
+  *
+  *   - q176: reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+  *     independent retrieval rankers — the standard way a RAG stack
+  *     combines keyword (BM25) and dense/heuristic rankings without score
+  *     calibration. Each ranker's top-k compiles to
+  *     TakeOrderedAndProject, so the corpus is never globally sorted; the
+  *     fusion join runs over two k-bounded row sets.
+  *   - q177: full-batch gradient-descent training of a linear model,
+  *     executed as ONE pass of exact integer moment accumulation: for
+  *     squared loss the batch gradient is a linear function of the
+  *     sufficient statistics (n, Σx, Σy, Σxy, Σx²), so T iterations need
+  *     one scan + T scalar updates on a broadcast one-row frame, not T
+  *     scans. (For losses whose gradient does NOT collapse to sufficient
+  *     statistics — logistic, softmax — each iteration is one
+  *     tree-aggregate of a d-dim gradient against broadcast weights;
+  *     same shuffle shape as this query's moment pass, T times.)
+  *   - q178: multinomial Naive-Bayes model estimation over the documents
+  *     corpus (class = lang): Laplace-smoothed per-class token
+  *     probabilities and class priors. One token-count shuffle (partial
+  *     agg map-side, vocab-bounded), class totals and vocabulary size
+  *     reduced to broadcast one-row frames, per-class top-k via
+  *     WindowGroupLimit.
+  *   - q180: distributed BPE-style vocabulary learning — two pair-merge
+  *     rounds: count adjacent token pairs (one vocab-bounded shuffle per
+  *     round), pick the globally most frequent pair, broadcast it, apply
+  *     the merge map-side inside the token arrays (no explode of the
+  *     corpus for the rewrite), repeat. Self-pairs (a = b) are excluded
+  *     from merge candidacy, which makes every merge site independent of
+  *     its neighbours (no overlapping matches), so the rewrite is a pure
+  *     per-element expression — the property that keeps the apply step
+  *     embarrassingly parallel. Real subword BPE differs only in
+  *     tokenizing to characters first and looping more rounds; the
+  *     per-round dataflow (count → argmax → broadcast → map-side rewrite)
+  *     is exactly this.
+  *
+  * Cross-engine determinism: every ranking is integer-or-exact with
+  * lexicographic tie-breaks; every double is produced by a single
+  * correctly-rounded IEEE expression evaluated in the same written order
+  * in both engines (the q76/q125 discipline — no ln, no float sums over
+  * data-dependent orders).
+  */
+object LearnedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.io.Sources.table(s, dir, name)
+
+  private val dec = "decimal(38,0)"
+
+  // --- q176: reciprocal-rank fusion of two rankers ----------------------
+  /** RRF with the published k = 60: score(d) = Σ_r 1/(60 + rank_r(d)),
+    * summed over the rankers that retrieved d (absent → contributes 0,
+    * via coalesce on a full-outer join of the two top-20 lists).
+    *
+    * Ranker 1 is q76's BM25 (terms spark/window/hash, identical IEEE
+    * expression); ranker 2 ranks by distinct-token count (an integer
+    * lexical-diversity heuristic — deterministic stand-in for a dense
+    * retriever's score). Both rankers take top-20 FIRST
+    * (TakeOrderedAndProject: per-task top-k, driver merge, no global
+    * sort) and only then materialize ranks with a row_number over the
+    * 20-row result — the window never sees the corpus. */
+  def q176RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "window", "hash")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"))
+    val scored = base
+      .select(col("doc_id") +:
+        size(col("__tk")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          size(filter(col("__tk"), x => x === lit(tm)))
+            .cast("double").as(s"tf$i") }: _*)
+    val statAggs =
+      avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = scored.agg(count(lit(1)).cast("double").as("n"),
+      statAggs: _*)
+    val perTerm = terms.indices.map { i =>
+      ((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+        (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    val bm25Top = scored.crossJoin(broadcast(stats))
+      .select(col("doc_id"), perTerm.reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+    val r1 = bm25Top.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id")))
+        .as("bm25_rank"))
+    val divTop = base
+      .select(col("doc_id"),
+        size(array_distinct(col("__tk"))).as("ndist"))
+      .orderBy(col("ndist").desc, col("doc_id"))
+      .limit(20)
+    val r2 = divTop.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("ndist").desc, col("doc_id")))
+        .as("tok_rank"))
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(60.0) + rank.cast("double")), lit(0.0))
+    r1.join(r2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("tok_rank"),
+        (contrib(col("bm25_rank")) + contrib(col("tok_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q176Sql: String =
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       f AS (
+         SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(tk, x -> x = 'hash')) AS DOUBLE) AS tf2
+         FROM d),
+       st AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+         FROM f),
+       sc AS (
+         SELECT doc_id,
+                (n - df0 + 0.5) / (df0 + 0.5) * (tf0 * 2.2) /
+                  (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                (n - df1 + 0.5) / (df1 + 0.5) * (tf1 * 2.2) /
+                  (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                (n - df2 + 0.5) / (df2 + 0.5) * (tf2 * 2.2) /
+                  (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+         FROM f CROSS JOIN st),
+       bmtop AS (
+         SELECT doc_id, score FROM sc WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20),
+       r1 AS (
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS INTEGER) AS bm25_rank
+         FROM bmtop),
+       divtop AS (
+         SELECT doc_id,
+                CAST(len(list_distinct(tk)) AS INTEGER) AS ndist
+         FROM d ORDER BY ndist DESC, doc_id LIMIT 20),
+       r2 AS (
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY ndist DESC, doc_id)
+                  AS INTEGER) AS tok_rank
+         FROM divtop),
+       fused AS (
+         SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+                r1.bm25_rank, r2.tok_rank,
+                coalesce(1.0 / (60.0 + CAST(r1.bm25_rank AS DOUBLE)), 0.0) +
+                coalesce(1.0 / (60.0 + CAST(r2.tok_rank AS DOUBLE)), 0.0)
+                  AS rrf
+         FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+       SELECT doc_id, bm25_rank, tok_rank, rrf
+       FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+
+  // --- q177: gradient-descent linear-model training ---------------------
+  /** Three full-batch GD iterations of price ~ w0 + w1·quantity on
+    * lineitem, from one exact-moment pass (q125's DECIMAL(38,0)
+    * accumulation: order-independent, exact, so the doubles the
+    * iterations start from are bit-identical across engines). Learning
+    * rate 2⁻¹⁰ — exactly representable, and lr·λmax ≈ 0.85 < 2 for this
+    * data's moment matrix, so the iterates stay bounded.
+    *
+    * Per-iteration arithmetic (gradient of ½·mean squared error):
+    *   g0 = (n·w0 + Σx·w1 − Σy)/n,  g1 = (Σx·w0 + Σx²·w1 − Σxy)/n,
+    *   w ← w − lr·g,
+    * every op a single correctly-rounded IEEE step in the same written
+    * order in both engines. Moment magnitudes stay below 2⁵³ through
+    * sf1 (Σxy ≈ 5.7·10¹⁵ at 6M rows), so the decimal→double cast is
+    * exact; beyond that the cast rounds once, identically in both
+    * engines. */
+  def q177GdTraining(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").cast(dec).as("x"),
+      expr(s"CAST(CAST(round(l_extendedprice) AS BIGINT) AS $dec)")
+        .as("y"))
+    val m = li.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val d = m.select(
+      col("n").cast("double").as("n_d"),
+      col("sx").cast("double").as("sx_d"),
+      col("sy").cast("double").as("sy_d"),
+      col("sxy").cast("double").as("sxy_d"),
+      col("sxx").cast("double").as("sxx_d"))
+    val lr = lit(0.0009765625) // 2^-10
+    def step(w0: Column, w1: Column): (Column, Column) = {
+      val g0 = (col("n_d") * w0 + col("sx_d") * w1 - col("sy_d")) /
+        col("n_d")
+      val g1 = (col("sx_d") * w0 + col("sxx_d") * w1 - col("sxy_d")) /
+        col("n_d")
+      (w0 - lr * g0, w1 - lr * g1)
+    }
+    val (w0a, w1a) = step(lit(0.0), lit(0.0))
+    val it1 = d.select(col("*"), w0a.as("w0_1"), w1a.as("w1_1"))
+    val (w0b, w1b) = step(col("w0_1"), col("w1_1"))
+    val it2 = it1.select(col("*"), w0b.as("w0_2"), w1b.as("w1_2"))
+    val (w0c, w1c) = step(col("w0_2"), col("w1_2"))
+    val it3 = it2.select(col("*"), w0c.as("w0_3"), w1c.as("w1_3"))
+    it3.select(explode(array(
+        struct(lit(1).as("iter"), col("w0_1").as("w0"),
+          col("w1_1").as("w1")),
+        struct(lit(2).as("iter"), col("w0_2").as("w0"),
+          col("w1_2").as("w1")),
+        struct(lit(3).as("iter"), col("w0_3").as("w0"),
+          col("w1_3").as("w1")))).as("it"))
+      .select(col("it.iter").as("iter"), col("it.w0").as("w0"),
+        col("it.w1").as("w1"))
+      .orderBy("iter")
+  }
+
+  val q177Sql: String =
+    """WITH li AS (
+         SELECT CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+                CAST(CAST(round(l_extendedprice) AS BIGINT) AS HUGEINT)
+                  AS y
+         FROM lineitem),
+       m AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM li),
+       d AS (
+         SELECT CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+                CAST(sy AS DOUBLE) AS sy_d, CAST(sxy AS DOUBLE) AS sxy_d,
+                CAST(sxx AS DOUBLE) AS sxx_d
+         FROM m),
+       i1 AS (
+         SELECT *,
+                0.0 - 0.0009765625 *
+                  ((n_d * 0.0 + sx_d * 0.0 - sy_d) / n_d) AS w0_1,
+                0.0 - 0.0009765625 *
+                  ((sx_d * 0.0 + sxx_d * 0.0 - sxy_d) / n_d) AS w1_1
+         FROM d),
+       i2 AS (
+         SELECT *,
+                w0_1 - 0.0009765625 *
+                  ((n_d * w0_1 + sx_d * w1_1 - sy_d) / n_d) AS w0_2,
+                w1_1 - 0.0009765625 *
+                  ((sx_d * w0_1 + sxx_d * w1_1 - sxy_d) / n_d) AS w1_2
+         FROM i1),
+       i3 AS (
+         SELECT *,
+                w0_2 - 0.0009765625 *
+                  ((n_d * w0_2 + sx_d * w1_2 - sy_d) / n_d) AS w0_3,
+                w1_2 - 0.0009765625 *
+                  ((sx_d * w0_2 + sxx_d * w1_2 - sxy_d) / n_d) AS w1_3
+         FROM i2)
+       SELECT CAST(1 AS INTEGER) AS iter, w0_1 AS w0, w1_1 AS w1 FROM i3
+       UNION ALL
+       SELECT CAST(2 AS INTEGER), w0_2, w1_2 FROM i3
+       UNION ALL
+       SELECT CAST(3 AS INTEGER), w0_3, w1_3 FROM i3
+       ORDER BY iter"""
+
+  // --- q178: Naive-Bayes model estimation -------------------------------
+  /** Multinomial NB over documents, class = lang: per-class Laplace-
+    * smoothed token probabilities P(tok|c) = (cnt + 1)/(tot_c + V) for
+    * the top-5 tokens of each class (rank by raw count — the smoothed
+    * denominator is constant within a class, so integer count order IS
+    * probability order; ties break on token), plus the class prior
+    * n_docs_c / n_docs. Everything is exact integers until the two
+    * final single divisions.
+    *
+    * Plan shape: explode → one (lang, token) count shuffle with map-side
+    * partial aggregation (vocab-bounded, NOT corpus-bounded), per-class
+    * top-5 via WindowGroupLimit, then broadcast joins of the per-class
+    * totals (|classes| rows) and a cross join of the two one-row frames
+    * (vocabulary size, document count). Nothing after the token count
+    * touches more than |classes|·5 rows. */
+  def q178NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val tc = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val top5 = tc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rank") <= 5)
+    val tot = tc.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = tc.select(countDistinct("token").as("v"))
+    val prior = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+    val ndAll = docs.agg(count(lit(1)).as("nd_all"))
+    top5
+      .join(broadcast(tot), Seq("lang"))
+      .join(broadcast(prior), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(ndAll))
+      .select(col("lang"), col("token"), col("cnt"), col("rank"),
+        ((col("cnt") + 1).cast("double") /
+          (col("tot") + col("v")).cast("double")).as("prob"),
+        (col("nd").cast("double") / col("nd_all").cast("double"))
+          .as("prior"))
+      .orderBy("lang", "rank")
+  }
+
+  val q178Sql: String =
+    """WITH tc AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       c AS (
+         SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+         FROM tc GROUP BY 1, 2),
+       top5 AS (
+         SELECT lang, token, cnt,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY cnt DESC, token) AS INTEGER) AS rank
+         FROM c QUALIFY rank <= 5),
+       tot AS (
+         SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+       vocab AS (
+         SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM c),
+       prior AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS nd
+         FROM documents GROUP BY 1),
+       nd_all AS (
+         SELECT CAST(count(*) AS BIGINT) AS nd_all FROM documents)
+       SELECT t.lang, t.token, t.cnt, t.rank,
+              CAST(t.cnt + 1 AS DOUBLE) / CAST(tt.tot + v.v AS DOUBLE)
+                AS prob,
+              CAST(p.nd AS DOUBLE) / CAST(na.nd_all AS DOUBLE) AS prior
+       FROM top5 t
+       JOIN tot tt ON t.lang = tt.lang
+       JOIN prior p ON t.lang = p.lang
+       CROSS JOIN vocab v CROSS JOIN nd_all na
+       ORDER BY t.lang, t.rank"""
+
+  // --- q180: BPE-style pair-merge vocabulary rounds ---------------------
+  /** Two word-level BPE merge rounds over the corpus, then the top-15
+    * token frequencies of the rewritten corpus (merged tokens carry an
+    * internal space, which cannot collide with original tokens — they
+    * were produced by splitting ON spaces).
+    *
+    * Per round: adjacent-pair counting explodes only pair INDICES
+    * (sequence(1, len−1)), the argmax pair is a one-row broadcast, and
+    * the rewrite is a per-element array expression — position i is
+    * dropped when its left neighbour starts a merge, replaced by the
+    * fused token when it starts one itself, kept otherwise. Excluding
+    * self-pairs (a = b) makes match sites non-overlapping, so this
+    * stateless per-position rule IS the greedy left-to-right merge.
+    * All `element_at` calls are CASE-guarded in-bounds (ANSI-safe on
+    * the Spark side; DuckDB list_extract is total).
+    *
+    * In a production vocab learner the rewritten corpus would be
+    * persisted per round (the loop here recomputes round 1 inside round
+    * 2's lineage — fine for 2 rounds, wasteful for 50); the per-round
+    * dataflow is unchanged. */
+  def q180BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+
+    def topPair(d: DataFrame): DataFrame = d
+      .filter(size(col("tk")) >= 2)
+      .select(col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(element_at(col("tk"), col("i")).as("a"),
+        element_at(col("tk"), col("i") + 1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+
+    def applyMerge(d: DataFrame): DataFrame = d
+      .crossJoin(broadcast(topPair(d)
+        .select(col("a").as("__a"), col("b").as("__b"))))
+      .select(col("doc_id"),
+        filter(
+          transform(col("tk"), (x, i) => {
+            // i is 0-based; 1-based prev = tk[i], next = tk[i+2]
+            val prev = when(i > 0, element_at(col("tk"), i))
+            val next = when(i + 2 <= size(col("tk")),
+              element_at(col("tk"), i + 2))
+            when(prev === col("__a") && x === col("__b"), lit(null))
+              .when(x === col("__a") && next === col("__b"),
+                concat(col("__a"), lit(" "), col("__b")))
+              .otherwise(x)
+          }),
+          y => y.isNotNull).as("tk"))
+
+    val merged = applyMerge(applyMerge(docs))
+    val top = merged.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(15)
+    top.select(col("token"), col("cnt"),
+        row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).as("rank"))
+      .orderBy("rank")
+  }
+
+  val q180Sql: String =
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       p1 AS (
+         SELECT tk[i] AS a, tk[i + 1] AS b
+         FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+               FROM docs WHERE len(tk) >= 2)),
+       c1 AS (
+         SELECT a, b, count(*) AS c FROM p1 WHERE a <> b GROUP BY 1, 2),
+       t1 AS (SELECT a, b FROM c1 ORDER BY c DESC, a, b LIMIT 1),
+       m1 AS (
+         SELECT doc_id,
+                list_filter(list_transform(tk, (x, i) ->
+                  CASE WHEN i > 1 AND tk[i - 1] = t1.a AND x = t1.b
+                         THEN NULL
+                       WHEN x = t1.a AND i + 1 <= len(tk)
+                            AND tk[i + 1] = t1.b
+                         THEN t1.a || ' ' || t1.b
+                       ELSE x END),
+                  y -> y IS NOT NULL) AS tk
+         FROM docs CROSS JOIN t1),
+       p2 AS (
+         SELECT tk[i] AS a, tk[i + 1] AS b
+         FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+               FROM m1 WHERE len(tk) >= 2)),
+       c2 AS (
+         SELECT a, b, count(*) AS c FROM p2 WHERE a <> b GROUP BY 1, 2),
+       t2 AS (SELECT a, b FROM c2 ORDER BY c DESC, a, b LIMIT 1),
+       m2 AS (
+         SELECT doc_id,
+                list_filter(list_transform(tk, (x, i) ->
+                  CASE WHEN i > 1 AND tk[i - 1] = t2.a AND x = t2.b
+                         THEN NULL
+                       WHEN x = t2.a AND i + 1 <= len(tk)
+                            AND tk[i + 1] = t2.b
+                         THEN t2.a || ' ' || t2.b
+                       ELSE x END),
+                  y -> y IS NOT NULL) AS tk
+         FROM m1 CROSS JOIN t2),
+       f AS (SELECT unnest(tk) AS token FROM m2),
+       g AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         FROM f GROUP BY 1),
+       top AS (SELECT token, cnt FROM g ORDER BY cnt DESC, token LIMIT 15)
+       SELECT token, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                AS INTEGER) AS rank
+       FROM top ORDER BY rank"""
+
+  // --- q181: k-fold cross-validation by moment subtraction --------------
+  /** 5-fold cross-validated OLS (price ~ quantity on lineitem) from ONE
+    * corpus scan: fold membership is the deterministic 60-bit-hash
+    * bucket of the row key (the q130 split discipline — no row migrates
+    * between folds across rebuilds), per-fold DECIMAL(38,0) moments are
+    * one aggregation, and fold f's TRAINING moments are total − fold —
+    * exact decimal subtraction, so K leave-fold-out models cost one scan
+    * plus K scalar solves instead of K scans. Validation MSE evaluates
+    * the held-out fold through its own moments
+    * (Σ(y−w0−w1x)² expands to a 6-term moment polynomial), so
+    * evaluation ALSO never rescans. The whole thing shuffles 5 moment
+    * rows. Derived stats follow q125's IEEE discipline: exact integers
+    * until a fixed-order double expression, zero-variance guarded to
+    * NULL on both sides. */
+  def q181KfoldCv(s: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(graft.operators.Dedup.hash60(
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"))), lit(5L)).as("fold")
+    val li = t(s, dir, "lineitem").select(fold,
+      col("l_quantity").cast("long").cast(dec).as("x"),
+      expr(s"CAST(CAST(round(l_extendedprice) AS BIGINT) AS $dec)")
+        .as("y"))
+    val perFold = li.groupBy("fold").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val totals = perFold.agg(
+      sum("n").as("tn"), sum("sx").as("tsx"), sum("sy").as("tsy"),
+      sum("sxy").as("tsxy"), sum("sxx").as("tsxx"), sum("syy").as("tsyy"))
+    val tr = perFold.crossJoin(broadcast(totals)).select(
+      col("fold"),
+      (col("tn") - col("n")).as("rn"),
+      (col("tsx") - col("sx")).as("rsx"),
+      (col("tsy") - col("sy")).as("rsy"),
+      (col("tsxy") - col("sxy")).as("rsxy"),
+      (col("tsxx") - col("sxx")).as("rsxx"),
+      col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+    val d = tr.select(col("fold"),
+      col("rn").cast("long").as("n_train"),
+      col("n").cast("long").as("n_val"),
+      (col("rn") * col("rsxy") - col("rsx") * col("rsy")).cast("double")
+        .as("num"),
+      (col("rn") * col("rsxx") - col("rsx") * col("rsx")).cast("double")
+        .as("dxx"),
+      col("rn").cast("double").as("rn_d"),
+      col("rsx").cast("double").as("rsx_d"),
+      col("rsy").cast("double").as("rsy_d"),
+      col("n").cast("double").as("n_d"),
+      col("sx").cast("double").as("sx_d"),
+      col("sy").cast("double").as("sy_d"),
+      col("sxy").cast("double").as("sxy_d"),
+      col("sxx").cast("double").as("sxx_d"),
+      col("syy").cast("double").as("syy_d"))
+    val w1 = col("num") / col("dxx")
+    val w0 = (col("rsy_d") - col("num") / col("dxx") * col("rsx_d")) /
+      col("rn_d")
+    val sse = col("syy_d") - lit(2.0) * w0 * col("sy_d") -
+      lit(2.0) * w1 * col("sxy_d") + col("n_d") * w0 * w0 +
+      lit(2.0) * w0 * w1 * col("sx_d") + w1 * w1 * col("sxx_d")
+    d.select(col("fold"), col("n_train"), col("n_val"),
+        when(col("dxx") > 0, w1).as("slope"),
+        when(col("dxx") > 0, w0).as("intercept"),
+        when(col("dxx") > 0 && col("n_d") > 0, sse / col("n_d"))
+          .as("val_mse"))
+      .orderBy("fold")
+  }
+
+  val q181Sql: String =
+    """WITH li AS (
+         SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                  CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 5
+                  AS fold,
+                CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+                CAST(CAST(round(l_extendedprice) AS BIGINT) AS HUGEINT)
+                  AS y
+         FROM lineitem),
+       pf AS (
+         SELECT fold, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+                sum(y * y) AS syy
+         FROM li GROUP BY 1),
+       tot AS (
+         SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+                sum(sxy) AS tsxy, sum(sxx) AS tsxx, sum(syy) AS tsyy
+         FROM pf),
+       tr AS (
+         SELECT fold, tn - n AS rn, tsx - sx AS rsx, tsy - sy AS rsy,
+                tsxy - sxy AS rsxy, tsxx - sxx AS rsxx,
+                n, sx, sy, sxy, sxx, syy
+         FROM pf CROSS JOIN tot),
+       d AS (
+         SELECT fold, CAST(rn AS BIGINT) AS n_train,
+                CAST(n AS BIGINT) AS n_val,
+                CAST(rn * rsxy - rsx * rsy AS DOUBLE) AS num,
+                CAST(rn * rsxx - rsx * rsx AS DOUBLE) AS dxx,
+                CAST(rn AS DOUBLE) AS rn_d, CAST(rsx AS DOUBLE) AS rsx_d,
+                CAST(rsy AS DOUBLE) AS rsy_d, CAST(n AS DOUBLE) AS n_d,
+                CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+                CAST(sxy AS DOUBLE) AS sxy_d,
+                CAST(sxx AS DOUBLE) AS sxx_d,
+                CAST(syy AS DOUBLE) AS syy_d
+         FROM tr)
+       SELECT fold, n_train, n_val,
+              CASE WHEN dxx > 0 THEN num / dxx END AS slope,
+              CASE WHEN dxx > 0 THEN
+                (rsy_d - num / dxx * rsx_d) / rn_d END AS intercept,
+              CASE WHEN dxx > 0 AND n_d > 0 THEN
+                (syy_d - 2.0 * ((rsy_d - num / dxx * rsx_d) / rn_d)
+                   * sy_d -
+                 2.0 * (num / dxx) * sxy_d +
+                 n_d * ((rsy_d - num / dxx * rsx_d) / rn_d)
+                     * ((rsy_d - num / dxx * rsx_d) / rn_d) +
+                 2.0 * ((rsy_d - num / dxx * rsx_d) / rn_d)
+                     * (num / dxx) * sx_d +
+                 (num / dxx) * (num / dxx) * sxx_d) / n_d END AS val_mse
+       FROM d ORDER BY fold"""
+
+  // --- q182: Gini token diversity (repetition filter) -------------------
+  /** Per-document Gini impurity of the token distribution,
+    * 1 − Σ(c_i/n)² = (n² − Σc_i²)/n² — the log-free diversity measure
+    * (entropy's ln is not bit-identical across engines; Gini is exact
+    * integers until ONE division). Low Gini = few tokens dominate =
+    * the repetitive junk a pretraining corpus filter drops — the
+    * distributional complement to q69's positional repetition gates.
+    * Emits the 10 most repetitive documents.
+    *
+    * Plan shape: explode → (doc, token) count with map-side partial
+    * agg → per-doc Σc² re-aggregation — two shuffles, both carrying
+    * counts, never text; final top-k is TakeOrderedAndProject. */
+  def q182TokenGini(s: SparkSession, dir: String): DataFrame = {
+    val perTok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    perTok.groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("sc2"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        when(col("n") > 0,
+          (col("n") * col("n") - col("sc2")).cast("double") /
+            (col("n") * col("n")).cast("double")).as("gini"))
+      .orderBy(col("gini").asc_nulls_last, col("doc_id"))
+      .limit(10)
+  }
+
+  val q182Sql: String =
+    """WITH pt AS (
+         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       g AS (
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(c * c) AS BIGINT) AS sc2
+         FROM pt GROUP BY 1)
+       SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens > 0 THEN
+                CAST(n_tokens * n_tokens - sc2 AS DOUBLE) /
+                CAST(n_tokens * n_tokens AS DOUBLE) END AS gini
+       FROM g ORDER BY gini ASC NULLS LAST, doc_id LIMIT 10"""
+
+  // --- q183: positional phrase search ----------------------------------
+  /** Exact phrase query ("table part") through positional postings: the
+    * corpus explodes to (doc, pos, token) but the phrase terms' filter
+    * sits UNDER the shuffle, so only the two terms' postings ever move;
+    * adjacency is an equi-join on (doc_id, pos + 1). This is the
+    * serving-path query of a positional inverted index — against a
+    * persisted index (q129's capped discipline plus a positions column)
+    * the corpus scan disappears entirely; here it runs corpus-direct so
+    * the oracle can replay it relationally. Top-10 docs by occurrence
+    * count, integer throughout. */
+  def q183PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val post = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val a = post.filter(col("tok") === "table")
+      .select(col("doc_id"), col("pos"))
+    val b = post.filter(col("tok") === "part")
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+    a.join(b, col("doc_id") === col("b_doc") &&
+        col("b_pos") === col("pos") + 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q183Sql: String =
+    """WITH post AS (
+         SELECT doc_id,
+                unnest(range(1, len(tk) + 1)) - 1 AS pos,
+                unnest(tk) AS tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents)),
+       a AS (SELECT doc_id, pos FROM post WHERE tok = 'table'),
+       b AS (SELECT doc_id AS b_doc, pos AS b_pos FROM post
+             WHERE tok = 'part')
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM a JOIN b ON doc_id = b_doc AND b_pos = pos + 1
+       GROUP BY 1 ORDER BY n_occurrences DESC, doc_id LIMIT 10"""
+
+  val all: Map[String, Q] = Map(
+    "q176_rrf_fusion" -> q176RrfFusion _,
+    "q177_gd_training" -> q177GdTraining _,
+    "q178_naive_bayes" -> q178NaiveBayes _,
+    "q180_bpe_merges" -> q180BpeMerges _,
+    "q181_kfold_cv" -> q181KfoldCv _,
+    "q182_token_gini" -> q182TokenGini _,
+    "q183_phrase_search" -> q183PhraseSearch _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q176_rrf_fusion" -> q176Sql,
+    "q177_gd_training" -> q177Sql,
+    "q178_naive_bayes" -> q178Sql,
+    "q180_bpe_merges" -> q180Sql,
+    "q181_kfold_cv" -> q181Sql,
+    "q182_token_gini" -> q182Sql,
+    "q183_phrase_search" -> q183Sql,
+  )
+}

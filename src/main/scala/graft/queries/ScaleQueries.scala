@@ -1111,6 +1111,47 @@ object ScaleQueries {
     * many groups/rows sit below k = 10 (re-identifiable under linkage).
     * One aggregation pass to |quasi-groups| rows, one scalar reduce;
     * all integers. */
+  // --- q184: l-diversity audit ------------------------------------------
+  /** l-diversity (Machanavajjhala et al., ICDE 2006) over the same
+    * quasi-identifier groups as q145's k-anonymity: a group is safe only
+    * if its SENSITIVE attribute (account-balance band, ¤1000 floor
+    * buckets) takes ≥ l distinct values — k-anonymity alone lets an
+    * attacker who locates a homogeneous group read the sensitive value
+    * without re-identifying anyone. One exact count-distinct per group
+    * (two-level hash agg: (QI, band) dedup then per-QI count — Spark
+    * plans exactly that for countDistinct, partial-agg map-side), then
+    * a metadata-sized audit rollup, same report shape as q145. */
+  def q184LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l"))
+    groups.agg(
+      min("l").as("l_min"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).cast("long")
+        .as("groups_below_l"),
+      sum(when(col("l") < 3, col("n")).otherwise(0L)).cast("long")
+        .as("rows_at_risk"))
+  }
+
+  val q184Sql: String =
+    """WITH g AS (
+         SELECT c_mktsegment, c_nationkey,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT
+                  CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+                  AS l
+         FROM customer GROUP BY 1, 2)
+       SELECT min(l) AS l_min, CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS groups_below_l,
+              CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+                AS rows_at_risk
+       FROM g"""
+
   def q145KAnonymity(s: SparkSession, dir: String): DataFrame = {
     val groups = t(s, dir, "customer")
       .groupBy("c_mktsegment", "c_nationkey")
@@ -1419,6 +1460,7 @@ object ScaleQueries {
     "q147_clamped_balance" -> q147ClampedBalance _,
     "q148_decile_lift" -> q148DecileLift _,
     "q149_confusion_matrix" -> q149ConfusionMatrix _,
+    "q184_l_diversity" -> q184LDiversity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1448,5 +1490,6 @@ object ScaleQueries {
     "q147_clamped_balance" -> q147Sql,
     "q148_decile_lift" -> q148Sql,
     "q149_confusion_matrix" -> q149Sql,
+    "q184_l_diversity" -> q184Sql,
   )
 }

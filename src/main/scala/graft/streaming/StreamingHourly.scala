@@ -375,6 +375,75 @@ object StreamingHourly {
     customStateRunning(spark, dir)
       .select("user_id", "n_events", "cents")
 
+  /** Streaming MERGE into the crash-atomic commit-manifest sink — the
+    * canonical production CDC-apply loop: `foreachBatch` hands each
+    * micro-batch to [[graft.operators.Merge.mergeParquet]], which
+    * rewrites only the touched files and flips the sink's manifest
+    * generation atomically, so a reader resolves every batch's result
+    * exactly-once even if the job dies mid-swap (CommitProtocolSpec owns
+    * the crash windows; this query owns the streaming composition).
+    *
+    * The update feed is the events table's clicks with a value rewrite
+    * that is a pure function of the KEY (value ← (event_id mod 1000)/100)
+    * plus one synthetic INSERT row per click (key offset by 10⁷, absent
+    * from the sink) — so each key's final state is independent of which
+    * micro-batch carried it, and the three-file feed split by
+    * `event_id % 3` (disjoint key sets, `maxFilesPerTrigger = 1` →
+    * three sequential merges) is order-insensitive by construction. The
+    * oracle recomputes the final sink state relationally: originals
+    * with clicks' values rewritten, plus the synthetic inserts.
+    *
+    * Scale shape: each merge batch scans the sink's key columns once,
+    * rewrites only files holding matched keys, and appends inserts;
+    * state between batches lives in the sink itself (not executor
+    * memory), which is what lets an unbounded CDC stream run with
+    * bounded resources. Cents aggregation keeps the compare exact. */
+  def streamMergeSink(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_smerge_")
+      .toString
+    try {
+      val ev = graft.io.Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.write.parquet(s"$root/sink")
+      val newVal = (col("event_id") % 1000).cast("double") / lit(100.0)
+      val clicks = ev.filter(col("event_type") === "click")
+      val updates = clicks
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          newVal.as("value"))
+        .unionAll(clicks.select(
+          (col("event_id") + 10000000L).as("event_id"), col("user_id"),
+          lit("synthetic").as("event_type"), newVal.as("value")))
+      (0 until 3).foreach { b =>
+        updates.filter(col("event_id") % 3 === b).coalesce(1)
+          .write.mode("append").parquet(s"$root/feed")
+      }
+      val schema = spark.read.parquet(s"$root/feed").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/feed")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Merge.mergeParquet(spark, batch,
+            Seq("event_id"), s"$root/sink")
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val fin = graft.operators.CommitLog.read(spark, s"$root/sink")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy("user_id")
+      val rows = fin.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_stream_custom_state" -> (customStateRunningQuery _),
     "q170_stream_sliding" -> (slidingHourly _),
@@ -383,7 +452,8 @@ object StreamingHourly {
     "q100_stream_sessions" -> (sessionAgg _),
     "q38_stream_sessions_append" -> (sessionAggAppend _),
     "q152_stream_dedup" -> (dedupWithinWatermark _),
-    "q159_stream_pairs" -> (streamStreamPairs _))
+    "q159_stream_pairs" -> (streamStreamPairs _),
+    "q179_stream_merge_sink" -> (streamMergeSink _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -391,6 +461,29 @@ object StreamingHourly {
     // q166: the custom state's final per-key value must equal the plain
     // batch aggregate — state persisted and accumulated correctly
     // across the four forced micro-batches
+    // q179: the final sink state is order-insensitive by construction
+    // (each key's new value is a pure function of the key, and the
+    // three micro-batches carry disjoint key sets), so the oracle is
+    // the relational recomputation: originals with clicks rewritten,
+    // plus the synthetic inserts
+    "q179_stream_merge_sink" ->
+      """WITH base AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'click'
+                    THEN CAST(event_id % 1000 AS DOUBLE) / 100.0
+                    ELSE value END AS value
+           FROM events),
+         ins AS (
+           SELECT user_id,
+                  CAST(event_id % 1000 AS DOUBLE) / 100.0 AS value
+           FROM events WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id, value FROM base
+           UNION ALL SELECT user_id, value FROM ins)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM u GROUP BY 1 ORDER BY 1""",
     "q166_stream_custom_state" ->
       """SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,

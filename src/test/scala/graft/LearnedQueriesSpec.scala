@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.queries.LearnedQueries
+
+/** Semantics of the learned-tier operators (q176-q180): RRF arithmetic,
+  * GD contraction, NB probability identities, the streaming-merge sink's
+  * commit trail, and the BPE merge rule pinned on a handcrafted corpus.
+  * (Cross-engine value equality is the oracle gate's job; these specs own
+  * the invariants an oracle diff can't express.) */
+class LearnedQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q176 RRF: fused score is exactly the sum of the reciprocal-rank " +
+      "contributions, rows are sorted by it, and a doc ranked by both " +
+      "rankers beats one with the same single rank") {
+    val rows = LearnedQueries.q176RrfFusion(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    def contrib(r: Any): Double = r match {
+      case null => 0.0
+      case i: Int => 1.0 / (60.0 + i.toDouble)
+    }
+    rows.foreach { r =>
+      val expected = contrib(r.get(1)) + contrib(r.get(2))
+      assert(r.getDouble(3) == expected,
+        s"rrf must be the exact two-term sum for doc ${r.get(0)}")
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "output must be sorted by fused score descending")
+    // any doc present in BOTH lists strictly beats a doc holding only
+    // one rank ≥ its worse rank (1/(60+r) is positive and decreasing)
+    val both = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = rows.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    for (b <- both; s <- single) {
+      val worse = math.max(b.getInt(1), b.getInt(2))
+      val sRank = if (s.isNullAt(1)) s.getInt(2) else s.getInt(1)
+      if (sRank >= worse)
+        assert(b.getDouble(3) > s.getDouble(3))
+    }
+  }
+
+  test("q177 GD training: the iterate sequence contracts (each step " +
+      "moves less than the previous one) and stays finite") {
+    val it = LearnedQueries.q177GdTraining(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(it.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val w = Array((0.0, 0.0)) ++ it.map(r => (r.getDouble(1), r.getDouble(2)))
+    def dist(a: (Double, Double), b: (Double, Double)): Double =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val steps = w.indices.tail.map(i => dist(w(i), w(i - 1)))
+    assert(steps.forall(s => java.lang.Double.isFinite(s) && s > 0))
+    assert(steps(1) < steps(0) && steps(2) < steps(1),
+      s"GD with lr·λmax < 1 must contract monotonically, got $steps")
+  }
+
+  test("q178 NB model: ranks are 1..5 per class, probabilities obey the " +
+      "Laplace identity against independently recomputed totals, and " +
+      "priors sum to 1 over the classes") {
+    val out = LearnedQueries.q178NaiveBayes(spark, dir).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // rank order is count order with token tie-break
+      val sorted = rs.sortBy(_.getInt(3))
+      val counts = sorted.map(_.getLong(2))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+    // recompute tot (per class) and V independently, then check the
+    // exact division the query claims to perform
+    val toks = graft.io.Sources.table(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val v = toks.select("token").distinct().count()
+    val tot = toks.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val expected = (r.getLong(2) + 1).toDouble /
+        (tot(r.getString(0)) + v).toDouble
+      assert(r.getDouble(4) == expected)
+    }
+    val priors = byLang.view.mapValues(_.head.getDouble(5)).values.sum
+    assert(math.abs(priors - 1.0) < 1e-12)
+  }
+
+  test("q179 streaming merge sink: three micro-batches leave three merge " +
+      "generations in the commit log, and the sink state matches the " +
+      "batch recomputation") {
+    // run the query through a probe on the commit trail: rebuild the
+    // same flow but keep the temp root to inspect the log
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_smerge_spec_").toString
+    try {
+      val ev = graft.io.Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.write.parquet(s"$root/sink")
+      val newVal = (col("event_id") % 1000).cast("double") / lit(100.0)
+      val clicks = ev.filter(col("event_type") === "click")
+      val updates = clicks
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          newVal.as("value"))
+        .unionAll(clicks.select(
+          (col("event_id") + 10000000L).as("event_id"), col("user_id"),
+          lit("synthetic").as("event_type"), newVal.as("value")))
+      (0 until 3).foreach { b =>
+        graft.operators.Merge.mergeParquet(spark,
+          updates.filter(col("event_id") % 3 === b),
+          Seq("event_id"), s"$root/sink")
+      }
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val gens = graft.operators.CommitLog
+        .generations(fs, new Path(s"$root/sink"))
+      assert(gens.size >= 4,
+        s"bootstrap + three merges must each commit a generation: $gens")
+      val fin = graft.operators.CommitLog.read(spark, s"$root/sink")
+      val nEvents = ev.count()
+      val nClicks = clicks.count()
+      assert(fin.count() == nEvents + nClicks,
+        "all originals survive, every click key also inserts one row")
+      // a matched click row carries the rewritten value
+      val sample = fin.filter(col("event_type") === "click")
+        .select(col("event_id"),
+          (col("event_id") % 1000).cast("double") / lit(100.0),
+          col("value")).collect()
+      sample.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("q181 k-fold CV: train/val moments partition the corpus exactly, " +
+      "and each fold's leave-out slope equals OLS retrained from scratch " +
+      "on the complement") {
+    val out = LearnedQueries.q181KfoldCv(spark, dir).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == (0L to 4L))
+    val li = graft.io.Sources.table(spark, dir, "lineitem")
+    val total = li.count()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total,
+        "n_train + n_val must partition the corpus for every fold")
+      assert(r.getLong(2) > 0 && java.lang.Double.isFinite(r.getDouble(5)))
+    }
+    // independent retrain of fold 0's complement through q125's moment
+    // formula over a filtered scan — must match the subtraction path
+    // bit-for-bit (both are exact decimal moments)
+    val fold = pmod(graft.operators.Dedup.hash60(
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"))), lit(5L))
+    val dec = "decimal(38,0)"
+    val rest = li.filter(fold =!= 0L).select(
+      col("l_quantity").cast("long").cast(dec).as("x"),
+      expr(s"CAST(CAST(round(l_extendedprice) AS BIGINT) AS $dec)")
+        .as("y"))
+    val m = rest.agg(count(lit(1)).cast(dec).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+      .head().getDouble(0)
+    val fold0 = out.find(_.getLong(0) == 0L).get
+    assert(fold0.getDouble(3) == m,
+      "moment subtraction must equal the from-scratch complement retrain")
+  }
+
+  test("q182 token Gini: bounds and the exact identity against a " +
+      "directly computed distribution") {
+    val out = LearnedQueries.q182TokenGini(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    out.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0)
+    }
+    // recompute one returned doc's Gini from its raw token counts
+    val d0 = out.head
+    val toks = graft.io.Sources.table(spark, dir, "documents")
+      .filter(col("doc_id") === d0.getLong(0))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect().map(_.getLong(1))
+    val n = toks.sum
+    val expected = (n * n - toks.map(c => c * c).sum).toDouble / (n * n)
+    assert(d0.getDouble(2) == expected && d0.getLong(1) == n)
+  }
+
+  test("q183 phrase search: every reported document really contains the " +
+      "phrase exactly that many times (string-level recount)") {
+    val out = LearnedQueries.q183PhraseSearch(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0))
+    val texts = graft.io.Sources.table(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val n = toks.indices.dropRight(1)
+        .count(i => toks(i) == "table" && toks(i + 1) == "part")
+      assert(n == r.getLong(1),
+        s"doc ${r.getLong(0)}: phrase recount $n != ${r.getLong(1)}")
+    }
+  }
+
+  test("q184 l-diversity: the audit matches a direct recount, and a " +
+      "homogeneous group is what drives rows_at_risk") {
+    val out = graft.queries.ScaleQueries.q184LDiversity(spark, dir)
+      .head()
+    val groups = graft.io.Sources.table(spark, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+          .as("l"))
+      .collect()
+    assert(out.getLong(0) == groups.map(_.getLong(3)).min)
+    assert(out.getLong(1) == groups.length)
+    assert(out.getLong(2) == groups.count(_.getLong(3) < 3))
+    assert(out.getLong(3) ==
+      groups.filter(_.getLong(3) < 3).map(_.getLong(2)).sum)
+  }
+
+  test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
+      "merge of the argmax pair, merged tokens join round 2 as atoms") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_bpe_spec_").toString
+    try {
+      // top pair round 1 = (a,b) ×3; round 2 = ('a b', c) vs ('a b', x)
+      // tie on count 1 → lexicographic tie-break picks c
+      Seq((1L, "a b a b c"), (2L, "a b x"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("t").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(s"$root/documents.parquet")
+      val out = LearnedQueries.q180BpeMerges(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      assert(out.toSeq == Seq(("a b", 2L, 1), ("a b c", 1L, 2),
+        ("x", 1L, 3)))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+}
