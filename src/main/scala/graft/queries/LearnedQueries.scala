@@ -654,6 +654,164 @@ object LearnedQueries {
        FROM a JOIN b ON doc_id = b_doc AND b_pos = pos + 1
        GROUP BY 1 ORDER BY n_occurrences DESC, doc_id LIMIT 10"""
 
+  // --- q185: Welch two-sample test from exact moments -------------------
+  /** A/B experiment readout — Welch's unequal-variance t statistic and
+    * Welch–Satterthwaite degrees of freedom between two user cohorts
+    * (user_id parity), over cents-exact event values. ONE conditional-
+    * aggregation pass accumulates both variants' (n, Σx, Σx²) as
+    * DECIMAL(38,0); means, sample variances, t and df are then a fixed-
+    * order IEEE expression on a one-row frame (sqrt is correctly
+    * rounded, so the whole readout is bit-identical cross-engine — the
+    * reason t/df are computed instead of a p-value, whose erf/gamma
+    * tails are not). Degenerate cohorts (n ≤ 1, zero pooled variance)
+    * guard to NULL on both sides.
+    *
+    * Scale shape: the statistic needs six numbers; the corpus is
+    * scanned once, map-side partial aggregation reduces each partition
+    * to one moment row, and nothing else moves. */
+  def q185AbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select((col("user_id") % 2).as("v"),
+        expr(s"CAST(CAST(round(value * 100) AS BIGINT) AS $dec)").as("c"))
+    def side(p: Int, nm: String, s1: String, s2: String) = Seq(
+      sum(when(col("v") === p, 1L).otherwise(0L)).cast(dec).as(nm),
+      sum(when(col("v") === p, col("c")).otherwise(lit(0).cast(dec)))
+        .as(s1),
+      sum(when(col("v") === p, col("c") * col("c"))
+        .otherwise(lit(0).cast(dec))).as(s2))
+    val aggs = side(0, "na", "s1a", "s2a") ++ side(1, "nb", "s1b", "s2b")
+    val m = ev.agg(aggs.head, aggs.tail: _*)
+    val d = m.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      col("na").cast("double").as("na_d"),
+      col("nb").cast("double").as("nb_d"),
+      col("s1a").cast("double").as("s1a_d"),
+      col("s1b").cast("double").as("s1b_d"),
+      (col("na") * col("s2a") - col("s1a") * col("s1a")).cast("double")
+        .as("va_num"),
+      (col("nb") * col("s2b") - col("s1b") * col("s1b")).cast("double")
+        .as("vb_num"),
+      (col("na") * (col("na") - 1)).cast("double").as("va_den"),
+      (col("nb") * (col("nb") - 1)).cast("double").as("vb_den"))
+    val varA = col("va_num") / col("va_den")
+    val varB = col("vb_num") / col("vb_den")
+    val seA = varA / col("na_d")
+    val seB = varB / col("nb_d")
+    val se2 = seA + seB
+    val meanA = col("s1a_d") / col("na_d")
+    val meanB = col("s1b_d") / col("nb_d")
+    val tStat = (meanA - meanB) / sqrt(se2)
+    val df = se2 * se2 /
+      (seA * seA / (col("na_d") - 1.0) + seB * seB / (col("nb_d") - 1.0))
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    d.select(col("n_a"), col("n_b"),
+      when(ok, meanA).as("mean_a_cents"),
+      when(ok, meanB).as("mean_b_cents"),
+      when(ok && col("va_num") + col("vb_num") > 0, tStat).as("t_stat"),
+      when(ok && col("va_num") > 0 && col("vb_num") > 0, df)
+        .as("welch_df"))
+  }
+
+  val q185Sql: String =
+    """WITH ev AS (
+         SELECT user_id % 2 AS v,
+                CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+         FROM events WHERE value IS NOT NULL),
+       m AS (
+         SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS na,
+                sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS s1a,
+                sum(CASE WHEN v = 0 THEN c * c ELSE 0 END) AS s2a,
+                CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                  AS nb,
+                sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS s1b,
+                sum(CASE WHEN v = 1 THEN c * c ELSE 0 END) AS s2b
+         FROM ev),
+       d AS (
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CAST(na AS DOUBLE) AS na_d, CAST(nb AS DOUBLE) AS nb_d,
+                CAST(s1a AS DOUBLE) AS s1a_d,
+                CAST(s1b AS DOUBLE) AS s1b_d,
+                CAST(na * s2a - s1a * s1a AS DOUBLE) AS va_num,
+                CAST(nb * s2b - s1b * s1b AS DOUBLE) AS vb_num,
+                CAST(na * (na - 1) AS DOUBLE) AS va_den,
+                CAST(nb * (nb - 1) AS DOUBLE) AS vb_den
+         FROM m)
+       SELECT n_a, n_b,
+              CASE WHEN n_a > 1 AND n_b > 1
+                THEN s1a_d / na_d END AS mean_a_cents,
+              CASE WHEN n_a > 1 AND n_b > 1
+                THEN s1b_d / nb_d END AS mean_b_cents,
+              CASE WHEN n_a > 1 AND n_b > 1 AND va_num + vb_num > 0 THEN
+                (s1a_d / na_d - s1b_d / nb_d) /
+                sqrt(va_num / va_den / na_d + vb_num / vb_den / nb_d)
+                END AS t_stat,
+              CASE WHEN n_a > 1 AND n_b > 1 AND va_num > 0 AND vb_num > 0
+                THEN (va_num / va_den / na_d + vb_num / vb_den / nb_d) *
+                     (va_num / va_den / na_d + vb_num / vb_den / nb_d) /
+                     (va_num / va_den / na_d * (va_num / va_den / na_d) /
+                        (na_d - 1.0) +
+                      vb_num / vb_den / nb_d * (vb_num / vb_den / nb_d) /
+                        (nb_d - 1.0))
+                END AS welch_df
+       FROM d"""
+
+  // --- q187: cross-source duplication overlap matrix --------------------
+  /** Pairwise exact-duplicate overlap between corpus SOURCES — the
+    * corpus-intelligence report that decides which feeds are redundant
+    * before mixing weights are chosen: for every source pair, how many
+    * distinct texts appear in both, and the Jaccard overlap of their
+    * text sets (one division of exact integers). Texts are keyed by
+    * their 60-bit content hash ([[graft.operators.Dedup.hash60]]), so
+    * the self-join carries (long, source) rows, never text — the q26
+    * shuffle-volume discipline. Per-source distinct totals ride a tiny
+    * broadcast join; the hash self-join is the only corpus-sized
+    * shuffle, and both sides arrive already distinct. */
+  def q187SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(graft.operators.Dedup.hash60(col("text")).as("h"),
+        col("source"))
+      .distinct()
+    val totals = d.groupBy("source").agg(count(lit(1)).as("tot"))
+    val pairs = d.join(
+        d.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("src_a"), col("source_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("tot").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("tot").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q187Sql: String =
+    """WITH d AS (
+         SELECT DISTINCT
+                ('0x' || substr(md5(text), 1, 15))::BIGINT AS h, source
+         FROM documents),
+       tot AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS tot
+         FROM d GROUP BY 1),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, n_shared, ta.tot AS n_a, tb.tot AS n_b,
+              CAST(n_shared AS DOUBLE) /
+                CAST(ta.tot + tb.tot - n_shared AS DOUBLE) AS jaccard
+       FROM pairs
+       JOIN tot ta ON ta.source = src_a
+       JOIN tot tb ON tb.source = src_b
+       ORDER BY src_a, src_b"""
+
   val all: Map[String, Q] = Map(
     "q176_rrf_fusion" -> q176RrfFusion _,
     "q177_gd_training" -> q177GdTraining _,
@@ -662,6 +820,8 @@ object LearnedQueries {
     "q181_kfold_cv" -> q181KfoldCv _,
     "q182_token_gini" -> q182TokenGini _,
     "q183_phrase_search" -> q183PhraseSearch _,
+    "q185_ab_test" -> q185AbTest _,
+    "q187_source_overlap" -> q187SourceOverlap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,5 +832,7 @@ object LearnedQueries {
     "q181_kfold_cv" -> q181Sql,
     "q182_token_gini" -> q182Sql,
     "q183_phrase_search" -> q183Sql,
+    "q185_ab_test" -> q185Sql,
+    "q187_source_overlap" -> q187Sql,
   )
 }

@@ -444,6 +444,74 @@ object StreamingHourly {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  /** ONLINE ANN serving: a stream of query vectors probes a static
+    * hyperplane-LSH index (the q30 family) as a stream-static join —
+    * the canonical vector-serving shape: the corpus side is a fixed
+    * bucketed frame (no state, re-read per micro-batch; in production a
+    * cached/bucketed table), the stream side computes its bucket
+    * MAP-SIDE inside the micro-batch, and only same-bucket candidates
+    * are scored. The per-query best match is a streaming `max(struct)`
+    * aggregate — one row of state per query key, emitted in complete
+    * mode over the bounded replay (two micro-batches via
+    * maxFilesPerTrigger, so the aggregate state provably crosses a
+    * batch boundary). Tie-break (cosine desc, did asc) rides the
+    * struct's lexicographic max with a negated id, [[graft.operators
+    * .ModeAgg]]'s single-pass trick. Oracle = the batch LSH rank-1
+    * reduction of q30's SQL. */
+  def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_sann_")
+      .toString
+    try {
+      val emb = graft.io.Sources.table(spark, dir, "embeddings")
+      val dims = emb.select(size(col("embedding")).as("d"))
+        .filter(col("d") > 0).limit(1).head().getInt(0)
+      val w = Similarity.planeWeightsLocal(numPlanes = 6, dims)
+      def bucketed(df: org.apache.spark.sql.DataFrame, id: String,
+                   vec: String, norm: String) =
+        df.select(col("vec_id").as(id),
+            Similarity.quantize(col("embedding")).as(vec))
+          .select(col(id), col(vec),
+            Similarity.dotQ(col(vec), col(vec)).as(norm),
+            Similarity.bucketOf(col(vec), w).as("bucket"))
+      // two query files → two micro-batches; the best-match state for
+      // a key lives in the agg store, not the join (static side is
+      // stateless by definition of stream-static)
+      val queries = emb.filter(col("vec_id") < 10)
+      (0 until 2).foreach { b =>
+        queries.filter(col("vec_id") % 2 === b).coalesce(1)
+          .write.mode("append").parquet(s"$root/qfeed")
+      }
+      val schema = spark.read.parquet(s"$root/qfeed").schema
+      val qstream = bucketed(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/qfeed"),
+        "qid", "qe", "qn")
+      val corpus = bucketed(emb, "did", "de", "dn")
+      val name = s"stream_ann_${runId.incrementAndGet()}"
+      val scored = qstream.join(corpus, "bucket")
+        .filter(col("qid") =!= col("did")) // serving: self is not a match
+        .select(col("qid"),
+          struct(
+            Similarity.cosineFrom(
+              Similarity.dotQ(col("qe"), col("de")),
+              col("qn"), col("dn")).as("cosine"),
+            (-col("did")).as("neg_did")).as("cand"))
+        .groupBy("qid").agg(max(col("cand")).as("best"))
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table(name)
+        .select(col("qid"), (-col("best.neg_did")).as("best_did"),
+          col("best.cosine").as("best_cosine"))
+        .orderBy("qid")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_stream_custom_state" -> (customStateRunningQuery _),
     "q170_stream_sliding" -> (slidingHourly _),
@@ -453,7 +521,8 @@ object StreamingHourly {
     "q38_stream_sessions_append" -> (sessionAggAppend _),
     "q152_stream_dedup" -> (dedupWithinWatermark _),
     "q159_stream_pairs" -> (streamStreamPairs _),
-    "q179_stream_merge_sink" -> (streamMergeSink _))
+    "q179_stream_merge_sink" -> (streamMergeSink _),
+    "q186_stream_ann" -> (streamAnnServe _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -484,6 +553,46 @@ object StreamingHourly {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM u GROUP BY 1 ORDER BY 1""",
+    // q186: the batch LSH rank-1 reduction (q30's bucketing, self
+    // excluded) — streaming serve ≡ batch index probe
+    "q186_stream_ann" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                   for x in embedding] AS e
+           FROM embeddings),
+         proj AS (
+           SELECT v.vec_id, pl.p,
+                  list_sum([v.e[i] *
+                    (2 * instr('0123456789abcdef',
+                       substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                    for i in generate_series(1, len(v.e))]) AS proj
+           FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+         buck AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN proj > 0
+                                THEN CAST(pow(2, p) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1),
+         n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn
+               FROM v),
+         sc AS (
+           SELECT q.vec_id AS qid, d.vec_id AS did,
+                  CAST(list_sum([qn.e[i] * dn.e[i]
+                         for i in generate_series(1, len(qn.e))])
+                    AS DOUBLE) /
+                    (sqrt(CAST(qn.nn AS DOUBLE)) *
+                     sqrt(CAST(dn.nn AS DOUBLE))) AS cosine
+           FROM buck q
+           JOIN buck d ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
+           JOIN n qn ON qn.vec_id = q.vec_id
+           JOIN n dn ON dn.vec_id = d.vec_id
+           WHERE q.vec_id < 10)
+         SELECT qid, did AS best_did, cosine AS best_cosine
+         FROM sc
+         QUALIFY row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, did ASC) = 1
+         ORDER BY qid""",
     "q166_stream_custom_state" ->
       """SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,

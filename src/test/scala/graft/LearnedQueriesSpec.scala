@@ -220,6 +220,76 @@ class LearnedQueriesSpec extends SparkSpec {
       groups.filter(_.getLong(3) < 3).map(_.getLong(2)).sum)
   }
 
+  test("q185 Welch test: cohort sizes partition the non-null rows, the " +
+      "t statistic's sign follows the mean difference, and df lies in " +
+      "[min(n)-1, n_a+n_b-2]") {
+    val r = LearnedQueries.q185AbTest(spark, dir).head()
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+    assert(r.getLong(0) + r.getLong(1) == ev.count())
+    val (ma, mb, t, df) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.signum(ma - mb) == math.signum(t))
+    val lo = math.min(r.getLong(0), r.getLong(1)).toDouble - 1.0
+    val hi = (r.getLong(0) + r.getLong(1)).toDouble - 2.0
+    assert(df >= lo && df <= hi,
+      s"Welch df $df must sit between $lo (worst case) and $hi (pooled)")
+  }
+
+  test("q186 streaming ANN serve equals the batch index probe re-derived " +
+      "from the same public LSH primitives") {
+    import graft.operators.Similarity
+    val out = graft.streaming.StreamingHourly.streamAnnServe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val emb = graft.io.Sources.table(spark, dir, "embeddings")
+    val dims = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1).head().getInt(0)
+    val w = Similarity.planeWeightsLocal(6, dims)
+    def b(df: org.apache.spark.sql.DataFrame, id: String, vec: String,
+          norm: String) =
+      df.select(col("vec_id").as(id),
+          Similarity.quantize(col("embedding")).as(vec))
+        .select(col(id), col(vec),
+          Similarity.dotQ(col(vec), col(vec)).as(norm),
+          Similarity.bucketOf(col(vec), w).as("bucket"))
+    val batch = b(emb.filter(col("vec_id") < 10), "qid", "qe", "qn")
+      .join(b(emb, "did", "de", "dn"), "bucket")
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        Similarity.cosineFrom(Similarity.dotQ(col("qe"), col("de")),
+          col("qn"), col("dn")).as("cosine"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        val best = rs.minBy(r => (-r.getDouble(2), r.getLong(1)))
+        (q, best.getLong(1), best.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    assert(out.toSeq == batch,
+      "two micro-batches of agg state must equal the one-shot batch probe")
+  }
+
+  test("q187 source overlap recovers a planted cross-source duplication " +
+      "topology exactly (and emits no row for disjoint sources)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_overlap_spec_").toString
+    try {
+      // s1 = {a,b,c}, s2 = {b,c,d,d-dup}, s3 = {x} (disjoint);
+      // within-source duplicate 'd' must count ONCE (distinct text sets)
+      Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s1"),
+          (4L, "b", "s2"), (5L, "c", "s2"), (6L, "d", "s2"),
+          (7L, "d", "s2"), (8L, "x", "s3"))
+        .toDF("doc_id", "text", "source")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          col("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(s"$root/documents.parquet")
+      val out = LearnedQueries.q187SourceOverlap(spark, root).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))
+      assert(out.toSeq == Seq(("s1", "s2", 2L, 3L, 3L, 0.5)),
+        "only the overlapping pair appears; jaccard = 2/(3+3-2)")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
       "merge of the argmax pair, merged tokens join round 2 as atoms") {
     import spark.implicits._
