@@ -812,6 +812,319 @@ object LearnedQueries {
        JOIN tot tb ON tb.source = src_b
        ORDER BY src_a, src_b"""
 
+  // --- q188: retrieval evaluation (MRR / precision@k inputs) ------------
+  /** Ranking-quality readout for the ANN index: ground truth = exact
+    * brute-force cosine top-3 per query (self excluded), system = the
+    * q30 hyperplane-LSH probe (self excluded). Per query: how many of
+    * the true top-3 the index returned, the rank of the first true hit,
+    * its reciprocal (ONE division), and precision@3 (ONE division).
+    * Deliberately NO mean-over-queries double column: Σ(1/rankᵢ) is
+    * accumulation-order-dependent across rows, so the aggregate the
+    * harness can hash is the per-query frame itself (integer columns
+    * aggregate exactly downstream when a scalar MRR is wanted).
+    * Complements q103's recall harness with the rank-sensitive tier.
+    *
+    * Scale shape: the exact side is the q29 bounded-query-set cross
+    * join (|Q| is the small side by construction); the LSH side probes
+    * buckets only. Both rankings are k-bounded before the eval join. */
+  def q188RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val dims = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1).head().getInt(0)
+    val w = Similarity.planeWeightsLocal(6, dims)
+    def prep(df: DataFrame, id: String, vec: String, norm: String) =
+      df.select(col("vec_id").as(id),
+          Similarity.quantize(col("embedding")).as(vec))
+        .select(col(id), col(vec),
+          Similarity.dotQ(col(vec), col(vec)).as(norm))
+    val q = prep(emb.filter(col("vec_id") < 10), "qid", "qe", "qn")
+    val d = prep(emb, "did", "de", "dn")
+    val rankW = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("did").asc)
+    def score(j: DataFrame) = j
+      .filter(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        Similarity.cosineFrom(Similarity.dotQ(col("qe"), col("de")),
+          col("qn"), col("dn")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+    val truth = score(q.crossJoin(d)).select(col("qid"), col("did"))
+    val sys = score(
+        q.withColumn("bucket", Similarity.bucketOf(col("qe"), w))
+          .join(d.withColumn("bucket",
+            Similarity.bucketOf(col("de"), w)), "bucket"))
+      .select(col("qid"), col("did"), col("rank"))
+    truth.join(sys, Seq("qid", "did"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(when(col("rank").isNotNull, 1L).otherwise(0L))
+          .as("n_hits"),
+        min("rank").as("first_rel_rank"))
+      .select(col("qid"), col("n_hits"), col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"),
+        (col("n_hits").cast("double") / 3.0).as("prec_at_3"))
+      .orderBy("qid")
+  }
+
+  val q188Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       truth AS (
+         SELECT qid, did FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS did,
+                  CAST(list_sum([q.e[i] * d.e[i]
+                    for i in generate_series(1, len(q.e))]) AS DOUBLE) /
+                    (sqrt(CAST(q.nn AS DOUBLE)) *
+                     sqrt(CAST(d.nn AS DOUBLE))) AS cosine
+           FROM n q CROSS JOIN n d
+           WHERE q.vec_id < 10 AND q.vec_id <> d.vec_id)
+         QUALIFY row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, did ASC) <= 3),
+       proj AS (
+         SELECT v.vec_id, pl.p,
+                list_sum([v.e[i] *
+                  (2 * instr('0123456789abcdef',
+                     substr(md5(pl.p || '-' || (i - 1)), 1, 1)) - 17)
+                  for i in generate_series(1, len(v.e))]) AS proj
+         FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pl),
+       buck AS (
+         SELECT vec_id,
+                CAST(sum(CASE WHEN proj > 0
+                              THEN CAST(pow(2, p) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       sys AS (
+         SELECT qid, did,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+         FROM (
+           SELECT bq.vec_id AS qid, bd.vec_id AS did,
+                  CAST(list_sum([qn.e[i] * dn.e[i]
+                    for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                    (sqrt(CAST(qn.nn AS DOUBLE)) *
+                     sqrt(CAST(dn.nn AS DOUBLE))) AS cosine
+           FROM buck bq
+           JOIN buck bd ON bq.bucket = bd.bucket
+                       AND bq.vec_id <> bd.vec_id
+           JOIN n qn ON qn.vec_id = bq.vec_id
+           JOIN n dn ON dn.vec_id = bd.vec_id
+           WHERE bq.vec_id < 10)
+         QUALIFY rank <= 3)
+       SELECT t.qid,
+              CAST(sum(CASE WHEN s.rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              min(s.rank) AS first_rel_rank,
+              1.0 / CAST(min(s.rank) AS DOUBLE) AS rr,
+              CAST(sum(CASE WHEN s.rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 3.0 AS prec_at_3
+       FROM truth t
+       LEFT JOIN sys s ON t.qid = s.qid AND t.did = s.did
+       GROUP BY t.qid ORDER BY t.qid"""
+
+  // --- q189: embedding centroid drift between cohorts -------------------
+  /** Embedding-monitoring readout: L2 distance between the mean vectors
+    * of two cohorts (label 0 vs label 1) — the day-over-day /
+    * cohort-over-cohort drift alarm for an embedding pipeline. Exact to
+    * the last step: per-dimension quantized sums accumulate as
+    * DECIMAL(38,0), the mean difference is cleared of divisions by
+    * scaling with n_a·n_b (diffᵈ = n_b·Σaᵈ − n_a·Σbᵈ, exact), the
+    * squared distance Σ diffᵈ² stays decimal-exact, and ONE
+    * cast+sqrt+division chain produces the drift in quantized units.
+    *
+    * Scale shape: posexplode to (dim, label, value) longs, partial
+    * map-side aggregation reduces every partition to ≤ dims·2 cells;
+    * the shuffle carries dims·2 rows regardless of corpus size. */
+  def q189EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val cells = t(s, dir, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("label"),
+        posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("dim", "v")))
+      .groupBy("dim").agg(
+        sum(when(col("label") === 0, col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("sa"),
+        sum(when(col("label") === 1, col("v").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("sb"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).cast(dec)
+          .as("cna"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).cast(dec)
+          .as("cnb"))
+    // every dim sees every row: cna/cnb are the cohort sizes, constant
+    // across dims — max() is just the reduce that carries them along
+    val m = cells.agg(
+      max("cna").as("na"), max("cnb").as("nb"),
+      sum((col("cnb") * col("sa") - col("cna") * col("sb")) *
+        (col("cnb") * col("sa") - col("cna") * col("sb"))).as("d2"))
+    m.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(col("na") > 0 && col("nb") > 0,
+        sqrt(col("d2").cast("double")) /
+          (col("na").cast("double") * col("nb").cast("double")))
+        .as("l2_drift_q"))
+  }
+
+  val q189Sql: String =
+    """WITH cells AS (
+         SELECT dim,
+                sum(CASE WHEN label = 0 THEN v ELSE 0 END) AS sa,
+                sum(CASE WHEN label = 1 THEN v ELSE 0 END) AS sb,
+                CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS cna,
+                CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS cnb
+         FROM (
+           SELECT label,
+                  unnest(range(0, len(embedding))) AS dim,
+                  unnest([CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                    AS HUGEINT) for x in embedding]) AS v
+           FROM embeddings WHERE label IN (0, 1))
+         GROUP BY 1),
+       m AS (
+         SELECT max(cna) AS na, max(cnb) AS nb,
+                sum((cnb * sa - cna * sb) * (cnb * sa - cna * sb)) AS d2
+         FROM cells)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CASE WHEN na > 0 AND nb > 0 THEN
+                sqrt(CAST(d2 AS DOUBLE)) /
+                  (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END
+                AS l2_drift_q
+       FROM m"""
+
+  // --- q190: language-ID heuristic evaluation ---------------------------
+  /** Multiclass evaluation of q31's language-ID heuristic against the
+    * labeled corpus: per true class, support, predicted count, true
+    * positives, and precision/recall as guarded single divisions —
+    * the model-eval tier above q149's binary confusion matrix. The
+    * confusion counting is ONE (lang, pred) aggregation; per-class
+    * rows derive from it with broadcast-sized joins. */
+  def q190LangidEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = t(s, dir, "documents")
+      .select(col("lang"), graft.functions.TextFunctions
+        .langId(col("text")).as("pred"))
+    val conf = pred.groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+    val nTrue = conf.groupBy("lang").agg(sum("c").as("n_true"))
+    val nPred = conf.groupBy(col("pred").as("lang"))
+      .agg(sum("c").as("n_pred"))
+    val tp = conf.filter(col("lang") === col("pred"))
+      .select(col("lang"), col("c").as("tp"))
+    nTrue
+      .join(broadcast(nPred), Seq("lang"), "left_outer")
+      .join(broadcast(tp), Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        when(col("n_true") > 0,
+          col("tp").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+      .orderBy("lang")
+  }
+
+  val q190Sql: String =
+    """WITH s AS (
+         SELECT doc_id, lang,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n,
+           len(regexp_extract_all(lower(text),
+             '\b(the|and|of|is|to|in|that|it)\b')) AS s_en,
+           len(regexp_extract_all(lower(text),
+             '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+           len(regexp_extract_all(lower(text),
+             '\b(le|la|les|et|est|une|que|dans)\b')) AS s_fr,
+           len(regexp_extract_all(lower(text),
+             '\b(el|los|las|y|es|una|que|en)\b')) AS s_es
+         FROM documents),
+       g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS gmax FROM s),
+       p AS (
+         SELECT lang,
+           CASE WHEN zh_n > 0 THEN 'zh'
+                WHEN gmax = 0 THEN 'unknown'
+                WHEN s_en = gmax THEN 'en'
+                WHEN s_de = gmax THEN 'de'
+                WHEN s_fr = gmax THEN 'fr'
+                WHEN s_es = gmax THEN 'es'
+                ELSE 'unknown' END AS pred
+         FROM g),
+       conf AS (
+         SELECT lang, pred, CAST(count(*) AS BIGINT) AS c
+         FROM p GROUP BY 1, 2),
+       nt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_true
+              FROM conf GROUP BY 1),
+       np AS (SELECT pred AS lang, CAST(sum(c) AS BIGINT) AS n_pred
+              FROM conf GROUP BY 1),
+       tp AS (SELECT lang, c AS tp FROM conf WHERE lang = pred)
+       SELECT nt.lang, nt.n_true,
+              coalesce(np.n_pred, 0) AS n_pred,
+              coalesce(tp.tp, 0) AS tp,
+              CASE WHEN coalesce(np.n_pred, 0) > 0 THEN
+                CAST(coalesce(tp.tp, 0) AS DOUBLE) /
+                CAST(coalesce(np.n_pred, 0) AS DOUBLE) END AS precision,
+              CASE WHEN nt.n_true > 0 THEN
+                CAST(coalesce(tp.tp, 0) AS DOUBLE) /
+                CAST(nt.n_true AS DOUBLE) END AS recall
+       FROM nt
+       LEFT JOIN np ON np.lang = nt.lang
+       LEFT JOIN tp ON tp.lang = nt.lang
+       ORDER BY nt.lang"""
+
+  // --- q191: distance-weighted skip-gram co-occurrence ------------------
+  /** GloVe-style co-occurrence accumulation (Pennington et al., EMNLP
+    * 2014): ordered (word, context) pairs within a ±2 window, weighted
+    * 1/distance. The weights are dyadic rationals (1.0, 0.5), so the
+    * double sum is EXACT and order-independent — the one weighting
+    * scheme where a float sum is portable across engines. Top-20 pairs
+    * by weighted count, lexicographic tie-break.
+    *
+    * Scale shape: two index explodes (offset 1, offset 2) union, one
+    * (w1, w2) count shuffle with map-side partial agg (vocab²-bounded,
+    * not corpus-bounded), TakeOrderedAndProject for the top-k. At full
+    * corpus scale this is the input matrix builder for word-vector
+    * training — the downstream factorization consumes exactly these
+    * rows. */
+  def q191Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("tk"))
+    def offs(o: Int, wt: Double): DataFrame = docs
+      .filter(size(col("tk")) > o)
+      .select(col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - o)).as("i"))
+      .select(element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + o).as("w2"),
+        lit(wt).as("wt"))
+    offs(1, 1.0).unionAll(offs(2, 0.5))
+      .groupBy("w1", "w2")
+      .agg(sum("wt").as("weight"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("weight").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q191Sql: String =
+    """WITH d AS (
+         SELECT string_split(text, ' ') AS tk FROM documents),
+       p1 AS (
+         SELECT tk[i] AS w1, tk[i + 1] AS w2,
+                CAST(1.0 AS DOUBLE) AS wt
+         FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+               FROM d WHERE len(tk) > 1)),
+       p2 AS (
+         SELECT tk[i] AS w1, tk[i + 2] AS w2,
+                CAST(0.5 AS DOUBLE) AS wt
+         FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+               FROM d WHERE len(tk) > 2)),
+       u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       SELECT w1, w2, sum(wt) AS weight,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM u GROUP BY 1, 2
+       ORDER BY weight DESC, w1, w2 LIMIT 20"""
+
   val all: Map[String, Q] = Map(
     "q176_rrf_fusion" -> q176RrfFusion _,
     "q177_gd_training" -> q177GdTraining _,
@@ -822,6 +1135,10 @@ object LearnedQueries {
     "q183_phrase_search" -> q183PhraseSearch _,
     "q185_ab_test" -> q185AbTest _,
     "q187_source_overlap" -> q187SourceOverlap _,
+    "q188_retrieval_eval" -> q188RetrievalEval _,
+    "q189_embedding_drift" -> q189EmbeddingDrift _,
+    "q190_langid_eval" -> q190LangidEval _,
+    "q191_cooccurrence" -> q191Cooccurrence _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +1151,9 @@ object LearnedQueries {
     "q183_phrase_search" -> q183Sql,
     "q185_ab_test" -> q185Sql,
     "q187_source_overlap" -> q187Sql,
+    "q188_retrieval_eval" -> q188Sql,
+    "q189_embedding_drift" -> q189Sql,
+    "q190_langid_eval" -> q190Sql,
+    "q191_cooccurrence" -> q191Sql,
   )
 }

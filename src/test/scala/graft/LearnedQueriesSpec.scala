@@ -290,6 +290,85 @@ class LearnedQueriesSpec extends SparkSpec {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  test("q188 retrieval eval: per-query metrics are internally consistent " +
+      "and hits are bounded by k") {
+    val out = LearnedQueries.q188RetrievalEval(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0 && hits <= 3)
+      assert(r.getDouble(4) == hits.toDouble / 3.0)
+      if (hits == 0) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val first = r.getInt(2)
+        assert(first >= 1 && first <= 3)
+        assert(r.getDouble(3) == 1.0 / first.toDouble)
+      }
+    }
+  }
+
+  test("q189 embedding drift is zero between identical cohorts and " +
+      "recovers a planted mean shift exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_drift_spec_").toString
+    try {
+      // cohort 0 = {(1,0), (3,2)}, cohort 1 = same vectors shifted by
+      // (+2, +1): mean diff = (2, 1), L2 = sqrt(5) in quantized units
+      Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 2.0f), 0),
+          (3L, Seq(3.0f, 1.0f), 1), (4L, Seq(5.0f, 3.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$root/embeddings.parquet")
+      val r = LearnedQueries.q189EmbeddingDrift(spark, root).head()
+      assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+      // d2 = Σ(n_b·Σa − n_a·Σb)² = (8e6)² + (4e6)²; drift = √d2/(n_a·n_b)
+      val expected = math.sqrt(8e6 * 8e6 + 4e6 * 4e6) / 4.0
+      assert(r.getDouble(2) == expected,
+        s"planted (2,1) shift must read sqrt(5)·10⁶: ${r.getDouble(2)}")
+      // identical cohorts → zero drift
+      Seq((1L, Seq(1.0f, 2.0f), 0), (2L, Seq(1.0f, 2.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      assert(LearnedQueries.q189EmbeddingDrift(spark, root)
+        .head().getDouble(2) == 0.0)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("q190 lang-id eval: tp never exceeds either margin, and the " +
+      "confusion margins sum to the corpus size") {
+    val out = LearnedQueries.q190LangidEval(spark, dir).collect()
+    val nDocs = graft.io.Sources.table(spark, dir, "documents").count()
+    assert(out.map(_.getLong(1)).sum == nDocs,
+      "true-class supports must partition the corpus")
+    out.foreach { r =>
+      val (nt, np, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= nt && tp <= np)
+      if (np > 0) assert(r.getDouble(4) == tp.toDouble / np.toDouble)
+      if (nt > 0) assert(r.getDouble(5) == tp.toDouble / nt.toDouble)
+    }
+  }
+
+  test("q191 co-occurrence: weights decompose as adjacent + 0.5·skip on " +
+      "a handcrafted corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_cooc_spec_").toString
+    try {
+      // "a b a b": (a,b) adjacent ×2 → 2.0; (b,a) adjacent ×1 → 1.0;
+      // (a,a) skip ×1 → 0.5; (b,b) skip ×1 → 0.5
+      Seq((1L, "a b a b")).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("t").as("source"), length(col("text")).cast("long")
+            .as("n_chars"))
+        .write.parquet(s"$root/documents.parquet")
+      val out = LearnedQueries.q191Cooccurrence(spark, root).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getLong(3)))
+      assert(out.toSeq == Seq(("a", "b", 2.0, 2L), ("b", "a", 1.0, 1L),
+        ("a", "a", 0.5, 1L), ("b", "b", 0.5, 1L)))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
       "merge of the argmax pair, merged tokens join round 2 as atoms") {
     import spark.implicits._
