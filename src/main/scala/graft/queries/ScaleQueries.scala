@@ -1152,6 +1152,119 @@ object ScaleQueries {
                 AS rows_at_risk
        FROM g"""
 
+  // --- q192: VARIANT semi-structured extraction -------------------------
+  /** The events `props` JSON through Spark 4's VARIANT type:
+    * `parse_json` once into the binary-encoded semi-structured value,
+    * then typed `variant_get` extraction — the lakehouse path for
+    * schema-on-read columns, strictly better at scale than per-access
+    * `get_json_object` (q23) because the parse happens ONCE per row and
+    * the binary encoding skips re-tokenizing the JSON text on every
+    * field access. The census reduces to one row (count, distinct,
+    * min/max/sum of the extracted key), all integers. */
+  def q192VariantJson(s: SparkSession, dir: String): DataFrame = {
+    val k = expr("variant_get(parse_json(props), '$.k', 'long')")
+    t(s, dir, "events")
+      .select(k.as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_null_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        min("k").as("k_min"), max("k").as("k_max"),
+        sum("k").as("k_sum"))
+  }
+
+  val q192Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+              CAST(count(DISTINCT CAST(json_extract(props, '$.k')
+                AS BIGINT)) AS BIGINT) AS n_distinct_k,
+              min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+              max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
+       FROM events"""
+
+  // --- q193: collation-aware dedup census -------------------------------
+  /** Spark 4 COLLATION at work: the corpus with every odd doc's text
+    * uppercased (a deterministic in-query perturbation — the
+    * mixed-case mess a real crawl delivers), counted distinct three
+    * ways: binary (case variants stay distinct), UTF8_LCASE collation
+    * (the engine-native case-insensitive comparator — dedup WITHOUT
+    * materializing a lowercased copy of the corpus), and explicit
+    * lower() (the pre-collation workaround, which at 100 TB pays a
+    * full rewritten-string shuffle; the collated compare hashes the
+    * collation key instead). The corpus here is ASCII, where UTF8_LCASE
+    * equivalence classes coincide with lower() — which is what lets
+    * DuckDB (no Spark collations) oracle the same number. */
+  def q193CollatedDedup(s: SparkSession, dir: String): DataFrame = {
+    val mixed = t(s, dir, "documents")
+      .select(when(col("doc_id") % 2 === 1, upper(col("text")))
+        .otherwise(col("text")).as("t"))
+    mixed.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("t")).as("n_distinct_binary"),
+      countDistinct(collate(col("t"), "UTF8_LCASE"))
+        .as("n_distinct_lcase"),
+      countDistinct(lower(col("t"))).as("n_distinct_lower"))
+  }
+
+  val q193Sql: String =
+    """WITH m AS (
+         SELECT CASE WHEN doc_id % 2 = 1 THEN upper(text)
+                     ELSE text END AS t
+         FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_binary,
+              CAST(count(DISTINCT lower(t)) AS BIGINT)
+                AS n_distinct_lcase,
+              CAST(count(DISTINCT lower(t)) AS BIGINT)
+                AS n_distinct_lower
+       FROM m"""
+
+  // --- q194: native XML round-trip --------------------------------------
+  /** Spark 4's built-in XML source (the spark-xml package graduated
+    * into the engine): a slice of orders written as row-tagged XML,
+    * read back with an EXPLICIT schema (the q156 no-inference
+    * discipline — at shard scale inference is a full extra pass), and
+    * reduced to a per-status census the oracle reproduces straight from
+    * the parquet truth. Cents-exact money (q125 discipline). XML is the
+    * interchange format enterprise feeds still speak; the round-trip
+    * pins that the engine's reader/writer agree on escaping, nulls, and
+    * numeric rendering. */
+  def q194XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_xml_")
+      .toString
+    try {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .write.format("xml").option("rowTag", "order")
+        .save(s"$root/feed")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey LONG, o_orderstatus STRING, cents LONG")
+      val back = s.read.format("xml").option("rowTag", "order")
+        .schema(schema).load(s"$root/feed")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents_sum"),
+          min("o_orderkey").as("key_min"))
+        .orderBy("o_orderstatus")
+      val rows = back.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q194Sql: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+              min(o_orderkey) AS key_min
+       FROM orders WHERE o_orderkey % 10 = 0
+       GROUP BY 1 ORDER BY 1"""
+
   def q145KAnonymity(s: SparkSession, dir: String): DataFrame = {
     val groups = t(s, dir, "customer")
       .groupBy("c_mktsegment", "c_nationkey")
@@ -1461,6 +1574,9 @@ object ScaleQueries {
     "q148_decile_lift" -> q148DecileLift _,
     "q149_confusion_matrix" -> q149ConfusionMatrix _,
     "q184_l_diversity" -> q184LDiversity _,
+    "q192_variant_json" -> q192VariantJson _,
+    "q193_collated_dedup" -> q193CollatedDedup _,
+    "q194_xml_roundtrip" -> q194XmlRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1491,5 +1607,8 @@ object ScaleQueries {
     "q148_decile_lift" -> q148Sql,
     "q149_confusion_matrix" -> q149Sql,
     "q184_l_diversity" -> q184Sql,
+    "q192_variant_json" -> q192Sql,
+    "q193_collated_dedup" -> q193Sql,
+    "q194_xml_roundtrip" -> q194Sql,
   )
 }

@@ -512,6 +512,93 @@ object StreamingHourly {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  /** [[transformWithStateDistinct]]'s processor: per-key MapState as a
+    * set of seen event types; emits the running distinct count. Defined
+    * top-level (not inline) so the closure serializes without capturing
+    * the enclosing query method. */
+  private class TypeSetProcessor
+    extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, String), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen:
+      org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Boolean]("seen",
+        Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, String)],
+                                 timers: org.apache.spark.sql.streaming
+                                   .TimerValues)
+    : Iterator[(Long, Long)] = {
+      rows.foreach { r =>
+        if (!seen.containsKey(r._2)) seen.updateValue(r._2, true)
+      }
+      Iterator((key, seen.keys().size.toLong))
+    }
+  }
+
+  /** Per-user distinct-event-type census via `transformWithState` —
+    * Spark 4's arbitrary-state API tier above
+    * `flatMapGroupsWithState` (q166): the processor owns a typed
+    * MapState cell per key (the per-key SET the old API could only
+    * fake inside one opaque value), updated across four forced
+    * micro-batches. Emitted rows are the running distinct count;
+    * the final value per key (the max — the count is monotone) must
+    * equal the batch `count(DISTINCT event_type)`, which is the
+    * oracle. Set semantics make the fold order-insensitive, so file
+    * replay order cannot change the result.
+    *
+    * Scale shape: state is |seen types| entries per key in the state
+    * store (RocksDB on a real cluster), partitioned by the grouping
+    * key; each micro-batch shuffles only its own rows. */
+  def transformWithStateDistinct(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val name = s"stream_tws_${runId.incrementAndGet()}"
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_tws_")
+      .toString
+    // transformWithState requires a state store with column families —
+    // RocksDB (the production provider), not the HDFS-backed default;
+    // scoped to this query and restored after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.io.Sources.table(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      ev.repartitionByRange(4, col("ts")).write.parquet(s"$root/in")
+      val schema = spark.read.parquet(s"$root/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState[(Long, Long)](new TypeSetProcessor(),
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n_types")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fin = spark.table(name)
+        .groupBy("user_id").agg(max("n_types").as("n_types"))
+        .orderBy("user_id")
+      val rows = fin.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fin.schema)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_stream_custom_state" -> (customStateRunningQuery _),
     "q170_stream_sliding" -> (slidingHourly _),
@@ -522,7 +609,8 @@ object StreamingHourly {
     "q152_stream_dedup" -> (dedupWithinWatermark _),
     "q159_stream_pairs" -> (streamStreamPairs _),
     "q179_stream_merge_sink" -> (streamMergeSink _),
-    "q186_stream_ann" -> (streamAnnServe _))
+    "q186_stream_ann" -> (streamAnnServe _),
+    "q195_transform_with_state" -> (transformWithStateDistinct _))
 
   /** Oracles: identical to the batch forms (q24 / q49) — streaming and
     * batch must agree. */
@@ -553,6 +641,12 @@ object StreamingHourly {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS cents
          FROM u GROUP BY 1 ORDER BY 1""",
+    // q195: set semantics make the fold order-insensitive; the final
+    // (max) running count per key must equal the batch count(DISTINCT)
+    "q195_transform_with_state" ->
+      """SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM events GROUP BY 1 ORDER BY 1""",
     // q186: the batch LSH rank-1 reduction (q30's bucketing, self
     // excluded) — streaming serve ≡ batch index probe
     "q186_stream_ann" ->

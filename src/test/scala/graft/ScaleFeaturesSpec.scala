@@ -96,4 +96,71 @@ class ScaleFeaturesSpec extends SparkSpec {
       .select("event_id").distinct().count()
     assert(got == expected, s"streamed $got vs distinct $expected")
   }
+
+  test("q192 VARIANT extraction agrees with the per-access " +
+      "get_json_object path row by row") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.io.Sources.table(spark, dir, "events")
+    val mismatches = ev.select(
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("kv"),
+        get_json_object(col("props"), "$.k").cast("long").as("kj"))
+      .filter(!(col("kv") <=> col("kj")))
+      .count()
+    assert(mismatches == 0,
+      "the VARIANT path must extract exactly what the JSON-text path does")
+  }
+
+  test("q193 collation census on a planted mixed-case corpus: UTF8_LCASE " +
+      "collapses case variants, binary keeps them, lower() agrees") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_coll_spec_").toString
+    try {
+      // doc 1 (odd) uppercases to "A B"; doc 2 keeps "a b" -> binary 2,
+      // case-insensitive 1; doc 3/4 add a pair that never collides
+      Seq((1L, "a b"), (2L, "a b"), (3L, "zz"), (4L, "q")).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(s"$root/documents.parquet")
+      val r = graft.queries.ScaleQueries.q193CollatedDedup(spark, root).head()
+      assert(r.getLong(0) == 4)
+      assert(r.getLong(1) == 4, "binary: A B, a b, zz, q all distinct")
+      assert(r.getLong(2) == 3, "UTF8_LCASE: A B == a b")
+      assert(r.getLong(3) == r.getLong(2), "lower() path must agree")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("q194 XML round-trip preserves markup-hostile strings (escaping " +
+      "of <, &, quotes survives writer+reader)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_xml_spec_").toString
+    try {
+      val rows = Seq((1L, "<tag>&amp;\"quoted\""), (2L, "plain"),
+        (3L, "a < b & c > d"))
+      rows.toDF("id", "s").write.format("xml")
+        .option("rowTag", "row").save(s"$root/feed")
+      val back = spark.read.format("xml").option("rowTag", "row")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id LONG, s STRING"))
+        .load(s"$root/feed")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(back.toSeq == rows.sortBy(_._1),
+        "XML escaping must be lossless both directions")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("q195 transformWithState distinct census equals the batch " +
+      "count(DISTINCT) across four forced micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingHourly
+      .transformWithStateDistinct(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.io.Sources.table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
 }
