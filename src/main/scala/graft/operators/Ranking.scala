@@ -13,10 +13,22 @@ import org.apache.spark.sql.functions._
   * and then one executor sorts the corpus. This operator produces the
   * identical numbering with no single-partition stage:
   *
-  *   1. `repartitionByRange` on the sort key — each partition holds one
-  *      contiguous key range, partition index = range order (Spark's
-  *      RangePartitioner samples boundaries with a fixed seed, so the
-  *      assignment is deterministic for fixed input);
+  *   1. `repartitionByRange` on the sort key, MATERIALIZED ONCE by an
+  *      eager `localCheckpoint` — each partition holds one contiguous
+  *      key range, partition index = range order. The checkpoint is
+  *      load-bearing, not an optimization: the range boundaries come
+  *      from a SAMPLING pass whose seed varies per execution, and the
+  *      count job (step 2) and window job (step 3) would otherwise
+  *      each re-execute the exchange and can land rows near range
+  *      borders in DIFFERENT partitions — offsets from one
+  *      partitioning applied to another yields overlapping/duplicated
+  *      global ranks (caught by q197's dense duplicate-heavy sort key;
+  *      q164's sparser keys never tripped it). Materializing pins ONE
+  *      partitioning that every downstream job — including the
+  *      caller's own actions on the returned frame — reads. Cost: one
+  *      write of the shuffled input to local executor storage, the
+  *      honest price of a consistent global rank (the q63/q87
+  *      iterative-loop discipline applied to a two-job operator);
   *   2. ONE metadata-sized aggregation counts rows per partition; the
   *      running offsets (|partitions| longs, collected — bounded by the
   *      partition count, not the data) broadcast back as a join;
@@ -47,12 +59,13 @@ object Ranking {
     val offCol = "__graft_range_off"
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint(true) // pin ONE sampled partitioning (see doc)
     // |partitions|-row aggregate → exclusive-prefix-sum offsets; the
     // collect is bounded by the range count (a config, not the data).
-    // The count job and the window job below each evaluate `ranged`;
-    // the explicit partition count keeps the exchange REPARTITION_BY_NUM
-    // so AQE never re-coalesces it differently between the two jobs and
-    // the pid→range assignment is identical in both.
+    // Both this job and the window job read the CHECKPOINTED blocks —
+    // same rows in the same partitions by construction (the explicit
+    // partition count additionally keeps the exchange
+    // REPARTITION_BY_NUM so AQE cannot re-coalesce it).
     val counts = ranged.groupBy(pidCol).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

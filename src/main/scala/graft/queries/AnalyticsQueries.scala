@@ -1644,7 +1644,104 @@ object AnalyticsQueries {
        GROUP BY p_id, user_id
        ORDER BY p_id"""
 
+  // --- q197: exact equi-depth histogram without a global sort cliff -----
+  /** 8-bucket equi-depth histogram of order totals: bucket boundaries
+    * from the EXACT global rank ([[graft.operators.Ranking
+    * .globalRowNumber]] — range partition + offset join, no
+    * single-partition window), bucket = ⌊(rank−1)·8 / n⌋. Unlike
+    * `ntile` (whose remainder-distribution rule would also have to be
+    * replicated in the oracle), the floor formula is one integer
+    * expression both engines share. Per bucket: population, min/max
+    * cents — the stats-collection histogram a cost-based optimizer
+    * feeds on, exact at any scale because no task ever sees more than
+    * one range. */
+  def q197EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val n = o.count()
+    graft.operators.Ranking
+      .globalRowNumber(o, Seq(col("cents"), col("o_orderkey")))
+      // `div` (integer division) on BOTH sides: plain `/` is float
+      // division in both engines, and DuckDB's double→int CAST rounds
+      // where Spark's truncates — the one-ulp trap at bucket borders
+      .select(col("cents"),
+        expr(s"CAST((rn - 1) * 8 div ${n}L AS INT)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("cents").as("cents_min"), max("cents").as("cents_max"))
+      .orderBy("bucket")
+  }
+
+  val q197Sql: String =
+    """WITH r AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                row_number() OVER (
+                  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                           o_orderkey) AS rn,
+                count(*) OVER () AS n
+         FROM orders)
+       SELECT CAST((rn - 1) * 8 // n AS INTEGER) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              min(cents) AS cents_min, max(cents) AS cents_max
+       FROM r GROUP BY 1 ORDER BY 1"""
+
+  // --- q199: seasonal profile + worst in-season anomaly -----------------
+  /** Hour-of-day seasonality of the event stream with the largest
+    * in-season deviation — the monitoring readout behind "is tonight's
+    * traffic weird for 3 AM": per hour-of-day, the cents-exact seasonal
+    * mean and the maximum absolute residual. The residual max stays
+    * EXACT until one division: |c − Σ/n| = |c·n − Σ| / n, and
+    * max(|c·n − Σ|) is integer arithmetic (DECIMAL(38,0) — c·n reaches
+    * 10¹⁸ long before the corpus is big). One aggregation for the
+    * moments, one broadcast-join back for the residual pass — the
+    * two-pass shape any exact per-group anomaly score needs (a one-pass
+    * form would need the mean before it finishes computing it). */
+  def q199SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(hour(col("ts")).as("hod"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val m = ev.groupBy("hod").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("c").cast(dec)).as("sc"))
+    ev.join(broadcast(m), Seq("hod"))
+      .select(col("hod"), col("n"), col("sc"),
+        abs(col("c").cast(dec) * col("n") - col("sc")).as("dev"))
+      .groupBy("hod")
+      .agg(max(col("n")).as("n"), max(col("sc")).as("sc"),
+        max(col("dev")).as("maxdev"))
+      .select(col("hod"), col("n").cast("long").as("n_events"),
+        (col("sc").cast("double") / col("n").cast("double"))
+          .as("mean_cents"),
+        (col("maxdev").cast("double") / col("n").cast("double"))
+          .as("max_abs_residual"))
+      .orderBy("hod")
+  }
+
+  val q199Sql: String =
+    """WITH ev AS (
+         SELECT hour(ts) AS hod,
+                CAST(round(value * 100) AS BIGINT) AS c
+         FROM events WHERE value IS NOT NULL),
+       m AS (
+         SELECT hod, CAST(count(*) AS HUGEINT) AS n,
+                sum(CAST(c AS HUGEINT)) AS sc
+         FROM ev GROUP BY 1),
+       d AS (
+         SELECT ev.hod, m.n, m.sc,
+                abs(CAST(ev.c AS HUGEINT) * m.n - m.sc) AS dev
+         FROM ev JOIN m ON ev.hod = m.hod)
+       SELECT hod, CAST(max(n) AS BIGINT) AS n_events,
+              CAST(max(sc) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                AS mean_cents,
+              CAST(max(dev) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                AS max_abs_residual
+       FROM d GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q197_equidepth_hist" -> q197EquidepthHist _,
+    "q199_seasonal_anomaly" -> q199SeasonalAnomaly _,
     "q175_multi_touch" -> q175MultiTouch _,
     "q173_star_components" -> q173StarComponents _,
     "q39_table_profile" -> q39TableProfile _,
@@ -1681,6 +1778,8 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_equidepth_hist" -> q197Sql,
+    "q199_seasonal_anomaly" -> q199Sql,
     "q39_table_profile" -> q39Sql,
     "q59_cube_delays" -> q59Sql,
     "q60_hash_sample" -> q60Sql,

@@ -365,6 +365,144 @@ object MaintenanceQueries {
               TRUE AS est_ok
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // --- q196: theta-sketch set algebra -----------------------------------
+  /** Mergeable THETA sketches (DataSketches, the set-algebra tier above
+    * q161's HLL — HLL only unions; theta also intersects and subtracts):
+    * two order-key populations sketched independently, then
+    * |A∩B|, |A∪B|, |A∖B| estimated from the two fixed-size sketches
+    * alone — the metadata-only way to answer "how many keys would this
+    * join match" before running it at 100 TB. lgK = 16 keeps both
+    * sketches in exact mode at every probed SF, and the q161 oracle
+    * discipline pins exact counts plus an est-within-bound boolean
+    * (TRUE literal on the DuckDB side — the estimate itself is not
+    * cross-engine portable, the BOUND is). */
+  def q196ThetaSketches(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey")
+    val a = orders.filter(col("o_orderkey") % 3 === 0)
+    val b = orders.filter(col("o_orderkey") % 5 === 0)
+    val ska = a.agg(expr("theta_sketch_agg(o_orderkey, 16)").as("ska"))
+    val skb = b.agg(expr("theta_sketch_agg(o_orderkey, 16)").as("skb"))
+    val est = ska.crossJoin(skb).select(
+      expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+        .as("est_inter"),
+      expr("theta_sketch_estimate(theta_union(ska, skb))").as("est_union"),
+      expr("theta_sketch_estimate(theta_difference(ska, skb))")
+        .as("est_diff"))
+    val exact = orders.agg(
+      sum(when(col("o_orderkey") % 15 === 0, 1L).otherwise(0L))
+        .cast("long").as("n_inter"),
+      sum(when(col("o_orderkey") % 3 === 0 ||
+        col("o_orderkey") % 5 === 0, 1L).otherwise(0L)).cast("long")
+        .as("n_union"),
+      sum(when(col("o_orderkey") % 3 === 0 &&
+        col("o_orderkey") % 5 =!= 0, 1L).otherwise(0L)).cast("long")
+        .as("n_diff"))
+    exact.crossJoin(est).select(
+      col("n_inter"), col("n_union"), col("n_diff"),
+      (abs(col("est_inter") - col("n_inter")) <=
+        col("n_inter").cast("double") * 0.1).as("inter_ok"),
+      (abs(col("est_union") - col("n_union")) <=
+        col("n_union").cast("double") * 0.1).as("union_ok"),
+      (abs(col("est_diff") - col("n_diff")) <=
+        col("n_diff").cast("double") * 0.1).as("diff_ok"))
+  }
+
+  val q196Sql: String =
+    """SELECT CAST(sum(CASE WHEN o_orderkey % 15 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inter,
+              CAST(sum(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+              CAST(sum(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+              TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+       FROM orders"""
+
+  // --- q198: CDC net-effect compaction ----------------------------------
+  /** Two consecutive days of CDC feeds (q120's snapshot-diff producer,
+    * run day0→day1 and day1→day2) compacted to their NET effect per
+    * key: I then D cancels, I then U nets to I with the final value,
+    * U then U nets to one U, D then I nets to U. The correctness
+    * statement is algebraic and the oracle IS it: net(feed(s0,s1),
+    * feed(s1,s2)) ≡ feed(s0,s2) — sequential-feed compaction equals the
+    * single diff. This is the compaction a downstream consumer applies
+    * before replaying a day of CDC into a 100 TB sink: |net| ≤ |Δ| keys
+    * rewrite instead of every intermediate churn.
+    *
+    * Shape: the two feeds union (each |changes|-sized), one per-key
+    * aggregation takes the FIRST old state and LAST new state
+    * (min/max over (day, …) structs — no window), and the net op is a
+    * CASE over their nullness. */
+  def q198CdcNetEffect(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def snap(modDrop: Int, modUp: Int, bump: Double): DataFrame =
+      orders.filter(col("o_orderkey") % modDrop =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % modUp === 0,
+            col("o_totalprice") + bump)
+            .otherwise(col("o_totalprice")))
+    val s0 = snap(7, 1000000007, 0.0) // no reprice on day 0
+    val s1 = snap(11, 5, 10.0)
+    val s2 = snap(13, 4, 25.0)
+    def feed(o: DataFrame, n: DataFrame, day: Int): DataFrame =
+      SnapshotDiff.changeFeed(o, n, Seq("o_orderkey"))
+        .select(col("o_orderkey"), lit(day).as("day"),
+          col("old_o_totalprice").as("p_old"),
+          col("new_o_totalprice").as("p_new"),
+          col("op"))
+    val feeds = feed(s0, s1, 1).unionAll(feed(s1, s2, 2))
+    // first day's OLD state and last day's NEW state per key; `op`
+    // rides along so nullable payloads can't fake existence: a feed
+    // row's side exists iff its op says so (I has no old, D has no new)
+    val net = feeds
+      .groupBy("o_orderkey")
+      .agg(
+        min(struct(col("day"), col("op"), col("p_old"))).as("first"),
+        max(struct(col("day"), col("op"), col("p_new"))).as("last"))
+      .select(col("o_orderkey"),
+        when(col("first.op") === "I", lit(null).cast("double"))
+          .otherwise(col("first.p_old")).as("price_old"),
+        when(col("last.op") === "D", lit(null).cast("double"))
+          .otherwise(col("last.p_new")).as("price_new"),
+        (col("first.op") =!= "I").as("existed"),
+        (col("last.op") =!= "D").as("exists_now"))
+      .select(col("o_orderkey"),
+        when(!col("existed") && col("exists_now"), "I")
+          .when(col("existed") && !col("exists_now"), "D")
+          .when(col("existed") && col("exists_now"), "U")
+          .otherwise("X").as("op"),
+        when(col("existed"), col("price_old")).as("price_old"),
+        when(col("exists_now"), col("price_new")).as("price_new"))
+      // X = I-then-D churn that nets to nothing; U that nets to the
+      // same value (can't happen with these bumps, but the guard is
+      // semantic, not data-dependent) also drops
+      .filter(col("op") =!= "X")
+      .filter(!(col("op") === "U" &&
+        col("price_old") <=> col("price_new")))
+      .orderBy("o_orderkey")
+    net
+  }
+
+  val q198Sql: String =
+    """WITH s0 AS (
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 7 <> 0),
+       s2 AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 25.0
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey % 13 <> 0)
+       SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                   WHEN n.o_orderkey IS NULL THEN 'D'
+                   ELSE 'U' END AS op,
+              o.o_totalprice AS price_old,
+              n.o_totalprice AS price_new
+       FROM s0 o FULL OUTER JOIN s2 n ON o.o_orderkey = n.o_orderkey
+       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+       ORDER BY o_orderkey"""
+
   val all: Map[String, Q] = Map(
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
@@ -373,6 +511,8 @@ object MaintenanceQueries {
     "q124_frequent_tokens" -> q124FrequentTokens _,
     "q161_hll_incremental" -> q161HllIncremental _,
     "q162_bloom_index" -> q162BloomIndex _,
+    "q196_theta_sketches" -> q196ThetaSketches _,
+    "q198_cdc_net_effect" -> q198CdcNetEffect _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -383,5 +523,7 @@ object MaintenanceQueries {
     "q124_frequent_tokens" -> q124Sql,
     "q161_hll_incremental" -> q161Sql,
     "q162_bloom_index" -> q162Sql,
+    "q196_theta_sketches" -> q196Sql,
+    "q198_cdc_net_effect" -> q198Sql,
   )
 }

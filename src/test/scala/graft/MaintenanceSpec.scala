@@ -196,4 +196,89 @@ class MaintenanceSpec extends SparkSpec {
     // applyCdc compacts the FEED: I/U rows survive, D rows vanish
     assert(applied == Seq((1L, 11.0), (3L, 33.0)))
   }
+
+  test("q196 theta sketches: every estimate lands inside the pinned " +
+      "bound and the exact counts obey inclusion-exclusion") {
+    val r = graft.queries.MaintenanceQueries
+      .q196ThetaSketches(spark, "/root/testdata/sf0.001").head()
+    val (inter, union, diff) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+      "lgK=16 keeps the sketches exact-mode at this SF")
+    // |A| = |A\\B| + |A∩B|; |A∪B| = |A| + |B| − |A∩B|
+    val orders = graft.io.Sources
+      .table(spark, "/root/testdata/sf0.001", "orders")
+    val a = orders.filter(col("o_orderkey") % 3 === 0).count()
+    val b = orders.filter(col("o_orderkey") % 5 === 0).count()
+    assert(diff + inter == a)
+    assert(union == a + b - inter)
+  }
+
+  test("q197 equi-depth histogram: 8 buckets within one row of each " +
+      "other, ranges non-overlapping, population complete") {
+    val rows = graft.queries.AnalyticsQueries
+      .q197EquidepthHist(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"equi-depth: ${sizes.toSeq}")
+    val total = graft.io.Sources
+      .table(spark, "/root/testdata/sf0.001", "orders").count()
+    assert(sizes.sum == total)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(3) <= hi.getLong(2),
+        "bucket value ranges must not overlap")
+    case _ => ()
+    }
+  }
+
+  test("q198 CDC net effect: compacting two sequential feeds equals the " +
+      "single day0->day2 diff, and every op class is exercised") {
+    val dir = "/root/testdata/sf0.001"
+    val net = graft.queries.MaintenanceQueries
+      .q198CdcNetEffect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val ops = net.map(_._2).toSet
+    assert(ops == Set("I", "U", "D"),
+      s"the mod arithmetic must exercise all three op classes: $ops")
+    // engine-internal parity: recompute the one-shot diff with the
+    // same operator the feeds came from
+    val orders = graft.io.Sources.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val s0 = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val s2 = orders.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 25.0)
+          .otherwise(col("o_totalprice")))
+    val direct = graft.operators.SnapshotDiff
+      .changeFeed(s0, s2, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"),
+        col("old_o_totalprice"), col("new_o_totalprice"))
+      .orderBy("o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(net == direct,
+      "net(feed(s0,s1), feed(s1,s2)) must equal feed(s0,s2) exactly")
+  }
+
+  test("q199 seasonal anomaly: one hour-of-day recomputed directly " +
+      "matches the two-pass exact-moment form") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.AnalyticsQueries
+      .q199SeasonalAnomaly(spark, dir).collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(3) >= 0.0))
+    val h0 = out.head
+    val cs = graft.io.Sources.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .filter(hour(col("ts")) === h0.getInt(0))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0))
+    val n = cs.length.toLong
+    assert(h0.getLong(1) == n)
+    val sc = cs.map(BigInt(_)).sum
+    val maxdev = cs.map(c => (BigInt(c) * n - sc).abs).max
+    assert(h0.getDouble(2) == sc.toDouble / n.toDouble)
+    assert(h0.getDouble(3) == maxdev.toDouble / n.toDouble)
+  }
 }
