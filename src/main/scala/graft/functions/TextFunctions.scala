@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  private def countMatches(text: Column, pattern: String): Column =
+  private[graft] def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
   // --- language ID (n-gram / marker-word heuristic) --------------------

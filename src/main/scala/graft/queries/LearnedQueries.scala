@@ -1125,6 +1125,301 @@ object LearnedQueries {
        FROM u GROUP BY 1, 2
        ORDER BY weight DESC, w1, w2 LIMIT 20"""
 
+  // --- q200: sparse TF cosine similarity (inverted-index join) ----------
+  /** Document similarity WITHOUT embeddings: cosine over sparse term-
+    * count vectors, computed through an inverted-index self-join — the
+    * sparse complement to the dense vector family (q29/q55). Terms with
+    * df > |D|/2 are dropped from the vector space first (the capped-
+    * postings discipline of q26/q129: a stop-word's df² pair fan-out is
+    * the quadratic term, and it carries no discriminative signal); the
+    * pruned space is the DEFINITION of the vectors here, mirrored in
+    * the oracle, so the similarity is exact over that space. Dot
+    * products and norms stay integers; cosine is the vector family's
+    * one fixed-order IEEE expression. Top-10 pairs.
+    *
+    * Scale shape: Σ_t df_t² partial products with df capped — never
+    * |D|²; the per-pair reduce has map-side partial aggregation. */
+  def q200SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val tc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val nDocs = tc.select("doc_id").distinct().count()
+    val kept = tc.join(
+      broadcast(tc.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(nDocs / 2)).select("tok")),
+      Seq("tok"))
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = kept.select(col("tok"), col("doc_id").as("d1"),
+        col("c").as("c1"))
+      .join(kept.select(col("tok"), col("doc_id").as("d2"),
+        col("c").as("c2")), Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("n2").as("n2a")),
+        Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("n2").as("n2b")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) *
+            sqrt(col("n2b").cast("double")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("d1"), col("d2"))
+      .limit(10)
+  }
+
+  val q200Sql: String =
+    """WITH tc AS (
+         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       nd AS (SELECT count(DISTINCT doc_id) AS n FROM tc),
+       keep AS (
+         SELECT tok FROM tc CROSS JOIN nd
+         GROUP BY tok, nd.n HAVING count(*) <= n // 2),
+       k AS (SELECT tc.* FROM tc JOIN keep USING (tok)),
+       norms AS (
+         SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+         FROM k GROUP BY 1),
+       dots AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         FROM k a JOIN k b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d1, d2,
+              CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                AS cosine
+       FROM dots
+       JOIN norms na ON na.doc_id = d1
+       JOIN norms nb ON nb.doc_id = d2
+       ORDER BY cosine DESC, d1, d2 LIMIT 10"""
+
+  // --- q201: MinHash estimator calibration ------------------------------
+  /** Closes the eval loop on the dedup estimators: for every LSH-banded
+    * candidate pair (q27's pipeline, 16 perms × 4-row bands over the
+    * planted near-dup corpus), the signature-estimated Jaccard NEXT TO
+    * the exact shingle-set Jaccard and the absolute error — both sides
+    * deterministic (the estimate is a pure function of the md5-derived
+    * permutations both engines replicate), so the whole calibration
+    * table hash-matches, not just a bound. Exact Jaccard = |∩|/|∪| of
+    * the 60-bit shingle-hash sets, ONE division.
+    *
+    * Scale shape: candidates come from banding (never all-pairs); the
+    * exact-verify join touches only candidate pairs' postings — the
+    * same candidate-then-verify shape as q55. */
+  def q201MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = PipelineQueries.nearDupCorpus(t(s, dir, "documents"))
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+      n = 3, numPerm = 16, rowsPerBand = 4)
+    val sh = Dedup.docShingles(corpus, "doc_id", "text", 3).distinct()
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("sid").as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col("sid").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.select(col("sid").as("id_a"), col("sz").as("sza")),
+        Seq("id_a"))
+      .join(sizes.select(col("sid").as("id_b"), col("sz").as("szb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        (coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("sza") + col("szb") - coalesce(col("ni"), lit(0L)))
+            .cast("double")).as("exact_jaccard"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("exact_jaccard"),
+        abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q201Sql: String = {
+    val corpusSql =
+      """SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id,
+                substr(text, instr(text, ' ') + 1) AS text FROM documents"""
+    s"""WITH corpus AS ($corpusSql),
+       toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       sh AS (
+         SELECT DISTINCT doc_id AS sid,
+                unnest([('0x' ||
+                         substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                        )::BIGINT
+                        for i in range(1, len(tk) - 1)]) AS h
+         FROM toks WHERE len(tk) >= 3),
+       perms AS (SELECT unnest(range(0, 16)) AS perm),
+       sig AS (
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
+         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
+         FROM sig GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM band x
+         JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+                    AND x.sid < y.sid),
+       est AS (
+         SELECT id_a, id_b,
+                CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 AS est_jaccard
+         FROM cand
+         JOIN sig sa ON sa.sid = id_a
+         JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
+         GROUP BY 1, 2),
+       sizes AS (SELECT sid, CAST(count(*) AS BIGINT) AS sz
+                 FROM sh GROUP BY 1),
+       inter AS (
+         SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+         FROM cand c
+         JOIN sh a ON a.sid = c.id_a
+         JOIN sh b ON b.sid = c.id_b AND b.h = a.h
+         GROUP BY 1, 2)
+       SELECT e.id_a, e.id_b, e.est_jaccard,
+              CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                CAST(sa.sz + sb.sz - coalesce(i.ni, 0) AS DOUBLE)
+                AS exact_jaccard,
+              abs(e.est_jaccard -
+                  CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                  CAST(sa.sz + sb.sz - coalesce(i.ni, 0) AS DOUBLE))
+                AS abs_err
+       FROM est e
+       LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+       JOIN sizes sa ON sa.sid = e.id_a
+       JOIN sizes sb ON sb.sid = e.id_b
+       ORDER BY e.id_a, e.id_b"""
+  }
+
+  // --- q202: character-class script-mix census --------------------------
+  /** Corpus-level script/character-class composition per language label
+    * — the mixed-script/obfuscation signal a pretraining filter reads
+    * (unexpected digit or punctuation density, CJK bleed into a Latin
+    * slice). Per lang: exact integer totals of latin / digit /
+    * whitespace / CJK / other characters and each class's fraction of
+    * the total (single divisions). One regex-count pass, one
+    * |langs|-row aggregation — zero joins. */
+  def q202ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    def cls(re: String): Column =
+      graft.functions.TextFunctions.countMatches(col("text"), re)
+    val per = t(s, dir, "documents").select(col("lang"),
+      length(col("text")).as("total"),
+      cls("[A-Za-z]").as("latin"),
+      cls("[0-9]").as("digit"),
+      cls("\\s").as("ws"),
+      cls("[\\x{4e00}-\\x{9fff}]").as("cjk"))
+    per.groupBy("lang")
+      .agg(sum("total").as("n_chars"), sum("latin").as("latin"),
+        sum("digit").as("digit"), sum("ws").as("ws"),
+        sum("cjk").as("cjk"))
+      .select(col("lang"), col("n_chars"),
+        (col("latin").cast("double") / col("n_chars").cast("double"))
+          .as("latin_frac"),
+        (col("digit").cast("double") / col("n_chars").cast("double"))
+          .as("digit_frac"),
+        (col("ws").cast("double") / col("n_chars").cast("double"))
+          .as("ws_frac"),
+        (col("cjk").cast("double") / col("n_chars").cast("double"))
+          .as("cjk_frac"))
+      .orderBy("lang")
+  }
+
+  val q202Sql: String =
+    """WITH per AS (
+         SELECT lang, CAST(length(text) AS BIGINT) AS total,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+                  AS latin,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                  AS digit,
+                CAST(len(regexp_extract_all(text, '\s')) AS BIGINT)
+                  AS ws,
+                CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                  AS BIGINT) AS cjk
+         FROM documents),
+       g AS (
+         SELECT lang, CAST(sum(total) AS BIGINT) AS n_chars,
+                CAST(sum(latin) AS BIGINT) AS latin,
+                CAST(sum(digit) AS BIGINT) AS digit,
+                CAST(sum(ws) AS BIGINT) AS ws,
+                CAST(sum(cjk) AS BIGINT) AS cjk
+         FROM per GROUP BY 1)
+       SELECT lang, n_chars,
+              CAST(latin AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                AS latin_frac,
+              CAST(digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                AS digit_frac,
+              CAST(ws AS DOUBLE) / CAST(n_chars AS DOUBLE) AS ws_frac,
+              CAST(cjk AS DOUBLE) / CAST(n_chars AS DOUBLE) AS cjk_frac
+       FROM g ORDER BY lang"""
+
+  // --- q203: time-weighted average (TWAP) -------------------------------
+  /** Per-user time-weighted average event value — the metric that is
+    * CORRECT for irregularly-sampled series where the plain mean
+    * over-weights bursts (the finance TWAP / monitoring
+    * time-in-state readout). Each event's value holds until the user's
+    * next event; weights are exact integer microsecond gaps, the
+    * accumulator is DECIMAL(38,0) (cents × µs reaches 10¹⁸ fast), and
+    * the average is ONE division. Users with a single event (no
+    * duration) guard to NULL on both sides. One window (lead) + one
+    * aggregation. */
+  def q203Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("user_id"), col("c").cast(dec).as("c"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .cast(dec).as("dt"))
+    ev.groupBy("user_id")
+      .agg(sum(col("c") * col("dt")).as("num"), sum(col("dt")).as("den"),
+        count(lit(1)).cast("long").as("n_intervals"))
+      .select(col("user_id"), col("n_intervals"),
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double"))
+          .as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  val q203Sql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id,
+                CAST(round(value * 100) AS BIGINT) AS c,
+                lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_ts
+         FROM events WHERE value IS NOT NULL),
+       iv AS (
+         SELECT user_id, CAST(c AS HUGEINT) AS c,
+                CAST(epoch_us(next_ts) - epoch_us(ts) AS HUGEINT) AS dt
+         FROM ev WHERE next_ts IS NOT NULL),
+       g AS (
+         SELECT user_id, sum(c * dt) AS num, sum(dt) AS den,
+                CAST(count(*) AS BIGINT) AS n_intervals
+         FROM iv GROUP BY 1)
+       SELECT user_id, n_intervals,
+              CASE WHEN den > 0 THEN
+                CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+                AS twap_cents
+       FROM g ORDER BY user_id"""
+
   val all: Map[String, Q] = Map(
     "q176_rrf_fusion" -> q176RrfFusion _,
     "q177_gd_training" -> q177GdTraining _,
@@ -1139,6 +1434,10 @@ object LearnedQueries {
     "q189_embedding_drift" -> q189EmbeddingDrift _,
     "q190_langid_eval" -> q190LangidEval _,
     "q191_cooccurrence" -> q191Cooccurrence _,
+    "q200_sparse_cosine" -> q200SparseCosine _,
+    "q201_minhash_calibration" -> q201MinhashCalibration _,
+    "q202_script_mix" -> q202ScriptMix _,
+    "q203_twap" -> q203Twap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1155,5 +1454,9 @@ object LearnedQueries {
     "q189_embedding_drift" -> q189Sql,
     "q190_langid_eval" -> q190Sql,
     "q191_cooccurrence" -> q191Sql,
+    "q200_sparse_cosine" -> q200Sql,
+    "q201_minhash_calibration" -> q201Sql,
+    "q202_script_mix" -> q202Sql,
+    "q203_twap" -> q203Sql,
   )
 }

@@ -23,7 +23,7 @@ object PipelineQueries {
   /** documents ∪ perturbed copies (first token dropped, doc_id + 1000000):
     * guarantees the near-dup detectors have true positives to find at any
     * scale factor, with the same construction mirrored in the oracle. */
-  private def nearDupCorpus(docs: DataFrame): DataFrame =
+  private[queries] def nearDupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionByName(
       docs.select((col("doc_id") + 1000000).as("doc_id"),
         expr("substr(text, instr(text, ' ') + 1)").as("text")))

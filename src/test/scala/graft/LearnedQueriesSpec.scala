@@ -369,6 +369,89 @@ class LearnedQueriesSpec extends SparkSpec {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  test("q200 sparse cosine on a planted corpus: stop-terms (df > n/2) " +
+      "leave the vector space, the surviving pair scores exactly 0.8") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_sparse_spec_").toString
+    try {
+      // x,y live in 2 of 4 docs (df = 2 = n/2, kept); "the" in all 4
+      // (df 4 > 2, dropped); d1=(x:2,y:1), d2=(x:1,y:2) -> cos = 4/5
+      Seq((1L, "the x x y"), (2L, "the x y y"), (3L, "the zz"),
+          (4L, "the qq ww"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("t").as("source"), length(col("text")).cast("long")
+            .as("n_chars"))
+        .write.parquet(s"$root/documents.parquet")
+      val out = LearnedQueries.q200SparseCosine(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // 4 / (√5·√5) — the query's own IEEE expression, NOT 4/5: the
+      // sqrt product lands one ulp above 5.0
+      val expected = 4.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+      assert(out.head == (1L, 2L, expected),
+        s"top pair must be (1,2) at ~0.8: ${out.toSeq}")
+      assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+        "doc 3 shares only the dropped stop-term — no pair")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("q201 MinHash calibration: error column is exactly |est - exact|, " +
+      "estimates are sixteenths, and the planted tail-shift duplicates " +
+      "surface with high exact Jaccard") {
+    val out = LearnedQueries.q201MinhashCalibration(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (est, exact, err) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(est >= 0.0 && est <= 1.0 &&
+        (est * 16).isWhole, s"est must be a sixteenth: $est")
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(err == math.abs(est - exact))
+    }
+    val planted = out.filter(r =>
+      r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.nonEmpty && planted.forall(_.getDouble(3) > 0.5),
+      "a doc and its tail-shifted copy must pair with exact J > 0.5")
+  }
+
+  test("q202 script mix: per-language class fractions are bounded and " +
+      "character totals match a direct recount") {
+    val out = LearnedQueries.q202ScriptMix(spark, dir).collect()
+    assert(out.nonEmpty)
+    val direct = graft.io.Sources.table(spark, dir, "documents")
+      .groupBy("lang").agg(sum(length(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == direct(r.getString(0)))
+      val fr = (2 to 5).map(r.getDouble)
+      assert(fr.forall(f => f >= 0.0 && f <= 1.0))
+      assert(fr.sum <= 1.0 + 1e-9,
+        "latin/digit/ws/cjk are disjoint classes — fractions can't " +
+          "exceed 1")
+    }
+  }
+
+  test("q203 TWAP: one user recomputed directly (BigInt over exact " +
+      "microsecond gaps) matches the distributed form") {
+    val out = LearnedQueries.q203Twap(spark, dir).collect()
+    assert(out.nonEmpty)
+    val u = out.head.getLong(0)
+    val rows = graft.io.Sources.table(spark, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") === u)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    val ivs = rows.zip(rows.tail)
+      .map { case ((t0, _, c), (t1, _, _)) => (BigInt(c), BigInt(t1 - t0)) }
+    val num = ivs.map { case (c, dt) => c * dt }.sum
+    val den = ivs.map(_._2).sum
+    assert(out.head.getLong(1) == ivs.length)
+    assert(out.head.getDouble(2) ==
+      num.toDouble / den.toDouble)
+  }
+
   test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
       "merge of the argmax pair, merged tokens join round 2 as atoms") {
     import spark.implicits._
