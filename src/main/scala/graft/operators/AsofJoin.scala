@@ -71,4 +71,44 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of join: for each left row, the single EARLIEST right
+    * row with `rightTs >= leftTs` on the same key — the
+    * "next event after" alignment (order → next shipment, click → next
+    * purchase, alert → next resolution). Exactly [[asofBackward]]'s
+    * union-and-window formulation with the time axis reversed: one
+    * shuffle of &#124;L&#124;+&#124;R&#124; rows, one descending per-key
+    * scan carrying the last-seen (= time-minimal ≥) right row. A right
+    * row at exactly `leftTs` IS visible (>=). Same determinism
+    * contract: right rows unique per (key, ts). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val reserved = Set("__ts", "__side", "__r", "__m")
+    val collisions = (left.columns ++ right.columns).filter(reserved).distinct
+    require(collisions.isEmpty,
+      s"asofForward: input columns ${collisions.mkString(", ")} collide " +
+        "with reserved internal names __ts/__side/__r/__m — rename them")
+    val leftCols = left.columns.toSeq
+    val r = right
+      .select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__r"))
+    val rType = r.schema("__r").dataType
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(rType))
+    // DESCENDING time: right rows (side 0) still sort before left rows
+    // at equal ts, so an exactly-simultaneous right row is matched (>=)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select(Seq(col(key), col("__ts"), col("__side"), col("__r")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
 }

@@ -1739,7 +1739,136 @@ object AnalyticsQueries {
                 AS max_abs_residual
        FROM d GROUP BY 1 ORDER BY 1"""
 
+  // --- q204: backfill planner -------------------------------------------
+  /** The Airflow-catchup replacement as ONE query: given a sink whose
+    * ingest skipped some runs (simulated deterministically: the 03:00
+    * and 07:00 hourly runs never landed), emit the exact hour
+    * partitions a backfill must re-run — the dense hourly calendar
+    * (generated from one min/max aggregation, the q171 grid discipline
+    * — never a stored calendar table) anti-joined against the distinct
+    * hours present. The reference needs a scheduler with
+    * `catchup=True` state for this; here it is derivable from the sink
+    * itself at any scale (the calendar is &#124;hours&#124;-sized
+    * metadata, the distinct-hours aggregation is one shuffle of hour
+    * keys). */
+  def q204BackfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"))
+    val ingested = ev.filter(!hour(col("h")).isin(3, 7))
+      .select("h").distinct()
+    val grid = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    grid.join(ingested, Seq("h"), "left_anti")
+      .select(col("h").as("missing_hour"))
+      .orderBy("missing_hour")
+  }
+
+  val q204Sql: String =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h FROM events),
+       ingested AS (
+         SELECT DISTINCT h FROM ev WHERE hour(h) NOT IN (3, 7)),
+       grid AS (
+         SELECT unnest(generate_series(min(h), max(h),
+           INTERVAL 1 HOUR)) AS h
+         FROM ev)
+       SELECT g.h AS missing_hour
+       FROM grid g LEFT JOIN ingested i ON g.h = i.h
+       WHERE i.h IS NULL
+       ORDER BY 1"""
+
+  // --- q205: FORWARD as-of join (next event after) -----------------------
+  /** Every click aligned to the user's NEXT purchase at-or-after it
+    * ([[graft.operators.AsofJoin.asofForward]]) — time-to-convert
+    * measurement, the mirror of q54's backward trades↔quotes form.
+    * Same one-shuffle union-and-window shape, descending scan; the
+    * oracle is DuckDB's native ASOF with the inequality reversed.
+    * Purchases made unique per (user, ts) by max event_id — the
+    * determinism contract both engines share. */
+  def q205AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "p_ts").orderBy(col("p_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    graft.operators.AsofJoin.asofForward(clicks, purchases, "user_id",
+        leftTs = "click_ts", rightTs = "p_ts",
+        valueCols = Seq("p_id", "p_ts"))
+      .select(col("event_id"), col("user_id"), col("click_ts"),
+        col("p_id").as("next_purchase_id"),
+        col("p_ts").as("next_purchase_ts"))
+      .orderBy("event_id")
+  }
+
+  val q205Sql: String =
+    """WITH c AS (
+         SELECT event_id, user_id, ts AS click_ts
+         FROM events WHERE event_type = 'click'),
+       p AS (
+         SELECT user_id, ts AS p_ts, event_id AS p_id
+         FROM events WHERE event_type = 'purchase'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY event_id DESC) = 1)
+       SELECT c.event_id, c.user_id, c.click_ts,
+              p.p_id AS next_purchase_id, p.p_ts AS next_purchase_ts
+       FROM c ASOF LEFT JOIN p
+         ON c.user_id = p.user_id AND c.click_ts <= p.p_ts
+       ORDER BY c.event_id"""
+
+  // --- q206: top user journeys (first-3 event-type paths) ----------------
+  /** Product-analytics path census: each user's journey = their first
+    * three event types in (ts, event_id) order, corpus-wide top-10
+    * journeys by population. One window bounded by WindowGroupLimit
+    * (rank ≤ 3 — the per-key scan stops at 3), one conditional-pivot
+    * aggregation per user, one count shuffle over &#124;distinct
+    * journeys&#124; strings. Users with fewer than 3 events keep a
+    * shorter path (concat_ws skips the missing steps, identically in
+    * both engines). */
+  def q206TopJourneys(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val first3 = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    first3.groupBy("user_id")
+      .agg(concat_ws(">",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("journey"))
+      .groupBy("journey").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(10)
+  }
+
+  val q206Sql: String =
+    """WITH f AS (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+         FROM events QUALIFY rn <= 3),
+       j AS (
+         SELECT user_id,
+                concat_ws('>',
+                  max(CASE WHEN rn = 1 THEN event_type END),
+                  max(CASE WHEN rn = 2 THEN event_type END),
+                  max(CASE WHEN rn = 3 THEN event_type END)) AS journey
+         FROM f GROUP BY 1)
+       SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+       FROM j GROUP BY 1
+       ORDER BY n_users DESC, journey LIMIT 10"""
+
   val all: Map[String, Q] = Map(
+    "q204_backfill_plan" -> q204BackfillPlan _,
+    "q205_asof_forward" -> q205AsofForward _,
+    "q206_top_journeys" -> q206TopJourneys _,
     "q197_equidepth_hist" -> q197EquidepthHist _,
     "q199_seasonal_anomaly" -> q199SeasonalAnomaly _,
     "q175_multi_touch" -> q175MultiTouch _,
@@ -1778,6 +1907,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_backfill_plan" -> q204Sql,
+    "q205_asof_forward" -> q205Sql,
+    "q206_top_journeys" -> q206Sql,
     "q197_equidepth_hist" -> q197Sql,
     "q199_seasonal_anomaly" -> q199Sql,
     "q39_table_profile" -> q39Sql,

@@ -1129,9 +1129,15 @@ object LearnedQueries {
   /** Document similarity WITHOUT embeddings: cosine over sparse term-
     * count vectors, computed through an inverted-index self-join — the
     * sparse complement to the dense vector family (q29/q55). Terms with
-    * df > |D|/2 are dropped from the vector space first (the capped-
-    * postings discipline of q26/q129: a stop-word's df² pair fan-out is
-    * the quadratic term, and it carries no discriminative signal); the
+    * df > min(|D|/2, 1000) are dropped from the vector space first (the
+    * capped-postings discipline of q26/q129: a stop-word's df² pair
+    * fan-out is the quadratic term, and it carries no discriminative
+    * signal). BOTH bounds are load-bearing: |D|/2 drops stop-words at
+    * small corpora, and the ABSOLUTE cap is what bounds Σdf² when the
+    * corpus grows against a fixed vocabulary — with only the fractional
+    * cap, df grows ∝ |D| and the fan-out ∝ |D|² (the first sf1 probe of
+    * this query ran half an hour before being killed; capped, the
+    * fan-out is ≤ vocab·cap², corpus-size-independent). The
     * pruned space is the DEFINITION of the vectors here, mirrored in
     * the oracle, so the similarity is exact over that space. Dot
     * products and norms stay integers; cosine is the vector family's
@@ -1146,7 +1152,8 @@ object LearnedQueries {
     val nDocs = tc.select("doc_id").distinct().count()
     val kept = tc.join(
       broadcast(tc.groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= lit(nDocs / 2)).select("tok")),
+        .filter(col("df") <= least(lit(nDocs / 2), lit(1000L)))
+        .select("tok")),
       Seq("tok"))
     val norms = kept.groupBy("doc_id")
       .agg(sum(col("c") * col("c")).as("n2"))
@@ -1179,7 +1186,8 @@ object LearnedQueries {
        nd AS (SELECT count(DISTINCT doc_id) AS n FROM tc),
        keep AS (
          SELECT tok FROM tc CROSS JOIN nd
-         GROUP BY tok, nd.n HAVING count(*) <= n // 2),
+         GROUP BY tok, nd.n
+         HAVING count(*) <= least(n // 2, 1000)),
        k AS (SELECT tc.* FROM tc JOIN keep USING (tok)),
        norms AS (
          SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2

@@ -452,6 +452,71 @@ class LearnedQueriesSpec extends SparkSpec {
       num.toDouble / den.toDouble)
   }
 
+  test("q204 backfill plan: exactly the skipped 03:00/07:00 runs plus " +
+      "genuinely empty hours are flagged, and none of them is ingested") {
+    val missing = graft.queries.AnalyticsQueries
+      .q204BackfillPlan(spark, dir).collect()
+      .map(_.getTimestamp(0)).toSet
+    val hours = graft.io.Sources.table(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+      .collect().map(_.getTimestamp(0)).toSet
+    // every hour with data at hod 3/7 must be flagged
+    val skipped = hours.filter { t =>
+      val c = java.util.Calendar.getInstance(
+        java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(t)
+      Set(3, 7)(c.get(java.util.Calendar.HOUR_OF_DAY))
+    }
+    assert(skipped.nonEmpty && skipped.subsetOf(missing))
+    // and nothing flagged is actually present outside hod 3/7
+    assert(missing.intersect(hours -- skipped).isEmpty)
+  }
+
+  test("q205 forward as-of: every matched purchase is the user's " +
+      "earliest at-or-after the click (brute-force recheck)") {
+    val out = graft.queries.AnalyticsQueries
+      .q205AsofForward(spark, dir).collect()
+    assert(out.nonEmpty && out.exists(!_.isNullAt(3)))
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.take(200).foreach { r =>
+      val cand = ev.getOrElse(r.getLong(1), Array.empty)
+        .filter(p => !p._2.before(r.getTimestamp(2)))
+      if (r.isNullAt(3)) assert(cand.isEmpty)
+      else {
+        val minTs = cand.map(_._2.getTime).min
+        assert(r.getTimestamp(4).getTime == minTs,
+          s"click ${r.getLong(0)}: next purchase must be time-minimal")
+      }
+    }
+  }
+
+  test("q206 top journeys: journey strings are rebuilt correctly for a " +
+      "sample of users and populations sum within the user count") {
+    val out = graft.queries.AnalyticsQueries
+      .q206TopJourneys(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nUsers = graft.io.Sources.table(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum <= nUsers)
+    // rebuild one user's journey directly
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2, e._3)).take(3).map(_._4).mkString(">"))
+    val journeys = byUser.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      assert(journeys(r.getString(0)) == r.getLong(1),
+        s"journey ${r.getString(0)} population mismatch")
+    }
+  }
+
   test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
       "merge of the argmax pair, merged tokens join round 2 as atoms") {
     import spark.implicits._
