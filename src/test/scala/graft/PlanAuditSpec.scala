@@ -444,4 +444,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(singles.isEmpty,
       s"found SinglePartition exchange:\n${singles.mkString("\n")}")
   }
+
+  test("q200 sparse cosine: the df filter reaches the index join as a " +
+      "broadcast, and pair counting has map-side partial aggregation") {
+    val plan = executed(graft.queries.LearnedQueries
+      .q200SparseCosine(spark, dir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the kept-terms filter must join as a broadcast, not a shuffle")
+    val partials = all.map(_.toString).count(t =>
+      t.startsWith("HashAggregate") && t.contains("partial_sum"))
+    assert(partials >= 1,
+      "per-pair dot products must combine map-side before the exchange")
+  }
+
+  test("q197 equi-depth histogram plans no single-partition exchange") {
+    val plan = executed(graft.queries.AnalyticsQueries
+      .q197EquidepthHist(spark, dir))
+    val single = collectAll(plan).exists { p =>
+      p.isInstanceOf[ShuffleExchangeExec] &&
+        p.asInstanceOf[ShuffleExchangeExec]
+          .outputPartitioning.numPartitions == 1
+    }
+    assert(!single,
+      "the global rank must come from ranges, not one collapsed window")
+  }
+
+  test("q178 NB top-5 per class compiles to WindowGroupLimit") {
+    val plan = executed(graft.queries.LearnedQueries
+      .q178NaiveBayes(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.exists(_.contains("WindowGroupLimit")),
+      "rank<=5 must prune per-class rows before the full window sort")
+  }
+
+  test("q183 phrase search: the term filter sits under the exchange " +
+      "(only the two phrase terms' postings ever shuffle)") {
+    val plan = executed(graft.queries.LearnedQueries
+      .q183PhraseSearch(spark, dir))
+    val all = collectAll(plan)
+    val exchanges = all.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // any exchange whose input explodes the corpus (Generate) must
+    // already carry the phrase-term equality filter below it —
+    // otherwise the full posting stream crosses the wire
+    exchanges.foreach { e =>
+      val sub = collectAll(e.child)
+      if (sub.exists(_.nodeName.contains("Generate"))) {
+        val txt = sub.map(_.toString).mkString
+        assert(txt.contains("= table") || txt.contains("= part"),
+          "an exploded-postings exchange is missing the term filter " +
+            "below it:\\n" + txt.take(800))
+      }
+    }
+  }
 }
