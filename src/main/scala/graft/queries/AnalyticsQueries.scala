@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.ScalarFunctions._
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -1865,7 +1865,168 @@ object AnalyticsQueries {
        FROM j GROUP BY 1
        ORDER BY n_users DESC, journey LIMIT 10"""
 
+  // --- q207: quarantine (dead-letter) split ------------------------------
+  /** The error-routing pattern every production ingest needs: rows
+    * failing the contract go to a QUARANTINE sink with a reason, the
+    * rest to the main sink — one pass, two writes, nothing dropped
+    * silently (q156 tolerates torn rows at the parser; this is the
+    * semantic tier above it). Both sinks are real parquet writes read
+    * back for the census, so the report proves the split landed, not
+    * just that the expression works. First matching rule wins
+    * (deterministic CASE order, mirrored in the oracle). */
+  def q207QuarantineSplit(s: SparkSession, dir: String): DataFrame = {
+    val reason = when(col("o_totalprice") < 5000.0, "price_below_min")
+      .when(col("o_orderkey") % 50 === 0, "key_blocklist")
+    val tagged = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), reason.as("reason"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_quar_")
+      .toString
+    try {
+      tagged.filter(col("reason").isNotNull)
+        .write.parquet(s"$root/quarantine")
+      tagged.filter(col("reason").isNull).drop("reason")
+        .write.parquet(s"$root/main")
+      val q = s.read.parquet(s"$root/quarantine")
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+        .select(lit("quarantine").as("sink"), col("reason"), col("n"))
+      val m = s.read.parquet(s"$root/main")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("main").as("sink"), lit("ok").as("reason"), col("n"))
+      val out = q.unionByName(m).orderBy("sink", "reason")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q207Sql: String =
+    """WITH tagged AS (
+         SELECT CASE WHEN o_totalprice < 5000.0 THEN 'price_below_min'
+                     WHEN o_orderkey % 50 = 0 THEN 'key_blocklist'
+                END AS reason
+         FROM orders)
+       SELECT 'quarantine' AS sink, reason, CAST(count(*) AS BIGINT) AS n
+       FROM tagged WHERE reason IS NOT NULL GROUP BY 2
+       UNION ALL
+       SELECT 'main', 'ok', CAST(count(*) AS BIGINT)
+       FROM tagged WHERE reason IS NULL
+       ORDER BY sink, reason"""
+
+  // --- q208: late-arriving dimension (Kimball) ----------------------------
+  /** The Kimball late-arriving-dimension flow: facts enrich against a
+    * dimension snapshot that is MISSING some members (every 5th
+    * customer hasn't replicated yet) — unmatched facts take the
+    * UNKNOWN placeholder member instead of being dropped or failing
+    * the load; when the full dimension arrives, ONLY the placeholder
+    * rows re-resolve (a |late|-sized semi-joined re-enrichment, never a
+    * full-fact rescan). The report is the per-segment census before and
+    * after reconciliation; the oracle derives both sides relationally.
+    * UNKNOWN must be empty after — q101's FK check guarantees every
+    * fact key exists in the full dimension. */
+  def q208LateDim(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val dimFull = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dimV1 = dimFull.filter(col("c_custkey") % 5 =!= 0)
+    val before = facts.join(dimV1, col("o_custkey") === col("c_custkey"),
+        "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    val late = before.filter(col("segment") === "UNKNOWN")
+      .select("o_orderkey", "o_custkey")
+      .join(dimFull, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"))
+    val after = before.filter(col("segment") =!= "UNKNOWN")
+      .select("o_orderkey", "segment")
+      .unionByName(late)
+    val b = before.groupBy("segment").agg(count(lit(1)).as("n_before"))
+    val a = after.groupBy("segment").agg(count(lit(1)).as("n_after"))
+    b.join(a, Seq("segment"), "full_outer")
+      .select(col("segment"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("segment")
+  }
+
+  val q208Sql: String =
+    """WITH v1 AS (
+         SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey % 5 <> 0),
+       before AS (
+         SELECT o.o_orderkey,
+                coalesce(v1.c_mktsegment, 'UNKNOWN') AS segment
+         FROM orders o LEFT JOIN v1 ON o.o_custkey = v1.c_custkey),
+       after AS (
+         SELECT o.o_orderkey, c.c_mktsegment AS segment
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       b AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_before
+             FROM before GROUP BY 1),
+       a AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_after
+             FROM after GROUP BY 1)
+       SELECT coalesce(b.segment, a.segment) AS segment,
+              coalesce(b.n_before, 0) AS n_before,
+              coalesce(a.n_after, 0) AS n_after
+       FROM b FULL OUTER JOIN a ON b.segment = a.segment
+       ORDER BY segment"""
+
+  // --- q209: diagonal-Mahalanobis multi-dim outliers ----------------------
+  /** Multi-dimensional outlier score — the tier above q95's univariate
+    * z-score: per row, Σ_d z_d² with each z² = (x·n − S)²/(n·Q − S²)
+    * (the division-free standardization: numerator and denominator are
+    * exact DECIMAL(38,0) moments, ONE division per dimension, the sum
+    * over dimensions is a fixed-order two-term double add). Dimensions:
+    * quantity and price-cents over lineitem. Top-10 scores,
+    * TakeOrderedAndProject. One moment aggregation + one broadcast join
+    * back — q199's two-pass shape in d dimensions. */
+  def q209MahalanobisDiag(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").cast(dec).as("x1"),
+      expr(s"CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS $dec)")
+        .as("x2"))
+    val m = li.agg(count(lit(1)).cast(dec).as("n"),
+      sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
+      sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"))
+    def z2(x: Column, sc: Column, q: Column): Column = {
+      val num = (x * col("n") - sc) * (x * col("n") - sc)
+      val den = col("n") * q - sc * sc
+      num.cast("double") / den.cast("double")
+    }
+    li.crossJoin(broadcast(m))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (z2(col("x1"), col("s1"), col("q1")) +
+          z2(col("x2"), col("s2"), col("q2"))).as("score"))
+      .orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+  }
+
+  val q209Sql: String =
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x1,
+                CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  AS HUGEINT) AS x2
+         FROM lineitem),
+       m AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n,
+                sum(x1) AS s1, sum(x1 * x1) AS q1,
+                sum(x2) AS s2, sum(x2 * x2) AS q2
+         FROM li)
+       SELECT l_orderkey, l_linenumber,
+              CAST((x1 * n - s1) * (x1 * n - s1) AS DOUBLE) /
+                CAST(n * q1 - s1 * s1 AS DOUBLE) +
+              CAST((x2 * n - s2) * (x2 * n - s2) AS DOUBLE) /
+                CAST(n * q2 - s2 * s2 AS DOUBLE) AS score
+       FROM li CROSS JOIN m
+       ORDER BY score DESC, l_orderkey, l_linenumber LIMIT 10"""
+
   val all: Map[String, Q] = Map(
+    "q207_quarantine_split" -> q207QuarantineSplit _,
+    "q208_late_dim" -> q208LateDim _,
+    "q209_mahalanobis_diag" -> q209MahalanobisDiag _,
     "q204_backfill_plan" -> q204BackfillPlan _,
     "q205_asof_forward" -> q205AsofForward _,
     "q206_top_journeys" -> q206TopJourneys _,
@@ -1907,6 +2068,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q207_quarantine_split" -> q207Sql,
+    "q208_late_dim" -> q208Sql,
+    "q209_mahalanobis_diag" -> q209Sql,
     "q204_backfill_plan" -> q204Sql,
     "q205_asof_forward" -> q205Sql,
     "q206_top_journeys" -> q206Sql,

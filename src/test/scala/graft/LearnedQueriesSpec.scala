@@ -517,6 +517,61 @@ class LearnedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q207 quarantine split: sinks partition the input, first rule " +
+      "wins, and nothing invalid reaches the main sink") {
+    val out = graft.queries.AnalyticsQueries
+      .q207QuarantineSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val orders = graft.io.Sources.table(spark, dir, "orders")
+    val total = orders.count()
+    assert(out.map(_._3).sum == total, "no row may vanish in the split")
+    val priceBad = orders.filter(col("o_totalprice") < 5000.0).count()
+    val keyBad = orders.filter(col("o_totalprice") >= 5000.0 &&
+      col("o_orderkey") % 50 === 0).count()
+    assert(out.contains(("quarantine", "price_below_min", priceBad)))
+    // first-rule-wins: blocklisted keys that ALSO fail the price rule
+    // count under the price reason
+    assert(out.contains(("quarantine", "key_blocklist", keyBad)))
+    assert(out.contains(("main", "ok", total - priceBad - keyBad)))
+  }
+
+  test("q208 late-arriving dimension: totals conserved, UNKNOWN drains " +
+      "to zero after reconciliation") {
+    val out = graft.queries.AnalyticsQueries.q208LateDim(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = graft.io.Sources.table(spark, dir, "orders").count()
+    assert(out.map(_._2).sum == total && out.map(_._3).sum == total,
+      "enrichment must not drop or duplicate facts, before or after")
+    val unk = out.find(_._1 == "UNKNOWN")
+    assert(unk.exists(u => u._2 > 0 && u._3 == 0),
+      "placeholder rows must exist before and fully resolve after")
+  }
+
+  test("q209 diagonal Mahalanobis: the reported top score matches a " +
+      "BigInt recomputation of that row") {
+    val out = graft.queries.AnalyticsQueries
+      .q209MahalanobisDiag(spark, dir).collect()
+    assert(out.length == 10)
+    val top = out.head
+    val li = graft.io.Sources.table(spark, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x1"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x2"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+    val n = BigInt(li.length)
+    val s1 = li.map(r => BigInt(r.getLong(0))).sum
+    val q1 = li.map(r => BigInt(r.getLong(0)).pow(2)).sum
+    val s2 = li.map(r => BigInt(r.getLong(1))).sum
+    val q2 = li.map(r => BigInt(r.getLong(1)).pow(2)).sum
+    val row = li.find(r => r.getLong(2) == top.getLong(0) &&
+      r.getInt(3) == top.getInt(1)).get
+    def z2(x: BigInt, sc: BigInt, q: BigInt): Double =
+      ((x * n - sc) * (x * n - sc)).toDouble / (n * q - sc * sc).toDouble
+    val expected = z2(BigInt(row.getLong(0)), s1, q1) +
+      z2(BigInt(row.getLong(1)), s2, q2)
+    assert(top.getDouble(2) == expected)
+  }
+
   test("q180 BPE merge rule on a handcrafted corpus: greedy left-to-right " +
       "merge of the argmax pair, merged tokens join round 2 as atoms") {
     import spark.implicits._
