@@ -1973,32 +1973,48 @@ object AnalyticsQueries {
 
   // --- q209: diagonal-Mahalanobis multi-dim outliers ----------------------
   /** Multi-dimensional outlier score — the tier above q95's univariate
-    * z-score: per row, Σ_d z_d² with each z² = (x·n − S)²/(n·Q − S²)
-    * (the division-free standardization: numerator and denominator are
-    * exact DECIMAL(38,0) moments, ONE division per dimension, the sum
-    * over dimensions is a fixed-order two-term double add). Dimensions:
-    * quantity and price-cents over lineitem. Top-10 scores,
-    * TakeOrderedAndProject. One moment aggregation + one broadcast join
+    * z-score: per row, Σ_d ((x_d − μ_d)² / σ²_d·n²-scaled). The MOMENTS
+    * are exact DECIMAL(38,0) (order-independent at any scale); the
+    * per-row standardization then runs in DOUBLES — μ_d and the
+    * variance numerator cast ONCE from exact decimals, then (x−μ)²/v
+    * per dimension in a fixed-order IEEE expression both engines share.
+    * A first cut kept the per-row arithmetic in decimal too
+    * ((x·n−S)²/(n·Q−S²)); it was bit-identical but 6× slower at sf1 —
+    * 6M interpreted 128-bit multiplies per dimension on the hot path,
+    * where the double form costs two subtractions and a divide inside
+    * codegen. Exactness is NOT lost where it matters: the moments (the
+    * accumulation-order hazard) stay exact; the per-row expression is
+    * single correctly-rounded steps. Top-10 scores via
+    * TakeOrderedAndProject; one moment aggregation + one broadcast join
     * back — q199's two-pass shape in d dimensions. */
   def q209MahalanobisDiag(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
     val li = t(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
-      col("l_quantity").cast("long").cast(dec).as("x1"),
-      expr(s"CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS $dec)")
-        .as("x2"))
-    val m = li.agg(count(lit(1)).cast(dec).as("n"),
-      sum("x1").as("s1"), sum(col("x1") * col("x1")).as("q1"),
-      sum("x2").as("s2"), sum(col("x2") * col("x2")).as("q2"))
-    def z2(x: Column, sc: Column, q: Column): Column = {
-      val num = (x * col("n") - sc) * (x * col("n") - sc)
-      val den = col("n") * q - sc * sc
-      num.cast("double") / den.cast("double")
+      col("l_quantity").cast("long").as("x1"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("x2"))
+    val m = li
+      .select(col("x1").cast(dec).as("d1"), col("x2").cast(dec).as("d2"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum("d1").as("s1"), sum(col("d1") * col("d1")).as("q1"),
+        sum("d2").as("s2"), sum(col("d2") * col("d2")).as("q2"))
+      .select(col("n").cast("double").as("n_d"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu1"),
+        (col("n") * col("q1") - col("s1") * col("s1")).cast("double")
+          .as("v1"),
+        (col("s2").cast("double") / col("n").cast("double")).as("mu2"),
+        (col("n") * col("q2") - col("s2") * col("s2")).cast("double")
+          .as("v2"))
+    def z2(x: Column, mu: Column, v: Column): Column = {
+      // (x−μ)² / (v/n²): written as ((x−μ)·n)·((x−μ)·n)/v so the one
+      // division is by the exactly-cast variance numerator
+      val d = (x.cast("double") - mu) * col("n_d")
+      d * d / v
     }
     li.crossJoin(broadcast(m))
       .select(col("l_orderkey"), col("l_linenumber"),
-        (z2(col("x1"), col("s1"), col("q1")) +
-          z2(col("x2"), col("s2"), col("q2"))).as("score"))
+        (z2(col("x1"), col("mu1"), col("v1")) +
+          z2(col("x2"), col("mu2"), col("v2"))).as("score"))
       .orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(10)
   }
@@ -2006,20 +2022,28 @@ object AnalyticsQueries {
   val q209Sql: String =
     """WITH li AS (
          SELECT l_orderkey, l_linenumber,
-                CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x1,
-                CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  AS HUGEINT) AS x2
+                CAST(l_quantity AS BIGINT) AS x1,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS x2
          FROM lineitem),
-       m AS (
+       hm AS (
          SELECT CAST(count(*) AS HUGEINT) AS n,
-                sum(x1) AS s1, sum(x1 * x1) AS q1,
-                sum(x2) AS s2, sum(x2 * x2) AS q2
-         FROM li)
+                sum(CAST(x1 AS HUGEINT)) AS s1,
+                sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS q1,
+                sum(CAST(x2 AS HUGEINT)) AS s2,
+                sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS q2
+         FROM li),
+       m AS (
+         SELECT CAST(n AS DOUBLE) AS n_d,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu1,
+                CAST(n * q1 - s1 * s1 AS DOUBLE) AS v1,
+                CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mu2,
+                CAST(n * q2 - s2 * s2 AS DOUBLE) AS v2
+         FROM hm)
        SELECT l_orderkey, l_linenumber,
-              CAST((x1 * n - s1) * (x1 * n - s1) AS DOUBLE) /
-                CAST(n * q1 - s1 * s1 AS DOUBLE) +
-              CAST((x2 * n - s2) * (x2 * n - s2) AS DOUBLE) /
-                CAST(n * q2 - s2 * s2 AS DOUBLE) AS score
+              (CAST(x1 AS DOUBLE) - mu1) * n_d *
+                ((CAST(x1 AS DOUBLE) - mu1) * n_d) / v1 +
+              (CAST(x2 AS DOUBLE) - mu2) * n_d *
+                ((CAST(x2 AS DOUBLE) - mu2) * n_d) / v2 AS score
        FROM li CROSS JOIN m
        ORDER BY score DESC, l_orderkey, l_linenumber LIMIT 10"""
 

@@ -565,10 +565,16 @@ class LearnedQueriesSpec extends SparkSpec {
     val q2 = li.map(r => BigInt(r.getLong(1)).pow(2)).sum
     val row = li.find(r => r.getLong(2) == top.getLong(0) &&
       r.getInt(3) == top.getInt(1)).get
-    def z2(x: BigInt, sc: BigInt, q: BigInt): Double =
-      ((x * n - sc) * (x * n - sc)).toDouble / (n * q - sc * sc).toDouble
-    val expected = z2(BigInt(row.getLong(0)), s1, q1) +
-      z2(BigInt(row.getLong(1)), s2, q2)
+    // mirror the query's expression exactly: exact decimal moments cast
+    // once, then the per-row double standardization in written order
+    val nD = n.toDouble
+    def z2(x: Long, sc: BigInt, q: BigInt): Double = {
+      val mu = sc.toDouble / nD
+      val v = (n * q - sc * sc).toDouble
+      val d = (x.toDouble - mu) * nD
+      d * d / v
+    }
+    val expected = z2(row.getLong(0), s1, q1) + z2(row.getLong(1), s2, q2)
     assert(top.getDouble(2) == expected)
   }
 
