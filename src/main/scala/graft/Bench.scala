@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * speedups).
   */
 object Bench {
+
+  /** Drop every TEMPORARY view (streaming memory-sink tables included —
+    * they hold their result rows on-heap until dropped). Persistent
+    * catalog tables (q128's bucketed tables) are untouched. */
+  private def dropTempViews(spark: SparkSession): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
   /** JVM/JIT warmup beyond the arithmetic-only range probe: exercise the
     * parquet WRITE pipeline (InternalParquetRecordWriter, snappy,
     * dynamic-partition sort writer), the broadcast anti-join and the
@@ -129,6 +137,7 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
+      dropTempViews(spark)
       System.gc()
       Thread.sleep(3000) // let the C2 compile queue + ContextCleaner drain
     }
@@ -142,6 +151,13 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // memory-sink tables from the ~20 streaming queries are TEMP
+        // VIEWS holding their result rows on-heap for the rest of the
+        // session — 200 queries in, the accumulated sinks become pure
+        // GC pressure billed to whoever runs late in the alphabet
+        // (q174 recorded 31 s in the 199-query bench vs 5.9 s isolated
+        // before this hygiene existed)
+        dropTempViews(spark)
         // force the ContextCleaner's GC-driven broadcast/shuffle cleanup
         // into the gap BETWEEN queries: with a 48g heap GC fires rarely,
         // dead blocks from a heavy query pile up in the block manager and
