@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, LearnedQueries, MaintenanceQueries, PipelineQueries, ScaleQueries, SinkQueries, StarSchema}
+import graft.queries.{AnalyticsQueries, CoreQueries, LearnedQueries, MaintenanceQueries, PipelineQueries, ScaleQueries, SinkQueries, StarSchema, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,11 +19,12 @@ object SparkEntry {
     CoreQueries.all ++ PipelineQueries.all ++ StarSchema.all ++
       graft.streaming.StreamingHourly.all ++ SinkQueries.all ++
       AnalyticsQueries.all ++ MaintenanceQueries.all ++ ScaleQueries.all ++
-      LearnedQueries.all
+      LearnedQueries.all ++ WarehouseQueries.all
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++ StarSchema.oracles ++
       graft.streaming.StreamingHourly.oracles ++ SinkQueries.oracles ++
       AnalyticsQueries.oracles ++ MaintenanceQueries.oracles ++
-      ScaleQueries.oracles ++ LearnedQueries.oracles
+      ScaleQueries.oracles ++ LearnedQueries.oracles ++
+      WarehouseQueries.oracles
 }

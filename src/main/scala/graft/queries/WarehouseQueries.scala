@@ -1,0 +1,422 @@
+package graft.queries
+
+import graft.operators.{GridJoin, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-management and candidate-pruning operators: SCD Type 2
+  * dimension maintenance, grid-bucketed spatial radius join,
+  * deterministic weighted sampling, and bitmap-based distinct-set
+  * intersection. Each is a classic at-scale rewrite: the naive form
+  * (full-history re-rank, cross join, orderBy rand(), count-distinct
+  * self-join) dies at 100 TB; the implemented form touches only the
+  * delta / the density / k·P rows / fixed-width bitmaps.
+  */
+object WarehouseQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // --- q210: SCD Type 2 dimension apply ----------------------------------
+  /** One load cycle of a Type-2 customer dimension ([[Scd2]]): the
+    * initial dimension opens every customer on 2026-01-01; the update
+    * batch re-segments every 7th customer (a real change), re-delivers
+    * every 13th unchanged (must be a no-op), and introduces brand-new
+    * members (key+1000000 for every 97th) — the three cases a Type-2
+    * apply must distinguish. Output is the full post-apply dimension:
+    * expired versions carry [2026-01-01, 2026-06-01) and
+    * is_current=false, their replacements and the new members open at
+    * 2026-06-01. The oracle derives the same three-way split
+    * relationally. Scale shape: the dimension joins the (small,
+    * broadcastable) delta exactly once; history streams through a
+    * union untouched — no rank-over-full-history shuffle. */
+  def q210Scd2(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = c.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        lit("2026-01-01").cast("date").as("effective_from"),
+        lit("9999-12-31").cast("date").as("effective_to"),
+        lit(true).as("is_current"))
+    val changed = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+          .as("segment"))
+    val redelivered = c.filter(col("c_custkey") % 13 === 0 &&
+        col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val fresh = c.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("NEWSEG").as("segment"))
+    val updates = changed.unionByName(redelivered).unionByName(fresh)
+    // dates leave the engine as yyyy-MM-dd strings — the q144
+    // cross-engine date-type discipline
+    Scd2.applyChanges(dim, updates, Seq("c_custkey"), Seq("segment"),
+        lit("2026-06-01").cast("date"))
+      .withColumn("effective_from",
+        date_format(col("effective_from"), "yyyy-MM-dd"))
+      .withColumn("effective_to",
+        date_format(col("effective_to"), "yyyy-MM-dd"))
+      .orderBy("c_custkey", "effective_from")
+  }
+
+  val q210Sql: String =
+    """WITH upd AS (
+         SELECT c_custkey,
+                'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment
+         FROM customer WHERE c_custkey % 7 = 0
+         UNION ALL
+         SELECT c_custkey, c_mktsegment
+         FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, 'NEWSEG'
+         FROM customer WHERE c_custkey % 97 = 0),
+       cur AS (
+         SELECT c_custkey, c_mktsegment AS segment FROM customer),
+       unchanged AS (
+         SELECT c.c_custkey, c.segment,
+                '2026-01-01' AS effective_from,
+                '9999-12-31' AS effective_to, TRUE AS is_current
+         FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+         WHERE u.c_custkey IS NULL OR c.segment = u.segment),
+       expired AS (
+         SELECT c.c_custkey, c.segment,
+                '2026-01-01' AS effective_from,
+                '2026-06-01' AS effective_to, FALSE AS is_current
+         FROM cur c JOIN upd u ON c.c_custkey = u.c_custkey
+         WHERE c.segment <> u.segment),
+       opened AS (
+         SELECT u.c_custkey, u.segment,
+                '2026-06-01' AS effective_from,
+                '9999-12-31' AS effective_to, TRUE AS is_current
+         FROM upd u LEFT JOIN cur c ON u.c_custkey = c.c_custkey
+         WHERE c.c_custkey IS NULL OR c.segment <> u.segment)
+       SELECT * FROM (
+         SELECT * FROM unchanged
+         UNION ALL SELECT * FROM expired
+         UNION ALL SELECT * FROM opened)
+       ORDER BY c_custkey, effective_from"""
+
+  // --- q211: grid-bucketed spatial radius join ---------------------------
+  /** "Suppliers within 3000 units of a customer" on a 100k×100k plane,
+    * via [[GridJoin]]: cell-bucket one side, replicate the other to
+    * its 3×3 neighborhood, equi-join on the cell, exact int64
+    * squared-distance residual — candidates follow point density, the
+    * cross join the oracle runs is exactly what this rewrite avoids.
+    * Coordinates are deterministic fixed-point functions of the keys
+    * (integer LCG-style scatter), so both engines derive identical
+    * geometry with zero float ops. */
+  def q211GridJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      ((col("c_custkey") * 48271L) % 100000L).as("cx"),
+      ((col("c_custkey") * 69621L) % 100000L).as("cy"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      ((col("s_suppkey") * 48271L) % 100000L).as("sx"),
+      ((col("s_suppkey") * 69621L) % 100000L).as("sy"))
+    GridJoin.radiusJoin(c, sup, "cx", "cy", "sx", "sy", 3000L)
+      .select("s_suppkey", "c_custkey", "dist2")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  val q211Sql: String =
+    """WITH c AS (
+         SELECT c_custkey,
+                (c_custkey * 48271) % 100000 AS cx,
+                (c_custkey * 69621) % 100000 AS cy
+         FROM customer),
+       s AS (
+         SELECT s_suppkey,
+                (s_suppkey * 48271) % 100000 AS sx,
+                (s_suppkey * 69621) % 100000 AS sy
+         FROM supplier)
+       SELECT s_suppkey, c_custkey,
+              (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+       FROM c CROSS JOIN s
+       WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 9000000
+       ORDER BY s_suppkey, c_custkey"""
+
+  // --- q212: deterministic weighted sample per group ---------------------
+  /** Five orders per market-segment-like stratum (here: order status),
+    * sampled with probability increasing in o_totalprice — the
+    * weighted variant of q60's hash sample. Priority follows
+    * Efraimidis–Spirakis (min of u^(1/w) ranks ∝ w), but with the
+    * RATIONAL surrogate u/w: transcendentals (pow/ln) are not
+    * bit-identical across engines, while one IEEE multiply + divide
+    * is, so the same sample falls out of Spark and DuckDB exactly.
+    * u is a fixed-point Knuth-hash uniform of the key — re-runs are
+    * reproducible by construction, no rand() seed handshake. Top-k per
+    * group compiles to WindowGroupLimit: each task keeps its local 5
+    * before the exchange, so k·P rows shuffle, never the table. */
+  def q212WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_orderstatus"),
+      col("o_orderkey"), col("o_totalprice"),
+      (((col("o_orderkey") * 2654435761L) % 1000003L + 1L)
+        .cast("double") / (lit(1000004.0) * col("o_totalprice")))
+        .as("priority"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("priority"), col("o_orderkey"))
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("o_orderstatus", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderstatus", "rk")
+  }
+
+  val q212Sql: String =
+    """WITH o AS (
+         SELECT o_orderstatus, o_orderkey, o_totalprice,
+                CAST((o_orderkey * 2654435761) % 1000003 + 1 AS DOUBLE)
+                  / (1000004.0 * o_totalprice) AS priority
+         FROM orders),
+       ranked AS (
+         SELECT o_orderstatus, o_orderkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY priority, o_orderkey) AS INTEGER) AS rk
+         FROM o)
+       SELECT o_orderstatus, rk, o_orderkey, o_totalprice
+       FROM ranked WHERE rk <= 5
+       ORDER BY o_orderstatus, rk"""
+
+  // --- q213: bitmap distinct-set intersection ----------------------------
+  /** |users(a) ∩ users(b)| for every event-type pair, without ever
+    * shuffling a user id twice: users are packed into fixed-width
+    * bitmaps — bucket = user_id div 63, bit = user_id mod 63 (63-wide
+    * so no engine hits the 1<<63 overflow guard) — one bit_or
+    * aggregation builds |types|·|buckets| words, and every pairwise
+    * intersection is then bit_count(a AND b) summed over buckets. The
+    * exact-roaring-bitmap trick (Chambi et al. 2016) in int64 chunks:
+    * the alternative count-distinct self-join shuffles the full
+    * (type, user) edge list per pair; this shuffles each user bit
+    * once, and the pair matrix works on words, |universe|/63 of them
+    * per type, regardless of event volume. */
+  def q213BitmapIntersect(s: SparkSession, dir: String): DataFrame = {
+    val bm = t(s, dir, "events")
+      .select(col("event_type"), (col("user_id") / 63).cast("long")
+          .as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+          .as("bit"))
+      .groupBy("event_type", "bucket")
+      .agg(expr("bit_or(bit)").as("bm"))
+    val a = bm.select(col("event_type").as("type_a"), col("bucket"),
+      col("bm").as("bm_a"))
+    val b = bm.select(col("event_type").as("type_b"), col("bucket"),
+      col("bm").as("bm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(expr("bit_count(bm_a & bm_b)")).cast("long")
+        .as("n_common_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q213Sql: String =
+    """WITH bm AS (
+         SELECT event_type, user_id // 63 AS bucket,
+                bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bm
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                bit_count(a.bm & b.bm) AS n
+         FROM bm a JOIN bm b ON a.bucket = b.bucket
+         WHERE a.event_type < b.event_type)
+       SELECT type_a, type_b, CAST(sum(n) AS BIGINT) AS n_common_users
+       FROM pairs GROUP BY 1, 2 ORDER BY type_a, type_b"""
+
+  // --- q214: point-in-time (temporal) dimension lookup -------------------
+  /** The read side of SCD Type 2: every order joins the dimension
+    * VERSION that was valid on its order date — key equi-join plus the
+    * half-open `[effective_from, effective_to)` residual. No interval
+    * machinery is needed: the version chain partitions time, so the
+    * equi-join's fan-out is the per-key version count (here ≤2), and
+    * exactly one version survives the residual per fact row (the
+    * invariant WarehouseSpec pins). The census rolls revenue cents up
+    * by the AS-OF segment — facts before the 1998-06-01 re-segmentation
+    * aggregate under the old segment, later facts under the new one. */
+  def q214PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = c.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("effective_from"),
+      lit("9999-12-31").cast("date").as("effective_to"),
+      lit(true).as("is_current"))
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+          .as("segment"))
+    val versioned = Scd2.applyChanges(dim, updates,
+      Seq("c_custkey"), Seq("segment"), lit("1998-06-01").cast("date"))
+    t(s, dir, "orders")
+      .join(versioned, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= col("effective_from") &&
+        col("o_orderdate") < col("effective_to"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+      .orderBy("segment")
+  }
+
+  val q214Sql: String =
+    """WITH upd AS (
+         SELECT c_custkey,
+                'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment
+         FROM customer WHERE c_custkey % 7 = 0),
+       versioned AS (
+         SELECT c.c_custkey, c.c_mktsegment AS segment,
+                DATE '1995-01-01' AS effective_from,
+                CASE WHEN u.c_custkey IS NULL OR c.c_mktsegment = u.segment
+                     THEN DATE '9999-12-31' ELSE DATE '1998-06-01'
+                END AS effective_to
+         FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+         UNION ALL
+         SELECT u.c_custkey, u.segment, DATE '1998-06-01',
+                DATE '9999-12-31'
+         FROM upd u JOIN customer c ON u.c_custkey = c.c_custkey
+         WHERE c.c_mktsegment <> u.segment)
+       SELECT v.segment, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+       FROM orders o JOIN versioned v
+         ON o.o_custkey = v.c_custkey
+        AND o.o_orderdate >= v.effective_from
+        AND o.o_orderdate < v.effective_to
+       GROUP BY 1 ORDER BY 1"""
+
+  // --- q215: functional-dependency audit ---------------------------------
+  /** Schema-constraint discovery/validation: for each candidate
+    * dependency lhs → rhs, does every lhs value map to exactly one rhs
+    * value? One |distinct lhs|-row aggregation per candidate (partial
+    * aggs do the heavy lifting map-side), reduced to a one-row verdict:
+    * total groups, violating groups, and the worst group's distinct-rhs
+    * count. The profiling primitive behind key detection, denormalized
+    *-copy drift checks, and "is this column derivable" questions — at
+    * 100 TB each candidate costs one column-pruned scan + one partial
+    * agg, never a sort or a self-join. */
+  def q215FdAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def audit(lhs: String, rhs: String): DataFrame =
+      o.groupBy(lhs).agg(countDistinct(rhs).as("n_rhs"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+            .cast("long").as("n_violating"),
+          max("n_rhs").cast("long").as("max_distinct_rhs"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_groups"), col("n_violating"), col("max_distinct_rhs"))
+    audit("o_orderkey", "o_custkey")
+      .unionByName(audit("o_custkey", "o_orderstatus"))
+      .unionByName(audit("o_custkey", "o_orderpriority"))
+      .orderBy("lhs", "rhs")
+  }
+
+  val q215Sql: String =
+    """WITH a AS (
+         SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violating,
+                CAST(max(n_rhs) AS BIGINT) AS max_distinct_rhs
+         FROM (SELECT count(DISTINCT o_custkey) AS n_rhs
+               FROM orders GROUP BY o_orderkey)),
+       b AS (
+         SELECT 'o_custkey', 'o_orderstatus',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST(max(n_rhs) AS BIGINT)
+         FROM (SELECT count(DISTINCT o_orderstatus) AS n_rhs
+               FROM orders GROUP BY o_custkey)),
+       c AS (
+         SELECT 'o_custkey', 'o_orderpriority',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+                CAST(max(n_rhs) AS BIGINT)
+         FROM (SELECT count(DISTINCT o_orderpriority) AS n_rhs
+               FROM orders GROUP BY o_custkey))
+       SELECT * FROM (
+         SELECT * FROM a UNION ALL SELECT * FROM b
+         UNION ALL SELECT * FROM c)
+       ORDER BY lhs, rhs"""
+
+  // --- q216: Benford leading-digit audit ---------------------------------
+  /** Fraud/data-quality screening via Benford's law: the leading-digit
+    * distribution of order totals against the log-curve expectation,
+    * with the per-digit χ² contribution. The expected shares are
+    * HARD-CODED double literals (log10(1+1/d) precomputed) — the same
+    * decimal text parses to the same IEEE double in both engines, so
+    * no engine evaluates a transcendental and the χ² terms (subtract,
+    * square, divide — single correctly-rounded ops in fixed order)
+    * hash-match exactly. One integer aggregation pass; nine rows out. */
+  def q216Benford(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+      3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+      5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+      7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+      9 -> "0.04575749056067514")
+    val expShare = benford.tail.foldLeft(
+      when(col("digit") === 1, lit(benford.head._2.toDouble))) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, lit(p.toDouble))
+      }
+    val per = t(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    per.crossJoin(broadcast(
+        per.agg(sum("n_obs").cast("long").as("n_total"))))
+      .select(col("digit"), col("n_obs"),
+        (col("n_total").cast("double") * expShare).as("expected"))
+      .withColumn("chi2_term",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) /
+          col("expected"))
+      .orderBy("digit")
+  }
+
+  val q216Sql: String =
+    """WITH per AS (
+         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                CAST(count(*) AS BIGINT) AS n_obs
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM per),
+       e AS (
+         SELECT digit, n_obs,
+                CAST(n_total AS DOUBLE) *
+                CASE digit
+                  WHEN 1 THEN 0.3010299956639812
+                  WHEN 2 THEN 0.17609125905568124
+                  WHEN 3 THEN 0.12493873660829992
+                  WHEN 4 THEN 0.09691001300805642
+                  WHEN 5 THEN 0.07918124604762482
+                  WHEN 6 THEN 0.06694678963061322
+                  WHEN 7 THEN 0.05799194697768673
+                  WHEN 8 THEN 0.05115252244738129
+                  WHEN 9 THEN 0.04575749056067514
+                END AS expected
+         FROM per CROSS JOIN tot)
+       SELECT digit, n_obs, expected,
+              (CAST(n_obs AS DOUBLE) - expected) *
+              (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
+       FROM e ORDER BY digit"""
+
+  val all: Map[String, Q] = Map(
+    "q210_scd2" -> q210Scd2 _,
+    "q211_grid_join" -> q211GridJoin _,
+    "q212_weighted_sample" -> q212WeightedSample _,
+    "q213_bitmap_intersect" -> q213BitmapIntersect _,
+    "q214_pit_join" -> q214PitJoin _,
+    "q215_fd_audit" -> q215FdAudit _,
+    "q216_benford" -> q216Benford _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q210_scd2" -> q210Sql,
+    "q211_grid_join" -> q211Sql,
+    "q212_weighted_sample" -> q212Sql,
+    "q213_bitmap_intersect" -> q213Sql,
+    "q214_pit_join" -> q214Sql,
+    "q215_fd_audit" -> q215Sql,
+    "q216_benford" -> q216Sql,
+  )
+}

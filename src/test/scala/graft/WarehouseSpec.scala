@@ -1,0 +1,210 @@
+package graft
+
+import graft.operators.{GridJoin, Scd2}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the warehouse-family operators (Scd2, GridJoin,
+  * weighted sampling, bitmap intersection) beyond the q210-q213
+  * oracles: version-chain algebra, brute-force equivalence, and the
+  * plan shapes the 100 TB rewrites exist for. */
+class WarehouseSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: collectAll(a.executedPlan)
+    case q: QueryStageExec => p +: collectAll(q.plan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(collectAll)
+  }
+
+  private def freshDim = {
+    import spark.implicits._
+    Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "attr")
+      .select(col("k"), col("attr"),
+        lit("2026-01-01").cast("date").as("effective_from"),
+        lit("9999-12-31").cast("date").as("effective_to"),
+        lit(true).as("is_current"))
+  }
+
+  test("Scd2: one current row per key, closed-then-open chain, " +
+      "no-op redelivery, new-member insert") {
+    import spark.implicits._
+    val updates = Seq((1L, "A2"), // changed
+      (2L, "B"), // redelivered unchanged
+      (9L, "Z") // brand new
+    ).toDF("k", "attr")
+    val out = Scd2.applyChanges(freshDim, updates, Seq("k"), Seq("attr"),
+      lit("2026-06-01").cast("date")).cache()
+    try {
+      // exactly one current version per key, always
+      val curPerKey = out.filter(col("is_current")).groupBy("k").count()
+        .filter(col("count") =!= 1).count()
+      assert(curPerKey === 0)
+      assert(out.count() === 5) // 3 original + 1 new version + 1 new member
+      val k1 = out.filter(col("k") === 1).orderBy("effective_from")
+        .collect()
+      assert(k1.length === 2)
+      assert(k1(0).getAs[String]("attr") === "A" &&
+        !k1(0).getAs[Boolean]("is_current") &&
+        k1(0).getAs[java.sql.Date]("effective_to").toString ===
+          "2026-06-01")
+      assert(k1(1).getAs[String]("attr") === "A2" &&
+        k1(1).getAs[Boolean]("is_current") &&
+        k1(1).getAs[java.sql.Date]("effective_from").toString ===
+          "2026-06-01")
+      // redelivered-unchanged left the chain alone
+      assert(out.filter(col("k") === 2).count() === 1)
+      // new member opened at the effective date
+      val k9 = out.filter(col("k") === 9).collect()
+      assert(k9.length === 1 && k9(0).getAs[Boolean]("is_current") &&
+        k9(0).getAs[java.sql.Date]("effective_from").toString ===
+          "2026-06-01")
+    } finally out.unpersist()
+  }
+
+  test("Scd2: re-applying the same batch is a no-op (idempotent loads)") {
+    import spark.implicits._
+    val updates = Seq((1L, "A2"), (9L, "Z")).toDF("k", "attr")
+    val once = Scd2.applyChanges(freshDim, updates, Seq("k"), Seq("attr"),
+      lit("2026-06-01").cast("date"))
+    val twice = Scd2.applyChanges(once, updates, Seq("k"), Seq("attr"),
+      lit("2026-07-01").cast("date"))
+    assert(twice.exceptAll(once).count() === 0 &&
+      once.exceptAll(twice).count() === 0)
+  }
+
+  test("Scd2: null attribute is a value — NULL→NULL redelivery is a " +
+      "no-op, NULL→X and X→NULL are real changes") {
+    import spark.implicits._
+    val dim = Seq((1L, Option.empty[String]), (2L, Some("B")))
+      .toDF("k", "attr")
+      .select(col("k"), col("attr"),
+        lit("2026-01-01").cast("date").as("effective_from"),
+        lit("9999-12-31").cast("date").as("effective_to"),
+        lit(true).as("is_current"))
+    val updates = Seq((1L, Option.empty[String]), // null → null: no-op
+      (2L, Option.empty[String]) // value → null: change
+    ).toDF("k", "attr")
+    val out = Scd2.applyChanges(dim, updates, Seq("k"), Seq("attr"),
+      lit("2026-06-01").cast("date"))
+    assert(out.filter(col("k") === 1).count() === 1)
+    assert(out.filter(col("k") === 2).count() === 2)
+    assert(out.filter(col("k") === 2 && col("is_current"))
+      .filter(col("attr").isNull).count() === 1)
+  }
+
+  test("GridJoin ≡ brute-force cross join, and the plan contains no " +
+      "cartesian/nested-loop join") {
+    import spark.implicits._
+    val pts = (1L to 400L).map(i =>
+      (i, (i * 48271) % 1000, (i * 69621) % 1000))
+    val l = pts.toDF("lid", "lx", "ly")
+    val r = pts.map { case (i, x, y) => (i, x, y) }
+      .toDF("rid", "rx", "ry")
+    val fast = GridJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 50L)
+      .select("lid", "rid", "dist2")
+    val brute = l.crossJoin(r)
+      .withColumn("dist2",
+        (col("lx") - col("rx")) * (col("lx") - col("rx")) +
+          (col("ly") - col("ry")) * (col("ly") - col("ry")))
+      .filter(col("dist2") <= 50L * 50L)
+      .select("lid", "rid", "dist2")
+    assert(fast.exceptAll(brute).count() === 0 &&
+      brute.exceptAll(fast).count() === 0)
+    assert(fast.count() > 400, "fixture must produce non-self matches")
+    val nodes = collectAll(executed(fast)).map(_.nodeName)
+    assert(!nodes.exists(n => n.contains("Cartesian") ||
+      n.contains("BroadcastNestedLoop")), nodes.mkString(","))
+  }
+
+  test("GridJoin emits each qualifying pair exactly once (no 3×3 " +
+      "neighborhood double-count)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 100L)).toDF("lid", "lx", "ly")
+    // right point shares the left point's cell AND its neighbors' reach
+    val r = Seq((1L, 101L, 101L), (2L, 149L, 100L), (3L, 51L, 100L))
+      .toDF("rid", "rx", "ry")
+    val out = GridJoin.radiusJoin(l, r, "lx", "ly", "rx", "ry", 50L)
+    assert(out.count() === out.select("lid", "rid").distinct().count())
+  }
+
+  test("q212 weighted sample: top-k per group compiles to " +
+      "WindowGroupLimit — k·P rows reach the exchange, not the table") {
+    val plan = executed(graft.queries.WarehouseQueries
+      .q212WeightedSample(spark, dir))
+    val nodes = collectAll(plan).map(_.nodeName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rank-filter pushdown missing: $nodes")
+  }
+
+  test("q214 point-in-time join: the version chain partitions time — " +
+      "every fact matches exactly one dimension version") {
+    import spark.implicits._
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val dim = c.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("effective_from"),
+      lit("9999-12-31").cast("date").as("effective_to"),
+      lit(true).as("is_current"))
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("SEG_"), (col("c_custkey") % 3).cast("string"))
+          .as("segment"))
+    val versioned = Scd2.applyChanges(dim, updates,
+      Seq("c_custkey"), Seq("segment"), lit("1998-06-01").cast("date"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val perFact = o
+      .join(versioned, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= col("effective_from") &&
+        col("o_orderdate") < col("effective_to"))
+      .groupBy("o_orderkey").count()
+    assert(perFact.filter(col("count") =!= 1).count() === 0)
+    assert(perFact.count() === o.count(),
+      "every order must find a valid-at-date version")
+  }
+
+  test("q216 Benford audit: chi2 terms recompute from the per-digit " +
+      "counts, and observed shares sum to 1") {
+    val out = graft.queries.WarehouseQueries.q216Benford(spark, dir)
+      .collect()
+    val nTotal = out.map(_.getAs[Long]("n_obs")).sum
+    out.foreach { r =>
+      val exp = r.getAs[Double]("expected")
+      val obs = r.getAs[Long]("n_obs").toDouble
+      assert(math.abs((obs - exp) * (obs - exp) / exp -
+        r.getAs[Double]("chi2_term")) < 1e-12)
+    }
+    // expected shares are a probability distribution: when all nine
+    // digits occur, the expected-count mass equals n
+    if (out.length == 9) {
+      val sumExp = out.map(_.getAs[Double]("expected")).sum
+      assert(math.abs(sumExp - nTotal.toDouble) < 1e-6 * nTotal,
+        s"expected-count mass $sumExp vs n=$nTotal")
+    }
+  }
+
+  test("q213 bitmap intersection ≡ naive count-distinct intersection") {
+    import spark.implicits._
+    val bm = graft.queries.WarehouseQueries
+      .q213BitmapIntersect(spark, dir)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "user_id").distinct()
+    val naive = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common_users"))
+    assert(bm.exceptAll(naive).count() === 0 &&
+      naive.exceptAll(bm).count() === 0)
+    assert(bm.agg(sum("n_common_users")).first().getLong(0) > 0)
+  }
+}
