@@ -400,6 +400,207 @@ object WarehouseQueries {
               (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
        FROM e ORDER BY digit"""
 
+  // --- q217: chi-square independence (contingency table) -----------------
+  /** Are event type and time-of-day independent? The χ² contingency
+    * audit between two categoricals: observed cell counts vs
+    * expected = row_total·col_total/n, with the per-cell χ² term.
+    * All totals are exact integers from ONE aggregation pass (cells)
+    * plus two window-free rollups joined back (both tiny); each
+    * expected/term is then single correctly-rounded IEEE steps — the
+    * q216 discipline. No float is ever SUMMED across cells (summation
+    * order is the cross-engine hazard), so the table hash-matches;
+    * the scalar χ² statistic is the trivial client-side sum of the
+    * emitted terms. */
+  def q217Chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      (hour(col("ts")) >= 12).cast("int").as("pm"))
+    val cells = e.groupBy("event_type", "pm")
+      .agg(count(lit(1)).as("n_obs"))
+    val rows = cells.groupBy("event_type")
+      .agg(sum("n_obs").cast("long").as("row_total"))
+    val cols = cells.groupBy("pm")
+      .agg(sum("n_obs").cast("long").as("col_total"))
+    val tot = cells.agg(sum("n_obs").cast("long").as("n"))
+    cells.join(rows, "event_type").join(cols, "pm")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("pm"), col("n_obs"),
+        ((col("row_total") * col("col_total")).cast("double") /
+          col("n").cast("double")).as("expected"))
+      .withColumn("chi2_term",
+        (col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) /
+          col("expected"))
+      .orderBy("event_type", "pm")
+  }
+
+  val q217Sql: String =
+    """WITH e AS (
+         SELECT event_type,
+                CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS pm
+         FROM events),
+       cells AS (
+         SELECT event_type, pm, CAST(count(*) AS BIGINT) AS n_obs
+         FROM e GROUP BY 1, 2),
+       r AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS row_total
+             FROM cells GROUP BY 1),
+       c AS (SELECT pm, CAST(sum(n_obs) AS BIGINT) AS col_total
+             FROM cells GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+       j AS (
+         SELECT cells.event_type, cells.pm, cells.n_obs,
+                CAST(row_total * col_total AS DOUBLE) /
+                  CAST(n AS DOUBLE) AS expected
+         FROM cells JOIN r USING (event_type) JOIN c USING (pm)
+              CROSS JOIN tot)
+       SELECT event_type, pm, n_obs, expected,
+              (CAST(n_obs AS DOUBLE) - expected) *
+              (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
+       FROM j ORDER BY event_type, pm"""
+
+  // --- q218: majority-vote golden record (entity resolution) -------------
+  /** Three conflicting source systems vote on each customer's segment
+    * — the survivorship step of entity resolution / MDM consolidation.
+    * Sources are derived deterministically (source 1 is truth; 2 and 3
+    * corrupt every 5th / 3rd key), the golden value is the modal vote
+    * with the house tie-break (ties → largest value, [[ModeAgg]]'s A4
+    * discipline), and the report censuses vote strength: unanimous /
+    * majority / tie-broken, with how many golden values match truth.
+    * One (key, value) count aggregation + one max-struct reduce — the
+    * same two-shuffle shape at any corpus size; no per-pair compare
+    * join (3 sources → 3 rows per key, not 3² comparisons). */
+  def q218MajorityVote(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val src1 = c.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"))
+    val src2 = c.select(col("c_custkey"),
+      when(col("c_custkey") % 5 === 0, lit("ERR2"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    val src3 = c.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, lit("ERR3"))
+        .otherwise(col("c_mktsegment")).as("segment"))
+    val votes = src1.unionByName(src2).unionByName(src3)
+    val golden = votes.groupBy("c_custkey", "segment")
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy("c_custkey")
+      .agg(max(struct(col("n_votes"), col("segment"))).as("m"))
+      .select(col("c_custkey"), col("m.segment").as("golden"),
+        col("m.n_votes").as("n_votes"))
+    golden.join(src1.withColumnRenamed("segment", "truth"), "c_custkey")
+      .select(
+        when(col("n_votes") === 3, "unanimous")
+          .when(col("n_votes") === 2, "majority")
+          .otherwise("tie_broken").as("vote_type"),
+        when(col("golden") === col("truth"), 1L).otherwise(0L)
+          .as("correct"))
+      .groupBy("vote_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum("correct").cast("long").as("n_match_truth"))
+      .orderBy("vote_type")
+  }
+
+  val q218Sql: String =
+    """WITH src AS (
+         SELECT c_custkey, c_mktsegment AS segment FROM customer
+         UNION ALL
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 5 = 0 THEN 'ERR2'
+                     ELSE c_mktsegment END
+         FROM customer
+         UNION ALL
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 3 = 0 THEN 'ERR3'
+                     ELSE c_mktsegment END
+         FROM customer),
+       counted AS (
+         SELECT c_custkey, segment, CAST(count(*) AS BIGINT) AS n_votes
+         FROM src GROUP BY 1, 2),
+       golden AS (
+         SELECT c_custkey, segment AS golden, n_votes
+         FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                 ORDER BY n_votes DESC, segment DESC) AS rn
+               FROM counted)
+         WHERE rn = 1),
+       labeled AS (
+         SELECT CASE WHEN g.n_votes = 3 THEN 'unanimous'
+                     WHEN g.n_votes = 2 THEN 'majority'
+                     ELSE 'tie_broken' END AS vote_type,
+                CASE WHEN g.golden = c.c_mktsegment THEN 1 ELSE 0 END
+                  AS correct
+         FROM golden g JOIN customer c ON g.c_custkey = c.c_custkey)
+       SELECT vote_type, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(correct) AS BIGINT) AS n_match_truth
+       FROM labeled GROUP BY 1 ORDER BY 1"""
+
+  // --- q219: largest-remainder proration ---------------------------------
+  /** Allocate each order's total (in cents) across its line items
+    * proportionally to quantity so the parts sum EXACTLY to the whole
+    * — the Hamilton / largest-remainder method every finance ETL needs
+    * (floor the proportional shares, then hand the leftover cents to
+    * the largest fractional remainders, ties broken by line number).
+    * Pure int64 arithmetic: share = ⌊cents·qty/Σqty⌋, remainder =
+    * (cents·qty) mod Σqty — no float ever appears, so allocation is
+    * bit-identical on any engine and WarehouseSpec's conservation
+    * invariant (Σ alloc = cents, per order, always) is exact. Windows
+    * partition by order — bounded partitions, no global sort. */
+  def q219Proration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val byOrder = Window.partitionBy("l_orderkey")
+    val ranked = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("sum_qty", sum("qty").over(byOrder))
+      .withColumn("base",
+        expr("(cents * qty) div sum_qty"))
+      .withColumn("rem", (col("cents") * col("qty")) % col("sum_qty"))
+      .withColumn("deficit",
+        (col("cents") - sum("base").over(byOrder)).cast("long"))
+      .withColumn("rk", row_number().over(
+        byOrder.orderBy(col("rem").desc, col("l_linenumber"))))
+    ranked
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        (col("base") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .cast("long").as("alloc_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q219Sql: String =
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS qty
+         FROM lineitem WHERE l_orderkey % 100 = 0),
+       o AS (
+         SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 100 = 0),
+       j AS (
+         SELECT l_orderkey, l_linenumber, qty, cents,
+                CAST(sum(qty) OVER (PARTITION BY l_orderkey) AS BIGINT)
+                  AS sum_qty
+         FROM li JOIN o ON l_orderkey = o_orderkey),
+       shares AS (
+         SELECT l_orderkey, l_linenumber, qty, cents,
+                (cents * qty) // sum_qty AS base,
+                (cents * qty) % sum_qty AS rem
+         FROM j),
+       ranked AS (
+         SELECT *,
+                cents - CAST(sum(base) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS deficit,
+                row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY rem DESC, l_linenumber) AS rk
+         FROM shares)
+       SELECT l_orderkey, l_linenumber, qty,
+              CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents
+       FROM ranked ORDER BY l_orderkey, l_linenumber"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -408,6 +609,9 @@ object WarehouseQueries {
     "q214_pit_join" -> q214PitJoin _,
     "q215_fd_audit" -> q215FdAudit _,
     "q216_benford" -> q216Benford _,
+    "q217_chi2_independence" -> q217Chi2Independence _,
+    "q218_majority_vote" -> q218MajorityVote _,
+    "q219_proration" -> q219Proration _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,5 +622,8 @@ object WarehouseQueries {
     "q214_pit_join" -> q214Sql,
     "q215_fd_audit" -> q215Sql,
     "q216_benford" -> q216Sql,
+    "q217_chi2_independence" -> q217Sql,
+    "q218_majority_vote" -> q218Sql,
+    "q219_proration" -> q219Sql,
   )
 }

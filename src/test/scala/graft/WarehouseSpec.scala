@@ -191,6 +191,55 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q218 majority vote: golden equals truth on every key where " +
+      "at most one source is corrupted (truth holds >= 2 votes)") {
+    import spark.implicits._
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    // corruption sources are key%5 and key%3; both hit only key%15
+    val recoverable = c.filter(col("c_custkey") % 15 =!= 0).count()
+    val out = graft.queries.WarehouseQueries
+      .q218MajorityVote(spark, dir).collect()
+    val matched = out.filter(r =>
+        r.getAs[String]("vote_type") != "tie_broken")
+      .map(_.getAs[Long]("n_match_truth")).sum
+    val strongKeys = out.filter(r =>
+        r.getAs[String]("vote_type") != "tie_broken")
+      .map(_.getAs[Long]("n_keys")).sum
+    assert(strongKeys === recoverable)
+    assert(matched === recoverable,
+      "every unanimous/majority vote must recover the true value")
+  }
+
+  test("q219 proration: allocations sum EXACTLY to the order total, " +
+      "for every order, with the unfiltered table") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val byOrder = Window.partitionBy("l_orderkey")
+    val alloc = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("sum_qty", sum("qty").over(byOrder))
+      .withColumn("base", expr("(cents * qty) div sum_qty"))
+      .withColumn("rem", (col("cents") * col("qty")) % col("sum_qty"))
+      .withColumn("deficit",
+        (col("cents") - sum("base").over(byOrder)).cast("long"))
+      .withColumn("rk", row_number().over(
+        byOrder.orderBy(col("rem").desc, col("l_linenumber"))))
+      .withColumn("alloc_cents", col("base") +
+        when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+    val bad = alloc.groupBy("l_orderkey", "cents")
+      .agg(sum("alloc_cents").as("total_alloc"))
+      .filter(col("total_alloc") =!= col("cents"))
+    assert(bad.count() === 0, "largest-remainder must conserve cents")
+    // and no line gets more than base+1 or less than base
+    assert(alloc.filter(col("alloc_cents") - col("base") > 1 ||
+      col("alloc_cents") < col("base")).count() === 0)
+  }
+
   test("q213 bitmap intersection ≡ naive count-distinct intersection") {
     import spark.implicits._
     val bm = graft.queries.WarehouseQueries
