@@ -149,6 +149,56 @@ object Graphs {
     * collected to the driver); after materializing, the caller
     * releases its blocks via [[Dedup.unpersistCheckpoint]] — the
     * [[Dedup.connectedComponents]] return contract. */
+  /** Bounded-hop weighted shortest paths (distributed Bellman-Ford):
+    * minimum path cost from any source to every node reachable within
+    * `maxHops` edges, as (node, cost BIGINT) rows — the weighted tier
+    * above [[multiSourceBfs]] (which counts hops; this sums edge
+    * weights). Semantics are EXACTLY "min cost over paths of ≤ maxHops
+    * edges": a fixed number of relaxation rounds, each one
+    * join-then-min-aggregate — dist_k(v) = min(dist_{k-1}(v),
+    * min_u dist_{k-1}(u) + w(u,v)). Negative weights are fine (no
+    * negative-cycle divergence: rounds are capped), which is what
+    * separates Bellman-Ford from a Dijkstra frontier.
+    *
+    * Per round the shuffle carries |dist ⋈ edges| (node, long) pairs
+    * reduced by a map-side partial min — never paths, never the
+    * DP table × levels the naive unrolled form materializes. Loop
+    * discipline = the [[multiSourceBfs]] / q87 contract: eager
+    * localCheckpoint per round, previous round's blocks dropped, edge
+    * list cached for the loop and released; the result is the final
+    * checkpoint, released by the caller via
+    * [[Dedup.unpersistCheckpoint]].
+    *
+    * Input: directed (src, dst, w) edges (feed both orientations for
+    * undirected), (node) sources. */
+  def boundedSssp(edges: DataFrame, sources: DataFrame,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    try {
+      e.count() // materialize before the loop reuses it
+      var dist = sources.select(col("node")).distinct()
+        .withColumn("cost", lit(0L))
+        .localCheckpoint(true)
+      var prev: Option[DataFrame] = None
+      var h = 0
+      while (h < maxHops) {
+        h += 1
+        val relaxed = dist.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"),
+            (col("cost") + col("w")).cast("long").as("cost"))
+          .unionByName(dist)
+          .groupBy("node").agg(min("cost").as("cost"))
+          .localCheckpoint(true)
+        prev.foreach(Dedup.unpersistCheckpoint)
+        prev = Some(dist)
+        dist = relaxed
+      }
+      prev.foreach(Dedup.unpersistCheckpoint)
+      dist
+    } finally e.unpersist(blocking = false)
+  }
+
   def multiSourceBfs(edges: DataFrame, sources: DataFrame,
                      maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

@@ -2047,10 +2047,221 @@ object AnalyticsQueries {
        FROM li CROSS JOIN m
        ORDER BY score DESC, l_orderkey, l_linenumber LIMIT 10"""
 
+  // --- q220: bounded-hop weighted shortest paths (Bellman-Ford) ----------
+  /** Minimum path COST (not hop count — q160's weighted tier) from the
+    * q160 source set over the part↔supplier graph, edge weight a
+    * deterministic int of the endpoints, capped at 3 relaxation
+    * rounds: dist_k(v) = min(dist_{k-1}(v), min_u dist_{k-1}(u)+w).
+    * [[graft.operators.Graphs.boundedSssp]] shuffles min-reduced
+    * (node, long) pairs per round; the oracle unrolls the SAME DP
+    * relationally (3 join+group-min levels — identical semantics by
+    * construction, bounded working set ≤ |V| rows per level). Summary
+    * = exact per-cost histogram with a node-sum checksum, q160's
+    * reporting discipline. */
+  def q220BoundedSssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"),
+        (col("l_suppkey") + 10000000L).as("sp"))
+      .distinct()
+    val half = li.select(col("p").as("src"), col("sp").as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("w", (col("src") + col("dst")) % 9 + 1)
+    val sources = edges.select(col("src").as("node"))
+      .filter(col("node") % 97 === 0).distinct()
+    val dists = graft.operators.Graphs.boundedSssp(edges, sources, 3)
+    val out = dists.groupBy("cost")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_sum"))
+      .orderBy("cost")
+    val rows = out.collect()
+    graft.operators.Dedup.unpersistCheckpoint(dists)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val q220Sql: String =
+    """WITH li AS (
+         SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS sp
+         FROM lineitem),
+       edges AS (
+         SELECT src, dst, (src + dst) % 9 + 1 AS w FROM (
+           SELECT p AS src, sp AS dst FROM li
+           UNION ALL SELECT sp AS src, p AS dst FROM li)),
+       d0 AS (
+         SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+         FROM edges WHERE src % 97 = 0),
+       d1 AS (
+         SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+           SELECT e.dst AS node, d0.cost + e.w AS cost
+           FROM d0 JOIN edges e ON e.src = d0.node
+           UNION ALL SELECT node, cost FROM d0) GROUP BY node),
+       d2 AS (
+         SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+           SELECT e.dst AS node, d1.cost + e.w AS cost
+           FROM d1 JOIN edges e ON e.src = d1.node
+           UNION ALL SELECT node, cost FROM d1) GROUP BY node),
+       d3 AS (
+         SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+           SELECT e.dst AS node, d2.cost + e.w AS cost
+           FROM d2 JOIN edges e ON e.src = d2.node
+           UNION ALL SELECT node, cost FROM d2) GROUP BY node)
+       SELECT cost, CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(node) AS BIGINT) AS node_sum
+       FROM d3 GROUP BY cost ORDER BY cost"""
+
+  // --- q221: U-shaped (position-based) multi-touch attribution -----------
+  /** The 40/20/40 position-based attribution model in EXACT integer
+    * basis points: each user's touches strictly before their first
+    * purchase share 10000 bp — first and last touch 4000 each, the
+    * middles split 2000 by largest-remainder (q219's conservation
+    * discipline: Σ bp ≡ 10000 per converting user, no float credit
+    * ever). Degenerates: one touch → 10000; two → 5000/5000. Windows
+    * partition per user (bounded), census shuffles |channels| rows.
+    * Completes the attribution family: last-touch (q146), linear
+    * (q175), position-based (here). */
+  def q221UShapeAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").select(
+      col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+      .select(col("user_id"), col("fp.ts").as("p_ts"),
+        col("fp.event_id").as("p_eid"))
+    val touches = ev.join(firstPurchase, "user_id")
+      .filter(col("ts") < col("p_ts") ||
+        (col("ts") === col("p_ts") && col("event_id") < col("p_eid")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sized = touches
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("user_id")))
+    val bp = when(col("n") === 1, 10000L)
+      .when(col("n") === 2, 5000L)
+      .when(col("i") === 1 || col("i") === col("n"), 4000L)
+      .otherwise(
+        // middle j = i-1 of n-2 middles: base + largest-remainder cent
+        expr("2000 div (n - 2)") +
+          when(col("i") - 1 <= expr("2000 % (n - 2)"), 1L)
+            .otherwise(0L))
+    sized.withColumn("bp", bp.cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("bp").cast("long").as("total_bp"))
+      .orderBy("event_type")
+  }
+
+  val q221Sql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_id, event_type FROM events),
+       fpx AS (
+         SELECT user_id, ts AS p_ts, event_id AS p_eid
+         FROM (SELECT user_id, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS rn
+               FROM ev WHERE event_type = 'purchase')
+         WHERE rn = 1),
+       touches AS (
+         SELECT e.user_id, e.ts, e.event_id, e.event_type
+         FROM ev e JOIN fpx ON e.user_id = fpx.user_id
+         WHERE e.ts < p_ts OR (e.ts = p_ts AND e.event_id < p_eid)),
+       sized AS (
+         SELECT event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS i,
+                count(*) OVER (PARTITION BY user_id) AS n
+         FROM touches),
+       credited AS (
+         SELECT event_type,
+                CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN 5000
+                     WHEN i = 1 OR i = n THEN 4000
+                     ELSE 2000 // (n - 2) +
+                          CASE WHEN i - 1 <= 2000 % (n - 2)
+                               THEN 1 ELSE 0 END
+                END AS bp
+         FROM sized)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(sum(bp) AS BIGINT) AS total_bp
+       FROM credited GROUP BY 1 ORDER BY 1"""
+
+  // --- q222: CUSUM change-point detection --------------------------------
+  /** One-sided CUSUM over each event type's hourly count series,
+    * computed RELATIONALLY via the running-min identity: with
+    * y_t = c_t − ref and C_t = Σ_{≤t} y, the textbook recurrence
+    * S_t = max(0, S_{t-1} + y_t) equals C_t − min(0, min_{j≤t} C_j)
+    * (the virtual C₀ = 0 is part of the prefix) — two
+    * exact-integer window passes, no sequential recursion, so the
+    * detector distributes (and the oracle replays it identically).
+    * ref = per-type mean hourly count, floored to keep everything in
+    * int64. Report: each type's peak CUSUM and when it peaked
+    * (earliest hour on ties — WindowGroupLimit top-1). */
+  def q222Cusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val withRef = hourly
+      .withColumn("ref", expr(
+        "sum(c) OVER (PARTITION BY event_type) div " +
+          "count(c) OVER (PARTITION BY event_type)"))
+    val wOrd = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = withRef
+      .withColumn("cum", sum(col("c") - col("ref")).over(wOrd))
+      // min over the prefix INCLUDING the virtual C₀ = 0 — without the
+      // least(·,0) clamp, a series that never dips below zero would
+      // report S₁ = 0 where the recurrence gives S₁ = y₁
+      .withColumn("s",
+        col("cum") - least(min("cum").over(wOrd), lit(0L)))
+    cusum
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(col("s").desc, col("hour"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("ref").cast("long").as("ref"),
+        col("s").cast("long").as("peak_cusum"),
+        col("hour").as("peak_hour"))
+      .orderBy("event_type")
+  }
+
+  val q222Sql: String =
+    """WITH hourly AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d-%H') AS hour,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       withref AS (
+         SELECT *, sum(c) OVER (PARTITION BY event_type) //
+                   count(c) OVER (PARTITION BY event_type) AS ref
+         FROM hourly),
+       cusum AS (
+         SELECT *,
+                sum(c - ref) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+         FROM withref),
+       s AS (
+         SELECT *,
+                cum - least(min(cum) OVER (PARTITION BY event_type
+                  ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0) AS s
+         FROM cusum),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY s DESC, hour) AS rk
+         FROM s)
+       SELECT event_type, CAST(ref AS BIGINT) AS ref,
+              CAST(s AS BIGINT) AS peak_cusum, hour AS peak_hour
+       FROM ranked WHERE rk = 1 ORDER BY event_type"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
     "q209_mahalanobis_diag" -> q209MahalanobisDiag _,
+    "q220_bounded_sssp" -> q220BoundedSssp _,
+    "q221_ushape_attribution" -> q221UShapeAttribution _,
+    "q222_cusum" -> q222Cusum _,
     "q204_backfill_plan" -> q204BackfillPlan _,
     "q205_asof_forward" -> q205AsofForward _,
     "q206_top_journeys" -> q206TopJourneys _,
@@ -2095,6 +2306,9 @@ object AnalyticsQueries {
     "q207_quarantine_split" -> q207Sql,
     "q208_late_dim" -> q208Sql,
     "q209_mahalanobis_diag" -> q209Sql,
+    "q220_bounded_sssp" -> q220Sql,
+    "q221_ushape_attribution" -> q221Sql,
+    "q222_cusum" -> q222Sql,
     "q204_backfill_plan" -> q204Sql,
     "q205_asof_forward" -> q205Sql,
     "q206_top_journeys" -> q206Sql,

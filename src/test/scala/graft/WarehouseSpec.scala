@@ -240,6 +240,81 @@ class WarehouseSpec extends SparkSpec {
       col("alloc_cents") < col("base")).count() === 0)
   }
 
+  test("boundedSssp: takes the cheaper multi-hop path over the direct " +
+      "edge, respects the hop cap, handles negative weights") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Graphs}
+    // 1 -> 7 direct costs 10; 1 -> 2 -> 3 -> 7 costs 3; node 5 sits
+    // 4 hops down the chain (beyond the cap, and the only route to it
+    // goes through 4); 1 -> 6 has a negative weight
+    val edges = Seq(
+      (1L, 7L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 7L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (1L, 6L, -2L)
+    ).toDF("src", "dst", "w")
+    val sources = Seq(1L).toDF("node")
+    val out = Graphs.boundedSssp(edges, sources, 3)
+    val m = out.collect().map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("cost")).toMap
+    Dedup.unpersistCheckpoint(out)
+    assert(m(1L) === 0L)
+    assert(m(7L) === 3L, "3-hop path must beat the direct edge")
+    assert(m(2L) === 1L && m(3L) === 2L && m(4L) === 3L)
+    assert(m(6L) === -2L)
+    assert(!m.contains(5L), "node beyond the hop cap must be absent")
+  }
+
+  test("q221 U-shaped attribution conserves exactly 10000 bp per " +
+      "converting user") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("p_ts"),
+        col("m.event_id").as("p_eid"))
+    val touches = ev.join(fp, "user_id")
+      .filter(col("ts") < col("p_ts") ||
+        (col("ts") === col("p_ts") && col("event_id") < col("p_eid")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sized = touches.withColumn("i", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("user_id")))
+    val bp = when(col("n") === 1, 10000L).when(col("n") === 2, 5000L)
+      .when(col("i") === 1 || col("i") === col("n"), 4000L)
+      .otherwise(expr("2000 div (n - 2)") +
+        when(col("i") - 1 <= expr("2000 % (n - 2)"), 1L).otherwise(0L))
+    val perUser = sized.withColumn("bp", bp)
+      .groupBy("user_id").agg(sum("bp").as("total"))
+    assert(perUser.filter(col("total") =!= 10000L).count() === 0,
+      "largest-remainder credit must conserve 10000 bp exactly")
+    assert(perUser.count() > 0)
+  }
+
+  test("q222 CUSUM: the running-min identity reproduces the " +
+      "sequential max(0, S + y) recurrence") {
+    val out = graft.queries.AnalyticsQueries.q222Cusum(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    // replay one series sequentially
+    val hourly = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "click")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("hour").collect()
+    val cs = hourly.map(_.getAs[Long]("c"))
+    val ref = cs.sum / cs.length
+    var s0 = 0L; var peak = 0L
+    cs.foreach { c =>
+      s0 = math.max(0L, s0 + (c - ref)); peak = math.max(peak, s0)
+    }
+    val clickRow = out.find(_.getAs[String]("event_type") == "click").get
+    assert(clickRow.getAs[Long]("peak_cusum") === peak)
+    assert(clickRow.getAs[Long]("ref") === ref)
+  }
+
   test("q213 bitmap intersection ≡ naive count-distinct intersection") {
     import spark.implicits._
     val bm = graft.queries.WarehouseQueries
