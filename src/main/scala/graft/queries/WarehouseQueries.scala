@@ -561,13 +561,17 @@ object WarehouseQueries {
       .withColumn("deficit",
         (col("cents") - sum("base").over(byOrder)).cast("long"))
       .withColumn("rk", row_number().over(
-        byOrder.orderBy(col("rem").desc, col("l_linenumber"))))
+        byOrder.orderBy(col("rem").desc, col("l_linenumber"),
+          col("qty"))))
     ranked
       .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
         (col("base") +
           when(col("rk") <= col("deficit"), 1L).otherwise(0L))
           .cast("long").as("alloc_cents"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // duplicate (orderkey, linenumber) rows exist in the harness
+      // data: order by every output column so the positional compare
+      // cannot see a tie
+      .orderBy("l_orderkey", "l_linenumber", "qty", "alloc_cents")
   }
 
   val q219Sql: String =
@@ -594,12 +598,215 @@ object WarehouseQueries {
                 cents - CAST(sum(base) OVER (PARTITION BY l_orderkey)
                   AS BIGINT) AS deficit,
                 row_number() OVER (PARTITION BY l_orderkey
-                  ORDER BY rem DESC, l_linenumber) AS rk
+                  ORDER BY rem DESC, l_linenumber, qty) AS rk
          FROM shares)
        SELECT l_orderkey, l_linenumber, qty,
               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc_cents
-       FROM ranked ORDER BY l_orderkey, l_linenumber"""
+       FROM ranked
+       ORDER BY l_orderkey, l_linenumber, qty, alloc_cents"""
+
+  // --- q223: FIFO lot allocation (interval-overlap matching) -------------
+  /** First-in-first-out inventory costing without a sequential scan:
+    * per part, "purchase" lots (even line numbers) and "sales" (odd)
+    * each form a cumulative-quantity number line; FIFO matching IS the
+    * interval overlap alloc(i,j) = min(Pᵢ,Sⱼ) − max(Pᵢ₋₁,Sⱼ₋₁) on
+    * overlapping pairs — a per-part equi-join + range residual, pure
+    * int64, no recursion, no driver loop (the classic
+    * relational-FIFO rewrite). For sorted interval partitions the
+    * surviving pairs number ≤ m+n−1 per part, so output is linear in
+    * lines; censused per part-bucket: matched qty, unmatched sales
+    * (demand beyond supply), pair count. */
+  def q223FifoAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_partkey").as("part"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_linenumber") % 2 === 0).as("is_purchase"))
+    def cumLine(purchase: Boolean) = {
+      // ROWS frame + qty tie-break, both load-bearing: the harness
+      // lineitem has DUPLICATE (orderkey, linenumber) rows, so the
+      // default RANGE frame would hand peers the same cumulative sum
+      // (overlapping intervals → phantom pairs), and without qty in
+      // the order two engines may split the tie at different
+      // boundaries; with it, equal-keyed rows are either qty-ordered
+      // or fully interchangeable
+      val w = Window.partitionBy("part").orderBy("ok", "ln", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("is_purchase") === purchase)
+        .withColumn("hi", sum("qty").over(w))
+        .withColumn("lo", col("hi") - col("qty"))
+        .select(col("part"), col("lo"), col("hi"))
+    }
+    val p = cumLine(purchase = true)
+      .withColumnRenamed("lo", "p_lo").withColumnRenamed("hi", "p_hi")
+    val sl = cumLine(purchase = false)
+      .withColumnRenamed("lo", "s_lo").withColumnRenamed("hi", "s_hi")
+    val matched = p.join(sl, Seq("part"))
+      .filter(col("p_lo") < col("s_hi") && col("s_lo") < col("p_hi"))
+      .withColumn("alloc",
+        least(col("p_hi"), col("s_hi")) -
+          greatest(col("p_lo"), col("s_lo")))
+    val allocPer = matched.groupBy("part")
+      .agg(sum("alloc").as("matched_qty"), count(lit(1)).as("n_pairs"))
+    val salesPer = sl.groupBy("part")
+      .agg(max("s_hi").as("sales_qty"))
+    salesPer.join(allocPer, Seq("part"), "left_outer")
+      .groupBy((col("part") % 50).as("part_bucket"))
+      .agg(sum(coalesce(col("matched_qty"), lit(0L))).cast("long")
+          .as("matched_qty"),
+        sum(col("sales_qty") - coalesce(col("matched_qty"), lit(0L)))
+          .cast("long").as("unmatched_sales_qty"),
+        sum(coalesce(col("n_pairs"), lit(0L))).cast("long")
+          .as("n_pairs"))
+      .orderBy("part_bucket")
+  }
+
+  val q223Sql: String =
+    """WITH li AS (
+         SELECT l_partkey AS part, l_orderkey AS ok, l_linenumber AS ln,
+                CAST(l_quantity AS BIGINT) AS qty,
+                l_linenumber % 2 = 0 AS is_purchase
+         FROM lineitem),
+       p AS (
+         SELECT part,
+                sum(qty) OVER w - qty AS p_lo, sum(qty) OVER w AS p_hi
+         FROM li WHERE is_purchase
+         WINDOW w AS (PARTITION BY part ORDER BY ok, ln, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       s AS (
+         SELECT part,
+                sum(qty) OVER w - qty AS s_lo, sum(qty) OVER w AS s_hi
+         FROM li WHERE NOT is_purchase
+         WINDOW w AS (PARTITION BY part ORDER BY ok, ln, qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       matched AS (
+         SELECT p.part,
+                least(p_hi, s_hi) - greatest(p_lo, s_lo) AS alloc
+         FROM p JOIN s ON p.part = s.part
+         WHERE p_lo < s_hi AND s_lo < p_hi),
+       alloc_per AS (
+         SELECT part, CAST(sum(alloc) AS BIGINT) AS matched_qty,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM matched GROUP BY part),
+       sales_per AS (
+         SELECT part, CAST(max(s_hi) AS BIGINT) AS sales_qty
+         FROM s GROUP BY part)
+       SELECT sp.part % 50 AS part_bucket,
+              CAST(sum(coalesce(matched_qty, 0)) AS BIGINT)
+                AS matched_qty,
+              CAST(sum(sales_qty - coalesce(matched_qty, 0)) AS BIGINT)
+                AS unmatched_sales_qty,
+              CAST(sum(coalesce(n_pairs, 0)) AS BIGINT) AS n_pairs
+       FROM sales_per sp LEFT JOIN alloc_per a ON sp.part = a.part
+       GROUP BY 1 ORDER BY 1"""
+
+  // --- q224: business-day SLA latency ------------------------------------
+  /** Weekday count between order and ship date per line — the SLA
+    * metric every fulfillment report needs — via the CLOSED-FORM
+    * weekday counter f(d) = 5·(n div 7) + min(n mod 7, 5), n = days
+    * since an anchor MONDAY (1994-12-26, before the data's range so n
+    * never goes negative — truncating div vs floor div on negatives is
+    * a real cross-engine trap, sidestepped structurally). No calendar
+    * table join, no per-day explosion: two datediffs and integer
+    * arithmetic per row, then a tiny histogram. */
+  def q224BusinessDaySla(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("n1",
+        datediff(col("o_orderdate"), to_date(lit("1994-12-26"))))
+      .withColumn("n2",
+        datediff(col("l_shipdate"), to_date(lit("1994-12-26"))))
+      .withColumn("biz_days",
+        (lit(5) * expr("n2 div 7") + least(expr("n2 % 7"), lit(5))) -
+          (lit(5) * expr("n1 div 7") + least(expr("n1 % 7"), lit(5))))
+    j.groupBy("biz_days").agg(count(lit(1)).as("n_lines"))
+      .orderBy("biz_days")
+  }
+
+  val q224Sql: String =
+    """WITH j AS (
+         SELECT date_diff('day', DATE '1994-12-26', o.o_orderdate)
+                  AS n1,
+                date_diff('day', DATE '1994-12-26', l.l_shipdate)
+                  AS n2
+         FROM lineitem l JOIN orders o
+           ON l.l_orderkey = o.o_orderkey),
+       b AS (
+         SELECT (5 * (n2 // 7) + least(n2 % 7, 5)) -
+                (5 * (n1 // 7) + least(n1 % 7, 5)) AS biz_days
+         FROM j)
+       SELECT CAST(biz_days AS INTEGER) AS biz_days,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM b GROUP BY 1 ORDER BY 1"""
+
+  // --- q225: cumulative distinct users (growth curve) --------------------
+  /** Users-to-date per day — the growth metric that looks like it
+    * needs a running COUNT(DISTINCT) (quadratic re-scan as a naive
+    * window) but is exactly "cumulative sum of first-seen events": one
+    * min-aggregation per user, one count per day, one window cumsum
+    * over the day series. 100 TB shape: the distinct state never
+    * materializes — each user reduces to one (user, first_day) row
+    * map-side. */
+  def q225CumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+    firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users",
+        sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy("day")
+  }
+
+  val q225Sql: String =
+    """WITH fs AS (
+         SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+         FROM events GROUP BY 1),
+       per AS (
+         SELECT day, CAST(count(*) AS BIGINT) AS n_new
+         FROM fs GROUP BY 1)
+       SELECT day, n_new,
+              CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+       FROM per ORDER BY day"""
+
+  // --- q226: token-fingerprint clustering (OpenRefine key collision) -----
+  /** The data-cleaning clustering OpenRefine made standard: canonical
+    * key = distinct tokens, sorted, rejoined — names differing only in
+    * token order/duplication collide on one fingerprint, and a plain
+    * hash aggregation finds every cluster (no pairwise string
+    * similarity, no cross join; the method's entire point at scale).
+    * Report: fingerprints carrying >1 part, with how many distinct
+    * raw spellings collided into each. */
+  def q226FingerprintCluster(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        array_join(array_sort(array_distinct(
+          split(lower(col("p_name")), " "))), " ").as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct("p_name").as("n_spellings"))
+      .filter(col("n_parts") > 1)
+      .orderBy("fingerprint")
+
+  val q226Sql: String =
+    """WITH f AS (
+         SELECT p_partkey, p_name,
+                array_to_string(list_sort(list_distinct(
+                  string_split(lower(p_name), ' '))), ' ')
+                  AS fingerprint
+         FROM part)
+       SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT p_name) AS BIGINT) AS n_spellings
+       FROM f GROUP BY 1 HAVING count(*) > 1
+       ORDER BY fingerprint"""
 
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
@@ -612,6 +819,10 @@ object WarehouseQueries {
     "q217_chi2_independence" -> q217Chi2Independence _,
     "q218_majority_vote" -> q218MajorityVote _,
     "q219_proration" -> q219Proration _,
+    "q223_fifo_allocation" -> q223FifoAllocation _,
+    "q224_business_day_sla" -> q224BusinessDaySla _,
+    "q225_cumulative_users" -> q225CumulativeUsers _,
+    "q226_fingerprint_cluster" -> q226FingerprintCluster _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -625,5 +836,9 @@ object WarehouseQueries {
     "q217_chi2_independence" -> q217Sql,
     "q218_majority_vote" -> q218Sql,
     "q219_proration" -> q219Sql,
+    "q223_fifo_allocation" -> q223Sql,
+    "q224_business_day_sla" -> q224Sql,
+    "q225_cumulative_users" -> q225Sql,
+    "q226_fingerprint_cluster" -> q226Sql,
   )
 }

@@ -315,6 +315,80 @@ class WarehouseSpec extends SparkSpec {
     assert(clickRow.getAs[Long]("ref") === ref)
   }
 
+  test("q223 FIFO: every part matches exactly min(supply, demand) and " +
+      "pair count stays within the m+n-1 sorted-interval bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("part"), col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_linenumber") % 2 === 0).as("is_purchase"))
+    def cum(flag: Boolean) = {
+      val w = Window.partitionBy("part").orderBy("ok", "ln", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("is_purchase") === flag)
+        .withColumn("hi", sum("qty").over(w))
+        .withColumn("lo", col("hi") - col("qty"))
+        .select(col("part"), col("lo"), col("hi"))
+    }
+    val p = cum(true).withColumnRenamed("lo", "p_lo")
+      .withColumnRenamed("hi", "p_hi")
+    val sl = cum(false).withColumnRenamed("lo", "s_lo")
+      .withColumnRenamed("hi", "s_hi")
+    val matched = p.join(sl, Seq("part"))
+      .filter(col("p_lo") < col("s_hi") && col("s_lo") < col("p_hi"))
+      .withColumn("alloc", least(col("p_hi"), col("s_hi")) -
+        greatest(col("p_lo"), col("s_lo")))
+    val perPart = matched.groupBy("part")
+      .agg(sum("alloc").as("m_qty"), count(lit(1)).as("n_pairs"))
+      .join(p.groupBy("part").agg(max("p_hi").as("supply"),
+        count(lit(1)).as("m")), Seq("part"))
+      .join(sl.groupBy("part").agg(max("s_hi").as("demand"),
+        count(lit(1)).as("n")), Seq("part"))
+    assert(perPart.filter(
+      col("m_qty") =!= least(col("supply"), col("demand"))).count() === 0,
+      "FIFO must fully match min(supply, demand) per part")
+    assert(perPart.filter(
+      col("n_pairs") > col("m") + col("n") - 1).count() === 0,
+      "sorted interval partitions overlap in at most m+n-1 pairs")
+  }
+
+  test("q224 business-day counter agrees with a literal day walk") {
+    val anchor = java.time.LocalDate.parse("1994-12-26")
+    def f(d: java.time.LocalDate): Long = {
+      val n = java.time.temporal.ChronoUnit.DAYS.between(anchor, d)
+      5 * (n / 7) + math.min(n % 7, 5)
+    }
+    def walk(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      Iterator.iterate(a)(_.plusDays(1)).takeWhile(_.isBefore(b))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    val pairs = Seq(
+      ("1995-01-01", "1995-01-02"), ("1995-01-06", "1995-01-09"),
+      ("1995-03-04", "1995-03-06"), ("1995-01-01", "1996-02-29"),
+      ("1999-12-31", "2000-01-03"))
+    pairs.foreach { case (a, b) =>
+      val (da, db) =
+        (java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+      assert(f(db) - f(da) === walk(da, db),
+        s"closed form diverges from the day walk on [$a, $b)")
+    }
+  }
+
+  test("q226 fingerprint clustering: members of a cluster share the " +
+      "same distinct-token set") {
+    val out = graft.queries.WarehouseQueries
+      .q226FingerprintCluster(spark, dir).collect()
+    assert(out.nonEmpty, "the part fixture must produce collisions")
+    out.foreach { r =>
+      val fp = r.getAs[String]("fingerprint")
+      val toks = fp.split(" ")
+      assert(toks.sorted.sameElements(toks) && toks.distinct.length
+        === toks.length, s"non-canonical fingerprint: $fp")
+      assert(r.getAs[Long]("n_parts") > 1)
+    }
+  }
+
   test("q213 bitmap intersection ≡ naive count-distinct intersection") {
     import spark.implicits._
     val bm = graft.queries.WarehouseQueries
