@@ -2255,6 +2255,208 @@ object AnalyticsQueries {
               CAST(s AS BIGINT) AS peak_cusum, hour AS peak_hour
        FROM ranked WHERE rk = 1 ORDER BY event_type"""
 
+  // --- q227: MAD robust outliers -----------------------------------------
+  /** Median-absolute-deviation outlier scoring — the robust tier above
+    * q95's mean/σ z-score (one in-group outlier inflates σ and masks
+    * its neighbors; the median pair doesn't budge). Both medians are
+    * EXACT discrete percentiles on integer cents — least value whose
+    * cumulative histogram frequency reaches ⌈n/2⌉, identical to the
+    * q66 rank-pick the oracle uses — so the
+    * only float is the final (x−med)/MAD division. Top-3 per group by
+    * deviation (|score| ranking ≡ |dev| ranking within a group — MAD
+    * is a positive per-group constant), WindowGroupLimit-bounded;
+    * cents joins the sort key because the harness data carries
+    * duplicate (orderkey, linenumber) rows. */
+  def q227MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    // the obvious row_number PARTITION BY flag collapses the TABLE
+    // into |groups| window partitions — a 3-task sort ceiling. Instead
+    // the median comes off the per-(group, value) HISTOGRAM: the
+    // counting aggregation parallelizes fully (map-side partials), and
+    // the one small window walks cumulative counts over DISTINCT
+    // values — bounded by the value range (cents), not the row count,
+    // at any corpus size. Median = least value whose cumulative
+    // frequency reaches ⌈n/2⌉; exact under ties by construction.
+    def histMedian(df: org.apache.spark.sql.DataFrame,
+                   valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("l_returnflag").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy("l_returnflag", valueCol)
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .join(broadcast(counts), "l_returnflag")
+        .filter(col("cum") >= ceil(col("n") * 0.5).cast("long"))
+        .groupBy("l_returnflag").agg(min(valueCol).as(outCol))
+    }
+    val med = histMedian(li, "cents", "med")
+    val withDev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = histMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), "l_returnflag")
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("dev").desc, col("l_orderkey"),
+          col("l_linenumber"), col("cents"))))
+      .filter(col("rk") <= 3)
+      .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("cents"),
+        when(col("mad") > 0,
+          (col("cents") - col("med")).cast("double") /
+            col("mad").cast("double")).as("robust_z"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  val q227Sql: String =
+    """WITH li AS (
+         SELECT l_returnflag, l_orderkey, l_linenumber,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem),
+       counts AS (
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         FROM li GROUP BY 1),
+       med AS (
+         SELECT l_returnflag,
+                max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN cents END) AS med
+         FROM (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY cents) AS rn
+               FROM li) r JOIN counts USING (l_returnflag)
+         GROUP BY 1),
+       dev AS (
+         SELECT li.l_returnflag, l_orderkey, l_linenumber, cents,
+                abs(cents - med) AS dev
+         FROM li JOIN med USING (l_returnflag)),
+       mad AS (
+         SELECT l_returnflag,
+                max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                    THEN dev END) AS mad
+         FROM (SELECT l_returnflag, dev,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY dev) AS rn
+               FROM dev) r JOIN counts USING (l_returnflag)
+         GROUP BY 1),
+       ranked AS (
+         SELECT d.l_returnflag, l_orderkey, l_linenumber, cents,
+                dev, med.med, mad.mad,
+                row_number() OVER (PARTITION BY d.l_returnflag
+                  ORDER BY dev DESC, l_orderkey, l_linenumber, cents)
+                  AS rk
+         FROM dev d JOIN med USING (l_returnflag)
+              JOIN mad USING (l_returnflag))
+       SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, l_orderkey,
+              l_linenumber, cents,
+              CASE WHEN mad > 0 THEN
+                CAST(cents - med AS DOUBLE) / CAST(mad AS DOUBLE)
+              END AS robust_z
+       FROM ranked WHERE rk <= 3
+       ORDER BY l_returnflag, rk"""
+
+  // --- q228: item-item similarity (bipartite projection) -----------------
+  /** Collaborative-filtering's core primitive: suppliers similar by
+    * SHARED PARTS — project the part↔supplier bipartite graph onto
+    * suppliers via an inverted-index self-join on the part (the q26
+    * postings discipline: candidate pairs are Σ_part df², bounded by
+    * capping hot parts at scale, never |S|²), count co-occurrences,
+    * and score sim² = n²/(d₁·d₂) — squared cosine kept RATIONAL (one
+    * exact-integer ratio, one division; no sqrt, which is not
+    * bit-identical across engines). Top-20 pairs by overlap. */
+  def q228ItemItem(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = ps.groupBy("supp").agg(count(lit(1)).as("d"))
+    val pairs = ps.as("a")
+      .join(ps.as("b"), col("a.part") === col("b.part"))
+      .filter(col("a.supp") < col("b.supp"))
+      .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(deg.select(col("supp").as("s1"), col("d").as("d1")), "s1")
+      .join(deg.select(col("supp").as("s2"), col("d").as("d2")), "s2")
+      .select(col("s1"), col("s2"), col("n_common"), col("d1"),
+        col("d2"),
+        ((col("n_common") * col("n_common")).cast("double") /
+          (col("d1") * col("d2")).cast("double")).as("sim2"))
+      .orderBy(col("n_common").desc, col("s1"), col("s2"))
+      .limit(20)
+  }
+
+  val q228Sql: String =
+    """WITH ps AS (
+         SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+         FROM lineitem),
+       deg AS (
+         SELECT supp, CAST(count(*) AS BIGINT) AS d
+         FROM ps GROUP BY 1),
+       pairs AS (
+         SELECT a.supp AS s1, b.supp AS s2,
+                CAST(count(*) AS BIGINT) AS n_common
+         FROM ps a JOIN ps b ON a.part = b.part AND a.supp < b.supp
+         GROUP BY 1, 2)
+       SELECT s1, s2, n_common, da.d AS d1, db.d AS d2,
+              CAST(n_common * n_common AS DOUBLE) /
+                CAST(da.d * db.d AS DOUBLE) AS sim2
+       FROM pairs JOIN deg da ON pairs.s1 = da.supp
+            JOIN deg db ON pairs.s2 = db.supp
+       ORDER BY n_common DESC, s1, s2 LIMIT 20"""
+
+  // --- q229: ordered 3-step pattern match (funnel with deadline) ---------
+  /** MATCH_RECOGNIZE-lite: users completing signup → click → purchase
+    * STRICTLY in order, with the whole chain inside 2 hours of the
+    * first signup — q80's funnel plus ordering and a deadline. Each
+    * step is one conditional min-aggregation (first signup, first
+    * click after it, first purchase after that): three joins on
+    * user_id, no window over raw events, no pattern automaton —
+    * at 100 TB each step reduces map-side to one row per user.
+    * Strictness is ts-level (a same-timestamp pair doesn't chain),
+    * identical in both engines. */
+  def q229Pattern3Step(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id")
+      .agg(min("ts").as("t3"), min("t1").as("t1"))
+    val conv = s3.filter(
+      col("t3") <= col("t1") + expr("INTERVAL 2 HOURS"))
+    s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+        s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+      .crossJoin(conv.agg(count(lit(1)).as("n_converted_2h")))
+  }
+
+  val q229Sql: String =
+    """WITH ev AS (
+         SELECT user_id, ts, event_type FROM events),
+       s1 AS (
+         SELECT user_id, min(ts) AS t1
+         FROM ev WHERE event_type = 'signup' GROUP BY 1),
+       s2 AS (
+         SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+         FROM ev e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+       s3 AS (
+         SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+         FROM ev e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+              (SELECT CAST(count(*) AS BIGINT) FROM s2)
+                AS n_click_after,
+              (SELECT CAST(count(*) AS BIGINT) FROM s3)
+                AS n_purchase_after,
+              (SELECT CAST(count(*) AS BIGINT) FROM s3
+               WHERE t3 <= t1 + INTERVAL 2 HOUR) AS n_converted_2h"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -2262,6 +2464,9 @@ object AnalyticsQueries {
     "q220_bounded_sssp" -> q220BoundedSssp _,
     "q221_ushape_attribution" -> q221UShapeAttribution _,
     "q222_cusum" -> q222Cusum _,
+    "q227_mad_outliers" -> q227MadOutliers _,
+    "q228_item_item" -> q228ItemItem _,
+    "q229_pattern_3step" -> q229Pattern3Step _,
     "q204_backfill_plan" -> q204BackfillPlan _,
     "q205_asof_forward" -> q205AsofForward _,
     "q206_top_journeys" -> q206TopJourneys _,
@@ -2309,6 +2514,9 @@ object AnalyticsQueries {
     "q220_bounded_sssp" -> q220Sql,
     "q221_ushape_attribution" -> q221Sql,
     "q222_cusum" -> q222Sql,
+    "q227_mad_outliers" -> q227Sql,
+    "q228_item_item" -> q228Sql,
+    "q229_pattern_3step" -> q229Sql,
     "q204_backfill_plan" -> q204Sql,
     "q205_asof_forward" -> q205Sql,
     "q206_top_journeys" -> q206Sql,
