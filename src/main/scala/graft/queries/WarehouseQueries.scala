@@ -808,6 +808,172 @@ object WarehouseQueries {
        FROM f GROUP BY 1 HAVING count(*) > 1
        ORDER BY fingerprint"""
 
+  // --- q230: Horvitz-Thompson estimate from a hash sample ----------------
+  /** Can a 1/16 sample answer the revenue question? The estimator
+    * audit: per order status, the EXACT cents total next to the
+    * Horvitz-Thompson estimate from the q60-style deterministic hash
+    * sample (inclusion p = 1/16 ⇒ estimate = 16·sample total — integer
+    * arithmetic, no float inflation), with relative error as the one
+    * guarded division. Membership is a pure function of the key, so
+    * the estimate is reproducible and the whole audit costs two
+    * aggregation passes (one over the sample, one over the truth). */
+  def q230HtEstimate(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderstatus"),
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      ((col("o_orderkey") * 2654435761L) % 16 === 0).as("in_sample"))
+    val exact = o.groupBy("o_orderstatus")
+      .agg(sum("cents").cast("long").as("exact_cents"),
+        count(lit(1)).as("n_rows"))
+    val est = o.filter(col("in_sample"))
+      .groupBy("o_orderstatus")
+      .agg((sum("cents") * 16).cast("long").as("est_cents"),
+        (count(lit(1)) * 16).cast("long").as("est_rows"))
+    exact.join(est, Seq("o_orderstatus"), "left_outer")
+      .select(col("o_orderstatus"), col("n_rows"), col("exact_cents"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        coalesce(col("est_cents"), lit(0L)).as("est_cents"),
+        when(col("exact_cents") > 0,
+          (coalesce(col("est_cents"), lit(0L)) - col("exact_cents"))
+            .cast("double") / col("exact_cents").cast("double"))
+          .as("rel_err"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q230Sql: String =
+    """WITH o AS (
+         SELECT o_orderstatus, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                (o_orderkey * 2654435761) % 16 = 0 AS in_sample
+         FROM orders),
+       exact AS (
+         SELECT o_orderstatus,
+                CAST(sum(cents) AS BIGINT) AS exact_cents,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM o GROUP BY 1),
+       est AS (
+         SELECT o_orderstatus,
+                CAST(sum(cents) * 16 AS BIGINT) AS est_cents,
+                CAST(count(*) * 16 AS BIGINT) AS est_rows
+         FROM o WHERE in_sample GROUP BY 1)
+       SELECT exact.o_orderstatus, n_rows, exact_cents,
+              coalesce(est_rows, 0) AS est_rows,
+              coalesce(est_cents, 0) AS est_cents,
+              CASE WHEN exact_cents > 0 THEN
+                CAST(coalesce(est_cents, 0) - exact_cents AS DOUBLE) /
+                  CAST(exact_cents AS DOUBLE) END AS rel_err
+       FROM exact LEFT JOIN est USING (o_orderstatus)
+       ORDER BY o_orderstatus"""
+
+  // --- q231: multi-grain rollup chain (hour → day → month) ---------------
+  /** The materialized-view re-aggregation chain: hourly totals roll to
+    * daily, daily to monthly — each tier aggregates the PREVIOUS
+    * tier's output, never the fact table (the property that makes a
+    * 100 TB metrics stack affordable: the day job reads |hours| rows,
+    * the month job |days|). Integer cents make every tier
+    * order-independent, so chained ≡ direct-from-raw — which is
+    * exactly what the oracle checks by computing the monthly report
+    * straight off the facts. */
+  def q231GrainChain(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd-HH")
+        .as("hour"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"), count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(substring(col("hour"), 1, 10).as("day"))
+      .agg(sum("cents").as("cents"), sum("n").as("n"),
+        count(lit(1)).as("n_hours"))
+    daily
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(sum("cents").cast("long").as("cents"),
+        sum("n").cast("long").as("n_lines"),
+        sum("n_hours").cast("long").as("n_hours"),
+        count(lit(1)).as("n_days"))
+      .orderBy("month")
+  }
+
+  val q231Sql: String =
+    """WITH hourly AS (
+         SELECT strftime(l_shipdate, '%Y-%m-%d-%H') AS hour,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1),
+       daily AS (
+         SELECT substr(hour, 1, 10) AS day,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(sum(n) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_hours
+         FROM hourly GROUP BY 1)
+       SELECT substr(day, 1, 7) AS month,
+              CAST(sum(cents) AS BIGINT) AS cents,
+              CAST(sum(n) AS BIGINT) AS n_lines,
+              CAST(sum(n_hours) AS BIGINT) AS n_hours,
+              CAST(count(*) AS BIGINT) AS n_days
+       FROM daily GROUP BY 1 ORDER BY 1"""
+
+  // --- q232: partition-layout evolution ----------------------------------
+  /** A sink whose partitioning CHANGED mid-life (Iceberg's "partition
+    * evolution", done manually the way plain-parquet lakehouses do):
+    * history written partitioned by MONTH, the current epoch by DAY —
+    * one logical table, two physical layouts. The reader unions two
+    * pruned scans, each filtered in its own layout's vocabulary
+    * (month-prefix vs day-range), and the census proves no row is
+    * lost or doubled across the layout seam. Real writes, read back;
+    * oracle = the same window straight off the facts. */
+  def q232PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("cents"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_pevo_")
+      .toString
+    try {
+      val seam = "1996-07"
+      // sink only the seam-spanning window: partitionBy("day") over
+      // years of history is the small-files cliff itself (measured
+      // 28 s at sf0.01 for ~2000 tiny directories); the layout-seam
+      // semantics needs two layouts and a boundary, not the archive
+      val win = li.filter(col("month") >= "1996-05" &&
+        col("month") < "1996-09")
+      win.filter(col("month") < seam)
+        .write.partitionBy("month").parquet(s"$root/by_month")
+      win.filter(col("month") >= seam)
+        .write.partitionBy("day").parquet(s"$root/by_day")
+      // read window [1996-05-01, 1996-09-01) spanning the seam, each
+      // side pruned in its own layout's vocabulary
+      val hist = s.read.parquet(s"$root/by_month")
+        .filter(col("month") >= "1996-05" && col("month") < "1996-07")
+      val cur = s.read.parquet(s"$root/by_day")
+        .filter(col("day") >= "1996-07-01" && col("day") < "1996-09-01")
+      val out = hist.select(col("month"), col("cents"))
+        .unionByName(cur.select(substring(col("day"), 1, 7).as("month"),
+          col("cents")))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("cents").cast("long").as("cents"))
+        .orderBy("month")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q232Sql: String =
+    """WITH li AS (
+         SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1996-05-01'
+           AND strftime(l_shipdate, '%Y-%m-%d') < '1996-09-01')
+       SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(cents) AS BIGINT) AS cents
+       FROM li GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -823,6 +989,9 @@ object WarehouseQueries {
     "q224_business_day_sla" -> q224BusinessDaySla _,
     "q225_cumulative_users" -> q225CumulativeUsers _,
     "q226_fingerprint_cluster" -> q226FingerprintCluster _,
+    "q230_ht_estimate" -> q230HtEstimate _,
+    "q231_grain_chain" -> q231GrainChain _,
+    "q232_partition_evolution" -> q232PartitionEvolution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -840,5 +1009,8 @@ object WarehouseQueries {
     "q224_business_day_sla" -> q224Sql,
     "q225_cumulative_users" -> q225Sql,
     "q226_fingerprint_cluster" -> q226Sql,
+    "q230_ht_estimate" -> q230Sql,
+    "q231_grain_chain" -> q231Sql,
+    "q232_partition_evolution" -> q232Sql,
   )
 }

@@ -389,6 +389,51 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q232 partition evolution: each layout's scan is pruned by its " +
+      "own partition vocabulary (PartitionFilters on month and on day)") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), "graft_pevo_spec_").toString
+    try {
+      li.filter(col("month") < "1996-07")
+        .write.partitionBy("month").parquet(s"$root/by_month")
+      li.filter(col("month") >= "1996-07")
+        .write.partitionBy("day").parquet(s"$root/by_day")
+      def prunedScan(path: String, c: String, lo: String, hi: String) = {
+        val df = spark.read.parquet(path)
+          .filter(col(c) >= lo && col(c) < hi)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      val histPlan = prunedScan(s"$root/by_month", "month",
+        "1996-05", "1996-07")
+      val curPlan = prunedScan(s"$root/by_day", "day",
+        "1996-07-01", "1996-09-01")
+      assert(histPlan.contains("PartitionFilters") &&
+        histPlan.contains("month"), histPlan.take(400))
+      assert(curPlan.contains("PartitionFilters") &&
+        curPlan.contains("day"), curPlan.take(400))
+      // the seam loses and doubles nothing: union across layouts ==
+      // direct filter on the facts
+      val unioned = spark.read.parquet(s"$root/by_month")
+        .filter(col("month") >= "1996-05" && col("month") < "1996-07")
+        .select("cents")
+        .unionByName(spark.read.parquet(s"$root/by_day")
+          .filter(col("day") >= "1996-07-01" && col("day") < "1996-09-01")
+          .select("cents"))
+      val direct = li.filter(col("day") >= "1996-05-01" &&
+        col("day") < "1996-09-01").select("cents")
+      assert(unioned.count() === direct.count())
+      assert(unioned.agg(sum("cents")).first().getLong(0) ===
+        direct.agg(sum("cents")).first().getLong(0))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("q213 bitmap intersection ≡ naive count-distinct intersection") {
     import spark.implicits._
     val bm = graft.queries.WarehouseQueries
