@@ -974,6 +974,185 @@ object WarehouseQueries {
               CAST(sum(cents) AS BIGINT) AS cents
        FROM li GROUP BY 1 ORDER BY 1"""
 
+  // --- q233: data-subject access report (GDPR Art. 15) -------------------
+  /** The subject-access-request flow completing the privacy family
+    * (erasure q140, k-anonymity q145, l-diversity q184): for a probe
+    * set of data subjects, what does every table hold about them?
+    * One row per (subject, table) with row count and a cents checksum
+    * — the auditable inventory an erasure is later verified against.
+    * The probe set broadcasts; each table contributes one semi-joined
+    * aggregation pass (lineitem routes through orders for its subject
+    * key); nothing scans more than once. */
+  def q233SubjectAccess(s: SparkSession, dir: String): DataFrame = {
+    val subjects = t(s, dir, "customer")
+      .filter(col("c_custkey") % 500 === 0)
+      .select(col("c_custkey").as("subject"))
+    val c = t(s, dir, "customer")
+      .join(broadcast(subjects), col("c_custkey") === col("subject"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+      .select(col("subject"), lit("customer").as("table_name"),
+        col("n_rows"), col("cents"))
+    val o = t(s, dir, "orders")
+      .join(broadcast(subjects), col("o_custkey") === col("subject"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+      .select(col("subject"), lit("orders").as("table_name"),
+        col("n_rows"), col("cents"))
+    val liKeys = t(s, dir, "orders")
+      .join(broadcast(subjects), col("o_custkey") === col("subject"))
+      .select(col("o_orderkey"), col("subject"))
+    val li = t(s, dir, "lineitem")
+      .join(liKeys, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+      .select(col("subject"), lit("lineitem").as("table_name"),
+        col("n_rows"), col("cents"))
+    c.unionByName(o).unionByName(li)
+      .orderBy("subject", "table_name")
+  }
+
+  val q233Sql: String =
+    """WITH subjects AS (
+         SELECT c_custkey AS subject FROM customer
+         WHERE c_custkey % 500 = 0),
+       c AS (
+         SELECT subject, 'customer' AS table_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM customer JOIN subjects ON c_custkey = subject
+         GROUP BY 1),
+       o AS (
+         SELECT subject, 'orders',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT)
+         FROM orders JOIN subjects ON o_custkey = subject
+         GROUP BY 1),
+       li AS (
+         SELECT subject, 'lineitem',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT)
+         FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN subjects ON o_custkey = subject
+         GROUP BY 1)
+       SELECT * FROM (
+         SELECT * FROM c UNION ALL SELECT * FROM o
+         UNION ALL SELECT * FROM li)
+       ORDER BY subject, table_name"""
+
+  // --- q234: churn label generation --------------------------------------
+  /** Training-label generation for a churn model: per calendar month,
+    * how many users were active, and how many of those never appear in
+    * the following month (the churn positive class). One distinct
+    * (user, month) reduce, one self left-anti on (user, month+1) — no
+    * per-user window over raw events, label cost ∝ |user-months|.
+    * Month arithmetic is engine-shared (truncate + one-month add). */
+  def q234ChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val um = t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("month"))
+      .distinct()
+    val nxt = um.select(col("user_id"),
+      add_months(col("month"), -1).as("month"))
+    val labeled = um.join(nxt, Seq("user_id", "month"), "left_anti")
+      .groupBy("month").agg(count(lit(1)).as("n_churned"))
+    um.groupBy("month").agg(count(lit(1)).as("n_active"))
+      .join(labeled, Seq("month"), "left_outer")
+      .select(date_format(col("month"), "yyyy-MM").as("month"),
+        col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("month")
+  }
+
+  val q234Sql: String =
+    """WITH um AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('month', ts) AS DATE) AS month
+         FROM events),
+       churned AS (
+         SELECT a.month, CAST(count(*) AS BIGINT) AS n_churned
+         FROM um a LEFT JOIN um b
+           ON a.user_id = b.user_id
+          AND b.month = CAST(a.month + INTERVAL 1 MONTH AS DATE)
+         WHERE b.user_id IS NULL
+         GROUP BY 1)
+       SELECT strftime(a.month, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n_active,
+              coalesce(any_value(c.n_churned), 0) AS n_churned
+       FROM um a LEFT JOIN churned c ON a.month = c.month
+       GROUP BY a.month, c.n_churned ORDER BY 1"""
+
+  // --- q235: deterministic negative sampling -----------------------------
+  /** Recommender/contrastive training needs (user, item⁻) pairs that
+    * are VERIFIED absent from the positives — for every distinct
+    * (customer, part) purchase, two hash-scattered candidate parts are
+    * drawn (pure key arithmetic: reproducible, no rand() handshake)
+    * and anti-joined against the positive set; the census reports candidate
+    * vs clean-negative counts per customer bucket, so collision loss
+    * is visible, never silent. Cost:
+    * one distinct reduce + one anti-join of 2|P| candidates — never a
+    * |users|×|items| enumeration. */
+  def q235NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"),
+        col("l_partkey").as("item")).distinct()
+    val maxItem = t(s, dir, "part").agg(max("p_partkey").as("max_item"))
+    val cands = pos.crossJoin(broadcast(maxItem))
+      .select(col("user"), col("item"), col("max_item"),
+        explode(array(lit(1L), lit(2L))).as("k"))
+      .select(col("user"),
+        (((col("user") * 7919L + col("item") * 104729L + col("k"))
+          % col("max_item")) + 1L).as("item"))
+    val clean = cands.join(pos, Seq("user", "item"), "left_anti")
+    val nPos = pos.groupBy((col("user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_pos"))
+    val nCand = cands.groupBy((col("user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_cand"))
+    val nClean = clean.groupBy((col("user") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_clean_neg"))
+    nPos.join(nCand, "bucket").join(nClean, "bucket")
+      .orderBy("bucket")
+  }
+
+  val q235Sql: String =
+    """WITH pos AS (
+         SELECT DISTINCT o_custkey AS u, l_partkey AS item
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       mi AS (SELECT max(p_partkey) AS max_item FROM part),
+       cands AS (
+         SELECT u, ((u * 7919 + item * 104729 + k) % max_item) + 1
+                  AS item
+         FROM pos CROSS JOIN mi
+              CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2)),
+       clean AS (
+         SELECT c.u, c.item FROM cands c
+         LEFT JOIN pos p ON c.u = p.u AND c.item = p.item
+         WHERE p.u IS NULL)
+       SELECT pos.u % 10 AS bucket,
+              CAST(count(*) AS BIGINT) AS n_pos,
+              any_value(nc.n_cand) AS n_cand,
+              any_value(ncl.n_clean_neg) AS n_clean_neg
+       FROM pos
+            JOIN (SELECT u % 10 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_cand
+                  FROM cands GROUP BY 1) nc ON pos.u % 10 = nc.bucket
+            JOIN (SELECT u % 10 AS bucket,
+                         CAST(count(*) AS BIGINT) AS n_clean_neg
+                  FROM clean GROUP BY 1) ncl ON pos.u % 10 = ncl.bucket
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -992,6 +1171,9 @@ object WarehouseQueries {
     "q230_ht_estimate" -> q230HtEstimate _,
     "q231_grain_chain" -> q231GrainChain _,
     "q232_partition_evolution" -> q232PartitionEvolution _,
+    "q233_subject_access" -> q233SubjectAccess _,
+    "q234_churn_labels" -> q234ChurnLabels _,
+    "q235_negative_sampling" -> q235NegativeSampling _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1012,5 +1194,8 @@ object WarehouseQueries {
     "q230_ht_estimate" -> q230Sql,
     "q231_grain_chain" -> q231Sql,
     "q232_partition_evolution" -> q232Sql,
+    "q233_subject_access" -> q233Sql,
+    "q234_churn_labels" -> q234Sql,
+    "q235_negative_sampling" -> q235Sql,
   )
 }
