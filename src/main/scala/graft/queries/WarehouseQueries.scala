@@ -1153,6 +1153,223 @@ object WarehouseQueries {
                   FROM clean GROUP BY 1) ncl ON pos.u % 10 = ncl.bucket
        GROUP BY 1 ORDER BY 1"""
 
+  // --- q236: RFM customer segmentation -----------------------------------
+  /** The marketing warehouse's canonical segmentation: each customer
+    * scored 1-4 on Recency (days since last order), Frequency (order
+    * count) and Monetary (cents), segment = the three digits, census
+    * per segment. The textbook ntile-over-everything is a
+    * single-partition sort cliff; here each metric's three quartile
+    * CUT POINTS come off the value histogram (q227's
+    * bounded-by-value-range discipline: rank-pick at ⌈n/4⌉, ⌈n/2⌉,
+    * ⌈3n/4⌉ over cumulative counts of DISTINCT values), broadcast, and
+    * every customer scores map-side by comparison — no global sort
+    * touches the customer table. Score = 1 + #thresholds strictly
+    * below the value, mirrored verbatim in the oracle. */
+  def q236RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val maxDate = o.agg(max(col("o_orderdate")).as("max_d"))
+    val rfm = o.groupBy(col("o_custkey").as("cust"))
+      .agg(max("o_orderdate").as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary"))
+      .crossJoin(broadcast(maxDate))
+      .withColumn("recency",
+        datediff(col("max_d"), col("last_d")).cast("long"))
+      .select("cust", "recency", "frequency", "monetary")
+    val nCust = rfm.count()
+    def cuts(metric: String): Array[Long] = {
+      val w = Window.orderBy(metric)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = rfm.groupBy(metric).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+      Array(0.25, 0.5, 0.75).map { q =>
+        val target = math.ceil(nCust * q).toLong
+        hist.filter(col("cum") >= target)
+          .agg(min(metric)).first().getLong(0)
+      }
+    }
+    def score(metric: String, c: Array[Long]) =
+      (lit(1) + when(col(metric) > c(0), 1).otherwise(0) +
+        when(col(metric) > c(1), 1).otherwise(0) +
+        when(col(metric) > c(2), 1).otherwise(0)).cast("int")
+    val (rc, fc, mc) = (cuts("recency"), cuts("frequency"),
+      cuts("monetary"))
+    rfm.select(
+        concat(score("recency", rc).cast("string"),
+          score("frequency", fc).cast("string"),
+          score("monetary", mc).cast("string")).as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment")
+  }
+
+  val q236Sql: String =
+    """WITH rfm AS (
+         SELECT o_custkey AS cust,
+                CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+                  AS recency,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary
+         FROM orders GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+       cuts AS (
+         SELECT m.metric,
+                max(CASE WHEN rk = 1 THEN v END) AS c1,
+                max(CASE WHEN rk = 2 THEN v END) AS c2,
+                max(CASE WHEN rk = 3 THEN v END) AS c3
+         FROM (
+           SELECT metric, rk,
+                  min(v) FILTER (WHERE cum >= target) AS v
+           FROM (
+             SELECT metric, v, cum, rk,
+                    CAST(ceil(n * q) AS BIGINT) AS target
+             FROM (
+               SELECT metric, v,
+                      sum(c) OVER (PARTITION BY metric ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+               FROM (
+                 SELECT 'r' AS metric, recency AS v,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM rfm GROUP BY 2
+                 UNION ALL
+                 SELECT 'f', frequency, CAST(count(*) AS BIGINT)
+                 FROM rfm GROUP BY 2
+                 UNION ALL
+                 SELECT 'm', monetary, CAST(count(*) AS BIGINT)
+                 FROM rfm GROUP BY 2))
+             CROSS JOIN n
+             CROSS JOIN (SELECT 1 AS rk, 0.25 AS q
+                         UNION ALL SELECT 2, 0.5
+                         UNION ALL SELECT 3, 0.75))
+           GROUP BY metric, rk) m
+         GROUP BY 1),
+       scored AS (
+         SELECT CAST(1 + (CASE WHEN recency > r.c1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency > r.c2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN recency > r.c3 THEN 1 ELSE 0 END)
+                  AS VARCHAR) ||
+                CAST(1 + (CASE WHEN frequency > f.c1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN frequency > f.c2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN frequency > f.c3 THEN 1 ELSE 0 END)
+                  AS VARCHAR) ||
+                CAST(1 + (CASE WHEN monetary > m.c1 THEN 1 ELSE 0 END)
+                       + (CASE WHEN monetary > m.c2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN monetary > m.c3 THEN 1 ELSE 0 END)
+                  AS VARCHAR) AS segment
+         FROM rfm
+              CROSS JOIN (SELECT c1, c2, c3 FROM cuts
+                          WHERE metric = 'r') r
+              CROSS JOIN (SELECT c1, c2, c3 FROM cuts
+                          WHERE metric = 'f') f
+              CROSS JOIN (SELECT c1, c2, c3 FROM cuts
+                          WHERE metric = 'm') m)
+       SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+       FROM scored GROUP BY 1 ORDER BY 1"""
+
+  // --- q237: duplicate-payment detection (1-D temporal grid join) --------
+  /** The fraud/reconciliation classic: same payer, same amount, two
+    * order dates within 7 days — suspected double charge. [[GridJoin]]
+    * in one dimension: bucket = epoch-day div 7 on the (payer, cents)
+    * key line, one side replicated to ±1 buckets, equi-join +
+    * |Δdays| ≤ 7 residual, keys ordered to emit each pair once.
+    * Candidates are confined to exact (payer, cents) collisions per
+    * bucket — never a time-window self-join of the full table. */
+  def q237DuplicatePayments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+        .cast("long").as("day"))
+    val a = o.withColumn("bucket", expr("day div 7"))
+    val b = o.withColumn("nb", explode(array(lit(-1L), lit(0L),
+        lit(1L))))
+      .withColumn("bucket", expr("day div 7") + col("nb")).drop("nb")
+    a.as("a").join(b.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.cents") === col("b.cents") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.o_orderkey") < col("b.o_orderkey"))
+      .filter(abs(col("a.day") - col("b.day")) <= 7)
+      .select(col("a.o_custkey").as("payer"), col("a.cents").as("cents"),
+        col("a.o_orderkey").as("order_a"),
+        col("b.o_orderkey").as("order_b"),
+        abs(col("a.day") - col("b.day")).as("gap_days"))
+      .orderBy("payer", "cents", "order_a", "order_b")
+  }
+
+  val q237Sql: String =
+    """WITH o AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                  AS BIGINT) AS day
+         FROM orders)
+       SELECT a.o_custkey AS payer, a.cents AS cents,
+              a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+              abs(a.day - b.day) AS gap_days
+       FROM o a JOIN o b
+         ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+        AND a.o_orderkey < b.o_orderkey
+        AND abs(a.day - b.day) <= 7
+       ORDER BY payer, cents, order_a, order_b"""
+
+  // --- q238: as-of join with tolerance -----------------------------------
+  /** [[graft.operators.AsofJoin.asofBackward]] plus the matching-gap
+    * bound every market-data join carries (DuckDB ASOF has no native
+    * tolerance — the oracle nulls stale matches with a CASE, this side
+    * nulls them the same way): each event takes the latest prior
+    * same-user 'view' within 30 minutes; older matches are STALE and
+    * yield nulls, not silently-wrong joins. The census counts matched /
+    * stale / unmatched purchases — the three-way outcome a tolerance
+    * join must distinguish. */
+  def q238AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "v_ts").orderBy(col("v_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val joined = graft.operators.AsofJoin.asofBackward(purchases, views,
+      "user_id", leftTs = "p_ts", rightTs = "v_ts",
+      valueCols = Seq("v_id", "v_ts"))
+    val fresh = col("v_ts").isNotNull &&
+      col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES")
+    joined.select(
+        when(col("v_ts").isNull, "unmatched")
+          .when(!fresh, "stale").otherwise("matched").as("outcome"))
+      .groupBy("outcome").agg(count(lit(1)).as("n_purchases"))
+      .orderBy("outcome")
+  }
+
+  val q238Sql: String =
+    """WITH p AS (
+         SELECT event_id, user_id, ts AS p_ts
+         FROM events WHERE event_type = 'purchase'),
+       v AS (
+         SELECT user_id, ts AS v_ts, event_id AS v_id
+         FROM events WHERE event_type = 'view'
+         QUALIFY row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY event_id DESC) = 1),
+       j AS (
+         SELECT p.event_id, p.p_ts, v.v_ts
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.p_ts >= v.v_ts),
+       labeled AS (
+         SELECT CASE WHEN v_ts IS NULL THEN 'unmatched'
+                     WHEN v_ts < p_ts - INTERVAL 30 MINUTE THEN 'stale'
+                     ELSE 'matched' END AS outcome
+         FROM j)
+       SELECT outcome, CAST(count(*) AS BIGINT) AS n_purchases
+       FROM labeled GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -1174,6 +1391,9 @@ object WarehouseQueries {
     "q233_subject_access" -> q233SubjectAccess _,
     "q234_churn_labels" -> q234ChurnLabels _,
     "q235_negative_sampling" -> q235NegativeSampling _,
+    "q236_rfm_segments" -> q236RfmSegments _,
+    "q237_duplicate_payments" -> q237DuplicatePayments _,
+    "q238_asof_tolerance" -> q238AsofTolerance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,5 +1417,8 @@ object WarehouseQueries {
     "q233_subject_access" -> q233Sql,
     "q234_churn_labels" -> q234Sql,
     "q235_negative_sampling" -> q235Sql,
+    "q236_rfm_segments" -> q236Sql,
+    "q237_duplicate_payments" -> q237Sql,
+    "q238_asof_tolerance" -> q238Sql,
   )
 }
