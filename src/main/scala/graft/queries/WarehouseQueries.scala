@@ -1370,6 +1370,248 @@ object WarehouseQueries {
        SELECT outcome, CAST(count(*) AS BIGINT) AS n_purchases
        FROM labeled GROUP BY 1 ORDER BY 1"""
 
+  // --- q239: bitemporal as-known-at query --------------------------------
+  /** Bitemporal versioning (Snodgrass): every dimension row carries
+    * VALID time (when the fact was true in the world) and TRANSACTION
+    * time (when the warehouse learned it) — corrections rewrite
+    * history along the second axis without erasing what reports used
+    * to say. The fixture: segments valid from 1995/1998 as first
+    * recorded, plus a CORRECTION (recorded 1999-01-01) that backdates
+    * every 11th customer's 1998 segment. The query answers the audit
+    * question: "the 1997-06-01 segment census, as the warehouse knew
+    * it on 1998-06-01 vs as it knows it now" — two point lookups,
+    * each one key join + two interval residuals, fan-out bounded by
+    * versions per key. */
+  def q239Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val eot = lit("9999-12-31").cast("date")
+    // original belief: one version valid [1995-01-01, ∞), recorded
+    // 1995-01-01
+    val v0 = c.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("valid_from"), eot.as("valid_to"),
+      lit("1995-01-01").cast("date").as("tx_from"),
+      when(col("c_custkey") % 11 === 0,
+        lit("1999-01-01").cast("date")).otherwise(eot).as("tx_to"))
+    // correction recorded 1999-01-01: every 11th customer's segment was
+    // RETRO_X since 1996-01-01 (supersedes v0 for those keys)
+    val corr = c.filter(col("c_custkey") % 11 === 0)
+    val v1a = corr.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("1995-01-01").cast("date").as("valid_from"),
+      lit("1996-01-01").cast("date").as("valid_to"),
+      lit("1999-01-01").cast("date").as("tx_from"), eot.as("tx_to"))
+    val v1b = corr.select(col("c_custkey"),
+      concat(lit("RETRO_"), (col("c_custkey") % 2).cast("string"))
+        .as("segment"),
+      lit("1996-01-01").cast("date").as("valid_from"), eot.as("valid_to"),
+      lit("1999-01-01").cast("date").as("tx_from"), eot.as("tx_to"))
+    val dim = v0.unionByName(v1a).unionByName(v1b)
+    def asKnownAt(txAt: String, validAt: String, label: String) =
+      dim.filter(col("tx_from") <= lit(txAt).cast("date") &&
+          col("tx_to") > lit(txAt).cast("date") &&
+          col("valid_from") <= lit(validAt).cast("date") &&
+          col("valid_to") > lit(validAt).cast("date"))
+        .groupBy("segment").agg(count(lit(1)).as("n"))
+        .select(lit(label).as("as_known"), col("segment"), col("n"))
+    asKnownAt("1998-06-01", "1997-06-01", "then")
+      .unionByName(asKnownAt("2026-01-01", "1997-06-01", "now"))
+      .orderBy("as_known", "segment")
+  }
+
+  val q239Sql: String =
+    """WITH v0 AS (
+         SELECT c_custkey, c_mktsegment AS segment,
+                DATE '1995-01-01' AS valid_from,
+                DATE '9999-12-31' AS valid_to,
+                DATE '1995-01-01' AS tx_from,
+                CASE WHEN c_custkey % 11 = 0 THEN DATE '1999-01-01'
+                     ELSE DATE '9999-12-31' END AS tx_to
+         FROM customer),
+       v1a AS (
+         SELECT c_custkey, c_mktsegment,
+                DATE '1995-01-01', DATE '1996-01-01',
+                DATE '1999-01-01', DATE '9999-12-31'
+         FROM customer WHERE c_custkey % 11 = 0),
+       v1b AS (
+         SELECT c_custkey,
+                'RETRO_' || CAST(c_custkey % 2 AS VARCHAR),
+                DATE '1996-01-01', DATE '9999-12-31',
+                DATE '1999-01-01', DATE '9999-12-31'
+         FROM customer WHERE c_custkey % 11 = 0),
+       dim AS (
+         SELECT * FROM v0 UNION ALL SELECT * FROM v1a
+         UNION ALL SELECT * FROM v1b),
+       census AS (
+         SELECT 'then' AS as_known, segment,
+                CAST(count(*) AS BIGINT) AS n
+         FROM dim
+         WHERE tx_from <= DATE '1998-06-01'
+           AND tx_to > DATE '1998-06-01'
+           AND valid_from <= DATE '1997-06-01'
+           AND valid_to > DATE '1997-06-01'
+         GROUP BY 2
+         UNION ALL
+         SELECT 'now', segment, CAST(count(*) AS BIGINT)
+         FROM dim
+         WHERE tx_from <= DATE '2026-01-01'
+           AND tx_to > DATE '2026-01-01'
+           AND valid_from <= DATE '1997-06-01'
+           AND valid_to > DATE '1997-06-01'
+         GROUP BY 2)
+       SELECT * FROM census ORDER BY as_known, segment"""
+
+  // --- q240: diversified top-k (group quotas) ----------------------------
+  /** Search-style diversified ranking: the 10 highest-value orders
+    * overall, but NO customer segment may contribute more than 2 —
+    * the result-diversification rule every feed/search ranker applies.
+    * Two WindowGroupLimit tiers: rank-within-segment ≤ 2 first (k·P
+    * rows survive map-side), then global top-10 via
+    * TakeOrderedAndProject — the full table is never globally
+    * sorted. */
+  def q240DiversifiedTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    o.withColumn("seg_rank", row_number().over(Window
+        .partitionBy("segment")
+        .orderBy(col("cents").desc, col("o_orderkey"))))
+      .filter(col("seg_rank") <= 2)
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .limit(10)
+      .select("segment", "seg_rank", "o_orderkey", "cents")
+      .orderBy(col("cents").desc, col("o_orderkey"))
+  }
+
+  val q240Sql: String =
+    """WITH o AS (
+         SELECT c_mktsegment AS segment, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       ranked AS (
+         SELECT segment, o_orderkey, cents,
+                CAST(row_number() OVER (PARTITION BY segment
+                  ORDER BY cents DESC, o_orderkey) AS INTEGER)
+                  AS seg_rank
+         FROM o)
+       SELECT segment, seg_rank, o_orderkey, cents
+       FROM ranked WHERE seg_rank <= 2
+       ORDER BY cents DESC, o_orderkey LIMIT 10"""
+
+  // --- q241: conformal prediction interval calibration -------------------
+  /** Split-conformal calibration (Vovk; the distribution-free ML-eval
+    * standard): fit the exact-moment OLS price model on the TRAIN
+    * split (q125's DECIMAL discipline), take the calibration split's
+    * absolute residuals, and pick q̂ = the ⌈0.9·(n+1)⌉-th smallest —
+    * an exact rank-pick off the residual HISTOGRAM (q227 discipline),
+    * in integer cents·denominator space so no float rank boundary
+    * exists. The report: q̂ (scaled back to cents, one division) and
+    * the TEST-split coverage — the fraction of held-out rows whose
+    * truth lands inside ±q̂, which conformal theory promises ≥ 90%.
+    * Splits are hash-deterministic; every stage is one aggregation
+    * or one broadcast join. */
+  def q241Conformal(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("x"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"),
+      pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"),
+        lit(3L)).as("split"))
+    val m = li.filter(col("split") === 0)
+      .select(col("x").cast(dec).as("xd"), col("y").cast(dec).as("yd"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum("xd").as("sx"),
+        sum("yd").as("sy"), sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("xd") * col("yd")).as("sxy"))
+      // slope = num/den exact decimals; keep both so residuals stay
+      // integer-exact: r = |y·den − (num·x + b_num)| with
+      // b_num = (sy·den − num·sx)/n … carried as decimals
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sx"), col("sy"))
+    val withRes = li.filter(col("split") =!= 0)
+      .crossJoin(broadcast(m))
+      // n·den·y − (n·num·x + n·b_num·…) collapses to the integer form
+      // n·den·y − n·num·x − (sy·den − num·sx): all decimal-exact
+      .withColumn("resid",
+        abs(col("n") * col("den") * col("y").cast(dec) -
+          col("n") * col("num") * col("x").cast(dec) -
+          (col("sy") * col("den") - col("num") * col("sx"))))
+    val calib = withRes.filter(col("split") === 1)
+    val nCal = calib.count()
+    val target = math.ceil(0.9 * (nCal + 1)).toLong
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("resid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhatRow = calib.groupBy("resid").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") >= target)
+      .agg(min("resid").as("qhat"))
+    val test = withRes.filter(col("split") === 2)
+      .crossJoin(broadcast(qhatRow))
+    test.agg(count(lit(1)).as("n_test"),
+        sum(when(col("resid") <= col("qhat"), 1L).otherwise(0L))
+          .cast("long").as("n_covered"))
+      .crossJoin(broadcast(qhatRow))
+      .crossJoin(broadcast(m.select(col("n"), col("den"))))
+      .select(col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") /
+          col("n_test").cast("double")).as("coverage"),
+        (col("qhat").cast("double") /
+          (col("n") * col("den")).cast("double")).as("qhat_cents"))
+  }
+
+  val q241Sql: String =
+    """WITH li AS (
+         SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                ((l_orderkey * 2654435761 + l_linenumber) % 3 + 3) % 3
+                  AS split
+         FROM lineitem),
+       m AS (
+         SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) *
+                  CAST(y AS HUGEINT)) - sum(CAST(x AS HUGEINT)) *
+                  sum(CAST(y AS HUGEINT)) AS num,
+                CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) *
+                  CAST(x AS HUGEINT)) - sum(CAST(x AS HUGEINT)) *
+                  sum(CAST(x AS HUGEINT)) AS den,
+                sum(CAST(x AS HUGEINT)) AS sx,
+                sum(CAST(y AS HUGEINT)) AS sy
+         FROM li WHERE split = 0),
+       wr AS (
+         SELECT split,
+                abs(n * den * CAST(y AS HUGEINT) -
+                    n * num * CAST(x AS HUGEINT) -
+                    (sy * den - num * sx)) AS resid
+         FROM li CROSS JOIN m WHERE split <> 0),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM wr
+              WHERE split = 1),
+       qh AS (
+         SELECT min(resid) AS qhat FROM (
+           SELECT resid,
+                  sum(c) OVER (ORDER BY resid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM (SELECT resid, CAST(count(*) AS BIGINT) AS c
+                 FROM wr WHERE split = 1 GROUP BY 1))
+         CROSS JOIN nc
+         WHERE cum >= CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+       SELECT CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+              CAST(sum(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage,
+              CAST(any_value(qhat) AS DOUBLE) /
+                CAST(any_value(n * den) AS DOUBLE) AS qhat_cents
+       FROM wr CROSS JOIN qh CROSS JOIN m
+       WHERE split = 2"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -1394,6 +1636,9 @@ object WarehouseQueries {
     "q236_rfm_segments" -> q236RfmSegments _,
     "q237_duplicate_payments" -> q237DuplicatePayments _,
     "q238_asof_tolerance" -> q238AsofTolerance _,
+    "q239_bitemporal" -> q239Bitemporal _,
+    "q240_diversified_topk" -> q240DiversifiedTopk _,
+    "q241_conformal" -> q241Conformal _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1420,5 +1665,8 @@ object WarehouseQueries {
     "q236_rfm_segments" -> q236Sql,
     "q237_duplicate_payments" -> q237Sql,
     "q238_asof_tolerance" -> q238Sql,
+    "q239_bitemporal" -> q239Sql,
+    "q240_diversified_topk" -> q240Sql,
+    "q241_conformal" -> q241Sql,
   )
 }
