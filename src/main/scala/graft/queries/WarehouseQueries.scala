@@ -1612,6 +1612,271 @@ object WarehouseQueries {
        FROM wr CROSS JOIN qh CROSS JOIN m
        WHERE split = 2"""
 
+  // --- q242: two-threshold hysteresis alerting ---------------------------
+  /** Monitoring's debounce standard: an alert RAISES when the hourly
+    * event rate crosses above `hi` and CLEARS only when it falls below
+    * `lo` — the two-threshold hysteresis that stops flapping. The
+    * sequential state machine is rewritten relationally: a row's alarm
+    * state is decided by its MOST RECENT crossing (last_value of the
+    * crossing direction over the time order, ignoring nulls) — one
+    * window pass over exact integer counts, no recursion. Report: per
+    * event type, hours in alarm, number of raises, and the first raise
+    * hour. */
+  def q242HysteresisAlerts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hi = 25L; val lo = 15L
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val state = hourly
+      .withColumn("crs",
+        when(col("c") > hi, lit(1)).when(col("c") < lo, lit(0)))
+      .withColumn("alarm",
+        coalesce(last("crs", ignoreNulls = true).over(w), lit(0)))
+      .withColumn("prev_alarm",
+        coalesce(lag("alarm", 1).over(
+          Window.partitionBy("event_type").orderBy("hour")), lit(0)))
+    state.groupBy("event_type")
+      .agg(sum("alarm").cast("long").as("hours_in_alarm"),
+        sum(when(col("alarm") === 1 && col("prev_alarm") === 0, 1L)
+          .otherwise(0L)).cast("long").as("n_raises"),
+        min(when(col("alarm") === 1, col("hour")))
+          .as("first_alarm_hour"))
+      .orderBy("event_type")
+  }
+
+  val q242Sql: String =
+    """WITH hourly AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d-%H') AS hour,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       crossed AS (
+         SELECT *, CASE WHEN c > 25 THEN 1
+                        WHEN c < 15 THEN 0 END AS crs
+         FROM hourly),
+       st AS (
+         SELECT event_type, hour,
+                coalesce(last_value(crs IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  AS alarm
+         FROM crossed),
+       st2 AS (
+         SELECT *, coalesce(lag(alarm, 1) OVER (
+                  PARTITION BY event_type ORDER BY hour), 0)
+                  AS prev_alarm
+         FROM st)
+       SELECT event_type,
+              CAST(sum(alarm) AS BIGINT) AS hours_in_alarm,
+              CAST(sum(CASE WHEN alarm = 1 AND prev_alarm = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_raises,
+              min(CASE WHEN alarm = 1 THEN hour END)
+                AS first_alarm_hour
+       FROM st2 GROUP BY 1 ORDER BY 1"""
+
+  // --- q243: restatement-aware aggregates --------------------------------
+  /** Financial restatements: facts arrive, then corrected VERSIONS of
+    * the same fact arrive later — reports must show the latest
+    * restatement, and auditors want the restatement IMPACT (latest vs
+    * originally-reported, per period). Versions are synthesized
+    * deterministically (every 9th order restated once at +500 cents,
+    * every 81st twice at +700 total); latest-wins is one max-struct
+    * reduce per key (A4 discipline, no window over raw versions), and
+    * the impact report is two integer aggregates joined — original
+    * cents, restated cents, net drift. */
+  def q243RestatementImpact(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy").as("year"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val v0 = o.select(col("o_orderkey"), col("year"), col("cents"),
+      lit(0L).as("rev"))
+    val v1 = o.filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), col("year"),
+        (col("cents") + 500L).as("cents"), lit(1L).as("rev"))
+    val v2 = o.filter(col("o_orderkey") % 81 === 0)
+      .select(col("o_orderkey"), col("year"),
+        (col("cents") + 700L).as("cents"), lit(2L).as("rev"))
+    val versions = v0.unionByName(v1).unionByName(v2)
+    val latest = versions.groupBy("o_orderkey", "year")
+      .agg(max(struct(col("rev"), col("cents"))).as("m"))
+      .select(col("year"), col("m.cents").as("cents"))
+    val orig = versions.filter(col("rev") === 0)
+      .groupBy("year").agg(sum("cents").cast("long").as("orig_cents"))
+    latest.groupBy("year")
+      .agg(sum("cents").cast("long").as("restated_cents"),
+        count(lit(1)).as("n_orders"))
+      .join(orig, "year")
+      .withColumn("drift_cents",
+        col("restated_cents") - col("orig_cents"))
+      .select("year", "n_orders", "orig_cents", "restated_cents",
+        "drift_cents")
+      .orderBy("year")
+  }
+
+  val q243Sql: String =
+    """WITH o AS (
+         SELECT o_orderkey, strftime(o_orderdate, '%Y') AS year,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       versions AS (
+         SELECT o_orderkey, year, cents, 0 AS rev FROM o
+         UNION ALL
+         SELECT o_orderkey, year, cents + 500, 1 FROM o
+         WHERE o_orderkey % 9 = 0
+         UNION ALL
+         SELECT o_orderkey, year, cents + 700, 2 FROM o
+         WHERE o_orderkey % 81 = 0),
+       latest AS (
+         SELECT year, cents FROM (
+           SELECT year, cents, row_number() OVER (
+             PARTITION BY o_orderkey, year
+             ORDER BY rev DESC, cents DESC) AS rn
+           FROM versions)
+         WHERE rn = 1),
+       orig AS (
+         SELECT year, CAST(sum(cents) AS BIGINT) AS orig_cents
+         FROM versions WHERE rev = 0 GROUP BY 1)
+       SELECT latest.year, CAST(count(*) AS BIGINT) AS n_orders,
+              any_value(orig_cents) AS orig_cents,
+              CAST(sum(cents) AS BIGINT) AS restated_cents,
+              CAST(sum(cents) AS BIGINT) - any_value(orig_cents)
+                AS drift_cents
+       FROM latest JOIN orig ON latest.year = orig.year
+       GROUP BY 1 ORDER BY 1"""
+
+  // --- q244: SLA burn-rate alerting (multi-window) -----------------------
+  /** Google-SRE burn-rate alerting: with an error budget of 2% bad
+    * events, page when the short window (1 h) burns ≥ 10× budget AND
+    * the long window (6 h) confirms ≥ 5× — the two-window AND that
+    * filters blips without missing real burns. "Bad" = deterministic
+    * rule (error event type). Rates stay RATIONAL: burn ≥ k·budget is
+    * checked as 50·bad ≥ k·total in integers (budget 2% ⇒ 1/50), so
+    * no float ratio exists anywhere. Rolling sums are ROWS-frame
+    * windows over the dense hourly grid. */
+  def q244BurnRate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("bad"))
+    val w1 = Window.orderBy("hour").rowsBetween(0, 0)
+    val w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    val rates = hourly
+      .withColumn("bad1", sum("bad").over(w1))
+      .withColumn("tot1", sum("total").over(w1))
+      .withColumn("bad6", sum("bad").over(w6))
+      .withColumn("tot6", sum("total").over(w6))
+      .withColumn("page",
+        col("bad1") * 50L >= col("tot1") * 10L &&
+          col("bad6") * 50L >= col("tot6") * 5L)
+    rates.agg(count(lit(1)).as("n_hours"),
+      sum(when(col("page"), 1L).otherwise(0L)).cast("long")
+        .as("n_paging_hours"),
+      min(when(col("page"), col("hour"))).as("first_page_hour"),
+      sum("bad").cast("long").as("total_bad"),
+      sum("total").cast("long").as("total_events"))
+  }
+
+  val q244Sql: String =
+    """WITH hourly AS (
+         SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+                CAST(count(*) AS BIGINT) AS total,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS bad
+         FROM events GROUP BY 1),
+       rates AS (
+         SELECT hour, total, bad,
+                bad AS bad1, total AS tot1,
+                sum(bad) OVER w6 AS bad6, sum(total) OVER w6 AS tot6
+         FROM hourly
+         WINDOW w6 AS (ORDER BY hour
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+       flagged AS (
+         SELECT *, (bad1 * 50 >= tot1 * 10 AND bad6 * 50 >= tot6 * 5)
+                  AS page
+         FROM rates)
+       SELECT CAST(count(*) AS BIGINT) AS n_hours,
+              CAST(sum(CASE WHEN page THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_paging_hours,
+              min(CASE WHEN page THEN hour END) AS first_page_hour,
+              CAST(sum(bad) AS BIGINT) AS total_bad,
+              CAST(sum(total) AS BIGINT) AS total_events
+       FROM flagged"""
+
+  // --- q245: generic column profiler -------------------------------------
+  /** The data-profiling report every onboarding pipeline runs first:
+    * one row per column with null count, distinct count, min/max (as
+    * strings), and the tie-broken modal value — assembled from one
+    * aggregation pass per column plus the A4 max-struct mode. Numeric
+    * render goes through an integer cents cast so min/max strings are
+    * engine-identical (double→string formatting is NOT portable —
+    * the one formatting trap this report has to dodge). */
+  def q245Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_orderpriority"),
+      expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)")
+        .as("o_totalprice_cents"))
+    def profile(c: String): DataFrame = {
+      val mode = o.filter(col(c).isNotNull)
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("f"))
+        .agg(max(struct(col("f"), col("v"))).as("m"))
+        .select(col("m.v").as("top_value"), col("m.f").as("top_freq"))
+      o.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+        .crossJoin(mode)
+        .select(lit(c).as("column_name"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("min_str"),
+          col("max_str"), col("top_value"), col("top_freq"))
+    }
+    Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice_cents")
+      .map(profile).reduce(_ unionByName _)
+      .orderBy("column_name")
+  }
+
+  val q245Sql: String =
+    """WITH o AS (
+         SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+                o_orderstatus, o_orderpriority,
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS VARCHAR) AS o_totalprice_cents
+         FROM orders),
+       u AS (
+         SELECT 'o_orderkey' AS column_name, o_orderkey AS v FROM o
+         UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM o
+         UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM o
+         UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents
+         FROM o),
+       base AS (
+         SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                min(v) AS min_str, max(v) AS max_str
+         FROM u GROUP BY 1),
+       modal AS (
+         SELECT column_name, v AS top_value,
+                CAST(f AS BIGINT) AS top_freq
+         FROM (
+           SELECT column_name, v, f, row_number() OVER (
+             PARTITION BY column_name ORDER BY f DESC, v DESC) AS rn
+           FROM (SELECT column_name, v, count(*) AS f FROM u
+                 WHERE v IS NOT NULL GROUP BY 1, 2))
+         WHERE rn = 1)
+       SELECT base.column_name, n_rows, n_nulls, n_distinct,
+              min_str, max_str, top_value, top_freq
+       FROM base JOIN modal USING (column_name)
+       ORDER BY column_name"""
+
   val all: Map[String, Q] = Map(
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
@@ -1639,6 +1904,10 @@ object WarehouseQueries {
     "q239_bitemporal" -> q239Bitemporal _,
     "q240_diversified_topk" -> q240DiversifiedTopk _,
     "q241_conformal" -> q241Conformal _,
+    "q242_hysteresis_alerts" -> q242HysteresisAlerts _,
+    "q243_restatement_impact" -> q243RestatementImpact _,
+    "q244_burn_rate" -> q244BurnRate _,
+    "q245_profile" -> q245Profile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1668,5 +1937,9 @@ object WarehouseQueries {
     "q239_bitemporal" -> q239Sql,
     "q240_diversified_topk" -> q240Sql,
     "q241_conformal" -> q241Sql,
+    "q242_hysteresis_alerts" -> q242Sql,
+    "q243_restatement_impact" -> q243Sql,
+    "q244_burn_rate" -> q244Sql,
+    "q245_profile" -> q245Sql,
   )
 }
