@@ -147,6 +147,65 @@ object Dedup {
                    n: Int, threshold: Double,
                    maxDocFreq: Long = 10_000L,
                    eager: Boolean = false): DataFrame = {
+    val (grouped, sizes, inter) =
+      shingleIntersections(df, idCol, textCol, n, maxDocFreq, eager)
+    val out = inter
+      .join(sizes.withColumnRenamed("sid", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("sid", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (eager) selfClean(out, grouped) else out
+  }
+
+  /** Directed n-gram containment ≥ `threshold`: rows (sub_id, super_id,
+    * containment) where containment = |sh(sub) ∩ sh(super)| / |sh(sub)|
+    * (Broder's resemblance/containment split). This is the near-dup
+    * detector for SUBSET relationships that Jaccard structurally
+    * misses: a paragraph embedded verbatim in a 100× longer page has
+    * containment 1.0 but Jaccard ≈ 0.01 — below any usable Jaccard
+    * threshold — and quote-chains / boilerplate-wrapped reposts are
+    * exactly that shape in a web corpus. Candidate generation, the cap
+    * discipline, and the cost bound are identical to [[jaccardPairs]]
+    * (shared [[shingleIntersections]] core); only the final scoring
+    * divides by ONE side's set size, emitting each unordered candidate
+    * pair in both directions before the threshold filter. Self-pairs
+    * are excluded by construction (the pair generator enumerates
+    * distinct ids). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxDocFreq: Long = 10_000L,
+                       eager: Boolean = false): DataFrame = {
+    val (grouped, sizes, inter) =
+      shingleIntersections(df, idCol, textCol, n, maxDocFreq, eager)
+    val directed = inter
+      .select(col("id_a").as("sub_id"), col("id_b").as("super_id"),
+        col("n_common"))
+      .unionByName(inter.select(col("id_b").as("sub_id"),
+        col("id_a").as("super_id"), col("n_common")))
+    val out = directed
+      .join(sizes.withColumnRenamed("sid", "sub_id")
+        .withColumnRenamed("n_sh", "n_sub"), "sub_id")
+      .select(col("sub_id"), col("super_id"),
+        (col("n_common").cast("double") / col("n_sub").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+    if (eager) selfClean(out, grouped) else out
+  }
+
+  /** Shared exact-intersection core of [[jaccardPairs]] and
+    * [[containmentPairs]]: (capped postings universe, per-doc
+    * shingle-set sizes, unordered candidate-pair intersection counts).
+    * In eager mode the returned postings frame is CACHED and must be
+    * released by the caller (via [[selfClean]]) after consuming the
+    * result. */
+  private def shingleIntersections(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Long, eager: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     // ONE wide shuffle builds the postings universe: group raw shingle
     // rows by h, the set agg absorbing per-(sid,h) duplicates that an
     // explicit distinct would have paid a second full shuffle for. The
@@ -189,17 +248,7 @@ object Dedup {
           size(col("ids")) - col("i") - 1)).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
-    val out = inter
-      .join(sizes.withColumnRenamed("sid", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("sid", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    if (eager) selfClean(out, grouped) else out
+    (grouped, sizes, inter)
   }
 
   /** Eagerly materialize an operator's (small) output on the DRIVER, then

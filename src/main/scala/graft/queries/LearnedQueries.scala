@@ -1428,6 +1428,88 @@ object LearnedQueries {
                 AS twap_cents
        FROM g ORDER BY user_id"""
 
+  // --- q246: Cohen's kappa inter-annotator agreement --------------------
+  /** Chance-corrected agreement (Cohen 1960) between two labelers of
+    * the corpus — the labeled-data QA gate a raw percent-agreement
+    * (q190's accuracy) overstates whenever one class dominates.
+    * Annotator A = the stored `lang` label, annotator B = the q31
+    * stopword-profile heuristic; κ = (p_o − p_e)/(1 − p_e) computed
+    * from EXACT integers — N·Σ_k agree_k − Σ_k rowₖ·colₖ over
+    * N² − Σ_k rowₖ·colₖ — with ONE guarded double division at the
+    * end, so both engines divide the same two BIGINTs (the
+    * q125/q149 degenerate-case discipline; denominator 0 ⇔ chance
+    * agreement is 1, κ undefined → NULL).
+    *
+    * Shape: one (lang, pred) confusion aggregation feeds the agree
+    * total and both marginals; the three consumers share the
+    * confusion exchange via ReuseExchange (the q190 pattern), the
+    * marginal product join is over ≤|classes|² rows — nothing after
+    * the first aggregation is data-sized. */
+  def q246CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val pred = t(s, dir, "documents")
+      .select(col("lang"), graft.functions.TextFunctions
+        .langId(col("text")).as("pred"))
+    val conf = pred.groupBy("lang", "pred").agg(count(lit(1)).as("c"))
+    val totals = conf.agg(sum("c").cast("long").as("n"),
+      coalesce(sum(when(col("lang") === col("pred"), col("c"))), lit(0L))
+        .cast("long").as("n_agree"))
+    val pe = conf.groupBy("lang").agg(sum("c").as("n_true"))
+      .join(conf.groupBy(col("pred").as("lang"))
+        .agg(sum("c").as("n_pred")), "lang")
+      .agg(coalesce(sum(col("n_true") * col("n_pred")), lit(0L))
+        .cast("long").as("pe_num"))
+    totals.crossJoin(pe)
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        when(col("n") * col("n") =!= col("pe_num"),
+          (col("n") * col("n_agree") - col("pe_num")).cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
+
+  val q246Sql: String =
+    """WITH s AS (
+         SELECT doc_id, lang,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_n,
+           len(regexp_extract_all(lower(text),
+             '\b(the|and|of|is|to|in|that|it)\b')) AS s_en,
+           len(regexp_extract_all(lower(text),
+             '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS s_de,
+           len(regexp_extract_all(lower(text),
+             '\b(le|la|les|et|est|une|que|dans)\b')) AS s_fr,
+           len(regexp_extract_all(lower(text),
+             '\b(el|los|las|y|es|una|que|en)\b')) AS s_es
+         FROM documents),
+       g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS gmax FROM s),
+       p AS (
+         SELECT lang,
+           CASE WHEN zh_n > 0 THEN 'zh'
+                WHEN gmax = 0 THEN 'unknown'
+                WHEN s_en = gmax THEN 'en'
+                WHEN s_de = gmax THEN 'de'
+                WHEN s_fr = gmax THEN 'fr'
+                WHEN s_es = gmax THEN 'es'
+                ELSE 'unknown' END AS pred
+         FROM g),
+       conf AS (
+         SELECT lang, pred, CAST(count(*) AS BIGINT) AS c
+         FROM p GROUP BY 1, 2),
+       tot AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(coalesce(sum(CASE WHEN lang = pred THEN c END), 0)
+                  AS BIGINT) AS n_agree
+         FROM conf),
+       pe AS (
+         SELECT CAST(coalesce(sum(n_true * n_pred), 0) AS BIGINT)
+                  AS pe_num
+         FROM (SELECT lang, sum(c) AS n_true FROM conf GROUP BY 1) a
+         JOIN (SELECT pred AS lang, sum(c) AS n_pred FROM conf
+               GROUP BY 1) b USING (lang))
+       SELECT n, n_agree, pe_num,
+              CASE WHEN n * n <> pe_num THEN
+                CAST(n * n_agree - pe_num AS DOUBLE) /
+                CAST(n * n - pe_num AS DOUBLE) END AS kappa
+       FROM tot, pe"""
+
   val all: Map[String, Q] = Map(
     "q176_rrf_fusion" -> q176RrfFusion _,
     "q177_gd_training" -> q177GdTraining _,
@@ -1446,6 +1528,7 @@ object LearnedQueries {
     "q201_minhash_calibration" -> q201MinhashCalibration _,
     "q202_script_mix" -> q202ScriptMix _,
     "q203_twap" -> q203Twap _,
+    "q246_cohens_kappa" -> q246CohensKappa _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1466,5 +1549,6 @@ object LearnedQueries {
     "q201_minhash_calibration" -> q201Sql,
     "q202_script_mix" -> q202Sql,
     "q203_twap" -> q203Sql,
+    "q246_cohens_kappa" -> q246Sql,
   )
 }

@@ -503,6 +503,56 @@ object MaintenanceQueries {
           OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
        ORDER BY o_orderkey"""
 
+  // --- q247: materialized-view rewrite ----------------------------------
+  /** Serve the registered hourly rollup from its MATERIALIZATION: the
+    * dashboard query (aggregate over the raw events fact) is rewritten
+    * by [[graft.plans.MvRewrite.SubstituteView]] — an optimizer
+    * `Rule[LogicalPlan]` installed via
+    * `spark.experimental.extraOptimizations` — to scan the MV parquet
+    * instead, turning a fact-table scan into a |hours|-row read. At
+    * 100 TB this is THE warehouse serving optimization: the rollup is
+    * maintained once (here built once; incrementally in production via
+    * the q104 pattern) and every repeat of the defining query costs MV
+    * rows, not fact rows. Matching is canonicalized-plan equality (the
+    * CacheManager identity test), so the rewrite cannot mis-fire on a
+    * query that is not exactly the view. The `require` pins that the
+    * executed plan really reads the MV — a silent fallback to the base
+    * scan would still give correct rows (the oracle cannot tell), so
+    * the mechanism is asserted in-query, and PlanAuditSpec re-checks
+    * both the fire and the no-fire (incompatible-plan) directions. */
+  def q247MvRewrite(s: SparkSession, dir: String): DataFrame = {
+    def rollup(): DataFrame = t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q247mv_")
+      .toString
+    try {
+      rollup().write.mode("overwrite").parquet(s"$root/mv")
+      val mv = s.read.parquet(s"$root/mv")
+      graft.plans.MvRewrite.withRewrite(s, rollup(), mv) {
+        val df = rollup().orderBy("hour")
+        require(graft.plans.MvRewrite.scansPath(
+            df.queryExecution.optimizedPlan, root),
+          "MV rewrite did not fire: the optimized plan never scans " +
+            s"the materialization under $root")
+        // materialize inside the rewrite scope (and before the temp
+        // MV dir is deleted) — the q121 pattern
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q247Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d-%H') AS hour,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
@@ -513,6 +563,7 @@ object MaintenanceQueries {
     "q162_bloom_index" -> q162BloomIndex _,
     "q196_theta_sketches" -> q196ThetaSketches _,
     "q198_cdc_net_effect" -> q198CdcNetEffect _,
+    "q247_mv_rewrite" -> q247MvRewrite _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,5 +576,6 @@ object MaintenanceQueries {
     "q162_bloom_index" -> q162Sql,
     "q196_theta_sketches" -> q196Sql,
     "q198_cdc_net_effect" -> q198Sql,
+    "q247_mv_rewrite" -> q247Sql,
   )
 }

@@ -88,6 +88,44 @@ object PipelineQueries {
          JOIN sizes b ON b.sid = id_b)
        SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
+  // --- q248: directed n-gram containment near-dup pairs ----------------
+  /** [[Dedup.containmentPairs]] over the perturbed corpus: Broder
+    * CONTAINMENT |sh(sub) ∩ sh(super)| / |sh(sub)| ≥ 0.9, the detector
+    * for subset-shaped duplication (a document embedded in a longer
+    * one) that symmetric Jaccard structurally under-scores — the
+    * perturbed copies here are literal shingle-subsets of their
+    * originals, so every (perturbed → original) direction scores 1.0
+    * regardless of length ratio. Same capped-postings candidate
+    * machinery and cost bound as q26; only the scoring divides by one
+    * side. */
+  def q248Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.9, maxDocFreq = 1000L,
+        eager = true)
+      .orderBy("sub_id", "super_id")
+
+  val q248Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       $shingleSql,
+       keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 1000),
+       shc AS (SELECT sh.sid, sh.h FROM sh JOIN keep USING (h)),
+       sizes AS (SELECT sid, count(*) AS n_sh FROM shc GROUP BY 1),
+       inter AS (
+         SELECT x.sid AS id_a, y.sid AS id_b, count(*) AS n_common
+         FROM shc x JOIN shc y ON x.h = y.h AND x.sid < y.sid
+         GROUP BY 1, 2),
+       directed AS (
+         SELECT id_a AS sub_id, id_b AS super_id, n_common FROM inter
+         UNION ALL
+         SELECT id_b AS sub_id, id_a AS super_id, n_common FROM inter),
+       scored AS (
+         SELECT sub_id, super_id,
+                CAST(n_common AS DOUBLE) / CAST(s.n_sh AS DOUBLE)
+                  AS containment
+         FROM directed d JOIN sizes s ON s.sid = d.sub_id)
+       SELECT * FROM scored WHERE containment >= 0.9
+       ORDER BY sub_id, super_id"""
+
   // --- q27: MinHash + LSH candidate pairs ------------------------------
   def q27DedupMinHash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidates(nearDupCorpus(t(s, dir, "documents")),
@@ -3429,6 +3467,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
+    "q248_containment" -> q248Containment _,
     "q27_dedup_minhash" -> q27DedupMinHash _,
     "q28_dedup_simhash" -> q28DedupSimHash _,
     "q29_cosine_topk" -> q29CosineTopK _,
@@ -3493,6 +3532,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q25_dedup_exact" -> q25Sql,
     "q26_dedup_jaccard" -> q26Sql,
+    "q248_containment" -> q248Sql,
     "q27_dedup_minhash" -> q27Sql,
     "q28_dedup_simhash" -> q28Sql,
     "q29_cosine_topk" -> q29Sql,

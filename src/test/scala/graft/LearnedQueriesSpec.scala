@@ -598,4 +598,24 @@ class LearnedQueriesSpec extends SparkSpec {
         ("x", 1L, 3)))
     } finally graft.io.Sources.deleteRecursively(root)
   }
+
+  test("q246 kappa re-derives bit-exactly from q190's per-class " +
+      "marginals, and sits strictly below raw accuracy when the " +
+      "annotators agree above chance") {
+    val kRow = LearnedQueries.q246CohensKappa(spark, dir).collect()(0)
+    val (n, agree, peNum) =
+      (kRow.getLong(0), kRow.getLong(1), kRow.getLong(2))
+    // q190 emits (lang, n_true, n_pred, tp) per TRUE class; classes
+    // predicted-but-never-true contribute n_true·n_pred = 0, so the
+    // marginal sums below are exactly q246's integers
+    val m = LearnedQueries.q190LangidEval(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(n == m.map(_._1).sum && agree == m.map(_._3).sum &&
+      peNum == m.map(t => t._1 * t._2).sum,
+      "kappa's integer inputs must equal the q190 marginals")
+    val expected = (n * agree - peNum).toDouble / (n * n - peNum).toDouble
+    assert(kRow.getDouble(3) == expected) // same two longs, same division
+    // chance correction only ever lowers the score (p_e > 0)
+    assert(kRow.getDouble(3) < agree.toDouble / n.toDouble)
+  }
 }

@@ -212,6 +212,25 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("containmentPairs finds a subset-shaped duplicate that Jaccard " +
+      "misses, scores it 1.0, and directs sub → super") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, short),                    // embedded verbatim in doc 2
+      (2L, s"$short $filler"),        // 10× longer superset
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    // symmetric Jaccard under-scores the pair (≈ 4/66) …
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(jac.isEmpty, s"jaccard 0.5 should miss the subset pair: " +
+      jac.mkString(","))
+    // … containment scores the sub → super direction exactly 1.0
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("minHashCandidates: identical docs estimated at jaccard 1.0") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),

@@ -478,6 +478,63 @@ class PlanAuditSpec extends SparkSpec {
       "rank<=5 must prune per-class rows before the full window sort")
   }
 
+  test("MV rewrite substitutes the materialization for the registered " +
+      "rollup — and ONLY for it: a near-miss query and a schema-drifted " +
+      "MV both keep the base scan") {
+    import graft.plans.MvRewrite
+    import org.apache.spark.sql.functions._
+    def rollup(): DataFrame = graft.io.Sources.table(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_mvspec_")
+      .toString
+    try {
+      rollup().write.mode("overwrite").parquet(s"$root/mv")
+      val mv = spark.read.parquet(s"$root/mv")
+      val baseline = rollup().orderBy("hour").collect()
+      MvRewrite.withRewrite(spark, rollup(), mv) {
+        // 1. the registered query is served from the MV …
+        val hit = rollup().orderBy("hour")
+        assert(MvRewrite.scansPath(hit.queryExecution.optimizedPlan,
+          root), "the rewrite must substitute the MV scan")
+        assert(!MvRewrite.scansPath(hit.queryExecution.optimizedPlan,
+          "events.parquet"), "the fact scan must be gone after rewrite")
+        // … with rows identical to the base computation
+        assert(hit.collect().toSeq == baseline.toSeq)
+        // 2a. a consumer ON TOP of the view (a filter over its output)
+        // still hits: the rewrite matches the view SUBTREE
+        val onTop = rollup().filter(col("n_events") > 0)
+        assert(MvRewrite.scansPath(onTop.queryExecution.optimizedPlan,
+          root), "a query consuming the view must be served from it")
+        // 2b. a near-miss whose difference is BELOW the aggregate (a
+        // pre-filter changes what the rollup computes) is NOT
+        // rewritten — plan-equality matching cannot mis-fire
+        val miss = graft.io.Sources.table(spark, dir, "events")
+          .filter(col("event_type") === "click")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        assert(!MvRewrite.scansPath(miss.queryExecution.optimizedPlan,
+          root), "a semantically different rollup must keep its base scan")
+      }
+      // 3. an MV whose schema drifted from the definition is refused
+      // even though the plans sameResult — the compat check holds
+      val drifted = mv.withColumnRenamed("cents", "cents_v2")
+      MvRewrite.withRewrite(spark, rollup(), drifted) {
+        val q = rollup().orderBy("hour")
+        assert(!MvRewrite.scansPath(q.queryExecution.optimizedPlan,
+          root), "a name/type-mismatched MV must not be substituted")
+      }
+      // 4. scope hygiene: outside withRewrite the session plans the
+      // base scan again
+      assert(!MvRewrite.scansPath(
+        rollup().queryExecution.optimizedPlan, root))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("q183 phrase search: the term filter sits under the exchange " +
       "(only the two phrase terms' postings ever shuffle)") {
     val plan = executed(graft.queries.LearnedQueries
