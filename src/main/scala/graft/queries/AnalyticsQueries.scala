@@ -2457,6 +2457,232 @@ object AnalyticsQueries {
               (SELECT CAST(count(*) AS BIGINT) FROM s3
                WHERE t3 <= t1 + INTERVAL 2 HOUR) AS n_converted_2h"""
 
+  // --- q249: Pareto frontier (2D skyline) with a sound broadcast prune --
+  /** The orders on the price/recency Pareto frontier: no other order is
+    * both cheaper-or-equal AND newer-or-equal (with one strict) — the
+    * "best tradeoffs" query (cheapest for its recency) that a naive
+    * engine answers with an all-pairs NOT EXISTS. Two phases, both
+    * exact:
+    *   1. PRUNE (scan-linear, broadcast): per order month, the minimum
+    *     price over all STRICTLY LATER months (a ~|months|-row window,
+    *     broadcast back). Any row priced strictly above that bound is
+    *     dominated by that later cheaper row — discarded map-side.
+    *     Survivors ≈ the frontier plus a per-month boundary band.
+    *   2. EXACT (on survivors only): one window ordered by price —
+    *     `max(date)` over strictly-cheaper rows (RANGE … 1 PRECEDING
+    *     on integer cents) and over same-price peers (RANGE CURRENT
+    *     ROW) decides strict domination in O(n log n), no self-join.
+    * Soundness: strict 2D domination is transitive, so every dominated
+    * row is dominated by a frontier row, frontier rows are never
+    * pruned (a pruned row has a strictly-later strictly-cheaper
+    * dominator), hence phase 2 over survivors finds exactly the
+    * frontier. The oracle runs the quadratic NOT EXISTS on the same
+    * subset — the formulation this rewrite replaces. Subset keeps the
+    * oracle's all-pairs bill bounded; at 100 TB the prune is what
+    * makes the exact window's input small (frontier of random data
+    * grows ~log n). */
+  def q249ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").filter(col("o_custkey") % 17 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderdate"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+    val wLater = Window.orderBy(col("m").cast("long"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val bound = o.groupBy("m").agg(min("price_cents").as("m_min"))
+      .withColumn("best_later", min("m_min").over(wLater))
+      .select("m", "best_later")
+    val survivors = o.join(broadcast(bound), Seq("m"))
+      .filter(col("best_later").isNull ||
+        col("price_cents") <= col("best_later"))
+    val wLower = Window.orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val wPeer = Window.orderBy("price_cents").rangeBetween(0L, 0L)
+    survivors
+      .withColumn("mx_lower", max("o_orderdate").over(wLower))
+      .withColumn("mx_peer", max("o_orderdate").over(wPeer))
+      .filter((col("mx_lower").isNull ||
+          col("mx_lower") < col("o_orderdate")) &&
+        col("mx_peer") <= col("o_orderdate"))
+      .select(col("o_orderkey"), col("price_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("price_cents", "o_orderkey")
+  }
+
+  val q249Sql: String =
+    """WITH o AS (
+         SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_orderdate
+         FROM orders WHERE o_custkey % 17 = 0)
+       SELECT o_orderkey, price_cents,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       FROM o a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM o b
+         WHERE b.price_cents <= a.price_cents
+           AND b.o_orderdate >= a.o_orderdate
+           AND (b.price_cents < a.price_cents
+                OR b.o_orderdate > a.o_orderdate))
+       ORDER BY price_cents, o_orderkey"""
+
+  // --- q250: exact weighted median per group (histogram form) -----------
+  /** Quantity-weighted median unit price per return flag — "the price
+    * at which half the shipped VOLUME is cheaper". The naive form
+    * sorts every row per group; this one aggregates to the
+    * (flag, price) histogram first (map-side partial combine does the
+    * heavy lifting), then runs the cumulative-weight window over
+    * |distinct prices| rows — the same at-scale discipline as the
+    * histogram quantiles (q109/q227): the window's input is the
+    * value-domain size, not the row count. Lower weighted median
+    * (smallest price with cumweight·2 ≥ total), all-integer so both
+    * engines agree bit-for-bit. */
+  def q250WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("l_returnflag", "pc").agg(sum("w").as("wsum"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("cum", sum("wsum").over(wCum))
+      .withColumn("tot", sum("wsum").over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("pc").as("median_cents"), min("tot").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  val q250Sql: String =
+    """WITH hist AS (
+         SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+         FROM lineitem GROUP BY 1, 2),
+       cum AS (
+         SELECT l_returnflag, pc, wsum,
+                sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY pc
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+         FROM hist)
+       SELECT l_returnflag,
+              CAST(min(pc) AS BIGINT) AS median_cents,
+              CAST(min(tot) AS BIGINT) AS total_weight
+       FROM cum WHERE cum * 2 >= tot
+       GROUP BY 1 ORDER BY 1"""
+
+  // --- q251: new-vs-returning revenue decomposition per month -----------
+  /** Monthly revenue split by whether the ordering customer is NEW
+    * (this is their first-ever order month) or RETURNING — the growth
+    * decomposition behind every "is revenue growth acquisition or
+    * retention?" dashboard. One aggregation derives each customer's
+    * first month (|customers| rows), joins back to the per-order rows
+    * (unhinted — dimension-sized, AQE broadcasts it), and one final
+    * rollup per month. All cents-integer sums; no window over the
+    * full fact. */
+  def q251NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+    val first = o.groupBy("o_custkey").agg(min("month").as("m0"))
+    o.join(first, "o_custkey")
+      .groupBy("month")
+      .agg(
+        sum(when(col("month") === col("m0"), col("pc")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("month") =!= col("m0"), col("pc")).otherwise(0L))
+          .as("returning_cents"),
+        countDistinct(when(col("month") === col("m0"), col("o_custkey")))
+          .as("new_customers"),
+        countDistinct(when(col("month") =!= col("m0"), col("o_custkey")))
+          .as("returning_customers"))
+      .orderBy("month")
+  }
+
+  val q251Sql: String =
+    """WITH o AS (
+         SELECT o_custkey,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                  AS month,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+         FROM orders),
+       first AS (
+         SELECT o_custkey, min(month) AS m0 FROM o GROUP BY 1)
+       SELECT month,
+              CAST(sum(CASE WHEN month = m0 THEN pc ELSE 0 END)
+                AS BIGINT) AS new_cents,
+              CAST(sum(CASE WHEN month <> m0 THEN pc ELSE 0 END)
+                AS BIGINT) AS returning_cents,
+              CAST(count(DISTINCT CASE WHEN month = m0
+                THEN o.o_custkey END) AS BIGINT) AS new_customers,
+              CAST(count(DISTINCT CASE WHEN month <> m0
+                THEN o.o_custkey END) AS BIGINT) AS returning_customers
+       FROM o JOIN first USING (o_custkey)
+       GROUP BY month ORDER BY month"""
+
+  // --- q252: interval-union coverage (sweep-line as a window) -----------
+  /** Total COVERED time per user when each event opens an interval
+    * [ts, ts + dur) and intervals overlap — utilization/uptime
+    * accounting where double-counting overlaps is the classic bug. The
+    * all-pairs overlap join is quadratic per user; the sweep-line form
+    * is one partitioned window: order intervals by start, carry
+    * `max(end)` over all PRECEDING rows, and each row contributes
+    * `max(0, end − max(start, prev_max_end))` — covered length exactly,
+    * islands counted where a row's start clears everything before it.
+    * All epoch-microsecond integers; the window partitions by user, so
+    * it scales with the per-user interval count, never the corpus. */
+  def q252IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          (expr("CAST(round(value * 100) AS BIGINT)") % 7200L + 60L) *
+            1000000L).as("en"))
+    val w = Window.partitionBy("user_id").orderBy("st", "en", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_en", max("en").over(w))
+      .withColumn("contrib",
+        greatest(col("en") - greatest(col("st"),
+          coalesce(col("prev_en"), col("st"))), lit(0L)))
+      .withColumn("opens",
+        when(col("prev_en").isNull || col("st") > col("prev_en"), 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("contrib").as("covered_micros"),
+        sum("opens").as("n_islands"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val q252Sql: String =
+    """WITH iv AS (
+         SELECT user_id, event_id, epoch_us(ts) AS st,
+                epoch_us(ts) +
+                  (CAST(round(value * 100) AS BIGINT) % 7200 + 60)
+                    * 1000000 AS en
+         FROM events),
+       swept AS (
+         SELECT user_id, st, en,
+                max(en) OVER (PARTITION BY user_id
+                  ORDER BY st, en, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_en
+         FROM iv)
+       SELECT user_id,
+              CAST(sum(greatest(en - greatest(st,
+                  coalesce(prev_en, st)), 0)) AS BIGINT)
+                AS covered_micros,
+              CAST(sum(CASE WHEN prev_en IS NULL OR st > prev_en
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+              CAST(count(*) AS BIGINT) AS n_intervals
+       FROM swept GROUP BY user_id ORDER BY user_id"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -2505,6 +2731,10 @@ object AnalyticsQueries {
     "q165_association_rules" -> q165AssociationRules _,
     "q171_gap_fill" -> q171GapFill _,
     "q172_observe_metrics" -> q172ObserveMetrics _,
+    "q249_pareto_frontier" -> q249ParetoFrontier _,
+    "q250_weighted_median" -> q250WeightedMedian _,
+    "q251_new_vs_returning" -> q251NewVsReturning _,
+    "q252_interval_coverage" -> q252IntervalCoverage _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2552,6 +2782,10 @@ object AnalyticsQueries {
     "q164_balanced_shards" -> q164Sql,
     "q165_association_rules" -> q165Sql,
     "q171_gap_fill" -> q171Sql,
+    "q249_pareto_frontier" -> q249Sql,
+    "q250_weighted_median" -> q250Sql,
+    "q251_new_vs_returning" -> q251Sql,
+    "q252_interval_coverage" -> q252Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,
