@@ -2683,6 +2683,139 @@ object AnalyticsQueries {
               CAST(count(*) AS BIGINT) AS n_intervals
        FROM swept GROUP BY user_id ORDER BY user_id"""
 
+  // --- q253: ABC classification (cumulative-share bucketing) ------------
+  /** Parts bucketed A/B/C by cumulative revenue share (A = parts
+    * covering the first 80% of revenue, B = to 95%, C = the tail) — the
+    * inventory-management classic. One fact aggregation to |parts|
+    * rows, then the cumulative window runs over the part dimension,
+    * never the fact (same histogram discipline as q250: window input
+    * = value-domain size). Share thresholds compare as integer
+    * cross-multiplications (cum·10 ≤ tot·8), so no engine ever
+    * divides — bit-exact class boundaries even when a part straddles
+    * 80.000…1%. Ties rank deterministically (revenue desc, partkey
+    * asc). */
+  def q253AbcClass(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val wCum = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .withColumn("cum", sum("cents").over(wCum))
+      .withColumn("tot", sum("cents").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when(col("cum") * 10 <= col("tot") * 8, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("class_cents"))
+      .orderBy("abc_class")
+  }
+
+  val q253Sql: String =
+    """WITH rev AS (
+         SELECT l_partkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM lineitem GROUP BY 1),
+       ranked AS (
+         SELECT cents,
+                sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(cents) OVER () AS tot
+         FROM rev)
+       SELECT CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                   WHEN cum * 20 <= tot * 19 THEN 'B'
+                   ELSE 'C' END AS abc_class,
+              CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(cents) AS BIGINT) AS class_cents
+       FROM ranked GROUP BY 1 ORDER BY 1"""
+
+  // --- q254: deterministic ordered string aggregation (LISTAGG) ---------
+  /** Top-5 customers by account balance per nation as ONE comma-joined
+    * string — the LISTAGG/string_agg reshape every report layer asks
+    * for, with the two at-scale disciplines that make it safe:
+    * (1) the top-5 cut is a partitioned WindowGroupLimit (never a
+    * global sort), so the aggregated string is bounded at 5 names per
+    * group no matter the fact size; (2) `collect_list` alone is
+    * partition-order nondeterministic, so the names collect as
+    * (rank, name) structs and `array_sort` + `transform` fixes the
+    * order INSIDE the aggregate — same answer on any partitioning. */
+  def q254ListAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("bal_cents").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("c_nationkey")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("rk"),
+            col("c_name")))), x => x.getField("c_name")), ",")
+          .as("top_names"),
+        max("bal_cents").as("best_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val q254Sql: String =
+    """WITH ranked AS (
+         SELECT c_nationkey, c_name,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                           c_custkey ASC) AS rk
+         FROM customer)
+       SELECT c_nationkey,
+              string_agg(c_name, ',' ORDER BY rk) AS top_names,
+              CAST(max(bal_cents) AS BIGINT) AS best_cents
+       FROM ranked WHERE rk <= 5
+       GROUP BY 1 ORDER BY 1"""
+
+  // --- q255: cohort retention triangle ----------------------------------
+  /** The retention triangle: users grouped by their FIRST-activity
+    * month (the cohort), counted in each subsequent month they remain
+    * active, keyed by months-since-cohort offset. Built from two
+    * bounded aggregations — distinct (user, month) activity and a
+    * per-user min — joined on the (dimension-sized) user key; no
+    * window over raw events. Month arithmetic runs on integer month
+    * indices (year·12 + month), so offsets are exact in both engines;
+    * the cohort label re-derives from the SAME min (string min ≡
+    * index min for zero-padded yyyy-MM). */
+  def q255CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = t(s, dir, "events")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM").as("mstr"),
+        (year(col("ts")) * 12 + month(col("ts"))).as("midx"))
+      .distinct()
+    val first = act.groupBy("user_id")
+      .agg(min("mstr").as("cohort_month"), min("midx").as("m0"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_month"),
+        (col("midx") - col("m0")).cast("long").as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_month", "offset")
+  }
+
+  val q255Sql: String =
+    """WITH act AS (
+         SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS mstr,
+                year(ts) * 12 + month(ts) AS midx
+         FROM events),
+       first AS (
+         SELECT user_id, min(mstr) AS cohort_month, min(midx) AS m0
+         FROM act GROUP BY 1)
+       SELECT cohort_month, midx - m0 AS offset,
+              CAST(count(*) AS BIGINT) AS n_active
+       FROM act JOIN first USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -2735,6 +2868,9 @@ object AnalyticsQueries {
     "q250_weighted_median" -> q250WeightedMedian _,
     "q251_new_vs_returning" -> q251NewVsReturning _,
     "q252_interval_coverage" -> q252IntervalCoverage _,
+    "q253_abc_class" -> q253AbcClass _,
+    "q254_listagg" -> q254ListAgg _,
+    "q255_cohort_retention" -> q255CohortRetention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2786,6 +2922,9 @@ object AnalyticsQueries {
     "q250_weighted_median" -> q250Sql,
     "q251_new_vs_returning" -> q251Sql,
     "q252_interval_coverage" -> q252Sql,
+    "q253_abc_class" -> q253Sql,
+    "q254_listagg" -> q254Sql,
+    "q255_cohort_retention" -> q255Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,

@@ -3464,7 +3464,65 @@ object PipelineQueries {
        FROM tri JOIN ctx USING (w1, w2)
        QUALIFY rk <= 3 ORDER BY w1, w2, rk"""
 
+  // --- q256: mutual nearest-neighbor pairs ------------------------------
+  /** Mutual top-1 cosine pairs over the embedding corpus — each vector's
+    * single best non-self neighbor, kept only when the choice is
+    * RECIPROCAL. Mutual-NN is the high-precision matching primitive
+    * (bitext mining's margin criterion starts here; reciprocal pairs
+    * are also the safest near-dup merge candidates, cf. q55). The
+    * neighbor search reuses [[Similarity.bruteForceTopK]] at k=2 (the
+    * self row ranks ≤2, so the best non-self is always inside the
+    * top-2) with the codegen'd integer-dot kernels; the mutuality check
+    * is one |D|-row self-join on (qid → nn). At corpus scale the
+    * brute-force stage swaps for the LSH/IVF candidate generation
+    * (q30/q64) — the per-vector top-1 reduction and the reciprocal
+    * join are unchanged, and stay |D|-row shaped. */
+  def q256MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nn = Similarity.bruteForceTopK(emb, emb, k = 2)
+      .filter(col("did") =!= col("qid"))
+      .groupBy("qid")
+      .agg(min(struct(col("rank"), col("did"), col("cosine"))).as("m"))
+      .select(col("qid"), col("m.did").as("nn_id"),
+        col("m.cosine").as("cosine"))
+    nn.as("a").join(nn.as("b"),
+        col("a.nn_id") === col("b.qid") && col("b.nn_id") === col("a.qid")
+          && col("a.qid") < col("b.qid"))
+      .select(col("a.qid").as("id_a"), col("b.qid").as("id_b"),
+        col("a.cosine").as("cosine"))
+      .orderBy("id_a")
+  }
+
+  val q256Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       p AS (
+         SELECT q.vec_id AS qid, d.vec_id AS did,
+                list_sum([q.e[i] * d.e[i]
+                          for i in generate_series(1, len(q.e))]) AS dot,
+                q.nn AS qq, d.nn AS dd
+         FROM n q CROSS JOIN n d WHERE q.vec_id <> d.vec_id),
+       sc AS (
+         SELECT qid, did,
+                CAST(dot AS DOUBLE) /
+                  (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(dd AS DOUBLE)))
+                  AS cosine
+         FROM p),
+       best AS (
+         SELECT qid, did, cosine,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, did ASC) AS rn
+         FROM sc QUALIFY rn = 1)
+       SELECT a.qid AS id_a, b.qid AS id_b, a.cosine AS cosine
+       FROM best a JOIN best b
+         ON a.did = b.qid AND b.did = a.qid AND a.qid < b.qid
+       ORDER BY id_a"""
+
   val all: Map[String, Q] = Map(
+    "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
     "q248_containment" -> q248Containment _,
@@ -3536,6 +3594,7 @@ object PipelineQueries {
     "q27_dedup_minhash" -> q27Sql,
     "q28_dedup_simhash" -> q28Sql,
     "q29_cosine_topk" -> q29Sql,
+    "q256_mutual_nn" -> q256Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,
