@@ -114,6 +114,62 @@ object Dedup {
         explode(transform(shinglesOfTokens(col("__tk"), n),
           s => hash60(s))).as("h"))
 
+  /** Longest shared token span per candidate document pair — the
+    * plagiarism/quotation LOCATOR that set-based similarity (Jaccard,
+    * containment) cannot express: not "how much overlaps" but WHERE,
+    * and for how long contiguously. Output per (id_a, id_b) pair
+    * (id_a < id_b) whose longest common run is ≥ `minRun` shingles:
+    * the run length, its token span (run + n − 1), and the 0-based
+    * start offsets in both documents.
+    *
+    * Shape: positional shingle postings (sid, pos, h) — same
+    * (long, long) hash discipline as [[docShingles]] plus one position
+    * int — self-joined on the hash to matching-position pairs, then the
+    * classic diagonal trick: a contiguous common run lies on one
+    * diagonal (pa − pb constant), so islands of consecutive `pa` per
+    * (pair, diagonal) ARE the shared spans, found by one partitioned
+    * window (pa − row_number) + aggregation — O(hits log hits), the
+    * documents' text never rescanned after the one shingle pass.
+    * `maxOccurrences` caps the postings of boilerplate shingles
+    * exactly like [[jaccardPairs]]'s `maxDocFreq` (per-shingle join
+    * work ≤ cap²); at corpus scale the candidate PAIRS should come
+    * from [[minHashCandidates]] first and this operator then runs on
+    * the (tiny) candidate set — composition the caller owns. Ties
+    * (equal run length) resolve deterministically: smallest start_a,
+    * then smallest diagonal. */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minRun: Long,
+                  maxOccurrences: Long = 10_000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val psh = df
+      .select(col(idCol).as("sid"), split(col(textCol), " ").as("__tk"))
+      .select(col("sid"),
+        posexplode(transform(shinglesOfTokens(col("__tk"), n),
+          s => hash60(s))))
+      .select(col("sid"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val keep = psh.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxOccurrences).select("h")
+    val pshc = psh.join(keep, "h")
+    val hits = pshc.as("a").join(pshc.as("b"),
+        col("a.h") === col("b.h") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wRun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    val islands = hits
+      .withColumn("grp", col("pa") - row_number().over(wRun))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"), min("pa").as("start_a"))
+    val wBest = Window.partitionBy("id_a", "id_b")
+      .orderBy(col("run_len").desc, col("start_a").asc, col("diag").asc)
+    islands
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("run_len") >= minRun)
+      .select(col("id_a"), col("id_b"), col("run_len").as("run_shingles"),
+        (col("run_len") + (n - 1)).as("span_tokens"),
+        col("start_a"), (col("start_a") - col("diag")).as("start_b"))
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, via grouped
     * postings lists. Output: (id_a, id_b, jaccard), id_a < id_b.
     *

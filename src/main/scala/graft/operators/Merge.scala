@@ -139,33 +139,46 @@ object Merge {
         .unionByName(inserts)
     if (nUpdated + nInserted > 0) {
       rewritten.write.parquet(tmp.toString)
-      // add → COMMIT → delete: move the new part-files in under their
-      // (unique) names, commit the next generation, then GC the
-      // replaced originals
-      val added = Seq.newBuilder[String]
-      val it = fs.listFiles(tmp, false)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) {
-          if (!fs.rename(f, new Path(hPath, f.getName)))
-            throw new java.io.IOException(
-              s"merge: could not move $f into $hPath")
-          added += f.getName
-        }
-      }
-      failpoint("added")
-      CommitLog.commit(fs, hPath,
-        live.diff(touchedRel) ++ added.result())
-      failpoint("committed")
-      if (!keepReplaced) touchedRel.foreach { r => // GC, best-effort
-        try fs.delete(new Path(hPath, r), false)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      fs.delete(tmp, true)
+      swapIn(fs, hPath, tmp, live, touchedRel, failpoint, keepReplaced)
     }
     MergeStats(live.length.toLong, touched.length.toLong,
       nUpdated, nInserted)
     } finally batch.unpersist(blocking = false)
+  }
+
+  /** The shared add → COMMIT → delete swap: move `tmp`'s part-files
+    * into the sink under their (unique) names, commit the next
+    * generation (live minus `touchedRel` plus the moved files) in ONE
+    * atomic manifest rename, then GC the replaced originals (pure
+    * garbage collection — the committed generation never references
+    * them; skipped when `keepReplaced`, which preserves older
+    * generations for [[CommitLog.readAt]] time travel). `failpoint`
+    * fires after the adds ("added") and after the commit
+    * ("committed") so CommitProtocolSpec can kill the swap at both
+    * windows. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem, hPath: Path,
+                     tmp: Path, live: Seq[String], touchedRel: Seq[String],
+                     failpoint: String => Unit,
+                     keepReplaced: Boolean = false): Unit = {
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, false)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        if (!fs.rename(f, new Path(hPath, f.getName)))
+          throw new java.io.IOException(
+            s"swap: could not move $f into $hPath")
+        added += f.getName
+      }
+    }
+    failpoint("added")
+    CommitLog.commit(fs, hPath, live.diff(touchedRel) ++ added.result())
+    failpoint("committed")
+    if (!keepReplaced) touchedRel.foreach { r => // GC, best-effort
+      try fs.delete(new Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
   }
 
   /** Erasure outcome: live files in the sink before, files rewritten,
@@ -224,28 +237,106 @@ object Merge {
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       kept.write.parquet(tmp.toString)
-      val added = Seq.newBuilder[String]
-      val it = fs.listFiles(tmp, false)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet")) {
-          if (!fs.rename(f, new Path(hPath, f.getName)))
-            throw new java.io.IOException(
-              s"erase: could not move $f into $hPath")
-          added += f.getName
-        }
-      }
-      failpoint("added")
-      CommitLog.commit(fs, hPath,
-        live.diff(touchedRel) ++ added.result())
-      failpoint("committed")
-      touchedRel.foreach { r =>
-        try fs.delete(new Path(hPath, r), false)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      fs.delete(tmp, true)
+      swapIn(fs, hPath, tmp, live, touchedRel, failpoint)
     }
     EraseStats(live.length.toLong, touched.length.toLong, deleted)
+    } finally batch.unpersist(blocking = false)
+  }
+
+  /** CDC-apply outcome: live files before, files rewritten, and the
+    * per-branch row counts. */
+  final case class CdcStats(filesBefore: Long, filesTouched: Long,
+                            rowsUpdated: Long, rowsDeleted: Long,
+                            rowsInserted: Long)
+
+  /** The full tri-branch MERGE — WHEN MATCHED UPDATE, WHEN MATCHED
+    * DELETE, WHEN NOT MATCHED INSERT — applied from ONE CDC batch in
+    * ONE touched-file pass: `changes` carries the sink schema plus an
+    * `opCol` marking each row `U` (upsert: update if the key exists,
+    * insert otherwise) or `D` (delete; payload columns ignored). This
+    * is the consumer side of the CDC family: q121 produces the feed,
+    * q198 collapses it to net effect per key, and this operator lands
+    * the net batch on a parquet sink with [[mergeParquet]]'s exact
+    * scale/durability shape — one key-projected sink scan finds the
+    * touched files (a key matching ANY sink row matches in a touched
+    * file, so update-vs-insert and delete targeting all derive from
+    * the touched-file read alone), only those files rewrite, and the
+    * swap is the [[swapIn]] add → COMMIT → delete under [[CommitLog]]
+    * (crash at any point leaves a manifest-resolving reader
+    * exactly-once).
+    *
+    * The batch must be NET: at most one op per key (what q198
+    * produces). Conflicting ops on one key have no defined winner, so
+    * the operator fails fast — the check is one aggregation over the
+    * batch, dimension-sized next to the sink scan it guards. */
+  def applyCdcParquet(spark: SparkSession, changes: DataFrame,
+                      keyCols: Seq[String], opCol: String, path: String,
+                      failpoint: String => Unit = _ => (),
+                      keepReplaced: Boolean = false): CdcStats = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"CDC target $path does not exist — " +
+      "first write goes through the publish path, not MERGE")
+    val live = CommitLog.ensureLogged(fs, hPath)
+    val liveAbs = live.map(r => new Path(hPath, r).toString)
+    val sinkDF = spark.read.parquet(liveAbs: _*)
+    val sinkSchema = sinkDF.schema
+    require(sinkSchema.fieldNames.sorted.sameElements(
+        changes.columns.filterNot(_ == opCol).sorted),
+      s"changes must carry the sink schema plus '$opCol'; got " +
+        changes.columns.sorted.mkString(","))
+    val batch = changes.cache()
+    try {
+    val nConflict = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(nConflict == 0,
+      s"CDC batch is not net: $nConflict keys carry more than one op — " +
+        "collapse it first (q198's net-effect reduction)")
+    val upserts = batch.filter(col(opCol) === "U").drop(opCol)
+    val delKeys = batch.filter(col(opCol) === "D")
+      .select(keyCols.map(col): _*)
+
+    val sinkKeys = sinkDF
+      .select(col("_metadata.file_path").as("__f") +:
+        keyCols.map(col): _*)
+    val touched = sinkKeys
+      .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select("__f").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
+
+    val touchedRows =
+      if (touched.isEmpty) null
+      else spark.read.schema(sinkSchema).parquet(touched: _*)
+    val touchedKeys =
+      if (touched.isEmpty) null
+      else touchedRows.select(keyCols.map(col): _*)
+    val matched =
+      if (touched.isEmpty) upserts.filter(lit(false))
+      else upserts.join(touchedKeys, keyCols, "left_semi")
+    val inserts =
+      if (touched.isEmpty) upserts
+      else upserts.join(touchedKeys, keyCols, "left_anti")
+    val nUpdated = matched.count()
+    val nInserted = inserts.count()
+    val nDeleted =
+      if (touched.isEmpty) 0L
+      else touchedKeys.join(delKeys, keyCols, "left_semi").count()
+
+    val tmp = new Path(hPath.getParent, hPath.getName + "__cdc_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val rewritten =
+      if (touched.isEmpty) inserts
+      else touchedRows
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(matched)
+        .unionByName(inserts)
+    if (nUpdated + nInserted + nDeleted > 0) {
+      rewritten.write.parquet(tmp.toString)
+      swapIn(fs, hPath, tmp, live, touchedRel, failpoint, keepReplaced)
+    }
+    CdcStats(live.length.toLong, touched.length.toLong,
+      nUpdated, nDeleted, nInserted)
     } finally batch.unpersist(blocking = false)
   }
 }

@@ -2816,6 +2816,66 @@ object AnalyticsQueries {
        FROM act JOIN first USING (user_id)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // --- q258: month-over-month rank movers -------------------------------
+  /** Brands whose monthly-revenue RANK jumped or fell ≥ 3 places vs the
+    * previous calendar month — the "top movers" leaderboard delta. Two
+    * windows, both over the |month × brand| rollup (never the fact):
+    * rank within month (revenue desc, brand asc — deterministic), then
+    * lag within brand ordered by month INDEX, kept only when the
+    * previous observation is the immediately preceding month (a brand
+    * absent for a month re-enters unranked rather than comparing
+    * across the gap). All-integer ranks and month indices. */
+  def q258RankMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("midx"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("mstr"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val monthly = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("mstr", "midx", "p_brand")
+      .agg(sum("pc").as("cents"))
+    val wRank = Window.partitionBy("midx")
+      .orderBy(col("cents").desc, col("p_brand").asc)
+    val wLag = Window.partitionBy("p_brand").orderBy("midx")
+    monthly
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rk", lag("rk", 1).over(wLag))
+      .withColumn("prev_midx", lag("midx", 1).over(wLag))
+      .filter(col("prev_midx") === col("midx") - 1 &&
+        abs(col("prev_rk") - col("rk")) >= 3)
+      .select(col("mstr").as("month"), col("p_brand"), col("rk"),
+        col("prev_rk"), (col("prev_rk") - col("rk")).as("delta"))
+      .orderBy("month", "rk", "p_brand")
+  }
+
+  val q258Sql: String =
+    """WITH monthly AS (
+         SELECT strftime(l_shipdate, '%Y-%m') AS mstr,
+                year(l_shipdate) * 12 + month(l_shipdate) AS midx,
+                p_brand,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2, 3),
+       ranked AS (
+         SELECT mstr, midx, p_brand, cents,
+                CAST(row_number() OVER (PARTITION BY midx
+                  ORDER BY cents DESC, p_brand ASC) AS BIGINT) AS rk
+         FROM monthly),
+       lagged AS (
+         SELECT mstr, midx, p_brand, rk,
+                lag(rk) OVER (PARTITION BY p_brand ORDER BY midx)
+                  AS prev_rk,
+                lag(midx) OVER (PARTITION BY p_brand ORDER BY midx)
+                  AS prev_midx
+         FROM ranked)
+       SELECT mstr AS month, p_brand, rk, prev_rk, prev_rk - rk AS delta
+       FROM lagged
+       WHERE prev_midx = midx - 1 AND abs(prev_rk - rk) >= 3
+       ORDER BY month, rk, p_brand"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -2871,6 +2931,7 @@ object AnalyticsQueries {
     "q253_abc_class" -> q253AbcClass _,
     "q254_listagg" -> q254ListAgg _,
     "q255_cohort_retention" -> q255CohortRetention _,
+    "q258_rank_movers" -> q258RankMovers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2925,6 +2986,7 @@ object AnalyticsQueries {
     "q253_abc_class" -> q253Sql,
     "q254_listagg" -> q254Sql,
     "q255_cohort_retention" -> q255Sql,
+    "q258_rank_movers" -> q258Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,

@@ -3521,7 +3521,60 @@ object PipelineQueries {
          ON a.did = b.qid AND b.did = a.qid AND a.qid < b.qid
        ORDER BY id_a"""
 
+  // --- q259: shared-span locator (plagiarism offsets) -------------------
+  /** WHERE the near-duplicate corpus overlaps, not just THAT it does:
+    * [[Dedup.sharedSpans]] locates each candidate pair's longest
+    * contiguous common token run via positional shingle postings + the
+    * diagonal-island window (scaladoc there) — the quotation /
+    * plagiarism-span primitive set similarity can't express. The
+    * planted near-dup corpus (every doc + its first-word-dropped
+    * copy) makes the expected answer structural: the copy shares the
+    * original's whole tail, so spans ≈ doc length − 1 token. */
+  def q259SharedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", n = 3, minRun = 5L, maxOccurrences = 1000L)
+      .orderBy("id_a", "id_b")
+
+  val q259Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+       psh AS (
+         SELECT doc_id AS sid, CAST(i - 1 AS BIGINT) AS pos,
+                ('0x' ||
+                 substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                )::BIGINT AS h
+         FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+         WHERE len(tk) >= 3),
+       keep AS (SELECT h FROM psh GROUP BY h HAVING count(*) <= 1000),
+       pshc AS (SELECT psh.* FROM psh JOIN keep USING (h)),
+       hits AS (
+         SELECT a.sid AS id_a, b.sid AS id_b, a.pos AS pa,
+                a.pos - b.pos AS diag
+         FROM pshc a JOIN pshc b ON a.h = b.h AND a.sid < b.sid),
+       runs AS (
+         SELECT id_a, id_b, diag, pa,
+                pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                  ORDER BY pa) AS grp
+         FROM hits),
+       islands AS (
+         SELECT id_a, id_b, diag, grp,
+                CAST(count(*) AS BIGINT) AS run_len,
+                min(pa) AS start_a
+         FROM runs GROUP BY 1, 2, 3, 4),
+       best AS (
+         SELECT id_a, id_b, diag, run_len, start_a,
+                row_number() OVER (PARTITION BY id_a, id_b
+                  ORDER BY run_len DESC, start_a ASC, diag ASC) AS rn
+         FROM islands)
+       SELECT id_a, id_b, run_len AS run_shingles,
+              CAST(run_len + 2 AS BIGINT) AS span_tokens,
+              start_a, CAST(start_a - diag AS BIGINT) AS start_b
+       FROM best WHERE rn = 1 AND run_len >= 5
+       ORDER BY id_a, id_b"""
+
   val all: Map[String, Q] = Map(
+    "q259_shared_spans" -> q259SharedSpans _,
     "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -3595,6 +3648,7 @@ object PipelineQueries {
     "q28_dedup_simhash" -> q28Sql,
     "q29_cosine_topk" -> q29Sql,
     "q256_mutual_nn" -> q256Sql,
+    "q259_shared_spans" -> q259Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,

@@ -272,6 +272,71 @@ object SinkQueries {
        FROM final GROUP BY time_id ORDER BY time_id"""
 
   // --- q36: row-granular MERGE (WHEN MATCHED UPDATE) -------------------
+  // --- q257: CDC-apply (tri-branch MERGE) -------------------------------
+  /** One net CDC batch — updates, deletes, AND inserts — landed on the
+    * customer ledger in a single [[graft.operators.Merge
+    * .applyCdcParquet]] pass: every 10th customer's balance corrected
+    * (+$1000, op U), every 7th-but-not-10th customer closed (op D),
+    * five new accounts (op U, unmatched → insert). The consumer side
+    * of the CDC family (q121 feed → q198 net effect → THIS apply);
+    * q36 covers update+insert, q140 covers delete — this is all three
+    * branches against one sink, one touched-file rewrite, one
+    * CommitLog swap. Output: per-segment count + balance sum of the
+    * final ledger, so every preserved, corrected, deleted and
+    * inserted cent is pinned by the oracle's relational simulation. */
+  def q257CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_cdc_")
+      .toString
+    try {
+      val cust = graft.io.Sources.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"),
+          col("c_mktsegment"))
+      val sink = s"$root/ledger"
+      cust.repartition(8).write.parquet(sink)
+      val changes = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 100000L)
+        .withColumn("op", lit("U"))
+        .unionByName(cust
+          .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 10 =!= 0)
+          .withColumn("op", lit("D")))
+        .unionByName(s.range(1, 6)
+          .select((col("id") + 91000000L).as("c_custkey"),
+            lit(7700L).as("bal_cents"), lit("NEWACCT").as("c_mktsegment"),
+            lit("U").as("op")))
+      graft.operators.Merge.applyCdcParquet(s, changes, Seq("c_custkey"),
+        "op", sink)
+      val out = graft.operators.CommitLog.read(s, sink)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"))
+        .orderBy("c_mktsegment")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q257Sql: String =
+    """WITH base AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                END AS bal_cents,
+                c_mktsegment
+         FROM customer
+         WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 10 <> 0)
+         UNION ALL
+         SELECT 91000000 + i AS c_custkey, 7700 AS bal_cents,
+                'NEWACCT' AS c_mktsegment
+         FROM unnest(generate_series(1, 5)) AS t(i))
+       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+       FROM base GROUP BY 1 ORDER BY 1"""
+
   /** The MERGE variant q72's partition-replace and q102's feed
     * compaction still lacked: an in-place row-level update of ONLY the
     * sink files containing matched keys ([[graft.operators.Merge
@@ -595,6 +660,7 @@ object SinkQueries {
 
   val all: Map[String, Q] = Map(
     "q36_merge_update" -> q36MergeUpdate _,
+    "q257_cdc_apply" -> q257CdcApply _,
     "q140_corpus_erasure" -> q140CorpusErasure _,
     "q56_publish_idempotent" -> q56PublishIdempotent _,
     "q57_weather_csv" -> q57WeatherCsv _,
@@ -608,6 +674,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_merge_update" -> q36Sql,
+    "q257_cdc_apply" -> q257Sql,
     "q140_corpus_erasure" -> q140Sql,
     "q56_publish_idempotent" -> q56Sql,
     "q57_weather_csv" -> q57Sql,

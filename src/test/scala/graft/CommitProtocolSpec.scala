@@ -164,6 +164,53 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("CDC apply (tri-branch MERGE): update+delete+insert land in one " +
+    "touched-file pass; untouched files stay byte-identical; a kill " +
+    "between add and commit keeps the old generation and the re-run " +
+    "converges; a non-net batch is refused") {
+    val root = java.nio.file.Files.createTempDirectory("cps_cdc").toString
+    val sink = mkSink(root)
+    def files(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(sink)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    // update k=1, delete k=3, insert k=9 — one batch, one pass
+    val batch = Seq((1L, 11L, "U"), (3L, 0L, "D"), (9L, 90L, "U"))
+      .toDF("k", "v", "op")
+    // killed pre-commit: reader sees the old generation
+    intercept[Killed] {
+      Merge.applyCdcParquet(spark, batch, Seq("k"), "op", sink,
+        killAt("added"))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "crashed CDC apply leaked cached blocks")
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // re-run vacuums the debris and applies all three branches
+    val stats = Merge.applyCdcParquet(spark, batch, Seq("k"), "op", sink)
+    assert(stats.rowsUpdated == 1L && stats.rowsDeleted == 1L &&
+      stats.rowsInserted == 1L && stats.filesTouched == 2L)
+    assert(ledger(sink) ==
+      Seq((1L, 11L), (2L, 20L), (4L, 40L), (9L, 90L)))
+    // the files holding k=2 and k=4 were never rewritten (same name,
+    // size, mtime); the two touched originals are GC'd after commit
+    val after = files()
+    assert(before.count { case (f, m) => after.get(f).contains(m) } == 2,
+      "exactly the two untouched single-key files survive byte-identical")
+    // non-net batch (two ops on one key) must be refused up front
+    val dirty = Seq((2L, 21L, "U"), (2L, 0L, "D")).toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Merge.applyCdcParquet(spark, dirty, Seq("k"), "op", sink)
+    }
+    assert(e.getMessage.contains("not net"))
+    assert(ledger(sink) ==
+      Seq((1L, 11L), (2L, 20L), (4L, 40L), (9L, 90L)),
+      "a refused batch must not change the sink")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("compaction killed at either point preserves the row multiset " +
     "for the manifest reader; the next compaction run heals the sink") {
     val root = java.nio.file.Files.createTempDirectory("cps_c").toString
