@@ -199,6 +199,57 @@ object Graphs {
     } finally e.unpersist(blocking = false)
   }
 
+  /** k-core peeling: repeatedly delete nodes of degree < k (degrees
+    * measured in the CURRENT induced subgraph) for up to `rounds`
+    * rounds, and return (node, degree) over the surviving edges — the
+    * standard dense-substructure / spam-cluster primitive one tier
+    * below [[triangleStats]]. Fixed-round semantics ("the graph after
+    * `rounds` peels") make the operator oracle-unrollable; peeling
+    * short-circuits as soon as a round deletes nothing, and a stable
+    * round is a fixpoint (further peels are no-ops), so early-stop
+    * output ≡ the fixed-round answer — callers that want the true
+    * k-core pass `rounds` ≥ the peel depth (bounded by |V|, in
+    * practice tiny: each round must delete ≥ 1 node to continue).
+    *
+    * Per round: one degree aggregation (map-side partial count over
+    * 2|E| (node) rows) + two semi-joins of the edge list against the
+    * ≥k survivor set — shuffles carry (long, long) edges and (long)
+    * nodes only. Loop discipline = [[boundedSssp]]'s: eager
+    * localCheckpoint per round, previous round's blocks dropped.
+    * Input: undirected simple edges (u, v), u < v, deduplicated. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var prev: Option[DataFrame] = None
+    var r = 0
+    var nEdges = e.count()
+    var stable = false
+    while (r < rounds && !stable && nEdges > 0) {
+      r += 1
+      val deg = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      val e2 = e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      stable = n2 == nEdges
+      nEdges = n2
+      prev.foreach(Dedup.unpersistCheckpoint)
+      prev = Some(e)
+      e = e2
+    }
+    val out = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    prev.foreach(Dedup.unpersistCheckpoint)
+    out
+  }
+
   def multiSourceBfs(edges: DataFrame, sources: DataFrame,
                      maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

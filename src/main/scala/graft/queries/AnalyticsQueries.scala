@@ -2876,6 +2876,148 @@ object AnalyticsQueries {
        WHERE prev_midx = midx - 1 AND abs(prev_rk - rk) >= 3
        ORDER BY month, rk, p_brand"""
 
+  // --- q260: EWMA via deterministic ordered fold ------------------------
+  /** Exponentially weighted moving average of the hourly event count
+    * per event type (α = 1/4) — the standard smoothing a monitoring
+    * layer runs, and a worked example of the cross-engine discipline
+    * for ORDER-SENSITIVE float math: a windowed sum of α(1−α)ᵏ terms
+    * would accumulate in engine-specific order, so instead BOTH
+    * engines run the same left fold (s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁)
+    * over the same chronologically-sorted list — Spark's `aggregate`
+    * HOF seeded with the first element, DuckDB's `list_reduce` —
+    * giving the identical IEEE operation sequence, hence bit-equal
+    * doubles. α = 1/4 and 3/4 are exact binary fractions. The fold
+    * runs over the |type × hours| rollup, never raw events; per-key
+    * state is one double (the streaming form is q85/q242's rolling
+    * window family). */
+  def q260Ewma(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("h"), col("cnt"))))
+        .as("arr"))
+      .select(col("event_type"),
+        size(col("arr")).cast("long").as("n_hours"),
+        expr("""aggregate(slice(arr, 2, size(arr) - 1),
+                CAST(arr[0].cnt AS DOUBLE),
+                (acc, x) -> 0.25D * CAST(x.cnt AS DOUBLE) + 0.75D * acc)""")
+          .as("ewma"))
+      .orderBy("event_type")
+  }
+
+  val q260Sql: String =
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS h,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       agg AS (
+         SELECT event_type,
+                list(CAST(cnt AS DOUBLE) ORDER BY h) AS arr
+         FROM hourly GROUP BY 1)
+       SELECT event_type, CAST(len(arr) AS BIGINT) AS n_hours,
+              CAST(list_reduce(arr, (a, b) -> 0.25 * b + 0.75 * a)
+                AS DOUBLE) AS ewma
+       FROM agg ORDER BY event_type"""
+
+  // --- q261: revenue concentration (Lorenz / Gini) ----------------------
+  /** Gini coefficient of customer revenue — "how concentrated is the
+    * book of business" — by the sorted-rank identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending. One fact
+    * aggregation to |customers| rows, one ranking window over that
+    * value domain, one reduce. The q125 `dec` discipline: every
+    * product runs in decimal(38,0) (n·Σx overflows int64 around
+    * sf100 — exactly the silent-wrap ADVICE caught in JoinGuard), and
+    * only the final ratio converts to double. Rank ties (equal
+    * revenue) cannot change Σ i·xᵢ — any permutation of a tie group
+    * reassigns the same rank set to the same value — so the result is
+    * deterministic without a tie-break column. */
+  def q261Gini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val rev = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    rev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .select(col("cents").cast(dec).as("x"), col("i").cast(dec).as("i"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("x").as("sx"), sum(col("i") * col("x")).as("six"),
+        max("i").as("n"))
+      .select(col("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        ((lit(2).cast(dec) * col("six") -
+          (col("n") + lit(1).cast(dec)) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double")).as("gini"))
+  }
+
+  val q261Sql: String =
+    """WITH rev AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       ranked AS (
+         SELECT CAST(cents AS DECIMAL(38,0)) AS x,
+                CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+                  AS DECIMAL(38,0)) AS i
+         FROM rev),
+       m AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                sum(x) AS sx, sum(i * x) AS six, max(i) AS n
+         FROM ranked)
+       SELECT n_customers, CAST(sx AS BIGINT) AS total_cents,
+              CAST(CAST(2 AS DECIMAL(38,0)) * six -
+                   (n + CAST(1 AS DECIMAL(38,0))) * sx AS DOUBLE) /
+                CAST(n * sx AS DOUBLE) AS gini
+       FROM m"""
+
+  // --- q262: k-core extraction (fixed-round peeling) --------------------
+  /** The 4-core of the co-purchase graph (parts linked when a large
+    * order contains both — q97's edge construction): nodes surviving
+    * repeated deletion of degree-<4 nodes, with their in-core degrees.
+    * [[graft.operators.Graphs.kCorePeel]] peels for 8 fixed rounds
+    * (early-stopping at the fixpoint, which is observationally
+    * identical); the oracle unrolls the same 8 peels as chained CTEs —
+    * iterative graph semantics pinned relationally, the q220/q160
+    * bounded-iteration discipline. */
+  def q262KCore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.groupBy("o").agg(array_sort(collect_set("p")).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .distinct()
+    graft.operators.Graphs.kCorePeel(edges, k = 4, rounds = 8)
+      .orderBy("node")
+  }
+
+  val q262Sql: String = {
+    // AS MATERIALIZED is load-bearing: each peel references its
+    // predecessor twice (degree pass + survivor join), so inlined CTEs
+    // would expand e0 2⁸ times — exponential work and a
+    // too-many-open-files parquet re-scan storm
+    val peels = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e${i - 1}
+            UNION ALL SELECT v AS n FROM e${i - 1}) t$i GROUP BY 1),
+         k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 4),
+         e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+                 JOIN k$i a ON e.u = a.n JOIN k$i b ON e.v = b.n)"""
+    }.mkString(",\n       ")
+    s"""WITH li AS MATERIALIZED (
+         SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+         WHERE l_quantity >= 30),
+       e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       $peels
+       SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+         SELECT u AS n FROM e8 UNION ALL SELECT v AS n FROM e8) t
+       GROUP BY 1 ORDER BY node"""
+  }
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -2932,6 +3074,9 @@ object AnalyticsQueries {
     "q254_listagg" -> q254ListAgg _,
     "q255_cohort_retention" -> q255CohortRetention _,
     "q258_rank_movers" -> q258RankMovers _,
+    "q260_ewma" -> q260Ewma _,
+    "q261_gini" -> q261Gini _,
+    "q262_kcore" -> q262KCore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2987,6 +3132,9 @@ object AnalyticsQueries {
     "q254_listagg" -> q254Sql,
     "q255_cohort_retention" -> q255Sql,
     "q258_rank_movers" -> q258Sql,
+    "q260_ewma" -> q260Sql,
+    "q261_gini" -> q261Sql,
+    "q262_kcore" -> q262Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,

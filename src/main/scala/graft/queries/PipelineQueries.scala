@@ -3531,8 +3531,14 @@ object PipelineQueries {
     * copy) makes the expected answer structural: the copy shares the
     * original's whole tail, so spans ≈ doc length − 1 token. */
   def q259SharedSpans(s: SparkSession, dir: String): DataFrame =
+    // cap 50: the synthetic corpus's small-vocabulary 3-grams recur
+    // across MANY unrelated docs, and each shingle costs occ² pair
+    // rows — at cap 1000 the sf0.1 run spent 8 s generating
+    // boilerplate pairs that the run-length filter then discarded;
+    // at cap 50 the planted spans (occurrences ≈ 2-6) all survive
+    // and Σ occ² collapses ~30×. Same jaccardPairs maxDocFreq logic.
     Dedup.sharedSpans(nearDupCorpus(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, minRun = 5L, maxOccurrences = 1000L)
+        "doc_id", "text", n = 3, minRun = 5L, maxOccurrences = 50L)
       .orderBy("id_a", "id_b")
 
   val q259Sql: String =
@@ -3546,7 +3552,7 @@ object PipelineQueries {
                 )::BIGINT AS h
          FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)
          WHERE len(tk) >= 3),
-       keep AS (SELECT h FROM psh GROUP BY h HAVING count(*) <= 1000),
+       keep AS (SELECT h FROM psh GROUP BY h HAVING count(*) <= 50),
        pshc AS (SELECT psh.* FROM psh JOIN keep USING (h)),
        hits AS (
          SELECT a.sid AS id_a, b.sid AS id_b, a.pos AS pa,
