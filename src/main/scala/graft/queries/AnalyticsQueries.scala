@@ -3018,6 +3018,127 @@ object AnalyticsQueries {
        GROUP BY 1 ORDER BY node"""
   }
 
+  // --- q264: gap-fill with exact linear interpolation -------------------
+  /** q171's densified hourly grid, with missing hours LINEARLY
+    * INTERPOLATED between the neighboring observations instead of
+    * zero-filled — the resample-and-interpolate a forecasting feature
+    * pipeline needs. Neighbor discovery is two IGNORE-NULLS window
+    * scans over the per-user grid (last observation at-or-before, first
+    * at-or-after — never a self-join against observations); endpoints
+    * always exist because the grid spans each user's own [min, max]
+    * hour. The interpolated value (v₀·(t₁−t) + v₁·(t−t₀)) / (t₁−t₀) is
+    * a RATIONAL, and int division rounds differently across engines
+    * (Spark `div` truncates, DuckDB `//` floors), so the value is
+    * emitted as exact integer numerator + denominator — the q125
+    * emit-the-exact-parts discipline; consumers divide in their own
+    * float domain. */
+  def q264Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val hourly = ev.groupBy("user_id", "h").agg(sum("c").as("v"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    val g = grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("ht", (unix_micros(col("h")) / 3600000000L).cast("long"))
+    val wB = Window.partitionBy("user_id").orderBy("ht")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy("user_id").orderBy("ht")
+      .rowsBetween(0, Window.unboundedFollowing)
+    g.withColumn("pv", last("v", ignoreNulls = true).over(wB))
+      .withColumn("pt", last(when(col("v").isNotNull, col("ht")),
+        ignoreNulls = true).over(wB))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wF))
+      .withColumn("nt", first(when(col("v").isNotNull, col("ht")),
+        ignoreNulls = true).over(wF))
+      .select(col("user_id"), col("h").as("hour_ts"),
+        col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") * (col("nt") - col("ht")) +
+            col("nv") * (col("ht") - col("pt"))).as("value_num"),
+        when(col("v").isNotNull, lit(1L))
+          .otherwise(col("nt") - col("pt")).as("value_den"))
+      .orderBy("user_id", "hour_ts")
+  }
+
+  val q264Sql: String =
+    """WITH ev AS (
+         SELECT user_id, date_trunc('hour', ts) AS h,
+                CAST(round(value * 100) AS BIGINT) AS c
+         FROM events WHERE user_id < 10),
+       hourly AS (
+         SELECT user_id, h, CAST(sum(c) AS BIGINT) AS v
+         FROM ev GROUP BY 1, 2),
+       grid AS (
+         SELECT user_id,
+                unnest(generate_series(min(h), max(h),
+                  INTERVAL 1 HOUR)) AS h
+         FROM ev GROUP BY user_id),
+       g AS (
+         SELECT grid.user_id, grid.h, v,
+                epoch_us(grid.h) // 3600000000 AS ht
+         FROM grid LEFT JOIN hourly
+           ON grid.user_id = hourly.user_id AND grid.h = hourly.h),
+       nb AS (
+         SELECT user_id, h, v, ht,
+                last_value(v IGNORE NULLS) OVER wb AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN ht END
+                  IGNORE NULLS) OVER wb AS pt,
+                first_value(v IGNORE NULLS) OVER wf AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN ht END
+                  IGNORE NULLS) OVER wf AS nt
+         FROM g
+         WINDOW wb AS (PARTITION BY user_id ORDER BY ht
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY user_id ORDER BY ht
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, h AS hour_ts, v IS NOT NULL AS observed,
+              CAST(CASE WHEN v IS NOT NULL THEN v
+                ELSE pv * (nt - ht) + nv * (ht - pt) END AS BIGINT)
+                AS value_num,
+              CAST(CASE WHEN v IS NOT NULL THEN 1
+                ELSE nt - pt END AS BIGINT) AS value_den
+       FROM nb ORDER BY user_id, hour_ts"""
+
+  // --- q265: event debounce (consecutive-duplicate suppression) ---------
+  /** Per event type: how many events survive DEBOUNCING — dropping an
+    * event when it repeats the same user's immediately preceding
+    * event type (sensor chatter / double-click suppression, the
+    * append-log cousin of U2's keep-first dedup: U2 dedups by KEY,
+    * this dedups by ADJACENCY, so the same type further down the
+    * stream is kept again). One lag window partitioned by user
+    * (per-user event counts bound the sort), ties broken by event_id
+    * — deterministic under any partitioning. The streaming twin is
+    * q195's transformWithState (carry one last-type value per user). */
+  def q265Debounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  val q265Sql: String =
+    """WITH lagged AS (
+         SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN prev_type IS NULL
+                    OR prev_type <> event_type
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM lagged GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -3077,6 +3198,8 @@ object AnalyticsQueries {
     "q260_ewma" -> q260Ewma _,
     "q261_gini" -> q261Gini _,
     "q262_kcore" -> q262KCore _,
+    "q264_interpolate" -> q264Interpolate _,
+    "q265_debounce" -> q265Debounce _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3135,6 +3258,8 @@ object AnalyticsQueries {
     "q260_ewma" -> q260Sql,
     "q261_gini" -> q261Sql,
     "q262_kcore" -> q262Sql,
+    "q264_interpolate" -> q264Sql,
+    "q265_debounce" -> q265Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,

@@ -1908,6 +1908,7 @@ object WarehouseQueries {
     "q243_restatement_impact" -> q243RestatementImpact _,
     "q244_burn_rate" -> q244BurnRate _,
     "q245_profile" -> q245Profile _,
+    "q263_record_linkage" -> q263RecordLinkage _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1941,5 +1942,83 @@ object WarehouseQueries {
     "q243_restatement_impact" -> q243Sql,
     "q244_burn_rate" -> q244Sql,
     "q245_profile" -> q245Sql,
+    "q263_record_linkage" -> q263Sql,
   )
+
+  // --- q263: probabilistic record linkage scorecard ---------------------
+  /** Fellegi–Sunter-style record linkage between two "systems" — the
+    * customer base and a deterministically perturbed copy (every 3rd
+    * segment re-coded, every 7th balance off by 7¢, every 5th balance
+    * shifted a whole $250) — scored inside NATION blocks: agreement
+    * weights name +40 / balance-within-10¢ +20 / balance-bucket +25 /
+    * segment +15, integer so both engines band identically. Output is
+    * the score-band histogram with the true-match count per band
+    * (same custkey = ground truth), i.e. the calibration table a
+    * linkage threshold is chosen from. Scale shape: the only join is
+    * block-equi (never a cross join); block sizes are data-shaped, so
+    * at corpus scale the block key must compose finer evidence
+    * (q167's sorted-neighborhood window and FuzzyJoin's q-gram prefix
+    * filter are the adjacent tiers) — the cost meter is
+    * JoinGuard.fanoutReport on the block key, which prices this exact
+    * join before running it. */
+  def q263RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val a = c.select(col("c_custkey").as("a_key"),
+      col("c_nationkey").as("block"),
+      col("c_name").as("a_name"), col("c_mktsegment").as("a_seg"),
+      cents.as("a_bal"))
+    val b = c.select(col("c_custkey").as("b_key"),
+      col("c_nationkey").as("block"),
+      col("c_name").as("b_name"),
+      when(col("c_custkey") % 3 === 0, lit("RECODED"))
+        .otherwise(col("c_mktsegment")).as("b_seg"),
+      (cents +
+        when(col("c_custkey") % 5 === 0, 25000L).otherwise(0L) +
+        when(col("c_custkey") % 7 === 0, 7L).otherwise(0L)).as("b_bal"))
+    a.join(b, "block")
+      .select(
+        (when(col("a_name") === col("b_name"), 40L).otherwise(0L) +
+          when(abs(col("a_bal") - col("b_bal")) <= 10L, 20L)
+            .otherwise(0L) +
+          when(floor(col("a_bal") / 100000L) ===
+            floor(col("b_bal") / 100000L), 25L).otherwise(0L) +
+          when(col("a_seg") === col("b_seg"), 15L).otherwise(0L))
+          .as("score"),
+        when(col("a_key") === col("b_key"), 1L).otherwise(0L).as("tm"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_pairs"), sum("tm").as("n_true"))
+      .orderBy("score")
+  }
+
+  // lazy: declared below the `oracles` map that references it — a
+  // plain val would still be null when the map initializes
+  lazy val q263Sql: String =
+    """WITH a AS (
+         SELECT c_custkey AS a_key, c_nationkey AS block,
+                c_name AS a_name, c_mktsegment AS a_seg,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS a_bal
+         FROM customer),
+       b AS (
+         SELECT c_custkey AS b_key, c_nationkey AS block,
+                c_name AS b_name,
+                CASE WHEN c_custkey % 3 = 0 THEN 'RECODED'
+                  ELSE c_mktsegment END AS b_seg,
+                CAST(round(c_acctbal * 100) AS BIGINT) +
+                  CASE WHEN c_custkey % 5 = 0 THEN 25000 ELSE 0 END +
+                  CASE WHEN c_custkey % 7 = 0 THEN 7 ELSE 0 END AS b_bal
+         FROM customer),
+       scored AS (
+         SELECT (CASE WHEN a_name = b_name THEN 40 ELSE 0 END +
+                 CASE WHEN abs(a_bal - b_bal) <= 10 THEN 20 ELSE 0 END +
+                 CASE WHEN floor(CAST(a_bal AS DOUBLE) / 100000) =
+                      floor(CAST(b_bal AS DOUBLE) / 100000)
+                   THEN 25 ELSE 0 END +
+                 CASE WHEN a_seg = b_seg THEN 15 ELSE 0 END) AS score,
+                CASE WHEN a_key = b_key THEN 1 ELSE 0 END AS tm
+         FROM a JOIN b USING (block))
+       SELECT CAST(score AS BIGINT) AS score,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(tm) AS BIGINT) AS n_true
+       FROM scored GROUP BY 1 ORDER BY 1"""
 }
