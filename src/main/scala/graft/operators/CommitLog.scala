@@ -38,28 +38,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     falls back to a plain directory read for never-logged sinks —
   *     existing append-only sinks keep working unchanged.
   *
-  * Durability notes for real deployments: the commit rename is atomic
-  * on HDFS and POSIX filesystems; an object store without atomic
-  * rename (S3) needs a conditional-PUT variant of [[commit]], which is
-  * exactly what production table formats do. Manifests are
-  * file-count-sized (the same driver-side bound as
+  * Durability notes for real deployments: the commit publish is atomic
+  * on HDFS (rename fails on an existing destination) and on local
+  * POSIX filesystems (hard-link creation is atomically exclusive); an
+  * object store without either (S3) needs a conditional-PUT variant of
+  * [[commitNext]], which is exactly what production table formats do.
+  * Manifests are file-count-sized (the same driver-side bound as
   * [[ManifestSkip]]'s stats table and [[Upsert]]'s partition-value
   * pruning); at 10⁶ files a manifest is one ~100 MB sequential read,
   * vs the 10⁶ LIST round-trips it replaces.
   *
-  * Concurrency: on HDFS, rename fails when the destination exists, so
-  * two writers racing to the same generation resolve as optimistic
-  * concurrency — one commit wins, the loser's [[commit]] throws and
-  * its operation retries against the new latest. Local POSIX rename
-  * REPLACES an existing destination, so this module is single-writer
-  * there (the reference's one-DAG publish shape; matches the test
-  * environment). Readers need no coordination in either case: a
-  * manifest-resolved read pins its file list at plan time, so a
-  * concurrent rewrite cannot change the rows mid-query — genuine
-  * snapshot isolation when history is retained (`keepReplaced`), and
-  * the ordinary read-vs-delete race of any raw-parquet table when the
-  * default GC reclaims files.
+  * Concurrency — OPTIMISTIC, generation-pinned: every writer reads its
+  * base generation via [[ensureLoggedAt]] and commits with
+  * [[commitNext]], a compare-and-swap on `baseGen + 1`. Two writers
+  * racing from the same base both target the same generation number;
+  * the atomic exclusive publish lets exactly one manifest in, and the
+  * loser's [[commitNext]] throws [[CommitConflictException]] — its
+  * moved-in data files are debris the next [[vacuum]] reclaims, and
+  * its OPERATION retries against the new latest state (re-running
+  * re-reads, so the retry merges on top of the winner — the
+  * serializable outcome). The pinning is what makes the winner's
+  * vacuum safe too: it may delete a straggler's in-flight uncommitted
+  * files, but that straggler's commit is then GUARANTEED to conflict
+  * (its base is stale), so no committed manifest can ever reference a
+  * vacuumed file. Readers need no coordination: a manifest-resolved
+  * read pins its file list at plan time, so a concurrent rewrite
+  * cannot change the rows mid-query — genuine snapshot isolation when
+  * history is retained (`keepReplaced`), and the ordinary
+  * read-vs-delete race of any raw-parquet table when the default GC
+  * reclaims files.
   */
+/** A generation-pinned [[CommitLog.commitNext]] lost its
+  * compare-and-swap: another writer committed the same generation
+  * first. The operation (not just the commit) must retry from a fresh
+  * [[CommitLog.ensureLoggedAt]] read. */
+final class CommitConflictException(msg: String)
+  extends RuntimeException(msg)
+
 object CommitLog {
 
   val LogDirName = "_graft_log"
@@ -147,23 +162,71 @@ object CommitLog {
   : Set[String] =
     generations(fs, sink).flatMap(readManifest(fs, sink, _)).toSet
 
-  /** Atomically commit `files` (sink-relative) as the next generation.
-    * Write-to-temp + one rename — the rename IS the commit point.
-    * Returns the committed generation. */
-  def commit(fs: FileSystem, sink: Path, files: Seq[String]): Long = {
+  /** Atomically publish `tmp` as `fin` iff `fin` does not exist.
+    * Local filesystems go through an atomically-exclusive hard link
+    * (POSIX rename would silently REPLACE an existing manifest — the
+    * lost-update a CAS exists to prevent); everything else uses
+    * rename, which HDFS specifies to fail on an existing destination.
+    * Object stores without either primitive need a conditional PUT
+    * here. Returns whether this writer won. */
+  private def publishExclusive(fs: FileSystem, tmp: Path, fin: Path)
+  : Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val f = java.nio.file.Paths.get(fs.makeQualified(fin).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(f, t)
+        fs.delete(tmp, false) // also drops the checksum sidecar
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case _ => fs.rename(tmp, fin)
+  }
+
+  /** Compare-and-swap commit of `files` (sink-relative) as generation
+    * `baseGen + 1` — `baseGen` MUST be the generation the writer read
+    * its state from ([[ensureLoggedAt]]). Exactly one of the writers
+    * racing from the same base wins; the rest throw
+    * [[CommitConflictException]] and must retry their WHOLE operation
+    * from a fresh read (their already-moved data files are debris the
+    * next vacuum reclaims). Returns the committed generation. */
+  def commitNext(fs: FileSystem, sink: Path, baseGen: Long,
+                 files: Seq[String]): Long = {
+    val gen = baseGen + 1
     val dir = logDir(sink)
     fs.mkdirs(dir)
-    val gen = committed(fs, sink).map(_._1 + 1).getOrElse(0L)
-    val tmp = new Path(dir, "." + manifestName(gen) + ".tmp")
+    val fin = new Path(dir, manifestName(gen))
+    if (fs.exists(fin))
+      throw new CommitConflictException(
+        s"generation $gen already committed at $sink — base $baseGen " +
+          "is stale; re-read and retry the operation")
+    // unique temp name: racing writers must not clobber each other's
+    // staged manifest before the exclusive publish decides the winner
+    val tmp = new Path(dir, "." + manifestName(gen) + "." +
+      java.util.UUID.randomUUID().toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val fin = new Path(dir, manifestName(gen))
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"commit of generation $gen failed: " +
-        s"rename $tmp -> $fin (concurrent writer?)")
+    if (!publishExclusive(fs, tmp, fin)) {
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new CommitConflictException(
+        s"lost the commit race for generation $gen at $sink — " +
+          "re-read and retry the operation")
+    }
     gen
   }
+
+  /** [[commitNext]] against the latest committed generation read just
+    * now — for call sites that genuinely hold the only reference
+    * (bootstrap). State-rewriting writers must pin their base via
+    * [[ensureLoggedAt]] instead: read-then-commit here is the
+    * lost-update window the CAS exists to close. */
+  def commit(fs: FileSystem, sink: Path, files: Seq[String]): Long =
+    commitNext(fs, sink,
+      committed(fs, sink).map(_._1).getOrElse(-1L), files)
 
   /** Delete data files on disk that NO retained generation references
     * — debris from torn swaps and from generations removed by
@@ -219,21 +282,33 @@ object CommitLog {
       .parquet(files.map(r => new Path(hPath, r).toString): _*)
   }
 
-  /** Bring the sink under log control and return its live set:
-    * bootstrap generation 0 from the directory listing when no log
-    * exists, else vacuum torn-swap orphans so the listing and the
+  /** Bring the sink under log control and return (generation, live
+    * files): bootstrap generation 0 from the directory listing when no
+    * log exists, else vacuum torn-swap orphans so the listing and the
     * manifest agree. Every logged writer calls this FIRST — which is
-    * what makes the bootstrap listing trustworthy by induction. */
-  def ensureLogged(fs: FileSystem, sink: Path): Seq[String] =
+    * what makes the bootstrap listing trustworthy by induction — and
+    * passes the returned generation to [[commitNext]] as its CAS base.
+    * A lost bootstrap race adopts the winner's log. */
+  def ensureLoggedAt(fs: FileSystem, sink: Path): (Long, Seq[String]) =
     committed(fs, sink) match {
       case None =>
         val files = listDataFiles(fs, sink)
-        commit(fs, sink, files)
-        files
-      case Some((_, live)) =>
+        try {
+          (commitNext(fs, sink, -1L, files), files)
+        } catch {
+          case _: CommitConflictException =>
+            val (g, live) = committed(fs, sink).get
+            vacuum(fs, sink)
+            (g, live)
+        }
+      case Some((g, live)) =>
         vacuum(fs, sink)
-        live
+        (g, live)
     }
+
+  /** [[ensureLoggedAt]] for callers that only need the live set. */
+  def ensureLogged(fs: FileSystem, sink: Path): Seq[String] =
+    ensureLoggedAt(fs, sink)._2
 
   /** The sink's rows, exactly-once: resolved through the latest
     * manifest when one exists (explicit live-file list + `basePath`,

@@ -66,7 +66,7 @@ object Compact {
     // retained time-travel history (keepReplaced rewrites) has
     // old-generation files on disk that a directory read would
     // double-count into the compacted output
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
@@ -118,7 +118,7 @@ object Compact {
     }
     failpoint("added")
     val newFiles = added.result()
-    CommitLog.commit(fs, hPath, newFiles)
+    CommitLog.commitNext(fs, hPath, baseGen, newFiles)
     failpoint("committed")
     if (!keepReplaced) live.foreach { r => // GC, best-effort
       try fs.delete(new Path(hPath, r), false)

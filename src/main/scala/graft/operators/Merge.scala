@@ -83,7 +83,7 @@ object Merge {
       "first write goes through the publish path, not MERGE")
     // bootstrap gen 0 / vacuum a torn previous swap; `live` is the
     // exactly-once file set everything below reads
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     val sinkDF = spark.read.parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
@@ -139,7 +139,8 @@ object Merge {
         .unionByName(inserts)
     if (nUpdated + nInserted > 0) {
       rewritten.write.parquet(tmp.toString)
-      swapIn(fs, hPath, tmp, live, touchedRel, failpoint, keepReplaced)
+      swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,
+        keepReplaced)
     }
     MergeStats(live.length.toLong, touched.length.toLong,
       nUpdated, nInserted)
@@ -157,7 +158,8 @@ object Merge {
     * ("committed") so CommitProtocolSpec can kill the swap at both
     * windows. */
   private def swapIn(fs: org.apache.hadoop.fs.FileSystem, hPath: Path,
-                     tmp: Path, live: Seq[String], touchedRel: Seq[String],
+                     tmp: Path, baseGen: Long, live: Seq[String],
+                     touchedRel: Seq[String],
                      failpoint: String => Unit,
                      keepReplaced: Boolean = false): Unit = {
     val added = Seq.newBuilder[String]
@@ -172,7 +174,8 @@ object Merge {
       }
     }
     failpoint("added")
-    CommitLog.commit(fs, hPath, live.diff(touchedRel) ++ added.result())
+    CommitLog.commitNext(fs, hPath, baseGen,
+      live.diff(touchedRel) ++ added.result())
     failpoint("committed")
     if (!keepReplaced) touchedRel.foreach { r => // GC, best-effort
       try fs.delete(new Path(hPath, r), false)
@@ -214,7 +217,7 @@ object Merge {
     require(fs.exists(hPath), s"erase target $path does not exist")
     require(keyCols.forall(keys.columns.contains),
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     val sinkDF = spark.read.parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
@@ -237,7 +240,7 @@ object Merge {
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       kept.write.parquet(tmp.toString)
-      swapIn(fs, hPath, tmp, live, touchedRel, failpoint)
+      swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint)
     }
     EraseStats(live.length.toLong, touched.length.toLong, deleted)
     } finally batch.unpersist(blocking = false)
@@ -277,7 +280,7 @@ object Merge {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"CDC target $path does not exist — " +
       "first write goes through the publish path, not MERGE")
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     val sinkDF = spark.read.parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
@@ -333,7 +336,8 @@ object Merge {
         .unionByName(inserts)
     if (nUpdated + nInserted + nDeleted > 0) {
       rewritten.write.parquet(tmp.toString)
-      swapIn(fs, hPath, tmp, live, touchedRel, failpoint, keepReplaced)
+      swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,
+        keepReplaced)
     }
     CdcStats(live.length.toLong, touched.length.toLong,
       nUpdated, nDeleted, nInserted)

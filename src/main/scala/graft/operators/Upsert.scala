@@ -282,7 +282,7 @@ object Upsert {
       CommitLog.ensureLogged(fs, hPath)
       return if (n < 0) deduped.count() else n
     }
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     // stage the batch in the sink's exact layout
     val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
       hPath.getName + "__replace_tmp")
@@ -319,7 +319,8 @@ object Upsert {
     val touchedDirs = newFiles.map(dirOf).toSet
     val replaced = live.filter(r => touchedDirs.contains(dirOf(r)))
     failpoint("added")
-    CommitLog.commit(fs, hPath, live.diff(replaced) ++ newFiles)
+    CommitLog.commitNext(fs, hPath, baseGen,
+      live.diff(replaced) ++ newFiles)
     failpoint("committed")
     replaced.foreach { r => // GC of unreferenced files, best-effort
       try fs.delete(new org.apache.hadoop.fs.Path(hPath, r), false)
@@ -352,7 +353,7 @@ object Upsert {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"retention target $path does not exist")
-    val live = CommitLog.ensureLogged(fs, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val prefix = partitionCol + "="
     def valueOf(rel: String): Option[String] = {
       val i = rel.lastIndexOf('/')
@@ -370,7 +371,7 @@ object Upsert {
     val dropped = live.filter(r => valueOf(r).exists(drop))
     if (dropped.isEmpty) return (0L, 0L)
     failpoint("resolved")
-    CommitLog.commit(fs, hPath, live.diff(dropped))
+    CommitLog.commitNext(fs, hPath, baseGen, live.diff(dropped))
     failpoint("committed")
     dropped.foreach { r => // GC, best-effort
       try fs.delete(new org.apache.hadoop.fs.Path(hPath, r), false)
@@ -466,9 +467,9 @@ object Upsert {
     // extend the manifest with the appended files afterwards — without
     // this, a manifest-resolving reader would never see rows appended
     // after a compaction. Never-logged sinks skip both (zero cost).
-    val liveBefore: Option[Seq[String]] =
+    val liveBefore: Option[(Long, Seq[String])] =
       if (existed && CommitLog.committed(fs, hPath).isDefined)
-        Some(CommitLog.ensureLogged(fs, hPath))
+        Some(CommitLog.ensureLoggedAt(fs, hPath))
       else None
     // batch partition values, collected ONCE and shared by the pruned
     // anti-join scan and the pruned before/after counts
@@ -523,14 +524,15 @@ object Upsert {
       }
       n = after - before
     }
-    liveBefore.foreach { lv =>
+    liveBefore.foreach { case (baseGen, lv) =>
       // diff against EVERY retained generation, not just the live set:
       // a time-travel sink keeps replaced old-generation files on disk,
       // and treating those as "new" would resurrect them into the
       // manifest as duplicates
       val seen = CommitLog.referencedFiles(fs, hPath)
       val newFiles = CommitLog.listDataFiles(fs, hPath).filterNot(seen)
-      if (newFiles.nonEmpty) CommitLog.commit(fs, hPath, lv ++ newFiles)
+      if (newFiles.nonEmpty)
+        CommitLog.commitNext(fs, hPath, baseGen, lv ++ newFiles)
     }
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n

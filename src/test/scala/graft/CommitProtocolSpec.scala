@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CommitLog, Compact, Merge, Upsert}
+import graft.operators.{CommitConflictException, CommitLog, Compact, Merge, Upsert}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
@@ -208,6 +208,60 @@ class CommitProtocolSpec extends SparkSpec {
     assert(ledger(sink) ==
       Seq((1L, 11L), (2L, 20L), (4L, 40L), (9L, 90L)),
       "a refused batch must not change the sink")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("commitNext is a CAS on the generation number: the second commit " +
+    "from the same base throws CommitConflictException and leaves the " +
+    "winner's manifest untouched") {
+    val root = java.nio.file.Files.createTempDirectory("cps_cas").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val p = new Path(sink)
+    val (g, live) = CommitLog.ensureLoggedAt(fs, p)
+    assert(CommitLog.commitNext(fs, p, g, live.take(2)) == g + 1)
+    intercept[CommitConflictException] {
+      CommitLog.commitNext(fs, p, g, live.take(3))
+    }
+    assert(CommitLog.committed(fs, p).get ==
+      (g + 1) -> live.take(2).sorted,
+      "the losing commit must not replace the winner's manifest")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("two interleaved merge writers: the straggler's generation-pinned " +
+    "commit conflicts, its rows never surface, and its retry lands on " +
+    "top of the winner") {
+    val root = java.nio.file.Files.createTempDirectory("cps_occ").toString
+    val sink = mkSink(root)
+    val updA = Seq((1L, 111L), (8L, 80L)).toDF("k", "v")
+    val updB = Seq((2L, 222L), (9L, 90L)).toDF("k", "v")
+    // writer B runs to COMPLETION inside writer A's add→commit window
+    // (for on-disk state, interleaving via the failpoint hook is
+    // indistinguishable from two racing processes) — B's vacuum may
+    // even reclaim A's just-moved uncommitted files
+    var fired = false
+    intercept[CommitConflictException] {
+      Merge.mergeParquet(spark, updA, Seq("k"), sink, p => {
+        if (p == "added" && !fired) {
+          fired = true
+          Merge.mergeParquet(spark, updB, Seq("k"), sink)
+        }
+      })
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "conflicted merge leaked cached blocks")
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 222L), (3L, 30L), (4L, 40L), (9L, 90L)),
+      "only the winner's update may be visible — the straggler's rows " +
+        "must never surface")
+    // the straggler retries against the new base: both updates land
+    val stats = Merge.mergeParquet(spark, updA, Seq("k"), sink)
+    assert(stats.rowsUpdated == 1L && stats.rowsInserted == 1L)
+    assert(ledger(sink) == Seq((1L, 111L), (2L, 222L), (3L, 30L),
+      (4L, 40L), (8L, 80L), (9L, 90L)))
+    // converged: disk listing and manifest agree
+    assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
+      CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
     graft.io.Sources.deleteRecursively(root)
   }
 
