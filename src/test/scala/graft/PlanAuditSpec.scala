@@ -535,6 +535,61 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.io.Sources.deleteRecursively(root)
   }
 
+  test("bucketed point lookup prunes to ONE bucket " +
+      "(SelectedBucketsCount) — the q128 bucket layout also serves " +
+      "key-point reads without touching the other buckets") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("plan_bucket").toString
+    val tab = "plan_bucket_probe"
+    // autoBucketedScan drops the bucketed read when no EXCHANGE is
+    // saved — but a point lookup's win is bucket PRUNING, so pin the
+    // bucketed scan on for the audit (a real point-read path sets the
+    // same conf)
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        .write.bucketBy(8, "k").sortBy("k")
+        .option("path", s"$root/t").saveAsTable(tab)
+      val plan = executed(
+        spark.table(tab).filter(col("k") === 42L).select(sum("v")))
+      val s = collectAll(plan).filter(_.nodeName.contains("Scan"))
+        .map(_.toString).mkString
+      assert(s.contains("SelectedBucketsCount: 1 out of 8"),
+        "point filter must scan exactly one bucket:\n" + s.take(600))
+    } finally {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql(s"DROP TABLE IF EXISTS $tab")
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  test("dynamic partition pruning: a filtered broadcast dimension " +
+      "prunes the partitioned fact scan at RUNTIME (the multi-TB " +
+      "analogue of q68's static partition pruning)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("plan_dpp").toString
+    try {
+      spark.range(10000)
+        .selectExpr("id % 10 AS day", "id AS v")
+        .write.partitionBy("day").parquet(s"$root/fact")
+      spark.range(10).selectExpr("id AS day",
+          "CASE WHEN id < 2 THEN 'keep' ELSE 'drop' END AS attr")
+        .write.parquet(s"$root/dim")
+      val fact = spark.read.parquet(s"$root/fact")
+      val dim = spark.read.parquet(s"$root/dim")
+        .filter(col("attr") === "keep")
+      val plan = executed(fact.join(dim, "day").agg(sum("v")))
+      val s = collectAll(plan).filter(_.nodeName.contains("Scan"))
+        .map(_.toString).mkString
+      assert(s.contains("dynamicpruning"),
+        "fact scan must carry a dynamic-pruning partition filter:\n" +
+          s.take(600))
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
   test("q183 phrase search: the term filter sits under the exchange " +
       "(only the two phrase terms' postings ever shuffle)") {
     val plan = executed(graft.queries.LearnedQueries
