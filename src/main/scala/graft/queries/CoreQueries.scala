@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.ScalarFunctions._
 import graft.io.Sources
 import graft.operators.{ModeAgg, Upsert}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -529,7 +529,139 @@ object CoreQueries {
          sum(value) AS sum_value
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  // --- q266-q268: canonical TPC-H join-aggregate shapes -----------------
+  // Revenue Σ price·(1−disc) is summed EXACTLY: cents × (100 − disc%)
+  // integer per row ("centi-cent" units), decimal(38,0) accumulation
+  // (the q125 discipline — a BIGINT sum wraps around sf100), one final
+  // BIGINT cast. Float-summation order never matters because no float
+  // is ever summed.
+  private def revScaled(priceCol: String, discCol: String): Column =
+    (expr(s"CAST(round($priceCol * 100) AS BIGINT)") *
+      (lit(100L) - expr(s"CAST(round($discCol * 100) AS BIGINT)")))
+      .cast("decimal(38,0)")
+
+  private val revSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** TPC-H Q3 (shipping priority), adapted to the harness schema: top
+    * unshipped-revenue orders for one market segment at a cutoff
+    * date. Shape: segment filter prunes customer (dimension,
+    * broadcast), date filters push to both fact scans, ONE
+    * aggregation on l_orderkey, TakeOrdered top-10. */
+  def q266Tpch3(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < "1996-03-15")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > "1996-03-15")
+      .select(col("l_orderkey"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum("rv").cast("long").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q266Sql: String =
+    s"""SELECT l_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              CAST(sum($revSql) AS BIGINT) AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1996-03-15'
+         AND l_shipdate > TIMESTAMP '1996-03-15'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  /** TPC-H Q5 (local supplier volume), adapted: revenue by nation for
+    * one region-year where the supplier and customer share a nation.
+    * The canonical snowflake — six tables, two join paths meeting on
+    * the nation key. Every dimension chain (customer→nation→region,
+    * supplier→nation) broadcasts; only the fact⋈orders join shuffles. */
+  def q267Tpch5(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .select("o_orderkey", "o_custkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"),
+      revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rv").cast("long").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q267Sql: String =
+    s"""SELECT n_name, CAST(sum($revSql) AS BIGINT) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1 ORDER BY revenue DESC, n_name ASC"""
+
+  /** TPC-H Q10 (returned-item reporting), adapted: top-20 customers by
+    * revenue lost to returns in one quarter. Fact filters push down
+    * (return flag + order-date window); customer/nation broadcast;
+    * TakeOrderedAndProject caps the result. */
+  def q268Tpch10(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1996-04-01")
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "bal_cents", "n_name")
+      .agg(sum("rv").cast("long").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q268Sql: String =
+    s"""SELECT c_custkey, c_name,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+              n_name, CAST(sum($revSql) AS BIGINT) AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY 1, 2, 3, 4
+       ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+
   val all: Map[String, Q] = Map(
+    "q266_tpch3" -> q266Tpch3 _,
+    "q267_tpch5" -> q267Tpch5 _,
+    "q268_tpch10" -> q268Tpch10 _,
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter_predicates" -> q02FilterPredicates _,
     "q03_agg_pricing" -> q03AggPricing _,
@@ -557,6 +689,9 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_tpch3" -> q266Sql,
+    "q267_tpch5" -> q267Sql,
+    "q268_tpch10" -> q268Sql,
     "q01_scan_project" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_agg_pricing" -> q03Sql,
