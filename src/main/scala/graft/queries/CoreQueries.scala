@@ -658,10 +658,127 @@ object CoreQueries {
        GROUP BY 1, 2, 3, 4
        ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
 
+  /** TPC-H Q4 (order priority checking), adapted: orders in one
+    * quarter with at least one late line item, counted by priority.
+    * The canonical EXISTS — planned as a LEFT SEMI join, so each order
+    * contributes once no matter how many lines are late (a plain
+    * inner join would double-count; the fan-out bug EXISTS exists to
+    * avoid). Late-line filter pushes to the fact scan. */
+  def q269Tpch4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-07-01" &&
+        col("o_orderdate") < "1996-10-01")
+    val late = t(s, dir, "lineitem")
+      // "committed < receipt" stand-in for the harness schema: the
+      // line shipped more than 90 days after the order quarter opened
+      .filter(col("l_shipdate") >= "1996-09-29")
+      .select("l_orderkey")
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q269Sql: String =
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+         AND o_orderdate < TIMESTAMP '1996-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate >= TIMESTAMP '1996-09-29')
+       GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q18 (large-volume customers), adapted: customers whose
+    * single order exceeds 300 total quantity — the HAVING-subquery
+    * shape. One fact aggregation feeds BOTH the filter and the
+    * output (never a re-scan); the customer join happens after the
+    * reduction, when only the qualifying orders remain. */
+  def q270Tpch18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    val c = t(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "order_date",
+        "price_cents", "total_qty")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q270Sql: String =
+    """WITH big AS (
+         SELECT l_orderkey,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS total_qty
+         FROM lineitem GROUP BY 1
+         HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+       SELECT c_name, c_custkey, o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+              total_qty
+       FROM big JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100"""
+
+  /** TPC-H Q17-style correlated scalar subquery, via the SQL surface:
+    * line items whose quantity is below 50% of the average quantity
+    * for THEIR part. Written as `spark.sql` against temp views to
+    * exercise the parser/analyzer path — Catalyst de-correlates the
+    * scalar subquery into an aggregate + join (the plan a hand-written
+    * DataFrame version would build), so the correlated form costs the
+    * same as the manual rewrite. Quantities compare as exact integers
+    * scaled by 2·count (avg/2 ⇔ 2·q·n < Σq — no division, no
+    * engine-specific avg rounding). */
+  def q271Tpch17(s: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_q271_li_${java.util.UUID.randomUUID.toString.take(8)}"
+    t(s, dir, "lineitem").createOrReplaceTempView(v)
+    try s.sql(
+      s"""SELECT l_partkey,
+                CAST(count(*) AS BIGINT) AS n_small_lines,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                  AS small_qty
+         FROM $v outer_li
+         WHERE CAST(l_quantity AS BIGINT) * 2 *
+               (SELECT count(*) FROM $v
+                WHERE l_partkey = outer_li.l_partkey) <
+               (SELECT sum(CAST(l_quantity AS BIGINT)) FROM $v
+                WHERE l_partkey = outer_li.l_partkey)
+         GROUP BY l_partkey
+         ORDER BY l_partkey""")
+    // dropping the view after sql() is safe: analysis already bound
+    // the view's plan by value into the returned frame
+    finally s.catalog.dropTempView(v)
+  }
+
+  val q271Sql: String =
+    """SELECT l_partkey,
+              CAST(count(*) AS BIGINT) AS n_small_lines,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS small_qty
+       FROM lineitem outer_li
+       WHERE CAST(l_quantity AS BIGINT) * 2 *
+             (SELECT count(*) FROM lineitem
+              WHERE l_partkey = outer_li.l_partkey) <
+             (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+              WHERE l_partkey = outer_li.l_partkey)
+       GROUP BY l_partkey
+       ORDER BY l_partkey"""
+
   val all: Map[String, Q] = Map(
     "q266_tpch3" -> q266Tpch3 _,
     "q267_tpch5" -> q267Tpch5 _,
     "q268_tpch10" -> q268Tpch10 _,
+    "q269_tpch4" -> q269Tpch4 _,
+    "q270_tpch18" -> q270Tpch18 _,
+    "q271_tpch17" -> q271Tpch17 _,
     "q01_scan_project" -> q01ScanProject _,
     "q02_filter_predicates" -> q02FilterPredicates _,
     "q03_agg_pricing" -> q03AggPricing _,
@@ -692,6 +809,9 @@ object CoreQueries {
     "q266_tpch3" -> q266Sql,
     "q267_tpch5" -> q267Sql,
     "q268_tpch10" -> q268Sql,
+    "q269_tpch4" -> q269Sql,
+    "q270_tpch18" -> q270Sql,
+    "q271_tpch17" -> q271Sql,
     "q01_scan_project" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_agg_pricing" -> q03Sql,
