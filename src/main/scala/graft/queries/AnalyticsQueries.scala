@@ -3139,6 +3139,150 @@ object AnalyticsQueries {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        FROM lagged GROUP BY 1 ORDER BY 1"""
 
+  // --- q272: sliding 7-day distinct users (WAU) -------------------------
+  /** Rolling 7-day active users per day — the DAU/WAU board metric.
+    * Distinct-over-a-sliding-window has no direct window-function form
+    * (COUNT(DISTINCT) OVER RANGE is unsupported and would be quadratic
+    * anyway); the scalable identity: reduce events to distinct
+    * (user, day) FIRST (map-side, events-shaped → user-day-shaped),
+    * then each user-day CONTRIBUTES to exactly 7 window days
+    * (explode), and the per-window-day distinct-user count is one
+    * aggregation. Work is 7·|user-days|, independent of raw event
+    * volume — the at-scale rewrite of the textbook range self-join.
+    * Window days clip to the observed day span so the leading edge
+    * isn't padded with partial windows. */
+  def q272SlidingWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val span = ud.agg(min("d").as("d0"), max("d").as("d1"))
+    ud.crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d"),
+          least(col("d") + expr("INTERVAL 6 DAYS"), col("d1")),
+          expr("INTERVAL 1 DAY"))).as("wd"))
+      .distinct()
+      .groupBy(date_format(col("wd"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy("day")
+  }
+
+  val q272Sql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+         FROM events),
+       span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+       contrib AS (
+         SELECT DISTINCT user_id,
+                unnest(generate_series(d,
+                  least(d + INTERVAL 6 DAY, d1), INTERVAL 1 DAY)) AS wd
+         FROM ud CROSS JOIN span)
+       SELECT strftime(wd, '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS wau
+       FROM contrib GROUP BY 1 ORDER BY 1"""
+
+  // --- q273: snapshot-generation diff (time-travel audit) ---------------
+  /** WHAT CHANGED between two committed generations of a CommitLog
+    * sink — the audit query time travel exists for: build a ledger,
+    * run two keepReplaced merges ([[graft.operators.Merge]]), then
+    * diff generation 0 against the latest via
+    * [[graft.operators.CommitLog.readAt]] + the q120 snapshot-diff
+    * full-outer shape. Output: one row per changed key with its
+    * before/after value and change kind (I/U — this history has no
+    * deletes). Scale: the diff is one full-outer join of two
+    * manifest-resolved reads — each pins its OWN file list, so the
+    * two snapshots scan disjoint-by-generation files, never a log
+    * replay. */
+  def q273SnapshotAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_tt_")
+      .toString
+    try {
+      val cust = graft.io.Sources.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val sink = s"$root/ledger"
+      cust.repartition(4).write.parquet(sink)
+      val m1 = cust.filter(col("c_custkey") % 11 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 1100L)
+      graft.operators.Merge.mergeParquet(s, m1, Seq("c_custkey"), sink,
+        keepReplaced = true)
+      val m2 = cust.filter(col("c_custkey") % 13 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 1300L)
+        .unionByName(s.range(1, 4)
+          .select((col("id") + 95000000L).as("c_custkey"),
+            lit(500L).as("bal_cents")))
+      graft.operators.Merge.mergeParquet(s, m2, Seq("c_custkey"), sink,
+        keepReplaced = true)
+      val g0 = graft.operators.CommitLog.readAt(s, sink, 0L)
+        .select(col("c_custkey"), col("bal_cents").as("before_cents"))
+      val g2 = graft.operators.CommitLog.readAt(s, sink, 2L)
+        .select(col("c_custkey"), col("bal_cents").as("after_cents"))
+      val out = g0.join(g2, Seq("c_custkey"), "full_outer")
+        .filter(col("before_cents").isNull ||
+          col("after_cents").isNull ||
+          col("before_cents") =!= col("after_cents"))
+        .select(col("c_custkey"),
+          when(col("before_cents").isNull, "I").otherwise("U").as("kind"),
+          col("before_cents"), col("after_cents"))
+        .orderBy("c_custkey")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q273Sql: String =
+    """WITH base AS (
+         SELECT c_custkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer),
+       after AS (
+         SELECT c_custkey,
+                bal_cents +
+                  CASE WHEN c_custkey % 13 = 0 THEN 1300
+                       WHEN c_custkey % 11 = 0 THEN 1100
+                       ELSE 0 END AS bal_cents
+         FROM base
+         UNION ALL
+         SELECT 95000000 + i, 500 FROM unnest(generate_series(1, 3)) t(i))
+       SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+              CASE WHEN b.c_custkey IS NULL THEN 'I' ELSE 'U' END AS kind,
+              b.bal_cents AS before_cents,
+              a.bal_cents AS after_cents
+       FROM base b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+       WHERE b.bal_cents IS DISTINCT FROM a.bal_cents
+       ORDER BY c_custkey"""
+
+  // --- q274: TPC-H Q13 (customer order-count distribution) --------------
+  /** The distribution of orders-per-customer INCLUDING the zero bucket
+    * — TPC-H Q13's left-join-then-histogram, the shape that catches
+    * engines that silently drop never-ordered customers. Two
+    * aggregations: per-customer counts (left join keeps the zeros),
+    * then the count-of-counts histogram — both map-side partial,
+    * |customers| and |distinct counts| sized. */
+  def q274Tpch13(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q274Sql: String =
+    """WITH per_cust AS (
+         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM per_cust GROUP BY 1
+       ORDER BY custdist DESC, c_count DESC"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -3200,6 +3344,9 @@ object AnalyticsQueries {
     "q262_kcore" -> q262KCore _,
     "q264_interpolate" -> q264Interpolate _,
     "q265_debounce" -> q265Debounce _,
+    "q272_sliding_wau" -> q272SlidingWau _,
+    "q273_snapshot_audit" -> q273SnapshotAudit _,
+    "q274_tpch13" -> q274Tpch13 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3260,6 +3407,9 @@ object AnalyticsQueries {
     "q262_kcore" -> q262Sql,
     "q264_interpolate" -> q264Sql,
     "q265_debounce" -> q265Sql,
+    "q272_sliding_wau" -> q272Sql,
+    "q273_snapshot_audit" -> q273Sql,
+    "q274_tpch13" -> q274Sql,
     "q172_observe_metrics" -> q172Sql,
     "q173_star_components" -> q173Sql,
     "q175_multi_touch" -> q175Sql,
