@@ -212,6 +212,59 @@ object Multimodal {
     }
   }
 
+  /** Real bilinear resize of an encoded image to fit `maxDim` on its
+    * longer edge (aspect preserved, never upscaled), re-encoded PNG —
+    * the thumbnail/down-res step of a multimodal ingest, pure-JVM
+    * (ImageIO decode → Graphics2D bilinear → ImageIO encode), so
+    * unlike video FRAME decode this is a fully real path, no codec
+    * boundary. Deterministic: PNG encoding is lossless and ImageIO's
+    * writer is canonical for TYPE_INT_RGB, so same input bytes → same
+    * output bytes (spec-pinned). Fails loudly on undecodable input —
+    * the quarantine split (q207) is the caller's tool for dirty
+    * corpora. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "resizeImage: undecodable image payload")
+    val longEdge = math.max(img.getWidth, img.getHeight)
+    val scale = math.min(1.0, maxDim.toDouble / longEdge)
+    val w = math.max(1, math.round(img.getWidth * scale).toInt)
+    val h = math.max(1, math.round(img.getHeight * scale).toInt)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batch thumbnail pass over an (id, payload) binary column:
+    * mapPartitions — the right tool at the codec boundary (binary
+    * decode has no Catalyst expression; one JVM-object decode context
+    * per PARTITION, not per row) — emitting (doc_id, thumb, thumb_w,
+    * thumb_h). Partitioning/batch shape is the production contract:
+    * the payload bytes stream through one task, thumbnails are
+    * emitted alongside the source id for the sink join, and nothing
+    * is ever collected. */
+  def thumbnails(media: Dataset[MediaRecord], maxDim: Int)
+  : DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val t = resizeImage(r.payload, maxDim)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(t))
+        (r.doc_id, t, img.getWidth, img.getHeight)
+      }
+    }.toDF("doc_id", "thumb", "thumb_w", "thumb_h")
+  }
+
   /** Deterministic 16×16 grayscale PNG whose pixel bytes are the MD5
     * chain of `seed` — the synthesis side of the q163 perceptual-hash
     * fixture: same seed → byte-identical image, distinct seeds →

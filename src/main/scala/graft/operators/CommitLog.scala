@@ -316,14 +316,20 @@ object CommitLog {
     * plain directory read otherwise. This is THE reader the protocol's
     * guarantee is stated for — a plain `spark.read.parquet(sink)` is
     * only equivalent once [[vacuum]] has run. */
-  def read(spark: SparkSession, sink: String): DataFrame = {
+  /** `mergeSchema = true` unions the live files' footer schemas — the
+    * reader side of [[Merge.mergeParquet]]'s lazy schema evolution,
+    * where untouched files legitimately carry an older (narrower)
+    * schema and their rows take NULLs for the widened columns. */
+  def read(spark: SparkSession, sink: String,
+           mergeSchema: Boolean = false): DataFrame = {
     val hPath = new Path(sink)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rd = spark.read.option("mergeSchema", mergeSchema.toString)
     committed(fs, hPath) match {
-      case None => spark.read.parquet(sink)
+      case None => rd.parquet(sink)
       case Some((_, live)) if live.isEmpty => spark.emptyDataFrame
       case Some((_, live)) =>
-        spark.read.option("basePath", sink)
+        rd.option("basePath", sink)
           .parquet(live.map(r => new Path(hPath, r).toString): _*)
     }
   }

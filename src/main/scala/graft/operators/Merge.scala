@@ -73,10 +73,21 @@ object Merge {
     * space immediately and forfeits history, which is also why
     * [[eraseParquet]] has no such switch: a right-to-be-forgotten
     * erasure must not retain the erased bytes in any generation. */
+  /** `allowSchemaEvolution = true` lets `updates` carry columns the
+    * sink lacks (WIDENING only — every sink column must still be
+    * present): matched/inserted rows land with the new columns,
+    * unmatched rows in touched files take NULLs, and UNTOUCHED files
+    * keep their old schema byte-identically — exactly a table
+    * format's automatic schema merge. Readers resolve the mixed
+    * on-disk schemas via [[CommitLog.read]]'s `mergeSchema = true`
+    * (per-footer union, the standard parquet evolution contract);
+    * cost stays touched-file-proportional because widening is lazy —
+    * no untouched file is ever rewritten to add a NULL column. */
   def mergeParquet(spark: SparkSession, updates: DataFrame,
                    keyCols: Seq[String], path: String,
                    failpoint: String => Unit = _ => (),
-                   keepReplaced: Boolean = false): MergeStats = {
+                   keepReplaced: Boolean = false,
+                   allowSchemaEvolution: Boolean = false): MergeStats = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"merge target $path does not exist — " +
@@ -85,12 +96,20 @@ object Merge {
     // exactly-once file set everything below reads
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
-    val sinkDF = spark.read.parquet(liveAbs: _*)
+    val sinkDF = spark.read.option("mergeSchema", "true")
+      .parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
-    require(sinkSchema.fieldNames.sorted.sameElements(
-        updates.columns.sorted),
-      s"updates schema ${updates.columns.sorted.mkString(",")} must match " +
-        s"sink schema ${sinkSchema.fieldNames.sorted.mkString(",")}")
+    if (allowSchemaEvolution)
+      require(sinkSchema.fieldNames.forall(updates.columns.contains),
+        s"schema evolution widens only: updates must carry every sink " +
+          s"column; missing ${
+            sinkSchema.fieldNames.filterNot(updates.columns.contains)
+              .mkString(",")}")
+    else
+      require(sinkSchema.fieldNames.sorted.sameElements(
+          updates.columns.sorted),
+        s"updates schema ${updates.columns.sorted.mkString(",")} must " +
+          s"match sink schema ${sinkSchema.fieldNames.sorted.mkString(",")}")
     val keyed = updates.select(updates.columns.toIndexedSeq.map(col): _*)
 
     // small frame, three consumers (touched files, matched rewrite,
@@ -135,8 +154,10 @@ object Merge {
       if (touched.isEmpty) inserts
       else spark.read.schema(sinkSchema).parquet(touched: _*)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(matched)
-        .unionByName(inserts)
+        // evolution: the kept old-schema rows take NULLs for the
+        // batch's new columns
+        .unionByName(matched, allowMissingColumns = allowSchemaEvolution)
+        .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
     if (nUpdated + nInserted > 0) {
       rewritten.write.parquet(tmp.toString)
       swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,

@@ -211,6 +211,49 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("merge with schema evolution: new columns widen lazily — " +
+    "touched rows take values/NULLs, untouched files keep the old " +
+    "schema byte-identically, and the mergeSchema reader unions them") {
+    val root = java.nio.file.Files.createTempDirectory("cps_evo").toString
+    val sink = mkSink(root)
+    def files(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(sink)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    // update k=1 and insert k=9, both carrying a NEW `note` column
+    val upd = Seq((1L, 11L, "fixed"), (9L, 90L, "new"))
+      .toDF("k", "v", "note")
+    // without the flag: widening is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeParquet(spark, upd, Seq("k"), sink)
+    }
+    assert(e.getMessage.contains("must match"))
+    val stats = Merge.mergeParquet(spark, upd, Seq("k"), sink,
+      allowSchemaEvolution = true)
+    assert(stats.rowsUpdated == 1L && stats.rowsInserted == 1L)
+    // untouched single-key files (k=2,3,4) never rewritten
+    val after = files()
+    assert(before.count { case (f, m) => after.get(f).contains(m) } == 3)
+    // the evolution-aware reader unions the schemas: old rows NULL note
+    val got = CommitLog.read(spark, sink, mergeSchema = true)
+      .orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("v")),
+        Option(r.getAs[String]("note")).getOrElse("-")))
+    assert(got.toSeq == Seq((1L, 11L, "fixed"), (2L, 20L, "-"),
+      (3L, 30L, "-"), (4L, 40L, "-"), (9L, 90L, "new")))
+    // a dropped sink column is NOT evolution — refused
+    val narrow = Seq((2L, "x")).toDF("k", "note")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.mergeParquet(spark, narrow, Seq("k"), sink,
+        allowSchemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("widens only"))
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("commitNext is a CAS on the generation number: the second commit " +
     "from the same base throws CommitConflictException and leaves the " +
     "winner's manifest untouched") {

@@ -162,6 +162,47 @@ class MultimodalStreamingSpec extends SparkSpec {
       Multimodal.dHash(Array[Byte](9, 9, 9)))
   }
 
+  test("multimodal: resizeImage is a real bilinear thumbnail pass — " +
+      "bounded dims, aspect preserved, never upscaled, deterministic, " +
+      "and the distributed thumbnails() pass carries it per partition") {
+    import javax.imageio.ImageIO
+    // a 32×16 canvas from two stitched 16×16 synth tiles
+    val a = ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthImage("tile-a")))
+    val wide = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = wide.createGraphics()
+    g.drawImage(a, 0, 0, null); g.drawImage(a, 16, 0, null); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(wide, "png", bos)
+    val png = bos.toByteArray
+    val thumb = Multimodal.resizeImage(png, 8)
+    val timg = ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(timg.getWidth == 8 && timg.getHeight == 4,
+      "longer edge bounded to 8, 2:1 aspect preserved")
+    // determinism: same bytes in → same bytes out
+    assert(Multimodal.resizeImage(png, 8).toSeq == thumb.toSeq)
+    // never upscaled: a bound above the image is the identity size
+    val same = ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(png, 100)))
+    assert(same.getWidth == 32 && same.getHeight == 16)
+    // garbage fails loudly
+    intercept[IllegalArgumentException](
+      Multimodal.resizeImage(Array[Byte](1, 2, 3), 8))
+    // the distributed pass: per-row thumbnails with recorded dims
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image/png", png),
+      MediaRecord(2L, "image/png", Multimodal.synthImage("tile-b"))).toDS()
+    val out = Multimodal.thumbnails(media, 8).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1L, 8, 4), (2L, 8, 8)))
+    // the emitted bytes decode back to the recorded dims
+    val t1 = ImageIO.read(new java.io.ByteArrayInputStream(
+      out(0).getAs[Array[Byte]]("thumb")))
+    assert(t1.getWidth == 8 && t1.getHeight == 4)
+  }
+
   test("multimodal: audioFingerprint is a container-invariant energy " +
       "hash — same PCM fingerprints equal across WAV/AIFF, a local " +
       "perturbation moves few bits, distinct noise differs") {
