@@ -708,6 +708,58 @@ object PipelineQueries {
               count(*) OVER (PARTITION BY canon) > 1 AS is_dup
        FROM c ORDER BY doc_id"""
 
+  // --- q275: thumbnail pipeline (real resize) + phash dedup ------------
+  /** The full thumbnail ingest path, end-to-end REAL: synthesize each
+    * document's PNG (planted duplicates as in q163), bilinear-resize
+    * to an 8-px bound ([[graft.multimodal.Multimodal.resizeImage]] —
+    * ImageIO decode → Graphics2D → PNG encode), then perceptually
+    * hash the THUMBNAIL bytes. Proves two production properties at
+    * once: the resize stage emits the contracted dimensions for every
+    * row, and dHash survives the downscale — equal-content sources
+    * still collide after resizing, so near-dup detection can run on
+    * thumbnails (64× fewer pixels to move at corpus scale, the reason
+    * thumbnail-stage dedup exists). Same fan-out discipline as q163:
+    * one narrow (id, seed) exchange buys full-core parallelism for
+    * the decode-resize-encode stage; the exchange after carries only
+    * (id, dims, hash). */
+  def q275ThumbDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")).cast("string")).as("seed"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val hashed = seeds.as[(Long, String)]
+      .mapPartitions(_.map { case (id, seed) =>
+        val thumb = graft.multimodal.Multimodal.resizeImage(
+          graft.multimodal.Multimodal.synthImage(seed), 8)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(thumb))
+        (id, img.getWidth.toLong, img.getHeight.toLong,
+          graft.multimodal.Multimodal.dHash(thumb))
+      })
+      .toDF("doc_id", "thumb_w", "thumb_h", "phash")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+      .select(col("doc_id"), col("thumb_w"), col("thumb_h"),
+        col("group_size"), (col("group_size") > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val q275Sql: String =
+    """WITH c AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN doc_id - 1
+                     ELSE doc_id END AS canon
+         FROM documents)
+       SELECT doc_id, CAST(8 AS BIGINT) AS thumb_w,
+              CAST(8 AS BIGINT) AS thumb_h,
+              CAST(count(*) OVER (PARTITION BY canon) AS BIGINT)
+                AS group_size,
+              count(*) OVER (PARTITION BY canon) > 1 AS is_dup
+       FROM c ORDER BY doc_id"""
+
   // --- q167: sorted-neighborhood near-dup pairs ------------------------
   /** The sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
     * as a dedup blocking tier: sort the corpus by a blocking key (here
@@ -3581,6 +3633,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "q259_shared_spans" -> q259SharedSpans _,
+    "q275_thumb_dedup" -> q275ThumbDedup _,
     "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -3655,6 +3708,7 @@ object PipelineQueries {
     "q29_cosine_topk" -> q29Sql,
     "q256_mutual_nn" -> q256Sql,
     "q259_shared_spans" -> q259Sql,
+    "q275_thumb_dedup" -> q275Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,

@@ -337,6 +337,65 @@ object SinkQueries {
               CAST(sum(bal_cents) AS BIGINT) AS bal_sum
        FROM base GROUP BY 1 ORDER BY 1"""
 
+  // --- q276: schema-evolution MERGE -------------------------------------
+  /** The widen-on-merge flow end-to-end: the customer ledger starts as
+    * (key, balance); a correction batch arrives carrying a NEW
+    * `status` column (every 10th customer flagged 'CORRECTED', five
+    * new 'NEW' accounts), and [[graft.operators.Merge.mergeParquet]]
+    * with `allowSchemaEvolution` lands it WITHOUT rewriting the
+    * untouched files — widening is lazy, the mixed on-disk schemas
+    * resolve through the mergeSchema reader, and old rows surface
+    * NULL status. Output: per-status row count + balance sum, so the
+    * oracle pins that exactly the touched rows carry the new column.
+    * The crash-window/byte-identity halves of this flow are
+    * CommitProtocolSpec's; this query pins the VALUES. */
+  def q276SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_evo_")
+      .toString
+    try {
+      val cust = graft.io.Sources.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val sink = s"$root/ledger"
+      cust.repartition(8).write.parquet(sink)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("bal_cents", col("bal_cents") + 100000L)
+        .withColumn("status", lit("CORRECTED"))
+        .unionByName(s.range(1, 6)
+          .select((col("id") + 93000000L).as("c_custkey"),
+            lit(4200L).as("bal_cents"), lit("NEW").as("status")))
+      graft.operators.Merge.mergeParquet(s, updates, Seq("c_custkey"),
+        sink, allowSchemaEvolution = true)
+      val out = graft.operators.CommitLog.read(s, sink, mergeSchema = true)
+        .groupBy(coalesce(col("status"), lit("UNCHANGED")).as("status"))
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("bal_sum"))
+        .orderBy("status")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q276Sql: String =
+    """WITH base AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                END AS bal_cents,
+                CASE WHEN c_custkey % 10 = 0 THEN 'CORRECTED'
+                  ELSE 'UNCHANGED' END AS status
+         FROM customer
+         UNION ALL
+         SELECT 93000000 + i, 4200, 'NEW'
+         FROM unnest(generate_series(1, 5)) AS t(i))
+       SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(bal_cents) AS BIGINT) AS bal_sum
+       FROM base GROUP BY 1 ORDER BY 1"""
+
   /** The MERGE variant q72's partition-replace and q102's feed
     * compaction still lacked: an in-place row-level update of ONLY the
     * sink files containing matched keys ([[graft.operators.Merge
@@ -661,6 +720,7 @@ object SinkQueries {
   val all: Map[String, Q] = Map(
     "q36_merge_update" -> q36MergeUpdate _,
     "q257_cdc_apply" -> q257CdcApply _,
+    "q276_schema_evolution" -> q276SchemaEvolution _,
     "q140_corpus_erasure" -> q140CorpusErasure _,
     "q56_publish_idempotent" -> q56PublishIdempotent _,
     "q57_weather_csv" -> q57WeatherCsv _,
@@ -675,6 +735,7 @@ object SinkQueries {
   val oracles: Map[String, String] = Map(
     "q36_merge_update" -> q36Sql,
     "q257_cdc_apply" -> q257Sql,
+    "q276_schema_evolution" -> q276Sql,
     "q140_corpus_erasure" -> q140Sql,
     "q56_publish_idempotent" -> q56Sql,
     "q57_weather_csv" -> q57Sql,
