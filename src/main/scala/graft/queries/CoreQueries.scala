@@ -772,7 +772,117 @@ object CoreQueries {
        GROUP BY l_partkey
        ORDER BY l_partkey"""
 
+  /** TPC-H Q12 (shipping-priority audit), adapted to the harness
+    * schema: per return flag, how many lines belong to urgent
+    * (1-URGENT/2-HIGH) vs other-priority orders within a ship-date
+    * year. The two-level conditional-count shape — both counts ride
+    * ONE aggregation pass as CASE sums, never two filtered scans. */
+  def q277Tpch12(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select("l_orderkey", "l_returnflag")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q277Sql: String =
+    """SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q14 (promotion effect), adapted: the share of one month's
+    * revenue from PROMO-type parts. Exact parts + one final double
+    * division (q261 discipline): both revenue sums are integer-exact,
+    * the percentage divides once in the double domain — identical in
+    * both engines. Part joins broadcast. */
+  def q278Tpch14(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-03-01" &&
+        col("l_shipdate") < "1997-04-01")
+      .select(col("l_partkey"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rv"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("pr"),
+        sum("rv").as("tr"))
+      .select(col("pr").cast("long").as("promo_rev"),
+        col("tr").cast("long").as("total_rev"),
+        (col("pr").cast("double") * 100.0 / col("tr").cast("double"))
+          .as("promo_pct"))
+  }
+
+  val q278Sql: String =
+    s"""WITH m AS (
+         SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revSql
+                  ELSE 0 END) AS BIGINT) AS promo_rev,
+                CAST(sum($revSql) AS BIGINT) AS total_rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01')
+       SELECT promo_rev, total_rev,
+              CAST(promo_rev AS DOUBLE) * 100.0 /
+                CAST(total_rev AS DOUBLE) AS promo_pct
+       FROM m"""
+
+  /** TPC-H Q19 (discounted revenue), adapted: revenue from three
+    * disjunctive brand/size/quantity bands — the multi-OR predicate
+    * that exercises filter pushdown and CNF conversion. The part join
+    * broadcasts; each OR arm combines part and lineitem conditions so
+    * the predicate can only resolve post-join, while the shared
+    * `l_quantity <= 30` envelope still pushes to the fact scan. */
+  def q279Tpch19(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val l = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+      .filter(col("qty") <= 30L)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+          col("qty").between(1L, 11L)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+          col("qty").between(10L, 20L)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 30) &&
+          col("qty").between(20L, 30L)))
+      .agg(sum("rv").cast("long").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q279Sql: String =
+    s"""SELECT CAST(sum($revSql) AS BIGINT) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE CAST(l_quantity AS BIGINT) <= 30 AND (
+         (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+          AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+             AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+             AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30))"""
+
   val all: Map[String, Q] = Map(
+    "q277_tpch12" -> q277Tpch12 _,
+    "q278_tpch14" -> q278Tpch14 _,
+    "q279_tpch19" -> q279Tpch19 _,
     "q266_tpch3" -> q266Tpch3 _,
     "q267_tpch5" -> q267Tpch5 _,
     "q268_tpch10" -> q268Tpch10 _,
@@ -812,6 +922,9 @@ object CoreQueries {
     "q269_tpch4" -> q269Sql,
     "q270_tpch18" -> q270Sql,
     "q271_tpch17" -> q271Sql,
+    "q277_tpch12" -> q277Sql,
+    "q278_tpch14" -> q278Sql,
+    "q279_tpch19" -> q279Sql,
     "q01_scan_project" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_agg_pricing" -> q03Sql,
