@@ -760,6 +760,101 @@ object PipelineQueries {
               count(*) OVER (PARTITION BY canon) > 1 AS is_dup
        FROM c ORDER BY doc_id"""
 
+  // --- q280: rendezvous (HRW) sharding + rebalance delta ----------------
+  /** Highest-random-weight (rendezvous) shard assignment for the
+    * corpus, and the property that justifies it: growing 8 → 9 shards
+    * moves EXACTLY the documents whose new shard-9 score wins —
+    * ~1/9 of the corpus in expectation — while modulo sharding would
+    * reshuffle ~8/9 of everything. Each doc's shard =
+    * argmax over shards of md5(doc_id:shard) (first 15 hex chars as
+    * the 60-bit score, exactly the [[Dedup.hash60]] hashing the
+    * oracle mirrors); assignment is a pure per-row expression — zero
+    * shuffle, no coordination state, any executor computes the same
+    * routing, which is why HRW is the sharding tier under the q164
+    * balanced-shards packer. Output: per (old_shard) row count and
+    * how many of its docs move under the 9th shard. */
+  def q280RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    def score(n: Int) = (0 until n).map(i =>
+      struct(Dedup.hash60(concat(col("doc_id").cast("string"),
+        lit(s":$i"))).as("h"), lit(i.toLong).as("shard")))
+    val docs = t(s, dir, "documents").select("doc_id")
+      .withColumn("shard8", greatest(score(8): _*).getField("shard"))
+      .withColumn("shard9", greatest(score(9): _*).getField("shard"))
+    docs.groupBy("shard8")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy("shard8")
+  }
+
+  val q280Sql: String =
+    """WITH sc AS (
+         SELECT doc_id,
+                [(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(i AS VARCHAR)), 1, 15))::BIGINT, i)
+                 for i in range(0, 9)] AS scores
+         FROM documents),
+       a AS (
+         SELECT doc_id,
+                list_max(scores[1:8])[2] AS shard8,
+                list_max(scores)[2] AS shard9
+         FROM sc)
+       SELECT CAST(shard8 AS BIGINT) AS shard8,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+       FROM a GROUP BY 1 ORDER BY 1"""
+
+  // --- q281: vocabulary growth curve (Heaps' law report) ----------------
+  /** Distinct-vocabulary size as the corpus grows — the types-vs-tokens
+    * curve (Heaps' law) a tokenizer/vocab budget is sized from. The
+    * naive form recounts distinct tokens at every checkpoint (C full
+    * passes); the rewrite: ONE pass computes each token's FIRST doc of
+    * appearance (min doc_id per token), a second counts tokens and
+    * first-appearances per checkpoint bucket, and a cumulative window
+    * over the C-row result turns both into running totals — the
+    * checkpoint count never multiplies the scan. */
+  def q281VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val bucket = (col("doc_id") / 100L).cast("long") * 100L
+    val tokensPer = tok.groupBy(bucket.as("ckpt"))
+      .agg(count(lit(1)).as("toks"))
+    val firstPer = tok.groupBy("w").agg(min("doc_id").as("fd"))
+      .groupBy(((col("fd") / 100L).cast("long") * 100L).as("ckpt"))
+      .agg(count(lit(1)).as("news"))
+    val w = Window.orderBy("ckpt")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokensPer.join(firstPer, Seq("ckpt"), "left")
+      .select(col("ckpt"),
+        sum("toks").over(w).as("cum_tokens"),
+        sum(coalesce(col("news"), lit(0L))).over(w).as("vocab_size"))
+      .orderBy("ckpt")
+  }
+
+  val q281Sql: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tp AS (
+         SELECT (doc_id // 100) * 100 AS ckpt,
+                CAST(count(*) AS BIGINT) AS toks
+         FROM tok GROUP BY 1),
+       fp AS (
+         SELECT (fd // 100) * 100 AS ckpt,
+                CAST(count(*) AS BIGINT) AS news
+         FROM (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1)
+         GROUP BY 1),
+       j AS (SELECT tp.ckpt, toks, coalesce(news, 0) AS news
+             FROM tp LEFT JOIN fp ON tp.ckpt = fp.ckpt)
+       SELECT CAST(ckpt AS BIGINT) AS ckpt,
+              CAST(sum(toks) OVER (ORDER BY ckpt
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+              CAST(sum(news) OVER (ORDER BY ckpt
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+       FROM j ORDER BY ckpt"""
+
   // --- q167: sorted-neighborhood near-dup pairs ------------------------
   /** The sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
     * as a dedup blocking tier: sort the corpus by a blocking key (here
@@ -3634,6 +3729,8 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "q259_shared_spans" -> q259SharedSpans _,
     "q275_thumb_dedup" -> q275ThumbDedup _,
+    "q280_rendezvous_shards" -> q280RendezvousShards _,
+    "q281_vocab_growth" -> q281VocabGrowth _,
     "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
     "q26_dedup_jaccard" -> q26DedupJaccard _,
@@ -3709,6 +3806,8 @@ object PipelineQueries {
     "q256_mutual_nn" -> q256Sql,
     "q259_shared_spans" -> q259Sql,
     "q275_thumb_dedup" -> q275Sql,
+    "q280_rendezvous_shards" -> q280Sql,
+    "q281_vocab_growth" -> q281Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,
     "q63_dup_clusters" -> q63Sql,

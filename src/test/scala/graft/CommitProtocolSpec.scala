@@ -308,6 +308,34 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("cross-operator interleave: a compaction landing inside a " +
+    "merge's add→commit window conflicts the MERGE, never corrupts " +
+    "the sink, and the merge retry applies on the compacted layout") {
+    val root = java.nio.file.Files.createTempDirectory("cps_xop").toString
+    val sink = mkSink(root)
+    val upd = Seq((1L, 111L)).toDF("k", "v")
+    var fired = false
+    intercept[CommitConflictException] {
+      Merge.mergeParquet(spark, upd, Seq("k"), sink, p => {
+        if (p == "added" && !fired) {
+          fired = true
+          // maintenance job races in and wins: 4 files → 1
+          Compact.compactSink(spark, sink)
+        }
+      })
+    }
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      "the compaction preserved the rows; the merge must be invisible")
+    val stats = Merge.mergeParquet(spark, upd, Seq("k"), sink)
+    // post-compaction the sink is ONE file, so the single update
+    // touches it and the whole sink legitimately rewrites
+    assert(stats.filesBefore == 1L && stats.rowsUpdated == 1L)
+    assert(ledger(sink) ==
+      Seq((1L, 111L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("compaction killed at either point preserves the row multiset " +
     "for the manifest reader; the next compaction run heals the sink") {
     val root = java.nio.file.Files.createTempDirectory("cps_c").toString
