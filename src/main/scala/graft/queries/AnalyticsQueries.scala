@@ -3283,6 +3283,174 @@ object AnalyticsQueries {
        FROM per_cust GROUP BY 1
        ORDER BY custdist DESC, c_count DESC"""
 
+  // --- q282: dimensional coverage-gap audit -----------------------------
+  /** Which (region, segment, priority) cells have NO orders — the
+    * completeness audit behind "is this slice empty or missing?". The
+    * expected grid is the cross product of the three (tiny) dimension
+    * value sets — built with explicit crossJoins of DISTINCT value
+    * frames, never a fact self-product — and one anti-join against the
+    * observed combinations flags the gaps. At 100 TB the observed side
+    * reduces map-side to ≤|grid| rows before the anti-join, so the
+    * audit costs one fact rollup regardless of volume. */
+  def q282CoverageGaps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val observed = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("c_mktsegment"), col("o_orderpriority"))
+      .distinct()
+    val grid = r.select("r_name").distinct()
+      .crossJoin(c.select("c_mktsegment").distinct())
+      .crossJoin(o.select("o_orderpriority").distinct())
+    grid.join(observed, Seq("r_name", "c_mktsegment", "o_orderpriority"),
+        "left_anti")
+      .orderBy("r_name", "c_mktsegment", "o_orderpriority")
+  }
+
+  val q282Sql: String =
+    """WITH observed AS (
+         SELECT DISTINCT r_name, c_mktsegment, o_orderpriority
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey),
+       grid AS (
+         SELECT r_name, c_mktsegment, o_orderpriority
+         FROM (SELECT DISTINCT r_name FROM region)
+         CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+         CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders))
+       SELECT g.* FROM grid g
+       LEFT JOIN observed o
+         ON g.r_name = o.r_name AND g.c_mktsegment = o.c_mktsegment
+        AND g.o_orderpriority = o.o_orderpriority
+       WHERE o.r_name IS NULL
+       ORDER BY 1, 2, 3"""
+
+  // --- q283: session entry/exit + bounce analysis -----------------------
+  /** Web-analytics session anatomy over the 30-minute-gap sessions
+    * (q49's sessionization): per ENTRY event type, how many sessions
+    * start there, how many BOUNCE (single-event sessions), and the
+    * most common exit type. One gap-window pass assigns session ids
+    * (monotonic per user), one aggregation collapses each session to
+    * (entry, exit, n_events), one rollup per entry type. Session
+    * count is user-day-shaped; raw events stream through exactly two
+    * partitioned windows. */
+  def q283SessionAnatomy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sess.groupBy("user_id", "sid")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"),
+        count(lit(1)).as("n_events"))
+    perSession.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"),
+        sum(when(col("exit_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase_exits"))
+      .orderBy("entry_type")
+  }
+
+  val q283Sql: String =
+    """WITH lagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_ts
+         FROM events),
+       marked AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+         FROM lagged),
+       sess AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked),
+       per_session AS (
+         SELECT user_id, sid,
+                min((ts, event_id, event_type))[3] AS entry_type,
+                max((ts, event_id, event_type))[3] AS exit_type,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY 1, 2)
+       SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+              CAST(sum(CASE WHEN exit_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase_exits
+       FROM per_session GROUP BY 1 ORDER BY 1"""
+
+  // --- q284: deterministic annotation-pair sampling ---------------------
+  /** N pseudo-random document PAIRS for human annotation, drawn
+    * WITHOUT materializing any pair space: `spark.range(N)` generates
+    * the sample indices and two md5-derived hashes map each index
+    * into the doc-id domain (rejecting self-pairs, ordering a < b) —
+    * the |D|² pair space exists only conceptually. Membership is a
+    * pure function of the sample index (the q60 reproducibility
+    * discipline: same N → same pairs on any cluster, any partitioning)
+    * and the generator composes with any downstream join back to the
+    * corpus. Output: the 64 sampled pairs with their doc lengths
+    * joined in. */
+  def q284AnnotationPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+    val nDocs = docs.count()
+    val pairs = s.range(0, 96)
+      .select(col("id").as("sample_id"),
+        (graft.operators.Dedup.hash60(concat(lit("a:"),
+          col("id").cast("string"))) % nDocs).as("ia"),
+        (graft.operators.Dedup.hash60(concat(lit("b:"),
+          col("id").cast("string"))) % nDocs).as("ib"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("sample_id"),
+        least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"))
+      .orderBy("sample_id").limit(64)
+    pairs
+      .join(docs.select(col("doc_id").as("da"),
+        col("n_chars").as("chars_a")), "da")
+      .join(docs.select(col("doc_id").as("db"),
+        col("n_chars").as("chars_b")), "db")
+      .select("sample_id", "da", "db", "chars_a", "chars_b")
+      .orderBy("sample_id")
+  }
+
+  val q284Sql: String =
+    """WITH n AS (SELECT count(*) AS nd FROM documents),
+       idx AS (
+         SELECT i AS sample_id,
+                ('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 15))
+                  ::BIGINT % (SELECT nd FROM n) AS ia,
+                ('0x' || substr(md5('b:' || CAST(i AS VARCHAR)), 1, 15))
+                  ::BIGINT % (SELECT nd FROM n) AS ib
+         FROM unnest(generate_series(0, 95)) AS t(i)),
+       pairs AS (
+         SELECT sample_id, least(ia, ib) AS da,
+                greatest(ia, ib) AS db
+         FROM idx WHERE ia <> ib
+         ORDER BY sample_id LIMIT 64)
+       SELECT sample_id, da, db,
+              a.n_chars AS chars_a, b.n_chars AS chars_b
+       FROM pairs
+       JOIN documents a ON a.doc_id = da
+       JOIN documents b ON b.doc_id = db
+       ORDER BY sample_id"""
+
   val all: Map[String, Q] = Map(
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -3345,6 +3513,9 @@ object AnalyticsQueries {
     "q264_interpolate" -> q264Interpolate _,
     "q265_debounce" -> q265Debounce _,
     "q272_sliding_wau" -> q272SlidingWau _,
+    "q282_coverage_gaps" -> q282CoverageGaps _,
+    "q283_session_anatomy" -> q283SessionAnatomy _,
+    "q284_annotation_pairs" -> q284AnnotationPairs _,
     "q273_snapshot_audit" -> q273SnapshotAudit _,
     "q274_tpch13" -> q274Tpch13 _,
   )
@@ -3408,6 +3579,9 @@ object AnalyticsQueries {
     "q264_interpolate" -> q264Sql,
     "q265_debounce" -> q265Sql,
     "q272_sliding_wau" -> q272Sql,
+    "q282_coverage_gaps" -> q282Sql,
+    "q283_session_anatomy" -> q283Sql,
+    "q284_annotation_pairs" -> q284Sql,
     "q273_snapshot_audit" -> q273Sql,
     "q274_tpch13" -> q274Sql,
     "q172_observe_metrics" -> q172Sql,
