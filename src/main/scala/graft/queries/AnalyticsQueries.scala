@@ -2480,7 +2480,10 @@ object AnalyticsQueries {
     * subset — the formulation this rewrite replaces. Subset keeps the
     * oracle's all-pairs bill bounded; at 100 TB the prune is what
     * makes the exact window's input small (frontier of random data
-    * grows ~log n). */
+    * grows ~log n). q134 peels the frontier of per-DAY minima — a
+    * pre-aggregated 1-value-per-day reduction; this form is
+    * row-granular with full strict-domination semantics (peers, ties),
+    * which is what the prune phase exists to make affordable. */
   def q249ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = t(s, dir, "orders").filter(col("o_custkey") % 17 === 0)
@@ -2537,7 +2540,10 @@ object AnalyticsQueries {
     * histogram quantiles (q109/q227): the window's input is the
     * value-domain size, not the row count. Lower weighted median
     * (smallest price with cumweight·2 ≥ total), all-integer so both
-    * engines agree bit-for-bit. */
+    * engines agree bit-for-bit. Complements q132 (quantity median
+    * weighted by revenue cents): the histogram machinery is
+    * axis-generic — swap value and weight columns and the same plan
+    * serves either direction. */
   def q250WeightedMedian(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = t(s, dir, "lineitem")
