@@ -3457,7 +3457,67 @@ object AnalyticsQueries {
        JOIN documents b ON b.doc_id = db
        ORDER BY sample_id"""
 
+  // --- q286: percent-of-parent hierarchy shares -------------------------
+  /** Each nation's revenue with its share of the parent region and of
+    * the world — the percent-of-parent decomposition every drill-down
+    * BI layer shows at each level. One fact rollup to |nations| rows,
+    * then the parent totals are WINDOW sums over that rollup (region
+    * partition, then global) — the fact is scanned once, no per-level
+    * re-aggregation, no self-join. Shares follow the q261 discipline:
+    * exact integer numerators everywhere, one double division per
+    * share at the very end. */
+  def q286PercentOfParent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val r = t(s, dir, "region").select("r_regionkey", "r_name")
+    val byNation = o
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("pc").as("cents"))
+    val wR = Window.partitionBy("r_name")
+    val wG = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byNation
+      .withColumn("region_cents", sum("cents").over(wR))
+      .withColumn("world_cents", sum("cents").over(wG))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        col("region_cents"),
+        (col("cents").cast("double") * 100.0 /
+          col("region_cents").cast("double")).as("pct_of_region"),
+        (col("cents").cast("double") * 100.0 /
+          col("world_cents").cast("double")).as("pct_of_world"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q286Sql: String =
+    """WITH by_nation AS (
+         SELECT r_name, n_name,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2)
+       SELECT r_name, n_name, cents,
+              CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+                AS region_cents,
+              CAST(cents AS DOUBLE) * 100.0 /
+                CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+                AS pct_of_region,
+              CAST(cents AS DOUBLE) * 100.0 /
+                CAST(sum(cents) OVER () AS DOUBLE) AS pct_of_world
+       FROM by_nation ORDER BY r_name, n_name"""
+
   val all: Map[String, Q] = Map(
+    "q286_percent_of_parent" -> q286PercentOfParent _,
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
     "q209_mahalanobis_diag" -> q209MahalanobisDiag _,
@@ -3586,6 +3646,7 @@ object AnalyticsQueries {
     "q265_debounce" -> q265Sql,
     "q272_sliding_wau" -> q272Sql,
     "q282_coverage_gaps" -> q282Sql,
+    "q286_percent_of_parent" -> q286Sql,
     "q283_session_anatomy" -> q283Sql,
     "q284_annotation_pairs" -> q284Sql,
     "q273_snapshot_audit" -> q273Sql,

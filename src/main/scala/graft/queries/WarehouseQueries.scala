@@ -1909,6 +1909,8 @@ object WarehouseQueries {
     "q244_burn_rate" -> q244BurnRate _,
     "q245_profile" -> q245Profile _,
     "q263_record_linkage" -> q263RecordLinkage _,
+    "q285_shift_allocation" -> q285ShiftAllocation _,
+    "q287_partition_advisor" -> q287PartitionAdvisor _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1943,9 +1945,149 @@ object WarehouseQueries {
     "q244_burn_rate" -> q244Sql,
     "q245_profile" -> q245Sql,
     "q263_record_linkage" -> q263Sql,
+    "q285_shift_allocation" -> q285Sql,
+    "q287_partition_advisor" -> q287Sql,
   )
 
   // --- q263: probabilistic record linkage scorecard ---------------------
+  // --- q285: interval×interval overlap allocation (downtime per shift) -
+  /** Machine-seconds lost per SHIFT: each event opens a downtime
+    * interval (q252's construction), the calendar provides three fixed
+    * 8-hour shifts per day, and every downtime second is allocated to
+    * the shift it falls in — the interval-INTERSECTION join behind
+    * utilization, billing, and SLA allocation. Scale shape: an
+    * interval is first CROPPED to the days it covers (explode over its
+    * own day span — data-shaped, ≤ 2 rows here), then joined to
+    * shifts by DAY equality — the q91 bucket-equi decomposition, no
+    * inequality-only join ever reaches the planner. Overlap math is
+    * exact epoch-micros; events are independent, so concurrent
+    * downtimes allocate independently (machine-seconds, not wall
+    * coverage — q252 is the union-length complement). */
+  def q285ShiftAllocation(s: SparkSession, dir: String): DataFrame = {
+    // Sources.table, not the bare local reader: unix_micros needs the
+    // normalized TimestampType the harness-read path guarantees
+    val iv = graft.io.Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          (expr("CAST(round(value * 100) AS BIGINT)") % 7200L + 60L) *
+            1000000L).as("en"))
+    val dayUs = 86400000000L
+    val cropped = iv
+      .select(col("event_id"), col("st"), col("en"),
+        explode(sequence(
+          (col("st") / dayUs).cast("long"),
+          ((col("en") - 1L) / dayUs).cast("long"))).as("day"))
+      .select(col("event_id"), col("day"),
+        greatest(col("st"), col("day") * dayUs).as("cs"),
+        least(col("en"), (col("day") + 1L) * dayUs).as("ce"))
+    val shifts = cropped.select(col("day")).distinct()
+      .select(col("day"), explode(sequence(lit(0L), lit(2L))).as("sh"))
+      .select(col("day"), col("sh"),
+        (col("day") * dayUs + col("sh") * 28800000000L).as("ss"),
+        (col("day") * dayUs + (col("sh") + 1L) * 28800000000L).as("se"))
+    cropped.join(shifts, "day")
+      .select(col("sh"),
+        greatest(least(col("ce"), col("se")) -
+          greatest(col("cs"), col("ss")), lit(0L)).as("ov"))
+      .groupBy("sh")
+      .agg((sum("ov")).as("downtime_micros"),
+        sum(when(col("ov") > 0L, 1L).otherwise(0L)).as("n_slices"))
+      .orderBy("sh")
+  }
+
+  // lazy: declared below the `oracles` map (q263Sql pattern)
+  lazy val q285Sql: String =
+    """WITH iv AS (
+         SELECT event_id, epoch_us(ts) AS st,
+                epoch_us(ts) +
+                  (CAST(round(value * 100) AS BIGINT) % 7200 + 60)
+                    * 1000000 AS en
+         FROM events),
+       cropped AS (
+         SELECT event_id, day,
+                greatest(st, day * 86400000000) AS cs,
+                least(en, (day + 1) * 86400000000) AS ce
+         FROM iv, unnest(generate_series(st // 86400000000,
+                  (en - 1) // 86400000000)) AS u(day)),
+       shifts AS (
+         SELECT day, sh,
+                day * 86400000000 + sh * 28800000000 AS ss,
+                day * 86400000000 + (sh + 1) * 28800000000 AS se
+         FROM (SELECT DISTINCT day FROM cropped),
+              unnest(generate_series(0, 2)) AS v(sh)),
+       ov AS (
+         SELECT sh, greatest(least(ce, se) - greatest(cs, ss), 0) AS ov
+         FROM cropped JOIN shifts USING (day))
+       SELECT CAST(sh AS BIGINT) AS sh,
+              CAST(sum(ov) AS BIGINT) AS downtime_micros,
+              CAST(sum(CASE WHEN ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_slices
+       FROM ov GROUP BY 1 ORDER BY 1"""
+
+  // --- q287: shuffle-partition sizing advisor ---------------------------
+  /** The pre-flight sizing report for a planned shuffle on a key: from
+    * ONE key-count aggregation — total rows, distinct keys, the exact
+    * p50/p99/max per-key multiplicities (histogram-rank percentiles,
+    * the q109 discipline), a skew verdict (max > 10·p99), and the
+    * shuffle-partition recommendation ceil(total / 1M rows). This is
+    * [[graft.operators.JoinGuard]]'s sibling for aggregations: both
+    * price a shuffle before paying for it, and together they are what
+    * an operator consults before choosing q65's salting or q128's
+    * bucketing. All-integer output. */
+  def q287PartitionAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    val hist = counts.groupBy("n").agg(count(lit(1)).as("keys"))
+    val w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = hist
+      .withColumn("cum", sum("keys").over(w))
+      .withColumn("tot", sum("keys").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val p50 = ranked.filter(col("cum") * 2 >= col("tot"))
+      .agg(min("n")).first().getLong(0)
+    val p99 = ranked.filter(col("cum") * 100 >= col("tot") * 99)
+      .agg(min("n")).first().getLong(0)
+    val stats = counts.agg(sum("n").as("total_rows"),
+      count(lit(1)).as("n_keys"), max("n").as("max_key_rows"))
+    stats.select(col("total_rows"), col("n_keys"),
+      lit(p50).as("p50_key_rows"), lit(p99).as("p99_key_rows"),
+      col("max_key_rows"),
+      (col("max_key_rows") > lit(p99) * 10L).as("skewed"),
+      ((col("total_rows") + 999999L) / 1000000L).cast("long")
+        .as("recommended_partitions"))
+  }
+
+  lazy val q287Sql: String =
+    """WITH counts AS (
+         SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1),
+       hist AS (
+         SELECT n, CAST(count(*) AS BIGINT) AS keys
+         FROM counts GROUP BY 1),
+       ranked AS (
+         SELECT n, keys,
+                sum(keys) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING)
+                  AS cum,
+                sum(keys) OVER () AS tot
+         FROM hist),
+       p AS (
+         SELECT (SELECT min(n) FROM ranked WHERE cum * 2 >= tot) AS p50,
+                (SELECT min(n) FROM ranked
+                 WHERE cum * 100 >= tot * 99) AS p99)
+       SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(p50 AS BIGINT) AS p50_key_rows,
+              CAST(p99 AS BIGINT) AS p99_key_rows,
+              CAST(max(n) AS BIGINT) AS max_key_rows,
+              max(n) > p99 * 10 AS skewed,
+              CAST((sum(n) + 999999) // 1000000 AS BIGINT)
+                AS recommended_partitions
+       FROM counts CROSS JOIN p
+       GROUP BY p50, p99"""
+
   /** Fellegi–Sunter-style record linkage between two "systems" — the
     * customer base and a deterministically perturbed copy (every 3rd
     * segment re-coded, every 7th balance off by 7¢, every 5th balance
