@@ -2046,18 +2046,23 @@ object WarehouseQueries {
       .withColumn("tot", sum("keys").over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-    val p50 = ranked.filter(col("cum") * 2 >= col("tot"))
-      .agg(min("n")).first().getLong(0)
-    val p99 = ranked.filter(col("cum") * 100 >= col("tot") * 99)
-      .agg(min("n")).first().getLong(0)
-    val stats = counts.agg(sum("n").as("total_rows"),
-      count(lit(1)).as("n_keys"), max("n").as("max_key_rows"))
-    stats.select(col("total_rows"), col("n_keys"),
-      lit(p50).as("p50_key_rows"), lit(p99).as("p99_key_rows"),
-      col("max_key_rows"),
-      (col("max_key_rows") > lit(p99) * 10L).as("skewed"),
-      ((col("total_rows") + 999999L) / 1000000L).cast("long")
-        .as("recommended_partitions"))
+    // every statistic derives from the |distinct multiplicities|-row
+    // histogram in ONE reduce — the key-count scan runs exactly once
+    // (total = Σ n·keys, percentiles as conditional mins over the
+    // cumulative rank)
+    ranked.agg(
+        sum(col("n") * col("keys")).as("total_rows"),
+        sum("keys").as("n_keys"),
+        min(when(col("cum") * 2 >= col("tot"), col("n")))
+          .as("p50_key_rows"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("n")))
+          .as("p99_key_rows"),
+        max("n").as("max_key_rows"))
+      .select(col("total_rows"), col("n_keys"), col("p50_key_rows"),
+        col("p99_key_rows"), col("max_key_rows"),
+        (col("max_key_rows") > col("p99_key_rows") * 10L).as("skewed"),
+        ((col("total_rows") + 999999L) / 1000000L).cast("long")
+          .as("recommended_partitions"))
   }
 
   lazy val q287Sql: String =
