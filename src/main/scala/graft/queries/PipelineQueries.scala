@@ -855,6 +855,76 @@ object PipelineQueries {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
        FROM j ORDER BY ckpt"""
 
+  // --- q289: class-contrastive distinctive terms (c-TF-IDF) -------------
+  /** The five most DISTINCTIVE tokens per source — class-based TF-IDF
+    * (the BERTopic c-TF-IDF idea): a token scores high for a source
+    * when its in-source rate dwarfs its elsewhere rate. Score =
+    * (tf_s·T_other) / ((tf_other+1)·T_s) with every product an exact
+    * BIGINT and ONE double division at the end (the q261 discipline —
+    * identical operand ints + identical op order ⇒ bit-equal doubles
+    * in both engines); +1 smooths tokens absent elsewhere. Shape: one
+    * token pass reduces map-side to |source × token| rows, per-token
+    * totals join back (token-keyed, never a corpus rescan), top-5 per
+    * source compiles to WindowGroupLimit. q131 ranks tokens within a
+    * DOCUMENT against the corpus; this ranks them within a CLASS
+    * against the other classes — the "what makes this slice
+    * different" report a mixture audit (q155) reaches for next. */
+  def q289DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val perSource = tok.groupBy("source").agg(count(lit(1)).as("ts"))
+    val perToken = tf.groupBy("w").agg(sum("tf").as("tf_all"))
+    val totals = perSource.agg(sum("ts").as("t_all"))
+    val scored = tf
+      .join(perSource, "source")
+      .join(perToken, "w")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("w"), col("tf"),
+        ((col("tf") * (col("t_all") - col("ts"))).cast("double") /
+          (((col("tf_all") - col("tf")) + 1L) * col("ts")).cast("double"))
+          .as("score"))
+    val wR = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("w").as("token"), col("tf"), col("score"))
+      .orderBy("source", "rk")
+  }
+
+  val q289Sql: String =
+    """WITH tok AS (
+         SELECT source, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tf AS (
+         SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+         FROM tok GROUP BY 1, 2),
+       per_source AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS ts
+         FROM tok GROUP BY 1),
+       per_token AS (
+         SELECT w, CAST(sum(tf) AS BIGINT) AS tf_all
+         FROM tf GROUP BY 1),
+       totals AS (SELECT CAST(sum(ts) AS BIGINT) AS t_all
+                  FROM per_source),
+       scored AS (
+         SELECT source, w, tf,
+                CAST(tf * (t_all - ts) AS DOUBLE) /
+                  CAST(((tf_all - tf) + 1) * ts AS DOUBLE) AS score
+         FROM tf
+         JOIN per_source USING (source)
+         JOIN per_token USING (w)
+         CROSS JOIN totals),
+       ranked AS (
+         SELECT source, w, tf, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, w ASC) AS rk
+         FROM scored)
+       SELECT source, CAST(rk AS BIGINT) AS rk, w AS token, tf, score
+       FROM ranked WHERE rk <= 5 ORDER BY source, rk"""
+
   // --- q167: sorted-neighborhood near-dup pairs ------------------------
   /** The sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
     * as a dedup blocking tier: sort the corpus by a blocking key (here
@@ -3730,6 +3800,7 @@ object PipelineQueries {
     "q259_shared_spans" -> q259SharedSpans _,
     "q275_thumb_dedup" -> q275ThumbDedup _,
     "q280_rendezvous_shards" -> q280RendezvousShards _,
+    "q289_distinctive_terms" -> q289DistinctiveTerms _,
     "q281_vocab_growth" -> q281VocabGrowth _,
     "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
@@ -3807,6 +3878,7 @@ object PipelineQueries {
     "q259_shared_spans" -> q259Sql,
     "q275_thumb_dedup" -> q275Sql,
     "q280_rendezvous_shards" -> q280Sql,
+    "q289_distinctive_terms" -> q289Sql,
     "q281_vocab_growth" -> q281Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,

@@ -1910,6 +1910,7 @@ object WarehouseQueries {
     "q245_profile" -> q245Profile _,
     "q263_record_linkage" -> q263RecordLinkage _,
     "q285_shift_allocation" -> q285ShiftAllocation _,
+    "q288_fk_integrity" -> q288FkIntegrity _,
     "q287_partition_advisor" -> q287PartitionAdvisor _,
   )
 
@@ -1946,6 +1947,7 @@ object WarehouseQueries {
     "q245_profile" -> q245Sql,
     "q263_record_linkage" -> q263Sql,
     "q285_shift_allocation" -> q285Sql,
+    "q288_fk_integrity" -> q288Sql,
     "q287_partition_advisor" -> q287Sql,
   )
 
@@ -2092,6 +2094,79 @@ object WarehouseQueries {
                 AS recommended_partitions
        FROM counts CROSS JOIN p
        GROUP BY p50, p99"""
+
+  // --- q288: referential-integrity sweep --------------------------------
+  /** Every foreign-key edge of the schema audited in one report: child
+    * rows whose key has no parent (left-anti count) plus the child's
+    * total — the FK half of the DQ suite (q215 audits FUNCTIONAL
+    * dependencies; this audits containment). Each edge is one
+    * key-projected anti-join, dimension parents broadcast; the seven
+    * single-row results union into the report, so the sweep costs one
+    * pruned scan per child table regardless of width. */
+  def q288FkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // each child's total is counted ONCE and shared by its edges
+    // (lineitem has three) — the sweep then costs one key-pruned
+    // anti-join scan per edge plus one count per table
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val tbl = name.substring(0, name.indexOf('.'))
+      val total = totals.getOrElseUpdate(tbl, child.count())
+      val orphans = child.select(col(ck)).filter(col(ck).isNotNull)
+        .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+        .count()
+      Seq((name, total, orphans)).toDF("fk_edge", "n_child", "n_orphans")
+    }
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val p = t(s, dir, "part")
+    val su = t(s, dir, "supplier")
+    edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+        p, "p_partkey"))
+      .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+        su, "s_suppkey"))
+      .unionByName(edge("orders.custkey->customer", o, "o_custkey",
+        c, "c_custkey"))
+      .unionByName(edge("customer.nationkey->nation", c, "c_nationkey",
+        n, "n_nationkey"))
+      .unionByName(edge("supplier.nationkey->nation", su, "s_nationkey",
+        n, "n_nationkey"))
+      .unionByName(edge("nation.regionkey->region", n, "n_regionkey",
+        r, "r_regionkey"))
+      .orderBy("fk_edge")
+  }
+
+  lazy val q288Sql: String = {
+    def e(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+            (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+            (SELECT CAST(count(*) AS BIGINT) FROM $child
+             WHERE $ck IS NOT NULL
+               AND $ck NOT IN (SELECT $pk FROM $parent)) AS n_orphans"""
+    Seq(
+      e("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      e("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      e("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      e("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      e("customer.nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      e("supplier.nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      e("nation.regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY fk_edge")
+  }
 
   /** Fellegi–Sunter-style record linkage between two "systems" — the
     * customer base and a deterministically perturbed copy (every 3rd
