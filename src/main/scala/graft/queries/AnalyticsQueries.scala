@@ -3516,7 +3516,106 @@ object AnalyticsQueries {
                 CAST(sum(cents) OVER () AS DOUBLE) AS pct_of_world
        FROM by_nation ORDER BY r_name, n_name"""
 
+  // --- q290: event-time disorder audit (watermark sizing) ---------------
+  /** How out-of-order is the stream, per user: each event's LATENESS is
+    * how far its event time lags the maximum event time already seen
+    * in that user's ARRIVAL order (event_id — the ingest sequence
+    * number), i.e. exactly what a watermark must absorb. Output per
+    * user bucket: events, late events, worst lateness, and how many a
+    * 30-minute watermark would drop — the sizing report consumed by
+    * q46/q152's `withWatermark` choices. One window partitioned by
+    * user in arrival order; no global ordering anywhere (a GLOBAL
+    * watermark audit would two-phase the same running max over ingest
+    * shards). */
+  def q290DisorderAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("hwm", max(unix_micros(col("ts"))).over(w))
+      .withColumn("late_us",
+        greatest(col("hwm") - unix_micros(col("ts")), lit(0L)))
+      .groupBy((col("user_id") % 10L).as("user_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum(when(col("late_us") > 1800000000L, 1L).otherwise(0L))
+          .as("n_dropped_at_30m"))
+      .orderBy("user_bucket")
+  }
+
+  val q290Sql: String =
+    """WITH lagged AS (
+         SELECT user_id, epoch_us(ts) AS us,
+                max(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS hwm
+         FROM events),
+       late AS (
+         SELECT user_id, greatest(coalesce(hwm, us) - us, 0) AS late_us
+         FROM lagged)
+       SELECT user_id % 10 AS user_bucket,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+              CAST(max(late_us) AS BIGINT) AS max_late_us,
+              CAST(sum(CASE WHEN late_us > 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_at_30m
+       FROM late GROUP BY 1 ORDER BY 1"""
+
+  // --- q291: substitution candidates within a part family ---------------
+  /** Up to three cheaper same-family alternatives for each expensive
+    * part — the "substitute suggestion" catalog query: family =
+    * (p_type, p_size), candidates must be a DIFFERENT brand and
+    * strictly cheaper, ranked by price gap. The family window does the
+    * pairing (partitioned self-join on the family key — never a
+    * cross join), restricted to the costliest parts so the oracle's
+    * output stays bounded; prices compare in exact cents. */
+  def q291Substitutes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      col("p_type"), col("p_size"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+    val target = p.filter(col("p_partkey") % 50 === 0)
+    val alt = p.select(col("p_type"), col("p_size"),
+      col("p_partkey").as("alt_key"), col("p_brand").as("alt_brand"),
+      col("cents").as("alt_cents"))
+    val cand = target.join(alt, Seq("p_type", "p_size"))
+      .filter(col("alt_brand") =!= col("p_brand") &&
+        col("alt_cents") < col("cents"))
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(col("alt_cents").asc, col("alt_key").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_partkey"), col("rk").cast("long").as("rk"),
+        col("alt_key"), (col("cents") - col("alt_cents")).as("gap_cents"))
+      .orderBy("p_partkey", "rk")
+  }
+
+  val q291Sql: String =
+    """WITH p AS (
+         SELECT p_partkey, p_brand, p_type, p_size,
+                CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+         FROM part),
+       cand AS (
+         SELECT t.p_partkey, a.p_partkey AS alt_key,
+                t.cents - a.cents AS gap_cents, a.cents AS alt_cents
+         FROM p t JOIN p a
+           ON t.p_type = a.p_type AND t.p_size = a.p_size
+          AND a.p_brand <> t.p_brand AND a.cents < t.cents
+         WHERE t.p_partkey % 50 = 0),
+       ranked AS (
+         SELECT p_partkey, alt_key, gap_cents,
+                row_number() OVER (PARTITION BY p_partkey
+                  ORDER BY alt_cents ASC, alt_key ASC) AS rk
+         FROM cand)
+       SELECT p_partkey, CAST(rk AS BIGINT) AS rk, alt_key, gap_cents
+       FROM ranked WHERE rk <= 3 ORDER BY p_partkey, rk"""
+
   val all: Map[String, Q] = Map(
+    "q290_disorder_audit" -> q290DisorderAudit _,
+    "q291_substitutes" -> q291Substitutes _,
     "q286_percent_of_parent" -> q286PercentOfParent _,
     "q207_quarantine_split" -> q207QuarantineSplit _,
     "q208_late_dim" -> q208LateDim _,
@@ -3647,6 +3746,8 @@ object AnalyticsQueries {
     "q272_sliding_wau" -> q272Sql,
     "q282_coverage_gaps" -> q282Sql,
     "q286_percent_of_parent" -> q286Sql,
+    "q290_disorder_audit" -> q290Sql,
+    "q291_substitutes" -> q291Sql,
     "q283_session_anatomy" -> q283Sql,
     "q284_annotation_pairs" -> q284Sql,
     "q273_snapshot_audit" -> q273Sql,
