@@ -925,6 +925,81 @@ object PipelineQueries {
        SELECT source, CAST(rk AS BIGINT) AS rk, w AS token, tf, score
        FROM ranked WHERE rk <= 5 ORDER BY source, rk"""
 
+  // --- q292: pairwise source-divergence matrix (TVD) --------------------
+  /** Total-variation distance between EVERY pair of sources' token
+    * distributions — the mixture-health matrix (which slices are
+    * near-duplicates of each other, which are outliers) one step up
+    * from q126's two-period drift scalar. Exact rational core: TVD =
+    * ½·Σ_w |p_a(w) − p_b(w)| = ½·Σ_w |tf_aw·T_b − tf_bw·T_a| / (T_a·T_b),
+    * so the numerator accumulates as exact BIGINTs over a FULL OUTER
+    * join per pair and divides once. Shape: one token pass to
+    * |source × token| rows, the pair fan-out joins token-keyed
+    * (each token contributes its |sources-present|² pairs — bounded
+    * by the 20-source universe, never corpus-shaped), absent tokens'
+    * contribution folds in CLOSED FORM (Σ_{a only} tf·T_b = T_a·T_b −
+    * Σ_common …), so the outer join is never materialized. */
+  def q292SourceTvdMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("n"))
+    val tot = tf.groupBy("source").agg(sum("n").as("t"))
+    val a = tf.join(tot, "source")
+      .select(col("source").as("sa"), col("w"),
+        col("n").cast(dec).as("na"), col("t").cast(dec).as("ta"))
+    val b = tf.join(tot, "source")
+      .select(col("source").as("sb"), col("w"),
+        col("n").cast(dec).as("nb"), col("t").cast(dec).as("tb"))
+    a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(
+        sum(abs(col("na") * col("tb") - col("nb") * col("ta")))
+          .as("sabs"),
+        sum("na").as("ca"), sum("nb").as("cb"),
+        max("ta").as("ta"), max("tb").as("tb"),
+        count(lit(1)).as("common_tokens"))
+      .select(col("sa"), col("sb"), col("common_tokens"),
+        ((col("sabs") +
+          (col("ta") - col("ca")) * col("tb") +
+          (col("tb") - col("cb")) * col("ta")).cast("double") /
+          (lit(2).cast(dec) * col("ta") * col("tb")).cast("double"))
+          .as("tvd"))
+      .orderBy("sa", "sb")
+  }
+
+  val q292Sql: String =
+    """WITH tok AS (
+         SELECT source, unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tf AS (
+         SELECT source, w, CAST(count(*) AS BIGINT) AS n
+         FROM tok GROUP BY 1, 2),
+       tot AS (
+         SELECT source, CAST(sum(n) AS BIGINT) AS t
+         FROM tf GROUP BY 1),
+       j AS (
+         SELECT a.source AS sa, b.source AS sb,
+                CAST(a.n AS DECIMAL(38,0)) AS na,
+                CAST(b.n AS DECIMAL(38,0)) AS nb,
+                CAST(ta.t AS DECIMAL(38,0)) AS ta,
+                CAST(tb.t AS DECIMAL(38,0)) AS tb
+         FROM tf a
+         JOIN tf b ON a.w = b.w AND a.source < b.source
+         JOIN tot ta ON ta.source = a.source
+         JOIN tot tb ON tb.source = b.source),
+       g AS (
+         SELECT sa, sb,
+                sum(abs(na * tb - nb * ta)) AS sabs,
+                sum(na) AS ca, sum(nb) AS cb,
+                max(ta) AS ta, max(tb) AS tb,
+                CAST(count(*) AS BIGINT) AS common_tokens
+         FROM j GROUP BY 1, 2)
+       SELECT sa, sb, common_tokens,
+              CAST(sabs + (ta - ca) * tb + (tb - cb) * ta AS DOUBLE) /
+                CAST(CAST(2 AS DECIMAL(38,0)) * ta * tb AS DOUBLE)
+                AS tvd
+       FROM g ORDER BY sa, sb"""
+
   // --- q167: sorted-neighborhood near-dup pairs ------------------------
   /** The sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995)
     * as a dedup blocking tier: sort the corpus by a blocking key (here
@@ -3801,6 +3876,7 @@ object PipelineQueries {
     "q275_thumb_dedup" -> q275ThumbDedup _,
     "q280_rendezvous_shards" -> q280RendezvousShards _,
     "q289_distinctive_terms" -> q289DistinctiveTerms _,
+    "q292_source_tvd_matrix" -> q292SourceTvdMatrix _,
     "q281_vocab_growth" -> q281VocabGrowth _,
     "q256_mutual_nn" -> q256MutualNn _,
     "q25_dedup_exact" -> q25DedupExact _,
@@ -3879,6 +3955,7 @@ object PipelineQueries {
     "q275_thumb_dedup" -> q275Sql,
     "q280_rendezvous_shards" -> q280Sql,
     "q289_distinctive_terms" -> q289Sql,
+    "q292_source_tvd_matrix" -> q292Sql,
     "q281_vocab_growth" -> q281Sql,
     "q30_ann_lsh" -> q30Sql,
     "q62_ann_multiprobe" -> q62Sql,

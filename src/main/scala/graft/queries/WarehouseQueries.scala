@@ -1911,6 +1911,7 @@ object WarehouseQueries {
     "q263_record_linkage" -> q263RecordLinkage _,
     "q285_shift_allocation" -> q285ShiftAllocation _,
     "q288_fk_integrity" -> q288FkIntegrity _,
+    "q293_supplier_hhi" -> q293SupplierHhi _,
     "q287_partition_advisor" -> q287PartitionAdvisor _,
   )
 
@@ -1948,6 +1949,7 @@ object WarehouseQueries {
     "q263_record_linkage" -> q263Sql,
     "q285_shift_allocation" -> q285Sql,
     "q288_fk_integrity" -> q288Sql,
+    "q293_supplier_hhi" -> q293Sql,
     "q287_partition_advisor" -> q287Sql,
   )
 
@@ -2167,6 +2169,48 @@ object WarehouseQueries {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY fk_edge")
   }
+
+  // --- q293: supplier concentration risk (Herfindahl index) -------------
+  /** Herfindahl–Hirschman concentration of supplier revenue within
+    * each part type — the procurement-risk scorecard (HHI → 1 means
+    * one supplier owns the category; the q261 Gini is the customer-side
+    * sibling). HHI = Σ shareᵢ² = Σ centsᵢ² / (Σ cents)², so the
+    * numerator and denominator accumulate as exact decimal(38,0)
+    * (centsᵢ² brushes int64 at sf1 — the JoinGuard wrap lesson) and
+    * divide once in the double domain. One fact rollup to
+    * |type × supplier| rows, one reduce per type. */
+  def q293SupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_suppkey"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("pc"))
+    val p = t(s, dir, "part").select("p_partkey", "p_type")
+    val bySupp = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "l_suppkey")
+      .agg(sum("pc").cast(dec).as("cents"))
+    bySupp.groupBy("p_type")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents") * col("cents")).as("num"),
+        sum("cents").as("tot"))
+      .select(col("p_type"), col("n_suppliers"),
+        col("tot").cast("long").as("total_cents"),
+        (col("num").cast("double") /
+          (col("tot") * col("tot")).cast("double")).as("hhi"))
+      .orderBy("p_type")
+  }
+
+  lazy val q293Sql: String =
+    """WITH by_supp AS (
+         SELECT p_type, l_suppkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DECIMAL(38,0)) AS cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2)
+       SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+              CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(sum(cents * cents) AS DOUBLE) /
+                CAST(sum(cents) * sum(cents) AS DOUBLE) AS hhi
+       FROM by_supp GROUP BY 1 ORDER BY 1"""
 
   /** Fellegi–Sunter-style record linkage between two "systems" — the
     * customer base and a deterministically perturbed copy (every 3rd
