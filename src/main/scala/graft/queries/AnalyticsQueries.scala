@@ -3613,7 +3613,140 @@ object AnalyticsQueries {
        SELECT p_partkey, CAST(rk AS BIGINT) AS rk, alt_key, gap_cents
        FROM ranked WHERE rk <= 3 ORDER BY p_partkey, rk"""
 
+  // --- q294: fulfillment-lag percentiles per priority -------------------
+  /** Days from order placement to FIRST shipment, summarized as exact
+    * p50/p90/p99 per order priority — the SLA scorecard. Lag derives
+    * per order (one min-aggregation over its lines), then the
+    * percentile machinery is the q109/q250 histogram discipline: the
+    * |priority × lag-days| histogram carries cumulative ranks, and
+    * each percentile is a conditional min — the window input is the
+    * value domain (days), never the orders. */
+  def q294FulfillmentLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val firstShip = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(min("l_shipdate").as("ship"))
+    val lag = o.join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("o_orderdate")).cast("long").as("d"))
+    val hist = lag.groupBy("o_orderpriority", "d")
+      .agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wT = Window.partitionBy("o_orderpriority")
+    hist
+      .withColumn("cum", sum("k").over(w))
+      .withColumn("tot", sum("k").over(wT))
+      .groupBy("o_orderpriority")
+      .agg(min("tot").as("n_orders"),
+        min(when(col("cum") * 2 >= col("tot"), col("d"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("d")))
+          .as("p90_days"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("d")))
+          .as("p99_days"),
+        max("d").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q294Sql: String =
+    """WITH first_ship AS (
+         SELECT l_orderkey, min(l_shipdate) AS ship
+         FROM lineitem GROUP BY 1),
+       lag AS (
+         SELECT o_orderpriority,
+                CAST(date_diff('day', o_orderdate, ship) AS BIGINT) AS d
+         FROM orders JOIN first_ship ON o_orderkey = l_orderkey),
+       hist AS (
+         SELECT o_orderpriority, d, CAST(count(*) AS BIGINT) AS k
+         FROM lag GROUP BY 1, 2),
+       ranked AS (
+         SELECT o_orderpriority, d, k,
+                sum(k) OVER (PARTITION BY o_orderpriority ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(k) OVER (PARTITION BY o_orderpriority) AS tot
+         FROM hist)
+       SELECT o_orderpriority,
+              CAST(min(tot) AS BIGINT) AS n_orders,
+              CAST(min(CASE WHEN cum * 2 >= tot THEN d END) AS BIGINT)
+                AS p50_days,
+              CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN d END)
+                AS BIGINT) AS p90_days,
+              CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN d END)
+                AS BIGINT) AS p99_days,
+              CAST(max(d) AS BIGINT) AS max_days
+       FROM ranked GROUP BY 1 ORDER BY 1"""
+
+  // --- q295: ABC × velocity classification matrix -----------------------
+  /** The two-axis inventory matrix: parts bucketed A/B/C by cumulative
+    * revenue share (q253's axis) × FAST/SLOW by order-line count
+    * (velocity: above/below the median multiplicity) — the 3×2 grid
+    * purchasing manages from ("C-fast" = cheap but busy, "A-slow" =
+    * expensive shelf-warmers). Both axes derive from ONE |parts|-row
+    * rollup; each classification is a window over that rollup
+    * (cumulative share; median via the histogram rank), and the
+    * matrix is one final 6-row reduce. */
+  def q295AbcVelocity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"), count(lit(1)).as("n_lines"))
+    val wCum = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wMed = Window.orderBy("n_lines")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classed = per
+      .withColumn("cum", sum("cents").over(wCum))
+      .withColumn("tot", sum("cents").over(wAll))
+      .withColumn("abc",
+        when(col("cum") * 10 <= col("tot") * 8, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B").otherwise("C"))
+      .withColumn("rn", row_number().over(wMed).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .withColumn("med_n",
+        min(when(col("rn") * 2 >= col("np"), col("n_lines"))).over(wAll))
+      .withColumn("velocity",
+        when(col("n_lines") > col("med_n"), "FAST").otherwise("SLOW"))
+    classed.groupBy("abc", "velocity")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+      .orderBy("abc", "velocity")
+  }
+
+  val q295Sql: String =
+    """WITH per AS (
+         SELECT l_partkey,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem GROUP BY 1),
+       classed AS (
+         SELECT cents, n_lines,
+                sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(cents) OVER () AS tot,
+                row_number() OVER (ORDER BY n_lines) AS rn,
+                count(*) OVER () AS np
+         FROM per),
+       med AS (
+         SELECT min(CASE WHEN rn * 2 >= np THEN n_lines END) AS med_n
+         FROM classed)
+       SELECT CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                   WHEN cum * 20 <= tot * 19 THEN 'B'
+                   ELSE 'C' END AS abc,
+              CASE WHEN n_lines > med_n THEN 'FAST' ELSE 'SLOW' END
+                AS velocity,
+              CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(cents) AS BIGINT) AS cents
+       FROM classed CROSS JOIN med
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q294_fulfillment_lag" -> q294FulfillmentLag _,
+    "q295_abc_velocity" -> q295AbcVelocity _,
     "q290_disorder_audit" -> q290DisorderAudit _,
     "q291_substitutes" -> q291Substitutes _,
     "q286_percent_of_parent" -> q286PercentOfParent _,
@@ -3748,6 +3881,8 @@ object AnalyticsQueries {
     "q286_percent_of_parent" -> q286Sql,
     "q290_disorder_audit" -> q290Sql,
     "q291_substitutes" -> q291Sql,
+    "q294_fulfillment_lag" -> q294Sql,
+    "q295_abc_velocity" -> q295Sql,
     "q283_session_anatomy" -> q283Sql,
     "q284_annotation_pairs" -> q284Sql,
     "q273_snapshot_audit" -> q273Sql,
