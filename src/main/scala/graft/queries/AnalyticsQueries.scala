@@ -3744,7 +3744,171 @@ object AnalyticsQueries {
        FROM classed CROSS JOIN med
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // --- q302: PPS systematic sampling ------------------------------------
+  /** Probability-proportional-to-size SYSTEMATIC sampling (Madow's
+    * method), k=20 picks per language weighted by n_chars — the exact
+    * selection scheme survey samplers use when inclusion probability
+    * must be ∝ weight without per-item randomness. Item i (docs ordered
+    * by doc_id) receives floor(cum·k/total) − floor(cumPrev·k/total)
+    * picks — ALL integer arithmetic, so both engines select the
+    * identical sample (no RNG, no doubles; heavy items (w > total/k)
+    * legitimately take multiple picks). One shuffle: the per-lang
+    * running-sum window; the partition total rides the same window
+    * pass. At corpus scale a skewed single-language corpus would swap
+    * the window for the q81-style per-shard prefix scan — the
+    * selection arithmetic is unchanged. */
+  def q302PpsSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = lit(20L)
+    val byLang = Window.partitionBy("lang")
+    val run = byLang.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+      .withColumn("cum", sum("w").over(run))
+      .withColumn("total", sum("w").over(byLang))
+    docs
+      .withColumn("n_picks",
+        expr("(cum * 20) DIV total - ((cum - w) * 20) DIV total"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").cast("long").as("total_chars"),
+        sum(when(col("n_picks") > 0L, 1L).otherwise(0L))
+          .as("n_selected"),
+        sum("n_picks").cast("long").as("picks_total"),
+        sum(when(col("n_picks") > 0L, col("w")).otherwise(0L))
+          .cast("long").as("selected_chars"),
+        sum(when(col("n_picks") > 0L, col("doc_id")).otherwise(0L))
+          .cast("long").as("selected_id_sum"))
+      .orderBy("lang")
+  }
+
+  val q302Sql: String =
+    """WITH c AS (
+         SELECT doc_id, lang, n_chars AS w,
+                sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(n_chars) OVER (PARTITION BY lang) AS total
+         FROM documents),
+       p AS (
+         SELECT lang, w, doc_id,
+                (cum * 20) // total - ((cum - w) * 20) // total
+                  AS n_picks
+         FROM c)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(w) AS BIGINT) AS total_chars,
+              CAST(sum(CASE WHEN n_picks > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+              CAST(sum(n_picks) AS BIGINT) AS picks_total,
+              CAST(sum(CASE WHEN n_picks > 0 THEN w ELSE 0 END)
+                AS BIGINT) AS selected_chars,
+              CAST(sum(CASE WHEN n_picks > 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS selected_id_sum
+       FROM p GROUP BY 1 ORDER BY 1"""
+
+  // --- q303: token-budget greedy selection ------------------------------
+  /** Budgeted greedy selection: per source, take docs in priority order
+    * until a 50k-BPE-token budget is exhausted — the curriculum /
+    * budget-capped ingestion step that sits AFTER scoring (q32) and
+    * differs from quota sampling (q74 caps COUNTS; this caps the token
+    * SUM a trainer actually pays for). Priority is a deterministic
+    * hash surrogate for a model score, so both engines rank
+    * identically; the kept set is `cum ≤ budget` over a per-source
+    * running sum ordered by (priority desc, doc_id) — a doc larger
+    * than the remaining budget is skipped-over-the-boundary exactly
+    * like a packing cutoff, not trimmed. One window shuffle by source. */
+  def q303BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(ceil(length(text) / 4.0) AS BIGINT)").as("toks"),
+        pmod(Dedup.hash60(concat(col("doc_id").cast("string"), lit("q"))),
+          lit(1000L)).as("priority"))
+    val run = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum("toks").over(run))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum("toks").cast("long").as("candidate_toks"),
+        sum(when(col("cum") <= 50000L, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= 50000L, col("toks")).otherwise(0L))
+          .cast("long").as("kept_toks"),
+        sum(when(col("cum") <= 50000L, col("doc_id")).otherwise(0L))
+          .cast("long").as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val q303Sql: String =
+    """WITH d AS (
+         SELECT doc_id, source,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS toks,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'q'),
+                  1, 15))::BIGINT % 1000 AS priority
+         FROM documents),
+       c AS (
+         SELECT source, doc_id, toks,
+                sum(toks) OVER (PARTITION BY source
+                  ORDER BY priority DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM d)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+              CAST(sum(toks) AS BIGINT) AS candidate_toks,
+              CAST(sum(CASE WHEN cum <= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN cum <= 50000 THEN toks ELSE 0 END)
+                AS BIGINT) AS kept_toks,
+              CAST(sum(CASE WHEN cum <= 50000 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+       FROM c GROUP BY 1 ORDER BY 1"""
+
+  // --- q304: A-ES weighted reservoir (top-k per group) ------------------
+  /** Efraimidis–Spirakis weighted sampling without replacement: each
+    * doc draws key = ln(u)/w with u a det-hash uniform in (0,1] and
+    * w = n_chars; the top-5 keys per language ARE a weight-proportional
+    * sample — the one-pass mergeable scheme for "sample k docs ∝ size"
+    * at stream/corpus scale (keys merge under max, so partial top-ks
+    * combine map-side; the plan is a WindowGroupLimit, never a global
+    * sort). The ln/÷ ride IEEE doubles in both engines; md5-spread keys
+    * make a rank flip at the k-boundary require a sub-ulp tie, and the
+    * emitted columns are all integers. */
+  def q304WeightedReservoir(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (Dedup.hash60(col("doc_id").cast("string")) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0)
+    val key = log(u) / col("n_chars").cast("double")
+    val rank = Window.partitionBy("lang")
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), key.as("es_key"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
+  val q304Sql: String =
+    """WITH keyed AS (
+         SELECT doc_id, lang, n_chars,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT + 1) / 1152921504606846976.0)
+                  / n_chars AS es_key
+         FROM documents),
+       ranked AS (
+         SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY es_key DESC, doc_id ASC) AS rank
+         FROM keyed)
+       SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+              CAST(n_chars AS BIGINT) AS n_chars
+       FROM ranked WHERE rank <= 5 ORDER BY lang, rank"""
+
   val all: Map[String, Q] = Map(
+    "q302_pps_sample" -> q302PpsSample _,
+    "q303_budget_select" -> q303BudgetSelect _,
+    "q304_weighted_reservoir" -> q304WeightedReservoir _,
     "q294_fulfillment_lag" -> q294FulfillmentLag _,
     "q295_abc_velocity" -> q295AbcVelocity _,
     "q290_disorder_audit" -> q290DisorderAudit _,

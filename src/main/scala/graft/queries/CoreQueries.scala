@@ -879,7 +879,302 @@ object CoreQueries {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
              AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30))"""
 
+  /** TPC-H Q7 (volume shipping), adapted: bilateral trade revenue
+    * between two nations per ship year — lines whose supplier sits in
+    * one nation and whose ordering customer sits in the other. Both
+    * dimension chains (supplier→nation, orders→customer→nation) prune
+    * to the two-nation subset BEFORE touching the fact, so each side
+    * broadcasts; the only shuffle is fact⋈orders. The nation-pair
+    * inequality resolves post-join on two broadcast-carried strings. */
+  def q296Tpch7(s: SparkSession, dir: String): DataFrame = {
+    val ns = t(s, dir, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name")
+    val sup = t(s, dir, "supplier")
+      .join(ns, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(ns, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1998-01-01")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rv").cast("long").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q296Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum($revSql) AS BIGINT) AS revenue
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation sn ON s_nationkey = sn.n_nationkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation cn ON c_nationkey = cn.n_nationkey
+       WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+         AND cn.n_name IN ('NATION_1', 'NATION_2')
+         AND sn.n_name <> cn.n_name
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q8 (national market share), adapted: for MEDIUM-type parts
+    * sold to ASIA-region customers, the share of each order year's
+    * revenue whose SUPPLIER sits in NATION_2. Numerator and
+    * denominator ride one aggregation as conditional sums of exact
+    * scaled cents (the q278 discipline); the share divides once in
+    * the double domain. All dimensions broadcast after their filters. */
+  def q297Tpch8(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val cn = t(s, dir, "nation")
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(s, dir, "customer")
+      .join(cn, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val sn = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name"))
+    val p = t(s, dir, "part").filter(col("p_type") === "MEDIUM")
+      .select("p_partkey")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"),
+      revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("n_name") === "NATION_2", col("rv"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("nr"),
+        sum("rv").as("tr"))
+      .select(col("o_year"), col("nr").cast("long").as("nation_rev"),
+        col("tr").cast("long").as("total_rev"),
+        (col("nr").cast("double") / col("tr").cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q297Sql: String =
+    s"""WITH flat AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CASE WHEN sn.n_name = 'NATION_2' THEN $revSql
+                  ELSE 0 END AS nrv,
+                $revSql AS rv
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'MEDIUM')
+       SELECT o_year, CAST(sum(nrv) AS BIGINT) AS nation_rev,
+              CAST(sum(rv) AS BIGINT) AS total_rev,
+              CAST(sum(nrv) AS DOUBLE) / CAST(sum(rv) AS DOUBLE)
+                AS mkt_share
+       FROM flat GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q22 (global sales opportunity), adapted: per "country code"
+    * (odd nation keys stand in for the phone-prefix set), customers
+    * holding more than the average positive balance of that population
+    * who have never placed an order. The above-average test is exact
+    * integer cross-multiplication (bal·n > Σbal — no double avg to
+    * diverge on), the single-row population stats broadcast to every
+    * customer, and the "never ordered" clause is a LEFT ANTI join on
+    * the key-projected orders scan. */
+  def q298Tpch22(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(_.toLong)
+    val c = t(s, dir, "customer")
+      .filter(col("c_nationkey").cast("long").isin(codes: _*))
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("cntrycode"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val stats = c.filter(col("bal_cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos"))
+    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(o, Seq("c_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum("bal_cents").as("total_bal_cents"))
+      .orderBy("cntrycode")
+  }
+
+  val q298Sql: String =
+    """WITH pop AS (
+         SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+         FROM customer
+         WHERE CAST(c_nationkey AS BIGINT) IN (1, 3, 5, 7, 9, 11, 13))
+       SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+       FROM pop
+       WHERE bal_cents * (SELECT count(*) FROM pop WHERE bal_cents > 0)
+             > (SELECT sum(bal_cents) FROM pop WHERE bal_cents > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = pop.c_custkey)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * harness schema: for finalized multi-supplier orders, the supplier
+    * whose line was the ONLY late one (shipped >60 days after the
+    * order date). The canonical EXISTS + NOT-EXISTS pair collapses
+    * into ONE per-order aggregation — distinct suppliers, distinct
+    * late suppliers, and the sole late supplier all reduce in a single
+    * pass over the joined fact, so the fact is scanned once (the
+    * textbook plan re-scans lineitem twice for the two correlated
+    * subqueries). Top-100 by wait count. */
+  def q299Tpch21(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey",
+      "l_shipdate")
+    val late = col("l_shipdate") > date_add(col("o_orderdate"), 60)
+    val perOrder = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.join(sup, col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val q299Sql: String =
+    """WITH per_order AS (
+         SELECT l_orderkey,
+                count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT CASE WHEN l_shipdate >
+                    o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS n_late_supp,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY 1
+         HAVING count(DISTINCT l_suppkey) > 1
+            AND count(DISTINCT CASE WHEN l_shipdate >
+                  o_orderdate + INTERVAL 60 DAY
+                THEN l_suppkey END) = 1)
+       SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM per_order JOIN supplier ON late_supp = s_suppkey
+       GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 100"""
+
+  /** TPC-H Q15 (top supplier), adapted: the supplier(s) with maximum
+    * revenue in one quarter — the view + scalar-max shape. The max
+    * rides an empty-frame window over the ALREADY-AGGREGATED
+    * supplier-sized frame (|suppliers| rows, dimension-sized — the
+    * single-partition window is bounded by the dimension, never the
+    * fact), so the revenue ranking is computed once and filtered in
+    * place instead of a second aggregation + join. */
+  def q300Tpch15(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-10-01" &&
+        col("l_shipdate") < "1997-01-01")
+      .select(col("l_suppkey"),
+        revScaled("l_extendedprice", "l_discount").as("rv"))
+    val rev = l.groupBy("l_suppkey")
+      .agg(sum("rv").cast("long").as("total_rev"))
+    val mx = Window.partitionBy()
+    rev.withColumn("mx", max("total_rev").over(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  val q300Sql: String =
+    s"""WITH rev AS (
+         SELECT l_suppkey, CAST(sum($revSql) AS BIGINT) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name, total_rev
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       ORDER BY s_suppkey"""
+
+  /** TPC-H Q9 (product-type profit), adapted: profit on red parts by
+    * supplier nation and ship year. The harness schema has no
+    * partsupp, so unit cost is the deterministic 55%-of-retail proxy
+    * — profit stays exact-integer at the cents·100 scale (revenue =
+    * price_cents·(100−disc), cost = qty·retail_cents·55), so both
+    * engines agree bit-for-bit. part filters by name BEFORE the join
+    * and broadcasts; nation/supplier broadcast; one fact pass. */
+  def q301Tpch9(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+          .as("retail_cents"))
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val l = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("l_year"),
+      col("l_quantity").cast("long").as("qty"),
+      revScaled("l_extendedprice", "l_discount").as("rv"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_year"),
+        (col("rv") - (col("qty") * col("retail_cents") * lit(55L))
+          .cast("decimal(38,0)")).as("profit"))
+      .groupBy("nation", "l_year")
+      .agg(sum("profit").cast("long").as("sum_profit"))
+      .orderBy(col("nation").asc, col("l_year").desc)
+  }
+
+  val q301Sql: String =
+    s"""SELECT n_name AS nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              CAST(sum($revSql -
+                CAST(l_quantity AS BIGINT) *
+                CAST(round(p_retailprice * 100) AS BIGINT) * 55)
+                AS BIGINT) AS sum_profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2 ORDER BY nation ASC, l_year DESC"""
+
   val all: Map[String, Q] = Map(
+    "q296_tpch7" -> q296Tpch7 _,
+    "q297_tpch8" -> q297Tpch8 _,
+    "q298_tpch22" -> q298Tpch22 _,
+    "q299_tpch21" -> q299Tpch21 _,
+    "q300_tpch15" -> q300Tpch15 _,
+    "q301_tpch9" -> q301Tpch9 _,
     "q277_tpch12" -> q277Tpch12 _,
     "q278_tpch14" -> q278Tpch14 _,
     "q279_tpch19" -> q279Tpch19 _,
@@ -916,6 +1211,12 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q296_tpch7" -> q296Sql,
+    "q297_tpch8" -> q297Sql,
+    "q298_tpch22" -> q298Sql,
+    "q299_tpch21" -> q299Sql,
+    "q300_tpch15" -> q300Sql,
+    "q301_tpch9" -> q301Sql,
     "q266_tpch3" -> q266Sql,
     "q267_tpch5" -> q267Sql,
     "q268_tpch10" -> q268Sql,
