@@ -3983,6 +3983,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q302_pps_sample" -> q302Sql,
+    "q303_budget_select" -> q303Sql,
+    "q304_weighted_reservoir" -> q304Sql,
     "q207_quarantine_split" -> q207Sql,
     "q208_late_dim" -> q208Sql,
     "q209_mahalanobis_diag" -> q209Sql,
