@@ -995,11 +995,14 @@ object CoreQueries {
   /** TPC-H Q22 (global sales opportunity), adapted: per "country code"
     * (odd nation keys stand in for the phone-prefix set), customers
     * holding more than the average positive balance of that population
-    * who have never placed an order. The above-average test is exact
-    * integer cross-multiplication (bal·n > Σbal — no double avg to
-    * diverge on), the single-row population stats broadcast to every
-    * customer, and the "never ordered" clause is a LEFT ANTI join on
-    * the key-projected orders scan. */
+    * who have gone dormant — no order since 1999 (this corpus has no
+    * customer who NEVER ordered, so the canonical "no orders at all"
+    * clause would be vacuously empty; the date-scoped variant keeps
+    * the anti-join load-bearing at every SF). The above-average test
+    * is exact integer cross-multiplication (bal·n > Σbal — no double
+    * avg to diverge on), the single-row population stats broadcast to
+    * every customer, and the dormancy clause is a LEFT ANTI join on
+    * the date-filtered, key-projected orders scan. */
   def q298Tpch22(s: SparkSession, dir: String): DataFrame = {
     val codes = Seq(1, 3, 5, 7, 9, 11, 13).map(_.toLong)
     val c = t(s, dir, "customer")
@@ -1009,7 +1012,9 @@ object CoreQueries {
         expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
     val stats = c.filter(col("bal_cents") > 0L)
       .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos"))
-    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1999-01-01")
+      .select(col("o_custkey").as("c_custkey"))
     c.crossJoin(broadcast(stats))
       .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
       .join(o, Seq("c_custkey"), "left_anti")
@@ -1031,7 +1036,8 @@ object CoreQueries {
        WHERE bal_cents * (SELECT count(*) FROM pop WHERE bal_cents > 0)
              > (SELECT sum(bal_cents) FROM pop WHERE bal_cents > 0)
          AND NOT EXISTS (SELECT 1 FROM orders
-                         WHERE o_custkey = pop.c_custkey)
+                         WHERE o_custkey = pop.c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01')
        GROUP BY 1 ORDER BY 1"""
 
   /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
