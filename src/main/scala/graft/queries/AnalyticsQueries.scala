@@ -3905,7 +3905,199 @@ object AnalyticsQueries {
               CAST(n_chars AS BIGINT) AS n_chars
        FROM ranked WHERE rank <= 5 ORDER BY lang, rank"""
 
+  // --- q305: temperature-scaled mixture (alpha = 0.5) -------------------
+  /** Temperature-scaled source rebalancing — the multilingual-corpus
+    * smoothing rule p_i ∝ n_i^α with α = 0.5: weights derive FROM the
+    * data (√ of each language's char mass), unlike q155's fixed
+    * relative weights, so low-resource languages are up-weighted
+    * exactly as the exponent dictates. isqrt(n) = floor(sqrt(n)) is
+    * EXACT for n < 2⁵² (IEEE sqrt is correctly rounded, so only true
+    * perfect squares land on integers), keeping the whole budget
+    * computation in pinned-order integer division and the keep
+    * predicate in the q155 cross-multiplied hash-Bernoulli form —
+    * bit-identical membership in both engines. One aggregation for
+    * the weights, one broadcast, one corpus pass. */
+  def q305TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cur = docs.groupBy("lang")
+      .agg(sum("n_chars").cast("long").as("cur_chars"))
+      .withColumn("wt", floor(sqrt(col("cur_chars").cast("double")))
+        .cast("long"))
+    val tot = cur.agg(sum("cur_chars").as("total"), sum("wt").as("sumw"))
+    val tgt = cur.crossJoin(broadcast(tot))
+      .select(col("lang"), col("cur_chars"), col("wt"),
+        expr("((total DIV 2) * wt) DIV sumw").as("target_chars"))
+    val kept = docs.join(broadcast(tgt), Seq("lang"))
+      .filter(pmod(Dedup.hash60(col("doc_id").cast("string")),
+          lit(10000L)) * col("cur_chars")
+        < col("target_chars") * lit(10000L))
+      .groupBy("lang")
+      .agg(sum("n_chars").cast("long").as("chars_kept"),
+        count(lit(1)).as("n_kept"))
+    tgt.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("cur_chars"), col("wt"),
+        col("target_chars"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q305Sql: String =
+    """WITH cur AS (
+         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cur_chars,
+                CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)))
+                  AS BIGINT) AS wt
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(cur_chars) AS BIGINT) AS total,
+                      CAST(sum(wt) AS BIGINT) AS sumw FROM cur),
+       tgt AS (
+         SELECT lang, cur_chars, wt,
+                ((tot.total // 2) * wt) // tot.sumw AS target_chars
+         FROM cur CROSS JOIN tot),
+       kept AS (
+         SELECT d.lang,
+                CAST(sum(d.n_chars) AS BIGINT) AS chars_kept,
+                CAST(count(*) AS BIGINT) AS n_kept
+         FROM documents d JOIN tgt ON d.lang = tgt.lang
+         WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 10000) * tgt.cur_chars
+               < tgt.target_chars * 10000
+         GROUP BY 1)
+       SELECT tgt.lang, cur_chars, wt, target_chars,
+              coalesce(chars_kept, 0) AS chars_kept,
+              coalesce(n_kept, 0) AS n_kept
+       FROM tgt LEFT JOIN kept ON tgt.lang = kept.lang
+       ORDER BY tgt.lang"""
+
+  // --- q306: Kolmogorov–Smirnov drift per source ------------------------
+  /** Two-sample KS statistic between each source's n_chars distribution
+    * and the whole corpus — the distribution-drift gate that catches
+    * shape changes TVD-on-categories (q292) cannot see. Exactness: the
+    * ecdf difference at value v is |c_s(v)·N − c(v)·n_s| / (n_s·N), so
+    * the MAX is taken over the integer numerator (no float ecdfs to
+    * diverge on) and divides once at the end. The step functions are
+    * evaluated on the full grid = |sources| × |distinct n_chars| via a
+    * broadcast cross of two dimension-sized frames; at corpus scale the
+    * value domain is quantized first (the grid stays |sources| ×
+    * |buckets|), the cumsum windows and the max-reduce are unchanged. */
+  def q306KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus pass: everything below derives from this map-side
+    // reducible |sources × distinct values| rollup
+    val base = t(s, dir, "documents")
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c_s"))
+    val srcN = base.groupBy("source").agg(sum("c_s").as("n_s"))
+    val corpusCum = base.groupBy("v").agg(sum("c_s").as("c"))
+      .withColumn("cum_all", sum("c").over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("v", "cum_all")
+    val tot = srcN.agg(sum("n_s").as("total"))
+    val grid = srcN.crossJoin(broadcast(tot))
+      .crossJoin(corpusCum.select("v"))
+    val bySrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("source", "v"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c_s"), lit(0L))).over(bySrc))
+      .join(corpusCum, Seq("v"))
+      .groupBy("source", "n_s", "total")
+      .agg(max(abs(col("cum_s") * col("total") -
+        col("cum_all") * col("n_s"))).as("ks_num"))
+      .select(col("source"), col("n_s").cast("long").as("n_s"),
+        col("ks_num").cast("long").as("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_s") * col("total")).cast("double")).as("ks_stat"))
+      .orderBy("source")
+  }
+
+  val q306Sql: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total
+                  FROM documents),
+       vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+       src_n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                 FROM documents GROUP BY 1),
+       corpus_cum AS (
+         SELECT n_chars AS v,
+                sum(count(*)) OVER (ORDER BY n_chars
+                  ROWS UNBOUNDED PRECEDING) AS cum_all
+         FROM documents GROUP BY n_chars),
+       src_cnt AS (
+         SELECT source, n_chars AS v, count(*) AS c_s
+         FROM documents GROUP BY 1, 2),
+       grid AS (
+         SELECT src_n.source, src_n.n_s, vals.v,
+                sum(coalesce(c_s, 0)) OVER (PARTITION BY src_n.source
+                  ORDER BY vals.v ROWS UNBOUNDED PRECEDING) AS cum_s
+         FROM src_n CROSS JOIN vals
+         LEFT JOIN src_cnt ON src_cnt.source = src_n.source
+                          AND src_cnt.v = vals.v)
+       SELECT source, n_s,
+              CAST(max(abs(cum_s * n.total - cum_all * n_s)) AS BIGINT)
+                AS ks_num,
+              CAST(max(abs(cum_s * n.total - cum_all * n_s)) AS DOUBLE)
+                / CAST(n_s * n.total AS DOUBLE) AS ks_stat
+       FROM grid JOIN corpus_cum USING (v) CROSS JOIN n
+       GROUP BY source, n_s, n.total ORDER BY source"""
+
+  // --- q307: Mann–Whitney U rank-sum ------------------------------------
+  /** Mann–Whitney U comparing English vs non-English document lengths —
+    * the nonparametric location test (does one group stochastically
+    * dominate?) that complements q306's shape test. Tie handling is the
+    * textbook midrank, kept EXACT by working in doubled ranks: a tied
+    * block at value v spans ranks (cum_before, cum_before + cnt], so
+    * its midrank·2 = 2·cum_before + cnt + 1 — integers throughout, and
+    * U = (R₁·2 − n₁(n₁+1)·... )/2 materializes once at the end. One
+    * |distinct value|-sized aggregation carries the whole test; no
+    * per-row ranks ever shuffle. */
+  def q307MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+    val byVal = docs.groupBy("v")
+      .agg(count(lit(1)).as("cnt"), sum("is_en").as("c_en"))
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    byVal
+      .agg(
+        sum("c_en").cast("long").as("n1"),
+        sum(col("cnt") - col("c_en")).cast("long").as("n2"),
+        sum(col("c_en") *
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L)))
+          .cast("long").as("r1_x2"))
+      .select(col("n1"), col("n2"), col("r1_x2"),
+        ((col("r1_x2") - col("n1") * (col("n1") + lit(1L)))
+          .cast("double") / 2.0).as("u_stat"),
+        (((col("r1_x2") - col("n1") * (col("n1") + lit(1L)))
+          .cast("double") / 2.0) /
+          (col("n1") * col("n2")).cast("double")).as("auc"))
+  }
+
+  val q307Sql: String =
+    """WITH by_val AS (
+         SELECT n_chars AS v, count(*) AS cnt,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+                sum(count(*)) OVER (ORDER BY n_chars
+                  ROWS UNBOUNDED PRECEDING) AS cum
+         FROM documents GROUP BY n_chars)
+       SELECT CAST(sum(c_en) AS BIGINT) AS n1,
+              CAST(sum(cnt - c_en) AS BIGINT) AS n2,
+              CAST(sum(c_en * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+                AS r1_x2,
+              CAST(sum(c_en * (2 * (cum - cnt) + cnt + 1)) -
+                   sum(c_en) * (sum(c_en) + 1) AS DOUBLE) / 2.0
+                AS u_stat,
+              (CAST(sum(c_en * (2 * (cum - cnt) + cnt + 1)) -
+                    sum(c_en) * (sum(c_en) + 1) AS DOUBLE) / 2.0) /
+                CAST(sum(c_en) * sum(cnt - c_en) AS DOUBLE) AS auc
+       FROM by_val"""
+
   val all: Map[String, Q] = Map(
+    "q305_temperature_mix" -> q305TemperatureMix _,
+    "q306_ks_drift" -> q306KsDrift _,
+    "q307_mann_whitney" -> q307MannWhitney _,
     "q302_pps_sample" -> q302PpsSample _,
     "q303_budget_select" -> q303BudgetSelect _,
     "q304_weighted_reservoir" -> q304WeightedReservoir _,
@@ -3983,6 +4175,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q305_temperature_mix" -> q305Sql,
+    "q306_ks_drift" -> q306Sql,
+    "q307_mann_whitney" -> q307Sql,
     "q302_pps_sample" -> q302Sql,
     "q303_budget_select" -> q303Sql,
     "q304_weighted_reservoir" -> q304Sql,
