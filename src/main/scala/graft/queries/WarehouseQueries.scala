@@ -1877,7 +1877,82 @@ object WarehouseQueries {
        FROM base JOIN modal USING (column_name)
        ORDER BY column_name"""
 
+  // --- q308: drill-across two-fact conformed report ---------------------
+  /** Drill-across: one report combining measures from TWO fact tables
+    * (orders revenue, events activity) at their shared conformed grain
+    * — the customer's nation. Kimball's rule, kept literally: each
+    * fact aggregates to the conformed grain SEPARATELY (two
+    * independent star rollups, one shuffle each, dimensions
+    * broadcast), and only the nation-sized summaries full-outer merge
+    * — facts never meet at row grain, where the orders×events fan-out
+    * would be quadratic per customer and semantically wrong (double
+    * counting both measures). The events/orders rate divides under a
+    * q148-style degenerate guard, mirrored as CASE in the oracle. */
+  def q308DrillAcross(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ordersSide = t(s, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("order_cents"))
+    val eventsSide = t(s, dir, "events")
+      .join(broadcast(c), col("user_id") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .cast("long").as("event_value_cents"))
+    ordersSide.join(eventsSide, Seq("n_name"), "full_outer")
+      .select(col("n_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("order_cents"), lit(0L)).as("order_cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_active_users"), lit(0L)).as("n_active_users"),
+        coalesce(col("event_value_cents"), lit(0L))
+          .as("event_value_cents"))
+      .withColumn("events_per_order",
+        when(col("n_orders") > 0L,
+          col("n_events").cast("double") /
+            col("n_orders").cast("double")))
+      .orderBy("n_name")
+  }
+
+  lazy val q308Sql: String =
+    """WITH c AS (
+         SELECT c_custkey, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       os AS (
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS order_cents
+         FROM orders JOIN c ON o_custkey = c_custkey
+         GROUP BY 1),
+       es AS (
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT)
+                  AS n_active_users,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS event_value_cents
+         FROM events JOIN c ON user_id = c_custkey
+         GROUP BY 1)
+       SELECT coalesce(os.n_name, es.n_name) AS n_name,
+              coalesce(n_orders, 0) AS n_orders,
+              coalesce(order_cents, 0) AS order_cents,
+              coalesce(n_events, 0) AS n_events,
+              coalesce(n_active_users, 0) AS n_active_users,
+              coalesce(event_value_cents, 0) AS event_value_cents,
+              CASE WHEN coalesce(n_orders, 0) > 0
+                THEN CAST(coalesce(n_events, 0) AS DOUBLE) /
+                     CAST(n_orders AS DOUBLE) END AS events_per_order
+       FROM os FULL OUTER JOIN es ON os.n_name = es.n_name
+       ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q308_drill_across" -> q308DrillAcross _,
     "q210_scd2" -> q210Scd2 _,
     "q211_grid_join" -> q211GridJoin _,
     "q212_weighted_sample" -> q212WeightedSample _,
@@ -1916,6 +1991,7 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q308_drill_across" -> q308Sql,
     "q210_scd2" -> q210Sql,
     "q211_grid_join" -> q211Sql,
     "q212_weighted_sample" -> q212Sql,
