@@ -879,6 +879,45 @@ object CoreQueries {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
              AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30))"""
 
+  /** TPC-H Q6 (forecasting revenue change), adapted: would-be revenue
+    * gain from eliminating discounts in a band — Σ price·discount over
+    * one ship year, a discount band, and a quantity cap. The last
+    * canonical TPC-H shape implementable on this harness (Q2/Q11/Q16/
+    * Q20 need partsupp, which the fixture lacks). Pure scan-side
+    * query: ZERO joins, ZERO shuffles past the final single-group agg
+    * — every predicate pushes to the parquet scan (date as min/max
+    * stats, quantity/discount as row-group pruning), the classic
+    * "filter-rate benchmark" of the suite. Revenue Σ price·disc is
+    * exact: cents × disc% integers ("centi-cents"), decimal(38,0)
+    * accumulation, one BIGINT cast (the q266 discipline — never a
+    * float sum). The discount band compares the ROUNDED integer
+    * percent (5..7), sidestepping the double-literal `between 0.05
+    * and 0.07` boundary ambiguity that makes naive Q6 ports diverge
+    * across engines. */
+  def q309Tpch6(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1997-01-01" &&
+        expr("CAST(round(l_discount * 100) AS BIGINT)").between(5L, 7L) &&
+        col("l_quantity").cast("long") < 24L)
+      .select((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        expr("CAST(round(l_discount * 100) AS BIGINT)"))
+        .cast("decimal(38,0)").as("dv"))
+      .agg(sum("dv").cast("long").as("discount_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q309Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS discount_rev,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+         AND CAST(l_quantity AS BIGINT) < 24"""
+
   /** TPC-H Q7 (volume shipping), adapted: bilateral trade revenue
     * between two nations per ship year — lines whose supplier sits in
     * one nation and whose ordering customer sits in the other. Both
@@ -1175,6 +1214,7 @@ object CoreQueries {
        GROUP BY 1, 2 ORDER BY nation ASC, l_year DESC"""
 
   val all: Map[String, Q] = Map(
+    "q309_tpch6" -> q309Tpch6 _,
     "q296_tpch7" -> q296Tpch7 _,
     "q297_tpch8" -> q297Tpch8 _,
     "q298_tpch22" -> q298Tpch22 _,
@@ -1217,6 +1257,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q309_tpch6" -> q309Sql,
     "q296_tpch7" -> q296Sql,
     "q297_tpch8" -> q297Sql,
     "q298_tpch22" -> q298Sql,
