@@ -553,7 +553,72 @@ object MaintenanceQueries {
                 AS cents
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  // --- q310: small-file compaction bin-packing plan ---------------------
+  /** The PLANNING side of [[graft.operators.Compact]]: given a sink's
+    * file inventory (per partition: file name + size), assign files to
+    * target-sized rewrite bins so one compaction job can coalesce each
+    * bin into one output file. At 100 TB the small-file problem is a
+    * planning problem first — the plan must be computable from the
+    * manifest alone (|files| rows, NEVER the data), deterministic
+    * (re-planning an unchanged inventory yields the same bins, so an
+    * interrupted compaction resumes instead of churning), and local
+    * per partition (bins never span partitions — a bin is one writer
+    * task's input). Algorithm: next-fit-decreasing — files sort by
+    * size desc within their partition, and each file's bin is the
+    * EXCLUSIVE running sum of its predecessors integer-divided by the
+    * bin target, i.e. a new bin opens exactly when the accumulated
+    * bytes pass a target boundary. One window pass over a
+    * manifest-sized frame; the data files themselves are untouched.
+    * The inventory here is synthesized deterministically from
+    * lineitem (one "file" per (returnflag, linestatus, ship month),
+    * sized by an integer row-width model) so the oracle can replay
+    * the identical plan from the same tables. */
+  def q310CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 200000L // bin capacity in size units
+    val inv = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("part_key"),
+        concat_ws("-", col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM")).as("file_name"))
+      .agg((count(lit(1)) * 100L +
+        sum(col("l_quantity").cast("long"))).as("size_bytes"))
+    val w = Window.partitionBy("part_key")
+      .orderBy(col("size_bytes").desc, col("file_name").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inv.withColumn("prev_bytes",
+        coalesce(sum("size_bytes").over(w), lit(0L)))
+      .withColumn("bin", expr(s"prev_bytes div $target"))
+      .drop("prev_bytes")
+      .groupBy("part_key", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum("size_bytes").as("bin_bytes"),
+        min("file_name").as("first_file"))
+      .orderBy("part_key", "bin")
+  }
+
+  val q310Sql: String =
+    """WITH inv AS (
+         SELECT l_returnflag AS part_key,
+                l_linestatus || '-' || strftime(l_shipdate, '%Y-%m')
+                  AS file_name,
+                CAST(count(*) * 100 + sum(CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS size_bytes
+         FROM lineitem GROUP BY 1, 2),
+       binned AS (
+         SELECT part_key, file_name, size_bytes,
+                coalesce(sum(size_bytes) OVER (PARTITION BY part_key
+                  ORDER BY size_bytes DESC, file_name ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 200000 AS bin
+         FROM inv)
+       SELECT part_key, CAST(bin AS BIGINT) AS bin,
+              CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+              min(file_name) AS first_file
+       FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Map[String, Q] = Map(
+    "q310_compaction_plan" -> q310CompactionPlan _,
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
     "q122_bloom_join" -> q122BloomJoin _,
@@ -567,6 +632,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q310_compaction_plan" -> q310Sql,
     "q120_snapshot_diff" -> q120Sql,
     "q121_delta_view" -> q121Sql,
     "q122_bloom_join" -> q122Sql,
