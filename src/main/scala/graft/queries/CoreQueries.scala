@@ -893,11 +893,18 @@ object CoreQueries {
     * float sum). The discount band compares the ROUNDED integer
     * percent (5..7), sidestepping the double-literal `between 0.05
     * and 0.07` boundary ambiguity that makes naive Q6 ports diverge
-    * across engines. */
+    * across engines. Because the round/cast forms can't reach the
+    * parquet scan, each rides a redundant PUSHABLE envelope — plain
+    * double comparisons that are provable supersets (discount ⊇
+    * [0.0449, 0.0751]; quantity < 24.0 ≡ trunc-cast < 24 for all
+    * doubles) — so row-group stats still prune; the exact band
+    * re-filters post-scan. */
   def q309Tpch6(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= "1996-01-01" &&
         col("l_shipdate") < "1997-01-01" &&
+        col("l_discount") >= 0.0449 && col("l_discount") <= 0.0751 &&
+        col("l_quantity") < 24.0 &&
         expr("CAST(round(l_discount * 100) AS BIGINT)").between(5L, 7L) &&
         col("l_quantity").cast("long") < 24L)
       .select((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *

@@ -610,4 +610,26 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("q309 TPC-H Q6: envelope predicates reach the scan even though " +
+    "the exact round/cast bands cannot") {
+    val plan = executed(graft.queries.CoreQueries.q309Tpch6(spark, dir))
+    val scans = collectAll(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // metadata, not toString — the display form truncates at
+    // spark.sql.maxMetadataStringLength and would hide later filters
+    val s = scans.map(_.metadata("PushedFilters")).mkString
+    // date range + both double envelopes push; scan reads only the 4
+    // needed columns of lineitem's 11
+    assert(s.contains("GreaterThanOrEqual(l_discount,0.0449)") &&
+      s.contains("LessThanOrEqual(l_discount,0.0751)") &&
+      s.contains("LessThan(l_quantity,24.0)") &&
+      s.contains("GreaterThanOrEqual(l_shipdate,"), s.take(800))
+    val read = scans.map(_.metadata("ReadSchema")).mkString
+    assert(!read.contains("l_orderkey"),
+      "scan should prune to shipdate/quantity/discount/extendedprice:\n" +
+        read.take(800))
+  }
 }
