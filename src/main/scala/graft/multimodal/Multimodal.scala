@@ -222,7 +222,16 @@ object Multimodal {
     * output bytes (spec-pinned). Fails loudly on undecodable input —
     * the quarantine split (q207) is the caller's tool for dirty
     * corpora. */
-  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+  def resizeImage(payload: Array[Byte], maxDim: Int): Array[Byte] =
+    resizeImageWithDims(payload, maxDim)._1
+
+  /** [[resizeImage]] plus the output (width, height) — computed from
+    * the same scale arithmetic that sized the canvas, NOT by
+    * re-decoding the just-encoded PNG: in the distributed thumbnail
+    * pass a decode-back purely to recover dimensions would double the
+    * per-row codec cost. */
+  def resizeImageWithDims(payload: Array[Byte], maxDim: Int)
+  : (Array[Byte], Int, Int) = {
     require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
@@ -241,7 +250,7 @@ object Multimodal {
     } finally g.dispose()
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
-    bos.toByteArray
+    (bos.toByteArray, w, h)
   }
 
   /** Batch thumbnail pass over an (id, payload) binary column:
@@ -257,10 +266,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val t = resizeImage(r.payload, maxDim)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(t))
-        (r.doc_id, t, img.getWidth, img.getHeight)
+        // ONE decode per row: dims come from the resize arithmetic,
+        // never from re-decoding the just-encoded thumbnail
+        val (t, w, h) = resizeImageWithDims(r.payload, maxDim)
+        (r.doc_id, t, w, h)
       }
     }.toDF("doc_id", "thumb", "thumb_w", "thumb_h")
   }

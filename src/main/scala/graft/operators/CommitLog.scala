@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - A writer first [[ensureLogged]]s the sink: bootstrap gen 0 from
   *     the directory listing (no log yet — by induction the listing is
   *     clean, since every logged writer deletes only AFTER committing),
-  *     or vacuum any orphans a torn previous swap left behind.
+  *     else just read the latest manifest — ONE manifest read per
+  *     write, independent of how many generations are retained.
   *   - The swap becomes add → COMMIT → delete: new files land under
   *     fresh unique names, then ONE atomic rename of the next
   *     generation's manifest (written to a dot-prefixed temp name
@@ -30,23 +31,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     uncommitted orphans the old generation never references; a
   *     crash after it leaves garbage the new generation never
   *     references. A manifest-resolving reader sees exactly-once rows
-  *     at EVERY intermediate point, and a re-run first vacuums the
-  *     debris (CommitProtocolSpec kills the swap at both points and
-  *     proves both properties).
+  *     at EVERY intermediate point (CommitProtocolSpec kills the swap
+  *     at both points and proves both properties); the orphans are
+  *     reclaimed by EXPLICIT maintenance ([[vacuum]] /
+  *     [[expireGenerations]]), never by another writer's entry — a
+  *     writer that deleted unreferenced files on its way in could
+  *     delete a concurrent writer's staged-but-not-yet-committed
+  *     files, and if the deleter itself never commits, the victim's
+  *     CAS still succeeds and publishes a manifest pointing at deleted
+  *     files (committed data loss). Writers therefore NEVER delete
+  *     anything they did not themselves replace.
   *   - [[read]] resolves the latest manifest (explicit file list +
   *     `basePath`, so hive-partition columns still materialize) and
   *     falls back to a plain directory read for never-logged sinks —
   *     existing append-only sinks keep working unchanged.
   *
-  * Durability notes for real deployments: the commit publish is atomic
-  * on HDFS (rename fails on an existing destination) and on local
-  * POSIX filesystems (hard-link creation is atomically exclusive); an
-  * object store without either (S3) needs a conditional-PUT variant of
-  * [[commitNext]], which is exactly what production table formats do.
-  * Manifests are file-count-sized (the same driver-side bound as
-  * [[ManifestSkip]]'s stats table and [[Upsert]]'s partition-value
-  * pruning); at 10⁶ files a manifest is one ~100 MB sequential read,
-  * vs the 10⁶ LIST round-trips it replaces.
+  * Durability notes for real deployments: the commit publish
+  * ([[publishExclusive]]) dispatches on the filesystem SCHEME — local
+  * POSIX goes through an atomically-exclusive hard link, HDFS-family
+  * schemes through rename (which their contract specifies to fail on
+  * an existing destination), and EVERYTHING ELSE through a
+  * conditional-PUT-shaped exclusive create (`create(path,
+  * overwrite = false)` + single close-time publish) — never a plain
+  * rename, whose object-store implementations silently REPLACE and
+  * would turn the CAS into lost-update. The fallback is exactly the
+  * put-if-absent that production table formats use on S3/GCS/ABFS
+  * (S3 `If-None-Match`, GCS `ifGenerationMatch: 0`); it assumes the
+  * store publishes the object atomically at close, which object
+  * stores do. CommitProtocolSpec races two committers over a
+  * test-double filesystem whose rename silently replaces and proves
+  * exactly one wins. Manifests are file-count-sized (the same
+  * driver-side bound as [[ManifestSkip]]'s stats table and
+  * [[Upsert]]'s partition-value pruning); at 10⁶ files a manifest is
+  * one ~100 MB sequential read, vs the 10⁶ LIST round-trips it
+  * replaces.
   *
   * Concurrency — OPTIMISTIC, generation-pinned: every writer reads its
   * base generation via [[ensureLoggedAt]] and commits with
@@ -54,19 +72,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * racing from the same base both target the same generation number;
   * the atomic exclusive publish lets exactly one manifest in, and the
   * loser's [[commitNext]] throws [[CommitConflictException]] — its
-  * moved-in data files are debris the next [[vacuum]] reclaims, and
-  * its OPERATION retries against the new latest state (re-running
-  * re-reads, so the retry merges on top of the winner — the
-  * serializable outcome). The pinning is what makes the winner's
-  * vacuum safe too: it may delete a straggler's in-flight uncommitted
-  * files, but that straggler's commit is then GUARANTEED to conflict
-  * (its base is stale), so no committed manifest can ever reference a
-  * vacuumed file. Readers need no coordination: a manifest-resolved
-  * read pins its file list at plan time, so a concurrent rewrite
-  * cannot change the rows mid-query — genuine snapshot isolation when
-  * history is retained (`keepReplaced`), and the ordinary
-  * read-vs-delete race of any raw-parquet table when the default GC
-  * reclaims files.
+  * moved-in data files are debris a later EXPLICIT [[vacuum]]
+  * reclaims, and its OPERATION retries against the new latest state
+  * (re-running re-reads, so the retry merges on top of the winner —
+  * the serializable outcome). Writers never delete files they did not
+  * themselves replace, so an in-flight writer's staged files are safe
+  * from every other writer by construction; [[vacuum]] with a
+  * modification-time horizon (remove-orphan semantics, as in
+  * Delta/Iceberg) is the concurrency-safe maintenance form, and
+  * horizon-0 vacuum requires a quiesced sink. Readers need no
+  * coordination: a manifest-resolved read pins its file list at plan
+  * time, so a concurrent rewrite cannot change the rows mid-query —
+  * genuine snapshot isolation when history is retained
+  * (`keepReplaced`), and the ordinary read-vs-delete race of any
+  * raw-parquet table when the default GC reclaims files.
   */
 /** A generation-pinned [[CommitLog.commitNext]] lost its
   * compare-and-swap: another writer committed the same generation
@@ -127,8 +146,16 @@ object CommitLog {
       .sorted.toSeq
   }
 
+  /** Test observability: manifests opened since process start. The
+    * O(1)-manifests-per-write contract of [[ensureLoggedAt]] is
+    * asserted against this counter (CommitProtocolSpec retains 100+
+    * generations and shows a writer's entry reads exactly one). */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readManifest(fs: FileSystem, sink: Path,
                            gen: Long): Seq[String] = {
+    manifestReads.incrementAndGet()
     val in = fs.open(new Path(logDir(sink), manifestName(gen)))
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -149,30 +176,56 @@ object CommitLog {
     * torn swap (never committed) or from an expired generation, a file
     * inside it is either live or time-travel history.
     *
-    * Cost note: this reads every retained manifest, and [[vacuum]] (so
-    * every logged WRITE, via ensureLogged) calls it — a long-lived
-    * sink that never expires accumulates one manifest read per past
-    * write per new write. The retention discipline is the fix, not an
-    * optimization: run [[expireGenerations]] on whatever cadence the
-    * time-travel window needs (production table formats bound their
-    * log identically, via checkpoint + retention). Readers are
-    * unaffected either way — [[read]]/[[readAt]] open exactly one
-    * manifest. */
+    * Cost note: this reads every retained manifest — which is why only
+    * the EXPLICIT maintenance entry points ([[vacuum]] /
+    * [[expireGenerations]]) call it. The write path never does:
+    * [[ensureLoggedAt]] reads exactly ONE manifest and the append path
+    * detects its new files by a before/after listing diff, so
+    * per-write log cost is O(1) manifests regardless of retained
+    * history (CommitProtocolSpec pins this with [[manifestReads]]).
+    * Retention ([[expireGenerations]]) bounds the maintenance cost
+    * itself, exactly as production table formats bound theirs via
+    * checkpoint + retention. */
   private[graft] def referencedFiles(fs: FileSystem, sink: Path)
   : Set[String] =
     generations(fs, sink).flatMap(readManifest(fs, sink, _)).toSet
 
-  /** Atomically publish `tmp` as `fin` iff `fin` does not exist.
-    * Local filesystems go through an atomically-exclusive hard link
-    * (POSIX rename would silently REPLACE an existing manifest — the
-    * lost-update a CAS exists to prevent); everything else uses
-    * rename, which HDFS specifies to fail on an existing destination.
-    * Object stores without either primitive need a conditional PUT
-    * here. Returns whether this writer won. */
-  private def publishExclusive(fs: FileSystem, tmp: Path, fin: Path)
-  : Boolean = fs match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+  /** Filesystem schemes whose `rename` is contractually EXCLUSIVE
+    * (fails, returning false, when the destination exists) — the HDFS
+    * family. Everything not listed here and not local gets the
+    * conditional-create publish instead: assuming rename-exclusivity
+    * on an unknown scheme is exactly the silent lost-update
+    * degradation the CAS exists to prevent (S3A and most object-store
+    * connectors implement rename as copy+delete that REPLACES). */
+  private val RenameExclusiveSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
+
+  /** Atomically publish `tmp` as `fin` iff `fin` does not exist —
+    * dispatch on the filesystem SCHEME (never on the Java class: a
+    * test double or wrapper subclassing a local FS must get the
+    * semantics its scheme claims, not its superclass's):
+    *   - `file` → an atomically-exclusive POSIX hard link (POSIX
+    *     rename silently REPLACES; local `create(overwrite=false)` is
+    *     check-then-act, not atomic);
+    *   - HDFS family → rename, contractually false-on-existing;
+    *   - anything else → a conditional-PUT-shaped EXCLUSIVE CREATE:
+    *     `create(fin, overwrite = false)` + write + close, mapping to
+    *     put-if-absent on stores that enforce no-overwrite at publish
+    *     time (S3 `If-None-Match` conditional writes, GCS
+    *     `ifGenerationMatch: 0`, ABFS lease/etag) — the same primitive
+    *     production table formats commit through. This path assumes
+    *     PUT-style all-or-nothing visibility at close (an object
+    *     store's contract; a partially-written manifest is impossible
+    *     because nothing is visible until the single PUT lands).
+    * Returns whether this writer won. CommitProtocolSpec proves the
+    * fallback on a test-double FS whose rename silently replaces. */
+  private[graft] def publishExclusive(fs: FileSystem, tmp: Path,
+                                      fin: Path): Boolean = {
+    val scheme = {
+      val s = fs.getUri.getScheme
+      if (s == null) "file" else s.toLowerCase(java.util.Locale.ROOT)
+    }
+    if (scheme == "file") {
       val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
       val f = java.nio.file.Paths.get(fs.makeQualified(fin).toUri.getPath)
       try {
@@ -182,7 +235,25 @@ object CommitLog {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    case _ => fs.rename(tmp, fin)
+    } else if (RenameExclusiveSchemes.contains(scheme)) {
+      fs.rename(tmp, fin)
+    } else {
+      // conditional create: copy the staged bytes through an
+      // exclusive-create stream; exactly one concurrent creator's
+      // close publishes, the rest fail FileAlreadyExists
+      val body = new Array[Byte](fs.getFileStatus(tmp).getLen.toInt)
+      val in = fs.open(tmp)
+      try in.readFully(body) finally in.close()
+      try {
+        val out = fs.create(fin, false)
+        try out.write(body) finally out.close()
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
   }
 
   /** Compare-and-swap commit of `files` (sink-relative) as generation
@@ -190,8 +261,9 @@ object CommitLog {
     * its state from ([[ensureLoggedAt]]). Exactly one of the writers
     * racing from the same base wins; the rest throw
     * [[CommitConflictException]] and must retry their WHOLE operation
-    * from a fresh read (their already-moved data files are debris the
-    * next vacuum reclaims). Returns the committed generation. */
+    * from a fresh read (their already-moved data files are debris a
+    * later explicit [[vacuum]] reclaims). Returns the committed
+    * generation. */
   def commitNext(fs: FileSystem, sink: Path, baseGen: Long,
                  files: Seq[String]): Long = {
     val gen = baseGen + 1
@@ -228,17 +300,31 @@ object CommitLog {
     commitNext(fs, sink,
       committed(fs, sink).map(_._1).getOrElse(-1L), files)
 
-  /** Delete data files on disk that NO retained generation references
-    * — debris from torn swaps and from generations removed by
-    * [[expireGenerations]]. Files referenced only by OLDER generations
-    * are kept: they are snapshot history ([[readAt]]); expire first to
-    * reclaim them. No-op (0) for never-logged sinks. Single-writer
-    * only: under a concurrent writer this would delete its in-flight
-    * uncommitted files. */
-  def vacuum(fs: FileSystem, sink: Path): Long = {
+  /** EXPLICIT maintenance: delete data files on disk that NO retained
+    * generation references — debris from torn swaps, lost commit
+    * races, and generations removed by [[expireGenerations]]. Files
+    * referenced only by OLDER generations are kept: they are snapshot
+    * history ([[readAt]]); expire first to reclaim them. No-op (0) for
+    * never-logged sinks. NEVER called from any write path (a writer
+    * reclaiming orphans could delete a concurrent writer's
+    * staged-but-uncommitted files — the committed-data-loss window the
+    * round-7 audit found).
+    *
+    * `olderThanMs`: only reclaim orphans whose modification time is at
+    * least this old — Delta/Iceberg remove-orphan semantics. With a
+    * horizon comfortably above the longest in-flight write (hours),
+    * vacuum is safe to run WHILE writers are active: any file younger
+    * than the horizon might be a staged commit-in-progress and is left
+    * alone. The default 0 reclaims everything unreferenced and is only
+    * safe on a quiesced sink (no writer in flight). */
+  def vacuum(fs: FileSystem, sink: Path,
+             olderThanMs: Long = 0L): Long = {
     if (generations(fs, sink).isEmpty) return 0L
     val keep = referencedFiles(fs, sink)
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = listDataFiles(fs, sink).filterNot(keep)
+      .filter(r => olderThanMs <= 0L ||
+        fs.getFileStatus(new Path(sink, r)).getModificationTime <= cutoff)
     orphans.foreach(r => fs.delete(new Path(sink, r), false))
     orphans.length.toLong
   }
@@ -284,11 +370,15 @@ object CommitLog {
 
   /** Bring the sink under log control and return (generation, live
     * files): bootstrap generation 0 from the directory listing when no
-    * log exists, else vacuum torn-swap orphans so the listing and the
-    * manifest agree. Every logged writer calls this FIRST — which is
-    * what makes the bootstrap listing trustworthy by induction — and
-    * passes the returned generation to [[commitNext]] as its CAS base.
-    * A lost bootstrap race adopts the winner's log. */
+    * log exists, else read the LATEST manifest — exactly one manifest
+    * read, O(1) regardless of retained history, and NO deletion of any
+    * kind (torn-swap debris is invisible to manifest-resolving readers
+    * and is reclaimed only by explicit [[vacuum]] maintenance — a
+    * write-path reclaim could destroy a concurrent writer's staged
+    * files). Every logged writer calls this FIRST — which is what
+    * makes the bootstrap listing trustworthy by induction — and passes
+    * the returned generation to [[commitNext]] as its CAS base. A lost
+    * bootstrap race adopts the winner's log. */
   def ensureLoggedAt(fs: FileSystem, sink: Path): (Long, Seq[String]) =
     committed(fs, sink) match {
       case None =>
@@ -296,14 +386,9 @@ object CommitLog {
         try {
           (commitNext(fs, sink, -1L, files), files)
         } catch {
-          case _: CommitConflictException =>
-            val (g, live) = committed(fs, sink).get
-            vacuum(fs, sink)
-            (g, live)
+          case _: CommitConflictException => committed(fs, sink).get
         }
-      case Some((g, live)) =>
-        vacuum(fs, sink)
-        (g, live)
+      case Some(gAndLive) => gAndLive
     }
 
   /** [[ensureLoggedAt]] for callers that only need the live set. */

@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     and only then are the old files deleted as garbage. A
   *     manifest-resolving reader ([[CommitLog.read]]) sees every row
   *     exactly once at every intermediate point; a crash leaves
-  *     debris the next logged writer vacuums (CommitProtocolSpec
-  *     kills the swap at both points and proves it). This replaces
+  *     debris that explicit [[CommitLog.vacuum]] maintenance reclaims
+  *     (CommitProtocolSpec kills the swap at both points and proves
+  *     it). This replaces
   *     the previous rename-aside swap, whose add-then-delete window
   *     could double rows for directory readers.
   */
@@ -61,7 +62,7 @@ object Compact {
     val tmp = new Path(hPath.getParent, hPath.getName + "__compact_tmp")
     if (!fs.exists(hPath)) return (0L, 0L)
 
-    // bootstrap gen 0 / vacuum a torn previous swap. Everything below
+    // bootstrap gen 0 / read the latest manifest. Everything below
     // works on the LIVE set, never the directory listing: a sink with
     // retained time-travel history (keepReplaced rewrites) has
     // old-generation files on disk that a directory read would

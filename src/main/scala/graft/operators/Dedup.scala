@@ -132,22 +132,20 @@ object Dedup {
     * documents' text never rescanned after the one shingle pass.
     * `maxOccurrences` caps the postings of boilerplate shingles
     * exactly like [[jaccardPairs]]'s `maxDocFreq` (per-shingle join
-    * work ≤ cap²); at corpus scale the candidate PAIRS should come
-    * from [[minHashCandidates]] first and this operator then runs on
-    * the (tiny) candidate set — composition the caller owns. Ties
-    * (equal run length) resolve deterministically: smallest start_a,
-    * then smallest diagonal. */
+    * work ≤ cap²) — but the cap is damage control, not the scale
+    * path: this form still enumerates every co-occurring pair below
+    * the cap, Σ occ² over shingles, which at 100 TB is quadratic-ish
+    * however you cap it. At corpus scale use [[sharedSpansFor]], which
+    * takes the candidate PAIRS from [[minHashCandidates]] and bounds
+    * all pair generation by the LSH candidate list (q311 is the
+    * demonstrated composition). This all-pairs form is for bounded
+    * inputs: one shard, one cluster, a forensics batch. Ties (equal
+    * run length) resolve deterministically: smallest start_a, then
+    * smallest diagonal. */
   def sharedSpans(df: DataFrame, idCol: String, textCol: String,
                   n: Int, minRun: Long,
                   maxOccurrences: Long = 10_000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val psh = df
-      .select(col(idCol).as("sid"), split(col(textCol), " ").as("__tk"))
-      .select(col("sid"),
-        posexplode(transform(shinglesOfTokens(col("__tk"), n),
-          s => hash60(s))))
-      .select(col("sid"), col("pos").cast("long").as("pos"),
-        col("col").as("h"))
+    val psh = positionalShingles(df, idCol, textCol, n)
     val keep = psh.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxOccurrences).select("h")
     val pshc = psh.join(keep, "h")
@@ -155,6 +153,63 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.sid") < col("b.sid"))
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    spansFromHits(hits, n, minRun)
+  }
+
+  /** Candidate-bounded [[sharedSpans]] — the 100 TB form: `candidates`
+    * carries the (id_a, id_b) pairs to locate spans for (normally
+    * [[minHashCandidates]] output above a threshold; any pair frame
+    * works), and ALL pair generation is bounded by that list instead
+    * of by every co-occurring shingle. Shape:
+    *   1. postings are computed only for documents named by some
+    *      candidate pair (semi-join — at a 0.1% near-dup rate this
+    *      prunes 99.9% of the corpus before any token is shingled);
+    *   2. hits come from candidates ⋈ postings(id_a) ⋈ postings(id_b,
+    *      same hash) — per-pair cost is the matching-position count of
+    *      THAT pair, so a boilerplate shingle costs nothing outside
+    *      the candidate list (no occ² term, hence no cap parameter);
+    *   3. the diagonal-island window is [[sharedSpans]]'s, unchanged.
+    * Output schema and tie-breaks are identical to [[sharedSpans]];
+    * pairs are normalized to id_a < id_b and deduplicated first. */
+  def sharedSpansFor(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minRun: Long,
+                     candidates: DataFrame): DataFrame = {
+    val cand = candidates
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val ids = cand.select(col("id_a").as("sid"))
+      .unionByName(cand.select(col("id_b").as("sid"))).distinct()
+    val psh = positionalShingles(df, idCol, textCol, n)
+      .join(ids, Seq("sid"), "left_semi")
+    val hits = cand
+      .join(psh.as("a"), col("id_a") === col("a.sid"))
+      .join(psh.as("b"),
+        col("id_b") === col("b.sid") && col("a.h") === col("b.h"))
+      .select(col("id_a"), col("id_b"), col("a.pos").as("pa"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    spansFromHits(hits, n, minRun)
+  }
+
+  /** Positional shingle postings (sid, pos, h): [[docShingles]] plus
+    * the 0-based shingle offset — the span locators' shared scan. */
+  private def positionalShingles(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("sid"), split(col(textCol), " ").as("__tk"))
+      .select(col("sid"),
+        posexplode(transform(shinglesOfTokens(col("__tk"), n),
+          s => hash60(s))))
+      .select(col("sid"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+
+  /** The diagonal-island reduction shared by both span locators:
+    * matching-position hits (id_a, id_b, pa, diag = pa − pb) →
+    * longest contiguous run per pair (islands of consecutive `pa` per
+    * diagonal via the pa − row_number trick, then one best-run window
+    * with the deterministic tie-break). */
+  private def spansFromHits(hits: DataFrame, n: Int,
+                            minRun: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wRun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     val islands = hits
       .withColumn("grp", col("pa") - row_number().over(wRun))

@@ -38,7 +38,9 @@ import org.apache.spark.sql.functions._
   * generation never references them). A crash at ANY point leaves a
   * manifest-resolving reader ([[CommitLog.read]]) seeing exactly-once
   * rows — before the commit the old generation, after it the new —
-  * and the next logged writer vacuums the debris. This closes the
+  * and explicit [[CommitLog.vacuum]] maintenance reclaims the debris
+  * (never another writer's entry, which could race a concurrent
+  * writer's staged files). This closes the
   * duplicated-rows crash window a bare add-then-delete swap had vs
   * the reference's transactional warehouse MERGE
   * (`dags/idh_etl.py:247-256`); CommitProtocolSpec kills the swap at
@@ -92,8 +94,9 @@ object Merge {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"merge target $path does not exist — " +
       "first write goes through the publish path, not MERGE")
-    // bootstrap gen 0 / vacuum a torn previous swap; `live` is the
-    // exactly-once file set everything below reads
+    // bootstrap gen 0 / read the latest manifest; `live` is the
+    // exactly-once file set everything below reads (torn-swap debris
+    // on disk is invisible to it)
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     val sinkDF = spark.read.option("mergeSchema", "true")
@@ -240,7 +243,12 @@ object Merge {
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
-    val sinkDF = spark.read.parquet(liveAbs: _*)
+    // mergeSchema: a sink widened by mergeParquet(allowSchemaEvolution)
+    // legitimately carries mixed footer schemas; without the union one
+    // narrow footer could win and the rewrite would silently drop the
+    // evolved columns' values from every touched wide file
+    val sinkDF = spark.read.option("mergeSchema", "true")
+      .parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
     val batch = keys.select(keyCols.map(col): _*).distinct().cache()
     try {
@@ -303,7 +311,11 @@ object Merge {
       "first write goes through the publish path, not MERGE")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
-    val sinkDF = spark.read.parquet(liveAbs: _*)
+    // mergeSchema for the same reason as eraseParquet: an evolved sink
+    // has mixed footers, and rewriting touched wide files through one
+    // narrow footer's schema would drop the evolved columns
+    val sinkDF = spark.read.option("mergeSchema", "true")
+      .parquet(liveAbs: _*)
     val sinkSchema = sinkDF.schema
     require(sinkSchema.fieldNames.sorted.sameElements(
         changes.columns.filterNot(_ == opCol).sorted),

@@ -462,15 +462,22 @@ object Upsert {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existed = fs.exists(hPath)
     // a sink some rewrite op has brought under CommitLog control keeps
-    // its manifest CURRENT through appends too: vacuum torn-swap debris
-    // first (so the plain reads below see exactly the live set), and
-    // extend the manifest with the appended files afterwards — without
-    // this, a manifest-resolving reader would never see rows appended
-    // after a compaction. Never-logged sinks skip both (zero cost).
-    val liveBefore: Option[(Long, Seq[String])] =
-      if (existed && CommitLog.committed(fs, hPath).isDefined)
-        Some(CommitLog.ensureLoggedAt(fs, hPath))
-      else None
+    // its manifest CURRENT through appends too: the anti-join below
+    // reads the manifest-resolved LIVE set (a plain directory read
+    // would also see torn-swap debris — uncommitted inserts whose keys
+    // would then wrongly suppress this batch's rows), and the appended
+    // files extend the manifest afterwards, detected by a before/after
+    // LISTING diff (debris is in the before-listing, so it is never
+    // adopted; and unlike a referencedFiles diff this costs zero extra
+    // manifest reads — per-write log cost stays O(1) manifests).
+    // Never-logged sinks skip all of it (zero cost). NOTHING is
+    // deleted on this path — debris reclaim is explicit vacuum
+    // maintenance, never a writer's side effect.
+    val liveBefore: Option[(Long, Seq[String], Set[String])] =
+      if (existed && CommitLog.committed(fs, hPath).isDefined) {
+        val (g, lv) = CommitLog.ensureLoggedAt(fs, hPath)
+        Some((g, lv, CommitLog.listDataFiles(fs, hPath).toSet))
+      } else None
     // batch partition values, collected ONCE and shared by the pruned
     // anti-join scan and the pruned before/after counts
     val pvals = partitionCol match {
@@ -486,13 +493,22 @@ object Upsert {
     // publish (keys scan, before count, after count); on a year-deep
     // partitioned sink each listing is its own driver latency.
     val existedSink: Option[DataFrame] =
-      if (existed) {
-        val s = spark.read.parquet(path)
-        Some(pvals match {
+      (if (!existed) None
+       else liveBefore match {
+         // logged sink: resolve through the manifest so uncommitted
+         // torn-swap debris can never suppress (or double-count) rows
+         case Some((_, lv, _)) if lv.isEmpty => None
+         case Some((_, lv, _)) =>
+           Some(spark.read.option("basePath", path).parquet(
+             lv.map(r => new org.apache.hadoop.fs.Path(hPath, r).toString)
+               : _*))
+         case None => Some(spark.read.parquet(path))
+       }).map { s =>
+        pvals match {
           case Some((p, vs)) => prunedSink(s, p, vs)
           case None => s
-        })
-      } else None
+        }
+      }
     val delta = existedSink match {
       case Some(s) => newRowsOnly(deduped, s.select(keys.map(col): _*), keys)
       case None => deduped // first write: sink doesn't exist yet
@@ -510,27 +526,41 @@ object Upsert {
     if (n < 0) {
       System.err.println(s"[upsert] write metrics for $path did not " +
         "arrive — falling back to parquet footer counts")
-      val before = existedSink.map(_.count()).getOrElse(0L) // frozen index
-      val after = try {
-        val sink = spark.read.parquet(path)
-        (pvals match {
-          case Some((p, vs)) => prunedSink(sink, p, vs)
-          case None => sink
-        }).count()
-      } catch {
-        // an all-empty FIRST write leaves a directory with no data
-        // files — unreadable as parquet, and deleted by G1 below
-        case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+      n = liveBefore match {
+        case Some((_, _, beforeListing)) =>
+          // logged sink: count exactly the files this append created
+          // (listing diff) — immune to torn-swap debris on disk
+          val appended = CommitLog.listDataFiles(fs, hPath)
+            .filterNot(beforeListing)
+          if (appended.isEmpty) 0L
+          else spark.read.option("basePath", path).parquet(
+            appended.map(r =>
+              new org.apache.hadoop.fs.Path(hPath, r).toString): _*
+          ).count()
+        case None =>
+          val before = existedSink.map(_.count()).getOrElse(0L) // frozen
+          val after = try {
+            val sink = spark.read.parquet(path)
+            (pvals match {
+              case Some((p, vs)) => prunedSink(sink, p, vs)
+              case None => sink
+            }).count()
+          } catch {
+            // an all-empty FIRST write leaves a directory with no data
+            // files — unreadable as parquet, and deleted by G1 below
+            case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+          }
+          after - before
       }
-      n = after - before
     }
-    liveBefore.foreach { case (baseGen, lv) =>
-      // diff against EVERY retained generation, not just the live set:
-      // a time-travel sink keeps replaced old-generation files on disk,
-      // and treating those as "new" would resurrect them into the
-      // manifest as duplicates
-      val seen = CommitLog.referencedFiles(fs, hPath)
-      val newFiles = CommitLog.listDataFiles(fs, hPath).filterNot(seen)
+    liveBefore.foreach { case (baseGen, lv, beforeListing) =>
+      // diff against the PRE-append listing, not against referenced
+      // files: old-generation history files AND uncommitted torn-swap
+      // debris are both already on disk before the append, so neither
+      // can be resurrected into the manifest — and no manifest beyond
+      // the one ensureLoggedAt already opened is ever read
+      val newFiles = CommitLog.listDataFiles(fs, hPath)
+        .filterNot(beforeListing)
       if (newFiles.nonEmpty)
         CommitLog.commitNext(fs, hPath, baseGen, lv ++ newFiles)
     }

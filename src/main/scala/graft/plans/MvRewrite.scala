@@ -34,8 +34,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Registration is scoped: [[withRewrite]] installs the rule in
   * `spark.experimental.extraOptimizations` (the officially supported
   * post-optimizer injection point for a live session — no session
-  * rebuild, unlike `SparkSessionExtensions`), runs the body, and
-  * restores the previous rule set in a finally. Because a DataFrame
+  * rebuild, unlike `SparkSessionExtensions`), runs the body, and in a
+  * finally removes exactly its own rule (by identity, under a lock —
+  * nested/concurrent scopes on one session compose instead of racing
+  * a snapshot-restore). Because a DataFrame
   * optimizes lazily, callers that RETURN a rewritten frame must touch
   * `df.queryExecution.optimizedPlan` inside the scope — the
   * QueryExecution caches it, so the substitution survives the scope
@@ -60,7 +62,22 @@ object MvRewrite {
       plan.transformDown {
         case p if p.sameResult(definition) && compatible(p) =>
           Project(p.output.zip(replacement.output).map { case (o, n) =>
-            Alias(n, o.name)(exprId = o.exprId)
+            // nullability reconciliation: a parquet-backed MV reports
+            // every column nullable, while the definition may prove an
+            // output non-null (count(*), a literal). The MV's CONTRACT
+            // says its rows are the definition's, so such a column
+            // cannot actually hold NULL — AssertNotNull pins that:
+            // the substituted attribute keeps o's exact nullability
+            // (alias of a non-nullable child), and a drifted MV that
+            // does carry a NULL fails LOUDLY at execution instead of
+            // silently feeding NULLs to operators the plan proved
+            // can't see them.
+            val child =
+              if (n.nullable && !o.nullable)
+                org.apache.spark.sql.catalyst.expressions.objects
+                  .AssertNotNull(n)
+              else n
+            Alias(child, o.name)(exprId = o.exprId)
           }, replacement)
       }
   }
@@ -82,15 +99,29 @@ object MvRewrite {
   /** Install a one-view rewrite for the duration of `body`.
     * `definition` is the view's defining query over the base tables;
     * `mv` is the materialized result (typically `spark.read.parquet`
-    * of what `definition` wrote). Restores the session's previous
-    * `extraOptimizations` on exit, success or failure. */
+    * of what `definition` wrote). On exit (success or failure) exactly
+    * THIS call's rule is removed from the session's
+    * `extraOptimizations` — not a restore of a captured snapshot,
+    * which under nested or concurrent scopes on one session could
+    * resurrect a sibling's already-removed rule or drop one installed
+    * after the snapshot. Mutation of the session-global rule list is
+    * serialized on the session's `experimental` holder; the rules
+    * themselves are matched per-view, so overlapping scopes compose
+    * (each query sees every currently-installed view rule, each of
+    * which only fires on its own definition). */
   def withRewrite[T](spark: SparkSession, definition: DataFrame,
                      mv: DataFrame)(body: => T): T = {
     val rule = SubstituteView(definition.queryExecution.optimizedPlan,
       mv.queryExecution.analyzed)
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ rule
+    val exp = spark.experimental
+    exp.synchronized {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
     try body
-    finally spark.experimental.extraOptimizations = prev
+    finally exp.synchronized {
+      // remove by reference identity: this scope's rule and only it
+      exp.extraOptimizations =
+        exp.extraOptimizations.filterNot(_ eq rule)
+    }
   }
 }

@@ -3871,7 +3871,96 @@ object PipelineQueries {
        FROM best WHERE rn = 1 AND run_len >= 5
        ORDER BY id_a, id_b"""
 
+  // --- q311: LSH-bounded shared-span locator (the 100 TB wiring) --------
+  /** [[Dedup.sharedSpansFor]] composed with [[Dedup.minHashCandidates]]
+    * — the scale-safe form of q259: pair generation is bounded by the
+    * LSH candidate list (est_jaccard ≥ 0.5) instead of by every
+    * co-occurring shingle, so a corpus 1000× larger pays 1000× the
+    * signature pass plus work proportional to its TRUE near-dup pairs,
+    * never Σ occ² over boilerplate shingles. Oracle replays the whole
+    * composition: q27's MinHash/LSH candidate CTEs feed q259's
+    * positional-shingle diagonal-island span CTEs, restricted to the
+    * candidate pairs. */
+  def q311SpansLshBounded(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(t(s, dir, "documents"))
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+        n = 3, numPerm = 16, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    Dedup.sharedSpansFor(corpus, "doc_id", "text", n = 3, minRun = 5L,
+        candidates = cand)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q311Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       $shingleSql,
+       perms AS (SELECT unnest(range(0, 16)) AS perm),
+       sig AS (
+         SELECT sid, perm,
+                min(((2 * perm + 1) * (h % 2147483647) +
+                     (7919 * perm + 13)) % 2147483647) AS sig
+         FROM sh CROSS JOIN perms GROUP BY 1, 2),
+       band AS (
+         SELECT sid, perm // 4 AS band,
+                md5(min(CASE WHEN perm % 4 = 0 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 1 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 2 THEN sig END)::VARCHAR
+                    || '|' ||
+                    min(CASE WHEN perm % 4 = 3 THEN sig END)::VARCHAR)
+                  AS band_key
+         FROM sig GROUP BY 1, 2),
+       cand0 AS (
+         SELECT DISTINCT x.sid AS id_a, y.sid AS id_b
+         FROM band x
+         JOIN band y ON x.band = y.band AND x.band_key = y.band_key
+                    AND x.sid < y.sid),
+       est AS (
+         SELECT id_a, id_b,
+                CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 16 AS est_jaccard
+         FROM cand0
+         JOIN sig sa ON sa.sid = id_a
+         JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
+         GROUP BY 1, 2),
+       cpair AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       psh AS (
+         SELECT doc_id AS sid, CAST(i - 1 AS BIGINT) AS pos,
+                ('0x' ||
+                 substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
+                )::BIGINT AS h
+         FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+         WHERE len(tk) >= 3),
+       hits AS (
+         SELECT c.id_a, c.id_b, a.pos AS pa, a.pos - b.pos AS diag
+         FROM cpair c
+         JOIN psh a ON a.sid = c.id_a
+         JOIN psh b ON b.sid = c.id_b AND b.h = a.h),
+       runs AS (
+         SELECT id_a, id_b, diag, pa,
+                pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                  ORDER BY pa) AS grp
+         FROM hits),
+       islands AS (
+         SELECT id_a, id_b, diag, grp,
+                CAST(count(*) AS BIGINT) AS run_len,
+                min(pa) AS start_a
+         FROM runs GROUP BY 1, 2, 3, 4),
+       best AS (
+         SELECT id_a, id_b, diag, run_len, start_a,
+                row_number() OVER (PARTITION BY id_a, id_b
+                  ORDER BY run_len DESC, start_a ASC, diag ASC) AS rn
+         FROM islands)
+       SELECT id_a, id_b, run_len AS run_shingles,
+              CAST(run_len + 2 AS BIGINT) AS span_tokens,
+              start_a, CAST(start_a - diag AS BIGINT) AS start_b
+       FROM best WHERE rn = 1 AND run_len >= 5
+       ORDER BY id_a, id_b"""
+
   val all: Map[String, Q] = Map(
+    "q311_spans_lsh_bounded" -> q311SpansLshBounded _,
     "q259_shared_spans" -> q259SharedSpans _,
     "q275_thumb_dedup" -> q275ThumbDedup _,
     "q280_rendezvous_shards" -> q280RendezvousShards _,
@@ -3952,6 +4041,7 @@ object PipelineQueries {
     "q29_cosine_topk" -> q29Sql,
     "q256_mutual_nn" -> q256Sql,
     "q259_shared_spans" -> q259Sql,
+    "q311_spans_lsh_bounded" -> q311Sql,
     "q275_thumb_dedup" -> q275Sql,
     "q280_rendezvous_shards" -> q280Sql,
     "q289_distinctive_terms" -> q289Sql,

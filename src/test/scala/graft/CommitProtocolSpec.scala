@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * filesystem state, an exception at the hook is indistinguishable
   * from the process dying there) leaves a manifest-resolving reader
   * seeing every row EXACTLY ONCE: the old generation before the
-  * commit rename, the new generation after it. A subsequent run first
-  * vacuums the debris, so the sink also converges back to
-  * listing-clean. This is the property the reference gets for free
+  * commit rename, the new generation after it. Crash debris is
+  * invisible to manifest readers and reclaimed by EXPLICIT
+  * [[CommitLog.vacuum]] maintenance — never by another writer's entry,
+  * which could destroy a concurrent writer's staged-but-uncommitted
+  * files (the round-7 audit's data-loss window, closed here and
+  * pinned by the never-deletes test below). This is the property the
+  * reference gets for free
   * from its transactional warehouse MERGE (`dags/idh_etl.py:247-256`)
   * and raw parquet lacks. */
 class CommitProtocolSpec extends SparkSpec {
@@ -48,8 +52,8 @@ class CommitProtocolSpec extends SparkSpec {
   }
 
   test("merge killed between add and commit: reader sees the OLD " +
-    "generation exactly-once; the re-run vacuums the debris and lands " +
-    "the update exactly-once") {
+    "generation exactly-once; the re-run lands the update exactly-once " +
+    "and explicit vacuum reconverges the listing") {
     val root = java.nio.file.Files.createTempDirectory("cps_m1").toString
     val sink = mkSink(root)
     val v0 = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
@@ -66,12 +70,17 @@ class CommitProtocolSpec extends SparkSpec {
     assert(diskFiles(sink) > 4, "crash must leave uncommitted new files")
     assert(ledger(sink) == v0, "pre-commit crash: reader must see the " +
       "old generation exactly-once")
-    // re-run: vacuums the orphans, then merges cleanly
+    // re-run merges cleanly THROUGH the debris (manifest-resolved
+    // reads never see it); the debris itself stays on disk until
+    // explicit maintenance — a writer must never delete files it did
+    // not replace
     val stats = Merge.mergeParquet(spark, updates, Seq("k"), sink)
     assert(stats.rowsUpdated == 1L && stats.rowsInserted == 1L)
     assert(ledger(sink) ==
       Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L), (9L, 90L)))
-    // converged: disk listing and manifest agree again
+    // explicit vacuum reconverges disk listing and manifest
+    assert(CommitLog.vacuum(fsOf(sink), new Path(sink)) > 0L,
+      "the crashed attempt's uncommitted files are vacuumable orphans")
     assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
       CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
     graft.io.Sources.deleteRecursively(root)
@@ -157,7 +166,7 @@ class CommitProtocolSpec extends SparkSpec {
     // the touched file held k=2 only → its rewrite is empty; the
     // original is still on disk, but the manifest excludes it
     assert(ledger(sink) == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
-    // idempotent re-run (vacuums first): nothing left to erase
+    // idempotent re-run (manifest-resolved): nothing left to erase
     val s2 = Merge.eraseParquet(spark, Seq(2L).toDF("k"), Seq("k"), sink)
     assert(s2.rowsDeleted == 0L && s2.filesTouched == 0L)
     assert(ledger(sink) == Seq((1L, 10L), (3L, 30L), (4L, 40L)))
@@ -188,7 +197,8 @@ class CommitProtocolSpec extends SparkSpec {
       "crashed CDC apply leaked cached blocks")
     assert(ledger(sink) ==
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
-    // re-run vacuums the debris and applies all three branches
+    // re-run reads through the manifest (debris invisible) and
+    // applies all three branches
     val stats = Merge.applyCdcParquet(spark, batch, Seq("k"), "op", sink)
     assert(stats.rowsUpdated == 1L && stats.rowsDeleted == 1L &&
       stats.rowsInserted == 1L && stats.filesTouched == 2L)
@@ -254,6 +264,38 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("erase and CDC on a schema-evolved sink read through " +
+    "mergeSchema: touched wide files keep their evolved column values") {
+    val root = java.nio.file.Files.createTempDirectory("cps_evo2").toString
+    val sink = mkSink(root)
+    // evolve the sink: update k=1 and insert k=9 with a NEW `note`
+    Merge.mergeParquet(spark,
+      Seq((1L, 11L, "keep"), (9L, 90L, "nine")).toDF("k", "v", "note"),
+      Seq("k"), sink, allowSchemaEvolution = true)
+    def state() = CommitLog.read(spark, sink, mergeSchema = true)
+      .orderBy("k").collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("v")),
+        Option(r.getAs[String]("note")).getOrElse("-"))).toSeq
+    // erase k=9: it lives in a WIDE file — if the rewrite read the
+    // sink through one (possibly narrow) footer's schema, the kept
+    // wide rows would silently lose their `note` values
+    val es = Merge.eraseParquet(spark, Seq(9L).toDF("k"), Seq("k"), sink)
+    assert(es.rowsDeleted == 1L)
+    assert(state() == Seq((1L, 11L, "keep"), (2L, 20L, "-"),
+      (3L, 30L, "-"), (4L, 40L, "-")),
+      "erase on an evolved sink must not drop evolved column values")
+    // CDC on the evolved sink: the batch carries the evolved (union)
+    // schema; update a narrow-file key, delete another
+    val batch = Seq((2L, 22L, "two", "U"), (4L, 0L, "x", "D"))
+      .toDF("k", "v", "note", "op")
+    val cs = Merge.applyCdcParquet(spark, batch, Seq("k"), "op", sink)
+    assert(cs.rowsUpdated == 1L && cs.rowsDeleted == 1L)
+    assert(state() == Seq((1L, 11L, "keep"), (2L, 22L, "two"),
+      (3L, 30L, "-")),
+      "CDC on an evolved sink must keep evolved values end-to-end")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("commitNext is a CAS on the generation number: the second commit " +
     "from the same base throws CommitConflictException and leaves the " +
     "winner's manifest untouched") {
@@ -280,8 +322,9 @@ class CommitProtocolSpec extends SparkSpec {
     val updB = Seq((2L, 222L), (9L, 90L)).toDF("k", "v")
     // writer B runs to COMPLETION inside writer A's add→commit window
     // (for on-disk state, interleaving via the failpoint hook is
-    // indistinguishable from two racing processes) — B's vacuum may
-    // even reclaim A's just-moved uncommitted files
+    // indistinguishable from two racing processes) — and B must NOT
+    // touch A's just-moved uncommitted files (the never-deletes
+    // invariant: only explicit vacuum reclaims them)
     var fired = false
     intercept[CommitConflictException] {
       Merge.mergeParquet(spark, updA, Seq("k"), sink, p => {
@@ -302,7 +345,9 @@ class CommitProtocolSpec extends SparkSpec {
     assert(stats.rowsUpdated == 1L && stats.rowsInserted == 1L)
     assert(ledger(sink) == Seq((1L, 111L), (2L, 222L), (3L, 30L),
       (4L, 40L), (8L, 80L), (9L, 90L)))
-    // converged: disk listing and manifest agree
+    // the straggler's conflicted files are debris; explicit vacuum
+    // reconverges disk listing and manifest
+    CommitLog.vacuum(fsOf(sink), new Path(sink))
     assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
       CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
     graft.io.Sources.deleteRecursively(root)
@@ -360,7 +405,8 @@ class CommitProtocolSpec extends SparkSpec {
     assert(CommitLog.read(spark, sink).orderBy("day", "k")
       .collect().toSeq == want, "post-commit crash: new generation, " +
       "same rows")
-    // a later run vacuums and completes: one file per partition
+    // a later run resolves the committed generation: one file per
+    // partition, already at target
     val (_, after) = Compact.compactSink(spark, sink,
       partitionCol = Some("day"))
     assert(after == 2L)
@@ -439,8 +485,8 @@ class CommitProtocolSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((2L, 20L), (3L, 30L)),
       "post-commit crash: the dropped day must be invisible")
-    // re-run: vacuums the crash debris; the oldest REMAINING day is 2,
-    // and a policy that now names it drops it cleanly
+    // re-run resolves the committed generation; the oldest REMAINING
+    // day is 2, and a policy that now names it drops it cleanly
     val (p, _) = Upsert.dropPartitionsParquet(spark, sink, "day",
       vs => vs.filter(_.toLong < 2L).toSet)
     assert(p == 0L, "nothing older than day 2 should remain to drop")
@@ -475,5 +521,210 @@ class CommitProtocolSpec extends SparkSpec {
     assert(CommitLog.listDataFiles(fsOf(sink), new Path(sink)).toSet ==
       CommitLog.committed(fsOf(sink), new Path(sink)).get._2.toSet)
     graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("a writer's entry NEVER deletes another writer's staged " +
+    "uncommitted files (the round-7 vacuum-on-entry data-loss " +
+    "window): the straggler's commit conflicts and its retry " +
+    "publishes a manifest whose every file exists") {
+    val root = java.nio.file.Files.createTempDirectory("cps_nd").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val p = new Path(sink)
+    val (g0, live0) = CommitLog.ensureLoggedAt(fs, p)
+    // writer W2's add phase: a real part file moved into the sink
+    // under a fresh unique name, NOT yet committed
+    val scratch = s"$root/scratch"
+    Seq((9L, 90L)).toDF("k", "v").coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val staged = "part-w2-staged-deadbeef.parquet"
+    assert(fs.rename(new Path(part.toString), new Path(p, staged)))
+    // writer W1 enters and completes a whole logged append — neither
+    // its entry nor its commit may touch W2's staged file
+    CommitLog.ensureLoggedAt(fs, p)
+    Upsert.upsertParquet(spark, Seq((5L, 50L)).toDF("k", "v"),
+      Seq("k"), Seq("v"), sink)
+    assert(fs.exists(new Path(p, staged)),
+      "W1's entry/append reclaimed W2's in-flight staged file — " +
+        "the committed-data-loss window is back")
+    val (g1, live1) = CommitLog.committed(fs, p).get
+    assert(!live1.contains(staged),
+      "the append must not adopt a file it did not write")
+    assert(ledger(sink) ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)),
+      "staged uncommitted rows must stay invisible")
+    // W2 commits from its now-stale base: conflicts (correct); its
+    // retry from a fresh read lands, and every committed file exists
+    intercept[CommitConflictException] {
+      CommitLog.commitNext(fs, p, g0, live0 :+ staged)
+    }
+    CommitLog.commitNext(fs, p, g1, live1 :+ staged)
+    val (_, live2) = CommitLog.committed(fs, p).get
+    assert(live2.forall(r => fs.exists(new Path(p, r))),
+      "a committed manifest may never reference a deleted file")
+    assert(ledger(sink) == Seq((1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 40L), (5L, 50L), (9L, 90L)))
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("vacuum with a modification-time horizon reclaims only orphans " +
+    "older than the horizon — remove-orphan semantics, safe to run " +
+    "while writers are in flight") {
+    val root = java.nio.file.Files.createTempDirectory("cps_hz").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val p = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, p)
+    // two orphans: one fresh (a concurrent writer's staged file), one
+    // two hours stale (debris from a long-dead crashed writer)
+    def plant(name: String): Path = {
+      val scratch = s"$root/s_$name"
+      Seq((99L, 990L)).toDF("k", "v").coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new Path(p, s"part-orphan-$name.parquet")
+      assert(fs.rename(new Path(part.toString), dst)); dst
+    }
+    val fresh = plant("fresh"); val stale = plant("stale")
+    fs.setTimes(stale, System.currentTimeMillis() - 2 * 3600 * 1000L, -1)
+    assert(CommitLog.vacuum(fs, p, olderThanMs = 3600 * 1000L) == 1L,
+      "horizon vacuum must reclaim exactly the stale orphan")
+    assert(!fs.exists(stale) && fs.exists(fresh),
+      "the fresh orphan (a possible in-flight commit) must survive")
+    // quiesced horizon-0 vacuum reclaims the rest
+    assert(CommitLog.vacuum(fs, p) == 1L)
+    assert(!fs.exists(fresh))
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("ensureLoggedAt reads O(1) manifests regardless of retained " +
+    "history: 120 generations, one manifest read per writer entry") {
+    val root = java.nio.file.Files.createTempDirectory("cps_o1").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val p = new Path(sink)
+    var (g, live) = CommitLog.ensureLoggedAt(fs, p)
+    (1 to 120).foreach { _ => g = CommitLog.commitNext(fs, p, g, live) }
+    assert(CommitLog.generations(fs, p).size == 121)
+    val r0 = CommitLog.manifestReads.get()
+    CommitLog.ensureLoggedAt(fs, p)
+    assert(CommitLog.manifestReads.get() - r0 <= 1L,
+      "a writer's entry must read exactly the latest manifest")
+    // a whole logged append stays O(1) manifests too (entry + the
+    // pre-append committed check; new-file detection is a listing diff)
+    val r1 = CommitLog.manifestReads.get()
+    Upsert.upsertParquet(spark, Seq((7L, 70L)).toDF("k", "v"),
+      Seq("k"), Seq("v"), sink)
+    assert(CommitLog.manifestReads.get() - r1 <= 3L,
+      "append-path manifest reads must not grow with retained history")
+    // the EXPLICIT maintenance path legitimately reads them all
+    val r2 = CommitLog.manifestReads.get()
+    CommitLog.vacuum(fs, p)
+    assert(CommitLog.manifestReads.get() - r2 >= 120L)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("conditional-create publish on an object-store-like filesystem " +
+    "whose rename silently replaces: exactly one racing publish wins, " +
+    "the loser's commit throws, and the winner's manifest is intact") {
+    val root = java.nio.file.Files.createTempDirectory("cps_s3").toString
+    val fs = new SilentReplaceFS
+    fs.initialize(java.net.URI.create("s3ish:///"),
+      spark.sparkContext.hadoopConfiguration)
+    def put(path: Path, body: String): Unit = {
+      val out = fs.create(path, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    def slurp(path: Path): String = {
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // the hazard is real on this FS: rename over an existing
+    // destination silently replaces (S3A copy-object semantics)
+    val a = new Path(root, "a.txt"); val b = new Path(root, "b.txt")
+    put(a, "A"); put(b, "B")
+    assert(fs.rename(a, b) && slurp(b) == "A",
+      "the double must model rename-silently-replaces")
+    // two staged manifests race for the same final name through the
+    // conditional-create publish: first wins, second loses, content
+    // is the winner's (no lost update)
+    val dir = new Path(root, "log"); fs.mkdirs(dir)
+    val fin = new Path(dir, "00000000000000000001.manifest")
+    val t1 = new Path(dir, ".t1.tmp"); val t2 = new Path(dir, ".t2.tmp")
+    put(t1, "winner-files"); put(t2, "loser-files")
+    assert(CommitLog.publishExclusive(fs, t1, fin))
+    assert(!CommitLog.publishExclusive(fs, t2, fin),
+      "the second publish must lose, not silently replace")
+    assert(slurp(fin) == "winner-files")
+    // end-to-end on the double: two commitNext racers from one base
+    // (log-protocol surface only — the data files themselves would be
+    // the store's objects and are irrelevant to the CAS)
+    val p = new Path(root, "t2"); fs.mkdirs(p)
+    val g0 = CommitLog.commitNext(fs, p, -1L,
+      Seq("f1.parquet", "f2.parquet"))
+    assert(CommitLog.commitNext(fs, p, g0,
+      Seq("f1.parquet", "f2.parquet", "f3.parquet")) == g0 + 1)
+    intercept[CommitConflictException] {
+      CommitLog.commitNext(fs, p, g0, Seq("loser.parquet"))
+    }
+    assert(CommitLog.committed(fs, p).get ==
+      (g0 + 1) -> Seq("f1.parquet", "f2.parquet", "f3.parquet"),
+      "the losing commit must not clobber the winner's manifest")
+    graft.io.Sources.deleteRecursively(root)
+  }
+
+  test("cross-process commit race: a SECOND JVM races commitNext on " +
+    "the same sink from the same base — exactly one winner across " +
+    "real process boundaries") {
+    val root = java.nio.file.Files.createTempDirectory("cps_xp").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val p = new Path(sink)
+    val (g, live) = CommitLog.ensureLoggedAt(fs, p)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").toString
+    val pb = new ProcessBuilder(
+      (Seq(javaBin,
+        "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+        "--add-opens", "java.base/java.util=ALL-UNNAMED",
+        "--add-opens", "java.base/java.nio=ALL-UNNAMED",
+        "--add-opens", "java.base/sun.nio.ch=ALL-UNNAMED",
+        "-cp", sys.props("java.class.path"),
+        "graft.tools.CommitRacer", sink, g.toString,
+        "external-marker.parquet")): _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    // race it from the same base while the other JVM starts up
+    val inWon =
+      try { CommitLog.commitNext(fs, p, g, live :+ "in-process.parquet"); true }
+      catch { case _: CommitConflictException => false }
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val code = proc.waitFor()
+    assert(code == 0 || code == 42,
+      s"racer JVM failed unexpectedly (exit $code):\n$out")
+    val extWon = code == 0
+    assert(inWon ^ extWon,
+      s"exactly one process may win (in=$inWon, ext=$extWon)")
+    val (_, liveNow) = CommitLog.committed(fs, p).get
+    assert(liveNow.contains(
+      if (inWon) "in-process.parquet" else "external-marker.parquet"))
+    assert(!(liveNow.contains("in-process.parquet") &&
+      liveNow.contains("external-marker.parquet")),
+      "the loser's file list must not leak into the manifest")
+    graft.io.Sources.deleteRecursively(root)
+  }
+}
+
+/** Test double modeling an object store through the Hadoop FileSystem
+  * API: `rename` silently REPLACES an existing destination (S3A
+  * copy-object semantics — the behavior the commit publish must never
+  * rely on), while `create(path, overwrite = false)` is exclusive (the
+  * conditional-PUT primitive real stores expose as S3 `If-None-Match`
+  * / GCS `ifGenerationMatch: 0`). Scheme `s3ish` keeps it off both the
+  * local hard-link path and the HDFS rename allowlist, forcing
+  * [[graft.operators.CommitLog]]'s conditional-create fallback. */
+class SilentReplaceFS extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3ish:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst)) delete(dst, false)
+    super.rename(src, dst)
   }
 }
