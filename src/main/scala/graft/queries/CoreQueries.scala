@@ -1220,7 +1220,235 @@ object CoreQueries {
        WHERE p_name LIKE '%red%'
        GROUP BY 1, 2 ORDER BY nation ASC, l_year DESC"""
 
+  // --- q312-q315: partsupp synthesis + the subquery-decorrelation ------
+  // --- TPC-H canon (Q2, Q11, Q16, Q20) ---------------------------------
+
+  /** Deterministic `partsupp` synthesis: the harness ships no partsupp
+    * table, so the four classic subquery shapes that need it (TPC-H
+    * Q2/Q11/Q16/Q20) derive one from the distinct (l_partkey,
+    * l_suppkey) pairs that actually trade, with integer
+    * supplycost/availqty computed by fixed modular arithmetic — the
+    * same rows in both engines with zero randomness, mirrored verbatim
+    * as the `partsupp` CTE in every oracle. Cost ∈ [1, 1000], qty ∈
+    * [1, 9999]: small enough that every downstream product/sum stays
+    * far inside BIGINT. */
+  private def partsuppDF(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"),
+        ((col("l_partkey") * 7 + col("l_suppkey") * 13) % 1000 + 1)
+          .as("ps_supplycost"),
+        ((col("l_partkey") * 31 + col("l_suppkey") * 17) % 9999 + 1)
+          .as("ps_availqty"))
+
+  /** The oracle-side mirror of [[partsuppDF]]. */
+  private val partsuppSql: String =
+    """partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                (l_partkey * 7 + l_suppkey * 13) % 1000 + 1
+                  AS ps_supplycost,
+                (l_partkey * 31 + l_suppkey * 17) % 9999 + 1
+                  AS ps_availqty
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
+
+  /** Per-invocation uniquely-named temp views for the subquery family
+    * (correlated subqueries need the SQL surface — `spark.sql` —
+    * and the view names must not collide across concurrent
+    * invocations on one session, the q128 discipline). The views are
+    * dropped in a finally; analysis has already bound their plans by
+    * value into the returned frame. */
+  private def withTpchViews(s: SparkSession, dir: String,
+                            tables: Seq[String])
+                           (mk: (String => String) => String): DataFrame = {
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    def vn(tb: String) = s"graft_tpch_${tag}_$tb"
+    try {
+      tables.foreach { tb =>
+        val df = if (tb == "partsupp") partsuppDF(s, dir) else t(s, dir, tb)
+        df.createOrReplaceTempView(vn(tb))
+      }
+      s.sql(mk(vn))
+    } finally tables.foreach(tb => s.catalog.dropTempView(vn(tb)))
+  }
+
+  /** TPC-H Q2 (minimum-cost supplier), the correlated-scalar-MIN
+    * decorrelation shape: for each mid-size LARGE part, the EUROPE
+    * suppliers offering it at exactly the region-wide minimum
+    * supplycost for that part. Catalyst decorrelates the per-part MIN
+    * into an aggregate + join; at 100 TB the inner aggregate is
+    * partsupp-sized (never lineitem-sized) and the dimension chain
+    * (supplier⋈nation⋈region) broadcasts on both sides. Account
+    * balances compare as exact cents. Spec: TPC-H 3.0 §2.4.2, adapted
+    * to the harness part schema (no p_mfgr; single-word p_type). */
+  def q312Tpch2(s: SparkSession, dir: String): DataFrame =
+    withTpchViews(s, dir,
+      Seq("part", "supplier", "nation", "region", "partsupp")) { vn =>
+      s"""SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                s_name, n_name, p_partkey, p_brand
+         FROM ${vn("part")}, ${vn("partsupp")}, ${vn("supplier")},
+              ${vn("nation")}, ${vn("region")}
+         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+           AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND ps_supplycost = (
+             SELECT min(ps_supplycost)
+             FROM ${vn("partsupp")}, ${vn("supplier")}, ${vn("nation")},
+                  ${vn("region")}
+             WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+               AND s_nationkey = n_nationkey
+               AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+         ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+         LIMIT 100"""
+    }
+
+  val q312Sql: String =
+    s"""WITH $partsuppSql
+       SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+              s_name, n_name, p_partkey, p_brand
+       FROM part, partsupp, supplier, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost = (
+           SELECT min(ps_supplycost)
+           FROM partsupp, supplier, nation, region
+           WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+             AND s_nationkey = n_nationkey
+             AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+       ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+       LIMIT 100"""
+
+  /** TPC-H Q11 (important stock identification): per-part inventory
+    * value within one nation, kept only when it exceeds a fixed
+    * fraction of the nation's total — the scalar-subquery-in-HAVING
+    * shape. The fraction compares as exact integers (value × 5000 >
+    * total) — no division, no float threshold. At scale both sides of
+    * the comparison come from the SAME nation-filtered partsupp
+    * rollup; Catalyst plans the scalar as a broadcast single-row
+    * aggregate, so the fact passes once. Spec: TPC-H 3.0 §2.4.11. */
+  def q313Tpch11(s: SparkSession, dir: String): DataFrame =
+    withTpchViews(s, dir, Seq("supplier", "nation", "partsupp")) { vn =>
+      s"""SELECT ps_partkey,
+                CAST(sum(ps_supplycost * ps_availqty) AS BIGINT)
+                  AS part_value
+         FROM ${vn("partsupp")}, ${vn("supplier")}, ${vn("nation")}
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_7'
+         GROUP BY ps_partkey
+         HAVING sum(ps_supplycost * ps_availqty) * 5000 > (
+           SELECT sum(ps_supplycost * ps_availqty)
+           FROM ${vn("partsupp")}, ${vn("supplier")}, ${vn("nation")}
+           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_7')
+         ORDER BY part_value DESC, ps_partkey"""
+    }
+
+  val q313Sql: String =
+    s"""WITH $partsuppSql
+       SELECT ps_partkey,
+              CAST(sum(ps_supplycost * ps_availqty) AS BIGINT)
+                AS part_value
+       FROM partsupp, supplier, nation
+       WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         AND n_name = 'NATION_7'
+       GROUP BY ps_partkey
+       HAVING sum(ps_supplycost * ps_availqty) * 5000 > (
+         SELECT sum(ps_supplycost * ps_availqty)
+         FROM partsupp, supplier, nation
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_7')
+       ORDER BY part_value DESC, ps_partkey"""
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    * per (brand, type, size) bucket over a NOT-IN-excluded supplier
+    * set — the anti-join + count-distinct shape. The NOT IN subquery
+    * ("suppliers with complaints" becomes negative account balance on
+    * the harness schema, which has no s_comment) is supplier-sized:
+    * Catalyst turns it into a broadcast null-aware anti join, so the
+    * partsupp pass is one scan. Spec: TPC-H 3.0 §2.4.16. */
+  def q314Tpch16(s: SparkSession, dir: String): DataFrame =
+    withTpchViews(s, dir, Seq("part", "supplier", "partsupp")) { vn =>
+      s"""SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT ps_suppkey) AS BIGINT)
+                  AS supplier_cnt
+         FROM ${vn("partsupp")}, ${vn("part")}
+         WHERE p_partkey = ps_partkey
+           AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 9, 14, 19, 24, 30, 36)
+           AND ps_suppkey NOT IN (
+             SELECT s_suppkey FROM ${vn("supplier")}
+             WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+    }
+
+  val q314Sql: String =
+    s"""WITH $partsuppSql
+       SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       FROM partsupp, part
+       WHERE p_partkey = ps_partkey
+         AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 9, 14, 19, 24, 30, 36)
+         AND ps_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** TPC-H Q20 (potential part promotion), the nested-semi-join shape:
+    * suppliers in one nation whose stock of red parts exceeds half of
+    * what they actually shipped of that part in 1997 — IN (partsupp
+    * filtered by IN (part) and a correlated per-(part, supplier)
+    * lineitem sum). The half-of-shipped threshold compares as exact
+    * integers (availqty × 2 > Σqty); a (part, supplier) pair with no
+    * 1997 shipments yields a NULL sum, and NULL-comparison exclusion
+    * is the canon's semantics in both engines. Catalyst decorrelates
+    * the inner sum into a grouped aggregate joined on both keys —
+    * lineitem is scanned once, date-pruned. Spec: TPC-H 3.0 §2.4.20. */
+  def q315Tpch20(s: SparkSession, dir: String): DataFrame =
+    withTpchViews(s, dir,
+      Seq("part", "supplier", "nation", "lineitem", "partsupp")) { vn =>
+      s"""SELECT s_name, s_suppkey
+         FROM ${vn("supplier")}, ${vn("nation")}
+         WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+           AND s_suppkey IN (
+             SELECT ps_suppkey FROM ${vn("partsupp")}
+             WHERE ps_partkey IN (
+                 SELECT p_partkey FROM ${vn("part")}
+                 WHERE p_name LIKE 'red%')
+               AND ps_availqty * 2 > (
+                 SELECT sum(CAST(l_quantity AS BIGINT))
+                 FROM ${vn("lineitem")}
+                 WHERE l_partkey = ps_partkey
+                   AND l_suppkey = ps_suppkey
+                   AND l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'))
+         ORDER BY s_name, s_suppkey"""
+    }
+
+  val q315Sql: String =
+    s"""WITH $partsuppSql
+       SELECT s_name, s_suppkey
+       FROM supplier, nation
+       WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         AND s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp
+           WHERE ps_partkey IN (
+               SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             AND ps_availqty * 2 > (
+               SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                 AND l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'))
+       ORDER BY s_name, s_suppkey"""
+
   val all: Map[String, Q] = Map(
+    "q312_tpch2" -> q312Tpch2 _,
+    "q313_tpch11" -> q313Tpch11 _,
+    "q314_tpch16" -> q314Tpch16 _,
+    "q315_tpch20" -> q315Tpch20 _,
     "q309_tpch6" -> q309Tpch6 _,
     "q296_tpch7" -> q296Tpch7 _,
     "q297_tpch8" -> q297Tpch8 _,
@@ -1264,6 +1492,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q312_tpch2" -> q312Sql,
+    "q313_tpch11" -> q313Sql,
+    "q314_tpch16" -> q314Sql,
+    "q315_tpch20" -> q315Sql,
     "q309_tpch6" -> q309Sql,
     "q296_tpch7" -> q296Sql,
     "q297_tpch8" -> q297Sql,
