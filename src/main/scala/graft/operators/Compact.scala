@@ -128,4 +128,102 @@ object Compact {
     fs.delete(tmp, true)
     (before.size, newFiles.size)
   }
+
+  /** Execute a file→bin compaction PLAN (the q310 bin-packing output
+    * turned into motion): every assigned live file's rows are
+    * rewritten so each bin becomes EXACTLY ONE output file in its
+    * partition directory, under the same [[CommitLog]] add → COMMIT →
+    * delete swap as [[compactSink]]. This is the planner/executor
+    * split real table-format OPTIMIZE jobs use: the plan is computed
+    * from the manifest (file names + sizes, never data — q310), can be
+    * inspected/throttled/resumed, and this executor is dumb — it moves
+    * exactly the bytes the plan names.
+    *
+    * `plan`: sink-relative live-file path → bin id. Bin ids must be
+    * directory-name-safe and globally unique (a bin must not span
+    * partition values — the planner's per-partition discipline).
+    * Files absent from the plan are left untouched (a resumable
+    * planner compacts in waves). `collapseCols`: partition levels of
+    * the CURRENT layout to drop in the rewrite (e.g. a per-batch
+    * `file_key=` level that exists only to make files addressable);
+    * the output keeps `partitionCol` as its single partition level.
+    *
+    * Exactly-one-file-per-bin mechanics: rows are repartitioned by
+    * bin (all of a bin's rows land in one task) and written
+    * `partitionBy(partitionCol, "__bin")` — a task holding several
+    * bins still writes one file per (partition, bin) DIRECTORY, so
+    * hash collisions between bins can never merge their files. The
+    * swap then strips the `__bin=` level while moving files in,
+    * prefixing the bin id onto the (task-scoped) file name for
+    * uniqueness. Partition-directory values round-trip through
+    * partition inference here (unlike [[compactSink]]'s explicit
+    * string schema) — zero-padded numeric directory names would be
+    * re-inferred; use [[compactSink]] for those layouts. Returns
+    * (files assigned, files after = bins). */
+  def compactByPlan(spark: SparkSession, path: String,
+                    partitionCol: String, plan: Map[String, String],
+                    collapseCols: Seq[String] = Nil,
+                    failpoint: String => Unit = _ => ()): (Long, Long) = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"compaction target $path does not exist")
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val assigned = live.filter(plan.contains)
+    require(assigned.nonEmpty, "plan assigns no live file of this sink")
+    val tmp = new Path(hPath.getParent, hPath.getName + "__plan_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // keyed by URI PATH (no scheme/authority): `_metadata.file_path`
+    // spells the scheme differently across filesystems (file:/ vs
+    // file:///) and a raw-string key would silently never match
+    val absPlan = assigned
+      .map(r => fs.makeQualified(new Path(hPath, r)).toUri.getPath
+        -> plan(r))
+      .toMap
+    val bcast = spark.sparkContext.broadcast(absPlan)
+    val binOf = org.apache.spark.sql.functions.udf((fp: String) =>
+      bcast.value(new Path(fp).toUri.getPath))
+    try {
+      spark.read.option("basePath", hPath.toString)
+        .parquet(assigned.map(r => new Path(hPath, r).toString): _*)
+        .withColumn("__bin",
+          binOf(org.apache.spark.sql.functions.col("_metadata.file_path")))
+        .drop(collapseCols: _*)
+        .repartition(org.apache.spark.sql.functions.col("__bin"))
+        .write.partitionBy(partitionCol, "__bin").parquet(tmp.toString)
+      // add → COMMIT → delete: move each bin's single file into its
+      // partition directory (the __bin level is planning scaffolding)
+      val added = Seq.newBuilder[String]
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val rel = CommitLog.relativize(fs, tmp, f.toString)
+          val segs = rel.split('/')
+          val binSeg = segs.find(_.startsWith("__bin="))
+            .getOrElse(throw new IllegalStateException(
+              s"compacted file $rel lost its __bin level"))
+          val binVal = binSeg.stripPrefix("__bin=")
+          val outRel = (segs.filterNot(_.startsWith("__bin="))
+            .dropRight(1) :+ s"$binVal-${f.getName}").mkString("/")
+          val dest = new Path(hPath, outRel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f, dest))
+            throw new java.io.IOException(
+              s"plan compaction: could not move $f into $dest")
+          added += outRel
+        }
+      }
+      failpoint("added")
+      val newFiles = added.result()
+      CommitLog.commitNext(fs, hPath, baseGen,
+        live.diff(assigned) ++ newFiles)
+      failpoint("committed")
+      assigned.foreach { r => // GC, best-effort
+        try fs.delete(new Path(hPath, r), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      fs.delete(tmp, true)
+      (assigned.size.toLong, newFiles.size.toLong)
+    } finally bcast.destroy()
+  }
 }

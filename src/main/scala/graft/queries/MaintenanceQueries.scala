@@ -617,7 +617,124 @@ object MaintenanceQueries {
               min(file_name) AS first_file
        FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // --- q316: compaction plan EXECUTED (q310 → Compact.compactByPlan) ----
+  /** The q310 plan turned into motion, end-to-end under the commit
+    * log: build a small-file sink whose on-disk files ARE the q310
+    * inventory (one parquet file per (returnflag, linestatus-month)
+    * group, via a two-level `partitionBy` — the addressable-file
+    * trick), compute the same next-fit-decreasing bin assignment, and
+    * execute it with [[graft.operators.Compact.compactByPlan]] — each
+    * bin becomes exactly one file in its partition directory, the
+    * `file_key=` scaffolding level collapses, and the swap is the
+    * [[graft.operators.CommitLog]] add → COMMIT → delete. The emitted
+    * evidence is all POST-EXECUTION disk state: per partition, live
+    * file counts before/after from the committed manifests and row
+    * counts from the manifest reader — which the oracle must predict
+    * from lineitem alone (files_before = inventory groups,
+    * files_after = distinct bins, rows_after = partition row count).
+    * A file-count mismatch anywhere (a merged bin, a dropped file, a
+    * manifest drift) fails the hash compare. */
+  def q316CompactionExecute(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Compact, CommitLog}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q316_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      // one ship-year bounds the fixture build (the mechanics are
+      // month-count-shaped, not row-count-shaped; a full-history sink
+      // would just write 6× the scaffolding files for the same proof)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+      val fileKey = concat_ws("-", col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM"))
+      // one real parquet file per inventory group: repartition by the
+      // group → all its rows in one task → one file per (part, group)
+      // directory
+      li.select(col("l_returnflag").as("part_key"),
+          fileKey.as("file_key"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+        .repartition(col("part_key"), col("file_key"))
+        .write.partitionBy("part_key", "file_key").parquet(sink)
+      // the q310 bin assignment, at file granularity
+      val target = 200000L
+      val inv = li.groupBy(col("l_returnflag").as("part_key"),
+          fileKey.as("file_key"))
+        .agg((count(lit(1)) * 100L +
+          sum(col("l_quantity").cast("long"))).as("size_bytes"))
+      val w = Window.partitionBy("part_key")
+        .orderBy(col("size_bytes").desc, col("file_key").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bins = inv.withColumn("prev",
+          coalesce(sum("size_bytes").over(w), lit(0L)))
+        .withColumn("bin", expr(s"prev div $target"))
+        .select("part_key", "file_key", "bin")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val liveBefore = CommitLog.ensureLogged(fs, hPath)
+      def partOf(rel: String): String =
+        rel.split('/')(0).stripPrefix("part_key=")
+      def keyOf(rel: String): String =
+        rel.split('/')(1).stripPrefix("file_key=")
+      // file → globally-unique, dir-safe bin id ("<part><bin>")
+      val plan = liveBefore.map { r =>
+        r -> s"${partOf(r)}${bins((partOf(r), keyOf(r)))}"
+      }.toMap
+      Compact.compactByPlan(s, sink, "part_key", plan,
+        collapseCols = Seq("file_key"))
+      val filesBefore = liveBefore.groupBy(partOf).view.mapValues(_.size)
+      val (_, liveAfter) = CommitLog.committed(fs, hPath).get
+      val filesAfter = liveAfter.groupBy(partOf).view.mapValues(_.size)
+      val rowsAfter = CommitLog.read(s, sink)
+        .groupBy("part_key").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      filesBefore.keys.toSeq.sorted.map { p =>
+        (p, filesBefore(p).toLong, filesAfter(p).toLong, rowsAfter(p))
+      }.toDF("part_key", "files_before", "files_after", "rows_after")
+        .orderBy("part_key")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q316Sql: String =
+    """WITH li AS (
+         SELECT * FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'),
+       inv AS (
+         SELECT l_returnflag AS part_key,
+                l_linestatus || '-' || strftime(l_shipdate, '%Y-%m')
+                  AS file_key,
+                CAST(count(*) * 100 + sum(CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS size_bytes
+         FROM li GROUP BY 1, 2),
+       binned AS (
+         SELECT part_key, file_key, size_bytes,
+                coalesce(sum(size_bytes) OVER (PARTITION BY part_key
+                  ORDER BY size_bytes DESC, file_key ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 200000 AS bin
+         FROM inv),
+       rows_per AS (
+         SELECT l_returnflag AS part_key,
+                CAST(count(*) AS BIGINT) AS rows_after
+         FROM li GROUP BY 1)
+       SELECT b.part_key,
+              CAST(count(*) AS BIGINT) AS files_before,
+              CAST(count(DISTINCT bin) AS BIGINT) AS files_after,
+              r.rows_after
+       FROM binned b JOIN rows_per r ON b.part_key = r.part_key
+       GROUP BY b.part_key, r.rows_after
+       ORDER BY b.part_key"""
+
   val all: Map[String, Q] = Map(
+    "q316_compaction_execute" -> q316CompactionExecute _,
     "q310_compaction_plan" -> q310CompactionPlan _,
     "q120_snapshot_diff" -> q120SnapshotDiff _,
     "q121_delta_view" -> q121DeltaViewMaintain _,
@@ -632,6 +749,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q316_compaction_execute" -> q316Sql,
     "q310_compaction_plan" -> q310Sql,
     "q120_snapshot_diff" -> q120Sql,
     "q121_delta_view" -> q121Sql,

@@ -415,6 +415,57 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("compactByPlan executes the bin assignment exactly — one file " +
+    "per bin per partition — and is crash-atomic at both failpoints") {
+    val root = java.nio.file.Files.createTempDirectory("cps_cbp").toString
+    val sink = s"$root/t"
+    (1 to 3).foreach { b =>
+      Seq(("x", s"k$b", b.toLong), ("y", s"k$b", b.toLong))
+        .toDF("pt", "k", "v").repartition(col("pt"))
+        .write.mode("append").partitionBy("pt").parquet(sink)
+    }
+    val fs = fsOf(sink); val p = new Path(sink)
+    val live = CommitLog.ensureLogged(fs, p)
+    assert(live.size == 6, "fixture: 3 files per partition")
+    def partOf(rel: String) = rel.split('/')(0).stripPrefix("pt=")
+    // two bins per partition: the two lexicographically-first files
+    // merge, the third keeps its own bin
+    val plan = live.groupBy(partOf).flatMap { case (pt, files) =>
+      files.sorted.zipWithIndex.map { case (f, i) =>
+        f -> s"$pt${if (i < 2) 0 else 1}"
+      }
+    }
+    val want = CommitLog.read(spark, sink).orderBy("pt", "k", "v")
+      .collect().toSeq
+    intercept[Killed] {
+      Compact.compactByPlan(spark, sink, "pt", plan,
+        failpoint = killAt("added"))
+    }
+    assert(CommitLog.read(spark, sink).orderBy("pt", "k", "v")
+      .collect().toSeq == want, "pre-commit crash: old generation")
+    intercept[Killed] {
+      Compact.compactByPlan(spark, sink, "pt", plan,
+        failpoint = killAt("committed"))
+    }
+    assert(CommitLog.read(spark, sink).orderBy("pt", "k", "v")
+      .collect().toSeq == want,
+      "post-commit crash: new generation, same rows")
+    // the committed layout is EXACTLY the plan: two files per
+    // partition, named by their bin
+    val (_, liveAfter) = CommitLog.committed(fs, p).get
+    assert(liveAfter.groupBy(partOf).view.mapValues(_.size).toMap ==
+      Map("x" -> 2, "y" -> 2),
+      "files after must equal the plan's bins per partition")
+    // a plan over the already-compacted layout with one bin per
+    // partition completes the wave: one file each
+    val live2 = CommitLog.committed(fs, p).get._2
+    val plan2 = live2.map(f => f -> s"${partOf(f)}z").toMap
+    assert(Compact.compactByPlan(spark, sink, "pt", plan2) == (4L, 2L))
+    assert(CommitLog.read(spark, sink).orderBy("pt", "k", "v")
+      .collect().toSeq == want)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("replacePartitions killed between commit and delete: the " +
     "re-stated partition reads exactly-once; untouched partitions keep " +
     "their files") {
