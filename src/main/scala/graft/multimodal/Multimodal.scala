@@ -118,27 +118,8 @@ object Multimodal {
   def parseMp4Meta(payload: Array[Byte]): (Int, Int, Double) = {
     val bb = java.nio.ByteBuffer.wrap(payload) // big-endian by default
     def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
-    def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
-    // first box of type `typ` in [from, to) → (contentStart, boxEnd)
-    def find(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
-      var off = from
-      while (off + 8 <= to) {
-        val size0 = u32(off)
-        if (size0 == 1L && off + 16 > to)
-          throw new IllegalArgumentException(
-            s"corrupt mp4: truncated 64-bit box header at offset $off")
-        val (hdr, size) =
-          if (size0 == 1L) (16, bb.getLong(off + 8))
-          else if (size0 == 0L) (8, (to - off).toLong)
-          else (8, size0)
-        if (size < hdr || off + size > to)
-          throw new IllegalArgumentException(
-            s"corrupt mp4: box at offset $off overruns its enclosure")
-        if (fourcc(off + 4) == typ) return Some((off + hdr, (off + size).toInt))
-        off += size.toInt
-      }
-      None
-    }
+    def find(from: Int, to: Int, typ: String): Option[(Int, Int)] =
+      findBox(payload, from, to, typ)
     // every fixed-offset field read below is bounds-checked against its
     // OWN box first — a short mvhd/tkhd must fail loudly, not silently
     // read the next sibling box's bytes as timescale or width
@@ -184,6 +165,288 @@ object Multimodal {
       }
     }
     (w, h, durS)
+  }
+
+  /** First box of type `typ` in `payload[from, to)` →
+    * (contentStart, boxEnd). ISO-BMFF box grammar: `[uint32 size]
+    * [4cc type][payload]` big-endian; size 1 = a 64-bit size follows
+    * the type; size 0 = the box runs to the end of its enclosure.
+    * Shared by the metadata parse ([[parseMp4Meta]]) and the sample
+    * -table walk ([[videoFrames]]). Malformed sizes fail loudly. */
+  private def findBox(payload: Array[Byte], from: Int, to: Int,
+                      typ: String): Option[(Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    var off = from
+    while (off + 8 <= to) {
+      val size0 = u32(off)
+      if (size0 == 1L && off + 16 > to)
+        throw new IllegalArgumentException(
+          s"corrupt mp4: truncated 64-bit box header at offset $off")
+      val (hdr, size) =
+        if (size0 == 1L) (16, bb.getLong(off + 8))
+        else if (size0 == 0L) (8, (to - off).toLong)
+        else (8, size0)
+      if (size < hdr || off + size > to)
+        throw new IllegalArgumentException(
+          s"corrupt mp4: box at offset $off overruns its enclosure")
+      if (new String(payload, off + 4, 4, "US-ASCII") == typ)
+        return Some((off + hdr, (off + size).toInt))
+      off += size.toInt
+    }
+    None
+  }
+
+  // --- MJPEG-in-MP4: the pure-JVM video FRAME path ----------------------
+  // Modern codecs (H.264/HEVC/AV1) have no JVM decoder, so frame decode
+  // for them stays a loud codec boundary. But MJPEG — ISO-BMFF with a
+  // 'jpeg' sample entry, every sample an independent baseline JPEG — is
+  // a real, spec-valid video format (ISO/IEC 14496-12 sample tables +
+  // ITU T.81 frames) that the JDK CAN fully decode. These two functions
+  // close the loop: a writer that emits structurally-correct MP4 (the
+  // same files parseMp4Meta reads), and a frame extractor that walks
+  // the REAL sample tables (stsd/stsz/stsc/stco) to slice per-frame
+  // byte ranges out of mdat — exactly how demuxers locate frames — then
+  // hands each range to javax.imageio. Nothing is faked: a mismatched
+  // stco offset or stsz size yields undecodable bytes and fails loudly.
+
+  /** Encode JPEG frames as a minimal valid MJPEG MP4:
+    * `[ftyp][mdat: frames concatenated][moov]` with full sample tables
+    * (stts fixed `1000/fps` ticks, run-length stsc, per-sample stsz,
+    * absolute-offset stco). moov is written LAST so chunk offsets are
+    * known — the classic non-faststart layout. `samplesPerChunk`
+    * splits the samples into multiple chunks (each with its own stco
+    * offset and an stsc run covering the short final chunk) — real
+    * muxers interleave chunks, and the reader's table walk should be
+    * exercised on that shape, not only the single-chunk degenerate.
+    * Deterministic: same frames → same bytes. */
+  def synthMjpegMp4(frames: Seq[Array[Byte]], width: Int, height: Int,
+                    fps: Int = 25,
+                    samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
+    require(frames.nonEmpty, "synthMjpegMp4: need at least one frame")
+    require(fps > 0, s"synthMjpegMp4: fps must be positive, got $fps")
+    require(samplesPerChunk > 0, "synthMjpegMp4: samplesPerChunk >= 1")
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bytes(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val content = bytes(parts: _*)
+      bytes(be32(content.length + 8L),
+        typ.getBytes("US-ASCII"), content)
+    }
+    def full(typ: String, version: Int, flags: Int,
+             parts: Array[Byte]*): Array[Byte] =
+      box(typ, bytes(Array(version.toByte,
+        ((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+        (flags & 0xff).toByte) +: parts: _*))
+    val n = frames.length
+    val timescale = 1000L
+    val delta = timescale / fps // ticks per frame
+    val duration = delta * n
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512L),
+      "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames: _*)
+    val mdatContent = ftyp.length + 8L // first sample's absolute offset
+    // chunking: contiguous groups of samplesPerChunk frames; chunk i
+    // starts where the previous chunk's samples end
+    val chunks = frames.grouped(samplesPerChunk).toVector
+    val chunkOffsets = chunks.scanLeft(mdatContent)(
+      (off, c) => off + c.map(_.length.toLong).sum).dropRight(1)
+    // stsc run-length encoding of per-chunk sample counts: one run per
+    // change (a short final chunk gets its own run, as muxers emit)
+    val stscRuns = chunks.map(_.length).zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (spc, i)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc
+        else acc :+ ((i + 1, spc))
+      }
+    // stsd 'jpeg' VisualSampleEntry: SampleEntry (6 reserved + dref
+    // index) then the fixed visual fields — resolution 72dpi 16.16,
+    // frame_count 1, 32-byte compressor name, depth 24, pre_defined -1
+    val jpegEntry = box("jpeg",
+      new Array[Byte](6), be16(1),
+      be16(0), be16(0), be32(0), be32(0), be32(0),
+      be16(width), be16(height),
+      be32(0x00480000L), be32(0x00480000L), be32(0),
+      be16(1), new Array[Byte](32), be16(24), be16(0xffff))
+    val stbl = box("stbl",
+      full("stsd", 0, 0, be32(1), jpegEntry),
+      full("stts", 0, 0, be32(1), be32(n.toLong), be32(delta)),
+      full("stsc", 0, 0, be32(stscRuns.length.toLong),
+        bytes(stscRuns.map { case (first, spc) =>
+          bytes(be32(first.toLong), be32(spc.toLong), be32(1))
+        }: _*)),
+      full("stsz", 0, 0, be32(0), be32(n.toLong),
+        bytes(frames.map(f => be32(f.length.toLong)): _*)),
+      full("stco", 0, 0, be32(chunkOffsets.length.toLong),
+        bytes(chunkOffsets.map(be32): _*)))
+    val minf = box("minf",
+      full("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0)),
+      box("dinf", full("dref", 0, 0, be32(1), full("url ", 0, 1))),
+      stbl)
+    val mdia = box("mdia",
+      full("mdhd", 0, 0, be32(0), be32(0), be32(timescale),
+        be32(duration), be16(0x55c4 /* 'und' */), be16(0)),
+      full("hdlr", 0, 0, be32(0), "vide".getBytes("US-ASCII"),
+        new Array[Byte](12), bytes("video".getBytes("US-ASCII"),
+          Array(0.toByte))),
+      minf)
+    val tkhd = full("tkhd", 0, 7, be32(0), be32(0), be32(1), be32(0),
+      be32(duration), new Array[Byte](8), be16(0), be16(0), be16(0),
+      be16(0),
+      // identity 3×3 transform in 16.16 / 2.30 fixed point
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val mvhd = full("mvhd", 0, 0, be32(0), be32(0), be32(timescale),
+      be32(duration), be32(0x00010000L), be16(0x0100), be16(0),
+      new Array[Byte](8),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      new Array[Byte](24), be32(2))
+    bytes(ftyp, mdat, box("moov", mvhd, box("trak", tkhd, mdia)))
+  }
+
+  /** Extract the encoded frames of an MJPEG MP4 by walking its REAL
+    * sample tables — the demuxer path, no codec: find the `vide`
+    * track, require a JPEG sample entry in `stsd` (any other codec is
+    * the loud boundary — no JVM decoder exists), then resolve every
+    * sample's absolute byte range from `stco` (chunk offsets) ×
+    * `stsc` (samples per chunk, run-length encoded) × `stsz`
+    * (per-sample sizes; samples within a chunk are contiguous) and
+    * slice `mdat`. Returns the frames in presentation order; each is
+    * a standalone JPEG ready for `javax.imageio` ([[dHash]],
+    * [[resizeImage]], …). Truncated tables or out-of-range offsets
+    * fail loudly. */
+  def videoFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    val (moovC, moovEnd) = findBox(payload, 0, payload.length, "moov")
+      .getOrElse(throw new IllegalArgumentException(
+        s"undecodable video payload (${payload.length} bytes): no moov"))
+    // the video track: first trak whose mdia/hdlr handler is 'vide'
+    var stbl: Option[(Int, Int)] = None
+    var from = moovC
+    while (stbl.isEmpty && from < moovEnd) {
+      findBox(payload, from, moovEnd, "trak") match {
+        case None => from = moovEnd
+        case Some((tC, tEnd)) =>
+          for ((mC, mEnd) <- findBox(payload, tC, tEnd, "mdia");
+               (hC, hEnd) <- findBox(payload, mC, mEnd, "hdlr")
+               if hEnd - hC >= 12 &&
+                 new String(payload, hC + 8, 4, "US-ASCII") == "vide";
+               (miC, miEnd) <- findBox(payload, mC, mEnd, "minf");
+               sb <- findBox(payload, miC, miEnd, "stbl"))
+            stbl = Some(sb)
+          from = tEnd
+      }
+    }
+    val (sC, sEnd) = stbl.getOrElse(throw new IllegalArgumentException(
+      "mp4 has no video track sample table (no trak with a vide hdlr)"))
+    def table(typ: String): (Int, Int) = findBox(payload, sC, sEnd, typ)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corrupt mp4: sample table missing $typ"))
+    // codec gate on the stsd entry fourcc
+    val (stsdC, stsdEnd) = table("stsd")
+    if (stsdEnd - stsdC < 16)
+      throw new IllegalArgumentException("corrupt mp4: truncated stsd")
+    val codec = new String(payload, stsdC + 12, 4, "US-ASCII")
+    if (codec != "jpeg" && codec != "mjpa" && codec != "mjpb")
+      throw new UnsupportedOperationException(
+        s"no JVM decoder for video codec '$codec': frame decode is " +
+          "implemented for MJPEG (jpeg/mjpa sample entries) only")
+    // stsz: per-sample sizes (or one uniform size)
+    val (szC, szEnd) = table("stsz")
+    if (szEnd - szC < 12)
+      throw new IllegalArgumentException("corrupt mp4: truncated stsz")
+    val uniform = u32(szC + 4)
+    val nSamples = u32(szC + 8).toInt
+    val sizes: Int => Long =
+      if (uniform != 0L) _ => uniform
+      else {
+        if (szEnd - szC < 12 + 4L * nSamples)
+          throw new IllegalArgumentException(
+            s"corrupt mp4: stsz table shorter than $nSamples entries")
+        i => u32(szC + 12 + 4 * i)
+      }
+    // stco (32-bit) or co64 (64-bit) chunk offsets
+    val (useCo64, (coC, coEnd)) =
+      findBox(payload, sC, sEnd, "stco") match {
+        case Some(t) => (false, t)
+        case None => (true, table("co64"))
+      }
+    val nChunks = u32(coC + 4).toInt
+    if (coEnd - coC < 8 + (if (useCo64) 8L else 4L) * nChunks)
+      throw new IllegalArgumentException(
+        s"corrupt mp4: chunk-offset table shorter than $nChunks entries")
+    def chunkOff(i: Int): Long =
+      if (useCo64) bb.getLong(coC + 8 + 8 * i) else u32(coC + 8 + 4 * i)
+    // stsc runs: (firstChunk, samplesPerChunk); a run covers chunks
+    // [firstChunk, next run's firstChunk)
+    val (scC, scEnd) = table("stsc")
+    val nRuns = u32(scC + 4).toInt
+    if (scEnd - scC < 8 + 12L * nRuns)
+      throw new IllegalArgumentException(
+        s"corrupt mp4: stsc table shorter than $nRuns entries")
+    val runs = (0 until nRuns).map(i =>
+      (u32(scC + 8 + 12 * i).toInt, u32(scC + 12 + 12 * i).toInt))
+    val out = Vector.newBuilder[Array[Byte]]
+    var sample = 0
+    var chunk = 1 // 1-based per spec
+    while (sample < nSamples && chunk <= nChunks) {
+      val perChunk = runs.reverse.collectFirst {
+        case (first, spc) if first <= chunk => spc
+      }.getOrElse(throw new IllegalArgumentException(
+        s"corrupt mp4: no stsc run covers chunk $chunk"))
+      var off = chunkOff(chunk - 1)
+      var i = 0
+      while (i < perChunk && sample < nSamples) {
+        val len = sizes(sample)
+        if (off < 0 || off + len > payload.length)
+          throw new IllegalArgumentException(
+            s"corrupt mp4: sample $sample range [$off, ${off + len}) " +
+              s"outside the ${payload.length}-byte file")
+        out += java.util.Arrays.copyOfRange(payload, off.toInt,
+          (off + len).toInt)
+        off += len
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples)
+      throw new IllegalArgumentException(
+        s"corrupt mp4: chunks exhausted after $sample of $nSamples samples")
+    out.result()
+  }
+
+  /** [[synthImage]]'s pixel field, JPEG-encoded — the frame synthesis
+    * side of the MJPEG fixture. Deterministic (ImageIO's baseline
+    * JPEG writer is canonical for TYPE_BYTE_GRAY at fixed quality):
+    * same seed → byte-identical frame, so planted duplicate frames
+    * survive the encode→demux→decode round trip bit-exactly. */
+  def synthFrameJpeg(seed: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](256)
+    var cur = seed.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < 256) {
+      cur = md.digest(cur)
+      System.arraycopy(cur, 0, px, i, math.min(16, 256 - i))
+      i += 16
+    }
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 16, 16, px)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
   }
 
   /** [[realDecode]] as the payload-only function [[extractFeatures]]

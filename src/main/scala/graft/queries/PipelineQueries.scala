@@ -3959,7 +3959,82 @@ object PipelineQueries {
        FROM best WHERE rn = 1 AND run_len >= 5
        ORDER BY id_a, id_b"""
 
+  // --- q317: video frame dedup through the REAL demux path --------------
+  /** Per-FRAME perceptual dedup of a video corpus, end-to-end real
+    * pure-JVM: every video document is materialized as a spec-valid
+    * MJPEG MP4 ([[graft.multimodal.Multimodal.synthMjpegMp4]] — real
+    * ISO-BMFF sample tables over real baseline-JPEG frames, planted
+    * duplicate topology), then DEMUXED back
+    * ([[graft.multimodal.Multimodal.videoFrames]] walks
+    * stsd/stsz/stsc/stco exactly as a demuxer does to slice per-frame
+    * byte ranges out of mdat), each recovered frame JPEG-decoded and
+    * perceptually hashed ([[graft.multimodal.Multimodal.dHash]]), and
+    * frames grouped by hash. The video analog of q163: the planted
+    * topology is a pure function of (doc_id, frame_idx) — frames
+    * repeat within a video with period 4, and videos ≡2 (mod 21)
+    * reuse their predecessor video's frame contents — so the oracle
+    * groups by that content key directly, and the hash compare proves
+    * the container-write → demux → decode → hash path recovered
+    * exactly the planted structure from PIXELS. Spark shape: the
+    * per-doc mux/demux runs in one `flatMapGroups` stage whose input
+    * shuffle carries only (doc_id, frame_idx, seed) — payload bytes
+    * never shuffle — and the exchange after carries only
+    * (doc_id, frame_idx, phash); the hash-group window is over a LONG.
+    * At 100 TB the synthesis stage is replaced by the parquet scan of
+    * the binary payload column and the decode stays the same
+    * embarrassingly-parallel partition-local pass. */
+  def q317VideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal => M}
+    val frames = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the video-mime class (toBinary)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(5L))).as("frame_idx"))
+      .withColumn("canon",
+        when(col("doc_id") % 21 === 2, col("doc_id") - 3)
+          .otherwise(col("doc_id")))
+      .withColumn("seed",
+        md5(concat_ws(":", col("canon"), col("frame_idx") % 4)))
+      .select("doc_id", "frame_idx", "seed")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val hashed = frames.as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long, String)]) =>
+        val seeds = it.toSeq.sortBy(_._2).map(_._3)
+        val mp4 = M.synthMjpegMp4(
+          seeds.map(M.synthFrameJpeg), 16, 16, samplesPerChunk = 4)
+        M.videoFrames(mp4).iterator.zipWithIndex.map {
+          case (jpeg, i) => (id, i.toLong, M.dHash(jpeg))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "phash")
+    hashed
+      .withColumn("group_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+      .select(col("doc_id"), col("frame_idx"), col("group_size"),
+        (col("group_size") > 1).as("is_dup"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q317Sql: String =
+    """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+       f AS (
+         SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+                CASE WHEN doc_id % 21 = 2 THEN doc_id - 3
+                     ELSE doc_id END AS canon
+         FROM v, unnest(generate_series(0, 5)) AS u(i)),
+       k AS (
+         SELECT doc_id, frame_idx,
+                canon || ':' || (frame_idx % 4) AS ck
+         FROM f)
+       SELECT doc_id, frame_idx,
+              CAST(count(*) OVER (PARTITION BY ck) AS BIGINT)
+                AS group_size,
+              count(*) OVER (PARTITION BY ck) > 1 AS is_dup
+       FROM k ORDER BY doc_id, frame_idx"""
+
   val all: Map[String, Q] = Map(
+    "q317_video_frame_dedup" -> q317VideoFrameDedup _,
     "q311_spans_lsh_bounded" -> q311SpansLshBounded _,
     "q259_shared_spans" -> q259SharedSpans _,
     "q275_thumb_dedup" -> q275ThumbDedup _,
@@ -4041,6 +4116,7 @@ object PipelineQueries {
     "q29_cosine_topk" -> q29Sql,
     "q256_mutual_nn" -> q256Sql,
     "q259_shared_spans" -> q259Sql,
+    "q317_video_frame_dedup" -> q317Sql,
     "q311_spans_lsh_bounded" -> q311Sql,
     "q275_thumb_dedup" -> q275Sql,
     "q280_rendezvous_shards" -> q280Sql,

@@ -244,6 +244,64 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(plan.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("mjpeg mp4: mux → demux round-trips every frame byte-exactly, " +
+    "in order, across single- and multi-chunk layouts, and the " +
+    "container metadata parse reads the same file") {
+    val frames = (0 until 5).map(i => Multimodal.synthFrameJpeg(s"f$i"))
+    // every frame is itself a decodable baseline JPEG (SOI marker)
+    frames.foreach { f =>
+      assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f)) != null)
+    }
+    for (spc <- Seq(Int.MaxValue, 2, 1)) {
+      val mp4 = Multimodal.synthMjpegMp4(frames, 16, 16, fps = 25,
+        samplesPerChunk = spc)
+      val back = Multimodal.videoFrames(mp4)
+      assert(back.length == 5, s"spc=$spc")
+      back.zip(frames).foreach { case (b, f) =>
+        assert(java.util.Arrays.equals(b, f), s"spc=$spc")
+      }
+      // the same bytes satisfy the metadata path: 16×16, 5 frames at
+      // 25 fps on a 1000-tick timescale = 0.2 s
+      assert(Multimodal.parseMp4Meta(mp4) == (16, 16, 0.2), s"spc=$spc")
+    }
+  }
+
+  test("mjpeg mp4: non-JPEG codecs are a loud boundary, not a garbage " +
+    "decode; corrupt sample tables fail loudly") {
+    val frames = Seq(Multimodal.synthFrameJpeg("a"))
+    val mp4 = Multimodal.synthMjpegMp4(frames, 16, 16)
+    // patch the stsd sample-entry fourcc 'jpeg' → 'avc1' (H.264): the
+    // demuxer must refuse — there is no JVM decoder for those frames
+    def indexOf(hay: Array[Byte], needle: Array[Byte]): Int =
+      hay.indices.indexWhere(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j)))
+    val avc1 = mp4.clone()
+    val at = indexOf(avc1, "jpeg".getBytes("US-ASCII"))
+    assert(at > 0, "fixture: stsd entry fourcc present")
+    System.arraycopy("avc1".getBytes("US-ASCII"), 0, avc1, at, 4)
+    val e = intercept[UnsupportedOperationException](
+      Multimodal.videoFrames(avc1))
+    assert(e.getMessage.contains("avc1"))
+    // truncating the file under the mdat makes the sample range overrun
+    intercept[IllegalArgumentException](
+      Multimodal.videoFrames(java.util.Arrays.copyOfRange(mp4, 0, 40)))
+    // garbage is not a video
+    intercept[IllegalArgumentException](
+      Multimodal.videoFrames(Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("mjpeg mp4: planted duplicate frames survive the encode → demux " +
+    "→ JPEG-decode → dHash round trip; distinct frames do not collide") {
+    val seeds = Seq("s0", "s1", "s0", "s2") // frames 0 and 2 identical
+    val mp4 = Multimodal.synthMjpegMp4(
+      seeds.map(Multimodal.synthFrameJpeg), 16, 16)
+    val hashes = Multimodal.videoFrames(mp4).map(Multimodal.dHash)
+    assert(hashes(0) == hashes(2))
+    assert(Set(hashes(0), hashes(1), hashes(3)).size == 3)
+  }
+
   test("stream-stream watermarked self-join equals the batch self-join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamingHourly
