@@ -98,6 +98,11 @@ object CommitLog {
 
   val LogDirName = "_graft_log"
 
+  /** Hidden directory holding deletion-vector parquet (see
+    * [[DeleteVectors]]): `_`-prefixed so neither Spark's directory
+    * reader nor [[listDataFiles]] ever mistakes a DV for data. */
+  val DvDirName = "_graft_dv"
+
   private def logDir(sink: Path) = new Path(sink, LogDirName)
 
   private def manifestName(gen: Long): String = f"$gen%020d.manifest"
@@ -153,14 +158,87 @@ object CommitLog {
   private[graft] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def readManifest(fs: FileSystem, sink: Path,
-                           gen: Long): Seq[String] = {
+  /** A parsed manifest: live data files, plus the deletion-vector
+    * record per data file (`#dv\t<dataRel>\t<dvRel>` lines — `dvRel`
+    * is a parquet file or directory under [[DvDirName]] whose
+    * (file, pos) rows mark deleted row positions). Pre-DV manifests
+    * have no `#` lines and parse to an empty map — the grammar is
+    * backward compatible in both directions (a DV-oblivious parser
+    * that dropped `#` lines would see exactly the data files). */
+  private[graft] case class Manifest(files: Seq[String],
+                                     dvs: Map[String, String])
+
+  // committed manifests are IMMUTABLE (the exclusive publish is the
+  // only writer and never overwrites), so a parse keyed by
+  // (path, mtime, length) can be cached forever; the mtime/length key
+  // guards the one mutation that can exist — a sink torn down and
+  // rebuilt at the same path. Bounded: cleared wholesale when large.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  /** Test observability: drop the parse cache so a subsequent read's
+    * physical manifest opens are visible to [[manifestReads]]. */
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+
+  private def readManifestFull(fs: FileSystem, sink: Path,
+                               gen: Long): Manifest = {
+    val p = new Path(logDir(sink), manifestName(gen))
+    val st = fs.getFileStatus(p)
+    val key = fs.makeQualified(p).toUri.toString +
+      "@" + st.getModificationTime + ":" + st.getLen
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
     manifestReads.incrementAndGet()
-    val in = fs.open(new Path(logDir(sink), manifestName(gen)))
+    val in = fs.open(p)
     val body =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = body.split('\n').iterator.map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val m = Manifest(
+      lines.filterNot(_.startsWith("#")),
+      lines.filter(_.startsWith("#dv\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 3,
+          s"corrupt manifest: malformed dv record '$l'")
+        parts(1) -> parts(2)
+      }.toMap)
+    if (manifestCache.size > 256) manifestCache.clear()
+    manifestCache.put(key, m)
+    m
+  }
+
+  private def readManifest(fs: FileSystem, sink: Path,
+                           gen: Long): Seq[String] =
+    readManifestFull(fs, sink, gen).files
+
+  /** The latest committed generation's deletion-vector records
+    * (data file → DV path), empty for unlogged or DV-free sinks. */
+  def dvRecords(fs: FileSystem, sink: Path): Map[String, String] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).dvs).getOrElse(Map.empty)
+
+  /** Fail-loud composition guard for rewrite operators that read live
+    * files RAW (explicit file lists without DV application — Merge,
+    * Compact, Upsert): rewriting a file whose deletion vector still
+    * holds unapplied deletes would resurrect the deleted rows into
+    * the rewritten output. Such sinks must run
+    * [[DeleteVectors.applyDeletes]] first. `files = None` guards the
+    * whole sink (operators that scan every live file). */
+  private[operators] def requireNoDvs(fs: FileSystem, sink: Path,
+                                      op: String,
+                                      files: Option[Seq[String]] = None)
+  : Unit = {
+    val dvs = dvRecords(fs, sink)
+    val hit = files match {
+      case None => dvs.keys.toSeq
+      case Some(fl) => fl.filter(dvs.contains)
+    }
+    require(hit.isEmpty,
+      s"$op would rewrite files with unapplied deletion vectors " +
+        s"(${hit.sorted.take(3).mkString(", ")}${
+          if (hit.size > 3) ", …" else ""}) — run " +
+        s"DeleteVectors.applyDeletes on $sink first")
   }
 
   /** Latest committed (generation, live files), or None when the sink
@@ -263,9 +341,20 @@ object CommitLog {
     * [[CommitConflictException]] and must retry their WHOLE operation
     * from a fresh read (their already-moved data files are debris a
     * later explicit [[vacuum]] reclaims). Returns the committed
-    * generation. */
+    * generation.
+    *
+    * Deletion-vector records carry forward AUTOMATICALLY: every DV
+    * record of the base generation whose data file is still in
+    * `files` is copied into the new manifest, so DV-oblivious writers
+    * (append, partition replace, compaction of OTHER files) can never
+    * silently resurrect deleted rows of files they didn't touch; a
+    * record whose file leaves the manifest is dropped with it (the
+    * rewriter read the rows DV-applied, or replaced them wholesale).
+    * `dvs` adds/overrides records for this commit's files
+    * ([[DeleteVectors.deleteWhere]]). */
   def commitNext(fs: FileSystem, sink: Path, baseGen: Long,
-                 files: Seq[String]): Long = {
+                 files: Seq[String],
+                 dvs: Map[String, String] = Map.empty): Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
     fs.mkdirs(dir)
@@ -278,8 +367,17 @@ object CommitLog {
     // staged manifest before the exclusive publish decides the winner
     val tmp = new Path(dir, "." + manifestName(gen) + "." +
       java.util.UUID.randomUUID().toString + ".tmp")
+    val carried =
+      if (baseGen < 0) Map.empty[String, String]
+      else try readManifestFull(fs, sink, baseGen).dvs
+      catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    val fileSet = files.toSet
+    val dvLines = (carried ++ dvs).toSeq
+      .filter { case (f, _) => fileSet(f) }.sorted
+      .map { case (f, d) => s"#dv\t$f\t$d" }
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write((files.sorted ++ dvLines).mkString("\n")
+      .getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
       try fs.delete(tmp, false)
@@ -319,14 +417,33 @@ object CommitLog {
     * safe on a quiesced sink (no writer in flight). */
   def vacuum(fs: FileSystem, sink: Path,
              olderThanMs: Long = 0L): Long = {
-    if (generations(fs, sink).isEmpty) return 0L
+    val gens = generations(fs, sink)
+    if (gens.isEmpty) return 0L
     val keep = referencedFiles(fs, sink)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: Path): Boolean = olderThanMs <= 0L ||
+      fs.getFileStatus(p).getModificationTime <= cutoff
     val orphans = listDataFiles(fs, sink).filterNot(keep)
-      .filter(r => olderThanMs <= 0L ||
-        fs.getFileStatus(new Path(sink, r)).getModificationTime <= cutoff)
+      .filter(r => oldEnough(new Path(sink, r)))
     orphans.foreach(r => fs.delete(new Path(sink, r), false))
-    orphans.length.toLong
+    // DV debris: a DV path (file or directory) under _graft_dv that no
+    // retained generation references — a torn DeleteVectors commit, or
+    // records dropped by applyDeletes/rewrites and then expired. Same
+    // mtime horizon (an in-flight delete's DV is younger than it).
+    val dvDir = new Path(sink, DvDirName)
+    var dvReclaimed = 0L
+    if (fs.exists(dvDir)) {
+      val refDv = gens.flatMap(readManifestFull(fs, sink, _).dvs.values)
+        .toSet
+      fs.listStatus(dvDir).foreach { st =>
+        val rel = DvDirName + "/" + st.getPath.getName
+        if (!refDv.contains(rel) && oldEnough(st.getPath)) {
+          fs.delete(st.getPath, true)
+          dvReclaimed += 1
+        }
+      }
+    }
+    orphans.length.toLong + dvReclaimed
   }
 
   /** Drop every generation except the newest `keepLast` (≥ 1), then
@@ -359,13 +476,138 @@ object CommitLog {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(generations(fs, hPath).contains(gen),
       s"generation $gen is not committed (or expired) at $sink")
-    val files = readManifest(fs, hPath, gen)
-    if (files.isEmpty) return spark.emptyDataFrame
-    val missing = files.filterNot(r => fs.exists(new Path(hPath, r)))
+    val m = readManifestFull(fs, hPath, gen)
+    if (m.files.isEmpty) return spark.emptyDataFrame
+    val missing = m.files.filterNot(r => fs.exists(new Path(hPath, r)))
     require(missing.isEmpty,
       s"generation $gen files were reclaimed (vacuumed): $missing")
-    spark.read.option("basePath", sink)
-      .parquet(files.map(r => new Path(hPath, r).toString): _*)
+    applyDvs(spark, hPath, fs,
+      spark.read.option("basePath", sink)
+        .parquet(m.files.map(r => new Path(hPath, r).toString): _*),
+      m.dvs)
+  }
+
+  /** Anti-join a frame read from a sink's live files against the
+    * generation's deletion vectors — the merge-on-read half of
+    * [[DeleteVectors]]. Row identity is (sink-relative file path,
+    * row ordinal), recovered from the parquet scan's `_metadata`
+    * pseudo-columns; the DV side is a scan of the referenced DV
+    * parquet. The join is a plain equi anti-join so AQE broadcasts it
+    * whenever the DVs are small (the normal case — deletes are sparse
+    * between [[DeleteVectors.applyDeletes]] compactions); no hint is
+    * forced so a massive DV still executes as a shuffle join instead
+    * of OOMing the driver. Reading ALL referenced DV paths wholesale
+    * is sound because a live file's delete set only ever GROWS until
+    * the file itself is rewritten (then its record — and its rows'
+    * file identity — leave the manifest together): stale DV rows
+    * either duplicate newer ones or name files no longer live. */
+  private def applyDvs(spark: SparkSession, sink: Path, fs: FileSystem,
+                       df: DataFrame,
+                       dvs: Map[String, String]): DataFrame = {
+    if (dvs.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, length, lit, locate}
+    val dv = spark.read.parquet(
+      dvs.values.toSeq.distinct.sorted
+        .map(r => new Path(sink, r).toString): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val prefix = fs.makeQualified(sink).toUri.getPath + "/"
+    val fp = col("_metadata.file_path")
+    df.withColumn("__rel",
+        fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv, col("__rel") === col("__dv_file") &&
+        col("__pos") === col("__dv_pos"), "left_anti")
+      .drop("__rel", "__pos")
+  }
+
+  /** Row-level change data feed between two committed generations,
+    * derived from manifests alone — no change files are ever written
+    * (the Iceberg/Delta changelog-scan construction): data files are
+    * immutable once committed, so every change is visible in the
+    * file-set and deletion-vector delta:
+    *
+    *   - a file only in `toGen` → its rows are INSERTS (minus `toGen`
+    *     DV marks: inserted-then-deleted inside the window nets out,
+    *     a reader at neither endpoint ever saw it);
+    *   - a file only in `fromGen` → its rows as visible AT `fromGen`
+    *     (minus `fromGen` DV marks) are DELETES;
+    *   - a file in both → positions marked in `toGen`'s DV but not
+    *     `fromGen`'s are DELETES (delete sets only grow while a file
+    *     is live).
+    *
+    * An UPDATE therefore appears as its delete + insert halves,
+    * exactly like a positional changelog without row tracking. Output
+    * is the sink schema plus a `_change_type` column
+    * ("insert"/"delete"). Cost ∝ changed files + DV sizes, never the
+    * table: unchanged files are excluded by set arithmetic on the two
+    * manifests before any scan is planned. */
+  def changesBetween(spark: SparkSession, sink: String,
+                     fromGen: Long, toGen: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length, lit, locate}
+    val hPath = new Path(sink)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fromGen <= toGen, s"fromGen $fromGen > toGen $toGen")
+    val gens = generations(fs, hPath)
+    require(gens.contains(fromGen) && gens.contains(toGen),
+      s"generations $fromGen and $toGen must both be retained " +
+        s"(have ${gens.mkString(",")})")
+    val mA = readManifestFull(fs, hPath, fromGen)
+    val mB = readManifestFull(fs, hPath, toGen)
+    val aSet = mA.files.toSet
+    val bSet = mB.files.toSet
+    val added = mB.files.filterNot(aSet)
+    val removed = mA.files.filterNot(bSet)
+    val common = mA.files.filter(bSet)
+    val missing = (added ++ removed ++
+      common.filter(f => mA.dvs.contains(f) != mB.dvs.contains(f) ||
+        mA.dvs.get(f) != mB.dvs.get(f)))
+      .filterNot(r => fs.exists(new Path(hPath, r)))
+    require(missing.isEmpty,
+      s"changed files were reclaimed (vacuumed): $missing")
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    def withIdentity(files: Seq[String]): DataFrame = {
+      val fp = col("_metadata.file_path")
+      spark.read.option("basePath", sink)
+        .parquet(files.map(r => new Path(hPath, r).toString): _*)
+        .withColumn("__rel", fp.substr(
+          locate(prefix, fp) + lit(prefix.length), length(fp)))
+        .withColumn("__pos", col("_metadata.row_index"))
+    }
+    def dvOf(dvs: Map[String, String], files: Seq[String]): DataFrame = {
+      val paths = files.flatMap(dvs.get).distinct.sorted
+      if (paths.isEmpty)
+        spark.emptyDataFrame.select(
+          lit("").as("__dv_file"), lit(0L).as("__dv_pos")).limit(0)
+      else spark.read.parquet(
+          paths.map(r => new Path(hPath, r).toString): _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    }
+    val dvJoin = (l: DataFrame, r: DataFrame, how: String) =>
+      l.join(r, col("__rel") === col("__dv_file") &&
+        col("__pos") === col("__dv_pos"), how)
+    val pieces = Seq.newBuilder[DataFrame]
+    if (added.nonEmpty)
+      pieces += dvJoin(withIdentity(added), dvOf(mB.dvs, added),
+        "left_anti").withColumn("_change_type", lit("insert"))
+    if (removed.nonEmpty)
+      pieces += dvJoin(withIdentity(removed), dvOf(mA.dvs, removed),
+        "left_anti").withColumn("_change_type", lit("delete"))
+    val grew = common.filter(f => mB.dvs.get(f) != mA.dvs.get(f) &&
+      mB.dvs.contains(f))
+    if (grew.nonEmpty) {
+      // positions marked at toGen minus those already marked at fromGen
+      val newMarks = dvOf(mB.dvs, grew).except(dvOf(mA.dvs, grew))
+      pieces += dvJoin(withIdentity(grew), newMarks, "left_semi")
+        .withColumn("_change_type", lit("delete"))
+    }
+    pieces.result().reduceOption(_ unionByName _)
+      .map(_.drop("__rel", "__pos"))
+      .getOrElse {
+        // no change between the generations: empty frame in the sink
+        // schema + _change_type
+        readAt(spark, sink, toGen).limit(0)
+          .withColumn("_change_type", lit(""))
+      }
   }
 
   /** Bring the sink under log control and return (generation, live
@@ -410,12 +652,15 @@ object CommitLog {
     val hPath = new Path(sink)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rd = spark.read.option("mergeSchema", mergeSchema.toString)
-    committed(fs, hPath) match {
+    generations(fs, hPath).lastOption
+      .map(readManifestFull(fs, hPath, _)) match {
       case None => rd.parquet(sink)
-      case Some((_, live)) if live.isEmpty => spark.emptyDataFrame
-      case Some((_, live)) =>
-        rd.option("basePath", sink)
-          .parquet(live.map(r => new Path(hPath, r).toString): _*)
+      case Some(m) if m.files.isEmpty => spark.emptyDataFrame
+      case Some(m) =>
+        applyDvs(spark, hPath, fs,
+          rd.option("basePath", sink)
+            .parquet(m.files.map(r => new Path(hPath, r).toString): _*),
+          m.dvs)
     }
   }
 }

@@ -68,6 +68,7 @@ object Compact {
     // old-generation files on disk that a directory read would
     // double-count into the compacted output
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    CommitLog.requireNoDvs(fs, hPath, "compactSink")
     val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
@@ -170,6 +171,7 @@ object Compact {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val assigned = live.filter(plan.contains)
     require(assigned.nonEmpty, "plan assigns no live file of this sink")
+    CommitLog.requireNoDvs(fs, hPath, "compactByPlan", Some(assigned))
     val tmp = new Path(hPath.getParent, hPath.getName + "__plan_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // keyed by URI PATH (no scheme/authority): `_metadata.file_path`

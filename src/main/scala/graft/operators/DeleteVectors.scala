@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Merge-on-read row-level deletes for [[CommitLog]]-managed parquet
+  * sinks — the deletion-vector primitive of production table formats
+  * (Delta deletion vectors, Iceberg position deletes): a DELETE marks
+  * row POSITIONS instead of rewriting files, so deleting 0.01% of a
+  * 100 TB table costs one metadata-sized parquet write and one manifest
+  * commit instead of rewriting every touched gigabyte. The
+  * manifest-resolving reader ([[CommitLog.read]] / [[CommitLog.readAt]])
+  * anti-joins the scan against the generation's DVs on
+  * (`_metadata.file_path` relativized, `_metadata.row_index`) — row
+  * identity the parquet scan itself provides, no stored row ids needed.
+  *
+  * Representation: one DV parquet directory per delete commit under
+  * `<sink>/_graft_dv/`, rows `(file: sink-relative data path,
+  * pos: row ordinal)`; the manifest's `#dv` records bind each affected
+  * data file to the DV holding its (merged) delete set. Invariants the
+  * reader and [[CommitLog.commitNext]]'s automatic record carry rely on:
+  *
+  *   - a live file's delete set only GROWS: each [[deleteWhere]] writes
+  *     the UNION of the file's previous DV rows and its new marks, so
+  *     any retained stale DV row is a duplicate of a newer one;
+  *   - a rewritten/replaced data file leaves the manifest together with
+  *     its DV record (fresh output files have fresh names), so stale DV
+  *     rows for it can never match a live row;
+  *   - rewrite operators that read live files RAW (Merge, Compact,
+  *     Upsert's publish paths) refuse DV'd inputs
+  *     ([[CommitLog.requireNoDvs]]) — [[applyDeletes]] is the explicit
+  *     merge-on-read → copy-on-write compaction that clears the DVs.
+  *
+  * Crash atomicity is [[CommitLog]]'s: the DV parquet lands in the
+  * hidden dir first (invisible — no manifest references it), then ONE
+  * manifest publish makes the delete visible; a crash between leaves
+  * debris that [[CommitLog.vacuum]]'s mtime-horizon DV sweep reclaims.
+  *
+  * The reference's warehouse gets DELETE from its transactional engine
+  * (`dags/idh_etl.py:247-256` delegates mutation to BigQuery/DuckDB);
+  * file-granular parquet needs the position-delete design instead. */
+object DeleteVectors {
+
+  /** Mark every live row matching `predicate` as deleted — no data
+    * file is touched. Returns (rows newly deleted, data files whose
+    * DV grew). Idempotent: re-running deletes 0 new rows (already-
+    * deleted rows are invisible to the matching scan). Composes with
+    * earlier deletes on the same files by DV union. `failpoint`
+    * ("dv_written" / "committed") is the crash-injection hook. */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  failpoint: String => Unit = _ => ()): (Long, Long) = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"delete target $path does not exist")
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    if (live.isEmpty) return (0L, 0L)
+    val dvs = CommitLog.dvRecords(fs, hPath)
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    val fp = col("_metadata.file_path")
+    val relCol =
+      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    // (file, pos) identity is materialized into plain columns ON the
+    // scan (metadata pseudo-columns don't survive a join), then the
+    // EXISTING deletes are anti-joined away so rows already deleted
+    // can't be re-marked and the returned count is exactly the rows
+    // this call removed
+    val raw = spark.read.option("mergeSchema", "true")
+      .option("basePath", hPath.toString)
+      .parquet(live.map(r => new Path(hPath, r).toString): _*)
+      .withColumn("__file", relCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val visible =
+      if (dvs.isEmpty) raw
+      else raw.join(
+        spark.read.parquet(
+            dvs.values.toSeq.distinct.sorted
+              .map(r => new Path(hPath, r).toString): _*)
+          .select(col("file").as("__dv_file"),
+            col("pos").as("__dv_pos")),
+        col("__file") === col("__dv_file") &&
+          col("__pos") === col("__dv_pos"), "left_anti")
+    val marks = visible.filter(predicate)
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint() // one scan feeds collect + count + write
+    val affected = marks.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return (0L, 0L)
+    val nNew = marks.count()
+    // merged DV for the affected files = their previous delete sets ∪
+    // the new marks; unaffected files keep their old records untouched
+    // (commitNext carries them forward)
+    val prior = affected.flatMap(dvs.get).distinct.sorted
+    val merged =
+      if (prior.isEmpty) marks
+      else marks.union(
+        spark.read.parquet(
+            prior.map(r => new Path(hPath, r).toString): _*)
+          .filter(col("file").isin(affected: _*))
+          .select("file", "pos")).distinct()
+    val dvRel = CommitLog.DvDirName + "/" +
+      java.util.UUID.randomUUID().toString
+    merged.repartition(1)
+      .write.parquet(new Path(hPath, dvRel).toString)
+    failpoint("dv_written")
+    CommitLog.commitNext(fs, hPath, baseGen, live,
+      affected.map(_ -> dvRel).toMap)
+    failpoint("committed")
+    (nNew, affected.length.toLong)
+  }
+
+  /** Merge-on-read MERGE: upsert `updates` into the sink by marking
+    * the matched rows' positions deleted (DV) and appending every
+    * update row as new data files — NO existing data file is read in
+    * full or rewritten, so the cost is ∝ |updates| + |DV| instead of
+    * ∝ |touched files| (the copy-on-write [[Merge.mergeParquet]]
+    * alternative; Iceberg's merge-on-read write mode). The matched
+    * scan projects only the key columns plus `_metadata` identity —
+    * at 100 TB that is a column-pruned pass, and the key join
+    * broadcasts whenever the update batch is small. One commit
+    * publishes marks + appended files together; the manifest reader
+    * sees old versions vanish and new versions appear atomically.
+    * Accumulated DVs are paid down by [[applyDeletes]]. Returns
+    * (old row versions marked deleted, update rows appended).
+    * `partitionCol`: lay appended files out in the sink's partition
+    * scheme. */
+  def mergeOnRead(spark: SparkSession, path: String,
+                  updates: org.apache.spark.sql.DataFrame,
+                  keys: Seq[String],
+                  partitionCol: Option[String] = None,
+                  failpoint: String => Unit = _ => ()): (Long, Long) = {
+    require(keys.nonEmpty, "mergeOnRead needs at least one key column")
+    require(keys.forall(updates.columns.contains),
+      s"updates ${updates.columns.mkString(",")} must carry keys $keys")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"merge target $path does not exist")
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val dvs = CommitLog.dvRecords(fs, hPath)
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    val fp = col("_metadata.file_path")
+    val relCol =
+      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    val batch = updates.select(keys.map(col): _*).distinct()
+    // matched = visible rows (existing DVs anti-joined) whose key is
+    // in the batch; only keys + identity are ever projected
+    val keyScan = spark.read.option("mergeSchema", "true")
+      .option("basePath", hPath.toString)
+      .parquet(live.map(r => new Path(hPath, r).toString): _*)
+      .select(keys.map(col) :+ relCol.as("__file") :+
+        col("_metadata.row_index").as("__pos"): _*)
+    val visible =
+      if (dvs.isEmpty) keyScan
+      else keyScan.join(
+        spark.read.parquet(
+            dvs.values.toSeq.distinct.sorted
+              .map(r => new Path(hPath, r).toString): _*)
+          .select(col("file").as("__dv_file"),
+            col("pos").as("__dv_pos")),
+        col("__file") === col("__dv_file") &&
+          col("__pos") === col("__dv_pos"), "left_anti")
+    val marks = visible.join(batch, keys, "left_semi")
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+      .localCheckpoint()
+    val affected = marks.select("file").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nMarked = marks.count()
+    val dvOpt =
+      if (affected.isEmpty) None
+      else {
+        val prior = affected.flatMap(dvs.get).distinct.sorted
+        val merged =
+          if (prior.isEmpty) marks
+          else marks.union(
+            spark.read.parquet(
+                prior.map(r => new Path(hPath, r).toString): _*)
+              .filter(col("file").isin(affected: _*))
+              .select("file", "pos")).distinct()
+        val dvRel = CommitLog.DvDirName + "/" +
+          java.util.UUID.randomUUID().toString
+        merged.repartition(1)
+          .write.parquet(new Path(hPath, dvRel).toString)
+        Some(dvRel)
+      }
+    // append every update row as fresh files, staged then moved in
+    val tmp = new Path(hPath.getParent, hPath.getName + "__mor_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    partitionCol match {
+      case Some(p) => updates.repartition(col(p))
+        .write.partitionBy(p).parquet(tmp.toString)
+      case None => updates.write.parquet(tmp.toString)
+    }
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"mergeOnRead: could not move $f into $dest")
+        added += rel
+      }
+    }
+    failpoint("staged")
+    val newFiles = added.result()
+    CommitLog.commitNext(fs, hPath, baseGen, live ++ newFiles,
+      dvOpt.map(rel => affected.map(_ -> rel).toMap)
+        .getOrElse(Map.empty))
+    failpoint("committed")
+    fs.delete(tmp, true)
+    (nMarked, updates.count())
+  }
+
+  /** Apply (compact away) every deletion vector: rewrite each DV'd
+    * data file without its deleted rows and commit a generation with
+    * no DV records for them — the OPTIMIZE step that turns
+    * merge-on-read debt back into clean files. Untouched files (no
+    * DV) keep their bytes and names. Partition directories are
+    * preserved verbatim (partition values read as STRING from the
+    * rel-path layout, [[Compact.compactSink]]'s discipline). Returns
+    * (files rewritten, files after rewrite). */
+  def applyDeletes(spark: SparkSession, path: String,
+                   failpoint: String => Unit = _ => ()): (Long, Long) = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hPath), s"apply target $path does not exist")
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val dvs = CommitLog.dvRecords(fs, hPath)
+    if (dvs.isEmpty) return (0L, 0L)
+    val targets = dvs.keys.toSeq.sorted
+    val tmp = new Path(hPath.getParent, hPath.getName + "__dv_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // partition columns, from the rel-path layout (all live files of a
+    // partitioned sink share the same k=v directory levels)
+    val partCols = targets.head.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    val targetAbs = targets.map(r => new Path(hPath, r).toString)
+    val dataSchema = spark.read.parquet(targetAbs.head).schema
+    val readSchema = StructType(dataSchema.fields ++
+      partCols.map(StructField(_, StringType)))
+    val dv = spark.read.parquet(
+        dvs.values.toSeq.distinct.sorted
+          .map(r => new Path(hPath, r).toString): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    val fp = col("_metadata.file_path")
+    val kept = spark.read.schema(readSchema)
+      .option("basePath", hPath.toString).parquet(targetAbs: _*)
+      .withColumn("__rel",
+        fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv, col("__rel") === col("__dv_file") &&
+        col("__pos") === col("__dv_pos"), "left_anti")
+      .drop("__rel", "__pos")
+    if (partCols.nonEmpty)
+      kept.repartition(partCols.map(col).toIndexedSeq: _*)
+        .write.partitionBy(partCols.toIndexedSeq: _*)
+        .parquet(tmp.toString)
+    else kept.write.parquet(tmp.toString)
+    // add → COMMIT → delete, exactly the Compact swap
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"applyDeletes: could not move $f into $dest")
+        added += rel
+      }
+    }
+    failpoint("added")
+    val newFiles = added.result()
+    // targets leave the manifest → their DV records (and only theirs)
+    // drop with them; no explicit dv map needed
+    CommitLog.commitNext(fs, hPath, baseGen,
+      live.diff(targets) ++ newFiles)
+    failpoint("committed")
+    targets.foreach { r => // GC, best-effort
+      try fs.delete(new Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
+    (targets.length.toLong, newFiles.length.toLong)
+  }
+}

@@ -98,6 +98,7 @@ object Merge {
     // exactly-once file set everything below reads (torn-swap debris
     // on disk is invisible to it)
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    CommitLog.requireNoDvs(fs, hPath, "mergeParquet")
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     val sinkDF = spark.read.option("mergeSchema", "true")
       .parquet(liveAbs: _*)
@@ -242,6 +243,7 @@ object Merge {
     require(keyCols.forall(keys.columns.contains),
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    CommitLog.requireNoDvs(fs, hPath, "eraseParquet")
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     // mergeSchema: a sink widened by mergeParquet(allowSchemaEvolution)
     // legitimately carries mixed footer schemas; without the union one
@@ -310,6 +312,7 @@ object Merge {
     require(fs.exists(hPath), s"CDC target $path does not exist — " +
       "first write goes through the publish path, not MERGE")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    CommitLog.requireNoDvs(fs, hPath, "applyCdcParquet")
     val liveAbs = live.map(r => new Path(hPath, r).toString)
     // mergeSchema for the same reason as eraseParquet: an evolved sink
     // has mixed footers, and rewriting touched wide files through one

@@ -476,6 +476,10 @@ object Upsert {
     val liveBefore: Option[(Long, Seq[String], Set[String])] =
       if (existed && CommitLog.committed(fs, hPath).isDefined) {
         val (g, lv) = CommitLog.ensureLoggedAt(fs, hPath)
+        // the existing-keys anti-join below reads live files RAW: a
+        // deletion vector's rows would count as present and wrongly
+        // suppress re-inserting a deleted key
+        CommitLog.requireNoDvs(fs, hPath, "upsertParquet")
         Some((g, lv, CommitLog.listDataFiles(fs, hPath).toSet))
       } else None
     // batch partition values, collected ONCE and shared by the pruned

@@ -733,7 +733,308 @@ object MaintenanceQueries {
        GROUP BY b.part_key, r.rows_after
        ORDER BY b.part_key"""
 
+  // --- q318/q319: deletion vectors (merge-on-read row deletes) ---------
+  /** Shared fixture for the DV pair: a lang-partitioned sink built
+    * from `documents` in two parity appends (`doc_id % 2`), so each
+    * (lang, parity) cell is EXACTLY ONE data file and the oracle can
+    * reason about files from doc_id arithmetic alone. */
+  private def dvFixture(s: SparkSession, dir: String, sink: String)
+  : Unit = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq(0, 1).foreach { par =>
+      docs.filter(col("doc_id") % 2 === par)
+        .repartition(col("lang"))
+        .write.partitionBy("lang").mode("append").parquet(sink)
+    }
+  }
+
+  /** Merge-on-read DELETE ([[graft.operators.DeleteVectors]]): two
+    * overlapping predicates delete rows by marking positions in
+    * deletion vectors — NO data file is rewritten, the manifest
+    * reader anti-joins the marks away. Emitted evidence per lang, all
+    * of it post-delete disk/manifest state the oracle must predict
+    * from `documents` arithmetic: live file count before == after
+    * (`files_before`/`files_after` — the merge-on-read point: a
+    * 0.01% delete on 100 TB moves zero data bytes), `dv_files` = the
+    * files carrying marks (the (lang, parity) cells containing a
+    * matching row), and the surviving `rows_after`/`sum_chars` the
+    * reader actually returns through the DV anti-join. */
+  def q318DvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q318_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val liveBefore = CommitLog.ensureLogged(fs, hPath)
+      DeleteVectors.deleteWhere(s, sink, col("doc_id") % 5 === 3)
+      DeleteVectors.deleteWhere(s, sink, col("doc_id") % 7 === 2)
+      val liveAfter = CommitLog.committed(fs, hPath).get._2
+      val dvRecs = CommitLog.dvRecords(fs, hPath)
+      def langOf(rel: String): String =
+        rel.split('/')(0).stripPrefix("lang=")
+      val fb = liveBefore.groupBy(langOf).view.mapValues(_.size).toMap
+      val fa = liveAfter.groupBy(langOf).view.mapValues(_.size).toMap
+      val dvf = dvRecs.keys.toSeq.groupBy(langOf).view
+        .mapValues(_.size).toMap
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      import s.implicits._
+      fb.keys.toSeq.sorted.map { l =>
+        val (ra, sc) = stats.getOrElse(l, (0L, 0L))
+        (l, fb(l).toLong, fa(l).toLong,
+          dvf.getOrElse(l, 0).toLong, ra, sc)
+      }.toDF("lang", "files_before", "files_after", "dv_files",
+        "rows_after", "sum_chars").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q318Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       del AS (SELECT *, (doc_id % 5 = 3 OR doc_id % 7 = 2) AS gone
+               FROM d),
+       cells AS (
+         SELECT lang, doc_id % 2 AS par,
+                CAST(count(*) FILTER (WHERE gone) AS BIGINT) AS dels
+         FROM del GROUP BY 1, 2),
+       files AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS files_before,
+                CAST(count(*) FILTER (WHERE dels > 0) AS BIGINT)
+                  AS dv_files
+         FROM cells GROUP BY 1),
+       kept AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM del WHERE NOT gone GROUP BY 1)
+       SELECT f.lang, f.files_before, f.files_before AS files_after,
+              f.dv_files,
+              coalesce(k.rows_after, 0) AS rows_after,
+              coalesce(k.sum_chars, 0) AS sum_chars
+       FROM files f LEFT JOIN kept k ON f.lang = k.lang
+       ORDER BY f.lang"""
+
+  /** [[q318DvDelete]]'s debt paid down:
+    * [[graft.operators.DeleteVectors.applyDeletes]] rewrites exactly
+    * the DV'd files without their deleted rows (one fresh file per
+    * touched partition), drops the records, and leaves every clean
+    * file byte-untouched. Evidence per lang: `files_after` =
+    * untouched files + one rewritten file where any marked cell still
+    * has survivors, `dv_files_after` = 0, and the reader's
+    * `rows_after`/`sum_chars` unchanged from the merge-on-read view —
+    * the compaction moved bytes, not rows. */
+  def q319DvApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q319_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      DeleteVectors.deleteWhere(s, sink, col("doc_id") % 5 === 3)
+      DeleteVectors.deleteWhere(s, sink, col("doc_id") % 7 === 2)
+      DeleteVectors.applyDeletes(s, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val liveAfter = CommitLog.committed(fs, hPath).get._2
+      val dvAfter = CommitLog.dvRecords(fs, hPath)
+      def langOf(rel: String): String =
+        rel.split('/')(0).stripPrefix("lang=")
+      val fa = liveAfter.groupBy(langOf).view.mapValues(_.size).toMap
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      import s.implicits._
+      fa.keys.toSeq.sorted.map { l =>
+        val (ra, sc) = stats.getOrElse(l, (0L, 0L))
+        (l, fa(l).toLong,
+          dvAfter.keys.count(langOf(_) == l).toLong, ra, sc)
+      }.toDF("lang", "files_after", "dv_files_after", "rows_after",
+        "sum_chars").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q319Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       del AS (SELECT *, (doc_id % 5 = 3 OR doc_id % 7 = 2) AS gone
+               FROM d),
+       cells AS (
+         SELECT lang, doc_id % 2 AS par,
+                CAST(count(*) FILTER (WHERE gone) AS BIGINT) AS dels,
+                CAST(count(*) FILTER (WHERE NOT gone) AS BIGINT)
+                  AS survivors
+         FROM del GROUP BY 1, 2),
+       files AS (
+         SELECT lang,
+                CAST(count(*) FILTER (WHERE dels = 0) AS BIGINT)
+                + CASE WHEN sum(CASE WHEN dels > 0
+                                     THEN survivors ELSE 0 END) > 0
+                       THEN 1 ELSE 0 END AS files_after
+         FROM cells GROUP BY 1),
+       kept AS (
+         SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM del WHERE NOT gone GROUP BY 1)
+       SELECT f.lang, f.files_after, CAST(0 AS BIGINT) AS dv_files_after,
+              coalesce(k.rows_after, 0) AS rows_after,
+              coalesce(k.sum_chars, 0) AS sum_chars
+       FROM files f LEFT JOIN kept k ON f.lang = k.lang
+       WHERE f.files_after > 0
+       ORDER BY f.lang"""
+
+  /** Change data feed between two committed generations
+    * ([[graft.operators.CommitLog.changesBetween]]): the row-level
+    * changelog derived from manifests + deletion vectors alone — no
+    * change files exist. Window: fixture-build generation → (append a
+    * negated-key batch, then DV-delete originals ≡3 (mod 5) and the
+    * appended keys below −400). The feed must emit the surviving
+    * appended rows as inserts, the marked originals as deletes, and
+    * NET OUT the appended rows deleted inside the window (a reader at
+    * neither endpoint ever saw them) — the oracle constructs all
+    * three sets from `documents` arithmetic. */
+  def q320ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q320_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (g0, _) = CommitLog.ensureLoggedAt(fs, hPath)
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 11 === 5)
+        .select((-col("doc_id")).as("doc_id"), col("lang"),
+          col("n_chars"))
+        .repartition(col("lang"))
+        .write.partitionBy("lang").mode("append").parquet(sink)
+      val (g1, _) = CommitLog.ensureLoggedAt(fs, hPath)
+      CommitLog.commitNext(fs, hPath, g1,
+        CommitLog.listDataFiles(fs, hPath))
+      DeleteVectors.deleteWhere(s, sink,
+        col("doc_id") % 5 === 3 || col("doc_id") < -400)
+      val gEnd = CommitLog.committed(fs, hPath).get._1
+      // materialize before the finally tears the scratch sink down
+      val rows = CommitLog.changesBetween(s, sink, g0, gEnd)
+        .select(col("_change_type"), col("doc_id").cast("long"),
+          col("lang"), col("n_chars"))
+        .orderBy("_change_type", "doc_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq
+      import s.implicits._
+      rows.toDF("_change_type", "doc_id", "lang", "n_chars")
+        .orderBy("_change_type", "doc_id")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q320Sql: String =
+    """SELECT * FROM (
+         SELECT 'insert' AS _change_type, -doc_id AS doc_id, lang,
+                n_chars
+         FROM documents WHERE doc_id % 11 = 5 AND doc_id <= 400
+         UNION ALL
+         SELECT 'delete' AS _change_type, doc_id, lang, n_chars
+         FROM documents WHERE doc_id % 5 = 3)
+       ORDER BY _change_type, doc_id"""
+
+  /** Merge-on-read MERGE
+    * ([[graft.operators.DeleteVectors.mergeOnRead]]): upsert a batch
+    * of updated + brand-new rows by DV-marking the matched versions
+    * and appending the batch — zero existing data files read in full
+    * or rewritten (`old_files_intact` pins it from the manifests).
+    * Updates: every doc ≡0 (mod 3) gains 1000 chars; inserts: every
+    * doc ≡0 (mod 10) reappears under key doc_id+1000000 with 77
+    * chars. Evidence per lang: reader row count / char sum through
+    * the DV view, DV'd file count (= parity cells holding a matched
+    * row), and the untouched-files invariant. */
+  def q321MergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q321_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val liveBefore = CommitLog.ensureLogged(fs, hPath)
+      val docs = t(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit(77L).as("n_chars")))
+      DeleteVectors.mergeOnRead(s, sink, updates, Seq("doc_id"),
+        partitionCol = Some("lang"))
+      val liveAfter = CommitLog.committed(fs, hPath).get._2
+      val dvRecs = CommitLog.dvRecords(fs, hPath)
+      def langOf(rel: String): String =
+        rel.split('/')(0).stripPrefix("lang=")
+      val dvf = dvRecs.keys.toSeq.groupBy(langOf).view
+        .mapValues(_.size).toMap
+      val intact = liveBefore.forall(liveAfter.contains)
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      import s.implicits._
+      stats.keys.toSeq.sorted.map { l =>
+        val (ra, sc) = stats(l)
+        (l, ra, sc, dvf.getOrElse(l, 0).toLong, intact)
+      }.toDF("lang", "rows_after", "sum_chars", "dv_files",
+        "old_files_intact").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q321Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       merged AS (
+         SELECT doc_id, lang,
+                CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                     ELSE n_chars END AS n_chars
+         FROM d
+         UNION ALL
+         SELECT doc_id + 1000000, lang, 77 FROM d WHERE doc_id % 10 = 0),
+       cells AS (
+         SELECT lang, doc_id % 2 AS par,
+                CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+                  AS matched
+         FROM d GROUP BY 1, 2),
+       dvf AS (
+         SELECT lang,
+                CAST(count(*) FILTER (WHERE matched > 0) AS BIGINT)
+                  AS dv_files
+         FROM cells GROUP BY 1)
+       SELECT m.lang,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(m.n_chars) AS BIGINT) AS sum_chars,
+              f.dv_files, TRUE AS old_files_intact
+       FROM merged m JOIN dvf f ON m.lang = f.lang
+       GROUP BY m.lang, f.dv_files
+       ORDER BY m.lang"""
+
   val all: Map[String, Q] = Map(
+    "q320_change_feed" -> q320ChangeFeed _,
+    "q321_merge_on_read" -> q321MergeOnRead _,
+    "q318_dv_delete" -> q318DvDelete _,
+    "q319_dv_apply" -> q319DvApply _,
     "q316_compaction_execute" -> q316CompactionExecute _,
     "q310_compaction_plan" -> q310CompactionPlan _,
     "q120_snapshot_diff" -> q120SnapshotDiff _,
@@ -749,6 +1050,10 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q320_change_feed" -> q320Sql,
+    "q321_merge_on_read" -> q321Sql,
+    "q318_dv_delete" -> q318Sql,
+    "q319_dv_apply" -> q319Sql,
     "q316_compaction_execute" -> q316Sql,
     "q310_compaction_plan" -> q310Sql,
     "q120_snapshot_diff" -> q120Sql,

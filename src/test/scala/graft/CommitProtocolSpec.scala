@@ -666,10 +666,18 @@ class CommitProtocolSpec extends SparkSpec {
       Seq("k"), Seq("v"), sink)
     assert(CommitLog.manifestReads.get() - r1 <= 3L,
       "append-path manifest reads must not grow with retained history")
-    // the EXPLICIT maintenance path legitimately reads them all
+    // the EXPLICIT maintenance path legitimately resolves them all —
+    // cold (cache dropped) that is one physical read per retained
+    // manifest; warm it is free, since committed manifests are
+    // immutable and the parse cache keyed on (path, mtime, len) holds
+    CommitLog.clearManifestCache()
     val r2 = CommitLog.manifestReads.get()
     CommitLog.vacuum(fs, p)
     assert(CommitLog.manifestReads.get() - r2 >= 120L)
+    val r3 = CommitLog.manifestReads.get()
+    CommitLog.vacuum(fs, p)
+    assert(CommitLog.manifestReads.get() - r3 == 0L,
+      "immutable manifests re-read from the parse cache")
     graft.io.Sources.deleteRecursively(root)
   }
 
