@@ -158,15 +158,51 @@ object CommitLog {
   private[graft] val manifestReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** A parsed manifest: live data files, plus the deletion-vector
-    * record per data file (`#dv\t<dataRel>\t<dvRel>` lines — `dvRel`
-    * is a parquet file or directory under [[DvDirName]] whose
-    * (file, pos) rows mark deleted row positions). Pre-DV manifests
-    * have no `#` lines and parse to an empty map — the grammar is
-    * backward compatible in both directions (a DV-oblivious parser
-    * that dropped `#` lines would see exactly the data files). */
-  private[graft] case class Manifest(files: Seq[String],
-                                     dvs: Map[String, String])
+  /** Per-file, per-column statistics record — the manifest-resident
+    * min/max/null-count that [[TableStats]] prunes scans against
+    * (Delta per-file `stats`, Iceberg manifest
+    * `lower_bounds`/`upper_bounds`). `typ` names the COMPARISON
+    * domain the encoded bounds parse into ("long" | "double" |
+    * "decimal" | "string" | "date" | "micros"); `min`/`max` are None
+    * when every value in the file was null. Bounds are computed over
+    * the file's RAW rows (deletion vectors NOT applied), so they are
+    * conservative supersets of the visible rows — pruning stays
+    * sound, never exact-tight, under MoR deletes. */
+  case class ColStats(typ: String, nRows: Long, nNulls: Long,
+                      min: Option[String], max: Option[String])
+
+  /** A parsed manifest: live data files, plus the `#`-record families
+    * the grammar carries —
+    *
+    *   - `#dv\t<dataRel>\t<dvRel>`: deletion-vector binding per data
+    *     file; `dvRel` is a parquet file or directory under
+    *     [[DvDirName]] whose (file, pos) rows mark deleted positions;
+    *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>`:
+    *     per-(file, column) [[ColStats]], column name and bounds
+    *     URL-encoded (`~` = undefined bound: the bare character
+    *     cannot collide with an encoded value, URLEncoder escapes
+    *     `~` to `%7E`);
+    *   - `#txn\t<appIdEnc>\t<version>`: highest committed version per
+    *     idempotent-writer application id ([[TxnAppend]]).
+    *
+    * Pre-extension manifests have no `#` lines and parse to empty
+    * maps — the grammar is backward compatible in both directions (an
+    * extension-oblivious parser that dropped `#` lines would see
+    * exactly the data files). */
+  private[graft] case class Manifest(
+      files: Seq[String],
+      dvs: Map[String, String],
+      stats: Map[String, Map[String, ColStats]],
+      txns: Map[String, Long])
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def encOpt(o: Option[String]): String =
+    o.map(enc).getOrElse("~")
+  private def decOpt(s: String): Option[String] =
+    if (s == "~") None else Some(dec(s))
 
   // committed manifests are IMMUTABLE (the exclusive publish is the
   // only writer and never overwrites), so a parse keyed by
@@ -195,6 +231,14 @@ object CommitLog {
       finally in.close()
     val lines = body.split('\n').iterator.map(_.trim)
       .filter(_.nonEmpty).toSeq
+    val statsRecs = lines.filter(_.startsWith("#stats\t")).map { l =>
+      val p = l.split('\t')
+      require(p.length == 8,
+        s"corrupt manifest: malformed stats record '$l'")
+      (p(1), dec(p(2)),
+        ColStats(p(3), p(4).toLong, p(5).toLong,
+          decOpt(p(6)), decOpt(p(7))))
+    }
     val m = Manifest(
       lines.filterNot(_.startsWith("#")),
       lines.filter(_.startsWith("#dv\t")).map { l =>
@@ -202,6 +246,14 @@ object CommitLog {
         require(parts.length == 3,
           s"corrupt manifest: malformed dv record '$l'")
         parts(1) -> parts(2)
+      }.toMap,
+      statsRecs.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap,
+      lines.filter(_.startsWith("#txn\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 3,
+          s"corrupt manifest: malformed txn record '$l'")
+        dec(parts(1)) -> parts(2).toLong
       }.toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
@@ -217,6 +269,21 @@ object CommitLog {
   def dvRecords(fs: FileSystem, sink: Path): Map[String, String] =
     generations(fs, sink).lastOption
       .map(readManifestFull(fs, sink, _).dvs).getOrElse(Map.empty)
+
+  /** The latest committed generation's per-file column statistics
+    * (data file → column → [[ColStats]]), empty for unlogged or
+    * never-analyzed sinks. */
+  def statsRecords(fs: FileSystem, sink: Path)
+  : Map[String, Map[String, ColStats]] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).stats).getOrElse(Map.empty)
+
+  /** Highest committed version for an idempotent writer's `appId`
+    * ([[TxnAppend]]), None when the app has never committed here. */
+  def txnVersion(fs: FileSystem, sink: Path,
+                 appId: String): Option[Long] =
+    generations(fs, sink).lastOption
+      .flatMap(readManifestFull(fs, sink, _).txns.get(appId))
 
   /** Fail-loud composition guard for rewrite operators that read live
     * files RAW (explicit file lists without DV application — Merge,
@@ -351,10 +418,20 @@ object CommitLog {
     * record whose file leaves the manifest is dropped with it (the
     * rewriter read the rows DV-applied, or replaced them wholesale).
     * `dvs` adds/overrides records for this commit's files
-    * ([[DeleteVectors.deleteWhere]]). */
+    * ([[DeleteVectors.deleteWhere]]).
+    *
+    * [[ColStats]] records carry forward the same way (per surviving
+    * file; `stats` overlays per (file, column) — [[TableStats
+    * .analyze]]), so a stats-oblivious writer keeps every untouched
+    * file prunable. `#txn` records carry UNCONDITIONALLY (highest
+    * version per app id, `txn` overlays one) — they describe writer
+    * history, not files, and must survive every rewrite or an
+    * idempotent writer would re-apply after a compaction. */
   def commitNext(fs: FileSystem, sink: Path, baseGen: Long,
                  files: Seq[String],
-                 dvs: Map[String, String] = Map.empty): Long = {
+                 dvs: Map[String, String] = Map.empty,
+                 stats: Map[String, Map[String, ColStats]] = Map.empty,
+                 txn: Option[(String, Long)] = None): Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
     fs.mkdirs(dir)
@@ -367,17 +444,37 @@ object CommitLog {
     // staged manifest before the exclusive publish decides the winner
     val tmp = new Path(dir, "." + manifestName(gen) + "." +
       java.util.UUID.randomUUID().toString + ".tmp")
-    val carried =
-      if (baseGen < 0) Map.empty[String, String]
-      else try readManifestFull(fs, sink, baseGen).dvs
-      catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+    val base: Manifest =
+      if (baseGen < 0) Manifest(Nil, Map.empty, Map.empty, Map.empty)
+      else try readManifestFull(fs, sink, baseGen)
+      catch { case _: java.io.FileNotFoundException =>
+        Manifest(Nil, Map.empty, Map.empty, Map.empty) }
     val fileSet = files.toSet
-    val dvLines = (carried ++ dvs).toSeq
+    val dvLines = (base.dvs ++ dvs).toSeq
       .filter { case (f, _) => fileSet(f) }.sorted
       .map { case (f, d) => s"#dv\t$f\t$d" }
+    val mergedStats = (base.stats.keySet ++ stats.keySet).iterator
+      .filter(fileSet).map { f =>
+        f -> (base.stats.getOrElse(f, Map.empty) ++
+          stats.getOrElse(f, Map.empty))
+      }.toMap
+    val statsLines = mergedStats.toSeq.flatMap { case (f, cols) =>
+      cols.toSeq.map { case (c, s) =>
+        s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
+          s"\t${encOpt(s.min)}\t${encOpt(s.max)}"
+      }
+    }.sorted
+    val mergedTxns = txn match {
+      case Some((app, v)) =>
+        base.txns + (app -> math.max(v, base.txns.getOrElse(app, v)))
+      case None => base.txns
+    }
+    val txnLines = mergedTxns.toSeq.sorted
+      .map { case (app, v) => s"#txn\t${enc(app)}\t$v" }
     val out = fs.create(tmp, true)
-    try out.write((files.sorted ++ dvLines).mkString("\n")
-      .getBytes("UTF-8"))
+    try out.write(
+      (files.sorted ++ dvLines ++ statsLines ++ txnLines)
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
       try fs.delete(tmp, false)
