@@ -212,7 +212,9 @@ object Multimodal {
 
   /** Encode JPEG frames as a minimal valid MJPEG MP4:
     * `[ftyp][mdat: frames concatenated][moov]` with full sample tables
-    * (stts fixed `1000/fps` ticks, run-length stsc, per-sample stsz,
+    * (timescale `fps*1000`, stts fixed 1000-tick deltas — exact for
+    * any fps, no integer-division drift — run-length stsc, per-sample
+    * stsz,
     * absolute-offset stco). moov is written LAST so chunk offsets are
     * known — the classic non-faststart layout. `samplesPerChunk`
     * splits the samples into multiple chunks (each with its own stco
@@ -247,8 +249,11 @@ object Multimodal {
         ((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
         (flags & 0xff).toByte) +: parts: _*))
     val n = frames.length
-    val timescale = 1000L
-    val delta = timescale / fps // ticks per frame
+    // timescale derived FROM fps so per-frame ticks are exact for any
+    // rate: a fixed 1000 timescale truncates delta for 24/30/60 fps
+    // (integer 1000/30 = 33) and the track duration drifts ~1 ms/frame
+    val timescale = fps * 1000L
+    val delta = 1000L // ticks per frame, exact by construction
     val duration = delta * n
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512L),
       "isomiso2".getBytes("US-ASCII"))

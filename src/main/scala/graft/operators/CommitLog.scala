@@ -325,9 +325,10 @@ object CommitLog {
     * the EXPLICIT maintenance entry points ([[vacuum]] /
     * [[expireGenerations]]) call it. The write path never does:
     * [[ensureLoggedAt]] reads exactly ONE manifest and the append path
-    * detects its new files by a before/after listing diff, so
-    * per-write log cost is O(1) manifests regardless of retained
-    * history (CommitProtocolSpec pins this with [[manifestReads]]).
+    * stages its files in a scratch directory and commits exactly the
+    * names it moved in, so per-write log cost is O(1) manifests
+    * regardless of retained history (CommitProtocolSpec pins this
+    * with [[manifestReads]]).
     * Retention ([[expireGenerations]]) bounds the maintenance cost
     * itself, exactly as production table formats bound theirs via
     * checkpoint + retention. */
@@ -345,6 +346,37 @@ object CommitLog {
   private val RenameExclusiveSchemes =
     Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
 
+  /** Path-capability strings under which a Hadoop filesystem declares
+    * that `create(path, overwrite = false)` is enforced AT CLOSE
+    * (conditional PUT / If-None-Match), not merely checked at
+    * `create()` time. Both the option-key and capability-key
+    * spellings of the conditional-overwrite contract are probed
+    * (Hadoop's S3A answers `hasPathCapability` for its create-file
+    * option keys). Probing an unknown string returns false — safe on
+    * every filesystem. */
+  private val CondCreateCapabilities = Seq(
+    "fs.option.create.conditional.overwrite",
+    "fs.capability.create.conditional.overwrite")
+
+  /** Schemes already warned about unverifiable conditional-create
+    * exclusivity — warn once per scheme, and let specs assert the
+    * warning fired. */
+  private[graft] val condCreateWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Whether `fs` verifiably enforces no-overwrite at STREAM CLOSE for
+    * `create(path, overwrite = false)`. Stock S3A without conditional
+    * writes does a client-side existence check at `create()` and an
+    * unconditional PUT at close — two racing committers both pass the
+    * check and the later close silently replaces the earlier manifest,
+    * exactly the lost update the CAS exists to prevent. */
+  private[graft] def verifiedConditionalCreate(fs: FileSystem,
+                                               path: Path): Boolean =
+    CondCreateCapabilities.exists { cap =>
+      try fs.hasPathCapability(path, cap)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   /** Atomically publish `tmp` as `fin` iff `fin` does not exist —
     * dispatch on the filesystem SCHEME (never on the Java class: a
     * test double or wrapper subclassing a local FS must get the
@@ -358,10 +390,12 @@ object CommitLog {
     *     put-if-absent on stores that enforce no-overwrite at publish
     *     time (S3 `If-None-Match` conditional writes, GCS
     *     `ifGenerationMatch: 0`, ABFS lease/etag) — the same primitive
-    *     production table formats commit through. This path assumes
-    *     PUT-style all-or-nothing visibility at close (an object
-    *     store's contract; a partially-written manifest is impossible
-    *     because nothing is visible until the single PUT lands).
+    *     production table formats commit through. Close-time
+    *     exclusivity is a store-side contract, so it is VERIFIED via
+    *     [[verifiedConditionalCreate]] (Hadoop path capabilities);
+    *     schemes that don't declare it get a once-per-scheme
+    *     durability warning, or a hard refusal under conf
+    *     `graft.commit.require.conditional.create` = true.
     * Returns whether this writer won. CommitProtocolSpec proves the
     * fallback on a test-double FS whose rename silently replaces. */
   private[graft] def publishExclusive(fs: FileSystem, tmp: Path,
@@ -385,7 +419,30 @@ object CommitLog {
     } else {
       // conditional create: copy the staged bytes through an
       // exclusive-create stream; exactly one concurrent creator's
-      // close publishes, the rest fail FileAlreadyExists
+      // close publishes, the rest fail FileAlreadyExists. That is a
+      // STORE-SIDE contract — verify the filesystem actually declares
+      // it (HADOOP-19256 conditional writes) instead of assuming:
+      // stock S3A without it checks existence client-side at create()
+      // and PUTs unconditionally at close, so racing committers can
+      // silently lose updates. Unverified schemes either fail loudly
+      // (conf `graft.commit.require.conditional.create` = true) or
+      // proceed under a once-per-scheme durability warning — the
+      // single-writer case is still correct either way.
+      if (!verifiedConditionalCreate(fs, fin.getParent)) {
+        val scheme = fs.getUri.getScheme
+        if (fs.getConf.getBoolean(
+            "graft.commit.require.conditional.create", false))
+          throw new UnsupportedOperationException(
+            s"scheme '$scheme' does not declare conditional-create " +
+              "(put-if-absent) capability; refusing to publish under " +
+              "graft.commit.require.conditional.create=true")
+        if (condCreateWarned.add(scheme))
+          System.err.println(s"[commitlog] WARN: scheme '$scheme' " +
+            "does not declare conditional-create capability " +
+            s"(${CondCreateCapabilities.head}); concurrent " +
+            "multi-writer commits on this store may not be " +
+            "exclusive at close — single-writer use is unaffected")
+      }
       val body = new Array[Byte](fs.getFileStatus(tmp).getLen.toInt)
       val in = fs.open(tmp)
       try in.readFully(body) finally in.close()

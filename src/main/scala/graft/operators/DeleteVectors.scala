@@ -43,6 +43,39 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * file-granular parquet needs the position-delete design instead. */
 object DeleteVectors {
 
+  /** Sink-relative data-file path derived from `_metadata.file_path`,
+    * guarded: DV record keys MUST spell files exactly as the
+    * manifest's [[CommitLog.relativize]] does, or [[CommitLog
+    * .commitNext]]'s carry-forward filter silently drops the records
+    * (committed deletes lost, rows resurrected). If the scan's URI
+    * spelling ever disagrees with the qualified-prefix derivation
+    * (percent-encoded characters, an unexpected mount), `locate`
+    * misses (returns 0) and this column RAISES instead of emitting a
+    * garbage substring. Belt-and-braces: callers additionally verify
+    * every derived path against the manifest's live set before
+    * committing ([[requireKnownFiles]]). */
+  private def relPathCol(prefix: String): Column = {
+    val fp = col("_metadata.file_path")
+    when(locate(prefix, fp) > 0,
+      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
+      .otherwise(raise_error(concat(
+        lit(s"deletion-vector relativize: sink prefix '$prefix' not " +
+          "found in scanned file path "), fp)))
+  }
+
+  /** Fail loudly if any DV record key does not name a manifest-live
+    * file — a key matching no live file would be dropped by the next
+    * commit's carry-forward with no error, losing the delete. */
+  private def requireKnownFiles(op: String, affected: Seq[String],
+                                live: Seq[String]): Unit = {
+    val liveSet = live.toSet
+    val rogue = affected.filterNot(liveSet)
+    require(rogue.isEmpty,
+      s"$op: derived DV file keys not in the live manifest (path " +
+        s"derivation disagrees with CommitLog.relativize): " +
+        rogue.take(3).mkString(", "))
+  }
+
   /** Mark every live row matching `predicate` as deleted — no data
     * file is touched. Returns (rows newly deleted, data files whose
     * DV grew). Idempotent: re-running deletes 0 new rows (already-
@@ -58,9 +91,7 @@ object DeleteVectors {
     if (live.isEmpty) return (0L, 0L)
     val dvs = CommitLog.dvRecords(fs, hPath)
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
-    val relCol =
-      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    val relCol = relPathCol(prefix)
     // (file, pos) identity is materialized into plain columns ON the
     // scan (metadata pseudo-columns don't survive a join), then the
     // EXISTING deletes are anti-joined away so rows already deleted
@@ -87,6 +118,7 @@ object DeleteVectors {
     val affected = marks.select("file").distinct()
       .collect().map(_.getString(0)).sorted
     if (affected.isEmpty) return (0L, 0L)
+    requireKnownFiles("deleteWhere", affected.toIndexedSeq, live)
     val nNew = marks.count()
     // merged DV for the affected files = their previous delete sets ∪
     // the new marks; unaffected files keep their old records untouched
@@ -139,15 +171,37 @@ object DeleteVectors {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val dvs = CommitLog.dvRecords(fs, hPath)
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
-    val relCol =
-      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    val relCol = relPathCol(prefix)
+    // the Merge/applyCdc discipline, enforced BEFORE any mark or
+    // append: (1) the batch must carry exactly the sink's columns — a
+    // mis-shaped batch would write mixed-schema files that
+    // mergeSchema=false readers silently drop columns from; (2) the
+    // batch must be unique per key — two update rows sharing a key
+    // would BOTH land as live rows, and with no per-key sequence
+    // column an automatic keep-one would be nondeterministic, so the
+    // producer dedupes first ([[Upsert.dedupKeepFirstAgg]])
+    val sinkDF = spark.read.option("mergeSchema", "true")
+      .option("basePath", hPath.toString)
+      .parquet(live.map(r => new Path(hPath, r).toString): _*)
+    val sinkCols = sinkDF.columns
+    require(sinkCols.sorted.sameElements(updates.columns.sorted),
+      s"mergeOnRead: updates schema ${updates.columns.sorted
+        .mkString(",")} must match sink schema ${sinkCols.sorted
+        .mkString(",")}")
+    val dupKey = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).take(1)
+    require(dupKey.isEmpty,
+      "mergeOnRead: updates carry duplicate keys (which row wins is " +
+        s"undefined) — first offender: ${dupKey.headOption
+          .fold("")(_.toString)}; dedupe the batch first " +
+        "(Upsert.dedupKeepFirstAgg)")
+    // conform column ORDER to the sink so appended files are
+    // byte-layout-compatible with the originals
+    val conformed = updates.select(sinkCols.toIndexedSeq.map(col): _*)
     val batch = updates.select(keys.map(col): _*).distinct()
     // matched = visible rows (existing DVs anti-joined) whose key is
     // in the batch; only keys + identity are ever projected
-    val keyScan = spark.read.option("mergeSchema", "true")
-      .option("basePath", hPath.toString)
-      .parquet(live.map(r => new Path(hPath, r).toString): _*)
+    val keyScan = sinkDF
       .select(keys.map(col) :+ relCol.as("__file") :+
         col("_metadata.row_index").as("__pos"): _*)
     val visible =
@@ -165,6 +219,8 @@ object DeleteVectors {
       .localCheckpoint()
     val affected = marks.select("file").distinct()
       .collect().map(_.getString(0)).sorted
+    if (affected.nonEmpty)
+      requireKnownFiles("mergeOnRead", affected.toIndexedSeq, live)
     val nMarked = marks.count()
     val dvOpt =
       if (affected.isEmpty) None
@@ -187,9 +243,9 @@ object DeleteVectors {
     val tmp = new Path(hPath.getParent, hPath.getName + "__mor_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     partitionCol match {
-      case Some(p) => updates.repartition(col(p))
+      case Some(p) => conformed.repartition(col(p))
         .write.partitionBy(p).parquet(tmp.toString)
-      case None => updates.write.parquet(tmp.toString)
+      case None => conformed.write.parquet(tmp.toString)
     }
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)
@@ -247,11 +303,9 @@ object DeleteVectors {
           .map(r => new Path(hPath, r).toString): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
     val kept = spark.read.schema(readSchema)
       .option("basePath", hPath.toString).parquet(targetAbs: _*)
-      .withColumn("__rel",
-        fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
+      .withColumn("__rel", relPathCol(prefix))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(dv, col("__rel") === col("__dv_file") &&
         col("__pos") === col("__dv_pos"), "left_anti")

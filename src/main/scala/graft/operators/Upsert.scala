@@ -465,22 +465,23 @@ object Upsert {
     // its manifest CURRENT through appends too: the anti-join below
     // reads the manifest-resolved LIVE set (a plain directory read
     // would also see torn-swap debris — uncommitted inserts whose keys
-    // would then wrongly suppress this batch's rows), and the appended
-    // files extend the manifest afterwards, detected by a before/after
-    // LISTING diff (debris is in the before-listing, so it is never
-    // adopted; and unlike a referencedFiles diff this costs zero extra
-    // manifest reads — per-write log cost stays O(1) manifests).
-    // Never-logged sinks skip all of it (zero cost). NOTHING is
-    // deleted on this path — debris reclaim is explicit vacuum
-    // maintenance, never a writer's side effect.
-    val liveBefore: Option[(Long, Seq[String], Set[String])] =
+    // would then wrongly suppress this batch's rows), and the append
+    // itself is STAGED to a scratch directory and moved in under its
+    // exact staged names (a before/after listing diff would adopt ANY
+    // file that appeared in the window — including a concurrent
+    // rewriter's staged-but-uncommitted move-ins, committing another
+    // writer's copies as this append's rows). Per-write log cost
+    // stays O(1) manifests. Never-logged sinks skip all of it (zero
+    // cost). NOTHING is deleted on this path — debris reclaim is
+    // explicit vacuum maintenance, never a writer's side effect.
+    val liveBefore: Option[(Long, Seq[String])] =
       if (existed && CommitLog.committed(fs, hPath).isDefined) {
         val (g, lv) = CommitLog.ensureLoggedAt(fs, hPath)
         // the existing-keys anti-join below reads live files RAW: a
         // deletion vector's rows would count as present and wrongly
         // suppress re-inserting a deleted key
         CommitLog.requireNoDvs(fs, hPath, "upsertParquet")
-        Some((g, lv, CommitLog.listDataFiles(fs, hPath).toSet))
+        Some((g, lv))
       } else None
     // batch partition values, collected ONCE and shared by the pruned
     // anti-join scan and the pruned before/after counts
@@ -501,8 +502,8 @@ object Upsert {
        else liveBefore match {
          // logged sink: resolve through the manifest so uncommitted
          // torn-swap debris can never suppress (or double-count) rows
-         case Some((_, lv, _)) if lv.isEmpty => None
-         case Some((_, lv, _)) =>
+         case Some((_, lv)) if lv.isEmpty => None
+         case Some((_, lv)) =>
            Some(spark.read.option("basePath", path).parquet(
              lv.map(r => new org.apache.hadoop.fs.Path(hPath, r).toString)
                : _*))
@@ -518,55 +519,74 @@ object Upsert {
       case None => deduped // first write: sink doesn't exist yet
     }
     // appended-row count from the write command's own committed-task
-    // metrics — zero extra jobs; the footer-count pair this replaces is
-    // kept as the fallback should the listener event not arrive
-    val watch = watchWrite(spark, path)
+    // metrics — zero extra jobs; a footer count over exactly the new
+    // files is the fallback should the listener event not arrive.
+    // Logged sinks write to a scratch dir (unique per attempt —
+    // concurrent upserts must not collide in staging) and move the
+    // EXACT staged names in; unlogged sinks append directly.
+    val scratch = liveBefore.map { _ =>
+      new org.apache.hadoop.fs.Path(hPath.getParent,
+        hPath.getName + "__append_tmp-" +
+          java.util.UUID.randomUUID().toString)
+    }
+    val writeTarget = scratch.map(_.toString).getOrElse(path)
+    val watch = watchWrite(spark, writeTarget)
     partitionCol match {
       case Some(p) => delta.repartition(col(p))
-        .write.mode("append").partitionBy(p).parquet(path)
-      case None => delta.write.mode("append").parquet(path)
+        .write.mode("append").partitionBy(p).parquet(writeTarget)
+      case None => delta.write.mode("append").parquet(writeTarget)
     }
     var n = watch.rows()
-    if (n < 0) {
-      System.err.println(s"[upsert] write metrics for $path did not " +
-        "arrive — falling back to parquet footer counts")
-      n = liveBefore match {
-        case Some((_, _, beforeListing)) =>
-          // logged sink: count exactly the files this append created
-          // (listing diff) — immune to torn-swap debris on disk
-          val appended = CommitLog.listDataFiles(fs, hPath)
-            .filterNot(beforeListing)
-          if (appended.isEmpty) 0L
-          else spark.read.option("basePath", path).parquet(
-            appended.map(r =>
-              new org.apache.hadoop.fs.Path(hPath, r).toString): _*
-          ).count()
-        case None =>
-          val before = existedSink.map(_.count()).getOrElse(0L) // frozen
-          val after = try {
-            val sink = spark.read.parquet(path)
-            (pvals match {
-              case Some((p, vs)) => prunedSink(sink, p, vs)
-              case None => sink
-            }).count()
-          } catch {
-            // an all-empty FIRST write leaves a directory with no data
-            // files — unreadable as parquet, and deleted by G1 below
-            case _: org.apache.spark.sql.AnalysisException if !existed => 0L
-          }
-          after - before
+    liveBefore.foreach { case (baseGen, lv) =>
+      val tmp = scratch.get
+      // move the staged files in under their exact (globally-unique
+      // part-<uuid>) names, commit exactly that list — no listing
+      // diff, so a concurrent rewriter's in-flight move-ins can never
+      // be adopted into this append's manifest
+      val added = Seq.newBuilder[String]
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val rel = CommitLog.relativize(fs, tmp, f.toString)
+          val dest = new org.apache.hadoop.fs.Path(hPath, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f, dest))
+            throw new java.io.IOException(
+              s"upsertParquet: could not move $f into $dest")
+          added += rel
+        }
       }
-    }
-    liveBefore.foreach { case (baseGen, lv, beforeListing) =>
-      // diff against the PRE-append listing, not against referenced
-      // files: old-generation history files AND uncommitted torn-swap
-      // debris are both already on disk before the append, so neither
-      // can be resurrected into the manifest — and no manifest beyond
-      // the one ensureLoggedAt already opened is ever read
-      val newFiles = CommitLog.listDataFiles(fs, hPath)
-        .filterNot(beforeListing)
+      val newFiles = added.result()
+      if (n < 0) {
+        System.err.println(s"[upsert] write metrics for $path did " +
+          "not arrive — falling back to parquet footer counts")
+        n = if (newFiles.isEmpty) 0L
+        else spark.read.option("basePath", path).parquet(
+          newFiles.map(r =>
+            new org.apache.hadoop.fs.Path(hPath, r).toString): _*
+        ).count()
+      }
       if (newFiles.nonEmpty)
         CommitLog.commitNext(fs, hPath, baseGen, lv ++ newFiles)
+      fs.delete(tmp, true)
+    }
+    if (n < 0 && liveBefore.isEmpty) {
+      System.err.println(s"[upsert] write metrics for $path did not " +
+        "arrive — falling back to parquet footer counts")
+      val before = existedSink.map(_.count()).getOrElse(0L) // frozen
+      val after = try {
+        val sink = spark.read.parquet(path)
+        (pvals match {
+          case Some((p, vs)) => prunedSink(sink, p, vs)
+          case None => sink
+        }).count()
+      } catch {
+        // an all-empty FIRST write leaves a directory with no data
+        // files — unreadable as parquet, and deleted by G1 below
+        case _: org.apache.spark.sql.AnalysisException if !existed => 0L
+      }
+      n = after - before
     }
     if (n == 0 && !existed) fs.delete(hPath, true) // G1: no empty sink
     n

@@ -3815,84 +3815,38 @@ object PipelineQueries {
 
   // --- q259: shared-span locator (plagiarism offsets) -------------------
   /** WHERE the near-duplicate corpus overlaps, not just THAT it does:
-    * [[Dedup.sharedSpans]] locates each candidate pair's longest
-    * contiguous common token run via positional shingle postings + the
-    * diagonal-island window (scaladoc there) — the quotation /
-    * plagiarism-span primitive set similarity can't express. The
-    * planted near-dup corpus (every doc + its first-word-dropped
-    * copy) makes the expected answer structural: the copy shares the
-    * original's whole tail, so spans ≈ doc length − 1 token. */
-  def q259SharedSpans(s: SparkSession, dir: String): DataFrame =
-    // cap 50: the synthetic corpus's small-vocabulary 3-grams recur
-    // across MANY unrelated docs, and each shingle costs occ² pair
-    // rows — at cap 1000 the sf0.1 run spent 8 s generating
-    // boilerplate pairs that the run-length filter then discarded;
-    // at cap 50 the planted spans (occurrences ≈ 2-6) all survive
-    // and Σ occ² collapses ~30×. Same jaccardPairs maxDocFreq logic.
-    Dedup.sharedSpans(nearDupCorpus(t(s, dir, "documents")),
-        "doc_id", "text", n = 3, minRun = 5L, maxOccurrences = 50L)
-      .orderBy("id_a", "id_b")
-
-  val q259Sql: String =
-    s"""WITH corpus AS ($corpusSql),
-       toks AS (
-         SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-       psh AS (
-         SELECT doc_id AS sid, CAST(i - 1 AS BIGINT) AS pos,
-                ('0x' ||
-                 substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15)
-                )::BIGINT AS h
-         FROM toks, unnest(generate_series(1, len(tk) - 2)) AS u(i)
-         WHERE len(tk) >= 3),
-       keep AS (SELECT h FROM psh GROUP BY h HAVING count(*) <= 50),
-       pshc AS (SELECT psh.* FROM psh JOIN keep USING (h)),
-       hits AS (
-         SELECT a.sid AS id_a, b.sid AS id_b, a.pos AS pa,
-                a.pos - b.pos AS diag
-         FROM pshc a JOIN pshc b ON a.h = b.h AND a.sid < b.sid),
-       runs AS (
-         SELECT id_a, id_b, diag, pa,
-                pa - row_number() OVER (PARTITION BY id_a, id_b, diag
-                  ORDER BY pa) AS grp
-         FROM hits),
-       islands AS (
-         SELECT id_a, id_b, diag, grp,
-                CAST(count(*) AS BIGINT) AS run_len,
-                min(pa) AS start_a
-         FROM runs GROUP BY 1, 2, 3, 4),
-       best AS (
-         SELECT id_a, id_b, diag, run_len, start_a,
-                row_number() OVER (PARTITION BY id_a, id_b
-                  ORDER BY run_len DESC, start_a ASC, diag ASC) AS rn
-         FROM islands)
-       SELECT id_a, id_b, run_len AS run_shingles,
-              CAST(run_len + 2 AS BIGINT) AS span_tokens,
-              start_a, CAST(start_a - diag AS BIGINT) AS start_b
-       FROM best WHERE rn = 1 AND run_len >= 5
-       ORDER BY id_a, id_b"""
-
-  // --- q311: LSH-bounded shared-span locator (the 100 TB wiring) --------
-  /** [[Dedup.sharedSpansFor]] composed with [[Dedup.minHashCandidates]]
-    * — the scale-safe form of q259: pair generation is bounded by the
-    * LSH candidate list (est_jaccard ≥ 0.5) instead of by every
-    * co-occurring shingle, so a corpus 1000× larger pays 1000× the
-    * signature pass plus work proportional to its TRUE near-dup pairs,
-    * never Σ occ² over boilerplate shingles. Oracle replays the whole
-    * composition: q27's MinHash/LSH candidate CTEs feed q259's
-    * positional-shingle diagonal-island span CTEs, restricted to the
-    * candidate pairs. */
-  def q311SpansLshBounded(s: SparkSession, dir: String): DataFrame = {
+    * the longest contiguous common token run per near-dup pair, via
+    * positional shingle postings + the diagonal-island window — the
+    * quotation / plagiarism-span primitive set similarity can't
+    * express. DECLARED in its scale-safe form: [[Dedup
+    * .minHashCandidates]] bounds pair generation (est_jaccard ≥ 0.6 —
+    * the tight-duplicate band; q311 is the same composition at the
+    * looser 0.5 cut) and [[Dedup.sharedSpansFor]] locates spans for
+    * exactly those pairs, so a 1000× corpus pays 1000× the signature
+    * pass plus work ∝ its TRUE near-dup pairs — never Σ occ² over
+    * boilerplate shingles, which is what the corpus-direct
+    * [[Dedup.sharedSpans]] costs (that form stays available, spec'd
+    * in DedupSpec, for bounded corpora where every co-occurring pair
+    * genuinely needs a span). The planted near-dup corpus (every doc
+    * + its first-word-dropped copy) makes the expected answer
+    * structural: the copy shares the original's whole tail, so spans
+    * ≈ doc length − 1 token. */
+  def q259SharedSpans(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearDupCorpus(t(s, dir, "documents"))
     val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
         n = 3, numPerm = 16, rowsPerBand = 4)
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= 0.6)
       .select("id_a", "id_b")
     Dedup.sharedSpansFor(corpus, "doc_id", "text", n = 3, minRun = 5L,
         candidates = cand)
       .orderBy("id_a", "id_b")
   }
 
-  val q311Sql: String =
+  /** Oracle for the LSH-bounded span locator at a given est-jaccard
+    * cut: q27's MinHash/LSH candidate CTEs feed q259's positional-
+    * shingle diagonal-island span CTEs, restricted to the candidate
+    * pairs — the whole composition replayed in SQL. */
+  private def spansLshSql(threshold: String): String =
     s"""WITH corpus AS ($corpusSql),
        $shingleSql,
        perms AS (SELECT unnest(range(0, 16)) AS perm),
@@ -3925,7 +3879,8 @@ object PipelineQueries {
          JOIN sig sa ON sa.sid = id_a
          JOIN sig sb ON sb.sid = id_b AND sb.perm = sa.perm
          GROUP BY 1, 2),
-       cpair AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       cpair AS (SELECT id_a, id_b FROM est
+                 WHERE est_jaccard >= $threshold),
        psh AS (
          SELECT doc_id AS sid, CAST(i - 1 AS BIGINT) AS pos,
                 ('0x' ||
@@ -3958,6 +3913,30 @@ object PipelineQueries {
               start_a, CAST(start_a - diag AS BIGINT) AS start_b
        FROM best WHERE rn = 1 AND run_len >= 5
        ORDER BY id_a, id_b"""
+
+  val q259Sql: String = spansLshSql("0.6")
+
+  // --- q311: LSH-bounded shared-span locator (the 100 TB wiring) --------
+  /** [[Dedup.sharedSpansFor]] composed with [[Dedup.minHashCandidates]]
+    * at the LOOSER est_jaccard ≥ 0.5 cut — the recall band of the
+    * same scale-safe composition q259 declares at ≥ 0.6: pair
+    * generation is bounded by the LSH candidate list instead of by
+    * every co-occurring shingle, so a corpus 1000× larger pays 1000×
+    * the signature pass plus work proportional to its TRUE near-dup
+    * pairs, never Σ occ² over boilerplate shingles. Oracle replays
+    * the whole composition ([[spansLshSql]]). */
+  def q311SpansLshBounded(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(t(s, dir, "documents"))
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+        n = 3, numPerm = 16, rowsPerBand = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    Dedup.sharedSpansFor(corpus, "doc_id", "text", n = 3, minRun = 5L,
+        candidates = cand)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q311Sql: String = spansLshSql("0.5")
 
   // --- q317: video frame dedup through the REAL demux path --------------
   /** Per-FRAME perceptual dedup of a video corpus, end-to-end real

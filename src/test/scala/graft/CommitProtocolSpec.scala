@@ -660,7 +660,8 @@ class CommitProtocolSpec extends SparkSpec {
     assert(CommitLog.manifestReads.get() - r0 <= 1L,
       "a writer's entry must read exactly the latest manifest")
     // a whole logged append stays O(1) manifests too (entry + the
-    // pre-append committed check; new-file detection is a listing diff)
+    // pre-append committed check; the appended names are tracked by
+    // the staged move-in, no extra manifest reads)
     val r1 = CommitLog.manifestReads.get()
     Upsert.upsertParquet(spark, Seq((7L, 70L)).toDF("k", "v"),
       Seq("k"), Seq("v"), sink)
@@ -731,6 +732,45 @@ class CommitProtocolSpec extends SparkSpec {
     graft.io.Sources.deleteRecursively(root)
   }
 
+  test("conditional-create publish on a scheme that does NOT declare " +
+    "close-time exclusivity: warns once per scheme and still " +
+    "publishes; refuses outright under the require conf") {
+    val root = java.nio.file.Files.createTempDirectory("cps_uv").toString
+    val fs = new UnverifiedStoreFS
+    fs.initialize(java.net.URI.create("s3plain:///"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!CommitLog.verifiedConditionalCreate(fs, new Path(root)),
+      "fixture: the double must not declare the capability")
+    val dir = new Path(root, "log"); fs.mkdirs(dir)
+    def stage(name: String, body: String): Path = {
+      val t = new Path(dir, name)
+      val out = fs.create(t, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      t
+    }
+    CommitLog.condCreateWarned.remove("s3plain")
+    val fin = new Path(dir, "00000000000000000001.manifest")
+    assert(CommitLog.publishExclusive(fs, stage(".t1.tmp", "w"), fin),
+      "single-writer publish must still work, under a warning")
+    assert(CommitLog.condCreateWarned.contains("s3plain"),
+      "the unverified-exclusivity durability warning must fire")
+    // and by contrast the capability-declaring double is warning-free
+    assert(!CommitLog.condCreateWarned.contains("s3ish"))
+    // strict mode: an unverified store is a hard refusal, not a warn
+    val strictConf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    strictConf.setBoolean("graft.commit.require.conditional.create",
+      true)
+    val strictFs = new UnverifiedStoreFS
+    strictFs.initialize(java.net.URI.create("s3plain:///"), strictConf)
+    val t2 = stage(".t2.tmp", "x")
+    intercept[UnsupportedOperationException] {
+      CommitLog.publishExclusive(strictFs, t2,
+        new Path(dir, "00000000000000000002.manifest"))
+    }
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("cross-process commit race: a SECOND JVM races commitNext on " +
     "the same sink from the same base — exactly one winner across " +
     "real process boundaries") {
@@ -782,6 +822,26 @@ class CommitProtocolSpec extends SparkSpec {
   * [[graft.operators.CommitLog]]'s conditional-create fallback. */
 class SilentReplaceFS extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("s3ish:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst)) delete(dst, false)
+    super.rename(src, dst)
+  }
+  // this double models a store WITH conditional writes (S3
+  // If-None-Match): it DECLARES the capability the publish gate
+  // verifies, exactly as HADOOP-19256 S3A does
+  override def hasPathCapability(path: Path, cap: String): Boolean =
+    cap == "fs.option.create.conditional.overwrite" ||
+      cap == "fs.capability.create.conditional.overwrite" ||
+      super.hasPathCapability(path, cap)
+}
+
+/** Like [[SilentReplaceFS]] but WITHOUT the conditional-create
+  * capability declaration — a stock connector whose
+  * `create(overwrite = false)` is a client-side existence check plus
+  * an unconditional PUT at close. The publish gate must not silently
+  * treat it as put-if-absent. */
+class UnverifiedStoreFS extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3plain:///")
   override def rename(src: Path, dst: Path): Boolean = {
     if (exists(dst)) delete(dst, false)
     super.rename(src, dst)

@@ -263,9 +263,15 @@ class MultimodalStreamingSpec extends SparkSpec {
         assert(java.util.Arrays.equals(b, f), s"spc=$spc")
       }
       // the same bytes satisfy the metadata path: 16×16, 5 frames at
-      // 25 fps on a 1000-tick timescale = 0.2 s
+      // 25 fps (timescale fps*1000, exact 1000-tick deltas) = 0.2 s
       assert(Multimodal.parseMp4Meta(mp4) == (16, 16, 0.2), s"spc=$spc")
     }
+    // rates that don't divide 1000 (24/30/60 fps) must not drift: the
+    // timescale derives from fps, so 5 frames at 30 fps is exactly 1/6 s
+    val m30 = Multimodal.synthMjpegMp4(frames, 16, 16, fps = 30)
+    val (_, _, d30) = Multimodal.parseMp4Meta(m30)
+    assert(math.abs(d30 - 5.0 / 30.0) < 1e-12, s"got $d30")
+    assert(Multimodal.videoFrames(m30).length == 5)
   }
 
   test("mjpeg mp4: non-JPEG codecs are a loud boundary, not a garbage " +
