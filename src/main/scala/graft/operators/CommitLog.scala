@@ -655,7 +655,8 @@ object CommitLog {
     * the file itself is rewritten (then its record — and its rows'
     * file identity — leave the manifest together): stale DV rows
     * either duplicate newer ones or name files no longer live. */
-  private def applyDvs(spark: SparkSession, sink: Path, fs: FileSystem,
+  private[graft] def applyDvs(spark: SparkSession, sink: Path,
+                              fs: FileSystem,
                        df: DataFrame,
                        dvs: Map[String, String]): DataFrame = {
     if (dvs.isEmpty) return df
