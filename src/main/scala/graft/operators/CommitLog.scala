@@ -183,7 +183,16 @@ object CommitLog {
     *     cannot collide with an encoded value, URLEncoder escapes
     *     `~` to `%7E`);
     *   - `#txn\t<appIdEnc>\t<version>`: highest committed version per
-    *     idempotent-writer application id ([[TxnAppend]]).
+    *     idempotent-writer application id ([[TxnAppend]]);
+    *   - `#colmap\t<dataRel>\t<physEnc>\t<logicalEnc>`: per-file
+    *     column mapping for NON-ADDITIVE schema evolution
+    *     ([[SchemaEvolve]]) — the file's physical column `phys` reads
+    *     as logical column `logical`; logical `~` is a DROP tombstone
+    *     (the physical column is excluded from reads). Files with no
+    *     records read identity (physical == logical) — Iceberg's
+    *     name-mapping idea keyed by name instead of field id, which
+    *     suffices because every rename commit rewrites the records of
+    *     every live file in the same atomic manifest.
     *
     * Pre-extension manifests have no `#` lines and parse to empty
     * maps — the grammar is backward compatible in both directions (an
@@ -193,7 +202,8 @@ object CommitLog {
       files: Seq[String],
       dvs: Map[String, String],
       stats: Map[String, Map[String, ColStats]],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      colmaps: Map[String, Map[String, String]] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -254,7 +264,15 @@ object CommitLog {
         require(parts.length == 3,
           s"corrupt manifest: malformed txn record '$l'")
         dec(parts(1)) -> parts(2).toLong
-      }.toMap)
+      }.toMap,
+      lines.filter(_.startsWith("#colmap\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4,
+          s"corrupt manifest: malformed colmap record '$l'")
+        (parts(1), dec(parts(2)),
+          if (parts(3) == "~") "" else dec(parts(3)))
+      }.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
     m
@@ -263,6 +281,39 @@ object CommitLog {
   private def readManifest(fs: FileSystem, sink: Path,
                            gen: Long): Seq[String] =
     readManifestFull(fs, sink, gen).files
+
+  /** The latest committed generation's column-mapping records
+    * (data file → physical → logical), empty for unlogged or unmapped
+    * sinks ([[SchemaEvolve]]). */
+  def colmapRecords(fs: FileSystem, sink: Path)
+  : Map[String, Map[String, String]] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).colmaps)
+      .getOrElse(Map.empty)
+
+  /** Refuse an operator whose scan resolves columns by PHYSICAL name
+    * on files carrying a column mapping — it would read renamed
+    * columns under stale names (mergeSchema unioning old+new names as
+    * distinct null-padded columns) or resurrect dropped ones.
+    * [[SchemaEvolve.normalize]] is the explicit rewrite that clears
+    * the records, exactly as [[DeleteVectors.applyDeletes]] clears
+    * DVs for the raw-reading rewrite family. */
+  private[operators] def requireNoColmaps(fs: FileSystem, sink: Path,
+                                          op: String,
+                                          files: Option[Seq[String]] =
+                                            None): Unit = {
+    val cms = colmapRecords(fs, sink)
+    val hit = files match {
+      case None => cms.keys.toSeq
+      case Some(fl) => fl.filter(cms.contains)
+    }
+    require(hit.isEmpty,
+      s"$op reads files by physical column name but these carry a " +
+        s"column mapping (${hit.sorted.take(3).mkString(", ")}${
+          if (hit.size > 3) ", …" else ""}) — run " +
+        "SchemaEvolve.normalize first to rewrite them to the logical " +
+        "schema")
+  }
 
   /** The latest committed generation's deletion-vector records
     * (data file → DV path), empty for unlogged or DV-free sinks. */
@@ -488,7 +539,9 @@ object CommitLog {
                  files: Seq[String],
                  dvs: Map[String, String] = Map.empty,
                  stats: Map[String, Map[String, ColStats]] = Map.empty,
-                 txn: Option[(String, Long)] = None): Long = {
+                 txn: Option[(String, Long)] = None,
+                 colmaps: Map[String, Map[String, String]] = Map.empty)
+  : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
     fs.mkdirs(dir)
@@ -528,10 +581,24 @@ object CommitLog {
     }
     val txnLines = mergedTxns.toSeq.sorted
       .map { case (app, v) => s"#txn\t${enc(app)}\t$v" }
+    // colmap records carry per surviving file (a rewritten file's
+    // output has the logical schema, so its old mapping must leave
+    // with it); `colmaps` REPLACES a file's whole mapping (a rename
+    // rewrites every live file's record set in this one commit)
+    val mergedColmaps = (base.colmaps.keySet ++ colmaps.keySet)
+      .iterator.filter(fileSet).map { f =>
+        f -> colmaps.getOrElse(f, base.colmaps.getOrElse(f, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
+    val colmapLines = mergedColmaps.toSeq.flatMap { case (f, m) =>
+      m.toSeq.map { case (phys, logical) =>
+        s"#colmap\t$f\t${enc(phys)}\t${
+          if (logical.isEmpty) "~" else enc(logical)}"
+      }
+    }.sorted
     val out = fs.create(tmp, true)
     try out.write(
-      (files.sorted ++ dvLines ++ statsLines ++ txnLines)
-        .mkString("\n").getBytes("UTF-8"))
+      (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
+        colmapLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
       try fs.delete(tmp, false)
@@ -551,6 +618,55 @@ object CommitLog {
   def commit(fs: FileSystem, sink: Path, files: Seq[String]): Long =
     commitNext(fs, sink,
       committed(fs, sink).map(_._1).getOrElse(-1L), files)
+
+  /** Append-only commit with bounded REBASE-AND-RETRY — the
+    * commutative-commit loop production table formats run so two
+    * concurrent hourly publishers don't need caller-level retries. A
+    * blind append commutes with EVERY winner at the file level: its
+    * staged files carry fresh globally-unique names no other writer
+    * references, and losing the CAS only means the live set moved —
+    * so the loser re-reads the winner's manifest via
+    * [[ensureLoggedAt]] and re-commits `that live set ++ its own
+    * files`, with DV/stats/txn records carrying forward from the
+    * WINNER's manifest automatically ([[commitNext]]'s carry rules).
+    * Bounded by `maxAttempts`; exhaustion (a pathologically hot sink)
+    * surfaces the underlying [[CommitConflictException]].
+    *
+    * Contract boundary, exactly Delta's blind-append semantics:
+    * FILE-level atomicity is guaranteed here; KEY-level claims
+    * (insert-only uniqueness) remain snapshot-based — a concurrent
+    * winner may have inserted the same keys after this writer's
+    * anti-join scan. Writers needing exactly-once batches across
+    * concurrent processes pass `txn` (the `#txn` idempotence ledger,
+    * [[txnVersion]]); the rebase re-merges it against the winner's
+    * ledger on every attempt. Rewriters (compaction, merge, partition
+    * replace) must NOT use this — their read snapshot is invalidated
+    * by any winner, which is what the terminal [[commitNext]] conflict
+    * is for. */
+  def commitAppend(fs: FileSystem, sink: Path, baseGen: Long,
+                   liveAtBase: Seq[String], newFiles: Seq[String],
+                   stats: Map[String, Map[String, ColStats]] = Map.empty,
+                   txn: Option[(String, Long)] = None,
+                   maxAttempts: Int = 8): Long = {
+    var base = baseGen
+    var live = liveAtBase
+    var attempt = 0
+    while (true) {
+      try return commitNext(fs, sink, base, live ++ newFiles,
+        Map.empty, stats, txn)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new CommitConflictException(
+              s"commitAppend: gave up after $maxAttempts rebase " +
+                s"attempts at $sink — ${e.getMessage}")
+          val (g2, l2) = ensureLoggedAt(fs, sink)
+          base = g2; live = l2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** EXPLICIT maintenance: delete data files on disk that NO retained
     * generation references — debris from torn swaps, lost commit
@@ -591,7 +707,12 @@ object CommitLog {
         .toSet
       fs.listStatus(dvDir).foreach { st =>
         val rel = DvDirName + "/" + st.getPath.getName
-        if (!refDv.contains(rel) && oldEnough(st.getPath)) {
+        // a record may name the DV directory (single-task layout) or a
+        // part FILE inside it (sharded mass-delete layout) — a dir any
+        // retained record points INTO is live
+        if (!refDv.contains(rel) &&
+          !refDv.exists(_.startsWith(rel + "/")) &&
+          oldEnough(st.getPath)) {
           fs.delete(st.getPath, true)
           dvReclaimed += 1
         }
@@ -635,7 +756,9 @@ object CommitLog {
     val missing = m.files.filterNot(r => fs.exists(new Path(hPath, r)))
     require(missing.isEmpty,
       s"generation $gen files were reclaimed (vacuumed): $missing")
-    applyDvs(spark, hPath, fs,
+    if (m.colmaps.nonEmpty)
+      mappedScan(spark, hPath, m.files, m.colmaps, m.dvs)
+    else applyDvs(spark, hPath, fs,
       spark.read.option("basePath", sink)
         .parquet(m.files.map(r => new Path(hPath, r).toString): _*),
       m.dvs)
@@ -675,6 +798,56 @@ object CommitLog {
       .drop("__rel", "__pos")
   }
 
+  /** Scan `files` (sink-relative) with the manifest's per-file column
+    * mapping applied — the LOGICAL-schema view of a sink that has
+    * lived through [[SchemaEvolve]] renames/drops. Files group by
+    * mapping signature ("schema epoch"); each epoch is ONE
+    * mergeSchema scan whose columns are renamed/dropped by a single
+    * simultaneous select (swap-safe), then the epochs union by name
+    * with null-fill for additive differences. The epoch count is the
+    * number of DISTINCT surviving mappings — one rename of a quiet
+    * table is two epochs (pre-rename files, post-rename appends) — so
+    * the union never fans out with file count, and with no mapping at
+    * all this is exactly one scan, zero overhead. Per-epoch `dvs` are
+    * anti-joined inside the branch (metadata identity doesn't survive
+    * a union); `identity` materializes `__file_path`/`__row_index`
+    * per branch for callers that need per-row provenance across the
+    * union (the merge family's touched-file scans). */
+  private[operators] def mappedScan(spark: SparkSession, sink: Path,
+                                    files: Seq[String],
+                                    colmaps: Map[String, Map[String,
+                                      String]],
+                                    dvs: Map[String, String] =
+                                      Map.empty,
+                                    identity: Boolean = false)
+  : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(files.nonEmpty, "mappedScan of an empty file list")
+    val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groups = files.groupBy(f => colmaps.getOrElse(f, Map.empty))
+      .toSeq.sortBy(_._2.head) // deterministic branch order
+    val branches = groups.map { case (mapping, gFiles) =>
+      val gSet = gFiles.toSet
+      var df = spark.read.option("mergeSchema", "true")
+        .option("basePath", sink.toString)
+        .parquet(gFiles.map(r => new Path(sink, r).toString): _*)
+      if (identity)
+        df = df.withColumn("__file_path", col("_metadata.file_path"))
+          .withColumn("__row_index", col("_metadata.row_index"))
+      df = applyDvs(spark, sink, fs, df,
+        dvs.filter { case (f, _) => gSet(f) })
+      if (mapping.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.flatMap { c =>
+        mapping.get(c) match {
+          case Some("") => None // drop tombstone
+          case Some(logical) => Some(col(c).as(logical))
+          case None => Some(col(c))
+        }
+      }: _*)
+    }
+    branches.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Row-level change data feed between two committed generations,
     * derived from manifests alone — no change files are ever written
     * (the Iceberg/Delta changelog-scan construction): data files are
@@ -690,14 +863,18 @@ object CommitLog {
     *     `fromGen`'s are DELETES (delete sets only grow while a file
     *     is live).
     *
-    * An UPDATE therefore appears as its delete + insert halves,
-    * exactly like a positional changelog without row tracking. Output
-    * is the sink schema plus a `_change_type` column
-    * ("insert"/"delete"). Cost ∝ changed files + DV sizes, never the
-    * table: unchanged files are excluded by set arithmetic on the two
-    * manifests before any scan is planned. */
+    * An UPDATE appears as its delete + insert halves — exactly a
+    * positional changelog without row tracking — unless `keys` is
+    * given: then the window's delete and insert halves sharing a key
+    * are PAIRED into `update_preimage`/`update_postimage` rows (Delta
+    * CDF's vocabulary; what MoR-MERGE consumers expect), with
+    * unmatched rows staying plain insert/delete. Output is the sink
+    * schema plus a `_change_type` column. Cost ∝ changed files + DV
+    * sizes, never the table: unchanged files are excluded by set
+    * arithmetic on the two manifests before any scan is planned. */
   def changesBetween(spark: SparkSession, sink: String,
-                     fromGen: Long, toGen: Long): DataFrame = {
+                     fromGen: Long, toGen: Long,
+                     keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, length, lit, locate}
     val hPath = new Path(sink)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -740,29 +917,63 @@ object CommitLog {
     val dvJoin = (l: DataFrame, r: DataFrame, how: String) =>
       l.join(r, col("__rel") === col("__dv_file") &&
         col("__pos") === col("__dv_pos"), how)
-    val pieces = Seq.newBuilder[DataFrame]
+    val insParts = Seq.newBuilder[DataFrame]
+    val delParts = Seq.newBuilder[DataFrame]
     if (added.nonEmpty)
-      pieces += dvJoin(withIdentity(added), dvOf(mB.dvs, added),
-        "left_anti").withColumn("_change_type", lit("insert"))
+      insParts += dvJoin(withIdentity(added), dvOf(mB.dvs, added),
+        "left_anti")
     if (removed.nonEmpty)
-      pieces += dvJoin(withIdentity(removed), dvOf(mA.dvs, removed),
-        "left_anti").withColumn("_change_type", lit("delete"))
+      delParts += dvJoin(withIdentity(removed), dvOf(mA.dvs, removed),
+        "left_anti")
     val grew = common.filter(f => mB.dvs.get(f) != mA.dvs.get(f) &&
       mB.dvs.contains(f))
     if (grew.nonEmpty) {
       // positions marked at toGen minus those already marked at fromGen
       val newMarks = dvOf(mB.dvs, grew).except(dvOf(mA.dvs, grew))
-      pieces += dvJoin(withIdentity(grew), newMarks, "left_semi")
-        .withColumn("_change_type", lit("delete"))
+      delParts += dvJoin(withIdentity(grew), newMarks, "left_semi")
     }
-    pieces.result().reduceOption(_ unionByName _)
+    val ins = insParts.result().reduceOption(_ unionByName _)
       .map(_.drop("__rel", "__pos"))
-      .getOrElse {
-        // no change between the generations: empty frame in the sink
-        // schema + _change_type
-        readAt(spark, sink, toGen).limit(0)
-          .withColumn("_change_type", lit(""))
+    val del = delParts.result().reduceOption(_ unionByName _)
+      .map(_.drop("__rel", "__pos"))
+    val empty = readAt(spark, sink, toGen).limit(0)
+      .withColumn("_change_type", lit(""))
+    if (keys.isEmpty)
+      Seq(ins.map(_.withColumn("_change_type", lit("insert"))),
+        del.map(_.withColumn("_change_type", lit("delete"))))
+        .flatten.reduceOption(_ unionByName _).getOrElse(empty)
+    else {
+      // Delta-CDF update pairing: a key that both lost a row version
+      // and gained one inside the window is an UPDATE — its delete
+      // half becomes `update_preimage` and its insert half
+      // `update_postimage`; unmatched rows stay plain insert/delete.
+      // (A MoR MERGE otherwise surfaces as unlinked D+I.) Both key
+      // frames are changed-rows-sized, so AQE broadcasts the
+      // semi/anti joins; cost stays ∝ changed files, never the table.
+      (ins, del) match {
+        case (Some(i), Some(d)) =>
+          keys.foreach(k => require(i.columns.contains(k),
+            s"changesBetween: key column $k not in the sink schema " +
+              s"(${i.columns.mkString(",")})"))
+          val iK = i.select(keys.map(col): _*).distinct()
+          val dK = d.select(keys.map(col): _*).distinct()
+          Seq(
+            i.join(dK, keys, "left_anti")
+              .withColumn("_change_type", lit("insert")),
+            d.join(iK, keys, "left_anti")
+              .withColumn("_change_type", lit("delete")),
+            d.join(iK, keys, "left_semi")
+              .withColumn("_change_type", lit("update_preimage")),
+            i.join(dK, keys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage"))
+          ).reduce(_ unionByName _)
+        case (Some(i), None) =>
+          i.withColumn("_change_type", lit("insert"))
+        case (None, Some(d)) =>
+          d.withColumn("_change_type", lit("delete"))
+        case _ => empty
       }
+    }
   }
 
   /** Bring the sink under log control and return (generation, live
@@ -811,6 +1022,8 @@ object CommitLog {
       .map(readManifestFull(fs, hPath, _)) match {
       case None => rd.parquet(sink)
       case Some(m) if m.files.isEmpty => spark.emptyDataFrame
+      case Some(m) if m.colmaps.nonEmpty =>
+        mappedScan(spark, hPath, m.files, m.colmaps, m.dvs)
       case Some(m) =>
         applyDvs(spark, hPath, fs,
           rd.option("basePath", sink)

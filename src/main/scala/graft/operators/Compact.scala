@@ -69,6 +69,7 @@ object Compact {
     // double-count into the compacted output
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "compactSink")
+    CommitLog.requireNoColmaps(fs, hPath, "compactSink")
     val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
@@ -172,25 +173,45 @@ object Compact {
     val assigned = live.filter(plan.contains)
     require(assigned.nonEmpty, "plan assigns no live file of this sink")
     CommitLog.requireNoDvs(fs, hPath, "compactByPlan", Some(assigned))
+    CommitLog.requireNoColmaps(fs, hPath, "compactByPlan",
+      Some(assigned))
     val tmp = new Path(hPath.getParent, hPath.getName + "__plan_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // keyed by URI PATH (no scheme/authority): `_metadata.file_path`
     // spells the scheme differently across filesystems (file:/ vs
     // file:///) and a raw-string key would silently never match
-    val absPlan = assigned
+    val absPlan: Map[String, String] = assigned
       .map(r => fs.makeQualified(new Path(hPath, r)).toUri.getPath
         -> plan(r))
       .toMap
-    val bcast = spark.sparkContext.broadcast(absPlan)
-    val binOf = org.apache.spark.sql.functions.udf((fp: String) =>
-      bcast.value(new Path(fp).toUri.getPath))
-    try {
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col, concat,
+        lit, raise_error, regexp_extract, when}
+      import spark.implicits._
+      // file_path → bin via a BROADCAST equi-join, not a Scala UDF:
+      // the lookup stays inside whole-stage codegen and is O(1) per
+      // row regardless of plan size (a literal-map element_at would
+      // linear-scan the map per row). The scheme/authority prefix is
+      // stripped by regex (handles file:/p, file:///p, hdfs://nn/p);
+      // a left join + null check keeps the failure mode LOUD — an
+      // inner join would silently drop rows whose path spelling
+      // disagrees with the plan keys.
+      val planDF = absPlan.toSeq.toDF("__plan_path", "__plan_bin")
+      val pathRe = "^(?:[A-Za-z][A-Za-z0-9+.-]*:(?://[^/]*)?)?(/.*)$"
       spark.read.option("basePath", hPath.toString)
         .parquet(assigned.map(r => new Path(hPath, r).toString): _*)
+        .withColumn("__norm",
+          regexp_extract(col("_metadata.file_path"), pathRe, 1))
+        .join(broadcast(planDF), col("__norm") === col("__plan_path"),
+          "left")
         .withColumn("__bin",
-          binOf(org.apache.spark.sql.functions.col("_metadata.file_path")))
+          when(col("__plan_bin").isNotNull, col("__plan_bin"))
+            .otherwise(raise_error(concat(
+              lit("compactByPlan: scanned file not in plan after " +
+                "path normalization: "), col("__norm")))))
+        .drop("__norm", "__plan_path", "__plan_bin")
         .drop(collapseCols: _*)
-        .repartition(org.apache.spark.sql.functions.col("__bin"))
+        .repartition(col("__bin"))
         .write.partitionBy(partitionCol, "__bin").parquet(tmp.toString)
       // add → COMMIT → delete: move each bin's single file into its
       // partition directory (the __bin level is planning scaffolding)
@@ -226,6 +247,6 @@ object Compact {
       }
       fs.delete(tmp, true)
       (assigned.size.toLong, newFiles.size.toLong)
-    } finally bcast.destroy()
+    }
   }
 }

@@ -54,13 +54,79 @@ object DeleteVectors {
     * garbage substring. Belt-and-braces: callers additionally verify
     * every derived path against the manifest's live set before
     * committing ([[requireKnownFiles]]). */
-  private def relPathCol(prefix: String): Column = {
-    val fp = col("_metadata.file_path")
+  private def relPathCol(prefix: String,
+                         fp: Column = col("_metadata.file_path"))
+  : Column =
     when(locate(prefix, fp) > 0,
       fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
       .otherwise(raise_error(concat(
         lit(s"deletion-vector relativize: sink prefix '$prefix' not " +
           "found in scanned file path "), fp)))
+
+  /** Live scan carrying (`__file` sink-relative, `__pos`) row
+    * identity — raw single scan for unmapped sinks, the
+    * [[CommitLog.mappedScan]] logical view (identity columns
+    * materialized per epoch) for [[SchemaEvolve]]-mapped ones, so
+    * predicate deletes keep working after a rename with predicates in
+    * LOGICAL names. */
+  private def identityScan(spark: SparkSession, hPath: Path,
+                           live: Seq[String], prefix: String,
+                           cms: Map[String, Map[String, String]])
+  : org.apache.spark.sql.DataFrame = {
+    if (cms.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .option("basePath", hPath.toString)
+        .parquet(live.map(r => new Path(hPath, r).toString): _*)
+        .withColumn("__file", relPathCol(prefix))
+        .withColumn("__pos", col("_metadata.row_index"))
+    else
+      CommitLog.mappedScan(spark, hPath, live, cms, identity = true)
+        .withColumn("__file", relPathCol(prefix, col("__file_path")))
+        .withColumn("__pos", col("__row_index"))
+        .drop("__file_path", "__row_index")
+  }
+
+  /** Above this many merged marks the DV parquet is written sharded
+    * (hash-partitioned by data file) instead of through a single
+    * task — a mass delete (1% of 100 TB is billions of positions)
+    * must not serialize through one writer or produce one giant DV
+    * file. Overridable per call for tests. */
+  val DefaultDvShardRows: Long = 4L << 20
+
+  /** Write the merged (file, pos) delete set under a fresh
+    * `_graft_dv/<uuid>` directory and return each affected data
+    * file's DV path (sink-relative). At or below `shardRows` marks
+    * the write is a single task/file and every record points at the
+    * directory (the historical layout); above it, rows are
+    * hash-partitioned by data file into ⌈marks/shardRows⌉ tasks and
+    * each record points at the specific PART FILE holding its data
+    * file's marks — the manifest grammar already binds DVs per data
+    * file, and readers filter by the (file, pos) join, so a shard
+    * containing other files' marks is harmless. Never under-counts:
+    * the map is derived by reading back `_metadata.file_path`, not by
+    * predicting task placement. */
+  private def writeDvSharded(spark: SparkSession, hPath: Path,
+                             merged: org.apache.spark.sql.DataFrame,
+                             affected: Seq[String],
+                             shardRows: Long): Map[String, String] = {
+    val dvRel = CommitLog.DvDirName + "/" +
+      java.util.UUID.randomUUID().toString
+    val dvAbs = new Path(hPath, dvRel).toString
+    val nMarks = merged.count()
+    if (nMarks <= shardRows) {
+      merged.repartition(1).write.parquet(dvAbs)
+      affected.map(_ -> dvRel).toMap
+    } else {
+      val shards = math.min(affected.size.toLong,
+        (nMarks + shardRows - 1) / shardRows).toInt.max(1)
+      merged.repartition(shards, col("file")).write.parquet(dvAbs)
+      spark.read.parquet(dvAbs)
+        .select(col("file"), col("_metadata.file_path").as("__part"))
+        .distinct().collect()
+        .map(r => r.getString(0) ->
+          (dvRel + "/" + new Path(r.getString(1)).getName))
+        .toMap
+    }
   }
 
   /** Fail loudly if any DV record key does not name a manifest-live
@@ -81,65 +147,102 @@ object DeleteVectors {
     * DV grew). Idempotent: re-running deletes 0 new rows (already-
     * deleted rows are invisible to the matching scan). Composes with
     * earlier deletes on the same files by DV union. `failpoint`
-    * ("dv_written" / "committed") is the crash-injection hook. */
+    * ("dv_written" / "committed") is the crash-injection hook.
+    *
+    * Concurrency: a lost commit race is handled WITHOUT caller
+    * involvement, bounded by `maxAttempts`. A winner that neither
+    * rewrote our marked files nor changed their DV records COMMUTES —
+    * the same DV map is re-committed against the fresh manifest (one
+    * manifest read + one publish, no recompute). A winner that did
+    * touch them (compaction, applyDeletes, an overlapping delete on
+    * the same files) invalidates our positions/merge, so the WHOLE
+    * operation recomputes from a fresh snapshot — semantically exact
+    * for a predicate delete, and idempotency keeps the recomputed
+    * mark set correct. Only attempt exhaustion surfaces a
+    * [[CommitConflictException]]. */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  failpoint: String => Unit = _ => ()): (Long, Long) = {
+                  failpoint: String => Unit = _ => (),
+                  dvShardRows: Long = DefaultDvShardRows,
+                  maxAttempts: Int = 5): (Long, Long) = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"delete target $path does not exist")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    if (live.isEmpty) return (0L, 0L)
-    val dvs = CommitLog.dvRecords(fs, hPath)
-    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val relCol = relPathCol(prefix)
-    // (file, pos) identity is materialized into plain columns ON the
-    // scan (metadata pseudo-columns don't survive a join), then the
-    // EXISTING deletes are anti-joined away so rows already deleted
-    // can't be re-marked and the returned count is exactly the rows
-    // this call removed
-    val raw = spark.read.option("mergeSchema", "true")
-      .option("basePath", hPath.toString)
-      .parquet(live.map(r => new Path(hPath, r).toString): _*)
-      .withColumn("__file", relCol)
-      .withColumn("__pos", col("_metadata.row_index"))
-    val visible =
-      if (dvs.isEmpty) raw
-      else raw.join(
-        spark.read.parquet(
-            dvs.values.toSeq.distinct.sorted
-              .map(r => new Path(hPath, r).toString): _*)
-          .select(col("file").as("__dv_file"),
-            col("pos").as("__dv_pos")),
-        col("__file") === col("__dv_file") &&
-          col("__pos") === col("__dv_pos"), "left_anti")
-    val marks = visible.filter(predicate)
-      .select(col("__file").as("file"), col("__pos").as("pos"))
-      .localCheckpoint() // one scan feeds collect + count + write
-    val affected = marks.select("file").distinct()
-      .collect().map(_.getString(0)).sorted
-    if (affected.isEmpty) return (0L, 0L)
-    requireKnownFiles("deleteWhere", affected.toIndexedSeq, live)
-    val nNew = marks.count()
-    // merged DV for the affected files = their previous delete sets ∪
-    // the new marks; unaffected files keep their old records untouched
-    // (commitNext carries them forward)
-    val prior = affected.flatMap(dvs.get).distinct.sorted
-    val merged =
-      if (prior.isEmpty) marks
-      else marks.union(
-        spark.read.parquet(
-            prior.map(r => new Path(hPath, r).toString): _*)
-          .filter(col("file").isin(affected: _*))
-          .select("file", "pos")).distinct()
-    val dvRel = CommitLog.DvDirName + "/" +
-      java.util.UUID.randomUUID().toString
-    merged.repartition(1)
-      .write.parquet(new Path(hPath, dvRel).toString)
-    failpoint("dv_written")
-    CommitLog.commitNext(fs, hPath, baseGen, live,
-      affected.map(_ -> dvRel).toMap)
-    failpoint("committed")
-    (nNew, affected.length.toLong)
+    var attempt = 0
+    while (true) {
+      val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+      if (live.isEmpty) return (0L, 0L)
+      val dvs = CommitLog.dvRecords(fs, hPath)
+      val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+      // (file, pos) identity is materialized into plain columns ON the
+      // scan (metadata pseudo-columns don't survive a join), then the
+      // EXISTING deletes are anti-joined away so rows already deleted
+      // can't be re-marked and the returned count is exactly the rows
+      // this call removed
+      val raw = identityScan(spark, hPath, live, prefix,
+        CommitLog.colmapRecords(fs, hPath))
+      val visible =
+        if (dvs.isEmpty) raw
+        else raw.join(
+          spark.read.parquet(
+              dvs.values.toSeq.distinct.sorted
+                .map(r => new Path(hPath, r).toString): _*)
+            .select(col("file").as("__dv_file"),
+              col("pos").as("__dv_pos")),
+          col("__file") === col("__dv_file") &&
+            col("__pos") === col("__dv_pos"), "left_anti")
+      val marks = visible.filter(predicate)
+        .select(col("__file").as("file"), col("__pos").as("pos"))
+        .localCheckpoint() // one scan feeds collect + count + write
+      val affected = marks.select("file").distinct()
+        .collect().map(_.getString(0)).sorted
+      if (affected.isEmpty) return (0L, 0L)
+      requireKnownFiles("deleteWhere", affected.toIndexedSeq, live)
+      val nNew = marks.count()
+      // merged DV for the affected files = their previous delete sets
+      // ∪ the new marks; unaffected files keep their old records
+      // untouched (commitNext carries them forward)
+      val prior = affected.flatMap(dvs.get).distinct.sorted
+      val merged =
+        if (prior.isEmpty) marks
+        else marks.union(
+          spark.read.parquet(
+              prior.map(r => new Path(hPath, r).toString): _*)
+            .filter(col("file").isin(affected: _*))
+            .select("file", "pos")).distinct()
+      val dvMap = writeDvSharded(spark, hPath, merged,
+        affected.toIndexedSeq, dvShardRows)
+      failpoint("dv_written")
+      // commit, rebasing in place while the operation still commutes
+      var base = baseGen
+      var liveNow = live
+      var committed = false
+      var recompute = false
+      while (!committed && !recompute) {
+        try {
+          CommitLog.commitNext(fs, hPath, base, liveNow, dvMap)
+          committed = true
+        } catch {
+          case e: CommitConflictException =>
+            attempt += 1
+            if (attempt >= maxAttempts)
+              throw new CommitConflictException(
+                s"deleteWhere: gave up after $maxAttempts rebase " +
+                  s"attempts at $path — ${e.getMessage}")
+            val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+            val liveSet2 = l2.toSet
+            val dv2 = CommitLog.dvRecords(fs, hPath)
+            if (affected.forall(f =>
+              liveSet2(f) && dv2.get(f) == dvs.get(f))) {
+              base = g2; liveNow = l2
+            } else recompute = true // our staged DV becomes debris
+        }
+      }
+      if (committed) {
+        failpoint("committed")
+        return (nNew, affected.length.toLong)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Merge-on-read MERGE: upsert `updates` into the sink by marking
@@ -161,7 +264,9 @@ object DeleteVectors {
                   updates: org.apache.spark.sql.DataFrame,
                   keys: Seq[String],
                   partitionCol: Option[String] = None,
-                  failpoint: String => Unit = _ => ()): (Long, Long) = {
+                  failpoint: String => Unit = _ => (),
+                  dvShardRows: Long = DefaultDvShardRows,
+                  maxAttempts: Int = 5): (Long, Long) = {
     require(keys.nonEmpty, "mergeOnRead needs at least one key column")
     require(keys.forall(updates.columns.contains),
       s"updates ${updates.columns.mkString(",")} must carry keys $keys")
@@ -171,7 +276,6 @@ object DeleteVectors {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val dvs = CommitLog.dvRecords(fs, hPath)
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val relCol = relPathCol(prefix)
     // the Merge/applyCdc discipline, enforced BEFORE any mark or
     // append: (1) the batch must carry exactly the sink's columns — a
     // mis-shaped batch would write mixed-schema files that
@@ -180,10 +284,10 @@ object DeleteVectors {
     // would BOTH land as live rows, and with no per-key sequence
     // column an automatic keep-one would be nondeterministic, so the
     // producer dedupes first ([[Upsert.dedupKeepFirstAgg]])
-    val sinkDF = spark.read.option("mergeSchema", "true")
-      .option("basePath", hPath.toString)
-      .parquet(live.map(r => new Path(hPath, r).toString): _*)
-    val sinkCols = sinkDF.columns
+    val scanId = identityScan(spark, hPath, live, prefix,
+      CommitLog.colmapRecords(fs, hPath))
+    val sinkCols = scanId.columns.filterNot(c =>
+      c == "__file" || c == "__pos")
     require(sinkCols.sorted.sameElements(updates.columns.sorted),
       s"mergeOnRead: updates schema ${updates.columns.sorted
         .mkString(",")} must match sink schema ${sinkCols.sorted
@@ -201,9 +305,8 @@ object DeleteVectors {
     val batch = updates.select(keys.map(col): _*).distinct()
     // matched = visible rows (existing DVs anti-joined) whose key is
     // in the batch; only keys + identity are ever projected
-    val keyScan = sinkDF
-      .select(keys.map(col) :+ relCol.as("__file") :+
-        col("_metadata.row_index").as("__pos"): _*)
+    val keyScan = scanId
+      .select(keys.map(col) :+ col("__file") :+ col("__pos"): _*)
     val visible =
       if (dvs.isEmpty) keyScan
       else keyScan.join(
@@ -222,8 +325,8 @@ object DeleteVectors {
     if (affected.nonEmpty)
       requireKnownFiles("mergeOnRead", affected.toIndexedSeq, live)
     val nMarked = marks.count()
-    val dvOpt =
-      if (affected.isEmpty) None
+    val dvMap =
+      if (affected.isEmpty) Map.empty[String, String]
       else {
         val prior = affected.flatMap(dvs.get).distinct.sorted
         val merged =
@@ -233,11 +336,8 @@ object DeleteVectors {
                 prior.map(r => new Path(hPath, r).toString): _*)
               .filter(col("file").isin(affected: _*))
               .select("file", "pos")).distinct()
-        val dvRel = CommitLog.DvDirName + "/" +
-          java.util.UUID.randomUUID().toString
-        merged.repartition(1)
-          .write.parquet(new Path(hPath, dvRel).toString)
-        Some(dvRel)
+        writeDvSharded(spark, hPath, merged, affected.toIndexedSeq,
+          dvShardRows)
       }
     // append every update row as fresh files, staged then moved in
     val tmp = new Path(hPath.getParent, hPath.getName + "__mor_tmp")
@@ -263,9 +363,41 @@ object DeleteVectors {
     }
     failpoint("staged")
     val newFiles = added.result()
-    CommitLog.commitNext(fs, hPath, baseGen, live ++ newFiles,
-      dvOpt.map(rel => affected.map(_ -> rel).toMap)
-        .getOrElse(Map.empty))
+    // commit with bounded in-place rebase: the appended files are
+    // fresh names invisible to every other writer, so they ALWAYS
+    // commute; the DV marks commute iff the winner neither rewrote
+    // the marked files nor changed their DV records. A winner that
+    // did touch them invalidates our read snapshot (the matched scan
+    // must re-run against the rewrite), which this operator cannot
+    // replay after staging — that conflict stays terminal and the
+    // caller retries the MERGE.
+    var base = baseGen
+    var liveNow = live
+    var committed = false
+    var attempt = 0
+    while (!committed) {
+      try {
+        CommitLog.commitNext(fs, hPath, base, liveNow ++ newFiles,
+          dvMap)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+          val liveSet2 = l2.toSet
+          val dv2 = CommitLog.dvRecords(fs, hPath)
+          val commutes = attempt < maxAttempts &&
+            affected.forall(f =>
+              liveSet2(f) && dv2.get(f) == dvs.get(f))
+          if (!commutes)
+            throw new CommitConflictException(
+              s"mergeOnRead: lost the commit race at $path and the " +
+                "winner touched our matched files (or attempts " +
+                s"exhausted after $attempt) — re-run the MERGE: " +
+                e.getMessage)
+          base = g2; liveNow = l2
+      }
+    }
     failpoint("committed")
     fs.delete(tmp, true)
     (nMarked, updates.count())
@@ -288,6 +420,10 @@ object DeleteVectors {
     val dvs = CommitLog.dvRecords(fs, hPath)
     if (dvs.isEmpty) return (0L, 0L)
     val targets = dvs.keys.toSeq.sorted
+    // positional rewrite binds rows to the raw physical layout —
+    // SchemaEvolve.normalize is the rewrite that handles mapped files
+    // (and clears their DVs in the same pass)
+    CommitLog.requireNoColmaps(fs, hPath, "applyDeletes", Some(targets))
     val tmp = new Path(hPath.getParent, hPath.getName + "__dv_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // partition columns, from the rel-path layout (all live files of a

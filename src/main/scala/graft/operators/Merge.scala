@@ -85,6 +85,45 @@ object Merge {
     * (per-footer union, the standard parquet evolution contract);
     * cost stays touched-file-proportional because widening is lazy —
     * no untouched file is ever rewritten to add a NULL column. */
+  /** Live-file scan in the table's LOGICAL schema plus `__f` (the
+    * absolute file path — per-row provenance that survives a union,
+    * unlike `_metadata`). With no column mapping this is exactly the
+    * historical one mergeSchema scan; a [[SchemaEvolve]]-mapped sink
+    * routes through [[CommitLog.mappedScan]] (one scan per schema
+    * epoch) so the merge family keeps working after a rename/drop
+    * without any rewrite. */
+  private def liveScan(spark: SparkSession, hPath: Path,
+                       live: Seq[String],
+                       cms: Map[String, Map[String, String]])
+  : DataFrame = {
+    if (cms.isEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(live.map(r => new Path(hPath, r).toString): _*)
+        .withColumn("__f", col("_metadata.file_path"))
+    else CommitLog.mappedScan(spark, hPath, live, cms, identity = true)
+      .withColumnRenamed("__file_path", "__f").drop("__row_index")
+  }
+
+  /** Touched-file re-read conformed to the logical `schema` (missing
+    * additive columns null-filled — the `.schema(...)` pinning the
+    * unmapped path used, expressed mapping-aware). */
+  private def touchedScan(spark: SparkSession, hPath: Path,
+                          touchedAbs: Seq[String],
+                          touchedRel: Seq[String],
+                          cms: Map[String, Map[String, String]],
+                          schema: org.apache.spark.sql.types.StructType)
+  : DataFrame = {
+    if (cms.isEmpty) spark.read.schema(schema).parquet(touchedAbs: _*)
+    else {
+      val df = CommitLog.mappedScan(spark, hPath, touchedRel, cms)
+      val have = df.columns.toSet
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+  }
+
   def mergeParquet(spark: SparkSession, updates: DataFrame,
                    keyCols: Seq[String], path: String,
                    failpoint: String => Unit = _ => (),
@@ -99,9 +138,9 @@ object Merge {
     // on disk is invisible to it)
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "mergeParquet")
-    val liveAbs = live.map(r => new Path(hPath, r).toString)
-    val sinkDF = spark.read.option("mergeSchema", "true")
-      .parquet(liveAbs: _*)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val scan = liveScan(spark, hPath, live, cms)
+    val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     if (allowSchemaEvolution)
       require(sinkSchema.fieldNames.forall(updates.columns.contains),
@@ -124,9 +163,8 @@ object Merge {
 
     // 1. touched files: THE one full-sink key scan (key columns only —
     // the file path is parquet metadata, no extra I/O)
-    val sinkKeys = sinkDF
-      .select(col("_metadata.file_path").as("__f") +:
-        keyCols.map(col): _*)
+    val sinkKeys = scan
+      .select(col("__f") +: keyCols.map(col): _*)
     val touched = sinkKeys
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select("__f").distinct()
@@ -138,7 +176,8 @@ object Merge {
     // touched file, so the full sink is never key-scanned again
     val touchedKeys =
       if (touched.isEmpty) null
-      else spark.read.schema(sinkSchema).parquet(touched: _*)
+      else touchedScan(spark, hPath, touched, touchedRel, cms,
+          sinkSchema)
         .select(keyCols.map(col): _*)
     val matched =
       if (touched.isEmpty) batch.filter(lit(false))
@@ -156,7 +195,8 @@ object Merge {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val rewritten =
       if (touched.isEmpty) inserts
-      else spark.read.schema(sinkSchema).parquet(touched: _*)
+      else touchedScan(spark, hPath, touched, touchedRel, cms,
+          sinkSchema)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         // evolution: the kept old-schema rows take NULLs for the
         // batch's new columns
@@ -244,20 +284,20 @@ object Merge {
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "eraseParquet")
-    val liveAbs = live.map(r => new Path(hPath, r).toString)
-    // mergeSchema: a sink widened by mergeParquet(allowSchemaEvolution)
-    // legitimately carries mixed footer schemas; without the union one
-    // narrow footer could win and the rewrite would silently drop the
-    // evolved columns' values from every touched wide file
-    val sinkDF = spark.read.option("mergeSchema", "true")
-      .parquet(liveAbs: _*)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    // mergeSchema (inside liveScan): a sink widened by
+    // mergeParquet(allowSchemaEvolution) legitimately carries mixed
+    // footer schemas; without the union one narrow footer could win
+    // and the rewrite would silently drop the evolved columns' values
+    // from every touched wide file
+    val scan = liveScan(spark, hPath, live, cms)
+    val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     val batch = keys.select(keyCols.map(col): _*).distinct().cache()
     try {
 
-    val sinkKeys = sinkDF
-      .select(col("_metadata.file_path").as("__f") +:
-        keyCols.map(col): _*)
+    val sinkKeys = scan
+      .select(col("__f") +: keyCols.map(col): _*)
     val touched = sinkKeys
       .join(batch, keyCols, "left_semi")
       .select("__f").distinct()
@@ -265,7 +305,8 @@ object Merge {
     val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
     var deleted = 0L
     if (touched.nonEmpty) {
-      val touchedRows = spark.read.schema(sinkSchema).parquet(touched: _*)
+      val touchedRows = touchedScan(spark, hPath, touched, touchedRel,
+        cms, sinkSchema)
       val kept = touchedRows.join(batch, keyCols, "left_anti")
       deleted = touchedRows.count() - kept.count()
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
@@ -313,12 +354,13 @@ object Merge {
       "first write goes through the publish path, not MERGE")
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "applyCdcParquet")
-    val liveAbs = live.map(r => new Path(hPath, r).toString)
-    // mergeSchema for the same reason as eraseParquet: an evolved sink
-    // has mixed footers, and rewriting touched wide files through one
-    // narrow footer's schema would drop the evolved columns
-    val sinkDF = spark.read.option("mergeSchema", "true")
-      .parquet(liveAbs: _*)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    // mergeSchema (inside liveScan) for the same reason as
+    // eraseParquet: an evolved sink has mixed footers, and rewriting
+    // touched wide files through one narrow footer's schema would
+    // drop the evolved columns
+    val scan = liveScan(spark, hPath, live, cms)
+    val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     require(sinkSchema.fieldNames.sorted.sameElements(
         changes.columns.filterNot(_ == opCol).sorted),
@@ -335,9 +377,8 @@ object Merge {
     val delKeys = batch.filter(col(opCol) === "D")
       .select(keyCols.map(col): _*)
 
-    val sinkKeys = sinkDF
-      .select(col("_metadata.file_path").as("__f") +:
-        keyCols.map(col): _*)
+    val sinkKeys = scan
+      .select(col("__f") +: keyCols.map(col): _*)
     val touched = sinkKeys
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select("__f").distinct()
@@ -346,7 +387,8 @@ object Merge {
 
     val touchedRows =
       if (touched.isEmpty) null
-      else spark.read.schema(sinkSchema).parquet(touched: _*)
+      else touchedScan(spark, hPath, touched, touchedRel, cms,
+        sinkSchema)
     val touchedKeys =
       if (touched.isEmpty) null
       else touchedRows.select(keyCols.map(col): _*)

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Non-additive schema evolution for [[CommitLog]]-managed parquet
+  * sinks: RENAME and DROP as metadata-only commits — no data file is
+  * read or rewritten, so renaming a column of a 100 TB table costs
+  * one manifest publish, exactly Iceberg's column-mapping promise.
+  *
+  * Mechanism: the manifest's per-file `#colmap` records bind each
+  * file's PHYSICAL column names (what its parquet footer says) to the
+  * table's LOGICAL names (what readers see). A rename commits a
+  * record set for every live file in one atomic manifest; files
+  * appended afterwards are written with the logical schema directly
+  * and need no records. [[CommitLog.mappedScan]] is the reader:
+  * files group into schema epochs by mapping signature, each epoch is
+  * one scan, and the epochs union by logical name — so the mapped
+  * read never fans out with file count, only with the number of
+  * distinct surviving mappings. Iceberg solves the same problem with
+  * parquet field ids; name-keyed mapping suffices here because every
+  * rename rewrites ALL live files' records in the same commit, so a
+  * physical name is never ambiguous within one file.
+  *
+  * Readers ([[CommitLog.read]]/[[CommitLog.readAt]]) and the merge
+  * family ([[Merge]]) resolve the mapping transparently; positional
+  * operators that bind rows to raw physical layout ([[Compact]],
+  * [[DeleteVectors.applyDeletes]]) refuse mapped inputs loudly
+  * ([[CommitLog.requireNoColmaps]]) and [[normalize]] is the explicit
+  * copy-on-write rewrite that pays the mapping debt down — the exact
+  * analogue of [[DeleteVectors.applyDeletes]] for deletion vectors.
+  *
+  * The reference renames columns eagerly in pandas on ingest
+  * (`dags/idh_etl.py:117-136`, a per-batch rename of Polish headers);
+  * a committed table at scale needs rename-as-metadata instead. */
+object SchemaEvolve {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current LOGICAL column names of a logged sink — one schema-only
+    * mapped scan. */
+  def logicalColumns(spark: SparkSession, path: String): Seq[String] = {
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    if (live.isEmpty) return Nil
+    CommitLog.mappedScan(spark, hPath, live,
+      CommitLog.colmapRecords(fs, hPath)).columns.toIndexedSeq
+  }
+
+  /** Physical name a logical column reads from in file `f`'s mapping:
+    * the reverse-lookup through the record, identity when unmapped. */
+  private def physOf(m: Map[String, String], logical: String): String =
+    m.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** RENAME a column: one manifest commit, zero data motion. Every
+    * live file's record set is rewritten in the same commit (a
+    * post-rename append then needs no record at all); a file whose
+    * new mapping is pure identity sheds its record. Old generations
+    * keep their own records, so [[CommitLog.readAt]] time travel
+    * reads each snapshot under the names IT had. Returns the
+    * committed generation. */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName != newName, s"rename to itself: $oldName")
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    require(live.nonEmpty, s"rename on an empty sink $path")
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val logical = CommitLog.mappedScan(spark, hPath, live, cms)
+      .columns.toSeq
+    require(logical.contains(oldName),
+      s"rename: no logical column '$oldName' (have ${
+        logical.mkString(",")})")
+    require(!logical.contains(newName),
+      s"rename: logical column '$newName' already exists")
+    val newMaps = live.map { f =>
+      val m = cms.getOrElse(f, Map.empty)
+      val phys = physOf(m, oldName)
+      val m2 =
+        if (phys == newName) m - phys // renamed back to physical
+        else m + (phys -> newName)
+      f -> m2
+    }.toMap
+    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps)
+  }
+
+  /** DROP a column: one manifest commit, zero data motion — every
+    * live file's record gains a tombstone for the column's physical
+    * name; old bytes stay on disk (and visible to time travel) until
+    * a rewrite or [[normalize]] retires the file. Returns the
+    * committed generation. */
+  def dropColumn(spark: SparkSession, path: String,
+                 name: String): Long = {
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    require(live.nonEmpty, s"drop on an empty sink $path")
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val logical = CommitLog.mappedScan(spark, hPath, live, cms)
+      .columns.toSeq
+    require(logical.contains(name),
+      s"drop: no logical column '$name' (have ${logical.mkString(",")})")
+    require(logical.size > 1, s"drop: cannot drop the only column")
+    val newMaps = live.map { f =>
+      val m = cms.getOrElse(f, Map.empty)
+      f -> (m + (physOf(m, name) -> ""))
+    }.toMap
+    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps)
+  }
+
+  /** Pay the mapping debt down: rewrite every mapped file to the
+    * current LOGICAL schema and commit a generation with no `#colmap`
+    * records — the explicit merge-on-read → copy-on-write step that
+    * re-enables the positional operator family ([[Compact]],
+    * [[DeleteVectors.applyDeletes]]). Deletion vectors on the mapped
+    * files are applied by the same rewrite (their records leave the
+    * manifest with the retired files). Unmapped files keep their
+    * bytes and names untouched. Partition layout is preserved under
+    * the LOGICAL partition-column names; a dropped partition column's
+    * level disappears (its partitions merge). Crash-atomic at the
+    * usual two failpoints. Returns (files rewritten, files after). */
+  def normalize(spark: SparkSession, path: String,
+                failpoint: String => Unit = _ => ()): (Long, Long) = {
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val targets = live.filter(cms.contains).sorted
+    if (targets.isEmpty) return (0L, live.length.toLong)
+    val dvs = CommitLog.dvRecords(fs, hPath)
+      .filter { case (f, _) => cms.contains(f) }
+    val mapped = CommitLog.mappedScan(spark, hPath, targets, cms, dvs)
+    // logical partition columns: the physical k=v levels of the rel
+    // paths, pushed through the owning file's mapping ("" = dropped)
+    val physParts = targets.head.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    val partCols = physParts.flatMap { p =>
+      val l = cms(targets.head).getOrElse(p, p)
+      if (l.isEmpty) None else Some(l)
+    }
+    val tmp = new Path(hPath.getParent, hPath.getName + "__norm_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (partCols.nonEmpty)
+      mapped.repartition(partCols.map(col).toIndexedSeq: _*)
+        .write.partitionBy(partCols.toIndexedSeq: _*)
+        .parquet(tmp.toString)
+    else mapped.write.parquet(tmp.toString)
+    // add → COMMIT → delete, the Compact/applyDeletes swap
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"normalize: could not move $f into $dest")
+        added += rel
+      }
+    }
+    failpoint("added")
+    val newFiles = added.result()
+    // targets leave → their colmap AND dv records drop with them
+    CommitLog.commitNext(fs, hPath, baseGen,
+      live.diff(targets) ++ newFiles)
+    failpoint("committed")
+    targets.foreach { r => // GC, best-effort
+      try fs.delete(new Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
+    (targets.length.toLong, (live.length - targets.length +
+      newFiles.length).toLong)
+  }
+}

@@ -501,12 +501,17 @@ object Upsert {
       (if (!existed) None
        else liveBefore match {
          // logged sink: resolve through the manifest so uncommitted
-         // torn-swap debris can never suppress (or double-count) rows
+         // torn-swap debris can never suppress (or double-count) rows;
+         // a SchemaEvolve-mapped sink reads its LOGICAL view so the
+         // keys anti-join matches renamed columns
          case Some((_, lv)) if lv.isEmpty => None
          case Some((_, lv)) =>
-           Some(spark.read.option("basePath", path).parquet(
-             lv.map(r => new org.apache.hadoop.fs.Path(hPath, r).toString)
-               : _*))
+           val cms = CommitLog.colmapRecords(fs, hPath)
+           if (cms.isEmpty)
+             Some(spark.read.option("basePath", path).parquet(
+               lv.map(r =>
+                 new org.apache.hadoop.fs.Path(hPath, r).toString): _*))
+           else Some(CommitLog.mappedScan(spark, hPath, lv, cms))
          case None => Some(spark.read.parquet(path))
        }).map { s =>
         pvals match {
@@ -567,8 +572,12 @@ object Upsert {
             new org.apache.hadoop.fs.Path(hPath, r).toString): _*
         ).count()
       }
+      // blind-append commit with bounded rebase: a lost race against a
+      // concurrent publisher re-commits these fresh files on top of
+      // the winner's manifest instead of surfacing a caller retry
+      // (CommitLog.commitAppend's Delta-style contract)
       if (newFiles.nonEmpty)
-        CommitLog.commitNext(fs, hPath, baseGen, lv ++ newFiles)
+        CommitLog.commitAppend(fs, hPath, baseGen, lv, newFiles)
       fs.delete(tmp, true)
     }
     if (n < 0 && liveBefore.isEmpty) {

@@ -1030,7 +1030,153 @@ object MaintenanceQueries {
        GROUP BY m.lang, f.dv_files
        ORDER BY m.lang"""
 
+  /** Change data feed with UPDATE PAIRING
+    * ([[graft.operators.CommitLog.changesBetween]] with `keys`): a
+    * MoR MERGE inside the window surfaces as
+    * `update_preimage`/`update_postimage` pairs (Delta CDF's
+    * vocabulary) instead of unlinked D+I, while unmatched halves stay
+    * plain insert/delete. Window over the fixture: (1) mergeOnRead —
+    * every doc ≡0 (mod 3) gains 1000 chars (matched) and every doc
+    * ≡0 (mod 10) reappears under doc_id+1000000 with 77 chars
+    * (unmatched insert); (2) deleteWhere doc_id%7==1 over the merged
+    * state. The oracle derives all four op classes from arithmetic:
+    * an update whose postimage is deleted in-window nets to a plain
+    * DELETE of the preimage, and an insert deleted in-window nets to
+    * nothing — a reader at neither endpoint ever saw those rows. */
+  def q322CdfUpdates(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q322_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (g0, _) = CommitLog.ensureLoggedAt(fs, hPath)
+      val docs = t(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit(77L).as("n_chars")))
+      DeleteVectors.mergeOnRead(s, sink, updates, Seq("doc_id"),
+        partitionCol = Some("lang"))
+      DeleteVectors.deleteWhere(s, sink, col("doc_id") % 7 === 1)
+      val gEnd = CommitLog.committed(fs, hPath).get._1
+      // materialize before the finally tears the scratch sink down
+      val rows = CommitLog.changesBetween(s, sink, g0, gEnd,
+          keys = Seq("doc_id"))
+        .select(col("_change_type"), col("doc_id").cast("long"),
+          col("lang"), col("n_chars").cast("long"))
+        .orderBy("_change_type", "doc_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq
+      import s.implicits._
+      rows.toDF("_change_type", "doc_id", "lang", "n_chars")
+        .orderBy("_change_type", "doc_id")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q322Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+       SELECT * FROM (
+         SELECT 'update_preimage' AS _change_type, doc_id, lang,
+                n_chars
+         FROM d WHERE doc_id % 3 = 0 AND doc_id % 7 <> 1
+         UNION ALL
+         SELECT 'update_postimage', doc_id, lang, n_chars + 1000
+         FROM d WHERE doc_id % 3 = 0 AND doc_id % 7 <> 1
+         UNION ALL
+         SELECT 'delete', doc_id, lang, n_chars
+         FROM d WHERE doc_id % 7 = 1
+         UNION ALL
+         SELECT 'insert', doc_id + 1000000, lang, 77
+         FROM d WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0)
+       ORDER BY _change_type, doc_id"""
+
+  /** Non-additive schema evolution
+    * ([[graft.operators.SchemaEvolve]]): RENAME as a metadata-only
+    * manifest commit (per-file `#colmap` records; `metadata_only`
+    * pins that the live file set is untouched), then the three writer
+    * shapes that must keep working THROUGH the mapping — a
+    * logical-schema append (new epoch, no record), a row-level MERGE
+    * in logical names (touched files rewrite to the logical schema
+    * and shed their records), and the plain logical read unioning all
+    * epochs. Oracle: pure `documents` arithmetic over the final
+    * state. */
+  def q323SchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, Merge, SchemaEvolve}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q323_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      // UNPARTITIONED parity fixture (lang as a data column): the
+      // row-level merge family rewrites touched files flat, so its
+      // sinks are flat — partitioned layouts take the partition-replace
+      // path instead (SURVEY §2.9)
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (_, liveBefore) = CommitLog.ensureLoggedAt(fs, hPath)
+      SchemaEvolve.renameColumn(s, sink, "n_chars", "size")
+      val (g1, liveAfter) = CommitLog.ensureLoggedAt(fs, hPath)
+      val metadataOnly = liveBefore.sorted == liveAfter.sorted
+      val docs = t(s, dir, "documents")
+      // post-rename append in the LOGICAL schema — a new epoch
+      docs.filter(col("doc_id") % 11 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          (col("n_chars") + 5L).as("size"))
+        .coalesce(1)
+        .write.mode("append").parquet(sink)
+      CommitLog.commitNext(fs, hPath, g1,
+        CommitLog.listDataFiles(fs, hPath))
+      // row-level MERGE in logical names through the mapping
+      Merge.mergeParquet(s,
+        docs.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") * 2L).as("size")),
+        Seq("doc_id"), sink)
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("size").as("sum_size"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.map { case (l, ra, ss) => (l, ra, ss, metadataOnly) }
+        .toDF("lang", "rows_after", "sum_size", "metadata_only")
+        .orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q323Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       final AS (
+         SELECT lang, CASE WHEN doc_id % 9 = 0 THEN n_chars * 2
+                           ELSE n_chars END AS size
+         FROM d
+         UNION ALL
+         SELECT lang, n_chars + 5 FROM d WHERE doc_id % 11 = 5)
+       SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(size) AS BIGINT) AS sum_size,
+              TRUE AS metadata_only
+       FROM final GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q323_schema_evolve" -> q323SchemaEvolve _,
+    "q322_cdf_updates" -> q322CdfUpdates _,
     "q320_change_feed" -> q320ChangeFeed _,
     "q321_merge_on_read" -> q321MergeOnRead _,
     "q318_dv_delete" -> q318DvDelete _,
@@ -1050,6 +1196,8 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q323_schema_evolve" -> q323Sql,
+    "q322_cdf_updates" -> q322Sql,
     "q320_change_feed" -> q320Sql,
     "q321_merge_on_read" -> q321Sql,
     "q318_dv_delete" -> q318Sql,

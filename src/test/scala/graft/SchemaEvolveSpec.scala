@@ -1,0 +1,223 @@
+package graft
+
+import graft.operators.{CommitLog, DeleteVectors, Merge, SchemaEvolve,
+  Upsert}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Non-additive schema evolution ([[graft.operators.SchemaEvolve]]):
+  * RENAME and DROP as metadata-only manifest commits (per-file
+  * `#colmap` records), the logical-schema reader
+  * ([[CommitLog.mappedScan]] epochs), the operators that keep working
+  * through the mapping (read, time travel, merge, erase, predicate
+  * delete, insert-only upsert), the positional family that refuses it
+  * loudly (compaction, applyDeletes), and the explicit
+  * [[SchemaEvolve.normalize]] rewrite that pays the mapping down. */
+class SchemaEvolveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Killed(at: String) extends RuntimeException(at)
+  private def killAt(point: String): String => Unit =
+    p => if (p == point) throw Killed(point)
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Logged sink, one single-row (k, v) parquet file per key. */
+  private def mkSink(root: String, keys: Seq[Long]): String = {
+    val sink = s"$root/t"
+    keys.foreach { k =>
+      Seq((k, k * 10)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    sink
+  }
+
+  /** Stage one fresh single-row file (under the CURRENT logical
+    * column names) and commit it as a logged append. */
+  private def appendRow(sink: String, cols: Seq[String],
+                        k: Long, v: Long): Unit = {
+    val fs = fsOf(sink)
+    val hp = new Path(sink)
+    val tmp = new Path(sink + "__stage-" +
+      java.util.UUID.randomUUID().toString)
+    Seq((k, v)).toDF(cols: _*).coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val rel = part.getName
+    assert(fs.rename(part, new Path(sink, rel)))
+    fs.delete(tmp, true)
+    val (g, live) = CommitLog.ensureLoggedAt(fs, hp)
+    CommitLog.commitAppend(fs, hp, g, live, Seq(rel))
+  }
+
+  test("rename is metadata-only: zero data motion, logical reads, " +
+    "mixed-epoch appends union, time travel keeps each snapshot's " +
+    "names, rename-back sheds the records") {
+    val root = java.nio.file.Files.createTempDirectory("se_r1").toString
+    val sink = mkSink(root, Seq(1L, 2L))
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val (g0, live0) = CommitLog.ensureLoggedAt(fs, hp)
+    SchemaEvolve.renameColumn(spark, sink, "v", "score")
+    // metadata-only: the live file set is IDENTICAL
+    val (g1, live1) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(g1 == g0 + 1 && live1.sorted == live0.sorted)
+    assert(CommitLog.colmapRecords(fs, hp).values.toSet ==
+      Set(Map("v" -> "score")))
+    // logical read
+    val df = CommitLog.read(spark, sink)
+    assert(df.columns.sorted.toSeq == Seq("k", "score"))
+    assert(df.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L))
+    // post-rename append writes the LOGICAL schema, no record needed;
+    // both epochs union by logical name
+    appendRow(sink, Seq("k", "score"), 3L, 30L)
+    val df2 = CommitLog.read(spark, sink).orderBy("k")
+    assert(df2.columns.sorted.toSeq == Seq("k", "score"))
+    assert(df2.collect().map(_.getLong(1)).toSeq == Seq(10L, 20L, 30L))
+    assert(CommitLog.colmapRecords(fs, hp).size == 2,
+      "the appended file must carry NO record")
+    // time travel: the pre-rename snapshot reads under ITS names
+    assert(CommitLog.readAt(spark, sink, g0).columns.sorted.toSeq ==
+      Seq("k", "v"))
+    assert(CommitLog.readAt(spark, sink, g1).columns.sorted.toSeq ==
+      Seq("k", "score"))
+    // rename back: the original files' mapping returns to identity and
+    // the records shed; the post-rename file now carries score→v
+    SchemaEvolve.renameColumn(spark, sink, "score", "v")
+    val cms = CommitLog.colmapRecords(fs, hp)
+    assert(cms.values.toSet == Set(Map("score" -> "v")),
+      s"only the mid-epoch file keeps a record, got $cms")
+    assert(CommitLog.read(spark, sink).columns.sorted.toSeq ==
+      Seq("k", "v"))
+  }
+
+  test("rename validations: unknown source, colliding target, " +
+    "rename-to-self all refuse") {
+    val root = java.nio.file.Files.createTempDirectory("se_r2").toString
+    val sink = mkSink(root, Seq(1L))
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.renameColumn(spark, sink, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.renameColumn(spark, sink, "v", "k")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.renameColumn(spark, sink, "v", "v")
+    }
+  }
+
+  test("merge and erase keep working through the mapping: batches in " +
+    "LOGICAL names, touched files normalize as a side effect, " +
+    "untouched files keep their records") {
+    val root = java.nio.file.Files.createTempDirectory("se_m1").toString
+    val sink = mkSink(root, Seq(1L, 2L, 3L, 4L))
+    val fs = fsOf(sink); val hp = new Path(sink)
+    SchemaEvolve.renameColumn(spark, sink, "v", "score")
+    // MERGE with a logical-schema batch: update k=1, insert k=9
+    val st = Merge.mergeParquet(spark,
+      Seq((1L, 111L), (9L, 90L)).toDF("k", "score"), Seq("k"), sink)
+    assert(st.rowsUpdated == 1L && st.rowsInserted == 1L)
+    val rows = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("score")))).toSeq
+    assert(rows == Seq((1L, 111L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (9L, 90L)))
+    // the touched file was rewritten with the logical schema → its
+    // record left; untouched files keep theirs
+    val cms = CommitLog.colmapRecords(fs, hp)
+    assert(cms.size == 3 &&
+      cms.values.toSet == Set(Map("v" -> "score")))
+    // ERASE by logical key column
+    val es = Merge.eraseParquet(spark, Seq(Tuple1(2L)).toDF("k"),
+      Seq("k"), sink)
+    assert(es.rowsDeleted == 1L)
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 9L))
+  }
+
+  test("predicate delete (DV) and insert-only upsert work through " +
+    "the mapping in logical names") {
+    val root = java.nio.file.Files.createTempDirectory("se_d1").toString
+    val sink = mkSink(root, Seq(1L, 2L, 3L))
+    SchemaEvolve.renameColumn(spark, sink, "v", "score")
+    // upsert FIRST (the DV guard on its raw-reading publish path is a
+    // separate, pre-existing contract): an existing + a fresh key —
+    // the anti-join must see the MAPPED sink and suppress only the
+    // existing key
+    Upsert.upsertParquet(spark,
+      Seq((1L, 999L), (7L, 70L)).toDF("k", "score"),
+      Seq("k"), Seq("k"), sink)
+    val after = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("score")))).toSeq
+    assert(after == Seq((1L, 10L), (2L, 20L), (3L, 30L), (7L, 70L)),
+      s"only the fresh key may land, got $after")
+    // predicate delete in LOGICAL names over the mapped sink
+    val (n, _) = DeleteVectors.deleteWhere(spark, sink,
+      col("score") === 20L)
+    assert(n == 1L)
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 7L))
+  }
+
+  test("drop column: metadata-only tombstone, reads exclude it, " +
+    "normalize rewrites it away physically") {
+    val root = java.nio.file.Files.createTempDirectory("se_dr1").toString
+    val sink = mkSink(root, Seq(1L, 2L))
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val (_, live0) = CommitLog.ensureLoggedAt(fs, hp)
+    SchemaEvolve.dropColumn(spark, sink, "v")
+    val (_, live1) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live1.sorted == live0.sorted, "drop must move no data")
+    assert(CommitLog.read(spark, sink).columns.toSeq == Seq("k"))
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.dropColumn(spark, sink, "k") // only column left
+    }
+    // normalize: mapped files rewrite to the logical schema
+    val (rewritten, _) = SchemaEvolve.normalize(spark, sink)
+    assert(rewritten == 2L)
+    assert(CommitLog.colmapRecords(fs, hp).isEmpty)
+    assert(CommitLog.read(spark, sink).columns.toSeq == Seq("k"))
+    assert(CommitLog.read(spark, sink).count() == 2L)
+  }
+
+  test("positional operators refuse mapped files loudly; normalize " +
+    "re-enables them and applies pending DVs in the same pass; " +
+    "crash-atomic at the added failpoint") {
+    val root = java.nio.file.Files.createTempDirectory("se_g1").toString
+    val sink = mkSink(root, Seq(1L, 2L, 3L, 4L))
+    val fs = fsOf(sink); val hp = new Path(sink)
+    SchemaEvolve.renameColumn(spark, sink, "v", "score")
+    // mapped, DV-free: the COLMAP guard is what fires
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Compact.compactSink(spark, sink)
+    }
+    assert(e.getMessage.contains("SchemaEvolve.normalize"))
+    // now add a DV through the mapping; applyDeletes hits the colmap
+    // guard on its mapped targets
+    DeleteVectors.deleteWhere(spark, sink, col("score") === 40L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeleteVectors.applyDeletes(spark, sink)
+    }
+    assert(e2.getMessage.contains("SchemaEvolve.normalize"))
+    // crash between add and commit: old generation intact
+    val gBefore = CommitLog.committed(fs, hp).get._1
+    intercept[Killed] {
+      SchemaEvolve.normalize(spark, sink, failpoint = killAt("added"))
+    }
+    assert(CommitLog.committed(fs, hp).get._1 == gBefore)
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the re-run completes: records cleared, DVs applied, compaction OK
+    val (rewritten, _) = SchemaEvolve.normalize(spark, sink)
+    assert(rewritten == 4L)
+    assert(CommitLog.colmapRecords(fs, hp).isEmpty)
+    assert(CommitLog.dvRecords(fs, hp).isEmpty)
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    graft.operators.Compact.compactSink(spark, sink)
+    assert(CommitLog.read(spark, sink).count() == 3L)
+  }
+}
