@@ -1174,7 +1174,84 @@ object MaintenanceQueries {
               TRUE AS metadata_only
        FROM final GROUP BY lang ORDER BY lang"""
 
+  /** End-to-end CDC REPLICATION over the paired change feed: an
+    * upstream sink is mutated by a MoR MERGE + a predicate delete; the
+    * manifest-derived feed ([[graft.operators.CommitLog
+    * .changesBetween]] with `keys`) is consumed EXACTLY the way a
+    * Delta-CDF subscriber consumes it — drop `update_preimage`, map
+    * `update_postimage`/`insert` → U and `delete` → D — and applied to
+    * an independent downstream replica via the tri-branch
+    * [[graft.operators.Merge.applyCdcParquet]]. The downstream NEVER
+    * reads the upstream's data files: everything flows through the
+    * feed, which is the replication contract at 100 TB (feed cost ∝
+    * changed files, apply cost ∝ touched replica files). Oracle: the
+    * replica's final per-lang rollup equals direct arithmetic over
+    * `documents`. */
+  def q324CdfReplicate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, Merge}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q324_")
+      .toString
+    val up = s"$root/up"; val down = s"$root/down"
+    try {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(up, down).foreach { sink =>
+        Seq(0, 1).foreach { par =>
+          docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+            .write.mode("append").parquet(sink)
+        }
+      }
+      val hUp = new org.apache.hadoop.fs.Path(up)
+      val fs = hUp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, new org.apache.hadoop.fs.Path(down))
+      val (g0, _) = CommitLog.ensureLoggedAt(fs, hUp)
+      val docs = t(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit(77L).as("n_chars")))
+      DeleteVectors.mergeOnRead(s, up, updates, Seq("doc_id"))
+      DeleteVectors.deleteWhere(s, up, col("doc_id") % 7 === 1)
+      val gEnd = CommitLog.committed(fs, hUp).get._1
+      // subscriber side: paired feed → net CDC batch → replica MERGE
+      val ops = CommitLog.changesBetween(s, up, g0, gEnd,
+          keys = Seq("doc_id"))
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("op",
+          when(col("_change_type") === "delete", lit("D"))
+            .otherwise(lit("U")))
+        .drop("_change_type")
+      Merge.applyCdcParquet(s, ops, Seq("doc_id"), "op", down)
+      val stats = CommitLog.read(s, down)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.toDF("lang", "rows_after", "sum_chars").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q324Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       final AS (
+         SELECT lang, CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                           ELSE n_chars END AS n_chars
+         FROM d WHERE doc_id % 7 <> 1
+         UNION ALL
+         SELECT lang, 77 FROM d
+         WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0)
+       SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM final GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q324_cdf_replicate" -> q324CdfReplicate _,
     "q323_schema_evolve" -> q323SchemaEvolve _,
     "q322_cdf_updates" -> q322CdfUpdates _,
     "q320_change_feed" -> q320ChangeFeed _,
@@ -1196,6 +1273,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q324_cdf_replicate" -> q324Sql,
     "q323_schema_evolve" -> q323Sql,
     "q322_cdf_updates" -> q322Sql,
     "q320_change_feed" -> q320Sql,

@@ -632,4 +632,24 @@ class PlanAuditSpec extends SparkSpec {
       "scan should prune to shipdate/quantity/discount/extendedprice:\n" +
         read.take(800))
   }
+
+  test("architecture: no Scala UDF anywhere in the main tree — every " +
+    "row-path expression stays inside whole-stage codegen (the one " +
+    "historical offender was Compact's per-row bin lookup, replaced " +
+    "by a broadcast equi-join)") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.exists(root),
+      s"expected to run from the project root, cwd=${
+        System.getProperty("user.dir")}")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter { p =>
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .contains("udf(")
+      }.map(_.toString).toList
+    assert(hits.isEmpty,
+      s"Scala UDFs box every row through the JVM-object boundary and " +
+        s"break codegen spans — found udf( in: ${hits.mkString(", ")}")
+  }
 }

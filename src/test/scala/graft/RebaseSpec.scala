@@ -257,6 +257,13 @@ class RebaseSpec extends SparkSpec {
     // vacuum must NOT reclaim a dir that records point INTO
     assert(CommitLog.vacuum(fs, hp) == 0L)
     assert(CommitLog.read(spark, sink).count() == 201L)
+    // the change feed reads sharded DV part files like any other:
+    // the whole mass delete surfaces as deletes
+    val gens = CommitLog.generations(fs, hp)
+    val feed = CommitLog.changesBetween(spark, sink,
+      gens.head, gens.last)
+    assert(feed.filter(col("_change_type") === "delete").count()
+      == 800L)
     // MoR → CoW compaction clears the sharded DVs
     val (rewritten, _) = DeleteVectors.applyDeletes(spark, sink)
     assert(rewritten == 4L)

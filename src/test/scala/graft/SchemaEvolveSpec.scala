@@ -160,6 +160,15 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(n == 1L)
     assert(CommitLog.read(spark, sink).orderBy("k")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 7L))
+    // MoR MERGE through the mapping: batch in LOGICAL names, matched
+    // version vanishes behind a DV, update appends logical-schema
+    val (marked, appended) = DeleteVectors.mergeOnRead(spark, sink,
+      Seq((3L, 333L)).toDF("k", "score"), Seq("k"))
+    assert(marked == 1L && appended == 1L)
+    val rows = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("score")))).toSeq
+    assert(rows == Seq((1L, 10L), (3L, 333L), (7L, 70L)))
   }
 
   test("drop column: metadata-only tombstone, reads exclude it, " +
