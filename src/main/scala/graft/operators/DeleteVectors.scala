@@ -365,14 +365,17 @@ object DeleteVectors {
     val newFiles = added.result()
     // commit with bounded in-place rebase: the appended files are
     // fresh names invisible to every other writer, so they ALWAYS
-    // commute; the DV marks commute iff the winner neither rewrote
-    // the marked files nor changed their DV records. A winner that
-    // did touch them invalidates our read snapshot (the matched scan
-    // must re-run against the rewrite), which this operator cannot
-    // replay after staging — that conflict stays terminal and the
-    // caller retries the MERGE.
+    // commute at the file level; the DV marks commute iff the winner
+    // neither rewrote the marked files nor changed their DV records;
+    // and the winner's own NEW files must share no key with this
+    // batch (its rows would sit NEXT TO our appended versions — our
+    // matched scan never saw them, so no mark covers them). A winner
+    // that fails any test invalidates our read snapshot, which this
+    // operator cannot replay after staging — that conflict stays
+    // terminal and the caller retries the MERGE.
     var base = baseGen
     var liveNow = live
+    var seen = live.toSet ++ newFiles
     var committed = false
     var attempt = 0
     while (!committed) {
@@ -386,15 +389,24 @@ object DeleteVectors {
           val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
           val liveSet2 = l2.toSet
           val dv2 = CommitLog.dvRecords(fs, hPath)
-          val commutes = attempt < maxAttempts &&
+          val winnerNew = l2.filterNot(seen)
+          val keyOverlap = winnerNew.nonEmpty && spark.read
+            .option("mergeSchema", "true")
+            .option("basePath", hPath.toString)
+            .parquet(winnerNew.map(r =>
+              new Path(hPath, r).toString): _*)
+            .select(keys.map(col): _*)
+            .join(batch, keys, "left_semi").take(1).nonEmpty
+          val commutes = attempt < maxAttempts && !keyOverlap &&
             affected.forall(f =>
               liveSet2(f) && dv2.get(f) == dvs.get(f))
           if (!commutes)
             throw new CommitConflictException(
               s"mergeOnRead: lost the commit race at $path and the " +
-                "winner touched our matched files (or attempts " +
-                s"exhausted after $attempt) — re-run the MERGE: " +
-                e.getMessage)
+                "winner touched our matched files or keys (or " +
+                s"attempts exhausted after $attempt) — re-run the " +
+                s"MERGE: ${e.getMessage}")
+          seen ++= winnerNew
           base = g2; liveNow = l2
       }
     }

@@ -437,7 +437,8 @@ object Upsert {
                     path: String, aggDedup: Boolean = false,
                     partitionCol: Option[String] = None,
                     preDeduped: Boolean = false,
-                    pruneRerun: Boolean = true): Long = {
+                    pruneRerun: Boolean = true,
+                    failpoint: String => Unit = _ => ()): Long = {
     partitionCol.foreach(p => require(keys.contains(p),
       s"partitionCol $p must be a key column (keys=$keys): pruning by a " +
         "non-key column would duplicate keys living in other partitions"))
@@ -572,12 +573,65 @@ object Upsert {
             new org.apache.hadoop.fs.Path(hPath, r).toString): _*
         ).count()
       }
-      // blind-append commit with bounded rebase: a lost race against a
-      // concurrent publisher re-commits these fresh files on top of
-      // the winner's manifest instead of surfacing a caller retry
-      // (CommitLog.commitAppend's Delta-style contract)
-      if (newFiles.nonEmpty)
-        CommitLog.commitAppend(fs, hPath, baseGen, lv, newFiles)
+      failpoint("staged")
+      // append commit with bounded rebase, GUARDED at key granularity:
+      // a lost race against a concurrent publisher re-commits these
+      // fresh files on top of the winner's manifest WITHOUT a caller
+      // retry — but only after proving the winner's own new files
+      // share NO key with this batch (both reads are delta-sized). A
+      // blind rebase here would let two concurrent publishers of the
+      // SAME batch both land (the anti-join ran against a snapshot
+      // that didn't see the winner), silently breaking the
+      // insert-only-uniqueness contract the loud conflict used to
+      // protect; with the guard, overlapping publishers stay terminal
+      // and the caller's re-run dedupes against the winner, exactly
+      // the pre-rebase semantics.
+      if (newFiles.nonEmpty) {
+        def absOf(rels: Seq[String]) = rels.map(r =>
+          new org.apache.hadoop.fs.Path(hPath, r).toString)
+        var base = baseGen
+        var live = lv
+        var seen = lv.toSet ++ newFiles
+        var attempt = 0
+        var stagedKeys: DataFrame = null
+        var committed = false
+        while (!committed) {
+          try {
+            CommitLog.commitNext(fs, hPath, base, live ++ newFiles)
+            committed = true
+          } catch {
+            case e: CommitConflictException =>
+              attempt += 1
+              if (attempt >= 8)
+                throw new CommitConflictException(
+                  s"upsertParquet: gave up after $attempt rebase " +
+                    s"attempts at $path — ${e.getMessage}")
+              val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+              val winnerNew = l2.filterNot(seen)
+              if (winnerNew.nonEmpty) {
+                if (stagedKeys == null)
+                  stagedKeys = spark.read.option("basePath", path)
+                    .parquet(absOf(newFiles): _*)
+                    .select(keys.map(col): _*).distinct()
+                    .localCheckpoint()
+                val overlap = spark.read
+                  .option("mergeSchema", "true")
+                  .option("basePath", path)
+                  .parquet(absOf(winnerNew): _*)
+                  .select(keys.map(col): _*)
+                  .join(stagedKeys, keys, "left_semi").take(1)
+                if (overlap.nonEmpty)
+                  throw new CommitConflictException(
+                    s"upsertParquet: a concurrent publisher landed " +
+                      s"overlapping key(s) (e.g. ${overlap.head}) at " +
+                      s"$path — re-run the upsert; its anti-join " +
+                      "will dedupe against the winner")
+              }
+              seen ++= winnerNew
+              base = g2; live = l2
+          }
+        }
+      }
       fs.delete(tmp, true)
     }
     if (n < 0 && liveBefore.isEmpty) {

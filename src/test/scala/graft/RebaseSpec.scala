@@ -145,6 +145,55 @@ class RebaseSpec extends SparkSpec {
     assert(ks == Seq(0L, 100L, 200L, 300L, 400L))
   }
 
+  test("concurrent upserts of the SAME key stay terminal — the " +
+    "key-overlap guard: the loser throws instead of silently " +
+    "duplicating, and its re-run dedupes to zero") {
+    val root = java.nio.file.Files.createTempDirectory("rb_u2").toString
+    val sink = s"$root/t"
+    Seq((0L, 0L)).toDF("k", "v").write.parquet(sink)
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    var fired = false
+    val e = intercept[CommitConflictException] {
+      Upsert.upsertParquet(spark, Seq((5L, 50L)).toDF("k", "v"),
+        Seq("k"), Seq("k"), sink,
+        failpoint = p => if (p == "staged" && !fired) {
+          fired = true
+          // the winner publishes the SAME key before our commit
+          Upsert.upsertParquet(spark, Seq((5L, 51L)).toDF("k", "v"),
+            Seq("k"), Seq("k"), sink)
+        })
+    }
+    assert(e.getMessage.contains("overlapping"))
+    // the loser's re-run anti-joins against the winner → 0 new rows
+    val n = Upsert.upsertParquet(spark, Seq((5L, 50L)).toDF("k", "v"),
+      Seq("k"), Seq("k"), sink)
+    assert(n == 0L)
+    val rows = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 0L), (5L, 51L)),
+      s"exactly one version of the key may land, got $rows")
+  }
+
+  test("concurrent upserts of DISJOINT keys rebase hands-free " +
+    "(deterministic failpoint variant of the thread race)") {
+    val root = java.nio.file.Files.createTempDirectory("rb_u3").toString
+    val sink = s"$root/t"
+    Seq((0L, 0L)).toDF("k", "v").write.parquet(sink)
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    var fired = false
+    val n = Upsert.upsertParquet(spark, Seq((5L, 50L)).toDF("k", "v"),
+      Seq("k"), Seq("k"), sink,
+      failpoint = p => if (p == "staged" && !fired) {
+        fired = true
+        Upsert.upsertParquet(spark, Seq((9L, 90L)).toDF("k", "v"),
+          Seq("k"), Seq("k"), sink)
+      })
+    assert(n == 1L)
+    val rows = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 0L), (5L, 50L), (9L, 90L)))
+  }
+
   test("deleteWhere rebases in place when the winner touched OTHER " +
     "files (disjoint deletes both land, one DV write each)") {
     val root = java.nio.file.Files.createTempDirectory("rb_d1").toString
@@ -203,7 +252,8 @@ class RebaseSpec extends SparkSpec {
           DeleteVectors.deleteWhere(spark, sinkA, col("k") === 1L)
         })
     }
-    // winner only APPENDED (fresh file, no DV change) → rebase lands
+    // winner only APPENDED a disjoint key (fresh file, no DV change)
+    // → rebase lands
     val sinkB = mkLogged(s"$root/b", Seq(1L, 2L))
     var firedB = false
     val (marked, appended) = DeleteVectors.mergeOnRead(spark, sinkB,
@@ -217,6 +267,21 @@ class RebaseSpec extends SparkSpec {
     val rows = CommitLog.read(spark, sinkB).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((1L, 10L), (2L, 22L), (9L, 90L)))
+    // winner appended one of OUR merge keys (a not-matched insert key
+    // the winner could still see as absent) → the overlap guard keeps
+    // the conflict terminal: the winner's row dodges our marks and
+    // would sit next to our appended version as a duplicate
+    val sinkC = mkLogged(s"$root/c", Seq(1L, 2L))
+    var firedC = false
+    intercept[CommitConflictException] {
+      DeleteVectors.mergeOnRead(spark, sinkC,
+        Seq((2L, 22L), (7L, 77L)).toDF("k", "v"), Seq("k"),
+        failpoint = p => if (p == "staged" && !firedC) {
+          firedC = true
+          Upsert.upsertParquet(spark,
+            Seq((7L, 70L)).toDF("k", "v"), Seq("k"), Seq("k"), sinkC)
+        })
+    }
   }
 
   test("mass delete shards the DV write: per-data-file part records, " +
