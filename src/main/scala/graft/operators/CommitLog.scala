@@ -183,7 +183,7 @@ object CommitLog {
     *     cannot collide with an encoded value, URLEncoder escapes
     *     `~` to `%7E`);
     *   - `#txn\t<appIdEnc>\t<version>`: highest committed version per
-    *     idempotent-writer application id ([[TxnAppend]]);
+    *     idempotent-writer application id ([[Replicate]]'s exactly-once ledger);
     *   - `#colmap\t<dataRel>\t<physEnc>\t<logicalEnc>`: per-file
     *     column mapping for NON-ADDITIVE schema evolution
     *     ([[SchemaEvolve]]) — the file's physical column `phys` reads
@@ -291,6 +291,15 @@ object CommitLog {
       .map(readManifestFull(fs, sink, _).colmaps)
       .getOrElse(Map.empty)
 
+  /** Column-mapping records AT a pinned committed generation — what a
+    * writer's rebase loop compares against to detect that a
+    * concurrent winner evolved the schema after the writer's read
+    * snapshot (its staged files' physical names are then stale). */
+  def colmapRecordsAt(fs: FileSystem, sink: Path, gen: Long)
+  : Map[String, Map[String, String]] =
+    if (gen < 0) Map.empty
+    else readManifestFull(fs, sink, gen).colmaps
+
   /** Refuse an operator whose scan resolves columns by PHYSICAL name
     * on files carrying a column mapping — it would read renamed
     * columns under stale names (mergeSchema unioning old+new names as
@@ -330,7 +339,7 @@ object CommitLog {
       .map(readManifestFull(fs, sink, _).stats).getOrElse(Map.empty)
 
   /** Highest committed version for an idempotent writer's `appId`
-    * ([[TxnAppend]]), None when the app has never committed here. */
+    * ([[Replicate]]'s exactly-once subscription ledger), None when the app has never committed here. */
   def txnVersion(fs: FileSystem, sink: Path,
                  appId: String): Option[Long] =
     generations(fs, sink).lastOption

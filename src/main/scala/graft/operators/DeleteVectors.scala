@@ -378,6 +378,7 @@ object DeleteVectors {
     var seen = live.toSet ++ newFiles
     var committed = false
     var attempt = 0
+    val cmsAtBase = CommitLog.colmapRecordsAt(fs, hPath, baseGen)
     while (!committed) {
       try {
         CommitLog.commitNext(fs, hPath, base, liveNow ++ newFiles,
@@ -389,6 +390,14 @@ object DeleteVectors {
           val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
           val liveSet2 = l2.toSet
           val dv2 = CommitLog.dvRecords(fs, hPath)
+          // a winner that evolved the schema invalidates our staged
+          // files' physical column names (see upsertParquet) — never
+          // commutes
+          if (CommitLog.colmapRecords(fs, hPath) != cmsAtBase)
+            throw new CommitConflictException(
+              s"mergeOnRead: a concurrent writer evolved the schema " +
+                s"at $path — re-run the MERGE against the new " +
+                "logical schema")
           val winnerNew = l2.filterNot(seen)
           val keyOverlap = winnerNew.nonEmpty && spark.read
             .option("mergeSchema", "true")

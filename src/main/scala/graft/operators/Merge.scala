@@ -226,7 +226,8 @@ object Merge {
                      tmp: Path, baseGen: Long, live: Seq[String],
                      touchedRel: Seq[String],
                      failpoint: String => Unit,
-                     keepReplaced: Boolean = false): Unit = {
+                     keepReplaced: Boolean = false,
+                     txn: Option[(String, Long)] = None): Unit = {
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, false)
     while (it.hasNext) {
@@ -240,7 +241,7 @@ object Merge {
     }
     failpoint("added")
     CommitLog.commitNext(fs, hPath, baseGen,
-      live.diff(touchedRel) ++ added.result())
+      live.diff(touchedRel) ++ added.result(), txn = txn)
     failpoint("committed")
     if (!keepReplaced) touchedRel.foreach { r => // GC, best-effort
       try fs.delete(new Path(hPath, r), false)
@@ -347,7 +348,8 @@ object Merge {
   def applyCdcParquet(spark: SparkSession, changes: DataFrame,
                       keyCols: Seq[String], opCol: String, path: String,
                       failpoint: String => Unit = _ => (),
-                      keepReplaced: Boolean = false): CdcStats = {
+                      keepReplaced: Boolean = false,
+                      txn: Option[(String, Long)] = None): CdcStats = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"CDC target $path does not exist — " +
@@ -415,7 +417,13 @@ object Merge {
     if (nUpdated + nInserted + nDeleted > 0) {
       rewritten.write.parquet(tmp.toString)
       swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,
-        keepReplaced)
+        keepReplaced, txn)
+    } else txn.foreach { case (app, v) =>
+      // no-effect batch still advances the idempotence ledger — the
+      // exactly-once contract ([[Replicate]]) records "window applied"
+      // even when the window nets to nothing
+      CommitLog.commitNext(fs, hPath, baseGen, live,
+        txn = Some((app, v)))
     }
     CdcStats(live.length.toLong, touched.length.toLong,
       nUpdated, nDeleted, nInserted)

@@ -595,6 +595,7 @@ object Upsert {
         var attempt = 0
         var stagedKeys: DataFrame = null
         var committed = false
+        val cmsAtBase = CommitLog.colmapRecordsAt(fs, hPath, baseGen)
         while (!committed) {
           try {
             CommitLog.commitNext(fs, hPath, base, live ++ newFiles)
@@ -607,6 +608,17 @@ object Upsert {
                   s"upsertParquet: gave up after $attempt rebase " +
                     s"attempts at $path — ${e.getMessage}")
               val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+              // a winner that evolved the schema (SchemaEvolve
+              // rename/drop) invalidates our staged files' PHYSICAL
+              // column names — rebasing would land unmapped files
+              // under stale names that the logical reader then unions
+              // as a phantom extra column. Terminal; the re-run
+              // writes the new logical schema.
+              if (CommitLog.colmapRecords(fs, hPath) != cmsAtBase)
+                throw new CommitConflictException(
+                  s"upsertParquet: a concurrent writer evolved the " +
+                    s"schema at $path — re-run the upsert against " +
+                    "the new logical schema")
               val winnerNew = l2.filterNot(seen)
               if (winnerNew.nonEmpty) {
                 if (stagedKeys == null)

@@ -1250,7 +1250,81 @@ object MaintenanceQueries {
               CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM final GROUP BY lang ORDER BY lang"""
 
+  /** Exactly-once incremental CDC SUBSCRIPTION
+    * ([[graft.operators.Replicate]]): where q324 replays ONE window by
+    * hand, this runs the production loop — init the replica at the
+    * upstream's current generation, then let `syncOnce` consume each
+    * committed window (a MoR MERGE, then a predicate delete) with the
+    * `#txn` ledger advancing atomically with every apply. Evidence:
+    * the replica's final per-lang rollup (oracle arithmetic),
+    * `windows_applied` = the two non-empty windows, and `caught_up` =
+    * ledger generation == upstream latest. The replica never reads an
+    * upstream data file outside the feed. */
+  def q325CdcSubscription(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, Replicate}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q325_")
+      .toString
+    val up = s"$root/up"; val down = s"$root/down"
+    try {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(up)
+      }
+      val hUp = new org.apache.hadoop.fs.Path(up)
+      val fs = hUp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Replicate.init(s, up, down, "q325")
+      val docs = t(s, dir, "documents")
+      // window 1: MoR MERGE (updates + inserts)
+      val updates = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit(77L).as("n_chars")))
+      DeleteVectors.mergeOnRead(s, up, updates, Seq("doc_id"))
+      val s1 = Replicate.syncOnce(s, up, down, Seq("doc_id"), "q325")
+      // window 2: predicate delete
+      DeleteVectors.deleteWhere(s, up, col("doc_id") % 7 === 1)
+      val s2 = Replicate.syncOnce(s, up, down, Seq("doc_id"), "q325")
+      val windows = Seq(s1, s2).count(st => st.toGen > st.fromGen)
+      val caughtUp = CommitLog.txnVersion(fs,
+          new org.apache.hadoop.fs.Path(down), "q325")
+        .contains(CommitLog.committed(fs, hUp).get._1)
+      val stats = CommitLog.read(s, down)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.map { case (l, ra, sc) =>
+        (l, ra, sc, windows.toLong, caughtUp)
+      }.toDF("lang", "rows_after", "sum_chars", "windows_applied",
+        "caught_up").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q325Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       final AS (
+         SELECT lang, CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                           ELSE n_chars END AS n_chars
+         FROM d WHERE doc_id % 7 <> 1
+         UNION ALL
+         SELECT lang, 77 FROM d
+         WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0)
+       SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(2 AS BIGINT) AS windows_applied,
+              TRUE AS caught_up
+       FROM final GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q325_cdc_subscription" -> q325CdcSubscription _,
     "q324_cdf_replicate" -> q324CdfReplicate _,
     "q323_schema_evolve" -> q323SchemaEvolve _,
     "q322_cdf_updates" -> q322CdfUpdates _,
@@ -1273,6 +1347,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q325_cdc_subscription" -> q325Sql,
     "q324_cdf_replicate" -> q324Sql,
     "q323_schema_evolve" -> q323Sql,
     "q322_cdf_updates" -> q322Sql,

@@ -171,6 +171,32 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L), (3L, 333L), (7L, 70L)))
   }
 
+  test("an append racing a RENAME stays terminal: its staged files " +
+    "carry the old physical names and must not rebase past the " +
+    "schema change; the re-run lands under the new logical schema") {
+    val root = java.nio.file.Files.createTempDirectory("se_rc1").toString
+    val sink = mkSink(root, Seq(1L, 2L))
+    var fired = false
+    val e = intercept[graft.operators.CommitConflictException] {
+      Upsert.upsertParquet(spark, Seq((9L, 90L)).toDF("k", "v"),
+        Seq("k"), Seq("k"), sink,
+        failpoint = p => if (p == "staged" && !fired) {
+          fired = true
+          SchemaEvolve.renameColumn(spark, sink, "v", "score")
+        })
+    }
+    assert(e.getMessage.contains("evolved the schema"))
+    // the re-run writes the CURRENT logical schema and lands clean
+    val n = Upsert.upsertParquet(spark,
+      Seq((9L, 90L)).toDF("k", "score"), Seq("k"), Seq("k"), sink)
+    assert(n == 1L)
+    val df = CommitLog.read(spark, sink)
+    assert(df.columns.sorted.toSeq == Seq("k", "score"),
+      s"no phantom column may appear, got ${df.columns.mkString(",")}")
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 9L))
+  }
+
   test("drop column: metadata-only tombstone, reads exclude it, " +
     "normalize rewrites it away physically") {
     val root = java.nio.file.Files.createTempDirectory("se_dr1").toString
