@@ -98,11 +98,39 @@ object Merge {
   : DataFrame = {
     if (cms.isEmpty)
       spark.read.option("mergeSchema", "true")
+        .option("basePath", hPath.toString)
         .parquet(live.map(r => new Path(hPath, r).toString): _*)
         .withColumn("__f", col("_metadata.file_path"))
     else CommitLog.mappedScan(spark, hPath, live, cms, identity = true)
       .withColumnRenamed("__file_path", "__f").drop("__row_index")
   }
+
+  /** Hive-partition column names of the sink's live layout, from the
+    * rel paths alone (no I/O); Nil for a flat sink. The family
+    * REQUIRES a consistent layout — a sink mixing partitioned and
+    * root-level data files is already unreadable coherently and must
+    * be repaired, not silently merged. */
+  private def partColsOf(live: Seq[String]): Seq[String] = {
+    val sigs = live.map(_.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+      .distinct
+    require(sigs.size == 1,
+      s"inconsistent partition layouts across live files: $sigs")
+    sigs.head
+  }
+
+  /** The rewrite write: flat for flat sinks; for partitioned sinks the
+    * output lands under the same partition scheme (one shuffle by the
+    * partition columns so each value writes one file). Partition
+    * values round-trip through partition INFERENCE — zero-padded
+    * numeric directory names would be re-inferred (the
+    * [[Compact.compactByPlan]] caveat); string-valued layouts
+    * round-trip exactly. */
+  private def writeRewrite(df: DataFrame, tmp: Path,
+                           partCols: Seq[String]): Unit =
+    if (partCols.isEmpty) df.write.parquet(tmp.toString)
+    else df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(tmp.toString)
 
   /** Touched-file re-read conformed to the logical `schema` (missing
     * additive columns null-filled — the `.schema(...)` pinning the
@@ -113,7 +141,8 @@ object Merge {
                           cms: Map[String, Map[String, String]],
                           schema: org.apache.spark.sql.types.StructType)
   : DataFrame = {
-    if (cms.isEmpty) spark.read.schema(schema).parquet(touchedAbs: _*)
+    if (cms.isEmpty) spark.read.schema(schema)
+      .option("basePath", hPath.toString).parquet(touchedAbs: _*)
     else {
       val df = CommitLog.mappedScan(spark, hPath, touchedRel, cms)
       val have = df.columns.toSet
@@ -203,7 +232,7 @@ object Merge {
         .unionByName(matched, allowMissingColumns = allowSchemaEvolution)
         .unionByName(inserts, allowMissingColumns = allowSchemaEvolution)
     if (nUpdated + nInserted > 0) {
-      rewritten.write.parquet(tmp.toString)
+      writeRewrite(rewritten, tmp, partColsOf(live))
       swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,
         keepReplaced)
     }
@@ -229,14 +258,17 @@ object Merge {
                      keepReplaced: Boolean = false,
                      txn: Option[(String, Long)] = None): Unit = {
     val added = Seq.newBuilder[String]
-    val it = fs.listFiles(tmp, false)
+    val it = fs.listFiles(tmp, true) // recursive: partition dirs too
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) {
-        if (!fs.rename(f, new Path(hPath, f.getName)))
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
           throw new java.io.IOException(
-            s"swap: could not move $f into $hPath")
-        added += f.getName
+            s"swap: could not move $f into $dest")
+        added += rel
       }
     }
     failpoint("added")
@@ -312,7 +344,7 @@ object Merge {
       deleted = touchedRows.count() - kept.count()
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      kept.write.parquet(tmp.toString)
+      writeRewrite(kept, tmp, partColsOf(live))
       swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint)
     }
     EraseStats(live.length.toLong, touched.length.toLong, deleted)
@@ -415,7 +447,7 @@ object Merge {
         .unionByName(matched)
         .unionByName(inserts)
     if (nUpdated + nInserted + nDeleted > 0) {
-      rewritten.write.parquet(tmp.toString)
+      writeRewrite(rewritten, tmp, partColsOf(live))
       swapIn(fs, hPath, tmp, baseGen, live, touchedRel, failpoint,
         keepReplaced, txn)
     } else txn.foreach { case (app, v) =>

@@ -1323,7 +1323,58 @@ object MaintenanceQueries {
               TRUE AS caught_up
        FROM final GROUP BY lang ORDER BY lang"""
 
+  /** Right-to-be-forgotten erasure on a PARTITIONED corpus
+    * ([[graft.operators.Merge.eraseParquet]], now partition-aware):
+    * the erasure keys all live in one language partition, so only
+    * that partition's touched files rewrite — every other partition's
+    * files stay byte-identical on disk (`others_intact` pins the rel
+    * names), which is the difference between a request-sized rewrite
+    * and re-copying the corpus. Rewritten output lands back under the
+    * same `lang=` scheme via the recursive swap. */
+  def q326ErasePartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, Merge}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q326_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      dvFixture(s, dir, sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (_, liveBefore) = CommitLog.ensureLoggedAt(fs, hPath)
+      val docs = t(s, dir, "documents")
+      val keys = docs.filter(col("lang") === "en" &&
+        col("doc_id") % 13 === 4).select("doc_id")
+      Merge.eraseParquet(s, keys, Seq("doc_id"), sink)
+      val (_, liveAfter) = CommitLog.ensureLoggedAt(fs, hPath)
+      val afterSet = liveAfter.toSet
+      val intact = liveBefore.filterNot(_.startsWith("lang=en/"))
+        .forall(afterSet)
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.map { case (l, ra, sc) => (l, ra, sc, intact) }
+        .toDF("lang", "rows_after", "sum_chars",
+          "other_partitions_intact")
+        .orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q326Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              TRUE AS other_partitions_intact
+       FROM documents
+       WHERE NOT (lang = 'en' AND doc_id % 13 = 4)
+       GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q326_erase_partitioned" -> q326ErasePartitioned _,
     "q325_cdc_subscription" -> q325CdcSubscription _,
     "q324_cdf_replicate" -> q324CdfReplicate _,
     "q323_schema_evolve" -> q323SchemaEvolve _,
@@ -1347,6 +1398,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q326_erase_partitioned" -> q326Sql,
     "q325_cdc_subscription" -> q325Sql,
     "q324_cdf_replicate" -> q324Sql,
     "q323_schema_evolve" -> q323Sql,
