@@ -192,7 +192,12 @@ object CommitLog {
     *     records read identity (physical == logical) — Iceberg's
     *     name-mapping idea keyed by name instead of field id, which
     *     suffices because every rename commit rewrites the records of
-    *     every live file in the same atomic manifest.
+    *     every live file in the same atomic manifest;
+    *   - `#coltype\t<dataRel>\t<physEnc>\t<ddl>`: per-file WIDENING
+    *     cast ([[SchemaEvolve.widenColumn]]) — the file's physical
+    *     column reads CAST to the catalog DDL type (e.g. `bigint`),
+    *     Iceberg's type-promotion class; widen-only, so the cast is
+    *     lossless by construction.
     *
     * Pre-extension manifests have no `#` lines and parse to empty
     * maps — the grammar is backward compatible in both directions (an
@@ -203,7 +208,8 @@ object CommitLog {
       dvs: Map[String, String],
       stats: Map[String, Map[String, ColStats]],
       txns: Map[String, Long],
-      colmaps: Map[String, Map[String, String]] = Map.empty)
+      colmaps: Map[String, Map[String, String]] = Map.empty,
+      coltypes: Map[String, Map[String, String]] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -272,6 +278,13 @@ object CommitLog {
         (parts(1), dec(parts(2)),
           if (parts(3) == "~") "" else dec(parts(3)))
       }.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap,
+      lines.filter(_.startsWith("#coltype\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4,
+          s"corrupt manifest: malformed coltype record '$l'")
+        (parts(1), dec(parts(2)), dec(parts(3)))
+      }.groupBy(_._1).view
         .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
@@ -300,6 +313,23 @@ object CommitLog {
     if (gen < 0) Map.empty
     else readManifestFull(fs, sink, gen).colmaps
 
+  /** The latest committed generation's widening-cast records
+    * (data file → physical → catalog DDL type),
+    * [[SchemaEvolve.widenColumn]]. */
+  def coltypeRecords(fs: FileSystem, sink: Path)
+  : Map[String, Map[String, String]] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).coltypes)
+      .getOrElse(Map.empty)
+
+  /** Widening-cast records AT a pinned committed generation — the
+    * [[colmapRecordsAt]] twin for rebase-loop schema-race detection
+    * (staged files racing a widen carry the NARROW physical type). */
+  def coltypeRecordsAt(fs: FileSystem, sink: Path, gen: Long)
+  : Map[String, Map[String, String]] =
+    if (gen < 0) Map.empty
+    else readManifestFull(fs, sink, gen).coltypes
+
   /** Refuse an operator whose scan resolves columns by PHYSICAL name
     * on files carrying a column mapping — it would read renamed
     * columns under stale names (mergeSchema unioning old+new names as
@@ -312,9 +342,11 @@ object CommitLog {
                                           files: Option[Seq[String]] =
                                             None): Unit = {
     val cms = colmapRecords(fs, sink)
+    val cts = coltypeRecords(fs, sink)
+    val mapped = cms.keySet ++ cts.keySet
     val hit = files match {
-      case None => cms.keys.toSeq
-      case Some(fl) => fl.filter(cms.contains)
+      case None => mapped.toSeq
+      case Some(fl) => fl.filter(mapped)
     }
     require(hit.isEmpty,
       s"$op reads files by physical column name but these carry a " +
@@ -549,7 +581,8 @@ object CommitLog {
                  dvs: Map[String, String] = Map.empty,
                  stats: Map[String, Map[String, ColStats]] = Map.empty,
                  txn: Option[(String, Long)] = None,
-                 colmaps: Map[String, Map[String, String]] = Map.empty)
+                 colmaps: Map[String, Map[String, String]] = Map.empty,
+                 coltypes: Map[String, Map[String, String]] = Map.empty)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -604,10 +637,21 @@ object CommitLog {
           if (logical.isEmpty) "~" else enc(logical)}"
       }
     }.sorted
+    // coltype records carry per surviving file exactly like colmaps
+    val mergedColtypes = (base.coltypes.keySet ++ coltypes.keySet)
+      .iterator.filter(fileSet).map { f =>
+        f -> coltypes.getOrElse(f,
+          base.coltypes.getOrElse(f, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
+    val coltypeLines = mergedColtypes.toSeq.flatMap { case (f, m) =>
+      m.toSeq.map { case (phys, ddl) =>
+        s"#coltype\t$f\t${enc(phys)}\t${enc(ddl)}"
+      }
+    }.sorted
     val out = fs.create(tmp, true)
     try out.write(
       (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
-        colmapLines).mkString("\n").getBytes("UTF-8"))
+        colmapLines ++ coltypeLines).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
       try fs.delete(tmp, false)
@@ -765,8 +809,9 @@ object CommitLog {
     val missing = m.files.filterNot(r => fs.exists(new Path(hPath, r)))
     require(missing.isEmpty,
       s"generation $gen files were reclaimed (vacuumed): $missing")
-    if (m.colmaps.nonEmpty)
-      mappedScan(spark, hPath, m.files, m.colmaps, m.dvs)
+    if (m.colmaps.nonEmpty || m.coltypes.nonEmpty)
+      mappedScan(spark, hPath, m.files, m.colmaps, m.dvs,
+        coltypes = m.coltypes)
     else applyDvs(spark, hPath, fs,
       spark.read.option("basePath", sink)
         .parquet(m.files.map(r => new Path(hPath, r).toString): _*),
@@ -828,14 +873,17 @@ object CommitLog {
                                       String]],
                                     dvs: Map[String, String] =
                                       Map.empty,
-                                    identity: Boolean = false)
+                                    identity: Boolean = false,
+                                    coltypes: Map[String, Map[String,
+                                      String]] = Map.empty)
   : DataFrame = {
     import org.apache.spark.sql.functions.col
     require(files.nonEmpty, "mappedScan of an empty file list")
     val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val groups = files.groupBy(f => colmaps.getOrElse(f, Map.empty))
+    val groups = files.groupBy(f => (colmaps.getOrElse(f, Map.empty),
+        coltypes.getOrElse(f, Map.empty)))
       .toSeq.sortBy(_._2.head) // deterministic branch order
-    val branches = groups.map { case (mapping, gFiles) =>
+    val branches = groups.map { case ((mapping, types), gFiles) =>
       val gSet = gFiles.toSet
       var df = spark.read.option("mergeSchema", "true")
         .option("basePath", sink.toString)
@@ -845,6 +893,15 @@ object CommitLog {
           .withColumn("__row_index", col("_metadata.row_index"))
       df = applyDvs(spark, sink, fs, df,
         dvs.filter { case (f, _) => gSet(f) })
+      // widening casts first (keyed by PHYSICAL name), then the
+      // rename/drop mapping in one simultaneous select
+      if (types.nonEmpty)
+        df = df.select(df.columns.toIndexedSeq.map { c =>
+          types.get(c) match {
+            case Some(ddl) => col(c).cast(ddl).as(c)
+            case None => col(c)
+          }
+        }: _*)
       if (mapping.isEmpty) df
       else df.select(df.columns.toIndexedSeq.flatMap { c =>
         mapping.get(c) match {
@@ -1031,8 +1088,9 @@ object CommitLog {
       .map(readManifestFull(fs, hPath, _)) match {
       case None => rd.parquet(sink)
       case Some(m) if m.files.isEmpty => spark.emptyDataFrame
-      case Some(m) if m.colmaps.nonEmpty =>
-        mappedScan(spark, hPath, m.files, m.colmaps, m.dvs)
+      case Some(m) if m.colmaps.nonEmpty || m.coltypes.nonEmpty =>
+        mappedScan(spark, hPath, m.files, m.colmaps, m.dvs,
+          coltypes = m.coltypes)
       case Some(m) =>
         applyDvs(spark, hPath, fs,
           rd.option("basePath", sink)

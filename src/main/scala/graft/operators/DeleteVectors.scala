@@ -71,16 +71,18 @@ object DeleteVectors {
     * LOGICAL names. */
   private def identityScan(spark: SparkSession, hPath: Path,
                            live: Seq[String], prefix: String,
-                           cms: Map[String, Map[String, String]])
+                           cms: Map[String, Map[String, String]],
+                           cts: Map[String, Map[String, String]])
   : org.apache.spark.sql.DataFrame = {
-    if (cms.isEmpty)
+    if (cms.isEmpty && cts.isEmpty)
       spark.read.option("mergeSchema", "true")
         .option("basePath", hPath.toString)
         .parquet(live.map(r => new Path(hPath, r).toString): _*)
         .withColumn("__file", relPathCol(prefix))
         .withColumn("__pos", col("_metadata.row_index"))
     else
-      CommitLog.mappedScan(spark, hPath, live, cms, identity = true)
+      CommitLog.mappedScan(spark, hPath, live, cms, identity = true,
+          coltypes = cts)
         .withColumn("__file", relPathCol(prefix, col("__file_path")))
         .withColumn("__pos", col("__row_index"))
         .drop("__file_path", "__row_index")
@@ -179,7 +181,8 @@ object DeleteVectors {
       // can't be re-marked and the returned count is exactly the rows
       // this call removed
       val raw = identityScan(spark, hPath, live, prefix,
-        CommitLog.colmapRecords(fs, hPath))
+        CommitLog.colmapRecords(fs, hPath),
+        CommitLog.coltypeRecords(fs, hPath))
       val visible =
         if (dvs.isEmpty) raw
         else raw.join(
@@ -285,7 +288,8 @@ object DeleteVectors {
     // column an automatic keep-one would be nondeterministic, so the
     // producer dedupes first ([[Upsert.dedupKeepFirstAgg]])
     val scanId = identityScan(spark, hPath, live, prefix,
-      CommitLog.colmapRecords(fs, hPath))
+      CommitLog.colmapRecords(fs, hPath),
+      CommitLog.coltypeRecords(fs, hPath))
     val sinkCols = scanId.columns.filterNot(c =>
       c == "__file" || c == "__pos")
     require(sinkCols.sorted.sameElements(updates.columns.sorted),
@@ -378,7 +382,8 @@ object DeleteVectors {
     var seen = live.toSet ++ newFiles
     var committed = false
     var attempt = 0
-    val cmsAtBase = CommitLog.colmapRecordsAt(fs, hPath, baseGen)
+    val cmsAtBase = (CommitLog.colmapRecordsAt(fs, hPath, baseGen),
+      CommitLog.coltypeRecordsAt(fs, hPath, baseGen))
     while (!committed) {
       try {
         CommitLog.commitNext(fs, hPath, base, liveNow ++ newFiles,
@@ -393,7 +398,8 @@ object DeleteVectors {
           // a winner that evolved the schema invalidates our staged
           // files' physical column names (see upsertParquet) — never
           // commutes
-          if (CommitLog.colmapRecords(fs, hPath) != cmsAtBase)
+          if ((CommitLog.colmapRecords(fs, hPath),
+              CommitLog.coltypeRecords(fs, hPath)) != cmsAtBase)
             throw new CommitConflictException(
               s"mergeOnRead: a concurrent writer evolved the schema " +
                 s"at $path — re-run the MERGE against the new " +

@@ -46,9 +46,12 @@ import org.apache.spark.sql.functions._
   * (`dags/idh_etl.py:247-256`); CommitProtocolSpec kills the swap at
   * both points and proves it.
   *
-  * Sinks must be non-hive-partitioned (the rewrite writes flat data
-  * files; partition-replacement lives in
-  * [[Upsert.replacePartitionsParquet]]). `updates` must carry the
+  * Sinks may be flat or hive-partitioned: the rewrite lands back
+  * under the sink's own partition scheme (the swap moves files
+  * recursively, preserving `k=v` levels) and partition columns read
+  * as ordinary columns, so `updates` must carry them like any other
+  * sink column. Wholesale partition restatement lives in
+  * [[Upsert.replacePartitionsParquet]]. `updates` must carry the
   * sink's exact schema (keys + payload). Duplicate keys WITHIN the
   * batch are the producer's bug (which row should win is undefined);
   * pass the batch through [[Upsert.dedupKeepFirstAgg]] first, as the
@@ -94,14 +97,16 @@ object Merge {
     * without any rewrite. */
   private def liveScan(spark: SparkSession, hPath: Path,
                        live: Seq[String],
-                       cms: Map[String, Map[String, String]])
+                       cms: Map[String, Map[String, String]],
+                       cts: Map[String, Map[String, String]])
   : DataFrame = {
-    if (cms.isEmpty)
+    if (cms.isEmpty && cts.isEmpty)
       spark.read.option("mergeSchema", "true")
         .option("basePath", hPath.toString)
         .parquet(live.map(r => new Path(hPath, r).toString): _*)
         .withColumn("__f", col("_metadata.file_path"))
-    else CommitLog.mappedScan(spark, hPath, live, cms, identity = true)
+    else CommitLog.mappedScan(spark, hPath, live, cms,
+        identity = true, coltypes = cts)
       .withColumnRenamed("__file_path", "__f").drop("__row_index")
   }
 
@@ -139,12 +144,14 @@ object Merge {
                           touchedAbs: Seq[String],
                           touchedRel: Seq[String],
                           cms: Map[String, Map[String, String]],
+                          cts: Map[String, Map[String, String]],
                           schema: org.apache.spark.sql.types.StructType)
   : DataFrame = {
-    if (cms.isEmpty) spark.read.schema(schema)
+    if (cms.isEmpty && cts.isEmpty) spark.read.schema(schema)
       .option("basePath", hPath.toString).parquet(touchedAbs: _*)
     else {
-      val df = CommitLog.mappedScan(spark, hPath, touchedRel, cms)
+      val df = CommitLog.mappedScan(spark, hPath, touchedRel, cms,
+        coltypes = cts)
       val have = df.columns.toSet
       df.select(schema.fields.toIndexedSeq.map { f =>
         if (have(f.name)) col(f.name).cast(f.dataType)
@@ -168,7 +175,8 @@ object Merge {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "mergeParquet")
     val cms = CommitLog.colmapRecords(fs, hPath)
-    val scan = liveScan(spark, hPath, live, cms)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val scan = liveScan(spark, hPath, live, cms, cts)
     val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     if (allowSchemaEvolution)
@@ -206,7 +214,7 @@ object Merge {
     val touchedKeys =
       if (touched.isEmpty) null
       else touchedScan(spark, hPath, touched, touchedRel, cms,
-          sinkSchema)
+          cts, sinkSchema)
         .select(keyCols.map(col): _*)
     val matched =
       if (touched.isEmpty) batch.filter(lit(false))
@@ -225,7 +233,7 @@ object Merge {
     val rewritten =
       if (touched.isEmpty) inserts
       else touchedScan(spark, hPath, touched, touchedRel, cms,
-          sinkSchema)
+          cts, sinkSchema)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         // evolution: the kept old-schema rows take NULLs for the
         // batch's new columns
@@ -318,12 +326,13 @@ object Merge {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "eraseParquet")
     val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
     // mergeSchema (inside liveScan): a sink widened by
     // mergeParquet(allowSchemaEvolution) legitimately carries mixed
     // footer schemas; without the union one narrow footer could win
     // and the rewrite would silently drop the evolved columns' values
     // from every touched wide file
-    val scan = liveScan(spark, hPath, live, cms)
+    val scan = liveScan(spark, hPath, live, cms, cts)
     val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     val batch = keys.select(keyCols.map(col): _*).distinct().cache()
@@ -339,7 +348,7 @@ object Merge {
     var deleted = 0L
     if (touched.nonEmpty) {
       val touchedRows = touchedScan(spark, hPath, touched, touchedRel,
-        cms, sinkSchema)
+        cms, cts, sinkSchema)
       val kept = touchedRows.join(batch, keyCols, "left_anti")
       deleted = touchedRows.count() - kept.count()
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
@@ -389,11 +398,12 @@ object Merge {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "applyCdcParquet")
     val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
     // mergeSchema (inside liveScan) for the same reason as
     // eraseParquet: an evolved sink has mixed footers, and rewriting
     // touched wide files through one narrow footer's schema would
     // drop the evolved columns
-    val scan = liveScan(spark, hPath, live, cms)
+    val scan = liveScan(spark, hPath, live, cms, cts)
     val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
     require(sinkSchema.fieldNames.sorted.sameElements(
@@ -422,7 +432,7 @@ object Merge {
     val touchedRows =
       if (touched.isEmpty) null
       else touchedScan(spark, hPath, touched, touchedRel, cms,
-        sinkSchema)
+        cts, sinkSchema)
     val touchedKeys =
       if (touched.isEmpty) null
       else touchedRows.select(keyCols.map(col): _*)

@@ -47,7 +47,54 @@ object SchemaEvolve {
     val (_, live) = CommitLog.ensureLoggedAt(fs, hPath)
     if (live.isEmpty) return Nil
     CommitLog.mappedScan(spark, hPath, live,
-      CommitLog.colmapRecords(fs, hPath)).columns.toIndexedSeq
+      CommitLog.colmapRecords(fs, hPath),
+      coltypes = CommitLog.coltypeRecords(fs, hPath))
+      .columns.toIndexedSeq
+  }
+
+  /** Widening promotions allowed per target catalog DDL type —
+    * Iceberg's type-promotion classes plus the smaller integral
+    * steps; every entry is value-lossless, so the per-file read cast
+    * can never corrupt. */
+  private val Widenings: Map[String, Set[String]] = Map(
+    "smallint" -> Set("tinyint"),
+    "int" -> Set("tinyint", "smallint"),
+    "bigint" -> Set("tinyint", "smallint", "int"),
+    "double" -> Set("float"))
+
+  /** WIDEN a column's type (e.g. int → bigint): one manifest commit,
+    * zero data motion — every live file gains a per-file `#coltype`
+    * cast record for the column's physical name; files appended
+    * afterwards are written with the wide type directly and need no
+    * record. Widen-only (see [[Widenings]]): a narrowing request is
+    * refused, so the cast is lossless by construction. Returns the
+    * committed generation. */
+  def widenColumn(spark: SparkSession, path: String,
+                  name: String, toDdl: String): Long = {
+    val target = toDdl.trim.toLowerCase
+    require(Widenings.contains(target),
+      s"widen: unsupported target type '$toDdl' (supported: ${
+        Widenings.keys.toSeq.sorted.mkString(", ")})")
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    require(live.nonEmpty, s"widen on an empty sink $path")
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val schema = CommitLog.mappedScan(spark, hPath, live, cms,
+      coltypes = cts).schema
+    require(schema.fieldNames.contains(name),
+      s"widen: no logical column '$name' (have ${
+        schema.fieldNames.mkString(",")})")
+    val current = schema(name).dataType.catalogString.toLowerCase
+    require(current != target, s"widen: '$name' is already $target")
+    require(Widenings(target).contains(current),
+      s"widen: $current → $target is not a lossless widening")
+    val newTypes = live.map { f =>
+      val phys = physOf(cms.getOrElse(f, Map.empty), name)
+      f -> (cts.getOrElse(f, Map.empty) + (phys -> target))
+    }.toMap
+    CommitLog.commitNext(fs, hPath, gen, live, coltypes = newTypes)
   }
 
   /** Physical name a logical column reads from in file `f`'s mapping:
@@ -71,8 +118,8 @@ object SchemaEvolve {
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     require(live.nonEmpty, s"rename on an empty sink $path")
     val cms = CommitLog.colmapRecords(fs, hPath)
-    val logical = CommitLog.mappedScan(spark, hPath, live, cms)
-      .columns.toSeq
+    val logical = CommitLog.mappedScan(spark, hPath, live, cms,
+      coltypes = CommitLog.coltypeRecords(fs, hPath)).columns.toSeq
     require(logical.contains(oldName),
       s"rename: no logical column '$oldName' (have ${
         logical.mkString(",")})")
@@ -101,8 +148,8 @@ object SchemaEvolve {
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     require(live.nonEmpty, s"drop on an empty sink $path")
     val cms = CommitLog.colmapRecords(fs, hPath)
-    val logical = CommitLog.mappedScan(spark, hPath, live, cms)
-      .columns.toSeq
+    val logical = CommitLog.mappedScan(spark, hPath, live, cms,
+      coltypes = CommitLog.coltypeRecords(fs, hPath)).columns.toSeq
     require(logical.contains(name),
       s"drop: no logical column '$name' (have ${logical.mkString(",")})")
     require(logical.size > 1, s"drop: cannot drop the only column")
@@ -130,17 +177,21 @@ object SchemaEvolve {
     val fs = fsOf(spark, hPath)
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     val cms = CommitLog.colmapRecords(fs, hPath)
-    val targets = live.filter(cms.contains).sorted
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val targets = live.filter(f =>
+      cms.contains(f) || cts.contains(f)).sorted
     if (targets.isEmpty) return (0L, live.length.toLong)
+    val tSet = targets.toSet
     val dvs = CommitLog.dvRecords(fs, hPath)
-      .filter { case (f, _) => cms.contains(f) }
-    val mapped = CommitLog.mappedScan(spark, hPath, targets, cms, dvs)
+      .filter { case (f, _) => tSet(f) }
+    val mapped = CommitLog.mappedScan(spark, hPath, targets, cms, dvs,
+      coltypes = cts)
     // logical partition columns: the physical k=v levels of the rel
     // paths, pushed through the owning file's mapping ("" = dropped)
     val physParts = targets.head.split('/').dropRight(1)
       .filter(_.contains('=')).map(_.takeWhile(_ != '='))
     val partCols = physParts.flatMap { p =>
-      val l = cms(targets.head).getOrElse(p, p)
+      val l = cms.getOrElse(targets.head, Map.empty).getOrElse(p, p)
       if (l.isEmpty) None else Some(l)
     }
     val tmp = new Path(hPath.getParent, hPath.getName + "__norm_tmp")

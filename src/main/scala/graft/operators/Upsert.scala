@@ -508,11 +508,13 @@ object Upsert {
          case Some((_, lv)) if lv.isEmpty => None
          case Some((_, lv)) =>
            val cms = CommitLog.colmapRecords(fs, hPath)
-           if (cms.isEmpty)
+           val cts = CommitLog.coltypeRecords(fs, hPath)
+           if (cms.isEmpty && cts.isEmpty)
              Some(spark.read.option("basePath", path).parquet(
                lv.map(r =>
                  new org.apache.hadoop.fs.Path(hPath, r).toString): _*))
-           else Some(CommitLog.mappedScan(spark, hPath, lv, cms))
+           else Some(CommitLog.mappedScan(spark, hPath, lv, cms,
+             coltypes = cts))
          case None => Some(spark.read.parquet(path))
        }).map { s =>
         pvals match {
@@ -595,7 +597,9 @@ object Upsert {
         var attempt = 0
         var stagedKeys: DataFrame = null
         var committed = false
-        val cmsAtBase = CommitLog.colmapRecordsAt(fs, hPath, baseGen)
+        val cmsAtBase =
+          (CommitLog.colmapRecordsAt(fs, hPath, baseGen),
+            CommitLog.coltypeRecordsAt(fs, hPath, baseGen))
         while (!committed) {
           try {
             CommitLog.commitNext(fs, hPath, base, live ++ newFiles)
@@ -614,7 +618,8 @@ object Upsert {
               // under stale names that the logical reader then unions
               // as a phantom extra column. Terminal; the re-run
               // writes the new logical schema.
-              if (CommitLog.colmapRecords(fs, hPath) != cmsAtBase)
+              if ((CommitLog.colmapRecords(fs, hPath),
+                  CommitLog.coltypeRecords(fs, hPath)) != cmsAtBase)
                 throw new CommitConflictException(
                   s"upsertParquet: a concurrent writer evolved the " +
                     s"schema at $path — re-run the upsert against " +

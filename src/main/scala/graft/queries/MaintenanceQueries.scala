@@ -1373,7 +1373,72 @@ object MaintenanceQueries {
        WHERE NOT (lang = 'en' AND doc_id % 13 = 4)
        GROUP BY lang ORDER BY lang"""
 
+  /** Type WIDENING as metadata ([[graft.operators.SchemaEvolve
+    * .widenColumn]], Iceberg's type-promotion class): the corpus is
+    * written with a genuine 32-bit `n_chars`, widened to bigint in one
+    * manifest commit (`metadata_only` pins zero data motion), and a
+    * post-widen append lands values beyond Int.MaxValue — the two
+    * epochs (narrow-cast, native-wide) union in the logical reader and
+    * the per-lang sums/maxes only work if the cast is applied
+    * per-file. Oracle: `documents` arithmetic with the same widening
+    * applied in SQL. */
+  def q327TypeWiden(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, SchemaEvolve}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q327_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("int").as("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (_, liveBefore) = CommitLog.ensureLoggedAt(fs, hPath)
+      SchemaEvolve.widenColumn(s, sink, "n_chars", "bigint")
+      val (g1, liveAfter) = CommitLog.ensureLoggedAt(fs, hPath)
+      val metadataOnly = liveBefore.sorted == liveAfter.sorted
+      // post-widen append: values a 32-bit column could never hold
+      t(s, dir, "documents").filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          (col("n_chars") + 3000000000L).as("n_chars"))
+        .coalesce(1).write.mode("append").parquet(sink)
+      CommitLog.commitNext(fs, hPath, g1,
+        CommitLog.listDataFiles(fs, hPath))
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_n"), max("n_chars").as("max_n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.map { case (l, ra, sn, mn) => (l, ra, sn, mn, metadataOnly) }
+        .toDF("lang", "rows_after", "sum_n", "max_n", "metadata_only")
+        .orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q327Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       final AS (
+         SELECT lang, CAST(n_chars AS BIGINT) AS n FROM d
+         UNION ALL
+         SELECT lang, n_chars + 3000000000 FROM d
+         WHERE doc_id % 17 = 3)
+       SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(n) AS BIGINT) AS sum_n,
+              CAST(max(n) AS BIGINT) AS max_n,
+              TRUE AS metadata_only
+       FROM final GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q327_type_widen" -> q327TypeWiden _,
     "q326_erase_partitioned" -> q326ErasePartitioned _,
     "q325_cdc_subscription" -> q325CdcSubscription _,
     "q324_cdf_replicate" -> q324CdfReplicate _,
@@ -1398,6 +1463,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q327_type_widen" -> q327Sql,
     "q326_erase_partitioned" -> q326Sql,
     "q325_cdc_subscription" -> q325Sql,
     "q324_cdf_replicate" -> q324Sql,

@@ -171,6 +171,63 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(rows == Seq((1L, 10L), (3L, 333L), (7L, 70L)))
   }
 
+  test("widenColumn (int → bigint) is metadata-only: narrow files " +
+    "read cast, post-widen appends are wide, merge works through the " +
+    "cast, narrowing is refused, positional ops refuse, normalize " +
+    "pays it down") {
+    val root = java.nio.file.Files.createTempDirectory("se_w1").toString
+    val sink = s"$root/t"
+    // v is a genuine 32-bit int on disk; k stays bigint
+    Seq((1L, 10), (2L, 20)).foreach { case (k, v) =>
+      Seq((k, v)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    assert(CommitLog.read(spark, sink).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val (_, liveBefore) = CommitLog.ensureLoggedAt(fs, hp)
+    SchemaEvolve.widenColumn(spark, sink, "v", "bigint")
+    val (_, liveAfter) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(liveAfter.sorted == liveBefore.sorted,
+      "widen must move no data")
+    val df = CommitLog.read(spark, sink)
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L))
+    // post-widen append writes the wide type, new epoch, no record
+    appendRow(sink, Seq("k", "v"), 3L, 3000000000L) // > Int.MaxValue
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(1)).toSeq == Seq(10L, 20L, 3000000000L))
+    // merge through the cast: the touched narrow file rewrites WIDE
+    // and sheds its record; untouched narrow file keeps its record
+    Merge.mergeParquet(spark,
+      Seq((1L, 4000000000L)).toDF("k", "v"), Seq("k"), sink)
+    assert(CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(_.getLong(1)).toSeq ==
+      Seq(4000000000L, 20L, 3000000000L))
+    assert(CommitLog.coltypeRecords(fs, hp).size == 1)
+    // narrowing and unknown targets are refused
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.widenColumn(spark, sink, "v", "int")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.widenColumn(spark, sink, "v", "string")
+    }
+    // positional ops refuse the remaining narrow file; normalize
+    // rewrites it wide and clears the record
+    intercept[IllegalArgumentException] {
+      graft.operators.Compact.compactSink(spark, sink)
+    }
+    val (rewritten, _) = SchemaEvolve.normalize(spark, sink)
+    assert(rewritten == 1L)
+    assert(CommitLog.coltypeRecords(fs, hp).isEmpty)
+    assert(CommitLog.read(spark, sink).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(CommitLog.read(spark, sink).count() == 3L)
+  }
+
   test("an append racing a RENAME stays terminal: its staged files " +
     "carry the old physical names and must not rebase past the " +
     "schema change; the re-run lands under the new logical schema") {
