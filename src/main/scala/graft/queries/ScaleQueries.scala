@@ -791,8 +791,11 @@ object ScaleQueries {
     * no `quality` column, a later generation adds it. `mergeSchema`
     * unions the per-file schemas at read time, old rows surface the
     * new column as NULL, and the census must separate them — the
-    * additive-evolution contract (rename/retype is a rewrite, not a
-    * read trick). The read declares the MERGED schema explicitly
+    * ADDITIVE evolution class, free at read time for any parquet
+    * reader (the NON-additive classes — rename, drop, widen — are
+    * metadata-only commits too, via [[graft.operators.SchemaEvolve]]'s
+    * per-file manifest records; q323/q327). The read declares the
+    * MERGED schema explicitly
     * after one mergeSchema listing probe in production; here the probe
     * itself is exercised. Oracle: both generations rebuilt from the
     * parquet truth with the same parity split. */
