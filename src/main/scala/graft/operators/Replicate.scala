@@ -53,7 +53,12 @@ object Replicate {
       CommitLog.committed(fs, hDown).isEmpty,
       s"replica $down already exists — init bootstraps a FRESH copy")
     val (gUp, _) = CommitLog.ensureLoggedAt(fs, hUp)
-    CommitLog.read(spark, up).write.mode("overwrite").parquet(down)
+    // copy the PINNED snapshot, not the latest state: a commit landing
+    // between the generation read and the copy would otherwise leave
+    // the ledger claiming less than the replica holds, and the first
+    // sync would re-apply a window (idempotent, but a wasted rewrite)
+    CommitLog.readAt(spark, up, gUp)
+      .write.mode("overwrite").parquet(down)
     val (g0, live) = CommitLog.ensureLoggedAt(fs, hDown)
     CommitLog.commitNext(fs, hDown, g0, live,
       txn = Some((appId, gUp)))
