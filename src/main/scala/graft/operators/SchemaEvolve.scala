@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions.col
   * copy-on-write rewrite that pays the mapping debt down — the exact
   * analogue of [[DeleteVectors.applyDeletes]] for deletion vectors.
   *
+  * Known trade, deliberately conservative: `#stats` records stay
+  * keyed by PHYSICAL column name, so after a rename the old files'
+  * min/max bounds no longer match logical-name pruning lookups —
+  * those files simply stop pruning (sound, never wrong) until a
+  * rewrite or [[normalize]] re-analyzes them under the new name.
+  *
   * The reference renames columns eagerly in pandas on ingest
   * (`dags/idh_etl.py:117-136`, a per-batch rename of Polish headers);
   * a committed table at scale needs rename-as-metadata instead. */
