@@ -633,6 +633,89 @@ class PlanAuditSpec extends SparkSpec {
         read.take(800))
   }
 
+  test("mapped read fans out per schema EPOCH, never per file: a " +
+    "renamed 6-file sink plans exactly 2 parquet scans (pre/post " +
+    "epochs); normalize collapses it back to 1") {
+    import spark.implicits._
+    import graft.operators.{CommitLog, SchemaEvolve}
+    val root = java.nio.file.Files.createTempDirectory("pa_ep").toString
+    val sink = s"$root/t"
+    (1L to 4L).foreach { k =>
+      Seq((k, k * 10)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.ensureLoggedAt(fs, new org.apache.hadoop.fs.Path(sink))
+    SchemaEvolve.renameColumn(spark, sink, "v", "score")
+    // two post-rename appends (logical schema, no records)
+    (5L to 6L).foreach { k =>
+      val tmp = new org.apache.hadoop.fs.Path(sink + "__st" + k)
+      Seq((k, k * 10)).toDF("k", "score").coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part,
+        new org.apache.hadoop.fs.Path(sink, part.getName)))
+      fs.delete(tmp, true)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val (g, live) = CommitLog.ensureLoggedAt(fs, hp)
+      CommitLog.commitAppend(fs, hp, g, live, Seq(part.getName))
+    }
+    def parquetScans(df: DataFrame): Int =
+      collectAll(executed(df)).count {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec =>
+          true
+        case p => p.nodeName == "BatchScan"
+      }
+    val df = CommitLog.read(spark, sink)
+    assert(df.count() == 6L)
+    assert(parquetScans(df) == 2,
+      "4 mapped + 2 unmapped files must plan as exactly TWO scans " +
+        "(one per epoch), not one per file")
+    SchemaEvolve.normalize(spark, sink)
+    assert(parquetScans(CommitLog.read(spark, sink)) == 1,
+      "a normalized sink must plan as ONE scan again")
+  }
+
+  test("change feed plans scans over CHANGED files only: an append+" +
+    "delete window on a 6-file sink never reads the 4 unchanged " +
+    "files") {
+    import spark.implicits._
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory("pa_cf").toString
+    val sink = s"$root/t"
+    (1L to 6L).foreach { k =>
+      Seq((k, k * 10)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    val hp = new org.apache.hadoop.fs.Path(sink)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (g0, _) = CommitLog.ensureLoggedAt(fs, hp)
+    // window: one appended file + marks on ONE existing file
+    val tmp = new org.apache.hadoop.fs.Path(sink + "__st")
+    Seq((9L, 90L)).toDF("k", "v").coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(sink,
+      part.getName)))
+    fs.delete(tmp, true)
+    val (g1, live1) = CommitLog.ensureLoggedAt(fs, hp)
+    CommitLog.commitAppend(fs, hp, g1, live1, Seq(part.getName))
+    DeleteVectors.deleteWhere(spark, sink,
+      org.apache.spark.sql.functions.col("k") === 3L)
+    val gEnd = CommitLog.committed(fs, hp).get._1
+    val feed = CommitLog.changesBetween(spark, sink, g0, gEnd)
+    assert(feed.count() == 2L) // one insert, one delete
+    val dataFiles = collectAll(executed(feed)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten.filterNot(_.contains("_graft_dv")).distinct
+    assert(dataFiles.size == 2,
+      s"the feed must scan exactly the appended file and the marked " +
+        s"file, got ${dataFiles.size}: $dataFiles")
+  }
+
   test("architecture: no Scala UDF anywhere in the main tree — every " +
     "row-path expression stays inside whole-stage codegen (the one " +
     "historical offender was Compact's per-row bin lookup, replaced " +
