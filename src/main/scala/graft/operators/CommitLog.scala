@@ -197,7 +197,12 @@ object CommitLog {
     *     cast ([[SchemaEvolve.widenColumn]]) — the file's physical
     *     column reads CAST to the catalog DDL type (e.g. `bigint`),
     *     Iceberg's type-promotion class; widen-only, so the cast is
-    *     lossless by construction.
+    *     lossless by construction;
+    *   - `#check\t<nameEnc>\t<exprEnc>`: TABLE-level CHECK constraint
+    *     (Delta's constraint feature) — a SQL boolean expression every
+    *     row written by a constraint-aware writer must satisfy
+    *     ([[requireChecks]]); carried UNCONDITIONALLY like `#txn`
+    *     (constraints describe the table, not files).
     *
     * Pre-extension manifests have no `#` lines and parse to empty
     * maps — the grammar is backward compatible in both directions (an
@@ -209,7 +214,8 @@ object CommitLog {
       stats: Map[String, Map[String, ColStats]],
       txns: Map[String, Long],
       colmaps: Map[String, Map[String, String]] = Map.empty,
-      coltypes: Map[String, Map[String, String]] = Map.empty)
+      coltypes: Map[String, Map[String, String]] = Map.empty,
+      checks: Map[String, String] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -285,7 +291,13 @@ object CommitLog {
           s"corrupt manifest: malformed coltype record '$l'")
         (parts(1), dec(parts(2)), dec(parts(3)))
       }.groupBy(_._1).view
-        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap,
+      lines.filter(_.startsWith("#check\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 3,
+          s"corrupt manifest: malformed check record '$l'")
+        dec(parts(1)) -> dec(parts(2))
+      }.toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
     m
@@ -329,6 +341,73 @@ object CommitLog {
   : Map[String, Map[String, String]] =
     if (gen < 0) Map.empty
     else readManifestFull(fs, sink, gen).coltypes
+
+  /** The latest committed generation's CHECK constraints
+    * (name → SQL boolean expression), empty when none declared. */
+  def checkRecords(fs: FileSystem, sink: Path): Map[String, String] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).checks)
+      .getOrElse(Map.empty)
+
+  /** Declare a table-level CHECK constraint (Delta's `ADD CONSTRAINT
+    * ... CHECK`): one manifest commit carrying the `#check` record —
+    * but only after ONE validating pass proves every EXISTING visible
+    * row already satisfies it (a constraint the current data violates
+    * would make the table unloadable to writers). Every subsequent
+    * constraint-aware write ([[Upsert.upsertParquet]],
+    * [[DeleteVectors.mergeOnRead]], [[Merge]]'s batch family) refuses
+    * a batch with a violating row, loudly, BEFORE any file moves.
+    * Constraints ride rewrites/compactions untouched (table-level
+    * carry). Returns the committed generation. */
+  def addCheck(spark: SparkSession, path: String,
+               name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && sqlExpr.trim.nonEmpty,
+      "addCheck needs a name and a boolean SQL expression")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, live) = ensureLoggedAt(fs, hPath)
+    val offender = read(spark, path)
+      .filter(!org.apache.spark.sql.functions.expr(sqlExpr)).take(1)
+    require(offender.isEmpty,
+      s"addCheck '$name': existing rows violate ($sqlExpr) — first " +
+        s"offender: ${offender.headOption.fold("")(_.toString)}")
+    commitNext(fs, hPath, gen, live, checks = Map(name -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint: one manifest commit with the empty-expr
+    * tombstone overlay. */
+  def dropCheck(spark: SparkSession, path: String, name: String)
+  : Long = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, live) = ensureLoggedAt(fs, hPath)
+    require(checkRecords(fs, hPath).contains(name),
+      s"dropCheck: no constraint '$name' at $path")
+    commitNext(fs, hPath, gen, live, checks = Map(name -> ""))
+  }
+
+  /** Writer-side enforcement: refuse `batch` if any row violates any
+    * declared constraint — called BEFORE a write stages anything, so
+    * a violating batch never moves a byte. One filter job per
+    * constraint over the BATCH (delta-sized, never the table); free
+    * when no constraints are declared (one cached manifest read). A
+    * NULL result counts as a violation (Delta semantics: the
+    * constraint must evaluate TRUE). */
+  private[operators] def requireChecks(spark: SparkSession,
+                                       fs: FileSystem, sink: Path,
+                                       batch: DataFrame,
+                                       op: String): Unit = {
+    val checks = checkRecords(fs, sink)
+    checks.foreach { case (name, e) =>
+      val pass = org.apache.spark.sql.functions.expr(e)
+      val offender = batch.filter(
+        !org.apache.spark.sql.functions.coalesce(pass,
+          org.apache.spark.sql.functions.lit(false))).take(1)
+      require(offender.isEmpty,
+        s"$op: batch violates CHECK constraint '$name' ($e) — first " +
+          s"offender: ${offender.headOption.fold("")(_.toString)}")
+    }
+  }
 
   /** Refuse an operator whose scan resolves columns by PHYSICAL name
     * on files carrying a column mapping — it would read renamed
@@ -582,7 +661,8 @@ object CommitLog {
                  stats: Map[String, Map[String, ColStats]] = Map.empty,
                  txn: Option[(String, Long)] = None,
                  colmaps: Map[String, Map[String, String]] = Map.empty,
-                 coltypes: Map[String, Map[String, String]] = Map.empty)
+                 coltypes: Map[String, Map[String, String]] = Map.empty,
+                 checks: Map[String, String] = Map.empty)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -648,10 +728,16 @@ object CommitLog {
         s"#coltype\t$f\t${enc(phys)}\t${enc(ddl)}"
       }
     }.sorted
+    // check records carry UNCONDITIONALLY (table-level, like #txn);
+    // an overlay with an EMPTY expression is the drop tombstone
+    val mergedChecks = (base.checks ++ checks).filter(_._2.nonEmpty)
+    val checkLines = mergedChecks.toSeq.sorted
+      .map { case (n, e) => s"#check\t${enc(n)}\t${enc(e)}" }
     val out = fs.create(tmp, true)
     try out.write(
       (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
-        colmapLines ++ coltypeLines).mkString("\n").getBytes("UTF-8"))
+        colmapLines ++ coltypeLines ++ checkLines)
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
       try fs.delete(tmp, false)

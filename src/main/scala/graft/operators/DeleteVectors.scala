@@ -306,6 +306,8 @@ object DeleteVectors {
     // conform column ORDER to the sink so appended files are
     // byte-layout-compatible with the originals
     val conformed = updates.select(sinkCols.toIndexedSeq.map(col): _*)
+    // CHECK constraints gate the update rows before any mark or append
+    CommitLog.requireChecks(spark, fs, hPath, conformed, "mergeOnRead")
     val batch = updates.select(keys.map(col): _*).distinct()
     // matched = visible rows (existing DVs anti-joined) whose key is
     // in the batch; only keys + identity are ever projected

@@ -191,6 +191,8 @@ object Merge {
         s"updates schema ${updates.columns.sorted.mkString(",")} must " +
           s"match sink schema ${sinkSchema.fieldNames.sorted.mkString(",")}")
     val keyed = updates.select(updates.columns.toIndexedSeq.map(col): _*)
+    // CHECK constraints gate the batch before anything stages
+    CommitLog.requireChecks(spark, fs, hPath, keyed, "mergeParquet")
 
     // small frame, three consumers (touched files, matched rewrite,
     // insert anti-join) — cache, released in the finally (a crash —
@@ -418,6 +420,9 @@ object Merge {
       s"CDC batch is not net: $nConflict keys carry more than one op — " +
         "collapse it first (q198's net-effect reduction)")
     val upserts = batch.filter(col(opCol) === "U").drop(opCol)
+    // CHECK constraints gate the rows that will LAND (U payloads; a
+    // delete op's payload columns are ignored by contract)
+    CommitLog.requireChecks(spark, fs, hPath, upserts, "applyCdcParquet")
     val delKeys = batch.filter(col(opCol) === "D")
       .select(keyCols.map(col): _*)
 

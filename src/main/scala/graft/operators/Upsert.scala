@@ -526,6 +526,11 @@ object Upsert {
       case Some(s) => newRowsOnly(deduped, s.select(keys.map(col): _*), keys)
       case None => deduped // first write: sink doesn't exist yet
     }
+    // CHECK constraints gate the rows actually being appended, BEFORE
+    // anything stages — a violating batch never moves a byte
+    liveBefore.foreach { _ =>
+      CommitLog.requireChecks(spark, fs, hPath, delta, "upsertParquet")
+    }
     // appended-row count from the write command's own committed-task
     // metrics — zero extra jobs; a footer count over exactly the new
     // files is the fallback should the listener event not arrive.

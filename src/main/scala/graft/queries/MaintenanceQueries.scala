@@ -1437,7 +1437,77 @@ object MaintenanceQueries {
               TRUE AS metadata_only
        FROM final GROUP BY lang ORDER BY lang"""
 
+  /** Table-level CHECK constraints as manifest records
+    * ([[graft.operators.CommitLog.addCheck]], Delta's constraint
+    * feature): declared in one commit after a validating pass over
+    * the existing corpus, then ENFORCED at write time — a MoR MERGE
+    * batch carrying a violating row is refused before any mark or
+    * append (`violator_refused` pins the sink stayed untouched), the
+    * conforming batch lands, and the record rides a subsequent
+    * DV delete + MoR→CoW rewrite untouched (`carried`). Oracle: final
+    * per-lang state from `documents` arithmetic. */
+  def q328CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q328_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.addCheck(s, sink,
+        "valid_doc", "n_chars >= 0 AND lang IS NOT NULL")
+      val gAfterAdd = CommitLog.committed(fs, hPath).get._1
+      val docs = t(s, dir, "documents")
+      // a batch smuggling one violating row is refused wholesale
+      val bad = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 9 === 0, lit(-1L))
+            .otherwise(col("n_chars") + 1000L).as("n_chars"))
+      val refused =
+        try { DeleteVectors.mergeOnRead(s, sink, bad, Seq("doc_id"))
+              false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("valid_doc") &&
+            CommitLog.committed(fs, hPath).get._1 == gAfterAdd }
+      // the conforming batch lands; the record rides the MoR→CoW pass
+      DeleteVectors.mergeOnRead(s, sink,
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars")),
+        Seq("doc_id"))
+      DeleteVectors.applyDeletes(s, sink)
+      val carried = CommitLog.checkRecords(fs, hPath)
+        .contains("valid_doc")
+      val stats = CommitLog.read(s, sink)
+        .groupBy("lang").agg(count(lit(1)).as("rows_after"),
+          sum("n_chars").as("sum_chars"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      stats.map { case (l, ra, sc) => (l, ra, sc, refused, carried) }
+        .toDF("lang", "rows_after", "sum_chars", "violator_refused",
+          "carried").orderBy("lang")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q328Sql: String =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                            ELSE n_chars END) AS BIGINT) AS sum_chars,
+              TRUE AS violator_refused, TRUE AS carried
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val all: Map[String, Q] = Map(
+    "q328_check_constraints" -> q328CheckConstraints _,
     "q327_type_widen" -> q327TypeWiden _,
     "q326_erase_partitioned" -> q326ErasePartitioned _,
     "q325_cdc_subscription" -> q325CdcSubscription _,
@@ -1463,6 +1533,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q328_check_constraints" -> q328Sql,
     "q327_type_widen" -> q327Sql,
     "q326_erase_partitioned" -> q326Sql,
     "q325_cdc_subscription" -> q325Sql,
