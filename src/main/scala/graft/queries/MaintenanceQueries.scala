@@ -1506,7 +1506,73 @@ object MaintenanceQueries {
               TRUE AS violator_refused, TRUE AS carried
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Manifest-resident file statistics
+    * ([[graft.operators.TableStats]]): ANALYZE computes per-(file,
+    * column) min/max bounds in one grouped scan and commits them as
+    * `#stats` records; a band read then prunes its file list from the
+    * manifest ALONE — the orders corpus is year-clustered into 7
+    * files, the two-year band provably skips 5 before any scan is
+    * planned (`files_scanned`/`files_skipped` pinned), and the pruned
+    * result hash-matches the plain filter (`equals_plain` +
+    * the oracle recomputing the band directly). Delta per-file stats /
+    * Iceberg lower-upper bounds, manifest-resident. */
+  def q329StatsPruning(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q329_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      (1995 to 2001).foreach { y =>
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      TableStats.analyze(s, sink, Seq("o_orderdate"))
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-12-31 23:59:59")
+      val (keep, skip) = TableStats.pruneBand(fs, hPath,
+        "o_orderdate", lo, hi)
+      val pruned = TableStats.readBand(s, sink, "o_orderdate", lo, hi)
+      val plain = CommitLog.read(s, sink)
+        .filter(col("o_orderdate") >= lit(lo) &&
+          col("o_orderdate") <= lit(hi))
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val pr = rollup(pruned)
+      val equalsPlain = pr == rollup(plain)
+      import s.implicits._
+      pr.map { case (y, ra, so) =>
+        (y.toLong, ra, so, keep.size.toLong, skip.size.toLong,
+          equalsPlain)
+      }.toDF("yr", "rows_after", "sum_okey", "files_scanned",
+        "files_skipped", "equals_plain").orderBy("yr")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q329Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              CAST(2 AS BIGINT) AS files_scanned,
+              CAST(5 AS BIGINT) AS files_skipped,
+              TRUE AS equals_plain
+       FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 23:59:59'
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q329_stats_pruning" -> q329StatsPruning _,
     "q328_check_constraints" -> q328CheckConstraints _,
     "q327_type_widen" -> q327TypeWiden _,
     "q326_erase_partitioned" -> q326ErasePartitioned _,
@@ -1533,6 +1599,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q329_stats_pruning" -> q329Sql,
     "q328_check_constraints" -> q328Sql,
     "q327_type_widen" -> q327Sql,
     "q326_erase_partitioned" -> q326Sql,

@@ -782,6 +782,10 @@ class CommitProtocolSpec extends SparkSpec {
       new java.io.File(sys.props("java.home"), "bin"), "java").toString
     val pb = new ProcessBuilder(
       (Seq(javaBin,
+        // a tiny pure-Hadoop main: cap its heap so it can never lose
+        // to MEMORY pressure when the suite runs under load (an OOM'd
+        // racer exits non-0/42 and would flake this test)
+        "-Xmx512m", "-XX:+UseSerialGC",
         "--add-opens", "java.base/java.lang=ALL-UNNAMED",
         "--add-opens", "java.base/java.util=ALL-UNNAMED",
         "--add-opens", "java.base/java.nio=ALL-UNNAMED",
