@@ -84,6 +84,70 @@ class StatsSpec extends SparkSpec {
     assert(TableStats.analyze(spark, sink, Seq("k")) == 0L)
   }
 
+  test("encode/compare ordering is exact over adversarial domains: " +
+    "negative longs, fractional doubles, and pre-epoch timestamps " +
+    "never misprune across a band sweep") {
+    val root = java.nio.file.Files.createTempDirectory("st4").toString
+    // longs spanning signs and magnitudes, one file per bucket
+    val lsink = s"$root/l"
+    Seq(Seq(-1000000007L, -999999L), Seq(-5L, 3L),
+      Seq(1000L, 4611686018427387904L)).foreach { vs =>
+      vs.toDF("k").coalesce(1).write.mode("append").parquet(lsink)
+    }
+    CommitLog.ensureLoggedAt(fsOf(lsink), new Path(lsink))
+    TableStats.analyze(spark, lsink, Seq("k"))
+    Seq((-1000000L, 0L), (-10L, -6L), (4L, 999L),
+      (Long.MinValue, Long.MaxValue)).foreach { case (lo, hi) =>
+      val pruned = TableStats.readBand(spark, lsink, "k", lo, hi)
+        .collect().map(_.getLong(0)).toSet
+      val plain = CommitLog.read(spark, lsink)
+        .filter(col("k") >= lo && col("k") <= hi)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned == plain, s"long band [$lo,$hi]")
+    }
+    // doubles with fractions and exponents (a lexical compare would
+    // order "-0.25" and "12.5" wrong)
+    val dsink = s"$root/d"
+    Seq(Seq(-1.5e9, -0.25), Seq(0.001, 0.75), Seq(12.5, 3.25e8))
+      .foreach { vs =>
+        vs.toDF("x").coalesce(1).write.mode("append").parquet(dsink)
+      }
+    CommitLog.ensureLoggedAt(fsOf(dsink), new Path(dsink))
+    TableStats.analyze(spark, dsink, Seq("x"))
+    Seq((-1.0, 1.0), (-2e9, -1.0), (12.0, 13.0)).foreach {
+      case (lo, hi) =>
+        val pruned = TableStats.readBand(spark, dsink, "x", lo, hi)
+          .collect().map(_.getDouble(0)).toSet
+        val plain = CommitLog.read(spark, dsink)
+          .filter(col("x") >= lo && col("x") <= hi)
+          .collect().map(_.getDouble(0)).toSet
+        assert(pruned == plain, s"double band [$lo,$hi]")
+    }
+    // timestamps spanning the epoch (pre-1970 = NEGATIVE micros)
+    val tsink = s"$root/t"
+    Seq(Seq("1969-06-01 00:00:00", "1969-12-31 23:59:59"),
+      Seq("1970-01-01 00:00:01", "1999-01-01 00:00:00"),
+      Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00")).foreach { vs =>
+      vs.map(java.sql.Timestamp.valueOf).toDF("ts")
+        .coalesce(1).write.mode("append").parquet(tsink)
+    }
+    CommitLog.ensureLoggedAt(fsOf(tsink), new Path(tsink))
+    TableStats.analyze(spark, tsink, Seq("ts"))
+    Seq(("1969-01-01 00:00:00", "1969-12-31 23:59:59"),
+      ("1969-12-01 00:00:00", "1970-06-01 00:00:00"),
+      ("2029-01-01 00:00:00", "2030-06-01 00:00:00")).foreach {
+      case (lo, hi) =>
+        val (tlo, thi) = (java.sql.Timestamp.valueOf(lo),
+          java.sql.Timestamp.valueOf(hi))
+        val pruned = TableStats.readBand(spark, tsink, "ts", tlo, thi)
+          .count()
+        val plain = CommitLog.read(spark, tsink)
+          .filter(col("ts") >= lit(tlo) && col("ts") <= lit(thi))
+          .count()
+        assert(pruned == plain, s"ts band [$lo,$hi]")
+    }
+  }
+
   test("bounds stay sound under deletion vectors (raw superset) and " +
     "a mapped sink reads exactly with pruning disabled on mapped " +
     "files") {
