@@ -174,9 +174,14 @@ object CommitLog {
   /** A parsed manifest: live data files, plus the `#`-record families
     * the grammar carries —
     *
-    *   - `#dv\t<dataRel>\t<dvRel>`: deletion-vector binding per data
-    *     file; `dvRel` is a parquet file or directory under
-    *     [[DvDirName]] whose (file, pos) rows mark deleted positions;
+    *   - `#dv\t<dataRel>\t<dvRel>[\t<nMarks>]`: deletion-vector binding
+    *     per data file; `dvRel` is a parquet file or directory under
+    *     [[DvDirName]] whose (file, pos) rows mark deleted positions.
+    *     The optional fourth field is the file's deleted-position
+    *     CARDINALITY (Delta DV descriptors store the same) — pure
+    *     metadata that lets [[TableStats]] prune a fully-deleted file
+    *     (`nRows == nMarks`) without opening the DV; absent on
+    *     pre-extension records, which simply don't short-circuit;
     *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>`:
     *     per-(file, column) [[ColStats]], column name and bounds
     *     URL-encoded (`~` = undefined bound: the bare character
@@ -215,7 +220,8 @@ object CommitLog {
       txns: Map[String, Long],
       colmaps: Map[String, Map[String, String]] = Map.empty,
       coltypes: Map[String, Map[String, String]] = Map.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      dvMarks: Map[String, Long] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -265,7 +271,7 @@ object CommitLog {
       lines.filterNot(_.startsWith("#")),
       lines.filter(_.startsWith("#dv\t")).map { l =>
         val parts = l.split('\t')
-        require(parts.length == 3,
+        require(parts.length == 3 || parts.length == 4,
           s"corrupt manifest: malformed dv record '$l'")
         parts(1) -> parts(2)
       }.toMap,
@@ -297,6 +303,11 @@ object CommitLog {
         require(parts.length == 3,
           s"corrupt manifest: malformed check record '$l'")
         dec(parts(1)) -> dec(parts(2))
+      }.toMap,
+      lines.filter(_.startsWith("#dv\t")).flatMap { l =>
+        val parts = l.split('\t')
+        if (parts.length == 4) Some(parts(1) -> parts(3).toLong)
+        else None
       }.toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
@@ -306,6 +317,13 @@ object CommitLog {
   private def readManifest(fs: FileSystem, sink: Path,
                            gen: Long): Seq[String] =
     readManifestFull(fs, sink, gen).files
+
+  /** The FULL parsed manifest of a committed generation — the
+    * snapshot a [[graft.sources.GraftDataSource]] V2 table pins at
+    * load time (files + every record family in one cached parse). */
+  private[graft] def manifestAt(fs: FileSystem, sink: Path,
+                                gen: Long): Manifest =
+    readManifestFull(fs, sink, gen)
 
   /** The latest committed generation's column-mapping records
     * (data file → physical → logical), empty for unlogged or unmapped
@@ -440,6 +458,15 @@ object CommitLog {
   def dvRecords(fs: FileSystem, sink: Path): Map[String, String] =
     generations(fs, sink).lastOption
       .map(readManifestFull(fs, sink, _).dvs).getOrElse(Map.empty)
+
+  /** The latest generation's deletion-vector CARDINALITIES (data file
+    * → number of deleted positions) where recorded — the manifest-only
+    * metadata [[TableStats]] uses to prune a fully-deleted file
+    * without opening its DV. A file with a DV record but no count
+    * (pre-extension manifests) is simply absent here. */
+  def dvMarkCounts(fs: FileSystem, sink: Path): Map[String, Long] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).dvMarks).getOrElse(Map.empty)
 
   /** The latest committed generation's per-file column statistics
     * (data file → column → [[ColStats]]), empty for unlogged or
@@ -662,7 +689,9 @@ object CommitLog {
                  txn: Option[(String, Long)] = None,
                  colmaps: Map[String, Map[String, String]] = Map.empty,
                  coltypes: Map[String, Map[String, String]] = Map.empty,
-                 checks: Map[String, String] = Map.empty)
+                 checks: Map[String, String] = Map.empty,
+                 dvMarks: Map[String, Long] = Map.empty,
+                 statsReplace: Boolean = false)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -682,14 +711,33 @@ object CommitLog {
       catch { case _: java.io.FileNotFoundException =>
         Manifest(Nil, Map.empty, Map.empty, Map.empty) }
     val fileSet = files.toSet
+    // a file's mark COUNT rides its DV record: an overlay that changes
+    // the record invalidates the base count (the DV was merged), so
+    // the count comes from this commit's `dvMarks` or not at all;
+    // carried-unchanged records keep their base count
     val dvLines = (base.dvs ++ dvs).toSeq
       .filter { case (f, _) => fileSet(f) }.sorted
-      .map { case (f, d) => s"#dv\t$f\t$d" }
-    val mergedStats = (base.stats.keySet ++ stats.keySet).iterator
-      .filter(fileSet).map { f =>
-        f -> (base.stats.getOrElse(f, Map.empty) ++
-          stats.getOrElse(f, Map.empty))
-      }.toMap
+      .map { case (f, d) =>
+        val n = if (dvs.contains(f)) dvMarks.get(f)
+          else base.dvMarks.get(f)
+        s"#dv\t$f\t$d" + n.fold("")(v => s"\t$v")
+      }
+    // default: per-(file, column) OVERLAY (analyze adds/refreshes
+    // bounds, untouched columns keep theirs). `statsReplace` makes a
+    // listed file's map REPLACE its base wholesale — the rename/drop
+    // rekey path, which must be able to REMOVE a column's record in
+    // the same atomic commit (an overlay can only add).
+    val mergedStats =
+      if (statsReplace)
+        (base.stats.keySet ++ stats.keySet).iterator
+          .filter(fileSet).map { f =>
+            f -> stats.getOrElse(f, base.stats.getOrElse(f, Map.empty))
+          }.filter(_._2.nonEmpty).toMap
+      else (base.stats.keySet ++ stats.keySet).iterator
+        .filter(fileSet).map { f =>
+          f -> (base.stats.getOrElse(f, Map.empty) ++
+            stats.getOrElse(f, Map.empty))
+        }.toMap
     val statsLines = mergedStats.toSeq.flatMap { case (f, cols) =>
       cols.toSeq.map { case (c, s) =>
         s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
@@ -953,7 +1001,7 @@ object CommitLog {
     * a union); `identity` materializes `__file_path`/`__row_index`
     * per branch for callers that need per-row provenance across the
     * union (the merge family's touched-file scans). */
-  private[operators] def mappedScan(spark: SparkSession, sink: Path,
+  private[graft] def mappedScan(spark: SparkSession, sink: Path,
                                     files: Seq[String],
                                     colmaps: Map[String, Map[String,
                                       String]],

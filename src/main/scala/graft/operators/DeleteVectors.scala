@@ -97,38 +97,54 @@ object DeleteVectors {
 
   /** Write the merged (file, pos) delete set under a fresh
     * `_graft_dv/<uuid>` directory and return each affected data
-    * file's DV path (sink-relative). At or below `shardRows` marks
-    * the write is a single task/file and every record points at the
-    * directory (the historical layout); above it, rows are
-    * hash-partitioned by data file into ⌈marks/shardRows⌉ tasks and
-    * each record points at the specific PART FILE holding its data
-    * file's marks — the manifest grammar already binds DVs per data
-    * file, and readers filter by the (file, pos) join, so a shard
-    * containing other files' marks is harmless. Never under-counts:
-    * the map is derived by reading back `_metadata.file_path`, not by
-    * predicting task placement. */
+    * file's (DV path, mark count), both sink-relative. At or below
+    * `shardRows` marks the write is a single task/file and every
+    * record points at the directory (the historical layout); above
+    * it, rows are hash-partitioned by data file into
+    * ⌈marks/shardRows⌉ tasks and each record points at the specific
+    * PART FILE holding its data file's marks — the manifest grammar
+    * already binds DVs per data file, and readers filter by the
+    * (file, pos) join, so a shard containing other files' marks is
+    * harmless. Never under-counts: the map is derived by reading back
+    * `_metadata.file_path`, not by predicting task placement — and a
+    * data file whose marks landed in SEVERAL part files (e.g. under
+    * `maxRecordsPerFile`) gets the whole-DIRECTORY record, so no part
+    * can ever be orphaned by a one-part-per-file assumption. Mark
+    * counts ride the `#dv` record (Delta's DV cardinality) so
+    * [[TableStats]] can prune fully-deleted files manifest-only. */
   private def writeDvSharded(spark: SparkSession, hPath: Path,
                              merged: org.apache.spark.sql.DataFrame,
                              affected: Seq[String],
-                             shardRows: Long): Map[String, String] = {
+                             shardRows: Long)
+  : (Map[String, String], Map[String, Long]) = {
     val dvRel = CommitLog.DvDirName + "/" +
       java.util.UUID.randomUUID().toString
     val dvAbs = new Path(hPath, dvRel).toString
-    val nMarks = merged.count()
-    if (nMarks <= shardRows) {
-      merged.repartition(1).write.parquet(dvAbs)
-      affected.map(_ -> dvRel).toMap
-    } else {
-      val shards = math.min(affected.size.toLong,
-        (nMarks + shardRows - 1) / shardRows).toInt.max(1)
-      merged.repartition(shards, col("file")).write.parquet(dvAbs)
-      spark.read.parquet(dvAbs)
-        .select(col("file"), col("_metadata.file_path").as("__part"))
-        .distinct().collect()
-        .map(r => r.getString(0) ->
-          (dvRel + "/" + new Path(r.getString(1)).getName))
-        .toMap
-    }
+    val perFile = merged.groupBy("file")
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMarks = perFile.valuesIterator.sum
+    val paths =
+      if (nMarks <= shardRows) {
+        merged.repartition(1).write.parquet(dvAbs)
+        affected.map(_ -> dvRel).toMap
+      } else {
+        val shards = math.min(affected.size.toLong,
+          (nMarks + shardRows - 1) / shardRows).toInt.max(1)
+        merged.repartition(shards, col("file")).write.parquet(dvAbs)
+        val parts = spark.read.parquet(dvAbs)
+          .select(col("file"), col("_metadata.file_path").as("__part"))
+          .distinct().collect()
+          .map(r => r.getString(0) -> new Path(r.getString(1)).getName)
+          .toSeq.groupBy(_._1)
+        parts.map { case (f, ps) =>
+          // one part → point the record at it (targeted read-back);
+          // several (a task split its output) → point at the whole
+          // directory so every part's marks stay reachable
+          f -> (if (ps.length == 1) dvRel + "/" + ps.head._2 else dvRel)
+        }
+      }
+    (paths, perFile)
   }
 
   /** Fail loudly if any DV record key does not name a manifest-live
@@ -212,7 +228,7 @@ object DeleteVectors {
               prior.map(r => new Path(hPath, r).toString): _*)
             .filter(col("file").isin(affected: _*))
             .select("file", "pos")).distinct()
-      val dvMap = writeDvSharded(spark, hPath, merged,
+      val (dvMap, dvCounts) = writeDvSharded(spark, hPath, merged,
         affected.toIndexedSeq, dvShardRows)
       failpoint("dv_written")
       // commit, rebasing in place while the operation still commutes
@@ -222,7 +238,8 @@ object DeleteVectors {
       var recompute = false
       while (!committed && !recompute) {
         try {
-          CommitLog.commitNext(fs, hPath, base, liveNow, dvMap)
+          CommitLog.commitNext(fs, hPath, base, liveNow, dvMap,
+            dvMarks = dvCounts)
           committed = true
         } catch {
           case e: CommitConflictException =>
@@ -331,8 +348,9 @@ object DeleteVectors {
     if (affected.nonEmpty)
       requireKnownFiles("mergeOnRead", affected.toIndexedSeq, live)
     val nMarked = marks.count()
-    val dvMap =
-      if (affected.isEmpty) Map.empty[String, String]
+    val (dvMap, dvCounts) =
+      if (affected.isEmpty)
+        (Map.empty[String, String], Map.empty[String, Long])
       else {
         val prior = affected.flatMap(dvs.get).distinct.sorted
         val merged =
@@ -389,7 +407,7 @@ object DeleteVectors {
     while (!committed) {
       try {
         CommitLog.commitNext(fs, hPath, base, liveNow ++ newFiles,
-          dvMap)
+          dvMap, dvMarks = dvCounts)
         committed = true
       } catch {
         case e: CommitConflictException =>

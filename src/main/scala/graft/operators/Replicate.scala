@@ -48,19 +48,22 @@ object Replicate {
   def init(spark: SparkSession, up: String, down: String,
            appId: String): Long = {
     val hUp = new Path(up); val hDown = new Path(down)
-    val fs = fsOf(spark, hUp)
-    require(!fs.exists(hDown) ||
-      CommitLog.committed(fs, hDown).isEmpty,
+    // upstream and replica may live on DIFFERENT filesystems (hdfs →
+    // s3 replica): every replica-side operation resolves its own FS
+    val fsUp = fsOf(spark, hUp)
+    val fsDown = fsOf(spark, hDown)
+    require(!fsDown.exists(hDown) ||
+      CommitLog.committed(fsDown, hDown).isEmpty,
       s"replica $down already exists — init bootstraps a FRESH copy")
-    val (gUp, _) = CommitLog.ensureLoggedAt(fs, hUp)
+    val (gUp, _) = CommitLog.ensureLoggedAt(fsUp, hUp)
     // copy the PINNED snapshot, not the latest state: a commit landing
     // between the generation read and the copy would otherwise leave
     // the ledger claiming less than the replica holds, and the first
     // sync would re-apply a window (idempotent, but a wasted rewrite)
     CommitLog.readAt(spark, up, gUp)
       .write.mode("overwrite").parquet(down)
-    val (g0, live) = CommitLog.ensureLoggedAt(fs, hDown)
-    CommitLog.commitNext(fs, hDown, g0, live,
+    val (g0, live) = CommitLog.ensureLoggedAt(fsDown, hDown)
+    CommitLog.commitNext(fsDown, hDown, g0, live,
       txn = Some((appId, gUp)))
     gUp
   }
@@ -74,12 +77,13 @@ object Replicate {
                keys: Seq[String], appId: String,
                failpoint: String => Unit = _ => ()): SyncStats = {
     val hUp = new Path(up); val hDown = new Path(down)
-    val fs = fsOf(spark, hUp)
-    val from = CommitLog.txnVersion(fs, hDown, appId).getOrElse(
+    val fsUp = fsOf(spark, hUp)
+    val fsDown = fsOf(spark, hDown)
+    val from = CommitLog.txnVersion(fsDown, hDown, appId).getOrElse(
       throw new IllegalStateException(
         s"replica $down carries no ledger for '$appId' — run " +
           "Replicate.init first"))
-    val upGens = CommitLog.generations(fs, hUp)
+    val upGens = CommitLog.generations(fsUp, hUp)
     require(upGens.nonEmpty, s"upstream $up is not logged")
     val to = upGens.last
     if (to <= from) return SyncStats(from, from, 0L, 0L, 0L)

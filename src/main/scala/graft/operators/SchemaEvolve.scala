@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions.col
   * copy-on-write rewrite that pays the mapping debt down — the exact
   * analogue of [[DeleteVectors.applyDeletes]] for deletion vectors.
   *
-  * Known trade, deliberately conservative: `#stats` records stay
-  * keyed by PHYSICAL column name, so after a rename the old files'
-  * min/max bounds no longer match logical-name pruning lookups —
-  * those files simply stop pruning (sound, never wrong) until a
-  * rewrite or [[normalize]] re-analyzes them under the new name.
+  * Dependent record families evolve IN THE SAME COMMIT — rename
+  * rewrites `#check` expressions and rekeys `#stats` records to the
+  * new logical name (pruning keeps working, the write path stays
+  * enforceable), drop refuses while a `#check` references the column
+  * and removes the column's `#stats` — so no later writer or pruner
+  * can ever resolve against a stale name.
   *
   * The reference renames columns eagerly in pandas on ingest
   * (`dags/idh_etl.py:117-136`, a per-batch rename of Polish headers);
@@ -44,6 +45,48 @@ object SchemaEvolve {
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Single-part column references of a CHECK constraint's SQL
+    * expression, via the session parser — what rename must rewrite
+    * and drop must refuse (an evolved column inside a `#check` would
+    * otherwise brick every later write at
+    * [[CommitLog.requireChecks]] with an unresolved-column
+    * AnalysisException until dropCheck). */
+  private def checkRefs(spark: SparkSession, sqlExpr: String)
+  : Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => a.nameParts.head
+    }
+
+  /** CHECK expressions referencing `oldName` rewritten to reference
+    * `newName` — parse, transform the attribute nodes, regenerate
+    * SQL; expressions not referencing the column are left untouched
+    * (returned map holds only the rewrites). */
+  private def rewriteChecks(spark: SparkSession,
+                            checks: Map[String, String],
+                            oldName: String, newName: String)
+  : Map[String, String] = {
+    val resolver = spark.sessionState.conf.resolver
+    checks.flatMap { case (n, e) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(e)
+      val hit = parsed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute
+          if a.nameParts.length == 1 &&
+            resolver(a.nameParts.head, oldName) => a
+      }.isDefined
+      if (!hit) None
+      else Some(n -> parsed.transform {
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute
+          if a.nameParts.length == 1 &&
+            resolver(a.nameParts.head, oldName) =>
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq(newName))
+      }.sql)
+    }
+  }
 
   /** Current LOGICAL column names of a logged sink — one schema-only
     * mapped scan. */
@@ -114,8 +157,15 @@ object SchemaEvolve {
     * post-rename append then needs no record at all); a file whose
     * new mapping is pure identity sheds its record. Old generations
     * keep their own records, so [[CommitLog.readAt]] time travel
-    * reads each snapshot under the names IT had. Returns the
-    * committed generation. */
+    * reads each snapshot under the names IT had.
+    *
+    * The SAME atomic commit keeps the dependent record families
+    * coherent: `#check` expressions referencing the column are
+    * rewritten to the new name (the write path stays enforceable —
+    * never bricked on an unresolvable constraint), and every live
+    * file's `#stats` record for the column is REKEYED to the new
+    * logical name, so manifest pruning keeps skipping files after a
+    * rename with no re-analyze. Returns the committed generation. */
   def renameColumn(spark: SparkSession, path: String,
                    oldName: String, newName: String): Long = {
     require(oldName != newName, s"rename to itself: $oldName")
@@ -139,20 +189,43 @@ object SchemaEvolve {
         else m + (phys -> newName)
       f -> m2
     }.toMap
-    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps)
+    val newChecks = rewriteChecks(spark,
+      CommitLog.checkRecords(fs, hPath), oldName, newName)
+    val stats = CommitLog.statsRecords(fs, hPath)
+    val rekeyed = stats.collect {
+      case (f, m) if m.contains(oldName) =>
+        f -> (m - oldName + (newName -> m(oldName)))
+    }
+    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps,
+      checks = newChecks, stats = rekeyed, statsReplace = true)
   }
 
   /** DROP a column: one manifest commit, zero data motion — every
     * live file's record gains a tombstone for the column's physical
     * name; old bytes stay on disk (and visible to time travel) until
-    * a rewrite or [[normalize]] retires the file. Returns the
-    * committed generation. */
+    * a rewrite or [[normalize]] retires the file.
+    *
+    * REFUSED while a `#check` constraint references the column (the
+    * [[CommitLog.requireNoDvs]] discipline: drop the constraint
+    * first) — a constraint over a vanished column would make every
+    * later batch write fail unresolvable. The column's `#stats`
+    * records are removed in the same commit, so a later re-added or
+    * renamed-in column of the same name can never prune against the
+    * dropped column's stale bounds. Returns the committed
+    * generation. */
   def dropColumn(spark: SparkSession, path: String,
                  name: String): Long = {
     val hPath = new Path(path)
     val fs = fsOf(spark, hPath)
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     require(live.nonEmpty, s"drop on an empty sink $path")
+    val resolver = spark.sessionState.conf.resolver
+    val refChecks = CommitLog.checkRecords(fs, hPath).filter {
+      case (_, e) => checkRefs(spark, e).exists(resolver(_, name))
+    }
+    require(refChecks.isEmpty,
+      s"drop: CHECK constraint(s) ${refChecks.keys.toSeq.sorted
+        .mkString(", ")} reference column '$name' — dropCheck first")
     val cms = CommitLog.colmapRecords(fs, hPath)
     val logical = CommitLog.mappedScan(spark, hPath, live, cms,
       coltypes = CommitLog.coltypeRecords(fs, hPath)).columns.toSeq
@@ -163,7 +236,12 @@ object SchemaEvolve {
       val m = cms.getOrElse(f, Map.empty)
       f -> (m + (physOf(m, name) -> ""))
     }.toMap
-    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps)
+    val stats = CommitLog.statsRecords(fs, hPath)
+    val dekeyed = stats.collect {
+      case (f, m) if m.contains(name) => f -> (m - name)
+    }
+    CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps,
+      stats = dekeyed, statsReplace = true)
   }
 
   /** Pay the mapping debt down: rewrite every mapped file to the
@@ -235,5 +313,104 @@ object SchemaEvolve {
     fs.delete(tmp, true)
     (targets.length.toLong, (live.length - targets.length +
       newFiles.length).toLong)
+  }
+
+  /** FUSED normalize + compact: execute a file→bin compaction plan
+    * ([[Compact.compactByPlan]]'s contract — each bin becomes exactly
+    * one output file) while reading the assigned files THROUGH their
+    * column mappings, widening casts and deletion vectors — one
+    * rewrite pass pays down the whole mapping/DV debt AND lands the
+    * bin-packed layout, where `normalize`-then-`compactByPlan` costs
+    * two full I/O cycles over the same bytes. Assigned files' colmap/
+    * coltype/dv/stats records leave the manifest with them (fresh
+    * outputs carry the logical schema); UNASSIGNED files keep their
+    * bytes and records untouched, so a resumable planner can compact
+    * a mapped sink in waves. Crash-atomic under the usual add →
+    * COMMIT → delete swap. `partitionCol` (LOGICAL name) lays bins
+    * out per partition exactly as [[Compact.compactByPlan]]; bin ids
+    * must not span partition values. Returns (files rewritten, files
+    * after = bins + untouched). */
+  def normalizeCompact(spark: SparkSession, path: String,
+                       plan: Map[String, String],
+                       partitionCol: Option[String] = None,
+                       failpoint: String => Unit = _ => ())
+  : (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, concat, lit,
+      raise_error, regexp_extract, when}
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    require(fs.exists(hPath), s"normalizeCompact target $path missing")
+    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val assigned = live.filter(plan.contains)
+    require(assigned.nonEmpty, "plan assigns no live file of this sink")
+    val aSet = assigned.toSet
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val dvs = CommitLog.dvRecords(fs, hPath)
+      .filter { case (f, _) => aSet(f) }
+    // logical view WITH per-row file identity: the bin lookup needs
+    // the owning file, and metadata pseudo-columns don't survive the
+    // epoch union — mappedScan materializes them per branch
+    val scan = CommitLog.mappedScan(spark, hPath, assigned, cms, dvs,
+      identity = true, coltypes = cts)
+    val absPlan = assigned
+      .map(r => fs.makeQualified(new Path(hPath, r)).toUri.getPath
+        -> plan(r)).toMap
+    import spark.implicits._
+    val planDF = absPlan.toSeq.toDF("__plan_path", "__plan_bin")
+    val pathRe = "^(?:[A-Za-z][A-Za-z0-9+.-]*:(?://[^/]*)?)?(/.*)$"
+    val tmp = new Path(hPath.getParent, hPath.getName + "__nc_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    scan
+      .withColumn("__norm",
+        regexp_extract(col("__file_path"), pathRe, 1))
+      .join(broadcast(planDF), col("__norm") === col("__plan_path"),
+        "left")
+      .withColumn("__bin",
+        when(col("__plan_bin").isNotNull, col("__plan_bin"))
+          .otherwise(raise_error(concat(
+            lit("normalizeCompact: scanned file not in plan after " +
+              "path normalization: "), col("__norm")))))
+      .drop("__norm", "__plan_path", "__plan_bin",
+        "__file_path", "__row_index")
+      .repartition(col("__bin"))
+      .write.partitionBy(partitionCol.toSeq :+ "__bin": _*)
+      .parquet(tmp.toString)
+    // add → COMMIT → delete; the __bin level is planning scaffolding
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val segs = rel.split('/')
+        val binVal = segs.find(_.startsWith("__bin="))
+          .getOrElse(throw new IllegalStateException(
+            s"normalizeCompact output $rel lost its __bin level"))
+          .stripPrefix("__bin=")
+        val outRel = (segs.filterNot(_.startsWith("__bin="))
+          .dropRight(1) :+ s"$binVal-${f.getName}").mkString("/")
+        val dest = new Path(hPath, outRel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"normalizeCompact: could not move $f into $dest")
+        added += outRel
+      }
+    }
+    failpoint("added")
+    val newFiles = added.result()
+    // assigned files leave → their colmap/coltype/dv/stats records
+    // drop with them in the same atomic publish
+    CommitLog.commitNext(fs, hPath, baseGen,
+      live.diff(assigned) ++ newFiles)
+    failpoint("committed")
+    assigned.foreach { r => // GC, best-effort
+      try fs.delete(new Path(hPath, r), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    fs.delete(tmp, true)
+    (assigned.size.toLong, newFiles.size.toLong +
+      (live.length - assigned.length))
   }
 }

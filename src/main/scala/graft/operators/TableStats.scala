@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 
 /** Manifest-resident per-file column statistics — the min/max/null
@@ -27,10 +28,14 @@ import org.apache.spark.sql.types._
   *     skippable, and deletion vectors still apply — bounds are
   *     computed over RAW rows, a superset of the visible ones, so
   *     pruning stays sound under merge-on-read deletes.
-  *   - A [[SchemaEvolve]]-mapped sink reads correctly but UNMAPPED
-  *     files only prune conservatively: stats are keyed by PHYSICAL
-  *     column name, so mapped files simply stop pruning until a
-  *     rewrite/normalize re-analyzes them (never misprune).
+  *   - Stats records are keyed by CURRENT LOGICAL column name:
+  *     [[SchemaEvolve.renameColumn]] REKEYS every live file's records
+  *     inside the same atomic rename commit and
+  *     [[SchemaEvolve.dropColumn]] removes the dropped column's, so a
+  *     renamed column keeps pruning with no re-analyze and a
+  *     drop-then-rename can never resolve against the dropped
+  *     column's stale bounds. [[analyze]] itself still skips mapped
+  *     files (their bounds arrive on the normalize/compact rewrite).
   *
   * Stats records carry forward per surviving file automatically
   * ([[CommitLog.commitNext]]), so compaction/merge retire exactly the
@@ -58,7 +63,10 @@ object TableStats {
     * as epoch micros, booleans as 0/1) through a plain decimal
     * rendering BigDecimal re-parses, strings verbatim. Aggregation
     * itself runs on the NATIVE type (string min/max would order
-    * numbers lexicographically). */
+    * numbers lexicographically). NaN/Infinity bounds are NOT
+    * encodable as decimals — [[analyze]] records None bounds for such
+    * files (Delta's NaN trade: the file stays unprunable,
+    * conservative), so this throws only on genuinely foreign types. */
   private def encNative(v: Any): String = v match {
     case null => null
     case s: String => s
@@ -82,8 +90,37 @@ object TableStats {
         s"(${other.getClass.getName})")
   }
 
+  /** Whether a collected bound is a non-finite float/double — Spark's
+    * min/max propagate NaN (which sorts ABOVE +Inf in Spark's
+    * ordering), and neither NaN nor ±Inf round-trips through the
+    * decimal encoding. */
+  private def nonFinite(v: Any): Boolean = v match {
+    case d: java.lang.Double => d.isNaN || d.isInfinite
+    case f: java.lang.Float => f.isNaN || f.isInfinite
+    case _ => false
+  }
+
+  /** String bounds compare in UTF-8 BYTE order (unsigned), matching
+    * how Spark's UTF8String computed the min/max being compared —
+    * Java String.compareTo is UTF-16 code-unit order, which DISAGREES
+    * above the BMP: a supplementary code point (surrogates 0xD800+)
+    * sorts below U+E000..U+FFFF in UTF-16 but above it in UTF-8.
+    * Pruning with the wrong order silently drops in-band rows. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmpEnc(typ: String, a: String, b: String): Int =
-    if (typ == "string") a.compareTo(b)
+    if (typ == "string") cmpUtf8(a, b)
     else new java.math.BigDecimal(a).compareTo(
       new java.math.BigDecimal(b))
 
@@ -94,7 +131,13 @@ object TableStats {
     case ("date", d: java.time.LocalDate) => d.toEpochDay.toString
     case ("micros", t: java.sql.Timestamp) =>
       (t.getTime * 1000L + (t.getNanos % 1000000) / 1000L).toString
-    case (_, n: java.lang.Number) =>
+    case ("micros", i: java.time.Instant) =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case ("micros", l: java.time.LocalDateTime) =>
+      (l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        l.getNano / 1000L).toString
+    case (_, b: java.lang.Boolean) => if (b) "1" else "0"
+    case (t, n: java.lang.Number) if t != "string" =>
       new java.math.BigDecimal(n.toString).toPlainString
     case _ => throw new IllegalArgumentException(
       s"readBand: cannot encode $v (${v.getClass.getSimpleName}) " +
@@ -151,36 +194,161 @@ object TableStats {
         val f = r.getString(r.fieldIndex("__f"))
         val n = r.getLong(r.fieldIndex("__n"))
         f -> typed.zipWithIndex.map { case ((c, t), i) =>
+          val mn = Option(r.get(r.fieldIndex(s"__min$i")))
+          val mx = Option(r.get(r.fieldIndex(s"__max$i")))
+          // a NaN/Infinity bound is unencodable — record None bounds
+          // for the file (it never prunes; nNulls < nRows keeps it
+          // distinguishable from the all-null skippable case)
+          val (eMn, eMx) =
+            if (mn.exists(nonFinite) || mx.exists(nonFinite))
+              (None, None)
+            else (mn.map(encNative), mx.map(encNative))
           c -> CommitLog.ColStats(t, n,
-            r.getLong(r.fieldIndex(s"__null$i")),
-            Option(r.get(r.fieldIndex(s"__min$i"))).map(encNative),
-            Option(r.get(r.fieldIndex(s"__max$i"))).map(encNative))
+            r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx)
         }.toMap
       }.toMap
     CommitLog.commitNext(fs, hPath, gen, live, stats = stats)
     targets.length.toLong
   }
 
-  /** Live files whose recorded bounds CAN intersect `[lo, hi]` on
-    * `column`, and those provably outside it — the manifest-only
-    * pruning decision. Unknown files (no record, or a mapped file)
-    * survive; an all-null file is provably outside any band. */
-  def pruneBand(fs: org.apache.hadoop.fs.FileSystem, sink: Path,
-                column: String, lo: Any, hi: Any)
+  /** Encode a USER value into the recorded domain, None when the
+    * value's type cannot map into it (then the file is simply not
+    * pruned on that conjunct — unknown, never wrong). */
+  private def tryEnc(typ: String, v: Any): Option[String] =
+    try Option(encVal(typ, v))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Evaluate a value predicate against a column's recorded bounds:
+    * unknown record → true (keep); all-null file → false (no non-null
+    * value exists to match); recorded-but-unencodable bounds (NaN
+    * files) → true. */
+  private def valuePred(csOpt: Option[CommitLog.ColStats])
+                       (p: (String, String, String) => Boolean)
+  : Boolean = csOpt match {
+    case None => true
+    case Some(cs) if cs.min.isEmpty || cs.max.isEmpty =>
+      cs.nNulls < cs.nRows
+    case Some(cs) => p(cs.typ, cs.min.get, cs.max.get)
+  }
+
+  /** Whether ANY row of a file with stats `st` can satisfy `f` — the
+    * per-file, per-conjunct pruning decision over the public
+    * `sources.Filter` vocabulary (exactly what a DataSource V2
+    * ScanBuilder is handed). Sound by construction: every uncertain
+    * case answers true (keep); only a PROVEN-empty intersection skips.
+    * Handled shapes: And/Or, =, <=>, IN, </<=/>/>=, IS [NOT] NULL,
+    * and string prefix; everything else never prunes. */
+  private[graft] def canMatch(st: Map[String, CommitLog.ColStats],
+                              f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => canMatch(st, l) && canMatch(st, r)
+    case sources.Or(l, r) => canMatch(st, l) || canMatch(st, r)
+    case sources.IsNull(c) => st.get(c).forall(_.nNulls > 0)
+    case sources.IsNotNull(c) =>
+      st.get(c).forall(cs => cs.nNulls < cs.nRows)
+    case sources.EqualTo(c, v) => valuePred(st.get(c)) { (t, mn, mx) =>
+      tryEnc(t, v).forall(e =>
+        cmpEnc(t, mx, e) >= 0 && cmpEnc(t, mn, e) <= 0)
+    }
+    case sources.EqualNullSafe(c, v) =>
+      if (v == null) st.get(c).forall(_.nNulls > 0)
+      else canMatch(st, sources.EqualTo(c, v))
+    case sources.In(c, vs) =>
+      if (vs == null) true
+      else if (vs.isEmpty) false
+      else vs.exists(v =>
+        if (v == null) st.get(c).forall(_.nNulls > 0)
+        else canMatch(st, sources.EqualTo(c, v)))
+    case sources.GreaterThan(c, v) =>
+      valuePred(st.get(c)) { (t, _, mx) =>
+        tryEnc(t, v).forall(e => cmpEnc(t, mx, e) > 0) }
+    case sources.GreaterThanOrEqual(c, v) =>
+      valuePred(st.get(c)) { (t, _, mx) =>
+        tryEnc(t, v).forall(e => cmpEnc(t, mx, e) >= 0) }
+    case sources.LessThan(c, v) =>
+      valuePred(st.get(c)) { (t, mn, _) =>
+        tryEnc(t, v).forall(e => cmpEnc(t, mn, e) < 0) }
+    case sources.LessThanOrEqual(c, v) =>
+      valuePred(st.get(c)) { (t, mn, _) =>
+        tryEnc(t, v).forall(e => cmpEnc(t, mn, e) <= 0) }
+    case sources.StringStartsWith(c, prefix) =>
+      valuePred(st.get(c)) { (t, mn, mx) =>
+        // prefixed values live in [prefix, successor(prefix)): they
+        // can exist iff max >= prefix AND (min <= prefix or min is
+        // itself prefixed) — min above every prefixed value means none
+        t != "string" || (cmpUtf8(mx, prefix) >= 0 &&
+          (mn.startsWith(prefix) || cmpUtf8(mn, prefix) < 0))
+      }
+    case _ => true
+  }
+
+  /** Whether `f` can contribute to manifest pruning at all — the
+    * subset a V2 scan advertises as pushed. */
+  private[graft] def prunable(f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => prunable(l) || prunable(r)
+    case sources.Or(l, r) => prunable(l) && prunable(r)
+    case _: sources.EqualTo | _: sources.EqualNullSafe |
+         _: sources.In | _: sources.GreaterThan |
+         _: sources.GreaterThanOrEqual | _: sources.LessThan |
+         _: sources.LessThanOrEqual | _: sources.IsNull |
+         _: sources.IsNotNull | _: sources.StringStartsWith => true
+    case _ => false
+  }
+
+  /** Manifest-only pruning decision for a CONJUNCTION of filters:
+    * (files that must be scanned, files provably irrelevant). A file
+    * skips when any single conjunct proves no row can match, or when
+    * its `#dv` mark count equals its recorded row count (every row
+    * deleted — zero visible rows without opening the DV). Unknown
+    * files (no stats record) always survive. Stats records are keyed
+    * by CURRENT LOGICAL column name — [[SchemaEvolve]] rekeys them
+    * inside the same rename/drop commit — so the lookup needs no
+    * per-file mapping resolution. */
+  def pruneFiles(fs: org.apache.hadoop.fs.FileSystem, sink: Path,
+                 filters: Seq[sources.Filter])
   : (Seq[String], Seq[String]) = {
     val (_, live) = CommitLog.ensureLoggedAt(fs, sink)
-    val stats = CommitLog.statsRecords(fs, sink)
-    val (keep, skip) = live.partition { f =>
-      stats.getOrElse(f, Map.empty).get(column) match {
-        case None => true // unknown: never skip
-        case Some(cs) if cs.min.isEmpty || cs.max.isEmpty =>
-          cs.nNulls < cs.nRows // all-null file matches no band
-        case Some(cs) =>
-          cmpEnc(cs.typ, cs.max.get, encVal(cs.typ, lo)) >= 0 &&
-            cmpEnc(cs.typ, cs.min.get, encVal(cs.typ, hi)) <= 0
-      }
+    pruneIn(live, CommitLog.statsRecords(fs, sink),
+      CommitLog.dvMarkCounts(fs, sink), filters)
+  }
+
+  /** [[pruneFiles]] against an EXPLICIT snapshot's records — the form
+    * a pinned-generation reader (V2 table, time travel) uses so the
+    * decision never races a concurrent commit. */
+  private[graft] def pruneIn(files: Seq[String],
+                             stats: Map[String,
+                               Map[String, CommitLog.ColStats]],
+                             marks: Map[String, Long],
+                             filters: Seq[sources.Filter])
+  : (Seq[String], Seq[String]) =
+    files.partition { f =>
+      val st = stats.getOrElse(f, Map.empty)
+      val fullyDeleted = marks.get(f).exists(m =>
+        st.values.headOption.exists(_.nRows == m))
+      !fullyDeleted && filters.forall(canMatch(st, _))
     }
-    (keep, skip)
+
+  /** [[pruneFiles]] for the closed band `column ∈ [lo, hi]` — the
+    * original single-column entry point, kept as sugar. */
+  def pruneBand(fs: org.apache.hadoop.fs.FileSystem, sink: Path,
+                column: String, lo: Any, hi: Any)
+  : (Seq[String], Seq[String]) =
+    pruneFiles(fs, sink, Seq(
+      sources.GreaterThanOrEqual(column, lo),
+      sources.LessThanOrEqual(column, hi)))
+
+  /** Scan exactly `keep` (sink-relative live files) under the sink's
+    * current mapping/DV/coltype records — the post-pruning read both
+    * [[readBand]] and the `graft` DataSource V2 relation plan. Does
+    * NOT re-apply any predicate; callers own exactness. */
+  private[graft] def prunedScan(spark: SparkSession, hPath: Path,
+                                keep: Seq[String]): DataFrame = {
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val keepSet = keep.toSet
+    val dvs = CommitLog.dvRecords(fs, hPath)
+      .filter { case (f, _) => keepSet(f) }
+    CommitLog.mappedScan(spark, hPath, keep, cms, dvs, coltypes = cts)
   }
 
   /** Manifest-pruned band read: plan the scan over ONLY the files
@@ -197,11 +365,20 @@ object TableStats {
     val band = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (keep.isEmpty)
       return CommitLog.read(spark, path).filter(band).limit(0)
-    val cms = CommitLog.colmapRecords(fs, hPath)
-    val cts = CommitLog.coltypeRecords(fs, hPath)
-    val dvs = CommitLog.dvRecords(fs, hPath)
-      .filter { case (f, _) => keep.contains(f) }
-    CommitLog.mappedScan(spark, hPath, keep, cms, dvs, coltypes = cts)
-      .filter(band)
+    prunedScan(spark, hPath, keep).filter(band)
+  }
+
+  /** Manifest-pruned CONJUNCTIVE read: prune the file list with
+    * [[pruneFiles]], then re-apply the exact predicate column —
+    * the multi-column generalization of [[readBand]]. */
+  def readWhere(spark: SparkSession, path: String,
+                filters: Seq[sources.Filter],
+                predicate: Column): DataFrame = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (keep, _) = pruneFiles(fs, hPath, filters)
+    if (keep.isEmpty)
+      return CommitLog.read(spark, path).filter(predicate).limit(0)
+    prunedScan(spark, hPath, keep).filter(predicate)
   }
 }

@@ -1571,7 +1571,300 @@ object MaintenanceQueries {
                              AND TIMESTAMP '1998-12-31 23:59:59'
        GROUP BY 1 ORDER BY 1"""
 
+  /** Generalized manifest pruning ([[graft.operators.TableStats
+    * .pruneFiles]]): the orders corpus lands clustered on BOTH
+    * dimensions — hive-partitioned by (year, o_orderkey mod 4), one
+    * file per cell, 28 files — and a CONJUNCTIVE predicate (two-year
+    * band AND bucket = 2) prunes from the manifest alone to exactly
+    * the 2 intersection cells before any scan plans. Either conjunct
+    * alone keeps 8 (band) or 7 (equality) files; the conjunction's
+    * multiplicative skip is the point: at 10⁶ files the same
+    * decision is one cached manifest parse. Pinned counts + pruned
+    * rollup hash-checked against the oracle's direct recompute. */
+  def q330StatsConjunction(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, TableStats}
+    import org.apache.spark.sql.sources
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q330_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("bkt", (col("o_orderkey") % 4).cast("int"))
+        .repartition(col("yr"), col("bkt"))
+        .write.partitionBy("yr", "bkt").parquet(sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      TableStats.analyze(s, sink, Seq("o_orderdate", "bkt"))
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-12-31 23:59:59")
+      val conj = Seq[sources.Filter](
+        sources.GreaterThanOrEqual("o_orderdate", lo),
+        sources.LessThanOrEqual("o_orderdate", hi),
+        sources.EqualTo("bkt", 2))
+      val (keep, skip) = TableStats.pruneFiles(fs, hPath, conj)
+      val pruned = TableStats.readWhere(s, sink, conj,
+        col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi)
+          && col("bkt") === 2)
+      val rows = pruned
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.map { case (y, ra, so) =>
+        (y, ra, so, keep.size.toLong, skip.size.toLong)
+      }.toDF("yr", "rows_after", "sum_okey", "files_scanned",
+        "files_skipped").orderBy("yr")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q330Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              CAST(2 AS BIGINT) AS files_scanned,
+              CAST(26 AS BIGINT) AS files_skipped
+       FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 23:59:59'
+         AND o_orderkey % 4 = 2
+       GROUP BY 1 ORDER BY 1"""
+
+  /** The DataSource V2 read surface
+    * ([[graft.sources.GraftDataSource]]): a sink that has lived
+    * through ANALYZE, a predicate DELETE (deletion vectors) and a
+    * column RENAME reads through the bare format string —
+    * `spark.read.format("graft")` — with the band filter PUSHED into
+    * manifest `#stats` pruning (2 of 7 files planned, pinned from the
+    * physical plan's relation), DVs anti-joined, the mapping epoch
+    * resolved, and the result hash-equal to the operator-API read
+    * (`equals_operator`). `versionAsOf` time travel reads the
+    * pre-rename generation (`time_travel_ok` vs
+    * [[graft.operators.CommitLog.readAt]]). This is the surface
+    * Delta/Iceberg ship: every capability with no operator
+    * vocabulary required. */
+  def q331Dsv2Read(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, SchemaEvolve,
+      TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q331_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      (1995 to 2001).foreach { y =>
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      TableStats.analyze(s, sink, Seq("o_orderdate"))
+      DeleteVectors.deleteWhere(s, sink, col("o_orderkey") % 10 === 3)
+      val genPre = CommitLog.committed(fs, hPath).get._1
+      SchemaEvolve.renameColumn(s, sink, "o_orderdate", "order_ts")
+      val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1998-12-31 23:59:59")
+      val band = col("order_ts") >= lit(lo) && col("order_ts") <= lit(hi)
+      val v2 = s.read.format("graft").load(sink).filter(band)
+      // pin the manifest pruning decision from the PHYSICAL plan
+      val info = v2.queryExecution.sparkPlan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+          r.relation
+      }.collectFirst { case g: graft.sources.GraftScanInfo => g }
+        .getOrElse(throw new IllegalStateException(
+          "no graft V2 relation in the plan"))
+      def rollup(df: DataFrame) = df
+        .groupBy(year(col("order_ts")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val viaOperator = rollup(CommitLog.read(s, sink).filter(band))
+      val viaFormat = rollup(v2)
+      // versionAsOf: the pre-rename snapshot still answers under ITS
+      // schema, identical to the operator-API time travel
+      val tt = s.read.format("graft")
+        .option("versionAsOf", genPre.toString).load(sink)
+      val ttOk = tt.columns.contains("o_orderdate") &&
+        tt.count() == CommitLog.readAt(s, sink, genPre).count()
+      import s.implicits._
+      viaFormat.map { case (y, ra, so) =>
+        (y, ra, so, info.keptCount.toLong, info.skippedCount.toLong,
+          viaFormat == viaOperator, ttOk)
+      }.toDF("yr", "rows_after", "sum_okey", "files_scanned",
+        "files_skipped", "equals_operator", "time_travel_ok")
+        .orderBy("yr")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q331Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              CAST(2 AS BIGINT) AS files_scanned,
+              CAST(5 AS BIGINT) AS files_skipped,
+              TRUE AS equals_operator,
+              TRUE AS time_travel_ok
+       FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 23:59:59'
+         AND o_orderkey % 10 <> 3
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Fused normalize + compact
+    * ([[graft.operators.SchemaEvolve.normalizeCompact]]): a
+    * 21-file partitioned sink carrying RENAME mappings on every file
+    * and deletion vectors from a predicate delete is bin-packed to
+    * one file per partition in ONE rewrite pass — the mapping and DV
+    * debt is paid down by the same I/O cycle that lands the plan
+    * layout (normalize-then-compact would read and write the bytes
+    * twice). Pinned after-state: 7 files, zero colmap records, zero
+    * DV records; rollup hash-checked against the oracle's direct
+    * recompute of the surviving rows. */
+  def q332NormalizeCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, SchemaEvolve}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q332_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("yr", year(col("o_orderdate")))
+      (0 until 3).foreach { i =>
+        orders.filter(col("o_orderkey") % 3 === i)
+          .repartition(col("yr"))
+          .write.partitionBy("yr").mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      SchemaEvolve.renameColumn(s, sink, "o_orderkey", "okey")
+      DeleteVectors.deleteWhere(s, sink, col("okey") % 7 === 0)
+      val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+      require(live.size == 21, s"fixture: expected 21 files, ${live.size}")
+      // plan: every partition's files fuse into one bin
+      val plan = live.map { f =>
+        val yr = f.split('/').find(_.startsWith("yr="))
+          .getOrElse(sys.error(s"no yr level in $f")).stripPrefix("yr=")
+        f -> s"b$yr"
+      }.toMap
+      val (rewritten, after) = SchemaEvolve.normalizeCompact(
+        s, sink, plan, partitionCol = Some("yr"))
+      val mappedAfter = (CommitLog.colmapRecords(fs, hPath).keySet ++
+        CommitLog.coltypeRecords(fs, hPath).keySet).size
+      val dvAfter = CommitLog.dvRecords(fs, hPath).size
+      val rows = CommitLog.read(s, sink)
+        .groupBy(col("yr").cast("long").as("yr"))
+        .agg(count(lit(1)).as("rows_after"), sum("okey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.map { case (y, ra, so) =>
+        (y, ra, so, after, mappedAfter.toLong, dvAfter.toLong)
+      }.toDF("yr", "rows_after", "sum_okey", "files_after",
+        "mapped_after", "dv_after").orderBy("yr")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q332Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              CAST(7 AS BIGINT) AS files_after,
+              CAST(0 AS BIGINT) AS mapped_after,
+              CAST(0 AS BIGINT) AS dv_after
+       FROM orders
+       WHERE o_orderkey % 7 <> 0
+       GROUP BY 1 ORDER BY 1"""
+
+  /** DESCRIBE HISTORY ([[graft.operators.TableHistory]]): the
+    * operational audit derived from retained manifests ALONE — one
+    * fixture sink lives through bootstrap, logged append, predicate
+    * delete, CHECK declaration, ANALYZE and a column rename, and the
+    * history table reports each generation's inferred operation kind
+    * plus its file-motion and record-family footprint, every cell a
+    * fixture-arithmetic constant the oracle re-derives. */
+  def q333TableHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, SchemaEvolve,
+      TableHistory, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q333_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      orders.filter(col("k") % 100 === 1).coalesce(1).write.parquet(sink)
+      CommitLog.ensureLoggedAt(fs, hPath) // gen 0: bootstrap
+      // gen 1: logged append of a second staged file
+      val tmp = new org.apache.hadoop.fs.Path(sink + "__stage")
+      orders.filter(col("k") % 100 === 2).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      require(fs.rename(part, new org.apache.hadoop.fs.Path(sink,
+        part.getName)))
+      fs.delete(tmp, true)
+      val (g0, live0) = CommitLog.ensureLoggedAt(fs, hPath)
+      CommitLog.commitAppend(fs, hPath, g0, live0, Seq(part.getName))
+      // gen 2: predicate delete marks rows in BOTH files
+      DeleteVectors.deleteWhere(s, sink, col("k") % 3 === 0)
+      // gen 3: constraint; gen 4: analyze; gen 5: rename
+      CommitLog.addCheck(s, sink, "v_nonneg", "v >= 0")
+      TableStats.analyze(s, sink, Seq("k"))
+      SchemaEvolve.renameColumn(s, sink, "k", "key")
+      TableHistory.history(s, sink)
+        .select("generation", "operation", "n_files", "files_added",
+          "files_removed", "dv_files", "n_checks", "stats_files",
+          "mapped_files")
+        .orderBy("generation")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q333Sql: String =
+    """SELECT * FROM (VALUES
+         (CAST(0 AS BIGINT), 'bootstrap',     CAST(1 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         (CAST(1 AS BIGINT), 'append',        CAST(2 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         (CAST(2 AS BIGINT), 'delete',        CAST(2 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         (CAST(3 AS BIGINT), 'constraint',    CAST(2 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         (CAST(4 AS BIGINT), 'analyze',       CAST(2 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+         (CAST(5 AS BIGINT), 'schema-evolve', CAST(2 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+       ) AS t(generation, operation, n_files, files_added,
+              files_removed, dv_files, n_checks, stats_files,
+              mapped_files)
+       ORDER BY generation"""
+
   val all: Map[String, Q] = Map(
+    "q330_stats_conjunction" -> q330StatsConjunction _,
+    "q331_dsv2_read" -> q331Dsv2Read _,
+    "q332_normalize_compact" -> q332NormalizeCompact _,
+    "q333_table_history" -> q333TableHistory _,
     "q329_stats_pruning" -> q329StatsPruning _,
     "q328_check_constraints" -> q328CheckConstraints _,
     "q327_type_widen" -> q327TypeWiden _,
@@ -1599,6 +1892,10 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q330_stats_conjunction" -> q330Sql,
+    "q331_dsv2_read" -> q331Sql,
+    "q332_normalize_compact" -> q332Sql,
+    "q333_table_history" -> q333Sql,
     "q329_stats_pruning" -> q329Sql,
     "q328_check_constraints" -> q328Sql,
     "q327_type_widen" -> q327Sql,

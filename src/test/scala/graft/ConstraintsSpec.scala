@@ -116,4 +116,44 @@ class ConstraintsSpec extends SparkSpec {
       CommitLog.addCheck(spark, sink, "v_pos", "v > 0")
     }
   }
+
+  test("rename rewrites a referencing CHECK in the same commit — the " +
+    "write path stays enforceable under the new name; drop refuses " +
+    "while referenced") {
+    import graft.operators.SchemaEvolve
+    val root = java.nio.file.Files.createTempDirectory("ck4").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.addCheck(spark, sink, "v_pos", "v > 0")
+    SchemaEvolve.renameColumn(spark, sink, "v", "val")
+    val rewritten = CommitLog.checkRecords(fs, hp)("v_pos")
+    assert(rewritten.contains("val"),
+      s"check must reference the new name, got: $rewritten")
+    // enforcement still fires — with the CLEAN constraint error, not
+    // an unresolved-column AnalysisException
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertParquet(spark, Seq((9L, -1L)).toDF("k", "val"),
+        Seq("k"), Seq("k"), sink)
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // and a conforming batch lands: the write path is NOT bricked
+    assert(Upsert.upsertParquet(spark, Seq((9L, 90L)).toDF("k", "val"),
+      Seq("k"), Seq("k"), sink) == 1L)
+    // dropping the referenced column is refused until dropCheck
+    val e2 = intercept[IllegalArgumentException] {
+      SchemaEvolve.dropColumn(spark, sink, "val")
+    }
+    assert(e2.getMessage.contains("v_pos"))
+    CommitLog.dropCheck(spark, sink, "v_pos")
+    SchemaEvolve.dropColumn(spark, sink, "val")
+    assert(SchemaEvolve.logicalColumns(spark, sink) == Seq("k"))
+    // an UNRELATED check is untouched by a rename of another column
+    val sink2 = s"$root/u"
+    Seq((1L, 10L)).toDF("k", "v").coalesce(1).write.parquet(sink2)
+    CommitLog.ensureLoggedAt(fsOf(sink2), new Path(sink2))
+    CommitLog.addCheck(spark, sink2, "v_pos", "v > 0")
+    SchemaEvolve.renameColumn(spark, sink2, "k", "key")
+    assert(CommitLog.checkRecords(fsOf(sink2), new Path(sink2)) ==
+      Map("v_pos" -> "v > 0"))
+  }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{CommitLog, DeleteVectors, SchemaEvolve,
+  TableStats}
+import graft.sources.GraftScanInfo
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The `spark.read.format("graft")` DataSource V2 surface
+  * ([[graft.sources.GraftDataSource]]): manifest resolution, DV
+  * application, column-mapping epochs, pushed-filter `#stats`
+  * pruning, column pruning, and `versionAsOf` time travel — all
+  * reachable by consumers who know nothing of the operator APIs, and
+  * hash-equal to them. */
+class DataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** 7 k-clustered files (decades 0..6), analyzed, k%10==7 rows
+    * DV-deleted, column k renamed to key. Returns (sink, generation
+    * BEFORE the rename). */
+  private def mkSink(root: String): (String, Long) = {
+    val sink = s"$root/t"
+    (0 until 7).foreach { b =>
+      (0 until 10).map(i => (b * 10L + i, f"s${b * 10 + i}%03d"))
+        .toDF("k", "s").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    TableStats.analyze(spark, sink, Seq("k", "s"))
+    DeleteVectors.deleteWhere(spark, sink, col("k") % 10 === 7)
+    val genPre = CommitLog.committed(fs, hp).get._1
+    SchemaEvolve.renameColumn(spark, sink, "k", "key")
+    (sink, genPre)
+  }
+
+  private def scanInfo(df: DataFrame): GraftScanInfo =
+    df.queryExecution.sparkPlan.collect {
+      case r: RowDataSourceScanExec => r.relation
+    }.collectFirst { case g: GraftScanInfo => g }
+      .getOrElse(fail("no graft relation in the physical plan"))
+
+  test("a DV'd + renamed + analyzed sink reads through the format " +
+    "string identical to the operator API; count() works through an " +
+    "empty projection") {
+    val root = java.nio.file.Files.createTempDirectory("ds1").toString
+    val (sink, _) = mkSink(root)
+    val viaFormat = spark.read.format("graft").load(sink)
+    assert(viaFormat.columns.toSeq == Seq("key", "s"),
+      "logical (renamed) schema must surface")
+    val a = viaFormat.orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = CommitLog.read(spark, sink)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b && a.size == 63, "format read ≡ operator read")
+    assert(!a.exists(_._1 % 10 == 7), "DV'd rows must be invisible")
+    assert(viaFormat.count() == 63L, "zero-column count path")
+  }
+
+  test("a pushed band filter prunes files from the manifest alone: " +
+    "kept/skipped pinned on the plan's relation, filters advertised " +
+    "as pushed, result exact") {
+    val root = java.nio.file.Files.createTempDirectory("ds2").toString
+    val (sink, _) = mkSink(root)
+    val df = spark.read.format("graft").load(sink)
+      .filter(col("key") >= 20L && col("key") <= 39L)
+    val info = scanInfo(df)
+    assert(info.keptCount == 2 && info.skippedCount == 5,
+      s"band must plan 2 of 7 files (got ${info.keptCount}/" +
+        s"${info.skippedCount}) — rekeyed stats prune the renamed " +
+        "column")
+    // the pruning decision is visible in the plan text (explain)
+    val planText = df.queryExecution.sparkPlan.toString
+    assert(planText.contains("kept=2") && planText.contains("skipped=5"),
+      planText.take(500))
+    val got = df.orderBy("key").collect().map(_.getLong(0)).toSeq
+    assert(got == (20L to 39L).filterNot(_ % 10 == 7))
+    // conjunction with a second column prunes multiplicatively
+    val df2 = spark.read.format("graft").load(sink)
+      .filter(col("key") >= 20L && col("key") <= 39L &&
+        col("s") === "s025")
+    val info2 = scanInfo(df2)
+    assert(info2.keptCount == 1 && info2.skippedCount == 6)
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(25L))
+    // a filter no file can satisfy plans ZERO files
+    val df3 = spark.read.format("graft").load(sink)
+      .filter(col("key") === 999L)
+    assert(scanInfo(df3).keptCount == 0)
+    assert(df3.count() == 0L)
+  }
+
+  test("column pruning narrows the relation schema to the projection") {
+    val root = java.nio.file.Files.createTempDirectory("ds3").toString
+    val (sink, _) = mkSink(root)
+    val df = spark.read.format("graft").load(sink).select("s")
+    val rel = df.queryExecution.sparkPlan.collect {
+      case r: RowDataSourceScanExec => r
+    }.headOption.getOrElse(fail("no V1 scan node"))
+    assert(rel.output.map(_.name) == Seq("s"),
+      s"relation must carry only the projected column, got " +
+        s"${rel.output.map(_.name)}")
+    assert(df.distinct().count() == 63L)
+  }
+
+  test("versionAsOf pins a snapshot (pre-rename schema, pre-delete " +
+    "rows); unknown generations and unlogged paths are loud") {
+    val root = java.nio.file.Files.createTempDirectory("ds4").toString
+    val (sink, genPre) = mkSink(root)
+    val tt = spark.read.format("graft")
+      .option("versionAsOf", genPre.toString).load(sink)
+    assert(tt.columns.toSeq == Seq("k", "s"),
+      "time travel must surface the schema AS OF that generation")
+    assert(tt.count() ==
+      CommitLog.readAt(spark, sink, genPre).count())
+    // the pinned FIRST generation predates the delete entirely
+    val g0 = spark.read.format("graft")
+      .option("versionAsOf", "0").load(sink)
+    assert(g0.count() == 70L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("versionAsOf", "999").load(sink)
+    }
+    val bare = s"$root/unlogged"
+    Seq((1L, "x")).toDF("k", "s").write.parquet(bare)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(bare)
+    }
+  }
+
+  test("SQL consumers get the same surface via a temp view") {
+    val root = java.nio.file.Files.createTempDirectory("ds5").toString
+    val (sink, _) = mkSink(root)
+    spark.read.format("graft").load(sink)
+      .createOrReplaceTempView("graft_v2_t")
+    try {
+      val got = spark.sql(
+        "SELECT key, s FROM graft_v2_t WHERE key BETWEEN 20 AND 29 " +
+          "ORDER BY key").collect().map(_.getLong(0)).toSeq
+      assert(got == (20L to 29L).filterNot(_ % 10 == 7))
+    } finally spark.catalog.dropTempView("graft_v2_t")
+  }
+}

@@ -335,4 +335,40 @@ class RebaseSpec extends SparkSpec {
     assert(CommitLog.dvRecords(fs, hp).isEmpty)
     assert(CommitLog.read(spark, sink).count() == 201L)
   }
+
+  test("a shard task that splits its output (maxRecordsPerFile) " +
+    "falls back to the whole-directory record — no part's marks are " +
+    "ever orphaned") {
+    val root = java.nio.file.Files.createTempDirectory("rb_s2").toString
+    val sink = s"$root/t"
+    (0 until 300).map(i => (i.toLong, 1L)).toDF("k", "v")
+      .coalesce(1).write.parquet(sink)
+    val fs = fsOf(sink)
+    val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    // 240 marks > 100-row budget → sharded path with ONE shard task
+    // (one affected file); maxRecordsPerFile splits that task's
+    // output into several part files — the one-part-per-file
+    // assumption would silently drop all but one part's marks
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+    try {
+      val (n, f) = DeleteVectors.deleteWhere(spark, sink,
+        col("k") < 240L, dvShardRows = 100L)
+      assert((n, f) == (240L, 1L))
+    } finally
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val dvs = CommitLog.dvRecords(fs, hp)
+    assert(dvs.size == 1)
+    assert(!dvs.values.head.contains("part-"),
+      s"multi-part marks must bind the DV directory: ${dvs.values}")
+    // the DV dir really does hold several parts, and ALL apply
+    val dvDir = new Path(sink, dvs.values.head)
+    assert(fs.listStatus(dvDir)
+      .count(_.getPath.getName.endsWith(".parquet")) > 1)
+    assert(CommitLog.read(spark, sink).count() == 60L)
+    assert(CommitLog.read(spark, sink).agg(min(col("k")))
+      .head.getLong(0) == 240L)
+    // the recorded cardinality is the FULL merged set
+    assert(CommitLog.dvMarkCounts(fs, hp).values.toSeq == Seq(240L))
+  }
 }

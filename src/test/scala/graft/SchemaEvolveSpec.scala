@@ -312,4 +312,77 @@ class SchemaEvolveSpec extends SparkSpec {
     graft.operators.Compact.compactSink(spark, sink)
     assert(CommitLog.read(spark, sink).count() == 3L)
   }
+
+  test("normalizeCompact fuses the mapping/DV paydown with the " +
+    "bin-packing rewrite: one I/O pass lands the plan layout with " +
+    "records cleared; untouched files stay byte-identical with " +
+    "records intact; crash-atomic at both failpoints") {
+    val root = java.nio.file.Files.createTempDirectory("sec1").toString
+    val sink = mkSink(root, 1L to 20L) // 20 single-row files
+    val fs = fsOf(sink); val hp = new Path(sink)
+    SchemaEvolve.renameColumn(spark, sink, "k", "key") // maps ALL 20
+    DeleteVectors.deleteWhere(spark, sink, col("key") % 5 === 0)
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hp)
+    // assign the files holding keys 1..10 to two bins; leave 11..20
+    // untouched (a wave-based planner's partial pass)
+    val keyOf: Map[String, Long] = live.map { f =>
+      f -> CommitLog.mappedScan(spark, hp, Seq(f),
+        CommitLog.colmapRecords(fs, hp)).select("key")
+        .head.getLong(0)
+    }.toMap
+    val assigned = live.filter(f => keyOf(f) <= 10L)
+    val untouched = live.filterNot(f => keyOf(f) <= 10L)
+    val plan = assigned.map(f =>
+      f -> (if (keyOf(f) <= 5L) "bin0" else "bin1")).toMap
+    val statusBefore = untouched.map(f =>
+      f -> fs.getFileStatus(new Path(sink, f))).toMap
+    // crash BEFORE the commit: reader unchanged, re-run completes
+    intercept[Killed] {
+      SchemaEvolve.normalizeCompact(spark, sink, plan,
+        failpoint = killAt("added"))
+    }
+    assert(CommitLog.read(spark, sink).count() == 16L)
+    // crash AFTER the commit: new state is already durable
+    intercept[Killed] {
+      SchemaEvolve.normalizeCompact(spark, sink, plan,
+        failpoint = killAt("committed"))
+    }
+    val (gAfter, liveAfter) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(liveAfter.size == 12, // 10 untouched + 2 bins
+      s"expected 12 live files, got ${liveAfter.size}")
+    // the two bins carry their id in the file name (plan layout)
+    val bins = liveAfter.filterNot(untouched.contains)
+    assert(bins.size == 2 &&
+      bins.count(_.startsWith("bin0-")) == 1 &&
+      bins.count(_.startsWith("bin1-")) == 1, bins.toString)
+    // assigned files' records left WITH them; untouched keep theirs
+    val cmAfter = CommitLog.colmapRecords(fs, hp)
+    assert(cmAfter.keySet == untouched.toSet,
+      "mapping debt cleared exactly on the rewritten files")
+    val dvAfter = CommitLog.dvRecords(fs, hp)
+    assert(dvAfter.keySet.forall(untouched.contains) &&
+      dvAfter.nonEmpty,
+      "DVs cleared on rewritten files, kept on untouched ones")
+    // untouched files byte-identical (same path, mtime, length)
+    untouched.foreach { f =>
+      val st = fs.getFileStatus(new Path(sink, f))
+      assert(st.getLen == statusBefore(f).getLen &&
+        st.getModificationTime == statusBefore(f).getModificationTime,
+        s"untouched file $f was rewritten")
+    }
+    // rows exact: deleted keys stay gone, bins read under the
+    // LOGICAL schema, untouched mapped files still resolve
+    assert(CommitLog.read(spark, sink).orderBy("key")
+      .collect().map(_.getLong(0)).toSeq ==
+      (1L to 20L).filterNot(_ % 5 == 0))
+    // positional family unblocked for the normalized subset only;
+    // a full normalizeCompact wave clears the rest
+    val plan2 = untouched.map(f => f -> "bin2").toMap
+    SchemaEvolve.normalizeCompact(spark, sink, plan2)
+    assert(CommitLog.colmapRecords(fs, hp).isEmpty &&
+      CommitLog.dvRecords(fs, hp).isEmpty)
+    graft.operators.Compact.compactSink(spark, sink)
+    assert(CommitLog.read(spark, sink).count() == 16L)
+    assert(CommitLog.committed(fs, hp).get._1 > gAfter)
+  }
 }

@@ -161,16 +161,185 @@ class StatsSpec extends SparkSpec {
       col("k") >= 15L && col("k") <= 19L)
     assert(TableStats.readBand(spark, sink, "k", 15L, 25L)
       .orderBy("k").collect().map(_.getLong(0)).toSeq == (20L to 25L))
-    // rename: stats stay keyed by the physical name → mapped files
-    // stop pruning (conservative) but the logical band read is exact
+    // rename REKEYS the stats records inside the same commit: the
+    // skip counts survive the rename with NO re-analyze, and the
+    // logical band read stays exact
     SchemaEvolve.renameColumn(spark, sink, "k", "key")
     val (keep, skip) = TableStats.pruneBand(fs, hp, "key", 15L, 25L)
-    assert(skip.isEmpty, "mapped files must never be skipped")
+    assert(keep.size == 2 && skip.size == 3,
+      s"rekeyed stats must keep pruning after a rename: $keep/$skip")
     assert(TableStats.readBand(spark, sink, "key", 15L, 25L)
       .orderBy("key").collect().map(_.getLong(0)).toSeq ==
       (20L to 25L))
+    // the retired name resolves nothing — no stale-key pruning
+    assert(CommitLog.statsRecords(fs, hp).values
+      .forall(m => !m.contains("k")), "old key must be gone")
     // analyze on the mapped sink is a loud no-op target-wise
     assert(TableStats.analyze(spark, sink, Seq("key"),
       onlyMissing = false) == 0L)
+  }
+
+  test("drop-then-rename can never prune against the dropped " +
+    "column's stale bounds (stats leave with the drop, arrive " +
+    "rekeyed with the rename)") {
+    val root = java.nio.file.Files.createTempDirectory("st5").toString
+    val sink = s"$root/t"
+    // a: 0..49 clustered; b: 1000..1049 clustered the SAME way —
+    // adversarial: if stats stayed keyed physical, after drop(a) +
+    // rename(b→a) a band on logical 'a' would hit physical-a bounds
+    (0 until 5).foreach { bkt =>
+      (0 until 10).map(i => (bkt * 10L + i, 1000L + bkt * 10 + i))
+        .toDF("a", "b").coalesce(1).write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    TableStats.analyze(spark, sink, Seq("a", "b"))
+    SchemaEvolve.dropColumn(spark, sink, "a")
+    SchemaEvolve.renameColumn(spark, sink, "b", "a")
+    // logical 'a' is the OLD b: a band in b's domain must prune with
+    // b's (rekeyed) bounds and read exactly
+    val (keep, skip) = TableStats.pruneBand(fs, hp, "a", 1015L, 1025L)
+    assert(keep.size == 2 && skip.size == 3, s"$keep / $skip")
+    assert(TableStats.readBand(spark, sink, "a", 1015L, 1025L)
+      .orderBy("a").collect().map(_.getLong(0)).toSeq ==
+      (1015L to 1025L))
+    // a band in the DROPPED column's domain matches nothing — and
+    // provably so from the manifest (old-a bounds are gone, not stale)
+    val (k2, _) = TableStats.pruneBand(fs, hp, "a", 15L, 25L)
+    assert(k2.isEmpty, "dropped column's bounds must not resurrect")
+    assert(TableStats.readBand(spark, sink, "a", 15L, 25L).count() == 0)
+  }
+
+  test("string bounds compare in UTF-8 byte order: supplementary " +
+    "code points vs U+E000.. never misprune") {
+    val root = java.nio.file.Files.createTempDirectory("st6").toString
+    val sink = s"$root/t"
+    // file A tops out at U+E000 (UTF-8 EE 80 80); file B holds an
+    // emoji U+1F600 (UTF-8 F0 9F 98 80). UTF-16 order puts the emoji
+    // (surrogate 0xD83D) BELOW U+E000 — byte order puts it above.
+    val e000 = ""
+    val emoji = new String(Character.toChars(0x1F600))
+    Seq(Seq("a", e000), Seq(emoji), Seq("zz")).foreach { vs =>
+      vs.toDF("s").coalesce(1).write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    TableStats.analyze(spark, sink, Seq("s"))
+    Seq((e000, emoji), ("a", e000), (emoji, emoji), ("z", "￿"))
+      .foreach { case (lo, hi) =>
+        val pruned = TableStats.readBand(spark, sink, "s", lo, hi)
+          .collect().map(_.getString(0)).toSet
+        val plain = CommitLog.read(spark, sink)
+          .filter(col("s") >= lit(lo) && col("s") <= lit(hi))
+          .collect().map(_.getString(0)).toSet
+        assert(pruned == plain, s"string band [$lo,$hi]")
+      }
+  }
+
+  test("NaN/Infinity bounds record as unprunable None instead of " +
+    "crashing analyze; reads stay exact") {
+    val root = java.nio.file.Files.createTempDirectory("st7").toString
+    val sink = s"$root/t"
+    Seq(Seq(1.0, Double.NaN), Seq(Double.NegativeInfinity, 2.0),
+      Seq(10.0, 20.0)).foreach { vs =>
+      vs.toDF("x").coalesce(1).write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    assert(TableStats.analyze(spark, sink, Seq("x")) == 3L)
+    val stats = CommitLog.statsRecords(fs, hp)
+    assert(stats.values.count(m => m("x").min.isEmpty &&
+      m("x").max.isEmpty) == 2, "non-finite files record None bounds")
+    // the NaN/Inf files never prune (conservative); the finite one does
+    val (keep, skip) = TableStats.pruneBand(fs, hp, "x", 100.0, 200.0)
+    assert(keep.size == 2 && skip.size == 1)
+    val pruned = TableStats.readBand(spark, sink, "x", 0.5, 15.0)
+      .collect().map(_.getDouble(0)).toSet
+    assert(pruned == Set(1.0, 2.0, 10.0))
+  }
+
+  test("a fully-DV-deleted file prunes from the manifest's mark " +
+    "cardinality alone, before applyDeletes") {
+    val root = java.nio.file.Files.createTempDirectory("st8").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    TableStats.analyze(spark, sink, Seq("k"))
+    // kill EVERY row of bucket 2 (k in 20..29) — the file's raw
+    // bounds still intersect [20,29], but its mark count == row count
+    DeleteVectors.deleteWhere(spark, sink,
+      col("k") >= 20L && col("k") <= 29L)
+    val full = CommitLog.dvMarkCounts(fs, hp)
+    assert(full.values.toSeq == Seq(10L), s"mark cardinality: $full")
+    val (keep, skip) = TableStats.pruneBand(fs, hp, "k", 20L, 29L)
+    assert(keep.isEmpty && skip.size == 5,
+      s"fully-deleted file must skip manifest-only: $keep / $skip")
+    assert(TableStats.readBand(spark, sink, "k", 20L, 29L).count() == 0)
+    // a PARTIAL delete must not skip (still has visible rows)
+    DeleteVectors.deleteWhere(spark, sink, col("k") === 35L)
+    val (k2, _) = TableStats.pruneBand(fs, hp, "k", 30L, 39L)
+    assert(k2.size == 1)
+    assert(TableStats.readBand(spark, sink, "k", 30L, 39L)
+      .collect().map(_.getLong(0)).toSet ==
+      ((30L to 39L).toSet - 35L))
+  }
+
+  test("conjunctive / equality / IN / IS NULL pruning over " +
+    "pruneFiles is exact and skips provably-irrelevant files") {
+    import org.apache.spark.sql.sources
+    val root = java.nio.file.Files.createTempDirectory("st9").toString
+    val sink = s"$root/t"
+    // files clustered on k; g cycles so only SOME files hold each g;
+    // one file is all-null in s
+    Seq(
+      (0 until 10).map(i => (i.toLong, "g1", f"v$i%03d")),
+      (10 until 20).map(i => (i.toLong, "g2", f"v$i%03d")),
+      (20 until 30).map(i => (i.toLong, "g1", null: String)),
+      (30 until 40).map(i => (i.toLong, "g3", f"v$i%03d"))
+    ).foreach { rows =>
+      rows.toDF("k", "g", "s").coalesce(1)
+        .write.mode("append").parquet(sink)
+    }
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    TableStats.analyze(spark, sink, Seq("k", "g", "s"))
+    // conjunction over two columns: k band keeps files 1,2; g = 'g1'
+    // keeps files 0,2 → intersection must scan exactly file 2
+    val conj = Seq[sources.Filter](
+      sources.GreaterThanOrEqual("k", 15L),
+      sources.LessThanOrEqual("k", 29L),
+      sources.EqualTo("g", "g1"))
+    val (keep, skip) = TableStats.pruneFiles(fs, hp, conj)
+    assert(keep.size == 1 && skip.size == 3, s"$keep / $skip")
+    val exact = TableStats.readWhere(spark, sink, conj,
+      col("k") >= 15L && col("k") <= 29L && col("g") === "g1")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == (20L to 29L).toSet)
+    // IN over points in two files
+    val (kIn, sIn) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.In("k", Array[Any](5L, 35L))))
+    assert(kIn.size == 2 && sIn.size == 2)
+    // IS NULL: only the all-null-s file (others have zero nulls)
+    val (kN, sN) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.IsNull("s")))
+    assert(kN.size == 1 && sN.size == 3)
+    assert(TableStats.readWhere(spark, sink, Seq(sources.IsNull("s")),
+      col("s").isNull).count() == 10L)
+    // IS NOT NULL skips the all-null file
+    val (kNN, sNN) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.IsNotNull("s")))
+    assert(kNN.size == 3 && sNN.size == 1)
+    // string prefix
+    val (kP, sP) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.StringStartsWith("s", "v01")))
+    assert(kP.size == 1 && sP.size == 3)
+    // OR of two disjoint bands keeps both ends, skips the middle
+    val (kO, sO) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.Or(sources.LessThan("k", 5L),
+        sources.GreaterThan("k", 35L))))
+    assert(kO.size == 2 && sO.size == 2)
+    // an unknown filter shape contributes no pruning (all kept)
+    val (kU, sU) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.StringContains("s", "01")))
+    assert(kU.size == 4 && sU.isEmpty)
   }
 }
