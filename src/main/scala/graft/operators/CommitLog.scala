@@ -411,10 +411,10 @@ object CommitLog {
     * when no constraints are declared (one cached manifest read). A
     * NULL result counts as a violation (Delta semantics: the
     * constraint must evaluate TRUE). */
-  private[operators] def requireChecks(spark: SparkSession,
-                                       fs: FileSystem, sink: Path,
-                                       batch: DataFrame,
-                                       op: String): Unit = {
+  private[graft] def requireChecks(spark: SparkSession,
+                                   fs: FileSystem, sink: Path,
+                                   batch: DataFrame,
+                                   op: String): Unit = {
     val checks = checkRecords(fs, sink)
     checks.foreach { case (name, e) =>
       val pass = org.apache.spark.sql.functions.expr(e)
@@ -925,6 +925,34 @@ object CommitLog {
       fs.delete(new Path(logDir(sink), manifestName(g)), false))
     vacuum(fs, sink)
     drop.length
+  }
+
+  /** Latest generation committed AT OR BEFORE `tsMillis` — timestamp
+    * time travel resolution (Delta's TIMESTAMP AS OF). The manifest
+    * file's modification time IS the commit time: the exclusive
+    * publish stamps it once and committed manifests are immutable.
+    * Loud when every retained generation is newer (the asked-for
+    * moment predates retained history). */
+  def generationAsOf(fs: FileSystem, sink: Path, tsMillis: Long)
+  : Long = {
+    val dir = logDir(sink)
+    val cands = generations(fs, sink).filter { g =>
+      fs.getFileStatus(new Path(dir, manifestName(g)))
+        .getModificationTime <= tsMillis
+    }
+    require(cands.nonEmpty,
+      s"no generation of $sink was committed at or before " +
+        s"$tsMillis (earliest retained is newer — history expired " +
+        "or timestamp predates the table)")
+    cands.max
+  }
+
+  /** [[readAt]] resolved by commit timestamp ([[generationAsOf]]). */
+  def readAsOf(spark: SparkSession, sink: String,
+               tsMillis: Long): DataFrame = {
+    val hPath = new Path(sink)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readAt(spark, sink, generationAsOf(fs, hPath, tsMillis))
   }
 
   /** The sink AS OF a committed generation — snapshot time travel over

@@ -34,8 +34,9 @@ import org.apache.spark.sql.types._
   *     [[SchemaEvolve.dropColumn]] removes the dropped column's, so a
   *     renamed column keeps pruning with no re-analyze and a
   *     drop-then-rename can never resolve against the dropped
-  *     column's stale bounds. [[analyze]] itself still skips mapped
-  *     files (their bounds arrive on the normalize/compact rewrite).
+  *     column's stale bounds. [[analyze]] reads mapped files through
+  *     their logical view, so evolution never strands a file
+  *     unprunable.
   *
   * Stats records carry forward per surviving file automatically
   * ([[CommitLog.commitNext]]), so compaction/merge retire exactly the
@@ -144,53 +145,27 @@ object TableStats {
         s"into stats domain '$typ'")
   }
 
-  /** ANALYZE: per-(live file, column) row/null counts and min/max
-    * bounds for `cols`, committed as `#stats` manifest records — one
-    * scan over the targeted files, one file-count-sized collect, one
-    * commit. `onlyMissing = true` (default) targets only files with
-    * no record yet for EVERY requested column — the incremental form
-    * an append pipeline runs. Mapped files ([[SchemaEvolve]]) are
-    * skipped (their physical names would not match logical pruning
-    * lookups). Returns files analyzed. */
-  def analyze(spark: SparkSession, path: String, cols: Seq[String],
-              onlyMissing: Boolean = true): Long = {
-    require(cols.nonEmpty, "analyze needs at least one column")
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    val mapped = CommitLog.colmapRecords(fs, hPath).keySet ++
-      CommitLog.coltypeRecords(fs, hPath).keySet
-    val existing = CommitLog.statsRecords(fs, hPath)
-    val targets = live.filterNot(mapped).filter { f =>
-      !onlyMissing ||
-        !cols.forall(existing.getOrElse(f, Map.empty).contains)
-    }
-    if (targets.isEmpty) return 0L
-    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
-    val scan = spark.read.option("mergeSchema", "true")
-      .option("basePath", hPath.toString)
-      .parquet(targets.map(r => new Path(hPath, r).toString): _*)
-      .withColumn("__f", fp.substr(
-        locate(prefix, fp) + lit(prefix.length), length(fp)))
+  /** Per-(file, column) bounds from a scan already carrying a
+    * sink-relative `__f` file column — the grouped-aggregation core
+    * of [[analyze]], one pass, file-count-sized result. Requested
+    * columns absent from this scan's schema (or of a non-stats
+    * domain) are silently skipped per branch. */
+  private def boundsOf(scan: DataFrame, cols: Seq[String])
+  : Map[String, Map[String, CommitLog.ColStats]] = {
     val schema = scan.schema
-    val present = cols.filter(schema.fieldNames.contains)
-    val typed = present.flatMap { c =>
+    val typed = cols.filter(schema.fieldNames.contains).flatMap { c =>
       domainOf(schema(c).dataType).map(t => (c, t))
     }
-    require(typed.nonEmpty,
-      s"analyze: none of $cols is a stats-capable column of $path")
+    if (typed.isEmpty) return Map.empty
     val aggs = typed.zipWithIndex.flatMap { case ((c, _), i) =>
       Seq(
         min(col(c)).as(s"__min$i"),
         max(col(c)).as(s"__max$i"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i"))
     }
-    val rows = scan.groupBy("__f")
+    scan.groupBy("__f")
       .agg(count(lit(1)).as("__n"), aggs: _*)
-      .collect()
-    val stats: Map[String, Map[String, CommitLog.ColStats]] =
-      rows.map { r =>
+      .collect().map { r =>
         val f = r.getString(r.fieldIndex("__f"))
         val n = r.getLong(r.fieldIndex("__n"))
         f -> typed.zipWithIndex.map { case ((c, t), i) =>
@@ -207,6 +182,59 @@ object TableStats {
             r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx)
         }.toMap
       }.toMap
+  }
+
+  /** ANALYZE: per-(live file, column) row/null counts and min/max
+    * bounds for `cols`, committed as `#stats` manifest records — one
+    * scan per schema shape over the targeted files, one
+    * file-count-sized collect, one commit. `onlyMissing = true`
+    * (default) targets only files with no record yet for EVERY
+    * requested column — the incremental form an append pipeline
+    * runs. [[SchemaEvolve]]-mapped files are analyzed through their
+    * LOGICAL view (rename/drop/widen resolved), keyed by logical
+    * name — the same keying the pruning lookup and the rename-rekey
+    * maintain, so evolution never strands a file unprunable. Bounds
+    * are over RAW rows (DVs not applied): a conservative superset,
+    * sound under merge-on-read deletes. Returns files analyzed. */
+  def analyze(spark: SparkSession, path: String, cols: Seq[String],
+              onlyMissing: Boolean = true): Long = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val mapped = cms.keySet ++ cts.keySet
+    val existing = CommitLog.statsRecords(fs, hPath)
+    val targets = live.filter { f =>
+      !onlyMissing ||
+        !cols.forall(existing.getOrElse(f, Map.empty).contains)
+    }
+    if (targets.isEmpty) return 0L
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    def relCol(fp: Column): Column =
+      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    val (mappedT, plainT) = targets.partition(mapped)
+    val empty = Map.empty[String, Map[String, CommitLog.ColStats]]
+    val plainStats =
+      if (plainT.isEmpty) empty
+      else boundsOf(
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", hPath.toString)
+          .parquet(plainT.map(r => new Path(hPath, r).toString): _*)
+          .withColumn("__f", relCol(col("_metadata.file_path"))),
+        cols)
+    val mappedStats =
+      if (mappedT.isEmpty) empty
+      else boundsOf(
+        CommitLog.mappedScan(spark, hPath, mappedT, cms,
+            identity = true, coltypes = cts)
+          .withColumn("__f", relCol(col("__file_path")))
+          .drop("__file_path", "__row_index"),
+        cols)
+    val stats = plainStats ++ mappedStats
+    require(stats.nonEmpty,
+      s"analyze: none of $cols is a stats-capable column of $path")
     CommitLog.commitNext(fs, hPath, gen, live, stats = stats)
     targets.length.toLong
   }

@@ -1860,7 +1860,123 @@ object MaintenanceQueries {
               mapped_files)
        ORDER BY generation"""
 
+  /** The WRITE half of the format surface
+    * ([[graft.sources.GraftDataSource]]): a table is CREATED by its
+    * first `df.write.format("graft")`, grows by logged commutative
+    * appends, refuses a CHECK-violating batch before anything stages
+    * (`violator_refused`), and no-ops a replayed `txnAppId`/
+    * `txnVersion` micro-batch (`txn_once` — Delta's idempotent-write
+    * pattern, the `#txn` ledger riding the same atomic commit as the
+    * files). The final state is read back through the format string
+    * and hash-checked against the oracle's arithmetic over exactly
+    * the batches that should have landed, each exactly once. */
+  def q334Dsv2Write(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q334_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def part(m: Long) = orders.filter(col("o_orderkey") % 10 === m)
+      // CREATE + two appends through the format string
+      part(0).write.format("graft").mode("append").save(sink)
+      part(1).write.format("graft").mode("append").save(sink)
+      part(2).write.format("graft").mode("append").save(sink)
+      // declared constraint gates later format writes
+      CommitLog.addCheck(s, sink, "price_pos", "o_totalprice >= 0")
+      val refused =
+        try {
+          part(3).withColumn("o_totalprice", -col("o_totalprice"))
+            .write.format("graft").mode("append").save(sink)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      part(3).write.format("graft").mode("append").save(sink)
+      // idempotent micro-batch: the replay must not double-land
+      def txnWrite(): Unit = part(4).write.format("graft")
+        .mode("append").option("txnAppId", "q334")
+        .option("txnVersion", "7").save(sink)
+      txnWrite(); txnWrite()
+      val back = s.read.format("graft").load(sink)
+      val rows = back
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.map { case (g, ra, so) => (g, ra, so, refused) }
+        .toDF("grp", "rows_after", "sum_okey", "violator_refused")
+        .orderBy("grp")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q334Sql: String =
+    """SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              TRUE AS violator_refused
+       FROM orders
+       WHERE o_orderkey % 10 <= 4
+       GROUP BY 1 ORDER BY 1"""
+
+  /** The STREAMING face of the format surface
+    * ([[graft.sources.GraftDataSource]] as a Structured Streaming
+    * source, Delta's streaming-source role): generation numbers are
+    * the offsets, the first micro-batch is the pinned snapshot, and
+    * each later batch is EXACTLY the files the window's commits
+    * appended (cost ∝ new files, never the table). Two logged
+    * appends land while the stream runs; the memory sink must end up
+    * with snapshot + both tails, each row exactly once — hash-checked
+    * against the oracle's arithmetic over the union of the batches.
+    * Exactly-once needs no bookkeeping beyond the checkpointed
+    * offset: generations are atomic, immutable and totally ordered. */
+  def q335Dsv2Stream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q335_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def part(m: Long) = orders.filter(col("o_orderkey") % 10 === m)
+      part(0).write.format("graft").mode("append").save(sink)
+      part(1).write.format("graft").mode("append").save(sink)
+      val q = s.readStream.format("graft").load(sink)
+        .writeStream.format("memory").queryName("q335_tail")
+        .option("checkpointLocation", s"$root/ck").start()
+      try {
+        q.processAllAvailable() // snapshot: groups 0 and 1
+        part(2).write.format("graft").mode("append").save(sink)
+        q.processAllAvailable() // tail window 1
+        part(3).write.format("graft").mode("append").save(sink)
+        q.processAllAvailable() // tail window 2
+      } finally q.stop()
+      val rows = s.table("q335_tail")
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.toDF("grp", "rows_after", "sum_okey").orderBy("grp")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q335Sql: String =
+    """SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+       FROM orders
+       WHERE o_orderkey % 10 <= 3
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q335_dsv2_stream" -> q335Dsv2Stream _,
+    "q334_dsv2_write" -> q334Dsv2Write _,
     "q330_stats_conjunction" -> q330StatsConjunction _,
     "q331_dsv2_read" -> q331Dsv2Read _,
     "q332_normalize_compact" -> q332NormalizeCompact _,
@@ -1892,6 +2008,8 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q335_dsv2_stream" -> q335Sql,
+    "q334_dsv2_write" -> q334Sql,
     "q330_stats_conjunction" -> q330Sql,
     "q331_dsv2_read" -> q331Sql,
     "q332_normalize_compact" -> q332Sql,

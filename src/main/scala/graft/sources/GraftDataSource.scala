@@ -5,22 +5,25 @@ import java.util
 import graft.operators.{CommitLog, TableStats}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  Filter, TableScan}
+  Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** `spark.read.format("graft")` — the DataSource V2 READ surface over
-  * [[CommitLog]]-managed sinks, so ordinary SQL/DataFrame consumers
-  * get the whole table-format tier WITHOUT knowing the operator
-  * vocabulary (the role Delta's/Iceberg's DataSource plays):
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * DataSource V2 surface over [[CommitLog]]-managed sinks, so
+  * ordinary SQL/DataFrame consumers get the whole table-format tier
+  * WITHOUT knowing the operator vocabulary (the role
+  * Delta's/Iceberg's DataSource plays). Reads:
   *
   *   - the latest manifest (or `option("versionAsOf", gen)` for time
   *     travel) is pinned at load — genuine snapshot isolation, a
@@ -55,20 +58,64 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * needs the connector to make its commit protocol just as
   * transparent. */
 final class GraftDataSource extends TableProvider
-  with DataSourceRegister {
+  with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** `spark.readStream.format("graft")` — tail the commit log as a
+    * Structured Streaming source (Delta's streaming-source role):
+    * offsets ARE generation numbers, the first batch is the full
+    * snapshot (or changes after `option("startingVersion", g)`), and
+    * every later batch is exactly the files the window's commits
+    * appended — DV-applied, mapping-resolved, cost ∝ new files.
+    * Non-append changes inside a window (files removed/rewritten, DV
+    * growth on already-streamed files) fail loudly unless
+    * `option("ignoreChanges", true)`; `option("maxGensPerTrigger", n)`
+    * rate-limits a catch-up. Exactly-once comes free: generations are
+    * atomic, immutable and totally ordered, so a checkpointed offset
+    * range always re-reads the same rows. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+  : (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    (shortName(), schema.getOrElse(GraftState.resolve(opts).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+  : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters)
+
+  /** True so a WRITE to a not-yet-logged path can CREATE the table
+    * (Spark then hands the incoming frame's schema to [[getTable]]
+    * instead of demanding [[inferSchema]] succeed on nothing).
+    * Reads without a user schema still resolve through
+    * [[inferSchema]], so loading a non-table stays loud. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap)
   : StructType = GraftState.resolve(options).schema
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftTable(
-      GraftState.resolve(new CaseInsensitiveStringMap(properties)))
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // an EXISTING log wins over any externally-supplied schema (the
+    // manifest is the source of truth); only the create-by-write path
+    // takes the incoming frame's schema at face value
+    val state = GraftState.resolveIfLogged(opts)
+      .getOrElse(GraftState.forCreate(opts, schema))
+    new GraftTable(state)
+  }
 }
 
 /** A pinned snapshot of one logged sink: generation, live files and
@@ -82,21 +129,41 @@ private[sources] final class GraftState(
 
 private[sources] object GraftState {
 
-  def resolve(options: CaseInsensitiveStringMap): GraftState = {
-    val path = Option(options.get("path")).getOrElse(
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft: a single path is required — " +
           "spark.read.format(\"graft\").load(<sink>)"))
+
+  def resolve(options: CaseInsensitiveStringMap): GraftState =
+    resolveIfLogged(options).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: ${pathOf(options)} is not a CommitLog-managed sink " +
+          "(no manifest); bring it under log control " +
+          "(CommitLog.ensureLogged) or read it as plain parquet"))
+
+  /** The pinned snapshot when the path carries a commit log, None
+    * otherwise (the write path may then CREATE it). */
+  def resolveIfLogged(options: CaseInsensitiveStringMap)
+  : Option[GraftState] = {
+    val path = pathOf(options)
     val spark = SparkSession.active
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = CommitLog.generations(fs, hPath)
-    require(gens.nonEmpty,
-      s"graft: $path is not a CommitLog-managed sink (no manifest); " +
-        "bring it under log control (CommitLog.ensureLogged) or read " +
-        "it as plain parquet")
-    val gen = Option(options.get("versionAsOf")).map(_.toLong)
-      .getOrElse(gens.last)
+    if (gens.isEmpty) return None
+    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTime = Option(options.get("timestampAsOf")).map { s =>
+      // epoch millis, or a SQL timestamp literal
+      val millis =
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          java.sql.Timestamp.valueOf(s).getTime }
+      CommitLog.generationAsOf(fs, hPath, millis)
+    }
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    val gen = byVersion.orElse(byTime).getOrElse(gens.last)
     require(gens.contains(gen),
       s"graft: generation $gen is not committed (or expired) at " +
         s"$path — retained: ${gens.head}..${gens.last}")
@@ -105,22 +172,227 @@ private[sources] object GraftState {
       if (m.files.isEmpty) StructType(Nil)
       else CommitLog.mappedScan(spark, hPath, m.files, m.colmaps,
         coltypes = m.coltypes).schema
-    new GraftState(path, gen, m, schema)
+    Some(new GraftState(path, gen, m, schema))
   }
+
+  /** Placeholder state for a table about to be created by its first
+    * write: no committed generation, the incoming frame's schema. */
+  def forCreate(options: CaseInsensitiveStringMap,
+                schema: StructType): GraftState =
+    new GraftState(pathOf(options), -1L,
+      CommitLog.Manifest(Nil, Map.empty, Map.empty, Map.empty), schema)
 }
 
 private[sources] final class GraftTable(state: GraftState)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft:${state.path}@${state.gen}"
 
   override def schema(): StructType = state.schema
 
+  // BATCH_WRITE is the capability DataFrameWriter gates the V2 save
+  // path on; the V1_BATCH_WRITE marker routes the planned AppendData/
+  // Overwrite to the V1Write bridge execs
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new GraftScanBuilder(state)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(state.path, info.options())
+}
+
+/** `df.write.format("graft")` — the WRITE half of the format surface.
+  * `mode("append")` is a staged LOGGED APPEND: files land under fresh
+  * names in a scratch dir, move in, and ONE manifest publish commits
+  * them via [[CommitLog.commitAppend]]'s bounded commutative rebase —
+  * two concurrent format writers both land, exactly-once, no caller
+  * retries. `mode("overwrite")` (Spark routes it through
+  * [[SupportsTruncate]]) commits the new file set as the next
+  * generation — the replaced files stay on disk for time travel until
+  * retention reclaims them, which is what a table-format TRUNCATE
+  * means. Writer-side guarantees ride along: CHECK constraints gate
+  * the batch before anything stages, schema conformance is enforced
+  * by Spark's by-name resolution against the LOGICAL schema (so a
+  * renamed sink takes appends under its new names, no records
+  * needed), and `option("txnAppId"/"txnVersion")` makes the write
+  * idempotent through the `#txn` ledger (a replayed micro-batch
+  * no-ops, Delta's foreachBatch pattern). A write to a path with no
+  * log CREATES the table: first write defines the schema and commits
+  * generation 0/1. */
+private[sources] final class GraftWriteBuilder(
+    path: String, options: CaseInsensitiveStringMap)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame,
+                            overwriteLegacy: Boolean): Unit =
+          GraftWriter.write(data, path, overwrite || overwriteLegacy,
+            Option(options.get("txnAppId")).map { app =>
+              val v = Option(options.get("txnVersion")).getOrElse(
+                throw new IllegalArgumentException(
+                  "graft: txnAppId requires txnVersion"))
+              (app, v.toLong)
+            })
+      }
+  }
+}
+
+/** The commit log as a streaming Source: generation numbers are the
+  * offsets. Append-only windows stream exactly the added files' rows;
+  * the initial batch is the pinned snapshot. See
+  * [[GraftDataSource.sourceSchema]] for the contract. */
+private[sources] final class GraftStreamSource(
+    sqlContext: SQLContext,
+    pinnedSchema: StructType,
+    parameters: Map[String, String])
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => SOffset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
+    SerializedOffset}
+
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException(
+      "graft stream: a path is required"))
+  private val startingVersion = parameters.get("startingVersion")
+    .map(_.toLong)
+  private val ignoreChanges = parameters.get("ignoreChanges")
+    .exists(_.toBoolean)
+  private val maxGensPerTrigger = parameters.get("maxGensPerTrigger")
+    .map(_.toLong)
+  // highest generation already HANDED OUT via getOffset — the rate
+  // limiter's base (the engine may not have committed it yet, but a
+  // window is never re-split once offered)
+  @volatile private var offered: Option[Long] = None
+
+  private def hPath = new Path(path)
+  private def fs = hPath.getFileSystem(
+    sqlContext.sparkContext.hadoopConfiguration)
+
+  private def genOf(o: SOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(
+      s"graft stream: unexpected offset $other")
+  }
+
+  override def schema: StructType = pinnedSchema
+
+  override def getOffset: Option[SOffset] = {
+    val gens = CommitLog.generations(fs, hPath)
+    if (gens.isEmpty) return None
+    val latest = gens.last
+    val capped = (offered, maxGensPerTrigger) match {
+      case (Some(base), Some(m)) => math.min(latest, base + m)
+      case (None, Some(m)) =>
+        math.min(latest, startingVersion.getOrElse(latest - m) + m)
+      case _ => latest
+    }
+    offered = Some(math.max(capped, offered.getOrElse(Long.MinValue)))
+    Some(LongOffset(capped))
+  }
+
+  override def getBatch(start: Option[SOffset], end: SOffset)
+  : DataFrame = {
+    val spark = sqlContext.sparkSession
+    val endGen = genOf(end)
+    val mEnd = CommitLog.manifestAt(fs, hPath, endGen)
+    val fromGen = start.map(genOf).orElse(startingVersion)
+    val added: Seq[String] = fromGen match {
+      case None => mEnd.files // initial batch = the full snapshot
+      case Some(g) =>
+        val mStart = CommitLog.manifestAt(fs, hPath, g)
+        val startSet = mStart.files.toSet
+        val removed = mStart.files.filterNot(mEnd.files.toSet)
+        val common = mStart.files.filter(mEnd.files.toSet)
+        val dvGrew = common.filter(f =>
+          mEnd.dvs.get(f) != mStart.dvs.get(f))
+        if ((removed.nonEmpty || dvGrew.nonEmpty) && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft stream: generations $g..$endGen of $path contain " +
+              "non-append changes (files removed/rewritten or deletes " +
+              "on already-streamed files) — an append-only stream " +
+              "cannot represent them; set ignoreChanges=true to " +
+              "stream only the appended rows, or restart from a " +
+              "fresh checkpoint for a new snapshot")
+        mEnd.files.filterNot(startSet)
+    }
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](), pinnedSchema)
+      else {
+        val aSet = added.toSet
+        CommitLog.mappedScan(spark, hPath, added, mEnd.colmaps,
+            mEnd.dvs.filter { case (f, _) => aSet(f) },
+            coltypes = mEnd.coltypes)
+          .select(pinnedSchema.fieldNames.toIndexedSeq.map(col): _*)
+      }
+    org.apache.spark.sql.graftbridge.StreamBridge
+      .asStreamingFrame(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$path]"
+}
+
+private[sources] object GraftWriter {
+
+  def write(data: DataFrame, path: String, overwrite: Boolean,
+            txn: Option[(String, Long)]): Unit = {
+    val spark = data.sparkSession
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bring the sink under log control (bootstraps generation 0 for a
+    // fresh/unlogged path — the CREATE case)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    // idempotent-writer fast path: this (appId, version) already
+    // committed → the whole write no-ops, Delta's txn semantics
+    txn.foreach { case (app, v) =>
+      if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
+    }
+    // constraints gate the BATCH before anything stages
+    CommitLog.requireChecks(spark, fs, hPath, data, "graft write")
+    // stage → move in under fresh names → one commit
+    val tmp = new Path(hPath.getParent, hPath.getName + "__fmt_tmp-" +
+      java.util.UUID.randomUUID().toString)
+    data.write.parquet(tmp.toString)
+    val added = Seq.newBuilder[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f, dest))
+          throw new java.io.IOException(
+            s"graft write: could not move $f into $dest")
+        added += rel
+      }
+    }
+    val newFiles = added.result()
+    if (overwrite)
+      // truncate-and-replace: next generation references ONLY the new
+      // files; the replaced ones remain time-travel history until
+      // expireGenerations/vacuum (a CAS loss here is terminal — a
+      // truncate that raced another writer must be re-decided)
+      CommitLog.commitNext(fs, hPath, gen, newFiles, txn = txn)
+    else
+      CommitLog.commitAppend(fs, hPath, gen, live, newFiles, txn = txn)
+    fs.delete(tmp, true)
+  }
 }
 
 private[sources] final class GraftScanBuilder(state: GraftState)

@@ -131,6 +131,157 @@ class DataSourceV2Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.read.format("graft").load(bare)
     }
+    // timestampAsOf: a moment after the last commit resolves to the
+    // latest generation; a moment before the table exists is loud;
+    // combining both travel options is loud
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val future = System.currentTimeMillis() + 3600000L
+    assert(CommitLog.generationAsOf(fs, hp, future) ==
+      CommitLog.committed(fs, hp).get._1)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", future.toString).load(sink)
+      .count() == 63L)
+    assert(CommitLog.readAsOf(spark, sink, future).count() == 63L)
+    intercept[IllegalArgumentException] {
+      CommitLog.generationAsOf(fs, hp, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .option("timestampAsOf", future.toString).load(sink)
+    }
+  }
+
+  test("df.write.format(\"graft\") creates, appends (commutative " +
+    "logged append under the LOGICAL schema), and truncate-overwrites " +
+    "with time travel intact") {
+    val root = java.nio.file.Files.createTempDirectory("ds6").toString
+    val sink = s"$root/w"
+    // CREATE by first write: no log exists yet
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graft").mode("append").save(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    assert(CommitLog.generations(fs, hp).nonEmpty, "write must create")
+    assert(spark.read.format("graft").load(sink).count() == 2L)
+    // rename, then append under the NEW logical name — no records
+    // needed on the fresh files, epochs union transparently
+    SchemaEvolve.renameColumn(spark, sink, "k", "key")
+    Seq((3L, "c")).toDF("key", "s")
+      .write.format("graft").mode("append").save(sink)
+    assert(spark.read.format("graft").load(sink).orderBy("key")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // by-name resolution: column ORDER is free, an UNKNOWN column is
+    // loud at analysis, a missing nullable column null-fills (the
+    // V2 by-name insert semantics — pinned)
+    Seq(("d", 4L)).toDF("s", "key")
+      .write.format("graft").mode("append").save(sink)
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+    intercept[Exception] {
+      Seq((5L, "e", 1L)).toDF("key", "s", "extra")
+        .write.format("graft").mode("append").save(sink)
+    }
+    Seq(Tuple1(5L)).toDF("key")
+      .write.format("graft").mode("append").save(sink)
+    val r5 = spark.read.format("graft").load(sink)
+      .filter(col("key") === 5L).collect()
+    assert(r5.length == 1 && r5.head.isNullAt(1),
+      "missing nullable column must null-fill by name")
+    // truncate-overwrite commits a replacing generation; the old one
+    // stays readable via versionAsOf until retention
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    Seq((99L, "z")).toDF("key", "s")
+      .write.format("graft").mode("overwrite").save(sink)
+    assert(spark.read.format("graft").load(sink)
+      .collect().map(_.getLong(0)).toSeq == Seq(99L))
+    assert(spark.read.format("graft")
+      .option("versionAsOf", genBefore.toString).load(sink)
+      .count() == 5L, "truncated snapshot must stay time-travelable")
+  }
+
+  test("format writes enforce CHECK constraints before staging and " +
+    "no-op on a replayed txn version (idempotent micro-batch)") {
+    val root = java.nio.file.Files.createTempDirectory("ds7").toString
+    val sink = s"$root/w"
+    Seq((1L, 10L)).toDF("k", "v")
+      .write.format("graft").mode("append").save(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.addCheck(spark, sink, "v_pos", "v > 0")
+    val gAfter = CommitLog.committed(fs, hp).get._1
+    val e = intercept[IllegalArgumentException] {
+      Seq((2L, -5L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(CommitLog.committed(fs, hp).get._1 == gAfter,
+      "a refused batch must not commit")
+    assert(CommitLog.read(spark, sink).count() == 1L)
+    // idempotent writer: same (appId, version) replayed → one landing
+    def writeTxn(): Unit = Seq((3L, 30L)).toDF("k", "v")
+      .write.format("graft").mode("append")
+      .option("txnAppId", "ds7").option("txnVersion", "1").save(sink)
+    writeTxn(); writeTxn()
+    assert(CommitLog.read(spark, sink).count() == 2L,
+      "a replayed txn version must no-op")
+    // a HIGHER version lands
+    Seq((4L, 40L)).toDF("k", "v")
+      .write.format("graft").mode("append")
+      .option("txnAppId", "ds7").option("txnVersion", "2").save(sink)
+    assert(CommitLog.read(spark, sink).count() == 3L)
+  }
+
+  test("readStream.format(\"graft\") tails the commit log: first " +
+    "batch is the snapshot, each later batch exactly the appended " +
+    "rows; non-append changes kill the stream loudly; ignoreChanges " +
+    "streams past them") {
+    val root = java.nio.file.Files.createTempDirectory("ds8").toString
+    val sink = s"$root/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.format("graft").mode("append").save(sink)
+    val q = spark.readStream.format("graft").load(sink)
+      .writeStream.format("memory").queryName("gs_tail")
+      .option("checkpointLocation", s"$root/ck1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gs_tail").count() == 2L, "initial snapshot")
+      // two commits land while the stream runs — exactly their rows
+      // arrive, nothing re-read
+      Seq((3L, 30L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+      Seq((4L, 40L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+      q.processAllAvailable()
+      assert(spark.table("gs_tail").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      // a DELETE on already-streamed rows is a non-append change:
+      // the next window must fail loudly
+      graft.operators.DeleteVectors.deleteWhere(spark, sink,
+        col("k") === 1L)
+      Seq((5L, 50L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+    } finally q.stop()
+    // ignoreChanges from a fresh checkpoint: snapshot reflects the
+    // delete, later appends still arrive
+    val q2 = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(sink)
+      .writeStream.format("memory").queryName("gs_tail2")
+      .option("checkpointLocation", s"$root/ck2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("gs_tail2").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L))
+      graft.operators.DeleteVectors.deleteWhere(spark, sink,
+        col("k") === 2L) // change mid-stream: tolerated
+      Seq((6L, 60L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+      q2.processAllAvailable()
+      assert(spark.table("gs_tail2").orderBy("k")
+        .collect().map(_.getLong(0)).toSeq ==
+        Seq(2L, 3L, 4L, 5L, 6L),
+        "ignoreChanges streams only the appended rows")
+    } finally q2.stop()
   }
 
   test("SQL consumers get the same surface via a temp view") {

@@ -174,9 +174,33 @@ class StatsSpec extends SparkSpec {
     // the retired name resolves nothing — no stale-key pruning
     assert(CommitLog.statsRecords(fs, hp).values
       .forall(m => !m.contains("k")), "old key must be gone")
-    // analyze on the mapped sink is a loud no-op target-wise
+    // re-analyze now reads the mapped files through their LOGICAL
+    // view — same keying, refreshed bounds, pruning intact
     assert(TableStats.analyze(spark, sink, Seq("key"),
-      onlyMissing = false) == 0L)
+      onlyMissing = false) == 5L)
+    val (k3, s3) = TableStats.pruneBand(fs, hp, "key", 15L, 25L)
+    assert(k3.size == 2 && s3.size == 3)
+  }
+
+  test("analyze covers mapped files through the logical view: a " +
+    "sink renamed BEFORE any analyze still becomes fully prunable") {
+    val root = java.nio.file.Files.createTempDirectory("st10").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    SchemaEvolve.renameColumn(spark, sink, "k", "key")
+    assert(TableStats.analyze(spark, sink, Seq("key")) == 5L)
+    val (keep, skip) = TableStats.pruneBand(fs, hp, "key", 15L, 25L)
+    assert(keep.size == 2 && skip.size == 3,
+      s"mapped files must analyze and prune under logical names: " +
+        s"$keep / $skip")
+    assert(TableStats.readBand(spark, sink, "key", 15L, 25L)
+      .orderBy("key").collect().map(_.getLong(0)).toSeq ==
+      (15L to 25L))
+    // a dropped column is invisible to analyze (logical view)
+    SchemaEvolve.dropColumn(spark, sink, "s")
+    intercept[IllegalArgumentException] {
+      TableStats.analyze(spark, sink, Seq("s"), onlyMissing = false)
+    }
   }
 
   test("drop-then-rename can never prune against the dropped " +
