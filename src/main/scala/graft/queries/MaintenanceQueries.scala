@@ -1974,7 +1974,74 @@ object MaintenanceQueries {
        WHERE o_orderkey % 10 <= 3
        GROUP BY 1 ORDER BY 1"""
 
+  /** End-to-end graft→graft STREAMING pipeline
+    * ([[graft.sources.GraftDataSource]] as source AND sink): the
+    * source tails the upstream commit log (generation offsets), the
+    * sink lands every micro-batch as one logged append whose `#txn`
+    * ledger record (appId, batchId) rides the same atomic manifest
+    * publish as the files — so the pipeline is exactly-once
+    * end-to-end, proven in-query by replaying the last committed
+    * batch id (`txn_once`: the replica's row count must not move).
+    * This is the streaming-replication shape the reference runs as
+    * hourly warehouse MERGEs, expressed as a standing query moving
+    * only deltas. */
+  def q336Dsv2Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q336_")
+      .toString
+    val up = s"$root/up"; val down = s"$root/down"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def part(m: Long) = orders.filter(col("o_orderkey") % 10 === m)
+      part(0).write.format("graft").mode("append").save(up)
+      part(1).write.format("graft").mode("append").save(up)
+      val q = s.readStream.format("graft").load(up)
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$root/ck")
+        .option("txnAppId", "q336").start(down)
+      try {
+        q.processAllAvailable() // snapshot window
+        part(2).write.format("graft").mode("append").save(up)
+        q.processAllAvailable() // tail window 1
+        part(3).write.format("graft").mode("append").save(up)
+        q.processAllAvailable() // tail window 2
+      } finally q.stop()
+      // exactly-once pinned: replaying the last committed batch id
+      // must not move the replica
+      val hDown = new org.apache.hadoop.fs.Path(down)
+      val fs = hDown.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val before = CommitLog.read(s, down).count()
+      val lastV = CommitLog.txnVersion(fs, hDown, "q336").get
+      graft.sources.GraftWriter.write(part(9), down,
+        overwrite = false, txn = Some(("q336", lastV)))
+      val txnOnce = CommitLog.read(s, down).count() == before
+      val rows = CommitLog.read(s, down)
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.map { case (g, ra, so) => (g, ra, so, txnOnce) }
+        .toDF("grp", "rows_after", "sum_okey", "txn_once")
+        .orderBy("grp")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q336Sql: String =
+    """SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              TRUE AS txn_once
+       FROM orders
+       WHERE o_orderkey % 10 <= 3
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q336_dsv2_pipeline" -> q336Dsv2Pipeline _,
     "q335_dsv2_stream" -> q335Dsv2Stream _,
     "q334_dsv2_write" -> q334Dsv2Write _,
     "q330_stats_conjunction" -> q330StatsConjunction _,
@@ -2008,6 +2075,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q336_dsv2_pipeline" -> q336Sql,
     "q335_dsv2_stream" -> q335Sql,
     "q334_dsv2_write" -> q334Sql,
     "q330_stats_conjunction" -> q330Sql,

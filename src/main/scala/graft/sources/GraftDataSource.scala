@@ -59,9 +59,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * transparent. */
 final class GraftDataSource extends TableProvider
   with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSourceProvider {
+  with org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — EXACTLY-ONCE streaming sink:
+    * every micro-batch lands as one logged append whose `#txn` ledger
+    * record (appId = `option("txnAppId")` or the checkpoint identity,
+    * version = batchId) rides the SAME atomic manifest publish as the
+    * files — a batch replayed after crash/restart no-ops, so a
+    * graft→graft streaming pipeline is exactly-once end-to-end with
+    * zero sink-side bookkeeping (Delta's idempotent-sink
+    * construction). Append output mode only: Complete/Update need
+    * upsert semantics — use `foreachBatch` with
+    * [[graft.operators.DeleteVectors.mergeOnRead]] for those. CHECK
+    * constraints on the target gate every micro-batch. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming
+                            .OutputMode)
+  : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode ==
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only (got $outputMode)" +
+        " — use foreachBatch + mergeOnRead for upsert semantics")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink: a path is required"))
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map("ckpt:" + _))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: txnAppId or checkpointLocation is required for " +
+          "exactly-once replay protection"))
+    new GraftStreamSink(path, appId)
+  }
 
   /** `spark.readStream.format("graft")` — tail the commit log as a
     * Structured Streaming source (Delta's streaming-source role):
@@ -347,7 +380,27 @@ private[sources] final class GraftStreamSource(
   override def toString: String = s"GraftStreamSource[$path]"
 }
 
-private[sources] object GraftWriter {
+/** The streaming sink: one logged append + ledger record per
+  * micro-batch. See [[GraftDataSource.createSink]] for the
+  * exactly-once contract. */
+private[sources] final class GraftStreamSink(path: String,
+                                             appId: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    // the engine's frame is streaming-flagged (batch writers refuse
+    // it) — rewrap its rows as a plain batch frame first
+    val batch = org.apache.spark.sql.graftbridge.StreamBridge
+      .asBatchFrame(data)
+    GraftWriter.write(batch, path, overwrite = false,
+      txn = Some((appId, batchId)))
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
+}
+
+private[graft] object GraftWriter {
 
   def write(data: DataFrame, path: String, overwrite: Boolean,
             txn: Option[(String, Long)]): Unit = {

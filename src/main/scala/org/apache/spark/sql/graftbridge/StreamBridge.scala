@@ -26,4 +26,15 @@ object StreamBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a streaming SINK's `addBatch`: the engine hands
+    * an incrementally-planned frame whose logical plan is
+    * streaming-flagged, on which batch writers (`df.write`) refuse to
+    * run; re-wrap its rows as a plain batch frame. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

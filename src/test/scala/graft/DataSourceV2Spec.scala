@@ -284,6 +284,69 @@ class DataSourceV2Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("writeStream.format(\"graft\") is an exactly-once sink: a " +
+    "graft→graft pipeline replicates appends end-to-end, a replayed " +
+    "batchId no-ops through the #txn ledger, and target CHECKs gate " +
+    "every micro-batch") {
+    val root = java.nio.file.Files.createTempDirectory("ds9").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.format("graft").mode("append").save(a)
+    val q = spark.readStream.format("graft").load(a)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$root/ck")
+      .option("txnAppId", "ds9-pipe")
+      .start(b)
+    try {
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, b).orderBy("k")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        "snapshot batch must land on the target")
+      Seq((3L, 30L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(a)
+      q.processAllAvailable()
+      assert(CommitLog.read(spark, b).count() == 3L)
+    } finally q.stop()
+    // exactly-once: replaying an ALREADY-COMMITTED batch id through
+    // the same app id must not double-land (the crash-replay path)
+    val fs = fsOf(b); val hp = new Path(b)
+    val before = CommitLog.read(spark, b).count()
+    val lastVersion = CommitLog.txnVersion(fs, hp, "ds9-pipe").get
+    graft.sources.GraftWriter.write(
+      Seq((99L, 990L)).toDF("k", "v"), b, overwrite = false,
+      txn = Some(("ds9-pipe", lastVersion)))
+    assert(CommitLog.read(spark, b).count() == before,
+      "a replayed (appId, batchId) must no-op")
+    // a CHECK on the target gates micro-batches: the stream fails
+    // loudly instead of landing a violating batch
+    CommitLog.addCheck(spark, b, "v_pos", "v > 0")
+    val q2 = spark.readStream.format("graft").load(a)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$root/ck") // resume same ledger
+      .option("txnAppId", "ds9-pipe")
+      .start(b)
+    try {
+      Seq((4L, -40L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(a)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000)
+      }
+      assert(CommitLog.read(spark, b)
+        .filter(col("v") < 0).count() == 0L,
+        "no violating row may land")
+    } finally q2.stop()
+    // Complete output mode is refused loudly
+    intercept[Exception] {
+      spark.readStream.format("graft").load(a)
+        .groupBy("k").count()
+        .writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck3")
+        .start(s"$root/c")
+    }
+  }
+
   test("SQL consumers get the same surface via a temp view") {
     val root = java.nio.file.Files.createTempDirectory("ds5").toString
     val (sink, _) = mkSink(root)
