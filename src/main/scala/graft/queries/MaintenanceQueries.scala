@@ -2040,7 +2040,68 @@ object MaintenanceQueries {
        WHERE o_orderkey % 10 <= 3
        GROUP BY 1 ORDER BY 1"""
 
+  /** Metadata tables ([[graft.sources.GraftMetaTable]], Iceberg's
+    * `files`/`history` metadata tables): `option("metadata", ...)` on
+    * a format read returns the table ABOUT the table — per-file
+    * footprint (bytes, DV presence and CARDINALITY from the `#dv`
+    * record, stats coverage, mapping debt) and the per-generation
+    * operation audit — all manifest arithmetic, zero data I/O. The
+    * oracle re-derives the DV cardinality sum from the delete
+    * predicate and pins the audit's operation sequence. */
+  def q337MetaTables(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, SchemaEvolve,
+      TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q337_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      (1995 to 2001).foreach { y =>
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
+          .write.mode("append").parquet(sink)
+      }
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      TableStats.analyze(s, sink, Seq("o_orderdate"))
+      DeleteVectors.deleteWhere(s, sink, col("o_orderkey") % 10 === 3)
+      SchemaEvolve.renameColumn(s, sink, "o_orderdate", "order_ts")
+      val files = s.read.format("graft")
+        .option("metadata", "files").load(sink)
+      val agg = files.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("has_dv"), 1L).otherwise(0L)).as("dv_files"),
+        sum(coalesce(col("dv_marks"), lit(0L))).as("dv_marks"),
+        sum(when(col("mapped"), 1L).otherwise(0L)).as("mapped_files"),
+        sum(when(col("stats_cols") > 0, 1L).otherwise(0L))
+          .as("stats_files")).head
+      val ops = s.read.format("graft")
+        .option("metadata", "history").load(sink)
+        .orderBy("generation").collect().map(_.getString(1))
+        .mkString(",")
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+        agg.getLong(3), agg.getLong(4), ops))
+        .toDF("n_files", "dv_files", "dv_marks", "mapped_files",
+          "stats_files", "ops")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q337Sql: String =
+    """SELECT CAST(7 AS BIGINT) AS n_files,
+              CAST(7 AS BIGINT) AS dv_files,
+              CAST(count(*) AS BIGINT) AS dv_marks,
+              CAST(7 AS BIGINT) AS mapped_files,
+              CAST(7 AS BIGINT) AS stats_files,
+              'bootstrap,analyze,delete,schema-evolve' AS ops
+       FROM orders
+       WHERE o_orderkey % 10 = 3"""
+
   val all: Map[String, Q] = Map(
+    "q337_meta_tables" -> q337MetaTables _,
     "q336_dsv2_pipeline" -> q336Dsv2Pipeline _,
     "q335_dsv2_stream" -> q335Dsv2Stream _,
     "q334_dsv2_write" -> q334Dsv2Write _,
@@ -2075,6 +2136,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q337_meta_tables" -> q337Sql,
     "q336_dsv2_pipeline" -> q336Sql,
     "q335_dsv2_stream" -> q335Sql,
     "q334_dsv2_write" -> q334Sql,

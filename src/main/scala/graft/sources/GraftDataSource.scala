@@ -93,6 +93,10 @@ final class GraftDataSource extends TableProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft sink: txnAppId or checkpointLocation is required for " +
           "exactly-once replay protection"))
+    require(partitionColumns.isEmpty,
+      "graft sink: partitionBy is not supported (batches land as " +
+        "flat logged appends) — silently ignoring it would change " +
+        "the layout the caller asked for")
     new GraftStreamSink(path, appId)
   }
 
@@ -136,18 +140,28 @@ final class GraftDataSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap)
-  : StructType = GraftState.resolve(options).schema
+  : StructType =
+    GraftMetaTable.kindOf(options) match {
+      case Some(kind) => GraftMetaTable.schemaOf(kind)
+      case None => GraftState.resolve(options).schema
+    }
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // an EXISTING log wins over any externally-supplied schema (the
-    // manifest is the source of truth); only the create-by-write path
-    // takes the incoming frame's schema at face value
-    val state = GraftState.resolveIfLogged(opts)
-      .getOrElse(GraftState.forCreate(opts, schema))
-    new GraftTable(state)
+    GraftMetaTable.kindOf(opts) match {
+      case Some(kind) =>
+        new GraftMetaTable(GraftState.resolve(opts), kind)
+      case None =>
+        // an EXISTING log wins over any externally-supplied schema
+        // (the manifest is the source of truth); only the
+        // create-by-write path takes the incoming frame's schema at
+        // face value
+        val state = GraftState.resolveIfLogged(opts)
+          .getOrElse(GraftState.forCreate(opts, schema))
+        new GraftTable(state)
+    }
   }
 }
 
@@ -280,6 +294,123 @@ private[sources] final class GraftWriteBuilder(
   }
 }
 
+/** Manifest-derived METADATA tables (Iceberg's `files`/`history`
+  * metadata tables, Delta's DESCRIBE HISTORY/detail):
+  * `option("metadata", "files" | "history")` on a format read returns
+  * the table ABOUT the table — per-live-file footprint (bytes, DV
+  * marks and cardinality, stats coverage, mapping debt) or the
+  * per-generation audit ([[graft.operators.TableHistory]]). Both are
+  * driver-side manifest arithmetic: `files` adds one `getFileStatus`
+  * per live file, `history` one cached manifest parse per retained
+  * generation — zero data I/O either way. `versionAsOf` composes with
+  * `files` (the snapshot's footprint as of that generation). */
+private[sources] final class GraftMetaTable(state: GraftState,
+                                            kind: String)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft:${state.path}@${state.gen}#$kind"
+
+  override def schema(): StructType = GraftMetaTable.schemaOf(kind)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def description(): String = name()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new GraftMetaRelation(context, state, kind).asInstanceOf[T]
+    }
+  }
+}
+
+private[sources] object GraftMetaTable {
+
+  def kindOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("metadata")).map { k =>
+      val kind = k.toLowerCase(java.util.Locale.ROOT)
+      require(kind == "files" || kind == "history",
+        s"graft: unknown metadata table '$k' (have: files, history)")
+      kind
+    }
+
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "files" => StructType(Seq(
+      org.apache.spark.sql.types.StructField("file", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("bytes", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("has_dv", BooleanType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dv_marks", LongType,
+        nullable = true),
+      org.apache.spark.sql.types.StructField("stats_cols", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("mapped", BooleanType,
+        nullable = false)))
+    case "history" => StructType(Seq(
+      org.apache.spark.sql.types.StructField("generation", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("operation", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("files_added", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("files_removed", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dv_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dv_marks", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("n_checks", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("stats_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("txn_apps", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("mapped_files", LongType,
+        nullable = false)))
+  }
+}
+
+private[sources] final class GraftMetaRelation(
+    ctx: SQLContext, state: GraftState, kind: String)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = GraftMetaTable.schemaOf(kind)
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val df = kind match {
+      case "history" =>
+        graft.operators.TableHistory.history(spark, state.path)
+      case "files" =>
+        val hPath = new Path(state.path)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val m = state.manifest
+        import spark.implicits._
+        m.files.map { f =>
+          (f, fs.getFileStatus(new Path(hPath, f)).getLen,
+            m.dvs.contains(f), m.dvMarks.get(f),
+            m.stats.getOrElse(f, Map.empty).size.toLong,
+            m.colmaps.contains(f) || m.coltypes.contains(f))
+        }.toDF("file", "bytes", "has_dv", "dv_marks", "stats_cols",
+          "mapped")
+    }
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+  }
+}
+
 /** The commit log as a streaming Source: generation numbers are the
   * offsets. Append-only windows stream exactly the added files' rows;
   * the initial batch is the pinned snapshot. See
@@ -344,6 +475,10 @@ private[sources] final class GraftStreamSource(
     val added: Seq[String] = fromGen match {
       case None => mEnd.files // initial batch = the full snapshot
       case Some(g) =>
+        require(CommitLog.generations(fs, hPath).contains(g),
+          s"graft stream: generation $g of $path is expired — the " +
+            "stream lagged past retention; restart from a fresh " +
+            "checkpoint for a new snapshot")
         val mStart = CommitLog.manifestAt(fs, hPath, g)
         val startSet = mStart.files.toSet
         val removed = mStart.files.filterNot(mEnd.files.toSet)

@@ -347,6 +347,50 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("metadata tables: option(\"metadata\", files/history) reads " +
+    "the table ABOUT the table from manifests alone; versionAsOf " +
+    "composes with files") {
+    val root = java.nio.file.Files.createTempDirectory("ds10").toString
+    val (sink, genPre) = mkSink(root)
+    val files = spark.read.format("graft")
+      .option("metadata", "files").load(sink)
+    assert(files.count() == 7L)
+    val rows = files.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+      r.getLong(4), r.getBoolean(5)))
+    assert(rows.forall(_._2 > 0L), "bytes from the filesystem status")
+    assert(rows.count(_._3) == 7, "every file carries a DV (k%10==7)")
+    assert(rows.forall(_._4 == 1L), "one mark per file, cardinality " +
+      "from the #dv record")
+    assert(rows.forall(_._5 == 2L), "two analyzed columns per file")
+    assert(rows.forall(_._6), "every file is mapped after the rename")
+    // versionAsOf: the pre-delete snapshot has no DVs
+    val filesAt0 = spark.read.format("graft")
+      .option("metadata", "files").option("versionAsOf", "0")
+      .load(sink)
+    assert(filesAt0.count() == 7L &&
+      filesAt0.filter(col("has_dv")).count() == 0L)
+    // history: bootstrap → analyze → delete → schema-evolve
+    val hist = spark.read.format("graft")
+      .option("metadata", "history").load(sink)
+      .orderBy("generation").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._2).toSeq ==
+      Seq("bootstrap", "analyze", "delete", "schema-evolve"),
+      hist.mkString(","))
+    // SQL over a metadata view
+    spark.read.format("graft").option("metadata", "files").load(sink)
+      .createOrReplaceTempView("gmeta_files")
+    try assert(spark.sql(
+      "SELECT CAST(sum(dv_marks) AS BIGINT) FROM gmeta_files")
+      .head.getLong(0) == 7L)
+    finally spark.catalog.dropTempView("gmeta_files")
+    // unknown metadata table is loud
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("metadata", "nope").load(sink)
+    }
+  }
+
   test("SQL consumers get the same surface via a temp view") {
     val root = java.nio.file.Files.createTempDirectory("ds5").toString
     val (sink, _) = mkSink(root)
