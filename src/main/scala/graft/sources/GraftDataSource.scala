@@ -470,6 +470,10 @@ private[sources] final class GraftStreamSource(
   : DataFrame = {
     val spark = sqlContext.sparkSession
     val endGen = genOf(end)
+    // a restart calls getBatch from the checkpoint BEFORE any
+    // getOffset — advance the rate-limiter base here too, or the
+    // first post-restart window would ignore maxGensPerTrigger
+    offered = Some(math.max(endGen, offered.getOrElse(Long.MinValue)))
     val mEnd = CommitLog.manifestAt(fs, hPath, endGen)
     val fromGen = start.map(genOf).orElse(startingVersion)
     val added: Seq[String] = fromGen match {
@@ -549,6 +553,33 @@ private[graft] object GraftWriter {
     // committed → the whole write no-ops, Delta's txn semantics
     txn.foreach { case (app, v) =>
       if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
+    }
+    // schema guard for the paths Spark's by-name resolution does NOT
+    // cover (the V1 streaming Sink hands batches raw): a batch
+    // MISSING columns the table has would land files whose readers
+    // silently null the gap — refuse loudly. Derived from ONE live
+    // file's footer + its mapping records (O(1) footers per batch,
+    // never a mergeSchema pass); supersets are allowed (additive
+    // evolution), order is free (parquet resolves by name).
+    if (live.nonEmpty) {
+      val sample = live.head
+      val sampleSchema = spark.read
+        .parquet(new Path(hPath, sample).toString).schema
+      val m = CommitLog.colmapRecords(fs, hPath)
+        .getOrElse(sample, Map.empty)
+      val logical = sampleSchema.fieldNames.toSeq.flatMap { p =>
+        m.get(p) match {
+          case Some("") => None // drop tombstone
+          case Some(l) => Some(l)
+          case None => Some(p)
+        }
+      }
+      val missing = logical.filterNot(data.columns.contains)
+      require(missing.isEmpty,
+        s"graft write: batch is missing column(s) " +
+          s"${missing.mkString(", ")} of $path — readers would " +
+          "silently null them; align the batch to the table's " +
+          "logical schema")
     }
     // constraints gate the BATCH before anything stages
     CommitLog.requireChecks(spark, fs, hPath, data, "graft write")

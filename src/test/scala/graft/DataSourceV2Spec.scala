@@ -226,6 +226,14 @@ class DataSourceV2Spec extends SparkSpec {
       .write.format("graft").mode("append")
       .option("txnAppId", "ds7").option("txnVersion", "2").save(sink)
     assert(CommitLog.read(spark, sink).count() == 3L)
+    // the RAW writer path (what the streaming sink uses — no by-name
+    // analysis above it) refuses a batch missing a table column
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq(Tuple1(9L)).toDF("k"), sink, overwrite = false, txn = None)
+    }
+    assert(e2.getMessage.contains("missing column"))
+    assert(CommitLog.read(spark, sink).count() == 3L)
   }
 
   test("readStream.format(\"graft\") tails the commit log: first " +
