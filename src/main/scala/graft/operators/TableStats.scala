@@ -309,6 +309,94 @@ object TableStats {
     case _ => true
   }
 
+  /** Hive default-partition marker — the directory name Spark/Hive
+    * write for a NULL (or empty-string) partition value. */
+  private val HiveDefaultPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A file's partition values from its sink-relative path's `k=v`
+    * levels, unescaped — metadata the manifest already carries in the
+    * file NAME, so a partitioned sink prunes on its partition columns
+    * with no ANALYZE at all. */
+  private def partValuesOf(f: String): Map[String, String] =
+    f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
+      val k = seg.takeWhile(_ != '=')
+      val v = seg.drop(k.length + 1)
+      k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v)
+    }.toMap
+
+  /** Compare a partition directory's (unescaped) value string against
+    * a user value — None when the comparison cannot be made SOUNDLY
+    * (then the file is kept): strings compare in UTF-8 byte order
+    * (matching Spark's ordering), integral types and dates parse and
+    * compare as values (a "02" directory equals user value 2 —
+    * string-form comparison would misprune external layouts), and
+    * fractional/timestamp types never compare (their renderings are
+    * not canonical enough to trust). */
+  private def cmpPart(dir: String, v: Any): Option[Int] = v match {
+    case null => None
+    case s: String => if (s.isEmpty) None else Some(cmpUtf8(dir, s))
+    case n: java.lang.Byte => cmpPartLong(dir, n.longValue)
+    case n: java.lang.Short => cmpPartLong(dir, n.longValue)
+    case n: java.lang.Integer => cmpPartLong(dir, n.longValue)
+    case n: java.lang.Long => cmpPartLong(dir, n.longValue)
+    case d: java.sql.Date =>
+      try Some(java.time.LocalDate.parse(dir).compareTo(d.toLocalDate))
+      catch { case scala.util.control.NonFatal(_) => None }
+    case d: java.time.LocalDate =>
+      try Some(java.time.LocalDate.parse(dir).compareTo(d))
+      catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
+  private def cmpPartLong(dir: String, v: Long): Option[Int] =
+    try Some(java.lang.Long.compare(dir.toLong, v))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whether ANY row of a file with partition values `pv` can satisfy
+    * `f` — the partition-level twin of [[canMatch]], same
+    * keep-on-uncertainty contract. A column absent from `pv` never
+    * prunes here (it is a data column — [[canMatch]]'s job); the
+    * null-partition marker matches only IS NULL. */
+  private[graft] def canMatchPart(pv: Map[String, String],
+                                  f: sources.Filter): Boolean = f match {
+    case sources.And(l, r) => canMatchPart(pv, l) && canMatchPart(pv, r)
+    case sources.Or(l, r) => canMatchPart(pv, l) || canMatchPart(pv, r)
+    case sources.IsNull(c) =>
+      pv.get(c).forall(_ == HiveDefaultPart)
+    case sources.IsNotNull(c) =>
+      pv.get(c).forall(_ != HiveDefaultPart)
+    case sources.EqualTo(c, v) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && cmpPart(d, v).forall(_ == 0)
+    }
+    case sources.EqualNullSafe(c, v) =>
+      if (v == null) pv.get(c).forall(_ == HiveDefaultPart)
+      else canMatchPart(pv, sources.EqualTo(c, v))
+    case sources.In(c, vs) =>
+      if (vs == null) true
+      else if (vs.isEmpty) false
+      else vs.exists { v =>
+        if (v == null) pv.get(c).forall(_ == HiveDefaultPart)
+        else canMatchPart(pv, sources.EqualTo(c, v))
+      }
+    case sources.GreaterThan(c, v) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && cmpPart(d, v).forall(_ > 0)
+    }
+    case sources.GreaterThanOrEqual(c, v) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && cmpPart(d, v).forall(_ >= 0)
+    }
+    case sources.LessThan(c, v) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && cmpPart(d, v).forall(_ < 0)
+    }
+    case sources.LessThanOrEqual(c, v) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && cmpPart(d, v).forall(_ <= 0)
+    }
+    case sources.StringStartsWith(c, prefix) => pv.get(c).forall { d =>
+      d != HiveDefaultPart && d.startsWith(prefix)
+    }
+    case _ => true
+  }
+
   /** Whether `f` can contribute to manifest pruning at all — the
     * subset a V2 scan advertises as pushed. */
   private[graft] def prunable(f: sources.Filter): Boolean = f match {
@@ -324,13 +412,16 @@ object TableStats {
 
   /** Manifest-only pruning decision for a CONJUNCTION of filters:
     * (files that must be scanned, files provably irrelevant). A file
-    * skips when any single conjunct proves no row can match, or when
-    * its `#dv` mark count equals its recorded row count (every row
-    * deleted — zero visible rows without opening the DV). Unknown
-    * files (no stats record) always survive. Stats records are keyed
-    * by CURRENT LOGICAL column name — [[SchemaEvolve]] rekeys them
-    * inside the same rename/drop commit — so the lookup needs no
-    * per-file mapping resolution. */
+    * skips when any single conjunct proves no row can match — against
+    * its `#stats` bounds AND against its hive-partition path values
+    * (so a partitioned sink prunes on partition columns with NO
+    * ANALYZE at all) — or when its `#dv` mark count equals its
+    * recorded row count (every row deleted — zero visible rows
+    * without opening the DV). Unknown files (no stats record, no
+    * partition level for the column) always survive. Stats records
+    * are keyed by CURRENT LOGICAL column name — [[SchemaEvolve]]
+    * rekeys them inside the same rename/drop commit — so the lookup
+    * needs no per-file mapping resolution. */
   def pruneFiles(fs: org.apache.hadoop.fs.FileSystem, sink: Path,
                  filters: Seq[sources.Filter])
   : (Seq[String], Seq[String]) = {
@@ -350,9 +441,11 @@ object TableStats {
   : (Seq[String], Seq[String]) =
     files.partition { f =>
       val st = stats.getOrElse(f, Map.empty)
+      val pv = partValuesOf(f)
       val fullyDeleted = marks.get(f).exists(m =>
         st.values.headOption.exists(_.nRows == m))
-      !fullyDeleted && filters.forall(canMatch(st, _))
+      !fullyDeleted && filters.forall(flt =>
+        canMatch(st, flt) && canMatchPart(pv, flt))
     }
 
   /** [[pruneFiles]] for the closed band `column ∈ [lo, hi]` — the

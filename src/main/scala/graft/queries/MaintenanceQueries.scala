@@ -2100,7 +2100,67 @@ object MaintenanceQueries {
        FROM orders
        WHERE o_orderkey % 10 = 3"""
 
+  /** Partition-value pruning with NO ANALYZE
+    * ([[graft.operators.TableStats.pruneIn]] path-level decision): a
+    * hive-partitioned sink's `k=v` levels are metadata the manifest
+    * already carries in the file NAMES, so a V2 read with a pushed
+    * partition predicate plans exactly the matching directories'
+    * files before any scan — zero `#stats` records involved. The
+    * year band keeps 2 of 7 partition files (pinned from the plan's
+    * relation); the rollup hash-matches the oracle's direct
+    * recompute. At 10⁶ files this is the difference between footer
+    * I/O on every partition and a pure manifest partition. */
+  def q338PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q338_")
+      .toString
+    val sink = s"$root/sink"
+    try {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .repartition(col("yr"))
+        .write.partitionBy("yr").parquet(sink)
+      val hPath = new org.apache.hadoop.fs.Path(sink)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hPath)
+      // NO analyze: the pruning below is path-level only
+      val v2 = s.read.format("graft").load(sink)
+        .filter(col("yr") >= 1997 && col("yr") <= 1998)
+      val info = v2.queryExecution.sparkPlan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+          r.relation
+      }.collectFirst { case g: graft.sources.GraftScanInfo => g }
+        .getOrElse(throw new IllegalStateException(
+          "no graft V2 relation in the plan"))
+      val rows = v2
+        .groupBy(col("yr").cast("long").as("yr"))
+        .agg(count(lit(1)).as("rows_after"),
+          sum("o_orderkey").as("sum_okey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      import s.implicits._
+      rows.map { case (y, ra, so) =>
+        (y, ra, so, info.keptCount.toLong, info.skippedCount.toLong)
+      }.toDF("yr", "rows_after", "sum_okey", "files_scanned",
+        "files_skipped").orderBy("yr")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q338Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              CAST(2 AS BIGINT) AS files_scanned,
+              CAST(5 AS BIGINT) AS files_skipped
+       FROM orders
+       WHERE year(o_orderdate) BETWEEN 1997 AND 1998
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q338_partition_prune" -> q338PartitionPrune _,
     "q337_meta_tables" -> q337MetaTables _,
     "q336_dsv2_pipeline" -> q336Dsv2Pipeline _,
     "q335_dsv2_stream" -> q335Dsv2Stream _,
@@ -2136,6 +2196,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q338_partition_prune" -> q338Sql,
     "q337_meta_tables" -> q337Sql,
     "q336_dsv2_pipeline" -> q336Sql,
     "q335_dsv2_stream" -> q335Sql,

@@ -307,6 +307,73 @@ class StatsSpec extends SparkSpec {
       ((30L to 39L).toSet - 35L))
   }
 
+  test("partition-value pruning needs NO analyze: hive path levels " +
+    "prune equality/IN/bands/null manifest-only, escaped and " +
+    "non-canonical external layouts never misprune") {
+    import org.apache.spark.sql.sources
+    val root = java.nio.file.Files.createTempDirectory("st11").toString
+    val sink = s"$root/t"
+    // string partitions incl. a SPACE (escaped in the dir name) and a
+    // NULL partition; int partitions incl. a negative value
+    Seq((1L, "alpha", 10L), (2L, "beta gamma", 10L),
+      (3L, null.asInstanceOf[String], -5L), (4L, "delta", -5L),
+      (5L, "alpha", 20L))
+      .toDF("k", "g", "b")
+      .repartition(col("g"), col("b"))
+      .write.partitionBy("g", "b").parquet(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    // NO analyze anywhere in this test — pruning is path-level only
+    def check(filters: Seq[sources.Filter],
+              pred: org.apache.spark.sql.Column,
+              expectKeep: Int, expectSkip: Int): Unit = {
+      val (keep, skip) = TableStats.pruneFiles(fs, hp, filters)
+      assert(keep.size == expectKeep && skip.size == expectSkip,
+        s"$filters → $keep / $skip")
+      val pruned = TableStats.readWhere(spark, sink, filters, pred)
+        .select("k").collect().map(_.getLong(0)).toSet
+      val plain = CommitLog.read(spark, sink).filter(pred)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(pruned == plain, s"$filters: $pruned != $plain")
+    }
+    // escaped string equality (the space survives the round trip)
+    check(Seq(sources.EqualTo("g", "beta gamma")),
+      col("g") === "beta gamma", 1, 4)
+    // IN over two string partitions
+    check(Seq(sources.In("g", Array[Any]("alpha", "delta"))),
+      col("g").isin("alpha", "delta"), 3, 2)
+    // IS NULL hits exactly the default partition
+    check(Seq(sources.IsNull("g")), col("g").isNull, 1, 4)
+    check(Seq(sources.IsNotNull("g")), col("g").isNotNull, 4, 1)
+    // integer band over the b level (negative values parse as values)
+    check(Seq(sources.LessThan("b", 0L)), col("b") < 0L, 2, 3)
+    // conjunction across BOTH partition levels
+    check(Seq(sources.EqualTo("g", "alpha"),
+      sources.GreaterThanOrEqual("b", 15L)),
+      col("g") === "alpha" && col("b") >= 15L, 1, 4)
+    // string prefix on a partition value
+    check(Seq(sources.StringStartsWith("g", "beta")),
+      col("g").startsWith("beta"), 1, 4)
+    // an EXTERNAL non-canonical layout (zero-padded int dir) must be
+    // KEPT for the value it denotes — numeric parse, never string form
+    val ext = new Path(sink, "g=ext/b=020")
+    fs.mkdirs(ext)
+    val tmp = new Path(sink + "__ext")
+    Seq((9L, "ext", 20L)).toDF("k", "g", "b").select("k")
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new Path(ext, part.getName)))
+    fs.delete(tmp, true)
+    val (g2, live2) = CommitLog.ensureLoggedAt(fs, hp)
+    CommitLog.commitAppend(fs, hp, g2, live2,
+      Seq(s"g=ext/b=020/${part.getName}"))
+    val (keepExt, _) = TableStats.pruneFiles(fs, hp,
+      Seq(sources.EqualTo("b", 20L)))
+    assert(keepExt.exists(_.startsWith("g=ext/b=020/")),
+      s"zero-padded external dir must be kept for its value: $keepExt")
+  }
+
   test("conjunctive / equality / IN / IS NULL pruning over " +
     "pruneFiles is exact and skips provably-irrelevant files") {
     import org.apache.spark.sql.sources
