@@ -716,6 +716,55 @@ class PlanAuditSpec extends SparkSpec {
         s"file, got ${dataFiles.size}: $dataFiles")
   }
 
+  test("format(\"graft\") V2 scan: pushed filters drive a pinned " +
+    "manifest-only pruning decision, visible in the physical plan; " +
+    "projection narrows the relation output") {
+    import graft.operators.{CommitLog, TableStats}
+    import org.apache.spark.sql.execution.RowDataSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pa_v2").toString
+    val sink = s"$root/t"
+    (0 until 5).foreach { b =>
+      (0 until 10).map(i => (b * 10L + i, f"s${b * 10 + i}%03d"))
+        .toDF("k", "s").coalesce(1).write.mode("append").parquet(sink)
+    }
+    val hp = new org.apache.hadoop.fs.Path(sink)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommitLog.ensureLoggedAt(fs, hp)
+    TableStats.analyze(spark, sink, Seq("k"))
+    val df = spark.read.format("graft").load(sink)
+      .filter(col("k") >= 15L && col("k") <= 25L)
+    val plan = executed(df)
+    val scans = collectAll(plan).collect {
+      case r: RowDataSourceScanExec => r
+    }
+    assert(scans.size == 1, s"expected one V2 relation scan: $plan")
+    val info = scans.head.relation match {
+      case g: graft.sources.GraftScanInfo => g
+      case other => fail(s"not a graft relation: $other")
+    }
+    // the band can only live in decades 1 and 2 — pinned
+    assert(info.keptCount == 2 && info.skippedCount == 3,
+      s"kept=${info.keptCount} skipped=${info.skippedCount}")
+    // the decision is readable off the plan (explain surface), and
+    // the pushed conjuncts reach the scan node
+    val txt = plan.toString
+    assert(txt.contains("kept=2, skipped=3"), txt.take(600))
+    val handled = scans.head.handledFilters.map(_.toString).mkString
+    assert(handled.contains("GreaterThanOrEqual(k,15)") &&
+      handled.contains("LessThanOrEqual(k,25)"), handled)
+    // exactness above the pruned scan
+    assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      (15L to 25L))
+    // column pruning narrows the relation's output attributes
+    val df2 = spark.read.format("graft").load(sink).select("s")
+    val scan2 = collectAll(executed(df2)).collect {
+      case r: RowDataSourceScanExec => r
+    }.head
+    assert(scan2.output.map(_.name) == Seq("s"), scan2.output.toString)
+  }
+
   test("architecture: no Scala UDF anywhere in the main tree — every " +
     "row-path expression stays inside whole-stage codegen (the one " +
     "historical offender was Compact's per-row bin lookup, replaced " +
