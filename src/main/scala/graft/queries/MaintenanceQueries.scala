@@ -2159,7 +2159,83 @@ object MaintenanceQueries {
        WHERE year(o_orderdate) BETWEEN 1997 AND 1998
        GROUP BY 1 ORDER BY 1"""
 
+  /** STREAMING change-data-feed replication
+    * ([[graft.sources.GraftDataSource]] `readChangeFeed` +
+    * `foreachBatch` applyCdc): where q325 polls the feed with an
+    * operator loop, this runs it as a standing query — each window's
+    * manifest-derived, key-paired change feed (inserts, paired
+    * updates, DV deletes) replays onto a merge replica, so rewrites
+    * and deletes are REPRESENTABLE mid-stream instead of fatal. The
+    * upstream lives through a snapshot, a merge-on-read UPDATE of one
+    * key group, a predicate DELETE, and an append; the replica's
+    * final rollup must equal the oracle's closed-form arithmetic over
+    * exactly those operations. Cost per window ∝ changed files +
+    * touched replica files — the streaming form of the difference
+    * between shipping deltas and re-merging tables. */
+  def q339CdfStreamReplica(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, Merge}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q339_")
+      .toString
+    val up = s"$root/up"; val down = s"$root/down"
+    try {
+      val keyed = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") * 10).as("v"))
+      def part(m: Long) = keyed.filter(col("k") % 10 === m)
+      part(0).write.format("graft").mode("append").save(up)
+      part(1).write.format("graft").mode("append").save(up)
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("k", "v").write.parquet(down)
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").option("cdfKeys", "k")
+        .load(up)
+        .writeStream.option("checkpointLocation", s"$root/ck")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ops = df
+            .filter(col("_change_type") =!= "update_preimage")
+            .withColumn("__op",
+              when(col("_change_type") === "delete", lit("D"))
+                .otherwise(lit("U")))
+            .drop("_change_type")
+          if (ops.take(1).nonEmpty)
+            Merge.applyCdcParquet(s, ops, Seq("k"), "__op", down)
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // snapshot window
+        DeleteVectors.mergeOnRead(s, up, // UPDATE group 1
+          part(1).withColumn("v", col("v") + 1000000L), Seq("k"))
+        q.processAllAvailable()
+        DeleteVectors.deleteWhere(s, up, col("k") % 20 === 0)
+        q.processAllAvailable()
+        part(2).write.format("graft").mode("append").save(up)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = CommitLog.read(s, down)
+        .groupBy((col("k") % 10).as("grp"))
+        .agg(count(lit(1)).as("rows_after"), sum("v").as("sum_v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      rows.toDF("grp", "rows_after", "sum_v").orderBy("grp")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q339Sql: String =
+    """SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp,
+              CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(CASE WHEN o_orderkey % 10 = 1
+                            THEN o_orderkey * 10 + 1000000
+                            ELSE o_orderkey * 10 END) AS BIGINT)
+                AS sum_v
+       FROM orders
+       WHERE o_orderkey % 10 <= 2 AND o_orderkey % 20 <> 0
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q339_cdf_stream_replica" -> q339CdfStreamReplica _,
     "q338_partition_prune" -> q338PartitionPrune _,
     "q337_meta_tables" -> q337MetaTables _,
     "q336_dsv2_pipeline" -> q336Dsv2Pipeline _,
@@ -2196,6 +2272,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q339_cdf_stream_replica" -> q339Sql,
     "q338_partition_prune" -> q338Sql,
     "q337_meta_tables" -> q337Sql,
     "q336_dsv2_pipeline" -> q336Sql,

@@ -119,7 +119,15 @@ final class GraftDataSource extends TableProvider
   : (String, StructType) = {
     val opts = new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
-    (shortName(), schema.getOrElse(GraftState.resolve(opts).schema))
+    val base = schema.getOrElse(GraftState.resolve(opts).schema)
+    // CDF mode appends the change-type column (Delta CDF's vocabulary)
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val full =
+      if (cdf && !base.fieldNames.contains("_change_type"))
+        base.add(org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else base
+    (shortName(), full)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -434,6 +442,16 @@ private[sources] final class GraftStreamSource(
     .exists(_.toBoolean)
   private val maxGensPerTrigger = parameters.get("maxGensPerTrigger")
     .map(_.toLong)
+  // CDF mode: windows emit the row-level change feed
+  // (insert/delete/update_preimage/update_postimage with `cdfKeys`
+  // pairing) instead of append-only rows — rewrites and deletes
+  // become REPRESENTABLE instead of fatal, which is what a streaming
+  // MoR replica consumes (Delta's readChangeFeed)
+  private val readChangeFeed = parameters.get("readChangeFeed")
+    .exists(_.toBoolean)
+  private val cdfKeys = parameters.get("cdfKeys")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Nil)
   // highest generation already HANDED OUT via getOffset — the rate
   // limiter's base (the engine may not have committed it yet, but a
   // window is never re-split once offered)
@@ -476,6 +494,24 @@ private[sources] final class GraftStreamSource(
     offered = Some(math.max(endGen, offered.getOrElse(Long.MinValue)))
     val mEnd = CommitLog.manifestAt(fs, hPath, endGen)
     val fromGen = start.map(genOf).orElse(startingVersion)
+    if (readChangeFeed) {
+      // CDF window: the manifest-derived change feed, cost ∝ changed
+      // files; the initial batch is the snapshot as inserts (what a
+      // fresh CDF consumer means by "start")
+      val feed = fromGen match {
+        case None =>
+          CommitLog.readAt(spark, path, endGen).withColumn(
+            "_change_type", org.apache.spark.sql.functions.lit("insert"))
+        case Some(g) =>
+          require(CommitLog.generations(fs, hPath).contains(g),
+            s"graft stream: generation $g of $path is expired — the " +
+              "CDF stream lagged past retention; re-snapshot")
+          CommitLog.changesBetween(spark, path, g, endGen, cdfKeys)
+      }
+      return org.apache.spark.sql.graftbridge.StreamBridge
+        .asStreamingFrame(
+          feed.select(pinnedSchema.fieldNames.toIndexedSeq.map(col): _*))
+    }
     val added: Seq[String] = fromGen match {
       case None => mEnd.files // initial batch = the full snapshot
       case Some(g) =>

@@ -399,6 +399,57 @@ class DataSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed streaming: windows emit the paired change " +
+    "feed (updates/deletes representable, not fatal), and a " +
+    "foreachBatch consumer maintains an exact MoR replica") {
+    import graft.operators.{DeleteVectors, Merge}
+    val root = java.nio.file.Files.createTempDirectory("ds11").toString
+    val up = s"$root/up"; val down = s"$root/down"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.format("graft").mode("append").save(up)
+    Seq.empty[(Long, Long)].toDF("k", "v").write.parquet(down)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdfKeys", "k")
+      .load(up)
+      .writeStream.option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val ops = df.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__op",
+            when(col("_change_type") === "delete", lit("D"))
+              .otherwise(lit("U")))
+          .drop("_change_type")
+        if (ops.take(1).nonEmpty)
+          Merge.applyCdcParquet(spark, ops, Seq("k"), "__op", down)
+        ()
+      }.start()
+    def replica(): Seq[(Long, Long)] = CommitLog.read(spark, down)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      q.processAllAvailable() // snapshot as inserts
+      assert(replica() == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+      // an UPDATE (merge-on-read) pairs and replays as value change
+      DeleteVectors.mergeOnRead(spark, up,
+        Seq((2L, 200L)).toDF("k", "v"), Seq("k"))
+      q.processAllAvailable()
+      assert(replica() == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+      // a DELETE replays as a delete — the append-only mode would
+      // have killed the stream here
+      DeleteVectors.deleteWhere(spark, up, col("k") === 1L)
+      q.processAllAvailable()
+      assert(replica() == Seq((2L, 200L), (3L, 30L)))
+      // an append replays as inserts
+      Seq((4L, 40L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(up)
+      q.processAllAvailable()
+      assert(replica() == Seq((2L, 200L), (3L, 30L), (4L, 40L)))
+      // end state: replica ≡ upstream, row for row
+      assert(replica() == CommitLog.read(spark, up).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    } finally q.stop()
+  }
+
   test("SQL consumers get the same surface via a temp view") {
     val root = java.nio.file.Files.createTempDirectory("ds5").toString
     val (sink, _) = mkSink(root)
