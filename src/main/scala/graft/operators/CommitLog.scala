@@ -478,6 +478,20 @@ object CommitLog {
 
   /** Highest committed version for an idempotent writer's `appId`
     * ([[Replicate]]'s exactly-once subscription ledger), None when the app has never committed here. */
+  /** Partition column names of a hive-layout live set, from the `k=v`
+    * directory levels of the relative file paths — manifest-only (no
+    * listing). Nil for flat sinks. REQUIRES a consistent layout: a
+    * sink mixing partitioned and root-level data files is already
+    * unreadable coherently and must be repaired, not written to. */
+  def partitionColsOf(live: Seq[String]): Seq[String] = {
+    val sigs = live.map(_.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
+      .distinct
+    require(sigs.size <= 1,
+      s"inconsistent partition layouts across live files: $sigs")
+    sigs.headOption.getOrElse(Nil)
+  }
+
   def txnVersion(fs: FileSystem, sink: Path,
                  appId: String): Option[Long] =
     generations(fs, sink).lastOption
@@ -839,6 +853,18 @@ object CommitLog {
     var live = liveAtBase
     var attempt = 0
     while (true) {
+      // `#txn` enforced at COMMIT granularity, not just at the
+      // caller's pre-stage check: two writers sharing an appId can
+      // both pass a check-then-act fast path, but only one commit may
+      // carry the (appId, version) — if the current base's ledger
+      // already holds it (this attempt raced a same-identity winner),
+      // the whole append NO-OPs (the staged files become vacuum
+      // debris), closing the duplicate-batch window.
+      txn.foreach { case (app, v) =>
+        if (base >= 0 &&
+          readManifestFull(fs, sink, base).txns.get(app).exists(_ >= v))
+          return base
+      }
       try return commitNext(fs, sink, base, live ++ newFiles,
         Map.empty, stats, txn)
       catch {

@@ -115,14 +115,8 @@ object Merge {
     * REQUIRES a consistent layout — a sink mixing partitioned and
     * root-level data files is already unreadable coherently and must
     * be repaired, not silently merged. */
-  private def partColsOf(live: Seq[String]): Seq[String] = {
-    val sigs = live.map(_.split('/').dropRight(1)
-      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq)
-      .distinct
-    require(sigs.size == 1,
-      s"inconsistent partition layouts across live files: $sigs")
-    sigs.head
-  }
+  private def partColsOf(live: Seq[String]): Seq[String] =
+    CommitLog.partitionColsOf(live)
 
   /** The rewrite write: flat for flat sinks; for partitioned sinks the
     * output lands under the same partition scheme (one shuffle by the
@@ -414,6 +408,16 @@ object Merge {
         changes.columns.sorted.mkString(","))
     val batch = changes.cache()
     try {
+    // empty feed no-ops in ONE job (a streaming CDF replica's idle
+    // windows land here every trigger) — only the ledger advances
+    // when the caller is tracking exactly-once windows
+    if (batch.isEmpty) {
+      txn.foreach { case (app, v) =>
+        CommitLog.commitNext(fs, hPath, baseGen, live,
+          txn = Some((app, v)))
+      }
+      return CdcStats(live.length.toLong, 0L, 0L, 0L, 0L)
+    }
     val nConflict = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(nConflict == 0,

@@ -2200,8 +2200,9 @@ object MaintenanceQueries {
               when(col("_change_type") === "delete", lit("D"))
                 .otherwise(lit("U")))
             .drop("_change_type")
-          if (ops.take(1).nonEmpty)
-            Merge.applyCdcParquet(s, ops, Seq("k"), "__op", down)
+          // applyCdcParquet no-ops on an empty feed itself — the
+          // foreachBatch body is one call, no pre-flight job
+          Merge.applyCdcParquet(s, ops, Seq("k"), "__op", down)
           ()
         }.start()
       try {

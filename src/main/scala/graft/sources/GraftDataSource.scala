@@ -74,7 +74,13 @@ final class GraftDataSource extends TableProvider
     * construction). Append output mode only: Complete/Update need
     * upsert semantics — use `foreachBatch` with
     * [[graft.operators.DeleteVectors.mergeOnRead]] for those. CHECK
-    * constraints on the target gate every micro-batch. */
+    * constraints on the target gate every micro-batch.
+    * `.partitionBy(cols)` lands each micro-batch under the hive
+    * layout (still ONE logged append + `#txn` per batch — the
+    * exactly-once contract is layout-independent), so the streamed
+    * sink partition-prunes like any other partitioned table; the
+    * committed layout wins over a conflicting `partitionBy` on
+    * restart ([[GraftWriter.write]]). */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -93,11 +99,7 @@ final class GraftDataSource extends TableProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft sink: txnAppId or checkpointLocation is required for " +
           "exactly-once replay protection"))
-    require(partitionColumns.isEmpty,
-      "graft sink: partitionBy is not supported (batches land as " +
-        "flat logged appends) — silently ignoring it would change " +
-        "the layout the caller asked for")
-    new GraftStreamSink(path, appId)
+    new GraftStreamSink(path, appId, partitionColumns)
   }
 
   /** `spark.readStream.format("graft")` — tail the commit log as a
@@ -136,7 +138,7 @@ final class GraftDataSource extends TableProvider
                             providerName: String,
                             parameters: Map[String, String])
   : org.apache.spark.sql.execution.streaming.Source =
-    new GraftStreamSource(sqlContext,
+    new GraftStreamSource(sqlContext, metadataPath,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters)
 
@@ -408,7 +410,13 @@ private[sources] final class GraftMetaRelation(
         val m = state.manifest
         import spark.implicits._
         m.files.map { f =>
-          (f, fs.getFileStatus(new Path(hPath, f)).getLen,
+          // a versionAsOf snapshot may reference files vacuum already
+          // reclaimed — the rest of the row is manifest arithmetic, so
+          // report bytes = -1 rather than failing the metadata table
+          val bytes =
+            try fs.getFileStatus(new Path(hPath, f)).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }
+          (f, bytes,
             m.dvs.contains(f), m.dvMarks.get(f),
             m.stats.getOrElse(f, Map.empty).size.toLong,
             m.colmaps.contains(f) || m.coltypes.contains(f))
@@ -419,12 +427,47 @@ private[sources] final class GraftMetaRelation(
   }
 }
 
-/** The commit log as a streaming Source: generation numbers are the
-  * offsets. Append-only windows stream exactly the added files' rows;
-  * the initial batch is the pinned snapshot. See
+/** Offset of the graft streaming source: a (generation,
+  * snapshot-progress) pair. `idx >= 0` means the initial snapshot of
+  * `gen` is SPLIT and the first `idx` manifest-ordered files are
+  * emitted (Delta's initial-snapshot split — bootstrapping a stream
+  * off a 100 TB table must not land the whole corpus in micro-batch
+  * 0); `idx = -1` means complete THROUGH `gen` (tail mode). Tail
+  * offsets serialize as the bare generation number, so checkpoints
+  * written by the pre-split source (plain LongOffset) keep working
+  * and vice versa. */
+private[sources] final case class GraftSourceOffset(gen: Long,
+                                                    idx: Long)
+  extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String =
+    if (idx < 0) gen.toString else s"""{"gen":$gen,"idx":$idx}"""
+}
+
+private[sources] object GraftSourceOffset {
+  private val GenRe = """"gen"\s*:\s*(-?\d+)""".r
+  private val IdxRe = """"idx"\s*:\s*(-?\d+)""".r
+  def parse(j: String): (Long, Long) = {
+    val t = j.trim
+    if (!t.startsWith("{")) return (t.toLong, -1L)
+    val gen = GenRe.findFirstMatchIn(t).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"graft stream: unparseable offset $j"))
+    val idx = IdxRe.findFirstMatchIn(t).map(_.group(1).toLong)
+      .getOrElse(-1L)
+    (gen, idx)
+  }
+}
+
+/** The commit log as a streaming Source: offsets are (generation,
+  * snapshot-progress) pairs ([[GraftSourceOffset]]). Append-only tail
+  * windows stream exactly the added files' rows; the initial batch is
+  * the pinned snapshot, split across micro-batches by
+  * `option("maxFilesPerTrigger", n)` so bootstrap is rate-limited
+  * like the tail (which `maxGensPerTrigger` bounds). See
   * [[GraftDataSource.sourceSchema]] for the contract. */
 private[sources] final class GraftStreamSource(
     sqlContext: SQLContext,
+    metadataPath: String,
     pinnedSchema: StructType,
     parameters: Map[String, String])
   extends org.apache.spark.sql.execution.streaming.Source {
@@ -442,6 +485,13 @@ private[sources] final class GraftStreamSource(
     .exists(_.toBoolean)
   private val maxGensPerTrigger = parameters.get("maxGensPerTrigger")
     .map(_.toLong)
+  // bounds the INITIAL snapshot: at most n manifest-ordered files per
+  // micro-batch until the pinned generation is fully emitted, then
+  // the tail takes over (gen-granular, maxGensPerTrigger)
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger")
+    .map(_.toLong)
+  require(maxFilesPerTrigger.forall(_ > 0),
+    "graft stream: maxFilesPerTrigger must be positive")
   // CDF mode: windows emit the row-level change feed
   // (insert/delete/update_preimage/update_postimage with `cdfKeys`
   // pairing) instead of append-only rows — rewrites and deletes
@@ -452,18 +502,85 @@ private[sources] final class GraftStreamSource(
   private val cdfKeys = parameters.get("cdfKeys")
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     .getOrElse(Nil)
-  // highest generation already HANDED OUT via getOffset — the rate
-  // limiter's base (the engine may not have committed it yet, but a
-  // window is never re-split once offered)
-  @volatile private var offered: Option[Long] = None
+
+  // (gen, idx) position already HANDED OUT via getOffset (or observed
+  // in getBatch) — the rate limiter's base; a window is never
+  // re-split once offered. Ordered gen-major with idx = -1 as +∞.
+  private type Pos = (Long, Long)
+  private def rank(p: Pos): (Long, Long) =
+    (p._1, if (p._2 < 0) Long.MaxValue else p._2)
+  private def maxPos(a: Pos, b: Pos): Pos =
+    if (Ordering[(Long, Long)].gteq(rank(a), rank(b))) a else b
+  @volatile private var offered: Option[Pos] = None
 
   private def hPath = new Path(path)
   private def fs = hPath.getFileSystem(
     sqlContext.sparkContext.hadoopConfiguration)
 
-  private def genOf(o: SOffset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
+  // The V1 Source API never shows getOffset the checkpointed
+  // position, so a restarted stream must recover its rate-limiter
+  // base itself — a capped offset derived from scratch could fall
+  // BELOW the checkpoint and regress the stream (re-delivering
+  // committed generations). Two files in the source's private
+  // checkpoint metadata dir handle it:
+  //   - `graft-init`: written once at first start, never touched
+  //     again — its existence says "this stream ran before";
+  //   - `graft-offered`: the last offered position, rewritten
+  //     best-effort each getOffset — a restart resumes the caps from
+  //     exactly where they stopped.
+  // If `graft-offered` is unreadable (torn write), the restart falls
+  // back to offering `latest` uncapped — always ≥ the checkpoint, so
+  // correctness never depends on the best-effort file.
+  private def ckFs = new Path(metadataPath).getFileSystem(
+    sqlContext.sparkContext.hadoopConfiguration)
+  private val initMarker = new Path(metadataPath, "graft-init")
+  private val offeredFile = new Path(metadataPath, "graft-offered")
+
+  private val restarted: Boolean = {
+    val mfs = ckFs
+    if (mfs.exists(initMarker)) true
+    else {
+      mfs.mkdirs(initMarker.getParent)
+      val out = mfs.create(initMarker, false)
+      try out.write("started".getBytes("UTF-8")) finally out.close()
+      false
+    }
+  }
+
+  private def persistOffered(p: Pos): Unit =
+    try {
+      val mfs = ckFs
+      val tmp = new Path(metadataPath, "graft-offered.tmp")
+      val out = mfs.create(tmp, true)
+      try out.write(GraftSourceOffset(p._1, p._2).json.getBytes("UTF-8"))
+      finally out.close()
+      if (mfs.exists(offeredFile)) mfs.delete(offeredFile, false)
+      mfs.rename(tmp, offeredFile)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def recoverOffered(): Option[Pos] =
+    try {
+      val mfs = ckFs
+      if (!mfs.exists(offeredFile)) None
+      else {
+        val in = mfs.open(offeredFile)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            buf.toByteArray
+          } finally in.close()
+        Some(GraftSourceOffset.parse(new String(bytes, "UTF-8")))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // a restart resumes the rate limiter where the last run stopped
+  offered = recoverOffered()
+
+  private def posOf(o: SOffset): Pos = o match {
+    case g: GraftSourceOffset => (g.gen, g.idx)
+    case l: LongOffset => (l.offset, -1L)
+    case s: SerializedOffset => GraftSourceOffset.parse(s.json)
     case other => throw new IllegalStateException(
       s"graft stream: unexpected offset $other")
   }
@@ -474,78 +591,145 @@ private[sources] final class GraftStreamSource(
     val gens = CommitLog.generations(fs, hPath)
     if (gens.isEmpty) return None
     val latest = gens.last
-    val capped = (offered, maxGensPerTrigger) match {
-      case (Some(base), Some(m)) => math.min(latest, base + m)
-      case (None, Some(m)) =>
-        math.min(latest, startingVersion.getOrElse(latest - m) + m)
-      case _ => latest
+    val next: Pos = offered match {
+      case Some((g, i)) if i >= 0 =>
+        // mid-snapshot: advance within the pinned generation's file
+        // list; the tail starts only once the snapshot is complete
+        val n = CommitLog.manifestAt(fs, hPath, g).files.size.toLong
+        val j = maxFilesPerTrigger.map(c => math.min(n, i + c))
+          .getOrElse(n)
+        if (j >= n) (g, -1L) else (g, j)
+      case Some((g, _)) =>
+        (maxGensPerTrigger.map(m => math.min(latest, g + m))
+          .getOrElse(latest), -1L)
+      case None if restarted =>
+        // restart whose offered-position file was lost: the committed
+        // position is invisible here, so cap nothing — any capped
+        // guess could fall BELOW the checkpoint and regress the
+        // stream. getBatch re-bases `offered`; caps resume next
+        // trigger.
+        (latest, -1L)
+      case None =>
+        startingVersion match {
+          case Some(sv) =>
+            (maxGensPerTrigger.map(m => math.min(latest, sv + m))
+              .getOrElse(latest), -1L)
+          case None =>
+            // fresh stream: pin the snapshot at the current latest
+            // generation, split by file count when asked
+            val n = CommitLog.manifestAt(fs, hPath, latest)
+              .files.size.toLong
+            maxFilesPerTrigger match {
+              case Some(c) if c < n => (latest, c)
+              case _ => (latest, -1L)
+            }
+        }
     }
-    offered = Some(math.max(capped, offered.getOrElse(Long.MinValue)))
-    Some(LongOffset(capped))
+    val pos = offered.map(maxPos(_, next)).getOrElse(next)
+    if (!offered.contains(pos)) persistOffered(pos)
+    offered = Some(pos)
+    Some(GraftSourceOffset(pos._1, pos._2))
   }
 
   override def getBatch(start: Option[SOffset], end: SOffset)
   : DataFrame = {
     val spark = sqlContext.sparkSession
-    val endGen = genOf(end)
+    val endPos = posOf(end)
+    val startPos = start.map(posOf)
     // a restart calls getBatch from the checkpoint BEFORE any
-    // getOffset — advance the rate-limiter base here too, or the
-    // first post-restart window would ignore maxGensPerTrigger
-    offered = Some(math.max(endGen, offered.getOrElse(Long.MinValue)))
+    // getOffset — re-base the rate limiter on BOTH endpoints, or the
+    // first post-restart window would ignore the caps
+    offered = Some((offered.toSeq ++ startPos.toSeq :+ endPos)
+      .reduce(maxPos))
+    val (endGen, endIdx) = endPos
     val mEnd = CommitLog.manifestAt(fs, hPath, endGen)
-    val fromGen = start.map(genOf).orElse(startingVersion)
-    if (readChangeFeed) {
-      // CDF window: the manifest-derived change feed, cost ∝ changed
-      // files; the initial batch is the snapshot as inserts (what a
-      // fresh CDF consumer means by "start")
-      val feed = fromGen match {
-        case None =>
-          CommitLog.readAt(spark, path, endGen).withColumn(
-            "_change_type", org.apache.spark.sql.functions.lit("insert"))
-        case Some(g) =>
-          require(CommitLog.generations(fs, hPath).contains(g),
-            s"graft stream: generation $g of $path is expired — the " +
-              "CDF stream lagged past retention; re-snapshot")
-          CommitLog.changesBetween(spark, path, g, endGen, cdfKeys)
+    val pinnedCols = pinnedSchema.fieldNames.toIndexedSeq.map(col)
+
+    def emptyPinned: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](), pinnedSchema)
+    // a snapshot slice streams as inserts in CDF mode (what a fresh
+    // CDF consumer means by "start")
+    def sliceScan(m: CommitLog.Manifest,
+                  files: Seq[String]): DataFrame =
+      if (files.isEmpty) emptyPinned
+      else {
+        val fSet = files.toSet
+        val base = CommitLog.mappedScan(spark, hPath, files, m.colmaps,
+          m.dvs.filter { case (f, _) => fSet(f) },
+          coltypes = m.coltypes)
+        val full = if (readChangeFeed) base.withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("insert")) else base
+        full.select(pinnedCols: _*)
       }
-      return org.apache.spark.sql.graftbridge.StreamBridge
-        .asStreamingFrame(
-          feed.select(pinnedSchema.fieldNames.toIndexedSeq.map(col): _*))
-    }
-    val added: Seq[String] = fromGen match {
-      case None => mEnd.files // initial batch = the full snapshot
-      case Some(g) =>
+    def tailWindow(g: Long, toGen: Long): DataFrame = {
+      if (readChangeFeed) {
+        // CDF window: manifest-derived change feed, cost ∝ changed
+        // files
+        require(CommitLog.generations(fs, hPath).contains(g),
+          s"graft stream: generation $g of $path is expired — the " +
+            "CDF stream lagged past retention; re-snapshot")
+        CommitLog.changesBetween(spark, path, g, toGen, cdfKeys)
+          .select(pinnedCols: _*)
+      } else {
         require(CommitLog.generations(fs, hPath).contains(g),
           s"graft stream: generation $g of $path is expired — the " +
             "stream lagged past retention; restart from a fresh " +
             "checkpoint for a new snapshot")
         val mStart = CommitLog.manifestAt(fs, hPath, g)
         val startSet = mStart.files.toSet
-        val removed = mStart.files.filterNot(mEnd.files.toSet)
-        val common = mStart.files.filter(mEnd.files.toSet)
+        val endSet = mEnd.files.toSet
+        val removed = mStart.files.filterNot(endSet)
+        val common = mStart.files.filter(endSet)
         val dvGrew = common.filter(f =>
           mEnd.dvs.get(f) != mStart.dvs.get(f))
         if ((removed.nonEmpty || dvGrew.nonEmpty) && !ignoreChanges)
           throw new IllegalStateException(
-            s"graft stream: generations $g..$endGen of $path contain " +
+            s"graft stream: generations $g..$toGen of $path contain " +
               "non-append changes (files removed/rewritten or deletes " +
               "on already-streamed files) — an append-only stream " +
               "cannot represent them; set ignoreChanges=true to " +
               "stream only the appended rows, or restart from a " +
               "fresh checkpoint for a new snapshot")
-        mEnd.files.filterNot(startSet)
-    }
-    val batch =
-      if (added.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[Row](), pinnedSchema)
-      else {
-        val aSet = added.toSet
-        CommitLog.mappedScan(spark, hPath, added, mEnd.colmaps,
-            mEnd.dvs.filter { case (f, _) => aSet(f) },
-            coltypes = mEnd.coltypes)
-          .select(pinnedSchema.fieldNames.toIndexedSeq.map(col): _*)
+        val added = mEnd.files.filterNot(startSet)
+        if (added.isEmpty) emptyPinned
+        else {
+          val aSet = added.toSet
+          CommitLog.mappedScan(spark, hPath, added, mEnd.colmaps,
+              mEnd.dvs.filter { case (f, _) => aSet(f) },
+              coltypes = mEnd.coltypes)
+            .select(pinnedCols: _*)
+        }
       }
+    }
+
+    val fromPos: Option[Pos] =
+      startPos.orElse(startingVersion.map(sv => (sv, -1L)))
+    val batch: DataFrame = fromPos match {
+      case None =>
+        // initial snapshot (or its first split window) of endGen
+        val until =
+          if (endIdx < 0) mEnd.files.size else endIdx.toInt
+        sliceScan(mEnd, mEnd.files.take(until))
+      case Some((g, i)) if i >= 0 =>
+        // resume/advance a split snapshot pinned at generation g; an
+        // uncapped post-restart window may also carry the tail g→end
+        val mG = if (g == endGen) mEnd
+          else CommitLog.manifestAt(fs, hPath, g)
+        val until =
+          if (endGen == g && endIdx >= 0) endIdx.toInt
+          else mG.files.size
+        val snap = sliceScan(mG, mG.files.slice(i.toInt, until))
+        if (endGen == g) snap
+        else snap.unionByName(tailWindow(g, endGen))
+      case Some((g, _)) =>
+        if (endGen <= g) emptyPinned // non-advancing defensive window
+        else {
+          require(endIdx < 0, // offers are monotone
+            s"graft stream: tail window $g..$endGen cannot end " +
+              s"mid-snapshot (idx=$endIdx)")
+          tailWindow(g, endGen)
+        }
+    }
     org.apache.spark.sql.graftbridge.StreamBridge
       .asStreamingFrame(batch)
   }
@@ -559,7 +743,8 @@ private[sources] final class GraftStreamSource(
   * micro-batch. See [[GraftDataSource.createSink]] for the
   * exactly-once contract. */
 private[sources] final class GraftStreamSink(path: String,
-                                             appId: String)
+                                             appId: String,
+                                             partitionCols: Seq[String])
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -569,7 +754,7 @@ private[sources] final class GraftStreamSink(path: String,
     val batch = org.apache.spark.sql.graftbridge.StreamBridge
       .asBatchFrame(data)
     GraftWriter.write(batch, path, overwrite = false,
-      txn = Some((appId, batchId)))
+      txn = Some((appId, batchId)), partitionBy = partitionCols)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"
@@ -578,7 +763,9 @@ private[sources] final class GraftStreamSink(path: String,
 private[graft] object GraftWriter {
 
   def write(data: DataFrame, path: String, overwrite: Boolean,
-            txn: Option[(String, Long)]): Unit = {
+            txn: Option[(String, Long)],
+            partitionBy: Seq[String] = Nil,
+            failpoint: String => Unit = _ => ()): Unit = {
     val spark = data.sparkSession
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -586,43 +773,83 @@ private[graft] object GraftWriter {
     // fresh/unlogged path — the CREATE case)
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     // idempotent-writer fast path: this (appId, version) already
-    // committed → the whole write no-ops, Delta's txn semantics
+    // committed → the whole write no-ops, Delta's txn semantics.
+    // (Check-then-act only — the COMMIT-granularity enforcement lives
+    // in commitAppend's rebase loop, which no-ops when a same-appId
+    // winner landed between this check and the CAS.)
     txn.foreach { case (app, v) =>
       if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
     }
+    // the sink's LAYOUT wins: a live hive-partitioned layout fixes
+    // the partition columns, so an append can never land flat files
+    // at a partitioned root (which would break basePath partition
+    // discovery for every subsequent read); an explicit partitionBy
+    // must agree with it. Truncate replaces the whole file set, so
+    // it may (re)choose the layout freely.
+    val layoutCols =
+      if (overwrite) Nil else CommitLog.partitionColsOf(live)
+    require(layoutCols.isEmpty || partitionBy.isEmpty ||
+      partitionBy == layoutCols,
+      s"graft write: $path is partitioned by " +
+        s"(${layoutCols.mkString(", ")}) but the writer asked for " +
+        s"(${partitionBy.mkString(", ")}) — the committed layout wins")
+    val partCols = if (layoutCols.nonEmpty) layoutCols else partitionBy
+    val missingPart = partCols.filterNot(data.columns.contains)
+    require(missingPart.isEmpty,
+      s"graft write: batch is missing partition column(s) " +
+        s"${missingPart.mkString(", ")} of $path — rows cannot be " +
+        "routed into the hive layout")
     // schema guard for the paths Spark's by-name resolution does NOT
     // cover (the V1 streaming Sink hands batches raw): a batch
     // MISSING columns the table has would land files whose readers
-    // silently null the gap — refuse loudly. Derived from ONE live
-    // file's footer + its mapping records (O(1) footers per batch,
-    // never a mergeSchema pass); supersets are allowed (additive
+    // silently null the gap, and a batch carrying a CONFLICTING type
+    // would land files that break the union read later — refuse both
+    // at write time. The table's logical schema (names AND types,
+    // including path-derived partition columns) comes from ONE live
+    // file planned through its mapping/widening records
+    // ([[CommitLog.mappedScan]] — O(1) footers per batch, never a
+    // mergeSchema pass); a batch carrying the WIDENED type of a
+    // `#coltype`-evolved column therefore passes, a narrower or
+    // unrelated type refuses. Supersets are allowed (additive
     // evolution), order is free (parquet resolves by name).
     if (live.nonEmpty) {
-      val sample = live.head
-      val sampleSchema = spark.read
-        .parquet(new Path(hPath, sample).toString).schema
-      val m = CommitLog.colmapRecords(fs, hPath)
-        .getOrElse(sample, Map.empty)
-      val logical = sampleSchema.fieldNames.toSeq.flatMap { p =>
-        m.get(p) match {
-          case Some("") => None // drop tombstone
-          case Some(l) => Some(l)
-          case None => Some(p)
-        }
-      }
-      val missing = logical.filterNot(data.columns.contains)
+      val logicalSchema = CommitLog.mappedScan(spark, hPath,
+        Seq(live.head), CommitLog.colmapRecords(fs, hPath),
+        coltypes = CommitLog.coltypeRecords(fs, hPath)).schema
+      val missing = logicalSchema.fieldNames.toSeq
+        .filterNot(data.columns.contains)
       require(missing.isEmpty,
         s"graft write: batch is missing column(s) " +
           s"${missing.mkString(", ")} of $path — readers would " +
           "silently null them; align the batch to the table's " +
           "logical schema")
+      val conflicts = logicalSchema.fields.toSeq.flatMap { f =>
+        data.schema.fields.find(_.name == f.name).collect {
+          case b if !org.apache.spark.sql.types.DataType
+            .equalsStructurally(b.dataType, f.dataType,
+              ignoreNullability = true) =>
+            s"${f.name}: table ${f.dataType.sql}, batch ${
+              b.dataType.sql}"
+        }
+      }
+      require(conflicts.isEmpty,
+        s"graft write: batch type(s) conflict with $path — " +
+          s"${conflicts.mkString("; ")}; cast the batch, or widen " +
+          "the table first (SchemaEvolve.widenColumn) so existing " +
+          "files carry the #coltype record readers need")
     }
     // constraints gate the BATCH before anything stages
     CommitLog.requireChecks(spark, fs, hPath, data, "graft write")
-    // stage → move in under fresh names → one commit
+    // stage → move in under fresh names → one commit; a partitioned
+    // batch stages under its hive directories and moves in preserving
+    // them, so the committed relative paths carry the layout the
+    // partition-value pruner and basePath discovery read back
     val tmp = new Path(hPath.getParent, hPath.getName + "__fmt_tmp-" +
       java.util.UUID.randomUUID().toString)
-    data.write.parquet(tmp.toString)
+    if (partCols.nonEmpty)
+      data.write.partitionBy(partCols: _*).parquet(tmp.toString)
+    else data.write.parquet(tmp.toString)
+    failpoint("staged")
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)
     while (it.hasNext) {
@@ -638,6 +865,7 @@ private[graft] object GraftWriter {
       }
     }
     val newFiles = added.result()
+    failpoint("moved")
     if (overwrite)
       // truncate-and-replace: next generation references ONLY the new
       // files; the replaced ones remain time-travel history until
@@ -656,13 +884,19 @@ private[sources] final class GraftScanBuilder(state: GraftState)
 
   private var required: StructType = state.schema
   private var pushed: Array[Filter] = Array.empty
+  private var all: Array[Filter] = Array.empty
 
   /** ALL filters are returned as post-scan (Spark re-applies them
     * above the relation — pruning is I/O elision only); the prunable
     * subset is advertised as pushed so `explain` shows exactly what
-    * the manifest decision used. */
+    * the manifest decision used. The FULL set still travels to the
+    * relation: every conjunct expressible as a `Column` is re-applied
+    * INSIDE the planned frame, so the inner parquet scan gets
+    * `PushedFilters` and row-group/page skipping within kept files —
+    * manifest pruning elides whole files, this elides row groups. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(TableStats.prunable)
+    all = filters
     filters
   }
 
@@ -671,12 +905,62 @@ private[sources] final class GraftScanBuilder(state: GraftState)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(state, required, pushed)
+  override def build(): Scan = new GraftScan(state, required, pushed, all)
+}
+
+/** `sources.Filter` → `Column` for the conjuncts Spark handed the
+  * scan builder, so the INNER parquet scan of a [[GraftRelation]]
+  * plans with real `PushedFilters` (row-group and page skipping
+  * inside kept files). Conversion is best-effort and SOUND by
+  * construction: every filter is also re-applied by Spark above the
+  * relation (the builder returns the full set as residual), so
+  * applying any weaker subset inside only elides I/O, never rows.
+  * Top-level `And`s split into conjuncts first — a conjunction with
+  * one unconvertible side still contributes its convertible side. */
+private[sources] object FilterColumns {
+
+  import org.apache.spark.sql.{Column, sources => S}
+  import org.apache.spark.sql.functions.lit
+
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case S.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Exact conversion, or None — under Or/Not a partial conversion
+    * would be unsound, so nested nodes convert all-or-nothing. */
+  private def convert(f: Filter): Option[Column] = f match {
+    case S.And(l, r) =>
+      for { a <- convert(l); b <- convert(r) } yield a && b
+    case S.Or(l, r) =>
+      for { a <- convert(l); b <- convert(r) } yield a || b
+    case S.Not(c) => convert(c).map(!_)
+    case S.EqualTo(a, v) => Some(col(a) === lit(v))
+    case S.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case S.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case S.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case S.LessThan(a, v) => Some(col(a) < lit(v))
+    case S.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case S.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case S.IsNull(a) => Some(col(a).isNull)
+    case S.IsNotNull(a) => Some(col(a).isNotNull)
+    case S.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case S.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case S.StringContains(a, v) => Some(col(a).contains(v))
+    case S.AlwaysTrue() => Some(lit(true))
+    case S.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  /** The convertible conjuncts of the pushed filter set. */
+  def columnsOf(filters: Seq[Filter]): Seq[Column] =
+    filters.flatMap(conjuncts).flatMap(convert)
 }
 
 private[sources] final class GraftScan(state: GraftState,
                                        required: StructType,
-                                       pushed: Array[Filter])
+                                       pushed: Array[Filter],
+                                       allFilters: Array[Filter])
   extends V1Scan {
 
   /** The manifest-only pruning decision, taken at PLAN time against
@@ -697,18 +981,22 @@ private[sources] final class GraftScan(state: GraftState,
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new GraftRelation(context, state, required, keptFiles,
-      skippedFiles.size).asInstanceOf[T]
+      skippedFiles.size, allFilters).asInstanceOf[T]
 }
 
 /** Public face of a planned graft scan, for plan audits: consumers
   * pattern-match the physical plan's `RowDataSourceScanExec.relation`
   * against this to pin the manifest pruning decision (kept/skipped
   * file counts, pinned generation) without access to the private
-  * relation class. */
+  * relation class. `innerFrame` is the EXACT DataFrame whose RDD the
+  * relation executes — audits plan it to pin the inner parquet scan's
+  * `PushedFilters`/`ReadSchema` (row-group skipping inside kept
+  * files), the I/O tier below the manifest's file-level pruning. */
 trait GraftScanInfo {
   def keptCount: Int
   def skippedCount: Int
   def pinnedGen: Long
+  def innerFrame(): DataFrame
 }
 
 /** The V1 execution bridge: `buildScan` plans the SAME
@@ -721,7 +1009,8 @@ private[sources] final class GraftRelation(
     state: GraftState,
     override val schema: StructType,
     val keptFiles: Seq[String],
-    val skippedCount: Int) extends BaseRelation with TableScan
+    val skippedCount: Int,
+    allFilters: Array[Filter]) extends BaseRelation with TableScan
   with GraftScanInfo {
 
   override def sqlContext: SQLContext = ctx
@@ -734,15 +1023,29 @@ private[sources] final class GraftRelation(
     s"GraftRelation(${state.path}@${state.gen}, " +
       s"kept=$keptCount, skipped=$skippedCount)"
 
-  override def buildScan(): RDD[Row] = {
+  /** The planned frame this relation executes: kept files' mapped/
+    * DV-applied scan, the convertible pushed conjuncts re-applied
+    * INSIDE it (they reach the parquet reader as `PushedFilters` —
+    * row-group skipping within kept files; manifest pruning already
+    * removed whole files), projected to the required schema. Filtering
+    * here never changes semantics: Spark re-applies the full residual
+    * set above the relation either way. */
+  def innerFrame(): DataFrame = {
     val spark = ctx.sparkSession
-    if (keptFiles.isEmpty) return spark.sparkContext.emptyRDD[Row]
     val hPath = new Path(state.path)
     val keepSet = keptFiles.toSet
     val df = CommitLog.mappedScan(spark, hPath, keptFiles,
       state.manifest.colmaps,
       state.manifest.dvs.filter { case (f, _) => keepSet(f) },
       coltypes = state.manifest.coltypes)
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
+    val filtered = FilterColumns.columnsOf(allFilters.toIndexedSeq)
+      .foldLeft(df)(_.filter(_))
+    filtered.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  override def buildScan(): RDD[Row] = {
+    if (keptFiles.isEmpty)
+      return ctx.sparkSession.sparkContext.emptyRDD[Row]
+    innerFrame().rdd
   }
 }

@@ -51,6 +51,54 @@ class CommitProtocolSpec extends SparkSpec {
     sink
   }
 
+  test("the PARTITIONED format write's stage→move→commit swap is " +
+    "crash-atomic at its failpoints: a pre-commit crash leaves the " +
+    "old generation, the crashed batch replays exactly-once through " +
+    "its #txn identity into the hive layout, vacuum reclaims debris") {
+    import graft.sources.GraftWriter
+    val root = java.nio.file.Files.createTempDirectory("cps_fmt")
+      .toString
+    val sink = s"$root/t"
+    GraftWriter.write(Seq((1L, "x"), (2L, "y")).toDF("k", "p"), sink,
+      overwrite = false, txn = None, partitionBy = Seq("p"))
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val want = CommitLog.read(spark, sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    val batch = Seq((3L, "z")).toDF("k", "p")
+    intercept[Killed] {
+      GraftWriter.write(batch, sink, overwrite = false,
+        txn = Some(("cps-fmt", 1L)), failpoint = killAt("staged"))
+    }
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore &&
+      CommitLog.read(spark, sink).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == want,
+      "crash before move-in: old generation intact")
+    intercept[Killed] {
+      GraftWriter.write(batch, sink, overwrite = false,
+        txn = Some(("cps-fmt", 1L)), failpoint = killAt("moved"))
+    }
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore &&
+      CommitLog.read(spark, sink).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == want,
+      "crash after move-in, before commit: no new generation, moved " +
+        "files invisible to manifest readers")
+    // the replayed batch lands exactly once; a second replay no-ops
+    GraftWriter.write(batch, sink, overwrite = false,
+      txn = Some(("cps-fmt", 1L)))
+    GraftWriter.write(batch, sink, overwrite = false,
+      txn = Some(("cps-fmt", 1L)))
+    assert(CommitLog.read(spark, sink).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live.forall(_.startsWith("p=")),
+      s"appends must follow the hive layout: $live")
+    // the moved-then-crashed attempt's file is reclaimable debris
+    assert(CommitLog.vacuum(fs, hp) >= 1L)
+    graft.io.Sources.deleteRecursively(root)
+  }
+
   test("merge killed between add and commit: reader sees the OLD " +
     "generation exactly-once; the re-run lands the update exactly-once " +
     "and explicit vacuum reconverges the listing") {

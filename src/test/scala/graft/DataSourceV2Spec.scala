@@ -450,6 +450,152 @@ class DataSourceV2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger splits the INITIAL snapshot across " +
+    "micro-batches (bootstrap is rate-limited like the tail); a " +
+    "checkpoint restart mid-snapshot resumes capped, re-emitting " +
+    "nothing; the union equals the batch read") {
+    val root = java.nio.file.Files.createTempDirectory("ds12").toString
+    val sink = s"$root/t"
+    (1L to 6L).foreach { k =>
+      Seq((k, k * 10)).toDF("k", "v").coalesce(1)
+        .write.format("graft").mode("append").save(sink)
+    }
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(sink)
+        .writeStream.option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val ks = df.collect().map(_.getLong(0))
+          got.synchronized { got ++= ks; batchSizes += ks.length }
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce() // split window 1: two of six snapshot files
+    assert(got.size == 2 && got.distinct.size == 2,
+      s"first split window must carry exactly two files' rows: $got")
+    // RESTART mid-snapshot: the recovered rate-limiter base resumes
+    // the split from the checkpoint — capped, nothing re-emitted
+    runOnce()
+    assert(got.size == 4 && got.distinct.size == 4,
+      s"restart must resume the split without re-emitting: $got")
+    runOnce() // window 3 completes the snapshot
+    assert(got.sorted.toSeq == (1L to 6L),
+      s"split union must equal the batch read: $got")
+    // the tail still flows once the snapshot is complete
+    Seq((7L, 70L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append").save(sink)
+    runOnce()
+    assert(got.sorted.toSeq == (1L to 7L), s"tail after snapshot: $got")
+    assert(batchSizes.forall(_ <= 2),
+      s"every window stays under the file cap: $batchSizes")
+  }
+
+  test("format writes refuse a type-conflicting batch at WRITE time " +
+    "(generation and files unchanged); a batch carrying the widened " +
+    "type of a #coltype-evolved column passes") {
+    val root = java.nio.file.Files.createTempDirectory("ds13").toString
+    val sink = s"$root/t"
+    Seq((1, 10), (2, 20)).toDF("k", "v")
+      .write.format("graft").mode("append").save(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    val filesBefore = CommitLog.committed(fs, hp).get._2.toSet
+    // the RAW batch path (what the V1 streaming sink feeds — Spark's
+    // by-name cast resolution never sees it): a STRING batch into an
+    // INT column would land files that break the union read later —
+    // refused now, nothing committed
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq(("3", 30)).toDF("k", "v"), sink, overwrite = false,
+        txn = None)
+    }
+    assert(e.getMessage.contains("type"), e.getMessage)
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore &&
+      CommitLog.committed(fs, hp).get._2.toSet == filesBefore,
+      "a refused batch must leave the table untouched")
+    // widen k to BIGINT (existing files gain #coltype records), then
+    // a raw LONG batch is exactly the logical type — accepted
+    SchemaEvolve.widenColumn(spark, sink, "k", "bigint")
+    graft.sources.GraftWriter.write(
+      Seq((3L, 30)).toDF("k", "v"), sink, overwrite = false,
+      txn = None)
+    assert(spark.read.format("graft").load(sink).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // …while a raw batch still carrying the NARROW type refuses: its
+    // files would lack the #coltype record readers need
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq((4, 40)).toDF("k", "v"), sink, overwrite = false,
+        txn = None)
+    }
+    // the BATCH format path stays covered by Spark's by-name store
+    // assignment on the table's LOGICAL schema: a castable batch is
+    // upcast to it, an incompatible one refuses at analysis
+    Seq((4L, 40)).toDF("k", "v")
+      .write.format("graft").mode("append").save(sink)
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+    intercept[Exception] {
+      Seq(("oops", 50)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+    }
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+  }
+
+  test("writeStream.format(\"graft\").partitionBy lands micro-batches " +
+    "under the hive layout — one logged append + #txn per batch — " +
+    "and the streamed sink partition-prunes with no ANALYZE; later " +
+    "flat format appends route INTO the layout or refuse") {
+    import graft.operators.TableStats
+    val root = java.nio.file.Files.createTempDirectory("ds14").toString
+    val a = s"$root/a"; val b = s"$root/b"
+    Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "p")
+      .write.format("graft").mode("append").save(a)
+    val q = spark.readStream.format("graft").load(a)
+      .writeStream.format("graft").partitionBy("p")
+      .option("checkpointLocation", s"$root/ck")
+      .option("txnAppId", "ds14-pipe")
+      .start(b)
+    try {
+      q.processAllAvailable()
+      Seq((4L, "z")).toDF("k", "p")
+        .write.format("graft").mode("append").save(a)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = fsOf(b); val hp = new Path(b)
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live.forall(_.startsWith("p=")),
+      s"every committed file must live under its partition dir: $live")
+    assert(CommitLog.partitionColsOf(live) == Seq("p"))
+    // partition-value pruning (the q338 path) works on streamed data
+    val (kept, skipped) = TableStats.pruneFiles(fs, hp,
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "z")))
+    assert(kept.forall(_.startsWith("p=z/")) && skipped.nonEmpty,
+      s"manifest-only partition pruning: kept=$kept skipped=$skipped")
+    // rows round-trip with the partition column re-derived
+    assert(spark.read.format("graft").load(b).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z")))
+    // a BATCH format append with no partitionBy routes into the
+    // committed layout (never flat files at a partitioned root)
+    Seq((5L, "y")).toDF("k", "p")
+      .write.format("graft").mode("append").save(b)
+    val (_, live2) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live2.forall(_.startsWith("p=")),
+      s"appends must follow the layout: $live2")
+    // …and a RAW batch MISSING the partition column refuses loudly
+    // (the streaming-sink path — no engine-side null-fill)
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq(6L).toDF("k"), b, overwrite = false, txn = None)
+    }
+    assert(spark.read.format("graft").load(b).count() == 5L)
+  }
+
   test("SQL consumers get the same surface via a temp view") {
     val root = java.nio.file.Files.createTempDirectory("ds5").toString
     val (sink, _) = mkSink(root)

@@ -754,6 +754,20 @@ class PlanAuditSpec extends SparkSpec {
     val handled = scans.head.handledFilters.map(_.toString).mkString
     assert(handled.contains("GreaterThanOrEqual(k,15)") &&
       handled.contains("LessThanOrEqual(k,25)"), handled)
+    // the pushed conjuncts ALSO reach the INNER parquet scan (the
+    // frame the relation executes), so row-group/page skipping works
+    // inside kept files — file-level manifest pruning is not the only
+    // I/O elision tier
+    val innerScans = collectAll(
+      info.innerFrame().queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(innerScans.size == 1, s"one inner parquet scan expected")
+    val innerPushed = innerScans.head.metadata
+      .getOrElse("PushedFilters", "")
+    assert(innerPushed.contains("GreaterThanOrEqual(k,15)") &&
+      innerPushed.contains("LessThanOrEqual(k,25)"),
+      s"inner scan must carry the pushed conjuncts: $innerPushed")
     // exactness above the pruned scan
     assert(df.orderBy("k").collect().map(_.getLong(0)).toSeq ==
       (15L to 25L))

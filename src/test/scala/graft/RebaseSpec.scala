@@ -97,6 +97,46 @@ class RebaseSpec extends SparkSpec {
       s"winner's DV records, got $ks")
   }
 
+  test("#txn is enforced at COMMIT granularity: two same-appId " +
+    "writers racing past a check-then-act fast path land exactly one " +
+    "copy of the batch — the loser's rebase NO-OPs instead of " +
+    "re-landing it") {
+    val root = java.nio.file.Files.createTempDirectory("rb_txn").toString
+    val sink = mkLogged(root, Seq(1L))
+    val fs = fsOf(sink)
+    val hp = new Path(sink)
+    val (base, live) = CommitLog.ensureLoggedAt(fs, hp)
+    // both writers staged their copy of the SAME logical batch (a
+    // replayed micro-batch) before either committed — the window the
+    // pre-stage txnVersion check cannot close
+    val aFile = stageRow(sink, 100L, 1000L)
+    val bFile = stageRow(sink, 100L, 1000L)
+    val gA = CommitLog.commitAppend(fs, hp, base, live, Seq(aFile),
+      txn = Some(("app", 7L)))
+    assert(gA == base + 1)
+    // B raced from the same stale base: the CAS loss rebases, the
+    // rebase sees (app, 7) already in the winner's ledger and no-ops
+    val gB = CommitLog.commitAppend(fs, hp, base, live, Seq(bFile),
+      txn = Some(("app", 7L)))
+    assert(gB == gA, s"the loser must return the winner's generation " +
+      s"(got $gB, winner $gA)")
+    assert(CommitLog.committed(fs, hp).get._1 == gA,
+      "the duplicate batch must not create a generation")
+    assert(CommitLog.read(spark, sink)
+      .filter(col("k") === 100L).count() == 1L,
+      "exactly one copy of the batch may land")
+    // a writer whose FRESH base already carries the ledger entry
+    // no-ops on its first attempt too (no CAS needed to detect it)
+    val (b2, l2) = CommitLog.ensureLoggedAt(fs, hp)
+    val cFile = stageRow(sink, 100L, 1000L)
+    val gC = CommitLog.commitAppend(fs, hp, b2, l2, Seq(cFile),
+      txn = Some(("app", 7L)))
+    assert(gC == gA && CommitLog.read(spark, sink)
+      .filter(col("k") === 100L).count() == 1L)
+    // the no-op'd writers' staged files are vacuum debris
+    assert(CommitLog.vacuum(fs, hp) == 2L)
+  }
+
   test("commitAppend exhausts its attempt budget loudly on a " +
     "pathologically hot sink") {
     val root = java.nio.file.Files.createTempDirectory("rb_a3").toString
