@@ -207,7 +207,14 @@ object CommitLog {
     *     (Delta's constraint feature) — a SQL boolean expression every
     *     row written by a constraint-aware writer must satisfy
     *     ([[requireChecks]]); carried UNCONDITIONALLY like `#txn`
-    *     (constraints describe the table, not files).
+    *     (constraints describe the table, not files);
+    *   - `#meta\t<keyEnc>\t<valueEnc>`: table PROPERTY (the catalog's
+    *     declared bootstrap schema `schema.ddl` and partition layout
+    *     `partition.cols`) — carried unconditionally like `#check`;
+    *     authoritative only while the table has NO files (once data
+    *     lands, the files' mapped schema and the committed hive
+    *     layout are the source of truth, so evolution never needs to
+    *     rewrite these records).
     *
     * Pre-extension manifests have no `#` lines and parse to empty
     * maps — the grammar is backward compatible in both directions (an
@@ -221,7 +228,8 @@ object CommitLog {
       colmaps: Map[String, Map[String, String]] = Map.empty,
       coltypes: Map[String, Map[String, String]] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      dvMarks: Map[String, Long] = Map.empty)
+      dvMarks: Map[String, Long] = Map.empty,
+      meta: Map[String, String] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -308,6 +316,12 @@ object CommitLog {
         val parts = l.split('\t')
         if (parts.length == 4) Some(parts(1) -> parts(3).toLong)
         else None
+      }.toMap,
+      lines.filter(_.startsWith("#meta\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 3,
+          s"corrupt manifest: malformed meta record '$l'")
+        dec(parts(1)) -> dec(parts(2))
       }.toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
@@ -478,6 +492,15 @@ object CommitLog {
 
   /** Highest committed version for an idempotent writer's `appId`
     * ([[Replicate]]'s exactly-once subscription ledger), None when the app has never committed here. */
+  /** The latest committed generation's table-property records
+    * (`#meta` — the catalog's declared bootstrap schema and partition
+    * layout), empty for unlogged sinks or tables never CREATE'd
+    * through the catalog. */
+  def metaRecords(fs: FileSystem, sink: Path): Map[String, String] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).meta)
+      .getOrElse(Map.empty)
+
   /** Partition column names of a hive-layout live set, from the `k=v`
     * directory levels of the relative file paths — manifest-only (no
     * listing). Nil for flat sinks. REQUIRES a consistent layout: a
@@ -705,7 +728,8 @@ object CommitLog {
                  coltypes: Map[String, Map[String, String]] = Map.empty,
                  checks: Map[String, String] = Map.empty,
                  dvMarks: Map[String, Long] = Map.empty,
-                 statsReplace: Boolean = false)
+                 statsReplace: Boolean = false,
+                 meta: Map[String, String] = Map.empty)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -795,10 +819,15 @@ object CommitLog {
     val mergedChecks = (base.checks ++ checks).filter(_._2.nonEmpty)
     val checkLines = mergedChecks.toSeq.sorted
       .map { case (n, e) => s"#check\t${enc(n)}\t${enc(e)}" }
+    // table-property records (the catalog's declared bootstrap schema
+    // and partition layout) carry exactly like #check
+    val mergedMeta = (base.meta ++ meta).filter(_._2.nonEmpty)
+    val metaLines = mergedMeta.toSeq.sorted
+      .map { case (k, v) => s"#meta\t${enc(k)}\t${enc(v)}" }
     val out = fs.create(tmp, true)
     try out.write(
       (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
-        colmapLines ++ coltypeLines ++ checkLines)
+        colmapLines ++ coltypeLines ++ checkLines ++ metaLines)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {

@@ -226,9 +226,15 @@ private[sources] object GraftState {
         s"$path — retained: ${gens.head}..${gens.last}")
     val m = CommitLog.manifestAt(fs, hPath, gen)
     val schema =
-      if (m.files.isEmpty) StructType(Nil)
-      else CommitLog.mappedScan(spark, hPath, m.files, m.colmaps,
-        coltypes = m.coltypes).schema
+      if (m.files.nonEmpty)
+        CommitLog.mappedScan(spark, hPath, m.files, m.colmaps,
+          coltypes = m.coltypes).schema
+      else
+        // a CREATE'd-but-empty table reads under its DECLARED schema
+        // (the #meta bootstrap record); once files land, the mapped
+        // scan's schema is the source of truth
+        m.meta.get("schema.ddl").map(StructType.fromDDL)
+          .getOrElse(StructType(Nil))
     Some(new GraftState(path, gen, m, schema))
   }
 
@@ -246,6 +252,20 @@ private[sources] final class GraftTable(state: GraftState)
   override def name(): String = s"graft:${state.path}@${state.gen}"
 
   override def schema(): StructType = state.schema
+
+  /** The committed hive layout (or, while empty, the declared
+    * `#meta` layout) as identity transforms — so SQL static-partition
+    * inserts and DESCRIBE resolve against catalog tables. */
+  override def partitioning(): Array[Transform] = {
+    val committed = CommitLog.partitionColsOf(state.manifest.files)
+    val cols =
+      if (committed.nonEmpty) committed
+      else state.manifest.meta.get("partition.cols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    cols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
+  }
 
   // BATCH_WRITE is the capability DataFrameWriter gates the V2 save
   // path on; the V1_BATCH_WRITE marker routes the planned AppendData/
@@ -780,14 +800,23 @@ private[graft] object GraftWriter {
     txn.foreach { case (app, v) =>
       if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
     }
-    // the sink's LAYOUT wins: a live hive-partitioned layout fixes
+    // the sink's LAYOUT wins: a live hive-partitioned layout (or, for
+    // a still-empty CREATE'd table, the declared #meta layout) fixes
     // the partition columns, so an append can never land flat files
     // at a partitioned root (which would break basePath partition
     // discovery for every subsequent read); an explicit partitionBy
     // must agree with it. Truncate replaces the whole file set, so
     // it may (re)choose the layout freely.
+    val declaredCols = CommitLog.metaRecords(fs, hPath)
+      .get("partition.cols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
     val layoutCols =
-      if (overwrite) Nil else CommitLog.partitionColsOf(live)
+      if (overwrite) declaredCols
+      else {
+        val committed = CommitLog.partitionColsOf(live)
+        if (committed.nonEmpty) committed else declaredCols
+      }
     require(layoutCols.isEmpty || partitionBy.isEmpty ||
       partitionBy == layoutCols,
       s"graft write: $path is partitioned by " +
@@ -823,7 +852,13 @@ private[graft] object GraftWriter {
           s"${missing.mkString(", ")} of $path — readers would " +
           "silently null them; align the batch to the table's " +
           "logical schema")
-      val conflicts = logicalSchema.fields.toSeq.flatMap { f =>
+      // type-check FILE columns only: a partition column's type is
+      // re-inferred from directory names at read time (never stored
+      // in footers), so an int-vs-long rendering difference there
+      // cannot corrupt files — and single-file inference would
+      // false-refuse legitimate batches
+      val conflicts = logicalSchema.fields.toSeq
+        .filterNot(f => partCols.contains(f.name)).flatMap { f =>
         data.schema.fields.find(_.name == f.name).collect {
           case b if !org.apache.spark.sql.types.DataType
             .equalsStructurally(b.dataType, f.dataType,

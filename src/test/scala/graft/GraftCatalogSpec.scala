@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.CommitLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The SQL consumption tier ([[graft.sources.GraftCatalog]]):
+  * CREATE/INSERT/SELECT/ALTER/DROP and time travel through pure SQL
+  * against `graft.<db>.<table>` identifiers, resolving to the same
+  * [[graft.sources.GraftTable]] the path-based format surface plans —
+  * so every guarantee already pinned for `format("graft")` (logged
+  * appends, CHECK gates, mapped schemas, manifest pruning) holds for
+  * SQL consumers with zero extra machinery. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def initCatalog(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+  }
+
+  test("CREATE TABLE ... USING graft PARTITIONED BY + INSERT INTO + " +
+    "SELECT: pure SQL drives a logged, hive-partitioned sink; the " +
+    "catalog read is row-identical to the path-based format read; " +
+    "VERSION AS OF time travel works in SQL") {
+    val root = java.nio.file.Files.createTempDirectory("gcat1").toString
+    initCatalog("gc1", root)
+    spark.sql("CREATE NAMESPACE gc1.db")
+    spark.sql("CREATE TABLE gc1.db.t (k BIGINT, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    // a CREATE'd-but-empty table reads under its DECLARED schema
+    assert(spark.table("gc1.db.t").columns.toSeq == Seq("k", "p"))
+    assert(spark.sql("SELECT * FROM gc1.db.t").count() == 0L)
+    spark.sql("INSERT INTO gc1.db.t VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT INTO gc1.db.t VALUES (3, 'x')")
+    // static-partition insert resolves against the advertised layout
+    spark.sql("INSERT INTO gc1.db.t PARTITION (p='w') VALUES (5)")
+    assert(spark.sql(
+      "SELECT k FROM gc1.db.t WHERE p = 'x' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the committed layout IS hive — every file under its p= dir
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live.nonEmpty && live.forall(_.startsWith("p=")),
+      s"SQL inserts must land under the declared layout: $live")
+    // catalog read ≡ path-based format read, row for row
+    val viaCat = spark.table("gc1.db.t").orderBy("k", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaPath = spark.read.format("graft").load(path)
+      .orderBy("k", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaCat == viaPath && viaCat.size == 4)
+    // SQL time travel pins the snapshot
+    val gen = CommitLog.committed(fs, hp).get._1
+    spark.sql("INSERT INTO gc1.db.t VALUES (9, 'z')")
+    assert(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) FROM gc1.db.t " +
+        s"VERSION AS OF $gen").head.getLong(0) == 4L)
+    assert(spark.table("gc1.db.t").count() == 5L)
+    // SHOW TABLES sees it; DROP removes it
+    assert(spark.sql("SHOW TABLES IN gc1.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE gc1.db.t")
+    intercept[Exception] { spark.table("gc1.db.t").collect() }
+  }
+
+  test("CTAS + saveAsTable create-and-fill through the catalog; a " +
+    "duplicate CREATE refuses; IF NOT EXISTS is quiet") {
+    val root = java.nio.file.Files.createTempDirectory("gcat2").toString
+    initCatalog("gc2", root)
+    spark.sql("CREATE NAMESPACE gc2.db")
+    spark.sql("CREATE TABLE gc2.db.c USING graft AS " +
+      "SELECT id AS k, id * 10 AS v FROM range(5)")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM gc2.db.c")
+      .head.getLong(0) == 100L)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gc2.db.c (k BIGINT) USING graft")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS gc2.db.c (k BIGINT) " +
+      "USING graft") // quiet no-op
+    Seq((7L, 70L)).toDF("k", "v")
+      .write.format("graft").mode("append").saveAsTable("gc2.db.s")
+    assert(spark.table("gc2.db.s").count() == 1L)
+    // the created tables are ordinary logged sinks on disk
+    assert(CommitLog.generations(fsOf(s"$root/db/c"),
+      new Path(s"$root/db/c")).nonEmpty)
+  }
+
+  test("ALTER TABLE delegates to SchemaEvolve: RENAME COLUMN is a " +
+    "metadata-only commit the catalog then serves; positional INSERT " +
+    "resolves against the LOGICAL schema (never physical file order); " +
+    "unsupported changes refuse loudly") {
+    val root = java.nio.file.Files.createTempDirectory("gcat3").toString
+    initCatalog("gc3", root)
+    spark.sql("CREATE NAMESPACE gc3.db")
+    spark.sql("CREATE TABLE gc3.db.t (k INT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO gc3.db.t VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE gc3.db.t RENAME COLUMN v TO val")
+    assert(spark.table("gc3.db.t").columns.toSeq == Seq("k", "val"),
+      "the catalog must serve the post-rename LOGICAL schema")
+    // positional ops resolve against the logical schema of the MAPPED
+    // table — physical file column names never leak into resolution
+    spark.sql("INSERT INTO gc3.db.t VALUES (3, 30)")
+    assert(spark.sql("SELECT CAST(sum(val) AS BIGINT) FROM gc3.db.t")
+      .head.getLong(0) == 60L)
+    // ...and an arity mismatch refuses instead of guessing positions
+    intercept[Exception] {
+      spark.sql("INSERT INTO gc3.db.t VALUES (4)")
+    }
+    // widening ALTER COLUMN TYPE → SchemaEvolve.widenColumn
+    spark.sql("ALTER TABLE gc3.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("gc3.db.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT CAST(sum(k) AS BIGINT) FROM gc3.db.t")
+      .head.getLong(0) == 6L)
+    // DROP COLUMN → SchemaEvolve.dropColumn
+    spark.sql("ALTER TABLE gc3.db.t DROP COLUMN val")
+    assert(spark.table("gc3.db.t").columns.toSeq == Seq("k"))
+    // anything else refuses loudly rather than half-working
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gc3.db.t SET TBLPROPERTIES ('a'='b')")
+    }
+  }
+}
