@@ -495,6 +495,42 @@ class DataSourceV2Spec extends SparkSpec {
       s"every window stays under the file cap: $batchSizes")
   }
 
+  test("startingVersion + maxGensPerTrigger: a clean restart never " +
+    "regresses the offset below the checkpoint (no re-delivery, no " +
+    "spurious non-append failure) — the rate limiter recovers its " +
+    "base from its own checkpoint state") {
+    val root = java.nio.file.Files.createTempDirectory("ds15").toString
+    val sink = s"$root/t"
+    (1L to 6L).foreach { k =>
+      Seq((k, k * 10)).toDF("k", "v").coalesce(1)
+        .write.format("graft").mode("append").save(sink)
+    }
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "1")
+        .option("maxGensPerTrigger", "2").load(sink)
+        .writeStream.option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= df.collect().map(_.getLong(0)) }
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce() // gens 1→3: rows of generations 2 and 3
+    assert(got.sorted.toSeq == Seq(2L, 3L), s"first capped window: $got")
+    runOnce() // RESTART: must resume at gen 3, never re-offer 1+2
+    assert(got.sorted.toSeq == Seq(2L, 3L, 4L, 5L),
+      s"restart must advance the capped window, not regress: $got")
+    runOnce()
+    assert(got.sorted.toSeq == (2L to 6L),
+      s"catch-up completes without duplicates: $got")
+    runOnce() // nothing new: no window, no failure
+    assert(got.sorted.toSeq == (2L to 6L), s"idle restart is a no-op: $got")
+  }
+
   test("format writes refuse a type-conflicting batch at WRITE time " +
     "(generation and files unchanged); a batch carrying the widened " +
     "type of a #coltype-evolved column passes") {
