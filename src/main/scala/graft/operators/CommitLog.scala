@@ -103,6 +103,15 @@ object CommitLog {
     * reader nor [[listDataFiles]] ever mistakes a DV for data. */
   val DvDirName = "_graft_dv"
 
+  /** Sidecar directory for per-(file, column) Bloom-filter indexes
+    * (`#bloom` records — [[TableStats.buildBloom]]). Sidecars, not
+    * manifest-inline bytes: a Bloom bitset is KBs per file, and
+    * inlining it would break the O(1)-manifest-write property; the
+    * consumer reads a sidecar only for a file that survived every
+    * cheaper prune (Delta keeps its Bloom indexes in sidecar files,
+    * Iceberg in puffin files, for the same reason). */
+  val BloomDirName = "_graft_bloom"
+
   private def logDir(sink: Path) = new Path(sink, LogDirName)
 
   private def manifestName(gen: Long): String = f"$gen%020d.manifest"
@@ -214,7 +223,16 @@ object CommitLog {
     *     authoritative only while the table has NO files (once data
     *     lands, the files' mapped schema and the committed hive
     *     layout are the source of truth, so evolution never needs to
-    *     rewrite these records).
+    *     rewrite these records);
+    *   - `#bloom\t<dataRel>\t<physColEnc>\t<sidecarRelEnc>`: per-(file,
+    *     column) Bloom-filter INDEX pointer into [[BloomDirName]]
+    *     ([[TableStats.buildBloom]]) — point-lookup pruning for
+    *     layouts whose min/max bounds span the key range. Keyed by
+    *     the file's PHYSICAL column name (immutable for a given
+    *     file), so renames never need to rewrite or drop them;
+    *     carried per surviving file with per-column overlay like
+    *     `#stats`. A missing record only costs pruning, never
+    *     correctness.
     *
     * Pre-extension manifests have no `#` lines and parse to empty
     * maps — the grammar is backward compatible in both directions (an
@@ -229,7 +247,8 @@ object CommitLog {
       coltypes: Map[String, Map[String, String]] = Map.empty,
       checks: Map[String, String] = Map.empty,
       dvMarks: Map[String, Long] = Map.empty,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -322,7 +341,14 @@ object CommitLog {
         require(parts.length == 3,
           s"corrupt manifest: malformed meta record '$l'")
         dec(parts(1)) -> dec(parts(2))
-      }.toMap)
+      }.toMap,
+      lines.filter(_.startsWith("#bloom\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4,
+          s"corrupt manifest: malformed bloom record '$l'")
+        (parts(1), dec(parts(2)), dec(parts(3)))
+      }.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
     if (manifestCache.size > 256) manifestCache.clear()
     manifestCache.put(key, m)
     m
@@ -499,6 +525,19 @@ object CommitLog {
   def metaRecords(fs: FileSystem, sink: Path): Map[String, String] =
     generations(fs, sink).lastOption
       .map(readManifestFull(fs, sink, _).meta)
+      .getOrElse(Map.empty)
+
+  /** The latest committed generation's Bloom-index records
+    * (data file → PHYSICAL column name → sidecar path under
+    * [[BloomDirName]]), empty when none built. Keyed by physical name
+    * so the records survive renames without rewrites: the consumer
+    * resolves a filter's logical name through the file's own
+    * `#colmap` ([[TableStats]]), and a stale-name reuse can never
+    * mis-prune. */
+  def bloomRecords(fs: FileSystem, sink: Path)
+  : Map[String, Map[String, String]] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).blooms)
       .getOrElse(Map.empty)
 
   /** Partition column names of a hive-layout live set, from the `k=v`
@@ -729,7 +768,8 @@ object CommitLog {
                  checks: Map[String, String] = Map.empty,
                  dvMarks: Map[String, Long] = Map.empty,
                  statsReplace: Boolean = false,
-                 meta: Map[String, String] = Map.empty)
+                 meta: Map[String, String] = Map.empty,
+                 blooms: Map[String, Map[String, String]] = Map.empty)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -824,10 +864,25 @@ object CommitLog {
     val mergedMeta = (base.meta ++ meta).filter(_._2.nonEmpty)
     val metaLines = mergedMeta.toSeq.sorted
       .map { case (k, v) => s"#meta\t${enc(k)}\t${enc(v)}" }
+    // Bloom-index records carry per surviving file with per-(file,
+    // column) overlay like #stats (an incremental build adds columns,
+    // untouched ones keep theirs); a file leaving the manifest takes
+    // its records — the sidecars become vacuum debris
+    val mergedBlooms = (base.blooms.keySet ++ blooms.keySet).iterator
+      .filter(fileSet).map { f =>
+        f -> (base.blooms.getOrElse(f, Map.empty) ++
+          blooms.getOrElse(f, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
+    val bloomLines = mergedBlooms.toSeq.flatMap { case (f, m) =>
+      m.toSeq.map { case (phys, rel) =>
+        s"#bloom\t$f\t${enc(phys)}\t${enc(rel)}"
+      }
+    }.sorted
     val out = fs.create(tmp, true)
     try out.write(
       (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
-        colmapLines ++ coltypeLines ++ checkLines ++ metaLines)
+        colmapLines ++ coltypeLines ++ checkLines ++ metaLines ++
+        bloomLines)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
@@ -960,7 +1015,25 @@ object CommitLog {
         }
       }
     }
-    orphans.length.toLong + dvReclaimed
+    // Bloom sidecar debris: same sweep as DVs — a sidecar under
+    // _graft_bloom that no retained generation's #bloom records name
+    // (records left with their data file, or a build lost its commit
+    // race) is reclaimable under the same mtime horizon
+    val bloomDir = new Path(sink, BloomDirName)
+    var bloomReclaimed = 0L
+    if (fs.exists(bloomDir)) {
+      val refBloom = gens
+        .flatMap(readManifestFull(fs, sink, _).blooms.values)
+        .flatMap(_.values).toSet
+      fs.listStatus(bloomDir).foreach { st =>
+        val rel = BloomDirName + "/" + st.getPath.getName
+        if (!refBloom.contains(rel) && oldEnough(st.getPath)) {
+          fs.delete(st.getPath, true)
+          bloomReclaimed += 1
+        }
+      }
+    }
+    orphans.length.toLong + dvReclaimed + bloomReclaimed
   }
 
   /** Drop every generation except the newest `keepLast` (≥ 1), then

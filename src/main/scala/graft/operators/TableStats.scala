@@ -426,8 +426,15 @@ object TableStats {
                  filters: Seq[sources.Filter])
   : (Seq[String], Seq[String]) = {
     val (_, live) = CommitLog.ensureLoggedAt(fs, sink)
-    pruneIn(live, CommitLog.statsRecords(fs, sink),
+    val (kept, skipped) = pruneIn(live, CommitLog.statsRecords(fs, sink),
       CommitLog.dvMarkCounts(fs, sink), filters)
+    // second tier: Bloom point-lookup evidence on whatever survived
+    // the free (manifest-only) prunes — costs one small sidecar read
+    // per surviving indexed file, only for =/IN conjuncts
+    val (kept2, bloomSkipped) = bloomPruneIn(fs, sink, kept,
+      CommitLog.bloomRecords(fs, sink),
+      CommitLog.colmapRecords(fs, sink), filters)
+    (kept2, skipped ++ bloomSkipped)
   }
 
   /** [[pruneFiles]] against an EXPLICIT snapshot's records — the form
@@ -447,6 +454,153 @@ object TableStats {
       !fullyDeleted && filters.forall(flt =>
         canMatch(st, flt) && canMatchPart(pv, flt))
     }
+
+  // ---- Bloom point-lookup index (#bloom sidecars) ----
+
+  /** Build per-(file, column) Bloom-filter indexes and commit their
+    * `#bloom` records — point-lookup pruning for the layout min/max
+    * CANNOT serve: hash-scattered or append-ordered files all span
+    * the full key range, so a `k = v` probe keeps every file on
+    * bounds evidence, while the Bloom filter knows which few files
+    * can actually hold `v` (Delta's Bloom index / Iceberg puffin
+    * role). One pass over the key columns ([[graft.plans
+    * .BloomFilterAgg]] grouped by file — partial filters build
+    * map-side, the exchange carries filters, never rows); sidecars
+    * land under [[CommitLog.BloomDirName]] and ONE commit publishes
+    * the records. Incremental by default: only files missing a
+    * record for some column are read (the analyze catch-up shape),
+    * so maintaining the index after appends costs ∝ new files.
+    *
+    * Records key by the file's PHYSICAL column name (immutable per
+    * file) — renames never rewrite or invalidate them, and a reused
+    * logical name can never mis-prune. Values normalize as
+    * [[graft.plans.BloomFilterAgg.update]] documents (integrals →
+    * long, strings → UTF-8 bytes). Filters are over RAW rows (DVs
+    * not applied): a superset, sound as DVs grow. Integral and
+    * string columns only — loud otherwise. Returns files indexed. */
+  def buildBloom(spark: SparkSession, path: String, cols: Seq[String],
+                 expectedKeysPerFile: Long = 1000000L,
+                 fpp: Double = 0.01,
+                 onlyMissing: Boolean = true): Long = {
+    require(cols.nonEmpty, "buildBloom needs at least one column")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    if (live.isEmpty) return 0L
+    val cms = CommitLog.colmapRecords(fs, hPath)
+    val cts = CommitLog.coltypeRecords(fs, hPath)
+    val existing = CommitLog.bloomRecords(fs, hPath)
+    def physOf(f: String, logical: String): String =
+      cms.getOrElse(f, Map.empty)
+        .collectFirst { case (p, l) if l == logical => p }
+        .getOrElse(logical)
+    val targets = live.filter { f =>
+      !onlyMissing || !cols.forall(c =>
+        existing.getOrElse(f, Map.empty).contains(physOf(f, c)))
+    }
+    if (targets.isEmpty) return 0L
+    val scan = CommitLog.mappedScan(spark, hPath, targets, cms,
+      identity = true, coltypes = cts)
+    cols.foreach { c =>
+      require(scan.columns.contains(c),
+        s"buildBloom: no column `$c` in $path's logical schema")
+      scan.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.StringType => ()
+        case t => throw new IllegalArgumentException(
+          s"buildBloom: `$c` is ${t.sql} — Bloom point-lookup " +
+            "indexes cover integral and string keys")
+      }
+    }
+    val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+    def relCol(fp: Column): Column =
+      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    val aggs = cols.map(c => graft.plans.BloomFilterAgg(col(c),
+      expectedKeysPerFile, fpp).as(c))
+    val rows = scan
+      .withColumn("__f", relCol(col("__file_path")))
+      .groupBy("__f")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    fs.mkdirs(new Path(hPath, CommitLog.BloomDirName))
+    val overlay = rows.map { r =>
+      val f = r.getString(0)
+      f -> cols.zipWithIndex.map { case (c, i) =>
+        val bytes = r.getAs[Array[Byte]](i + 1)
+        val rel = CommitLog.BloomDirName + "/" +
+          java.util.UUID.randomUUID().toString + ".bloom"
+        val out = fs.create(new Path(hPath, rel), false)
+        try out.write(bytes) finally out.close()
+        physOf(f, c) -> rel
+      }.toMap
+    }.toMap
+    CommitLog.commitNext(fs, hPath, gen, live, blooms = overlay)
+    targets.length.toLong
+  }
+
+  /** Probe-side value normalization — MUST mirror
+    * [[graft.plans.BloomFilterAgg.update]]; unknown types keep. */
+  private def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+    v match {
+      case null => true
+      case n: Byte => bf.mightContainLong(n.toLong)
+      case n: Short => bf.mightContainLong(n.toLong)
+      case n: Int => bf.mightContainLong(n.toLong)
+      case n: Long => bf.mightContainLong(n)
+      case s: String => bf.mightContainBinary(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case _ => true
+    }
+
+  /** Bloom tier of the pruning decision: drop `kept` files whose
+    * index PROVES an =/IN conjunct cannot match (no false negatives
+    * → never wrong; anything uncertain keeps). Reads one sidecar per
+    * (surviving indexed file, filter column) — driver-side,
+    * KB-sized, cached per call; an unreadable sidecar keeps the
+    * file. Filter columns resolve to each file's PHYSICAL name
+    * through its `#colmap`, so the lookup is rename-proof. */
+  private[graft] def bloomPruneIn(
+      fs: org.apache.hadoop.fs.FileSystem, sink: Path,
+      kept: Seq[String],
+      blooms: Map[String, Map[String, String]],
+      colmaps: Map[String, Map[String, String]],
+      filters: Seq[sources.Filter]): (Seq[String], Seq[String]) = {
+    if (blooms.isEmpty || filters.isEmpty) return (kept, Nil)
+    val cache = scala.collection.mutable.Map.empty[
+      String, Option[org.apache.spark.util.sketch.BloomFilter]]
+    def filterOf(rel: String)
+    : Option[org.apache.spark.util.sketch.BloomFilter] =
+      cache.getOrElseUpdate(rel,
+        try {
+          val in = fs.open(new Path(sink, rel))
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None })
+    def canMatch(f: String, flt: sources.Filter): Boolean = {
+      def probe(a: String, vs: Seq[Any]): Boolean = {
+        val phys = colmaps.getOrElse(f, Map.empty)
+          .collectFirst { case (p, l) if l == a => p }.getOrElse(a)
+        blooms.getOrElse(f, Map.empty).get(phys)
+          .flatMap(filterOf) match {
+          case None => true
+          case Some(bf) => vs.exists(bloomMightContain(bf, _))
+        }
+      }
+      flt match {
+        case sources.EqualTo(a, v) => probe(a, Seq(v))
+        case sources.EqualNullSafe(a, v) if v != null => probe(a, Seq(v))
+        case sources.In(a, vs) => vs.isEmpty || probe(a, vs.toSeq)
+        case sources.And(l, r) => canMatch(f, l) && canMatch(f, r)
+        case sources.Or(l, r) => canMatch(f, l) || canMatch(f, r)
+        case _ => true
+      }
+    }
+    kept.partition(f => filters.forall(canMatch(f, _)))
+  }
 
   /** [[pruneFiles]] for the closed band `column ∈ [lo, hi]` — the
     * original single-column entry point, kept as sugar. */

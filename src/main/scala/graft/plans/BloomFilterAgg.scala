@@ -43,10 +43,10 @@ case class BloomFilterAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_filter_agg"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType | ShortType | ByteType =>
+    case LongType | IntegerType | ShortType | ByteType | StringType =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs an integral key, got ${t.sql}")
+      s"$prettyName needs an integral or string key, got ${t.sql}")
   }
   override protected def withNewChildInternal(newChild: Expression)
   : BloomFilterAgg = copy(child = newChild)
@@ -58,9 +58,20 @@ case class BloomFilterAgg(
   override def createAggregationBuffer(): BloomFilter =
     BloomFilter.create(expectedKeys, fpp)
 
+  /** Value normalization contract shared with the probe side
+    * ([[graft.operators.TableStats]] bloom pruning): integrals widen
+    * to long (`putLong`), strings hash their UTF-8 bytes
+    * (`putBinary`) — `String.getBytes(UTF_8)` on the probing driver
+    * produces the same bytes as `UTF8String.getBytes` here. */
   override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
     val v = child.eval(input)
-    if (v != null) buf.putLong(v.asInstanceOf[Number].longValue())
+    if (v != null) v match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        buf.putBinary(s.getBytes)
+      case n: Number => buf.putLong(n.longValue())
+      case other => buf.putBinary(
+        other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     buf
   }
 

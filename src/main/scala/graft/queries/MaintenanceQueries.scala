@@ -2305,6 +2305,145 @@ object MaintenanceQueries {
          AND year(o_orderdate) BETWEEN 1997 AND 1998
        GROUP BY 1 ORDER BY 1"""
 
+  /** OPTIMIZE ZORDER BY ([[graft.operators.Cluster.zorderBy]],
+    * Delta's Z-ordering): rewrite orders clustered on the Morton
+    * interleave of (o_custkey, o_totalprice) equi-depth buckets, so
+    * each output file bounds a small HYPERCUBE of the two columns'
+    * value space — and the manifest's `#stats` bounds then prune
+    * files for a selective band on EITHER column (a linear sort
+    * serves only its leading column; ClusterSpec pins that contrast).
+    * Pinned in-query: both single-column bands skip files
+    * manifest-only; the rollups over the pruned scans stay exact. */
+  def q342Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Cluster, CommitLog, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q342_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      orders.repartition(8).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      Cluster.zorderBy(s, sink, Seq("o_custkey", "o_totalprice"),
+        nFiles = 16)
+      // bands scaled off the table maxima — SF-independent, and the
+      // oracle derives the same constants in SQL
+      val mx = orders.agg(max("o_custkey"), max("o_totalprice")).head
+      val cHi = mx.getLong(0) / 4
+      val pLo = mx.getDouble(1) * 0.4; val pHi = mx.getDouble(1) * 0.6
+      val (_, skipC) = TableStats.pruneFiles(fs, hp, Seq(
+        org.apache.spark.sql.sources.LessThanOrEqual("o_custkey", cHi)))
+      val (_, skipP) = TableStats.pruneFiles(fs, hp, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual(
+          "o_totalprice", pLo),
+        org.apache.spark.sql.sources.LessThanOrEqual(
+          "o_totalprice", pHi)))
+      val pruneBoth = skipC.nonEmpty && skipP.nonEmpty
+      val cBand = CommitLog.read(s, sink)
+        .filter(col("o_custkey") <= cHi)
+        .agg(count(lit(1)), sum("o_orderkey")).head
+      val pBand = CommitLog.read(s, sink)
+        .filter(col("o_totalprice").between(pLo, pHi))
+        .agg(count(lit(1)), sum("o_orderkey")).head
+      import s.implicits._
+      Seq((cBand.getLong(0), cBand.getLong(1),
+        pBand.getLong(0), pBand.getLong(1), pruneBoth))
+        .toDF("cust_rows", "cust_sum_okey",
+          "price_rows", "price_sum_okey", "prune_both")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q342Sql: String =
+    """SELECT
+         CAST((SELECT count(*) FROM orders WHERE o_custkey <=
+               (SELECT max(o_custkey) // 4 FROM orders)) AS BIGINT)
+           AS cust_rows,
+         CAST((SELECT sum(o_orderkey) FROM orders WHERE o_custkey <=
+               (SELECT max(o_custkey) // 4 FROM orders)) AS BIGINT)
+           AS cust_sum_okey,
+         CAST((SELECT count(*) FROM orders WHERE o_totalprice BETWEEN
+               (SELECT max(o_totalprice) * 0.4 FROM orders) AND
+               (SELECT max(o_totalprice) * 0.6 FROM orders)) AS BIGINT)
+           AS price_rows,
+         CAST((SELECT sum(o_orderkey) FROM orders WHERE o_totalprice
+               BETWEEN (SELECT max(o_totalprice) * 0.4 FROM orders)
+               AND (SELECT max(o_totalprice) * 0.6 FROM orders))
+           AS BIGINT) AS price_sum_okey,
+         TRUE AS prune_both"""
+
+  /** `#bloom` point-lookup index ([[graft.operators.TableStats
+    * .buildBloom]], Delta's Bloom index / Iceberg's puffin role):
+    * orders lands HASH-SCATTERED across 8 files, so every file spans
+    * the full o_orderkey range and `#stats` bounds prune NOTHING for
+    * a point lookup — while each key lives in exactly one file. One
+    * build pass commits per-(file, column) Bloom sidecars; the
+    * pruning decision then drops files whose filter PROVES the probe
+    * keys absent (false negatives impossible → never wrong). Pinned
+    * in-query: bounds alone keep all 8, blooms keep ≤ half for the
+    * 3-key IN probe, an absent key prunes everything; the lookup
+    * result stays exact over the pruned scan. */
+  def q343BloomPoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q343_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      orders.repartition(8, col("o_orderkey")).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      TableStats.analyze(s, sink, Seq("o_orderkey"))
+      // MID-RANGE keys: every scattered file's [min,max] spans the
+      // average, so bounds evidence is provably blind for the probe
+      val mid = orders.agg(avg("o_orderkey")).head.getDouble(0)
+      val keys = orders.filter(col("o_orderkey") > mid)
+        .orderBy("o_orderkey").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val absent = -1L
+      val inFlt = org.apache.spark.sql.sources.In("o_orderkey",
+        keys.toArray[Any])
+      val (b0, _) = TableStats.pruneFiles(fs, hp, Seq(inFlt))
+      val boundsBlind = b0.size == 8 // scattered bounds keep all
+      TableStats.buildBloom(s, sink, Seq("o_orderkey"),
+        expectedKeysPerFile = 1000000L)
+      val (k1, s1) = TableStats.pruneFiles(fs, hp, Seq(inFlt))
+      val bloomPrunes = s1.nonEmpty && k1.size <= 4
+      val (k2, _) = TableStats.pruneFiles(fs, hp, Seq(
+        org.apache.spark.sql.sources.EqualTo("o_orderkey", absent)))
+      val absentPrunesAll = k2.isEmpty
+      // exactness over the pruned format read (plan-time bloom tier)
+      val rows = s.read.format("graft").load(sink)
+        .filter(col("o_orderkey").isin(keys: _*))
+        .orderBy("o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      import s.implicits._
+      rows.map { case (ok, ck) =>
+        (ok, ck, boundsBlind, bloomPrunes, absentPrunesAll)
+      }.toDF("o_orderkey", "o_custkey", "bounds_blind",
+        "bloom_prunes", "absent_prunes_all").orderBy("o_orderkey")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q343Sql: String =
+    """SELECT o_orderkey, o_custkey,
+              TRUE AS bounds_blind,
+              TRUE AS bloom_prunes,
+              TRUE AS absent_prunes_all
+       FROM orders
+       WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                            WHERE o_orderkey >
+                              (SELECT avg(o_orderkey) FROM orders)
+                            ORDER BY o_orderkey LIMIT 3)
+       ORDER BY o_orderkey"""
+
   /** Fresh catalog name per invocation: Spark caches catalog
     * INSTANCES per name after first use, so a re-run (bench warmups)
     * must not resolve a stale warehouse root. */
@@ -2381,6 +2520,8 @@ object MaintenanceQueries {
        FROM orders GROUP BY 1 ORDER BY 1"""
 
   val all: Map[String, Q] = Map(
+    "q343_bloom_point" -> q343BloomPoint _,
+    "q342_zorder" -> q342Zorder _,
     "q341_sql_catalog" -> q341SqlCatalog _,
     "q340_partitioned_stream_sink" -> q340PartitionedStreamSink _,
     "q339_cdf_stream_replica" -> q339CdfStreamReplica _,
@@ -2420,6 +2561,8 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q343_bloom_point" -> q343Sql,
+    "q342_zorder" -> q342Sql,
     "q341_sql_catalog" -> q341Sql,
     "q340_partitioned_stream_sink" -> q340Sql,
     "q339_cdf_stream_replica" -> q339Sql,

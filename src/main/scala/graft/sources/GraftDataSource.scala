@@ -998,12 +998,27 @@ private[sources] final class GraftScan(state: GraftState,
                                        allFilters: Array[Filter])
   extends V1Scan {
 
-  /** The manifest-only pruning decision, taken at PLAN time against
-    * the pinned snapshot — no data I/O happens before the (already
-    * pruned) parquet scan is planned. */
-  val (keptFiles, skippedFiles): (Seq[String], Seq[String]) =
-    TableStats.pruneIn(state.manifest.files, state.manifest.stats,
-      state.manifest.dvMarks, pushed.toIndexedSeq)
+  /** The pruning decision, taken at PLAN time against the pinned
+    * snapshot: first the manifest-only tier (stats bounds, partition
+    * values, DV cardinality — zero I/O), then the Bloom tier for
+    * =/IN conjuncts on whatever survived (one KB-sized sidecar read
+    * per surviving indexed file). No data I/O happens before the
+    * (already pruned) parquet scan is planned. */
+  val (keptFiles, skippedFiles): (Seq[String], Seq[String]) = {
+    val (k1, s1) =
+      TableStats.pruneIn(state.manifest.files, state.manifest.stats,
+        state.manifest.dvMarks, pushed.toIndexedSeq)
+    if (state.manifest.blooms.isEmpty) (k1, s1)
+    else {
+      val hPath = new Path(state.path)
+      val fs = hPath.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      val (k2, s2) = TableStats.bloomPruneIn(fs, hPath, k1,
+        state.manifest.blooms, state.manifest.colmaps,
+        pushed.toIndexedSeq)
+      (k2, s1 ++ s2)
+    }
+  }
 
   override def readSchema(): StructType = required
 
