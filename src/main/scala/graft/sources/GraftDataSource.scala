@@ -99,7 +99,8 @@ final class GraftDataSource extends TableProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft sink: txnAppId or checkpointLocation is required for " +
           "exactly-once replay protection"))
-    new GraftStreamSink(path, appId, partitionColumns)
+    new GraftStreamSink(path, appId, partitionColumns,
+      parameters.get("autoAnalyze").exists(_.toBoolean))
   }
 
   /** `spark.readStream.format("graft")` — tail the commit log as a
@@ -319,7 +320,9 @@ private[sources] final class GraftWriteBuilder(
                 throw new IllegalArgumentException(
                   "graft: txnAppId requires txnVersion"))
               (app, v.toLong)
-            })
+            },
+            autoAnalyze = Option(options.get("autoAnalyze"))
+              .exists(_.toBoolean))
       }
   }
 }
@@ -764,7 +767,9 @@ private[sources] final class GraftStreamSource(
   * exactly-once contract. */
 private[sources] final class GraftStreamSink(path: String,
                                              appId: String,
-                                             partitionCols: Seq[String])
+                                             partitionCols: Seq[String],
+                                             autoAnalyze: Boolean =
+                                               false)
   extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -774,7 +779,8 @@ private[sources] final class GraftStreamSink(path: String,
     val batch = org.apache.spark.sql.graftbridge.StreamBridge
       .asBatchFrame(data)
     GraftWriter.write(batch, path, overwrite = false,
-      txn = Some((appId, batchId)), partitionBy = partitionCols)
+      txn = Some((appId, batchId)), partitionBy = partitionCols,
+      autoAnalyze = autoAnalyze)
   }
 
   override def toString: String = s"GraftStreamSink[$path]"
@@ -785,7 +791,8 @@ private[graft] object GraftWriter {
   def write(data: DataFrame, path: String, overwrite: Boolean,
             txn: Option[(String, Long)],
             partitionBy: Seq[String] = Nil,
-            failpoint: String => Unit = _ => ()): Unit = {
+            failpoint: String => Unit = _ => (),
+            autoAnalyze: Boolean = false): Unit = {
     val spark = data.sparkSession
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -910,6 +917,22 @@ private[graft] object GraftWriter {
     else
       CommitLog.commitAppend(fs, hPath, gen, live, newFiles, txn = txn)
     fs.delete(tmp, true)
+    // opt-in stats maintenance (`option("autoAnalyze", true)`): keep
+    // the table's EXISTING stats coverage current over the files this
+    // write added, so appends never open a pruning hole. The catch-up
+    // reads only the new files (analyze targets record-less files)
+    // and lands one more commit — the streaming source/CDF both
+    // represent a stats-only commit as an empty window. Tables with
+    // no prior coverage are untouched (nothing declared to maintain);
+    // the inline footer-derived variant is the next optimization if
+    // the extra batch read ever matters.
+    if (autoAnalyze) {
+      val covered = CommitLog.statsRecords(fs, hPath).values
+        .flatMap(_.keySet).toSet.intersect(data.columns.toSet)
+      if (covered.nonEmpty)
+        graft.operators.TableStats.analyze(spark, path,
+          covered.toSeq.sorted)
+    }
   }
 }
 

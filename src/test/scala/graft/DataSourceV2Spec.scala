@@ -632,6 +632,43 @@ class DataSourceV2Spec extends SparkSpec {
     assert(spark.read.format("graft").load(b).count() == 5L)
   }
 
+  test("option(\"autoAnalyze\") keeps declared stats coverage current " +
+    "across format appends — no pruning hole on new files, and the " +
+    "catch-up heals earlier holes too") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val root = java.nio.file.Files.createTempDirectory("ds16").toString
+    val sink = s"$root/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append").save(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    TableStats.analyze(spark, sink, Seq("k")) // declare coverage
+    def recorded: Int = CommitLog.statsRecords(fs, hp)
+      .count(_._2.contains("k"))
+    assert(recorded == 1)
+    // a plain append opens a hole: the new file has no record, so a
+    // selective band must KEEP it (sound, but unpruned)
+    Seq((100L, 1L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append").save(sink)
+    assert(recorded == 1, "plain appends leave the stats hole")
+    val (kept0, _) = TableStats.pruneFiles(fs, hp,
+      Seq(LessThanOrEqual("k", 2L)))
+    assert(kept0.size == 2,
+      s"the record-less file must be kept blind: $kept0")
+    // an autoAnalyze append maintains coverage — and the catch-up
+    // heals the earlier hole in the same pass
+    Seq((200L, 2L)).toDF("k", "v").coalesce(1)
+      .write.format("graft").mode("append")
+      .option("autoAnalyze", "true").save(sink)
+    assert(recorded == 3,
+      "autoAnalyze must cover the new file AND backfill the hole")
+    val (kept1, skipped1) = TableStats.pruneFiles(fs, hp,
+      Seq(LessThanOrEqual("k", 2L)))
+    assert(kept1.size == 1 && skipped1.size == 2,
+      s"full coverage prunes both high-key files: $kept1")
+    assert(spark.read.format("graft").load(sink)
+      .filter(col("k") <= 2L).count() == 2L)
+  }
+
   test("SQL consumers get the same surface via a temp view") {
     val root = java.nio.file.Files.createTempDirectory("ds5").toString
     val (sink, _) = mkSink(root)
