@@ -2444,6 +2444,63 @@ object MaintenanceQueries {
                             ORDER BY o_orderkey LIMIT 3)
        ORDER BY o_orderkey"""
 
+  /** SQL `DELETE FROM` through the catalog
+    * ([[graft.sources.GraftTable]] `SupportsDelete` →
+    * [[graft.operators.DeleteVectors.deleteWhere]]): the statement
+    * lands as DELETION VECTORS — zero data files rewritten or
+    * removed, one manifest commit — and every reader (catalog SQL,
+    * path-based format, operator API) serves the surviving rows.
+    * Pinned in-query: the live file set is byte-identical before and
+    * after the DELETE and `#dv` records exist (merge-on-read, not
+    * copy-on-write). */
+  def q344SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q344_")
+      .toString
+    val cat = s"gq344c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, price DOUBLE) " +
+        "USING graft")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"))
+        .createOrReplaceTempView("q344_src")
+      try {
+        s.sql(s"INSERT INTO $cat.db.d SELECT * FROM q344_src")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val filesBefore = CommitLog.ensureLoggedAt(fs, hp)._2.toSet
+        val cut = s.table(s"$cat.db.d").agg(max("okey"))
+          .head.getLong(0) / 2
+        s.sql(s"DELETE FROM $cat.db.d WHERE okey > $cut")
+        val morNoRewrite =
+          CommitLog.ensureLoggedAt(fs, hp)._2.toSet == filesBefore &&
+            CommitLog.dvRecords(fs, hp).nonEmpty
+        val r = s.sql(
+          s"""SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(okey) AS BIGINT)
+              FROM $cat.db.d""").head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), morNoRewrite))
+          .toDF("rows_after", "sum_okey", "mor_no_rewrite")
+      } finally s.catalog.dropTempView("q344_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q344Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              TRUE AS mor_no_rewrite
+       FROM orders
+       WHERE o_orderkey <=
+             (SELECT max(o_orderkey) // 2 FROM orders)"""
+
   /** Fresh catalog name per invocation: Spark caches catalog
     * INSTANCES per name after first use, so a re-run (bench warmups)
     * must not resolve a stale warehouse root. */
@@ -2520,6 +2577,7 @@ object MaintenanceQueries {
        FROM orders GROUP BY 1 ORDER BY 1"""
 
   val all: Map[String, Q] = Map(
+    "q344_sql_delete" -> q344SqlDelete _,
     "q343_bloom_point" -> q343BloomPoint _,
     "q342_zorder" -> q342Zorder _,
     "q341_sql_catalog" -> q341SqlCatalog _,
@@ -2561,6 +2619,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q344_sql_delete" -> q344Sql,
     "q343_bloom_point" -> q343Sql,
     "q342_zorder" -> q342Sql,
     "q341_sql_catalog" -> q341Sql,

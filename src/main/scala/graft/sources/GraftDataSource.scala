@@ -248,9 +248,32 @@ private[sources] object GraftState {
 }
 
 private[sources] final class GraftTable(state: GraftState)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft:${state.path}@${state.gen}"
+
+  /** SQL `DELETE FROM` lands as DELETION VECTORS
+    * ([[graft.operators.DeleteVectors.deleteWhere]] — merge-on-read,
+    * zero data files rewritten, one manifest commit): accepted only
+    * when EVERY conjunct converts exactly to a `Column` (a partial
+    * conversion would delete a SUPERSET — `canDeleteWhere` refuses
+    * and Spark reports the unsupported condition instead). The q338/
+    * q343 pruning tiers keep serving the surviving rows; `VACUUM`-era
+    * paydown stays `applyDeletes`/`normalizeCompact`. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterColumns.columnsOf(filters.toIndexedSeq).size == filters.length
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val conds = FilterColumns.columnsOf(filters.toIndexedSeq)
+    require(conds.size == filters.length,
+      s"graft: DELETE condition not expressible as filters: " +
+        filters.mkString(", "))
+    val cond = conds.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.operators.DeleteVectors.deleteWhere(
+      SparkSession.active, state.path, cond)
+  }
 
   override def schema(): StructType = state.schema
 

@@ -91,6 +91,48 @@ class GraftCatalogSpec extends SparkSpec {
       new Path(s"$root/db/c")).nonEmpty)
   }
 
+  test("SQL DELETE FROM lands as deletion vectors (merge-on-read, no " +
+    "file rewrites); a condition not expressible as filters refuses " +
+    "instead of deleting a superset; TIMESTAMP AS OF resolves " +
+    "micros → generation") {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("gcat4").toString
+    initCatalog("gc4", root)
+    spark.sql("CREATE NAMESPACE gc4.db")
+    spark.sql("CREATE TABLE gc4.db.t (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO gc4.db.t SELECT id, id * 10 FROM range(100)")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    val filesBefore = CommitLog.ensureLoggedAt(fs, hp)._2.toSet
+    // manifest mtimes resolve timestamps at filesystem granularity —
+    // separate the snapshot instant from the delete commit
+    Thread.sleep(1100)
+    val tsAfterInsert = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql("DELETE FROM gc4.db.t WHERE k >= 90")
+    assert(spark.sql("SELECT CAST(count(*) AS BIGINT) FROM gc4.db.t")
+      .head.getLong(0) == 90L)
+    // merge-on-read: the data files are untouched, only DVs landed
+    assert(CommitLog.ensureLoggedAt(fs, hp)._2.toSet == filesBefore,
+      "DELETE must not rewrite or remove data files")
+    assert(CommitLog.dvRecords(fs, hp).nonEmpty,
+      "DELETE must land as deletion vectors")
+    // a non-filter-expressible condition refuses LOUDLY — a partial
+    // conversion would delete a superset
+    intercept[Exception] {
+      spark.sql("DELETE FROM gc4.db.t WHERE k % 2 = 0")
+    }
+    assert(spark.table("gc4.db.t").count() == 90L,
+      "the refused DELETE must not touch anything")
+    // SQL time travel by TIMESTAMP sees the pre-delete rows (a bare
+    // numeric literal is SECONDS since epoch in Spark SQL; the
+    // catalog receives it converted to micros)
+    assert(spark.sql(
+      s"SELECT CAST(count(*) AS BIGINT) FROM gc4.db.t " +
+        s"TIMESTAMP AS OF ${tsAfterInsert / 1000L}")
+      .head.getLong(0) == 100L)
+  }
+
   test("ALTER TABLE delegates to SchemaEvolve: RENAME COLUMN is a " +
     "metadata-only commit the catalog then serves; positional INSERT " +
     "resolves against the LOGICAL schema (never physical file order); " +
