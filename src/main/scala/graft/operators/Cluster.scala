@@ -71,6 +71,9 @@ object Cluster {
     val cms = CommitLog.colmapRecords(fs, hPath)
     val cts = CommitLog.coltypeRecords(fs, hPath)
     val dvs = CommitLog.dvRecords(fs, hPath)
+    // stats coverage BEFORE the rewrite (records leave with files)
+    val priorStatsCols = CommitLog.statsRecords(fs, hPath)
+      .values.flatMap(_.keySet).toSeq.distinct.sorted
     // logical, DV-applied view: the rewrite pays down mapping/DV debt
     val scan = CommitLog.mappedScan(spark, hPath, live, cms, dvs,
       coltypes = cts)
@@ -78,6 +81,9 @@ object Cluster {
     require(missing.isEmpty,
       s"zorderBy column(s) ${missing.mkString(", ")} not in $path's " +
         s"logical schema ${scan.columns.mkString(", ")}")
+    require(!scan.columns.contains("__z"),
+      "zorderBy stages its Morton key as `__z` — a sink column of " +
+        "that name would be silently overwritten; rename it first")
     // 1) equi-depth boundaries for every column in ONE aggregate job
     val nBuckets = 1 << bitsPerCol
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
@@ -140,8 +146,13 @@ object Cluster {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     fs.delete(tmp, true)
-    // the new tight hypercube bounds are the whole point
-    TableStats.analyze(spark, path, cols)
+    // the new tight hypercube bounds are the whole point; the old
+    // files' records left with them, so re-ANALYZE the UNION of the
+    // previously covered columns and the clustering columns — a
+    // rewrite must never silently shrink the table's stats coverage
+    val covered = (priorStatsCols ++ cols).distinct
+      .filter(scan.columns.contains)
+    TableStats.analyze(spark, path, covered)
     (live.size.toLong, newFiles.size.toLong)
   }
 }

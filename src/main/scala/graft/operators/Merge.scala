@@ -410,10 +410,13 @@ object Merge {
     try {
     // empty feed no-ops in ONE job (a streaming CDF replica's idle
     // windows land here every trigger) — only the ledger advances
-    // when the caller is tracking exactly-once windows
+    // when the caller is tracking exactly-once windows. The advance
+    // is a no-file blind append, so it REBASES past any concurrent
+    // commit (a terminal CAS here would kill a standing replica's
+    // idle trigger whenever maintenance raced it).
     if (batch.isEmpty) {
       txn.foreach { case (app, v) =>
-        CommitLog.commitNext(fs, hPath, baseGen, live,
+        CommitLog.commitAppend(fs, hPath, baseGen, live, Nil,
           txn = Some((app, v)))
       }
       return CdcStats(live.length.toLong, 0L, 0L, 0L, 0L)
@@ -472,8 +475,9 @@ object Merge {
     } else txn.foreach { case (app, v) =>
       // no-effect batch still advances the idempotence ledger — the
       // exactly-once contract ([[Replicate]]) records "window applied"
-      // even when the window nets to nothing
-      CommitLog.commitNext(fs, hPath, baseGen, live,
+      // even when the window nets to nothing; a no-file blind append,
+      // so it rebases past concurrent commits
+      CommitLog.commitAppend(fs, hPath, baseGen, live, Nil,
         txn = Some((app, v)))
     }
     CdcStats(live.length.toLong, touched.length.toLong,

@@ -106,8 +106,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier,
                            info: TableInfo): Table = {
-    val p = Option(info.properties.get(TableCatalog.PROP_LOCATION))
-      .map(new Path(_)).getOrElse(tablePath(ident))
+    // identity mapping is the catalog's whole resolution scheme — a
+    // LOCATION override would commit a log this catalog could never
+    // find again (loadTable/alterTable/dropTable all derive the path
+    // from the identifier), so refuse instead of stranding a table
+    Option(info.properties.get(TableCatalog.PROP_LOCATION)).foreach {
+      loc =>
+        require(new Path(loc) == tablePath(ident),
+          s"graft catalog: LOCATION '$loc' is not the " +
+            s"warehouse-derived path ${tablePath(ident)} — external " +
+            "locations are not resolvable by an identity-mapped " +
+            "catalog; read the path directly with " +
+            "spark.read.format(\"graft\").load(path)")
+    }
+    val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     val partCols = info.partitions.toSeq.map { t =>
       if (t.name != "identity")
@@ -133,12 +145,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** RENAME/DROP COLUMN and widening ALTER COLUMN TYPE delegate to
     * [[SchemaEvolve]]'s metadata-only commits; every other change
-    * refuses loudly. */
+    * refuses loudly. A still-EMPTY table (CREATE'd, nothing
+    * inserted) has no files to map — its ALTER rewrites the declared
+    * `#meta` schema instead, all changes in ONE commit. On a
+    * non-empty table, multiple changes apply as SEQUENTIAL commits
+    * (each individually atomic; a failure mid-list leaves the
+    * earlier changes committed — issue one change per ALTER if that
+    * matters). */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, p)
+    if (live.isEmpty) {
+      val meta = CommitLog.metaRecords(fs, p)
+      val ddl = meta.getOrElse("schema.ddl",
+        throw new UnsupportedOperationException(
+          s"graft catalog: $ident is empty and has no declared " +
+            "schema to alter"))
+      var schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      var partCols = meta.get("partition.cols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      def one(name: String)
+             (f: org.apache.spark.sql.types.StructField =>
+               Option[org.apache.spark.sql.types.StructField]): Unit = {
+        require(schema.fieldNames.contains(name),
+          s"graft catalog: no column `$name` in $ident")
+        schema = org.apache.spark.sql.types.StructType(
+          schema.flatMap(fld => if (fld.name == name) f(fld)
+          else Some(fld)))
+      }
+      changes.foreach {
+        case c: TableChange.RenameColumn =>
+          val from = c.fieldNames.head
+          one(from)(fld => Some(fld.copy(name = c.newName)))
+          partCols = partCols.map(pc => if (pc == from) c.newName
+          else pc)
+        case c: TableChange.DeleteColumn =>
+          require(!partCols.contains(c.fieldNames.head),
+            s"graft catalog: cannot drop partition column " +
+              s"${c.fieldNames.head}")
+          one(c.fieldNames.head)(_ => None)
+        case c: TableChange.UpdateColumnType =>
+          one(c.fieldNames.head)(fld =>
+            Some(fld.copy(dataType = c.newDataType)))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other")
+      }
+      CommitLog.commitNext(fs, p, gen, Nil, meta = Map(
+        "schema.ddl" -> schema.toDDL,
+        "partition.cols" -> partCols.mkString(",")))
+      return loadTable(ident)
+    }
     changes.foreach {
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,

@@ -262,13 +262,14 @@ private[sources] final class GraftTable(state: GraftState)
     * q343 pruning tiers keep serving the surviving rows; `VACUUM`-era
     * paydown stays `applyDeletes`/`normalizeCompact`. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    FilterColumns.columnsOf(filters.toIndexedSeq).size == filters.length
+    FilterColumns.exactColumnsOf(filters.toIndexedSeq).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val conds = FilterColumns.columnsOf(filters.toIndexedSeq)
-    require(conds.size == filters.length,
-      s"graft: DELETE condition not expressible as filters: " +
-        filters.mkString(", "))
+    val conds = FilterColumns.exactColumnsOf(filters.toIndexedSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: DELETE condition not exactly expressible as " +
+          s"filters: ${filters.mkString(", ")} — a weaker predicate " +
+          "would delete a superset"))
     val cond = conds.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     graft.operators.DeleteVectors.deleteWhere(
@@ -602,7 +603,16 @@ private[sources] final class GraftStreamSource(
       finally out.close()
       if (mfs.exists(offeredFile)) mfs.delete(offeredFile, false)
       mfs.rename(tmp, offeredFile)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // a failed persist must not leave a STALE-LOW file behind: a
+        // restart trusting it could offer below the engine's
+        // checkpoint and re-deliver committed windows. Drop the file
+        // so that restart falls back to the conservative
+        // latest-uncapped path instead (correctness over caps).
+        try ckFs.delete(offeredFile, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   private def recoverOffered(): Option[Pos] =
     try {
@@ -684,9 +694,14 @@ private[sources] final class GraftStreamSource(
     val startPos = start.map(posOf)
     // a restart calls getBatch from the checkpoint BEFORE any
     // getOffset — re-base the rate limiter on BOTH endpoints, or the
-    // first post-restart window would ignore the caps
-    offered = Some((offered.toSeq ++ startPos.toSeq :+ endPos)
-      .reduce(maxPos))
+    // first post-restart window would ignore the caps; persist the
+    // re-based position too, so the offered file can never lag the
+    // checkpoint by more than one failed write (persistOffered drops
+    // the file on failure — a stale-low value is never trusted)
+    val rebased = (offered.toSeq ++ startPos.toSeq :+ endPos)
+      .reduce(maxPos)
+    if (!offered.contains(rebased)) persistOffered(rebased)
+    offered = Some(rebased)
     val (endGen, endIdx) = endPos
     val mEnd = CommitLog.manifestAt(fs, hPath, endGen)
     val pinnedCols = pinnedSchema.fieldNames.toIndexedSeq.map(col)
@@ -1033,9 +1048,21 @@ private[sources] object FilterColumns {
     case _ => None
   }
 
-  /** The convertible conjuncts of the pushed filter set. */
+  /** The convertible conjuncts of the pushed filter set — WEAKER
+    * than the input when a conjunct is unconvertible, so only valid
+    * where a weaker predicate is sound (the inner-scan I/O elision:
+    * Spark re-applies the full set above). */
   def columnsOf(filters: Seq[Filter]): Seq[Column] =
     filters.flatMap(conjuncts).flatMap(convert)
+
+  /** EXACT conversion of every filter, or None if any filter has an
+    * unconvertible piece — the form DML must use: applying a weaker
+    * predicate to a DELETE would delete a SUPERSET. */
+  def exactColumnsOf(filters: Seq[Filter]): Option[Seq[Column]] = {
+    val converted = filters.map(convert)
+    if (converted.forall(_.isDefined)) Some(converted.map(_.get))
+    else None
+  }
 }
 
 private[sources] final class GraftScan(state: GraftState,
@@ -1128,6 +1155,9 @@ private[sources] final class GraftRelation(
     * set above the relation either way. */
   def innerFrame(): DataFrame = {
     val spark = ctx.sparkSession
+    if (keptFiles.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
     val hPath = new Path(state.path)
     val keepSet = keptFiles.toSet
     val df = CommitLog.mappedScan(spark, hPath, keptFiles,

@@ -30,6 +30,9 @@ class ClusterSpec extends SparkSpec {
     cloud.repartition(8).write.parquet(sink)
     val fs = fsOf(sink); val hp = new Path(sink)
     CommitLog.ensureLoggedAt(fs, hp)
+    // pre-existing coverage on a NON-clustering column must survive
+    // the rewrite (records leave with files; the re-analyze unions)
+    TableStats.analyze(spark, sink, Seq("payload"))
     DeleteVectors.deleteWhere(spark, sink, col("x") === 5L)
     val want = CommitLog.read(spark, sink)
       .agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head
@@ -44,6 +47,10 @@ class ClusterSpec extends SparkSpec {
       .count() == 0L, "DV'd rows must stay deleted after the rewrite")
     assert(CommitLog.dvRecords(fs, hp).isEmpty,
       "the rewrite replaces DV'd files — no records remain")
+    // the non-clustering column's stats coverage survived the rewrite
+    assert(CommitLog.statsRecords(fs, hp).values
+      .forall(_.contains("payload")),
+      "zorderBy must re-analyze previously covered columns too")
     // BOTH dimensions prune: a 5%-wide band on either column skips
     // at least half the 16 hypercube files, manifest-only
     val (keptX, skippedX) = TableStats.pruneFiles(fs, hp, Seq(

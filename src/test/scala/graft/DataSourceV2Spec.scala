@@ -88,10 +88,13 @@ class DataSourceV2Spec extends SparkSpec {
     val info2 = scanInfo(df2)
     assert(info2.keptCount == 1 && info2.skippedCount == 6)
     assert(df2.collect().map(_.getLong(0)).toSeq == Seq(25L))
-    // a filter no file can satisfy plans ZERO files
+    // a filter no file can satisfy plans ZERO files — and the audit
+    // surface stays usable on the fully-pruned scan (empty frame,
+    // not an error)
     val df3 = spark.read.format("graft").load(sink)
       .filter(col("key") === 999L)
     assert(scanInfo(df3).keptCount == 0)
+    assert(scanInfo(df3).innerFrame().count() == 0L)
     assert(df3.count() == 0L)
   }
 

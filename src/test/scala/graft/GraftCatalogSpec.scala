@@ -91,6 +91,40 @@ class GraftCatalogSpec extends SparkSpec {
       new Path(s"$root/db/c")).nonEmpty)
   }
 
+  test("an identity-mapped catalog refuses LOCATION overrides it " +
+    "could never resolve again; ALTER on a still-empty table " +
+    "rewrites the DECLARED #meta schema atomically") {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("gcat5").toString
+    initCatalog("gc5", root)
+    spark.sql("CREATE NAMESPACE gc5.db")
+    // LOCATION elsewhere would strand a log loadTable can never find
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gc5.db.x (k BIGINT) USING graft " +
+        s"LOCATION '$root/elsewhere'")
+    }
+    assert(!fsOf(root).exists(new Path(s"$root/elsewhere")),
+      "a refused CREATE must not leave a stray commit log")
+    // empty-table ALTER: no files to map — the declared schema moves
+    spark.sql("CREATE TABLE gc5.db.e (k INT, v BIGINT) USING graft " +
+      "PARTITIONED BY (k)")
+    spark.sql("ALTER TABLE gc5.db.e RENAME COLUMN k TO key")
+    assert(spark.table("gc5.db.e").columns.toSeq == Seq("key", "v"))
+    // ...including the declared partition layout, so the first
+    // insert still routes into the (renamed) hive layout
+    spark.sql("INSERT INTO gc5.db.e VALUES (1, 10), (2, 20)")
+    val hp = new Path(s"$root/db/e")
+    val (_, live) = CommitLog.ensureLoggedAt(fsOf(s"$root/db/e"), hp)
+    assert(live.nonEmpty && live.forall(_.startsWith("key=")),
+      s"the renamed partition layout must hold: $live")
+    // dropping a declared partition column refuses
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gc5.db.e2 (a INT, p INT) USING graft " +
+        "PARTITIONED BY (p)")
+      spark.sql("ALTER TABLE gc5.db.e2 DROP COLUMN p")
+    }
+  }
+
   test("SQL DELETE FROM lands as deletion vectors (merge-on-read, no " +
     "file rewrites); a condition not expressible as filters refuses " +
     "instead of deleting a superset; TIMESTAMP AS OF resolves " +
