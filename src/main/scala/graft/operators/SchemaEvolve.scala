@@ -111,6 +111,25 @@ object SchemaEvolve {
     "bigint" -> Set("tinyint", "smallint", "int"),
     "double" -> Set("float"))
 
+  /** The widen-only legality check, shared with callers that evolve
+    * a DECLARED schema (no files to record against — the catalog's
+    * empty-table ALTER): refuses unless `current → target` is one of
+    * [[Widenings]]'s lossless promotions. Both arguments are catalog
+    * DDL type names (`int`, `bigint`, ...). */
+  def requireWidening(column: String, current: String,
+                      target: String): Unit = {
+    val cur = current.trim.toLowerCase(java.util.Locale.ROOT)
+    val tgt = target.trim.toLowerCase(java.util.Locale.ROOT)
+    require(Widenings.contains(tgt),
+      s"widen: unsupported target type '$target' for column " +
+        s"'$column' (supported: ${
+          Widenings.keys.toSeq.sorted.mkString(", ")})")
+    require(cur != tgt, s"widen: '$column' is already $tgt")
+    require(Widenings(tgt).contains(cur),
+      s"widen: $cur → $tgt on column '$column' is not a lossless " +
+        "widening")
+  }
+
   /** WIDEN a column's type (e.g. int → bigint): one manifest commit,
     * zero data motion — every live file gains a per-file `#coltype`
     * cast record for the column's physical name; files appended
@@ -121,9 +140,6 @@ object SchemaEvolve {
   def widenColumn(spark: SparkSession, path: String,
                   name: String, toDdl: String): Long = {
     val target = toDdl.trim.toLowerCase
-    require(Widenings.contains(target),
-      s"widen: unsupported target type '$toDdl' (supported: ${
-        Widenings.keys.toSeq.sorted.mkString(", ")})")
     val hPath = new Path(path)
     val fs = fsOf(spark, hPath)
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
@@ -136,9 +152,7 @@ object SchemaEvolve {
       s"widen: no logical column '$name' (have ${
         schema.fieldNames.mkString(",")})")
     val current = schema(name).dataType.catalogString.toLowerCase
-    require(current != target, s"widen: '$name' is already $target")
-    require(Widenings(target).contains(current),
-      s"widen: $current → $target is not a lossless widening")
+    requireWidening(name, current, target)
     val newTypes = live.map { f =>
       val phys = physOf(cms.getOrElse(f, Map.empty), name)
       f -> (cts.getOrElse(f, Map.empty) + (phys -> target))
@@ -151,6 +165,109 @@ object SchemaEvolve {
   private def physOf(m: Map[String, String], logical: String): String =
     m.collectFirst { case (p, l) if l == logical => p }
       .getOrElse(logical)
+
+  /** One schema change for [[applyChanges]] — the metadata-only
+    * subset ([[renameColumn]] / [[dropColumn]] / [[widenColumn]])
+    * that a multi-change `ALTER TABLE` batches into ONE commit. */
+  sealed trait Change
+  object Change {
+    final case class Rename(from: String, to: String) extends Change
+    final case class Drop(name: String) extends Change
+    final case class Widen(name: String, toDdl: String) extends Change
+  }
+
+  /** Apply several metadata-only schema changes as ONE atomic
+    * manifest commit — the all-or-nothing form a multi-change
+    * `ALTER TABLE` needs (sequential single-change commits would
+    * leave a half-applied ALTER if one change in the middle fails).
+    * Each change runs the SAME validations as its single-op form,
+    * against the schema as evolved by the changes BEFORE it in the
+    * list; any failure throws before anything is committed, leaving
+    * the table untouched. Dependent record families (`#check`
+    * rewrites, `#stats` rekey/removal, `#coltype` casts) evolve in
+    * the same commit exactly as the single ops do. Returns the
+    * committed generation. */
+  def applyChanges(spark: SparkSession, path: String,
+                   changes: Seq[Change],
+                   meta: Map[String, String] = Map.empty): Long = {
+    require(changes.nonEmpty, "applyChanges: no changes given")
+    val hPath = new Path(path)
+    val fs = fsOf(spark, hPath)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    require(live.nonEmpty, s"applyChanges on an empty sink $path")
+    val resolver = spark.sessionState.conf.resolver
+    val cms0 = CommitLog.colmapRecords(fs, hPath)
+    val cts0 = CommitLog.coltypeRecords(fs, hPath)
+    // working state, folded change by change: per-file mappings and
+    // casts (materialized for every live file so the final commit is
+    // a full per-file replace), the full stats map, the check overlay
+    // accumulated so far, and the evolving logical schema
+    var cms = live.map(f => f -> cms0.getOrElse(f, Map.empty)).toMap
+    var cts = live.map(f => f -> cts0.getOrElse(f, Map.empty)).toMap
+    var stats = CommitLog.statsRecords(fs, hPath)
+    val baseChecks = CommitLog.checkRecords(fs, hPath)
+    var checkOverlay = Map.empty[String, String]
+    var schema = CommitLog.mappedScan(spark, hPath, live, cms0,
+      coltypes = cts0).schema
+    changes.foreach {
+      case Change.Rename(from, to) =>
+        require(from != to, s"rename to itself: $from")
+        require(schema.fieldNames.contains(from),
+          s"rename: no logical column '$from' (have ${
+            schema.fieldNames.mkString(",")})")
+        require(!schema.fieldNames.contains(to),
+          s"rename: logical column '$to' already exists")
+        cms = cms.map { case (f, m) =>
+          val phys = physOf(m, from)
+          f -> (if (phys == to) m - phys else m + (phys -> to))
+        }
+        checkOverlay ++= rewriteChecks(spark,
+          baseChecks ++ checkOverlay, from, to)
+        stats = stats.map { case (f, m) =>
+          f -> (if (m.contains(from)) m - from + (to -> m(from))
+                else m)
+        }
+        schema = org.apache.spark.sql.types.StructType(schema.map(
+          fld => if (fld.name == from) fld.copy(name = to) else fld))
+      case Change.Drop(name) =>
+        val refChecks = (baseChecks ++ checkOverlay).filter {
+          case (_, e) => checkRefs(spark, e).exists(resolver(_, name))
+        }
+        require(refChecks.isEmpty,
+          s"drop: CHECK constraint(s) ${refChecks.keys.toSeq.sorted
+            .mkString(", ")} reference column '$name' — dropCheck " +
+            "first")
+        require(schema.fieldNames.contains(name),
+          s"drop: no logical column '$name' (have ${
+            schema.fieldNames.mkString(",")})")
+        require(schema.size > 1, "drop: cannot drop the only column")
+        cms = cms.map { case (f, m) =>
+          f -> (m + (physOf(m, name) -> ""))
+        }
+        stats = stats.map { case (f, m) => f -> (m - name) }
+        schema = org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == name))
+      case Change.Widen(name, toDdl) =>
+        val target = toDdl.trim.toLowerCase(java.util.Locale.ROOT)
+        require(schema.fieldNames.contains(name),
+          s"widen: no logical column '$name' (have ${
+            schema.fieldNames.mkString(",")})")
+        requireWidening(name,
+          schema(name).dataType.catalogString.toLowerCase(
+            java.util.Locale.ROOT), target)
+        cts = cts.map { case (f, m) =>
+          f -> (m + (physOf(cms(f), name) -> target))
+        }
+        schema = org.apache.spark.sql.types.StructType(schema.map(
+          fld => if (fld.name == name)
+            fld.copy(dataType =
+              org.apache.spark.sql.types.DataType.fromDDL(target))
+          else fld))
+    }
+    CommitLog.commitNext(fs, hPath, gen, live, colmaps = cms,
+      coltypes = cts, checks = checkOverlay, stats = stats,
+      statsReplace = true, meta = meta)
+  }
 
   /** RENAME a column: one manifest commit, zero data motion. Every
     * live file's record set is rewritten in the same commit (a

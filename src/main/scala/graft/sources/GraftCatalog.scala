@@ -87,8 +87,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadWith(ident, Map.empty)
 
   /** `FOR VERSION AS OF` — the catalog face of `versionAsOf`. */
-  override def loadTable(ident: Identifier, version: String): Table =
+  override def loadTable(ident: Identifier, version: String): Table = {
+    // validate here so a bad literal surfaces as a catalog error
+    // naming the table, not a bare NumberFormatException from deep
+    // inside state resolution
+    require(version != null && version.nonEmpty &&
+      version.forall(_.isDigit),
+      s"graft catalog: VERSION AS OF '$version' on $ident is not a " +
+        "generation number — versions are the non-negative integers " +
+        "DESCRIBE HISTORY lists")
     loadWith(ident, Map("versionAsOf" -> version))
+  }
 
   /** `FOR TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -133,31 +142,59 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(missing.isEmpty,
       s"graft catalog: partition column(s) ${missing.mkString(", ")} " +
         "are not in the table schema")
+    // user TBLPROPERTIES and COMMENT persist as `#meta prop.*`
+    // records ([[GraftTable.properties]] surfaces them back to
+    // DESCRIBE EXTENDED / SHOW TBLPROPERTIES) — never silently
+    // dropped; Spark-injected bookkeeping keys (provider, owner,
+    // location already validated above) are the engine's own and are
+    // not user data to round-trip
+    val props = GraftCatalog.userProperties(info.properties)
     fs.mkdirs(p)
     // generation 0 carries the declared schema + layout as #meta —
     // what reads and the first write resolve against while the table
     // is empty
     CommitLog.commitNext(fs, p, -1L, Nil, meta = Map(
       "schema.ddl" -> info.schema.toDDL,
-      "partition.cols" -> partCols.mkString(",")))
+      "partition.cols" -> partCols.mkString(",")) ++
+      props.map { case (k, v) => s"prop.$k" -> v })
     loadTable(ident)
   }
 
   /** RENAME/DROP COLUMN and widening ALTER COLUMN TYPE delegate to
-    * [[SchemaEvolve]]'s metadata-only commits; every other change
-    * refuses loudly. A still-EMPTY table (CREATE'd, nothing
-    * inserted) has no files to map — its ALTER rewrites the declared
-    * `#meta` schema instead, all changes in ONE commit. On a
-    * non-empty table, multiple changes apply as SEQUENTIAL commits
-    * (each individually atomic; a failure mid-list leaves the
-    * earlier changes committed — issue one change per ALTER if that
-    * matters). */
+    * [[SchemaEvolve]]; SET/UNSET TBLPROPERTIES and COMMENT land as
+    * `#meta prop.*` records; every other change refuses loudly. A
+    * multi-change ALTER is ATOMIC on both paths: a still-EMPTY table
+    * (CREATE'd, nothing inserted) rewrites its declared `#meta`
+    * schema in one commit — under the SAME widen-only type rule the
+    * non-empty path enforces, so a narrowing ALTER can never plant a
+    * declared schema the first INSERT would cast into — and a
+    * non-empty table batches the whole change list into one
+    * [[SchemaEvolve.applyChanges]] commit (a failing change leaves
+    * the schema untouched). */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     val (gen, live) = CommitLog.ensureLoggedAt(fs, p)
+    def single(c: TableChange.ColumnChange): String = {
+      require(c.fieldNames.length == 1,
+        "graft catalog: nested columns are not supported")
+      c.fieldNames.head
+    }
+    // property changes are table-level #meta records on both paths
+    val propMeta: Map[String, String] = changes.collect {
+      case c: TableChange.SetProperty =>
+        require(c.property != TableCatalog.PROP_LOCATION,
+          "graft catalog: LOCATION cannot be altered — the catalog " +
+            "is identity-mapped")
+        s"prop.${c.property}" -> c.value
+      case c: TableChange.RemoveProperty =>
+        s"prop.${c.property}" -> "" // #meta tombstone
+    }.toMap
+    val colChanges = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (live.isEmpty) {
       val meta = CommitLog.metaRecords(fs, p)
       val ddl = meta.getOrElse("schema.ddl",
@@ -177,9 +214,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           schema.flatMap(fld => if (fld.name == name) f(fld)
           else Some(fld)))
       }
-      changes.foreach {
+      colChanges.foreach {
         case c: TableChange.RenameColumn =>
-          val from = c.fieldNames.head
+          val from = single(c)
           one(from)(fld => Some(fld.copy(name = c.newName)))
           partCols = partCols.map(pc => if (pc == from) c.newName
           else pc)
@@ -187,39 +224,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(!partCols.contains(c.fieldNames.head),
             s"graft catalog: cannot drop partition column " +
               s"${c.fieldNames.head}")
-          one(c.fieldNames.head)(_ => None)
+          one(single(c))(_ => None)
         case c: TableChange.UpdateColumnType =>
-          one(c.fieldNames.head)(fld =>
-            Some(fld.copy(dataType = c.newDataType)))
+          // same widen-only legality as the non-empty path: the
+          // declared schema is what the first INSERT will be held to
+          val name = single(c)
+          one(name) { fld =>
+            SchemaEvolve.requireWidening(name,
+              fld.dataType.catalogString, c.newDataType.catalogString)
+            Some(fld.copy(dataType = c.newDataType))
+          }
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other")
       }
       CommitLog.commitNext(fs, p, gen, Nil, meta = Map(
         "schema.ddl" -> schema.toDDL,
-        "partition.cols" -> partCols.mkString(",")))
+        "partition.cols" -> partCols.mkString(",")) ++ propMeta)
       return loadTable(ident)
     }
-    changes.foreach {
+    val evolveChanges = colChanges.map {
       case c: TableChange.RenameColumn =>
-        require(c.fieldNames.length == 1,
-          "graft catalog: nested columns are not supported")
-        SchemaEvolve.renameColumn(spark, p.toString,
-          c.fieldNames.head, c.newName)
+        SchemaEvolve.Change.Rename(single(c), c.newName)
       case c: TableChange.DeleteColumn =>
-        require(c.fieldNames.length == 1,
-          "graft catalog: nested columns are not supported")
-        SchemaEvolve.dropColumn(spark, p.toString, c.fieldNames.head)
+        SchemaEvolve.Change.Drop(single(c))
       case c: TableChange.UpdateColumnType =>
-        require(c.fieldNames.length == 1,
-          "graft catalog: nested columns are not supported")
-        SchemaEvolve.widenColumn(spark, p.toString,
-          c.fieldNames.head, c.newDataType.sql.toLowerCase(
-            java.util.Locale.ROOT))
+        SchemaEvolve.Change.Widen(single(c),
+          c.newDataType.sql.toLowerCase(java.util.Locale.ROOT))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — " +
           "use the SchemaEvolve/CommitLog operator APIs for " +
-          "constraints and properties")
+          "constraints")
     }
+    if (evolveChanges.nonEmpty)
+      SchemaEvolve.applyChanges(spark, p.toString, evolveChanges,
+        meta = propMeta)
+    else if (propMeta.nonEmpty)
+      CommitLog.commitNext(fs, p, gen, live, meta = propMeta)
     loadTable(ident)
   }
 
@@ -255,8 +295,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(catalogName +: namespace)
 
+  /** A TABLE directory is never a namespace: without this exclusion
+    * `DROP NAMESPACE cat.db.sometable CASCADE` would resolve the
+    * table's path as a namespace and delete the table through the
+    * wrong verb. */
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(nsPath(namespace))
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) && !isTable(nsPath(namespace)))
 
   override def loadNamespaceMetadata(namespace: Array[String])
   : util.Map[String, String] =
@@ -265,7 +310,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String])
-  : Unit = fs.mkdirs(nsPath(namespace))
+  : Unit = {
+    // the standard catalog contract: re-creating an existing
+    // namespace throws (CREATE NAMESPACE IF NOT EXISTS is handled a
+    // level up by Spark, which checks namespaceExists first)
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(catalogName +: namespace)
+    require(!fs.exists(nsPath(namespace)),
+      s"graft catalog: ${namespace.mkString(".")} is an existing " +
+        "TABLE path — a table cannot be shadowed by a namespace")
+    fs.mkdirs(nsPath(namespace))
+  }
 
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
@@ -275,11 +331,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
-    if (!fs.exists(p)) return false
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
     if (!cascade && fs.listStatus(p).nonEmpty)
       throw new IllegalStateException(
         s"graft catalog: namespace ${namespace.mkString(".")} is " +
           "not empty (use CASCADE)")
     fs.delete(p, true)
+  }
+}
+
+object GraftCatalog {
+
+  /** Spark-injected bookkeeping keys a CREATE TABLE carries that are
+    * not user data to round-trip (location is validated separately,
+    * provider/owner/external describe the engine itself). */
+  private val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  /** The user-supplied subset of a CREATE TABLE's properties —
+    * TBLPROPERTIES and COMMENT — which persist as `#meta prop.*`
+    * records rather than vanishing. */
+  private[sources] def userProperties(
+      props: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asScala.toMap.filterNot { case (k, _) =>
+      ReservedProps.contains(k) ||
+        k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
   }
 }

@@ -278,6 +278,17 @@ private[sources] final class GraftTable(state: GraftState)
 
   override def schema(): StructType = state.schema
 
+  /** User TBLPROPERTIES / COMMENT persisted by the catalog as
+    * `#meta prop.*` records, surfaced back so DESCRIBE EXTENDED and
+    * SHOW TBLPROPERTIES round-trip what CREATE TABLE declared. */
+  override def properties(): util.Map[String, String] = {
+    val props = new util.HashMap[String, String]()
+    state.manifest.meta.foreach { case (k, v) =>
+      if (k.startsWith("prop.")) props.put(k.stripPrefix("prop."), v)
+    }
+    props
+  }
+
   /** The committed hive layout (or, while empty, the declared
     * `#meta` layout) as identity transforms — so SQL static-partition
     * inserts and DESCRIBE resolve against catalog tables. */
@@ -852,8 +863,8 @@ private[graft] object GraftWriter {
     // discovery for every subsequent read); an explicit partitionBy
     // must agree with it. Truncate replaces the whole file set, so
     // it may (re)choose the layout freely.
-    val declaredCols = CommitLog.metaRecords(fs, hPath)
-      .get("partition.cols")
+    val metaRecs = CommitLog.metaRecords(fs, hPath)
+    val declaredCols = metaRecs.get("partition.cols")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
     val layoutCols =
@@ -886,10 +897,17 @@ private[graft] object GraftWriter {
     // `#coltype`-evolved column therefore passes, a narrower or
     // unrelated type refuses. Supersets are allowed (additive
     // evolution), order is free (parquet resolves by name).
-    if (live.nonEmpty) {
-      val logicalSchema = CommitLog.mappedScan(spark, hPath,
-        Seq(live.head), CommitLog.colmapRecords(fs, hPath),
-        coltypes = CommitLog.coltypeRecords(fs, hPath)).schema
+    // the same guard holds for the FIRST raw batch into a still-empty
+    // catalog-created table: the declared `#meta` schema is what the
+    // table promised its readers, so a conflicting bootstrap batch
+    // refuses just as loudly as one against live files would
+    val logicalSchemaOpt: Option[StructType] =
+      if (live.nonEmpty)
+        Some(CommitLog.mappedScan(spark, hPath,
+          Seq(live.head), CommitLog.colmapRecords(fs, hPath),
+          coltypes = CommitLog.coltypeRecords(fs, hPath)).schema)
+      else metaRecs.get("schema.ddl").map(StructType.fromDDL)
+    logicalSchemaOpt.foreach { logicalSchema =>
       val missing = logicalSchema.fieldNames.toSeq
         .filterNot(data.columns.contains)
       require(missing.isEmpty,
@@ -967,9 +985,28 @@ private[graft] object GraftWriter {
     if (autoAnalyze) {
       val covered = CommitLog.statsRecords(fs, hPath).values
         .flatMap(_.keySet).toSet.intersect(data.columns.toSet)
-      if (covered.nonEmpty)
-        graft.operators.TableStats.analyze(spark, path,
-          covered.toSeq.sorted)
+      if (covered.nonEmpty) {
+        // BEST-EFFORT: the data commit above already landed, and a
+        // replayed batch's `#txn` fast path returns before reaching
+        // here — so a stats-commit conflict that failed the batch
+        // would leave a PERMANENT stats hole (the retry no-ops). One
+        // retry absorbs the common single-racer case; a still-hot
+        // sink skips, and the next autoAnalyze write or an explicit
+        // ANALYZE catches the file up (analyze targets record-less
+        // files, so nothing is lost — only deferred).
+        var attempt = 0
+        var done = false
+        while (!done && attempt < 2) {
+          try {
+            graft.operators.TableStats.analyze(spark, path,
+              covered.toSeq.sorted)
+            done = true
+          } catch {
+            case _: graft.operators.CommitConflictException =>
+              attempt += 1
+          }
+        }
+      }
     }
   }
 }

@@ -87,12 +87,13 @@ class ClusterSpec extends SparkSpec {
         s"(skipped ${linSkipY.size}) — the property Z-ordering adds")
   }
 
-  test("zorderBy refusals are loud: single column, hive layouts, " +
-    "unknown columns, all-null columns") {
+  test("zorderBy refusals are loud: single column, unknown columns, " +
+    "all-null columns, non-numeric columns, partition columns") {
     val root = java.nio.file.Files.createTempDirectory("zo2").toString
     val flat = s"$root/flat"
     spark.range(100).select(col("id").as("x"), (col("id") % 7).as("y"),
-        lit(null).cast("long").as("z"))
+        lit(null).cast("long").as("z"),
+        concat(lit("s"), col("id")).as("s"))
       .coalesce(1).write.parquet(flat)
     CommitLog.ensureLoggedAt(fsOf(flat), new Path(flat))
     intercept[IllegalArgumentException] {
@@ -104,13 +105,90 @@ class ClusterSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Cluster.zorderBy(spark, flat, Seq("x", "z"), 4) // all-null
     }
+    // a non-numeric column refuses UP FRONT with the real reason, not
+    // a downstream all-null-after-cast error
+    val e = intercept[IllegalArgumentException] {
+      Cluster.zorderBy(spark, flat, Seq("x", "s"), 4)
+    }
+    assert(e.getMessage.contains("must be numeric"),
+      s"the refusal must name the type problem: ${e.getMessage}")
+    // clustering a PARTITION column is meaningless (constant within
+    // each partition) — refuse with the pruning rationale
     val hive = s"$root/hive"
     spark.range(100).select(col("id").as("x"), (col("id") % 3).as("p"),
         (col("id") % 7).as("y"))
       .write.partitionBy("p").parquet(hive)
     CommitLog.ensureLoggedAt(fsOf(hive), new Path(hive))
     intercept[IllegalArgumentException] {
-      Cluster.zorderBy(spark, hive, Seq("x", "y"), 4)
+      Cluster.zorderBy(spark, hive, Seq("x", "p"), 4)
     }
+  }
+
+  test("zorderBy(keepReplaced = true) keeps prior generations " +
+    "readable — time travel parity with compactSink") {
+    val root = java.nio.file.Files.createTempDirectory("zo3").toString
+    val sink = s"$root/t"
+    spark.range(10000).select((col("id") % 100).as("x"),
+        (col("id") * 31 % 100).as("y"))
+      .repartition(4).write.parquet(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    val prior = CommitLog.committed(fs, hp).get._1
+    val wantPrior = CommitLog.readAt(spark, sink, prior).count()
+    Cluster.zorderBy(spark, sink, Seq("x", "y"), 8,
+      keepReplaced = true)
+    // the replaced files are still on disk: the prior snapshot reads
+    assert(CommitLog.readAt(spark, sink, prior).count() == wantPrior,
+      "keepReplaced must keep the prior generation readable")
+    assert(CommitLog.read(spark, sink).count() == wantPrior)
+  }
+
+  test("zorderBy on a hive-partitioned sink: per-partition clustering " +
+    "in one commit — partition pruning AND in-partition band pruning " +
+    "both hold") {
+    val root = java.nio.file.Files.createTempDirectory("zo4").toString
+    val sink = s"$root/pt"
+    // 3 partitions × uncorrelated (x, y) cloud; x ranges DIFFER per
+    // partition (0..999 shifted by 1000·p) so global boundaries would
+    // cluster badly — per-partition equi-depth is the point
+    spark.range(60000).select(
+        (col("id") % 3).as("p"),
+        (col("id") % 1000 + (col("id") % 3) * 1000L).as("x"),
+        (col("id") * 7919 % 1000).as("y"),
+        col("id").as("payload"))
+      .repartition(6).write.partitionBy("p").parquet(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    val want = CommitLog.read(spark, sink)
+      .agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head
+    val (before, after) = Cluster.zorderBy(spark, sink,
+      Seq("x", "y"), nFiles = 12)
+    assert(before == 18L, s"3 partitions × 6 tasks: $before")
+    // rows preserved exactly and the hive layout held
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live.forall(_.startsWith("p=")),
+      s"the rewrite must preserve the hive layout: $live")
+    val got = CommitLog.read(spark, sink)
+      .agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head
+    assert(got == want, s"rewrite must preserve rows: $got vs $want")
+    // partition pruning still serves p (partition-value tier)...
+    val (keptP, skippedP) = TableStats.pruneFiles(fs, hp, Seq(
+      org.apache.spark.sql.sources.EqualTo("p", 1L)))
+    assert(keptP.forall(_.startsWith("p=1/")) && skippedP.nonEmpty,
+      s"partition pruning must hold: kept=$keptP")
+    // ...and a selective x band prunes WITHIN partitions: p=1's x
+    // spans 1000..1999, so a 5% band keeps few of its files
+    val inP1 = live.count(_.startsWith("p=1/"))
+    val (keptX, _) = TableStats.pruneFiles(fs, hp, Seq(
+      org.apache.spark.sql.sources.EqualTo("p", 1L),
+      GreaterThanOrEqual("x", 1100L), LessThanOrEqual("x", 1150L)))
+    assert(keptX.size < inP1 && keptX.nonEmpty,
+      s"in-partition band must prune: kept=${keptX.size} of $inP1 " +
+        s"files in p=1 (after=$after)")
+    // exactness above the pruned scan: 51 x-values in the band, each
+    // one residue class mod 3000 → 20 rows
+    assert(CommitLog.read(spark, sink)
+      .filter(col("p") === 1L && col("x").between(1100L, 1150L))
+      .count() == 51L * 20L)
   }
 }

@@ -583,6 +583,32 @@ class DataSourceV2Spec extends SparkSpec {
         .write.format("graft").mode("append").save(sink)
     }
     assert(spark.read.format("graft").load(sink).count() == 4L)
+
+    // the FIRST raw batch into a still-EMPTY catalog-created table is
+    // held to the DECLARED #meta schema the same way: a missing
+    // column or a conflicting type refuses before anything stages
+    // (round 11 enforced only partition columns here)
+    val empty = s"$root/empty"
+    val efs = fsOf(empty); val ehp = new Path(empty)
+    efs.mkdirs(ehp)
+    CommitLog.commitNext(efs, ehp, -1L, Nil, meta = Map(
+      "schema.ddl" -> "k INT, v BIGINT", "partition.cols" -> ""))
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq((1, "x")).toDF("k", "v"), empty, overwrite = false,
+        txn = None) // v: STRING vs declared BIGINT
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.GraftWriter.write(
+        Seq(1).toDF("k"), empty, overwrite = false,
+        txn = None) // v missing entirely
+    }
+    assert(CommitLog.committed(efs, ehp).get._2.isEmpty,
+      "refused bootstrap batches must leave the table empty")
+    graft.sources.GraftWriter.write(
+      Seq((1, 10L)).toDF("k", "v"), empty, overwrite = false,
+      txn = None)
+    assert(spark.read.format("graft").load(empty).count() == 1L)
   }
 
   test("writeStream.format(\"graft\").partitionBy lands micro-batches " +

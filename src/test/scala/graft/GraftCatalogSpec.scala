@@ -197,9 +197,70 @@ class GraftCatalogSpec extends SparkSpec {
     // DROP COLUMN → SchemaEvolve.dropColumn
     spark.sql("ALTER TABLE gc3.db.t DROP COLUMN val")
     assert(spark.table("gc3.db.t").columns.toSeq == Seq("k"))
-    // anything else refuses loudly rather than half-working
+    // SET/UNSET TBLPROPERTIES persist as #meta prop.* records and
+    // round-trip through SHOW TBLPROPERTIES — never silently dropped
+    spark.sql("ALTER TABLE gc3.db.t SET TBLPROPERTIES ('a'='b')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES gc3.db.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("a").contains("b"))
+    spark.sql("ALTER TABLE gc3.db.t UNSET TBLPROPERTIES ('a')")
+    assert(!props().contains("a"))
+    // a genuinely unsupported change still refuses loudly
     intercept[Exception] {
-      spark.sql("ALTER TABLE gc3.db.t SET TBLPROPERTIES ('a'='b')")
+      spark.sql("ALTER TABLE gc3.db.t ADD COLUMNS (extra INT)")
     }
+  }
+
+  test("CREATE TABLE round-trips TBLPROPERTIES and COMMENT as #meta " +
+    "records; empty-table ALTER COLUMN TYPE is widen-only; VERSION " +
+    "AS OF garbage and namespace/table confusions refuse clearly") {
+    val root = java.nio.file.Files.createTempDirectory("gcat6").toString
+    initCatalog("gc6", root)
+    spark.sql("CREATE NAMESPACE gc6.db")
+    // user properties and COMMENT persist (round 11 dropped them)
+    spark.sql("CREATE TABLE gc6.db.t (k INT, v BIGINT) USING graft " +
+      "COMMENT 'the table' TBLPROPERTIES ('team'='etl', 'tier'='gold')")
+    val props = spark.sql("SHOW TBLPROPERTIES gc6.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("etl") &&
+      props.get("tier").contains("gold"),
+      s"TBLPROPERTIES must round-trip: $props")
+    // COMMENT is a RESERVED property SHOW TBLPROPERTIES hides — it
+    // round-trips through DESCRIBE EXTENDED (and the #meta record)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED gc6.db.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Comment").contains("the table"),
+      s"COMMENT must round-trip: $desc")
+    // the empty-table ALTER enforces the SAME widen-only rule as the
+    // non-empty path: a narrowing ALTER would plant a declared schema
+    // the first INSERT then casts into
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gc6.db.t ALTER COLUMN v TYPE INT")
+    }
+    assert(spark.table("gc6.db.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the refused narrowing must leave the declared schema untouched")
+    spark.sql("ALTER TABLE gc6.db.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.table("gc6.db.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // VERSION AS OF must be a generation number — a garbage literal
+    // surfaces as a clear catalog error naming the table
+    spark.sql("INSERT INTO gc6.db.t VALUES (1, 10)")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gc6.db.t VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("generation"),
+      s"the version error must explain itself: ${e.getMessage}")
+    // namespace hygiene: re-CREATE throws, IF NOT EXISTS is quiet,
+    // and a TABLE path never resolves as a namespace (so DROP
+    // NAMESPACE cannot delete a table through the wrong verb)
+    intercept[Exception] { spark.sql("CREATE NAMESPACE gc6.db") }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gc6.db") // quiet
+    intercept[Exception] {
+      spark.sql("DROP NAMESPACE gc6.db.t CASCADE")
+    }
+    assert(spark.table("gc6.db.t").count() == 1L,
+      "a table must never be deletable as a namespace")
   }
 }

@@ -385,4 +385,61 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(CommitLog.read(spark, sink).count() == 16L)
     assert(CommitLog.committed(fs, hp).get._1 > gAfter)
   }
+
+  test("applyChanges batches a multi-change ALTER into ONE atomic " +
+    "commit: all-or-nothing on failure, later changes see earlier " +
+    "ones, dependent records evolve together") {
+    import SchemaEvolve.Change
+    val root = java.nio.file.Files.createTempDirectory("sev9").toString
+    val sink = s"$root/t"
+    Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v")
+      .coalesce(1).write.parquet(sink) // k: INT, v: BIGINT
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    CommitLog.addCheck(spark, sink, "v_pos", "v >= 0")
+    graft.operators.TableStats.analyze(spark, sink, Seq("k", "v"))
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    val schemaBefore = CommitLog.read(spark, sink).schema
+    // a failing change ANYWHERE in the list leaves the table
+    // untouched — no half-applied ALTER (the round-11 sequential
+    // commits would have landed the rename before the widen failed)
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.applyChanges(spark, sink, Seq(
+        Change.Rename("k", "key"),
+        Change.Widen("v", "int"))) // narrowing → refused
+    }
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore,
+      "a failed multi-change ALTER must commit nothing")
+    assert(CommitLog.read(spark, sink).schema == schemaBefore)
+    // a valid list lands as EXACTLY one commit; later changes
+    // resolve against earlier ones (the widen targets the RENAMED
+    // name, which only exists because the rename ran first)
+    SchemaEvolve.applyChanges(spark, sink, Seq(
+      Change.Rename("k", "key"),
+      Change.Rename("v", "val"),
+      Change.Widen("key", "bigint")))
+    val genAfter = CommitLog.committed(fs, hp).get._1
+    assert(genAfter == genBefore + 1,
+      s"multi-change ALTER must be ONE commit: $genBefore → $genAfter")
+    val evolved = CommitLog.read(spark, sink)
+    assert(evolved.columns.toSeq == Seq("key", "val"))
+    assert(evolved.schema("key").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the widen must apply to the renamed column")
+    // dependent families moved in the same commit: the CHECK now
+    // references `val`, and the stats records are rekeyed so pruning
+    // keeps working without a re-analyze
+    assert(CommitLog.checkRecords(fs, hp)("v_pos").contains("val"))
+    assert(CommitLog.statsRecords(fs, hp).values
+      .forall(m => m.contains("key") && m.contains("val")),
+      "stats must rekey to the new logical names")
+    // the legality checks run against the EVOLVED schema: key is now
+    // bigint, so widening it again refuses
+    intercept[IllegalArgumentException] {
+      SchemaEvolve.applyChanges(spark, sink, Seq(
+        Change.Widen("key", "bigint")))
+    }
+    // and the evolved table still reads correctly
+    assert(evolved.agg(sum("val")).head.getLong(0) == 60L)
+  }
 }
