@@ -2576,7 +2576,140 @@ object MaintenanceQueries {
                     WHERE o_orderkey % 3 <= 1) AS BIGINT) AS tt_rows
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** BATCH change-data-feed read at the format surface
+    * ([[graft.sources.GraftCdfTable]] → [[graft.operators.CommitLog
+    * .changesBetween]]) — Delta's batch CDF, the audit/backfill
+    * workhorse: `spark.read.format("graft")
+    * .option("readChangeFeed", true).option("startingVersion", m)
+    * .option("endingVersion", n)` returns the row-level change feed
+    * of the generation window, with `cdfKeys` pairing a window's
+    * delete/insert halves into `update_preimage`/`update_postimage`.
+    * Fixture: base snapshot (g0) → MoR MERGE repricing a key subset
+    * (g1) → predicate DELETE of a DISJOINT key range (g2). Pinned
+    * in-query: (1) the batch window g0..g2 is row-identical to the
+    * per-generation STREAMING CDF collection over the same window
+    * (one manifest-diff engine, two surfaces); (2) bounds validate —
+    * end < start, an uncommitted generation, and combining the feed
+    * with versionAsOf all refuse loudly. */
+  def q345BatchCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q345_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("okey"),
+          col("o_totalprice").as("price"))
+      base.repartition(4).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      val g0 = CommitLog.committed(fs, hp).get._1
+      val cut = base.agg(max("okey")).head.getLong(0) / 2
+      // g1: MoR MERGE — reprice keys ≡0 (mod 20) at or below the cut
+      val updates = base
+        .filter(col("okey") % 20 === 0 && col("okey") <= cut)
+        .withColumn("price", col("price") + lit(1000.0))
+      DeleteVectors.mergeOnRead(s, sink, updates, Seq("okey"))
+      // g2: predicate DELETE of the DISJOINT key range above the cut
+      // (no netting across the window, so batch ≡ streamed windows)
+      DeleteVectors.deleteWhere(s, sink, col("okey") > cut)
+      val gEnd = CommitLog.committed(fs, hp).get._1
+      val batch = s.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", g0)
+        .option("endingVersion", gEnd)
+        .option("cdfKeys", "okey")
+        .load(sink)
+      // pin 1: the per-generation STREAMING collection over the same
+      // window is row-identical (same engine, two surfaces)
+      val qn = s"q345_mem${q341Seq.incrementAndGet()}"
+      val sq = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", g0)
+        .option("maxGensPerTrigger", "1")
+        .option("cdfKeys", "okey")
+        .load(sink)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      val streamEq =
+        try {
+          sq.processAllAvailable()
+          def key(df: DataFrame): Seq[(String, Long, Long)] = df
+            .select(col("_change_type"), col("okey"),
+              round(col("price") * 100).cast("long").as("cents"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq.sorted
+          key(s.table(qn)) == key(batch)
+        } finally sq.stop()
+      // pin 2: bounds validation refuses loudly
+      def refuses(f: => Unit): Boolean =
+        try { f; false } catch { case _: Exception => true }
+      val boundsRefused =
+        refuses(s.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", gEnd)
+          .option("endingVersion", g0).load(sink).collect()) &&
+        refuses(s.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", gEnd + 100).load(sink)
+          .collect()) &&
+        refuses(s.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", g0)
+          .option("versionAsOf", g0).load(sink).collect())
+      val rows = batch.groupBy("_change_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("okey").cast("long").as("sum_okey"),
+          sum(round(col("price") * 100).cast("long")).as("sum_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      import s.implicits._
+      rows.map { case (ct, n, so, sc) =>
+        (ct, n, so, sc, streamEq, boundsRefused)
+      }.toDF("_change_type", "n", "sum_okey", "sum_cents",
+        "stream_eq", "bounds_refused")
+        .orderBy("_change_type")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q345Sql: String =
+    """WITH base AS (SELECT o_orderkey AS okey, o_totalprice AS price
+                     FROM orders WHERE o_orderkey % 4 = 0),
+            c AS (SELECT max(okey) // 2 AS cut FROM base),
+            upd AS (SELECT okey, price FROM base, c
+                    WHERE okey % 20 = 0 AND okey <= cut),
+            del AS (SELECT okey, price FROM base, c WHERE okey > cut)
+       SELECT * FROM (
+         SELECT 'delete' AS _change_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(okey) AS BIGINT) AS sum_okey,
+                CAST(sum(CAST(round(price * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                TRUE AS stream_eq, TRUE AS bounds_refused FROM del
+         UNION ALL
+         SELECT 'update_preimage',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(okey) AS BIGINT),
+                CAST(sum(CAST(round(price * 100) AS BIGINT))
+                     AS BIGINT),
+                TRUE, TRUE FROM upd
+         UNION ALL
+         SELECT 'update_postimage',
+                CAST(count(*) AS BIGINT),
+                CAST(sum(okey) AS BIGINT),
+                CAST(sum(CAST(round((price + 1000.0) * 100) AS BIGINT))
+                     AS BIGINT),
+                TRUE, TRUE FROM upd)
+       ORDER BY _change_type"""
+
   val all: Map[String, Q] = Map(
+    "q345_batch_cdf" -> q345BatchCdf _,
     "q344_sql_delete" -> q344SqlDelete _,
     "q343_bloom_point" -> q343BloomPoint _,
     "q342_zorder" -> q342Zorder _,
@@ -2619,6 +2752,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q345_batch_cdf" -> q345Sql,
     "q344_sql_delete" -> q344Sql,
     "q343_bloom_point" -> q343Sql,
     "q342_zorder" -> q342Sql,

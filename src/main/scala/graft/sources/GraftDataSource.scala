@@ -154,6 +154,8 @@ final class GraftDataSource extends TableProvider
   : StructType =
     GraftMetaTable.kindOf(options) match {
       case Some(kind) => GraftMetaTable.schemaOf(kind)
+      case None if GraftCdfTable.requested(options) =>
+        GraftCdfTable.schemaFor(GraftState.resolve(options))
       case None => GraftState.resolve(options).schema
     }
 
@@ -164,6 +166,8 @@ final class GraftDataSource extends TableProvider
     GraftMetaTable.kindOf(opts) match {
       case Some(kind) =>
         new GraftMetaTable(GraftState.resolve(opts), kind)
+      case None if GraftCdfTable.requested(opts) =>
+        new GraftCdfTable(GraftState.resolve(opts), opts)
       case None =>
         // an EXISTING log wins over any externally-supplied schema
         // (the manifest is the source of truth); only the
@@ -483,6 +487,91 @@ private[sources] final class GraftMetaRelation(
     }
     df.select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
   }
+}
+
+/** BATCH change-data-feed read (Delta's batch CDF, the audit/backfill
+  * workhorse): `spark.read.format("graft").option("readChangeFeed",
+  * true).option("startingVersion", m)[.option("endingVersion", n)]`
+  * returns the row-level change feed of generations `m → n` (default
+  * n = latest committed) — exactly [[CommitLog.changesBetween]], the
+  * same manifest-diff engine the STREAMING CDF source consumes, so
+  * batch and stream windows over the same generations are
+  * row-identical by construction. `startingVersion` is the BASE
+  * snapshot (changes SINCE it), matching the streaming source's
+  * semantics; `option("cdfKeys", "a,b")` pairs a window's delete and
+  * insert halves into `update_preimage`/`update_postimage`. Cost ∝
+  * changed files + DV deltas, never the table: unchanged files are
+  * excluded by manifest set arithmetic before any scan is planned. */
+private[sources] final class GraftCdfTable(state: GraftState,
+                                           options:
+                                             CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft:${state.path}#changes"
+
+  override def schema(): StructType = GraftCdfTable.schemaFor(state)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(scanOpts: CaseInsensitiveStringMap)
+  : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      require(options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null,
+        "graft CDF: readChangeFeed and versionAsOf/timestampAsOf are " +
+          "mutually exclusive — the version window IS the range")
+      val start = Option(options.get("startingVersion")).map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "graft CDF: a batch readChangeFeed needs " +
+            "option(\"startingVersion\", <generation>) — the base " +
+            "snapshot changes are counted from"))
+      val end = Option(options.get("endingVersion")).map(_.toLong)
+        .getOrElse(state.gen)
+      require(end >= start,
+        s"graft CDF: endingVersion $end < startingVersion $start")
+      val keys = Option(options.get("cdfKeys"))
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String =
+          s"${name()} $start..$end"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftCdfRelation(context, state, start, end, keys)
+            .asInstanceOf[T]
+      }
+    }
+  }
+}
+
+private[sources] object GraftCdfTable {
+
+  def requested(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  def schemaFor(state: GraftState): StructType =
+    if (state.schema.fieldNames.contains("_change_type")) state.schema
+    else state.schema.add(org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false))
+}
+
+private[sources] final class GraftCdfRelation(
+    ctx: SQLContext, state: GraftState,
+    fromGen: Long, toGen: Long, keys: Seq[String])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = GraftCdfTable.schemaFor(state)
+
+  override def buildScan(): RDD[Row] =
+    CommitLog.changesBetween(ctx.sparkSession, state.path,
+        fromGen, toGen, keys)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*).rdd
 }
 
 /** Offset of the graft streaming source: a (generation,
