@@ -54,8 +54,8 @@ object DeleteVectors {
     * garbage substring. Belt-and-braces: callers additionally verify
     * every derived path against the manifest's live set before
     * committing ([[requireKnownFiles]]). */
-  private def relPathCol(prefix: String,
-                         fp: Column = col("_metadata.file_path"))
+  private[graft] def relPathCol(prefix: String,
+                                fp: Column = col("_metadata.file_path"))
   : Column =
     when(locate(prefix, fp) > 0,
       fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
@@ -448,6 +448,132 @@ object DeleteVectors {
     failpoint("committed")
     fs.delete(tmp, true)
     (nMarked, updates.count())
+  }
+
+  /** Publish one row-level SQL DML statement (UPDATE / MERGE INTO /
+    * non-pushable DELETE, Spark's `SupportsDelta` rewrite) as a
+    * single merge-on-read commit: the statement's task-written
+    * position marks become `#dv` records (unioned with each affected
+    * file's prior delete set), the task-staged insert files move in
+    * under the sink, and ONE `commitNext` publishes both — zero
+    * existing data files rewritten, the same commit shape
+    * [[mergeOnRead]] lands, so CDF pairing and time travel see SQL
+    * DML and operator DML identically.
+    *
+    * Inputs are what the [[graft.sources]] delta writer produced
+    * against the PINNED snapshot `baseGen`: `markFiles` are parquet
+    * parts of (file sink-relative, pos) rows, `insertRels` are
+    * staged data files relative to `staging` (hive directories
+    * preserved), `affected` is the distinct marked-file set the
+    * tasks reported. CHECK constraints gate the staged insert rows
+    * BEFORE anything moves in.
+    *
+    * Concurrency: unlike [[mergeOnRead]] this path has no key
+    * knowledge, so the commute test is strict — a losing CAS is
+    * retried only when the winner changed NO live file, NO affected
+    * DV record and NO schema mapping (stats/bloom/meta/txn-only
+    * commits); any data-changing winner invalidates the pinned
+    * snapshot and surfaces as [[CommitConflictException]] for the
+    * caller to re-run the statement. Returns (positions marked,
+    * rows inserted). */
+  private[graft] def commitRowLevelDelta(spark: SparkSession,
+                                         path: String,
+                                         baseGen: Long,
+                                         baseLive: Seq[String],
+                                         baseDvs: Map[String, String],
+                                         staging: Path,
+                                         insertRels: Seq[String],
+                                         markFiles: Seq[String],
+                                         affected: Seq[String],
+                                         dvShardRows: Long =
+                                           DefaultDvShardRows,
+                                         maxAttempts: Int = 5)
+  : (Long, Long) = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(baseGen >= 0,
+      s"row-level SQL write: $path has no committed generation")
+    if (affected.nonEmpty)
+      requireKnownFiles("rowLevelDelta", affected, baseLive)
+    // merged DV for the affected files = prior delete sets ∪ the
+    // statement's marks (deleteWhere's discipline; unaffected files'
+    // records carry forward untouched)
+    val (dvMap, dvCounts, nMarked) =
+      if (affected.isEmpty)
+        (Map.empty[String, String], Map.empty[String, Long], 0L)
+      else {
+        val marks = spark.read.parquet(markFiles: _*)
+          .select(col("file"), col("pos"))
+        val nNew = marks.count()
+        val prior = affected.flatMap(baseDvs.get).distinct.sorted
+        val merged =
+          if (prior.isEmpty) marks
+          else marks.union(
+            spark.read.parquet(
+                prior.map(r => new Path(hPath, r).toString): _*)
+              .filter(col("file").isin(affected: _*))
+              .select("file", "pos")).distinct()
+        val (m, c) = writeDvSharded(spark, hPath, merged, affected,
+          dvShardRows)
+        (m, c, nNew)
+      }
+    // constraints gate the statement's NEW rows before anything lands
+    val insertsDir = new Path(staging, "inserts")
+    var nInserted = 0L
+    if (insertRels.nonEmpty) {
+      val staged = spark.read.option("mergeSchema", "true")
+        .option("basePath", insertsDir.toString)
+        .parquet(insertRels.map(r =>
+          new Path(staging, r).toString): _*)
+      nInserted = staged.count()
+      CommitLog.requireChecks(spark, fs, hPath, staged,
+        "row-level SQL write")
+    }
+    // move staged inserts in preserving hive directories, then one
+    // commit (crash between move and commit leaves debris files no
+    // manifest references — vacuum-reclaimable, never visible)
+    val added = insertRels.map { r =>
+      val rel = r.stripPrefix("inserts/")
+      val dest = new Path(hPath, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(new Path(staging, r), dest))
+        throw new java.io.IOException(
+          s"row-level SQL write: could not move ${new Path(staging, r)
+            } into $dest")
+      rel
+    }
+    var base = baseGen
+    var liveNow = baseLive
+    var committed = false
+    var attempt = 0
+    val baseSet = baseLive.toSet
+    val cmsAtBase = (CommitLog.colmapRecordsAt(fs, hPath, baseGen),
+      CommitLog.coltypeRecordsAt(fs, hPath, baseGen))
+    while (!committed) {
+      try {
+        CommitLog.commitNext(fs, hPath, base, liveNow ++ added,
+          dvMap, dvMarks = dvCounts)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+          val dv2 = CommitLog.dvRecords(fs, hPath)
+          val commutes = attempt < maxAttempts &&
+            l2.toSet == baseSet &&
+            (CommitLog.colmapRecords(fs, hPath),
+              CommitLog.coltypeRecords(fs, hPath)) == cmsAtBase &&
+            affected.forall(f => dv2.get(f) == baseDvs.get(f))
+          if (!commutes)
+            throw new CommitConflictException(
+              s"row-level SQL write: lost the commit race at $path " +
+                "and the winner changed data this statement's " +
+                "snapshot never saw (or attempts exhausted after " +
+                s"$attempt) — re-run the statement: ${e.getMessage}")
+          base = g2; liveNow = l2
+      }
+    }
+    (nMarked, nInserted)
   }
 
   /** Apply (compact away) every deletion vector: rewrite each DV'd

@@ -2708,7 +2708,244 @@ object MaintenanceQueries {
                 TRUE, TRUE FROM upd)
        ORDER BY _change_type"""
 
+  /** SQL `UPDATE` through the catalog
+    * ([[graft.sources.GraftRowLevelOperation]] — Spark's
+    * `SupportsDelta` rewrite over the deletion-vector engine): the
+    * statement plans as MERGE-ON-READ — deletion vectors mark the
+    * matched rows' positions, ONE appended file family carries the
+    * post-update rows, one commit publishes both. Pinned in-query:
+    * every pre-existing live data file is byte-identical after the
+    * UPDATE (size+mtime), `#dv` records exist, new files were
+    * appended, and exactly one generation was committed. */
+  def q346SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q346_")
+      .toString
+    val cat = s"gq346c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, qty BIGINT) " +
+        "USING graft")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 97).cast("long").as("qty"))
+        .createOrReplaceTempView("q346_src")
+      try {
+        s.sql(s"INSERT INTO $cat.db.d SELECT * FROM q346_src")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val before = CommitLog.ensureLoggedAt(fs, hp)._2.map { r =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(hp, r))
+          r -> (st.getLen, st.getModificationTime)
+        }.toMap
+        val genBefore = CommitLog.committed(fs, hp).get._1
+        s.sql(s"UPDATE $cat.db.d SET qty = qty + 100000 " +
+          "WHERE okey % 10 = 3")
+        val liveAfter = CommitLog.ensureLoggedAt(fs, hp)._2
+        val morNoRewrite = before.forall { case (r, stamp) =>
+          liveAfter.contains(r) && {
+            val st = fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(hp, r))
+            (st.getLen, st.getModificationTime) == stamp
+          }
+        } && CommitLog.dvRecords(fs, hp).nonEmpty &&
+          liveAfter.exists(f => !before.contains(f))
+        val oneCommit =
+          CommitLog.committed(fs, hp).get._1 == genBefore + 1
+        val r = s.sql(
+          s"""SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN qty >= 100000 THEN 1
+                              ELSE 0 END) AS BIGINT),
+                     CAST(sum(qty) AS BIGINT)
+              FROM $cat.db.d""").head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          morNoRewrite, oneCommit))
+          .toDF("rows_total", "updated_rows", "sum_qty",
+            "mor_no_rewrite", "one_commit")
+      } finally s.catalog.dropTempView("q346_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q346Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_total,
+              CAST(sum(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0
+                       END) AS BIGINT) AS updated_rows,
+              CAST(sum(o_orderkey % 97 +
+                       CASE WHEN o_orderkey % 10 = 3 THEN 100000
+                            ELSE 0 END) AS BIGINT) AS sum_qty,
+              TRUE AS mor_no_rewrite,
+              TRUE AS one_commit
+       FROM orders"""
+
+  /** SQL `MERGE INTO` through the catalog (same `SupportsDelta`
+    * rewrite, the reference's own sink verb —
+    * `/root/reference/dags/idh_etl.py:247-256` is a MERGE): matched
+    * rows update via deletion vectors + appended post-image rows,
+    * NOT MATCHED rows insert — all in ONE merge-on-read commit, no
+    * pre-existing data file rewritten. Pinned in-query like q346. */
+  def q347SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q347_")
+      .toString
+    val cat = s"gq347c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, qty BIGINT) " +
+        "USING graft")
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 97).cast("long").as("qty"))
+        .createOrReplaceTempView("q347_tgt")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 89 + 500000).cast("long").as("qty"))
+        .createOrReplaceTempView("q347_upd")
+      try {
+        s.sql(s"INSERT INTO $cat.db.d SELECT * FROM q347_tgt")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val before = CommitLog.ensureLoggedAt(fs, hp)._2.map { r =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(hp, r))
+          r -> (st.getLen, st.getModificationTime)
+        }.toMap
+        val genBefore = CommitLog.committed(fs, hp).get._1
+        s.sql(
+          s"""MERGE INTO $cat.db.d t USING q347_upd s ON t.okey = s.okey
+              WHEN MATCHED THEN UPDATE SET t.qty = s.qty
+              WHEN NOT MATCHED THEN INSERT (okey, qty)
+                VALUES (s.okey, s.qty)""")
+        val liveAfter = CommitLog.ensureLoggedAt(fs, hp)._2
+        val morNoRewrite = before.forall { case (r, stamp) =>
+          liveAfter.contains(r) && {
+            val st = fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(hp, r))
+            (st.getLen, st.getModificationTime) == stamp
+          }
+        } && CommitLog.dvRecords(fs, hp).nonEmpty
+        val oneCommit =
+          CommitLog.committed(fs, hp).get._1 == genBefore + 1
+        val r = s.sql(
+          s"""SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(qty) AS BIGINT),
+                     CAST(sum(CASE WHEN qty >= 500000 THEN 1
+                              ELSE 0 END) AS BIGINT)
+              FROM $cat.db.d""").head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+          morNoRewrite, oneCommit))
+          .toDF("rows_total", "sum_qty", "merged_rows",
+            "mor_no_rewrite", "one_commit")
+      } finally {
+        s.catalog.dropTempView("q347_tgt")
+        s.catalog.dropTempView("q347_upd")
+      }
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q347Sql: String =
+    """WITH tgt AS (SELECT o_orderkey AS okey, o_orderkey % 97 AS qty
+                    FROM orders WHERE o_orderkey % 2 = 0),
+            upd AS (SELECT o_orderkey AS okey,
+                           o_orderkey % 89 + 500000 AS qty
+                    FROM orders WHERE o_orderkey % 3 = 0),
+            merged AS (SELECT COALESCE(u.okey, t.okey) AS okey,
+                              COALESCE(u.qty, t.qty) AS qty
+                       FROM tgt t FULL OUTER JOIN upd u
+                         ON t.okey = u.okey)
+       SELECT CAST(count(*) AS BIGINT) AS rows_total,
+              CAST(sum(qty) AS BIGINT) AS sum_qty,
+              CAST(sum(CASE WHEN qty >= 500000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS merged_rows,
+              TRUE AS mor_no_rewrite,
+              TRUE AS one_commit
+       FROM merged"""
+
+  /** SQL-only table maintenance ([[graft.sources.GraftProcedures]] —
+    * `CALL <cat>.system.<proc>`, Iceberg's stored-procedure
+    * pattern): a consumer that created, filled and DML'd its table
+    * in SQL pays down the resulting debt in SQL too —
+    * `apply_deletes` folds the DELETE's deletion vectors into clean
+    * files, `optimize` bin-packs the small insert batches, `expire` +
+    * `vacuum` reclaim the replaced bytes — no operator API in the
+    * consumer's hands. Pinned in-query: DV records are gone after
+    * apply_deletes, optimize lands exactly one file, and the rows
+    * survive every step byte-for-byte. */
+  def q348SqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q348_")
+      .toString
+    val cat = s"gq348c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, qty BIGINT) " +
+        "USING graft")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 97).cast("long").as("qty"))
+        .createOrReplaceTempView("q348_src")
+      try {
+        // three small appends → fragmented layout with DV debt
+        s.sql(s"INSERT INTO $cat.db.d " +
+          "SELECT * FROM q348_src WHERE okey % 3 = 0")
+        s.sql(s"INSERT INTO $cat.db.d " +
+          "SELECT * FROM q348_src WHERE okey % 3 = 1")
+        s.sql(s"INSERT INTO $cat.db.d " +
+          "SELECT * FROM q348_src WHERE okey % 3 = 2")
+        val cut = s.table(s"$cat.db.d").agg(max("okey"))
+          .head.getLong(0) / 2
+        s.sql(s"DELETE FROM $cat.db.d WHERE okey > $cut")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val hadDvs = CommitLog.dvRecords(fs, hp).nonEmpty
+        s.sql(s"CALL $cat.system.apply_deletes('db.d')")
+        val dvsGone = CommitLog.dvRecords(fs, hp).isEmpty
+        s.sql(s"CALL $cat.system.optimize('db.d')")
+        val oneFile = CommitLog.ensureLoggedAt(fs, hp)._2.size == 1
+        s.sql(s"CALL $cat.system.expire('db.d', 1)")
+        s.sql(s"CALL $cat.system.vacuum('db.d')")
+        val r = s.sql(
+          s"""SELECT CAST(count(*) AS BIGINT),
+                     CAST(sum(qty) AS BIGINT)
+              FROM $cat.db.d""").head
+        import s.implicits._
+        Seq((r.getLong(0), r.getLong(1),
+          hadDvs && dvsGone, oneFile))
+          .toDF("rows_after", "sum_qty", "dv_debt_paid",
+            "optimized_to_one_file")
+      } finally s.catalog.dropTempView("q348_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q348Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_after,
+              CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_qty,
+              TRUE AS dv_debt_paid,
+              TRUE AS optimized_to_one_file
+       FROM orders
+       WHERE o_orderkey <=
+             (SELECT max(o_orderkey) // 2 FROM orders)"""
+
   val all: Map[String, Q] = Map(
+    "q348_sql_maintenance" -> q348SqlMaintenance _,
+    "q347_sql_merge" -> q347SqlMerge _,
+    "q346_sql_update" -> q346SqlUpdate _,
     "q345_batch_cdf" -> q345BatchCdf _,
     "q344_sql_delete" -> q344SqlDelete _,
     "q343_bloom_point" -> q343BloomPoint _,
@@ -2752,6 +2989,9 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q348_sql_maintenance" -> q348Sql,
+    "q347_sql_merge" -> q347Sql,
+    "q346_sql_update" -> q346Sql,
     "q345_batch_cdf" -> q345Sql,
     "q344_sql_delete" -> q344Sql,
     "q343_bloom_point" -> q343Sql,

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The reference exposes its tables through the warehouse catalog
   * (`dags/idh_etl.py:247-256` — BigQuery dataset.table names); this
   * is the same role for a file-native engine. */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -70,6 +71,48 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def isTable(p: Path): Boolean =
     CommitLog.generations(fs, p).nonEmpty
+
+  // ---- ProcedureCatalog ----
+
+  /** `CALL <cat>.system.<proc>('db.t', ...)` — the SQL maintenance
+    * tier ([[GraftProcedures]], Iceberg's stored-procedure pattern).
+    * The `table` argument resolves through the SAME identity mapping
+    * as table identifiers; unknown namespaces/procedures refuse
+    * loudly with what IS available. */
+  private lazy val procedures = GraftProcedures.registry { table =>
+    val parts = table.split('.').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty,
+      s"graft catalog: procedure table argument '$table' is empty — " +
+        "pass 'db.table' (the identifier, not a path)")
+    val p = nsPath(parts.init.toArray) match {
+      case ns => new Path(ns, parts.last)
+    }
+    if (!isTable(p)) throw new NoSuchTableException(
+      Identifier.of(parts.init.toArray, parts.last))
+    p
+  }
+
+  override def loadProcedure(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.procedures
+    .UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq(GraftProcedures.Namespace),
+      s"graft catalog: procedures live under the " +
+        s"'${GraftProcedures.Namespace}' namespace — " +
+        s"CALL $catalogName.${GraftProcedures.Namespace}.<name>(...)" +
+        s", got namespace ${ident.namespace.mkString(".")}")
+    procedures.getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure '${ident.name}' — " +
+          s"available: ${procedures.keys.toSeq.sorted
+            .mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+  : Array[Identifier] =
+    if (namespace.toSeq == Seq(GraftProcedures.Namespace))
+      procedures.keys.toArray.sorted.map(n =>
+        Identifier.of(namespace, n))
+    else Array.empty
 
   // ---- TableCatalog ----
 

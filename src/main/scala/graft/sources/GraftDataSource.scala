@@ -253,9 +253,34 @@ private[sources] object GraftState {
 
 private[sources] final class GraftTable(state: GraftState)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft:${state.path}@${state.gen}"
+
+  /** Row identity for SQL DML, Iceberg's position-delta shape: the
+    * sink-relative data file and the raw in-file row ordinal — the
+    * exact key the `#dv` record family already speaks, so a SQL
+    * UPDATE/MERGE marks positions the same way the operator API
+    * ([[graft.operators.DeleteVectors]]) does. Hidden from `SELECT *`
+    * (Spark metadata-column semantics); non-nullable because the
+    * row-level rewrite rules require a definite row id. */
+  override def metadataColumns()
+  : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftRowLevel.metadataColumns
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-pushable `DELETE` plan as
+    * MERGE-ON-READ position deltas ([[GraftRowLevelOperation]] —
+    * Spark's `SupportsDelta` rewrite): deletion vectors mark the old
+    * positions, appended files carry the new rows, ONE commit
+    * publishes both. Pushable DELETEs still take the metadata-only
+    * [[deleteWhere]] path (Spark's OptimizeMetadataOnlyDeleteFromTable
+    * converts the rewritten plan back when `canDeleteWhere` accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+  : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(state, info)
 
   /** SQL `DELETE FROM` lands as DELETION VECTORS
     * ([[graft.operators.DeleteVectors.deleteWhere]] — merge-on-read,
@@ -1286,10 +1311,28 @@ private[sources] final class GraftRelation(
         new java.util.ArrayList[Row](), schema)
     val hPath = new Path(state.path)
     val keepSet = keptFiles.toSet
-    val df = CommitLog.mappedScan(spark, hPath, keptFiles,
+    // row-identity columns are materialized only when the projection
+    // asks for them (the row-level DML rewrite does; plain reads
+    // never pay the extra columns)
+    val needsId = schema.fieldNames.exists(GraftRowLevel.isMetaCol)
+    val mapped = CommitLog.mappedScan(spark, hPath, keptFiles,
       state.manifest.colmaps,
       state.manifest.dvs.filter { case (f, _) => keepSet(f) },
+      identity = needsId,
       coltypes = state.manifest.coltypes)
+    val df =
+      if (!needsId) mapped
+      else {
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
+        mapped
+          .withColumn(GraftRowLevel.FileCol,
+            graft.operators.DeleteVectors.relPathCol(prefix,
+              col("__file_path")))
+          .withColumn(GraftRowLevel.PosCol, col("__row_index"))
+          .drop("__file_path", "__row_index")
+      }
     val filtered = FilterColumns.columnsOf(allFilters.toIndexedSeq)
       .foldLeft(df)(_.filter(_))
     filtered.select(schema.fieldNames.toIndexedSeq.map(col): _*)

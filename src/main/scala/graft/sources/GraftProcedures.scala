@@ -1,0 +1,179 @@
+package graft.sources
+
+import graft.operators.{Cluster, CommitLog, Compact, DeleteVectors,
+  TableHistory, TableStats}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance entry points — Iceberg's stored-procedure pattern
+  * (`CALL cat.system.rewrite_data_files`), here over the graft
+  * maintenance operators, so a SQL-only consumer can MAINTAIN a table
+  * it created, filled and queried in SQL:
+  *
+  * {{{
+  * CALL graft.system.optimize('db.t')           -- bin-pack compact
+  * CALL graft.system.zorder('db.t', 'a,b', 8)   -- Z-order rewrite
+  * CALL graft.system.analyze('db.t', 'a,b')     -- #stats coverage
+  * CALL graft.system.build_bloom('db.t', 'id')  -- #bloom sidecars
+  * CALL graft.system.apply_deletes('db.t')      -- pay down DV debt
+  * CALL graft.system.expire('db.t', 3)          -- keep last N gens
+  * CALL graft.system.vacuum('db.t')             -- reclaim orphans
+  * CALL graft.system.history('db.t')            -- DESCRIBE HISTORY
+  * }}}
+  *
+  * Each procedure resolves its `table` argument through the SAME
+  * identity mapping the catalog's tables use, delegates to the
+  * operator that already owns the semantics (one engine, two
+  * surfaces), and returns its summary counts as a result row.
+  * Unknown procedures and unknown namespaces refuse loudly with the
+  * available list — never a silent no-op. */
+private[sources] object GraftProcedures {
+
+  /** Procedure namespace under the catalog: `CALL <cat>.system.<p>`. */
+  val Namespace = "system"
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def resultScan(schema: StructType,
+                         resultRows: Seq[InternalRow])
+  : java.util.Iterator[Scan] = {
+    val arr = resultRows.toArray
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = arr
+      override def readSchema(): StructType = schema
+      override def description(): String = "graft procedure result"
+    }).iterator()
+  }
+
+  private def cols(arg: String): Seq[String] =
+    arg.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** One procedure: fixed parameter list, side-effecting `run`. */
+  private final class Proc(
+      procName: String,
+      params: Seq[ProcedureParameter],
+      schema: StructType,
+      deterministic: Boolean,
+      run: (SparkSession, Path, InternalRow) => Seq[InternalRow],
+      resolve: String => Path)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.toArray
+    override def isDeterministic: Boolean = deterministic
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(input.getString(0))
+      resultScan(schema, run(spark, path, input))
+    }
+  }
+
+  private def counts2(a: String, b: String) = StructType(Seq(
+    StructField(a, LongType, nullable = false),
+    StructField(b, LongType, nullable = false)))
+
+  private def count1(a: String) = StructType(Seq(
+    StructField(a, LongType, nullable = false)))
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  /** The registry, built against a catalog's table resolution. */
+  def registry(resolve: String => Path)
+  : Map[String, UnboundProcedure] = Map(
+    "optimize" -> new Proc("optimize",
+      Seq(param("table", StringType),
+        paramD("target_bytes", LongType, (128L << 20).toString)),
+      counts2("rewritten", "files_after"), deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val partCol = CommitLog.partitionColsOf(
+          CommitLog.ensureLoggedAt(fs, p)._2).headOption
+        val (a, b) = Compact.compactSink(s, p.toString,
+          partitionCol = partCol, targetBytes = in.getLong(1))
+        Seq(row(a, b))
+      }, resolve),
+    "zorder" -> new Proc("zorder",
+      Seq(param("table", StringType), param("columns", StringType),
+        paramD("n_files", IntegerType, "8")),
+      counts2("rewritten", "files_after"), deterministic = false,
+      (s, p, in) => {
+        val (a, b) = Cluster.zorderBy(s, p.toString,
+          cols(in.getString(1)), in.getInt(2))
+        Seq(row(a, b))
+      }, resolve),
+    "analyze" -> new Proc("analyze",
+      Seq(param("table", StringType), param("columns", StringType)),
+      count1("files_analyzed"), deterministic = false,
+      (s, p, in) => Seq(row(
+        TableStats.analyze(s, p.toString, cols(in.getString(1))))),
+      resolve),
+    "build_bloom" -> new Proc("build_bloom",
+      Seq(param("table", StringType), param("columns", StringType),
+        paramD("expected_keys_per_file", LongType, "1000000")),
+      count1("files_indexed"), deterministic = false,
+      (s, p, in) => Seq(row(
+        TableStats.buildBloom(s, p.toString, cols(in.getString(1)),
+          expectedKeysPerFile = in.getLong(2)))),
+      resolve),
+    "apply_deletes" -> new Proc("apply_deletes",
+      Seq(param("table", StringType)),
+      counts2("rewritten", "files_after"), deterministic = false,
+      (s, p, _) => {
+        val (a, b) = DeleteVectors.applyDeletes(s, p.toString)
+        Seq(row(a, b))
+      }, resolve),
+    "expire" -> new Proc("expire",
+      Seq(param("table", StringType),
+        paramD("keep_last", IntegerType, "1")),
+      count1("generations_expired"), deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(row(CommitLog.expireGenerations(fs, p,
+          in.getInt(1)).toLong))
+      }, resolve),
+    "vacuum" -> new Proc("vacuum",
+      Seq(param("table", StringType),
+        paramD("older_than_ms", LongType, "0")),
+      count1("orphans_removed"), deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(row(CommitLog.vacuum(fs, p, in.getLong(1))))
+      }, resolve),
+    "history" -> new Proc("history",
+      Seq(param("table", StringType)),
+      // DESCRIBE HISTORY's summary columns (TableHistory.history)
+      StructType(Seq(
+        StructField("generation", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("files_added", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false),
+        StructField("dv_files", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, _) => {
+        val df = TableHistory.history(s, p.toString)
+          .select("generation", "operation", "n_files",
+            "files_added", "files_removed", "dv_files")
+        df.collect().toSeq.map(r => row(r.getLong(0),
+          utf8(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      }, resolve))
+}

@@ -1,0 +1,366 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.operators.{CommitLog, DeleteVectors}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast,
+  GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, SortOrder}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite,
+  DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation,
+  RowLevelOperationBuilder, RowLevelOperationInfo, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.{
+  ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL row-level DML for graft tables — Spark's delta-based
+  * `SupportsRowLevelOperations` SPI (the Iceberg position-delta
+  * shape, `SupportsDelta`), planned as MERGE-ON-READ over the
+  * existing deletion-vector engine:
+  *
+  *   - `UPDATE graft.db.t SET c = e WHERE p` — the rewritten plan
+  *     scans the pinned snapshot WITH row identity (`_graft_file`,
+  *     `_graft_pos` metadata columns), marks each matched row's
+  *     position deleted and appends the post-update rows as new
+  *     files; ONE commit publishes `#dv` records + appended files
+  *     (zero existing data files rewritten), exactly the
+  *     [[DeleteVectors.mergeOnRead]] commit shape, so change-data-feed
+  *     pairing and time travel treat SQL DML and operator DML
+  *     identically.
+  *   - `MERGE INTO graft.db.t USING s ON k WHEN MATCHED ... WHEN NOT
+  *     MATCHED ...` — same plan with a source join; NOT MATCHED rows
+  *     arrive as pure inserts (null row id).
+  *   - `DELETE FROM` keeps its metadata-only path: Spark's
+  *     `OptimizeMetadataOnlyDeleteFromTable` converts the rewritten
+  *     plan back to [[GraftTable.deleteWhere]] whenever the condition
+  *     is exactly filter-convertible; only non-pushable conditions
+  *     (subqueries, expressions) execute here.
+  *
+  * Scale shape: the scan side prunes files through the manifest
+  * tiers before any I/O (the UPDATE condition is pushed like any
+  * filter), the write side is ∝ |matched rows| + |new rows| (tasks
+  * stream marks and inserts straight to parquet, nothing buffers
+  * whole partitions), and a partitioned sink requests a
+  * clustered-by-partition distribution so each task writes few
+  * files. Reference semantics: the reference's own sink is an
+  * insert/update MERGE (`/root/reference/dags/idh_etl.py:247-256`);
+  * this closes the same verb in pure SQL. */
+private[graft] object GraftRowLevel {
+
+  /** Row-identity metadata column names — hidden from `SELECT *`,
+    * projected only by the row-level rewrite (or explicitly). */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+
+  def isMetaCol(name: String): Boolean =
+    name == FileCol || name == PosCol
+
+  private final class Col(n: String, dt: DataType, c: String)
+    extends MetadataColumn {
+    override def name(): String = n
+    override def dataType(): DataType = dt
+    override def isNullable: Boolean = false
+    override def comment(): String = c
+  }
+
+  val metadataColumns: Array[MetadataColumn] = Array(
+    new Col(FileCol, StringType,
+      "sink-relative data file holding the row (the #dv record key)"),
+    new Col(PosCol, LongType,
+      "raw row ordinal within its data file (parquet row_index)"))
+}
+
+private[sources] final class GraftRowLevelOperationBuilder(
+    state: GraftState, info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(state, info.command())
+}
+
+private[sources] final class GraftRowLevelOperation(
+    state: GraftState, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** The SAME pinned-snapshot scan the SELECT surface plans
+    * (manifest pruning, DV anti-join, column mapping) — the rewrite
+    * just projects the row-identity columns on top. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+  : ScanBuilder = new GraftScanBuilder(state)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+  : DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite =
+      new GraftDeltaWrite(state, info.schema(), cmd)
+  }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowLevel.FileCol),
+    Expressions.column(GraftRowLevel.PosCol))
+
+  override def description(): String = s"graft row-level $cmd"
+}
+
+private[sources] final class GraftDeltaWrite(
+    state: GraftState, dataSchema: StructType,
+    cmd: RowLevelOperation.Command)
+  extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  /** The committed hive layout (or the declared `#meta` layout while
+    * empty) — appended rows must land under it, same rule as
+    * [[GraftWriter.write]]. */
+  private val partCols: Seq[String] = {
+    val committed = CommitLog.partitionColsOf(state.manifest.files)
+    if (committed.nonEmpty) committed
+    else state.manifest.meta.get("partition.cols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+  }
+
+  /** Cluster by partition columns so each task writes into few hive
+    * directories (a DELETE writes no rows, so no clustering). */
+  override def requiredDistribution(): Distribution =
+    if (partCols.nonEmpty && cmd != RowLevelOperation.Command.DELETE)
+      Distributions.clustered(partCols.map(c =>
+        Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch(): DeltaBatchWrite =
+    new GraftDeltaBatchWrite(state, dataSchema, partCols)
+
+  override def description(): String =
+    s"graft delta write ${state.path}@${state.gen}"
+}
+
+/** One SQL statement's distributed write: tasks stream position
+  * marks and insert rows straight to staged parquet (sibling
+  * `__rlo_tmp-*` directory, same move-in discipline as the format
+  * writer), the driver publishes everything in one
+  * [[DeleteVectors.commitRowLevelDelta]] commit. */
+private[sources] final class GraftDeltaBatchWrite(
+    state: GraftState, dataSchema: StructType, partCols: Seq[String])
+  extends DeltaBatchWrite {
+
+  private val hPath = new Path(state.path)
+  private val stagingPath = new Path(hPath.getParent,
+    hPath.getName + "__rlo_tmp-" + java.util.UUID.randomUUID().toString)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+  : DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val conf = new Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // the task-side ParquetOutputWriter reads everything from conf:
+    // write-support class, row schema (set per writer — insert and
+    // mark schemas differ), and the session's parquet write options
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    import org.apache.spark.sql.internal.SQLConf
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
+      .foreach(k => conf.set(k, spark.conf.get(k)))
+    conf.set("parquet.compression",
+      spark.conf.get("spark.sql.parquet.compression.codec")
+        .toUpperCase(java.util.Locale.ROOT))
+    new GraftDeltaWriterFactory(stagingPath.toString, dataSchema,
+      partCols, spark.sessionState.conf.sessionLocalTimeZone,
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val msgs = messages.toSeq
+        .collect { case m: GraftDeltaCommitMessage => m }
+      val insertRels = msgs.flatMap(_.inserts)
+      val markFiles = msgs.flatMap(_.marks)
+        .map(r => new Path(stagingPath, r).toString)
+      val affected = msgs.flatMap(_.markedFiles).distinct.sorted
+      if (insertRels.isEmpty && affected.isEmpty) return
+      DeleteVectors.commitRowLevelDelta(spark, state.path, state.gen,
+        state.manifest.files, state.manifest.dvs, stagingPath,
+        insertRels, markFiles, affected)
+    } finally fs.delete(stagingPath, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingPath.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(stagingPath, true)
+  }
+}
+
+private[sources] final case class GraftDeltaCommitMessage(
+    inserts: Seq[String], marks: Option[String],
+    markedFiles: Seq[String], nInserted: Long, nDeleted: Long)
+  extends WriterCommitMessage
+
+private[sources] final case class GraftDeltaWriterFactory(
+    stagingUri: String, dataSchema: StructType, partCols: Seq[String],
+    timeZone: String, conf: SerializableConfiguration)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : DeltaWriter[InternalRow] =
+    new GraftDeltaTaskWriter(stagingUri, dataSchema, partCols,
+      timeZone, conf, partitionId, taskId)
+}
+
+/** Task-side writer: `insert` streams the row into a parquet file in
+  * its hive directory (partition values rendered exactly as
+  * `partitionBy` would — escaped, null → default partition), `delete`
+  * streams the (file, pos) mark, `update` is delete + insert. All
+  * writers open lazily; a task touching one partition writes one
+  * file. Memory is O(open writers + distinct marked files), never
+  * O(rows). */
+private final class GraftDeltaTaskWriter(
+    stagingUri: String, dataSchema: StructType, partCols: Seq[String],
+    timeZone: String, conf: SerializableConfiguration,
+    partitionId: Int, taskId: Long)
+  extends DeltaWriter[InternalRow] {
+
+  private val staging = new Path(stagingUri)
+  private val uuid = java.util.UUID.randomUUID().toString
+
+  private val payloadIdx = dataSchema.fields.indices
+    .filterNot(i => partCols.contains(dataSchema.fields(i).name))
+  private val payloadSchema =
+    StructType(payloadIdx.map(dataSchema.fields))
+  private val payloadProj =
+    if (partCols.isEmpty) null
+    else UnsafeProjection.create(payloadIdx.map { i =>
+      val f = dataSchema.fields(i)
+      BoundReference(i, f.dataType, f.nullable)
+    })
+  // partition values render through Cast-to-string (what the
+  // DataFrame writer's dynamic partitioning does), so read-back
+  // partition inference agrees with files written by partitionBy
+  private val partProj =
+    if (partCols.isEmpty) null
+    else UnsafeProjection.create(partCols.map { c =>
+      val i = dataSchema.fieldIndex(c)
+      val f = dataSchema.fields(i)
+      Cast(BoundReference(i, f.dataType, f.nullable), StringType,
+        Option(timeZone))
+    })
+
+  private val markSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+  private val markRow = new GenericInternalRow(2)
+
+  private val insertWriters =
+    mutable.LinkedHashMap.empty[String, ParquetOutputWriter]
+  private val insertRels = mutable.ArrayBuffer.empty[String]
+  private var markWriter: ParquetOutputWriter = _
+  private var markRel: Option[String] = None
+  private val markedFiles = mutable.LinkedHashSet.empty[String]
+  private var nIns = 0L
+  private var nDel = 0L
+  private var closed = false
+
+  private def open(schema: StructType, rel: String)
+  : ParquetOutputWriter = {
+    val c = new Configuration(conf.value)
+    ParquetWriteSupport.setSchema(schema, c)
+    val ctx = new TaskAttemptContextImpl(c,
+      new TaskAttemptID(new TaskID(new JobID("graft-rlo", 0),
+        TaskType.MAP, partitionId), 0))
+    new ParquetOutputWriter(new Path(staging, rel).toString, ctx)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    val dir =
+      if (partCols.isEmpty) ""
+      else {
+        val pv = partProj(row)
+        partCols.indices.map { i =>
+          val v =
+            if (pv.isNullAt(i))
+              ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(
+              pv.getUTF8String(i).toString)
+          ExternalCatalogUtils.escapePathName(partCols(i)) + "=" + v
+        }.mkString("", "/", "/")
+      }
+    val w = insertWriters.getOrElseUpdate(dir, {
+      val rel = s"inserts/${dir}part-$partitionId-$taskId-$uuid.parquet"
+      insertRels += rel
+      open(payloadSchema, rel)
+    })
+    w.write(if (partCols.isEmpty) row else payloadProj(row))
+    nIns += 1
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (markWriter == null) {
+      val rel = s"marks/part-$partitionId-$taskId-$uuid.parquet"
+      markRel = Some(rel)
+      markWriter = open(markSchema, rel)
+    }
+    val file = id.getString(0)
+    markRow.update(0, UTF8String.fromString(file))
+    markRow.update(1, id.getLong(1))
+    markWriter.write(markRow)
+    markedFiles += file
+    nDel += 1
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  private def closeAll(): Unit = {
+    if (closed) return
+    closed = true
+    insertWriters.valuesIterator.foreach(_.close())
+    if (markWriter != null) markWriter.close()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    GraftDeltaCommitMessage(insertRels.toSeq, markRel,
+      markedFiles.toSeq, nIns, nDel)
+  }
+
+  override def abort(): Unit = {
+    try closeAll()
+    catch { case _: Exception => () }
+    val fs = staging.getFileSystem(conf.value)
+    (insertRels.iterator ++ markRel.iterator).foreach { r =>
+      try fs.delete(new Path(staging, r), false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = closeAll()
+}

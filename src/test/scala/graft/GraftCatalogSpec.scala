@@ -151,13 +151,15 @@ class GraftCatalogSpec extends SparkSpec {
       "DELETE must not rewrite or remove data files")
     assert(CommitLog.dvRecords(fs, hp).nonEmpty,
       "DELETE must land as deletion vectors")
-    // a non-filter-expressible condition refuses LOUDLY — a partial
-    // conversion would delete a superset
-    intercept[Exception] {
-      spark.sql("DELETE FROM gc4.db.t WHERE k % 2 = 0")
-    }
-    assert(spark.table("gc4.db.t").count() == 90L,
-      "the refused DELETE must not touch anything")
+    // a non-filter-expressible condition can't take the metadata-only
+    // path (a partial conversion would delete a superset) — since the
+    // SupportsDelta surface landed it executes ROW-LEVEL instead:
+    // exact rows, still zero data files rewritten
+    spark.sql("DELETE FROM gc4.db.t WHERE k % 2 = 0")
+    assert(spark.table("gc4.db.t").count() == 45L,
+      "the row-level DELETE must remove exactly the even keys")
+    assert(CommitLog.ensureLoggedAt(fs, hp)._2.toSet == filesBefore,
+      "the row-level DELETE must not rewrite or remove data files")
     // SQL time travel by TIMESTAMP sees the pre-delete rows (a bare
     // numeric literal is SECONDS since epoch in Spark SQL; the
     // catalog receives it converted to micros)
