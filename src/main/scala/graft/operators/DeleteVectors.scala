@@ -475,7 +475,7 @@ object DeleteVectors {
     * commits); any data-changing winner invalidates the pinned
     * snapshot and surfaces as [[CommitConflictException]] for the
     * caller to re-run the statement. Returns (positions marked,
-    * rows inserted). */
+    * data files appended). */
   private[graft] def commitRowLevelDelta(spark: SparkSession,
                                          path: String,
                                          baseGen: Long,
@@ -495,6 +495,18 @@ object DeleteVectors {
       s"row-level SQL write: $path has no committed generation")
     if (affected.nonEmpty)
       requireKnownFiles("rowLevelDelta", affected, baseLive)
+    // constraints gate the statement's NEW rows FIRST — a violating
+    // statement refuses before a single byte lands under the sink
+    // (not even DV sidecars become debris)
+    val insertsDir = new Path(staging, "inserts")
+    if (insertRels.nonEmpty) {
+      val staged = spark.read.option("mergeSchema", "true")
+        .option("basePath", insertsDir.toString)
+        .parquet(insertRels.map(r =>
+          new Path(staging, r).toString): _*)
+      CommitLog.requireChecks(spark, fs, hPath, staged,
+        "row-level SQL write")
+    }
     // merged DV for the affected files = prior delete sets ∪ the
     // statement's marks (deleteWhere's discipline; unaffected files'
     // records carry forward untouched)
@@ -517,18 +529,6 @@ object DeleteVectors {
           dvShardRows)
         (m, c, nNew)
       }
-    // constraints gate the statement's NEW rows before anything lands
-    val insertsDir = new Path(staging, "inserts")
-    var nInserted = 0L
-    if (insertRels.nonEmpty) {
-      val staged = spark.read.option("mergeSchema", "true")
-        .option("basePath", insertsDir.toString)
-        .parquet(insertRels.map(r =>
-          new Path(staging, r).toString): _*)
-      nInserted = staged.count()
-      CommitLog.requireChecks(spark, fs, hPath, staged,
-        "row-level SQL write")
-    }
     // move staged inserts in preserving hive directories, then one
     // commit (crash between move and commit leaves debris files no
     // manifest references — vacuum-reclaimable, never visible)
@@ -573,7 +573,7 @@ object DeleteVectors {
           base = g2; liveNow = l2
       }
     }
-    (nMarked, nInserted)
+    (nMarked, added.size.toLong)
   }
 
   /** Apply (compact away) every deletion vector: rewrite each DV'd

@@ -149,7 +149,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadWith(ident: Identifier,
                        extra: Map[String, String]): Table = {
     val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    if (!isTable(p)) {
+      // Iceberg-style METADATA TABLE identifiers: `cat.db.t.history`,
+      // `cat.db.t.files`, `cat.db.t.changes` — the suffix selects the
+      // metadata surface of the PARENT table (a genuine table of that
+      // name always wins: this branch only runs when `p` is no table)
+      val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+      if (ident.namespace.nonEmpty &&
+        Seq("history", "files", "changes").contains(kind)) {
+        val parent = new Path(nsPath(ident.namespace.init),
+          ident.namespace.last)
+        if (isTable(parent)) {
+          val base = extra + ("path" -> parent.toString)
+          def opts(m: Map[String, String]) =
+            new CaseInsensitiveStringMap(
+              scala.jdk.CollectionConverters.MapHasAsJava(m).asJava)
+          return kind match {
+            case "changes" =>
+              // the table's full RETAINED changelog: base snapshot =
+              // first retained generation, end = latest (narrower
+              // windows: the format surface's startingVersion/
+              // endingVersion options, or CommitLog.changesBetween)
+              val first = CommitLog.generations(fs, parent).head
+              val m = base + ("readChangeFeed" -> "true",
+                "startingVersion" -> first.toString)
+              new GraftCdfTable(GraftState.resolve(opts(m)), opts(m))
+            case k =>
+              new GraftMetaTable(GraftState.resolve(opts(base)), k)
+          }
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val opts = new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(
         extra + ("path" -> p.toString)).asJava)

@@ -265,4 +265,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gc6.db.t").count() == 1L,
       "a table must never be deletable as a namespace")
   }
+
+  test("metadata-table identifiers (Iceberg's pattern): SELECT from " +
+    "cat.db.t.history / .files / .changes in pure SQL; a REAL table " +
+    "of that name always wins") {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("gcat7").toString
+    initCatalog("gc7", root)
+    spark.sql("CREATE NAMESPACE gc7.db")
+    spark.sql("CREATE TABLE gc7.db.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gc7.db.t SELECT id, 'a' FROM range(0, 50)")
+    spark.sql("INSERT INTO gc7.db.t SELECT id, 'b' FROM range(50, 80)")
+    spark.sql("DELETE FROM gc7.db.t WHERE k >= 70")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hp)
+
+    // history: one row per generation, latest = current gen
+    val hist = spark.sql(
+      "SELECT generation, operation FROM gc7.db.t.history " +
+        "ORDER BY generation").collect()
+    assert(hist.map(_.getLong(0)).max == gen)
+    assert(hist.map(_.getString(1)).contains("delete"), hist.toSeq)
+
+    // files: the live footprint with DV cardinality
+    val files = spark.sql(
+      "SELECT file, has_dv FROM gc7.db.t.files").collect()
+    assert(files.length == live.size)
+    assert(files.exists(_.getBoolean(1)), "the DELETE's DV shows up")
+
+    // changes: the retained NET changelog (first retained generation
+    // as base snapshot — a row inserted AND deleted inside the window
+    // nets out, changesBetween's manifest-diff semantics)
+    val ch = spark.sql(
+      "SELECT _change_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM gc7.db.t.changes GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("insert" -> 70L),
+      s"net changelog over the full window: $ch")
+
+    // a genuine table named like a metadata suffix resolves as a TABLE
+    spark.sql("CREATE TABLE gc7.db.history (x BIGINT) USING graft")
+    spark.sql("INSERT INTO gc7.db.history VALUES (1), (2)")
+    assert(spark.sql("SELECT CAST(count(*) AS BIGINT) " +
+      "FROM gc7.db.history").head.getLong(0) == 2L)
+  }
 }

@@ -234,6 +234,101 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got == Seq(5L -> "n5", 25L -> "n25"), got.toString)
   }
 
+  test("UPDATE with an IN-subquery condition executes row-level " +
+    "(not expressible as pushed filters)") {
+    val root = java.nio.file.Files.createTempDirectory("rls9").toString
+    initCatalog("rls9", root)
+    spark.sql("CREATE NAMESPACE rls9.db")
+    spark.sql("CREATE TABLE rls9.db.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO rls9.db.t SELECT id, 'x' FROM range(0, 20)")
+    Seq(3L, 7L, 11L).toDF("kk").createOrReplaceTempView("rls9_keys")
+    spark.sql("UPDATE rls9.db.t SET v = 'picked' " +
+      "WHERE k IN (SELECT kk FROM rls9_keys)")
+    assert(spark.table("rls9.db.t").filter($"v" === "picked")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 7L, 11L))
+  }
+
+  test("row-level commit race rules: a record-only interleaved commit " +
+    "(analyze) COMMUTES; a data-changing one (append) refuses with " +
+    "CommitConflictException — never silently merges") {
+    import graft.operators.{CommitConflictException, DeleteVectors,
+      TableStats}
+    val root = java.nio.file.Files.createTempDirectory("rls10").toString
+    val path = s"$root/t"
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+      .coalesce(1).write.parquet(path)
+    val hp = new Path(path); val fs = fsOf(path)
+    CommitLog.ensureLoggedAt(fs, hp)
+
+    def snapshot() = {
+      val (g, live) = CommitLog.ensureLoggedAt(fs, hp)
+      (g, live, CommitLog.dvRecords(fs, hp))
+    }
+    def staged(tag: String): (Path, Seq[String], Seq[String]) = {
+      // a real task-shaped staging payload: one insert file, one mark
+      // part marking position 0 of the first live file
+      val staging = new Path(s"$root/stage_$tag")
+      spark.range(1000, 1002).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1).write.parquet(
+          new Path(staging, "inserts").toString)
+      val ins = fs.listStatus(new Path(staging, "inserts"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .map("inserts/" + _).toSeq
+      val live0 = CommitLog.ensureLoggedAt(fs, hp)._2.head
+      Seq((live0, 0L)).toDF("file", "pos").coalesce(1)
+        .write.parquet(new Path(staging, "marks").toString)
+      val mks = fs.listStatus(new Path(staging, "marks"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+      (staging, ins, mks)
+    }
+
+    // commute branch: ANALYZE lands between snapshot and commit —
+    // no live-file change, no DV change → the commit rebases through
+    val (g1, live1, dvs1) = snapshot()
+    val (st1, ins1, mks1) = staged("a")
+    TableStats.analyze(spark, path, Seq("k"))
+    val affected1 = Seq(live1.head)
+    val (marked, appended) = DeleteVectors.commitRowLevelDelta(
+      spark, path, g1, live1, dvs1, st1, ins1, mks1, affected1)
+    assert(marked == 1L && appended == 1L)
+    assert(spark.read.format("graft").load(path).count() == 101,
+      "100 - 1 deleted + 2 inserted")
+
+    // refusal branch: an APPEND lands between snapshot and commit —
+    // the statement's snapshot never saw its rows → terminal conflict
+    val (g2, live2, dvs2) = snapshot()
+    val (st2, ins2, mks2) = staged("b")
+    graft.sources.GraftWriter.write(
+      spark.range(500, 510).selectExpr("id AS k", "id * 2 AS v"),
+      path, overwrite = false, txn = None)
+    intercept[CommitConflictException] {
+      DeleteVectors.commitRowLevelDelta(spark, path, g2, live2, dvs2,
+        st2, ins2, mks2, Seq(live2.head))
+    }
+  }
+
+  test("SQL UPDATE works on a COLUMN-MAPPED table (ALTER TABLE RENAME " +
+    "first): predicates in logical names, appended files carry the " +
+    "logical schema, old files still read through their mapping") {
+    val root = java.nio.file.Files.createTempDirectory("rls8").toString
+    initCatalog("rls8", root)
+    spark.sql("CREATE NAMESPACE rls8.db")
+    spark.sql("CREATE TABLE rls8.db.t (k BIGINT, val STRING) " +
+      "USING graft")
+    spark.sql("INSERT INTO rls8.db.t SELECT id, concat('v', id) " +
+      "FROM range(0, 30)")
+    spark.sql("ALTER TABLE rls8.db.t RENAME COLUMN val TO label")
+    spark.sql("UPDATE rls8.db.t SET label = 'renamed+updated' " +
+      "WHERE k < 5")
+    val got = spark.table("rls8.db.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.take(5).forall(_._2 == "renamed+updated"), got.take(6))
+    assert(got.drop(5).forall(p => p._2 == s"v${p._1}"), got.drop(5)
+      .take(3))
+    assert(got.size == 30)
+  }
+
   test("CDF pairs SQL UPDATE pre/post images like operator MERGE") {
     val root = java.nio.file.Files.createTempDirectory("rls5").toString
     initCatalog("rls5", root)
