@@ -402,8 +402,7 @@ object DeleteVectors {
     var seen = live.toSet ++ newFiles
     var committed = false
     var attempt = 0
-    val cmsAtBase = (CommitLog.colmapRecordsAt(fs, hPath, baseGen),
-      CommitLog.coltypeRecordsAt(fs, hPath, baseGen))
+    val mBase = CommitLog.manifestAt(fs, hPath, baseGen)
     while (!committed) {
       try {
         CommitLog.commitNext(fs, hPath, base, liveNow ++ newFiles,
@@ -412,18 +411,30 @@ object DeleteVectors {
       } catch {
         case e: CommitConflictException =>
           attempt += 1
-          val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
+          // one consistent manifest read per retry (not four record
+          // reads that could straddle yet another commit)
+          val g2 = CommitLog.generations(fs, hPath).last
+          val m2 = CommitLog.manifestAt(fs, hPath, g2)
+          val l2 = m2.files
           val liveSet2 = l2.toSet
-          val dv2 = CommitLog.dvRecords(fs, hPath)
+          val dv2 = m2.dvs
           // a winner that evolved the schema invalidates our staged
           // files' physical column names (see upsertParquet) — never
           // commutes
-          if ((CommitLog.colmapRecords(fs, hPath),
-              CommitLog.coltypeRecords(fs, hPath)) != cmsAtBase)
+          if ((m2.colmaps, m2.coltypes) !=
+            (mBase.colmaps, mBase.coltypes))
             throw new CommitConflictException(
               s"mergeOnRead: a concurrent writer evolved the schema " +
                 s"at $path — re-run the MERGE against the new " +
                 "logical schema")
+          // a winner that added a CHECK invalidates this batch's
+          // constraint gate (requireChecks ran against the pinned
+          // snapshot) — never commutes
+          if (m2.checks != mBase.checks)
+            throw new CommitConflictException(
+              s"mergeOnRead: a concurrent writer changed CHECK " +
+                s"constraints at $path — re-run the MERGE so the " +
+                "batch is re-validated")
           val winnerNew = l2.filterNot(seen)
           val keyOverlap = winnerNew.nonEmpty && spark.read
             .option("mergeSchema", "true")
@@ -547,8 +558,7 @@ object DeleteVectors {
     var committed = false
     var attempt = 0
     val baseSet = baseLive.toSet
-    val cmsAtBase = (CommitLog.colmapRecordsAt(fs, hPath, baseGen),
-      CommitLog.coltypeRecordsAt(fs, hPath, baseGen))
+    val mBase = CommitLog.manifestAt(fs, hPath, baseGen)
     while (!committed) {
       try {
         CommitLog.commitNext(fs, hPath, base, liveNow ++ added,
@@ -557,20 +567,28 @@ object DeleteVectors {
       } catch {
         case e: CommitConflictException =>
           attempt += 1
-          val (g2, l2) = CommitLog.ensureLoggedAt(fs, hPath)
-          val dv2 = CommitLog.dvRecords(fs, hPath)
+          // ONE consistent manifest read decides the commute — four
+          // separate record reads could straddle yet another commit.
+          // Commute requires the winner changed NO live file, NO
+          // schema mapping, NO affected DV record, and NO CHECK
+          // constraint (a new CHECK must re-gate this statement's
+          // rows — requireChecks ran against the pinned snapshot)
+          val g2 = CommitLog.generations(fs, hPath).last
+          val m2 = CommitLog.manifestAt(fs, hPath, g2)
           val commutes = attempt < maxAttempts &&
-            l2.toSet == baseSet &&
-            (CommitLog.colmapRecords(fs, hPath),
-              CommitLog.coltypeRecords(fs, hPath)) == cmsAtBase &&
-            affected.forall(f => dv2.get(f) == baseDvs.get(f))
+            m2.files.toSet == baseSet &&
+            (m2.colmaps, m2.coltypes) ==
+              (mBase.colmaps, mBase.coltypes) &&
+            m2.checks == mBase.checks &&
+            affected.forall(f => m2.dvs.get(f) == baseDvs.get(f))
           if (!commutes)
             throw new CommitConflictException(
               s"row-level SQL write: lost the commit race at $path " +
-                "and the winner changed data this statement's " +
-                "snapshot never saw (or attempts exhausted after " +
-                s"$attempt) — re-run the statement: ${e.getMessage}")
-          base = g2; liveNow = l2
+                "and the winner changed data, constraints or " +
+                "mappings this statement's snapshot never saw (or " +
+                s"attempts exhausted after $attempt) — re-run the " +
+                s"statement: ${e.getMessage}")
+          base = g2; liveNow = m2.files
       }
     }
     (nMarked, added.size.toLong)

@@ -2916,10 +2916,15 @@ object MaintenanceQueries {
         val hadDvs = CommitLog.dvRecords(fs, hp).nonEmpty
         s.sql(s"CALL $cat.system.apply_deletes('db.d')")
         val dvsGone = CommitLog.dvRecords(fs, hp).isEmpty
-        s.sql(s"CALL $cat.system.optimize('db.d')")
+        // explicit 1 GiB target so the one-file pin holds at ANY
+        // driver SF (the 128 MB default would legitimately bin-pack
+        // a big enough table into several files)
+        s.sql(s"CALL $cat.system.optimize('db.d', ${1L << 30})")
         val oneFile = CommitLog.ensureLoggedAt(fs, hp)._2.size == 1
         s.sql(s"CALL $cat.system.expire('db.d', 1)")
-        s.sql(s"CALL $cat.system.vacuum('db.d')")
+        // horizon 0: reclaim immediately — sound in-query because the
+        // sink is quiesced (this statement is its only writer)
+        s.sql(s"CALL $cat.system.vacuum('db.d', 0)")
         val r = s.sql(
           s"""SELECT CAST(count(*) AS BIGINT),
                      CAST(sum(qty) AS BIGINT)

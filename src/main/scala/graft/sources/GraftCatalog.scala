@@ -84,11 +84,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(parts.nonEmpty,
       s"graft catalog: procedure table argument '$table' is empty — " +
         "pass 'db.table' (the identifier, not a path)")
-    val p = nsPath(parts.init.toArray) match {
-      case ns => new Path(ns, parts.last)
-    }
-    if (!isTable(p)) throw new NoSuchTableException(
-      Identifier.of(parts.init.toArray, parts.last))
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
     p
   }
 
@@ -216,6 +214,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(missing.isEmpty,
       s"graft catalog: partition column(s) ${missing.mkString(", ")} " +
         "are not in the table schema")
+    val reserved = info.schema.fieldNames
+      .filter(GraftRowLevel.isMetaCol)
+    require(reserved.isEmpty,
+      s"graft catalog: column name(s) ${reserved.mkString(", ")} " +
+        "are reserved row-identity metadata columns — rename them")
     // user TBLPROPERTIES and COMMENT persist as `#meta prop.*`
     // records ([[GraftTable.properties]] surfaces them back to
     // DESCRIBE EXTENDED / SHOW TBLPROPERTIES) — never silently

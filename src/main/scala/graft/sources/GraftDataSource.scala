@@ -959,6 +959,14 @@ private[graft] object GraftWriter {
     val spark = data.sparkSession
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the row-identity metadata column names are RESERVED: a data
+    // column spelled _graft_file/_graft_pos would be silently
+    // shadowed by the scan's identity materialization and would break
+    // row-level DML's rowId resolution
+    val reserved = data.columns.filter(GraftRowLevel.isMetaCol)
+    require(reserved.isEmpty,
+      s"graft write: column name(s) ${reserved.mkString(", ")} are " +
+        "reserved row-identity metadata columns — rename them")
     // bring the sink under log control (bootstraps generation 0 for a
     // fresh/unlogged path — the CREATE case)
     val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)

@@ -104,10 +104,18 @@ private[sources] object GraftProcedures {
       counts2("rewritten", "files_after"), deterministic = false,
       (s, p, in) => {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val partCol = CommitLog.partitionColsOf(
-          CommitLog.ensureLoggedAt(fs, p)._2).headOption
+        val partCols = CommitLog.partitionColsOf(
+          CommitLog.ensureLoggedAt(fs, p)._2)
+        // compactSink rewrites ONE partition level; silently passing
+        // the first of several would DROP the deeper directory
+        // columns from every rewritten row — refuse instead
+        require(partCols.size <= 1,
+          s"optimize: $p is partitioned by (${partCols.mkString(", ")
+            }) — multi-level layouts are not bin-packable in one " +
+            "pass; compact per partition with the operator API")
         val (a, b) = Compact.compactSink(s, p.toString,
-          partitionCol = partCol, targetBytes = in.getLong(1))
+          partitionCol = partCols.headOption,
+          targetBytes = in.getLong(1))
         Seq(row(a, b))
       }, resolve),
     "zorder" -> new Proc("zorder",
@@ -150,8 +158,13 @@ private[sources] object GraftProcedures {
           in.getInt(1)).toLong))
       }, resolve),
     "vacuum" -> new Proc("vacuum",
+      // horizon 0 is safe only on a QUIESCED sink (a concurrent
+      // writer's moved-in-but-uncommitted files look unreferenced);
+      // the SQL default is Delta's 7-day retention — pass 0
+      // explicitly to reclaim immediately
       Seq(param("table", StringType),
-        paramD("older_than_ms", LongType, "0")),
+        paramD("older_than_ms", LongType,
+          (7L * 24 * 3600 * 1000).toString)),
       count1("orphans_removed"), deterministic = false,
       (s, p, in) => {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

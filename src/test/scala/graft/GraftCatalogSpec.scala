@@ -309,5 +309,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gc7.db.history VALUES (1), (2)")
     assert(spark.sql("SELECT CAST(count(*) AS BIGINT) " +
       "FROM gc7.db.history").head.getLong(0) == 2L)
+
+    // the row-identity metadata names are RESERVED — a data column
+    // spelled that way would be shadowed by the scan's identity
+    // materialization and break row-level DML
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gc7.db.bad (_graft_file STRING, " +
+        "v BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.range(3).selectExpr("id AS _graft_pos")
+        .write.format("graft").mode("append").save(s"$root/db/bad2")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 }

@@ -63,7 +63,12 @@ class GraftProceduresSpec extends SparkSpec {
     assert(exp.getLong(0) >= 1, s"expire must drop generations: $exp")
     val orphan = fs.create(new Path(hp, "part-orphan-debris.parquet"))
     orphan.write(Array.fill[Byte](16)(1)); orphan.close()
-    val vac = spark.sql("CALL gp1.system.vacuum('db.t')").head
+    // the DEFAULT horizon is 7 days (safe under concurrent writers) —
+    // the fresh orphan survives it; horizon 0 reclaims immediately
+    val vacSafe = spark.sql("CALL gp1.system.vacuum('db.t')").head
+    assert(vacSafe.getLong(0) == 0L,
+      s"default horizon must spare recent files: $vacSafe")
+    val vac = spark.sql("CALL gp1.system.vacuum('db.t', 0)").head
     assert(vac.getLong(0) == 1L,
       s"vacuum must reclaim exactly the orphan: $vac")
     assert(!fs.exists(new Path(hp, "part-orphan-debris.parquet")))
@@ -95,6 +100,28 @@ class GraftProceduresSpec extends SparkSpec {
     val bl = spark.sql(
       "CALL gp2.system.build_bloom('db.t', 'a')").head
     assert(bl.getLong(0) == 4L, s"bloom must index all 4 files: $bl")
+  }
+
+  test("optimize refuses a multi-level hive layout instead of " +
+    "silently dropping the deeper partition columns") {
+    val root = java.nio.file.Files.createTempDirectory("gproc4").toString
+    initCatalog("gp4", root)
+    spark.sql("CREATE NAMESPACE gp4.db")
+    spark.sql("CREATE TABLE gp4.db.t (k BIGINT, a STRING, b STRING) " +
+      "USING graft PARTITIONED BY (a, b)")
+    spark.sql("INSERT INTO gp4.db.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END, " +
+      "CASE WHEN id % 3 = 0 THEN 'p' ELSE 'q' END FROM range(0, 40)")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception] {
+      spark.sql("CALL gp4.system.optimize('db.t')")
+    }
+    assert(messages(e).contains("multi-level"), messages(e))
+    // nothing was touched — column b still reads back
+    assert(spark.sql("SELECT CAST(count(DISTINCT b) AS BIGINT) " +
+      "FROM gp4.db.t").head.getLong(0) == 2L)
   }
 
   test("unknown procedure and wrong namespace refuse loudly; " +
