@@ -102,6 +102,17 @@ class GraftProceduresSpec extends SparkSpec {
     assert(bl.getLong(0) == 4L, s"bloom must index all 4 files: $bl")
   }
 
+  test("SHOW PROCEDURES lists the system namespace; DESCRIBE " +
+    "PROCEDURE names the entry") {
+    val root = java.nio.file.Files.createTempDirectory("gproc5").toString
+    initCatalog("gp5", root)
+    val listed = spark.sql("SHOW PROCEDURES IN gp5.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    Seq("optimize", "zorder", "analyze", "build_bloom",
+      "apply_deletes", "expire", "vacuum", "history").foreach(p =>
+      assert(listed.contains(p), s"$p missing from:\n$listed"))
+  }
+
   test("optimize refuses a multi-level hive layout instead of " +
     "silently dropping the deeper partition columns") {
     val root = java.nio.file.Files.createTempDirectory("gproc4").toString

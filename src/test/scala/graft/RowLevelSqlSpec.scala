@@ -234,8 +234,8 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got == Seq(5L -> "n5", 25L -> "n25"), got.toString)
   }
 
-  test("UPDATE with an IN-subquery condition executes row-level " +
-    "(not expressible as pushed filters)") {
+  test("UPDATE and DELETE with IN-subquery conditions execute " +
+    "row-level (not expressible as pushed filters)") {
     val root = java.nio.file.Files.createTempDirectory("rls9").toString
     initCatalog("rls9", root)
     spark.sql("CREATE NAMESPACE rls9.db")
@@ -247,6 +247,13 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(spark.table("rls9.db.t").filter($"v" === "picked")
       .orderBy("k").collect().map(_.getLong(0)).toSeq ==
       Seq(3L, 7L, 11L))
+    // subquery DELETE takes the row-level path too (SupportsDelete
+    // can't express it) — exact rows, zero files rewritten
+    spark.sql("DELETE FROM rls9.db.t " +
+      "WHERE k IN (SELECT kk FROM rls9_keys)")
+    assert(spark.table("rls9.db.t").count() == 17)
+    assert(spark.table("rls9.db.t").filter($"v" === "picked")
+      .count() == 0)
   }
 
   test("row-level commit race rules: a record-only interleaved commit " +
