@@ -336,6 +336,64 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got.size == 30)
   }
 
+  test("UPDATE can move a row into the NULL partition " +
+    "(__HIVE_DEFAULT_PARTITION__) and it reads back as null") {
+    val root = java.nio.file.Files.createTempDirectory("rls11").toString
+    initCatalog("rls11", root)
+    spark.sql("CREATE NAMESPACE rls11.db")
+    spark.sql("CREATE TABLE rls11.db.t (k BIGINT, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO rls11.db.t SELECT id, 'a' FROM range(0, 10)")
+    spark.sql("UPDATE rls11.db.t SET p = NULL WHERE k < 3")
+    val got = spark.table("rls11.db.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null
+        else r.getString(1))).toSeq
+    assert(got.take(3).forall(_._2 == null), got.take(4))
+    assert(got.drop(3).forall(_._2 == "a"))
+    assert(got.size == 10)
+    val fs = fsOf(s"$root/db/t")
+    val (_, live) = CommitLog.ensureLoggedAt(fs,
+      new Path(s"$root/db/t"))
+    assert(live.exists(_.startsWith("p=__HIVE_DEFAULT_PARTITION__/")),
+      live.toString)
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE removes the matched rows as " +
+    "deletion vectors; the MERGE source joins BROADCAST (plan-pinned)") {
+    val root = java.nio.file.Files.createTempDirectory("rls12").toString
+    initCatalog("rls12", root)
+    spark.sql("CREATE NAMESPACE rls12.db")
+    spark.sql("CREATE TABLE rls12.db.t (k BIGINT, v STRING) " +
+      "USING graft")
+    spark.sql("INSERT INTO rls12.db.t SELECT id, 'x' FROM range(0, 30)")
+    Seq(2L, 4L, 6L).toDF("kk").createOrReplaceTempView("rls12_src")
+    val fs = fsOf(s"$root/db/t"); val hp = new Path(s"$root/db/t")
+    val before = dataFileStamps(s"$root/db/t")
+    val mergeSql =
+      """MERGE INTO rls12.db.t t USING rls12_src s ON t.k = s.kk
+         WHEN MATCHED THEN DELETE"""
+    // plan pin: the small source reaches the target via a broadcast
+    // join — a MERGE against a 100 TB target must never shuffle the
+    // target by key just to find three matches
+    val qe = spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(mergeSql))
+    import org.apache.spark.sql.execution.CommandResultExec
+    val cmdPlan = qe.executedPlan match {
+      case c: CommandResultExec => c.commandPhysicalPlan
+      case p => p
+    }
+    assert(cmdPlan.toString.contains("BroadcastHashJoin") ||
+      cmdPlan.toString.contains("BroadcastNestedLoopJoin"),
+      cmdPlan.toString.take(900))
+    // the eagerly-executed MERGE deleted exactly the matched keys
+    assert(spark.table("rls12.db.t").count() == 27)
+    assert(spark.table("rls12.db.t")
+      .filter($"k".isin(2L, 4L, 6L)).count() == 0)
+    assert(dataFileStamps(s"$root/db/t") == before,
+      "MATCHED DELETE must land as DVs, not rewrites")
+    assert(CommitLog.dvRecords(fs, hp).nonEmpty)
+  }
+
   test("CDF pairs SQL UPDATE pre/post images like operator MERGE") {
     val root = java.nio.file.Files.createTempDirectory("rls5").toString
     initCatalog("rls5", root)
