@@ -394,6 +394,49 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(CommitLog.dvRecords(fs, hp).nonEmpty)
   }
 
+  test("two CONCURRENT SQL UPDATEs never corrupt: each either commits " +
+    "or refuses with a conflict, and re-running the loser converges " +
+    "to both updates applied") {
+    import graft.operators.CommitConflictException
+    val root = java.nio.file.Files.createTempDirectory("rls13").toString
+    initCatalog("rls13", root)
+    spark.sql("CREATE NAMESPACE rls13.db")
+    spark.sql("CREATE TABLE rls13.db.t (k BIGINT, a BIGINT, b BIGINT) " +
+      "USING graft")
+    spark.sql("INSERT INTO rls13.db.t SELECT id, 0, 0 " +
+      "FROM range(0, 1000)")
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(_.isInstanceOf[CommitConflictException])
+    def run(sql: String): Option[Throwable] =
+      try { spark.sql(sql); None } catch { case e: Exception => Some(e) }
+    val u1 = "UPDATE rls13.db.t SET a = 1 WHERE k < 500"
+    val u2 = "UPDATE rls13.db.t SET b = 1 WHERE k >= 500"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent
+        .Callable[Option[Throwable]] { def call() = run(u1) })
+      val f2 = pool.submit(new java.util.concurrent
+        .Callable[Option[Throwable]] { def call() = run(u2) })
+      val (r1, r2) = (f1.get(), f2.get())
+      // any failure must be a loud commit conflict, never silent data
+      // corruption — and re-running the loser converges
+      Seq(r1 -> u1, r2 -> u2).foreach {
+        case (Some(e), sql) =>
+          assert(isConflict(e), s"non-conflict failure: $e")
+          spark.sql(sql) // the re-run the error message asks for
+        case (None, _) => ()
+      }
+    } finally pool.shutdown()
+    assert(spark.table("rls13.db.t")
+      .filter($"k" < 500 && $"a" === 1).count() == 500)
+    assert(spark.table("rls13.db.t")
+      .filter($"k" >= 500 && $"b" === 1).count() == 500)
+    assert(spark.table("rls13.db.t")
+      .filter($"a" === 1 && $"b" === 1).count() == 0)
+    assert(spark.table("rls13.db.t").count() == 1000)
+  }
+
   test("CDF pairs SQL UPDATE pre/post images like operator MERGE") {
     val root = java.nio.file.Files.createTempDirectory("rls5").toString
     initCatalog("rls5", root)
