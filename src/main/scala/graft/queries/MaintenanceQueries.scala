@@ -2947,7 +2947,89 @@ object MaintenanceQueries {
        WHERE o_orderkey <=
              (SELECT max(o_orderkey) // 2 FROM orders)"""
 
+  /** SQL `INSERT OVERWRITE ... PARTITION (seg='b')` — the static
+    * partition re-statement ([[graft.sources.GraftWriteBuilder]]
+    * `SupportsOverwrite`): ONE commit swaps exactly the named
+    * region's directories for the re-stated batch; untouched
+    * partitions carry over byte-identical with their records, and
+    * the replaced region stays time-travel readable. Pinned
+    * in-query: the non-overwritten partitions' file stamps are
+    * unchanged and exactly one generation committed. */
+  def q349InsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q349_")
+      .toString
+    val cat = s"gq349c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, qty BIGINT, " +
+        "seg STRING) USING graft PARTITIONED BY (seg)")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 97).cast("long").as("qty"),
+          element_at(array(lit("a"), lit("b"), lit("c")),
+            (col("o_orderkey") % 3 + 1).cast("int")).as("seg"))
+        .createOrReplaceTempView("q349_src")
+      try {
+        s.sql(s"INSERT INTO $cat.db.d SELECT * FROM q349_src")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def stamps() = CommitLog.ensureLoggedAt(fs, hp)._2
+          .filterNot(_.startsWith("seg=b/")).map { r =>
+            val st = fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(hp, r))
+            r -> (st.getLen, st.getModificationTime)
+          }.toMap
+        val before = stamps()
+        val genBefore = CommitLog.committed(fs, hp).get._1
+        // re-state segment b: drop the %7 keys, recompute qty
+        s.sql(
+          s"""INSERT OVERWRITE $cat.db.d PARTITION (seg='b')
+              SELECT okey, okey % 89 + 1000 AS qty FROM q349_src
+              WHERE seg = 'b' AND okey % 7 <> 0""")
+        val untouched = stamps() == before
+        val oneCommit =
+          CommitLog.committed(fs, hp).get._1 == genBefore + 1
+        val rows = s.sql(
+          s"""SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM $cat.db.d GROUP BY seg""").collect()
+        import s.implicits._
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2), untouched, oneCommit))
+          .toDF("seg", "n", "sum_qty", "untouched_intact",
+            "one_commit")
+          .orderBy("seg")
+      } finally s.catalog.dropTempView("q349_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q349Sql: String =
+    """WITH base AS (SELECT o_orderkey AS okey,
+                            o_orderkey % 97 AS qty,
+                            CASE CAST(o_orderkey % 3 AS INT)
+                              WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                              ELSE 'c' END AS seg
+                     FROM orders),
+            restated AS (SELECT okey, okey % 89 + 1000 AS qty,
+                                'b' AS seg
+                         FROM base
+                         WHERE seg = 'b' AND okey % 7 <> 0),
+            fin AS (SELECT * FROM base WHERE seg <> 'b'
+                    UNION ALL SELECT * FROM restated)
+       SELECT seg, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(qty) AS BIGINT) AS sum_qty,
+              TRUE AS untouched_intact,
+              TRUE AS one_commit
+       FROM fin GROUP BY seg ORDER BY seg"""
+
   val all: Map[String, Q] = Map(
+    "q349_insert_overwrite" -> q349InsertOverwrite _,
     "q348_sql_maintenance" -> q348SqlMaintenance _,
     "q347_sql_merge" -> q347SqlMerge _,
     "q346_sql_update" -> q346SqlUpdate _,
@@ -2994,6 +3076,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q349_insert_overwrite" -> q349Sql,
     "q348_sql_maintenance" -> q348Sql,
     "q347_sql_merge" -> q347Sql,
     "q346_sql_update" -> q346Sql,

@@ -338,7 +338,7 @@ private[sources] final class GraftTable(state: GraftState)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new GraftScanBuilder(state)
@@ -367,27 +367,80 @@ private[sources] final class GraftTable(state: GraftState)
   * generation 0/1. */
 private[sources] final class GraftWriteBuilder(
     path: String, options: CaseInsensitiveStringMap)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
+  private var replaceWhere: Option[Map[String, String]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** `INSERT OVERWRITE t PARTITION (p='x', ...)` (Spark's STATIC
+    * partition-overwrite mode) arrives as equality filters on the
+    * static spec: the write REPLACES exactly the matching partition
+    * directories — untouched partitions' files stay byte-identical,
+    * one commit swaps the region (the re-statement verb warehouses
+    * run daily). AlwaysTrue (a bare INSERT OVERWRITE) remains
+    * TRUNCATE. Anything not an equality-on-partition-column spec is
+    * refused in `canOverwrite` so Spark reports the unsupported
+    * condition at analysis. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      overwrite = true
+    else replaceWhere = Some(GraftWriteBuilder.staticSpec(filters)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: overwrite condition ${filters.mkString(", ")} is " +
+          "not a static partition spec (col = literal, ...) — use " +
+          "INSERT OVERWRITE ... PARTITION (col=value) or truncate")))
+    this
+  }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue) ||
+      GraftWriteBuilder.staticSpec(filters).isDefined
 
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame,
                             overwriteLegacy: Boolean): Unit =
-          GraftWriter.write(data, path, overwrite || overwriteLegacy,
+          GraftWriter.write(data, path,
+            // the V1 bridge passes overwrite=true for EVERY
+            // OverwriteByExpression — a partition replace must not
+            // escalate to truncate
+            (overwrite || overwriteLegacy) && replaceWhere.isEmpty,
             Option(options.get("txnAppId")).map { app =>
               val v = Option(options.get("txnVersion")).getOrElse(
                 throw new IllegalArgumentException(
                   "graft: txnAppId requires txnVersion"))
               (app, v.toLong)
             },
+            replaceWhere = replaceWhere,
             autoAnalyze = Option(options.get("autoAnalyze"))
               .exists(_.toBoolean))
       }
+  }
+}
+
+private[sources] object GraftWriteBuilder {
+  /** The (col → directory-rendered value) map of a STATIC partition
+    * overwrite condition, or None when any conjunct is not a plain
+    * equality — the only form whose replacement region is a set of
+    * partition directories. */
+  def staticSpec(filters: Array[Filter])
+  : Option[Map[String, String]] = {
+    import org.apache.spark.sql.{sources => S}
+    val parsed = filters.toSeq.map {
+      case S.EqualTo(c, v) if v != null => Some(c -> String.valueOf(v))
+      case S.EqualNullSafe(c, null) => Some(c ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)
+      case S.EqualNullSafe(c, v) => Some(c -> String.valueOf(v))
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined) && parsed.nonEmpty)
+      Some(parsed.flatten.toMap)
+    else None
   }
 }
 
@@ -955,6 +1008,7 @@ private[graft] object GraftWriter {
             txn: Option[(String, Long)],
             partitionBy: Seq[String] = Nil,
             failpoint: String => Unit = _ => (),
+            replaceWhere: Option[Map[String, String]] = None,
             autoAnalyze: Boolean = false): Unit = {
     val spark = data.sparkSession
     val hPath = new Path(path)
@@ -1001,6 +1055,20 @@ private[graft] object GraftWriter {
         s"(${layoutCols.mkString(", ")}) but the writer asked for " +
         s"(${partitionBy.mkString(", ")}) — the committed layout wins")
     val partCols = if (layoutCols.nonEmpty) layoutCols else partitionBy
+    // a static partition overwrite replaces DIRECTORIES: the spec
+    // must name a prefix of the committed layout (SQL guarantees the
+    // order; a non-layout column has no directory to replace)
+    val replacePrefix = replaceWhere.map { spec =>
+      val prefixCols = partCols.takeWhile(spec.contains)
+      require(partCols.nonEmpty && prefixCols.toSet == spec.keySet,
+        s"graft write: INSERT OVERWRITE PARTITION spec (${spec.keys
+          .mkString(", ")}) must be a prefix of $path's layout " +
+          s"(${partCols.mkString(", ")})")
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      prefixCols.map(c => ExternalCatalogUtils.escapePathName(c) +
+        "=" + ExternalCatalogUtils.escapePathName(spec(c)))
+        .mkString("", "/", "/")
+    }
     val missingPart = partCols.filterNot(data.columns.contains)
     require(missingPart.isEmpty,
       s"graft write: batch is missing partition column(s) " +
@@ -1092,8 +1160,30 @@ private[graft] object GraftWriter {
       // expireGenerations/vacuum (a CAS loss here is terminal — a
       // truncate that raced another writer must be re-decided)
       CommitLog.commitNext(fs, hPath, gen, newFiles, txn = txn)
-    else
-      CommitLog.commitAppend(fs, hPath, gen, live, newFiles, txn = txn)
+    else replacePrefix match {
+      case Some(prefix) =>
+        // static partition overwrite: the next generation swaps the
+        // matching directories for the staged batch in ONE commit —
+        // untouched partitions' files carry over byte-identical and
+        // keep their DV/stats/mapping records (commitNext's
+        // carry-forward); the replaced files stay readable via time
+        // travel. A batch row OUTSIDE the spec would silently append
+        // instead of replace — refuse before the commit.
+        val rogue = newFiles.filterNot(_.startsWith(prefix))
+        require(rogue.isEmpty,
+          s"graft write: INSERT OVERWRITE PARTITION of $prefix got " +
+            s"row(s) outside the spec (staged ${rogue.take(3)
+              .mkString(", ")}) — the batch must carry only the " +
+            "overwritten partition's rows")
+        val keep = live.filterNot(_.startsWith(prefix))
+        // terminal on CAS loss, like truncate: replacing a region
+        // that raced another writer must be re-decided
+        CommitLog.commitNext(fs, hPath, gen, keep ++ newFiles,
+          txn = txn)
+      case None =>
+        CommitLog.commitAppend(fs, hPath, gen, live, newFiles,
+          txn = txn)
+    }
     fs.delete(tmp, true)
     // opt-in stats maintenance (`option("autoAnalyze", true)`): keep
     // the table's EXISTING stats coverage current over the files this

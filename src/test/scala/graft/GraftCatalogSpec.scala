@@ -266,6 +266,55 @@ class GraftCatalogSpec extends SparkSpec {
       "a table must never be deletable as a namespace")
   }
 
+  test("INSERT OVERWRITE PARTITION (static spec) replaces exactly the " +
+    "named region: untouched partitions byte-identical, one commit, " +
+    "old region time-travel readable; bad specs refuse") {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("gcat8").toString
+    initCatalog("gc8", root)
+    spark.sql("CREATE NAMESPACE gc8.db")
+    spark.sql("CREATE TABLE gc8.db.t (k BIGINT, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc8.db.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 20)")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    val (genBefore, liveBefore) = CommitLog.ensureLoggedAt(fs, hp)
+    def stamp(r: String) = {
+      val st = fs.getFileStatus(new Path(hp, r))
+      (st.getLen, st.getModificationTime)
+    }
+    val bStamps = liveBefore.filter(_.startsWith("p=b/"))
+      .map(r => r -> stamp(r)).toMap
+
+    // replace partition a with a 3-row re-statement
+    spark.sql("INSERT OVERWRITE gc8.db.t PARTITION (p='a') " +
+      "SELECT id FROM range(100, 103)")
+    val (genAfter, liveAfter) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(genAfter == genBefore + 1, "one commit swaps the region")
+    assert(spark.table("gc8.db.t").filter($"p" === "a")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(100L, 101L, 102L))
+    assert(spark.table("gc8.db.t").filter($"p" === "b").count() == 10)
+    // partition b untouched, byte-for-byte
+    liveAfter.filter(_.startsWith("p=b/")).foreach(r =>
+      assert(bStamps.get(r).contains(stamp(r)), s"$r was touched"))
+    assert(bStamps.keySet == liveAfter.filter(_.startsWith("p=b/"))
+      .toSet)
+    // the replaced region is still time-travel readable
+    assert(spark.sql("SELECT CAST(count(*) AS BIGINT) FROM gc8.db.t " +
+      s"VERSION AS OF $genBefore WHERE p = 'a'").head.getLong(0) == 10L)
+
+    // a non-partition overwrite condition refuses at analysis
+    val e = intercept[Exception] {
+      spark.range(3).selectExpr("id AS k", "'a' AS p")
+        .writeTo("gc8.db.t").overwrite($"k" > 5)
+    }
+    assert(e.getMessage != null)
+    assert(spark.table("gc8.db.t").count() == 13,
+      "the refused overwrite must not touch anything")
+  }
+
   test("metadata-table identifiers (Iceberg's pattern): SELECT from " +
     "cat.db.t.history / .files / .changes in pure SQL; a REAL table " +
     "of that name always wins") {
