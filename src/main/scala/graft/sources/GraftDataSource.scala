@@ -338,13 +338,14 @@ private[sources] final class GraftTable(state: GraftState)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
   : ScanBuilder = new GraftScanBuilder(state)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(state.path, info.options())
+    new GraftWriteBuilder(state.path, info)
 }
 
 /** `df.write.format("graft")` — the WRITE half of the format surface.
@@ -366,14 +367,33 @@ private[sources] final class GraftTable(state: GraftState)
   * log CREATES the table: first write defines the schema and commits
   * generation 0/1. */
 private[sources] final class GraftWriteBuilder(
-    path: String, options: CaseInsensitiveStringMap)
+    path: String, info: LogicalWriteInfo)
   extends WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  private def options: CaseInsensitiveStringMap = info.options()
 
   private var overwrite = false
+  private var dynamic = false
   private var replaceWhere: Option[Map[String, String]] = None
 
+  private def txnOf: Option[(String, Long)] =
+    Option(options.get("txnAppId")).map { app =>
+      val v = Option(options.get("txnVersion")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft: txnAppId requires txnVersion"))
+      (app, v.toLong)
+    }
+
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** `partitionOverwriteMode=dynamic` — replace exactly the leaf
+    * partitions the batch carries ([[GraftDynamicOverwriteWrite]], a
+    * true V2 write: Spark has no V1 bridge for this plan). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
 
   /** `INSERT OVERWRITE t PARTITION (p='x', ...)` (Spark's STATIC
     * partition-overwrite mode) arrives as equality filters on the
@@ -399,27 +419,25 @@ private[sources] final class GraftWriteBuilder(
     filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue) ||
       GraftWriteBuilder.staticSpec(filters).isDefined
 
-  override def build(): V1Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame,
-                            overwriteLegacy: Boolean): Unit =
-          GraftWriter.write(data, path,
-            // the V1 bridge passes overwrite=true for EVERY
-            // OverwriteByExpression — a partition replace must not
-            // escalate to truncate
-            (overwrite || overwriteLegacy) && replaceWhere.isEmpty,
-            Option(options.get("txnAppId")).map { app =>
-              val v = Option(options.get("txnVersion")).getOrElse(
-                throw new IllegalArgumentException(
-                  "graft: txnAppId requires txnVersion"))
-              (app, v.toLong)
-            },
-            replaceWhere = replaceWhere,
-            autoAnalyze = Option(options.get("autoAnalyze"))
-              .exists(_.toBoolean))
-      }
-  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    if (dynamic)
+      new GraftDynamicOverwriteWrite(path, info.schema(), txnOf)
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame,
+                              overwriteLegacy: Boolean): Unit =
+            GraftWriter.write(data, path,
+              // the V1 bridge passes overwrite=true for EVERY
+              // OverwriteByExpression — a partition replace must not
+              // escalate to truncate
+              (overwrite || overwriteLegacy) && replaceWhere.isEmpty,
+              txnOf,
+              replaceWhere = replaceWhere,
+              autoAnalyze = Option(options.get("autoAnalyze"))
+                .exists(_.toBoolean))
+        }
+    }
 }
 
 private[sources] object GraftWriteBuilder {

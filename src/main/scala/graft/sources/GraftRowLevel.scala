@@ -85,6 +85,34 @@ private[graft] object GraftRowLevel {
       "sink-relative data file holding the row (the #dv record key)"),
     new Col(PosCol, LongType,
       "raw row ordinal within its data file (parquet row_index)"))
+
+  /** The task-writer factory every distributed graft write shares
+    * (row-level DML and dynamic partition overwrite): the task-side
+    * `ParquetOutputWriter` reads everything from conf — write-support
+    * class, row schema (set per writer), and the session's parquet
+    * write options. */
+  def writerFactory(staging: Path, dataSchema: StructType,
+                    partCols: Seq[String]): GraftDeltaWriterFactory = {
+    val spark = SparkSession.active
+    val conf = new Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("parquet.write.support.class",
+      classOf[ParquetWriteSupport].getName)
+    import org.apache.spark.sql.internal.SQLConf
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
+      .foreach(k => conf.set(k, spark.conf.get(k)))
+    conf.set("parquet.compression",
+      spark.conf.get("spark.sql.parquet.compression.codec")
+        .toUpperCase(java.util.Locale.ROOT))
+    GraftDeltaWriterFactory(staging.toString, dataSchema, partCols,
+      spark.sessionState.conf.sessionLocalTimeZone,
+      new SerializableConfiguration(conf))
+  }
 }
 
 private[sources] final class GraftRowLevelOperationBuilder(
@@ -169,30 +197,8 @@ private[sources] final class GraftDeltaBatchWrite(
     hPath.getName + "__rlo_tmp-" + java.util.UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-  : DeltaWriterFactory = {
-    val spark = SparkSession.active
-    val conf = new Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    // the task-side ParquetOutputWriter reads everything from conf:
-    // write-support class, row schema (set per writer — insert and
-    // mark schemas differ), and the session's parquet write options
-    conf.set("parquet.write.support.class",
-      classOf[ParquetWriteSupport].getName)
-    import org.apache.spark.sql.internal.SQLConf
-    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key)
-      .foreach(k => conf.set(k, spark.conf.get(k)))
-    conf.set("parquet.compression",
-      spark.conf.get("spark.sql.parquet.compression.codec")
-        .toUpperCase(java.util.Locale.ROOT))
-    new GraftDeltaWriterFactory(stagingPath.toString, dataSchema,
-      partCols, spark.sessionState.conf.sessionLocalTimeZone,
-      new SerializableConfiguration(conf))
-  }
+  : DeltaWriterFactory =
+    GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -363,4 +369,116 @@ private final class GraftDeltaTaskWriter(
   }
 
   override def close(): Unit = closeAll()
+}
+
+/** DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`, Delta's
+  * `replaceWhere`-free re-statement): replace EXACTLY the leaf
+  * partitions the batch carries rows for, in one commit — a true V2
+  * `BatchWrite` (Spark has no V1 fallback for
+  * `OverwritePartitionsDynamic`), reusing the row-level task writer
+  * in insert-only mode, so rows stream straight to staged hive
+  * directories. On an unpartitioned table the single leaf is the
+  * root — dynamic overwrite degenerates to truncate, Delta's
+  * behavior. */
+private[sources] final class GraftDynamicOverwriteWrite(
+    path: String, dataSchema: StructType,
+    txn: Option[(String, Long)])
+  extends org.apache.spark.sql.connector.write.Write {
+
+  override def description(): String = s"graft dynamic overwrite $path"
+
+  override def toBatch()
+  : org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftDynamicOverwriteBatchWrite(path, dataSchema, txn)
+}
+
+private[sources] final class GraftDynamicOverwriteBatchWrite(
+    path: String, dataSchema: StructType,
+    txn: Option[(String, Long)])
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo => PWInfo}
+
+  private val hPath = new Path(path)
+  private val stagingPath = new Path(hPath.getParent,
+    hPath.getName + "__dynov_tmp-" +
+      java.util.UUID.randomUUID().toString)
+
+  private def fsOf(spark: SparkSession) =
+    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createBatchWriterFactory(info: PWInfo)
+  : DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = fsOf(spark)
+    val (_, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    // the committed layout (or, while empty, the declared #meta one)
+    // routes the batch's rows — same rule as every other graft write
+    val committed = CommitLog.partitionColsOf(live)
+    val partCols =
+      if (committed.nonEmpty) committed
+      else CommitLog.metaRecords(fs, hPath).get("partition.cols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
+    GraftInsertWriterFactory(
+      GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols))
+  }
+
+  override def commit(messages: Array[
+    org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = fsOf(spark)
+    try {
+      // idempotent-writer fast path, the format writer's #txn rule
+      txn.foreach { case (app, v) =>
+        if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
+      }
+      val insertRels = messages.toSeq
+        .collect { case m: GraftDeltaCommitMessage => m }
+        .flatMap(_.inserts)
+      if (insertRels.isEmpty) return // empty batch replaces nothing
+      val staged = spark.read.option("mergeSchema", "true")
+        .option("basePath", new Path(stagingPath, "inserts").toString)
+        .parquet(insertRels.map(r =>
+          new Path(stagingPath, r).toString): _*)
+      CommitLog.requireChecks(spark, fs, hPath, staged,
+        "dynamic partition overwrite")
+      val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+      val added = insertRels.map { r =>
+        val rel = r.stripPrefix("inserts/")
+        val dest = new Path(hPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(new Path(stagingPath, r), dest))
+          throw new java.io.IOException(
+            s"dynamic overwrite: could not move ${
+              new Path(stagingPath, r)} into $dest")
+        rel
+      }
+      def leafDir(rel: String): String = {
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i + 1)
+      }
+      val replaced = added.map(leafDir).toSet
+      val keep = live.filterNot(f => replaced.contains(leafDir(f)))
+      // terminal on CAS loss, like truncate/static overwrite: a
+      // replaced region that raced another writer must be re-decided
+      CommitLog.commitNext(fs, hPath, gen, keep ++ added, txn = txn)
+    } finally fs.delete(stagingPath, true)
+  }
+
+  override def abort(messages: Array[
+    org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    fsOf(SparkSession.active).delete(stagingPath, true)
+}
+
+/** The delta writer factory in INSERT-ONLY mode — what a plain V2
+  * batch write (dynamic overwrite) needs. */
+private[sources] final case class GraftInsertWriterFactory(
+    inner: GraftDeltaWriterFactory)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    inner.createWriter(partitionId, taskId)
 }

@@ -315,6 +315,49 @@ class GraftCatalogSpec extends SparkSpec {
       "the refused overwrite must not touch anything")
   }
 
+  test("DYNAMIC partition overwrite replaces exactly the partitions " +
+    "the batch carries (V2 write path); untouched partitions " +
+    "byte-identical, one commit") {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("gcat9").toString
+    initCatalog("gc9", root)
+    spark.sql("CREATE NAMESPACE gc9.db")
+    spark.sql("CREATE TABLE gc9.db.t (k BIGINT, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc9.db.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 20)")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    val (genBefore, liveBefore) = CommitLog.ensureLoggedAt(fs, hp)
+    def stamp(r: String) = {
+      val st = fs.getFileStatus(new Path(hp, r))
+      (st.getLen, st.getModificationTime)
+    }
+    val aStamps = liveBefore.filter(_.startsWith("p=a/"))
+      .map(r => r -> stamp(r)).toMap
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try {
+      // the batch carries ONLY p=b rows → only p=b is replaced
+      spark.sql("INSERT OVERWRITE gc9.db.t " +
+        "SELECT id, 'b' FROM range(200, 203)")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+    val (genAfter, liveAfter) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(genAfter == genBefore + 1)
+    assert(spark.table("gc9.db.t").filter($"p" === "b")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(200L, 201L, 202L))
+    assert(spark.table("gc9.db.t").filter($"p" === "a").count() == 10)
+    liveAfter.filter(_.startsWith("p=a/")).foreach(r =>
+      assert(aStamps.get(r).contains(stamp(r)), s"$r was touched"))
+    assert(aStamps.keySet ==
+      liveAfter.filter(_.startsWith("p=a/")).toSet)
+    // idempotent via #txn options stays available on the V2 path too
+    assert(spark.table("gc9.db.t").count() == 13)
+  }
+
   test("metadata-table identifiers (Iceberg's pattern): SELECT from " +
     "cat.db.t.history / .files / .changes in pure SQL; a REAL table " +
     "of that name always wins") {
