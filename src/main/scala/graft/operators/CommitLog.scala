@@ -211,7 +211,10 @@ object CommitLog {
     *     cast ([[SchemaEvolve.widenColumn]]) — the file's physical
     *     column reads CAST to the catalog DDL type (e.g. `bigint`),
     *     Iceberg's type-promotion class; widen-only, so the cast is
-    *     lossless by construction;
+    *     lossless by construction. A record naming a column the file
+    *     does NOT physically contain materializes as a typed NULL
+    *     column instead ([[SchemaEvolve.addColumn]] — metadata-only
+    *     ADD COLUMN: the null-cast is the degenerate lossless case);
     *   - `#check\t<nameEnc>\t<exprEnc>`: TABLE-level CHECK constraint
     *     (Delta's constraint feature) — a SQL boolean expression every
     *     row written by a constraint-aware writer must satisfy
@@ -1101,7 +1104,7 @@ object CommitLog {
       s"generation $gen files were reclaimed (vacuumed): $missing")
     if (m.colmaps.nonEmpty || m.coltypes.nonEmpty)
       mappedScan(spark, hPath, m.files, m.colmaps, m.dvs,
-        coltypes = m.coltypes)
+        coltypes = m.coltypes, meta = m.meta)
     else applyDvs(spark, hPath, fs,
       spark.read.option("basePath", sink)
         .parquet(m.files.map(r => new Path(hPath, r).toString): _*),
@@ -1165,10 +1168,19 @@ object CommitLog {
                                       Map.empty,
                                     identity: Boolean = false,
                                     coltypes: Map[String, Map[String,
-                                      String]] = Map.empty)
+                                      String]] = Map.empty,
+                                    meta: Map[String, String] =
+                                      Map.empty)
   : DataFrame = {
     import org.apache.spark.sql.functions.col
     require(files.nonEmpty, "mappedScan of an empty file list")
+    // declaration order of metadata-added columns (`#meta
+    // schema.addorder`, written by SchemaEvolve's ADD) — without it a
+    // map-keyed sort would surface added columns name-ordered and
+    // break positional INSERT resolution
+    val addOrder: Map[String, Int] = meta.get("schema.addorder")
+      .map(_.split(',').toSeq.filter(_.nonEmpty).zipWithIndex.toMap)
+      .getOrElse(Map.empty)
     val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val groups = files.groupBy(f => (colmaps.getOrElse(f, Map.empty),
         coltypes.getOrElse(f, Map.empty)))
@@ -1184,14 +1196,32 @@ object CommitLog {
       df = applyDvs(spark, sink, fs, df,
         dvs.filter { case (f, _) => gSet(f) })
       // widening casts first (keyed by PHYSICAL name), then the
-      // rename/drop mapping in one simultaneous select
-      if (types.nonEmpty)
+      // rename/drop mapping in one simultaneous select. A `#coltype`
+      // record whose physical column is ABSENT from the scanned files
+      // materializes as a typed NULL column (appended after the
+      // physical ones, in `schema.addorder` declaration order) —
+      // [[SchemaEvolve.addColumn]]'s metadata-only ADD: pre-ADD files
+      // read NULL for the new column with zero bytes rewritten,
+      // post-ADD appends carry it physically and need no record
+      if (types.nonEmpty) {
+        val present = df.columns.toSet
         df = df.select(df.columns.toIndexedSeq.map { c =>
           types.get(c) match {
             case Some(ddl) => col(c).cast(ddl).as(c)
             case None => col(c)
           }
-        }: _*)
+        } ++ types.keysIterator.filterNot(present).toSeq
+          // the add-order record tracks LOGICAL names; a later rename
+          // leaves the record keyed physical — order through the
+          // branch's mapping so renamed added columns keep their slot
+          .sortBy { c =>
+            val l = mapping.get(c).filter(_.nonEmpty).getOrElse(c)
+            (addOrder.getOrElse(l, Int.MaxValue), l)
+          }
+          .map { c => org.apache.spark.sql.functions.lit(null)
+            .cast(types(c)).as(c)
+          }: _*)
+      }
       if (mapping.isEmpty) df
       else df.select(df.columns.toIndexedSeq.flatMap { c =>
         mapping.get(c) match {
@@ -1201,7 +1231,21 @@ object CommitLog {
         }
       }: _*)
     }
-    branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    val unioned =
+      branches.reduce(_.unionByName(_, allowMissingColumns = true))
+    // canonical order: ADD-ed columns surface at the END in
+    // declaration order, whatever epoch happens to lead the union —
+    // they were added after every physical column existed, and
+    // positional INSERT resolution depends on a stable slot. (The
+    // extra projection collapses into the plan.)
+    if (addOrder.isEmpty) unioned
+    else {
+      val cols = unioned.columns.toIndexedSeq
+      val (added, rest) = cols.partition(addOrder.contains)
+      if (added.isEmpty) unioned
+      else unioned.select((rest ++ added.sortBy(addOrder))
+        .map(col): _*)
+    }
   }
 
   /** Row-level change data feed between two committed generations,
@@ -1380,7 +1424,7 @@ object CommitLog {
       case Some(m) if m.files.isEmpty => spark.emptyDataFrame
       case Some(m) if m.colmaps.nonEmpty || m.coltypes.nonEmpty =>
         mappedScan(spark, hPath, m.files, m.colmaps, m.dvs,
-          coltypes = m.coltypes)
+          coltypes = m.coltypes, meta = m.meta)
       case Some(m) =>
         applyDvs(spark, hPath, fs,
           rd.option("basePath", sink)

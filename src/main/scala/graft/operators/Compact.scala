@@ -54,7 +54,21 @@ object Compact {
                   partitionCol: Option[String] = None,
                   targetBytes: Long = 128L * 1024 * 1024,
                   failpoint: String => Unit = _ => (),
-                  keepReplaced: Boolean = false): (Long, Long) = {
+                  keepReplaced: Boolean = false): (Long, Long) =
+    compactSinkCols(spark, path, partitionCol.toSeq, targetBytes,
+      failpoint, keepReplaced)
+
+  /** [[compactSink]] for MULTI-LEVEL hive layouts: bin-pack within
+    * each LEAF partition directory (all levels preserved verbatim —
+    * partition values read back as the same strings, zero-padding
+    * included), one shuffle keyed by the full partition tuple, one
+    * commit. `partitionCols` must be the committed layout's levels in
+    * directory order. The single-level form is the one-element case. */
+  def compactSinkCols(spark: SparkSession, path: String,
+                      partitionCols: Seq[String],
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      failpoint: String => Unit = _ => (),
+                      keepReplaced: Boolean = false): (Long, Long) = {
     // normalize through Path so a trailing slash can't nest the scratch
     // dir INSIDE the sink (where the swap would destroy it)
     val hPath = new Path(path)
@@ -73,34 +87,33 @@ object Compact {
     val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
-    val nPartitionDirs = partitionCol match {
-      case Some(_) => before.map(_.getPath.getParent.toString).distinct.size
-      case None => 1
-    }
+    val nPartitionDirs =
+      if (partitionCols.nonEmpty)
+        before.map(_.getPath.getParent.toString).distinct.size
+      else 1
     val targetFiles = math.max(nPartitionDirs.toLong,
       (totalBytes + targetBytes - 1) / targetBytes)
     if (before.size <= targetFiles) return (before.size, before.size)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
 
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from a failed WRITE
-    partitionCol match {
-      case Some(p) =>
-        // read the partition column as STRING via an explicit schema:
-        // directory names round-trip verbatim (no int re-inference)
-        val dataSchema = spark.read
-          .parquet(before.head.getPath.toString).schema
-        val readSchema = StructType(
-          dataSchema.fields :+ StructField(p, StringType))
-        spark.read.schema(readSchema).option("basePath", hPath.toString)
-          .parquet(liveAbs: _*)
-          // one task per partition value → one file per partition (a
-          // partition larger than targetBytes stays one file here; a
-          // finer split would hash-salt within the partition)
-          .repartition(col(p))
-          .write.partitionBy(p).parquet(tmp.toString)
-      case None =>
-        spark.read.parquet(liveAbs: _*)
-          .repartition(targetFiles.toInt).write.parquet(tmp.toString)
+    if (partitionCols.nonEmpty) {
+      // read every partition column as STRING via an explicit schema:
+      // directory names round-trip verbatim (no int re-inference)
+      val dataSchema = spark.read
+        .parquet(before.head.getPath.toString).schema
+      val readSchema = StructType(dataSchema.fields ++
+        partitionCols.map(StructField(_, StringType)))
+      spark.read.schema(readSchema).option("basePath", hPath.toString)
+        .parquet(liveAbs: _*)
+        // one task per LEAF partition tuple → one file per leaf (a
+        // partition larger than targetBytes stays one file here; a
+        // finer split would hash-salt within the partition)
+        .repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+    } else {
+      spark.read.parquet(liveAbs: _*)
+        .repartition(targetFiles.toInt).write.parquet(tmp.toString)
     }
     // add → COMMIT → delete: move the compacted files in (partition
     // directories preserved, names are fresh write UUIDs), commit the

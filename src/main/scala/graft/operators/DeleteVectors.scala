@@ -476,8 +476,9 @@ object DeleteVectors {
     * parts of (file sink-relative, pos) rows, `insertRels` are
     * staged data files relative to `staging` (hive directories
     * preserved), `affected` is the distinct marked-file set the
-    * tasks reported. CHECK constraints gate the staged insert rows
-    * BEFORE anything moves in.
+    * tasks reported. CHECK constraints were already enforced PER ROW
+    * inside the task writers (inline, zero extra scans) — a
+    * violating statement never reaches this publish.
     *
     * Concurrency: unlike [[mergeOnRead]] this path has no key
     * knowledge, so the commute test is strict — a losing CAS is
@@ -506,18 +507,13 @@ object DeleteVectors {
       s"row-level SQL write: $path has no committed generation")
     if (affected.nonEmpty)
       requireKnownFiles("rowLevelDelta", affected, baseLive)
-    // constraints gate the statement's NEW rows FIRST — a violating
-    // statement refuses before a single byte lands under the sink
-    // (not even DV sidecars become debris)
-    val insertsDir = new Path(staging, "inserts")
-    if (insertRels.nonEmpty) {
-      val staged = spark.read.option("mergeSchema", "true")
-        .option("basePath", insertsDir.toString)
-        .parquet(insertRels.map(r =>
-          new Path(staging, r).toString): _*)
-      CommitLog.requireChecks(spark, fs, hPath, staged,
-        "row-level SQL write")
-    }
+    // CHECK constraints were evaluated per row INSIDE the task
+    // writers against the pinned snapshot's `#check` records
+    // ([[graft.sources]] delta writer) — a violating statement fails
+    // its task before this publish runs, and the staged inserts are
+    // never re-read here; the commute test below still refuses when
+    // a concurrent winner CHANGED the constraint set (the statement's
+    // rows were never gated by the new constraint)
     // merged DV for the affected files = prior delete sets ∪ the
     // statement's marks (deleteWhere's discipline; unaffected files'
     // records carry forward untouched)

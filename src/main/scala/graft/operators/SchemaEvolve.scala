@@ -167,14 +167,40 @@ object SchemaEvolve {
       .getOrElse(logical)
 
   /** One schema change for [[applyChanges]] — the metadata-only
-    * subset ([[renameColumn]] / [[dropColumn]] / [[widenColumn]])
-    * that a multi-change `ALTER TABLE` batches into ONE commit. */
+    * subset ([[addColumn]] / [[renameColumn]] / [[dropColumn]] /
+    * [[widenColumn]]) that a multi-change `ALTER TABLE` batches into
+    * ONE commit. */
   sealed trait Change
   object Change {
+    final case class Add(name: String, ddl: String) extends Change
     final case class Rename(from: String, to: String) extends Change
     final case class Drop(name: String) extends Change
     final case class Widen(name: String, toDdl: String) extends Change
   }
+
+  /** ADD a (nullable) column: one manifest commit, ZERO data motion —
+    * the single most common schema change a long-lived table sees,
+    * and Delta/Iceberg both ship it metadata-only. Every live file
+    * gains a `#coltype` record for the new name; since none of them
+    * physically contains the column, [[CommitLog.mappedScan]] reads
+    * it as a typed NULL (the documented value of every pre-ADD row),
+    * while files appended afterwards carry the column physically and
+    * need no record. The write-path schema guard resolves the table's
+    * logical schema through the same one-file mapped scan, so the
+    * FIRST post-ADD batch is already required to carry the column —
+    * new inserts carry values, old rows read NULL.
+    *
+    * Refused while any live file still holds the name as a PHYSICAL
+    * column under a rename/drop mapping (re-adding a dropped or
+    * renamed-away name): the add record would collide with the old
+    * bytes — [[normalize]] first. Returns the committed generation.
+    *
+    * The reference declares additive output schemas per run
+    * (`/root/reference/src/schemas.py:3-58`); a committed table at
+    * scale needs add-as-metadata instead. */
+  def addColumn(spark: SparkSession, path: String,
+                name: String, ddl: String): Long =
+    applyChanges(spark, path, Seq(Change.Add(name, ddl)))
 
   /** Apply several metadata-only schema changes as ONE atomic
     * manifest commit — the all-or-nothing form a multi-change
@@ -207,9 +233,47 @@ object SchemaEvolve {
     var stats = CommitLog.statsRecords(fs, hPath)
     val baseChecks = CommitLog.checkRecords(fs, hPath)
     var checkOverlay = Map.empty[String, String]
+    val meta0 = CommitLog.metaRecords(fs, hPath)
+    // declaration order of metadata-added columns — ADD appends,
+    // RENAME follows the name, DROP retires it; committed alongside
+    // so readers surface added columns in ADD order (positional
+    // INSERT resolution depends on it)
+    var addOrder: Seq[String] = meta0.get("schema.addorder")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val addOrder0 = addOrder
     var schema = CommitLog.mappedScan(spark, hPath, live, cms0,
-      coltypes = cts0).schema
+      coltypes = cts0, meta = meta0).schema
     changes.foreach {
+      case Change.Add(name, toDdl) =>
+        require(name.trim.nonEmpty, "add: empty column name")
+        require(!schema.fieldNames.exists(resolver(_, name)),
+          s"add: column '$name' already exists")
+        val dt =
+          try org.apache.spark.sql.types.DataType.fromDDL(toDdl)
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"add: '$toDdl' is not a parseable column type for " +
+                s"'$name': ${e.getMessage}")
+          }
+        // a live file may still PHYSICALLY hold this name under a
+        // rename/drop mapping (the name was dropped or renamed away);
+        // an add record would resolve against those old bytes instead
+        // of reading NULL — refuse until a rewrite retires them
+        val occupied = cms.collect {
+          case (f, m) if m.keysIterator.exists(resolver(_, name)) => f
+        }.toSeq.sorted
+        require(occupied.isEmpty,
+          s"add: '$name' is still a physical column of ${
+            occupied.size} live file(s) under a rename/drop mapping " +
+            s"(${occupied.take(3).mkString(", ")}${
+              if (occupied.size > 3) ", …" else ""}) — " +
+            "SchemaEvolve.normalize first to re-add that name")
+        val ddlNorm = dt.catalogString
+        cts = cts.map { case (f, m) => f -> (m + (name -> ddlNorm)) }
+        addOrder = addOrder :+ name
+        schema = org.apache.spark.sql.types.StructType(
+          schema :+ org.apache.spark.sql.types.StructField(
+            name, dt, nullable = true))
       case Change.Rename(from, to) =>
         require(from != to, s"rename to itself: $from")
         require(schema.fieldNames.contains(from),
@@ -227,6 +291,7 @@ object SchemaEvolve {
           f -> (if (m.contains(from)) m - from + (to -> m(from))
                 else m)
         }
+        addOrder = addOrder.map(n => if (n == from) to else n)
         schema = org.apache.spark.sql.types.StructType(schema.map(
           fld => if (fld.name == from) fld.copy(name = to) else fld))
       case Change.Drop(name) =>
@@ -245,6 +310,7 @@ object SchemaEvolve {
           f -> (m + (physOf(m, name) -> ""))
         }
         stats = stats.map { case (f, m) => f -> (m - name) }
+        addOrder = addOrder.filterNot(_ == name)
         schema = org.apache.spark.sql.types.StructType(
           schema.filterNot(_.name == name))
       case Change.Widen(name, toDdl) =>
@@ -264,9 +330,12 @@ object SchemaEvolve {
               org.apache.spark.sql.types.DataType.fromDDL(target))
           else fld))
     }
+    val orderMeta =
+      if (addOrder == addOrder0) Map.empty[String, String]
+      else Map("schema.addorder" -> addOrder.mkString(","))
     CommitLog.commitNext(fs, hPath, gen, live, colmaps = cms,
       coltypes = cts, checks = checkOverlay, stats = stats,
-      statsReplace = true, meta = meta)
+      statsReplace = true, meta = meta ++ orderMeta)
   }
 
   /** RENAME a column: one manifest commit, zero data motion. Every
@@ -313,8 +382,16 @@ object SchemaEvolve {
       case (f, m) if m.contains(oldName) =>
         f -> (m - oldName + (newName -> m(oldName)))
     }
+    // the add-order record follows a renamed added column
+    val order = CommitLog.metaRecords(fs, hPath).get("schema.addorder")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val orderMeta =
+      if (!order.contains(oldName)) Map.empty[String, String]
+      else Map("schema.addorder" -> order.map(n =>
+        if (n == oldName) newName else n).mkString(","))
     CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps,
-      checks = newChecks, stats = rekeyed, statsReplace = true)
+      checks = newChecks, stats = rekeyed, statsReplace = true,
+      meta = orderMeta)
   }
 
   /** DROP a column: one manifest commit, zero data motion — every
@@ -357,8 +434,15 @@ object SchemaEvolve {
     val dekeyed = stats.collect {
       case (f, m) if m.contains(name) => f -> (m - name)
     }
+    // a dropped added column leaves the add-order record too
+    val order = CommitLog.metaRecords(fs, hPath).get("schema.addorder")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val orderMeta =
+      if (!order.contains(name)) Map.empty[String, String]
+      else Map("schema.addorder" ->
+        order.filterNot(_ == name).mkString(","))
     CommitLog.commitNext(fs, hPath, gen, live, colmaps = newMaps,
-      stats = dekeyed, statsReplace = true)
+      stats = dekeyed, statsReplace = true, meta = orderMeta)
   }
 
   /** Pay the mapping debt down: rewrite every mapped file to the

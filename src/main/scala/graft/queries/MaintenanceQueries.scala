@@ -2586,11 +2586,14 @@ object MaintenanceQueries {
     * delete/insert halves into `update_preimage`/`update_postimage`.
     * Fixture: base snapshot (g0) → MoR MERGE repricing a key subset
     * (g1) → predicate DELETE of a DISJOINT key range (g2). Pinned
-    * in-query: (1) the batch window g0..g2 is row-identical to the
-    * per-generation STREAMING CDF collection over the same window
-    * (one manifest-diff engine, two surfaces); (2) bounds validate —
-    * end < start, an uncommitted generation, and combining the feed
-    * with versionAsOf all refuse loudly. */
+    * in-query: bounds validate — end < start, an uncommitted
+    * generation, and combining the feed with versionAsOf all refuse
+    * loudly. The batch ≡ per-generation-streamed-windows equivalence
+    * (one manifest-diff engine, two surfaces) is pinned in
+    * DataSourceV2Spec ("batch CDF window ≡ streamed windows") — it
+    * was an in-query `processAllAvailable` replay here through round
+    * 12, a permanent ~5 s bench fixture cost duplicating spec
+    * coverage, so the query now benches the batch CDF read itself. */
   def q345BatchCdf(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{CommitLog, DeleteVectors}
     val root = java.nio.file.Files.createTempDirectory(
@@ -2624,29 +2627,7 @@ object MaintenanceQueries {
         .option("endingVersion", gEnd)
         .option("cdfKeys", "okey")
         .load(sink)
-      // pin 1: the per-generation STREAMING collection over the same
-      // window is row-identical (same engine, two surfaces)
-      val qn = s"q345_mem${q341Seq.incrementAndGet()}"
-      val sq = s.readStream.format("graft")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", g0)
-        .option("maxGensPerTrigger", "1")
-        .option("cdfKeys", "okey")
-        .load(sink)
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      val streamEq =
-        try {
-          sq.processAllAvailable()
-          def key(df: DataFrame): Seq[(String, Long, Long)] = df
-            .select(col("_change_type"), col("okey"),
-              round(col("price") * 100).cast("long").as("cents"))
-            .collect()
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-            .toSeq.sorted
-          key(s.table(qn)) == key(batch)
-        } finally sq.stop()
-      // pin 2: bounds validation refuses loudly
+      // pin: bounds validation refuses loudly
       def refuses(f: => Unit): Boolean =
         try { f; false } catch { case _: Exception => true }
       val boundsRefused =
@@ -2671,9 +2652,9 @@ object MaintenanceQueries {
           r.getLong(3))).toSeq
       import s.implicits._
       rows.map { case (ct, n, so, sc) =>
-        (ct, n, so, sc, streamEq, boundsRefused)
+        (ct, n, so, sc, boundsRefused)
       }.toDF("_change_type", "n", "sum_okey", "sum_cents",
-        "stream_eq", "bounds_refused")
+        "bounds_refused")
         .orderBy("_change_type")
     } finally graft.io.Sources.deleteRecursively(root)
   }
@@ -2691,21 +2672,21 @@ object MaintenanceQueries {
                 CAST(sum(okey) AS BIGINT) AS sum_okey,
                 CAST(sum(CAST(round(price * 100) AS BIGINT))
                      AS BIGINT) AS sum_cents,
-                TRUE AS stream_eq, TRUE AS bounds_refused FROM del
+                TRUE AS bounds_refused FROM del
          UNION ALL
          SELECT 'update_preimage',
                 CAST(count(*) AS BIGINT),
                 CAST(sum(okey) AS BIGINT),
                 CAST(sum(CAST(round(price * 100) AS BIGINT))
                      AS BIGINT),
-                TRUE, TRUE FROM upd
+                TRUE FROM upd
          UNION ALL
          SELECT 'update_postimage',
                 CAST(count(*) AS BIGINT),
                 CAST(sum(okey) AS BIGINT),
                 CAST(sum(CAST(round((price + 1000.0) * 100) AS BIGINT))
                      AS BIGINT),
-                TRUE, TRUE FROM upd)
+                TRUE FROM upd)
        ORDER BY _change_type"""
 
   /** SQL `UPDATE` through the catalog
@@ -3028,7 +3009,191 @@ object MaintenanceQueries {
               TRUE AS one_commit
        FROM fin GROUP BY seg ORDER BY seg"""
 
+  /** SQL `ALTER TABLE ADD COLUMNS` as METADATA-ONLY additive
+    * evolution ([[graft.operators.SchemaEvolve.addColumn]] through
+    * [[graft.sources.GraftCatalog]] — the highest-frequency schema
+    * change a long-lived table sees; Delta/Iceberg both ship it
+    * metadata-only): one commit adds the columns, ZERO data files are
+    * rewritten (pinned byte-identical by size+mtime), every pre-ADD
+    * row reads a typed NULL, the write guard requires post-ADD
+    * inserts to carry values, and the `#stats` family is untouched
+    * (pruning keeps working with no re-analyze). All pins are emitted
+    * as result columns the oracle hash-checks. */
+  def q350AddColumns(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q350_")
+      .toString
+    val cat = s"gq350c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.d (okey BIGINT, qty BIGINT) " +
+        "USING graft")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          (col("o_orderkey") % 97).cast("long").as("qty"))
+        .createOrReplaceTempView("q350_src")
+      try {
+        s.sql(s"INSERT INTO $cat.db.d " +
+          "SELECT * FROM q350_src WHERE okey % 2 = 0")
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // stats coverage declared BEFORE the ADD — must survive it
+        s.sql(s"CALL $cat.system.analyze('db.d', 'okey')")
+        val statsBefore = CommitLog.statsRecords(fs, hp)
+        def footprint() = CommitLog.ensureLoggedAt(fs, hp)._2.sorted
+          .map { r =>
+            val st = fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(hp, r))
+            (r, st.getLen, st.getModificationTime)
+          }
+        val before = footprint()
+        val oldRows = s.table(s"$cat.db.d").count()
+        val genBefore = CommitLog.committed(fs, hp).get._1
+        s.sql(s"ALTER TABLE $cat.db.d " +
+          "ADD COLUMNS (flag STRING, bonus BIGINT)")
+        val byteIdentical = footprint() == before
+        val oneCommit =
+          CommitLog.committed(fs, hp).get._1 == genBefore + 1
+        val statsIntact =
+          CommitLog.statsRecords(fs, hp) == statsBefore
+        val oldRowsNull = s.table(s"$cat.db.d")
+          .filter(col("flag").isNull && col("bonus").isNull)
+          .count() == oldRows
+        // post-ADD inserts must carry the new columns (the write
+        // guard refuses a 2-column batch now) — fill the other half
+        s.sql(s"INSERT INTO $cat.db.d " +
+          "SELECT okey, qty, 'new', okey % 7 FROM q350_src " +
+          "WHERE okey % 2 = 1")
+        val r = s.sql(
+          s"""SELECT COALESCE(flag, 'old') AS grp,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(COALESCE(bonus, 0)) AS BIGINT)
+                       AS sum_bonus
+              FROM $cat.db.d GROUP BY 1""").collect()
+        import s.implicits._
+        r.toSeq.map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+            x.getLong(3), byteIdentical, oneCommit, statsIntact,
+            oldRowsNull))
+          .toDF("grp", "n", "sum_qty", "sum_bonus", "byte_identical",
+            "one_commit", "stats_intact", "old_rows_null")
+          .orderBy("grp")
+      } finally s.catalog.dropTempView("q350_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q350Sql: String =
+    """WITH base AS (SELECT o_orderkey AS okey,
+                            o_orderkey % 97 AS qty,
+                            CAST(NULL AS VARCHAR) AS flag,
+                            CAST(NULL AS BIGINT) AS bonus
+                     FROM orders WHERE o_orderkey % 2 = 0),
+            added AS (SELECT o_orderkey, o_orderkey % 97, 'new',
+                             o_orderkey % 7
+                      FROM orders WHERE o_orderkey % 2 = 1),
+            fin AS (SELECT * FROM base UNION ALL SELECT * FROM added)
+       SELECT COALESCE(flag, 'old') AS grp,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(qty) AS BIGINT) AS sum_qty,
+              CAST(sum(COALESCE(bonus, 0)) AS BIGINT) AS sum_bonus,
+              TRUE AS byte_identical, TRUE AS one_commit,
+              TRUE AS stats_intact, TRUE AS old_rows_null
+       FROM fin GROUP BY 1 ORDER BY grp"""
+
+  /** ATOMIC CTAS / RTAS ([[graft.sources.GraftCatalog]]'s
+    * `StagingTableCatalog` face — Iceberg ships the same SPI): the
+    * CTAS query writes into a hidden staged directory that only
+    * becomes the table on commit, so a mid-query failure strands
+    * NOTHING (pinned: a raise_error CTAS leaves no table), and
+    * `REPLACE TABLE ... AS SELECT` swaps schema+rows in ONE commit
+    * on the existing log with the replaced snapshot still
+    * time-travel readable (pinned). A failing RTAS leaves the
+    * original intact (pinned). Result = the final table's rollup,
+    * hash-checked against the oracle's recompute. */
+  def q351ReplaceTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q351_")
+      .toString
+    val cat = s"gq351c${q341Seq.incrementAndGet()}"
+    try {
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+      s.sql(s"CREATE NAMESPACE $cat.db")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        .createOrReplaceTempView("q351_src")
+      try {
+        // failing CTAS strands nothing
+        val ctasFailed =
+          try {
+            s.sql(s"CREATE TABLE $cat.db.d USING graft AS " +
+              "SELECT okey, CASE WHEN okey >= 0 THEN " +
+              "raise_error('q351 mid-query') ELSE 'x' END AS c " +
+              "FROM q351_src")
+            false
+          } catch { case _: Exception => true }
+        val hp = new org.apache.hadoop.fs.Path(s"$root/db/d")
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nothingStranded = ctasFailed && !fs.exists(hp) &&
+          s.sql(s"SHOW TABLES IN $cat.db").collect().isEmpty
+        // real CTAS, then RTAS re-declares schema AND rows
+        s.sql(s"CREATE TABLE $cat.db.d USING graft AS " +
+          "SELECT okey, price FROM q351_src WHERE okey % 2 = 0")
+        val genBefore = CommitLog.committed(fs, hp).get._1
+        val rowsBefore = s.table(s"$cat.db.d").count()
+        s.sql(s"REPLACE TABLE $cat.db.d USING graft AS " +
+          "SELECT prio, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(okey) AS BIGINT) AS sum_okey " +
+          "FROM q351_src WHERE okey % 3 = 0 GROUP BY prio")
+        val oneCommit =
+          CommitLog.committed(fs, hp).get._1 == genBefore + 1
+        val oldReadable = s.sql(
+          s"SELECT CAST(count(*) AS BIGINT) FROM $cat.db.d " +
+            s"VERSION AS OF $genBefore").head.getLong(0) == rowsBefore
+        // a failing RTAS leaves the replacement intact
+        val rtasFailed =
+          try {
+            s.sql(s"REPLACE TABLE $cat.db.d USING graft AS " +
+              "SELECT raise_error('q351 rtas') AS only")
+            false
+          } catch { case _: Exception => true }
+        val intact = rtasFailed &&
+          s.table(s"$cat.db.d").columns.toSeq ==
+            Seq("prio", "n", "sum_okey")
+        val r = s.table(s"$cat.db.d").collect()
+          .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+        import s.implicits._
+        r.toSeq.map { case (p, n, so) =>
+          (p, n, so, nothingStranded, oneCommit, oldReadable, intact)
+        }.toDF("prio", "n", "sum_okey", "ctas_atomic",
+          "rtas_one_commit", "old_readable", "failed_rtas_intact")
+          .orderBy("prio")
+      } finally s.catalog.dropTempView("q351_src")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q351Sql: String =
+    """SELECT o_orderpriority AS prio,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+              TRUE AS ctas_atomic, TRUE AS rtas_one_commit,
+              TRUE AS old_readable, TRUE AS failed_rtas_intact
+       FROM orders WHERE o_orderkey % 3 = 0
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q351_replace_table" -> q351ReplaceTable _,
+    "q350_add_columns" -> q350AddColumns _,
     "q349_insert_overwrite" -> q349InsertOverwrite _,
     "q348_sql_maintenance" -> q348SqlMaintenance _,
     "q347_sql_merge" -> q347SqlMerge _,
@@ -3076,6 +3241,8 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_replace_table" -> q351Sql,
+    "q350_add_columns" -> q350Sql,
     "q349_insert_overwrite" -> q349Sql,
     "q348_sql_maintenance" -> q348Sql,
     "q347_sql_merge" -> q347Sql,

@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`dags/idh_etl.py:247-256` — BigQuery dataset.table names); this
   * is the same role for a file-native engine. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -90,19 +91,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     p
   }
 
+  /** Unknown procedures and wrong namespaces surface as the STANDARD
+    * routine-resolution analysis error (`ROUTINE_NOT_FOUND`,
+    * SQLSTATE 42883) — what callers catching resolution failures
+    * match on — with the available-procedure list folded into the
+    * name so the error still says what IS callable. */
+  private def noSuchProcedure(ident: Identifier): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "ROUTINE_NOT_FOUND",
+      messageParameters = Map("routineName" ->
+        (s"`$catalogName`.`${ident.namespace.mkString(".")}`." +
+          s"`${ident.name}` (graft procedures: CALL $catalogName." +
+          s"${GraftProcedures.Namespace}.<name>, available: " +
+          s"${procedures.keys.toSeq.sorted.mkString(", ")})")))
+
   override def loadProcedure(ident: Identifier)
   : org.apache.spark.sql.connector.catalog.procedures
     .UnboundProcedure = {
-    require(ident.namespace.toSeq == Seq(GraftProcedures.Namespace),
-      s"graft catalog: procedures live under the " +
-        s"'${GraftProcedures.Namespace}' namespace — " +
-        s"CALL $catalogName.${GraftProcedures.Namespace}.<name>(...)" +
-        s", got namespace ${ident.namespace.mkString(".")}")
-    procedures.getOrElse(ident.name,
-      throw new UnsupportedOperationException(
-        s"graft catalog: unknown procedure '${ident.name}' — " +
-          s"available: ${procedures.keys.toSeq.sorted
-            .mkString(", ")}"))
+    if (ident.namespace.toSeq != Seq(GraftProcedures.Namespace))
+      noSuchProcedure(ident)
+    procedures.getOrElse(ident.name, noSuchProcedure(ident))
   }
 
   override def listProcedures(namespace: Array[String])
@@ -120,6 +128,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace)
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      // dot-prefixed dirs are in-flight CTAS/RTAS stages (or their
+      // crash debris) — never tables the catalog serves
+      .filterNot(_.getName.startsWith("."))
       .filter(isTable)
       .map(p => Identifier.of(namespace, p.getName))
   }
@@ -185,13 +196,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(GraftState.resolve(opts))
   }
 
-  override def createTable(ident: Identifier,
-                           info: TableInfo): Table = {
+  /** Shared CREATE validation: LOCATION identity, identity-transform
+    * partitioning, partition-column membership, reserved names —
+    * returns (partition columns, the `#meta` record map a bootstrap
+    * generation 0 carries). */
+  private def validatedCreate(ident: Identifier,
+                              schema: org.apache.spark.sql.types
+                                .StructType,
+                              partitions: Array[Transform],
+                              properties: util.Map[String, String])
+  : (Seq[String], Map[String, String]) = {
     // identity mapping is the catalog's whole resolution scheme — a
     // LOCATION override would commit a log this catalog could never
     // find again (loadTable/alterTable/dropTable all derive the path
     // from the identifier), so refuse instead of stranding a table
-    Option(info.properties.get(TableCatalog.PROP_LOCATION)).foreach {
+    Option(properties.get(TableCatalog.PROP_LOCATION)).foreach {
       loc =>
         require(new Path(loc) == tablePath(ident),
           s"graft catalog: LOCATION '$loc' is not the " +
@@ -200,9 +219,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "catalog; read the path directly with " +
             "spark.read.format(\"graft\").load(path)")
     }
-    val p = tablePath(ident)
-    if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    val partCols = info.partitions.toSeq.map { t =>
+    val partCols = partitions.toSeq.map { t =>
       if (t.name != "identity")
         throw new UnsupportedOperationException(
           s"graft catalog: only identity PARTITIONED BY is supported " +
@@ -210,12 +227,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "hive directory layout")
       t.references.head.fieldNames.mkString(".")
     }
-    val missing = partCols.filterNot(info.schema.fieldNames.contains)
+    val missing = partCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"graft catalog: partition column(s) ${missing.mkString(", ")} " +
         "are not in the table schema")
-    val reserved = info.schema.fieldNames
-      .filter(GraftRowLevel.isMetaCol)
+    val reserved = schema.fieldNames.filter(GraftRowLevel.isMetaCol)
     require(reserved.isEmpty,
       s"graft catalog: column name(s) ${reserved.mkString(", ")} " +
         "are reserved row-identity metadata columns — rename them")
@@ -225,17 +241,87 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // dropped; Spark-injected bookkeeping keys (provider, owner,
     // location already validated above) are the engine's own and are
     // not user data to round-trip
-    val props = GraftCatalog.userProperties(info.properties)
+    val props = GraftCatalog.userProperties(properties)
+    (partCols, Map(
+      "schema.ddl" -> schema.toDDL,
+      "partition.cols" -> partCols.mkString(",")) ++
+      props.map { case (k, v) => s"prop.$k" -> v })
+  }
+
+  override def createTable(ident: Identifier,
+                           info: TableInfo): Table = {
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    val (_, meta) = validatedCreate(ident, info.schema,
+      info.partitions, info.properties)
     fs.mkdirs(p)
     // generation 0 carries the declared schema + layout as #meta —
     // what reads and the first write resolve against while the table
     // is empty
-    CommitLog.commitNext(fs, p, -1L, Nil, meta = Map(
-      "schema.ddl" -> info.schema.toDDL,
-      "partition.cols" -> partCols.mkString(",")) ++
-      props.map { case (k, v) => s"prop.$k" -> v })
+    CommitLog.commitNext(fs, p, -1L, Nil, meta = meta)
     loadTable(ident)
   }
+
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ----
+  //
+  // A plain CTAS is create-then-append: a mid-query failure strands
+  // an empty committed table. The staged protocol (Iceberg ships the
+  // same SPI for the same reason) writes the query into a HIDDEN
+  // sibling directory that is itself a complete logged table; commit
+  // publishes it — a fresh CREATE as ONE atomic directory rename, a
+  // REPLACE as ONE commit on the existing log (so every prior
+  // generation stays time-travel readable); abort deletes the staged
+  // directory and the catalog never saw a table.
+
+  private def stage(ident: Identifier,
+                    schema: org.apache.spark.sql.types.StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean)
+  : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val real = tablePath(ident)
+    if (!replace && isTable(real))
+      throw new TableAlreadyExistsException(ident)
+    val (_, meta) = validatedCreate(ident, schema, partitions,
+      properties)
+    val staged = new Path(nsPath(ident.namespace),
+      "." + ident.name + "__stage-" +
+        java.util.UUID.randomUUID().toString)
+    fs.mkdirs(staged)
+    CommitLog.commitNext(fs, staged, -1L, Nil, meta = meta)
+    new GraftStagedTable(fs, ident, real, staged, replace)
+  }
+
+  override def stageCreate(ident: Identifier,
+                           columns: Array[org.apache.spark.sql
+                             .connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+  : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, GraftCatalog.structOf(columns), partitions,
+      properties, replace = false)
+
+  override def stageReplace(ident: Identifier,
+                            columns: Array[org.apache.spark.sql
+                              .connector.catalog.Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+  : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTable(tablePath(ident)))
+      throw new NoSuchTableException(ident)
+    stage(ident, GraftCatalog.structOf(columns), partitions,
+      properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    columns: Array[org.apache.spark
+                                      .sql.connector.catalog.Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String,
+                                      String])
+  : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, GraftCatalog.structOf(columns), partitions,
+      properties, replace = true)
 
   /** RENAME/DROP COLUMN and widening ALTER COLUMN TYPE delegate to
     * [[SchemaEvolve]]; SET/UNSET TBLPROPERTIES and COMMENT land as
@@ -259,6 +345,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "graft catalog: nested columns are not supported")
       c.fieldNames.head
     }
+    // the row-identity names are reserved EVERYWHERE a column name
+    // can enter the schema: createTable and the write path already
+    // refuse them; a RENAME (or ADD) to `_graft_file`/`_graft_pos`
+    // would be silently shadowed by the scan's identity
+    // materialization on any projecting read, corrupting results and
+    // row-level DML post-images
+    val reservedIn = changes.collect {
+      case c: TableChange.RenameColumn
+        if GraftRowLevel.isMetaCol(c.newName) => c.newName
+      case c: TableChange.AddColumn
+        if c.fieldNames.length == 1 &&
+          GraftRowLevel.isMetaCol(c.fieldNames.head) =>
+        c.fieldNames.head
+    }
+    require(reservedIn.isEmpty,
+      s"graft catalog: column name(s) ${reservedIn.mkString(", ")} " +
+        "are reserved row-identity metadata columns — rename them")
     // property changes are table-level #meta records on both paths
     val propMeta: Map[String, String] = changes.collect {
       case c: TableChange.SetProperty =>
@@ -292,6 +395,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           else Some(fld)))
       }
       colChanges.foreach {
+        case c: TableChange.AddColumn =>
+          val name = single(c)
+          GraftCatalog.requireAddable(c)
+          require(!schema.fieldNames.contains(name),
+            s"graft catalog: column `$name` already exists in $ident")
+          val fld = org.apache.spark.sql.types.StructField(
+            name, c.dataType, nullable = true)
+          schema = org.apache.spark.sql.types.StructType(schema :+
+            (if (c.comment == null) fld
+             else fld.withComment(c.comment)))
         case c: TableChange.RenameColumn =>
           val from = single(c)
           one(from)(fld => Some(fld.copy(name = c.newName)))
@@ -320,6 +433,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       return loadTable(ident)
     }
     val evolveChanges = colChanges.map {
+      case c: TableChange.AddColumn =>
+        // metadata-only additive evolution ([[SchemaEvolve.addColumn]]):
+        // zero files rewritten, old rows read NULL, the write guard
+        // requires new batches to carry the column. Column COMMENTs
+        // have no storage on the evolve path (the files' mapped schema
+        // is the source of truth) — refuse rather than silently drop.
+        GraftCatalog.requireAddable(c)
+        require(c.comment == null,
+          "graft catalog: ADD COLUMNS ... COMMENT is not supported " +
+            "on a non-empty table — the mapped file schema carries " +
+            "no column comments; add the column, then document it " +
+            "via TBLPROPERTIES")
+        SchemaEvolve.Change.Add(single(c), c.dataType.catalogString)
       case c: TableChange.RenameColumn =>
         SchemaEvolve.Change.Rename(single(c), c.newName)
       case c: TableChange.DeleteColumn =>
@@ -417,7 +543,142 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+/** One in-flight atomic CTAS/RTAS ([[GraftCatalog]]'s
+  * `StagingTableCatalog` face): the staged directory is a COMPLETE
+  * logged table (bootstrap `#meta` generation 0 + whatever the query
+  * writes through the ordinary graft write path — CHECK-free, fresh,
+  * unmapped), invisible to the catalog until commit.
+  *
+  *   - `commitStagedChanges` on a CREATE: one atomic directory
+  *     rename publishes the whole table — a failure anywhere before
+  *     it leaves NO table behind (the round-12 gap: plain CTAS
+  *     stranded an empty committed table).
+  *   - on a REPLACE of an existing table: the staged live set lands
+  *     as the NEXT generation of the EXISTING commit log (one CAS
+  *     publish) — the replaced generations stay time-travel readable
+  *     until retention, exactly the truncate contract; the old
+  *     table's `#check` records and `#meta` properties are
+  *     tombstoned in the same commit (REPLACE re-declares the table,
+  *     it doesn't inherit constraints it never stated).
+  *   - `abortStagedChanges` deletes the staged directory; debris
+  *     from a hard crash is a dot-prefixed sibling no listing ever
+  *     surfaces.
+  */
+private[sources] final class GraftStagedTable(
+    fs: FileSystem, ident: Identifier, real: Path, staged: Path,
+    replace: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  private def opts = new CaseInsensitiveStringMap(
+    scala.jdk.CollectionConverters.MapHasAsJava(
+      Map("path" -> staged.toString)).asJava)
+
+  override def name(): String = s"graft:staged:$real"
+
+  override def schema(): org.apache.spark.sql.types.StructType =
+    GraftState.resolve(opts).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(staged.toString, info)
+
+  override def abortStagedChanges(): Unit = fs.delete(staged, true)
+
+  override def commitStagedChanges(): Unit = {
+    val isReal = CommitLog.generations(fs, real).nonEmpty
+    if (!isReal) {
+      // CREATE (also REPLACE whose target vanished meanwhile): the
+      // staged dir IS the table — one atomic rename publishes it. A
+      // directory at the path that is NOT a logged table is someone
+      // else's data — refuse rather than destroy it (the same
+      // stance createNamespace takes on shadowing).
+      require(!fs.exists(real),
+        s"graft catalog: $real exists but is not a graft table — " +
+          "refusing to replace a directory the catalog does not own")
+      fs.mkdirs(real.getParent)
+      if (!fs.rename(staged, real))
+        throw new java.io.IOException(
+          s"graft catalog: could not publish staged table $staged " +
+            s"as $real")
+      return
+    }
+    if (!replace) throw new TableAlreadyExistsException(ident)
+    // REPLACE: the staged live set becomes the NEXT generation of
+    // the existing log — prior generations stay readable via time
+    // travel; a CAS loss is terminal (a REPLACE that raced another
+    // writer must be re-decided), exactly the truncate contract
+    val (gen, _) = CommitLog.ensureLoggedAt(fs, real)
+    val (sGen, sLive) = CommitLog.ensureLoggedAt(fs, staged)
+    val sm = CommitLog.manifestAt(fs, staged, sGen)
+    val moved = sLive.map { r =>
+      val dest = new Path(real, r)
+      if (fs.exists(dest))
+        throw new java.io.IOException(
+          s"graft catalog: staged file $r collides with an existing " +
+            s"file under $real")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(new Path(staged, r), dest))
+        throw new java.io.IOException(
+          s"graft catalog: could not move staged $r into $real")
+      r
+    }
+    // the replaced table's properties and CHECK constraints are
+    // tombstoned — REPLACE re-declares the table from scratch
+    val metaTomb = CommitLog.metaRecords(fs, real).keys
+      .map(_ -> "").toMap
+    val checkTomb = CommitLog.checkRecords(fs, real).keys
+      .map(_ -> "").toMap
+    CommitLog.commitNext(fs, real, gen, moved,
+      checks = checkTomb, meta = metaTomb ++ sm.meta,
+      stats = sm.stats, statsReplace = true)
+    fs.delete(staged, true)
+  }
+}
+
 object GraftCatalog {
+
+  /** V2 `Column[]` → `StructType` (CatalogV2Util's conversion is
+    * spark-private): name, type, nullability, comment. Column
+    * DEFAULTs are refused — the engine has nowhere to honor them. */
+  private[sources] def structOf(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+  : org.apache.spark.sql.types.StructType = {
+    val withDefault = columns.filter(_.defaultValue != null)
+    require(withDefault.isEmpty,
+      s"graft catalog: column DEFAULT is not supported (on ${
+        withDefault.map(_.name).mkString(", ")})")
+    org.apache.spark.sql.types.StructType(columns.toSeq.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      if (c.comment == null) f else f.withComment(c.comment)
+    })
+  }
+
+  /** The supported shape of `ALTER TABLE ADD COLUMNS`: nullable
+    * (existing rows read NULL — a NOT NULL add would instantly
+    * violate itself), appended at the end (the mapped-scan schema is
+    * structural, not positional), no DEFAULT (NULL is the documented
+    * pre-ADD value). Everything else refuses loudly. */
+  private[sources] def requireAddable(
+      c: TableChange.AddColumn): Unit = {
+    require(c.isNullable,
+      "graft catalog: ADD COLUMNS must be nullable — every existing " +
+        "row reads NULL for the new column")
+    require(c.position == null,
+      "graft catalog: ADD COLUMNS FIRST/AFTER is not supported — " +
+        "new columns append at the end of the schema")
+    require(c.defaultValue == null,
+      "graft catalog: ADD COLUMNS DEFAULT is not supported — " +
+        "existing rows read NULL; backfill with UPDATE instead")
+  }
 
   /** Spark-injected bookkeeping keys a CREATE TABLE carries that are
     * not user data to round-trip (location is validated separately,

@@ -233,7 +233,7 @@ private[sources] object GraftState {
     val schema =
       if (m.files.nonEmpty)
         CommitLog.mappedScan(spark, hPath, m.files, m.colmaps,
-          coltypes = m.coltypes).schema
+          coltypes = m.coltypes, meta = m.meta).schema
       else
         // a CREATE'd-but-empty table reads under its DECLARED schema
         // (the #meta bootstrap record); once files land, the mapped
@@ -441,6 +441,28 @@ private[sources] final class GraftWriteBuilder(
 }
 
 private[sources] object GraftWriteBuilder {
+
+  /** A spec literal rendered EXACTLY as the writers render partition
+    * directories — through Catalyst `Cast(..., StringType)` in the
+    * session time zone (what `partitionBy` and the delta task
+    * writer's partProj do) — so the replace prefix always matches the
+    * staged directory names. `String.valueOf` would diverge for
+    * temporal types (java.sql.Timestamp.toString appends `.0`),
+    * making a valid INSERT OVERWRITE PARTITION fail the rogue-files
+    * check. Falls back to `String.valueOf` only for values Catalyst
+    * cannot lift (then both renderings are the raw toString anyway). */
+  private def render(v: Any): String =
+    try {
+      val tz = SparkSession.active.sessionState.conf
+        .sessionLocalTimeZone
+      val out = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v),
+        org.apache.spark.sql.types.StringType, Option(tz)).eval(null)
+      if (out == null) String.valueOf(v) else out.toString
+    } catch {
+      case scala.util.control.NonFatal(_) => String.valueOf(v)
+    }
+
   /** The (col → directory-rendered value) map of a STATIC partition
     * overwrite condition, or None when any conjunct is not a plain
     * equality — the only form whose replacement region is a set of
@@ -449,11 +471,11 @@ private[sources] object GraftWriteBuilder {
   : Option[Map[String, String]] = {
     import org.apache.spark.sql.{sources => S}
     val parsed = filters.toSeq.map {
-      case S.EqualTo(c, v) if v != null => Some(c -> String.valueOf(v))
+      case S.EqualTo(c, v) if v != null => Some(c -> render(v))
       case S.EqualNullSafe(c, null) => Some(c ->
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .DEFAULT_PARTITION_NAME)
-      case S.EqualNullSafe(c, v) => Some(c -> String.valueOf(v))
+      case S.EqualNullSafe(c, v) => Some(c -> render(v))
       case _ => None
     }
     if (parsed.forall(_.isDefined) && parsed.nonEmpty)
@@ -1113,7 +1135,8 @@ private[graft] object GraftWriter {
       if (live.nonEmpty)
         Some(CommitLog.mappedScan(spark, hPath,
           Seq(live.head), CommitLog.colmapRecords(fs, hPath),
-          coltypes = CommitLog.coltypeRecords(fs, hPath)).schema)
+          coltypes = CommitLog.coltypeRecords(fs, hPath),
+          meta = metaRecs).schema)
       else metaRecs.get("schema.ddl").map(StructType.fromDDL)
     logicalSchemaOpt.foreach { logicalSchema =>
       val missing = logicalSchema.fieldNames.toSeq
@@ -1144,17 +1167,50 @@ private[graft] object GraftWriter {
           "the table first (SchemaEvolve.widenColumn) so existing " +
           "files carry the #coltype record readers need")
     }
-    // constraints gate the BATCH before anything stages
-    CommitLog.requireChecks(spark, fs, hPath, data, "graft write")
+    // CHECK constraints are evaluated INLINE in the same pass that
+    // stages the batch (`assert_true` filter riding the write plan —
+    // codegen'd, zero extra executions of the input query; the
+    // pre-fix shape ran one filter JOB per constraint over the batch
+    // before writing it, doubling input-side work for every
+    // constrained overwrite). A violating row fails its task, the
+    // job aborts before anything commits, and the staged debris is
+    // removed below; the loud IllegalArgumentException contract is
+    // preserved by unwrapping the task failure.
+    val checks = CommitLog.checkRecords(fs, hPath)
+    val guarded = checks.toSeq.sortBy(_._1).foldLeft(data) {
+      case (df, (n, e)) =>
+        import org.apache.spark.sql.functions.{assert_true, coalesce,
+          expr, lit}
+        df.filter(assert_true(coalesce(expr(e), lit(false)),
+          lit(s"graft write: batch violates CHECK constraint " +
+            s"'$n' ($e)")).isNull)
+    }
     // stage → move in under fresh names → one commit; a partitioned
     // batch stages under its hive directories and moves in preserving
     // them, so the committed relative paths carry the layout the
     // partition-value pruner and basePath discovery read back
     val tmp = new Path(hPath.getParent, hPath.getName + "__fmt_tmp-" +
       java.util.UUID.randomUUID().toString)
-    if (partCols.nonEmpty)
-      data.write.partitionBy(partCols: _*).parquet(tmp.toString)
-    else data.write.parquet(tmp.toString)
+    try {
+      if (partCols.nonEmpty)
+        guarded.write.partitionBy(partCols: _*).parquet(tmp.toString)
+      else guarded.write.parquet(tmp.toString)
+    } catch {
+      case t: Throwable =>
+        try fs.delete(tmp, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        // surface a CHECK violation as the same loud
+        // IllegalArgumentException the pre-staging gate threw
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))
+          .find(_.contains("violates CHECK constraint"))
+          .foreach { m =>
+            val i = m.indexOf("graft write:")
+            throw new IllegalArgumentException(
+              if (i >= 0) m.substring(i) else m)
+          }
+        throw t
+    }
     failpoint("staged")
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)

@@ -71,10 +71,13 @@ private[sources] object GraftProcedures {
       schema: StructType,
       deterministic: Boolean,
       run: (SparkSession, Path, InternalRow) => Seq[InternalRow],
-      resolve: String => Path)
+      resolve: String => Path,
+      desc: String = "")
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
-    override def description(): String = s"graft procedure $procName"
+    override def description(): String =
+      s"graft procedure $procName" +
+        (if (desc.isEmpty) "" else s" — $desc")
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] =
       params.toArray
@@ -92,6 +95,19 @@ private[sources] object GraftProcedures {
   private def count1(a: String) = StructType(Seq(
     StructField(a, LongType, nullable = false)))
 
+  /** Rewriter result shape: counts plus the table GENERATION after
+    * the CALL — so a SQL caller can pin `FOR VERSION AS OF` on
+    * exactly the state its maintenance produced. */
+  private def counts2Gen(a: String, b: String) = StructType(Seq(
+    StructField(a, LongType, nullable = false),
+    StructField(b, LongType, nullable = false),
+    StructField("generation", LongType, nullable = false)))
+
+  private def genAfter(s: SparkSession, p: Path): Long = {
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    CommitLog.committed(fs, p).map(_._1).getOrElse(-1L)
+  }
+
   private def row(vs: Any*): InternalRow =
     new GenericInternalRow(vs.toArray)
 
@@ -101,31 +117,32 @@ private[sources] object GraftProcedures {
     "optimize" -> new Proc("optimize",
       Seq(param("table", StringType),
         paramD("target_bytes", LongType, (128L << 20).toString)),
-      counts2("rewritten", "files_after"), deterministic = false,
+      counts2Gen("rewritten", "files_after"), deterministic = false,
       (s, p, in) => {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // a MULTI-LEVEL hive layout bin-packs per LEAF directory
+        // (every level preserved), the same grouped-planning shape
+        // per-partition Z-order uses — one shuffle, one commit
         val partCols = CommitLog.partitionColsOf(
           CommitLog.ensureLoggedAt(fs, p)._2)
-        // compactSink rewrites ONE partition level; silently passing
-        // the first of several would DROP the deeper directory
-        // columns from every rewritten row — refuse instead
-        require(partCols.size <= 1,
-          s"optimize: $p is partitioned by (${partCols.mkString(", ")
-            }) — multi-level layouts are not bin-packable in one " +
-            "pass; compact per partition with the operator API")
-        val (a, b) = Compact.compactSink(s, p.toString,
-          partitionCol = partCols.headOption,
+        val (a, b) = Compact.compactSinkCols(s, p.toString,
+          partitionCols = partCols,
           targetBytes = in.getLong(1))
-        Seq(row(a, b))
+        Seq(row(a, b, genAfter(s, p)))
       }, resolve),
     "zorder" -> new Proc("zorder",
       Seq(param("table", StringType), param("columns", StringType),
-        paramD("n_files", IntegerType, "8")),
-      counts2("rewritten", "files_after"), deterministic = false,
+        paramD("n_files", IntegerType, "8"),
+        // keep_replaced = true skips the post-commit GC so every
+        // prior generation stays time-travel readable
+        paramD("keep_replaced",
+          org.apache.spark.sql.types.BooleanType, "false")),
+      counts2Gen("rewritten", "files_after"), deterministic = false,
       (s, p, in) => {
         val (a, b) = Cluster.zorderBy(s, p.toString,
-          cols(in.getString(1)), in.getInt(2))
-        Seq(row(a, b))
+          cols(in.getString(1)), in.getInt(2),
+          keepReplaced = in.getBoolean(3))
+        Seq(row(a, b, genAfter(s, p)))
       }, resolve),
     "analyze" -> new Proc("analyze",
       Seq(param("table", StringType), param("columns", StringType)),
@@ -143,10 +160,10 @@ private[sources] object GraftProcedures {
       resolve),
     "apply_deletes" -> new Proc("apply_deletes",
       Seq(param("table", StringType)),
-      counts2("rewritten", "files_after"), deterministic = false,
+      counts2Gen("rewritten", "files_after"), deterministic = false,
       (s, p, _) => {
         val (a, b) = DeleteVectors.applyDeletes(s, p.toString)
-        Seq(row(a, b))
+        Seq(row(a, b, genAfter(s, p)))
       }, resolve),
     "expire" -> new Proc("expire",
       Seq(param("table", StringType),
@@ -169,7 +186,12 @@ private[sources] object GraftProcedures {
       (s, p, in) => {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq(row(CommitLog.vacuum(fs, p, in.getLong(1))))
-      }, resolve),
+      }, resolve,
+      desc = "reclaims unreferenced bytes older than the horizon; " +
+        "older_than_ms=0 is safe ONLY on a quiesced table (a " +
+        "concurrent writer's staged-but-uncommitted files look " +
+        "unreferenced) — the 7-day default is safe under " +
+        "concurrent writers"),
     "history" -> new Proc("history",
       Seq(param("table", StringType)),
       // DESCRIBE HISTORY's summary columns (TableHistory.history)

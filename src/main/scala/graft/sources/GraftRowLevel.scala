@@ -86,13 +86,56 @@ private[graft] object GraftRowLevel {
     new Col(PosCol, LongType,
       "raw row ordinal within its data file (parquet row_index)"))
 
+  /** A CHECK constraint RESOLVED against the write schema and BOUND
+    * to row ordinals — what the task writers evaluate per row, so a
+    * V2 write validates its input in the SAME pass that writes it
+    * (no second scan of the batch or the staged files; Delta's
+    * inline-validation shape). `pass` must evaluate TRUE for the row
+    * to land (NULL counts as a violation, folded in by coalesce at
+    * bind time). */
+  private[graft] final case class GraftBoundCheck(
+      name: String, sql: String,
+      pass: org.apache.spark.sql.catalyst.expressions.Expression)
+
+  /** Resolve + bind the table's `#check` expressions against the
+    * rows the write will produce — driver-side (the analyzer runs
+    * here), shipped to tasks as bound expressions. */
+  private[graft] def boundChecks(schema: StructType,
+                                 checks: Map[String, String])
+  : Seq[GraftBoundCheck] = {
+    if (checks.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val spark = SparkSession.active
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    checks.toSeq.sortBy(_._1).map { case (n, e) =>
+      val analyzed = df.select(coalesce(expr(e), lit(false))
+        .cast("boolean").as("__pass")).queryExecution.analyzed
+      val pr = analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.getOrElse(throw new IllegalStateException(
+        s"check '$n' did not analyze to a projection: $analyzed"))
+      val bound = org.apache.spark.sql.catalyst.expressions
+        .BindReferences.bindReference(
+          pr.projectList.head
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .Alias].child,
+          pr.child.output)
+      GraftBoundCheck(n, e, bound)
+    }
+  }
+
   /** The task-writer factory every distributed graft write shares
     * (row-level DML and dynamic partition overwrite): the task-side
     * `ParquetOutputWriter` reads everything from conf — write-support
     * class, row schema (set per writer), and the session's parquet
-    * write options. */
+    * write options. `checks` are evaluated per inserted row INSIDE
+    * the task (refuse at task level → the job fails before any
+    * commit), so constraint validation costs zero extra scans. */
   def writerFactory(staging: Path, dataSchema: StructType,
-                    partCols: Seq[String]): GraftDeltaWriterFactory = {
+                    partCols: Seq[String],
+                    checks: Seq[GraftBoundCheck] = Nil)
+  : GraftDeltaWriterFactory = {
     val spark = SparkSession.active
     val conf = new Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -111,7 +154,7 @@ private[graft] object GraftRowLevel {
         .toUpperCase(java.util.Locale.ROOT))
     GraftDeltaWriterFactory(staging.toString, dataSchema, partCols,
       spark.sessionState.conf.sessionLocalTimeZone,
-      new SerializableConfiguration(conf))
+      new SerializableConfiguration(conf), checks)
   }
 }
 
@@ -177,7 +220,7 @@ private[sources] final class GraftDeltaWrite(
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch(): DeltaBatchWrite =
-    new GraftDeltaBatchWrite(state, dataSchema, partCols)
+    new GraftDeltaBatchWrite(state, dataSchema, partCols, cmd)
 
   override def description(): String =
     s"graft delta write ${state.path}@${state.gen}"
@@ -189,7 +232,8 @@ private[sources] final class GraftDeltaWrite(
   * writer), the driver publishes everything in one
   * [[DeleteVectors.commitRowLevelDelta]] commit. */
 private[sources] final class GraftDeltaBatchWrite(
-    state: GraftState, dataSchema: StructType, partCols: Seq[String])
+    state: GraftState, dataSchema: StructType, partCols: Seq[String],
+    cmd: RowLevelOperation.Command)
   extends DeltaBatchWrite {
 
   private val hPath = new Path(state.path)
@@ -198,7 +242,16 @@ private[sources] final class GraftDeltaBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
   : DeltaWriterFactory =
-    GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols)
+    GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols,
+      // the statement's new rows are CHECK-gated per row IN the task
+      // writers (the pinned snapshot's constraints — the commit's
+      // commute test refuses if a winner changed them); a DELETE
+      // writes no rows, and its schema carries no data columns to
+      // resolve against
+      checks =
+        if (cmd == RowLevelOperation.Command.DELETE) Nil
+        else GraftRowLevel.boundChecks(dataSchema,
+          state.manifest.checks))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -231,12 +284,13 @@ private[sources] final case class GraftDeltaCommitMessage(
 
 private[sources] final case class GraftDeltaWriterFactory(
     stagingUri: String, dataSchema: StructType, partCols: Seq[String],
-    timeZone: String, conf: SerializableConfiguration)
+    timeZone: String, conf: SerializableConfiguration,
+    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[InternalRow] =
     new GraftDeltaTaskWriter(stagingUri, dataSchema, partCols,
-      timeZone, conf, partitionId, taskId)
+      timeZone, conf, partitionId, taskId, checks)
 }
 
 /** Task-side writer: `insert` streams the row into a parquet file in
@@ -249,11 +303,22 @@ private[sources] final case class GraftDeltaWriterFactory(
 private final class GraftDeltaTaskWriter(
     stagingUri: String, dataSchema: StructType, partCols: Seq[String],
     timeZone: String, conf: SerializableConfiguration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil)
   extends DeltaWriter[InternalRow] {
 
   private val staging = new Path(stagingUri)
   private val uuid = java.util.UUID.randomUUID().toString
+
+  // CHECK constraints evaluated per inserted row in THIS pass —
+  // codegen'd predicates over the bound expressions; a violation
+  // fails the task (and so the job) before anything commits
+  private val checkPreds = checks.map { c =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(c.pass)
+    p.initialize(partitionId)
+    (c, p)
+  }.toArray
 
   private val payloadIdx = dataSchema.fields.indices
     .filterNot(i => partCols.contains(dataSchema.fields(i).name))
@@ -303,6 +368,15 @@ private final class GraftDeltaTaskWriter(
   }
 
   override def insert(row: InternalRow): Unit = {
+    var ci = 0
+    while (ci < checkPreds.length) {
+      val (c, p) = checkPreds(ci)
+      if (!p.eval(row))
+        throw new IllegalArgumentException(
+          s"graft write: row violates CHECK constraint " +
+            s"'${c.name}' (${c.sql})")
+      ci += 1
+    }
     val dir =
       if (partCols.isEmpty) ""
       else {
@@ -423,7 +497,11 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil)
     GraftInsertWriterFactory(
-      GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols))
+      GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols,
+        // CHECK constraints evaluated per row in the same pass that
+        // writes — no re-read of the staged batch at commit time
+        checks = GraftRowLevel.boundChecks(dataSchema,
+          CommitLog.checkRecords(fs, hPath))))
   }
 
   override def commit(messages: Array[
@@ -439,12 +517,9 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
         .collect { case m: GraftDeltaCommitMessage => m }
         .flatMap(_.inserts)
       if (insertRels.isEmpty) return // empty batch replaces nothing
-      val staged = spark.read.option("mergeSchema", "true")
-        .option("basePath", new Path(stagingPath, "inserts").toString)
-        .parquet(insertRels.map(r =>
-          new Path(stagingPath, r).toString): _*)
-      CommitLog.requireChecks(spark, fs, hPath, staged,
-        "dynamic partition overwrite")
+      // CHECK constraints were evaluated per row inside the task
+      // writers — the commit is pure file motion + one publish, the
+      // staged batch is never re-read
       val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
       val added = insertRels.map { r =>
         val rel = r.stripPrefix("inserts/")

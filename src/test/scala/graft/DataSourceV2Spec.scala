@@ -710,4 +710,151 @@ class DataSourceV2Spec extends SparkSpec {
       assert(got == (20L to 29L).filterNot(_ % 10 == 7))
     } finally spark.catalog.dropTempView("graft_v2_t")
   }
+
+  test("CHECK validation is INLINE in every V2 write path: the input " +
+    "executes exactly once (no pre-staging validation pass), a " +
+    "dynamic overwrite statement is ONE Spark job (no staged-file " +
+    "re-read at commit), and a task-level refusal commits nothing " +
+    "and leaves no staged debris") {
+    val root = java.nio.file.Files.createTempDirectory("dsck").toString
+    val sink = s"$root/w"
+    Seq((1L, 10L)).toDF("k", "v")
+      .write.format("graft").mode("append").save(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.addCheck(spark, sink, "v_pos", "v > 0")
+
+    // 1) single-pass pin: with a CHECK declared, an append's input
+    //    plan executes EXACTLY once (the old shape ran one filter
+    //    job per constraint over the batch before writing it)
+    val acc = spark.sparkContext.longAccumulator("graft-ck-rows")
+    val src = spark.range(0, 1000).map { i =>
+      acc.add(1); (i, i + 1)
+    }.toDF("k", "v")
+    src.write.format("graft").mode("append").save(sink)
+    assert(acc.value == 1000L,
+      s"input must execute exactly once, saw ${acc.value} row evals")
+    assert(CommitLog.read(spark, sink).count() == 1001L)
+
+    // 2) a violating batch fails at TASK level: loud
+    //    IllegalArgumentException naming the constraint, generation
+    //    unchanged, no rows landed, staged tmp removed
+    val gBefore = CommitLog.committed(fs, hp).get._1
+    val e = intercept[IllegalArgumentException] {
+      Seq((5L, -5L)).toDF("k", "v")
+        .write.format("graft").mode("append").save(sink)
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(CommitLog.committed(fs, hp).get._1 == gBefore)
+    assert(CommitLog.read(spark, sink).count() == 1001L)
+    assert(!fsOf(root).listStatus(new Path(root)).exists(
+      _.getPath.getName.contains("__fmt_tmp")),
+      "a refused batch must not leave staged debris")
+
+    // 3) dynamic partition overwrite (the V2 BatchWrite, reached
+    //    through the SQL catalog surface): CHECKs ride the task
+    //    writers, so a CONSTRAINED statement runs exactly the same
+    //    Spark jobs as an unconstrained one — validation adds ZERO
+    //    extra passes (the old shape re-read the staged batch at
+    //    commit time)
+    spark.conf.set("spark.sql.catalog.dsck",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dsck.warehouse", root)
+    spark.sql("CREATE NAMESPACE dsck.db")
+    spark.sql("CREATE TABLE dsck.db.p (k BIGINT, v BIGINT, " +
+      "seg STRING) USING graft PARTITIONED BY (seg)")
+    spark.sql("INSERT INTO dsck.db.p VALUES (1, 10, 'a'), " +
+      "(2, 20, 'b')")
+    val pdir = s"$root/db/p"
+    val pfs = fsOf(pdir); val php = new Path(pdir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try {
+      def overwriteJobs(group: String, k: Long, v: Long): Int = {
+        spark.sparkContext.setJobGroup(group, "pin",
+          interruptOnCancel = false)
+        spark.sql(s"INSERT OVERWRITE dsck.db.p VALUES ($k, $v, 'a')")
+        spark.sparkContext.clearJobGroup()
+        // the status store is fed asynchronously — poll until stable
+        def jobs(): Int = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(group).length
+        val deadline = System.currentTimeMillis() + 5000
+        var n = jobs()
+        while (System.currentTimeMillis() < deadline &&
+          { Thread.sleep(100); jobs() != n || jobs() == 0 }) n = jobs()
+        jobs()
+      }
+      val unconstrained = overwriteJobs("graft-dynov-a", 3L, 30L)
+      CommitLog.addCheck(spark, pdir, "v_pos", "v > 0")
+      val constrained = overwriteJobs("graft-dynov-b", 4L, 40L)
+      assert(constrained == unconstrained,
+        s"a CHECK must add ZERO jobs to a dynamic overwrite " +
+          s"(unconstrained=$unconstrained, constrained=$constrained " +
+          "— the commit must not re-read the staged batch)")
+      assert(spark.table("dsck.db.p")
+        .orderBy("k").collect().map(_.getLong(0)).toSeq ==
+        Seq(2L, 4L), "partition a replaced, b untouched")
+
+      // 4) a violating dynamic overwrite refuses at task level:
+      //    nothing commits, no __dynov staging debris survives
+      val gp = CommitLog.committed(pfs, php).get._1
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE dsck.db.p VALUES (9, -90, 'a')")
+      }
+      assert(CommitLog.committed(pfs, php).get._1 == gp,
+        "a refused dynamic overwrite must not commit")
+      assert(spark.table("dsck.db.p").count() == 2L)
+      assert(!pfs.listStatus(new Path(s"$root/db")).exists(
+        _.getPath.getName.contains("__dynov_tmp")),
+        "a refused dynamic overwrite must clean its staging dir")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
+  test("batch CDF window ≡ per-generation streamed windows: the " +
+    "same manifest-diff engine serves both surfaces row-identically " +
+    "(the q345 equivalence pin, moved here from the bench query)") {
+    val root = java.nio.file.Files.createTempDirectory("dscdf")
+      .toString
+    val sink = s"$root/t"
+    // base snapshot g0 → MoR MERGE repricing a subset (g1) →
+    // predicate DELETE of a DISJOINT range (g2): inserts, paired
+    // updates and deletes all present in the window
+    (0L until 400L).map(i => (i, i * 1.5)).toDF("okey", "price")
+      .repartition(4).write.parquet(sink)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.ensureLoggedAt(fs, hp)
+    val g0 = CommitLog.committed(fs, hp).get._1
+    DeleteVectors.mergeOnRead(spark,
+      sink, (0L until 200L by 20L).map(i => (i, i * 1.5 + 1000.0))
+        .toDF("okey", "price"), Seq("okey"))
+    DeleteVectors.deleteWhere(spark, sink, col("okey") >= 300L)
+    val gEnd = CommitLog.committed(fs, hp).get._1
+    val batch = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", g0)
+      .option("endingVersion", gEnd)
+      .option("cdfKeys", "okey").load(sink)
+    val qn = "dscdf_mem"
+    val sq = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", g0)
+      .option("maxGensPerTrigger", "1")
+      .option("cdfKeys", "okey").load(sink)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      def key(df: DataFrame): Seq[(String, Long, Long)] = df
+        .select(col("_change_type"), col("okey"),
+          round(col("price") * 100).cast("long").as("cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      val b = key(batch)
+      assert(b.nonEmpty && key(spark.table(qn)) == b,
+        "batch CDF must equal the streamed per-generation windows")
+      assert(b.count(_._1 == "update_preimage") == 10 &&
+        b.count(_._1 == "delete") == 100)
+    } finally sq.stop()
+  }
 }

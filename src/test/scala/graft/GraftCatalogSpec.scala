@@ -210,8 +210,241 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!props().contains("a"))
     // a genuinely unsupported change still refuses loudly
     intercept[Exception] {
-      spark.sql("ALTER TABLE gc3.db.t ADD COLUMNS (extra INT)")
+      spark.sql("ALTER TABLE gc3.db.t ALTER COLUMN k TYPE INT") // narrow
     }
+  }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only additive evolution: " +
+    "zero files rewritten (byte-identity), old rows read NULL, new " +
+    "inserts must carry values; atomic with rename+widen in ONE " +
+    "multi-change ALTER; duplicate and reserved names refuse") {
+    val root = java.nio.file.Files.createTempDirectory("gcat10").toString
+    initCatalog("gc10", root)
+    spark.sql("CREATE NAMESPACE gc10.db")
+    spark.sql("CREATE TABLE gc10.db.t (k INT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO gc10.db.t VALUES (1, 10), (2, 20)")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    def footprint() = CommitLog.ensureLoggedAt(fs, hp)._2.sorted.map {
+      r =>
+        val st = fs.getFileStatus(new Path(hp, r))
+        (r, st.getLen, st.getModificationTime)
+    }
+    val before = footprint()
+    spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (note STRING)")
+    // ZERO data motion: every live file byte-identical by size+mtime
+    assert(footprint() == before,
+      "ADD COLUMNS must rewrite no data file")
+    // old rows read a typed NULL for the new column
+    assert(spark.table("gc10.db.t").columns.toSeq ==
+      Seq("k", "v", "note"))
+    assert(spark.table("gc10.db.t").schema("note").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(spark.table("gc10.db.t").filter(col("note").isNull)
+      .count() == 2L)
+    // the write guard now REQUIRES the column: new inserts carry it
+    intercept[Exception] {
+      graft.sources.GraftWriter.write(
+        Seq((3, 30L)).toDF("k", "v"), path, overwrite = false,
+        txn = None)
+    }
+    spark.sql("INSERT INTO gc10.db.t VALUES (3, 30, 'filled')")
+    assert(spark.sql(
+      "SELECT k FROM gc10.db.t WHERE note = 'filled'")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(spark.table("gc10.db.t").count() == 3L)
+    // dependent families untouched: a CHECK declared pre-ADD still
+    // gates, stats/bloom coverage of other columns unaffected
+    CommitLog.addCheck(spark, path, "v_pos", "v > 0")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gc10.db.t VALUES (4, -1, 'bad')")
+    }
+    // ATOMIC multi-change: a two-column ADD is ONE commit; an
+    // API-level ADD+RENAME+WIDEN batch is ONE commit; a failing
+    // change mid-batch leaves NOTHING applied
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    spark.sql(
+      "ALTER TABLE gc10.db.t ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore + 1,
+      "a multi-column ADD must be one commit")
+    import graft.operators.SchemaEvolve
+    SchemaEvolve.applyChanges(spark, path, Seq(
+      SchemaEvolve.Change.Add("rank", "int"),
+      SchemaEvolve.Change.Rename("note", "comment"),
+      SchemaEvolve.Change.Widen("k", "bigint")))
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore + 2,
+      "a mixed ADD+RENAME+WIDEN batch must be one commit")
+    assert(spark.table("gc10.db.t").columns.toSeq ==
+      // metadata-added columns surface after the physical ones in
+      // DECLARATION order (the #meta schema.addorder record) — what
+      // positional INSERT resolution depends on
+      Seq("k", "v", "comment", "score", "tag", "rank"))
+    assert(spark.table("gc10.db.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.table("gc10.db.t")
+      .filter(col("score").isNull).count() == 3L)
+    // failing second change → nothing from the batch applies
+    intercept[Exception] {
+      SchemaEvolve.applyChanges(spark, path, Seq(
+        SchemaEvolve.Change.Add("ok_col", "int"),
+        SchemaEvolve.Change.Add("v", "int"))) // duplicate
+    }
+    assert(!spark.table("gc10.db.t").columns.contains("ok_col"),
+      "a failing multi-change batch must apply nothing")
+    // time travel reads the PRE-ADD snapshot under its own schema
+    assert(!spark.sql(
+      s"SELECT * FROM gc10.db.t VERSION AS OF 1").columns
+      .contains("note"))
+    // duplicate / reserved names refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (v INT)")
+    }
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (_graft_file STRING)")
+    }
+    assert(e.getMessage.contains("reserved"))
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gc10.db.t RENAME COLUMN comment TO _graft_pos")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // NOT NULL / DEFAULT / FIRST refuse (NULL is the pre-ADD value)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (nn INT NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (f INT FIRST)")
+    }
+    // empty-table path: declared #meta schema gains the column and
+    // the first insert must carry it
+    spark.sql("CREATE TABLE gc10.db.e (a INT) USING graft")
+    spark.sql("ALTER TABLE gc10.db.e ADD COLUMNS (b STRING)")
+    assert(spark.table("gc10.db.e").columns.toSeq == Seq("a", "b"))
+    intercept[Exception] {
+      graft.sources.GraftWriter.write(
+        Seq(Tuple1(1)).toDF("a"), s"$root/db/e", overwrite = false,
+        txn = None)
+    }
+    spark.sql("INSERT INTO gc10.db.e VALUES (1, 'x')")
+    assert(spark.table("gc10.db.e").count() == 1L)
+    // re-adding a name whose old BYTES are still live under a
+    // rename/drop mapping refuses (the add record would resolve
+    // against them instead of reading NULL); normalize pays the
+    // mapping debt down and the add then lands
+    spark.sql("ALTER TABLE gc10.db.t DROP COLUMN comment")
+    // files still physically carry `note` (renamed → dropped above)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (note STRING)")
+    }
+    assert(e3.getMessage.contains("normalize"))
+    SchemaEvolve.normalize(spark, path)
+    spark.sql("ALTER TABLE gc10.db.t ADD COLUMNS (note STRING)")
+    assert(spark.table("gc10.db.t").columns.contains("note"))
+    assert(spark.table("gc10.db.t").filter(col("note").isNotNull)
+      .count() == 0L, "re-added column must read NULL, never the " +
+      "dropped column's old bytes")
+  }
+
+  test("INSERT OVERWRITE PARTITION renders temporal spec literals " +
+    "exactly as the writers render directories — a timestamp " +
+    "partition overwrites cleanly instead of failing the rogue-row " +
+    "check") {
+    val root = java.nio.file.Files.createTempDirectory("gcat11").toString
+    initCatalog("gc11", root)
+    spark.sql("CREATE NAMESPACE gc11.db")
+    spark.sql("CREATE TABLE gc11.db.t (k BIGINT, ts TIMESTAMP) " +
+      "USING graft PARTITIONED BY (ts)")
+    spark.sql("INSERT INTO gc11.db.t VALUES " +
+      "(1, TIMESTAMP'2024-01-01 00:00:00'), " +
+      "(2, TIMESTAMP'2024-01-02 00:00:00')")
+    // java.sql.Timestamp.toString renders '...00:00:00.0' — the spec
+    // literal must go through the same Cast-to-string the partition
+    // writers use, or this valid statement fails the rogue-files check
+    spark.sql("INSERT OVERWRITE gc11.db.t " +
+      "PARTITION (ts = TIMESTAMP'2024-01-01 00:00:00') VALUES (10)")
+    assert(spark.sql("SELECT k FROM gc11.db.t WHERE " +
+      "ts = TIMESTAMP'2024-01-01 00:00:00'").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L),
+      "the named timestamp partition must be re-stated")
+    assert(spark.sql("SELECT k FROM gc11.db.t WHERE " +
+      "ts = TIMESTAMP'2024-01-02 00:00:00'").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "the untouched timestamp partition must carry over")
+    assert(spark.table("gc11.db.t").count() == 2L)
+  }
+
+  test("ATOMIC CTAS/RTAS (StagingTableCatalog): a CTAS whose SELECT " +
+    "throws leaves NO table behind; RTAS swaps in ONE commit with " +
+    "the old table time-travel readable and its properties/CHECKs " +
+    "re-declared; REPLACE refuses a missing table, CREATE OR " +
+    "REPLACE creates it") {
+    val root = java.nio.file.Files.createTempDirectory("gcat12")
+      .toString
+    initCatalog("gc12", root)
+    spark.sql("CREATE NAMESPACE gc12.db")
+    // failing CTAS: the mid-query error must strand NOTHING — no
+    // table, no committed path, nothing in SHOW TABLES
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gc12.db.t USING graft AS " +
+        "SELECT id, CASE WHEN id > 5 THEN " +
+        "raise_error('boom') ELSE 'ok' END AS x FROM range(10)")
+    }
+    assert(!fsOf(root).exists(new Path(s"$root/db/t")),
+      "a failed CTAS must leave no table directory behind")
+    assert(spark.sql("SHOW TABLES IN gc12.db").collect().isEmpty)
+    // successful CTAS lands atomically
+    spark.sql("CREATE TABLE gc12.db.t USING graft AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(5)")
+    assert(spark.table("gc12.db.t").count() == 5L)
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    CommitLog.addCheck(spark, path, "v_even", "v % 2 = 0")
+    spark.sql("ALTER TABLE gc12.db.t SET TBLPROPERTIES ('tier'='old')")
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    // RTAS: new schema, new rows, ONE commit on the SAME log
+    spark.sql("REPLACE TABLE gc12.db.t USING graft AS " +
+      "SELECT id AS a, concat('s', id) AS b FROM range(3)")
+    assert(spark.table("gc12.db.t").columns.toSeq == Seq("a", "b"))
+    assert(spark.table("gc12.db.t").count() == 3L)
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore + 1,
+      "RTAS must publish as ONE commit on the existing log")
+    // the replaced table stays time-travel readable
+    assert(spark.sql(s"SELECT CAST(count(*) AS BIGINT) FROM " +
+      s"gc12.db.t VERSION AS OF $genBefore").head.getLong(0) == 5L)
+    assert(spark.sql(s"SELECT * FROM gc12.db.t VERSION AS OF " +
+      s"$genBefore").columns.toSeq == Seq("k", "v"))
+    // REPLACE re-declares: old CHECKs and properties are gone
+    assert(CommitLog.checkRecords(fs, hp).isEmpty,
+      "REPLACE must not inherit the old table's constraints")
+    assert(!spark.sql("SHOW TBLPROPERTIES gc12.db.t").collect()
+      .map(_.getString(0)).contains("tier"))
+    // a failing RTAS leaves the ORIGINAL table fully intact
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gc12.db.t USING graft AS " +
+        "SELECT raise_error('mid-query') AS only FROM range(1)")
+    }
+    assert(spark.table("gc12.db.t").count() == 3L &&
+      spark.table("gc12.db.t").columns.toSeq == Seq("a", "b"),
+      "a failed RTAS must leave the original table untouched")
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gc12.db.nope USING graft AS " +
+        "SELECT 1 AS one")
+    }
+    spark.sql("CREATE OR REPLACE TABLE gc12.db.u USING graft AS " +
+      "SELECT 1 AS one")
+    assert(spark.table("gc12.db.u").count() == 1L)
+    // a PARTITIONED CTAS routes rows into the declared hive layout
+    spark.sql("CREATE TABLE gc12.db.p USING graft " +
+      "PARTITIONED BY (pt) AS SELECT id AS k, " +
+      "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS pt FROM range(8)")
+    val (_, plive) = CommitLog.ensureLoggedAt(
+      fsOf(s"$root/db/p"), new Path(s"$root/db/p"))
+    assert(plive.nonEmpty && plive.forall(_.startsWith("pt=")),
+      s"CTAS rows must land under the declared layout: $plive")
+    // no stage debris is listed anywhere
+    assert(spark.sql("SHOW TABLES IN gc12.db").collect()
+      .map(_.getString(1)).toSet == Set("t", "u", "p"))
   }
 
   test("CREATE TABLE round-trips TBLPROPERTIES and COMMENT as #meta " +

@@ -113,26 +113,76 @@ class GraftProceduresSpec extends SparkSpec {
       assert(listed.contains(p), s"$p missing from:\n$listed"))
   }
 
-  test("optimize refuses a multi-level hive layout instead of " +
-    "silently dropping the deeper partition columns") {
+  test("optimize bin-packs a MULTI-LEVEL hive layout per leaf " +
+    "partition — every level preserved, one file per leaf, one " +
+    "commit — and partition pruning still serves both levels") {
     val root = java.nio.file.Files.createTempDirectory("gproc4").toString
     initCatalog("gp4", root)
     spark.sql("CREATE NAMESPACE gp4.db")
     spark.sql("CREATE TABLE gp4.db.t (k BIGINT, a STRING, b STRING) " +
       "USING graft PARTITIONED BY (a, b)")
-    spark.sql("INSERT INTO gp4.db.t SELECT id, " +
-      "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END, " +
-      "CASE WHEN id % 3 = 0 THEN 'p' ELSE 'q' END FROM range(0, 40)")
-    def messages(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(_.getMessage).mkString(" | ")
-    val e = intercept[Exception] {
-      spark.sql("CALL gp4.system.optimize('db.t')")
-    }
-    assert(messages(e).contains("multi-level"), messages(e))
-    // nothing was touched — column b still reads back
-    assert(spark.sql("SELECT CAST(count(DISTINCT b) AS BIGINT) " +
-      "FROM gp4.db.t").head.getLong(0) == 2L)
+    // three appends → ≥3 files per touched leaf
+    (0 until 3).foreach(_ => spark.sql(
+      "INSERT INTO gp4.db.t SELECT id, " +
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END, " +
+        "CASE WHEN id % 3 = 0 THEN 'p' ELSE 'q' END FROM range(0, 40)"))
+    val path = s"$root/db/t"
+    val hp = new Path(path); val fs = fsOf(path)
+    val leavesBefore = CommitLog.ensureLoggedAt(fs, hp)._2
+      .map(_.split('/').dropRight(1).mkString("/")).distinct.sorted
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    val sumBefore = spark.sql(
+      "SELECT CAST(sum(k) AS BIGINT) FROM gp4.db.t").head.getLong(0)
+    val r = spark.sql("CALL gp4.system.optimize('db.t')").head
+    assert(r.getLong(0) >= 8, s"must rewrite the fragmented files: $r")
+    // ONE commit, one file per leaf, all levels intact
+    assert(CommitLog.committed(fs, hp).get._1 == genBefore + 1)
+    assert(r.getLong(2) == genBefore + 1,
+      "the returned generation must pin the rewrite commit")
+    val live = CommitLog.ensureLoggedAt(fs, hp)._2
+    val leaves = live.map(_.split('/').dropRight(1).mkString("/"))
+    assert(leaves.distinct.sorted == leavesBefore,
+      s"every leaf directory must survive: $leaves vs $leavesBefore")
+    assert(leaves.size == leaves.distinct.size,
+      s"one file per leaf after optimize: $live")
+    assert(live.forall(f => f.startsWith("a=") && f.contains("/b=")),
+      s"both partition levels must be preserved: $live")
+    // rows and values byte-for-byte; pruning still serves both levels
+    assert(spark.sql("SELECT CAST(sum(k) AS BIGINT) FROM gp4.db.t")
+      .head.getLong(0) == sumBefore)
+    assert(spark.sql("SELECT CAST(count(*) AS BIGINT) FROM gp4.db.t " +
+      "WHERE a = 'x' AND b = 'p'").head.getLong(0) ==
+      (0 until 40).count(i => i % 2 == 0 && i % 3 == 0) * 3L)
+  }
+
+  test("zorder exposes keep_replaced (prior generations stay " +
+    "time-travel readable) and rewriters return the committed " +
+    "generation for SQL time-travel pinning") {
+    val root = java.nio.file.Files.createTempDirectory("gproc6").toString
+    initCatalog("gp6", root)
+    spark.sql("CREATE NAMESPACE gp6.db")
+    spark.sql("CREATE TABLE gp6.db.t (x BIGINT, y BIGINT) USING graft")
+    spark.sql("INSERT INTO gp6.db.t SELECT id, 999 - id " +
+      "FROM range(0, 1000)")
+    val path = s"$root/db/t"
+    val hp = new Path(path); val fs = fsOf(path)
+    val genBefore = CommitLog.committed(fs, hp).get._1
+    val r = spark.sql(
+      "CALL gp6.system.zorder('db.t', 'x,y', 4, true)").head
+    // zorder commits the rewrite then a re-ANALYZE: returned
+    // generation is the table's state after the CALL
+    assert(r.getLong(2) == CommitLog.committed(fs, hp).get._1,
+      s"returned generation must be the post-CALL state: $r")
+    assert(r.getLong(2) > genBefore)
+    // keep_replaced: the pre-zorder snapshot still reads
+    assert(spark.sql(s"SELECT CAST(count(*) AS BIGINT) FROM " +
+      s"gp6.db.t VERSION AS OF $genBefore").head.getLong(0) == 1000L)
+    assert(spark.table("gp6.db.t").count() == 1000L)
+    // apply_deletes returns its generation too
+    spark.sql("DELETE FROM gp6.db.t WHERE x < 100")
+    val ad = spark.sql("CALL gp6.system.apply_deletes('db.t')").head
+    assert(ad.getLong(2) == CommitLog.committed(fs, hp).get._1)
+    assert(spark.table("gp6.db.t").count() == 900L)
   }
 
   test("unknown procedure and wrong namespace refuse loudly; " +
@@ -142,14 +192,19 @@ class GraftProceduresSpec extends SparkSpec {
     def messages(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(_.getMessage).mkString(" | ")
-    val e1 = intercept[Exception] {
+    // unknown procedures surface as the STANDARD routine-resolution
+    // analysis error (ROUTINE_NOT_FOUND, SQLSTATE 42883) — what
+    // resolution-failure handlers match on — still naming what IS
+    // available
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("CALL gp3.system.frobnicate('db.t')")
     }
-    assert(messages(e1).contains("unknown procedure") &&
-      messages(e1).contains("vacuum"), messages(e1))
-    val e2 = intercept[Exception] {
+    assert(e1.getErrorClass == "ROUTINE_NOT_FOUND", e1.getMessage)
+    assert(messages(e1).contains("vacuum"), messages(e1))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("CALL gp3.other.vacuum('db.t')")
     }
+    assert(e2.getErrorClass == "ROUTINE_NOT_FOUND", e2.getMessage)
     assert(messages(e2).contains("system"), messages(e2))
   }
 }
