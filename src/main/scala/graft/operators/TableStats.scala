@@ -120,7 +120,7 @@ object TableStats {
     x.length - y.length
   }
 
-  private def cmpEnc(typ: String, a: String, b: String): Int =
+  private[graft] def cmpEnc(typ: String, a: String, b: String): Int =
     if (typ == "string") cmpUtf8(a, b)
     else new java.math.BigDecimal(a).compareTo(
       new java.math.BigDecimal(b))
@@ -311,13 +311,13 @@ object TableStats {
 
   /** Hive default-partition marker — the directory name Spark/Hive
     * write for a NULL (or empty-string) partition value. */
-  private val HiveDefaultPart = "__HIVE_DEFAULT_PARTITION__"
+  private[graft] val HiveDefaultPart = "__HIVE_DEFAULT_PARTITION__"
 
   /** A file's partition values from its sink-relative path's `k=v`
     * levels, unescaped — metadata the manifest already carries in the
     * file NAME, so a partitioned sink prunes on its partition columns
     * with no ANALYZE at all. */
-  private def partValuesOf(f: String): Map[String, String] =
+  private[graft] def partValuesOf(f: String): Map[String, String] =
     f.split('/').dropRight(1).filter(_.contains('=')).map { seg =>
       val k = seg.takeWhile(_ != '=')
       val v = seg.drop(k.length + 1)
@@ -396,6 +396,61 @@ object TableStats {
     }
     case _ => true
   }
+
+  /** STRICT twin of [[canMatchPart]]: whether EVERY row of a file
+    * with partition values `pv` provably satisfies `f` — rows of one
+    * file all share their partition value, so a decidable comparison
+    * against the directory value decides the predicate for the whole
+    * file. Returns false on any uncertainty (column absent from the
+    * path, undecidable rendering, unsupported node): the caller must
+    * then keep the filter as a residual. The null-partition marker
+    * reads back as NULL, so it satisfies only IS NULL / `<=> NULL`. */
+  private[graft] def allRowsMatchPart(pv: Map[String, String],
+                                      f: sources.Filter): Boolean =
+    f match {
+      case sources.And(l, r) =>
+        allRowsMatchPart(pv, l) && allRowsMatchPart(pv, r)
+      case sources.Or(l, r) =>
+        allRowsMatchPart(pv, l) || allRowsMatchPart(pv, r)
+      case sources.IsNull(c) => pv.get(c).contains(HiveDefaultPart)
+      case sources.IsNotNull(c) =>
+        pv.get(c).exists(_ != HiveDefaultPart)
+      case sources.EqualTo(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).contains(0))
+      case sources.EqualNullSafe(c, null) =>
+        pv.get(c).contains(HiveDefaultPart)
+      case sources.EqualNullSafe(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).contains(0))
+      case sources.In(c, vs) => vs != null && pv.get(c).exists(d =>
+        d != HiveDefaultPart && vs.exists(v =>
+          v != null && cmpPart(d, v).contains(0)))
+      case sources.GreaterThan(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).exists(_ > 0))
+      case sources.GreaterThanOrEqual(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).exists(_ >= 0))
+      case sources.LessThan(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).exists(_ < 0))
+      case sources.LessThanOrEqual(c, v) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && cmpPart(d, v).exists(_ <= 0))
+      case sources.StringStartsWith(c, prefix) => pv.get(c).exists(d =>
+        d != HiveDefaultPart && d.startsWith(prefix))
+      case _ => false
+    }
+
+  /** Whether the hive layout alone FULLY enforces `f` for a snapshot
+    * with live files `files`: every file either provably matches no
+    * row (so [[pruneIn]] skips it for this very filter) or provably
+    * matches ALL rows. A scan may then drop `f` from its residual set
+    * — the pruning decision IS the predicate — which is what lets an
+    * aggregate push below a partition-filtered read. An empty
+    * snapshot is trivially exact. */
+  private[graft] def exactlyHandledByLayout(files: Seq[String],
+                                            f: sources.Filter)
+  : Boolean =
+    files.forall { file =>
+      val pv = partValuesOf(file)
+      !canMatchPart(pv, f) || allRowsMatchPart(pv, f)
+    }
 
   /** Whether `f` can contribute to manifest pruning at all — the
     * subset a V2 scan advertises as pushed. */

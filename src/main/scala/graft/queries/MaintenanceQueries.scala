@@ -3191,7 +3191,134 @@ object MaintenanceQueries {
        FROM orders WHERE o_orderkey % 3 = 0
        GROUP BY 1 ORDER BY 1"""
 
+  // --- q352: metadata-only aggregate pushdown --------------------------
+  /** METADATA-ANSWERED aggregates over the V2 surface
+    * ([[graft.sources.GraftMetaAgg]] behind
+    * `SupportsPushDownAggregates`): lineitem lands hive-partitioned
+    * by `l_returnflag`, is ANALYZEd, and partition A takes a
+    * merge-on-read DV delete — then
+    *
+    *   - the GLOBAL `count(*)` pushes completely (visible rows =
+    *     `#stats` raw rows − `#dv` cardinality, DV-tolerant);
+    *   - the PER-PARTITION `GROUP BY l_returnflag` counts push (path
+    *     values are the group keys);
+    *   - aggregates under the partition-EXACT predicate
+    *     `l_returnflag = 'N'` push (the layout enforces the filter
+    *     for every kept file, so zero residual Filter blocks the
+    *     aggregate), including min/max decoded bit-exact from
+    *     `#stats` bounds (clean files only);
+    *   - a DATA-column predicate and a min over the DV'd table
+    *     correctly REFUSE pushdown and fall back to the scan.
+    *
+    * Every pushed/not-pushed decision is pinned in-query by
+    * pattern-matching the physical plan against
+    * [[graft.sources.GraftAggInfo]]; every value is hash-compared to
+    * the oracle's recompute from raw lineitem. At 100 TB each pushed
+    * aggregate is driver-side manifest arithmetic — a count over
+    * billions of rows with zero data I/O, Delta's metadata-only
+    * count generalized to grouped and partition-filtered shapes. */
+  def q352MetaAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q352_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate"))
+        .repartition(4)
+        .write.partitionBy("l_returnflag").parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      TableStats.analyze(s, sink, Seq("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_shipdate"))
+      DeleteVectors.deleteWhere(s, sink,
+        col("l_returnflag") === "A" && col("l_orderkey") % 10 < 3)
+      def read = s.read.format("graft").load(sink)
+      def pushedTo(df: DataFrame): Boolean = {
+        val plan = df.queryExecution.executedPlan
+        (plan +: plan.collectLeaves()).exists {
+          case r: org.apache.spark.sql.execution
+            .RowDataSourceScanExec =>
+            r.relation.isInstanceOf[graft.sources.GraftAggInfo]
+          case _ => false
+        }
+      }
+      // global count over the DV'd table: pushed, DV-exact
+      val cdf = read.agg(count(lit(1)).as("total_n"))
+      val totalPushed = pushedTo(cdf)
+      val totalN = cdf.head.getLong(0)
+      // per-partition counts: pushed, group keys from the path
+      val gdf = read.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_flag"))
+      val groupPushed = pushedTo(gdf)
+      val groups = gdf.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // partition-exact predicate: aggregate pushes BELOW the filter
+      val cl = read.filter(col("l_returnflag") === "N")
+        .agg(count(lit(1)).as("clean_n"),
+          min("l_orderkey").as("cmin_okey"),
+          max("l_orderkey").as("cmax_okey"),
+          min("l_shipdate").as("cmin_ship"),
+          max("l_shipdate").as("cmax_ship"))
+      val cleanPushed = pushedTo(cl)
+      val clRow = cl.head
+      // a data-column predicate blocks pushdown; scan stays correct
+      val fdf = read.filter(col("l_orderkey") <= 1000)
+        .agg(count(lit(1)).as("filt_n"))
+      val filtNotPushed = !pushedTo(fdf)
+      val filtN = fdf.head.getLong(0)
+      // min over a table with unapplied deletes refuses; scan answers
+      val mdf = read.agg(min("l_quantity").cast("bigint").as("min_qty"))
+      val minNotPushed = !pushedTo(mdf)
+      val minQty = mdf.head.getLong(0)
+      import s.implicits._
+      groups.map { case (flag, nFlag) =>
+        (flag, nFlag, totalN, clRow.getLong(0), clRow.getLong(1),
+          clRow.getLong(2), clRow.getTimestamp(3), clRow.getTimestamp(4),
+          filtN, minQty,
+          totalPushed && groupPushed && cleanPushed,
+          filtNotPushed && minNotPushed)
+      }.toDF("l_returnflag", "n_flag", "total_n", "clean_n",
+        "cmin_okey", "cmax_okey", "cmin_ship", "cmax_ship",
+        "filt_n", "min_qty", "meta_pushed", "fallback_refused")
+        .orderBy("l_returnflag")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q352Sql: String =
+    """WITH live AS (SELECT * FROM lineitem
+                     WHERE l_orderkey % 4 = 0
+                       AND NOT (l_returnflag = 'A'
+                                AND l_orderkey % 10 < 3)),
+            g AS (SELECT l_returnflag,
+                         CAST(count(*) AS BIGINT) AS n_flag
+                  FROM live GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS total_n
+                    FROM live),
+            cl AS (SELECT CAST(count(*) AS BIGINT) AS clean_n,
+                          CAST(min(l_orderkey) AS BIGINT) AS cmin_okey,
+                          CAST(max(l_orderkey) AS BIGINT) AS cmax_okey,
+                          min(l_shipdate) AS cmin_ship,
+                          max(l_shipdate) AS cmax_ship
+                   FROM live WHERE l_returnflag = 'N'),
+            f AS (SELECT CAST(count(*) AS BIGINT) AS filt_n
+                  FROM live WHERE l_orderkey <= 1000),
+            mq AS (SELECT CAST(min(l_quantity) AS BIGINT) AS min_qty
+                   FROM live)
+       SELECT g.l_returnflag, g.n_flag, tot.total_n, cl.clean_n,
+              cl.cmin_okey, cl.cmax_okey, cl.cmin_ship, cl.cmax_ship,
+              f.filt_n, mq.min_qty,
+              TRUE AS meta_pushed, TRUE AS fallback_refused
+       FROM g, tot, cl, f, mq ORDER BY 1"""
+
   val all: Map[String, Q] = Map(
+    "q352_meta_agg" -> q352MetaAgg _,
     "q351_replace_table" -> q351ReplaceTable _,
     "q350_add_columns" -> q350AddColumns _,
     "q349_insert_overwrite" -> q349InsertOverwrite _,
@@ -3241,6 +3368,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q352_meta_agg" -> q352Sql,
     "q351_replace_table" -> q351Sql,
     "q350_add_columns" -> q350Sql,
     "q349_insert_overwrite" -> q349Sql,

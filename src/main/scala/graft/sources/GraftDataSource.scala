@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import graft.operators.{CommitLog, TableStats}
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead,
@@ -210,6 +210,9 @@ private[sources] object GraftState {
   : Option[GraftState] = {
     val path = pathOf(options)
     val spark = SparkSession.active
+    // any session that reads graft tables gets scan statistics
+    // surfaced through the V1 bridge (see GraftStatsRule)
+    GraftStatsRule.ensureRegistered(spark)
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = CommitLog.generations(fs, hPath)
@@ -1299,16 +1302,24 @@ private[graft] object GraftWriter {
 
 private[sources] final class GraftScanBuilder(state: GraftState)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = state.schema
   private var pushed: Array[Filter] = Array.empty
   private var all: Array[Filter] = Array.empty
+  private var aggPlan: Option[GraftMetaAgg.Planned] = None
 
-  /** ALL filters are returned as post-scan (Spark re-applies them
-    * above the relation — pruning is I/O elision only); the prunable
-    * subset is advertised as pushed so `explain` shows exactly what
-    * the manifest decision used. The FULL set still travels to the
+  /** Filters the hive layout enforces EXACTLY are consumed here
+    * (every kept file provably all-rows-matches, every other file is
+    * skipped by the same conjunct — [[TableStats
+    * .exactlyHandledByLayout]]), so Spark plans no residual Filter
+    * above the relation for them; that zero-residual plan is what
+    * lets an aggregate push below a partition-predicated read. All
+    * OTHER filters are returned as post-scan (Spark re-applies them
+    * — pruning is I/O elision only); the prunable subset is
+    * advertised as pushed so `explain` shows exactly what the
+    * manifest decision used. The FULL set still travels to the
     * relation: every conjunct expressible as a `Column` is re-applied
     * INSIDE the planned frame, so the inner parquet scan gets
     * `PushedFilters` and row-group/page skipping within kept files —
@@ -1316,7 +1327,8 @@ private[sources] final class GraftScanBuilder(state: GraftState)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(TableStats.prunable)
     all = filters
-    filters
+    filters.filterNot(
+      TableStats.exactlyHandledByLayout(state.manifest.files, _))
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -1324,7 +1336,91 @@ private[sources] final class GraftScanBuilder(state: GraftState)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(state, required, pushed, all)
+  /** Complete-or-nothing METADATA aggregation ([[GraftMetaAgg]]):
+    * count/min/max (grouped by partition columns at most) answered
+    * from `#stats` row counts, `#dv` cardinalities and partition
+    * path values — zero data I/O. Refusal falls back to the ordinary
+    * scan, so correctness never depends on coverage. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    GraftMetaAgg.tryPlan(state, all.toIndexedSeq, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    // only COMPLETE pushdown is ever accepted: a partial (re-aggregated)
+    // pushdown has no cheaper source than the data itself here
+    aggPlan = GraftMetaAgg.tryPlan(state, all.toIndexedSeq, agg)
+    aggPlan.isDefined
+  }
+
+  override def build(): Scan = aggPlan match {
+    case Some(p) => new GraftAggScan(state, p)
+    case None => new GraftScan(state, required, pushed, all)
+  }
+}
+
+/** The scan a COMPLETELY pushed aggregate plans to: its rows were
+  * precomputed from the manifest at plan time ([[GraftMetaAgg]]), so
+  * execution is a one-partition local RDD — the physical plan shows
+  * this relation where a multi-terabyte scan + shuffle + aggregate
+  * would otherwise sit. */
+private[sources] final class GraftAggScan(state: GraftState,
+                                          planned: GraftMetaAgg.Planned)
+  extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = planned.schema
+
+  override def description(): String =
+    s"graft ${state.path} gen=${state.gen} " +
+      s"PushedAggregation=${planned.desc}"
+
+  override def estimateStatistics()
+  : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L,
+          planned.rows.size.toLong * (8L +
+            planned.schema.fields.map(_.dataType.defaultSize.toLong)
+              .sum)))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(planned.rows.size.toLong)
+    }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftAggRelation(context, planned).asInstanceOf[T]
+}
+
+/** Public face of a completely pushed metadata aggregate, for plan
+  * audits: consumers pattern-match the physical plan's
+  * `RowDataSourceScanExec.relation` against this to pin that an
+  * aggregate was answered from the manifest (zero data I/O) and what
+  * it computed. */
+trait GraftAggInfo {
+  def pushedAggDesc: String
+  def resultRowCount: Int
+}
+
+private[sources] final class GraftAggRelation(
+    ctx: SQLContext, val planned: GraftMetaAgg.Planned)
+  extends BaseRelation with TableScan with GraftAggInfo {
+
+  override def pushedAggDesc: String = planned.desc
+
+  override def resultRowCount: Int = planned.rows.size
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = planned.schema
+
+  override def toString: String =
+    s"GraftAggRelation(${planned.desc})"
+
+  override def buildScan(): RDD[Row] =
+    ctx.sparkSession.sparkContext.parallelize(planned.rows, 1)
 }
 
 /** `sources.Filter` → `Column` for the conjuncts Spark handed the
@@ -1392,7 +1488,8 @@ private[sources] final class GraftScan(state: GraftState,
                                        required: StructType,
                                        pushed: Array[Filter],
                                        allFilters: Array[Filter])
-  extends V1Scan {
+  extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** The pruning decision, taken at PLAN time against the pinned
     * snapshot: first the manifest-only tier (stats bounds, partition
@@ -1418,6 +1515,51 @@ private[sources] final class GraftScan(state: GraftState,
 
   override def readSchema(): StructType = required
 
+  /** Manifest-derived statistics, so Catalyst's join planning sees a
+    * graft table's TRUE size instead of the never-broadcast default:
+    * `numRows` is the kept files' exact visible count (`#stats` raw
+    * rows minus `#dv` cardinality) when the manifest knows it;
+    * `sizeInBytes` follows the convention Spark's own file scans use
+    * — physical bytes of the kept files scaled by the projected
+    * column fraction — so a dimension-sized graft table under the
+    * broadcast threshold broadcasts without a hint. File lengths
+    * come from one `getFileStatus` per kept file, cached forever in
+    * [[GraftScan.fileLenCache]] (committed data files are immutable
+    * and never overwritten in place), so the listing cost is paid
+    * once per file per JVM, not per query. */
+  override def estimateStatistics()
+  : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = GraftMetaAgg.visibleRowsOf(state.manifest, keptFiles)
+    def width(s: StructType): Long =
+      8L + s.fields.map(_.dataType.defaultSize.toLong).sum
+    val colFraction =
+      math.min(1.0, width(required).toDouble / width(state.schema))
+    val bytes: Option[Long] =
+      try {
+        val hPath = new Path(state.path)
+        val fs = hPath.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        Some(keptFiles.iterator
+          .map(GraftScan.cachedLen(fs, hPath, _)).sum)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // listing failed (racing vacuum of an expired snapshot):
+          // fall back to a row-width estimate, else stay silent and
+          // let Spark use its conservative default
+          rows.map(n => math.max(1L, n * width(required)))
+      }
+    val size = bytes.map(b =>
+      math.max(1L, (b * colFraction).toLong))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        size.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
   override def description(): String =
     s"graft ${state.path} gen=${state.gen} " +
       s"files=${keptFiles.size}/${state.manifest.files.size} " +
@@ -1428,6 +1570,29 @@ private[sources] final class GraftScan(state: GraftState,
       context: SQLContext): T =
     new GraftRelation(context, state, required, keptFiles,
       skippedFiles.size, allFilters).asInstanceOf[T]
+}
+
+private[sources] object GraftScan {
+
+  // committed data files are immutable (rewrites land NEW paths and
+  // retire old ones), so a length cached by qualified path is valid
+  // for the file's whole life; bounded by wholesale clear, the same
+  // policy as CommitLog's manifest cache
+  private val fileLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private[sources] def cachedLen(fs: FileSystem, sink: Path,
+                                 rel: String): Long = {
+    val key = fs.makeQualified(new Path(sink, rel)).toString
+    val hit = fileLenCache.get(key)
+    if (hit != null) hit.longValue
+    else {
+      if (fileLenCache.size > 1000000) fileLenCache.clear()
+      val len = fs.getFileStatus(new Path(sink, rel)).getLen
+      fileLenCache.put(key, len)
+      len
+    }
+  }
 }
 
 /** Public face of a planned graft scan, for plan audits: consumers

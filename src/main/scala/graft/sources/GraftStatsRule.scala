@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.read.{
+  Statistics, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.execution.datasources.v2.{
+  DataSourceV2ScanRelation, PushedDownOperators, V1ScanWrapper}
+import org.apache.spark.sql.sources.Filter
+
+/** Statistics visibility for the V1-bridged graft scan.
+  *
+  * `V2ScanRelationPushDown` wraps every [[V1Scan]] in Spark's
+  * `V1ScanWrapper`, which implements only bare `Scan` — so
+  * `DataSourceV2ScanRelation.computeStats` never sees the underlying
+  * scan's [[SupportsReportStatistics]] and every V1-bridged source
+  * reads as `defaultSizeInBytes` (8 EiB: never broadcastable, never
+  * join-reorderable). JDBC has the same blind spot upstream.
+  *
+  * [[GraftStatsRule]] closes it: a post-pushdown optimizer rule
+  * (registered idempotently on `spark.experimental
+  * .extraOptimizations` — the officially supported injection point,
+  * same mechanism [[graft.plans.MvRewrite]] uses — which runs AFTER
+  * the early scan-pushdown batch) re-wraps the planned scan in
+  * [[GraftStatsV1ScanWrapper]], a `V1ScanWrapper` subclass that
+  * forwards `estimateStatistics` to the graft scan. Catalyst's join
+  * planning then sees the manifest-derived size/row count
+  * ([[GraftScan.estimateStatistics]]): a dimension-sized graft table
+  * broadcasts without a hint, which at 100 TB is the difference
+  * between a map-side join and a full fact-table shuffle. */
+private[sources] final class GraftStatsV1ScanWrapper(
+    v1: V1Scan,
+    handled: Seq[Filter],
+    ops: PushedDownOperators)
+  extends V1ScanWrapper(v1, handled, ops)
+  with SupportsReportStatistics {
+
+  override def estimateStatistics(): Statistics =
+    v1.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+
+  // the inherited case-class equality would make this wrapper == the
+  // plain one it replaces, and TreeNode.transform drops replacements
+  // that compare equal — distinguish the classes so the swap sticks
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[GraftStatsV1ScanWrapper]
+
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftStatsV1ScanWrapper => super.equals(o)
+    case _ => false
+  }
+
+  override def hashCode(): Int = super.hashCode() * 31 + 1
+}
+
+object GraftStatsRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transform {
+      case r: DataSourceV2ScanRelation => r.scan match {
+        case w: V1ScanWrapper
+          if !w.isInstanceOf[GraftStatsV1ScanWrapper] &&
+            w.v1Scan.isInstanceOf[SupportsReportStatistics] =>
+          r.copy(scan = new GraftStatsV1ScanWrapper(
+            w.v1Scan, w.handledFilters, w.pushedDownOperators))
+        case _ => r
+      }
+    }
+
+  /** Append the rule to the session's extra optimizations exactly
+    * once — called from every graft snapshot resolution, so any
+    * session that reads a graft table carries it. */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.exists(_ eq this))
+      exp.extraOptimizations = exp.extraOptimizations :+ this
+  }
+}

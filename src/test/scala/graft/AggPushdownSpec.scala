@@ -1,0 +1,240 @@
+package graft
+
+import graft.operators.{CommitLog, DeleteVectors, TableStats}
+import graft.sources.GraftAggInfo
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.RowDataSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** METADATA-ONLY aggregation and statistics reporting on the V2
+  * surface ([[graft.sources.GraftMetaAgg]]): `COUNT(*)` / `COUNT(col)`
+  * / `MIN` / `MAX` — grouped by partition columns, under
+  * partition-exact predicates — answer from `#stats` row counts,
+  * `#dv` cardinalities and partition path values with ZERO data I/O;
+  * anything unprovable falls back to the ordinary scan (correctness
+  * never depends on coverage); and `SupportsReportStatistics` feeds
+  * Catalyst the table's true size so dimension-sized graft tables
+  * broadcast without a hint. */
+class AggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The metadata-aggregate relation of a plan, if the aggregate was
+    * completely pushed. */
+  private def aggInfoOf(df: DataFrame): Option[GraftAggInfo] = {
+    val plan = df.queryExecution.executedPlan
+    (plan +: plan.collectLeaves()).collectFirst {
+      case r: RowDataSourceScanExec
+        if r.relation.isInstanceOf[GraftAggInfo] =>
+        r.relation.asInstanceOf[GraftAggInfo]
+    }
+  }
+
+  private def assertPushed(df: DataFrame): GraftAggInfo =
+    aggInfoOf(df).getOrElse(fail(
+      s"expected a pushed metadata aggregate in:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  private def assertNotPushed(df: DataFrame): Unit =
+    assert(aggInfoOf(df).isEmpty,
+      "aggregate must NOT push down here:\n" +
+        df.queryExecution.executedPlan.toString)
+
+  /** Partitioned, analyzed sink: p ∈ {0,1,2,null}, typed payload
+    * columns across every stats domain. */
+  private def mkSink(root: String): String = {
+    val sink = s"$root/t"
+    val df = (0 until 400).map { i =>
+      val p: java.lang.Integer =
+        if (i % 4 == 3) null else Integer.valueOf(i % 4)
+      (p, i.toLong, s"s$i%03d".format(i),
+        java.sql.Date.valueOf(java.time.LocalDate
+          .of(2024, 1, 1).plusDays(i % 90)),
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:00"),
+        i * 1.5,
+        new java.math.BigDecimal(s"${i}.25"),
+        if (i % 10 == 0) null else s"v$i")
+    }.toDF("p", "k", "s", "d", "ts", "x", "dec", "nv")
+      .withColumn("dec", col("dec").cast("decimal(10,2)"))
+    df.repartition(2).write.partitionBy("p").parquet(sink)
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    TableStats.analyze(spark, sink,
+      Seq("k", "s", "d", "ts", "x", "dec", "nv"))
+    sink
+  }
+
+  private def graftRead(sink: String): DataFrame =
+    spark.read.format("graft").load(sink)
+
+  test("global count/min/max/count(col) push completely and decode " +
+    "bit-exact across every stats domain") {
+    val root = java.nio.file.Files.createTempDirectory("agg1").toString
+    val sink = mkSink(root)
+    val t = graftRead(sink)
+    val pushed = t.agg(
+      count(lit(1)).as("n"), count(col("nv")).as("nnv"),
+      min("k").as("mnk"), max("k").as("mxk"),
+      min("s").as("mns"), max("s").as("mxs"),
+      min("d").as("mnd"), max("d").as("mxd"),
+      min("ts").as("mnt"), max("ts").as("mxt"),
+      min("x").as("mnx"), max("x").as("mxx"),
+      min("dec").as("mndec"), max("dec").as("mxdec"))
+    val info = assertPushed(pushed)
+    assert(info.resultRowCount == 1)
+    // oracle: the same aggregates computed by scanning the data
+    val oracle = spark.read.parquet(sink).agg(
+      count(lit(1)), count(col("nv")), min("k"), max("k"),
+      min("s"), max("s"), min("d"), max("d"), min("ts"), max("ts"),
+      min("x"), max("x"), min("dec"), max("dec")).head
+    assert(pushed.head == oracle)
+    // count(partition col): nulls excluded via the default marker
+    val pc = t.agg(count(col("p")).as("np"))
+    assertPushed(pc)
+    assert(pc.head.getLong(0) == 300L)
+  }
+
+  test("group-by partition column pushes, including the null " +
+    "partition; partition-exact filters compose and data-column " +
+    "filters refuse") {
+    val root = java.nio.file.Files.createTempDirectory("agg2").toString
+    val sink = mkSink(root)
+    val t = graftRead(sink)
+    val grouped = t.groupBy("p").agg(
+      count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assertPushed(grouped)
+    val got = grouped.orderBy(col("p").asc_nulls_last).collect()
+    val want = spark.read.parquet(sink).groupBy("p")
+      .agg(count(lit(1)).as("n"), min("k").as("mn"),
+        max("k").as("mx"))
+      .orderBy(col("p").asc_nulls_last).collect()
+    assert(got.toSeq == want.toSeq)
+    // a partition-EQUALITY predicate is exactly enforced by the
+    // layout: zero residual filter, aggregate still pushes
+    val filtered = t.filter(col("p") === 1)
+      .agg(count(lit(1)).as("n"), max("k").as("mx"))
+    val info = assertPushed(filtered)
+    assert(info.pushedAggDesc.contains("files="))
+    assert(filtered.head ==
+      spark.read.parquet(sink).filter(col("p") === 1)
+        .agg(count(lit(1)), max("k")).head)
+    // IS NULL selects exactly the default partition
+    val nullPart = t.filter(col("p").isNull).agg(count(lit(1)))
+    assertPushed(nullPart)
+    assert(nullPart.head.getLong(0) == 100L)
+    // a data-column predicate is only ever file-granular: residual
+    // filter stays, aggregate must NOT push
+    assertNotPushed(t.filter(col("k") < 100).agg(count(lit(1))))
+    // distinct aggregates never push
+    assertNotPushed(t.agg(countDistinct(col("k"))))
+    // non-count/min/max never pushes
+    assertNotPushed(t.agg(sum("k")))
+    // group-by a DATA column never pushes
+    assertNotPushed(t.groupBy("s").agg(count(lit(1))).limit(1))
+  }
+
+  test("deletion vectors: count stays exact via #dv cardinality, " +
+    "data-column min/max refuses, partition-column variants stay " +
+    "pushed; a file without stats refuses everything") {
+    val root = java.nio.file.Files.createTempDirectory("agg3").toString
+    val sink = mkSink(root)
+    // mark some rows deleted in partition 1 (merge-on-read);
+    // p = k % 4, so p=1 rows have k ≡ 1 (mod 4) — bound on k instead
+    DeleteVectors.deleteWhere(spark, sink,
+      col("p") === 1 && col("k") <= 200)
+    val t = graftRead(sink)
+    val cnt = t.agg(count(lit(1)).as("n"))
+    assertPushed(cnt)
+    assert(cnt.head.getLong(0) == CommitLog.read(spark, sink).count())
+    // min/max over a DV'd file cannot trust raw-row bounds
+    assertNotPushed(t.agg(min("k")))
+    // ... but a partition-filtered min/max that keeps only clean
+    // files still pushes (the DV'd files are skipped by the layout)
+    val clean = t.filter(col("p") === 2).agg(min("k").as("mn"))
+    assertPushed(clean)
+    assert(clean.head.getLong(0) == 2L)
+    // deleted keys really are gone from the ordinary scan
+    assert(CommitLog.read(spark, sink)
+      .filter(col("p") === 1 && col("k") <= 200).count() == 0L)
+    // partition-column min/max is row-invariant, exact under DVs
+    val pmx = t.agg(max("p").as("mx"), count(col("p")).as("np"))
+    assertPushed(pmx)
+    val oracle = CommitLog.read(spark, sink)
+      .agg(max("p"), count(col("p"))).head
+    assert(pmx.head == oracle)
+    // append a file and do NOT analyze it: every aggregate refuses,
+    // results still correct through the ordinary scan
+    val one = spark.read.parquet(sink).limit(1)
+      .withColumn("k", lit(9999L)).withColumn("p", lit(5))
+    one.write.format("graft").mode("append")
+      .option("path", sink).save()
+    val t2 = graftRead(sink)
+    val c2 = t2.agg(count(lit(1)).as("n"), max("k").as("mx"))
+    assertNotPushed(c2)
+    assert(c2.head.getLong(1) == 9999L)
+  }
+
+  test("SupportsReportStatistics: exact visible row count and a " +
+    "file-bytes size reach Catalyst, and a dimension-sized graft " +
+    "table broadcasts without a hint") {
+    val root = java.nio.file.Files.createTempDirectory("agg4").toString
+    val sink = mkSink(root)
+    DeleteVectors.deleteWhere(spark, sink,
+      col("p") === 0 && col("k") < 40)
+    val t = graftRead(sink)
+    val visible = CommitLog.read(spark, sink).count()
+    val stats = t.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(visible)),
+      s"expected rowCount=$visible, got ${stats.rowCount}")
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 100L * 1024 * 1024)
+    // a narrow projection reports a smaller size than the full scan
+    val narrow = t.select("k").queryExecution.optimizedPlan.stats
+    assert(narrow.sizeInBytes < stats.sizeInBytes)
+    // join planning: the graft dim's reported size is under the
+    // broadcast threshold, so the join broadcasts with no hint
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fact = spark.range(0, 10000)
+        .withColumn("k", col("id") % 400)
+      val joined = fact.join(t, "k")
+      val hasBhj = joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      assert(hasBhj, "graft dim under the threshold must broadcast:\n" +
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.count() ==
+        fact.join(CommitLog.read(spark, sink), "k").count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
+  test("time travel aggregates against the pinned snapshot's " +
+    "manifest, and an empty table answers zero") {
+    val root = java.nio.file.Files.createTempDirectory("agg5").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink)
+    val g0 = CommitLog.committed(fs, new Path(sink)).get._1
+    DeleteVectors.deleteWhere(spark, sink, col("k") < 200)
+    val now = graftRead(sink).agg(count(lit(1)))
+    assertPushed(now)
+    assert(now.head.getLong(0) == 200L)
+    val asOf = spark.read.format("graft")
+      .option("versionAsOf", g0).load(sink).agg(count(lit(1)))
+    assertPushed(asOf)
+    assert(asOf.head.getLong(0) == 400L)
+    // an empty-batch V2 write commits one 0-row file with no stats:
+    // the aggregate refuses (no provable row count) and the ordinary
+    // scan still answers correctly
+    val empty = s"$root/empty"
+    Seq.empty[(Int, Long)].toDF("a", "b")
+      .write.format("graft").mode("append")
+      .option("path", empty).save()
+    val ec = graftRead(empty).agg(count(lit(1)).as("n"),
+      max("b").as("mx"))
+    assertNotPushed(ec)
+    val r = ec.head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+}
