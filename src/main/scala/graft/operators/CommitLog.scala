@@ -178,7 +178,8 @@ object CommitLog {
     * conservative supersets of the visible rows — pruning stays
     * sound, never exact-tight, under MoR deletes. */
   case class ColStats(typ: String, nRows: Long, nNulls: Long,
-                      min: Option[String], max: Option[String])
+                      min: Option[String], max: Option[String],
+                      sum: Option[String] = None)
 
   /** A parsed manifest: live data files, plus the `#`-record families
     * the grammar carries —
@@ -191,11 +192,14 @@ object CommitLog {
     *     metadata that lets [[TableStats]] prune a fully-deleted file
     *     (`nRows == nMarks`) without opening the DV; absent on
     *     pre-extension records, which simply don't short-circuit;
-    *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>`:
+    *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>[\t<sumEnc>]`:
     *     per-(file, column) [[ColStats]], column name and bounds
     *     URL-encoded (`~` = undefined bound: the bare character
     *     cannot collide with an encoded value, URLEncoder escapes
-    *     `~` to `%7E`);
+    *     `~` to `%7E`); the optional ninth field is the column's
+    *     EXACT per-file sum (plain decimal rendering, integral and
+    *     decimal columns only — float sums are order-dependent so
+    *     never recorded), serving metadata-only SUM pushdown;
     *   - `#txn\t<appIdEnc>\t<version>`: highest committed version per
     *     idempotent-writer application id ([[Replicate]]'s exactly-once ledger);
     *   - `#colmap\t<dataRel>\t<physEnc>\t<logicalEnc>`: per-file
@@ -291,11 +295,15 @@ object CommitLog {
       .filter(_.nonEmpty).toSeq
     val statsRecs = lines.filter(_.startsWith("#stats\t")).map { l =>
       val p = l.split('\t')
-      require(p.length == 8,
+      // 9th field: optional EXACT per-file sum (decimal rendering) for
+      // summable domains — absent on pre-extension records, which
+      // simply don't serve SUM pushdown
+      require(p.length == 8 || p.length == 9,
         s"corrupt manifest: malformed stats record '$l'")
       (p(1), dec(p(2)),
         ColStats(p(3), p(4).toLong, p(5).toLong,
-          decOpt(p(6)), decOpt(p(7))))
+          decOpt(p(6)), decOpt(p(7)),
+          if (p.length == 9) decOpt(p(8)) else None))
     }
     val m = Manifest(
       lines.filterNot(_.startsWith("#")),
@@ -822,7 +830,9 @@ object CommitLog {
     val statsLines = mergedStats.toSeq.flatMap { case (f, cols) =>
       cols.toSeq.map { case (c, s) =>
         s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
-          s"\t${encOpt(s.min)}\t${encOpt(s.max)}"
+          s"\t${encOpt(s.min)}\t${encOpt(s.max)}" +
+          // sum-less records keep the 8-field form byte-for-byte
+          s.sum.map(v => s"\t${enc(v)}").getOrElse("")
       }
     }.sorted
     val mergedTxns = txn match {
@@ -1051,11 +1061,127 @@ object CommitLog {
   def expireGenerations(fs: FileSystem, sink: Path, keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val gens = generations(fs, sink)
-    val drop = gens.dropRight(keepLast)
+    // TAGGED generations are retention-protected (Iceberg ref
+    // semantics): expire skips them, so their manifests — and through
+    // vacuum's retained-manifest liveness, their data files — survive
+    // until the tag is dropped
+    val pinned = tags(fs, sink).values.toSet
+    val drop = gens.dropRight(keepLast).filterNot(pinned)
     drop.foreach(g =>
       fs.delete(new Path(logDir(sink), manifestName(g)), false))
     vacuum(fs, sink)
     drop.length
+  }
+
+  // ---- snapshot TAGS (Iceberg refs, the immutable kind) ----
+  //
+  // A tag is a NAME pinned to a committed generation, carried as a
+  // `#meta ref.tag.<name>` record — so it rides every commit
+  // unconditionally like any table property, costs nothing to read
+  // (the manifest parse the reader already does), and needs no new
+  // grammar. Tagged generations are protected from
+  // [[expireGenerations]]; [[vacuum]] then keeps their files live for
+  // free because liveness is derived from RETAINED manifests. Tags
+  // are immutable refs: re-pointing one is drop + create, which makes
+  // every audit trail explicit in the history. Branches (writable
+  // refs) are deliberately NOT offered: graft writes always target
+  // the table head, and a "branch" without a branched write path is
+  // just a tag wearing a misleading name.
+
+  private[graft] val TagMetaPrefix = "ref.tag."
+
+  private def tagKey(name: String): String = {
+    require(name != null && name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"graft tag '$name': names are [A-Za-z0-9_.-]+ (and so can " +
+        "never be confused with a bare generation number in " +
+        "VERSION AS OF, which is all-digits)")
+    require(!name.forall(_.isDigit),
+      s"graft tag '$name': an all-digit name would shadow generation " +
+        "numbers in VERSION AS OF")
+    TagMetaPrefix + name
+  }
+
+  /** The LATEST generation's tags: name → pinned generation. */
+  def tags(fs: FileSystem, sink: Path): Map[String, Long] = {
+    val gens = generations(fs, sink)
+    if (gens.isEmpty) return Map.empty
+    readManifestFull(fs, sink, gens.last).meta.collect {
+      case (k, v) if k.startsWith(TagMetaPrefix) =>
+        k.stripPrefix(TagMetaPrefix) -> v.toLong
+    }
+  }
+
+  /** Resolve a tag to its pinned generation — loud with the existing
+    * tag list when the name is unknown. */
+  def resolveTag(fs: FileSystem, sink: Path, name: String): Long = {
+    val t = tags(fs, sink)
+    t.getOrElse(name, throw new IllegalArgumentException(
+      s"graft: no tag '$name' at $sink — tags: " +
+        (if (t.isEmpty) "(none)"
+         else t.toSeq.sorted.map { case (n, g) => s"$n=$g" }
+           .mkString(", ")) +
+        "; a version is a generation number (DESCRIBE HISTORY " +
+        "lists them) or a tag name"))
+  }
+
+  /** CREATE a tag: one metadata-only commit pinning `name` to `gen`
+    * (default: the head at commit time). The pinned generation must
+    * be retained; an existing name refuses (tags are immutable refs —
+    * drop first). Loses of the publish CAS retry on a fresh snapshot:
+    * a meta overlay commutes with any concurrent data commit. */
+  def createTag(fs: FileSystem, sink: Path, name: String,
+                gen: Option[Long] = None): Long = {
+    val key = tagKey(name)
+    var attempts = 0
+    while (true) {
+      val head = generations(fs, sink).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: cannot tag $sink — no committed generation"))
+      val m = readManifestFull(fs, sink, head)
+      val target = gen.getOrElse(head)
+      require(generations(fs, sink).contains(target),
+        s"graft tag '$name': generation $target is not retained at " +
+          s"$sink (retained: ${generations(fs, sink).mkString(", ")})")
+      require(!m.meta.contains(key),
+        s"graft tag '$name' already pins generation " +
+          s"${m.meta(key)} at $sink — tags are immutable, drop it " +
+          "first")
+      try {
+        commitNext(fs, sink, head, m.files,
+          meta = Map(key -> target.toString))
+        return target
+      } catch {
+        case _: CommitConflictException if attempts < 5 =>
+          attempts += 1 // lost the CAS to a data commit — re-read, retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP a tag: one metadata-only commit tombstoning the record. The
+    * pinned generation becomes expirable again on the next
+    * [[expireGenerations]]. */
+  def dropTag(fs: FileSystem, sink: Path, name: String): Long = {
+    val key = tagKey(name)
+    var attempts = 0
+    while (true) {
+      val head = generations(fs, sink).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft: cannot drop tag on $sink — no committed generation"))
+      val m = readManifestFull(fs, sink, head)
+      val was = m.meta.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"graft: no tag '$name' at $sink to drop"))
+      try {
+        commitNext(fs, sink, head, m.files, meta = Map(key -> ""))
+        return was.toLong
+      } catch {
+        case _: CommitConflictException if attempts < 5 =>
+          attempts += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Latest generation committed AT OR BEFORE `tsMillis` — timestamp

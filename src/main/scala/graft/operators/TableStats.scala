@@ -150,25 +150,40 @@ object TableStats {
     * of [[analyze]], one pass, file-count-sized result. Requested
     * columns absent from this scan's schema (or of a non-stats
     * domain) are silently skipped per branch. */
+  /** Whether a column's EXACT per-file sum is recordable: only
+    * integral and decimal columns — a float/double sum is
+    * order-dependent (fp addition is not associative), so no single
+    * "exact" value exists to record. The sum aggregates through
+    * decimal(38, s): wide enough that a per-file sum cannot overflow
+    * for any realistic file (2⁶³·10⁹ rows fit in 38 digits). */
+  private def sumCast(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(DecimalType(38, 0))
+    case d: DecimalType => Some(DecimalType(38, d.scale))
+    case _ => None
+  }
+
   private def boundsOf(scan: DataFrame, cols: Seq[String])
   : Map[String, Map[String, CommitLog.ColStats]] = {
     val schema = scan.schema
     val typed = cols.filter(schema.fieldNames.contains).flatMap { c =>
-      domainOf(schema(c).dataType).map(t => (c, t))
+      domainOf(schema(c).dataType).map(t =>
+        (c, t, sumCast(schema(c).dataType)))
     }
     if (typed.isEmpty) return Map.empty
-    val aggs = typed.zipWithIndex.flatMap { case ((c, _), i) =>
+    val aggs = typed.zipWithIndex.flatMap { case ((c, _, sc), i) =>
       Seq(
         min(col(c)).as(s"__min$i"),
         max(col(c)).as(s"__max$i"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i")) ++
+      sc.map(t => sum(col(c).cast(t)).as(s"__sum$i")).toSeq
     }
     scan.groupBy("__f")
       .agg(count(lit(1)).as("__n"), aggs: _*)
       .collect().map { r =>
         val f = r.getString(r.fieldIndex("__f"))
         val n = r.getLong(r.fieldIndex("__n"))
-        f -> typed.zipWithIndex.map { case ((c, t), i) =>
+        f -> typed.zipWithIndex.map { case ((c, t, sc), i) =>
           val mn = Option(r.get(r.fieldIndex(s"__min$i")))
           val mx = Option(r.get(r.fieldIndex(s"__max$i")))
           // a NaN/Infinity bound is unencodable — record None bounds
@@ -178,8 +193,12 @@ object TableStats {
             if (mn.exists(nonFinite) || mx.exists(nonFinite))
               (None, None)
             else (mn.map(encNative), mx.map(encNative))
+          val eSum =
+            if (sc.isEmpty) None
+            else Option(r.get(r.fieldIndex(s"__sum$i")))
+              .map(encNative)
           c -> CommitLog.ColStats(t, n,
-            r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx)
+            r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx, eSum)
         }.toMap
       }.toMap
   }

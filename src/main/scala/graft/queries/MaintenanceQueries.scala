@@ -3206,8 +3206,9 @@ object MaintenanceQueries {
     *     `l_returnflag = 'N'` push (the layout enforces the filter
     *     for every kept file, so zero residual Filter blocks the
     *     aggregate), including min/max decoded bit-exact from
-    *     `#stats` bounds (clean files only);
-    *   - a DATA-column predicate and a min over the DV'd table
+    *     `#stats` bounds and SUM from the exact per-file sum field
+    *     (clean files only);
+    *   - a DATA-column predicate, and min/sum over the DV'd table,
     *     correctly REFUSE pushdown and fall back to the scan.
     *
     * Every pushed/not-pushed decision is pinned in-query by
@@ -3265,7 +3266,8 @@ object MaintenanceQueries {
           min("l_orderkey").as("cmin_okey"),
           max("l_orderkey").as("cmax_okey"),
           min("l_shipdate").as("cmin_ship"),
-          max("l_shipdate").as("cmax_ship"))
+          max("l_shipdate").as("cmax_ship"),
+          sum("l_orderkey").as("csum_okey"))
       val cleanPushed = pushedTo(cl)
       val clRow = cl.head
       // a data-column predicate blocks pushdown; scan stays correct
@@ -3273,20 +3275,23 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("filt_n"))
       val filtNotPushed = !pushedTo(fdf)
       val filtN = fdf.head.getLong(0)
-      // min over a table with unapplied deletes refuses; scan answers
-      val mdf = read.agg(min("l_quantity").cast("bigint").as("min_qty"))
+      // min/sum over a table with unapplied deletes refuse (a deleted
+      // row could be the extremum / part of the raw sum); scan answers
+      val mdf = read.agg(min("l_quantity").cast("bigint").as("min_qty"),
+        sum("l_orderkey").as("total_sum_okey"))
       val minNotPushed = !pushedTo(mdf)
-      val minQty = mdf.head.getLong(0)
+      val mRow = mdf.head
       import s.implicits._
       groups.map { case (flag, nFlag) =>
         (flag, nFlag, totalN, clRow.getLong(0), clRow.getLong(1),
           clRow.getLong(2), clRow.getTimestamp(3), clRow.getTimestamp(4),
-          filtN, minQty,
+          clRow.getLong(5), filtN, mRow.getLong(0), mRow.getLong(1),
           totalPushed && groupPushed && cleanPushed,
           filtNotPushed && minNotPushed)
       }.toDF("l_returnflag", "n_flag", "total_n", "clean_n",
         "cmin_okey", "cmax_okey", "cmin_ship", "cmax_ship",
-        "filt_n", "min_qty", "meta_pushed", "fallback_refused")
+        "csum_okey", "filt_n", "min_qty", "total_sum_okey",
+        "meta_pushed", "fallback_refused")
         .orderBy("l_returnflag")
     } finally graft.io.Sources.deleteRecursively(root)
   }
@@ -3305,19 +3310,96 @@ object MaintenanceQueries {
                           CAST(min(l_orderkey) AS BIGINT) AS cmin_okey,
                           CAST(max(l_orderkey) AS BIGINT) AS cmax_okey,
                           min(l_shipdate) AS cmin_ship,
-                          max(l_shipdate) AS cmax_ship
+                          max(l_shipdate) AS cmax_ship,
+                          CAST(sum(l_orderkey) AS BIGINT) AS csum_okey
                    FROM live WHERE l_returnflag = 'N'),
             f AS (SELECT CAST(count(*) AS BIGINT) AS filt_n
                   FROM live WHERE l_orderkey <= 1000),
-            mq AS (SELECT CAST(min(l_quantity) AS BIGINT) AS min_qty
+            mq AS (SELECT CAST(min(l_quantity) AS BIGINT) AS min_qty,
+                          CAST(sum(l_orderkey) AS BIGINT)
+                            AS total_sum_okey
                    FROM live)
        SELECT g.l_returnflag, g.n_flag, tot.total_n, cl.clean_n,
               cl.cmin_okey, cl.cmax_okey, cl.cmin_ship, cl.cmax_ship,
-              f.filt_n, mq.min_qty,
+              cl.csum_okey, f.filt_n, mq.min_qty, mq.total_sum_okey,
               TRUE AS meta_pushed, TRUE AS fallback_refused
        FROM g, tot, cl, f, mq ORDER BY 1"""
 
+  // --- q353: snapshot tags (immutable refs) -----------------------------
+  /** SNAPSHOT TAGS ([[graft.operators.CommitLog.createTag]] — Iceberg
+    * refs, the immutable kind): a `#meta ref.tag.<name>` record pins a
+    * name to a committed generation. The query builds three
+    * generations of `orders` thirds, tags the FIRST, expires to
+    * keep-last-1 — and pins that the tagged generation SURVIVES
+    * retention (its manifest is skipped by expire; vacuum keeps its
+    * files because liveness derives from retained manifests), reads
+    * it back by NAME (`versionAsOf = 'audit'` ≡ the pinned
+    * generation), then drops the tag and expires again — now the
+    * generation goes. The tag-read aggregates and the head aggregates
+    * are both oracle-checked from orders arithmetic; the
+    * survive/expire lifecycle rides as boolean pins. At 100 TB a tag
+    * is the auditable "the Q3 training run read THIS" handle:
+    * one metadata commit, zero data motion, retention-proof until
+    * explicitly released. */
+  def q353SnapshotTags(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q353_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+      third(0).coalesce(2).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      val g0 = CommitLog.generations(fs, hp).last
+      CommitLog.createTag(fs, hp, "audit", None) // pins g0
+      def append(r: Int): Unit = third(r).coalesce(2)
+        .write.format("graft").mode("append")
+        .option("path", sink).save()
+      append(1); append(2)
+      CommitLog.expireGenerations(fs, hp, 1)
+      val survived = CommitLog.generations(fs, hp).contains(g0) &&
+        CommitLog.resolveTag(fs, hp, "audit") == g0
+      val tagged = s.read.format("graft")
+        .option("versionAsOf", "audit").load(sink)
+        .agg(count(lit(1)).cast("long").as("tag_n"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("tag_cents")).head
+      val head = CommitLog.read(s, sink)
+        .agg(count(lit(1)).cast("long").as("head_n"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("head_cents")).head
+      CommitLog.dropTag(fs, hp, "audit")
+      CommitLog.expireGenerations(fs, hp, 1)
+      val expired = !CommitLog.generations(fs, hp).contains(g0) &&
+        CommitLog.tags(fs, hp).isEmpty
+      import s.implicits._
+      Seq((tagged.getLong(0), tagged.getLong(1), head.getLong(0),
+        head.getLong(1), survived, expired))
+        .toDF("tag_n", "tag_cents", "head_n", "head_cents",
+          "tag_survived_expire", "untagged_expired")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q353Sql: String =
+    """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 = 0) AS tag_n,
+              (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 = 0) AS tag_cents,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders) AS head_n,
+              (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders) AS head_cents,
+              TRUE AS tag_survived_expire,
+              TRUE AS untagged_expired"""
+
   val all: Map[String, Q] = Map(
+    "q353_snapshot_tags" -> q353SnapshotTags _,
     "q352_meta_agg" -> q352MetaAgg _,
     "q351_replace_table" -> q351ReplaceTable _,
     "q350_add_columns" -> q350AddColumns _,
@@ -3368,6 +3450,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q353_snapshot_tags" -> q353Sql,
     "q352_meta_agg" -> q352Sql,
     "q351_replace_table" -> q351Sql,
     "q350_add_columns" -> q350Sql,

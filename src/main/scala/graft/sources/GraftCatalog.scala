@@ -142,12 +142,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     // validate here so a bad literal surfaces as a catalog error
     // naming the table, not a bare NumberFormatException from deep
-    // inside state resolution
-    require(version != null && version.nonEmpty &&
-      version.forall(_.isDigit),
-      s"graft catalog: VERSION AS OF '$version' on $ident is not a " +
-        "generation number — versions are the non-negative integers " +
-        "DESCRIBE HISTORY lists")
+    // inside state resolution: a version is either a generation
+    // number (all digits) or a snapshot TAG name ([A-Za-z0-9_.-]+,
+    // never all-digits — CommitLog.tagKey enforces the split)
+    require(version != null && version.nonEmpty && version.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"graft catalog: VERSION AS OF '$version' on $ident is " +
+        "neither a generation number (DESCRIBE HISTORY lists them) " +
+        "nor a tag name ([A-Za-z0-9_.-]+)")
     loadWith(ident, Map("versionAsOf" -> version))
   }
 

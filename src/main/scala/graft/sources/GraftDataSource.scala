@@ -217,7 +217,13 @@ private[sources] object GraftState {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = CommitLog.generations(fs, hPath)
     if (gens.isEmpty) return None
-    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    // versionAsOf: a bare generation number, or a snapshot TAG name
+    // (CommitLog.resolveTag — tag names can never be all-digits, so
+    // the two namespaces cannot collide)
+    val byVersion = Option(options.get("versionAsOf")).map { s =>
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+      else CommitLog.resolveTag(fs, hPath, s)
+    }
     val byTime = Option(options.get("timestampAsOf")).map { s =>
       // epoch millis, or a SQL timestamp literal
       val millis =

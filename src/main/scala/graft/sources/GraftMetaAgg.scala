@@ -3,16 +3,18 @@ package graft.sources
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{
-  AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
 import graft.operators.{CommitLog, TableStats}
 
 /** METADATA-ONLY aggregation: answer `COUNT(*)` / `COUNT(col)` /
-  * `MIN(col)` / `MAX(col)` — optionally grouped by partition columns,
-  * optionally under partition-exact predicates — from the manifest
-  * alone, zero data I/O (the capability behind the V2 scan builder's
+  * `MIN(col)` / `MAX(col)` / `SUM(col)` (and through Spark's
+  * sum/count decomposition, `AVG`) — optionally grouped by partition
+  * columns, optionally under partition-exact predicates — from the
+  * manifest alone, zero data I/O (the capability behind the V2 scan
+  * builder's
   * [[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]]).
   * At 100 TB this is the difference between a sub-second `SELECT
   * count(*) FROM t WHERE day = X` and a full partition scan: the
@@ -28,10 +30,16 @@ import graft.operators.{CommitLog, TableStats}
   *
   *   - any kept file without a `#stats` row count, or carrying a
   *     `#dv` record without the mark-cardinality extension;
-  *   - `COUNT(col)` / `MIN` / `MAX` on a data column of a file with
-  *     unapplied deletes (a deleted row could be the extremum or a
-  *     null — partition-column variants stay exact under DVs, the
-  *     directory value is row-invariant);
+  *   - `COUNT(col)` / `MIN` / `MAX` / `SUM` on a data column of a
+  *     file with unapplied deletes (a deleted row could be the
+  *     extremum, a null, or part of the raw sum — partition-column
+  *     variants stay exact under DVs, the directory value is
+  *     row-invariant);
+  *   - `SUM` on anything but integral/decimal columns (float sums
+  *     are order-dependent so `#stats` never records them), on files
+  *     without the sum field, or when the exact total falls outside
+  *     the result type's range (the scan's ANSI arithmetic must
+  *     stay the semantics);
   *   - min/max bounds recorded as undefined while the file has
   *     non-null rows (the NaN/±Inf trade [[TableStats.analyze]]
   *     documents) or spanning mixed comparison domains;
@@ -102,6 +110,18 @@ private[sources] object GraftMetaAgg {
   private final case class CountColSpec(f: StructField) extends Spec
   private final case class MinMaxSpec(f: StructField, isMin: Boolean)
     extends Spec
+  private final case class SumSpec(f: StructField) extends Spec
+
+  /** Spark's result type for a pushed SUM — must match exactly for
+    * the positional schema contract. Only integral and decimal
+    * columns are summable here (the `#stats` sum field is recorded
+    * for exactly those; float sums are order-dependent). */
+  private def sumResultType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case d: DecimalType =>
+      DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => refuse()
+  }
 
   private def fieldOf(schema: StructType,
                       e: org.apache.spark.sql.connector.expressions
@@ -237,6 +257,8 @@ private[sources] object GraftMetaAgg {
         isMin = true)
       case mx: Max => MinMaxSpec(fieldOf(schema, mx.column),
         isMin = false)
+      case sm: Sum if !sm.isDistinct =>
+        SumSpec(fieldOf(schema, sm.column))
       case _ => refuse()
     }
     val (kept, _) = TableStats.pruneIn(m.files, m.stats, m.dvMarks,
@@ -270,12 +292,16 @@ private[sources] object GraftMetaAgg {
           StructField(s"agg_$i", LongType, nullable = false)
         case (MinMaxSpec(f, _), i) =>
           StructField(s"agg_$i", f.dataType, nullable = true)
+        case (SumSpec(f), i) =>
+          StructField(s"agg_$i", sumResultType(f.dataType),
+            nullable = true)
       }
     val aggNames = specs.map {
       case CountStarSpec => "count(*)"
       case CountColSpec(f) => s"count(${f.name})"
       case MinMaxSpec(f, true) => s"min(${f.name})"
       case MinMaxSpec(f, false) => s"max(${f.name})"
+      case SumSpec(f) => s"sum(${f.name})"
     }
     Planned(StructType(fields), rows,
       s"[${aggNames.mkString(", ")}]" +
@@ -299,6 +325,53 @@ private[sources] object GraftMetaAgg {
           val cs = fm.stats(f.name); cs.nRows - cs.nNulls
         }.sum
       else refuse()
+    case SumSpec(f) =>
+      var total = java.math.BigDecimal.ZERO
+      var nonNull = 0L
+      if (fs.forall(_.pv.contains(f.name))) {
+        // partition-valued sum: every row of a file shares the
+        // directory value, so sum = value × visible rows — exact
+        // even under DVs (a deleted row carried the same value)
+        fs.foreach { fm =>
+          val d = fm.pv(f.name)
+          if (d != TableStats.HiveDefaultPart && fm.visible > 0L) {
+            val v = dirValue(d, f.dataType) match {
+              case n: java.lang.Number =>
+                new java.math.BigDecimal(n.toString)
+              case _ => refuse()
+            }
+            total = total.add(
+              v.multiply(java.math.BigDecimal.valueOf(fm.visible)))
+            nonNull += fm.visible
+          }
+        }
+      } else {
+        // #stats sum path: raw-row sums are only the visible sum
+        // when nothing is deleted
+        if (fs.exists(_.marks != 0L)) refuse()
+        fs.foreach { fm =>
+          val cs = fm.stats.getOrElse(f.name, refuse())
+          if (cs.nNulls < cs.nRows) {
+            val enc = cs.sum.getOrElse(refuse())
+            total = total.add(
+              try new java.math.BigDecimal(enc)
+              catch { case _: NumberFormatException => refuse() })
+            nonNull += cs.nRows - cs.nNulls
+          }
+        }
+      }
+      if (nonNull == 0L) null
+      else sumResultType(f.dataType) match {
+        case LongType =>
+          // an exact total outside long range would diverge from the
+          // scan's (wrapping) arithmetic — refuse, let the scan answer
+          try total.longValueExact()
+          catch { case _: ArithmeticException => refuse() }
+        case d: DecimalType =>
+          try total.setScale(d.scale)
+          catch { case _: ArithmeticException => refuse() }
+        case _ => refuse()
+      }
     case MinMaxSpec(f, isMin) =>
       if (fs.forall(_.pv.contains(f.name))) {
         // partition-valued extremum: files with zero VISIBLE rows

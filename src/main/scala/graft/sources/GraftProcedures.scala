@@ -27,6 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.expire('db.t', 3)          -- keep last N gens
   * CALL graft.system.vacuum('db.t')             -- reclaim orphans
   * CALL graft.system.history('db.t')            -- DESCRIBE HISTORY
+  * CALL graft.system.create_tag('db.t', 'v1')   -- pin a snapshot tag
+  * CALL graft.system.drop_tag('db.t', 'v1')     -- unpin it
+  * CALL graft.system.tags('db.t')               -- list tags
   * }}}
   *
   * Each procedure resolves its `table` argument through the SAME
@@ -165,6 +168,51 @@ private[sources] object GraftProcedures {
         val (a, b) = DeleteVectors.applyDeletes(s, p.toString)
         Seq(row(a, b, genAfter(s, p)))
       }, resolve),
+    "create_tag" -> new Proc("create_tag",
+      Seq(param("table", StringType),
+        param("name", StringType),
+        paramD("generation", LongType, "-1")),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val name = in.getString(1)
+        val gen = in.getLong(2)
+        val pinned = CommitLog.createTag(fs, p, name,
+          if (gen < 0) None else Some(gen))
+        Seq(row(utf8(name), pinned))
+      }, resolve,
+      desc = "pins a snapshot tag (immutable ref) to a generation " +
+        "(default: the current head); tagged generations survive " +
+        "expire until the tag is dropped; read back with " +
+        "VERSION AS OF '<name>'"),
+    "drop_tag" -> new Proc("drop_tag",
+      Seq(param("table", StringType), param("name", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("was_generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val name = in.getString(1)
+        Seq(row(utf8(name), CommitLog.dropTag(fs, p, name)))
+      }, resolve,
+      desc = "drops a snapshot tag; the pinned generation becomes " +
+        "expirable again on the next expire"),
+    "tags" -> new Proc("tags",
+      Seq(param("table", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        CommitLog.tags(fs, p).toSeq.sortBy(_._1)
+          .map { case (n, g) => row(utf8(n), g) }
+      }, resolve,
+      desc = "lists the table's snapshot tags (name, generation)"),
     "expire" -> new Proc("expire",
       Seq(param("table", StringType),
         paramD("keep_last", IntegerType, "1")),

@@ -129,8 +129,14 @@ class AggPushdownSpec extends SparkSpec {
     assertNotPushed(t.filter(col("k") < 100).agg(count(lit(1))))
     // distinct aggregates never push
     assertNotPushed(t.agg(countDistinct(col("k"))))
-    // non-count/min/max never pushes
-    assertNotPushed(t.agg(sum("k")))
+    // avg decomposes into pushed sum/count (Spark projects the
+    // division on top), so it is ALSO metadata-answered
+    val av = t.agg(avg("k").as("a"))
+    assertPushed(av)
+    assert(av.head.getDouble(0) ==
+      spark.read.parquet(sink).agg(avg("k")).head.getDouble(0))
+    // genuinely unsupported aggregate functions never push
+    assertNotPushed(t.agg(stddev("k")))
     // group-by a DATA column never pushes
     assertNotPushed(t.groupBy("s").agg(count(lit(1))).limit(1))
   }
@@ -208,6 +214,54 @@ class AggPushdownSpec extends SparkSpec {
       assert(joined.count() ==
         fact.join(CommitLog.read(spark, sink), "k").count())
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
+  test("SUM pushes from the #stats exact-sum field for integral and " +
+    "decimal columns; doubles, DV'd files and overflow refuse; the " +
+    "partition-valued sum stays exact under DVs") {
+    val root = java.nio.file.Files.createTempDirectory("agg6").toString
+    val sink = mkSink(root)
+    val t = graftRead(sink)
+    // integral + decimal sums push and decode exact
+    val sdf = t.agg(sum("k").as("sk"), sum("dec").as("sdec"),
+      count(lit(1)).as("n"))
+    assertPushed(sdf)
+    assert(sdf.head == spark.read.parquet(sink)
+      .agg(sum("k"), sum("dec"), count(lit(1))).head)
+    // grouped sums push too
+    val gs = t.groupBy("p").agg(sum("k").as("sk"))
+    assertPushed(gs)
+    assert(gs.orderBy(col("p").asc_nulls_last).collect().toSeq ==
+      spark.read.parquet(sink).groupBy("p").agg(sum("k").as("sk"))
+        .orderBy(col("p").asc_nulls_last).collect().toSeq)
+    // double sums are order-dependent: never recorded, never pushed
+    assertNotPushed(t.agg(sum("x")))
+    // the partition-valued sum is value × visible rows — exact under
+    // DVs while the data-column sum refuses
+    DeleteVectors.deleteWhere(spark, sink,
+      col("p") === 1 && col("k") <= 200)
+    val t2 = graftRead(sink)
+    assertNotPushed(t2.agg(sum("k")))
+    val ps = t2.agg(sum("p").as("sp"))
+    assertPushed(ps)
+    assert(ps.head.getLong(0) ==
+      CommitLog.read(spark, sink).agg(sum("p")).head.getLong(0))
+    // a sum beyond long range refuses pushdown, so overflow keeps the
+    // SCAN's (ANSI) semantics: the graft read throws exactly like the
+    // plain parquet read instead of silently answering the wide value
+    val big = s"$root/big"
+    Seq(Long.MaxValue - 1, Long.MaxValue - 2, 5L).toDF("v")
+      .coalesce(1).write.parquet(big)
+    CommitLog.ensureLoggedAt(fsOf(big), new Path(big))
+    TableStats.analyze(spark, big, Seq("v"))
+    val os = graftRead(big).agg(sum("v").as("s"))
+    assertNotPushed(os)
+    def overflows(f: => Any): Boolean =
+      try { f; false }
+      catch { case e: Exception =>
+        e.toString.contains("ARITHMETIC_OVERFLOW") }
+    assert(overflows(os.head))
+    assert(overflows(spark.read.parquet(big).agg(sum("v")).head))
   }
 
   test("time travel aggregates against the pinned snapshot's " +
