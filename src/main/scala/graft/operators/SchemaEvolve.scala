@@ -111,6 +111,17 @@ object SchemaEvolve {
     "bigint" -> Set("tinyint", "smallint", "int"),
     "double" -> Set("float"))
 
+  /** Whether a widen to `target` invalidates the column's recorded
+    * `#stats` bounds: only float → double — a float's
+    * shortest-round-trip rendering ('0.1') re-read as a double
+    * (0.1d) is NOT the value the widened scan returns
+    * (0.1f.toDouble = 0.10000000149…d), so kept bounds would let
+    * pruning and aggregate pushdown silently diverge from the scan.
+    * Integer promotions keep exact decimal renderings, so their
+    * bounds stay valid and are kept. */
+  private def widenInvalidatesStats(target: String): Boolean =
+    target == "double"
+
   /** The widen-only legality check, shared with callers that evolve
     * a DECLARED schema (no files to record against — the catalog's
     * empty-table ALTER): refuses unless `current → target` is one of
@@ -157,7 +168,26 @@ object SchemaEvolve {
       val phys = physOf(cms.getOrElse(f, Map.empty), name)
       f -> (cts.getOrElse(f, Map.empty) + (phys -> target))
     }.toMap
-    CommitLog.commitNext(fs, hPath, gen, live, coltypes = newTypes)
+    // a float→double widen invalidates the column's recorded bounds
+    // ([[widenInvalidatesStats]]): drop them in this same commit —
+    // the next ANALYZE re-records exact bounds computed THROUGH the
+    // cast (analyze's mapped scan resolves #coltype), and until then
+    // the column simply doesn't prune (unknown, never wrong).
+    // Integer promotions keep their (still-exact) bounds.
+    val statsSansCol =
+      if (!widenInvalidatesStats(target))
+        Map.empty[String, Map[String, CommitLog.ColStats]]
+      else {
+        val stats = CommitLog.statsRecords(fs, hPath)
+        val liveSet = live.toSet
+        stats.collect {
+          case (f, m) if liveSet(f) && m.contains(name) =>
+            f -> (m - name)
+        }
+      }
+    CommitLog.commitNext(fs, hPath, gen, live, coltypes = newTypes,
+      stats = statsSansCol,
+      statsReplace = statsSansCol.nonEmpty)
   }
 
   /** Physical name a logical column reads from in file `f`'s mapping:
@@ -324,6 +354,12 @@ object SchemaEvolve {
         cts = cts.map { case (f, m) =>
           f -> (m + (physOf(cms(f), name) -> target))
         }
+        // a float→double widen invalidates the column's recorded
+        // bounds ([[widenInvalidatesStats]]): drop them in this
+        // commit; the next ANALYZE re-records exact bounds through
+        // the cast. Integer promotions keep theirs.
+        if (widenInvalidatesStats(target))
+          stats = stats.map { case (f, m) => f -> (m - name) }
         schema = org.apache.spark.sql.types.StructType(schema.map(
           fld => if (fld.name == name)
             fld.copy(dataType =

@@ -1529,10 +1529,17 @@ private[sources] final class GraftScan(state: GraftState,
     * — physical bytes of the kept files scaled by the projected
     * column fraction — so a dimension-sized graft table under the
     * broadcast threshold broadcasts without a hint. File lengths
-    * come from one `getFileStatus` per kept file, cached forever in
+    * come from ONE `listStatus` per parent directory of the uncached
+    * files (not one `getFileStatus` RPC per file — a first plan over
+    * a 100k-file table on an object store would otherwise stall
+    * planning for minutes), cached forever in
     * [[GraftScan.fileLenCache]] (committed data files are immutable
     * and never overwritten in place), so the listing cost is paid
-    * once per file per JVM, not per query. */
+    * once per directory per JVM, not per file per query. Tables whose
+    * uncached files span more directories than
+    * [[GraftScan.MaxListDirs]] skip the listing entirely and estimate
+    * from row count × projected width — plan time stays bounded no
+    * matter the layout. */
   override def estimateStatistics()
   : org.apache.spark.sql.connector.read.Statistics = {
     val rows = GraftMetaAgg.visibleRowsOf(state.manifest, keptFiles)
@@ -1540,19 +1547,21 @@ private[sources] final class GraftScan(state: GraftState,
       8L + s.fields.map(_.dataType.defaultSize.toLong).sum
     val colFraction =
       math.min(1.0, width(required).toDouble / width(state.schema))
+    val rowEstimate: Option[Long] =
+      rows.map(n => math.max(1L, n * width(required)))
     val bytes: Option[Long] =
       try {
         val hPath = new Path(state.path)
         val fs = hPath.getFileSystem(
           SparkSession.active.sparkContext.hadoopConfiguration)
-        Some(keptFiles.iterator
-          .map(GraftScan.cachedLen(fs, hPath, _)).sum)
+        GraftScan.cachedLenSum(fs, hPath, keptFiles)
+          .orElse(rowEstimate)
       } catch {
         case scala.util.control.NonFatal(_) =>
           // listing failed (racing vacuum of an expired snapshot):
           // fall back to a row-width estimate, else stay silent and
           // let Spark use its conservative default
-          rows.map(n => math.max(1L, n * width(required)))
+          rowEstimate
       }
     val size = bytes.map(b =>
       math.max(1L, (b * colFraction).toLong))
@@ -1587,9 +1596,19 @@ private[sources] object GraftScan {
   private val fileLenCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
 
+  /** Plan-time RPC budget: uncached files spanning more parent
+    * directories than this skip physical sizing (the caller estimates
+    * from rows × width instead). One `listStatus` per directory is
+    * the batch unit, so this bounds planning to ≤512 RPCs per first
+    * plan regardless of file count. */
+  private val MaxListDirs = 512
+
+  private def qualKey(fs: FileSystem, sink: Path, rel: String): String =
+    fs.makeQualified(new Path(sink, rel)).toString
+
   private[sources] def cachedLen(fs: FileSystem, sink: Path,
                                  rel: String): Long = {
-    val key = fs.makeQualified(new Path(sink, rel)).toString
+    val key = qualKey(fs, sink, rel)
     val hit = fileLenCache.get(key)
     if (hit != null) hit.longValue
     else {
@@ -1598,6 +1617,45 @@ private[sources] object GraftScan {
       fileLenCache.put(key, len)
       len
     }
+  }
+
+  /** Total physical length of `rels`, served from the cache and
+    * topped up with ONE `listStatus` per parent directory of the
+    * uncached files (each listing fills the cache for every sibling,
+    * so the whole directory costs one RPC ever). None when the
+    * uncached set spans more than [[MaxListDirs]] directories — the
+    * caller falls back to its row-width estimate rather than stall
+    * planning. A file absent from its directory listing (racing
+    * vacuum) throws, same contract as [[cachedLen]]. */
+  private[sources] def cachedLenSum(fs: FileSystem, sink: Path,
+                                    rels: Seq[String]): Option[Long] = {
+    var total = 0L
+    val misses = scala.collection.mutable.ArrayBuffer.empty[String]
+    rels.foreach { rel =>
+      val hit = fileLenCache.get(qualKey(fs, sink, rel))
+      if (hit != null) total += hit.longValue else misses += rel
+    }
+    if (misses.isEmpty) return Some(total)
+    val byDir = misses.groupBy(rel =>
+      new Path(sink, rel).getParent)
+    if (byDir.size > MaxListDirs) return None
+    if (fileLenCache.size > 1000000) fileLenCache.clear()
+    byDir.keysIterator.foreach { dir =>
+      fs.listStatus(dir).foreach { st =>
+        if (st.isFile)
+          fileLenCache.put(
+            fs.makeQualified(st.getPath).toString,
+            java.lang.Long.valueOf(st.getLen))
+      }
+    }
+    misses.foreach { rel =>
+      val len = fileLenCache.get(qualKey(fs, sink, rel))
+      if (len == null)
+        throw new java.io.FileNotFoundException(
+          new Path(sink, rel).toString)
+      total += len.longValue
+    }
+    Some(total)
   }
 }
 

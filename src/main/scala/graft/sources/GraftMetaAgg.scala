@@ -97,7 +97,13 @@ private[sources] object GraftMetaAgg {
 
   /** Everything the aggregate arithmetic needs about one kept file:
     * partition values from its path, raw row count, deleted-mark
-    * count, per-column stats. */
+    * count, per-column stats. A `#coltype` cast record never
+    * invalidates a COEXISTING stats record: a rendering-changing
+    * widen (float → double) drops the column's pre-widen bounds in
+    * its own commit ([[graft.operators.SchemaEvolve]]), integer
+    * promotions keep exact renderings, and a metadata-added column's
+    * bounds are recorded through its record — so any record found
+    * here decodes exactly. */
   private final case class FileMeta(pv: Map[String, String],
                                     raw: Long, marks: Long,
                                     stats: Map[String,
@@ -272,13 +278,18 @@ private[sources] object GraftMetaAgg {
       FileMeta(TableStats.partValuesOf(f), raw, marks, st)
     }
     // group keys decode from the path; a group column missing from
-    // any file's path (a data column) refuses
+    // any file's path (a data column) refuses. Grouped: a group whose
+    // files have zero VISIBLE rows total (a committed empty file, or
+    // every row deleted without the file being pruned) produces NO
+    // row from a real scan, so it must produce none here; the global
+    // no-group case keeps its single row (count 0 / null extrema IS
+    // the scan's answer).
     val groups: Seq[(Seq[Any], Seq[FileMeta])] =
       if (groupFields.isEmpty) Seq(Seq.empty[Any] -> metas)
       else metas.groupBy { fm =>
         groupFields.map(gf =>
           dirValue(fm.pv.getOrElse(gf.name, refuse()), gf.dataType))
-      }.toSeq
+      }.toSeq.filter { case (_, fs) => fs.exists(_.visible > 0L) }
     val rows = groups.map { case (key, fs) =>
       Row.fromSeq(key ++ specs.map(cell(_, fs)))
     }

@@ -58,9 +58,14 @@ object GraftStatsRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transform {
       case r: DataSourceV2ScanRelation => r.scan match {
+        // graft scans ONLY: registration is a session-wide side effect
+        // of reading any graft table, so matching every V1ScanWrapper
+        // would silently change join planning for unrelated V1-bridged
+        // connectors (JDBC, third-party) the user never opted in
         case w: V1ScanWrapper
           if !w.isInstanceOf[GraftStatsV1ScanWrapper] &&
-            w.v1Scan.isInstanceOf[SupportsReportStatistics] =>
+            (w.v1Scan.isInstanceOf[GraftScan] ||
+              w.v1Scan.isInstanceOf[GraftAggScan]) =>
           r.copy(scan = new GraftStatsV1ScanWrapper(
             w.v1Scan, w.handledFilters, w.pushedDownOperators))
         case _ => r

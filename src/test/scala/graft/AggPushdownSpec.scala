@@ -264,6 +264,81 @@ class AggPushdownSpec extends SparkSpec {
     assert(overflows(spark.read.parquet(big).agg(sum("v")).head))
   }
 
+  test("widen drops the column's stale pre-widen bounds in the same " +
+    "commit: no misprune, no diverging pushed extremum; re-ANALYZE " +
+    "restores exact pushdown through the cast") {
+    val root = java.nio.file.Files.createTempDirectory("agg7").toString
+    val sink = s"$root/t"
+    // 0.1f is the poison value: its float shortest rendering is
+    // "0.1", but read through a float→double widen it is
+    // 0.10000000149…d — strictly greater than the literal 0.1d
+    Seq((1L, 0.1f), (2L, 0.05f)).toDF("k", "xf")
+      .coalesce(1).write.parquet(sink)
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    TableStats.analyze(spark, sink, Seq("k", "xf"))
+    graft.operators.SchemaEvolve.widenColumn(spark, sink, "xf",
+      "double")
+    val t = graftRead(sink)
+    // pruning must keep the file: with the stale bound "0.1" kept, a
+    // `xf > 0.1d` conjunct would prove max <= 0.1 and skip the file
+    // even though the widened scan holds 0.10000000149…
+    assert(t.filter(col("xf") > 0.1d).count() == 1L)
+    // extremum refuses (bounds gone with the widen commit) and the
+    // fallback scan answers the true widened value
+    val mx = t.agg(max("xf").as("m"))
+    assertNotPushed(mx)
+    val trueMax = 0.1f.toDouble
+    assert(mx.head.getDouble(0) == trueMax)
+    // the untouched column's bounds survive and still push
+    val mk = t.agg(max("k").as("m"))
+    assertPushed(mk)
+    assert(mk.head.getLong(0) == 2L)
+    // re-ANALYZE records bounds THROUGH the cast: pushdown returns
+    // and decodes the exact double
+    TableStats.analyze(spark, sink, Seq("xf"))
+    val mx2 = graftRead(sink).agg(max("xf").as("m"))
+    assertPushed(mx2)
+    assert(mx2.head.getDouble(0) == trueMax)
+  }
+
+  test("a committed zero-row file never fabricates a group: grouped " +
+    "pushdown drops zero-visible groups, the global row stays") {
+    val root = java.nio.file.Files.createTempDirectory("agg8").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink)
+    val hPath = new Path(sink)
+    // stage a 0-row data file with the table's data schema and commit
+    // it under a NEW partition directory with an explicit nRows=0
+    // stats record — the external add-files shape (no #dv record, so
+    // fullyDeleted pruning never removes it)
+    val stage = s"$root/stage"
+    spark.read.parquet(sink).drop("p").limit(0)
+      .coalesce(1).write.parquet(stage)
+    val part = fs.listStatus(new Path(stage))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val rel = "p=7/zero.parquet"
+    fs.mkdirs(new Path(hPath, "p=7"))
+    fs.rename(part, new Path(hPath, rel))
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    CommitLog.commitNext(fs, hPath, gen, live :+ rel,
+      stats = Map(rel -> Map("k" ->
+        CommitLog.ColStats("long", 0L, 0L, None, None, None))))
+    val t = graftRead(sink)
+    val grouped = t.groupBy("p").agg(count(lit(1)).as("n"))
+    assertPushed(grouped)
+    val got = grouped.collect().map(r =>
+      (Option(r.get(0)), r.getLong(1))).toSet
+    assert(!got.exists(_._1.contains(7)),
+      s"zero-visible group p=7 must not appear: $got")
+    assert(got == spark.read.parquet(sink).groupBy("p")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1))).toSet)
+    // global aggregates keep their single row — count 0 contributes
+    val g = t.agg(count(lit(1)).as("n"))
+    assertPushed(g)
+    assert(g.head.getLong(0) == 400L)
+  }
+
   test("time travel aggregates against the pinned snapshot's " +
     "manifest, and an empty table answers zero") {
     val root = java.nio.file.Files.createTempDirectory("agg5").toString
