@@ -804,13 +804,12 @@ object CommitLog {
     // the record invalidates the base count (the DV was merged), so
     // the count comes from this commit's `dvMarks` or not at all;
     // carried-unchanged records keep their base count
-    val dvLines = (base.dvs ++ dvs).toSeq
-      .filter { case (f, _) => fileSet(f) }.sorted
-      .map { case (f, d) =>
-        val n = if (dvs.contains(f)) dvMarks.get(f)
-          else base.dvMarks.get(f)
-        s"#dv\t$f\t$d" + n.fold("")(v => s"\t$v")
-      }
+    val mergedDvs = (base.dvs ++ dvs)
+      .filter { case (f, _) => fileSet(f) }
+    val mergedDvMarks = mergedDvs.keysIterator.flatMap { f =>
+      (if (dvs.contains(f)) dvMarks.get(f) else base.dvMarks.get(f))
+        .map(f -> _)
+    }.toMap
     // default: per-(file, column) OVERLAY (analyze adds/refreshes
     // bounds, untouched columns keep theirs). `statsReplace` makes a
     // listed file's map REPLACE its base wholesale — the rename/drop
@@ -827,21 +826,11 @@ object CommitLog {
           f -> (base.stats.getOrElse(f, Map.empty) ++
             stats.getOrElse(f, Map.empty))
         }.toMap
-    val statsLines = mergedStats.toSeq.flatMap { case (f, cols) =>
-      cols.toSeq.map { case (c, s) =>
-        s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
-          s"\t${encOpt(s.min)}\t${encOpt(s.max)}" +
-          // sum-less records keep the 8-field form byte-for-byte
-          s.sum.map(v => s"\t${enc(v)}").getOrElse("")
-      }
-    }.sorted
     val mergedTxns = txn match {
       case Some((app, v)) =>
         base.txns + (app -> math.max(v, base.txns.getOrElse(app, v)))
       case None => base.txns
     }
-    val txnLines = mergedTxns.toSeq.sorted
-      .map { case (app, v) => s"#txn\t${enc(app)}\t$v" }
     // colmap records carry per surviving file (a rewritten file's
     // output has the logical schema, so its old mapping must leave
     // with it); `colmaps` REPLACES a file's whole mapping (a rename
@@ -850,33 +839,18 @@ object CommitLog {
       .iterator.filter(fileSet).map { f =>
         f -> colmaps.getOrElse(f, base.colmaps.getOrElse(f, Map.empty))
       }.filter(_._2.nonEmpty).toMap
-    val colmapLines = mergedColmaps.toSeq.flatMap { case (f, m) =>
-      m.toSeq.map { case (phys, logical) =>
-        s"#colmap\t$f\t${enc(phys)}\t${
-          if (logical.isEmpty) "~" else enc(logical)}"
-      }
-    }.sorted
     // coltype records carry per surviving file exactly like colmaps
     val mergedColtypes = (base.coltypes.keySet ++ coltypes.keySet)
       .iterator.filter(fileSet).map { f =>
         f -> coltypes.getOrElse(f,
           base.coltypes.getOrElse(f, Map.empty))
       }.filter(_._2.nonEmpty).toMap
-    val coltypeLines = mergedColtypes.toSeq.flatMap { case (f, m) =>
-      m.toSeq.map { case (phys, ddl) =>
-        s"#coltype\t$f\t${enc(phys)}\t${enc(ddl)}"
-      }
-    }.sorted
     // check records carry UNCONDITIONALLY (table-level, like #txn);
     // an overlay with an EMPTY expression is the drop tombstone
     val mergedChecks = (base.checks ++ checks).filter(_._2.nonEmpty)
-    val checkLines = mergedChecks.toSeq.sorted
-      .map { case (n, e) => s"#check\t${enc(n)}\t${enc(e)}" }
     // table-property records (the catalog's declared bootstrap schema
     // and partition layout) carry exactly like #check
     val mergedMeta = (base.meta ++ meta).filter(_._2.nonEmpty)
-    val metaLines = mergedMeta.toSeq.sorted
-      .map { case (k, v) => s"#meta\t${enc(k)}\t${enc(v)}" }
     // Bloom-index records carry per surviving file with per-(file,
     // column) overlay like #stats (an incremental build adds columns,
     // untouched ones keep theirs); a file leaving the manifest takes
@@ -886,14 +860,57 @@ object CommitLog {
         f -> (base.blooms.getOrElse(f, Map.empty) ++
           blooms.getOrElse(f, Map.empty))
       }.filter(_._2.nonEmpty).toMap
-    val bloomLines = mergedBlooms.toSeq.flatMap { case (f, m) =>
-      m.toSeq.map { case (phys, rel) =>
+    writeManifestExclusive(fs, sink, gen, tmp, fin, Manifest(
+      files, mergedDvs, mergedStats, mergedTxns, mergedColmaps,
+      mergedColtypes, mergedChecks, mergedDvMarks, mergedMeta,
+      mergedBlooms))
+  }
+
+  /** Serialize a FULL manifest verbatim and publish it exclusively as
+    * generation `gen` — the shared tail of [[commitNext]] and the
+    * verbatim-snapshot committers ([[rollbackTo]]). Byte layout is
+    * the grammar's canonical order (sorted within each record
+    * family), so re-committing a parsed manifest round-trips
+    * byte-identically. */
+  private def writeManifestExclusive(fs: FileSystem, sink: Path,
+                                     gen: Long, tmp: Path, fin: Path,
+                                     m: Manifest): Long = {
+    val dvLines = m.dvs.toSeq.sorted.map { case (f, d) =>
+      s"#dv\t$f\t$d" + m.dvMarks.get(f).fold("")(v => s"\t$v")
+    }
+    val statsLines = m.stats.toSeq.flatMap { case (f, cols) =>
+      cols.toSeq.map { case (c, s) =>
+        s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
+          s"\t${encOpt(s.min)}\t${encOpt(s.max)}" +
+          // sum-less records keep the 8-field form byte-for-byte
+          s.sum.map(v => s"\t${enc(v)}").getOrElse("")
+      }
+    }.sorted
+    val txnLines = m.txns.toSeq.sorted
+      .map { case (app, v) => s"#txn\t${enc(app)}\t$v" }
+    val colmapLines = m.colmaps.toSeq.flatMap { case (f, cm) =>
+      cm.toSeq.map { case (phys, logical) =>
+        s"#colmap\t$f\t${enc(phys)}\t${
+          if (logical.isEmpty) "~" else enc(logical)}"
+      }
+    }.sorted
+    val coltypeLines = m.coltypes.toSeq.flatMap { case (f, ct) =>
+      ct.toSeq.map { case (phys, ddl) =>
+        s"#coltype\t$f\t${enc(phys)}\t${enc(ddl)}"
+      }
+    }.sorted
+    val checkLines = m.checks.toSeq.sorted
+      .map { case (n, e) => s"#check\t${enc(n)}\t${enc(e)}" }
+    val metaLines = m.meta.toSeq.sorted
+      .map { case (k, v) => s"#meta\t${enc(k)}\t${enc(v)}" }
+    val bloomLines = m.blooms.toSeq.flatMap { case (f, bm) =>
+      bm.toSeq.map { case (phys, rel) =>
         s"#bloom\t$f\t${enc(phys)}\t${enc(rel)}"
       }
     }.sorted
     val out = fs.create(tmp, true)
     try out.write(
-      (files.sorted ++ dvLines ++ statsLines ++ txnLines ++
+      (m.files.sorted ++ dvLines ++ statsLines ++ txnLines ++
         colmapLines ++ coltypeLines ++ checkLines ++ metaLines ++
         bloomLines)
         .mkString("\n").getBytes("UTF-8"))
@@ -1182,6 +1199,69 @@ object CommitLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** ROLLBACK: make a retained generation's snapshot the NEW head —
+    * Delta `RESTORE TABLE` / Iceberg `rollback_to_snapshot`, the verb
+    * an operator reaches for after a bad write. One metadata commit,
+    * zero data motion: generation `gen`'s manifest (files, DVs,
+    * mappings, casts, stats, blooms, checks, table properties) is
+    * re-committed VERBATIM as head+1, so
+    *
+    *   - history is preserved — the bad generations stay retained and
+    *     time-travel readable until [[expireGenerations]];
+    *   - nothing is rewritten — the restored files were never deleted
+    *     (vacuum keeps every retained generation's files live);
+    *   - tags survive — `ref.tag.*` records are taken from the HEAD
+    *     manifest, not `gen`'s (a tag created after `gen` must keep
+    *     protecting its snapshot through the rollback);
+    *   - the `#txn` idempotence ledger is taken from the HEAD
+    *     (high-water marks never regress): an exactly-once writer
+    *     whose batch landed in a rolled-back generation will NOT
+    *     re-apply it on retry — replaying rolled-back batches is an
+    *     explicit re-submission, never an accident of checkpoint
+    *     replay.
+    *
+    * Refuses loudly when `gen` is not retained or its files/DVs were
+    * already vacuumed. TERMINAL on a lost commit race (like truncate/
+    * replace): rolling back over a concurrent writer's fresh commit
+    * must be re-decided by the caller, never silently retried.
+    * Returns the NEW head generation (== old head when `gen` already
+    * is the head — a no-op needs no commit). */
+  def rollbackTo(fs: FileSystem, sink: Path, gen: Long): Long = {
+    val gens = generations(fs, sink)
+    require(gens.nonEmpty,
+      s"graft rollback: no committed generation at $sink")
+    val head = gens.last
+    require(gens.contains(gen),
+      s"graft rollback: generation $gen is not retained at $sink " +
+        s"(retained: ${gens.mkString(", ")}) — a version is a " +
+        "generation number (DESCRIBE HISTORY lists them) or a tag " +
+        "name")
+    if (gen == head) return head
+    val g = readManifestFull(fs, sink, gen)
+    val hm = readManifestFull(fs, sink, head)
+    val missing = (g.files ++ g.dvs.values.toSeq.distinct)
+      .filterNot(r => fs.exists(new Path(sink, r)))
+    require(missing.isEmpty,
+      s"graft rollback: generation $gen's files were reclaimed " +
+        s"(vacuumed) at $sink: ${missing.take(5).mkString(", ")}${
+          if (missing.size > 5) ", …" else ""}")
+    val restored = g.copy(
+      txns = hm.txns,
+      meta = g.meta.filterNot(_._1.startsWith(TagMetaPrefix)) ++
+        hm.meta.filter { case (k, v) =>
+          k.startsWith(TagMetaPrefix) && v.nonEmpty })
+    val next = head + 1
+    val dir = logDir(sink)
+    val fin = new Path(dir, manifestName(next))
+    if (fs.exists(fin))
+      throw new CommitConflictException(
+        s"generation $next already committed at $sink — the head " +
+          "moved; re-decide the rollback against the new state")
+    val tmp = new Path(dir, "." + manifestName(next) + "." +
+      java.util.UUID.randomUUID().toString + ".tmp")
+    writeManifestExclusive(fs, sink, next, tmp, fin, restored)
   }
 
   /** Latest generation committed AT OR BEFORE `tsMillis` — timestamp

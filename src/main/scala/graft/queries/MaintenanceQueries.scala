@@ -3398,7 +3398,93 @@ object MaintenanceQueries {
               TRUE AS tag_survived_expire,
               TRUE AS untagged_expired"""
 
+  // --- q354: rollback / RESTORE --------------------------------------
+  /** ROLLBACK ([[graft.operators.CommitLog.rollbackTo]] — Delta
+    * `RESTORE TABLE` / Iceberg `rollback_to_snapshot`, also exposed
+    * as `CALL system.rollback(table, generation|tag)`): the verb an
+    * operator reaches for after a bad write. The query stages the
+    * good state (orders thirds ≡ 0), tags it, then corrupts the
+    * table twice — a bad append (doubled prices) AND a merge-on-read
+    * DV delete — and rolls back to the tag's generation. Pins:
+    *
+    *   - the restored head aggregates BYTE-identically to the
+    *     pre-corruption state (count / cents / key-sum triple);
+    *   - the rollback is one NEW metadata commit (head = corrupt+1),
+    *     never a history rewind: the corrupted generation stays
+    *     retained and time travel to it still reproduces the
+    *     corrupted aggregates exactly;
+    *   - the tag survives the rollback (refs ride the HEAD manifest).
+    *
+    * Zero data motion at any scale: the restore re-commits the old
+    * manifest under the CAS — at 100 TB the cost is one small file
+    * write, not a 100 TB copy-back. */
+  def q354Rollback(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q354_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .coalesce(2).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      val gGood = CommitLog.generations(fs, hp).last
+      CommitLog.createTag(fs, hp, "good", None)
+      def agg3(df: DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)).cast("long"),
+          sum(round(col("o_totalprice") * 100).cast("long")),
+          sum(col("o_orderkey")).cast("long")).head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val goodAgg = agg3(CommitLog.read(s, sink))
+      // corruption 1: a bad append lands doubled prices
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .coalesce(2).write.format("graft").mode("append")
+        .option("path", sink).save()
+      // corruption 2: a bad merge-on-read delete
+      DeleteVectors.deleteWhere(s, sink, col("o_orderkey") % 5 === 0)
+      val gCorrupt = CommitLog.generations(fs, hp).last
+      val corruptAgg = agg3(CommitLog.read(s, sink))
+      // restore the tagged snapshot as the NEW head
+      val newHead = CommitLog.rollbackTo(fs, hp,
+        CommitLog.resolveTag(fs, hp, "good"))
+      val headAgg = agg3(CommitLog.read(s, sink))
+      val restoredExact = headAgg == goodAgg
+      val historyPreserved = newHead == gCorrupt + 1 &&
+        CommitLog.generations(fs, hp).contains(gCorrupt) &&
+        agg3(CommitLog.readAt(s, sink, gCorrupt)) == corruptAgg
+      val tagSurvived = CommitLog.resolveTag(fs, hp, "good") == gGood
+      import s.implicits._
+      Seq((headAgg._1, headAgg._2, headAgg._3, corruptAgg._1,
+        restoredExact, historyPreserved, tagSurvived))
+        .toDF("head_n", "head_cents", "head_sum_okey", "corrupt_n",
+          "restored_exact", "history_preserved", "tag_survived")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q354Sql: String =
+    """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 = 0) AS head_n,
+              (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 = 0) AS head_cents,
+              (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 = 0) AS head_sum_okey,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 IN (0, 1)
+                 AND o_orderkey % 5 <> 0) AS corrupt_n,
+              TRUE AS restored_exact,
+              TRUE AS history_preserved,
+              TRUE AS tag_survived"""
+
   val all: Map[String, Q] = Map(
+    "q354_rollback" -> q354Rollback _,
     "q353_snapshot_tags" -> q353SnapshotTags _,
     "q352_meta_agg" -> q352MetaAgg _,
     "q351_replace_table" -> q351ReplaceTable _,
@@ -3450,6 +3536,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q354_rollback" -> q354Sql,
     "q353_snapshot_tags" -> q353Sql,
     "q352_meta_agg" -> q352Sql,
     "q351_replace_table" -> q351Sql,

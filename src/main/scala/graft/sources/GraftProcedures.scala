@@ -30,6 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.create_tag('db.t', 'v1')   -- pin a snapshot tag
   * CALL graft.system.drop_tag('db.t', 'v1')     -- unpin it
   * CALL graft.system.tags('db.t')               -- list tags
+  * CALL graft.system.rollback('db.t', '12')     -- restore a snapshot
   * }}}
   *
   * Each procedure resolves its `table` argument through the SAME
@@ -213,6 +214,32 @@ private[sources] object GraftProcedures {
           .map { case (n, g) => row(utf8(n), g) }
       }, resolve,
       desc = "lists the table's snapshot tags (name, generation)"),
+    "rollback" -> new Proc("rollback",
+      Seq(param("table", StringType), param("to", StringType)),
+      StructType(Seq(
+        StructField("previous_head", LongType, nullable = false),
+        StructField("restored", LongType, nullable = false),
+        StructField("generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val to = in.getString(1).trim
+        // same resolution VERSION AS OF uses: all-digits is a
+        // generation number, anything else a tag name (tag names can
+        // never be all-digits — CommitLog.tagKey refuses them)
+        val target =
+          if (to.nonEmpty && to.forall(_.isDigit)) to.toLong
+          else CommitLog.resolveTag(fs, p, to)
+        val before = CommitLog.committed(fs, p).map(_._1)
+          .getOrElse(-1L)
+        val newHead = CommitLog.rollbackTo(fs, p, target)
+        Seq(row(before, target, newHead))
+      }, resolve,
+      desc = "restores a retained generation (by number or tag " +
+        "name) as the NEW head — one metadata commit, zero data " +
+        "motion, history preserved (the rolled-back generations " +
+        "stay time-travel readable until expire); Delta RESTORE / " +
+        "Iceberg rollback_to_snapshot"),
     "expire" -> new Proc("expire",
       Seq(param("table", StringType),
         paramD("keep_last", IntegerType, "1")),

@@ -185,6 +185,68 @@ class GraftProceduresSpec extends SparkSpec {
     assert(spark.table("gp6.db.t").count() == 900L)
   }
 
+  test("CALL rollback restores a snapshot by generation or tag: one " +
+    "metadata commit, history preserved, later tags survive, unknown " +
+    "targets refuse loudly") {
+    val root = java.nio.file.Files.createTempDirectory("gproc7").toString
+    initCatalog("gp7", root)
+    spark.sql("CREATE NAMESPACE gp7.db")
+    spark.sql("CREATE TABLE gp7.db.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gp7.db.t SELECT id, concat('v', id) " +
+      "FROM range(0, 100)")
+    val path = s"$root/db/t"
+    val hp = new Path(path); val fs = fsOf(path)
+    val goodGen = CommitLog.committed(fs, hp).get._1
+    val goodRows = spark.table("gp7.db.t").orderBy("k").collect().toSeq
+    spark.sql("CALL gp7.system.create_tag('db.t', 'good')")
+    // corrupt: a bad append AND a bad delete land after the tag
+    spark.sql("INSERT INTO gp7.db.t SELECT id, 'garbage' " +
+      "FROM range(1000, 1100)")
+    spark.sql("DELETE FROM gp7.db.t WHERE k < 50")
+    val corruptGen = CommitLog.committed(fs, hp).get._1
+    assert(spark.table("gp7.db.t").count() == 150L)
+    // a tag created AFTER the restore point must survive the rollback
+    spark.sql("CALL gp7.system.create_tag('db.t', 'corrupt')")
+    // rollback by TAG name
+    val r = spark.sql(
+      "CALL gp7.system.rollback('db.t', 'good')").head
+    assert(r.getLong(1) == goodGen, s"restored generation: $r")
+    assert(r.getLong(2) > r.getLong(0),
+      s"rollback must commit a NEW head, not rewind: $r")
+    // head reads the restored snapshot byte-identically
+    assert(spark.table("gp7.db.t").orderBy("k").collect().toSeq ==
+      goodRows)
+    // the rolled-back generations stay retained and readable
+    assert(CommitLog.readAt(spark, path, corruptGen).count() == 150L)
+    // both the corruption and the rollback are visible in history
+    val hist = spark.sql("CALL gp7.system.history('db.t')").collect()
+    assert(hist.length >= 5, hist.mkString(","))
+    // both tags survived the rollback (rollback carries HEAD refs,
+    // not the restored manifest's)
+    val tags = spark.sql("CALL gp7.system.tags('db.t')").collect()
+      .map(_.getString(0)).toSet
+    assert(tags == Set("good", "corrupt"), tags.toString)
+    // rollback by GENERATION number round-trips too
+    val r2 = spark.sql(
+      s"CALL gp7.system.rollback('db.t', '$corruptGen')").head
+    assert(r2.getLong(1) == corruptGen)
+    assert(spark.table("gp7.db.t").count() == 150L)
+    // restore the restored state: rollback to the first rollback's
+    // result generation
+    spark.sql(s"CALL gp7.system.rollback('db.t', '${r.getLong(2)}')")
+    assert(spark.table("gp7.db.t").orderBy("k").collect().toSeq ==
+      goodRows)
+    // unknown generation and unknown tag refuse loudly
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gp7.system.rollback('db.t', '9999')").collect()
+    }
+    assert(e1.getMessage.contains("not retained"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CALL gp7.system.rollback('db.t', 'nope')").collect()
+    }
+    assert(e2.getMessage.contains("no tag"), e2.getMessage)
+  }
+
   test("unknown procedure and wrong namespace refuse loudly; " +
     "procedures list under system") {
     val root = java.nio.file.Files.createTempDirectory("gproc3").toString
