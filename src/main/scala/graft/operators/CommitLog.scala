@@ -116,10 +116,50 @@ object CommitLog {
 
   private def manifestName(gen: Long): String = f"$gen%020d.manifest"
 
-  /** Sink-relative form of an absolute data-file path (a listing entry
-    * or a `_metadata.file_path` value). Normalized through URI paths so
-    * `file:/x`, `file:///x` and plain `/x` spellings all relativize
-    * identically. */
+  /** Decode the exactly-once URI percent-encoding of a SCAN-derived
+    * file path (`_metadata.file_path` renders `SparkPath.urlEncoded`:
+    * a directory `p=NOT SPECIFIED` scans as `p=NOT%20SPECIFIED`, a
+    * Hive-escaped `%` as `%25`) back to the RAW on-disk name the
+    * manifest records. Keys derived from a scan without this decode
+    * silently miss the manifest's (raw) names whenever a partition
+    * value contains an escapable character — [[commitNext]]'s
+    * carry-forward filter then drops the record with no error. `+` is
+    * literal in paths (never form-encoding), so it is protected
+    * before the url_decode. Column form for executor-side derivation,
+    * String form for driver-side (collected paths). */
+  private[graft] def decodeScanPathCol(fp: org.apache.spark.sql
+      .Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    url_decode(regexp_replace(fp, "\\+", "%2B"))
+  }
+
+  private[graft] def decodeScanPath(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** Sink-relative, DECODED form of a scan-derived file path — THE
+    * canonical way to turn `_metadata.file_path` / `__file_path` into
+    * a manifest file key. Raises (instead of emitting a garbage
+    * substring) when the sink prefix cannot be located after
+    * decoding. */
+  private[graft] def relPathCol(prefix: String,
+                                fp: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, length, lit,
+      locate, raise_error, when}
+    val dec = decodeScanPathCol(fp)
+    when(locate(prefix, dec) > 0,
+      dec.substr(locate(prefix, dec) + lit(prefix.length),
+        length(dec)))
+      .otherwise(raise_error(concat(
+        lit(s"graft relativize: sink prefix '$prefix' not found in " +
+          "scanned file path "), fp)))
+  }
+
+  /** Sink-relative form of an absolute data-file path (a LISTING
+    * entry — raw on-disk names; scan-derived paths must go through
+    * [[relPathCol]]/[[decodeScanPath]] first). Normalized through URI
+    * paths so `file:/x`, `file:///x` and plain `/x` spellings all
+    * relativize identically. */
   private[graft] def relativize(fs: FileSystem, sink: Path,
                                 file: String): String = {
     val sinkPath = fs.makeQualified(sink).toUri.getPath
@@ -156,7 +196,11 @@ object CommitLog {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
-      .map(n => n.stripSuffix(".manifest").toLong)
+      .map(_.stripSuffix(".manifest"))
+      // numeric names are the MAIN chain; `branch.<name>.<k>` chains
+      // live beside them in the same dir and are not generations
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong)
       .sorted.toSeq
   }
 
@@ -279,8 +323,13 @@ object CommitLog {
   private[graft] def clearManifestCache(): Unit = manifestCache.clear()
 
   private def readManifestFull(fs: FileSystem, sink: Path,
-                               gen: Long): Manifest = {
-    val p = new Path(logDir(sink), manifestName(gen))
+                               gen: Long): Manifest =
+    readManifestPath(fs, new Path(logDir(sink), manifestName(gen)))
+
+  /** Parse (with the immutable-manifest cache) an arbitrary manifest
+    * file — main-chain generations and branch-chain heads share the
+    * grammar and this reader. */
+  private def readManifestPath(fs: FileSystem, p: Path): Manifest = {
     val st = fs.getFileStatus(p)
     val key = fs.makeQualified(p).toUri.toString +
       "@" + st.getModificationTime + ":" + st.getLen
@@ -619,7 +668,24 @@ object CommitLog {
     * checkpoint + retention. */
   private[graft] def referencedFiles(fs: FileSystem, sink: Path)
   : Set[String] =
-    generations(fs, sink).flatMap(readManifest(fs, sink, _)).toSet
+    (generations(fs, sink).flatMap(readManifest(fs, sink, _)) ++
+      // branch-chain manifests keep their staged (not-yet-published)
+      // files live through maintenance — a vacuum during an audit
+      // must not eat the branch's batch
+      branchManifests(fs, sink).flatMap(_.files)).toSet
+
+  /** Every branch-chain manifest currently on disk (all branches,
+    * all positions) — the liveness inputs [[referencedFiles]] and
+    * [[vacuum]]'s DV sweep union in. */
+  private def branchManifests(fs: FileSystem, sink: Path)
+  : Seq[Manifest] = {
+    val dir = logDir(sink)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith(BranchPrefix) &&
+        p.getName.endsWith(".manifest"))
+      .toSeq.map(readManifestPath(fs, _))
+  }
 
   /** Filesystem schemes whose `rename` is contractually EXCLUSIVE
     * (fails, returning false, when the destination exists) — the HDFS
@@ -1011,7 +1077,12 @@ object CommitLog {
     * vacuum is safe to run WHILE writers are active: any file younger
     * than the horizon might be a staged commit-in-progress and is left
     * alone. The default 0 reclaims everything unreferenced and is only
-    * safe on a quiesced sink (no writer in flight). */
+    * safe on a QUIESCED sink: no batch writer in flight, AND no
+    * in-flight Structured Streaming query writing to (or a foreachBatch
+    * staging under) the sink — a streaming micro-batch's
+    * moved-in-but-uncommitted part files look exactly like orphans to
+    * a horizon-0 sweep, and deleting them fails the batch. Stop the
+    * stream (or use the horizon) before `vacuum(0)`. */
   def vacuum(fs: FileSystem, sink: Path,
              olderThanMs: Long = 0L): Long = {
     val gens = generations(fs, sink)
@@ -1030,8 +1101,9 @@ object CommitLog {
     val dvDir = new Path(sink, DvDirName)
     var dvReclaimed = 0L
     if (fs.exists(dvDir)) {
-      val refDv = gens.flatMap(readManifestFull(fs, sink, _).dvs.values)
-        .toSet
+      val refDv = (gens.flatMap(
+        readManifestFull(fs, sink, _).dvs.values) ++
+        branchManifests(fs, sink).flatMap(_.dvs.values)).toSet
       fs.listStatus(dvDir).foreach { st =>
         val rel = DvDirName + "/" + st.getPath.getName
         // a record may name the DV directory (single-task layout) or a
@@ -1239,17 +1311,30 @@ object CommitLog {
         "generation number (DESCRIBE HISTORY lists them) or a tag " +
         "name")
     if (gen == head) return head
-    val g = readManifestFull(fs, sink, gen)
+    commitSnapshotAsHead(fs, sink, readManifestFull(fs, sink, gen),
+      s"rollback to generation $gen")
+  }
+
+  /** Commit a full snapshot manifest VERBATIM as the new head —
+    * shared by [[rollbackTo]] and [[fastForward]]. Tags and the
+    * `#txn` idempotence ledger come from the CURRENT head (refs must
+    * survive, high-water marks never regress); everything else is the
+    * snapshot's. Refuses when the snapshot references vacuumed files;
+    * terminal on a lost race. */
+  private def commitSnapshotAsHead(fs: FileSystem, sink: Path,
+                                   snapshot: Manifest, what: String)
+  : Long = {
+    val head = generations(fs, sink).last
     val hm = readManifestFull(fs, sink, head)
-    val missing = (g.files ++ g.dvs.values.toSeq.distinct)
+    val missing = (snapshot.files ++ snapshot.dvs.values.toSeq.distinct)
       .filterNot(r => fs.exists(new Path(sink, r)))
     require(missing.isEmpty,
-      s"graft rollback: generation $gen's files were reclaimed " +
-        s"(vacuumed) at $sink: ${missing.take(5).mkString(", ")}${
+      s"graft $what: snapshot files were reclaimed (vacuumed) at " +
+        s"$sink: ${missing.take(5).mkString(", ")}${
           if (missing.size > 5) ", …" else ""}")
-    val restored = g.copy(
+    val restored = snapshot.copy(
       txns = hm.txns,
-      meta = g.meta.filterNot(_._1.startsWith(TagMetaPrefix)) ++
+      meta = snapshot.meta.filterNot(_._1.startsWith(TagMetaPrefix)) ++
         hm.meta.filter { case (k, v) =>
           k.startsWith(TagMetaPrefix) && v.nonEmpty })
     val next = head + 1
@@ -1258,10 +1343,166 @@ object CommitLog {
     if (fs.exists(fin))
       throw new CommitConflictException(
         s"generation $next already committed at $sink — the head " +
-          "moved; re-decide the rollback against the new state")
+          s"moved; re-decide the $what against the new state")
     val tmp = new Path(dir, "." + manifestName(next) + "." +
       java.util.UUID.randomUUID().toString + ".tmp")
     writeManifestExclusive(fs, sink, next, tmp, fin, restored)
+  }
+
+  // ---- BRANCHES (writable refs) + write-audit-publish ----
+  //
+  // A branch is a SEPARATE manifest chain in the same log directory
+  // (`branch.<name>.<k>.manifest`, same grammar, own CAS), seeded
+  // with a full copy of the branching generation's manifest. Staged
+  // data files land in the sink normally but are referenced only by
+  // the branch chain — MAIN readers never see them, while
+  // [[referencedFiles]]/[[vacuum]] treat branch-referenced files as
+  // live so maintenance can run during an audit. `CALL
+  // system.fast_forward` publishes the branch head as the next MAIN
+  // generation in one CAS commit (the write-audit-publish pattern —
+  // Iceberg WAP branches): stage a risky batch on the branch,
+  // validate it there, publish atomically, main untouched until then.
+
+  private[graft] val BranchPrefix = "branch."
+
+  /** Branch-manifest meta key recording the MAIN generation the
+    * branch was created from — [[fastForward]]'s divergence guard
+    * (Iceberg's ancestor check): publishing a branch over a main
+    * that advanced since branching would silently discard main's
+    * commits, so it refuses instead. Stripped on publish. */
+  private[graft] val BranchBaseKey = "branch.base"
+
+  private def branchKey(name: String): String = {
+    require(name != null && name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graft branch '$name': names are [A-Za-z0-9_-]+")
+    name
+  }
+
+  private def branchManifestName(name: String, k: Long): String =
+    f"$BranchPrefix${enc(name)}.$k%020d.manifest"
+
+  /** Branch chain positions for `name`, ascending; empty = no such
+    * branch. */
+  private def branchKeysOf(fs: FileSystem, sink: Path, name: String)
+  : Seq[Long] = {
+    val dir = logDir(sink)
+    if (!fs.exists(dir)) return Nil
+    val prefix = BranchPrefix + enc(name) + "."
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".manifest"))
+      .map(_.stripPrefix(prefix).stripSuffix(".manifest"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+  }
+
+  /** All branches: name → head position. */
+  def branches(fs: FileSystem, sink: Path): Map[String, Long] = {
+    val dir = logDir(sink)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(BranchPrefix) &&
+        n.endsWith(".manifest"))
+      .flatMap { n =>
+        val core = n.stripPrefix(BranchPrefix).stripSuffix(".manifest")
+        val i = core.lastIndexOf('.')
+        if (i <= 0) None
+        else {
+          val (nm, k) = (core.substring(0, i), core.substring(i + 1))
+          if (k.nonEmpty && k.forall(_.isDigit))
+            Some(dec(nm) -> k.toLong)
+          else None
+        }
+      }
+      .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
+  }
+
+  /** CREATE a branch at `from` (default: the current head): one
+    * branch-chain manifest write, a full copy of the generation's
+    * manifest — self-contained, so expiring the source generation
+    * later never strands the branch. Refuses an existing name. */
+  def createBranch(fs: FileSystem, sink: Path, name: String,
+                   from: Option[Long] = None): Long = {
+    branchKey(name)
+    require(branchKeysOf(fs, sink, name).isEmpty,
+      s"graft branch '$name' already exists at $sink — drop it first")
+    val gens = generations(fs, sink)
+    require(gens.nonEmpty,
+      s"graft: cannot branch $sink — no committed generation")
+    val target = from.getOrElse(gens.last)
+    require(gens.contains(target),
+      s"graft branch '$name': generation $target is not retained at " +
+        s"$sink (retained: ${gens.mkString(", ")})")
+    val m = readManifestFull(fs, sink, target)
+    commitBranch(fs, sink, name, -1L,
+      m.copy(meta = m.meta + (BranchBaseKey -> target.toString)))
+    target
+  }
+
+  /** Head (position, manifest) of a branch — loud when absent. */
+  private[graft] def branchHead(fs: FileSystem, sink: Path,
+                                name: String): (Long, Manifest) = {
+    val ks = branchKeysOf(fs, sink, name)
+    require(ks.nonEmpty,
+      s"graft: no branch '$name' at $sink — branches: ${
+        val b = branches(fs, sink)
+        if (b.isEmpty) "(none)"
+        else b.keys.toSeq.sorted.mkString(", ")}")
+    val k = ks.last
+    (k, readManifestPath(fs,
+      new Path(logDir(sink), branchManifestName(name, k))))
+  }
+
+  /** Commit `m` as branch position `baseK + 1` under the same
+    * exclusive-publish CAS the main chain uses. Terminal on a lost
+    * race (two writers staging onto one audit branch must
+    * coordinate). */
+  private[graft] def commitBranch(fs: FileSystem, sink: Path,
+                                  name: String, baseK: Long,
+                                  m: Manifest): Long = {
+    val k = baseK + 1
+    val dir = logDir(sink)
+    fs.mkdirs(dir)
+    val fin = new Path(dir, branchManifestName(name, k))
+    if (fs.exists(fin))
+      throw new CommitConflictException(
+        s"branch '$name' position $k already committed at $sink — " +
+          "re-read and retry")
+    val tmp = new Path(dir, "." + branchManifestName(name, k) + "." +
+      java.util.UUID.randomUUID().toString + ".tmp")
+    writeManifestExclusive(fs, sink, k, tmp, fin, m)
+  }
+
+  /** DROP a branch: remove its chain files. Data files staged only on
+    * the branch become vacuum-reclaimable debris. Returns positions
+    * removed. */
+  def dropBranch(fs: FileSystem, sink: Path, name: String): Int = {
+    val ks = branchKeysOf(fs, sink, name)
+    require(ks.nonEmpty, s"graft: no branch '$name' at $sink to drop")
+    ks.foreach(k => fs.delete(
+      new Path(logDir(sink), branchManifestName(name, k)), false))
+    ks.size
+  }
+
+  /** PUBLISH a branch: commit its head manifest as the next MAIN
+    * generation in one CAS commit ([[commitSnapshotAsHead]] — main's
+    * tags and `#txn` ledger survive). The branch itself is left in
+    * place (now content-equal to main's head) for the caller to
+    * [[dropBranch]]. Terminal on a lost race: publishing over a
+    * concurrent main commit must be re-decided. Returns the new main
+    * generation. */
+  def fastForward(fs: FileSystem, sink: Path, name: String): Long = {
+    val (_, bm) = branchHead(fs, sink, name)
+    val head = generations(fs, sink).last
+    val base = bm.meta.get(BranchBaseKey).map(_.toLong)
+    require(base.contains(head),
+      s"graft fast_forward('$name'): main is at generation $head " +
+        s"but the branch was created from ${base.getOrElse(-1L)} — " +
+        "publishing would discard main's newer commits; re-create " +
+        "the branch from the current head and re-stage")
+    commitSnapshotAsHead(fs, sink,
+      bm.copy(meta = bm.meta - BranchBaseKey),
+      s"fast_forward('$name')")
   }
 
   /** Latest generation committed AT OR BEFORE `tsMillis` — timestamp
@@ -1342,9 +1583,8 @@ object CommitLog {
         .map(r => new Path(sink, r).toString): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val prefix = fs.makeQualified(sink).toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
     df.withColumn("__rel",
-        fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
+        relPathCol(prefix, col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(dv, col("__rel") === col("__dv_file") &&
         col("__pos") === col("__dv_pos"), "left_anti")
@@ -1503,14 +1743,12 @@ object CommitLog {
     require(missing.isEmpty,
       s"changed files were reclaimed (vacuumed): $missing")
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    def withIdentity(files: Seq[String]): DataFrame = {
-      val fp = col("_metadata.file_path")
+    def withIdentity(files: Seq[String]): DataFrame =
       spark.read.option("basePath", sink)
         .parquet(files.map(r => new Path(hPath, r).toString): _*)
-        .withColumn("__rel", fp.substr(
-          locate(prefix, fp) + lit(prefix.length), length(fp)))
+        .withColumn("__rel",
+          relPathCol(prefix, col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
-    }
     def dvOf(dvs: Map[String, String], files: Seq[String]): DataFrame = {
       val paths = files.flatMap(dvs.get).distinct.sorted
       if (paths.isEmpty)

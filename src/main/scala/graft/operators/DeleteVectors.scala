@@ -56,12 +56,7 @@ object DeleteVectors {
     * committing ([[requireKnownFiles]]). */
   private[graft] def relPathCol(prefix: String,
                                 fp: Column = col("_metadata.file_path"))
-  : Column =
-    when(locate(prefix, fp) > 0,
-      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp)))
-      .otherwise(raise_error(concat(
-        lit(s"deletion-vector relativize: sink prefix '$prefix' not " +
-          "found in scanned file path "), fp)))
+  : Column = CommitLog.relPathCol(prefix, fp)
 
   /** Live scan carrying (`__file` sink-relative, `__pos`) row
     * identity — raw single scan for unmapped sinks, the

@@ -141,8 +141,12 @@ object Merge {
                           cts: Map[String, Map[String, String]],
                           schema: org.apache.spark.sql.types.StructType)
   : DataFrame = {
+    // read paths rebuilt from the DECODED rel names — the collected
+    // absolute strings are URI-encoded (`_metadata.file_path`) and a
+    // literal '%20' in a Path is a different file
     if (cms.isEmpty && cts.isEmpty) spark.read.schema(schema)
-      .option("basePath", hPath.toString).parquet(touchedAbs: _*)
+      .option("basePath", hPath.toString)
+      .parquet(touchedRel.map(r => new Path(hPath, r).toString): _*)
     else {
       val df = CommitLog.mappedScan(spark, hPath, touchedRel, cms,
         coltypes = cts)
@@ -202,7 +206,8 @@ object Merge {
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select("__f").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
+    val touchedRel = touched.map(f => CommitLog.relativize(fs, hPath,
+      CommitLog.decodeScanPath(f)))
 
     // 2. matched/inserts split of the batch, derived from the touched
     // files alone: a batch key matching ANY sink row matches it in a
@@ -340,7 +345,8 @@ object Merge {
       .join(batch, keyCols, "left_semi")
       .select("__f").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
+    val touchedRel = touched.map(f => CommitLog.relativize(fs, hPath,
+      CommitLog.decodeScanPath(f)))
     var deleted = 0L
     if (touched.nonEmpty) {
       val touchedRows = touchedScan(spark, hPath, touched, touchedRel,
@@ -439,7 +445,8 @@ object Merge {
       .join(batch.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select("__f").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val touchedRel = touched.map(CommitLog.relativize(fs, hPath, _))
+    val touchedRel = touched.map(f => CommitLog.relativize(fs, hPath,
+      CommitLog.decodeScanPath(f)))
 
     val touchedRows =
       if (touched.isEmpty) null

@@ -600,7 +600,8 @@ object SchemaEvolve {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     scan
       .withColumn("__norm",
-        regexp_extract(col("__file_path"), pathRe, 1))
+        regexp_extract(CommitLog.decodeScanPathCol(col("__file_path")),
+          pathRe, 1))
       .join(broadcast(planDF), col("__norm") === col("__plan_path"),
         "left")
       .withColumn("__bin",

@@ -231,8 +231,11 @@ object TableStats {
     }
     if (targets.isEmpty) return 0L
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    def relCol(fp: Column): Column =
-      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    // scan-derived paths are URI-encoded — CommitLog.relPathCol
+    // decodes them back to the manifest's raw names, or the stats
+    // would key under e.g. 'p=NOT%20SPECIFIED/…' and be silently
+    // dropped by the commit's carry-forward filter
+    def relCol(fp: Column): Column = CommitLog.relPathCol(prefix, fp)
     val (mappedT, plainT) = targets.partition(mapped)
     val empty = Map.empty[String, Map[String, CommitLog.ColStats]]
     val plainStats =
@@ -590,8 +593,8 @@ object TableStats {
       }
     }
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
-    def relCol(fp: Column): Column =
-      fp.substr(locate(prefix, fp) + lit(prefix.length), length(fp))
+    // decoded like analyze's — see the relCol note there
+    def relCol(fp: Column): Column = CommitLog.relPathCol(prefix, fp)
     val aggs = cols.map(c => graft.plans.BloomFilterAgg(col(c),
       expectedKeysPerFile, fpp).as(c))
     val rows = scan

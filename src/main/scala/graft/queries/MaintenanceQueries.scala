@@ -3398,6 +3398,216 @@ object MaintenanceQueries {
               TRUE AS tag_survived_expire,
               TRUE AS untagged_expired"""
 
+  // --- q356: branch refs + write-audit-publish ------------------------
+  /** WRITE-AUDIT-PUBLISH ([[graft.operators.CommitLog.createBranch]] /
+    * `option("branch", …)` / [[graft.operators.CommitLog
+    * .fastForward]] — Iceberg WAP branches): a risky batch stages on
+    * a branch (its own manifest chain, full snapshot copy at create),
+    * is audited there, and publishes to main in ONE CAS commit. The
+    * query pins: main reads are UNCHANGED while the batch is staged
+    * (the batch is visible through the branch read), a CHECK-violating
+    * branch write refuses loudly, vacuum during the audit spares the
+    * staged files, and fast_forward makes the batch visible atomically
+    * (exactly one new main generation; pre-publish history intact).
+    * All row values oracle-recomputed from orders. At 100 TB the
+    * pattern is the training-data ingestion gate: stage a crawl
+    * batch, run quality checks against the branch, publish or drop —
+    * main never serves a half-audited batch. */
+  def q356BranchWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CommitLog
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q356_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def third(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+      third(0).coalesce(2).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      CommitLog.addCheck(s, sink, "key_pos", "o_orderkey >= 0")
+      val mainGenBefore = CommitLog.committed(fs, hp).get._1
+      CommitLog.createBranch(fs, hp, "wap")
+      // stage the risky batch ON the branch
+      third(1).coalesce(2).write.format("graft").mode("append")
+        .option("path", sink).option("branch", "wap").save()
+      def cnt(df: DataFrame) = df.count()
+      val mainWhileStaged = cnt(CommitLog.read(s, sink))
+      val branchN = cnt(s.read.format("graft")
+        .option("branch", "wap").load(sink))
+      val stagedInvisible =
+        mainWhileStaged == cnt(third(0)) && branchN > mainWhileStaged
+      // audit 1: a CHECK-violating write into the branch refuses
+      val checkRefused =
+        try {
+          third(2).withColumn("o_orderkey", -col("o_orderkey") - 1)
+            .write.format("graft").mode("append")
+            .option("path", sink).option("branch", "wap").save()
+          false
+        } catch { case e: Exception =>
+          e.getMessage.contains("key_pos")
+        }
+      // audit 2: maintenance during the audit spares staged files
+      val vacuumSpared = CommitLog.vacuum(fs, hp) == 0L
+      // publish: one CAS commit
+      val newGen = CommitLog.fastForward(fs, hp, "wap")
+      CommitLog.dropBranch(fs, hp, "wap")
+      val publishedAtomic = newGen == mainGenBefore + 1 &&
+        CommitLog.readAt(s, sink, mainGenBefore).count() ==
+          mainWhileStaged
+      val out = CommitLog.read(s, sink).agg(
+        count(lit(1)).cast("long").as("head_n"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("head_cents"))
+        .head
+      import s.implicits._
+      Seq((out.getLong(0), out.getLong(1), branchN,
+        stagedInvisible, checkRefused && vacuumSpared,
+        publishedAtomic))
+        .toDF("head_n", "head_cents", "branch_n",
+          "staged_invisible", "audit_enforced", "published_atomic")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q356Sql: String =
+    """SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 IN (0, 1)) AS head_n,
+              (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 IN (0, 1)) AS head_cents,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_orderkey % 3 IN (0, 1)) AS branch_n,
+              TRUE AS staged_invisible,
+              TRUE AS audit_enforced,
+              TRUE AS published_atomic"""
+
+  // --- q355: PARTIAL aggregate pushdown (the hybrid tier) -------------
+  /** HYBRID metadata aggregation ([[graft.sources.GraftMetaAgg
+    * .tryPlanPartial]]): in round 13 a single DV'd file forfeited the
+    * whole pushdown to a full scan; now the manifest answers the
+    * clean files as precomputed partial rows, the execution-time scan
+    * reads ONLY the dirty remainder, and Spark's final aggregate
+    * merges the two. The query partitions an orders subset by
+    * priority, ANALYZEs it, DV-deletes inside ONE priority — then
+    * pins in-plan that
+    *
+    *   - global min/max/sum/count over the DV'd table pushes
+    *     PARTIALLY (never completely), and `files_scanned` equals the
+    *     DV'd-file count exactly — I/O ∝ dirty fraction, not table
+    *     size;
+    *   - the grouped form merges scan-side partials for the dirty
+    *     priority with manifest-side rows for the clean ones;
+    *   - a partition-exact filter that keeps only clean files still
+    *     takes the COMPLETE (zero-I/O) tier.
+    *
+    * Every value hash-checks against the oracle's recompute. At
+    * 100 TB: a count/min/max after a sparse merge-on-read delete
+    * costs a few file reads instead of a full-table scan. */
+  def q355PartialAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CommitLog, DeleteVectors, TableStats}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q355_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))
+        .repartition(2)
+        .write.partitionBy("o_orderpriority").parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      TableStats.analyze(s, sink, Seq("o_orderkey", "o_custkey"))
+      DeleteVectors.deleteWhere(s, sink,
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 0)
+      val dirtyCount = CommitLog.dvRecords(fs, hp).size
+      def read = s.read.format("graft").load(sink)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(nodes)) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case _ => Nil
+        })
+      def partialOf(df: DataFrame)
+      : Option[graft.sources.GraftPartialAggInfo] =
+        nodes(df.queryExecution.executedPlan).collectFirst {
+          case r: org.apache.spark.sql.execution
+            .RowDataSourceScanExec
+            if r.relation
+              .isInstanceOf[graft.sources.GraftPartialAggInfo] =>
+            r.relation.asInstanceOf[graft.sources.GraftPartialAggInfo]
+        }
+      def completeOf(df: DataFrame): Boolean =
+        nodes(df.queryExecution.executedPlan).exists {
+          case r: org.apache.spark.sql.execution
+            .RowDataSourceScanExec =>
+            r.relation.isInstanceOf[graft.sources.GraftAggInfo]
+          case _ => false
+        }
+      // global aggregates over the DV'd table: partial, exact I/O pin
+      val g = read.agg(count(lit(1)).as("total_n"),
+        min("o_orderkey").as("min_okey"),
+        max("o_orderkey").as("max_okey"),
+        sum("o_orderkey").as("sum_okey"))
+      val gInfo = partialOf(g)
+      val partialPushed = gInfo.isDefined && !completeOf(g)
+      val scanExact = gInfo.exists(_.scannedFileCount == dirtyCount)
+      val gRow = g.head
+      // grouped: dirty priority from the scan, clean ones from the
+      // manifest
+      val grouped = read.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("o_orderkey")).as("sum_g"))
+      val groupedPartial = partialOf(grouped).isDefined
+      val groups = grouped.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // all-clean subset stays on the COMPLETE (zero data I/O) tier
+      val cleanDf = read.filter(col("o_orderpriority") === "2-HIGH")
+        .agg(count(lit(1)).as("clean_n"))
+      val cleanComplete = completeOf(cleanDf)
+      val cleanN = cleanDf.head.getLong(0)
+      import s.implicits._
+      groups.map { case (prio, nG, sumG) =>
+        (prio, nG, sumG, gRow.getLong(0), gRow.getLong(1),
+          gRow.getLong(2), gRow.getLong(3), cleanN,
+          partialPushed && groupedPartial, scanExact, cleanComplete)
+      }.toDF("o_orderpriority", "n_g", "sum_g", "total_n",
+        "min_okey", "max_okey", "sum_okey", "clean_n",
+        "partial_pushed", "scan_exact", "clean_complete")
+        .orderBy("o_orderpriority")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q355Sql: String =
+    """WITH live AS (SELECT * FROM orders
+                     WHERE o_orderkey % 2 = 0
+                       AND NOT (o_orderpriority = '1-URGENT'
+                                AND o_orderkey % 10 = 0)),
+            g AS (SELECT o_orderpriority,
+                         CAST(count(*) AS BIGINT) AS n_g,
+                         CAST(sum(o_orderkey) AS BIGINT) AS sum_g
+                  FROM live GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS total_n,
+                           CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+                           CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+                           CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+                    FROM live),
+            cl AS (SELECT CAST(count(*) AS BIGINT) AS clean_n
+                   FROM live WHERE o_orderpriority = '2-HIGH')
+       SELECT g.o_orderpriority, g.n_g, g.sum_g, tot.total_n,
+              tot.min_okey, tot.max_okey, tot.sum_okey, cl.clean_n,
+              TRUE AS partial_pushed, TRUE AS scan_exact,
+              TRUE AS clean_complete
+       FROM g, tot, cl ORDER BY 1"""
+
   // --- q354: rollback / RESTORE --------------------------------------
   /** ROLLBACK ([[graft.operators.CommitLog.rollbackTo]] — Delta
     * `RESTORE TABLE` / Iceberg `rollback_to_snapshot`, also exposed
@@ -3484,6 +3694,8 @@ object MaintenanceQueries {
               TRUE AS tag_survived"""
 
   val all: Map[String, Q] = Map(
+    "q356_branch_wap" -> q356BranchWap _,
+    "q355_partial_agg" -> q355PartialAgg _,
     "q354_rollback" -> q354Rollback _,
     "q353_snapshot_tags" -> q353SnapshotTags _,
     "q352_meta_agg" -> q352MetaAgg _,
@@ -3536,6 +3748,8 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q356_branch_wap" -> q356Sql,
+    "q355_partial_agg" -> q355Sql,
     "q354_rollback" -> q354Sql,
     "q353_snapshot_tags" -> q353Sql,
     "q352_meta_agg" -> q352Sql,

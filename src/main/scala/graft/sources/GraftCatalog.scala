@@ -167,7 +167,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // name always wins: this branch only runs when `p` is no table)
       val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
       if (ident.namespace.nonEmpty &&
-        Seq("history", "files", "changes").contains(kind)) {
+        Seq("history", "files", "changes", "detail").contains(kind)) {
         val parent = new Path(nsPath(ident.namespace.init),
           ident.namespace.last)
         if (isTable(parent)) {

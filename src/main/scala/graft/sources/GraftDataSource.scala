@@ -217,6 +217,22 @@ private[sources] object GraftState {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = CommitLog.generations(fs, hPath)
     if (gens.isEmpty) return None
+    // branch read: the branch chain's HEAD manifest is the pinned
+    // snapshot — main's generations are untouched and invisible here
+    Option(options.get("branch")).foreach { b =>
+      require(options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null,
+        "graft: branch and versionAsOf/timestampAsOf are mutually " +
+          "exclusive")
+      val (k, m) = CommitLog.branchHead(fs, hPath, b)
+      val schema =
+        if (m.files.nonEmpty)
+          CommitLog.mappedScan(spark, hPath, m.files, m.colmaps,
+            coltypes = m.coltypes, meta = m.meta).schema
+        else m.meta.get("schema.ddl").map(StructType.fromDDL)
+          .getOrElse(StructType(Nil))
+      return Some(new GraftState(path, k, m, schema))
+    }
     // versionAsOf: a bare generation number, or a snapshot TAG name
     // (CommitLog.resolveTag — tag names can never be all-digits, so
     // the two namespaces cannot collide)
@@ -428,7 +444,11 @@ private[sources] final class GraftWriteBuilder(
     filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue) ||
       GraftWriteBuilder.staticSpec(filters).isDefined
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val branch = Option(options.get("branch"))
+    require(branch.isEmpty || (!dynamic && replaceWhere.isEmpty),
+      "graft: partition-overwrite writes are not supported on a " +
+        "branch — append or truncate the branch, then fast_forward")
     if (dynamic)
       new GraftDynamicOverwriteWrite(path, info.schema(), txnOf)
     else new V1Write {
@@ -444,9 +464,11 @@ private[sources] final class GraftWriteBuilder(
               txnOf,
               replaceWhere = replaceWhere,
               autoAnalyze = Option(options.get("autoAnalyze"))
-                .exists(_.toBoolean))
+                .exists(_.toBoolean),
+              branch = branch)
         }
     }
+  }
 }
 
 private[sources] object GraftWriteBuilder {
@@ -532,8 +554,10 @@ private[sources] object GraftMetaTable {
   def kindOf(options: CaseInsensitiveStringMap): Option[String] =
     Option(options.get("metadata")).map { k =>
       val kind = k.toLowerCase(java.util.Locale.ROOT)
-      require(kind == "files" || kind == "history",
-        s"graft: unknown metadata table '$k' (have: files, history)")
+      require(kind == "files" || kind == "history" ||
+        kind == "detail",
+        s"graft: unknown metadata table '$k' (have: files, history, " +
+          "detail)")
       kind
     }
 
@@ -552,6 +576,39 @@ private[sources] object GraftMetaTable {
       org.apache.spark.sql.types.StructField("stats_cols", LongType,
         nullable = false),
       org.apache.spark.sql.types.StructField("mapped", BooleanType,
+        nullable = false)))
+    // DESCRIBE DETAIL-grade one-row table summary (Delta's DESCRIBE
+    // DETAIL): everything an operator wants to know about the table's
+    // CURRENT (or pinned, under versionAsOf) state in one row, all
+    // manifest arithmetic plus one file listing for physical size
+    case "detail" => StructType(Seq(
+      org.apache.spark.sql.types.StructField("format", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("location", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("generation", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("generations_retained",
+        LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("num_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("size_bytes", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("num_dv_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dv_marks", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("partition_columns",
+        StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("checks", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("tags", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("stats_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("bloom_files", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("mapped_files", LongType,
         nullable = false)))
     case "history" => StructType(Seq(
       org.apache.spark.sql.types.StructField("generation", LongType,
@@ -592,6 +649,35 @@ private[sources] final class GraftMetaRelation(
     val df = kind match {
       case "history" =>
         graft.operators.TableHistory.history(spark, state.path)
+      case "detail" =>
+        val hPath = new Path(state.path)
+        val fs = hPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val m = state.manifest
+        val size = m.files.map { f =>
+          try fs.getFileStatus(new Path(hPath, f)).getLen
+          catch { case _: java.io.FileNotFoundException => 0L }
+        }.sum
+        val tags = m.meta.collect {
+          case (k, v) if k.startsWith(CommitLog.TagMetaPrefix) =>
+            s"${k.stripPrefix(CommitLog.TagMetaPrefix)}=$v"
+        }.toSeq.sorted.mkString(",")
+        import spark.implicits._
+        Seq((
+          "graft", state.path, state.gen,
+          CommitLog.generations(fs, hPath).size.toLong,
+          m.files.size.toLong, size, m.dvs.size.toLong,
+          m.dvMarks.values.sum,
+          CommitLog.partitionColsOf(m.files).mkString(","),
+          m.checks.keys.toSeq.sorted.mkString(","), tags,
+          m.stats.size.toLong, m.blooms.size.toLong,
+          m.files.count(f => m.colmaps.contains(f) ||
+            m.coltypes.contains(f)).toLong))
+          .toDF("format", "location", "generation",
+            "generations_retained", "num_files", "size_bytes",
+            "num_dv_files", "dv_marks", "partition_columns",
+            "checks", "tags", "stats_files", "bloom_files",
+            "mapped_files")
       case "files" =>
         val hPath = new Path(state.path)
         val fs = hPath.getFileSystem(
@@ -1058,7 +1144,8 @@ private[graft] object GraftWriter {
             partitionBy: Seq[String] = Nil,
             failpoint: String => Unit = _ => (),
             replaceWhere: Option[Map[String, String]] = None,
-            autoAnalyze: Boolean = false): Unit = {
+            autoAnalyze: Boolean = false,
+            branch: Option[String] = None): Unit = {
     val spark = data.sparkSession
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1072,7 +1159,24 @@ private[graft] object GraftWriter {
         "reserved row-identity metadata columns — rename them")
     // bring the sink under log control (bootstraps generation 0 for a
     // fresh/unlogged path — the CREATE case)
-    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val (gen, mainLive) = CommitLog.ensureLoggedAt(fs, hPath)
+    // a BRANCH write stages identically but validates against and
+    // commits to the branch's own manifest chain — main readers see
+    // nothing until `CALL system.fast_forward(branch)` publishes the
+    // branch head as the next main generation (write-audit-publish)
+    val branchState: Option[(Long, CommitLog.Manifest)] =
+      branch.map { b =>
+        require(txn.isEmpty,
+          "graft write: txn idempotence (txnAppId/txnVersion) is " +
+            "not supported on branch writes — publish via " +
+            "fast_forward carries main's ledger")
+        require(replaceWhere.isEmpty,
+          "graft write: INSERT OVERWRITE PARTITION is not supported " +
+            "on a branch")
+        CommitLog.branchHead(fs, hPath, b)
+      }
+    val bm = branchState.map(_._2)
+    val live = bm.map(_.files).getOrElse(mainLive)
     // idempotent-writer fast path: this (appId, version) already
     // committed → the whole write no-ops, Delta's txn semantics.
     // (Check-then-act only — the COMMIT-granularity enforcement lives
@@ -1088,7 +1192,8 @@ private[graft] object GraftWriter {
     // discovery for every subsequent read); an explicit partitionBy
     // must agree with it. Truncate replaces the whole file set, so
     // it may (re)choose the layout freely.
-    val metaRecs = CommitLog.metaRecords(fs, hPath)
+    val metaRecs = bm.map(_.meta)
+      .getOrElse(CommitLog.metaRecords(fs, hPath))
     val declaredCols = metaRecs.get("partition.cols")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
@@ -1143,8 +1248,11 @@ private[graft] object GraftWriter {
     val logicalSchemaOpt: Option[StructType] =
       if (live.nonEmpty)
         Some(CommitLog.mappedScan(spark, hPath,
-          Seq(live.head), CommitLog.colmapRecords(fs, hPath),
-          coltypes = CommitLog.coltypeRecords(fs, hPath),
+          Seq(live.head),
+          bm.map(_.colmaps)
+            .getOrElse(CommitLog.colmapRecords(fs, hPath)),
+          coltypes = bm.map(_.coltypes)
+            .getOrElse(CommitLog.coltypeRecords(fs, hPath)),
           meta = metaRecs).schema)
       else metaRecs.get("schema.ddl").map(StructType.fromDDL)
     logicalSchemaOpt.foreach { logicalSchema =>
@@ -1185,7 +1293,8 @@ private[graft] object GraftWriter {
     // job aborts before anything commits, and the staged debris is
     // removed below; the loud IllegalArgumentException contract is
     // preserved by unwrapping the task failure.
-    val checks = CommitLog.checkRecords(fs, hPath)
+    val checks = bm.map(_.checks)
+      .getOrElse(CommitLog.checkRecords(fs, hPath))
     val guarded = checks.toSeq.sortBy(_._1).foldLeft(data) {
       case (df, (n, e)) =>
         import org.apache.spark.sql.functions.{assert_true, coalesce,
@@ -1237,6 +1346,19 @@ private[graft] object GraftWriter {
     }
     val newFiles = added.result()
     failpoint("moved")
+    branchState.foreach { case (k, bmm) =>
+      // branch commit: same CAS discipline on the branch's own chain;
+      // the checks/meta/mapping families carry verbatim (they are the
+      // branch's table state), truncate resets the file-keyed ones
+      val committed =
+        if (overwrite) bmm.copy(files = newFiles, dvs = Map.empty,
+          dvMarks = Map.empty, stats = Map.empty, colmaps = Map.empty,
+          coltypes = Map.empty, blooms = Map.empty)
+        else bmm.copy(files = bmm.files ++ newFiles)
+      CommitLog.commitBranch(fs, hPath, branch.get, k, committed)
+      fs.delete(tmp, true)
+      return
+    }
     if (overwrite)
       // truncate-and-replace: next generation references ONLY the new
       // files; the replaced ones remain time-travel history until
@@ -1315,6 +1437,7 @@ private[sources] final class GraftScanBuilder(state: GraftState)
   private var pushed: Array[Filter] = Array.empty
   private var all: Array[Filter] = Array.empty
   private var aggPlan: Option[GraftMetaAgg.Planned] = None
+  private var partialPlan: Option[GraftMetaAgg.PartialPlanned] = None
 
   /** Filters the hive layout enforces EXACTLY are consumed here
     * (every kept file provably all-rows-matches, every other file is
@@ -1352,18 +1475,30 @@ private[sources] final class GraftScanBuilder(state: GraftState)
         .Aggregation): Boolean =
     GraftMetaAgg.tryPlan(state, all.toIndexedSeq, agg).isDefined
 
+  /** COMPLETE first (zero data I/O); otherwise the HYBRID tier
+    * ([[GraftMetaAgg.tryPlanPartial]]): manifest-provable files
+    * answer as precomputed partial rows, the dirty remainder (DV'd /
+    * record-less files) is scanned and partially aggregated, and
+    * Spark's final aggregate merges the two — `supportCompletePushDown`
+    * stays false for that tier, which is exactly the contract that
+    * makes Spark plan the merge. A single DV'd file no longer
+    * forfeits the whole pushdown to a full scan. */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    // only COMPLETE pushdown is ever accepted: a partial (re-aggregated)
-    // pushdown has no cheaper source than the data itself here
     aggPlan = GraftMetaAgg.tryPlan(state, all.toIndexedSeq, agg)
-    aggPlan.isDefined
+    if (aggPlan.isEmpty)
+      partialPlan =
+        GraftMetaAgg.tryPlanPartial(state, all.toIndexedSeq, agg)
+    aggPlan.isDefined || partialPlan.isDefined
   }
 
   override def build(): Scan = aggPlan match {
     case Some(p) => new GraftAggScan(state, p)
-    case None => new GraftScan(state, required, pushed, all)
+    case None => partialPlan match {
+      case Some(p) => new GraftPartialAggScan(state, p)
+      case None => new GraftScan(state, required, pushed, all)
+    }
   }
 }
 
@@ -1427,6 +1562,120 @@ private[sources] final class GraftAggRelation(
 
   override def buildScan(): RDD[Row] =
     ctx.sparkSession.sparkContext.parallelize(planned.rows, 1)
+}
+
+/** The scan a PARTIALLY pushed aggregate plans to
+  * ([[GraftMetaAgg.PartialPlanned]]): manifest-provable files'
+  * partial rows were precomputed at plan time; the dirty remainder is
+  * scanned and partially aggregated at EXECUTION time; Spark's final
+  * aggregate (planned because `supportCompletePushDown` was false)
+  * merges the two streams. The physical plan shows this relation plus
+  * a final HashAggregate where a full-table scan + aggregate would
+  * otherwise sit — I/O cost ∝ dirty files, not table size. */
+private[sources] final class GraftPartialAggScan(
+    state: GraftState, planned: GraftMetaAgg.PartialPlanned)
+  extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = planned.schema
+
+  override def description(): String =
+    s"graft ${state.path} gen=${state.gen} " +
+      s"PushedAggregation=${planned.desc} (partial)"
+
+  /** Upper bound: every manifest row plus at most one extra group per
+    * scanned file — small either way, which is the point (the final
+    * aggregate's input is group-count-sized, never data-sized). */
+  override def estimateStatistics()
+  : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bound =
+        planned.rows.size.toLong + planned.dirty.size.toLong
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bound * (8L +
+          planned.schema.fields.map(_.dataType.defaultSize.toLong)
+            .sum)))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bound))
+    }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftPartialAggRelation(context, state, planned)
+      .asInstanceOf[T]
+}
+
+/** Public face of a partially pushed metadata aggregate, for plan
+  * audits: pins how many files answered from the manifest and how
+  * many the execution-time scan reads. */
+trait GraftPartialAggInfo {
+  def pushedAggDesc: String
+  def metaFileRowCount: Int
+  def scannedFileCount: Int
+}
+
+private[sources] final class GraftPartialAggRelation(
+    ctx: SQLContext, state: GraftState,
+    val planned: GraftMetaAgg.PartialPlanned)
+  extends BaseRelation with TableScan with GraftPartialAggInfo {
+
+  override def pushedAggDesc: String = planned.desc
+
+  override def metaFileRowCount: Int = planned.rows.size
+
+  override def scannedFileCount: Int = planned.dirty.size
+
+  override def sqlContext: SQLContext = ctx
+
+  override def schema: StructType = planned.schema
+
+  override def toString: String =
+    s"GraftPartialAggRelation(${planned.desc})"
+
+  /** The dirty-side partial aggregation: the DV-applied mapped scan
+    * of exactly the dirty files, grouped and aggregated with the
+    * pushed functions, aligned (name, position, type) to the planned
+    * schema. The group-column cast pins the SUBSET read's
+    * partition-type inference back to the catalog type — the planner
+    * already refused any rendering for which that cast could change
+    * the value ([[GraftMetaAgg]]'s stability check). */
+  private def dirtyFrame(): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, count, lit, max,
+      min, sum}
+    val spark = ctx.sparkSession
+    val hPath = new Path(state.path)
+    val keep = planned.dirty.toSet
+    val scan = CommitLog.mappedScan(spark, hPath, planned.dirty,
+      state.manifest.colmaps,
+      state.manifest.dvs.filter { case (f, _) => keep(f) },
+      coltypes = state.manifest.coltypes,
+      meta = state.manifest.meta)
+    val aggCols = planned.aggSpecs.zipWithIndex.map {
+      case (("count_star", _), i) => count(lit(1)).as(s"agg_$i")
+      case (("count", n), i) => count(c(n)).as(s"agg_$i")
+      case (("min", n), i) => min(c(n)).as(s"agg_$i")
+      case (("max", n), i) => max(c(n)).as(s"agg_$i")
+      case (("sum", n), i) => sum(c(n)).as(s"agg_$i")
+      case ((f, _), _) => throw new IllegalStateException(
+        s"graft partial aggregate: unknown function '$f'")
+    }
+    val grouped =
+      if (planned.groupCols.isEmpty)
+        scan.agg(aggCols.head, aggCols.tail: _*)
+      else scan.groupBy(planned.groupCols.map(c): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    grouped.select(planned.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        val src =
+          if (i < planned.groupCols.size) planned.groupCols(i)
+          else s"agg_${i - planned.groupCols.size}"
+        c(src).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  override def buildScan(): RDD[Row] =
+    dirtyFrame().rdd.union(
+      ctx.sparkSession.sparkContext.parallelize(planned.rows, 1))
 }
 
 /** `sources.Filter` → `Column` for the conjuncts Spark handed the

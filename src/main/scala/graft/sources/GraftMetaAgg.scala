@@ -65,6 +65,26 @@ private[sources] object GraftMetaAgg {
   final case class Planned(schema: StructType, rows: Seq[Row],
                            desc: String)
 
+  /** A PARTIALLY planned metadata aggregate (the hybrid tier behind
+    * `supportCompletePushDown = false` + `pushAggregation = true`):
+    * files whose answer is PROVEN by the manifest contribute
+    * precomputed partial rows (`rows`), the remainder (`dirty` —
+    * DV'd files, record-less files, undecodable bounds) is scanned
+    * and partially aggregated at execution, and Spark's FINAL
+    * aggregate merges the two streams (min of mins, sum of
+    * counts/sums — the standard partial-agg contract). Same
+    * positional schema as [[Planned]]; `groupCols`/`aggSpecs` let
+    * the executing relation rebuild the dirty-side aggregation
+    * (`aggSpecs` is (function, column) with function ∈ count_star |
+    * count | min | max | sum). At 100 TB this is the difference
+    * between re-scanning everything because ONE file took a delete
+    * and scanning exactly that one file. */
+  final case class PartialPlanned(schema: StructType, rows: Seq[Row],
+                                  dirty: Seq[String],
+                                  groupCols: Seq[String],
+                                  aggSpecs: Seq[(String, String)],
+                                  desc: String)
+
   /** Exact VISIBLE row count of `files` from the manifest (`#stats`
     * raw rows minus `#dv` cardinality), or None when any file lacks
     * either number — shared with the scan's
@@ -171,6 +191,15 @@ private[sources] object GraftMetaAgg {
     }
   }
 
+  /** Whether a partition directory rendering would be RE-TYPED by
+    * Spark's partition-type inference when it is the only value seen
+    * (numeric / date / timestamp-looking) — the subset-read stability
+    * check [[planPartial]] applies to string-typed group keys. */
+  private def retypeable(d: String): Boolean =
+    scala.util.Try(new java.math.BigDecimal(d)).isSuccess ||
+    scala.util.Try(java.time.LocalDate.parse(d)).isSuccess ||
+    scala.util.Try(java.sql.Timestamp.valueOf(d)).isSuccess
+
   /** Natural ordering of decoded partition values (non-null), for
     * the partition-valued min/max path. */
   private def cmpExternal(a: Any, b: Any): Int = (a, b) match {
@@ -244,6 +273,48 @@ private[sources] object GraftMetaAgg {
     try Some(plan(state, filters, agg))
     catch { case _: Refuse => None }
 
+  private def parseSpecs(schema: StructType, agg: Aggregation)
+  : Seq[Spec] = agg.aggregateExpressions.toSeq.map {
+    case _: CountStar => CountStarSpec
+    case c: Count if !c.isDistinct =>
+      CountColSpec(fieldOf(schema, c.column))
+    case mn: Min => MinMaxSpec(fieldOf(schema, mn.column),
+      isMin = true)
+    case mx: Max => MinMaxSpec(fieldOf(schema, mx.column),
+      isMin = false)
+    case sm: Sum if !sm.isDistinct =>
+      SumSpec(fieldOf(schema, sm.column))
+    case _ => refuse()
+  }
+
+  /** The scan's positional output schema: group columns first, then
+    * one field per aggregate — identical for the complete and
+    * partial forms (Spark's final merge aggregates use the same
+    * per-function result types its complete projection does). */
+  private def schemaOf(groupFields: Seq[StructField],
+                       specs: Seq[Spec]): StructType = StructType(
+    groupFields.map(f => StructField(f.name, f.dataType,
+      nullable = true)) ++
+    specs.zipWithIndex.map {
+      case (CountStarSpec, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (CountColSpec(_), i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (MinMaxSpec(f, _), i) =>
+        StructField(s"agg_$i", f.dataType, nullable = true)
+      case (SumSpec(f), i) =>
+        StructField(s"agg_$i", sumResultType(f.dataType),
+          nullable = true)
+    })
+
+  private def aggNamesOf(specs: Seq[Spec]): Seq[String] = specs.map {
+    case CountStarSpec => "count(*)"
+    case CountColSpec(f) => s"count(${f.name})"
+    case MinMaxSpec(f, true) => s"min(${f.name})"
+    case MinMaxSpec(f, false) => s"max(${f.name})"
+    case SumSpec(f) => s"sum(${f.name})"
+  }
+
   private def plan(state: GraftState, filters: Seq[Filter],
                    agg: Aggregation): Planned = {
     val m = state.manifest
@@ -255,18 +326,7 @@ private[sources] object GraftMetaAgg {
       refuse()
     val groupFields = agg.groupByExpressions.toSeq
       .map(fieldOf(schema, _))
-    val specs: Seq[Spec] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => CountStarSpec
-      case c: Count if !c.isDistinct =>
-        CountColSpec(fieldOf(schema, c.column))
-      case mn: Min => MinMaxSpec(fieldOf(schema, mn.column),
-        isMin = true)
-      case mx: Max => MinMaxSpec(fieldOf(schema, mx.column),
-        isMin = false)
-      case sm: Sum if !sm.isDistinct =>
-        SumSpec(fieldOf(schema, sm.column))
-      case _ => refuse()
-    }
+    val specs = parseSpecs(schema, agg)
     val (kept, _) = TableStats.pruneIn(m.files, m.stats, m.dvMarks,
       filters)
     val metas: Seq[FileMeta] = kept.map { f =>
@@ -293,32 +353,100 @@ private[sources] object GraftMetaAgg {
     val rows = groups.map { case (key, fs) =>
       Row.fromSeq(key ++ specs.map(cell(_, fs)))
     }
-    val fields =
-      groupFields.map(f => StructField(f.name, f.dataType,
-        nullable = true)) ++
-      specs.zipWithIndex.map {
-        case (CountStarSpec, i) =>
-          StructField(s"agg_$i", LongType, nullable = false)
-        case (CountColSpec(_), i) =>
-          StructField(s"agg_$i", LongType, nullable = false)
-        case (MinMaxSpec(f, _), i) =>
-          StructField(s"agg_$i", f.dataType, nullable = true)
-        case (SumSpec(f), i) =>
-          StructField(s"agg_$i", sumResultType(f.dataType),
-            nullable = true)
-      }
-    val aggNames = specs.map {
-      case CountStarSpec => "count(*)"
-      case CountColSpec(f) => s"count(${f.name})"
-      case MinMaxSpec(f, true) => s"min(${f.name})"
-      case MinMaxSpec(f, false) => s"max(${f.name})"
-      case SumSpec(f) => s"sum(${f.name})"
-    }
-    Planned(StructType(fields), rows,
-      s"[${aggNames.mkString(", ")}]" +
+    Planned(schemaOf(groupFields, specs), rows,
+      s"[${aggNamesOf(specs).mkString(", ")}]" +
         (if (groupFields.isEmpty) ""
          else s" groupBy=[${groupFields.map(_.name).mkString(", ")}]") +
         s" files=${kept.size} groups=${groups.size}")
+  }
+
+  /** Plan the HYBRID pushdown ([[PartialPlanned]]): or None when no
+    * split is worthwhile — every file already provable (complete
+    * pushdown's territory), or none is (nothing to answer from
+    * metadata). Per-file provability reuses [[cell]] verbatim on
+    * singleton lists, so the two tiers can never disagree on what
+    * metadata may answer. */
+  def tryPlanPartial(state: GraftState, filters: Seq[Filter],
+                     agg: Aggregation): Option[PartialPlanned] =
+    try Some(planPartial(state, filters, agg))
+    catch { case _: Refuse => None }
+
+  private def planPartial(state: GraftState, filters: Seq[Filter],
+                          agg: Aggregation): PartialPlanned = {
+    val m = state.manifest
+    val schema = state.schema
+    if (!filters.forall(TableStats.exactlyHandledByLayout(m.files, _)))
+      refuse()
+    val groupFields = agg.groupByExpressions.toSeq
+      .map(fieldOf(schema, _))
+    val specs = parseSpecs(schema, agg)
+    val (kept, _) = TableStats.pruneIn(m.files, m.stats, m.dvMarks,
+      filters)
+    // classify: a file is CLEAN when the manifest alone proves every
+    // pushed aggregate AND every group key for it; everything else
+    // (no stats record, DV'd data-column aggregate, undecodable
+    // bound/path value) is DIRTY and goes to the execution-time scan
+    val classified: Seq[(String, Option[FileMeta])] = kept.map { f =>
+      val st = m.stats.getOrElse(f, Map.empty)
+      val raw = st.values.headOption.map(_.nRows)
+      val marks = if (m.dvs.contains(f)) m.dvMarks.get(f) else Some(0L)
+      val fm = for { r <- raw; k <- marks }
+        yield FileMeta(TableStats.partValuesOf(f), r, k, st)
+      f -> fm.filter { meta =>
+        try {
+          groupFields.foreach(gf => dirValue(
+            meta.pv.getOrElse(gf.name, refuse()), gf.dataType))
+          specs.foreach(cell(_, Seq(meta)))
+          true
+        } catch { case _: Refuse => false }
+      }
+    }
+    val clean = classified.collect { case (_, Some(fm)) => fm }
+    val dirty = classified.collect { case (f, None) => f }
+    // no metadata answer → pushing would only add a useless agg
+    // layer; no dirty remainder → complete pushdown's territory (and
+    // if THAT refused, the group-level merge below would refuse for
+    // the same reason)
+    if (clean.isEmpty || dirty.isEmpty) refuse()
+    // DIRTY files' group keys surface through the execution-time
+    // scan, whose partition-type inference runs over the dirty SUBSET
+    // only. Require every dirty key to decode canonically into the
+    // catalog type (same trust boundary as the clean side) and, for
+    // string-typed keys, to be inference-STABLE: a rendering the full
+    // table reads verbatim but a numeric/date-looking subset would
+    // re-type (directory '00' → int 0 → cast back '0' ≠ '00') would
+    // silently split the group. Refusal falls back to the plain scan.
+    dirty.foreach { f =>
+      val pv = TableStats.partValuesOf(f)
+      groupFields.foreach { gf =>
+        val d = pv.getOrElse(gf.name, refuse())
+        dirValue(d, gf.dataType)
+        if (gf.dataType == StringType &&
+            d != TableStats.HiveDefaultPart && retypeable(d)) refuse()
+      }
+    }
+    val groups: Seq[(Seq[Any], Seq[FileMeta])] =
+      if (groupFields.isEmpty) Seq(Seq.empty[Any] -> clean)
+      else clean.groupBy { fm =>
+        groupFields.map(gf =>
+          dirValue(fm.pv.getOrElse(gf.name, refuse()), gf.dataType))
+      }.toSeq.filter { case (_, fs) => fs.exists(_.visible > 0L) }
+    val rows = groups.map { case (key, fs) =>
+      Row.fromSeq(key ++ specs.map(cell(_, fs)))
+    }
+    val specKeys = specs.map {
+      case CountStarSpec => ("count_star", "")
+      case CountColSpec(f) => ("count", f.name)
+      case MinMaxSpec(f, true) => ("min", f.name)
+      case MinMaxSpec(f, false) => ("max", f.name)
+      case SumSpec(f) => ("sum", f.name)
+    }
+    PartialPlanned(schemaOf(groupFields, specs), rows, dirty,
+      groupFields.map(_.name), specKeys,
+      s"[${aggNamesOf(specs).mkString(", ")}]" +
+        (if (groupFields.isEmpty) ""
+         else s" groupBy=[${groupFields.map(_.name).mkString(", ")}]") +
+        s" files_meta=${clean.size} files_scanned=${dirty.size}")
   }
 
   private def cell(spec: Spec, fs: Seq[FileMeta]): Any = spec match {

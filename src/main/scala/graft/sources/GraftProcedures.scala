@@ -31,6 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.drop_tag('db.t', 'v1')     -- unpin it
   * CALL graft.system.tags('db.t')               -- list tags
   * CALL graft.system.rollback('db.t', '12')     -- restore a snapshot
+  * CALL graft.system.detail('db.t')             -- DESCRIBE DETAIL
   * }}}
   *
   * Each procedure resolves its `table` argument through the SAME
@@ -264,9 +265,91 @@ private[sources] object GraftProcedures {
       }, resolve,
       desc = "reclaims unreferenced bytes older than the horizon; " +
         "older_than_ms=0 is safe ONLY on a quiesced table (a " +
-        "concurrent writer's staged-but-uncommitted files look " +
-        "unreferenced) — the 7-day default is safe under " +
+        "concurrent batch writer's or in-flight streaming query's " +
+        "staged-but-uncommitted files look unreferenced — stop " +
+        "streams first) — the 7-day default is safe under " +
         "concurrent writers"),
+    "create_branch" -> new Proc("create_branch",
+      Seq(param("table", StringType),
+        param("name", StringType),
+        paramD("generation", LongType, "-1")),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("from_generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val name = in.getString(1)
+        val gen = in.getLong(2)
+        val from = CommitLog.createBranch(fs, p, name,
+          if (gen < 0) None else Some(gen))
+        Seq(row(utf8(name), from))
+      }, resolve,
+      desc = "creates a writable branch at a generation (default: " +
+        "head) — write-audit-publish: stage risky batches with " +
+        "option('branch', name), read them back the same way, " +
+        "publish atomically with fast_forward; main is untouched " +
+        "until then"),
+    "fast_forward" -> new Proc("fast_forward",
+      Seq(param("table", StringType), param("name", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val name = in.getString(1)
+        Seq(row(utf8(name), CommitLog.fastForward(fs, p, name)))
+      }, resolve,
+      desc = "publishes a branch: ONE CAS commit makes the branch " +
+        "head the next main generation (tags and the #txn ledger " +
+        "survive); terminal if main moved concurrently — re-audit " +
+        "and re-decide"),
+    "drop_branch" -> new Proc("drop_branch",
+      Seq(param("table", StringType), param("name", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("positions_removed", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val name = in.getString(1)
+        Seq(row(utf8(name),
+          CommitLog.dropBranch(fs, p, name).toLong))
+      }, resolve,
+      desc = "drops a branch; files staged only on it become " +
+        "vacuum-reclaimable debris"),
+    "branches" -> new Proc("branches",
+      Seq(param("table", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("position", LongType, nullable = false))),
+      deterministic = false,
+      (s, p, in) => {
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        CommitLog.branches(fs, p).toSeq.sortBy(_._1)
+          .map { case (n, k) => row(utf8(n), k) }
+      }, resolve,
+      desc = "lists the table's branches (name, chain position)"),
+    "detail" -> new Proc("detail",
+      Seq(param("table", StringType)),
+      GraftMetaTable.schemaOf("detail"),
+      deterministic = false,
+      (s, p, _) => {
+        val df = s.read.format("graft")
+          .option("metadata", "detail").load(p.toString)
+        df.collect().toSeq.map { r =>
+          row(utf8(r.getString(0)), utf8(r.getString(1)),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), utf8(r.getString(8)),
+            utf8(r.getString(9)), utf8(r.getString(10)),
+            r.getLong(11), r.getLong(12), r.getLong(13))
+        }
+      }, resolve,
+      desc = "one-row table summary (DESCRIBE DETAIL): format, " +
+        "location, head generation, retained generations, file/DV " +
+        "counts, physical size, partition columns, checks, tags; " +
+        "also readable as the metadata table <table>.detail"),
     "history" -> new Proc("history",
       Seq(param("table", StringType)),
       // DESCRIBE HISTORY's summary columns (TableHistory.history)

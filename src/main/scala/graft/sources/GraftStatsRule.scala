@@ -65,7 +65,8 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         case w: V1ScanWrapper
           if !w.isInstanceOf[GraftStatsV1ScanWrapper] &&
             (w.v1Scan.isInstanceOf[GraftScan] ||
-              w.v1Scan.isInstanceOf[GraftAggScan]) =>
+              w.v1Scan.isInstanceOf[GraftAggScan] ||
+              w.v1Scan.isInstanceOf[GraftPartialAggScan]) =>
           r.copy(scan = new GraftStatsV1ScanWrapper(
             w.v1Scan, w.handledFilters, w.pushedDownOperators))
         case _ => r

@@ -339,6 +339,94 @@ class AggPushdownSpec extends SparkSpec {
     assert(g.head.getLong(0) == 400L)
   }
 
+  test("partial pushdown: clean files answer from the manifest, " +
+    "exactly the dirty remainder is scanned, values hash-equal to " +
+    "the full recompute") {
+    import graft.sources.GraftPartialAggInfo
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AQE hides the scan behind a leaf AdaptiveSparkPlanExec —
+    // descend into its current physical plan too
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case _ => Nil
+      })
+    def partialInfoOf(df: DataFrame): Option[GraftPartialAggInfo] =
+      nodes(df.queryExecution.executedPlan).collectFirst {
+        case r: RowDataSourceScanExec
+          if r.relation.isInstanceOf[GraftPartialAggInfo] =>
+          r.relation.asInstanceOf[GraftPartialAggInfo]
+      }
+    def assertPartial(df: DataFrame): GraftPartialAggInfo =
+      partialInfoOf(df).getOrElse(fail(
+        "expected a PARTIALLY pushed metadata aggregate in:\n" +
+          df.queryExecution.executedPlan.toString))
+    val root = java.nio.file.Files.createTempDirectory("agg9").toString
+    val sink = mkSink(root)
+    // dirty a strict subset: DVs land on partition 1's files only
+    DeleteVectors.deleteWhere(spark, sink,
+      col("p") === 1 && col("k") <= 200)
+    val dirtyCount = CommitLog.dvRecords(fsOf(sink),
+      new Path(sink)).size
+    assert(dirtyCount >= 1)
+    val t = graftRead(sink)
+    val oracle = CommitLog.read(spark, sink)
+    // global min/max/sum/count over the DV'd table: complete refused
+    // (round-13 behavior was a FULL scan); now partial — scan reads
+    // only the DV'd files
+    val g = t.agg(min("k").as("mn"), max("k").as("mx"),
+      sum("k").as("sk"), count(lit(1)).as("n"),
+      count(col("nv")).as("nnv"))
+    assert(aggInfoOf(g).isEmpty, "must not claim COMPLETE pushdown")
+    val info = assertPartial(g)
+    assert(info.scannedFileCount == dirtyCount,
+      s"must scan exactly the dirty files: $info")
+    assert(g.head == oracle.agg(min("k"), max("k"), sum("k"),
+      count(lit(1)), count(col("nv"))).head)
+    // grouped partial: the DV'd partition's groups merge scan-side
+    // partials with manifest-side rows for the clean partitions
+    val gr = t.groupBy("p").agg(min("k").as("mn"),
+      count(lit(1)).as("n"), sum("k").as("sk"))
+    assertPartial(gr)
+    assert(gr.orderBy(col("p").asc_nulls_last).collect().toSeq ==
+      oracle.groupBy("p").agg(min("k").as("mn"),
+        count(lit(1)).as("n"), sum("k").as("sk"))
+        .orderBy(col("p").asc_nulls_last).collect().toSeq)
+    // avg decomposes to sum+count and rides the partial tier too
+    val av = t.agg(avg("k").as("a"))
+    assertPartial(av)
+    assert(av.head.getDouble(0) ==
+      oracle.agg(avg("k")).head.getDouble(0))
+    // an unanalyzed appended file is another dirty shape: count/max
+    // still push partially and stay exact
+    val one = spark.read.parquet(sink).limit(1)
+      .withColumn("k", lit(9999L)).withColumn("p", lit(5))
+    one.write.format("graft").mode("append")
+      .option("path", sink).save()
+    val t2 = graftRead(sink)
+    val c2 = t2.agg(count(lit(1)).as("n"), max("k").as("mx"))
+    val info2 = assertPartial(c2)
+    assert(info2.scannedFileCount == dirtyCount + 1,
+      s"dirty = DV'd files + the record-less append: $info2")
+    val o2 = CommitLog.read(spark, sink)
+      .agg(count(lit(1)), max("k")).head
+    assert(c2.head == o2)
+    // a partition-exact filter that keeps only CLEAN files still
+    // prefers the complete tier
+    val clean = t2.filter(col("p") === 2).agg(min("k").as("mn"))
+    assert(aggInfoOf(clean).isDefined,
+      "all-clean subsets must stay COMPLETELY pushed")
+    // everything-dirty refuses partial too (nothing to answer from
+    // metadata): fresh unanalyzed table
+    val raw = s"$root/raw"
+    Seq((1L, 2L), (3L, 4L)).toDF("a", "b").write.parquet(raw)
+    CommitLog.ensureLoggedAt(fsOf(raw), new Path(raw))
+    val rdf = spark.read.format("graft").load(raw).agg(max("a"))
+    assert(aggInfoOf(rdf).isEmpty && partialInfoOf(rdf).isEmpty)
+    assert(rdf.head.getLong(0) == 3L)
+  }
+
   test("time travel aggregates against the pinned snapshot's " +
     "manifest, and an empty table answers zero") {
     val root = java.nio.file.Files.createTempDirectory("agg5").toString

@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{CommitConflictException, CommitLog}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Branch refs + write-audit-publish ([[CommitLog.createBranch]] /
+  * `option("branch", …)` writes / [[CommitLog.fastForward]] — Iceberg
+  * WAP branches): a branch is a separate manifest chain in the same
+  * log dir, seeded with a full snapshot copy; staged files land in
+  * the sink but are referenced only by the branch, main readers see
+  * nothing, and `fast_forward` publishes the branch head as the next
+  * main generation in ONE CAS commit — refusing when main diverged
+  * since branching. */
+class BranchWapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mkSink(root: String): String = {
+    val sink = s"$root/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(sink)
+    CommitLog.ensureLoggedAt(fsOf(sink), new Path(sink))
+    sink
+  }
+
+  test("write-audit-publish lifecycle: staged on a branch, invisible " +
+    "to main, validated there, published atomically, dropped") {
+    val root = java.nio.file.Files.createTempDirectory("wap1").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    val mainGen = CommitLog.committed(fs, hp).get._1
+    CommitLog.addCheck(spark, sink, "k_pos", "k > 0")
+    val from = CommitLog.createBranch(fs, hp, "audit")
+    assert(CommitLog.branches(fs, hp).contains("audit"))
+    // stage a batch ON the branch
+    Seq((4L, "d"), (5L, "e")).toDF("k", "v")
+      .write.format("graft").mode("append")
+      .option("path", sink).option("branch", "audit").save()
+    // main reads are UNCHANGED; the branch read sees the staged rows
+    assert(spark.read.format("graft").load(sink).count() == 3L)
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(sink).count() == 5L)
+    // maintenance during the audit must not eat staged files
+    assert(CommitLog.vacuum(fs, hp) == 0L,
+      "branch-referenced staged files are live, not orphans")
+    // a CHECK-violating branch write refuses loudly (the branch
+    // carries the table's constraints)
+    val e = intercept[Exception] {
+      Seq((-1L, "bad")).toDF("k", "v")
+        .write.format("graft").mode("append")
+        .option("path", sink).option("branch", "audit").save()
+    }
+    assert(e.getMessage.contains("k_pos"), e.getMessage)
+    assert(spark.read.format("graft").option("branch", "audit")
+      .load(sink).count() == 5L, "the refused batch must not land")
+    // publish: ONE commit makes the branch head the next main gen
+    val newGen = CommitLog.fastForward(fs, hp, "audit")
+    assert(newGen == mainGen + 2, // +1 for the addCheck commit
+      s"fast_forward must commit exactly one generation: $newGen")
+    assert(spark.read.format("graft").load(sink)
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // pre-publish history stays readable
+    assert(CommitLog.readAt(spark, sink, newGen - 1).count() == 3L)
+    // the branch.base guard key must NOT leak into main's meta
+    assert(!CommitLog.metaRecords(fs, hp).contains("branch.base"))
+    // drop the branch; its chain files go
+    assert(CommitLog.dropBranch(fs, hp, "audit") >= 2)
+    assert(CommitLog.branches(fs, hp).isEmpty)
+    intercept[Exception] {
+      spark.read.format("graft").option("branch", "audit")
+        .load(sink).count()
+    }
+  }
+
+  test("divergence and races: fast_forward refuses when main moved; " +
+    "a dropped unpublished branch's files become vacuum debris; " +
+    "branch truncate resets the branch only") {
+    val root = java.nio.file.Files.createTempDirectory("wap2").toString
+    val sink = mkSink(root)
+    val fs = fsOf(sink); val hp = new Path(sink)
+    CommitLog.createBranch(fs, hp, "b1")
+    Seq((10L, "x")).toDF("k", "v")
+      .write.format("graft").mode("append")
+      .option("path", sink).option("branch", "b1").save()
+    // main advances AFTER branching: publishing would discard it
+    Seq((99L, "main")).toDF("k", "v")
+      .write.format("graft").mode("append").option("path", sink).save()
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.fastForward(fs, hp, "b1")
+    }
+    assert(e.getMessage.contains("discard"), e.getMessage)
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+    // branch truncate: resets the BRANCH file set, main untouched
+    Seq((20L, "y")).toDF("k", "v")
+      .write.format("graft").mode("overwrite")
+      .option("path", sink).option("branch", "b1").save()
+    assert(spark.read.format("graft").option("branch", "b1")
+      .load(sink).as[(Long, String)].collect().toSeq ==
+      Seq((20L, "y")))
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+    // abandon: drop the branch, then vacuum reclaims its staged files
+    val before = CommitLog.vacuum(fs, hp)
+    assert(before == 0L, "live branch keeps its staged files")
+    CommitLog.dropBranch(fs, hp, "b1")
+    assert(CommitLog.vacuum(fs, hp) >= 2L,
+      "dropped branch's staged files are debris")
+    assert(spark.read.format("graft").load(sink).count() == 4L)
+    // unknown branch refuses loudly everywhere
+    intercept[Exception] { CommitLog.fastForward(fs, hp, "nope") }
+    intercept[Exception] {
+      Seq((1L, "z")).toDF("k", "v").write.format("graft")
+        .mode("append").option("path", sink)
+        .option("branch", "nope").save()
+    }
+    // duplicate create refuses
+    CommitLog.createBranch(fs, hp, "b2")
+    intercept[IllegalArgumentException] {
+      CommitLog.createBranch(fs, hp, "b2")
+    }
+  }
+
+  test("SQL surface: CALL create_branch / branches / fast_forward / " +
+    "drop_branch round-trip through the catalog") {
+    val root = java.nio.file.Files.createTempDirectory("wap3").toString
+    spark.conf.set("spark.sql.catalog.wap3",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wap3.warehouse", root)
+    spark.sql("CREATE NAMESPACE wap3.db")
+    spark.sql("CREATE TABLE wap3.db.t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO wap3.db.t VALUES (1, 'a'), (2, 'b')")
+    val r = spark.sql(
+      "CALL wap3.system.create_branch('db.t', 'wap')").head
+    assert(r.getString(0) == "wap")
+    val path = s"$root/db/t"
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("graft").mode("append")
+      .option("path", path).option("branch", "wap").save()
+    assert(spark.table("wap3.db.t").count() == 2L)
+    val bs = spark.sql("CALL wap3.system.branches('db.t')").collect()
+    assert(bs.map(_.getString(0)).toSeq == Seq("wap"))
+    val ff = spark.sql(
+      "CALL wap3.system.fast_forward('db.t', 'wap')").head
+    assert(ff.getLong(1) > 0)
+    assert(spark.table("wap3.db.t").count() == 3L)
+    spark.sql("CALL wap3.system.drop_branch('db.t', 'wap')")
+    assert(spark.sql("CALL wap3.system.branches('db.t')")
+      .collect().isEmpty)
+  }
+}

@@ -649,4 +649,45 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
+
+  test("DESCRIBE DETAIL surface: cat.db.t.detail and CALL " +
+    "system.detail return the one-row summary, pinned against the " +
+    "manifest") {
+    import graft.operators.{CommitLog, TableStats}
+    val root = java.nio.file.Files.createTempDirectory("gcat8").toString
+    initCatalog("gc13", root)
+    spark.sql("CREATE NAMESPACE gc13.db")
+    spark.sql("CREATE TABLE gc13.db.t (k BIGINT, v STRING, p INT) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gc13.db.t SELECT id, 'a', " +
+      "CAST(id % 3 AS INT) FROM range(0, 90)")
+    spark.sql("DELETE FROM gc13.db.t WHERE k >= 80")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    TableStats.analyze(spark, path, Seq("k"))
+    spark.sql("CALL gc13.system.create_tag('db.t', 'v1')")
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hp)
+    val d = spark.sql("SELECT * FROM gc13.db.t.detail").head
+    assert(d.getAs[String]("format") == "graft")
+    assert(d.getAs[Long]("generation") == gen)
+    assert(d.getAs[Long]("num_files") == live.size.toLong)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Long]("num_dv_files") >= 1L)
+    assert(d.getAs[Long]("dv_marks") == 10L)
+    assert(d.getAs[String]("partition_columns") == "p")
+    // the tag pinned the head AT TAG TIME; the tag's own meta-only
+    // commit then became the new head
+    assert(d.getAs[String]("tags") == s"v1=${gen - 1}")
+    assert(d.getAs[Long]("stats_files") == live.size.toLong)
+    // the procedure returns the same row
+    val p = spark.sql("CALL gc13.system.detail('db.t')").head
+    assert(p.getAs[Long]("num_files") == d.getAs[Long]("num_files") &&
+      p.getAs[String]("tags") == d.getAs[String]("tags") &&
+      p.getAs[Long]("size_bytes") == d.getAs[Long]("size_bytes"))
+    // versionAsOf pins the summary to the snapshot
+    val d0 = spark.read.format("graft").option("metadata", "detail")
+      .option("versionAsOf", 1).load(path).head
+    assert(d0.getAs[Long]("generation") == 1L &&
+      d0.getAs[Long]("num_dv_files") == 0L)
+  }
 }
