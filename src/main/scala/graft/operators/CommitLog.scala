@@ -112,6 +112,13 @@ object CommitLog {
     * Iceberg in puffin files, for the same reason). */
   val BloomDirName = "_graft_bloom"
 
+  /** Sidecar directory for committed ANN index artifacts (`#ann`
+    * records + `#meta ann.<col>.centroids` — [[graft.operators
+    * .AnnIndex]]): trained IVF centroids and per-file cell-assignment
+    * postings. Sidecars for the same reason as `#bloom`: the postings
+    * are data-sized, the manifest stays O(records). */
+  val AnnDirName = "_graft_ann"
+
   private def logDir(sink: Path) = new Path(sink, LogDirName)
 
   private def manifestName(gen: Long): String = f"$gen%020d.manifest"
@@ -299,7 +306,8 @@ object CommitLog {
       checks: Map[String, String] = Map.empty,
       dvMarks: Map[String, Long] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty)
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      anns: Map[String, Map[String, String]] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -406,6 +414,13 @@ object CommitLog {
         val parts = l.split('\t')
         require(parts.length == 4,
           s"corrupt manifest: malformed bloom record '$l'")
+        (parts(1), dec(parts(2)), dec(parts(3)))
+      }.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap,
+      lines.filter(_.startsWith("#ann\t")).map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4,
+          s"corrupt manifest: malformed ann record '$l'")
         (parts(1), dec(parts(2)), dec(parts(3)))
       }.groupBy(_._1).view
         .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
@@ -598,6 +613,16 @@ object CommitLog {
   : Map[String, Map[String, String]] =
     generations(fs, sink).lastOption
       .map(readManifestFull(fs, sink, _).blooms)
+      .getOrElse(Map.empty)
+
+  /** The LATEST generation's ANN index records (data file → PHYSICAL
+    * column name → postings sidecar under [[AnnDirName]]) — keyed
+    * physically for the same rename-survival reason as
+    * [[bloomRecords]]. */
+  def annRecords(fs: FileSystem, sink: Path)
+  : Map[String, Map[String, String]] =
+    generations(fs, sink).lastOption
+      .map(readManifestFull(fs, sink, _).anns)
       .getOrElse(Map.empty)
 
   /** Partition column names of a hive-layout live set, from the `k=v`
@@ -846,7 +871,8 @@ object CommitLog {
                  dvMarks: Map[String, Long] = Map.empty,
                  statsReplace: Boolean = false,
                  meta: Map[String, String] = Map.empty,
-                 blooms: Map[String, Map[String, String]] = Map.empty)
+                 blooms: Map[String, Map[String, String]] = Map.empty,
+                 anns: Map[String, Map[String, String]] = Map.empty)
   : Long = {
     val gen = baseGen + 1
     val dir = logDir(sink)
@@ -926,10 +952,16 @@ object CommitLog {
         f -> (base.blooms.getOrElse(f, Map.empty) ++
           blooms.getOrElse(f, Map.empty))
       }.filter(_._2.nonEmpty).toMap
+    // ANN index records carry per surviving file exactly like #bloom
+    val mergedAnns = (base.anns.keySet ++ anns.keySet).iterator
+      .filter(fileSet).map { f =>
+        f -> (base.anns.getOrElse(f, Map.empty) ++
+          anns.getOrElse(f, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
     writeManifestExclusive(fs, sink, gen, tmp, fin, Manifest(
       files, mergedDvs, mergedStats, mergedTxns, mergedColmaps,
       mergedColtypes, mergedChecks, mergedDvMarks, mergedMeta,
-      mergedBlooms))
+      mergedBlooms, mergedAnns))
   }
 
   /** Serialize a FULL manifest verbatim and publish it exclusively as
@@ -974,11 +1006,16 @@ object CommitLog {
         s"#bloom\t$f\t${enc(phys)}\t${enc(rel)}"
       }
     }.sorted
+    val annLines = m.anns.toSeq.flatMap { case (f, am) =>
+      am.toSeq.map { case (phys, rel) =>
+        s"#ann\t$f\t${enc(phys)}\t${enc(rel)}"
+      }
+    }.sorted
     val out = fs.create(tmp, true)
     try out.write(
       (m.files.sorted ++ dvLines ++ statsLines ++ txnLines ++
         colmapLines ++ coltypeLines ++ checkLines ++ metaLines ++
-        bloomLines)
+        bloomLines ++ annLines)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publishExclusive(fs, tmp, fin)) {
@@ -1135,7 +1172,31 @@ object CommitLog {
         }
       }
     }
-    orphans.length.toLong + dvReclaimed + bloomReclaimed
+    // ANN sidecar debris: postings named by no retained #ann record
+    // and centroid files named by no retained `ann.<col>.centroids`
+    // meta record (orphaned by a rebuild, a lost race, or expire)
+    val annDir = new Path(sink, AnnDirName)
+    var annReclaimed = 0L
+    if (fs.exists(annDir)) {
+      val retained = gens.map(readManifestFull(fs, sink, _)) ++
+        branchManifests(fs, sink)
+      val refAnn = (retained.flatMap(_.anns.values).flatMap(_.values) ++
+        retained.flatMap(_.meta.collect {
+          case (k, v) if k.startsWith("ann.") &&
+            k.endsWith(".centroids") => v
+        })).toSet
+      fs.listStatus(annDir).foreach { st =>
+        val rel = AnnDirName + "/" + st.getPath.getName
+        // a record may name the entry itself or a file inside it
+        if (!refAnn.contains(rel) &&
+          !refAnn.exists(_.startsWith(rel + "/")) &&
+          oldEnough(st.getPath)) {
+          fs.delete(st.getPath, true)
+          annReclaimed += 1
+        }
+      }
+    }
+    orphans.length.toLong + dvReclaimed + bloomReclaimed + annReclaimed
   }
 
   /** Drop every generation except the newest `keepLast` (≥ 1), then

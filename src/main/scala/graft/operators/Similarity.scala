@@ -672,6 +672,39 @@ object Similarity {
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   centroids: DataFrame, nProbe: Int, k: Int): DataFrame = {
     requireSameDims(queries, corpus)
+    ivfProbeCells(queries,
+      assignToCells(prep(corpus, "did", "de", "dn"),
+        "did", "de", "dn", keep = 1, centroids),
+      centroids, nProbe, k)
+  }
+
+  /** The PROBE half of [[ivfTopKWith]], over an explicit
+    * cell-assignment frame (did, de, dn, cid) — what a COMMITTED
+    * `#ann` index ([[AnnIndex]]) feeds so its results are
+    * plan-identical to the inline recompute. */
+  private[graft] def ivfProbeCells(queries: DataFrame, cells: DataFrame,
+                                   centroids: DataFrame, nProbe: Int,
+                                   k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val probes = assignToCells(prep(queries, "qid", "qe", "qn"),
+      "qid", "qe", "qn", keep = nProbe, centroids)
+    probes.join(cells, "cid")
+      .select(col("qid"), col("did"),
+        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
+          .as("cosine"))
+      .groupBy("qid", "did") // a (q,d) pair can meet via several probes
+      .agg(max("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(col("cosine").desc, col("did").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** The ASSIGN half: nearest `keep` centroids per vector, guarded and
+    * null-tolerant — (id, vec, norm, cid) rows. */
+  private[graft] def assignToCells(vecs: DataFrame, idC: String,
+                                   vecC: String, normC: String,
+                                   keep: Int, centroids: DataFrame)
+  : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val cents = centroids
     // centroid width is guarded IN-ROW (raise_error), not by probing the
@@ -693,32 +726,18 @@ object Similarity {
           lit(" != vector dims "), size(col(vecC)).cast("string"))))
         .otherwise(
           cosineFrom(dotQ(col(vecC), col("ce")), col(normC), col("cn")))
-    def assign(vecs: DataFrame, idC: String, vecC: String, normC: String,
-               keep: Int): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .select(col(idC), col(vecC), col(normC), col("cid"),
-          guardedCos(vecC, normC).as("ccos"))
-        // enforce the documented drop-out: a null/empty-embedding row
-        // scores null against EVERY centroid, and without this filter
-        // the (desc, cid asc) tie-break would hand it crank=1 in the
-        // lowest-cid cell — exactly the arbitrary assignment the guard
-        // exists to prevent
-        .filter(col("ccos").isNotNull)
-        .withColumn("crank", row_number().over(
-          w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
-        .filter(col("crank") <= keep)
-        .drop("ccos", "crank")
-    val cells = assign(prep(corpus, "did", "de", "dn"), "did", "de", "dn", 1)
-    val probes = assign(prep(queries, "qid", "qe", "qn"), "qid", "qe", "qn",
-      nProbe)
-    probes.join(cells, "cid")
-      .select(col("qid"), col("did"),
-        cosineFrom(dotQ(col("qe"), col("de")), col("qn"), col("dn"))
-          .as("cosine"))
-      .groupBy("qid", "did") // a (q,d) pair can meet via several probes
-      .agg(max("cosine").as("cosine"))
-      .withColumn("rank", row_number().over(
-        w.partitionBy("qid").orderBy(col("cosine").desc, col("did").asc)))
-      .filter(col("rank") <= k)
+    vecs.crossJoin(broadcast(cents))
+      .select(col(idC), col(vecC), col(normC), col("cid"),
+        guardedCos(vecC, normC).as("ccos"))
+      // enforce the documented drop-out: a null/empty-embedding row
+      // scores null against EVERY centroid, and without this filter
+      // the (desc, cid asc) tie-break would hand it crank=1 in the
+      // lowest-cid cell — exactly the arbitrary assignment the guard
+      // exists to prevent
+      .filter(col("ccos").isNotNull)
+      .withColumn("crank", row_number().over(
+        w.partitionBy(idC).orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crank") <= keep)
+      .drop("ccos", "crank")
   }
 }

@@ -3398,6 +3398,175 @@ object MaintenanceQueries {
               TRUE AS tag_survived_expire,
               TRUE AS untagged_expired"""
 
+  // --- q357: committed ANN index (#ann sidecars) -----------------------
+  /** COMMITTED ANN INDEX ([[graft.operators.AnnIndex]] — `#ann`
+    * records + `#meta ann.<col>.centroids`): the q67 IVF lineage
+    * promoted to a table-format citizen. The query stages two thirds
+    * of `embeddings` as a graft sink, BUILDS the index (k-means
+    * centroids trained once, per-file cell-assignment postings,
+    * one commit), appends the last third and CATCHES UP (only the
+    * new files index; the committed centroids are reused verbatim —
+    * pinned by the unchanged sidecar path), DV-deletes a slice, and
+    * probes — pinning in-query that the indexed top-k equals the
+    * inline [[graft.operators.Similarity.ivfTopKWith]] recompute
+    * with the same centroids (DV'd rows excluded by both). The
+    * emitted rows are the indexed probe's (qid, did, cosine, rank),
+    * oracle-recomputed by DuckDB running the full integer k-means +
+    * IVF pipeline in SQL (training on the build-time subset, probing
+    * the visible corpus). At 100 TB: train once, catch up per
+    * append batch at cost ∝ new files, serve every query from
+    * committed postings — never retrain per query lineage. */
+  def q357AnnIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnIndex, CommitLog, DeleteVectors,
+      Similarity}
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q357_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding"))
+      emb.filter(col("vec_id") % 3 =!= 2).repartition(3)
+        .write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      CommitLog.ensureLoggedAt(fs, hp)
+      val filesBefore = CommitLog.ensureLoggedAt(fs, hp)._2.size
+      AnnIndex.build(s, sink, numCentroids = 8, iters = 2)
+      val centRel = CommitLog.metaRecords(fs, hp)(
+        "ann.embedding.centroids")
+      // append + catch-up: only the new files index, centroids reused
+      emb.filter(col("vec_id") % 3 === 2).repartition(2)
+        .write.format("graft").mode("append")
+        .option("path", sink).save()
+      val newFiles =
+        CommitLog.ensureLoggedAt(fs, hp)._2.size - filesBefore
+      val n2 = AnnIndex.build(s, sink, numCentroids = 8, iters = 2)
+      val trainedOnce = CommitLog.metaRecords(fs, hp)(
+        "ann.embedding.centroids") == centRel
+      val catchupIncremental = n2 == newFiles.toLong
+      DeleteVectors.deleteWhere(s, sink, col("vec_id") % 7 === 0)
+      val queries = emb.filter(col("vec_id") < 10)
+      val indexed = AnnIndex.topK(s, sink, queries, nProbe = 2, k = 3)
+      val inline = Similarity.ivfTopKWith(queries,
+        CommitLog.read(s, sink)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding")),
+        s.read.parquet(new org.apache.hadoop.fs.Path(hp, centRel)
+          .toString),
+        nProbe = 2, k = 3)
+      def keyOf(df: DataFrame) = df.select(
+        col("qid").cast("long"), col("did").cast("long"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val equalsInline = keyOf(indexed) == keyOf(inline)
+      // materialize BEFORE the finally deletes the fixture — the
+      // returned frame must not read the sink lazily
+      val rows = indexed
+        .select(col("qid").cast("long"), col("did").cast("long"),
+          col("cosine"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3)))
+        .toSeq
+      import s.implicits._
+      rows.map { case (q, d, c, rk) =>
+        (q, d, c, rk, trainedOnce, catchupIncremental, equalsInline)
+      }.toDF("qid", "did", "cosine", "rank", "trained_once",
+        "catchup_incremental", "indexed_equals_inline")
+        .orderBy("qid", "rank")
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q357Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn FROM v),
+       nt AS (SELECT * FROM n WHERE vec_id % 3 <> 2),
+       nv AS (SELECT * FROM n WHERE vec_id % 7 <> 0),
+       c0 AS (SELECT vec_id AS cid, e AS ce, nn AS cn FROM nt
+              ORDER BY vec_id LIMIT 8),
+       a1 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM nt d CROSS JOIN c0 c) WHERE r = 1),
+       m1 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a1, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c1 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m1 GROUP BY cid)),
+       a2 AS (
+         SELECT did, e, nn, cid FROM (
+           SELECT d.vec_id AS did, d.e, d.nn, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS r
+           FROM nt d CROSS JOIN c1 c) WHERE r = 1),
+       m2 AS (
+         SELECT cid, t.i AS dim, avg(e[t.i]) AS m
+         FROM a2, unnest(generate_series(1, len(e))) AS t(i)
+         GROUP BY cid, t.i),
+       c2 AS (
+         SELECT cid, ce, list_sum([y * y for y in ce]) AS cn FROM (
+           SELECT cid, list(CAST(round(m) AS BIGINT) ORDER BY dim) AS ce
+           FROM m2 GROUP BY cid)),
+       corpus_assign AS (
+         SELECT did, cid FROM (
+           SELECT d.vec_id AS did, c.cid,
+                  row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    (CAST(list_sum([d.e[i] * c.ce[i]
+                       for i in generate_series(1, len(d.e))]) AS DOUBLE) /
+                     (sqrt(CAST(d.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM nv d CROSS JOIN c2 c)
+         WHERE crank <= 1),
+       probe_assign AS (
+         SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    (CAST(list_sum([q.e[i] * c.ce[i]
+                       for i in generate_series(1, len(q.e))]) AS DOUBLE) /
+                     (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))
+                    DESC, c.cid ASC) AS crank
+           FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
+         WHERE crank <= 2),
+       scored AS (
+         SELECT p.qid, a.did,
+                CAST(list_sum([qn.e[i] * dn.e[i]
+                       for i in generate_series(1, len(qn.e))]) AS DOUBLE) /
+                  (sqrt(CAST(qn.nn AS DOUBLE)) * sqrt(CAST(dn.nn AS DOUBLE)))
+                  AS cosine
+         FROM probe_assign p
+         JOIN corpus_assign a ON p.cid = a.cid
+         JOIN n qn ON qn.vec_id = p.qid
+         JOIN nv dn ON dn.vec_id = a.did),
+       agg AS (SELECT qid, did, max(cosine) AS cosine FROM scored
+               GROUP BY 1, 2),
+       r AS (SELECT qid, did, cosine,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, did ASC) AS INTEGER) AS rank
+             FROM agg)
+       SELECT qid, did, cosine, rank,
+              TRUE AS trained_once,
+              TRUE AS catchup_incremental,
+              TRUE AS indexed_equals_inline
+       FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+
   // --- q356: branch refs + write-audit-publish ------------------------
   /** WRITE-AUDIT-PUBLISH ([[graft.operators.CommitLog.createBranch]] /
     * `option("branch", …)` / [[graft.operators.CommitLog
@@ -3694,6 +3863,7 @@ object MaintenanceQueries {
               TRUE AS tag_survived"""
 
   val all: Map[String, Q] = Map(
+    "q357_ann_index" -> q357AnnIndex _,
     "q356_branch_wap" -> q356BranchWap _,
     "q355_partial_agg" -> q355PartialAgg _,
     "q354_rollback" -> q354Rollback _,
@@ -3748,6 +3918,7 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q357_ann_index" -> q357Sql,
     "q356_branch_wap" -> q356Sql,
     "q355_partial_agg" -> q355Sql,
     "q354_rollback" -> q354Sql,
