@@ -75,17 +75,18 @@ object SinkQueries {
       .toString
     try {
       val m = graft.model.StarModel.delayFact
-      val conformed = graft.model.StarModel.conform(
-        StarSchema.delayFactFrame(s, dir), m.schema)
-      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
-      // staging PARQUET round-trip, deliberately kept (a cached frame
-      // was measured SLOWER here — 8.8 s vs 6.2 s wall: each phase's
-      // keys-only anti-join side and partition-value collect column-
-      // prune the staging parquet scan, while cache blocks deserialize
-      // whole rows across 3 phases × 2 consumers)
-      graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
-        .write.mode("overwrite").parquet(s"$root/_staging")
-      val staged = s.read.parquet(s"$root/_staging")
+      // the staged (conformed + keyed-deduped) DelayFact batch comes
+      // from the JVM-shared staging root (Publish.sharedStaging) —
+      // identical content to the per-query staging this used to
+      // rebuild, paid once per process across the publish family.
+      // conform restores the declared time_id type (the shared
+      // staging is hive-partitioned, so directory values re-infer
+      // narrower); the parquet round-trip remains (a cached frame was
+      // measured SLOWER here — each phase's keys-only anti-join side
+      // and partition-value collect column-prune the staging scan)
+      val (stagingRoot, _) = Publish.sharedStaging(s, dir)
+      val staged = graft.model.StarModel.conform(
+        s.read.parquet(s"$stagingRoot/${m.name}"), m.schema)
       val sink = s"$root/DelayFact"
       def publish(batch: org.apache.spark.sql.DataFrame): Long =
         graft.operators.Upsert.upsertParquet(s, batch, m.keys, m.keys,
@@ -143,20 +144,17 @@ object SinkQueries {
       .toString
     try {
       val m = graft.model.StarModel.delayFact
-      val conformed = graft.model.StarModel.conform(
-        StarSchema.delayFactFrame(s, dir), m.schema)
-        // time_id is the DAY-granular yyyyMMdd key (F6); ten days of the
-        // window → ten sink partitions, 30 files before, 10 after
+      // shared staged batch (Publish.sharedStaging), filtered to the
+      // window: time_id is a KEY column, so the keyed dedup commutes
+      // with this filter — content identical to staging the filtered
+      // batch from scratch, and the hive-partitioned staging layout
+      // turns the filter into partition pruning. time_id is the
+      // DAY-granular yyyyMMdd key (F6); ten days of the window → ten
+      // sink partitions, 30 files before, 10 after.
+      val (stagingRoot, _) = Publish.sharedStaging(s, dir)
+      val staged = graft.model.StarModel.conform(
+          s.read.parquet(s"$stagingRoot/${m.name}"), m.schema)
         .filter(col("time_id") < 20240111L)
-      val ord = m.schema.fieldNames.filterNot(m.keys.contains).toSeq
-      // staging parquet round-trip, deliberately: a cached frame was
-      // MEASURED slower for this five-consumer batch (6.7 s vs 6.5 s
-      // wall, task time 12 → 41 s) — each consumer deserializes whole
-      // cached rows, while the parquet scan column-prunes and the three
-      // appends stream it straight through
-      graft.operators.Upsert.dedupKeepFirstAgg(conformed, m.keys, ord)
-        .write.mode("overwrite").parquet(s"$root/_staging")
-      val staged = s.read.parquet(s"$root/_staging")
       val sink = s"$root/DelayFact"
       // the small-file state (one file per touched partition per batch
       // — the hourly-append generator) is CONSTRUCTED with three plain
