@@ -360,14 +360,23 @@ private[sources] final class GraftTable(state: GraftState)
   // BATCH_WRITE is the capability DataFrameWriter gates the V2 save
   // path on; the V1_BATCH_WRITE marker routes the planned AppendData/
   // Overwrite to the V1Write bridge execs
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  /** MICRO_BATCH_READ is advertised only for plain (un-evolved)
+    * layouts — [[GraftMicroBatchStream.eligible]]; for tables with
+    * `#colmap`/`#coltype` records (or a CDF read, which routes to
+    * [[GraftCdfTable]]) Spark falls back to the V1 streaming source,
+    * whose DataFrame-shaped `getBatch` plans the mapped view. */
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
+    if (GraftMicroBatchStream.eligible(state))
+      caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-  : ScanBuilder = new GraftScanBuilder(state)
+  : ScanBuilder = new GraftScanBuilder(state, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(state.path, info)
@@ -818,13 +827,23 @@ private[sources] object GraftSourceOffset {
   }
 }
 
-/** The commit log as a streaming Source: offsets are (generation,
+/** The commit log as a V1 streaming Source: offsets are (generation,
   * snapshot-progress) pairs ([[GraftSourceOffset]]). Append-only tail
   * windows stream exactly the added files' rows; the initial batch is
   * the pinned snapshot, split across micro-batches by
   * `option("maxFilesPerTrigger", n)` so bootstrap is rate-limited
   * like the tail (which `maxGensPerTrigger` bounds). See
-  * [[GraftDataSource.sourceSchema]] for the contract. */
+  * [[GraftDataSource.sourceSchema]] for the contract.
+  *
+  * SCOPE (since the V2 migration): plain-layout non-CDF streams
+  * resolve to [[GraftMicroBatchStream]] — this V1 source now serves
+  * exactly (a) `readChangeFeed` streams, whose key-pairing CDF join
+  * has no per-partition-reader form (Delta ships the same V1-shaped
+  * CDF source), (b) tables with `#colmap`/`#coltype` records, whose
+  * reads need the mapped DataFrame plan, and (c) the
+  * `spark.sql.streaming.disabledV2MicroBatchReaders` escape hatch.
+  * Checkpoints are interchangeable between the two paths (same
+  * offset JSON — GraftStreamV2Spec restarts each on the other's). */
 private[sources] final class GraftStreamSource(
     sqlContext: SQLContext,
     metadataPath: String,
@@ -1428,7 +1447,9 @@ private[graft] object GraftWriter {
   }
 }
 
-private[sources] final class GraftScanBuilder(state: GraftState)
+private[sources] final class GraftScanBuilder(
+    state: GraftState,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1497,7 +1518,7 @@ private[sources] final class GraftScanBuilder(state: GraftState)
     case Some(p) => new GraftAggScan(state, p)
     case None => partialPlan match {
       case Some(p) => new GraftPartialAggScan(state, p)
-      case None => new GraftScan(state, required, pushed, all)
+      case None => new GraftScan(state, required, pushed, all, options)
     }
   }
 }
@@ -1742,9 +1763,25 @@ private[sources] object FilterColumns {
 private[sources] final class GraftScan(state: GraftState,
                                        required: StructType,
                                        pushed: Array[Filter],
-                                       allFilters: Array[Filter])
+                                       allFilters: Array[Filter],
+                                       options: CaseInsensitiveStringMap
+                                         = CaseInsensitiveStringMap
+                                           .empty)
   extends V1Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** The V2 streaming form ([[GraftMicroBatchStream]]) — reached only
+    * when [[GraftTable]] advertised MICRO_BATCH_READ (plain layouts);
+    * evolved tables stream through the V1 source. */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def opt(k: String): Option[String] = Option(options.get(k))
+    new GraftMicroBatchStream(state, required,
+      Seq("startingVersion", "ignoreChanges", "maxGensPerTrigger",
+        "maxFilesPerTrigger")
+        .flatMap(k => opt(k).map(k -> _)).toMap,
+      checkpointLocation)
+  }
 
   /** The pruning decision, taken at PLAN time against the pinned
     * snapshot: first the manifest-only tier (stats bounds, partition
