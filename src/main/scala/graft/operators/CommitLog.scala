@@ -334,14 +334,19 @@ object CommitLog {
                                gen: Long): Manifest =
     readManifestPath(fs, new Path(logDir(sink), manifestName(gen)))
 
-  /** Parse (with the immutable-manifest cache) an arbitrary manifest
-    * file — main-chain generations and branch-chain heads share the
-    * grammar and this reader. */
+  /** Parse an arbitrary manifest file — main-chain generations and
+    * branch-chain heads share the grammar and this reader. The
+    * immutability cache applies ONLY to main-chain manifests: a
+    * branch position path is REUSED across drop + recreate
+    * (`branch.x.<k>.manifest`), so on a coarse-mtime filesystem a
+    * same-length recreation could collide with the cached parse and
+    * serve the OLD branch's file list. */
   private def readManifestPath(fs: FileSystem, p: Path): Manifest = {
+    val cacheable = !p.getName.startsWith(BranchPrefix)
     val st = fs.getFileStatus(p)
     val key = fs.makeQualified(p).toUri.toString +
       "@" + st.getModificationTime + ":" + st.getLen
-    val cached = manifestCache.get(key)
+    val cached = if (cacheable) manifestCache.get(key) else null
     if (cached != null) return cached
     manifestReads.incrementAndGet()
     val in = fs.open(p)
@@ -424,8 +429,10 @@ object CommitLog {
         (parts(1), dec(parts(2)), dec(parts(3)))
       }.groupBy(_._1).view
         .mapValues(_.map(r => r._2 -> r._3).toMap).toMap)
-    if (manifestCache.size > 256) manifestCache.clear()
-    manifestCache.put(key, m)
+    if (cacheable) {
+      if (manifestCache.size > 256) manifestCache.clear()
+      manifestCache.put(key, m)
+    }
     m
   }
 
@@ -1124,7 +1131,15 @@ object CommitLog {
              olderThanMs: Long = 0L): Long = {
     val gens = generations(fs, sink)
     if (gens.isEmpty) return 0L
-    val keep = referencedFiles(fs, sink)
+    // the retained-manifest set — main generations PLUS branch chains
+    // (staged-but-unpublished batches are live) — computed ONCE and
+    // shared by all four sweeps below (data files, DVs, blooms, ann):
+    // each sweep re-deriving it cost three extra directory listings
+    // and re-parses per vacuum on an object store
+    val retained: Seq[Manifest] =
+      gens.map(readManifestFull(fs, sink, _)) ++
+        branchManifests(fs, sink)
+    val keep = retained.flatMap(_.files).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     def oldEnough(p: Path): Boolean = olderThanMs <= 0L ||
       fs.getFileStatus(p).getModificationTime <= cutoff
@@ -1132,15 +1147,13 @@ object CommitLog {
       .filter(r => oldEnough(new Path(sink, r)))
     orphans.foreach(r => fs.delete(new Path(sink, r), false))
     // DV debris: a DV path (file or directory) under _graft_dv that no
-    // retained generation references — a torn DeleteVectors commit, or
+    // retained manifest references — a torn DeleteVectors commit, or
     // records dropped by applyDeletes/rewrites and then expired. Same
     // mtime horizon (an in-flight delete's DV is younger than it).
     val dvDir = new Path(sink, DvDirName)
     var dvReclaimed = 0L
     if (fs.exists(dvDir)) {
-      val refDv = (gens.flatMap(
-        readManifestFull(fs, sink, _).dvs.values) ++
-        branchManifests(fs, sink).flatMap(_.dvs.values)).toSet
+      val refDv = retained.flatMap(_.dvs.values).toSet
       fs.listStatus(dvDir).foreach { st =>
         val rel = DvDirName + "/" + st.getPath.getName
         // a record may name the DV directory (single-task layout) or a
@@ -1155,14 +1168,15 @@ object CommitLog {
       }
     }
     // Bloom sidecar debris: same sweep as DVs — a sidecar under
-    // _graft_bloom that no retained generation's #bloom records name
+    // _graft_bloom that no retained manifest's #bloom records name
     // (records left with their data file, or a build lost its commit
-    // race) is reclaimable under the same mtime horizon
+    // race) is reclaimable under the same mtime horizon. Branch
+    // manifests count: a branch is self-contained, its pruning tier
+    // must survive main's retention.
     val bloomDir = new Path(sink, BloomDirName)
     var bloomReclaimed = 0L
     if (fs.exists(bloomDir)) {
-      val refBloom = gens
-        .flatMap(readManifestFull(fs, sink, _).blooms.values)
+      val refBloom = retained.flatMap(_.blooms.values)
         .flatMap(_.values).toSet
       fs.listStatus(bloomDir).foreach { st =>
         val rel = BloomDirName + "/" + st.getPath.getName
@@ -1178,8 +1192,6 @@ object CommitLog {
     val annDir = new Path(sink, AnnDirName)
     var annReclaimed = 0L
     if (fs.exists(annDir)) {
-      val retained = gens.map(readManifestFull(fs, sink, _)) ++
-        branchManifests(fs, sink)
       val refAnn = (retained.flatMap(_.anns.values).flatMap(_.values) ++
         retained.flatMap(_.meta.collect {
           case (k, v) if k.startsWith("ann.") &&
@@ -1382,18 +1394,48 @@ object CommitLog {
     * survive, high-water marks never regress); everything else is the
     * snapshot's. Refuses when the snapshot references vacuumed files;
     * terminal on a lost race. */
+  /** Relative paths of `rels` that do NOT exist on disk — one
+    * `listStatus` per parent directory instead of one `exists` RPC
+    * per file (the [[GraftScan.cachedLenSum]] batching pattern: a
+    * 100k-file snapshot validates in dir-count RPCs, not file-count).
+    * An unlistable directory marks all its files missing. */
+  private def missingOnDisk(fs: FileSystem, sink: Path,
+                            rels: Seq[String]): Seq[String] =
+    rels.groupBy(r => new Path(sink, r).getParent).toSeq
+      .flatMap { case (dir, rs) =>
+        val present: Set[String] =
+          try fs.listStatus(dir).iterator
+            .map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty }
+        rs.filterNot(r => present(new Path(sink, r).getName))
+      }
+
   private def commitSnapshotAsHead(fs: FileSystem, sink: Path,
                                    snapshot: Manifest, what: String)
   : Long = {
     val head = generations(fs, sink).last
     val hm = readManifestFull(fs, sink, head)
-    val missing = (snapshot.files ++ snapshot.dvs.values.toSeq.distinct)
-      .filterNot(r => fs.exists(new Path(sink, r)))
+    val missing = missingOnDisk(fs, sink,
+      snapshot.files ++ snapshot.dvs.values.toSeq.distinct)
     require(missing.isEmpty,
       s"graft $what: snapshot files were reclaimed (vacuumed) at " +
         s"$sink: ${missing.take(5).mkString(", ")}${
           if (missing.size > 5) ", …" else ""}")
+    // file-keyed record families prune to the snapshot's file set:
+    // [[writeManifestExclusive]] serializes verbatim (the byte-identity
+    // contract), so a record keyed by a non-member file would otherwise
+    // persist as a dangling entry in the new head
+    val fileSet = snapshot.files.toSet
+    def pruned[A](m: Map[String, A]): Map[String, A] =
+      m.filter { case (f, _) => fileSet(f) }
     val restored = snapshot.copy(
+      dvs = pruned(snapshot.dvs),
+      dvMarks = pruned(snapshot.dvMarks),
+      stats = pruned(snapshot.stats),
+      colmaps = pruned(snapshot.colmaps),
+      coltypes = pruned(snapshot.coltypes),
+      blooms = pruned(snapshot.blooms),
+      anns = pruned(snapshot.anns),
       txns = hm.txns,
       meta = snapshot.meta.filterNot(_._1.startsWith(TagMetaPrefix)) ++
         hm.meta.filter { case (k, v) =>

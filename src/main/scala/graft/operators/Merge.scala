@@ -135,7 +135,6 @@ object Merge {
     * additive columns null-filled — the `.schema(...)` pinning the
     * unmapped path used, expressed mapping-aware). */
   private def touchedScan(spark: SparkSession, hPath: Path,
-                          touchedAbs: Seq[String],
                           touchedRel: Seq[String],
                           cms: Map[String, Map[String, String]],
                           cts: Map[String, Map[String, String]],
@@ -214,7 +213,7 @@ object Merge {
     // touched file, so the full sink is never key-scanned again
     val touchedKeys =
       if (touched.isEmpty) null
-      else touchedScan(spark, hPath, touched, touchedRel, cms,
+      else touchedScan(spark, hPath, touchedRel, cms,
           cts, sinkSchema)
         .select(keyCols.map(col): _*)
     val matched =
@@ -233,7 +232,7 @@ object Merge {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val rewritten =
       if (touched.isEmpty) inserts
-      else touchedScan(spark, hPath, touched, touchedRel, cms,
+      else touchedScan(spark, hPath, touchedRel, cms,
           cts, sinkSchema)
         .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         // evolution: the kept old-schema rows take NULLs for the
@@ -349,7 +348,7 @@ object Merge {
       CommitLog.decodeScanPath(f)))
     var deleted = 0L
     if (touched.nonEmpty) {
-      val touchedRows = touchedScan(spark, hPath, touched, touchedRel,
+      val touchedRows = touchedScan(spark, hPath, touchedRel,
         cms, cts, sinkSchema)
       val kept = touchedRows.join(batch, keyCols, "left_anti")
       deleted = touchedRows.count() - kept.count()
@@ -450,7 +449,7 @@ object Merge {
 
     val touchedRows =
       if (touched.isEmpty) null
-      else touchedScan(spark, hPath, touched, touchedRel, cms,
+      else touchedScan(spark, hPath, touchedRel, cms,
         cts, sinkSchema)
     val touchedKeys =
       if (touched.isEmpty) null

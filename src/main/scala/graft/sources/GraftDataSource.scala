@@ -120,6 +120,10 @@ final class GraftDataSource extends TableProvider
                             providerName: String,
                             parameters: Map[String, String])
   : (String, StructType) = {
+    require(!parameters.keys.exists(_.equalsIgnoreCase("branch")),
+      "graft stream: option(\"branch\") is not supported on streaming " +
+        "reads — branches are audit staging; fast_forward publishes " +
+        "them to main, which streams")
     val opts = new CaseInsensitiveStringMap(
       scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
     val base = schema.getOrElse(GraftState.resolve(opts).schema)
@@ -1372,7 +1376,7 @@ private[graft] object GraftWriter {
       val committed =
         if (overwrite) bmm.copy(files = newFiles, dvs = Map.empty,
           dvMarks = Map.empty, stats = Map.empty, colmaps = Map.empty,
-          coltypes = Map.empty, blooms = Map.empty)
+          coltypes = Map.empty, blooms = Map.empty, anns = Map.empty)
         else bmm.copy(files = bmm.files ++ newFiles)
       CommitLog.commitBranch(fs, hPath, branch.get, k, committed)
       fs.delete(tmp, true)
@@ -1776,6 +1780,13 @@ private[sources] final class GraftScan(state: GraftState,
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     def opt(k: String): Option[String] = Option(options.get(k))
+    // a branch has no generation chain to tail — silently streaming
+    // MAIN under a branch option would hand the consumer the wrong
+    // data with no error
+    require(opt("branch").isEmpty,
+      "graft stream: option(\"branch\") is not supported on streaming " +
+        "reads — branches are audit staging; fast_forward publishes " +
+        "them to main, which streams")
     new GraftMicroBatchStream(state, required,
       Seq("startingVersion", "ignoreChanges", "maxGensPerTrigger",
         "maxFilesPerTrigger")
@@ -1833,8 +1844,13 @@ private[sources] final class GraftScan(state: GraftState,
       8L + s.fields.map(_.dataType.defaultSize.toLong).sum
     val colFraction =
       math.min(1.0, width(required).toDouble / width(state.schema))
+    // FULL-width estimate: the shared colFraction scaling below
+    // applies to this fallback exactly once, same as to the physical
+    // bytes (a required-width estimate here would be scaled TWICE and
+    // under-report wide tables by the projection fraction squared —
+    // a false broadcast at scale)
     val rowEstimate: Option[Long] =
-      rows.map(n => math.max(1L, n * width(required)))
+      rows.map(n => math.max(1L, n * width(state.schema)))
     val bytes: Option[Long] =
       try {
         val hPath = new Path(state.path)

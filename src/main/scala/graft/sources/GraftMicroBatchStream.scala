@@ -75,9 +75,19 @@ private[sources] final class GraftMicroBatchStream(
     "graft stream: maxFilesPerTrigger must be positive")
 
   // output layout: data columns then partition columns — exactly the
-  // basePath-discovery order the table schema pins
-  private val partCols =
-    CommitLog.partitionColsOf(state.manifest.files)
+  // basePath-discovery order the table schema pins. An EMPTY
+  // declared-partitioned table has no file paths to derive the layout
+  // from — fall back to the declared `partition.cols` meta record
+  // (the same fallback GraftTable.partitioning uses), or the first
+  // appended window would read its partition column as NULL (hive
+  // layouts store it only in the directory name)
+  private val partCols = {
+    val fromFiles = CommitLog.partitionColsOf(state.manifest.files)
+    if (fromFiles.nonEmpty) fromFiles
+    else state.manifest.meta.get("partition.cols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+  }
   private val partitionSchema = StructType(
     required.fields.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(
@@ -234,13 +244,19 @@ private[sources] final class GraftMicroBatchStream(
       }
       if (withDv.isEmpty) Map.empty
       else {
+        // a record without the optional mark-count field means the
+        // cardinality is UNKNOWN — it must fail the bound, not bypass
+        // it (the whole point is never to materialize an unbounded
+        // position set on the driver)
+        val unknown = withDv.exists(_._3 < 0)
         val knownMarks = withDv.map(_._3).filter(_ >= 0).sum
-        require(knownMarks <= MaxWindowDvMarks,
-          s"graft stream: this window carries $knownMarks deletion " +
-            s"marks (> $MaxWindowDvMarks) — compact first " +
-            "(CALL system.apply_deletes) or disable the V2 reader " +
-            "(spark.sql.streaming.disabledV2MicroBatchReaders) to " +
-            "stream through the V1 plan")
+        require(!unknown && knownMarks <= MaxWindowDvMarks,
+          s"graft stream: this window carries " +
+            s"${if (unknown) "an unknown number of" else s"$knownMarks"
+            } deletion marks (bound: $MaxWindowDvMarks) — compact " +
+            "first (CALL system.apply_deletes) or disable the V2 " +
+            "reader (spark.sql.streaming.disabledV2MicroBatchReaders) " +
+            "to stream through the V1 plan")
         val files = withDv.map(_._1).toSet
         import org.apache.spark.sql.functions.col
         spark.read.parquet(withDv.map(_._2).distinct.sorted

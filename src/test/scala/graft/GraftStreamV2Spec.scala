@@ -125,6 +125,42 @@ class GraftStreamV2Spec extends SparkSpec {
     }
   }
 
+  test("a stream started on an EMPTY declared-partitioned table " +
+    "reads appended partition values (declared layout fallback), " +
+    "and option(branch) refuses loudly on streaming reads") {
+    val root = java.nio.file.Files.createTempDirectory("sv2d").toString
+    spark.conf.set("spark.sql.catalog.sv2d",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sv2d.warehouse", root)
+    spark.sql("CREATE NAMESPACE sv2d.db")
+    spark.sql("CREATE TABLE sv2d.db.t (k BIGINT, p INT) USING graft " +
+      "PARTITIONED BY (p)")
+    val path = s"$root/db/t"
+    // stream starts while the table is EMPTY: the partition layout is
+    // only declared (#meta partition.cols), no file path carries it yet
+    val ck = s"$root/ck"; val out = s"$root/out"
+    drain(spark.readStream.format("graft").load(path), ck, out)
+    spark.sql("INSERT INTO sv2d.db.t SELECT id, CAST(id % 3 AS INT) " +
+      "FROM range(0, 30)")
+    drain(spark.readStream.format("graft").load(path), ck, out)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 30L)
+    assert(got.filter(col("p").isNull).count() == 0L,
+      "partition values must come from the declared layout, not NULL")
+    assert(got.groupBy("p").count().count() == 3L)
+    // branch reads are audit staging — streaming them is refused, not
+    // silently redirected to main
+    CommitLog.createBranch(fsOf(path), new Path(path), "b")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("branch", "b")
+        .load(path)
+        .writeStream.format("memory").queryName("sv2d_b")
+        .option("checkpointLocation", s"$root/ckb")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
   test("V2 rate limiting: maxFilesPerTrigger splits the snapshot, " +
     "maxGensPerTrigger bounds the tail, and the admission-control " +
     "start offset resumes caps across a restart") {
