@@ -155,6 +155,22 @@ private[sources] object GraftProcedures {
       (s, p, in) => Seq(row(
         TableStats.analyze(s, p.toString, cols(in.getString(1))))),
       resolve),
+    "build_ann" -> new Proc("build_ann",
+      Seq(param("table", StringType),
+        // string defaults are SQL expressions — they need literal quotes
+        paramD("column", StringType, "'embedding'"),
+        paramD("id_column", StringType, "'vec_id'"),
+        paramD("num_centroids", IntegerType, "16")),
+      count1("files_indexed"), deterministic = false,
+      (s, p, in) => Seq(row(
+        graft.operators.AnnIndex.build(s, p.toString,
+          column = in.getString(1), idColumn = in.getString(2),
+          numCentroids = in.getInt(3)))),
+      resolve,
+      desc = "builds (or incrementally catches up) the committed ANN " +
+        "index for an embedding column: IVF centroids train once " +
+        "(#meta ann.<col>.centroids), per-file postings land as #ann " +
+        "records; probe with graft.operators.AnnIndex.topK"),
     "build_bloom" -> new Proc("build_bloom",
       Seq(param("table", StringType), param("columns", StringType),
         paramD("expected_keys_per_file", LongType, "1000000")),

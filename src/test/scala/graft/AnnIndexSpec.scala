@@ -95,4 +95,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(fs.exists(new Path(hp, centRel)),
       "referenced centroids must survive vacuum")
   }
+
+  test("CALL system.build_ann builds and catches up the committed " +
+    "index from SQL") {
+    val root = java.nio.file.Files.createTempDirectory("ann2").toString
+    spark.conf.set("spark.sql.catalog.ann2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ann2.warehouse", root)
+    spark.sql("CREATE NAMESPACE ann2.db")
+    vectors(0L until 60L).repartition(2)
+      .write.format("graft").mode("append").saveAsTable("ann2.db.e")
+    val r = spark.sql(
+      "CALL ann2.system.build_ann('db.e', num_centroids => 4)").head
+    assert(r.getLong(0) == 2L, r.toString)
+    // catch-up after an append indexes only the new file
+    vectors(60L until 80L).coalesce(1)
+      .write.format("graft").mode("append")
+      .option("path", s"$root/db/e").save()
+    val r2 = spark.sql(
+      "CALL ann2.system.build_ann('db.e', num_centroids => 4)").head
+    assert(r2.getLong(0) == 1L, r2.toString)
+    val got = AnnIndex.topK(spark, s"$root/db/e",
+      vectors(0L until 3L), nProbe = 2, k = 2)
+    assert(got.count() == 6L)
+  }
 }
