@@ -110,6 +110,7 @@ object Bench {
       // 100-entry generated-code cache; evictions force Janino
       // recompiles mid-bench and show up as erratic multi-second stalls
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup

@@ -230,7 +230,8 @@ object CommitLog {
     * sound, never exact-tight, under MoR deletes. */
   case class ColStats(typ: String, nRows: Long, nNulls: Long,
                       min: Option[String], max: Option[String],
-                      sum: Option[String] = None)
+                      sum: Option[String] = None,
+                      ndv: Option[Long] = None)
 
   /** A parsed manifest: live data files, plus the `#`-record families
     * the grammar carries —
@@ -243,7 +244,7 @@ object CommitLog {
     *     metadata that lets [[TableStats]] prune a fully-deleted file
     *     (`nRows == nMarks`) without opening the DV; absent on
     *     pre-extension records, which simply don't short-circuit;
-    *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>[\t<sumEnc>]`:
+    *   - `#stats\t<dataRel>\t<colEnc>\t<typ>\t<nRows>\t<nNulls>\t<minEnc>\t<maxEnc>[\t<sumEnc>[\t<ndv>]]`:
     *     per-(file, column) [[ColStats]], column name and bounds
     *     URL-encoded (`~` = undefined bound: the bare character
     *     cannot collide with an encoded value, URLEncoder escapes
@@ -359,13 +360,17 @@ object CommitLog {
       val p = l.split('\t')
       // 9th field: optional EXACT per-file sum (decimal rendering) for
       // summable domains — absent on pre-extension records, which
-      // simply don't serve SUM pushdown
-      require(p.length == 8 || p.length == 9,
+      // simply don't serve SUM pushdown. 10th field: optional APPROX
+      // distinct count (HLL-derived at analyze time) — the per-file
+      // NDV the scan aggregates into V2 column statistics for CBO
+      // join reordering; absent records simply don't serve it.
+      require(p.length >= 8 && p.length <= 10,
         s"corrupt manifest: malformed stats record '$l'")
       (p(1), dec(p(2)),
         ColStats(p(3), p(4).toLong, p(5).toLong,
           decOpt(p(6)), decOpt(p(7)),
-          if (p.length == 9) decOpt(p(8)) else None))
+          if (p.length >= 9) decOpt(p(8)) else None,
+          if (p.length == 10) Some(p(9).toLong) else None))
     }
     val m = Manifest(
       lines.filterNot(_.startsWith("#")),
@@ -948,8 +953,14 @@ object CommitLog {
     // an overlay with an EMPTY expression is the drop tombstone
     val mergedChecks = (base.checks ++ checks).filter(_._2.nonEmpty)
     // table-property records (the catalog's declared bootstrap schema
-    // and partition layout) carry exactly like #check
-    val mergedMeta = (base.meta ++ meta).filter(_._2.nonEmpty)
+    // and partition layout) carry exactly like #check; the bucketing
+    // declaration additionally self-guards — a commit adding a file no
+    // writer bucket-routed drops the declaration LOUDLY in this same
+    // commit (Bucketing.guardMeta), so the storage-partitioned-join
+    // eligibility can never silently diverge from the files
+    val mergedMeta = Bucketing.guardMeta(
+      (base.meta ++ meta).filter(_._2.nonEmpty),
+      base.files.toSet, files).filter(_._2.nonEmpty)
     // Bloom-index records carry per surviving file with per-(file,
     // column) overlay like #stats (an incremental build adds columns,
     // untouched ones keep theirs); a file leaving the manifest takes
@@ -987,8 +998,14 @@ object CommitLog {
       cols.toSeq.map { case (c, s) =>
         s"#stats\t$f\t${enc(c)}\t${s.typ}\t${s.nRows}\t${s.nNulls}" +
           s"\t${encOpt(s.min)}\t${encOpt(s.max)}" +
-          // sum-less records keep the 8-field form byte-for-byte
-          s.sum.map(v => s"\t${enc(v)}").getOrElse("")
+          // sum-less/ndv-less records keep their shorter forms
+          // byte-for-byte; an ndv always pins the sum slot (possibly
+          // `~`) so field positions stay fixed
+          ((s.sum, s.ndv) match {
+            case (None, None) => ""
+            case (sm, None) => sm.map(v => s"\t${enc(v)}").getOrElse("")
+            case (sm, Some(d)) => s"\t${encOpt(sm)}\t$d"
+          })
       }
     }.sorted
     val txnLines = m.txns.toSeq.sorted
@@ -1410,6 +1427,20 @@ object CommitLog {
         rs.filterNot(r => present(new Path(sink, r).getName))
       }
 
+  /** The manifest with every FILE-KEYED record family pruned to its
+    * own live set — what a verbatim-manifest committer
+    * ([[commitBranch]] callers replacing files) must apply manually,
+    * since [[writeManifestExclusive]] serializes exactly what it is
+    * given ([[commitNext]] does this pruning itself). */
+  private[graft] def prunedToFiles(m: Manifest): Manifest = {
+    val fileSet = m.files.toSet
+    def p[A](x: Map[String, A]): Map[String, A] =
+      x.filter { case (f, _) => fileSet(f) }
+    m.copy(dvs = p(m.dvs), dvMarks = p(m.dvMarks), stats = p(m.stats),
+      colmaps = p(m.colmaps), coltypes = p(m.coltypes),
+      blooms = p(m.blooms), anns = p(m.anns))
+  }
+
   private def commitSnapshotAsHead(fs: FileSystem, sink: Path,
                                    snapshot: Manifest, what: String)
   : Long = {
@@ -1573,7 +1604,18 @@ object CommitLog {
           "re-read and retry")
     val tmp = new Path(dir, "." + branchManifestName(name, k) + "." +
       java.util.UUID.randomUUID().toString + ".tmp")
-    writeManifestExclusive(fs, sink, k, tmp, fin, m)
+    // the bucket-declaration guard holds on branch chains too: an
+    // unrouted file staged onto the branch drops the declaration
+    // loudly HERE, so a fast_forward can never publish a manifest
+    // whose declaration its own files violate
+    val baseFiles: Set[String] =
+      if (baseK < 0) Set.empty
+      else try readManifestPath(fs,
+        new Path(dir, branchManifestName(name, baseK))).files.toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    writeManifestExclusive(fs, sink, k, tmp, fin, m.copy(
+      meta = Bucketing.guardMeta(m.meta, baseFiles, m.files)
+        .filter(_._2.nonEmpty)))
   }
 
   /** DROP a branch: remove its chain files. Data files staged only on

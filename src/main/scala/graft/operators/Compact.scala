@@ -84,17 +84,38 @@ object Compact {
     val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
     CommitLog.requireNoDvs(fs, hPath, "compactSink")
     CommitLog.requireNoColmaps(fs, hPath, "compactSink")
+    // a declared bucket layout is PRESERVED through compaction: rows
+    // re-route by the same hash the writers used and the bucket id
+    // rides the rewritten file names — the bin-packing unit becomes
+    // (leaf partition, bucket), so storage-partitioned-join
+    // co-location survives the rewrite (the preserve half of the
+    // preserve-or-loudly-drop contract; CommitLog.commitNext's guard
+    // is the drop half for rewrites that cannot route)
+    val bucketSpec = Bucketing.specOf(CommitLog.metaRecords(fs, hPath))
     val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
-    val nPartitionDirs =
-      if (partitionCols.nonEmpty)
+    val nLeafBins =
+      (if (partitionCols.nonEmpty)
         before.map(_.getPath.getParent.toString).distinct.size
-      else 1
-    val targetFiles = math.max(nPartitionDirs.toLong,
+      else 1) * bucketSpec.flatMap { case (_, n) =>
+        if (live.forall(Bucketing.conforms(_, n)))
+          Some(live.flatMap(Bucketing.bucketIdOf).distinct.size)
+        else None
+      }.getOrElse(1)
+    val targetFiles = math.max(nLeafBins.toLong,
       (totalBytes + targetBytes - 1) / targetBytes)
     if (before.size <= targetFiles) return (before.size, before.size)
     val liveAbs = live.map(r => new Path(hPath, r).toString)
+
+    def routed(df: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = bucketSpec match {
+      case Some((bc, n)) => df.withColumn(Bucketing.StageCol,
+        Bucketing.bucketExpr(bc, n))
+      case None => df
+    }
+    val stageCols = partitionCols ++
+      bucketSpec.map(_ => Bucketing.StageCol)
 
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from a failed WRITE
     if (partitionCols.nonEmpty) {
@@ -104,13 +125,18 @@ object Compact {
         .parquet(before.head.getPath.toString).schema
       val readSchema = StructType(dataSchema.fields ++
         partitionCols.map(StructField(_, StringType)))
-      spark.read.schema(readSchema).option("basePath", hPath.toString)
-        .parquet(liveAbs: _*)
-        // one task per LEAF partition tuple → one file per leaf (a
-        // partition larger than targetBytes stays one file here; a
-        // finer split would hash-salt within the partition)
-        .repartition(partitionCols.map(col): _*)
-        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
+      routed(spark.read.schema(readSchema)
+          .option("basePath", hPath.toString)
+          .parquet(liveAbs: _*))
+        // one task per LEAF (partition tuple, bucket) → one file per
+        // leaf (a partition larger than targetBytes stays one file
+        // here; a finer split would hash-salt within the partition)
+        .repartition(stageCols.map(col): _*)
+        .write.partitionBy(stageCols: _*).parquet(tmp.toString)
+    } else if (bucketSpec.isDefined) {
+      routed(spark.read.parquet(liveAbs: _*))
+        .repartition(col(Bucketing.StageCol))
+        .write.partitionBy(Bucketing.StageCol).parquet(tmp.toString)
     } else {
       spark.read.parquet(liveAbs: _*)
         .repartition(targetFiles.toInt).write.parquet(tmp.toString)
@@ -123,7 +149,10 @@ object Compact {
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) {
-        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val rel0 = CommitLog.relativize(fs, tmp, f.toString)
+        val rel =
+          if (bucketSpec.isDefined) Bucketing.stripStageDir(rel0)
+          else rel0
         val dest = new Path(hPath, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))

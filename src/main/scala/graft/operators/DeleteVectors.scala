@@ -494,7 +494,8 @@ object DeleteVectors {
                                          affected: Seq[String],
                                          dvShardRows: Long =
                                            DefaultDvShardRows,
-                                         maxAttempts: Int = 5)
+                                         maxAttempts: Int = 5,
+                                         branch: Option[String] = None)
   : (Long, Long) = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -543,6 +544,26 @@ object DeleteVectors {
           s"row-level SQL write: could not move ${new Path(staging, r)
             } into $dest")
       rel
+    }
+    // BRANCH DML (write-audit-publish: UPDATE/MERGE/DELETE patch the
+    // staged batch ON the branch, main is untouched until
+    // fast_forward): one CAS commit onto the branch chain — terminal
+    // if the branch head moved under the statement (audit-branch
+    // writers coordinate; there is no blind-append commute to lean on)
+    branch.foreach { b =>
+      val (k, bm) = CommitLog.branchHead(fs, hPath, b)
+      if (k != baseGen || bm.files != baseLive)
+        throw new CommitConflictException(
+          s"row-level SQL write: branch '$b' of $path moved under " +
+            s"the statement (head $k, pinned $baseGen) — re-run")
+      return {
+        CommitLog.commitBranch(fs, hPath, b, k,
+          CommitLog.prunedToFiles(bm.copy(
+            files = bm.files ++ added,
+            dvs = bm.dvs ++ dvMap,
+            dvMarks = (bm.dvMarks -- dvMap.keys) ++ dvCounts)))
+        (nMarked, added.size.toLong)
+      }
     }
     var base = baseGen
     var liveNow = baseLive

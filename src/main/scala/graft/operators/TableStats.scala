@@ -175,7 +175,11 @@ object TableStats {
       Seq(
         min(col(c)).as(s"__min$i"),
         max(col(c)).as(s"__max$i"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i")) ++
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i"),
+        // approx NDV rides the same grouped pass (HLL partial merge,
+        // no extra scan) — the per-file distinct count the V2 column
+        // statistics aggregate for CBO join reordering
+        approx_count_distinct(col(c)).as(s"__ndv$i")) ++
       sc.map(t => sum(col(c).cast(t)).as(s"__sum$i")).toSeq
     }
     scan.groupBy("__f")
@@ -198,7 +202,8 @@ object TableStats {
             else Option(r.get(r.fieldIndex(s"__sum$i")))
               .map(encNative)
           c -> CommitLog.ColStats(t, n,
-            r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx, eSum)
+            r.getLong(r.fieldIndex(s"__null$i")), eMn, eMx, eSum,
+            Some(r.getLong(r.fieldIndex(s"__ndv$i"))))
         }.toMap
       }.toMap
   }

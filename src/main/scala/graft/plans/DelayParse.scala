@@ -141,5 +141,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
           s"normalize_text expects 1 argument, got ${children.length}")
         NormalizeText(children.head)
       }))
+    // statistics-driven planning (broadcast decisions AND the re-run
+    // cost-based join reorder — see GraftStatsRule's scaladoc) rides
+    // the extraOptimizations registration every graft read performs
+    // (GraftStatsRule.ensureRegistered); registering here too makes a
+    // session carry it even before its first graft resolution
+    ext.injectOptimizerRule { session =>
+      graft.sources.GraftStatsRule.ensureRegistered(session)
+      new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(p: org.apache.spark.sql.catalyst.plans
+          .logical.LogicalPlan) = p
+      }
+    }
   }
 }

@@ -3862,7 +3862,289 @@ object MaintenanceQueries {
               TRUE AS history_preserved,
               TRUE AS tag_survived"""
 
+  // --- q358: storage-partitioned join over declared bucketing ---------
+  /** Two graft tables created `PARTITIONED BY (bucket(16, key))`
+    * ([[graft.operators.Bucketing]]): writers route every row to
+    * `pmod(hash(key), 16)` and stamp the bucket id into the FILE
+    * NAME; the scans then plan as native V2 batches reporting
+    * `KeyGroupedPartitioning(bucket(16, key))`
+    * ([[graft.sources.GraftBucketedScan]]), the catalog serves the
+    * `bucket` function ([[graft.sources.GraftBucketFunction]]), and
+    * Spark's storage-partitioned-join machinery joins AND aggregates
+    * on the bucket key with ZERO shuffle exchanges — the fact-fact
+    * join answer at 100 TB: pay one routed layout at ingest, then
+    * keyed joins against the table move nothing (q128 proves the same
+    * win on plain parquet `bucketBy`; this is the TABLE-FORMAT
+    * citizen form, composing with commits, DVs, time travel and the
+    * preserve-or-loudly-drop rewrite contract BucketedSpjSpec pins).
+    * The report carries the revenue aggregate plus two plan pins:
+    * `spj_zero_exchange` (no ShuffleExchange anywhere below the final
+    * presentation sort) and `both_bucketed` (both sides planned the
+    * bucketed V2 scan). The oracle is the plain join — the hash
+    * compare proves the layout changed the plan, not the answer. */
+  def q358BucketedSpj(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q358_")
+      .toString
+    val suffix = root.substring(root.lastIndexOf("graft_q358_") +
+      "graft_q358_".length)
+    val cat = s"gspj_$suffix"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" ->
+        "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.li (l_orderkey BIGINT, " +
+        "rev_c BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(16, l_orderkey))")
+      s.sql(s"CREATE TABLE $cat.db.ord (o_orderkey BIGINT, " +
+        "o_orderpriority STRING) USING graft " +
+        "PARTITIONED BY (bucket(16, o_orderkey))")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) " +
+            "AS BIGINT)").as("rev_c"))
+        .writeTo(s"$cat.db.li").append()
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .writeTo(s"$cat.db.ord").append()
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val joined = s.table(s"$cat.db.li")
+        .join(s.table(s"$cat.db.ord"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_c")).as("rev_cents"))
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(nodes)
+      val plan = nodes(joined.queryExecution.executedPlan)
+      val zeroExchange = !plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec])
+      val bothBucketed = plan.count {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec =>
+          b.scan.isInstanceOf[graft.sources.GraftBucketedScan]
+        case _ => false
+      } == 2
+      val report = joined
+        .withColumn("spj_zero_exchange", lit(zeroExchange))
+        .withColumn("both_bucketed", lit(bothBucketed))
+        .orderBy("o_orderkey")
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        report.schema)
+    } finally {
+      olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.li")
+        s.sql(s"DROP TABLE IF EXISTS $cat.db.ord")
+      } catch { case scala.util.control.NonFatal(_) => () }
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q358Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+              TRUE AS spj_zero_exchange,
+              TRUE AS both_bucketed
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderkey % 100 = 0
+       GROUP BY o_orderkey, o_orderpriority
+       ORDER BY o_orderkey"""
+
+  // --- q359: committed PQ ANN tier -------------------------------------
+  /** The PQ tier of the committed ANN index
+    * ([[graft.operators.AnnIndex.buildPq]]/`topKPq`): ONE shared
+    * codebook + per-file code sidecars land as `#meta ann.*.pq` /
+    * `#ann <phys>#pq` records, and serving is all-integer ADC from
+    * the committed artifacts. The query pins EXACTNESS, not just
+    * plausibility: with every cell probed and a codebook covering the
+    * corpus, each slice has an exact codeword, so approx_dist IS the
+    * exact integer squared L2 — which DuckDB computes independently
+    * from the same parquet. An append lands between build and probe,
+    * so the result ALSO pins hybrid serving (the appended file has no
+    * committed codes; it inline-encodes against the committed
+    * codebook and still ranks exactly). */
+  def q359AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q359_")
+      .toString
+    val sink = s"$root/t"
+    try {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding"))
+      // first tranche committed + PQ-indexed; second tranche appended
+      // AFTER the build (hybrid serving covers it)
+      emb.filter(col("vec_id") < 400).repartition(2)
+        .write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.operators.CommitLog.ensureLoggedAt(fs, hp)
+      graft.operators.AnnIndex.buildPq(s, sink,
+        subspaces = 8, codebookSize = 512)
+      val queries = emb.filter(col("vec_id") < 6)
+      def serve() = graft.operators.AnnIndex.topKPq(s, sink, queries,
+        nProbe = 16, k = 5)
+        .select(col("qid").cast("long").as("qid"), col("did"),
+          col("approx_dist"), col("rank"))
+      // the EXACT anchor: full coverage, every cell probed,
+      // corpus-covering codebook → approx_dist IS the squared L2
+      val served = serve().orderBy("qid", "rank")
+      val exactRows = served.collect()
+      // hybrid pin: an append with NO committed codes must serve
+      // IDENTICALLY to the committed codes the next build lands
+      // (same codebook, deterministic encoding) — the appended
+      // vectors' own distances are approximate (the codebook predates
+      // them), so the invariant is inline ≡ committed, not exact-L2
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 480)
+        .coalesce(1).write.format("graft").mode("append")
+        .option("path", sink).save()
+      def asSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      val hybrid = asSet(serve().collect())
+      graft.operators.AnnIndex.buildPq(s, sink,
+        subspaces = 8, codebookSize = 512)
+      val committed = asSet(serve().collect())
+      val report = s.createDataFrame(
+          java.util.Arrays.asList(exactRows: _*), served.schema)
+        .withColumn("hybrid_consistent", lit(hybrid == committed))
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        report.schema)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
+
+  val q359Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                 for x in embedding] AS e
+         FROM embeddings WHERE vec_id < 400),
+       n AS (SELECT vec_id, e, list_sum([y * y for y in e]) AS nn
+             FROM v),
+       p AS (
+         SELECT q.vec_id AS qid, d.vec_id AS did,
+                CAST(q.nn + d.nn - 2 * list_sum(
+                  [q.e[i] * d.e[i]
+                   for i in generate_series(1, len(q.e))]) AS BIGINT)
+                  AS approx_dist
+         FROM n q CROSS JOIN n d WHERE q.vec_id < 6),
+       r AS (
+         SELECT qid, did, approx_dist,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY approx_dist ASC, did ASC) AS INTEGER)
+                  AS rank
+         FROM p)
+       SELECT qid, did, approx_dist, rank,
+              TRUE AS hybrid_consistent
+       FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
+  // --- q360: NDV-statistics-driven join reorder -------------------------
+  /** Cost-based join ORDER from committed `#stats` NDVs: three graft
+    * tables (lineitem-fact, orders, a 1-in-20 customer slice) are
+    * ANALYZE'd — recording per-file approx distinct counts as the
+    * stats record's tenth field — and joined in a deliberately bad
+    * written order (the fact against the non-reducing orders first).
+    * Under CBO the scan's V2 column statistics
+    * ([[graft.sources.GraftScan.estimateStatistics]]) feed the
+    * re-run CostBasedJoinReorder ([[graft.sources.GraftStatsRule]]),
+    * which flips the plan to join orders⋈customer-slice FIRST —
+    * |orders|/20 rows instead of |lineitem| carried through the
+    * second join. `reordered` pins the flip in the optimized plan;
+    * the aggregate pins that reordering changed the PLAN, not the
+    * answer (the oracle recomputes it associatively in DuckDB). */
+  def q360CboReorder(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")), "graft_q360_")
+      .toString
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      val (liP, ordP, custP) = (s"$root/li", s"$root/ord", s"$root/cu")
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(2).write.parquet(liP)
+      t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .coalesce(1).write.parquet(ordP)
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 20 === 0)
+        .select("c_custkey", "c_mktsegment")
+        .coalesce(1).write.parquet(custP)
+      for (p <- Seq(liP, ordP, custP)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        graft.operators.CommitLog.ensureLoggedAt(
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
+        graft.operators.TableStats.analyze(s, p,
+          s.read.parquet(p).columns.toSeq)
+      }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val q = s.read.format("graft").load(liP)
+        .join(s.read.format("graft").load(ordP),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(s.read.format("graft").load(custP),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      // the flip: the INNERMOST join must now hold the reducing
+      // orders⋈customer-slice pair, not the written lineitem⋈orders
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val reordered = joins.nonEmpty &&
+        joins.last.output.map(_.name).toSet
+          .intersect(Set("l_orderkey", "l_quantity")).isEmpty
+      val report = q.withColumn("reordered", lit(reordered))
+        .orderBy("c_mktsegment")
+      val rows = report.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        report.schema)
+    } finally {
+      olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      graft.io.Sources.deleteRecursively(root)
+    }
+  }
+
+  val q360Sql: String =
+    """SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                AS sum_qty,
+              TRUE AS reordered
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN (SELECT * FROM customer WHERE c_custkey % 20 = 0) c
+         ON o_custkey = c_custkey
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment"""
+
   val all: Map[String, Q] = Map(
+    "q360_cbo_reorder" -> q360CboReorder _,
+    "q359_ann_pq" -> q359AnnPq _,
+    "q358_bucketed_spj" -> q358BucketedSpj _,
     "q357_ann_index" -> q357AnnIndex _,
     "q356_branch_wap" -> q356BranchWap _,
     "q355_partial_agg" -> q355PartialAgg _,
@@ -3918,6 +4200,9 @@ object MaintenanceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q360_cbo_reorder" -> q360Sql,
+    "q359_ann_pq" -> q359Sql,
+    "q358_bucketed_spj" -> q358Sql,
     "q357_ann_index" -> q357Sql,
     "q356_branch_wap" -> q356Sql,
     "q355_partial_agg" -> q355Sql,

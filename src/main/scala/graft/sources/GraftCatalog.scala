@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is the same role for a file-native engine. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -120,6 +121,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, n))
     else Array.empty
 
+  // ---- FunctionCatalog ----
+  //
+  // One function: `bucket(n, col)` — what V2ExpressionUtils loads to
+  // resolve the KeyGroupedPartitioning a bucketed graft scan reports,
+  // making storage-partitioned joins plannable for catalog reads
+  // (path-based reads have no function catalog and simply fall back
+  // to shuffled joins; same data either way).
+
+  override def listFunctions(namespace: Array[String])
+  : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+  : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      new GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
   // ---- TableCatalog ----
 
   override def listTables(namespace: Array[String])
@@ -166,6 +188,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // metadata surface of the PARENT table (a genuine table of that
       // name always wins: this branch only runs when `p` is no table)
       val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+      // `cat.db.t.branch_<name>` resolves the PARENT table's branch
+      // head: reads see the staged state, and every write/DML surface
+      // (append, truncate, partition overwrite, UPDATE/MERGE/DELETE)
+      // commits to the branch chain — the audit-then-patch loop of
+      // write-audit-publish, in pure SQL
+      if (ident.namespace.nonEmpty && ident.name.startsWith("branch_")) {
+        val parent = new Path(nsPath(ident.namespace.init),
+          ident.namespace.last)
+        if (isTable(parent)) {
+          val b = ident.name.stripPrefix("branch_")
+          val opts = new CaseInsensitiveStringMap(
+            scala.jdk.CollectionConverters.MapHasAsJava(
+              extra + ("path" -> parent.toString, "branch" -> b))
+              .asJava)
+          return new GraftTable(GraftState.resolve(opts))
+        }
+      }
       if (ident.namespace.nonEmpty &&
         Seq("history", "files", "changes", "detail").contains(kind)) {
         val parent = new Path(nsPath(ident.namespace.init),
@@ -221,14 +260,55 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "catalog; read the path directly with " +
             "spark.read.format(\"graft\").load(path)")
     }
-    val partCols = partitions.toSeq.map { t =>
+    // identity transforms are the hive directory layout; at most ONE
+    // bucket(n, col) transform declares hash bucketing
+    // ([[graft.operators.Bucketing]] — file-name routing, the
+    // storage-partitioned-join layout). days/hours/etc stay refused.
+    val (bucketTs, otherTs) = partitions.toSeq.partition(
+      _.name == "bucket")
+    val partCols = otherTs.map { t =>
       if (t.name != "identity")
         throw new UnsupportedOperationException(
-          s"graft catalog: only identity PARTITIONED BY is supported " +
-            s"(got $t) — bucket/days/hours transforms are not a " +
-            "hive directory layout")
+          s"graft catalog: only identity and bucket(n, col) " +
+            s"PARTITIONED BY transforms are supported (got $t) — " +
+            "days/hours transforms are not a hive directory layout")
       t.references.head.fieldNames.mkString(".")
     }
+    require(bucketTs.size <= 1,
+      "graft catalog: at most one bucket(n, col) transform")
+    val bucketMeta: Map[String, String] = bucketTs.headOption.map {
+      t =>
+        val ns = t.arguments.toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions
+            .Literal[_] => l.value match {
+            case i: java.lang.Integer => i.intValue
+            case other => throw new IllegalArgumentException(
+              s"graft catalog: bucket count must be an int literal " +
+                s"(got $other)")
+          }
+        }
+        val refs = t.arguments.toSeq.collect {
+          case r: org.apache.spark.sql.connector.expressions
+            .NamedReference => r.fieldNames.mkString(".")
+        }
+        require(ns.size == 1 && refs.size == 1,
+          s"graft catalog: bucket transform must be bucket(n, col) " +
+            s"with exactly one column (got $t)")
+        val (n, c) = (ns.head, refs.head)
+        require(n > 0 && n <= 100000,
+          s"graft catalog: bucket count $n out of range (1..100000)")
+        require(schema.fieldNames.contains(c),
+          s"graft catalog: bucket column $c is not in the table schema")
+        require(GraftBucketFunction.supported(schema(c).dataType),
+          s"graft catalog: bucket column $c has unsupported type " +
+            s"${schema(c).dataType.catalogString} (supported: " +
+            "tinyint, smallint, int, bigint, date, string)")
+        require(!partCols.contains(c),
+          s"graft catalog: bucket column $c cannot also be a " +
+            "hive partition column")
+        Map(graft.operators.Bucketing.ColsKey -> c,
+          graft.operators.Bucketing.NKey -> n.toString)
+    }.getOrElse(Map.empty)
     val missing = partCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"graft catalog: partition column(s) ${missing.mkString(", ")} " +
@@ -246,7 +326,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = GraftCatalog.userProperties(properties)
     (partCols, Map(
       "schema.ddl" -> schema.toDDL,
-      "partition.cols" -> partCols.mkString(",")) ++
+      "partition.cols" -> partCols.mkString(",")) ++ bucketMeta ++
       props.map { case (k, v) => s"prop.$k" -> v })
   }
 

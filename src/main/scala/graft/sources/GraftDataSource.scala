@@ -191,7 +191,11 @@ private[sources] final class GraftState(
     val path: String,
     val gen: Long,
     val manifest: CommitLog.Manifest,
-    val schema: StructType) extends Serializable
+    val schema: StructType,
+    /** Set when this snapshot is a BRANCH head — `gen` is then the
+      * branch chain position, and every write/DML surface commits to
+      * the branch chain, never main (write-audit-publish). */
+    val branch: Option[String] = None) extends Serializable
 
 private[sources] object GraftState {
 
@@ -235,7 +239,7 @@ private[sources] object GraftState {
             coltypes = m.coltypes, meta = m.meta).schema
         else m.meta.get("schema.ddl").map(StructType.fromDDL)
           .getOrElse(StructType(Nil))
-      return Some(new GraftState(path, k, m, schema))
+      return Some(new GraftState(path, k, m, schema, Some(b)))
     }
     // versionAsOf: a bare generation number, or a snapshot TAG name
     // (CommitLog.resolveTag — tag names can never be all-digits, so
@@ -320,9 +324,15 @@ private[sources] final class GraftTable(state: GraftState)
     * q343 pruning tiers keep serving the surviving rows; `VACUUM`-era
     * paydown stays `applyDeletes`/`normalizeCompact`. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    FilterColumns.exactColumnsOf(filters.toIndexedSeq).isDefined
+    // a BRANCH DELETE takes the row-level rewrite (whose commit is
+    // branch-aware) — the metadata-only fast path below targets main
+    state.branch.isEmpty &&
+      FilterColumns.exactColumnsOf(filters.toIndexedSeq).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(state.branch.isEmpty,
+      "graft: metadata-only DELETE is main-only — branch DELETEs " +
+        "rewrite through the row-level path")
     val conds = FilterColumns.exactColumnsOf(filters.toIndexedSeq)
       .getOrElse(throw new IllegalArgumentException(
         s"graft: DELETE condition not exactly expressible as " +
@@ -344,6 +354,10 @@ private[sources] final class GraftTable(state: GraftState)
     state.manifest.meta.foreach { case (k, v) =>
       if (k.startsWith("prop.")) props.put(k.stripPrefix("prop."), v)
     }
+    // the provider is part of the table's identity: SHOW CREATE TABLE
+    // emits `USING graft` from it, making the DDL re-creatable
+    props.put(org.apache.spark.sql.connector.catalog.TableCatalog
+      .PROP_PROVIDER, "graft")
     props
   }
 
@@ -357,8 +371,14 @@ private[sources] final class GraftTable(state: GraftState)
       else state.manifest.meta.get("partition.cols")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil)
-    cols.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+    val idents = cols.map(c => org.apache.spark.sql.connector
+      .expressions.Expressions.identity(c))
+    // the declared hash bucketing surfaces as its transform too, so
+    // DESCRIBE / SHOW CREATE TABLE round-trip the full layout
+    val bucket = graft.operators.Bucketing.specOf(state.manifest.meta)
+      .map { case (c, n) => org.apache.spark.sql.connector
+        .expressions.Expressions.bucket(n, c) }
+    (idents ++ bucket).toArray
   }
 
   // BATCH_WRITE is the capability DataFrameWriter gates the V2 save
@@ -383,7 +403,7 @@ private[sources] final class GraftTable(state: GraftState)
   : ScanBuilder = new GraftScanBuilder(state, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(state.path, info)
+    new GraftWriteBuilder(state.path, info, state.branch)
 }
 
 /** `df.write.format("graft")` — the WRITE half of the format surface.
@@ -405,12 +425,28 @@ private[sources] final class GraftTable(state: GraftState)
   * log CREATES the table: first write defines the schema and commits
   * generation 0/1. */
 private[sources] final class GraftWriteBuilder(
-    path: String, info: LogicalWriteInfo)
+    path: String, info: LogicalWriteInfo,
+    stateBranch: Option[String] = None)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private def options: CaseInsensitiveStringMap = info.options()
+
+  /** The target branch: the write option, or the branch the TABLE
+    * itself was loaded as (the catalog's `.branch_<name>` suffix) —
+    * both set must agree. */
+  private def branchOf: Option[String] = {
+    val opt = Option(options.get("branch"))
+    (opt, stateBranch) match {
+      case (Some(a), Some(b)) =>
+        require(a == b,
+          s"graft write: option(\"branch\", \"$a\") conflicts with " +
+            s"the branch-$b table being written")
+        Some(a)
+      case (a, b) => a.orElse(b)
+    }
+  }
 
   private var overwrite = false
   private var dynamic = false
@@ -458,12 +494,10 @@ private[sources] final class GraftWriteBuilder(
       GraftWriteBuilder.staticSpec(filters).isDefined
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
-    val branch = Option(options.get("branch"))
-    require(branch.isEmpty || (!dynamic && replaceWhere.isEmpty),
-      "graft: partition-overwrite writes are not supported on a " +
-        "branch — append or truncate the branch, then fast_forward")
+    val branch = branchOf
     if (dynamic)
-      new GraftDynamicOverwriteWrite(path, info.schema(), txnOf)
+      new GraftDynamicOverwriteWrite(path, info.schema(), txnOf,
+        branch)
     else new V1Write {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
@@ -1180,6 +1214,9 @@ private[graft] object GraftWriter {
     require(reserved.isEmpty,
       s"graft write: column name(s) ${reserved.mkString(", ")} are " +
         "reserved row-identity metadata columns — rename them")
+    require(!data.columns.contains(graft.operators.Bucketing.StageCol),
+      s"graft write: column name ${graft.operators.Bucketing.StageCol}" +
+        " is reserved for bucket routing — rename it")
     // bring the sink under log control (bootstraps generation 0 for a
     // fresh/unlogged path — the CREATE case)
     val (gen, mainLive) = CommitLog.ensureLoggedAt(fs, hPath)
@@ -1193,9 +1230,6 @@ private[graft] object GraftWriter {
           "graft write: txn idempotence (txnAppId/txnVersion) is " +
             "not supported on branch writes — publish via " +
             "fast_forward carries main's ledger")
-        require(replaceWhere.isEmpty,
-          "graft write: INSERT OVERWRITE PARTITION is not supported " +
-            "on a branch")
         CommitLog.branchHead(fs, hPath, b)
       }
     val bm = branchState.map(_._2)
@@ -1251,6 +1285,16 @@ private[graft] object GraftWriter {
       s"graft write: batch is missing partition column(s) " +
         s"${missingPart.mkString(", ")} of $path — rows cannot be " +
         "routed into the hive layout")
+    // declared hash bucketing ([[graft.operators.Bucketing]]): every
+    // row routes to pmod(hash(col), n) and the bucket id lands in the
+    // FILE NAME at move-in — the co-location contract the
+    // storage-partitioned-join scan serves from
+    val bucketSpec = graft.operators.Bucketing.specOf(metaRecs)
+    bucketSpec.foreach { case (bc, _) =>
+      require(data.columns.contains(bc),
+        s"graft write: batch is missing bucket column $bc of $path — " +
+          "rows cannot be routed to their buckets")
+    }
     // schema guard for the paths Spark's by-name resolution does NOT
     // cover (the V1 streaming Sink hands batches raw): a batch
     // MISSING columns the table has would land files whose readers
@@ -1332,10 +1376,18 @@ private[graft] object GraftWriter {
     // partition-value pruner and basePath discovery read back
     val tmp = new Path(hPath.getParent, hPath.getName + "__fmt_tmp-" +
       java.util.UUID.randomUUID().toString)
+    val routed = bucketSpec match {
+      case Some((bc, n)) => guarded.withColumn(
+        graft.operators.Bucketing.StageCol,
+        graft.operators.Bucketing.bucketExpr(bc, n))
+      case None => guarded
+    }
+    val stageParts = partCols ++
+      bucketSpec.map(_ => graft.operators.Bucketing.StageCol)
     try {
-      if (partCols.nonEmpty)
-        guarded.write.partitionBy(partCols: _*).parquet(tmp.toString)
-      else guarded.write.parquet(tmp.toString)
+      if (stageParts.nonEmpty)
+        routed.write.partitionBy(stageParts: _*).parquet(tmp.toString)
+      else routed.write.parquet(tmp.toString)
     } catch {
       case t: Throwable =>
         try fs.delete(tmp, true)
@@ -1358,7 +1410,13 @@ private[graft] object GraftWriter {
     while (it.hasNext) {
       val f = it.next().getPath
       if (f.getName.endsWith(".parquet")) {
-        val rel = CommitLog.relativize(fs, tmp, f.toString)
+        val rel0 = CommitLog.relativize(fs, tmp, f.toString)
+        // the bucket-routing stage level becomes the file-name prefix
+        // (b00003-...) — directories stay purely hive-layout
+        val rel =
+          if (bucketSpec.isDefined)
+            graft.operators.Bucketing.stripStageDir(rel0)
+          else rel0
         val dest = new Path(hPath, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f, dest))
@@ -1372,12 +1430,28 @@ private[graft] object GraftWriter {
     branchState.foreach { case (k, bmm) =>
       // branch commit: same CAS discipline on the branch's own chain;
       // the checks/meta/mapping families carry verbatim (they are the
-      // branch's table state), truncate resets the file-keyed ones
-      val committed =
-        if (overwrite) bmm.copy(files = newFiles, dvs = Map.empty,
-          dvMarks = Map.empty, stats = Map.empty, colmaps = Map.empty,
-          coltypes = Map.empty, blooms = Map.empty, anns = Map.empty)
-        else bmm.copy(files = bmm.files ++ newFiles)
+      // branch's table state), truncate resets the file-keyed ones,
+      // and a static partition overwrite swaps exactly the matching
+      // directories (file-keyed records of replaced files pruned in
+      // the same commit — the main path's commitNext carry rule,
+      // applied manually since commitBranch takes a full manifest)
+      val committed = replacePrefix match {
+        case _ if overwrite =>
+          bmm.copy(files = newFiles, dvs = Map.empty,
+            dvMarks = Map.empty, stats = Map.empty,
+            colmaps = Map.empty, coltypes = Map.empty,
+            blooms = Map.empty, anns = Map.empty)
+        case Some(prefix) =>
+          val rogue = newFiles.filterNot(_.startsWith(prefix))
+          require(rogue.isEmpty,
+            s"graft write: INSERT OVERWRITE PARTITION of $prefix " +
+              s"got row(s) outside the spec (staged ${rogue.take(3)
+                .mkString(", ")}) — the batch must carry only the " +
+              "overwritten partition's rows")
+          CommitLog.prunedToFiles(bmm.copy(files =
+            bmm.files.filterNot(_.startsWith(prefix)) ++ newFiles))
+        case None => bmm.copy(files = bmm.files ++ newFiles)
+      }
       CommitLog.commitBranch(fs, hPath, branch.get, k, committed)
       fs.delete(tmp, true)
       return
@@ -1522,7 +1596,14 @@ private[sources] final class GraftScanBuilder(
     case Some(p) => new GraftAggScan(state, p)
     case None => partialPlan match {
       case Some(p) => new GraftPartialAggScan(state, p)
-      case None => new GraftScan(state, required, pushed, all, options)
+      case None =>
+        // a bucket-declared table plans the NATIVE V2 batch scan
+        // (KeyGroupedPartitioning → storage-partitioned joins) when
+        // its invariants hold; anything else rides the V1 bridge
+        GraftBucketedScan.tryPlan(state, required, pushed, all,
+            options)
+          .getOrElse(new GraftScan(state, required, pushed, all,
+            options))
     }
   }
 }
@@ -1783,7 +1864,7 @@ private[sources] final class GraftScan(state: GraftState,
     // a branch has no generation chain to tail — silently streaming
     // MAIN under a branch option would hand the consumer the wrong
     // data with no error
-    require(opt("branch").isEmpty,
+    require(opt("branch").isEmpty && state.branch.isEmpty,
       "graft stream: option(\"branch\") is not supported on streaming " +
         "reads — branches are audit staging; fast_forward publishes " +
         "them to main, which streams")
@@ -1867,6 +1948,68 @@ private[sources] final class GraftScan(state: GraftState,
       }
     val size = bytes.map(b =>
       math.max(1L, (b * colFraction).toLong))
+    // V2 COLUMN statistics from the manifest's per-file `#stats`
+    // records: null counts sum exactly; distinct counts aggregate as
+    // the per-file approx-NDV union bound capped at the visible row
+    // count (the standard file-stats merge — an estimate, which is
+    // all CBO needs). Reported only for projected columns whose
+    // record coverage is COMPLETE over the kept files, so a partial
+    // analyze can never feed CBO a number missing half the table.
+    // With `spark.sql.cbo.enabled` (+ joinReorder) these flow through
+    // `transformV2Stats` into attributeStats and multi-join queries
+    // reorder against real NDVs instead of defaults (NdvCboSpec).
+    val colStatsMap = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+      if (keptFiles.nonEmpty) required.fields.foreach { fld =>
+        val c = fld.name
+        val recs = keptFiles.map(f =>
+          state.manifest.stats.getOrElse(f, Map.empty).get(c))
+        if (recs.forall(r => r.isDefined && r.get.ndv.isDefined)) {
+          val cs = recs.map(_.get)
+          val nulls = cs.map(_.nNulls).sum
+          val ndv = math.max(1L, math.min(
+            cs.map(_.ndv.get).sum,
+            rows.getOrElse(Long.MaxValue)))
+          // global bounds from the per-file encoded bounds (all-null
+          // files contribute nothing); decoded to the CATALYST value
+          // of the column's type — join estimation needs the range
+          // overlap, not just NDVs
+          val typ = cs.head.typ
+          def fold(sel: CommitLog.ColStats => Option[String],
+                   better: Int => Boolean): Option[Any] = {
+            val defined = cs.flatMap(sel(_))
+            if (defined.isEmpty || defined.size <
+              cs.count(x => x.nNulls < x.nRows)) None
+            else GraftScan.decodeBound(typ, fld.dataType,
+              defined.reduce((a, b) =>
+                if (better(TableStats.cmpEnc(typ, a, b))) a else b))
+          }
+          val mn = fold(_.min, _ <= 0)
+          val mx = fold(_.max, _ >= 0)
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(ndv)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                mn.map(v => java.util.Optional.of(
+                  v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mx.map(v => java.util.Optional.of(
+                  v.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+      }
+      out
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         size.map(java.util.OptionalLong.of)
@@ -1874,6 +2017,10 @@ private[sources] final class GraftScan(state: GraftState,
       override def numRows(): java.util.OptionalLong =
         rows.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats
+          .ColumnStatistics] = colStatsMap
     }
   }
 
@@ -1890,6 +2037,42 @@ private[sources] final class GraftScan(state: GraftState,
 }
 
 private[sources] object GraftScan {
+
+  /** Decode one `#stats` encoded bound into the CATALYST-internal
+    * value of the column's Spark type — what V2 `ColumnStatistics`
+    * min/max must carry for join estimation's range-overlap check.
+    * None for combinations the estimator can't consume (then the
+    * column simply reports no bounds — never wrong, only less
+    * informed). */
+  private[sources] def decodeBound(typ: String,
+                                   dt: org.apache.spark.sql.types
+                                     .DataType,
+                                   enc: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case ByteType => Some(java.lang.Byte.valueOf(
+        new java.math.BigDecimal(enc).byteValueExact()))
+      case ShortType => Some(java.lang.Short.valueOf(
+        new java.math.BigDecimal(enc).shortValueExact()))
+      case IntegerType => Some(java.lang.Integer.valueOf(
+        new java.math.BigDecimal(enc).intValueExact()))
+      case LongType => Some(java.lang.Long.valueOf(
+        new java.math.BigDecimal(enc).longValueExact()))
+      case BooleanType => Some(java.lang.Boolean.valueOf(enc == "1"))
+      case FloatType => Some(java.lang.Float.valueOf(enc.toFloat))
+      case DoubleType => Some(java.lang.Double.valueOf(enc.toDouble))
+      case d: DecimalType => Some(org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(enc), d.precision, d.scale))
+      case StringType => Some(
+        org.apache.spark.unsafe.types.UTF8String.fromString(enc))
+      case DateType if typ == "date" => Some(java.lang.Integer.valueOf(
+        new java.math.BigDecimal(enc).intValueExact()))
+      case TimestampType | TimestampNTZType if typ == "micros" =>
+        Some(java.lang.Long.valueOf(
+          new java.math.BigDecimal(enc).longValueExact()))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   // committed data files are immutable (rewrites land NEW paths and
   // retire old ones), so a length cached by qualified path is valid

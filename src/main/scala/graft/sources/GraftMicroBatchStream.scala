@@ -313,7 +313,7 @@ private[sources] object GraftMicroBatchStream {
     * layouts only — schema-evolution records need the mapped
     * DataFrame plan the V1 source builds. */
   def eligible(state: GraftState): Boolean =
-    state.gen >= 0 &&
+    state.gen >= 0 && state.branch.isEmpty &&
       state.manifest.colmaps.isEmpty && state.manifest.coltypes.isEmpty
 }
 

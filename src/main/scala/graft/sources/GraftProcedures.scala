@@ -171,6 +171,20 @@ private[sources] object GraftProcedures {
         "index for an embedding column: IVF centroids train once " +
         "(#meta ann.<col>.centroids), per-file postings land as #ann " +
         "records; probe with graft.operators.AnnIndex.topK"),
+    "set_bucketing" -> new Proc("set_bucketing",
+      Seq(param("table", StringType), param("column", StringType),
+        param("num_buckets", IntegerType)),
+      count1("generation"), deterministic = false,
+      (s, p, in) => Seq(row(
+        graft.operators.Bucketing.declare(s, p.toString,
+          in.getString(1), in.getInt(2)))),
+      resolve,
+      desc = "declares hash bucketing (#meta bucket.cols/bucket.n) " +
+        "on an empty table — writers then route rows to " +
+        "pmod(hash(col), n) bucket files and same-(n, key) graft " +
+        "tables storage-partition-join with zero exchanges; " +
+        "equivalent to CREATE TABLE ... PARTITIONED BY " +
+        "(bucket(n, col))"),
     "build_bloom" -> new Proc("build_bloom",
       Seq(param("table", StringType), param("columns", StringType),
         paramD("expected_keys_per_file", LongType, "1000000")),

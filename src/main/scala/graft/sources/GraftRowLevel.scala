@@ -266,7 +266,7 @@ private[sources] final class GraftDeltaBatchWrite(
       if (insertRels.isEmpty && affected.isEmpty) return
       DeleteVectors.commitRowLevelDelta(spark, state.path, state.gen,
         state.manifest.files, state.manifest.dvs, stagingPath,
-        insertRels, markFiles, affected)
+        insertRels, markFiles, affected, branch = state.branch)
     } finally fs.delete(stagingPath, true)
   }
 
@@ -457,20 +457,23 @@ private final class GraftDeltaTaskWriter(
   * behavior. */
 private[sources] final class GraftDynamicOverwriteWrite(
     path: String, dataSchema: StructType,
-    txn: Option[(String, Long)])
+    txn: Option[(String, Long)], branch: Option[String] = None)
   extends org.apache.spark.sql.connector.write.Write {
 
   override def description(): String = s"graft dynamic overwrite $path"
 
   override def toBatch()
   : org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftDynamicOverwriteBatchWrite(path, dataSchema, txn)
+    new GraftDynamicOverwriteBatchWrite(path, dataSchema, txn, branch)
 }
 
 private[sources] final class GraftDynamicOverwriteBatchWrite(
     path: String, dataSchema: StructType,
-    txn: Option[(String, Long)])
+    txn: Option[(String, Long)], branch: Option[String] = None)
   extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  require(branch.isEmpty || txn.isEmpty,
+    "graft write: txn idempotence is not supported on branch writes")
 
   import org.apache.spark.sql.connector.write.{DataWriterFactory,
     PhysicalWriteInfo => PWInfo}
@@ -487,7 +490,16 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
   : DataWriterFactory = {
     val spark = SparkSession.active
     val fs = fsOf(spark)
-    val (_, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    // a branch write validates against and routes by the BRANCH's own
+    // table state (its layout/checks may have diverged from main)
+    val (live, checks) = branch match {
+      case Some(b) =>
+        val (_, bm) = CommitLog.branchHead(fs, hPath, b)
+        (bm.files, bm.checks)
+      case None =>
+        val (_, l) = CommitLog.ensureLoggedAt(fs, hPath)
+        (l, CommitLog.checkRecords(fs, hPath))
+    }
     // the committed layout (or, while empty, the declared #meta one)
     // routes the batch's rows — same rule as every other graft write
     val committed = CommitLog.partitionColsOf(live)
@@ -500,8 +512,7 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
       GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols,
         // CHECK constraints evaluated per row in the same pass that
         // writes — no re-read of the staged batch at commit time
-        checks = GraftRowLevel.boundChecks(dataSchema,
-          CommitLog.checkRecords(fs, hPath))))
+        checks = GraftRowLevel.boundChecks(dataSchema, checks)))
   }
 
   override def commit(messages: Array[
@@ -520,7 +531,6 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
       // CHECK constraints were evaluated per row inside the task
       // writers — the commit is pure file motion + one publish, the
       // staged batch is never re-read
-      val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
       val added = insertRels.map { r =>
         val rel = r.stripPrefix("inserts/")
         val dest = new Path(hPath, rel)
@@ -536,10 +546,25 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
         if (i < 0) "" else rel.substring(0, i + 1)
       }
       val replaced = added.map(leafDir).toSet
-      val keep = live.filterNot(f => replaced.contains(leafDir(f)))
-      // terminal on CAS loss, like truncate/static overwrite: a
-      // replaced region that raced another writer must be re-decided
-      CommitLog.commitNext(fs, hPath, gen, keep ++ added, txn = txn)
+      branch match {
+        case Some(b) =>
+          // the BRANCH's leaf partitions are replaced; main never
+          // moves (write-audit-publish) — file-keyed records of the
+          // replaced files prune in the same commit
+          val (k, bm) = CommitLog.branchHead(fs, hPath, b)
+          val keep = bm.files.filterNot(f =>
+            replaced.contains(leafDir(f)))
+          CommitLog.commitBranch(fs, hPath, b, k,
+            CommitLog.prunedToFiles(bm.copy(files = keep ++ added)))
+        case None =>
+          val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+          val keep = live.filterNot(f => replaced.contains(leafDir(f)))
+          // terminal on CAS loss, like truncate/static overwrite: a
+          // replaced region that raced another writer must be
+          // re-decided
+          CommitLog.commitNext(fs, hPath, gen, keep ++ added,
+            txn = txn)
+      }
     } finally fs.delete(stagingPath, true)
   }
 

@@ -55,8 +55,8 @@ private[sources] final class GraftStatsV1ScanWrapper(
 
 object GraftStatsRule extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val swapped = plan.transform {
       case r: DataSourceV2ScanRelation => r.scan match {
         // graft scans ONLY: registration is a session-wide side effect
         // of reading any graft table, so matching every V1ScanWrapper
@@ -72,6 +72,29 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         case _ => r
       }
     }
+    // COST-BASED JOIN REORDER, re-run over the stats-visible plan:
+    // Spark's own "Join Reorder" batch fires BEFORE any injectable
+    // hook that could see the V1ScanWrapper (batch order: Pre CBO
+    // Rules → Early Filter and Projection Push-Down → Join Reorder →
+    // … → User Provided Optimizers), so at its first run every
+    // V1-bridged graft scan still reads as defaultSizeInBytes and the
+    // reorder is a no-op. Re-applying the SAME rule here — after the
+    // swap made manifest row counts and `#stats` NDVs visible — gives
+    // multi-join graft queries the reorder CBO intends. Guards: only
+    // when the plan actually contains a graft scan (never perturb
+    // foreign plans), and CostBasedJoinReorder itself no-ops unless
+    // spark.sql.cbo.enabled && spark.sql.cbo.joinReorder.enabled.
+    val hasGraft = swapped.exists {
+      case r: DataSourceV2ScanRelation =>
+        r.scan.isInstanceOf[GraftStatsV1ScanWrapper] ||
+          r.scan.isInstanceOf[GraftBucketedScan]
+      case _ => false
+    }
+    if (hasGraft && conf.cboEnabled && conf.joinReorderEnabled)
+      org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder(
+        swapped)
+    else swapped
+  }
 
   /** Append the rule to the session's extra optimizations exactly
     * once — called from every graft snapshot resolution, so any

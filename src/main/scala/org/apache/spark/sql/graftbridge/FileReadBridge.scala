@@ -35,12 +35,28 @@ object FileReadBridge {
                        dataSchema: StructType,
                        partitionSchema: StructType,
                        requiredSchema: StructType)
+  : PartitionedFile => Iterator[InternalRow] =
+    parquetRowReader(spark, dataSchema, partitionSchema,
+      requiredSchema, Seq.empty)
+
+  /** Same reader with data filters pushed to the parquet reader for
+    * row-group/page skipping. ONLY legal for files whose rows need no
+    * positional accounting: a filtered iterator SKIPS rows, so the
+    * row-index ↔ deletion-vector-position correspondence the
+    * unfiltered form guarantees does not hold — callers (the
+    * bucketed batch scan) route DV-carrying files through the
+    * unfiltered reader. */
+  def parquetRowReader(spark: SparkSession,
+                       dataSchema: StructType,
+                       partitionSchema: StructType,
+                       requiredSchema: StructType,
+                       filters: Seq[org.apache.spark.sql.sources.Filter])
   : PartitionedFile => Iterator[InternalRow] = {
     val classic = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     new ParquetFileFormat().buildReaderWithPartitionValues(
       classic, dataSchema, partitionSchema, requiredSchema,
-      Seq.empty,
+      filters,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       classic.sessionState.newHadoopConf())
   }

@@ -150,4 +150,94 @@ class BranchWapSpec extends SparkSpec {
     assert(spark.sql("CALL wap3.system.branches('db.t')")
       .collect().isEmpty)
   }
+
+  test("branch row-level DML (the audit-then-patch loop): " +
+    "UPDATE/DELETE/MERGE through `cat.db.t.branch_<name>` patch the " +
+    "staged batch ON the branch; main is byte-identical until " +
+    "fast_forward; the divergence guard still refuses") {
+    val root = java.nio.file.Files.createTempDirectory("wap4").toString
+    spark.conf.set("spark.sql.catalog.wap4",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wap4.warehouse", root)
+    spark.sql("CREATE NAMESPACE wap4.db")
+    spark.sql("CREATE TABLE wap4.db.t (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO wap4.db.t VALUES (1, 10), (2, 20), (3, 30)")
+    val path = s"$root/db/t"
+    val fs = fsOf(path); val hp = new Path(path)
+    CommitLog.createBranch(fs, hp, "audit")
+    val mainGen = CommitLog.committed(fs, hp).get._1
+    def rows(t: String): Seq[(Long, Long)] =
+      spark.table(t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // stage, then AUDIT finds problems and PATCHES them on the branch
+    spark.sql("INSERT INTO wap4.db.t.branch_audit " +
+      "VALUES (4, 40), (5, 50)")
+    spark.sql("UPDATE wap4.db.t.branch_audit SET v = v + 1 " +
+      "WHERE k = 4")
+    spark.sql("DELETE FROM wap4.db.t.branch_audit WHERE k = 5")
+    spark.sql("MERGE INTO wap4.db.t.branch_audit t USING " +
+      "(SELECT 2L AS k, 99L AS v UNION ALL SELECT 6L, 60L) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val patched = Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 41L),
+      (6L, 60L))
+    assert(rows("wap4.db.t.branch_audit") == patched)
+    // main: same generation, same rows — nothing leaked
+    assert(CommitLog.committed(fs, hp).get._1 == mainGen)
+    assert(rows("wap4.db.t") == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // publish: ONE commit, main now serves the patched state
+    CommitLog.fastForward(fs, hp, "audit")
+    assert(rows("wap4.db.t") == patched)
+    // divergence guard: DML on a stale branch still cannot publish
+    CommitLog.createBranch(fs, hp, "audit2")
+    spark.sql("UPDATE wap4.db.t.branch_audit2 SET v = 0 WHERE k = 1")
+    spark.sql("INSERT INTO wap4.db.t VALUES (7, 70)") // main moves
+    intercept[IllegalArgumentException] {
+      CommitLog.fastForward(fs, hp, "audit2")
+    }
+  }
+
+  test("branch partition overwrite: static INSERT OVERWRITE " +
+    "PARTITION and dynamic overwrite replace the BRANCH's region " +
+    "only; main publishes it via fast_forward") {
+    val root = java.nio.file.Files.createTempDirectory("wap5").toString
+    spark.conf.set("spark.sql.catalog.wap5",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wap5.warehouse", root)
+    spark.sql("CREATE NAMESPACE wap5.db")
+    spark.sql("CREATE TABLE wap5.db.p (k BIGINT, p STRING) " +
+      "USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO wap5.db.p VALUES (1, 'x'), (2, 'y')")
+    val path = s"$root/db/p"
+    val fs = fsOf(path); val hp = new Path(path)
+    CommitLog.createBranch(fs, hp, "re")
+    val mainGen = CommitLog.committed(fs, hp).get._1
+    // static: replace exactly p=x on the branch
+    spark.sql("INSERT OVERWRITE wap5.db.p.branch_re " +
+      "PARTITION (p='x') VALUES (9)")
+    def rows(t: String): Seq[(Long, String)] =
+      spark.table(t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows("wap5.db.p.branch_re") == Seq((2L, "y"), (9L, "x")))
+    // dynamic: the batch's leaf partitions replace on the branch
+    val mode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try spark.sql("INSERT OVERWRITE wap5.db.p.branch_re " +
+      "VALUES (8, 'y')")
+    finally mode match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(rows("wap5.db.p.branch_re") == Seq((8L, "y"), (9L, "x")))
+    // main untouched, then publishes the re-stated partitions
+    assert(CommitLog.committed(fs, hp).get._1 == mainGen)
+    assert(rows("wap5.db.p") == Seq((1L, "x"), (2L, "y")))
+    CommitLog.fastForward(fs, hp, "re")
+    assert(rows("wap5.db.p") == Seq((8L, "y"), (9L, "x")))
+  }
 }
