@@ -116,6 +116,34 @@ object Bucketing {
       ColsKey -> column, NKey -> n.toString, DroppedKey -> ""))
   }
 
+  /** RESTORE the bucket layout after a loud drop (or declare it on a
+    * table that already has data): commits the declaration, then
+    * truncate-rewrites the CURRENT visible rows through the routing
+    * writer — every file conforms, the old generation stays
+    * time-travel readable, checks/properties carry. Between the
+    * declaration commit and the rewrite the scan simply falls back
+    * (the all-or-nothing eligibility makes the interim state sound).
+    * Cost ∝ table size — this IS a rewrite; at 100 TB it is the same
+    * one-time layout investment `bucketBy` ingest pays, which every
+    * subsequent fact-fact join then never shuffles for. Returns the
+    * committed generation. */
+  def rebucket(spark: SparkSession, path: String, column: String,
+               n: Int): Long = {
+    require(n > 0 && n <= 100000,
+      s"bucketing: bucket count $n out of range (1..100000)")
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    val rows = CommitLog.read(spark, path)
+    require(rows.columns.contains(column),
+      s"bucketing: no column '$column' at $path")
+    CommitLog.commitNext(fs, hPath, gen, live, meta = Map(
+      ColsKey -> column, NKey -> n.toString, DroppedKey -> ""))
+    rows.write.format("graft").mode("overwrite")
+      .option("path", path).save()
+    CommitLog.committed(fs, hPath).map(_._1).getOrElse(-1L)
+  }
+
   /** The guard [[CommitLog.commitNext]] applies to every commit: if
     * the (merged) metadata declares bucketing but any NEWLY ADDED
     * data file does not conform, the declaration is dropped in this

@@ -35,6 +35,49 @@ object MaintenanceQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.io.Sources.table(s, dir, name)
 
+  /** Shared seed of the CDC-replication family (q324/q325 — the
+    * [[graft.operators.Publish.sharedStaging]] discipline): ONE
+    * logged docs sink (parity-split files) + the staged updates batch,
+    * built once per JVM; each query copies and mutates privately. */
+  private[queries] def cdcDocsFixture(s: SparkSession, dir: String)
+  : String =
+    SharedFixtures.seeded(s, dir, "cdc_docs") { r =>
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
+          .write.mode("append").parquet(s"$r/up")
+      }
+      val hUp = new org.apache.hadoop.fs.Path(s"$r/up")
+      graft.operators.CommitLog.ensureLoggedAt(
+        hUp.getFileSystem(s.sparkContext.hadoopConfiguration), hUp)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            lit(77L).as("n_chars")))
+        .coalesce(1).write.parquet(s"$r/updates")
+    }
+
+  /** Shared seed of the CDF-streaming replica (q339): the keyed
+    * orders sink with its two snapshot generations, plus the empty
+    * replica — copied per invocation, streamed privately. */
+  private[queries] def cdcOrdersFixture(s: SparkSession, dir: String)
+  : String =
+    SharedFixtures.seeded(s, dir, "cdc_orders") { r =>
+      val keyed = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") * 10).as("v"))
+      keyed.filter(col("k") % 10 === 0)
+        .write.format("graft").mode("append").save(s"$r/up")
+      keyed.filter(col("k") % 10 === 1)
+        .write.format("graft").mode("append").save(s"$r/up")
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("k", "v").write.parquet(s"$r/down")
+    }
+
   // --- q120: snapshot-diff CDC feed ------------------------------------
   /** Two deterministic images of `orders` (old: every key not ≡0 mod 7;
     * new: every key not ≡0 mod 11, with keys ≡0 mod 5 repriced by
@@ -1195,25 +1238,15 @@ object MaintenanceQueries {
       .toString
     val up = s"$root/up"; val down = s"$root/down"
     try {
-      val docs0 = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      Seq(up, down).foreach { sink =>
-        Seq(0, 1).foreach { par =>
-          docs0.filter(col("doc_id") % 2 === par).coalesce(1)
-            .write.mode("append").parquet(sink)
-        }
-      }
+      // seeded ONCE per JVM (SharedFixtures): the logged docs sink and
+      // the staged updates batch; this query mutates a private COPY
+      val shared = MaintenanceQueries.cdcDocsFixture(s, dir)
+      SharedFixtures.copyInto(s, s"$shared/up", up)
+      SharedFixtures.copyInto(s, s"$shared/up", down)
       val hUp = new org.apache.hadoop.fs.Path(up)
       val fs = hUp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      CommitLog.ensureLoggedAt(fs, new org.apache.hadoop.fs.Path(down))
       val (g0, _) = CommitLog.ensureLoggedAt(fs, hUp)
-      val docs = t(s, dir, "documents")
-      val updates = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("lang"),
-          (col("n_chars") + 1000L).as("n_chars"))
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-            lit(77L).as("n_chars")))
+      val updates = s.read.parquet(s"$shared/updates")
       DeleteVectors.mergeOnRead(s, up, updates, Seq("doc_id"))
       DeleteVectors.deleteWhere(s, up, col("doc_id") % 7 === 1)
       val gEnd = CommitLog.committed(fs, hUp).get._1
@@ -1268,23 +1301,15 @@ object MaintenanceQueries {
       .toString
     val up = s"$root/up"; val down = s"$root/down"
     try {
-      val docs0 = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      Seq(0, 1).foreach { par =>
-        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
-          .write.mode("append").parquet(up)
-      }
+      // same shared seed as q324 — the subscription loop mutates a
+      // private copy of the once-per-JVM fixture
+      val shared = MaintenanceQueries.cdcDocsFixture(s, dir)
+      SharedFixtures.copyInto(s, s"$shared/up", up)
       val hUp = new org.apache.hadoop.fs.Path(up)
       val fs = hUp.getFileSystem(s.sparkContext.hadoopConfiguration)
       Replicate.init(s, up, down, "q325")
-      val docs = t(s, dir, "documents")
       // window 1: MoR MERGE (updates + inserts)
-      val updates = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("lang"),
-          (col("n_chars") + 1000L).as("n_chars"))
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-            lit(77L).as("n_chars")))
+      val updates = s.read.parquet(s"$shared/updates")
       DeleteVectors.mergeOnRead(s, up, updates, Seq("doc_id"))
       val s1 = Replicate.syncOnce(s, up, down, Seq("doc_id"), "q325")
       // window 2: predicate delete
@@ -2180,14 +2205,15 @@ object MaintenanceQueries {
       .toString
     val up = s"$root/up"; val down = s"$root/down"
     try {
+      // the seeded two-generation upstream + empty replica copy in
+      // (SharedFixtures); the stream and its mutations stay private
+      val shared = MaintenanceQueries.cdcOrdersFixture(s, dir)
+      SharedFixtures.copyInto(s, s"$shared/up", up)
+      SharedFixtures.copyInto(s, s"$shared/down", down)
       val keyed = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"),
           (col("o_orderkey") * 10).as("v"))
       def part(m: Long) = keyed.filter(col("k") % 10 === m)
-      part(0).write.format("graft").mode("append").save(up)
-      part(1).write.format("graft").mode("append").save(up)
-      import s.implicits._
-      Seq.empty[(Long, Long)].toDF("k", "v").write.parquet(down)
       val q = s.readStream.format("graft")
         .option("readChangeFeed", "true").option("cdfKeys", "k")
         .load(up)
@@ -2220,6 +2246,7 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("rows_after"), sum("v").as("sum_v"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1).toSeq
+      import s.implicits._
       rows.toDF("grp", "rows_after", "sum_v").orderBy("grp")
     } finally graft.io.Sources.deleteRecursively(root)
   }
@@ -2602,14 +2629,23 @@ object MaintenanceQueries {
       .toString
     val sink = s"$root/t"
     try {
-      val base = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === 0)
-        .select(col("o_orderkey").as("okey"),
-          col("o_totalprice").as("price"))
-      base.repartition(4).write.parquet(sink)
+      // seeded once per JVM, mutated on a private copy — and `base`
+      // reads the (tiny, projected) seed instead of re-deriving the
+      // projection from orders for every downstream use
+      val shared = SharedFixtures.seeded(s, dir, "cdf_orders4") { r =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey").as("okey"),
+            col("o_totalprice").as("price"))
+          .repartition(4).write.parquet(s"$r/t")
+        val hp0 = new org.apache.hadoop.fs.Path(s"$r/t")
+        CommitLog.ensureLoggedAt(
+          hp0.getFileSystem(s.sparkContext.hadoopConfiguration), hp0)
+      }
+      SharedFixtures.copyInto(s, s"$shared/t", sink)
+      val base = s.read.parquet(s"$shared/t")
       val hp = new org.apache.hadoop.fs.Path(sink)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      CommitLog.ensureLoggedAt(fs, hp)
       val g0 = CommitLog.committed(fs, hp).get._1
       val cut = base.agg(max("okey")).head.getLong(0) / 2
       // g1: MoR MERGE — reprice keys ≡0 (mod 20) at or below the cut
@@ -4090,12 +4126,15 @@ object MaintenanceQueries {
         .filter(col("c_custkey") % 20 === 0)
         .select("c_custkey", "c_mktsegment")
         .coalesce(1).write.parquet(custP)
-      for (p <- Seq(liP, ordP, custP)) {
+      // stats only where the estimator needs them: the JOIN KEYS
+      // (NDV + bounds drive the reorder); value columns ride rowCount
+      for ((p, keys) <- Seq(liP -> Seq("l_orderkey"),
+        ordP -> Seq("o_orderkey", "o_custkey"),
+        custP -> Seq("c_custkey"))) {
         val hp = new org.apache.hadoop.fs.Path(p)
         graft.operators.CommitLog.ensureLoggedAt(
           hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
-        graft.operators.TableStats.analyze(s, p,
-          s.read.parquet(p).columns.toSeq)
+        graft.operators.TableStats.analyze(s, p, keys)
       }
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       val q = s.read.format("graft").load(liP)

@@ -167,6 +167,15 @@ final class GraftDataSource extends TableProvider
                         partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // the CDF window and the history metadata table are derived from
+    // MAIN's generation chain — under a branch option they would
+    // silently serve main's changelog as if it were the branch's
+    require(opts.get("branch") == null ||
+      (GraftMetaTable.kindOf(opts).isEmpty &&
+        !GraftCdfTable.requested(opts)),
+      "graft: option(\"branch\") does not compose with " +
+        "readChangeFeed or metadata tables — those surfaces derive " +
+        "from main's generation chain; fast_forward the branch first")
     GraftMetaTable.kindOf(opts) match {
       case Some(kind) =>
         new GraftMetaTable(GraftState.resolve(opts), kind)
@@ -1964,10 +1973,14 @@ private[sources] final class GraftScan(state: GraftState,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
       if (keptFiles.nonEmpty) required.fields.foreach { fld =>
         val c = fld.name
-        val recs = keptFiles.map(f =>
-          state.manifest.stats.getOrElse(f, Map.empty).get(c))
-        if (recs.forall(r => r.isDefined && r.get.ndv.isDefined)) {
-          val cs = recs.map(_.get)
+        // fail-fast completeness probe BEFORE materializing anything:
+        // tables without NDV coverage (the common case) cost one map
+        // lookup here, not O(files) per plan
+        val complete = keptFiles.forall(f =>
+          state.manifest.stats.getOrElse(f, Map.empty).get(c)
+            .exists(_.ndv.isDefined))
+        if (complete) {
+          val cs = keptFiles.map(f => state.manifest.stats(f)(c))
           val nulls = cs.map(_.nNulls).sum
           val ndv = math.max(1L, math.min(
             cs.map(_.ndv.get).sum,

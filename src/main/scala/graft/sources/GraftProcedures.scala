@@ -185,6 +185,19 @@ private[sources] object GraftProcedures {
         "tables storage-partition-join with zero exchanges; " +
         "equivalent to CREATE TABLE ... PARTITIONED BY " +
         "(bucket(n, col))"),
+    "rebucket" -> new Proc("rebucket",
+      Seq(param("table", StringType), param("column", StringType),
+        param("num_buckets", IntegerType)),
+      count1("generation"), deterministic = false,
+      (s, p, in) => Seq(row(
+        graft.operators.Bucketing.rebucket(s, p.toString,
+          in.getString(1), in.getInt(2)))),
+      resolve,
+      desc = "restores (or first establishes) the bucket layout on a " +
+        "table with data: declares #meta bucket.cols/bucket.n and " +
+        "truncate-rewrites the visible rows through the routing " +
+        "writer — the recovery verb after a commit dropped the " +
+        "declaration (bucket.dropped)"),
     "build_bloom" -> new Proc("build_bloom",
       Seq(param("table", StringType), param("columns", StringType),
         paramD("expected_keys_per_file", LongType, "1000000")),

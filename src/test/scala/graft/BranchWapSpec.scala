@@ -196,6 +196,17 @@ class BranchWapSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CommitLog.fastForward(fs, hp, "audit2")
     }
+    // the CDF window and history tables derive from MAIN's chain — a
+    // branch option must refuse, never silently serve main's data
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("branch", "audit2")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .load(path).collect()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("branch", "audit2")
+        .option("metadata", "history").load(path).collect()
+    }
   }
 
   test("branch partition overwrite: static INSERT OVERWRITE " +

@@ -214,6 +214,23 @@ class BucketedSpjSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Bucketing.declare(spark, aPath, "k", 4)
     }
+    // the RECOVERY verb: rebucket truncate-rewrites the visible rows
+    // through the routing writer — declaration restored, every file
+    // conforms, SPJ serves again, rows unchanged
+    spark.sql("CALL spj2.system.rebucket('db.a', 'k', 4)")
+    val (_, live2) = CommitLog.ensureLoggedAt(fs, hp)
+    assert(live2.nonEmpty && live2.forall(Bucketing.conforms(_, 4)),
+      s"rebucket must route every file: $live2")
+    assert(Bucketing.specOf(CommitLog.metaRecords(fs, hp))
+      .contains(("k", 4)))
+    spjConfs {
+      val df = spark.sql(q)
+      assert(shuffles(df) == 0 && bucketedScans(df) == 2,
+        s"SPJ must serve after rebucket:\n${
+          df.queryExecution.executedPlan}")
+      assert(df.count() == 400)
+      assert(spark.table("spj2.db.a").count() == 401)
+    }
   }
 
   test("path-based declare() + format writes route buckets; a " +
