@@ -134,7 +134,8 @@ private[graft] object GraftRowLevel {
     * commit), so constraint validation costs zero extra scans. */
   def writerFactory(staging: Path, dataSchema: StructType,
                     partCols: Seq[String],
-                    checks: Seq[GraftBoundCheck] = Nil)
+                    checks: Seq[GraftBoundCheck] = Nil,
+                    bucketSpec: Option[(String, Int)] = None)
   : GraftDeltaWriterFactory = {
     val spark = SparkSession.active
     val conf = new Configuration(
@@ -154,7 +155,7 @@ private[graft] object GraftRowLevel {
         .toUpperCase(java.util.Locale.ROOT))
     GraftDeltaWriterFactory(staging.toString, dataSchema, partCols,
       spark.sessionState.conf.sessionLocalTimeZone,
-      new SerializableConfiguration(conf), checks)
+      new SerializableConfiguration(conf), checks, bucketSpec)
   }
 }
 
@@ -251,7 +252,12 @@ private[sources] final class GraftDeltaBatchWrite(
       checks =
         if (cmd == RowLevelOperation.Command.DELETE) Nil
         else GraftRowLevel.boundChecks(dataSchema,
-          state.manifest.checks))
+          state.manifest.checks),
+      // preserve a declared bucket layout: inserted rows route to
+      // per-bucket files (a DELETE writes no rows — no routing)
+      bucketSpec = graft.operators.Bucketing
+        .specOf(state.manifest.meta)
+        .filter { case (c, _) => dataSchema.fieldNames.contains(c) })
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -285,12 +291,13 @@ private[sources] final case class GraftDeltaCommitMessage(
 private[sources] final case class GraftDeltaWriterFactory(
     stagingUri: String, dataSchema: StructType, partCols: Seq[String],
     timeZone: String, conf: SerializableConfiguration,
-    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil)
+    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil,
+    bucketSpec: Option[(String, Int)] = None)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DeltaWriter[InternalRow] =
     new GraftDeltaTaskWriter(stagingUri, dataSchema, partCols,
-      timeZone, conf, partitionId, taskId, checks)
+      timeZone, conf, partitionId, taskId, checks, bucketSpec)
 }
 
 /** Task-side writer: `insert` streams the row into a parquet file in
@@ -304,11 +311,31 @@ private final class GraftDeltaTaskWriter(
     stagingUri: String, dataSchema: StructType, partCols: Seq[String],
     timeZone: String, conf: SerializableConfiguration,
     partitionId: Int, taskId: Long,
-    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil)
+    checks: Seq[GraftRowLevel.GraftBoundCheck] = Nil,
+    bucketSpec: Option[(String, Int)] = None)
   extends DeltaWriter[InternalRow] {
 
   private val staging = new Path(stagingUri)
   private val uuid = java.util.UUID.randomUUID().toString
+
+  // declared bucket routing ([[graft.operators.Bucketing]]): inserted
+  // rows land in PER-BUCKET files (b00003-…), the same Murmur3-seed-42
+  // pmod the batch writer and the V2 bucket function compute — so
+  // row-level DML and dynamic overwrite PRESERVE the
+  // storage-partitioned-join layout instead of dropping it
+  private val bucketOf: Option[InternalRow => Int] =
+    bucketSpec.map { case (c, n) =>
+      val i = dataSchema.fieldIndex(c)
+      val dt = dataSchema.fields(i).dataType
+      row => {
+        val h =
+          if (row.isNullAt(i)) 42
+          else org.apache.spark.sql.catalyst.expressions
+            .Murmur3HashFunction.hash(row.get(i, dt), dt, 42L).toInt
+        val r = h % n
+        if (r < 0) r + n else r
+      }
+    }
 
   // CHECK constraints evaluated per inserted row in THIS pass —
   // codegen'd predicates over the bound expressions; a violation
@@ -390,8 +417,10 @@ private final class GraftDeltaTaskWriter(
           ExternalCatalogUtils.escapePathName(partCols(i)) + "=" + v
         }.mkString("", "/", "/")
       }
-    val w = insertWriters.getOrElseUpdate(dir, {
-      val rel = s"inserts/${dir}part-$partitionId-$taskId-$uuid.parquet"
+    val prefix = bucketOf.map(f => f"b${f(row)}%05d-").getOrElse("")
+    val w = insertWriters.getOrElseUpdate(dir + prefix, {
+      val rel =
+        s"inserts/$dir${prefix}part-$partitionId-$taskId-$uuid.parquet"
       insertRels += rel
       open(payloadSchema, rel)
     })
@@ -508,11 +537,18 @@ private[sources] final class GraftDynamicOverwriteBatchWrite(
       else CommitLog.metaRecords(fs, hPath).get("partition.cols")
         .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil)
+    val meta = branch match {
+      case Some(b) => CommitLog.branchHead(fs, hPath, b)._2.meta
+      case None => CommitLog.metaRecords(fs, hPath)
+    }
     GraftInsertWriterFactory(
       GraftRowLevel.writerFactory(stagingPath, dataSchema, partCols,
         // CHECK constraints evaluated per row in the same pass that
         // writes — no re-read of the staged batch at commit time
-        checks = GraftRowLevel.boundChecks(dataSchema, checks)))
+        checks = GraftRowLevel.boundChecks(dataSchema, checks),
+        bucketSpec = graft.operators.Bucketing.specOf(meta)
+          .filter { case (c, _) =>
+            dataSchema.fieldNames.contains(c) }))
   }
 
   override def commit(messages: Array[

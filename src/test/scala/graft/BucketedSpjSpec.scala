@@ -149,6 +149,23 @@ class BucketedSpjSpec extends SparkSpec {
       assert(df.count() == expected.size -
         expected.count(_.getLong(0) % 10 == 4))
     }
+    // row-level UPDATE routes its post-image rows to bucket files —
+    // the declaration SURVIVES DML and SPJ keeps serving
+    spark.sql("UPDATE spj1.db.a SET v = v + 1 WHERE k = 2")
+    val aPath = s"$root/db/a"
+    val (_, liveAfter) = CommitLog.ensureLoggedAt(
+      fsOf(aPath), new Path(aPath))
+    assert(liveAfter.forall(Bucketing.conforms(_, 8)),
+      s"DML delta files must bucket-route: $liveAfter")
+    assert(Bucketing.specOf(CommitLog.metaRecords(
+      fsOf(aPath), new Path(aPath))).contains(("k", 8)),
+      "the declaration must survive row-level DML")
+    spjConfs {
+      val df = spark.sql(q)
+      assert(shuffles(df) == 0 && bucketedScans(df) == 2,
+        s"SPJ must serve after DML:\n${df.queryExecution.executedPlan}")
+      assert(df.filter(col("k") === 2).head.getLong(1) == 7L)
+    }
   }
 
   test("compaction preserves bucket routing (SPJ survives); a commit " +
