@@ -123,6 +123,81 @@ object Sources {
       Try(spark.table(t).limit(1).collect()).isFailure
     }
 
+  /** Total byte size of a data path (file or directory, recursive) —
+    * the input-size signal [[streamShufflePartitions]] scales from.
+    * One driver-side fs call; manifest-free paths only (the graft
+    * format's own scans report exact sizes through the V2 stats). */
+  def pathBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Scale-adaptive shuffle-partition count for a STATEFUL streaming
+    * run. Stateful operators pin one state store per shuffle partition
+    * per micro-batch, and — unlike batch shuffles — AQE cannot coalesce
+    * them (stateful exchanges are excluded from adaptive execution), so
+    * `spark.sql.shuffle.partitions` left at the session default is a
+    * constant tuned to the CLUSTER, not the data: a fixture-sized
+    * replay on local[32] pays 32 state-store open/commit/checkpoint
+    * lifecycles per stateful operator per micro-batch (measured on
+    * q159_stream_pairs: 342.7 s of cumulative task time at 32 state
+    * partitions vs 13.4 s at 8 — the store lifecycle, not the data,
+    * was the cost), while a 100 TB/day feed would WANT thousands.
+    * Derive the count from the stream's input bytes against the
+    * session's advisory partition size (the same size signal AQE's
+    * batch coalescing targets): ceil(bytes / advisory), floor 1, cap
+    * 2^15. Deliberately NOT capped at the core count — a large input
+    * computes a large count regardless of the local machine. */
+  def streamShufflePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    math.max(1L, math.min(1L << 15, (inputBytes + advisory - 1) / advisory))
+      .toInt
+  }
+
+  /** Run `f` (a bounded streaming start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to `n`, restoring the previous
+    * value after. The conf is read by the stream at query start and
+    * pinned into its checkpoint's offset metadata, so the override must
+    * cover the whole run; batch plans evaluated after the restore are
+    * unaffected (and batch shuffles stay AQE-coalesced either way).
+    * Results are partitioning-independent — every caller is a keyed
+    * aggregation/join whose content does not depend on the layout. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
+  /** [[withShufflePartitions]] with the count derived from an input
+    * path's size — the one-line form the streaming queries use.
+    * `SPARK_GRAFT_STREAM_ADAPTIVE=off` disables the derivation (the
+    * run then keeps the session's `spark.sql.shuffle.partitions`),
+    * which is the A/B switch the round-15 optimization evidence uses
+    * and the escape hatch for a deployment that wants explicit
+    * control of its state layout. */
+  def withStreamPartitionsFor[A](spark: SparkSession, inputPath: String)
+                                (f: => A): A =
+    if (sys.env.get("SPARK_GRAFT_STREAM_ADAPTIVE").contains("off")) f
+    else withShufflePartitions(spark,
+      streamShufflePartitions(spark, pathBytes(spark, inputPath)))(f)
+
+  /** `q.awaitTermination()` plus an opt-in dump of the LAST micro-
+    * batch's executed physical plan (`SPARK_GRAFT_EXPLAIN_STREAM=1`) —
+    * the streaming analog of `df.explain("formatted")`, used to record
+    * the state-operator partitioning evidence in plans/r15 (a bounded
+    * stream's plan is otherwise gone with its temp checkpoint). */
+  def awaitExplained(q: org.apache.spark.sql.streaming.StreamingQuery)
+  : Unit = {
+    q.awaitTermination()
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_STREAM")) {
+      println(s"=== stream plan: ${q.name} ===")
+      q.explain()
+    }
+  }
+
   /** Recursive local-path delete for scratch staging/sink directories
     * (deepest-first, tolerant of already-missing entries). Runs inside
     * `finally` blocks, so it must never mask the primary exception: any

@@ -188,7 +188,7 @@ object AnalyticsQueries {
         (col("user_id") % 100 + 1).cast("string"))
     val vehicles = StarSchema.vehicles(s, dir)
       .select(col("vehicle_number"), col("carrier"))
-    val q = events
+    val agg = events
       .join(broadcast(vehicles), col("vehicle_number") === col("vehicle_no"))
       .groupBy("carrier")
       // value is summed as integer millis: double accumulation order
@@ -197,9 +197,13 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 1000).cast("long")).cast("long")
           .as("total_value_milli"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful run: state partitions derived from the input size, not
+    // the core count (Sources.streamShufflePartitions)
+    graft.io.Sources.withStreamPartitionsFor(s, s"$dir/events.parquet") {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      graft.io.Sources.awaitExplained(q)
+    }
     s.table(name).orderBy("carrier")
   }
 

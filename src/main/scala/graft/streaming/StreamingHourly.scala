@@ -60,13 +60,20 @@ object StreamingHourly {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful run: state partitions derived from the input size, not
+    // the core count (Sources.streamShufflePartitions — AQE cannot
+    // coalesce stateful exchanges, so the session constant would pin
+    // one state-store lifecycle per core per micro-batch)
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name)
       .select(col("w.start").as("hour_ts"), col("n_events"),
         col("sum_value"))
@@ -99,9 +106,15 @@ object StreamingHourly {
         col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("hour"), col("a_id"), col("b_id"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // input-sized state partitioning (see hourlyAgg) — a stream-stream
+    // join holds FOUR state stores per partition per batch, so the
+    // constant-32 layout cost 342.7 s of task time on this fixture
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name).orderBy("user_id", "hour", "a_id", "b_id")
   }
 
@@ -130,13 +143,17 @@ object StreamingHourly {
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-sized state partitioning (see hourlyAgg)
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name)
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
@@ -162,13 +179,17 @@ object StreamingHourly {
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // input-sized state partitioning (see hourlyAgg)
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name)
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
@@ -206,13 +227,16 @@ object StreamingHourly {
         .parquet(s"$root/feed")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
-      val q = deduped.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // input-sized state partitioning (see hourlyAgg)
+      graft.io.Sources.withStreamPartitionsFor(spark, s"$root/feed") {
+        val q = deduped.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        graft.io.Sources.awaitExplained(q)
+      }
       // cents-exact sum (the q125 discipline): a double sum would
       // depend on accumulation order, which the memory-sink batch does
       // not share with the oracle's scan order
@@ -260,9 +284,13 @@ object StreamingHourly {
         col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"),
       "left_outer")
       .select(col("user_id"), col("hour"), col("a_id"), col("b_id"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // input-sized state partitioning (see hourlyAgg)
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name)
       .orderBy(col("user_id"), col("hour"), col("a_id"),
         col("b_id").asc_nulls_last)
@@ -284,9 +312,13 @@ object StreamingHourly {
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // input-sized state partitioning (see hourlyAgg)
+    graft.io.Sources.withStreamPartitionsFor(spark,
+        s"$dir/events.parquet") {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      graft.io.Sources.awaitExplained(q)
+    }
     spark.table(name)
       .select(col("w.start").as("w_start"), col("n_events"), col("cents"))
       .orderBy("w_start")
@@ -350,9 +382,12 @@ object StreamingHourly {
             state.update(next)
             Iterator(RunOut(user, next.n, next.cents, next.updates))
         }
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitioning (see hourlyAgg)
+      graft.io.Sources.withStreamPartitionsFor(spark, s"$root/in") {
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        graft.io.Sources.awaitExplained(q)
+      }
       // final state per key = the emitted row with max n_events
       // (strictly increasing per update, so the max is unique)
       val fin = spark.table(name)
@@ -500,9 +535,13 @@ object StreamingHourly {
               col("qn"), col("dn")).as("cosine"),
             (-col("did")).as("neg_did")).as("cand"))
         .groupBy("qid").agg(max(col("cand")).as("best"))
-      val q = scored.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitioning (see hourlyAgg) — the state here
+      // is one best-match row per streamed query key
+      graft.io.Sources.withStreamPartitionsFor(spark, s"$root/qfeed") {
+        val q = scored.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        graft.io.Sources.awaitExplained(q)
+      }
       val out = spark.table(name)
         .select(col("qid"), (-col("best.neg_did")).as("best_did"),
           col("best.cosine").as("best_cosine"))
@@ -581,10 +620,16 @@ object StreamingHourly {
       val out = stream.groupByKey(_._1)
         .transformWithState[(Long, Long)](new TypeSetProcessor(),
           TimeMode.None(), OutputMode.Update())
-      val q = out.toDF("user_id", "n_types")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // input-sized state partitioning (see hourlyAgg) — doubly load-
+      // bearing here: each partition is a full RocksDB instance whose
+      // open/commit/snapshot lifecycle (native fsyncs included) runs
+      // per micro-batch whether or not the partition holds any state
+      graft.io.Sources.withStreamPartitionsFor(spark, s"$root/in") {
+        val q = out.toDF("user_id", "n_types")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        graft.io.Sources.awaitExplained(q)
+      }
       val fin = spark.table(name)
         .groupBy("user_id").agg(max("n_types").as("n_types"))
         .orderBy("user_id")

@@ -66,4 +66,38 @@ class SourcesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(ev.limit(1).count() == 1)
   }
+
+  test("streamShufflePartitions scales with input bytes, never the cores") {
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    // fixture-sized input → floor of 1 (not the 32-core session default)
+    assert(Sources.streamShufflePartitions(spark, 1L) == 1)
+    assert(Sources.streamShufflePartitions(spark, advisory) == 1)
+    // one advisory unit per partition, ceil semantics
+    assert(Sources.streamShufflePartitions(spark, advisory + 1) == 2)
+    assert(Sources.streamShufflePartitions(spark, 10 * advisory) == 10)
+    // large input computes a large count regardless of local cores —
+    // the anti-"tuned to local[32]" half of the contract
+    assert(Sources.streamShufflePartitions(spark, 1000 * advisory) == 1000)
+    // runaway inputs cap at 2^15 instead of overflowing the scheduler
+    assert(Sources.streamShufflePartitions(spark,
+      Long.MaxValue - advisory) == (1 << 15))
+  }
+
+  test("withShufflePartitions scopes the override and always restores") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = Sources.withShufflePartitions(spark, 3) {
+      spark.conf.get(key)
+    }
+    assert(inside == "3")
+    assert(spark.conf.get(key) == before)
+    // restores on failure too (the streaming run may throw)
+    intercept[RuntimeException] {
+      Sources.withShufflePartitions(spark, 5) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == before)
+  }
 }
