@@ -92,7 +92,17 @@ object Compact {
     // preserve-or-loudly-drop contract; CommitLog.commitNext's guard
     // is the drop half for rewrites that cannot route)
     val bucketSpec = Bucketing.specOf(CommitLog.metaRecords(fs, hPath))
-    val before = live.map(r => fs.getFileStatus(new Path(hPath, r)))
+    // ONE listStatus per parent directory instead of one getFileStatus
+    // RPC per live file (the GraftDataSource stats-batching discipline;
+    // on an object store the per-file HEAD calls dominate a deep
+    // layout's planning time)
+    val before: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val byDir = live.map(r => new Path(hPath, r)).groupBy(_.getParent)
+      byDir.toSeq.flatMap { case (d, paths) =>
+        val want = paths.map(_.getName).toSet
+        fs.listStatus(d).filter(st => want(st.getPath.getName))
+      }
+    }
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum
     val nLeafBins =

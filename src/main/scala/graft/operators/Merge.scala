@@ -223,7 +223,11 @@ object Merge {
       if (touched.isEmpty) batch
       else batch.join(touchedKeys, keyCols, "left_anti")
     val nUpdated = matched.count()
-    val nInserted = inserts.count()
+    // the semi/anti pair partitions the cached batch EXACTLY, so the
+    // insert count is arithmetic over the cached batch — the anti-join
+    // count job (one more keys-scan of every touched file) is never run
+    // (guide §1.2: remove unnecessary passes)
+    val nInserted = batch.count() - nUpdated
 
     // 3. rewrite = touched files' unmatched rows + matched payloads;
     // inserts ride the same write. Written to a scratch dir first so a
@@ -351,7 +355,10 @@ object Merge {
       val touchedRows = touchedScan(spark, hPath, touchedRel,
         cms, cts, sinkSchema)
       val kept = touchedRows.join(batch, keyCols, "left_anti")
-      deleted = touchedRows.count() - kept.count()
+      // one KEYS-ONLY pruned semi-join count instead of two full
+      // touched-file count jobs (count(full) − count(kept) re-read
+      // every touched column twice; guide §1.2 / §2.3 project early)
+      deleted = touchedRows.join(batch, keyCols, "left_semi").count()
       val tmp = new Path(hPath.getParent, hPath.getName + "__erase_tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       writeRewrite(kept, tmp, partColsOf(live))
@@ -413,24 +420,39 @@ object Merge {
         changes.columns.sorted.mkString(","))
     val batch = changes.cache()
     try {
-    // empty feed no-ops in ONE job (a streaming CDF replica's idle
-    // windows land here every trigger) — only the ledger advances
-    // when the caller is tracking exactly-once windows. The advance
-    // is a no-file blind append, so it REBASES past any concurrent
-    // commit (a terminal CAS here would kill a standing replica's
-    // idle trigger whenever maintenance raced it).
-    if (batch.isEmpty) {
+    // An empty feed no-ops (a streaming CDF replica's idle windows
+    // land here every trigger) — only the ledger advances when the
+    // caller is tracking exactly-once windows. The advance is a
+    // no-file blind append, so it REBASES past any concurrent commit
+    // (a terminal CAS here would kill a standing replica's idle
+    // trigger whenever maintenance raced it).
+    // ONE aggregation job answers emptiness, the net-batch guard AND
+    // the upsert count (the old shape ran isEmpty + a conflict count as
+    // two separate jobs and later an anti-join count for the inserts —
+    // three passes over the batch/touched files that this arithmetic
+    // replaces; guide §1.2). `first(op)` per key is exact because a net
+    // batch carries one row per key — and when it doesn't, the require
+    // below throws before the value is used.
+    val pre = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), first(col(opCol)).as("__op"))
+      .agg(count(lit(1)).as("__keys"),
+        coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("__conflicts"),
+        coalesce(sum(when(col("__op") === "U", 1L).otherwise(0L)),
+          lit(0L)).as("__upserts"))
+      .head()
+    if (pre.getLong(0) == 0L) {
       txn.foreach { case (app, v) =>
         CommitLog.commitAppend(fs, hPath, baseGen, live, Nil,
           txn = Some((app, v)))
       }
       return CdcStats(live.length.toLong, 0L, 0L, 0L, 0L)
     }
-    val nConflict = batch.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    val nConflict = pre.getLong(1)
     require(nConflict == 0,
       s"CDC batch is not net: $nConflict keys carry more than one op — " +
         "collapse it first (q198's net-effect reduction)")
+    val nUpserts = pre.getLong(2)
     val upserts = batch.filter(col(opCol) === "U").drop(opCol)
     // CHECK constraints gate the rows that will LAND (U payloads; a
     // delete op's payload columns are ignored by contract)
@@ -461,7 +483,10 @@ object Merge {
       if (touched.isEmpty) upserts
       else upserts.join(touchedKeys, keyCols, "left_anti")
     val nUpdated = matched.count()
-    val nInserted = inserts.count()
+    // semi/anti partition the upserts exactly; the count is arithmetic
+    // (nUpserts from the one pre-aggregation above), not another
+    // touched-file keys scan
+    val nInserted = nUpserts - nUpdated
     val nDeleted =
       if (touched.isEmpty) 0L
       else touchedKeys.join(delKeys, keyCols, "left_semi").count()
