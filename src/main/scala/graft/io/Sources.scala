@@ -149,12 +149,46 @@ object Sources {
     * batch coalescing targets): ceil(bytes / advisory), floor 1, cap
     * 2^15. Deliberately NOT capped at the core count — a large input
     * computes a large count regardless of the local machine. */
-  def streamShufflePartitions(spark: SparkSession, inputBytes: Long): Int = {
+  def streamShufflePartitions(spark: SparkSession, inputBytes: Long): Int =
+    sizeDerivedPartitions(spark, BigInt(inputBytes))
+
+  /** ceil(bytes / advisory), floor 1, cap 2^15 — the shared formula
+    * behind [[streamShufflePartitions]] and [[sizedForWrite]]. BigInt
+    * ceil division: the additive `(b + a - 1) / a` form overflowed
+    * Long for inputs within `advisory` of Long.MaxValue, returning the
+    * 1-partition floor for exactly the largest inputs. */
+  private def sizeDerivedPartitions(spark: SparkSession,
+                                    bytes: BigInt): Int = {
     val advisory = spark.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
-    math.max(1L, math.min(1L << 15, (inputBytes + advisory - 1) / advisory))
-      .toInt
+    val n = (bytes + advisory - 1) / advisory
+    n.max(1).min(1 << 15).toInt
   }
+
+  /** Scale-adaptive OUTPUT sizing for a sink write (guide §2.2/§6):
+    * coalesce the batch so the number of staged files follows the
+    * batch's BYTES (ceil(estimate / advisoryPartitionSizeInBytes),
+    * floor 1, cap 2^15), never the session's task count. Without this
+    * every flat graft write landed one file per leaf task — and leaf
+    * scan splitting targets `spark.sql.files.minPartitionNum` ≈ the
+    * CORE count, so a fixture-sized append on local[32] staged 32 tiny
+    * files, each billing a create+fsync+rename at staging AND a rename
+    * at move-in plus a manifest entry (the per-core fs-op overhead that
+    * made the write family 1.4–5.6× FASTER at 8 cores than 32), while
+    * at 100 TB the same constant under-parallelizes. `coalesce` never
+    * increases the partition count and inserts no shuffle, so the
+    * plan's compute shape is untouched when the estimate says the
+    * batch is already right-sized; frames whose size Catalyst cannot
+    * estimate (e.g. rewrapped micro-batches, which report
+    * `defaultSizeInBytes`) hit the cap and pass through unchanged.
+    * Results are layout-independent — file counts change, rows never
+    * do. `SPARK_GRAFT_WRITE_ADAPTIVE=off` restores the old behavior
+    * (the A/B switch and the escape hatch for a deployment that wants
+    * explicit layout control). */
+  def sizedForWrite(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_WRITE_ADAPTIVE").contains("off")) df
+    else df.coalesce(sizeDerivedPartitions(df.sparkSession,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes))
 
   /** Run `f` (a bounded streaming start + awaitTermination) with
     * `spark.sql.shuffle.partitions` set to `n`, restoring the previous
@@ -163,7 +197,24 @@ object Sources {
     * cover the whole run; batch plans evaluated after the restore are
     * unaffected (and batch shuffles stay AQE-coalesced either way).
     * Results are partitioning-independent — every caller is a keyed
-    * aggregation/join whose content does not depend on the layout. */
+    * aggregation/join whose content does not depend on the layout.
+    *
+    * CONSTRAINTS (scope of validity):
+    *   - single-threaded sessions only: the override mutates the
+    *     session-wide conf for the duration of `f`, so a concurrent
+    *     query started on the same SparkSession inside that window
+    *     would silently inherit the stream-sized value (and
+    *     interleaved calls could restore a stale one). Every caller in
+    *     this repo runs its bounded replay on the session's only
+    *     thread; a multi-tenant deployment should run the override on
+    *     a cloned session (`spark.newSession()` isolates SQLConf while
+    *     sharing the state-store coordinator).
+    *   - bounded (AvailableNow/replay) runs only: a STANDING stream
+    *     pins the count into its checkpoint forever, so deriving it
+    *     from the first trigger's input would lock a backfill-sized
+    *     layout for the stream's life — floor an unbounded stream at a
+    *     deployment minimum instead of calling this with a first-batch
+    *     estimate. */
   def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

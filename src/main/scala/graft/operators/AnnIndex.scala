@@ -163,8 +163,11 @@ object AnnIndex {
       else {
         val rel = CommitLog.AnnDirName + "/" +
           java.util.UUID.randomUUID().toString
-        assignFiles(spark, hPath, targets, cms, cts, meta, column,
-          idColumn, centroidsOf(spark, hPath, centroidRel))
+        // postings file count ∝ bytes, never task count
+        // (Sources.sizedForWrite — guide §2.2/§6)
+        graft.io.Sources.sizedForWrite(
+            assignFiles(spark, hPath, targets, cms, cts, meta, column,
+              idColumn, centroidsOf(spark, hPath, centroidRel)))
           .write.parquet(new Path(hPath, rel).toString)
         targets.map { f =>
           f -> Map(physOf(cms.getOrElse(f, Map.empty), column) -> rel)
@@ -381,12 +384,16 @@ object AnnIndex {
       else {
         val rel = CommitLog.AnnDirName + "/" +
           java.util.UUID.randomUUID().toString + "-codes"
-        assignCodes(sliceQ(postsOf(targets)
-              .select(col("file"), col("pos"), col("did"), col("de")),
-            Seq("file", "pos", "did"), "de", subspaces, dims),
-          Seq("file", "pos", "did"), cb)
-          .select(col("file"), col("pos"), col("did"), col("m"),
-            col("cid").as("code"))
+        // codes file count ∝ bytes, never task count
+        // (Sources.sizedForWrite — guide §2.2/§6)
+        graft.io.Sources.sizedForWrite(
+            assignCodes(sliceQ(postsOf(targets)
+                  .select(col("file"), col("pos"), col("did"),
+                    col("de")),
+                Seq("file", "pos", "did"), "de", subspaces, dims),
+              Seq("file", "pos", "did"), cb)
+              .select(col("file"), col("pos"), col("did"), col("m"),
+                col("cid").as("code")))
           .write.parquet(new Path(hPath, rel).toString)
         targets.map { f =>
           f -> Map((physOf(cms.getOrElse(f, Map.empty), column) +

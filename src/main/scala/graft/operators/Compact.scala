@@ -98,10 +98,26 @@ object Compact {
     // layout's planning time)
     val before: Seq[org.apache.hadoop.fs.FileStatus] = {
       val byDir = live.map(r => new Path(hPath, r)).groupBy(_.getParent)
-      byDir.toSeq.flatMap { case (d, paths) =>
+      val found = byDir.toSeq.flatMap { case (d, paths) =>
         val want = paths.map(_.getName).toSet
         fs.listStatus(d).filter(st => want(st.getPath.getName))
       }
+      // fail-loud on manifest/filesystem disagreement: the per-file
+      // getFileStatus this listing replaced threw FileNotFoundException
+      // for a vanished live file; a silent drop here would understate
+      // totalBytes/bin targets and could report a clean no-op on a
+      // corrupt sink (preserve-or-loudly-drop)
+      require(found.size == live.size,
+        s"compactSink: ${live.size - found.size} live file(s) of " +
+          s"$path are missing on disk: ${
+            (live.map(r => new Path(hPath, r).toString).toSet --
+              found.map(_.getPath.toString).toSet).toSeq.sorted.take(5)
+              .mkString(", ")}")
+      // deterministic order: groupBy is hash-ordered, and
+      // before.head's footer is the partitioned read's schema source —
+      // on a mixed-footer (evolved) sink the winner must not be
+      // run-dependent
+      found.sortBy(_.getPath.toString)
     }
     if (before.isEmpty) return (0L, 0L)
     val totalBytes = before.map(_.getLen).sum

@@ -364,7 +364,10 @@ object DeleteVectors {
     partitionCol match {
       case Some(p) => conformed.repartition(col(p))
         .write.partitionBy(p).parquet(tmp.toString)
-      case None => conformed.write.parquet(tmp.toString)
+      // flat appends: file count ∝ update bytes, never task count
+      // (Sources.sizedForWrite — guide §2.2/§6)
+      case None => graft.io.Sources.sizedForWrite(conformed)
+        .write.parquet(tmp.toString)
     }
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)
@@ -653,7 +656,9 @@ object DeleteVectors {
       kept.repartition(partCols.map(col).toIndexedSeq: _*)
         .write.partitionBy(partCols.toIndexedSeq: _*)
         .parquet(tmp.toString)
-    else kept.write.parquet(tmp.toString)
+    // flat rewrite: file count ∝ surviving bytes, never task count
+    // (Sources.sizedForWrite — guide §2.2/§6)
+    else graft.io.Sources.sizedForWrite(kept).write.parquet(tmp.toString)
     // add → COMMIT → delete, exactly the Compact swap
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)

@@ -127,7 +127,15 @@ object Merge {
     * round-trip exactly. */
   private def writeRewrite(df: DataFrame, tmp: Path,
                            partCols: Seq[String]): Unit =
-    if (partCols.isEmpty) df.write.parquet(tmp.toString)
+    // flat sinks: rewritten file count follows the touched BYTES
+    // (Sources.sizedForWrite), never the plan's task count — a
+    // broadcast-joined rewrite otherwise inherits the scan's
+    // minPartitionNum ≈ core-count splitting and lands one tiny file
+    // per task (guide §2.2/§6). Partitioned sinks already route one
+    // file per partition value via the keyed repartition (whose
+    // partition count AQE right-sizes).
+    if (partCols.isEmpty)
+      graft.io.Sources.sizedForWrite(df).write.parquet(tmp.toString)
     else df.repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(tmp.toString)
 

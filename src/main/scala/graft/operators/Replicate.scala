@@ -60,7 +60,9 @@ object Replicate {
     // between the generation read and the copy would otherwise leave
     // the ledger claiming less than the replica holds, and the first
     // sync would re-apply a window (idempotent, but a wasted rewrite)
-    CommitLog.readAt(spark, up, gUp)
+    // seed file count ∝ snapshot bytes, never the scan's task count
+    // (Sources.sizedForWrite — guide §2.2/§6)
+    graft.io.Sources.sizedForWrite(CommitLog.readAt(spark, up, gUp))
       .write.mode("overwrite").parquet(down)
     val (g0, live) = CommitLog.ensureLoggedAt(fsDown, hDown)
     CommitLog.commitNext(fsDown, hDown, g0, live,

@@ -521,7 +521,10 @@ object SchemaEvolve {
       mapped.repartition(partCols.map(col).toIndexedSeq: _*)
         .write.partitionBy(partCols.toIndexedSeq: _*)
         .parquet(tmp.toString)
-    else mapped.write.parquet(tmp.toString)
+    // flat rewrite: file count ∝ target bytes, never task count
+    // (Sources.sizedForWrite — guide §2.2/§6)
+    else graft.io.Sources.sizedForWrite(mapped)
+      .write.parquet(tmp.toString)
     // add → COMMIT → delete, the Compact/applyDeletes swap
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)

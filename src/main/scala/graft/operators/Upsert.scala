@@ -547,7 +547,10 @@ object Upsert {
     partitionCol match {
       case Some(p) => delta.repartition(col(p))
         .write.mode("append").partitionBy(p).parquet(writeTarget)
-      case None => delta.write.mode("append").parquet(writeTarget)
+      // flat appends: file count ∝ delta bytes, never task count
+      // (Sources.sizedForWrite — guide §2.2/§6)
+      case None => graft.io.Sources.sizedForWrite(delta)
+        .write.mode("append").parquet(writeTarget)
     }
     var n = watch.rows()
     liveBefore.foreach { case (baseGen, lv) =>

@@ -61,6 +61,47 @@ object MaintenanceQueries {
         .coalesce(1).write.parquet(s"$r/updates")
     }
 
+  /** Shared seed of the stats-pruning / DSv2-read / meta-tables family
+    * (q329/q331/q337 — the [[SharedFixtures]] discipline): the 7-file
+    * year-clustered orders sink, logged and ANALYZEd on o_orderdate,
+    * built once per JVM. Three queries previously each re-ran the same
+    * 7 per-year append jobs + the ANALYZE pass; each now copies the
+    * seeded tree and mutates (or just reads) the copy. Content is
+    * identical to what each query built privately — oracles
+    * unaffected. */
+  private[queries] def ordersYearFixture(s: SparkSession, dir: String)
+  : String =
+    SharedFixtures.seeded(s, dir, "orders_year") { r =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      (1995 to 2001).foreach { y =>
+        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
+          .write.mode("append").parquet(s"$r/sink")
+      }
+      val hPath = new org.apache.hadoop.fs.Path(s"$r/sink")
+      graft.operators.CommitLog.ensureLoggedAt(
+        hPath.getFileSystem(s.sparkContext.hadoopConfiguration), hPath)
+      graft.operators.TableStats.analyze(s, s"$r/sink",
+        Seq("o_orderdate"))
+    }
+
+  /** [[ordersYearFixture]]'s EVOLVED stage (q331/q337): the same sink
+    * after the predicate delete (`o_orderkey % 10 = 3` → deletion
+    * vectors on all 7 files) and the `o_orderdate → order_ts` rename —
+    * exactly the mutation sequence both queries ran privately, so the
+    * copied manifest chain carries the identical
+    * bootstrap → analyze → delete → schema-evolve history both pin. */
+  private[queries] def ordersYearEvolvedFixture(s: SparkSession,
+                                                dir: String): String =
+    SharedFixtures.seeded(s, dir, "orders_year_evolved") { r =>
+      val base = ordersYearFixture(s, dir)
+      SharedFixtures.copyInto(s, s"$base/sink", s"$r/sink")
+      graft.operators.DeleteVectors.deleteWhere(s, s"$r/sink",
+        col("o_orderkey") % 10 === 3)
+      graft.operators.SchemaEvolve.renameColumn(s, s"$r/sink",
+        "o_orderdate", "order_ts")
+    }
+
   /** Shared seed of the CDF-streaming replica (q339): the keyed
     * orders sink with its two snapshot generations, plus the empty
     * replica — copied per invocation, streamed privately. */
@@ -1549,16 +1590,13 @@ object MaintenanceQueries {
       .toString
     val sink = s"$root/sink"
     try {
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      (1995 to 2001).foreach { y =>
-        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
-          .write.mode("append").parquet(sink)
-      }
+      // the seeded 7-file year-clustered + ANALYZEd sink
+      // (ordersYearFixture), copied per invocation — content identical
+      // to the 7 private append jobs + ANALYZE this query ran before
+      SharedFixtures.copyInto(s,
+        s"${MaintenanceQueries.ordersYearFixture(s, dir)}/sink", sink)
       val hPath = new org.apache.hadoop.fs.Path(sink)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      CommitLog.ensureLoggedAt(fs, hPath)
-      TableStats.analyze(s, sink, Seq("o_orderdate"))
       val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1998-12-31 23:59:59")
       val (keep, skip) = TableStats.pruneBand(fs, hPath,
@@ -1683,19 +1721,18 @@ object MaintenanceQueries {
       .toString
     val sink = s"$root/sink"
     try {
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      (1995 to 2001).foreach { y =>
-        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
-          .write.mode("append").parquet(sink)
-      }
+      // the seeded evolved sink (ordersYearEvolvedFixture): 7
+      // year-clustered files + ANALYZE + predicate delete + rename,
+      // copied per invocation — the identical mutation sequence this
+      // query ran privately before
+      SharedFixtures.copyInto(s,
+        s"${MaintenanceQueries.ordersYearEvolvedFixture(s, dir)}/sink",
+        sink)
       val hPath = new org.apache.hadoop.fs.Path(sink)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      CommitLog.ensureLoggedAt(fs, hPath)
-      TableStats.analyze(s, sink, Seq("o_orderdate"))
-      DeleteVectors.deleteWhere(s, sink, col("o_orderkey") % 10 === 3)
-      val genPre = CommitLog.committed(fs, hPath).get._1
-      SchemaEvolve.renameColumn(s, sink, "o_orderdate", "order_ts")
+      // the rename is the chain's last single commit, so the
+      // pre-rename snapshot is exactly one generation back
+      val genPre = CommitLog.committed(fs, hPath).get._1 - 1
       val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1998-12-31 23:59:59")
       val band = col("order_ts") >= lit(lo) && col("order_ts") <= lit(hi)
@@ -2082,18 +2119,11 @@ object MaintenanceQueries {
       .toString
     val sink = s"$root/sink"
     try {
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      (1995 to 2001).foreach { y =>
-        orders.filter(year(col("o_orderdate")) === y).coalesce(1)
-          .write.mode("append").parquet(sink)
-      }
-      val hPath = new org.apache.hadoop.fs.Path(sink)
-      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      CommitLog.ensureLoggedAt(fs, hPath)
-      TableStats.analyze(s, sink, Seq("o_orderdate"))
-      DeleteVectors.deleteWhere(s, sink, col("o_orderkey") % 10 === 3)
-      SchemaEvolve.renameColumn(s, sink, "o_orderdate", "order_ts")
+      // the seeded evolved sink (ordersYearEvolvedFixture), copied per
+      // invocation — identical mutation sequence to the private build
+      SharedFixtures.copyInto(s,
+        s"${MaintenanceQueries.ordersYearEvolvedFixture(s, dir)}/sink",
+        sink)
       val files = s.read.format("graft")
         .option("metadata", "files").load(sink)
       val agg = files.agg(

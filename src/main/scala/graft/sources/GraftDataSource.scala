@@ -700,6 +700,24 @@ private[sources] final class GraftMetaRelation(
 
   override def schema: StructType = GraftMetaTable.schemaOf(kind)
 
+  /** Live-file lengths via ONE listStatus per parent directory instead
+    * of one getFileStatus RPC per file (the Compact/stats batching
+    * discipline — on an object store per-file HEADs dominate a deep
+    * layout's planning). A file missing from its directory's listing
+    * (vacuum already reclaimed a versionAsOf snapshot's file) is simply
+    * absent from the map, preserving the per-file tolerance the old
+    * getFileStatus catch provided; a whole missing directory reports
+    * all its files absent the same way. */
+  private def batchLens(fs: FileSystem, hPath: Path,
+                        files: Seq[String]): Map[String, Long] =
+    files.map(r => r -> new Path(hPath, r)).groupBy(_._2.getParent)
+      .toSeq.flatMap { case (d, entries) =>
+        val want = entries.map { case (r, p) => p.getName -> r }.toMap
+        try fs.listStatus(d).toSeq.flatMap(st =>
+          want.get(st.getPath.getName).map(_ -> st.getLen))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toMap
+
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val df = kind match {
@@ -710,10 +728,8 @@ private[sources] final class GraftMetaRelation(
         val fs = hPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val m = state.manifest
-        val size = m.files.map { f =>
-          try fs.getFileStatus(new Path(hPath, f)).getLen
-          catch { case _: java.io.FileNotFoundException => 0L }
-        }.sum
+        val lens = batchLens(fs, hPath, m.files)
+        val size = m.files.map(lens.getOrElse(_, 0L)).sum
         val tags = m.meta.collect {
           case (k, v) if k.startsWith(CommitLog.TagMetaPrefix) =>
             s"${k.stripPrefix(CommitLog.TagMetaPrefix)}=$v"
@@ -740,13 +756,12 @@ private[sources] final class GraftMetaRelation(
           spark.sparkContext.hadoopConfiguration)
         val m = state.manifest
         import spark.implicits._
+        val lens = batchLens(fs, hPath, m.files)
         m.files.map { f =>
           // a versionAsOf snapshot may reference files vacuum already
           // reclaimed — the rest of the row is manifest arithmetic, so
           // report bytes = -1 rather than failing the metadata table
-          val bytes =
-            try fs.getFileStatus(new Path(hPath, f)).getLen
-            catch { case _: java.io.FileNotFoundException => -1L }
+          val bytes = lens.getOrElse(f, -1L)
           (f, bytes,
             m.dvs.contains(f), m.dvMarks.get(f),
             m.stats.getOrElse(f, Map.empty).size.toLong,
@@ -1394,9 +1409,19 @@ private[graft] object GraftWriter {
     val stageParts = partCols ++
       bucketSpec.map(_ => graft.operators.Bucketing.StageCol)
     try {
+      // staged file count follows the batch's BYTES, never the leaf
+      // task count (guide §2.2/§6 — see Sources.sizedForWrite):
+      // without this a fixture-sized append staged one tiny file per
+      // scan split (≈ the core count), each billing
+      // create+fsync+rename twice plus a manifest entry. Inside the
+      // try: the sizing estimate optimizes the plan, and optimization
+      // of a local-relation batch can evaluate the CHECK assert_true
+      // inline — that refusal must unwrap to the same loud
+      // IllegalArgumentException as a task-side one.
+      val sized = graft.io.Sources.sizedForWrite(routed)
       if (stageParts.nonEmpty)
-        routed.write.partitionBy(stageParts: _*).parquet(tmp.toString)
-      else routed.write.parquet(tmp.toString)
+        sized.write.partitionBy(stageParts: _*).parquet(tmp.toString)
+      else sized.write.parquet(tmp.toString)
     } catch {
       case t: Throwable =>
         try fs.delete(tmp, true)

@@ -105,16 +105,27 @@ class AnnIndexSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE ann2.db")
     vectors(0L until 60L).repartition(2)
       .write.format("graft").mode("append").saveAsTable("ann2.db.e")
+    // the build indexes every record-less LIVE file — derive the
+    // expectation from the manifest, not from the writer's file
+    // count (the format writer right-sizes staged files by bytes)
+    val hp2 = new Path(s"$root/db/e")
+    val fs2 = hp2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def live() = graft.operators.CommitLog
+      .ensureLoggedAt(fs2, hp2)._2.size.toLong
+    val nSeed = live()
+    assert(nSeed >= 1L)
     val r = spark.sql(
       "CALL ann2.system.build_ann('db.e', num_centroids => 4)").head
-    assert(r.getLong(0) == 2L, r.toString)
-    // catch-up after an append indexes only the new file
+    assert(r.getLong(0) == nSeed, r.toString)
+    // catch-up after an append indexes only the new file(s)
     vectors(60L until 80L).coalesce(1)
       .write.format("graft").mode("append")
       .option("path", s"$root/db/e").save()
+    val nAdded = live() - nSeed
+    assert(nAdded >= 1L)
     val r2 = spark.sql(
       "CALL ann2.system.build_ann('db.e', num_centroids => 4)").head
-    assert(r2.getLong(0) == 1L, r2.toString)
+    assert(r2.getLong(0) == nAdded, r2.toString)
     val got = AnnIndex.topK(spark, s"$root/db/e",
       vectors(0L until 3L), nProbe = 2, k = 2)
     assert(got.count() == 6L)

@@ -281,4 +281,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(h0.getDouble(2) == sc.toDouble / n.toDouble)
     assert(h0.getDouble(3) == maxdev.toDouble / n.toDouble)
   }
+
+  test("compactSink fails loudly when a manifest live file is missing " +
+      "on disk (batched listing must not silently undercount)") {
+    val root = java.nio.file.Files.createTempDirectory("cmiss").toString
+    val sink = s"$root/sink"
+    try {
+      spark.range(1000).selectExpr("id", "id * 2 AS v")
+        .repartition(3).write.parquet(sink)
+      val hp = new org.apache.hadoop.fs.Path(sink)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, live) = graft.operators.CommitLog.ensureLoggedAt(fs, hp)
+      assert(live.size == 3)
+      // simulate manifest/filesystem disagreement: one live file gone
+      fs.delete(new org.apache.hadoop.fs.Path(hp, live.head), false)
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Compact.compactSink(spark, sink,
+          targetBytes = 1L)
+      }
+      assert(e.getMessage.contains("missing on disk"), e.getMessage)
+      assert(e.getMessage.contains(live.head), e.getMessage)
+    } finally graft.io.Sources.deleteRecursively(root)
+  }
 }

@@ -82,6 +82,34 @@ class SourcesSpec extends SparkSpec {
     // runaway inputs cap at 2^15 instead of overflowing the scheduler
     assert(Sources.streamShufflePartitions(spark,
       Long.MaxValue - advisory) == (1 << 15))
+    // overflow guard: inputs within `advisory` of Long.MaxValue must
+    // hit the cap, not wrap negative into the 1-partition floor
+    assert(Sources.streamShufflePartitions(spark,
+      Long.MaxValue) == (1 << 15))
+    assert(Sources.streamShufflePartitions(spark,
+      Long.MaxValue - 1) == (1 << 15))
+  }
+
+  test("sizedForWrite right-sizes staged output by bytes, never the " +
+    "session task count") {
+    import org.apache.spark.sql.functions.col
+    // a fixture-sized scan splits into many leaf tasks on a many-core
+    // session; the write-side frame must coalesce to the byte-derived
+    // count (floor 1), so a tiny append stages ONE file, not one per
+    // core
+    val tiny = Sources.table(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"))
+    assert(Sources.sizedForWrite(tiny).rdd.getNumPartitions == 1)
+    // coalesce never INCREASES parallelism: a frame whose size
+    // estimate is unknown (defaultSizeInBytes) hits the 2^15 cap and
+    // passes through with its own partitioning
+    val opaque = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)),
+        3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType))))
+    assert(Sources.sizedForWrite(opaque).rdd.getNumPartitions == 3)
   }
 
   test("withShufflePartitions scopes the override and always restores") {
