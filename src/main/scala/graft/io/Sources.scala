@@ -190,6 +190,19 @@ object Sources {
     else df.coalesce(sizeDerivedPartitions(df.sparkSession,
       df.queryExecution.optimizedPlan.stats.sizeInBytes))
 
+  /** DataFrameWriter for graft-INTERNAL writes (staging dirs, logged
+    * sinks, index sidecars): suppresses the job-level `_SUCCESS`
+    * marker — the commit log's manifest IS the completion marker for
+    * every graft surface, and nothing in the engine reads the flag
+    * file, so its create (+ checksum sidecar on local filesystems,
+    * + PUT on object stores) is one pure wasted fs op per write
+    * (guide §6: per-op costs dominate small writes). User-facing
+    * writes through public Spark APIs are untouched. */
+  def internalWriter(df: DataFrame)
+  : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.option(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+
   /** Run `f` (a bounded streaming start + awaitTermination) with
     * `spark.sql.shuffle.partitions` set to `n`, restoring the previous
     * value after. The conf is read by the stream at query start and

@@ -148,7 +148,8 @@ object AnnIndex {
           iters)
         val rel = CommitLog.AnnDirName + "/" +
           java.util.UUID.randomUUID().toString + "-centroids"
-        cents.coalesce(1).write.parquet(new Path(hPath, rel).toString)
+        graft.io.Sources.internalWriter(cents.coalesce(1))
+          .parquet(new Path(hPath, rel).toString)
         (rel, true)
     }
     // 2. catch-up: exactly the files with no record for the column
@@ -165,10 +166,10 @@ object AnnIndex {
           java.util.UUID.randomUUID().toString
         // postings file count ∝ bytes, never task count
         // (Sources.sizedForWrite — guide §2.2/§6)
-        graft.io.Sources.sizedForWrite(
+        graft.io.Sources.internalWriter(graft.io.Sources.sizedForWrite(
             assignFiles(spark, hPath, targets, cms, cts, meta, column,
-              idColumn, centroidsOf(spark, hPath, centroidRel)))
-          .write.parquet(new Path(hPath, rel).toString)
+              idColumn, centroidsOf(spark, hPath, centroidRel))))
+          .parquet(new Path(hPath, rel).toString)
         targets.map { f =>
           f -> Map(physOf(cms.getOrElse(f, Map.empty), column) -> rel)
         }.toMap
@@ -368,7 +369,8 @@ object AnnIndex {
             Similarity.dotQ(col("ce"), col("ce")).as("cn"))
         val rel = CommitLog.AnnDirName + "/" +
           java.util.UUID.randomUUID().toString + "-pq"
-        cb.coalesce(1).write.parquet(new Path(hPath, rel).toString)
+        graft.io.Sources.internalWriter(cb.coalesce(1))
+          .parquet(new Path(hPath, rel).toString)
         (rel, d, true)
     }
     val cb = spark.read.parquet(new Path(hPath, cbRel).toString)
@@ -386,15 +388,15 @@ object AnnIndex {
           java.util.UUID.randomUUID().toString + "-codes"
         // codes file count ∝ bytes, never task count
         // (Sources.sizedForWrite — guide §2.2/§6)
-        graft.io.Sources.sizedForWrite(
+        graft.io.Sources.internalWriter(graft.io.Sources.sizedForWrite(
             assignCodes(sliceQ(postsOf(targets)
                   .select(col("file"), col("pos"), col("did"),
                     col("de")),
                 Seq("file", "pos", "did"), "de", subspaces, dims),
               Seq("file", "pos", "did"), cb)
               .select(col("file"), col("pos"), col("did"), col("m"),
-                col("cid").as("code")))
-          .write.parquet(new Path(hPath, rel).toString)
+                col("cid").as("code"))))
+          .parquet(new Path(hPath, rel).toString)
         targets.map { f =>
           f -> Map((physOf(cms.getOrElse(f, Map.empty), column) +
             "#pq") -> rel)

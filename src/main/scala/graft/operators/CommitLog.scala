@@ -1988,6 +1988,73 @@ object CommitLog {
       case Some(gAndLive) => gAndLive
     }
 
+  /** [[ensureLoggedAt]] returning the FULL parsed manifest: one
+    * log-dir listing + one (cached) manifest parse serve every record
+    * family a writer consults — live files, DVs, colmaps/coltypes,
+    * checks, meta, txns, stats. The per-family accessors
+    * ([[colmapRecords]], [[checkRecords]], …) each re-list the log dir
+    * to find the latest generation, so an operator calling five of
+    * them paid five listings (+ five cache-key stat calls) per
+    * invocation — per-call fs ops an object store bills individually
+    * (guide §6). Writers that need more than one family should take
+    * this snapshot once and read its fields. */
+  private[graft] def ensureSnapshotAt(fs: FileSystem, sink: Path)
+  : (Long, Manifest) = {
+    val (gen, _) = ensureLoggedAt(fs, sink)
+    (gen, manifestAt(fs, sink, gen))
+  }
+
+  /** [[requireChecks]] over a PREFETCHED constraint map (one manifest
+    * snapshot serving the whole operator call — see
+    * [[ensureSnapshotAt]]). */
+  private[graft] def requireChecksIn(checks: Map[String, String],
+                                     batch: DataFrame,
+                                     op: String): Unit =
+    checks.foreach { case (name, e) =>
+      val pass = org.apache.spark.sql.functions.expr(e)
+      val offender = batch.filter(
+        !org.apache.spark.sql.functions.coalesce(pass,
+          org.apache.spark.sql.functions.lit(false))).take(1)
+      require(offender.isEmpty,
+        s"$op: batch violates CHECK constraint '$name' ($e) — first " +
+          s"offender: ${offender.headOption.fold("")(_.toString)}")
+    }
+
+  /** [[requireNoColmaps]] over PREFETCHED mapping maps. */
+  private[operators] def requireNoColmapsIn(
+      cms: Map[String, Map[String, String]],
+      cts: Map[String, Map[String, String]],
+      op: String,
+      files: Option[Seq[String]] = None): Unit = {
+    val mapped = cms.keySet ++ cts.keySet
+    val hit = files match {
+      case None => mapped.toSeq
+      case Some(fl) => fl.filter(mapped)
+    }
+    require(hit.isEmpty,
+      s"$op reads files by physical column name but these carry a " +
+        s"column mapping (${hit.sorted.take(3).mkString(", ")}${
+          if (hit.size > 3) ", …" else ""}) — run " +
+        "SchemaEvolve.normalize first to rewrite them to the logical " +
+        "schema")
+  }
+
+  /** [[requireNoDvs]] over a PREFETCHED DV map. */
+  private[operators] def requireNoDvsIn(dvs: Map[String, String],
+                                        sink: Path, op: String,
+                                        files: Option[Seq[String]] =
+                                          None): Unit = {
+    val hit = files match {
+      case None => dvs.keys.toSeq
+      case Some(fl) => fl.filter(dvs.contains)
+    }
+    require(hit.isEmpty,
+      s"$op would rewrite files with unapplied deletion vectors " +
+        s"(${hit.sorted.take(3).mkString(", ")}${
+          if (hit.size > 3) ", …" else ""}) — run " +
+        s"DeleteVectors.applyDeletes on $sink first")
+  }
+
   /** [[ensureLoggedAt]] for callers that only need the live set. */
   def ensureLogged(fs: FileSystem, sink: Path): Seq[String] =
     ensureLoggedAt(fs, sink)._2

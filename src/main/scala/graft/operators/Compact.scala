@@ -81,9 +81,12 @@ object Compact {
     // retained time-travel history (keepReplaced rewrites) has
     // old-generation files on disk that a directory read would
     // double-count into the compacted output
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    CommitLog.requireNoDvs(fs, hPath, "compactSink")
-    CommitLog.requireNoColmaps(fs, hPath, "compactSink")
+    // one manifest snapshot serves live set, guards and the bucket
+    // declaration (CommitLog.ensureSnapshotAt, guide §6)
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    CommitLog.requireNoDvsIn(m.dvs, hPath, "compactSink")
+    CommitLog.requireNoColmapsIn(m.colmaps, m.coltypes, "compactSink")
     // a declared bucket layout is PRESERVED through compaction: rows
     // re-route by the same hash the writers used and the bucket id
     // rides the rewritten file names — the bin-packing unit becomes
@@ -91,7 +94,7 @@ object Compact {
     // co-location survives the rewrite (the preserve half of the
     // preserve-or-loudly-drop contract; CommitLog.commitNext's guard
     // is the drop half for rewrites that cannot route)
-    val bucketSpec = Bucketing.specOf(CommitLog.metaRecords(fs, hPath))
+    val bucketSpec = Bucketing.specOf(m.meta)
     // ONE listStatus per parent directory instead of one getFileStatus
     // RPC per live file (the GraftDataSource stats-batching discipline;
     // on an object store the per-file HEAD calls dominate a deep
@@ -151,21 +154,24 @@ object Compact {
         .parquet(before.head.getPath.toString).schema
       val readSchema = StructType(dataSchema.fields ++
         partitionCols.map(StructField(_, StringType)))
-      routed(spark.read.schema(readSchema)
-          .option("basePath", hPath.toString)
-          .parquet(liveAbs: _*))
-        // one task per LEAF (partition tuple, bucket) → one file per
-        // leaf (a partition larger than targetBytes stays one file
-        // here; a finer split would hash-salt within the partition)
-        .repartition(stageCols.map(col): _*)
-        .write.partitionBy(stageCols: _*).parquet(tmp.toString)
+      graft.io.Sources.internalWriter(
+        routed(spark.read.schema(readSchema)
+            .option("basePath", hPath.toString)
+            .parquet(liveAbs: _*))
+          // one task per LEAF (partition tuple, bucket) → one file per
+          // leaf (a partition larger than targetBytes stays one file
+          // here; a finer split would hash-salt within the partition)
+          .repartition(stageCols.map(col): _*))
+        .partitionBy(stageCols: _*).parquet(tmp.toString)
     } else if (bucketSpec.isDefined) {
-      routed(spark.read.parquet(liveAbs: _*))
-        .repartition(col(Bucketing.StageCol))
-        .write.partitionBy(Bucketing.StageCol).parquet(tmp.toString)
+      graft.io.Sources.internalWriter(
+        routed(spark.read.parquet(liveAbs: _*))
+          .repartition(col(Bucketing.StageCol)))
+        .partitionBy(Bucketing.StageCol).parquet(tmp.toString)
     } else {
-      spark.read.parquet(liveAbs: _*)
-        .repartition(targetFiles.toInt).write.parquet(tmp.toString)
+      graft.io.Sources.internalWriter(
+        spark.read.parquet(liveAbs: _*)
+          .repartition(targetFiles.toInt)).parquet(tmp.toString)
     }
     // add → COMMIT → delete: move the compacted files in (partition
     // directories preserved, names are fresh write UUIDs), commit the
@@ -237,12 +243,15 @@ object Compact {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"compaction target $path does not exist")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+    // one snapshot per call, as in compactSinkCols
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
     val assigned = live.filter(plan.contains)
     require(assigned.nonEmpty, "plan assigns no live file of this sink")
-    CommitLog.requireNoDvs(fs, hPath, "compactByPlan", Some(assigned))
-    CommitLog.requireNoColmaps(fs, hPath, "compactByPlan",
+    CommitLog.requireNoDvsIn(m.dvs, hPath, "compactByPlan",
       Some(assigned))
+    CommitLog.requireNoColmapsIn(m.colmaps, m.coltypes,
+      "compactByPlan", Some(assigned))
     val tmp = new Path(hPath.getParent, hPath.getName + "__plan_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // keyed by URI PATH (no scheme/authority): `_metadata.file_path`
@@ -280,7 +289,9 @@ object Compact {
         .drop("__norm", "__plan_path", "__plan_bin")
         .drop(collapseCols: _*)
         .repartition(col("__bin"))
-        .write.partitionBy(partitionCol, "__bin").parquet(tmp.toString)
+        .write.option(
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy(partitionCol, "__bin").parquet(tmp.toString)
       // add → COMMIT → delete: move each bin's single file into its
       // partition directory (the __bin level is planning scaffolding)
       val added = Seq.newBuilder[String]

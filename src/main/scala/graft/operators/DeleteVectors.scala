@@ -121,12 +121,14 @@ object DeleteVectors {
     val nMarks = perFile.valuesIterator.sum
     val paths =
       if (nMarks <= shardRows) {
-        merged.repartition(1).write.parquet(dvAbs)
+        graft.io.Sources.internalWriter(merged.repartition(1))
+          .parquet(dvAbs)
         affected.map(_ -> dvRel).toMap
       } else {
         val shards = math.min(affected.size.toLong,
           (nMarks + shardRows - 1) / shardRows).toInt.max(1)
-        merged.repartition(shards, col("file")).write.parquet(dvAbs)
+        graft.io.Sources.internalWriter(
+            merged.repartition(shards, col("file"))).parquet(dvAbs)
         val parts = spark.read.parquet(dvAbs)
           .select(col("file"), col("_metadata.file_path").as("__part"))
           .distinct().collect()
@@ -182,9 +184,12 @@ object DeleteVectors {
     require(fs.exists(hPath), s"delete target $path does not exist")
     var attempt = 0
     while (true) {
-      val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
+      // one manifest snapshot per attempt serves live set, DVs and
+      // mappings (CommitLog.ensureSnapshotAt, guide §6)
+      val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+      val live = m.files
       if (live.isEmpty) return (0L, 0L)
-      val dvs = CommitLog.dvRecords(fs, hPath)
+      val dvs = m.dvs
       val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
       // (file, pos) identity is materialized into plain columns ON the
       // scan (metadata pseudo-columns don't survive a join), then the
@@ -192,8 +197,7 @@ object DeleteVectors {
       // can't be re-marked and the returned count is exactly the rows
       // this call removed
       val raw = identityScan(spark, hPath, live, prefix,
-        CommitLog.colmapRecords(fs, hPath),
-        CommitLog.coltypeRecords(fs, hPath))
+        m.colmaps, m.coltypes)
       val visible =
         if (dvs.isEmpty) raw
         else raw.join(
@@ -288,8 +292,11 @@ object DeleteVectors {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"merge target $path does not exist")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    val dvs = CommitLog.dvRecords(fs, hPath)
+    // one manifest snapshot serves live set, DVs, mappings and
+    // checks (CommitLog.ensureSnapshotAt, guide §6)
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    val dvs = m.dvs
     val prefix = fs.makeQualified(hPath).toUri.getPath + "/"
     // the Merge/applyCdc discipline, enforced BEFORE any mark or
     // append: (1) the batch must carry exactly the sink's columns — a
@@ -300,8 +307,7 @@ object DeleteVectors {
     // column an automatic keep-one would be nondeterministic, so the
     // producer dedupes first ([[Upsert.dedupKeepFirstAgg]])
     val scanId = identityScan(spark, hPath, live, prefix,
-      CommitLog.colmapRecords(fs, hPath),
-      CommitLog.coltypeRecords(fs, hPath))
+      m.colmaps, m.coltypes)
     val sinkCols = scanId.columns.filterNot(c =>
       c == "__file" || c == "__pos")
     require(sinkCols.sorted.sameElements(updates.columns.sorted),
@@ -319,7 +325,7 @@ object DeleteVectors {
     // byte-layout-compatible with the originals
     val conformed = updates.select(sinkCols.toIndexedSeq.map(col): _*)
     // CHECK constraints gate the update rows before any mark or append
-    CommitLog.requireChecks(spark, fs, hPath, conformed, "mergeOnRead")
+    CommitLog.requireChecksIn(m.checks, conformed, "mergeOnRead")
     val batch = updates.select(keys.map(col): _*).distinct()
     // matched = visible rows (existing DVs anti-joined) whose key is
     // in the batch; only keys + identity are ever projected
@@ -362,12 +368,14 @@ object DeleteVectors {
     val tmp = new Path(hPath.getParent, hPath.getName + "__mor_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     partitionCol match {
-      case Some(p) => conformed.repartition(col(p))
-        .write.partitionBy(p).parquet(tmp.toString)
+      case Some(p) => graft.io.Sources.internalWriter(
+          conformed.repartition(col(p)))
+        .partitionBy(p).parquet(tmp.toString)
       // flat appends: file count ∝ update bytes, never task count
       // (Sources.sizedForWrite — guide §2.2/§6)
-      case None => graft.io.Sources.sizedForWrite(conformed)
-        .write.parquet(tmp.toString)
+      case None => graft.io.Sources.internalWriter(
+          graft.io.Sources.sizedForWrite(conformed))
+        .parquet(tmp.toString)
     }
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)
@@ -622,14 +630,18 @@ object DeleteVectors {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"apply target $path does not exist")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    val dvs = CommitLog.dvRecords(fs, hPath)
+    // one manifest snapshot serves live set, DVs and the colmap
+    // guard (CommitLog.ensureSnapshotAt, guide §6)
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    val dvs = m.dvs
     if (dvs.isEmpty) return (0L, 0L)
     val targets = dvs.keys.toSeq.sorted
     // positional rewrite binds rows to the raw physical layout —
     // SchemaEvolve.normalize is the rewrite that handles mapped files
     // (and clears their DVs in the same pass)
-    CommitLog.requireNoColmaps(fs, hPath, "applyDeletes", Some(targets))
+    CommitLog.requireNoColmapsIn(m.colmaps, m.coltypes,
+      "applyDeletes", Some(targets))
     val tmp = new Path(hPath.getParent, hPath.getName + "__dv_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // partition columns, from the rel-path layout (all live files of a
@@ -653,12 +665,14 @@ object DeleteVectors {
         col("__pos") === col("__dv_pos"), "left_anti")
       .drop("__rel", "__pos")
     if (partCols.nonEmpty)
-      kept.repartition(partCols.map(col).toIndexedSeq: _*)
-        .write.partitionBy(partCols.toIndexedSeq: _*)
+      graft.io.Sources.internalWriter(
+          kept.repartition(partCols.map(col).toIndexedSeq: _*))
+        .partitionBy(partCols.toIndexedSeq: _*)
         .parquet(tmp.toString)
     // flat rewrite: file count ∝ surviving bytes, never task count
     // (Sources.sizedForWrite — guide §2.2/§6)
-    else graft.io.Sources.sizedForWrite(kept).write.parquet(tmp.toString)
+    else graft.io.Sources.internalWriter(
+        graft.io.Sources.sizedForWrite(kept)).parquet(tmp.toString)
     // add → COMMIT → delete, exactly the Compact swap
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)

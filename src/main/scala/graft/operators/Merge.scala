@@ -135,9 +135,11 @@ object Merge {
     // file per partition value via the keyed repartition (whose
     // partition count AQE right-sizes).
     if (partCols.isEmpty)
-      graft.io.Sources.sizedForWrite(df).write.parquet(tmp.toString)
-    else df.repartition(partCols.map(col): _*)
-      .write.partitionBy(partCols: _*).parquet(tmp.toString)
+      graft.io.Sources.internalWriter(
+        graft.io.Sources.sizedForWrite(df)).parquet(tmp.toString)
+    else graft.io.Sources.internalWriter(
+        df.repartition(partCols.map(col): _*))
+      .partitionBy(partCols: _*).parquet(tmp.toString)
 
   /** Touched-file re-read conformed to the logical `schema` (missing
     * additive columns null-filled — the `.schema(...)` pinning the
@@ -177,10 +179,14 @@ object Merge {
     // bootstrap gen 0 / read the latest manifest; `live` is the
     // exactly-once file set everything below reads (torn-swap debris
     // on disk is invisible to it)
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    CommitLog.requireNoDvs(fs, hPath, "mergeParquet")
-    val cms = CommitLog.colmapRecords(fs, hPath)
-    val cts = CommitLog.coltypeRecords(fs, hPath)
+    // ONE manifest snapshot serves live set, DV guard, mappings and
+    // checks — the per-family accessors re-listed the log dir each
+    // (CommitLog.ensureSnapshotAt, guide §6)
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    CommitLog.requireNoDvsIn(m.dvs, hPath, "mergeParquet")
+    val cms = m.colmaps
+    val cts = m.coltypes
     val scan = liveScan(spark, hPath, live, cms, cts)
     val sinkDF = scan.drop("__f")
     val sinkSchema = sinkDF.schema
@@ -197,7 +203,7 @@ object Merge {
           s"match sink schema ${sinkSchema.fieldNames.sorted.mkString(",")}")
     val keyed = updates.select(updates.columns.toIndexedSeq.map(col): _*)
     // CHECK constraints gate the batch before anything stages
-    CommitLog.requireChecks(spark, fs, hPath, keyed, "mergeParquet")
+    CommitLog.requireChecksIn(m.checks, keyed, "mergeParquet")
 
     // small frame, three consumers (touched files, matched rewrite,
     // insert anti-join) — cache, released in the finally (a crash —
@@ -335,10 +341,12 @@ object Merge {
     require(fs.exists(hPath), s"erase target $path does not exist")
     require(keyCols.forall(keys.columns.contains),
       s"keys frame ${keys.columns.mkString(",")} must carry $keyCols")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    CommitLog.requireNoDvs(fs, hPath, "eraseParquet")
-    val cms = CommitLog.colmapRecords(fs, hPath)
-    val cts = CommitLog.coltypeRecords(fs, hPath)
+    // one snapshot per call, as in mergeParquet
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    CommitLog.requireNoDvsIn(m.dvs, hPath, "eraseParquet")
+    val cms = m.colmaps
+    val cts = m.coltypes
     // mergeSchema (inside liveScan): a sink widened by
     // mergeParquet(allowSchemaEvolution) legitimately carries mixed
     // footer schemas; without the union one narrow footer could win
@@ -411,10 +419,12 @@ object Merge {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(hPath), s"CDC target $path does not exist — " +
       "first write goes through the publish path, not MERGE")
-    val (baseGen, live) = CommitLog.ensureLoggedAt(fs, hPath)
-    CommitLog.requireNoDvs(fs, hPath, "applyCdcParquet")
-    val cms = CommitLog.colmapRecords(fs, hPath)
-    val cts = CommitLog.coltypeRecords(fs, hPath)
+    // one snapshot per call, as in mergeParquet
+    val (baseGen, m) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val live = m.files
+    CommitLog.requireNoDvsIn(m.dvs, hPath, "applyCdcParquet")
+    val cms = m.colmaps
+    val cts = m.coltypes
     // mergeSchema (inside liveScan) for the same reason as
     // eraseParquet: an evolved sink has mixed footers, and rewriting
     // touched wide files through one narrow footer's schema would
@@ -464,7 +474,7 @@ object Merge {
     val upserts = batch.filter(col(opCol) === "U").drop(opCol)
     // CHECK constraints gate the rows that will LAND (U payloads; a
     // delete op's payload columns are ignored by contract)
-    CommitLog.requireChecks(spark, fs, hPath, upserts, "applyCdcParquet")
+    CommitLog.requireChecksIn(m.checks, upserts, "applyCdcParquet")
     val delKeys = batch.filter(col(opCol) === "D")
       .select(keyCols.map(col): _*)
 

@@ -132,16 +132,19 @@ object Publish {
           // SECOND time — measured 3.8 s → 2.9 s on the DelayFact
           // staging path at sf0.1.
           import org.apache.spark.sql.functions.col
-          Upsert.dedupKeepFirstAgg(conformed.repartition(col(p)), m.keys,
-              if (orderCols.nonEmpty) orderCols else m.keys)
-            .write.mode("overwrite").partitionBy(p).parquet(path)
+          graft.io.Sources.internalWriter(
+              Upsert.dedupKeepFirstAgg(conformed.repartition(col(p)),
+                m.keys,
+                if (orderCols.nonEmpty) orderCols else m.keys))
+            .mode("overwrite").partitionBy(p).parquet(path)
         case None =>
           // aggDedup: publish inputs (esp. DelayFact at 1M+ rows with a
           // nearly-unique composite key) dedup as one partial+final
           // aggregation instead of a window sort over every key partition
-          Upsert.dedupKeepFirstAgg(conformed, m.keys,
-              if (orderCols.nonEmpty) orderCols else m.keys)
-            .write.mode("overwrite").parquet(path)
+          graft.io.Sources.internalWriter(
+              Upsert.dedupKeepFirstAgg(conformed, m.keys,
+                if (orderCols.nonEmpty) orderCols else m.keys))
+            .mode("overwrite").parquet(path)
       }
       val n = watch.rows()
       // metrics event missed (never observed in practice): fall back to

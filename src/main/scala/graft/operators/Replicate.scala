@@ -62,8 +62,9 @@ object Replicate {
     // sync would re-apply a window (idempotent, but a wasted rewrite)
     // seed file count ∝ snapshot bytes, never the scan's task count
     // (Sources.sizedForWrite — guide §2.2/§6)
-    graft.io.Sources.sizedForWrite(CommitLog.readAt(spark, up, gUp))
-      .write.mode("overwrite").parquet(down)
+    graft.io.Sources.internalWriter(graft.io.Sources.sizedForWrite(
+        CommitLog.readAt(spark, up, gUp)))
+      .mode("overwrite").parquet(down)
     val (g0, live) = CommitLog.ensureLoggedAt(fsDown, hDown)
     CommitLog.commitNext(fsDown, hDown, g0, live,
       txn = Some((appId, gUp)))

@@ -518,13 +518,15 @@ object SchemaEvolve {
     val tmp = new Path(hPath.getParent, hPath.getName + "__norm_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (partCols.nonEmpty)
-      mapped.repartition(partCols.map(col).toIndexedSeq: _*)
-        .write.partitionBy(partCols.toIndexedSeq: _*)
+      graft.io.Sources.internalWriter(
+          mapped.repartition(partCols.map(col).toIndexedSeq: _*))
+        .partitionBy(partCols.toIndexedSeq: _*)
         .parquet(tmp.toString)
     // flat rewrite: file count ∝ target bytes, never task count
     // (Sources.sizedForWrite — guide §2.2/§6)
-    else graft.io.Sources.sizedForWrite(mapped)
-      .write.parquet(tmp.toString)
+    else graft.io.Sources.internalWriter(
+        graft.io.Sources.sizedForWrite(mapped))
+      .parquet(tmp.toString)
     // add → COMMIT → delete, the Compact/applyDeletes swap
     val added = Seq.newBuilder[String]
     val it = fs.listFiles(tmp, true)

@@ -475,15 +475,21 @@ object Upsert {
     // stays O(1) manifests. Never-logged sinks skip all of it (zero
     // cost). NOTHING is deleted on this path — debris reclaim is
     // explicit vacuum maintenance, never a writer's side effect.
-    val liveBefore: Option[(Long, Seq[String])] =
-      if (existed && CommitLog.committed(fs, hPath).isDefined) {
-        val (g, lv) = CommitLog.ensureLoggedAt(fs, hPath)
+    // one manifest snapshot serves the live set, the DV guard, the
+    // mappings and the checks below (CommitLog.ensureSnapshotAt,
+    // guide §6 — the accessor-per-family shape re-listed the log dir
+    // five times per logged publish)
+    val snapBefore: Option[(Long, CommitLog.Manifest)] =
+      if (existed && CommitLog.generations(fs, hPath).nonEmpty) {
+        val snap = CommitLog.ensureSnapshotAt(fs, hPath)
         // the existing-keys anti-join below reads live files RAW: a
         // deletion vector's rows would count as present and wrongly
         // suppress re-inserting a deleted key
-        CommitLog.requireNoDvs(fs, hPath, "upsertParquet")
-        Some((g, lv))
+        CommitLog.requireNoDvsIn(snap._2.dvs, hPath, "upsertParquet")
+        Some(snap)
       } else None
+    val liveBefore: Option[(Long, Seq[String])] =
+      snapBefore.map { case (g, m) => (g, m.files) }
     // batch partition values, collected ONCE and shared by the pruned
     // anti-join scan and the pruned before/after counts
     val pvals = partitionCol match {
@@ -507,8 +513,8 @@ object Upsert {
          // keys anti-join matches renamed columns
          case Some((_, lv)) if lv.isEmpty => None
          case Some((_, lv)) =>
-           val cms = CommitLog.colmapRecords(fs, hPath)
-           val cts = CommitLog.coltypeRecords(fs, hPath)
+           val cms = snapBefore.map(_._2.colmaps).getOrElse(Map.empty)
+           val cts = snapBefore.map(_._2.coltypes).getOrElse(Map.empty)
            if (cms.isEmpty && cts.isEmpty)
              Some(spark.read.option("basePath", path).parquet(
                lv.map(r =>
@@ -528,8 +534,8 @@ object Upsert {
     }
     // CHECK constraints gate the rows actually being appended, BEFORE
     // anything stages — a violating batch never moves a byte
-    liveBefore.foreach { _ =>
-      CommitLog.requireChecks(spark, fs, hPath, delta, "upsertParquet")
+    snapBefore.foreach { case (_, m) =>
+      CommitLog.requireChecksIn(m.checks, delta, "upsertParquet")
     }
     // appended-row count from the write command's own committed-task
     // metrics — zero extra jobs; a footer count over exactly the new
@@ -545,12 +551,14 @@ object Upsert {
     val writeTarget = scratch.map(_.toString).getOrElse(path)
     val watch = watchWrite(spark, writeTarget)
     partitionCol match {
-      case Some(p) => delta.repartition(col(p))
-        .write.mode("append").partitionBy(p).parquet(writeTarget)
+      case Some(p) => graft.io.Sources.internalWriter(
+          delta.repartition(col(p)))
+        .mode("append").partitionBy(p).parquet(writeTarget)
       // flat appends: file count ∝ delta bytes, never task count
       // (Sources.sizedForWrite — guide §2.2/§6)
-      case None => graft.io.Sources.sizedForWrite(delta)
-        .write.mode("append").parquet(writeTarget)
+      case None => graft.io.Sources.internalWriter(
+          graft.io.Sources.sizedForWrite(delta))
+        .mode("append").parquet(writeTarget)
     }
     var n = watch.rows()
     liveBefore.foreach { case (baseGen, lv) =>

@@ -822,15 +822,23 @@ object MaintenanceQueries {
     * from `documents` in two parity appends (`doc_id % 2`), so each
     * (lang, parity) cell is EXACTLY ONE data file and the oracle can
     * reason about files from doc_id arithmetic alone. */
+  /** The lang-partitioned parity-split documents sink six DV-family
+    * queries (q318/q319/q320/q321/q322/q326) each rebuilt per
+    * invocation — now seeded once per JVM ([[SharedFixtures]]) and
+    * copied into each query's private scratch root; every consumer
+    * mutates only its copy. Content identical to the private build. */
   private def dvFixture(s: SparkSession, dir: String, sink: String)
   : Unit = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    Seq(0, 1).foreach { par =>
-      docs.filter(col("doc_id") % 2 === par)
-        .repartition(col("lang"))
-        .write.partitionBy("lang").mode("append").parquet(sink)
+    val shared = SharedFixtures.seeded(s, dir, "dv_docs") { r =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(0, 1).foreach { par =>
+        docs.filter(col("doc_id") % 2 === par)
+          .repartition(col("lang"))
+          .write.partitionBy("lang").mode("append").parquet(s"$r/sink")
+      }
     }
+    SharedFixtures.copyInto(s, s"$shared/sink", sink)
   }
 
   /** Merge-on-read DELETE ([[graft.operators.DeleteVectors]]): two
@@ -1204,13 +1212,11 @@ object MaintenanceQueries {
       // UNPARTITIONED parity fixture (lang as a data column): the
       // row-level merge family rewrites touched files flat, so its
       // sinks are flat — partitioned layouts take the partition-replace
-      // path instead (SURVEY §2.9)
-      val docs0 = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      Seq(0, 1).foreach { par =>
-        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
-          .write.mode("append").parquet(sink)
-      }
+      // path instead (SURVEY §2.9). The seed is cdcDocsFixture's
+      // upstream — byte-identical to the 2 private parity appends this
+      // query ran before — copied and mutated privately.
+      SharedFixtures.copyInto(s,
+        s"${MaintenanceQueries.cdcDocsFixture(s, dir)}/up", sink)
       val hPath = new org.apache.hadoop.fs.Path(sink)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val (_, liveBefore) = CommitLog.ensureLoggedAt(fs, hPath)
@@ -1520,12 +1526,10 @@ object MaintenanceQueries {
       .toString
     val sink = s"$root/sink"
     try {
-      val docs0 = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      Seq(0, 1).foreach { par =>
-        docs0.filter(col("doc_id") % 2 === par).coalesce(1)
-          .write.mode("append").parquet(sink)
-      }
+      // same parity-split docs sink as q323 — cdcDocsFixture's
+      // upstream, copied and mutated privately
+      SharedFixtures.copyInto(s,
+        s"${MaintenanceQueries.cdcDocsFixture(s, dir)}/up", sink)
       val hPath = new org.apache.hadoop.fs.Path(sink)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       CommitLog.addCheck(s, sink,

@@ -1242,8 +1242,13 @@ private[graft] object GraftWriter {
       s"graft write: column name ${graft.operators.Bucketing.StageCol}" +
         " is reserved for bucket routing — rename it")
     // bring the sink under log control (bootstraps generation 0 for a
-    // fresh/unlogged path — the CREATE case)
-    val (gen, mainLive) = CommitLog.ensureLoggedAt(fs, hPath)
+    // fresh/unlogged path — the CREATE case). ONE manifest snapshot
+    // serves every record family this write consults (meta, colmaps,
+    // coltypes, checks, txns, stats) — the per-family accessors each
+    // re-listed the log dir, ~6 listings per format write
+    // (CommitLog.ensureSnapshotAt, guide §6)
+    val (gen, mainManifest) = CommitLog.ensureSnapshotAt(fs, hPath)
+    val mainLive = mainManifest.files
     // a BRANCH write stages identically but validates against and
     // commits to the branch's own manifest chain — main readers see
     // nothing until `CALL system.fast_forward(branch)` publishes the
@@ -1264,7 +1269,8 @@ private[graft] object GraftWriter {
     // in commitAppend's rebase loop, which no-ops when a same-appId
     // winner landed between this check and the CAS.)
     txn.foreach { case (app, v) =>
-      if (CommitLog.txnVersion(fs, hPath, app).exists(_ >= v)) return
+      if (bm.map(_.txns).getOrElse(mainManifest.txns)
+          .get(app).exists(_ >= v)) return
     }
     // the sink's LAYOUT wins: a live hive-partitioned layout (or, for
     // a still-empty CREATE'd table, the declared #meta layout) fixes
@@ -1273,8 +1279,7 @@ private[graft] object GraftWriter {
     // discovery for every subsequent read); an explicit partitionBy
     // must agree with it. Truncate replaces the whole file set, so
     // it may (re)choose the layout freely.
-    val metaRecs = bm.map(_.meta)
-      .getOrElse(CommitLog.metaRecords(fs, hPath))
+    val metaRecs = bm.map(_.meta).getOrElse(mainManifest.meta)
     val declaredCols = metaRecs.get("partition.cols")
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Nil)
@@ -1340,10 +1345,9 @@ private[graft] object GraftWriter {
       if (live.nonEmpty)
         Some(CommitLog.mappedScan(spark, hPath,
           Seq(live.head),
-          bm.map(_.colmaps)
-            .getOrElse(CommitLog.colmapRecords(fs, hPath)),
+          bm.map(_.colmaps).getOrElse(mainManifest.colmaps),
           coltypes = bm.map(_.coltypes)
-            .getOrElse(CommitLog.coltypeRecords(fs, hPath)),
+            .getOrElse(mainManifest.coltypes),
           meta = metaRecs).schema)
       else metaRecs.get("schema.ddl").map(StructType.fromDDL)
     logicalSchemaOpt.foreach { logicalSchema =>
@@ -1384,8 +1388,7 @@ private[graft] object GraftWriter {
     // job aborts before anything commits, and the staged debris is
     // removed below; the loud IllegalArgumentException contract is
     // preserved by unwrapping the task failure.
-    val checks = bm.map(_.checks)
-      .getOrElse(CommitLog.checkRecords(fs, hPath))
+    val checks = bm.map(_.checks).getOrElse(mainManifest.checks)
     val guarded = checks.toSeq.sortBy(_._1).foldLeft(data) {
       case (df, (n, e)) =>
         import org.apache.spark.sql.functions.{assert_true, coalesce,
@@ -1418,10 +1421,11 @@ private[graft] object GraftWriter {
       // of a local-relation batch can evaluate the CHECK assert_true
       // inline — that refusal must unwrap to the same loud
       // IllegalArgumentException as a task-side one.
-      val sized = graft.io.Sources.sizedForWrite(routed)
+      val sized = graft.io.Sources.internalWriter(
+        graft.io.Sources.sizedForWrite(routed))
       if (stageParts.nonEmpty)
-        sized.write.partitionBy(stageParts: _*).parquet(tmp.toString)
-      else sized.write.parquet(tmp.toString)
+        sized.partitionBy(stageParts: _*).parquet(tmp.toString)
+      else sized.parquet(tmp.toString)
     } catch {
       case t: Throwable =>
         try fs.delete(tmp, true)
@@ -1531,7 +1535,10 @@ private[graft] object GraftWriter {
     // the inline footer-derived variant is the next optimization if
     // the extra batch read ever matters.
     if (autoAnalyze) {
-      val covered = CommitLog.statsRecords(fs, hPath).values
+      // coverage from the PRE-WRITE snapshot: analyze itself re-reads
+      // the post-commit state, so the set of covered columns (a
+      // declaration, not per-file state) is stable across the append
+      val covered = mainManifest.stats.values
         .flatMap(_.keySet).toSet.intersect(data.columns.toSet)
       if (covered.nonEmpty) {
         // BEST-EFFORT: the data commit above already landed, and a
