@@ -90,6 +90,17 @@ object WriteProbe {
       println(s"[probe] SQL UPDATE (MoR)    -> live files = ${
         liveCount(s"$root/wh/db/d")} (delta = ${
         liveCount(s"$root/wh/db/d") - nAfterInsert} insert file(s))")
+
+      // read-plan pin: the round touched only write/metadata op
+      // counts — the format READ's plan shape (manifest pruning,
+      // pushed filters, V1 relation) must be unchanged; dump it so
+      // the claim is checkable
+      println("=== format read plan (filter pushes to the scan) ===")
+      spark.read.format("graft").load(s1)
+        .filter(col("o_orderkey") > 1000)
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("n"))
+        .explain("formatted")
     } finally {
       graft.io.Sources.deleteRecursively(root)
       spark.stop()
